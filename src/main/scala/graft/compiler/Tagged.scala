@@ -1,0 +1,318 @@
+package graft.compiler
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.glob.Glob
+import graft.model.FeatureFlags
+
+/** seriesByTag term model + parser + Catalyst predicate compiler.
+  *
+  * Semantics follow the reference tagged finder
+  * (`finder/tagged.go:28-466`): terms are parsed from
+  * `seriesByTag('k=v', 'k2=~re', …)` expressions, ordered so the most
+  * selective equality becomes the `tag1` primary filter, compiled to
+  * a `tag1` predicate (first term) plus `exists(tags, …)` array
+  * predicates (remaining terms).
+  */
+object Tagged {
+
+  sealed abstract class Op(val rank: Int)
+  object Op {
+    case object Eq extends Op(1)       // k=v
+    case object Match extends Op(2)    // k=~re
+    case object Ne extends Op(3)       // k!=v
+    case object NotMatch extends Op(4) // k!=~re
+  }
+
+  final case class Term(
+      key: String,
+      op: Op,
+      value: String,
+      hasWildcard: Boolean = false,
+      cost: Int = 0,
+      nonDefaultCost: Boolean = false) {
+    def concat: String = s"$key=$value"
+    /** tag glob → SQL-LIKE mask (`*` → `%`), reference `concatMask` */
+    def concatMask: String = s"$key=${value.replace("*", "%")}"
+  }
+
+  /** Parse the argument list of `seriesByTag('…', '…')`
+    * (`finder/tagged.go:370-426`).
+    */
+  def seriesByTagArgs(query: String): Either[String, List[String]] = {
+    val e0 = query.trim
+    if (!e0.startsWith("seriesByTag(")) return Left("wrong seriesByTag call")
+    if (!e0.endsWith(")")) return Left("wrong seriesByTag call")
+    var e = e0.substring("seriesByTag(".length, e0.length - 1)
+    val args = List.newBuilder[String]
+    while (e.nonEmpty) {
+      val c = e.charAt(0)
+      if (c == '\'' || c == '"') {
+        val close = e.indexOf(c, 1)
+        if (close == -1) return Left(s"seriesByTag arg missing quote: $e")
+        val arg = e.substring(1, close)
+        if (arg.nonEmpty) args += arg
+        e = e.substring(close + 1)
+      } else if (c == ' ' || c == ',') {
+        e = e.substring(1)
+      } else {
+        return Left(s"seriesByTag arg missing quote: $e")
+      }
+    }
+    Right(args.result())
+  }
+
+  /** `k=v` / `k!=v` / `k=~re` / `k!=~re` → Term
+    * (`finder/tagged.go:302-366`). `name` aliases `__name__`.
+    */
+  def parseConditions(
+      conditions: List[String],
+      flags: FeatureFlags = FeatureFlags()): Either[String, List[Term]] = {
+    val terms = conditions.map { s =>
+      val eq = s.indexOf('=')
+      if (eq < 0) return Left(s"wrong seriesByTag expr: $s")
+      var key = s.substring(0, eq).trim
+      var value = s.substring(eq + 1).trim
+      var opStr = "="
+      if (key.nonEmpty && key.endsWith("!")) {
+        opStr = "!="
+        key = key.dropRight(1).trim
+      }
+      if (value.nonEmpty && value.startsWith("~")) {
+        opStr = opStr + "~"
+        value = value.substring(1).trim
+      }
+      if (key == "name") key = "__name__"
+      val op = opStr match {
+        case "="   => Op.Eq
+        case "!="  => Op.Ne
+        case "=~"  => Op.Match
+        case "!=~" => Op.NotMatch
+        case _     => return Left(s"wrong seriesByTag expr: $s")
+      }
+      val hasWildcard = op == Op.Eq &&
+        (Glob.hasWildcard(value) || (flags.useCarbonBehavior && value.isEmpty))
+      Term(key, op, value, hasWildcard)
+    }
+    Right(terms)
+  }
+
+  def parseSeriesByTag(
+      query: String,
+      flags: FeatureFlags = FeatureFlags()): Either[String, List[Term]] =
+    seriesByTagArgs(query).flatMap { args =>
+      if (args.isEmpty) Left("not enough arguments for seriesByTag")
+      else parseConditions(args, flags)
+    }
+
+  /** Number of exact (non-wildcard equality) terms — admission input
+    * (`tags-min-in-query`).
+    */
+  def nonWildcardEqCount(terms: List[Term]): Int =
+    terms.count(t => t.op == Op.Eq && !t.hasWildcard)
+
+  /** Base term ordering (`TaggedTermList.Less`, `finder/tagged.go:51-76`):
+    * by op class, exact-eq before wildcard-eq, `__name__` preferred;
+    * then by configured cost among equal ranks
+    * (`SortTaggedTermsByCost`, `tagged.go:639-672`).
+    */
+  def sortTerms(terms: List[Term]): List[Term] = {
+    val lt: (Term, Term) => Boolean = (a, b) => {
+      if (a.op.rank != b.op.rank) a.op.rank < b.op.rank
+      else if (a.op == Op.Eq && !a.hasWildcard && b.hasWildcard) true
+      else if ((a.nonDefaultCost || b.nonDefaultCost) && a.cost != b.cost) a.cost < b.cost
+      else a.key == "__name__" && b.key != "__name__"
+    }
+    terms.sortWith(lt)
+  }
+
+  // ---------------------------------------------------------------
+  // Predicate compilation
+  // ---------------------------------------------------------------
+
+  /** prefix LIKE 'p%' with at-least-one-more-char (`HasPrefixAndNotEq`) */
+  private def prefixAndNotEq(col: Column, prefix: String): Column =
+    col.startsWith(prefix) && length(col) > prefix.length
+
+  /** Regex term (`=~`) over a single string column; literal-prefix
+    * decomposition per `pkg/where/match.go:205-227` + `where.go:99-115`.
+    */
+  private def matchColumn(col: Column, key: String, value: String): Column = {
+    if (value.isEmpty || value == "*") return col.startsWith(s"$key=")
+    val startAnchored = value.startsWith("^")
+    val endAnchored = value.endsWith("$")
+    // literal-prefix probe over the would-be "key=value" literal
+    val expr =
+      if (startAnchored && endAnchored) s"$key=${value.substring(1)}"
+      else if (startAnchored) s"$key=${value.substring(1)}\\%"
+      else s"$key=\\%$value"
+    val simplePrefix = Glob.nonRegexpPrefix(expr)
+    if (simplePrefix.length == expr.length) return col === expr
+    if (simplePrefix.length == expr.length - 1 && expr.endsWith("$")) return col === simplePrefix
+    val body = if (value.contains("|")) s"(${stripAnchors(value, startAnchored)})"
+               else stripAnchors(value, startAnchored)
+    val re =
+      if (startAnchored) s"^$key=$body"
+      else s"^$key=.*$body"
+    if (simplePrefix.isEmpty) col.rlike(re)
+    else col.startsWith(simplePrefix) && col.rlike(re)
+  }
+
+  private def stripAnchors(value: String, startAnchored: Boolean): String =
+    if (startAnchored) value.substring(1) else value
+
+  /** Expand an eq-value through brace expansion into `key=value`
+    * literals; empty expansion or failure falls back to the plain
+    * concat literal.
+    */
+  private def eqLiterals(term: Term): List[String] =
+    Glob.globExpandSimple(term.value) match {
+      case Right(vs) if vs.nonEmpty => vs.map(v => s"${term.key}=$v")
+      case _                        => List(term.concat)
+    }
+
+  /** First (most selective) term → predicate on the `tag1` column
+    * (`TaggedTermWhere1`, `finder/tagged.go:130-203`). `tagsCol` is
+    * needed for the negative/existence special cases.
+    */
+  def termWhere1(tag1: Column, tagsCol: Column, term: Term, flags: FeatureFlags): Column =
+    term.op match {
+      case Op.Eq =>
+        if (flags.useCarbonBehavior && term.value.isEmpty) {
+          // k="" ⇒ the series has no tag k at all
+          !exists(tagsCol, x => x.startsWith(s"${term.key}="))
+        } else if (term.value.contains("*")) {
+          tag1.like(term.concatMask)
+        } else {
+          eqLiterals(term) match {
+            case single :: Nil => tag1 === single
+            case many          => tag1.isin(many: _*)
+          }
+        }
+      case Op.Ne =>
+        if (term.value.isEmpty) {
+          // k!="" ⇒ k exists with non-empty value
+          prefixAndNotEq(tag1, s"${term.key}=")
+        } else {
+          val base = negTermOnTags(tagsCol, term)
+          if (flags.dontMatchMissingTags) tag1.startsWith(s"${term.key}=") && base else base
+        }
+      case Op.Match => matchColumn(tag1, term.key, term.value)
+      case Op.NotMatch =>
+        val base = !exists(tagsCol, x => matchColumn(x, term.key, term.value))
+        if (flags.dontMatchMissingTags) tag1.startsWith(s"${term.key}=") && base else base
+    }
+
+  private def negTermOnTags(tagsCol: Column, term: Term): Column =
+    if (term.value.contains("*"))
+      !exists(tagsCol, x => x.like(term.concatMask))
+    else {
+      val lits = eqLiterals(term)
+      !exists(tagsCol, x => lits.map(l => x === l).reduceLeft(_ || _))
+    }
+
+  /** Remaining terms → predicates over the `tags` array column
+    * (`TaggedTermWhereN`, `finder/tagged.go:205-282`).
+    */
+  def termWhereN(tagsCol: Column, term: Term, flags: FeatureFlags): Column =
+    term.op match {
+      case Op.Eq =>
+        if (flags.useCarbonBehavior && term.value.isEmpty) {
+          !exists(tagsCol, x => x.startsWith(s"${term.key}="))
+        } else if (term.value.contains("*")) {
+          exists(tagsCol, x => x.like(term.concatMask))
+        } else {
+          eqLiterals(term) match {
+            case single :: Nil => array_contains(tagsCol, single)
+            case many          => many.map(l => array_contains(tagsCol, l)).reduceLeft(_ || _)
+          }
+        }
+      case Op.Ne =>
+        if (term.value.isEmpty) {
+          exists(tagsCol, x => prefixAndNotEq(x, s"${term.key}="))
+        } else {
+          val base = negTermOnTags(tagsCol, term)
+          if (flags.dontMatchMissingTags)
+            exists(tagsCol, x => x.startsWith(s"${term.key}=")) && base
+          else base
+        }
+      case Op.Match =>
+        exists(tagsCol, x => matchColumn(x, term.key, term.value))
+      case Op.NotMatch =>
+        val base = !exists(tagsCol, x => matchColumn(x, term.key, term.value))
+        if (flags.dontMatchMissingTags)
+          exists(tagsCol, x => x.startsWith(s"${term.key}=")) && base
+        else base
+    }
+
+  /** Whole term list → one predicate (`TaggedWhere`,
+    * `finder/tagged.go:440-465`): first (sorted) term on `tag1`, rest
+    * on the `tags` array.
+    */
+  def wherePredicate(
+      tag1: Column,
+      tagsCol: Column,
+      terms: List[Term],
+      flags: FeatureFlags = FeatureFlags()): Column = {
+    require(terms.nonEmpty, "empty tagged term list")
+    val sorted = sortTerms(terms)
+    val head = termWhere1(tag1, tagsCol, sorted.head, flags)
+    sorted.tail.foldLeft(head)((acc, t) => acc && termWhereN(tagsCol, t, flags))
+  }
+
+  // ---------------------------------------------------------------
+  // Path decode (storage form → display form)
+  // ---------------------------------------------------------------
+
+  /** `name?k1=v1&k2=v2` (url-escaped) → `name;k1=v1;k2=v2` with tags
+    * sorted (`TaggedDecode`, `finder/tagged.go:551-596`). Incomplete
+    * tagged paths pass through unchanged.
+    */
+  def decodePath(path: String): String = {
+    val q = path.indexOf('?')
+    if (q < 0 || q == path.length - 1) return path
+    val name = unescape(path.substring(0, q))
+    val tags = path.substring(q + 1).split("&").map(unescape).sorted
+    (name +: tags).mkString(";")
+  }
+
+  /** Percent-unescape, tolerant of malformed escapes (passes them
+    * through verbatim, `finder/unescape.go`).
+    */
+  def unescape(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new StringBuilder(s.length)
+    val bytes = new java.io.ByteArrayOutputStream()
+    def flushBytes(): Unit = if (bytes.size() > 0) {
+      sb.append(new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
+      bytes.reset()
+    }
+    var i = 0
+    def isHex(c: Char) = c.isDigit || ('a' <= c && c <= 'f') || ('A' <= c && c <= 'F')
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length && isHex(s.charAt(i + 1)) && isHex(s.charAt(i + 2))) {
+        bytes.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
+        i += 3
+      } else {
+        flushBytes()
+        sb.append(c)
+        i += 1
+      }
+    }
+    flushBytes()
+    sb.toString
+  }
+
+  /** Display form → storage form: `name;k=v;…` →
+    * `name?k=v&…` (sorted), used at ingest.
+    */
+  def encodePath(display: String): String = {
+    val parts = display.split(";")
+    if (parts.length <= 1) return display
+    val name = parts.head
+    val tags = parts.tail.sorted
+    name + "?" + tags.mkString("&")
+  }
+}
