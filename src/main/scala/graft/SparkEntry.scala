@@ -1,13 +1,600 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.{Autocomplete, Finder, GraphiteTables, Render}
+import graft.llm.{Dedup, Multimodal, Similarity, TextStats}
+import graft.model.TimeFrame
+import graft.rollup.{AggFunc, Pattern, Retention, RuleType, Rules}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY §2 (and the LLM-pipeline
+  * track) is registered here as a `queries` entry with a DuckDB
+  * oracle. Conventions keeping the oracle compare stable:
+  * numeric outputs are BIGINT/DOUBLE on both sides, float aggregates
+  * are `round(x, 4)` on both sides, and orderings that feed `limit`
+  * are tie-broken by a unique key.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  // Shared query window over the events table (2024-01-01, 1 hour /
+  // 10 minutes). The testdata spans 2024-01-01..2024-01-31 at every sf.
+  private val WFrom = 1704067200L
+  private val WUntil = 1704070799L // 1 h - 1 s
+  private val NFrom = 1704067200L
+  private val NUntil = 1704067799L // 10 min - 1 s
+
+  /** The points-table projection of `events` as DuckDB SQL (mirrors
+    * `GraphiteTables.points`).
+    */
+  private val PtsSql =
+    "SELECT 'events.' || event_type || '.user' || user_id AS path, " +
+      "epoch_us(ts)//1000000 AS t, value, event_id AS version FROM events"
+
+  /** Dedup-at-read (max version wins per (path, time)) as DuckDB SQL. */
+  private def ddSql(from: Long, until: Long): String =
+    s"SELECT path, t, arg_max(value, version) AS value FROM ($PtsSql) pts " +
+      s"WHERE t BETWEEN $from AND $until GROUP BY path, t"
+
+  /** Regular-grid SQL: one row per (path, bucket) over `[start, stop)`.
+    * `pathFilter` is a bare-`path` WHERE clause (or empty).
+    */
+  private def gridSql(pathFilter: String, start: Long, stopExcl: Long, step: Long): String =
+    s"SELECT path, unnest(generate_series($start, ${stopExcl - step}, $step)) AS time " +
+      s"FROM (SELECT DISTINCT path FROM ($PtsSql) p) paths $pathFilter"
+
+  /** One rollup group (dedup → bucket agg → gap-fill grid) as SQL. */
+  private def renderGroupSql(
+      aggExpr: String, step: Long, from: Long, until: Long, pathFilter: String): String = {
+    val (alignedFrom, alignedUntil) = graft.time.StepMath.alignFromUntil(from, until, step)
+    val (start, stop) = graft.time.StepMath.gridBounds(from, until, step)
+    s"SELECT g.path, g.time, round(a.value, 4) AS value FROM (" +
+      gridSql(pathFilter, start, stop, step) + ") g LEFT JOIN (" +
+      s"SELECT path, t - t % $step AS time, $aggExpr AS value FROM (" +
+      ddSql(alignedFrom, alignedUntil) + s") dd $pathFilter GROUP BY path, time) a " +
+      "ON g.path = a.path AND g.time = a.time"
+  }
+
+  /** Word-shingle SQL fragments mirroring `Dedup.shingles` (w-word
+    * shingles, distinct).
+    */
+  private def shinglesSql(w: Int): String =
+    s"list_distinct(list_transform(generate_series(1, greatest(len(string_split_regex(trim(text), '\\s+')) - ${w - 1}, 0)), " +
+      s"i -> array_to_string(string_split_regex(trim(text), '\\s+')[i:i+${w - 1}], ' ')))"
+
+  /** Default rule set used by the render queries: purchase → sum@120,
+    * error → max@60, everything else avg@60.
+    */
+  private def testRules: Rules = Rules(
+    List(
+      Pattern(RuleType.All, "\\.purchase\\.", Some(AggFunc.Sum), List(Retention(0, 120))),
+      Pattern(RuleType.All, "\\.error\\.", Some(AggFunc.Max), Nil)),
+    defaultPrecision = 60L,
+    defaultFunction = Some(AggFunc.Avg))
+
+  private def uniformRules: Rules =
+    Rules(Nil, defaultPrecision = 60L, defaultFunction = Some(AggFunc.Avg))
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * find `events.*.*` over the derived index, then the full render
+    * pipeline (semi-join → dedup → rollup → gap-fill).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val points = GraphiteTables.points(spark, dir)
+    val index = GraphiteTables.index(spark, dir)
+    val found = Finder.find(index, "events.*.*")
+      .select("path").collect().map(_.getString(0)).toSeq
+    Render.render(points, found, TimeFrame(WFrom, WUntil), uniformRules, now = WUntil)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ----------------------------------------------------------------
+    // Graphite: tables, finder, index (S1/S11, P2-P6, F1, F9, A10)
+    // ----------------------------------------------------------------
+    "g_points" -> ((s, dir) =>
+      GraphiteTables.points(s, dir)
+        .select(col("path"), col("time"), col("value"), col("version"),
+          col("path_reversed"))),
+
+    "g_index" -> ((s, dir) =>
+      GraphiteTables.index(s, dir)
+        .select(date_format(col("date"), "yyyy-MM-dd").as("date"),
+          col("level").cast("long").as("level"), col("path"))),
+
+    "g_index_dump" -> ((s, dir) =>
+      GraphiteTables.index(s, dir)
+        .where(col("level").between(20000, 29999))
+        .select(col("path")).distinct()),
+
+    "g_find_glob" -> ((s, dir) =>
+      Finder.find(GraphiteTables.index(s, dir), "events.*.user1*")),
+
+    "g_find_nonleaf" -> ((s, dir) =>
+      Finder.find(GraphiteTables.index(s, dir), "events.*")),
+
+    "g_find_reversed" -> ((s, dir) =>
+      Finder.find(GraphiteTables.index(s, dir), "*.*.user3")),
+
+    "g_find_brace" -> ((s, dir) =>
+      Finder.find(GraphiteTables.index(s, dir), "events.{click,error}.*")),
+
+    // ----------------------------------------------------------------
+    // Render pipeline (J1-J3, A1-A9, W1-W4, U1, O1)
+    // ----------------------------------------------------------------
+    "g_render_avg" -> ((s, dir) => {
+      val points = GraphiteTables.points(s, dir)
+      val found = Finder.find(GraphiteTables.index(s, dir), "events.*.*")
+        .select("path").collect().map(_.getString(0)).toSeq
+      Render.render(points, found, TimeFrame(WFrom, WUntil), uniformRules, now = WUntil,
+        appendEmpty = true)
+        .select(col("path"), col("time"), round(col("value"), 4).as("value"))
+    }),
+
+    "g_render_rules" -> ((s, dir) => {
+      val points = GraphiteTables.points(s, dir)
+      val found = Finder.find(GraphiteTables.index(s, dir), "events.*.*")
+        .select("path").collect().map(_.getString(0)).toSeq
+      Render.render(points, found, TimeFrame(WFrom, WUntil), testRules, now = WUntil,
+        appendEmpty = true)
+        .select(col("path"), col("time"), round(col("value"), 4).as("value"))
+    }),
+
+    "g_render_consolidate" -> ((s, dir) => {
+      val points = GraphiteTables.points(s, dir)
+      val found = Finder.find(GraphiteTables.index(s, dir), "events.*.*")
+        .select("path").collect().map(_.getString(0)).toSeq
+      Render.render(points, found, TimeFrame(WFrom, WUntil), testRules, now = WUntil,
+        consolidateBy = Some("max"), appendEmpty = true)
+        .select(col("path"), col("time"), round(col("value"), 4).as("value"))
+    }),
+
+    "g_render_nonempty" -> ((s, dir) => {
+      val points = GraphiteTables.points(s, dir)
+      val found = Finder.find(GraphiteTables.index(s, dir), "events.*.*")
+        .select("path").collect().map(_.getString(0)).toSeq
+      Render.render(points, found, TimeFrame(NFrom, NUntil), uniformRules, now = NUntil,
+        appendEmpty = false)
+        .select(col("path"), col("time"), round(col("value"), 4).as("value"))
+    }),
+
+    "g_dedup_uniq" -> ((s, dir) =>
+      Render.dedup(GraphiteTables.points(s, dir))
+        .select(col("path"), col("time"), col("value"))),
+
+    "g_any_anylast" -> ((s, dir) => {
+      val pts = GraphiteTables.points(s, dir)
+        .where(col("time").between(WFrom, WUntil))
+      // unique (time, version) sort key; versions < 1e7, times < 2^31
+      val key = col("time") * 10000000L + col("version")
+      pts.groupBy(col("path"), (col("time") - pmod(col("time"), lit(600))).as("time"))
+        .agg(
+          min_by(col("value"), key).as("first_value"),
+          max_by(col("value"), key).as("last_value"))
+    }),
+
+    // ----------------------------------------------------------------
+    // Tagged: tags table, seriesByTag, autocomplete (P7-P10, A10-A12, O2-O3, F3)
+    // ----------------------------------------------------------------
+    "g_tags" -> ((s, dir) =>
+      GraphiteTables.tags(s, dir).select(col("tag1"), col("path"))),
+
+    "g_seriesbytag" -> ((s, dir) =>
+      Finder.findTagged(GraphiteTables.tags(s, dir),
+        "seriesByTag('name=events', 'type=click', 'user=~1.*')")
+        .select(col("path"),
+          regexp_replace(regexp_replace(col("path"), "\\?", ";"), "&", ";").as("display"))),
+
+    "g_autocomplete_tags" -> ((s, dir) =>
+      Autocomplete.tagNames(GraphiteTables.tags(s, dir))),
+
+    "g_autocomplete_values" -> ((s, dir) =>
+      Autocomplete.tagValues(GraphiteTables.tags(s, dir), "type",
+        exprs = List("user=3"))),
+
+    // ----------------------------------------------------------------
+    // Events stream ops (sessionization, tumbling windows)
+    // ----------------------------------------------------------------
+    "ev_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = GraphiteTables.events(s, dir)
+        .select(col("user_id"), (col("ts") / 1000000000L).cast("long").as("t"),
+          col("event_id"))
+      val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+      ev.withColumn("new_session",
+          when(col("t") - lag(col("t"), 1).over(w) > 1800 ||
+            lag(col("t"), 1).over(w).isNull, 1L).otherwise(0L))
+        .withColumn("session_id", sum("new_session").over(
+          Window.partitionBy("user_id").orderBy("t", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"), min("t").as("session_start"),
+          max("t").as("session_end"))
+    }),
+
+    "ev_tumbling" -> ((s, dir) =>
+      GraphiteTables.events(s, dir)
+        .select(col("event_type"), (col("ts") / 1000000000L).cast("long").as("t"),
+          col("value"))
+        .groupBy(col("event_type"), (col("t") - pmod(col("t"), lit(3600))).as("window_start"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))),
+
+    // ----------------------------------------------------------------
+    // TPC-H track: scans, joins, aggregation shapes (S1, J1, A4)
+    // ----------------------------------------------------------------
+    "q1_agg" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 4).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))),
+
+    "q_semijoin" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val part = s.read.parquet(s"$dir/part.parquet").where(col("p_size") === 50)
+      li.join(broadcast(part.select(col("p_partkey").as("l_partkey"))),
+          Seq("l_partkey"), "left_semi")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 4).as("sum_qty"))
+    }),
+
+    "q_join3" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val n = s.read.parquet(s"$dir/nation.parquet")
+      val r = s.read.parquet(s"$dir/region.parquet")
+      c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_customers"), round(sum("c_acctbal"), 4).as("sum_acctbal"))
+    }),
+
+    "q_topk" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    // ----------------------------------------------------------------
+    // LLM track: dedup (exact, minhash LSH, simhash, jaccard)
+    // ----------------------------------------------------------------
+    "d_exact_dedup" -> ((s, dir) =>
+      Dedup.exact(s.read.parquet(s"$dir/documents.parquet"), md5(col("text")))),
+
+    "d_exact_norm" -> ((s, dir) =>
+      Dedup.exact(s.read.parquet(s"$dir/documents.parquet"),
+        md5(Dedup.normalizedText(col("text"))))),
+
+    "d_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashCandidates(s.read.parquet(s"$dir/documents.parquet"),
+        col("text"), col("doc_id"))),
+
+    "d_simhash" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), Dedup.simhash(col("text")).as("fp"))),
+
+    "d_jaccard_pairs" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(s.read.parquet(s"$dir/documents.parquet"),
+        col("text"), col("doc_id"), Seq(col("lang"), col("source")), 0.5)),
+
+    "d_fingerprint" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), Dedup.fingerprint(col("text")).as("fp"))),
+
+    // ----------------------------------------------------------------
+    // LLM track: text analysis
+    // ----------------------------------------------------------------
+    "d_langid" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), TextStats.langId(col("text")).as("pred_lang"))),
+
+    "d_quality" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id") +: TextStats.qualityFeatures(col("text")) :+
+          TextStats.qualityScore(col("text")).as("quality"): _*)),
+
+    "d_tokens" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          TextStats.tokensWhitespace(col("text")).cast("long").as("n_ws_tokens"),
+          TextStats.tokensBpeish(col("text")).cast("long").as("n_bpe_tokens"))),
+
+    // ----------------------------------------------------------------
+    // LLM track: similarity search over embeddings
+    // ----------------------------------------------------------------
+    "e_knn_brute" -> ((s, dir) => {
+      val vecs = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.bruteKnn(vecs, vecs.where(col("vec_id") < 5), k = 5)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("sim"))
+    }),
+
+    "e_lsh_knn" -> ((s, dir) => {
+      val vecs = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.lshKnn(vecs, k = 3, bits = 8)
+        .where(col("query_id") < 50)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("sim"))
+    }),
+
+    "e_ivf_assign" -> ((s, dir) => {
+      val vecs = s.read.parquet(s"$dir/embeddings.parquet")
+      val centroids = vecs.where(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+      Similarity.ivfAssign(vecs, centroids)
+    }),
+
+    // ----------------------------------------------------------------
+    // LLM track: multimodal plumbing (binary payload, batch decode stub)
+    // ----------------------------------------------------------------
+    "m_features" -> ((s, dir) => {
+      val docs = Multimodal.withPayload(s.read.parquet(s"$dir/documents.parquet"))
+      Multimodal.extractFeatures(docs, dims = 8)
+        .select(col("doc_id"), col("n_bytes"),
+          col("meta.width").cast("long").as("width"),
+          col("meta.height").cast("long").as("height"),
+          round(element_at(col("feature"), 1), 4).as("f0"))
+    }),
+
+    "m_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+        Multimodal.withPayload(s.read.parquet(s"$dir/documents.parquet")), stride = 64)
+        .select(col("doc_id"), col("frame_no").cast("long").as("frame_no"),
+          col("frame_bytes").cast("long").as("frame_bytes"))))
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = {
+    val pathsAllTime =
+      "SELECT DISTINCT 'events.' AS path FROM events " +
+        "UNION SELECT DISTINCT 'events.' || event_type || '.' FROM events " +
+        "UNION SELECT DISTINCT 'events.' || event_type || '.user' || user_id FROM events"
+
+    // simhash oracle mirroring Dedup.simhash (32 md5-derived bit votes)
+    val words = "string_split_regex(trim(text), '\\s+')"
+    val hashes = s"list_transform($words, w -> ('0x' || substr(md5(w), 1, 8))::bigint)"
+    val simhashExpr = (0 until 32).map { b =>
+      s"(CASE WHEN list_sum(list_transform($hashes, h -> CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)"
+    }.mkString(" + ")
+
+    val sh3 = shinglesSql(3)
+    val minhashSig =
+      s"list_transform(generate_series(0, 7), i -> list_min(list_transform(sh, s -> md5(i || ':' || s))))"
+    val bandKeys =
+      "list_transform(generate_series(0, 3), b -> b::varchar || '|' || sig[2*b+1] || '|' || sig[2*b+2])"
+    val minhashBands =
+      s"SELECT doc_id, unnest($bandKeys) AS band FROM (SELECT doc_id, $minhashSig AS sig FROM (SELECT doc_id, $sh3 AS sh FROM documents) s1) s2"
+
+    val dot = "list_sum(list_transform(generate_series(1, len(a.embedding)), i -> a.embedding[i]::double * b.embedding[i]::double))"
+    def norm(t: String) =
+      s"sqrt(list_sum(list_transform(generate_series(1, len($t.embedding)), i -> $t.embedding[i]::double * $t.embedding[i]::double)))"
+    val cosine = s"$dot / (${norm("a")} * ${norm("b")})"
+
+    val stopwordTable = Map(
+      "en" -> Seq("the", "of", "and", "to", "in", "is", "that", "it", "was", "for"),
+      "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "du", "est"),
+      "es" -> Seq("el", "la", "de", "que", "y", "los", "en", "un", "una", "es"),
+      "de" -> Seq("der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "ein"))
+    def hitsExpr(lang: String): String = {
+      val lits = stopwordTable(lang).map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), w -> w IN ($lits)))"
+    }
+    val langScores = stopwordTable.keys.toSeq.sorted
+      .map(l => s"SELECT doc_id, '$l' AS lang, ${hitsExpr(l)} AS hits FROM documents")
+      .mkString(" UNION ALL ")
+    val allStops = stopwordTable.values.flatten.toSeq.distinct.map(w => s"'$w'").mkString(", ")
+
+    Map(
+      "g_points" ->
+        ("SELECT 'events.' || event_type || '.user' || user_id AS path, " +
+          "epoch_us(ts)//1000000 AS time, value, event_id AS version, " +
+          "'user' || user_id || '.' || event_type || '.events' AS path_reversed FROM events"),
+
+      "g_index" ->
+        (s"""WITH pts AS ($PtsSql),
+           | firstseen AS (SELECT path, CAST(min(make_timestamp(t*1000000)) AS DATE) AS d FROM pts GROUP BY path)
+           |SELECT CAST(d AS VARCHAR) AS date, CAST(3 AS BIGINT) AS level, path FROM firstseen
+           |UNION ALL SELECT CAST(d AS VARCHAR), 10003, string_split(path, '.')[3] || '.' || string_split(path, '.')[2] || '.' || string_split(path, '.')[1] FROM firstseen
+           |UNION ALL SELECT DISTINCT '1970-02-12', 20001, 'events.' FROM pts
+           |UNION ALL SELECT DISTINCT '1970-02-12', 20002, string_split(path, '.')[1] || '.' || string_split(path, '.')[2] || '.' FROM pts
+           |UNION ALL SELECT '1970-02-12', 20003, path FROM firstseen
+           |UNION ALL SELECT '1970-02-12', 30003, string_split(path, '.')[3] || '.' || string_split(path, '.')[2] || '.' || string_split(path, '.')[1] FROM firstseen""".stripMargin),
+
+      "g_index_dump" ->
+        (s"SELECT path FROM ($pathsAllTime) t"),
+
+      "g_find_glob" ->
+        (s"SELECT DISTINCT path, true AS is_leaf FROM ($PtsSql) p " +
+          "WHERE regexp_matches(path, '^events\\.[^.]*\\.user1[^.]*$')"),
+
+      "g_find_nonleaf" ->
+        ("SELECT DISTINCT 'events.' || event_type AS path, false AS is_leaf FROM events"),
+
+      "g_find_reversed" ->
+        (s"SELECT DISTINCT path, true AS is_leaf FROM ($PtsSql) p " +
+          "WHERE regexp_matches(path, '^[^.]*\\.[^.]*\\.user3$')"),
+
+      "g_find_brace" ->
+        (s"SELECT DISTINCT path, true AS is_leaf FROM ($PtsSql) p " +
+          "WHERE regexp_matches(path, '^events\\.(click|error)\\.[^.]*$')"),
+
+      "g_render_avg" ->
+        renderGroupSql("avg(value)", 60, WFrom, WUntil, ""),
+
+      "g_render_rules" ->
+        (renderGroupSql("sum(value)", 120, WFrom, WUntil,
+          "WHERE path LIKE 'events.purchase.%'") +
+          " UNION ALL " +
+          renderGroupSql("max(value)", 60, WFrom, WUntil,
+            "WHERE path LIKE 'events.error.%'") +
+          " UNION ALL " +
+          renderGroupSql("avg(value)", 60, WFrom, WUntil,
+            "WHERE path NOT LIKE 'events.purchase.%' AND path NOT LIKE 'events.error.%'")),
+
+      "g_render_consolidate" ->
+        (renderGroupSql("max(value)", 120, WFrom, WUntil,
+          "WHERE path LIKE 'events.purchase.%'") +
+          " UNION ALL " +
+          renderGroupSql("max(value)", 60, WFrom, WUntil,
+            "WHERE path NOT LIKE 'events.purchase.%'")),
+
+      "g_render_nonempty" ->
+        (s"SELECT * FROM (${renderGroupSql("avg(value)", 60, NFrom, NUntil, "")}) r " +
+          "WHERE path IN (SELECT path FROM (" + ddSql(NFrom, NUntil) + ") dd2)"),
+
+      "g_dedup_uniq" ->
+        (s"SELECT path, t AS time, arg_max(value, version) AS value FROM ($PtsSql) pts GROUP BY path, t"),
+
+      "g_any_anylast" ->
+        (s"""SELECT path, t - t % 600 AS time,
+           | arg_min(value, t * 10000000 + version) AS first_value,
+           | arg_max(value, t * 10000000 + version) AS last_value
+           |FROM ($PtsSql) pts WHERE t BETWEEN $WFrom AND $WUntil GROUP BY path, time""".stripMargin),
+
+      "g_tags" ->
+        ("""WITH series AS (SELECT DISTINCT 'events?type=' || event_type || '&user=' || user_id AS path, event_type, user_id FROM events)
+          |SELECT unnest(['__name__=events', 'type=' || event_type, 'user=' || user_id]) AS tag1, path FROM series""".stripMargin),
+
+      "g_seriesbytag" ->
+        ("""SELECT DISTINCT 'events?type=click&user=' || user_id AS path,
+          | 'events;type=click;user=' || user_id AS display
+          |FROM events WHERE event_type = 'click' AND regexp_matches(CAST(user_id AS VARCHAR), '1')""".stripMargin),
+
+      "g_autocomplete_tags" ->
+        ("SELECT DISTINCT value FROM (VALUES ('__name__'), ('type'), ('user')) t(value) ORDER BY value"),
+
+      "g_autocomplete_values" ->
+        ("SELECT DISTINCT event_type AS value FROM events WHERE user_id = 3 ORDER BY value"),
+
+      "ev_sessionize" ->
+        ("""WITH ev AS (SELECT user_id, epoch_us(ts)//1000000 AS t, event_id FROM events),
+          | flagged AS (SELECT user_id, t, event_id,
+          |   CASE WHEN t - lag(t) OVER w > 1800 OR lag(t) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+          |   FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+          | sessions AS (SELECT user_id, t,
+          |   CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+          |   FROM flagged)
+          |SELECT user_id, session_id, count(*) AS n_events, min(t) AS session_start, max(t) AS session_end
+          |FROM sessions GROUP BY user_id, session_id""".stripMargin),
+
+      "ev_tumbling" ->
+        ("""SELECT event_type, t - t % 3600 AS window_start, count(*) AS n, round(sum(value), 4) AS sum_value
+          |FROM (SELECT event_type, epoch_us(ts)//1000000 AS t, value FROM events) e
+          |GROUP BY event_type, window_start""".stripMargin),
+
+      "q1_agg" ->
+        ("""SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty,
+          | round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+          | round(avg(l_discount), 4) AS avg_disc, count(*) AS count_order
+          |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin),
+
+      "q_semijoin" ->
+        ("""SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
+          |FROM lineitem WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 50)
+          |GROUP BY l_returnflag""".stripMargin),
+
+      "q_join3" ->
+        ("""SELECT r_name, count(*) AS n_customers, round(sum(c_acctbal), 4) AS sum_acctbal
+          |FROM customer JOIN nation ON c_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey GROUP BY r_name""".stripMargin),
+
+      "q_topk" ->
+        ("""SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin),
+
+      "d_exact_dedup" ->
+        ("SELECT md5(text) AS dedup_key, min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY 1"),
+
+      "d_exact_norm" ->
+        ("SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS dedup_key, " +
+          "min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY 1"),
+
+      "d_minhash_pairs" ->
+        (s"SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM ($minhashBands) a " +
+          s"JOIN ($minhashBands) b ON a.band = b.band AND a.doc_id < b.doc_id"),
+
+      "d_simhash" ->
+        (s"SELECT doc_id, CAST($simhashExpr AS BIGINT) AS fp FROM documents"),
+
+      "d_jaccard_pairs" ->
+        ("""WITH docs AS (SELECT lang, source, doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS words FROM documents)
+          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          | round(len(list_intersect(a.words, b.words))::double / len(list_distinct(list_concat(a.words, b.words))), 4) AS jaccard
+          |FROM docs a JOIN docs b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+          |WHERE len(list_intersect(a.words, b.words))::double / len(list_distinct(list_concat(a.words, b.words))) >= 0.5""".stripMargin),
+
+      "d_fingerprint" ->
+        (s"SELECT doc_id, list_min(list_transform(${shinglesSql(5)}, s -> md5(s))) AS fp FROM documents"),
+
+      "d_langid" ->
+        (s"""WITH scores AS ($langScores),
+           | ranked AS (SELECT doc_id, lang, hits, row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang ASC) AS rn FROM scores)
+           |SELECT doc_id, CASE WHEN hits > 0 THEN lang ELSE 'und' END AS pred_lang FROM ranked WHERE rn = 1""".stripMargin),
+
+      "d_quality" ->
+        (s"""SELECT doc_id,
+           | CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_words,
+           | round(length(text)::double / greatest(len(string_split_regex(trim(text), '\\s+'))::double, 1.0), 4) AS mean_word_len,
+           | round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::double / greatest(length(text)::double, 1.0), 4) AS alpha_ratio,
+           | round(length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g'))::double / greatest(length(text)::double, 1.0), 4) AS punct_ratio,
+           | round(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), w -> w IN ($allStops)))::double / greatest(len(string_split_regex(trim(text), '\\s+'))::double, 1.0), 4) AS stopword_ratio,
+           | round(0.5 * least(len(string_split_regex(trim(text), '\\s+'))::double / 64.0, 1.0) + 0.5 * (length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))::double / greatest(length(text)::double, 1.0)), 4) AS quality
+           |FROM documents""".stripMargin),
+
+      "d_tokens" ->
+        ("""SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+          | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+          |FROM documents""".stripMargin),
+
+      "e_knn_brute" ->
+        (s"""WITH scored AS (
+           | SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $cosine AS sim
+           | FROM embeddings a JOIN embeddings b ON a.vec_id < 5 AND a.vec_id <> b.vec_id),
+           | ranked AS (SELECT query_id, neighbor_id, sim,
+           |   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored)
+           |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(sim, 4) AS sim FROM ranked WHERE rank <= 5""".stripMargin),
+
+      "e_lsh_knn" ->
+        (s"""WITH keyed AS (SELECT vec_id, embedding,
+           |   list_sum(list_transform(generate_series(1, 8), i -> CASE WHEN embedding[i] >= 0 THEN CAST(1 AS BIGINT) << (i-1) ELSE 0 END)) AS bucket
+           | FROM embeddings),
+           | scored AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $cosine AS sim
+           |   FROM keyed a JOIN keyed b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+           | ranked AS (SELECT query_id, neighbor_id, sim,
+           |   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored)
+           |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(sim, 4) AS sim
+           |FROM ranked WHERE rank <= 3 AND query_id < 50""".stripMargin),
+
+      "e_ivf_assign" ->
+        (s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cent FROM embeddings WHERE vec_id < 8),
+           | scored AS (SELECT a.vec_id, c.centroid_id,
+           |   list_sum(list_transform(generate_series(1, len(a.embedding)), i -> a.embedding[i]::double * c.cent[i]::double)) /
+           |   (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)), i -> a.embedding[i]::double * a.embedding[i]::double))) *
+           |    sqrt(list_sum(list_transform(generate_series(1, len(c.cent)), i -> c.cent[i]::double * c.cent[i]::double)))) AS sim
+           |   FROM embeddings a, cents c),
+           | ranked AS (SELECT vec_id, centroid_id, sim,
+           |   row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id ASC) AS rank FROM scored)
+           |SELECT vec_id, centroid_id, round(sim, 4) AS sim FROM ranked WHERE rank = 1""".stripMargin),
+
+      "m_features" ->
+        ("""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+          | CAST(doc_id % 640 + 1 AS BIGINT) AS width, CAST(doc_id % 480 + 1 AS BIGINT) AS height,
+          | round(list_sum(list_transform(generate_series(1, length(text), 8), i -> ascii(substr(text, i, 1)) / 255.0)), 4) AS f0
+          |FROM documents""".stripMargin),
+
+      "m_frames" ->
+        ("""SELECT doc_id, CAST(f AS BIGINT) AS frame_no,
+          | CAST(least(64, length(text) - f * 64) AS BIGINT) AS frame_bytes
+          |FROM (SELECT doc_id, unnest(generate_series(0, (length(text) - 1) // 64)) AS f, text FROM documents) t""".stripMargin))
+  }
 }

@@ -1,0 +1,115 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.compiler.{GlobCompiler, Tagged}
+import graft.glob.{Glob, Paths}
+import graft.model.{FeatureFlags, Schemas}
+
+/** Metric-name finder over the index table — the Spark-native analog
+  * of `finder/index.go` + `finder/finder.go`.
+  *
+  * Builds one declarative filter (level + date + glob predicate) per
+  * query; Catalyst pushes the level equality and the literal-prefix
+  * `startsWith` down to the parquet scan, which plays the role the
+  * ClickHouse `(Level, Path, Date)` primary index played.
+  */
+object Finder {
+
+  /** Direct vs reversed representation choice (`finder/index.go:100-130`):
+    * use the reversed rows when the first wildcard sits deeper from the
+    * right than from the left (e.g. `*.cpu.load` — reversed prefix
+    * `load.cpu.` is selective, direct prefix is empty).
+    */
+  def useReverse(query: String): Boolean = {
+    val w = Glob.indexWildcard(query)
+    if (w < 0) return false // no wildcard: direct
+    val firstDirect = query.lastIndexOf('.', w)   // segments before first wildcard
+    val reversed = Paths.reverse(query)
+    val wr = Glob.indexWildcard(reversed)
+    val firstReversed = reversed.lastIndexOf('.', wr)
+    firstReversed > firstDirect
+  }
+
+  /** Admission control (`wildcard-min-distance`, `finder/index.go:180-197`):
+    * reject queries whose wildcards hug both ends of the path.
+    */
+  def checkWildcardDistance(query: String, minDistance: Int): Either[String, Unit] = {
+    if (minDistance <= 0) return Right(())
+    val d = Glob.maxWildcardDistance(query)
+    if (d >= 0 && d < minDistance)
+      Left(s"query has wildcards way too early at the start and at the end of it")
+    else Right(())
+  }
+
+  /** Compile a find query into (filterColumn, usedReverse). Daily rows
+    * (`useDaily`) add a date-range filter; all-time rows use the
+    * constant tree date with the level offsets of `finder/index.go:19-23`.
+    */
+  def compile(
+      query0: String,
+      from: Long = 0,
+      until: Long = 0,
+      reverse: Option[Boolean] = None): (Column, Boolean) = {
+    val query = Glob.clearGlob(query0)
+    val rev = reverse.getOrElse(useReverse(query))
+    val q = if (rev) Paths.reverse(query) else query
+    val depth = Paths.level(q)
+    val useDaily = from > 0 && until > 0
+    val levelOffset =
+      if (useDaily) { if (rev) Schemas.ReverseLevelOffset else 0 }
+      else { if (rev) Schemas.ReverseTreeLevelOffset else Schemas.TreeLevelOffset }
+
+    val levelPred = col("level") === (depth + levelOffset)
+    val datePred =
+      if (useDaily)
+        col("date").between(
+          to_date(timestamp_seconds(lit(from))),
+          to_date(timestamp_seconds(lit(until))))
+      else col("date") === lit(Schemas.DefaultTreeDate).cast("date")
+
+    (levelPred && datePred && GlobCompiler.treeGlob(col("path"), q), rev)
+  }
+
+  /** Run a find: distinct matching paths with the non-leaf marker
+    * decoded from the trailing dot (`finder/finder.go:116-122`).
+    * Returns (path, is_leaf) in display (direct) orientation.
+    */
+  def find(index: DataFrame, query: String, from: Long = 0, until: Long = 0): DataFrame = {
+    val (pred, rev) = compile(query, from, until)
+    val raw = index.where(pred).select("path").distinct()
+    val oriented =
+      if (rev) raw.select(GraphiteTables.reversePath(col("path")).as("path"))
+      else raw
+    oriented.select(
+      when(col("path").endsWith("."), expr("substring(path, 1, length(path)-1)"))
+        .otherwise(col("path")).as("path"),
+      (!col("path").endsWith(".")).as("is_leaf"))
+  }
+
+  /** Tagged find: seriesByTag expression → distinct storage paths
+    * (`finder/tagged.go:440-502`). The first (most selective) term
+    * lands on the `tag1` inverted-index column; the rest filter the
+    * `tags` array.
+    */
+  def findTagged(
+      tags: DataFrame,
+      expr: String,
+      flags: FeatureFlags = FeatureFlags(),
+      from: Long = 0,
+      until: Long = 0): DataFrame = {
+    val terms = Tagged.parseSeriesByTag(expr, flags) match {
+      case Right(t) => t
+      case Left(e)  => throw new IllegalArgumentException(e)
+    }
+    val pred = Tagged.wherePredicate(col("tag1"), col("tags"), terms, flags)
+    val datePred =
+      if (from > 0 && until > 0)
+        col("date").between(
+          to_date(timestamp_seconds(lit(from))),
+          to_date(timestamp_seconds(lit(until))))
+      else lit(true)
+    tags.where(datePred && pred).select("path").distinct()
+  }
+}

@@ -1,0 +1,144 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Schemas
+
+/** Derives the engine's three graphite-shaped logical tables from the
+  * driver-provided `events.parquet` stream table.
+  *
+  * The reference's tables (`tests/clickhouse/rollup/init.sql`) are fed
+  * by carbon-clickhouse at ingest; here the same shapes are derived
+  * declaratively so every downstream operator (finder, render,
+  * autocomplete) runs against realistic data at any scale factor.
+  * Each derivation is a pure projection / aggregation of one scan —
+  * no driver-side loops — so it holds at 100 TB: points is a
+  * map-only projection; index/tags are a distinct (one shuffle on the
+  * small path dimension) plus an ancestor explode.
+  *
+  * Mapping: an event `(ts, user_id, event_type, value, event_id)`
+  * becomes the datapoint `events.<event_type>.user<user_id>` (plain)
+  * or `events?type=<event_type>&user=<user_id>` (tagged form), at
+  * `time = ts/1e9` seconds with `version = event_id` as the write
+  * version (max version wins on duplicate (path, time), mirroring
+  * GraphiteMergeTree's `Timestamp` column, `helper/point/func.go:29-51`).
+  */
+object GraphiteTables {
+
+  /** events.parquet carries nanosecond timestamps, which Spark's
+    * parquet reader rejects by default; read them as raw Long nanos.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+  }
+
+  /** Points table (plain hierarchical paths), schema per
+    * `Schemas.points`: one row per datapoint write. `date` duplicates
+    * the day of `time` — the partition-pruning key replacing the
+    * reference's `PREWHERE Date BETWEEN` (`render/data/query.go:422-433`).
+    */
+  def points(spark: SparkSession, dir: String): DataFrame = {
+    val path = concat(lit("events."), col("event_type"), lit(".user"), col("user_id"))
+    events(spark, dir).select(
+      path.as("path"),
+      col("value"),
+      (col("ts") / 1000000000L).cast("long").as("time"),
+      to_date(timestamp_seconds((col("ts") / 1000000000L).cast("long"))).as("date"),
+      col("event_id").as("version"),
+      reversePath(path).as("path_reversed"))
+  }
+
+  /** Points table in tagged form (`name?k=v&…` storage paths,
+    * `finder/tagged.go:551-596`). Tagged paths are never reversed
+    * (`pkg/reverse/reverse.go:24-28`).
+    */
+  def pointsTagged(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).select(
+      concat(lit("events?type="), col("event_type"), lit("&user="), col("user_id")).as("path"),
+      col("value"),
+      (col("ts") / 1000000000L).cast("long").as("time"),
+      to_date(timestamp_seconds((col("ts") / 1000000000L).cast("long"))).as("date"),
+      col("event_id").as("version"))
+
+  /** Dot-segment reversal `a.b.c → c.b.a` (`pkg/reverse/reverse.go:8-22`)
+    * as a codegen'd column expression (no UDF).
+    */
+  def reversePath(path: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat_ws(".", reverse(split(path, "\\.")))
+
+  /** Metric-name index with ancestor expansion (`doc/index-table.md:20-38`):
+    * each distinct metric contributes, per the reference's level
+    * encoding (`finder/index.go:19-23`):
+    *   - one all-time direct row per ancestor prefix with trailing dot
+    *     and one for the metric itself (level = 20000 + depth);
+    *   - one all-time reversed row for the metric (level = 30000 + depth);
+    *   - daily direct/reversed rows (level = depth / 10000 + depth) are
+    *     carried with the first-seen date.
+    * Built from one distinct over paths, then a bounded explode
+    * (depth ≤ path depth) — scales linearly with metric count, not
+    * point count.
+    */
+  def index(spark: SparkSession, dir: String): DataFrame = {
+    val paths = points(spark, dir)
+      .groupBy("path")
+      .agg(min("date").as("date"), max("version").as("version"))
+
+    val parts = split(col("path"), "\\.")
+    val depth = size(parts)
+
+    // ancestors: prefix of k segments + trailing dot, k = 1..depth-1
+    val withAncestors = paths
+      .withColumn("depth", depth)
+      .withColumn(
+        "entries",
+        // (level, path) pairs: all-time tree rows for every ancestor + self
+        concat(
+          transform(
+            sequence(lit(1), col("depth") - 1),
+            k => struct(
+              (k + Schemas.TreeLevelOffset).as("level"),
+              concat(concat_ws(".", slice(parts, lit(1), k)), lit(".")).as("entry"))),
+          array(
+            struct(
+              (col("depth") + Schemas.TreeLevelOffset).as("level"),
+              col("path").as("entry")),
+            struct(
+              (col("depth") + Schemas.ReverseTreeLevelOffset).as("level"),
+              reversePath(col("path")).as("entry")),
+            struct(col("depth").cast("int").as("level"), col("path").as("entry")),
+            struct(
+              (col("depth") + Schemas.ReverseLevelOffset).as("level"),
+              reversePath(col("path")).as("entry")))))
+
+    withAncestors
+      .select(col("date"), col("version"), explode(col("entries")).as("e"))
+      .select(
+        // all-time rows carry the constant tree date (`finder/index.go:24`)
+        when(col("e.level") >= Schemas.TreeLevelOffset, lit(Schemas.DefaultTreeDate).cast("date"))
+          .otherwise(col("date")).as("date"),
+        col("e.level").as("level"),
+        col("e.entry").as("path"),
+        col("version"))
+      .groupBy("date", "level", "path")
+      .agg(max("version").as("version"))
+  }
+
+  /** Tagged-series inverted index (`graphite_tags` shape,
+    * `init.sql:30-38`): one row per (tag, series) with that tag in
+    * `tag1`, including the `__name__` pseudo-tag.
+    */
+  def tags(spark: SparkSession, dir: String): DataFrame = {
+    val series = pointsTagged(spark, dir)
+      .groupBy("path")
+      .agg(min("date").as("date"), max("version").as("version"))
+    // path = events?type=<t>&user=<u>  →  tags array
+    val name = substring_index(col("path"), "?", 1)
+    val kvs = split(substring_index(col("path"), "?", -1), "&")
+    series
+      .withColumn("tags", concat(array(concat(lit("__name__="), name)), kvs))
+      .select(col("date"), explode(col("tags")).as("tag1"), col("path"),
+        col("tags"), col("version"))
+  }
+}

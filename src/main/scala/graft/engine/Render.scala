@@ -1,0 +1,195 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.model.TimeFrame
+import graft.rollup.{AggFunc, Rules}
+import graft.time.StepMath
+
+/** The /render data path re-expressed as one declarative Spark plan
+  * per (step, function) group — the Spark-native analog of
+  * `render/data/query.go:141-282` + `helper/rollup/rules.go:370-502` +
+  * `helper/point/func.go:29-118`.
+  *
+  * Pipeline: points ⋉ broadcast(found paths)  →  version dedup
+  * (max version wins per (path, time))  →  time-bucket rollup
+  * (`t' = t - t % step`, per-metric aggregation)  →  gap-fill onto the
+  * regular `[start, stop)` grid  →  alias fan-out.
+  *
+  * Scale notes (100 TB): the found-path set is bounded by admission
+  * control (`max-metrics-per-target`), so the semi-join and the alias
+  * join broadcast; the only wide shuffle is the (path, bucket)
+  * aggregation, which Catalyst executes as partial+final
+  * HashAggregate — the distributed property the reference bought with
+  * its `-Resample` ClickHouse pushdown (`doc/aggregation.md:96-140`).
+  * The gap-fill grid is bounded by `maxDataPoints` per series, never a
+  * global cross product.
+  */
+object Render {
+
+  /** One (step, function) execution group (`render/data/query.go:318-378`):
+    * metrics sharing rollup step and aggregation run in one plan.
+    */
+  final case class FuncGroup(step: Long, func: AggFunc, paths: Seq[String])
+
+  /** Partition the found metrics by (step, function) via rollup-rule
+    * lookup (A3/A6), with the `consolidateBy` override (A8,
+    * `render/data/targets.go:134-174`).
+    */
+  def functionGroups(
+      paths: Seq[String],
+      rules: Rules,
+      now: Long,
+      tf: TimeFrame,
+      consolidateBy: Option[String] = None): Seq[FuncGroup] = {
+    val age = math.max(0L, now - tf.from)
+    val overrideFunc = consolidateBy.flatMap(AggFunc.fromName)
+    paths
+      .map { p =>
+        val (prec, fn) = rules.lookup(p, age)
+        (prec, overrideFunc.getOrElse(fn), p)
+      }
+      .groupBy { case (prec, fn, _) => (prec, fn) }
+      .map { case ((prec, fn), rows) => FuncGroup(prec, fn, rows.map(_._3)) }
+      .toSeq
+      .sortBy(g => (g.step, g.func.name))
+  }
+
+  /** Version dedup — ReplacingMergeTree read semantics
+    * (`helper/point/func.go:29-51`): the max-`version` write wins per
+    * (path, time). `max_by` keeps it a single two-phase aggregate (no
+    * window/sort), with (version, value) struct ordering pinning ties
+    * deterministically.
+    */
+  def dedup(points: DataFrame): DataFrame =
+    points
+      .groupBy(col("path"), col("time"))
+      .agg(max_by(col("value"), struct(col("version"), col("value"))).as("value"))
+
+  /** Spark aggregation column for a storage function (A1). `any` /
+    * `anyLast` are the *time-ordered* first/last, pinned with
+    * `min_by`/`max_by` over (time, version) — deterministic under
+    * shuffle, unlike collect-order kernels (SURVEY §7.4 risk 4).
+    */
+  def aggColumn(func: AggFunc, value: Column, time: Column, version: Column): Column =
+    func match {
+      case AggFunc.Avg     => avg(value)
+      case AggFunc.Sum     => sum(value)
+      case AggFunc.Min     => min(value)
+      case AggFunc.Max     => max(value)
+      case AggFunc.Any     => min_by(value, struct(time, version))
+      case AggFunc.AnyLast => max_by(value, struct(time, version))
+    }
+
+  /** Time-bucket rollup of deduped points (A2,
+    * `helper/rollup/rules.go:370-407`): `t' = t - t % step`, aggregate
+    * per (path, t').
+    */
+  def rollup(deduped: DataFrame, step: Long, func: AggFunc): DataFrame = {
+    val bucket = (col("time") - pmod(col("time"), lit(step))).as("time")
+    deduped
+      .groupBy(col("path"), bucket)
+      .agg(aggColumn(func, col("value"), col("time"), lit(0L)).as("value"))
+  }
+
+  /** Dedup then bucket-rollup — the reference's Sort→Uniq→Rollup
+    * sequence (`render/data/query.go:244-269`) as two hash aggregates.
+    */
+  def dedupAndRollup(points: DataFrame, step: Long, func: AggFunc): DataFrame =
+    rollup(dedup(points), step, func)
+
+  /** Fetch one function group: broadcast semi-join (J1,
+    * `render/data/query.go:428-433`) + window filter + dedup + rollup,
+    * with from/until alignment (W2, `query.go:417-420`).
+    */
+  def fetchGroup(
+      points: DataFrame,
+      group: FuncGroup,
+      tf: TimeFrame): DataFrame = {
+    val (from, until) = StepMath.alignFromUntil(tf.from, tf.until, group.step)
+    val spark = points.sparkSession
+    import spark.implicits._
+    val paths = spark.createDataset(group.paths).toDF("path")
+    val filtered = points
+      .where(col("time").between(from, until))
+      .join(broadcast(paths), Seq("path"), "left_semi")
+    dedupAndRollup(filtered, group.step, group.func)
+  }
+
+  /** Gap-fill (W1, `helper/point/func.go:53-118`): project each series
+    * onto the regular grid `[start, stop)` (`start = ceil(from/step)*step`,
+    * `stop = floor(until/step)*step + step`); missing buckets are null
+    * (the engine's absent-point sentinel; NaN at the wire layer).
+    *
+    * `seriesPaths` bounds the output: grid length ≤ maxDataPoints and
+    * |paths| ≤ max-metrics-per-target, so the paths × grid frame is a
+    * small broadcast-side relation, never a data-sized cross join.
+    */
+  def gapFill(
+      rolled: DataFrame,
+      seriesPaths: DataFrame,
+      tf: TimeFrame,
+      step: Long): DataFrame = {
+    val (start, stop) = StepMath.gridBounds(tf.from, tf.until, step)
+    val grid = seriesPaths
+      .select(col("path"),
+        explode(sequence(lit(start), lit(stop - step), lit(step))).as("time"))
+    grid.join(rolled, Seq("path", "time"), "left_outer")
+      .select(col("path"), col("time"), col("value"))
+  }
+
+  /** Alias fan-out (J2, `pkg/alias/map.go:36-70`): one found series is
+    * displayed under every (target, displayName) that matched it. The
+    * alias relation is find-result-sized → broadcast inner join.
+    */
+  def aliasJoin(result: DataFrame, aliases: DataFrame): DataFrame =
+    result.join(broadcast(aliases), Seq("path"), "inner")
+
+  /** Empty-series synthesis (W4, `render/data/ch_response.go:98-107`):
+    * found metrics without any point in the window still emit a row
+    * per grid bucket (all-null values) when `append-empty-series` is
+    * set. Implemented as the gap-fill grid left-join itself — paths
+    * with no data fall out with null values — so the anti-join is
+    * implicit; this helper filters either behavior.
+    */
+  def withEmptySeries(
+      gapFilled: DataFrame,
+      appendEmpty: Boolean): DataFrame =
+    if (appendEmpty) gapFilled
+    else {
+      // drop series that are entirely null (had no points at all)
+      val counts = gapFilled
+        .groupBy("path")
+        .agg(count(col("value")).as("n"))
+        .where(col("n") > 0)
+        .select("path")
+      gapFilled.join(broadcast(counts), Seq("path"), "left_semi")
+    }
+
+  /** Full render of one timeframe over an already-found path set:
+    * per-(step,func) fan-out (A6), union of group results (U1), then
+    * gap-fill per group step. `maxDataPoints` inflates the step per
+    * A7 (`StepMath.aggregatedStep`).
+    */
+  def render(
+      points: DataFrame,
+      foundPaths: Seq[String],
+      tf: TimeFrame,
+      rules: Rules,
+      now: Long,
+      consolidateBy: Option[String] = None,
+      appendEmpty: Boolean = false): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val groups = functionGroups(foundPaths, rules, now, tf, consolidateBy)
+    val frames = groups.map { g =>
+      val step = StepMath.aggregatedStep(g.step, tf.from, tf.until, tf.maxDataPoints)
+      val effective = g.copy(step = step)
+      val rolled = fetchGroup(points, effective, tf)
+      val pathsDf = spark.createDataset(g.paths).toDF("path")
+      withEmptySeries(gapFill(rolled, pathsDf, tf, step), appendEmpty)
+    }
+    frames.reduceLeft(_.unionByName(_))
+  }
+}

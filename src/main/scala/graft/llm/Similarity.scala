@@ -1,0 +1,118 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Two paths, per the usual ANN playbook:
+  *   - brute-force cosine top-k as the exactness baseline — correct
+  *     but only run with a *broadcast-sized query set* (queries ⋉ all
+  *     vectors is a broadcast nested loop, never vectors × vectors);
+  *   - a sign-LSH bucketed variant as the scale path: vectors are
+  *     grouped by the sign pattern of their leading components, and
+  *     cosine is evaluated within buckets only.
+  *
+  * Dot products use `zip_with` + `aggregate` — a sequential
+  * index-order double fold, deterministic and codegen-friendly (no
+  * UDF).
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two float-array columns (double
+    * accumulation in index order — deterministic).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest
+    * other vectors. `queries` MUST be a small relation (it is
+    * broadcast); the big side streams through exactly once.
+    */
+  def bruteKnn(
+      vectors: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
+    val v = vectors.select(col(idCol).as("neighbor_id"), col(embCol).as("v_emb"))
+    val scored = v
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("q_emb"), col("v_emb")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 4).as("sim"))
+  }
+
+  /** Sign-LSH bucket key: the sign bits of the first `bits` embedding
+    * components packed into a long. Deterministic, data-independent,
+    * portable — the simplest random-hyperplane sketch (axis-aligned
+    * hyperplanes).
+    */
+  def signBucket(emb: Column, bits: Int): Column =
+    (0 until bits)
+      .map(i => when(element_at(emb, i + 1) >= 0f, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  /** Bucketed ANN: candidate pairs share the sign-LSH bucket, cosine
+    * is computed in-bucket, top-k per query among candidates. Recall
+    * is traded for never materializing cross-bucket pairs — the
+    * 100 TB-safe shape (shuffle on bucket key, bounded bucket sizes;
+    * skewed buckets split by AQE).
+    */
+  def lshKnn(
+      vectors: DataFrame,
+      k: Int,
+      bits: Int = 8,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val keyed = vectors.select(
+      col(idCol).as("id"), col(embCol).as("emb"),
+      signBucket(col(embCol), bits).as("bucket"))
+    val a = keyed.select(col("id").as("query_id"), col("emb").as("q_emb"), col("bucket"))
+    val b = keyed.select(col("id").as("neighbor_id"), col("emb").as("v_emb"), col("bucket"))
+    val scored = a.join(b, Seq("bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("q_emb"), col("v_emb")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 4).as("sim"))
+  }
+
+  /** IVF-style coarse quantization: assign each vector to the nearest
+    * of `centroids` (a small broadcast relation of (centroid_id,
+    * centroid)); queries then probe only their cell. Returns the
+    * assignment relation (vector_id → centroid_id, distance).
+    */
+  def ivfAssign(
+      vectors: DataFrame,
+      centroids: DataFrame,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val scored = vectors
+      .select(col(idCol).as("id"), col(embCol).as("emb"))
+      .join(broadcast(centroids.select(col("centroid_id"), col("centroid"))))
+      .withColumn("sim", cosine(col("emb"), col("centroid")))
+    val w = Window.partitionBy("id").orderBy(col("sim").desc, col("centroid_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") === 1)
+      .select(col("id").as(idCol), col("centroid_id"), round(col("sim"), 4).as("sim"))
+  }
+}

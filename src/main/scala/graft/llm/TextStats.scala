@@ -1,0 +1,84 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting. All pure column expressions
+  * (whole-stage-codegen'd, no UDFs) so they fuse into the document
+  * scan — at 100 TB these run as a single map-only pass.
+  */
+object TextStats {
+
+  /** Stopword tables for the n-gram/stopword language heuristic. */
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "of", "and", "to", "in", "is", "that", "it", "was", "for"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "du", "est"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "en", "un", "una", "es"),
+    "de" -> Seq("der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "ein"))
+
+  def words(text: Column): Column = split(trim(text), "\\s+")
+
+  def wordCount(text: Column): Column = size(words(text))
+
+  /** Whitespace token count (the cheap tokenizer). */
+  def tokensWhitespace(text: Column): Column = wordCount(text)
+
+  /** BPE-ish token estimate: count of maximal runs of word chars,
+    * digits, or single punctuation — a regex proxy for subword
+    * tokenizers (deterministic, portable).
+    */
+  def tokensBpeish(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Per-language stopword hit count. */
+  def stopwordHits(text: Column, lang: String): Column = {
+    val sw = stopwords(lang)
+    val ws = words(lower(text))
+    size(filter(ws, w => sw.map(s => w === s).reduce(_ || _)))
+  }
+
+  /** Language ID by argmax stopword-hit-rate over the known tables;
+    * documents with no hits anywhere get "und" (undetermined).
+    */
+  def langId(text: Column): Column = {
+    val scored = stopwords.keys.toSeq.sorted.map(l => (l, stopwordHits(text, l)))
+    val best = scored.map { case (l, s) =>
+      struct(s.as("hits"), lit(l).as("lang"))
+    }.reduce((a, b) => when(b.getField("hits") > a.getField("hits"), b).otherwise(a))
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Quality features: word count, mean word length, alpha ratio,
+    * punctuation ratio, stopword ratio (against the union table) —
+    * the standard pre-training quality-filter signals.
+    */
+  def qualityFeatures(text: Column): Seq[Column] = {
+    val n = wordCount(text).cast("double")
+    val chars = length(text).cast("double")
+    val alpha = length(regexp_replace(text, "[^A-Za-z]", "")).cast("double")
+    val punct = length(regexp_replace(text, "[^.,;:!?'\"()]", "")).cast("double")
+    val allStops = stopwords.values.flatten.toSeq.distinct
+    val stopHits = size(filter(words(lower(text)),
+      w => allStops.map(s => w === s).reduce(_ || _))).cast("double")
+    Seq(
+      n.cast("long").as("n_words"),
+      round(chars / greatest(n, lit(1.0)), 4).as("mean_word_len"),
+      round(alpha / greatest(chars, lit(1.0)), 4).as("alpha_ratio"),
+      round(punct / greatest(chars, lit(1.0)), 4).as("punct_ratio"),
+      round(stopHits / greatest(n, lit(1.0)), 4).as("stopword_ratio"))
+  }
+
+  /** Composite quality score in [0,1]: weighted blend of the feature
+    * signals (length-normalized, alpha-heavy) — a deterministic
+    * stand-in for a learned filter.
+    */
+  def qualityScore(text: Column): Column = {
+    val n = wordCount(text).cast("double")
+    val chars = length(text).cast("double")
+    val alpha = length(regexp_replace(text, "[^A-Za-z ]", "")).cast("double")
+    val lenScore = least(n / lit(64.0), lit(1.0))
+    val alphaScore = alpha / greatest(chars, lit(1.0))
+    round(lit(0.5) * lenScore + lit(0.5) * alphaScore, 4)
+  }
+}
