@@ -112,19 +112,27 @@ object Tagged {
   def nonWildcardEqCount(terms: List[Term]): Int =
     terms.count(t => t.op == Op.Eq && !t.hasWildcard)
 
-  /** Base term ordering (`TaggedTermList.Less`, `finder/tagged.go:51-76`):
-    * by op class, exact-eq before wildcard-eq, `__name__` preferred;
-    * then by configured cost among equal ranks
-    * (`SortTaggedTermsByCost`, `tagged.go:639-672`).
+  /** Base term ordering (`TaggedTermList.Less`, `finder/tagged.go:51-76`)
+    * with configured-cost override (`SortTaggedTermsByCost`,
+    * `tagged.go:639-672`): by op class, exact-eq before wildcard-eq,
+    * `__name__` preferred, then by configured cost.
+    *
+    * Implemented as a total ordering (`sortBy` on a rank tuple) — the
+    * reference's pairwise comparator is not a strict weak order, which
+    * would make TimSort throw for 33+ terms. When every term carries a
+    * configured (non-default) cost, cost is hoisted above the op-rank
+    * comparison, as the reference's all-non-default branch does; the
+    * mixed default/non-default pairwise override is approximated by the
+    * trailing cost key (deterministic, documented divergence).
     */
   def sortTerms(terms: List[Term]): List[Term] = {
-    val lt: (Term, Term) => Boolean = (a, b) => {
-      if (a.op.rank != b.op.rank) a.op.rank < b.op.rank
-      else if (a.op == Op.Eq && !a.hasWildcard && b.hasWildcard) true
-      else if ((a.nonDefaultCost || b.nonDefaultCost) && a.cost != b.cost) a.cost < b.cost
-      else a.key == "__name__" && b.key != "__name__"
-    }
-    terms.sortWith(lt)
+    def wildcardRank(t: Term) = if (t.op == Op.Eq && !t.hasWildcard) 0 else 1
+    def nameRank(t: Term) = if (t.key == "__name__") 0 else 1
+    if (terms.nonEmpty && terms.forall(_.nonDefaultCost))
+      terms.sortBy(t => (t.cost, t.op.rank, wildcardRank(t), nameRank(t)))
+    else
+      terms.sortBy(t =>
+        (t.op.rank, wildcardRank(t), nameRank(t), if (t.nonDefaultCost) t.cost else 0))
   }
 
   // ---------------------------------------------------------------

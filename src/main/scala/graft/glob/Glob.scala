@@ -117,6 +117,12 @@ object Glob {
           }
         }
       } else { // '['
+        // Intentional divergence from the reference: its bracket branch
+        // checks the char one position before the delimiter (an
+        // off-by-one in `pkg/where/match.go`), so it keeps cleaning
+        // inputs like `[a.b]`/`[.]`. We abort on any '[' group
+        // containing a dot — strictly more conservative; downstream
+        // predicates are unaffected (uncleaned globs still compile).
         val idx = query.indexWhere(c => c == ']' || c == '.', s + 1)
         if (idx == -1 || query.charAt(idx) == '.') done = true
         else {

@@ -184,7 +184,10 @@ object Rules {
     * in `rules.go:86-135` (public ClickHouse Graphite.cpp semantics).
     */
   def buildTaggedRegex(tagsStr: String): String = {
-    val tags = tagsStr.split(";").map(_.trim).filter(_.nonEmpty).toList
+    // NOTE: no trimming — the reference's splitTags (mirroring
+    // ClickHouse Graphite.cpp) preserves spaces as part of tag/value,
+    // so `name; tag=v` keeps the leading space in the second element.
+    val tags = tagsStr.split(";").filter(_.nonEmpty).toList
     if (tags.isEmpty) return ".*"
     if (tags.head.contains("=")) {
       "[\\?&]" + tags.sorted.mkString("&(.*&)?") + "(&.*)?$"
@@ -217,7 +220,10 @@ object Rules {
       children(node, name).headOption.map(_.getTextContent.trim).getOrElse("")
 
     def parsePattern(e: org.w3c.dom.Element): Pattern = {
-      val ruleType = RuleType.fromString(text(e, "rule_type")).getOrElse(RuleType.All)
+      // unknown rule_type is a config error (the reference fails to
+      // load it) — do not silently coerce to All
+      val ruleType = RuleType.fromString(text(e, "rule_type")).fold(
+        err => throw new IllegalArgumentException(err), identity)
       val fn = text(e, "function") match {
         case "" => None
         case f  => Some(AggFunc.fromName(f).getOrElse(
@@ -238,9 +244,13 @@ object Rules {
     val default = children(rollupEl, "default").headOption.map(parsePattern)
     default match {
       case Some(d) =>
-        val defPrec = d.sortedRetention.headOption.map(_.precision).getOrElse(0L)
         // keep the full default retention list as a trailing catch-all
-        // pattern so age-dependent default precisions still apply
+        // pattern so age-dependent default precisions still apply; only
+        // synthesize the extra age-0 default when the XML default
+        // already covers age 0 — otherwise small-age lookups must fall
+        // through to the super-default 60 as in the reference
+        val defPrec = d.sortedRetention.headOption
+          .filter(_.age == 0).map(_.precision).getOrElse(0L)
         val all = pats :+ d.copy(ruleType = RuleType.All, regexp = ".*")
         Rules(all, defPrec, d.function)
       case None => Rules(pats)

@@ -112,6 +112,12 @@ object TimeGrammar {
             case "now" | "today"   => now.atZone(tz)
             case "rnow" | "rtoday" => truncate(now, trunc).atZone(tz)
             case "midnight" | "noon" | "teatime" =>
+              // Intentional fix vs the reference: for `noon+1h` the
+              // reference calls parseTime on the *whole* string,
+              // ignores the error and falls back to 0:00 (so it
+              // computes from midnight); we compute from the actual
+              // named time. Likewise `HH:MM_noon` applies the named
+              // base here instead of silently using the HH:MM field.
               val (h, m) = parseHourMinute(ds).get
               Instant.ofEpochSecond(atTime(now, tz, h, m)).atZone(tz)
             case "yesterday" => now.atZone(tz).minusDays(1)
