@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.engine.{Autocomplete, Finder, GraphiteTables, Render}
+import graft.engine.{Autocomplete, Finder, GraphiteTables, Render, TagStats}
 import graft.llm.{Dedup, Multimodal, Similarity, TextStats}
 import graft.model.TimeFrame
 import graft.rollup.{AggFunc, Pattern, Retention, RuleType, Rules}
@@ -164,6 +164,41 @@ object SparkEntry {
     "g_dedup_uniq" -> ((s, dir) =>
       Render.dedup(GraphiteTables.points(s, dir))
         .select(col("path"), col("time"), col("value"))),
+
+    // Hot ∪ cold union (S5/J3): overlapping halves of the points table
+    // union + read-side dedup ≡ dedup of the whole table.
+    "g_hotcold" -> ((s, dir) => {
+      val pts = GraphiteTables.points(s, dir)
+      val mid = 1705276800L // 2024-01-15
+      val cold = pts.where(col("time") < mid)
+      val hot = pts.where(col("time") >= mid - 86400) // 1-day overlap
+      Render.dedup(Render.hotColdUnion(cold, hot))
+        .select(col("path"), col("time"), col("value"))
+    }),
+
+    // Multi-target render with alias fan-out (U1/J2): overlapping
+    // targets display the same series under each matching target.
+    "g_render_multi" -> ((s, dir) => {
+      val points = GraphiteTables.points(s, dir)
+      val index = GraphiteTables.index(s, dir)
+      val targets = Seq("events.click.*", "events.*.user1*").map { t =>
+        val found = Finder.find(index, t)
+          .select("path").collect().map(_.getString(0)).toSeq
+        t -> found.map(p => (p, p))
+      }
+      Render.renderMulti(points, targets, TimeFrame(NFrom, NUntil), uniformRules,
+        now = NUntil, appendEmpty = true)
+        .select(col("target"), col("display_name"), col("path"), col("time"),
+          round(col("value"), 4).as("value"))
+    }),
+
+    // Tag cardinality stats (A11/J5): distinct-series counts for the
+    // exact terms of a query, from the derived tag1 count table.
+    "g_tag1_counts" -> ((s, dir) => {
+      val terms = graft.compiler.Tagged
+        .parseConditions(List("type=click", "user=3")).toOption.get
+      TagStats.countsForTerms(TagStats.tag1CountPerDay(GraphiteTables.tags(s, dir)), terms)
+    }),
 
     "g_any_anylast" -> ((s, dir) => {
       val pts = GraphiteTables.points(s, dir)
@@ -453,6 +488,21 @@ object SparkEntry {
 
       "g_dedup_uniq" ->
         (s"SELECT path, t AS time, arg_max(value, version) AS value FROM ($PtsSql) pts GROUP BY path, t"),
+
+      "g_hotcold" ->
+        (s"SELECT path, t AS time, arg_max(value, version) AS value FROM ($PtsSql) pts GROUP BY path, t"),
+
+      "g_render_multi" ->
+        (s"SELECT 'events.click.*' AS target, path AS display_name, path, time, value FROM (" +
+          renderGroupSql("avg(value)", 60, NFrom, NUntil,
+            "WHERE path LIKE 'events.click.%'") + ") r1 " +
+          "UNION ALL SELECT 'events.*.user1*' AS target, path AS display_name, path, time, value FROM (" +
+          renderGroupSql("avg(value)", 60, NFrom, NUntil,
+            "WHERE regexp_matches(path, '^events\\.[^.]*\\.user1[^.]*$')") + ") r2"),
+
+      "g_tag1_counts" ->
+        ("SELECT 'type=click' AS tag1, count(DISTINCT user_id) AS cnt FROM events WHERE event_type = 'click' " +
+          "UNION ALL SELECT 'user=3' AS tag1, count(DISTINCT event_type) AS cnt FROM events WHERE user_id = 3"),
 
       "g_any_anylast" ->
         (s"""SELECT path, t - t % 600 AS time,

@@ -37,6 +37,30 @@ object Tagged {
     def concatMask: String = s"$key=${value.replace("*", "%")}"
   }
 
+  /** Per-tag selectivity costs — configured or derived from the tag1
+    * count table (`config.Costs`; `finder/tags_count_querier.go:113-131`).
+    * Lower cost = more selective = preferred as the `tag1` filter.
+    */
+  final case class Costs(cost: Option[Int] = None, valuesCost: Map[String, Int] = Map.empty)
+
+  /** Apply costs to terms (`SetCosts`/`setCost`,
+    * `finder/tagged.go:284-300`): a per-value cost hits Eq and Match
+    * terms; the per-key cost only non-wildcard Eq.
+    */
+  def setCosts(terms: List[Term], costs: Map[String, Costs]): List[Term] =
+    terms.map { t =>
+      costs.get(t.key) match {
+        case Some(c) if t.op == Op.Eq || t.op == Op.Match =>
+          c.valuesCost.get(t.value) match {
+            case Some(vc) => t.copy(cost = vc, nonDefaultCost = true)
+            case None if t.op == Op.Eq && !t.hasWildcard && c.cost.isDefined =>
+              t.copy(cost = c.cost.get, nonDefaultCost = true)
+            case None => t
+          }
+        case _ => t
+      }
+    }
+
   /** Parse the argument list of `seriesByTag('…', '…')`
     * (`finder/tagged.go:370-426`).
     */

@@ -167,6 +167,50 @@ object Render {
       gapFilled.join(broadcast(counts), Seq("path"), "left_semi")
     }
 
+  /** Hot ∪ cold union (S5/J3, `render/data/data.go:94-130`): recent
+    * not-yet-compacted points (the carbonlink replacement — in Spark,
+    * the streaming hot table / latest micro-batches) unioned with the
+    * cold store. Version precedence is NOT resolved here — the shared
+    * read-side `dedup` (max version wins) downstream handles it, so
+    * late duplicates across the hot/cold boundary are correct by
+    * construction.
+    */
+  def hotColdUnion(cold: DataFrame, hot: DataFrame): DataFrame = {
+    val cols = Seq("path", "time", "value", "version").map(col)
+    cold.select(cols: _*).unionByName(hot.select(cols: _*))
+  }
+
+  /** Multi-target render (U1 + J2): one timeframe, many targets. All
+    * targets' found paths run through the shared per-(step,func)
+    * fan-out — one scan family serves every target, as the reference's
+    * common-step design intends (`render/data/common_step.go`) — and
+    * the alias map then fans each series out to every (target,
+    * display name) that matched it (`pkg/alias/map.go:36-70`).
+    *
+    * `targets` maps a raw target expression to its found
+    * (path, displayName) pairs.
+    */
+  def renderMulti(
+      points: DataFrame,
+      targets: Seq[(String, Seq[(String, String)])],
+      tf: TimeFrame,
+      rules: Rules,
+      now: Long,
+      consolidateBy: Option[String] = None,
+      appendEmpty: Boolean = false): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val aliasRows = targets.flatMap { case (target, pairs) =>
+      pairs.map { case (path, display) => (path, target, display) }
+    }
+    val aliases = spark.createDataset(aliasRows)
+      .toDF("path", "target", "display_name")
+    val allPaths = targets.flatMap(_._2.map(_._1)).distinct
+    val rendered = render(
+      points, allPaths, tf, rules, now, consolidateBy, appendEmpty)
+    aliasJoin(rendered, aliases)
+  }
+
   /** Full render of one timeframe over an already-found path set:
     * per-(step,func) fan-out (A6), union of group results (U1), then
     * gap-fill per group step. `maxDataPoints` inflates the step per

@@ -1,0 +1,107 @@
+package graft.engine
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.compiler.Tagged
+import graft.compiler.Tagged.{Costs, Op, Term}
+import graft.model.TimeFrame
+
+/** Plan-time gates: blacklist, prefix wrapper, table routing, guards
+  * (`finder/blacklist.go`, `finder/prefix.go`,
+  * `render/data/targets.go:75-132`) and cost-based term ordering
+  * (`finder/tagged.go:284-300,639-672`).
+  */
+class RoutingSpec extends AnyFunSuite {
+
+  test("blacklist matches anywhere in the query") {
+    val bl = Seq("^secret\\.".r, "internal".r)
+    assert(Routing.isBlacklisted("secret.metric", bl))
+    assert(Routing.isBlacklisted("app.internal.counter", bl))
+    assert(!Routing.isBlacklisted("app.public.counter", bl))
+    assert(!Routing.isBlacklisted("app.public", Nil))
+  }
+
+  test("prefix wrapper: not matched / partial / matched") {
+    assert(Routing.matchPrefix("ext.rem", "other") == Routing.PrefixNotMatched)
+    // query is a glob over prefix segments
+    assert(Routing.matchPrefix("ext.rem", "e*") == Routing.PrefixPartial("ext."))
+    assert(Routing.matchPrefix("ext.rem", "ext.rem") == Routing.PrefixPartial("ext.rem."))
+    assert(Routing.matchPrefix("ext.rem", "ext.rem.carbon.*") ==
+      Routing.PrefixMatched("carbon.*"))
+    assert(Routing.matchPrefix("", "a.b") == Routing.PrefixMatched("a.b"))
+    assert(Routing.absPath("ext.rem", "carbon.agents") == "ext.rem.carbon.agents")
+  }
+
+  test("data-table routing: first rule passing all bounds wins") {
+    val rules = Seq(
+      Routing.DataTableRule("short", maxInterval = 3600),
+      Routing.DataTableRule("recent", maxAge = 86400),
+      Routing.DataTableRule("history"))
+    val now = 1000000L
+    // 1h window, recent → first rule
+    assert(Routing.selectDataTable(
+      rules, Seq("a.b"), TimeFrame(now - 3000, now), now).map(_.table) == Some("short"))
+    // 2-day-wide window starting recently → second rule
+    assert(Routing.selectDataTable(
+      rules, Seq("a.b"), TimeFrame(now - 7200, now), now).map(_.table) == Some("recent"))
+    // old from → history
+    assert(Routing.selectDataTable(
+      rules, Seq("a.b"), TimeFrame(now - 200000, now), now).map(_.table) == Some("history"))
+    assert(Routing.selectDataTable(Nil, Seq("a.b"), TimeFrame(0, 1), now).isEmpty)
+  }
+
+  test("data-table routing: target regexes") {
+    val rules = Seq(
+      Routing.DataTableRule("all-match", targetMatchAll = Some("^app\\.".r)),
+      Routing.DataTableRule("any-match", targetMatchAny = Some("^sys\\.".r)),
+      Routing.DataTableRule("fallback"))
+    val now = 0L
+    assert(Routing.selectDataTable(
+      rules, Seq("app.x", "app.y"), TimeFrame(0, 1), now).map(_.table) == Some("all-match"))
+    assert(Routing.selectDataTable(
+      rules, Seq("app.x", "sys.y"), TimeFrame(0, 1), now).map(_.table) == Some("any-match"))
+    assert(Routing.selectDataTable(
+      rules, Seq("other.x"), TimeFrame(0, 1), now).map(_.table) == Some("fallback"))
+  }
+
+  test("max-metrics guards") {
+    assert(Routing.capFindAnswer(Seq(1, 2, 3), 2) == Seq(1, 2))
+    assert(Routing.capFindAnswer(Seq(1, 2, 3), 0) == Seq(1, 2, 3))
+    assert(Routing.checkMetricsPerTarget("t", 10, 5).isLeft)
+    assert(Routing.checkMetricsPerTarget("t", 5, 5).isRight)
+    assert(Routing.checkMetricsPerTarget("t", 999, 0).isRight)
+  }
+
+  test("setCosts: per-value cost hits Eq and Match; per-key only exact Eq") {
+    val terms = List(
+      Term("env", Op.Eq, "prod"),
+      Term("host", Op.Eq, "web*", hasWildcard = true),
+      Term("dc", Op.Match, "us-.*"))
+    val costs = Map(
+      "env" -> Costs(cost = Some(5), valuesCost = Map("staging" -> 1)),
+      "host" -> Costs(cost = Some(2)),
+      "dc" -> Costs(valuesCost = Map("us-.*" -> 3)))
+    val out = Tagged.setCosts(terms, costs)
+    assert(out(0).cost == 5 && out(0).nonDefaultCost) // per-key, exact eq
+    assert(out(1).cost == 0 && !out(1).nonDefaultCost) // wildcard eq: key cost ignored
+    assert(out(2).cost == 3 && out(2).nonDefaultCost) // per-value on match
+  }
+
+  test("sortTerms is total and honors costs for 33+ terms (TimSort contract)") {
+    // would throw IllegalArgumentException with a non-strict sortWith
+    val terms = (1 to 40).toList.map { i =>
+      Term(s"k$i", if (i % 2 == 0) Op.Eq else Op.Match, s"v$i",
+        hasWildcard = i % 4 == 0, cost = 40 - i, nonDefaultCost = true)
+    }
+    val sorted = Tagged.sortTerms(terms)
+    assert(sorted.map(_.cost) == sorted.map(_.cost).sorted)
+    // mixed default costs: op rank dominates
+    val mixed = List(
+      Term("a", Op.Ne, "x"),
+      Term("b", Op.Eq, "y"),
+      Term("__name__", Op.Eq, "m"),
+      Term("c", Op.Eq, "z*", hasWildcard = true))
+    val s2 = Tagged.sortTerms(mixed)
+    assert(s2.map(_.key) == List("__name__", "b", "c", "a"))
+  }
+}
