@@ -211,6 +211,23 @@ object SparkEntry {
           max_by(col("value"), key).as("last_value"))
     }),
 
+    // Series assembly for the wire sinks (S6-S9): long-form render
+    // grid → per-series value arrays, summarized scalar-wise so the
+    // oracle can check array order/content.
+    "s_series_assembly" -> ((s, dir) => {
+      val points = GraphiteTables.points(s, dir)
+      val found = Finder.find(GraphiteTables.index(s, dir), "events.*.*")
+        .select("path").collect().map(_.getString(0)).toSeq
+      val rendered = Render.render(points, found, TimeFrame(NFrom, NUntil), uniformRules,
+        now = NUntil, appendEmpty = true)
+      graft.sinks.Sinks.seriesFrame(rendered, 60)
+        .select(col("path"), col("start"), col("stop"), col("step"),
+          size(col("values")).cast("long").as("n_buckets"),
+          size(filter(col("values"), v => v.isNotNull)).cast("long").as("n_present"),
+          round(aggregate(col("values"), lit(0.0d),
+            (acc, v) => acc + coalesce(v, lit(0.0d))), 4).as("sum_value"))
+    }),
+
     // ----------------------------------------------------------------
     // Tagged: tags table, seriesByTag, autocomplete (P7-P10, A10-A12, O2-O3, F3)
     // ----------------------------------------------------------------
@@ -509,6 +526,18 @@ object SparkEntry {
            | arg_min(value, t * 10000000 + version) AS first_value,
            | arg_max(value, t * 10000000 + version) AS last_value
            |FROM ($PtsSql) pts WHERE t BETWEEN $WFrom AND $WUntil GROUP BY path, time""".stripMargin),
+
+      "s_series_assembly" -> {
+        val (alignedFrom, alignedUntil) = graft.time.StepMath.alignFromUntil(NFrom, NUntil, 60)
+        val (start, stop) = graft.time.StepMath.gridBounds(NFrom, NUntil, 60)
+        s"WITH g AS (${gridSql("", start, stop, 60)}), " +
+          s"a AS (SELECT path, t - t % 60 AS time, avg(value) AS value FROM (" +
+          ddSql(alignedFrom, alignedUntil) + ") dd GROUP BY path, time) " +
+          "SELECT g.path, min(g.time) AS start, max(g.time) + 60 AS stop, 60 AS step, " +
+          "count(*) AS n_buckets, count(a.value) AS n_present, " +
+          "round(coalesce(sum(a.value), 0), 4) AS sum_value " +
+          "FROM g LEFT JOIN a ON g.path = a.path AND g.time = a.time GROUP BY g.path"
+      },
 
       "g_tags" ->
         ("""WITH series AS (SELECT DISTINCT 'events?type=' || event_type || '&user=' || user_id AS path, event_type, user_id FROM events)
