@@ -248,6 +248,53 @@ object SparkEntry {
         exprs = List("user=3"))),
 
     // ----------------------------------------------------------------
+    // Tagger batch job (S10) + streaming ingest kernels (§2.9)
+    // ----------------------------------------------------------------
+    "g_tagger" -> ((s, dir) => {
+      val tree = GraphiteTables.index(s, dir)
+        .where(col("level").between(20001, 29999) &&
+          col("date") === lit(graft.model.Schemas.DefaultTreeDate).cast("date"))
+        .select("path", "date", "version")
+      val rules = graft.tagger.Tagger.parseRules(
+        """
+        |[[rule]]
+        |has-prefix = "events.click"
+        |tag = "clicky"
+        |[[rule]]
+        |has-suffix = "5"
+        |tag = "five"
+        |[[rule]]
+        |contains = "error"
+        |tag = "err"
+        |[[rule]]
+        |equal = "events."
+        |tag = "root"
+        |[[rule]]
+        |regexp = "user1[0-9]$"
+        |tag = "u1x"
+        """.stripMargin)
+      graft.tagger.Tagger.tag(tree, rules)
+        .select(col("path"), col("tag1"), col("is_leaf"))
+    }),
+
+    "st_parse_lines" -> ((s, dir) => {
+      val lines = GraphiteTables.points(s, dir)
+        .select(concat_ws(" ", col("path"), col("value"), col("time")).as("value"))
+      graft.streaming.Ingest.parseLines(lines)
+        .select(col("path"), col("time"), col("value"))
+    }),
+
+    "st_parse_tagged" -> ((s, dir) => {
+      val lines = GraphiteTables.events(s, dir)
+        .select(concat(
+          lit("events;user="), col("user_id"), lit(";type="), col("event_type"),
+          lit(" "), col("value"), lit(" "),
+          (col("ts") / 1000000000L).cast("long")).as("value"))
+      graft.streaming.Ingest.parseLines(lines)
+        .select(col("path"), col("time"), col("value"), col("is_tagged"))
+    }),
+
+    // ----------------------------------------------------------------
     // Events stream ops (sessionization, tumbling windows)
     // ----------------------------------------------------------------
     "ev_sessionize" -> ((s, dir) => {
@@ -553,6 +600,35 @@ object SparkEntry {
 
       "g_autocomplete_values" ->
         ("SELECT DISTINCT event_type AS value FROM events WHERE user_id = 3 ORDER BY value"),
+
+      "g_tagger" ->
+        (s"""WITH tree AS (SELECT DISTINCT path FROM ($pathsAllTime) t),
+           |matched AS (SELECT path, list_distinct(list_concat(list_concat(list_concat(list_concat(
+           |  CASE WHEN starts_with(path, 'events.click') THEN ['clicky'] ELSE [] END,
+           |  CASE WHEN path LIKE '%5' THEN ['five'] ELSE [] END),
+           |  CASE WHEN contains(path, 'error') THEN ['err'] ELSE [] END),
+           |  CASE WHEN path = 'events.' THEN ['root'] ELSE [] END),
+           |  CASE WHEN regexp_matches(path, 'user1[0-9]$$') THEN ['u1x'] ELSE [] END)) AS m FROM tree),
+           |anc AS (SELECT t.path AS x, a.path AS y FROM tree t JOIN tree a
+           |  ON t.path = a.path OR (a.path LIKE '%.' AND starts_with(t.path, a.path))),
+           |down AS (SELECT x AS path, list_distinct(flatten(list(m.m))) AS down
+           |  FROM anc JOIN matched m ON m.path = anc.y GROUP BY x),
+           |parents AS (SELECT path AS child,
+           |  array_to_string(string_split(rtrim(path, '.'), '.')[1:len(string_split(rtrim(path, '.'), '.')) - 1], '.') || '.' AS parent
+           |  FROM tree WHERE len(string_split(rtrim(path, '.'), '.')) > 1),
+           |childmerge AS (SELECT p.parent AS path, list_distinct(flatten(list(d.down))) AS fromchild
+           |  FROM parents p JOIN down d ON d.path = p.child GROUP BY p.parent),
+           |final AS (SELECT d.path, list_distinct(list_concat(d.down, coalesce(c.fromchild, []))) AS tags
+           |  FROM down d LEFT JOIN childmerge c ON c.path = d.path)
+           |SELECT path, unnest(tags) AS tag1, NOT (path LIKE '%.') AS is_leaf
+           |FROM final WHERE len(tags) > 0""".stripMargin),
+
+      "st_parse_lines" ->
+        (s"SELECT path, t AS time, value FROM ($PtsSql) pts"),
+
+      "st_parse_tagged" ->
+        ("SELECT 'events?type=' || event_type || '&user=' || user_id AS path, " +
+          "epoch_us(ts)//1000000 AS time, value, true AS is_tagged FROM events"),
 
       "ev_sessionize" ->
         ("""WITH ev AS (SELECT user_id, epoch_us(ts)//1000000 AS t, event_id FROM events),

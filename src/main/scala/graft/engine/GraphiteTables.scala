@@ -80,11 +80,18 @@ object GraphiteTables {
     * (depth ≤ path depth) — scales linearly with metric count, not
     * point count.
     */
-  def index(spark: SparkSession, dir: String): DataFrame = {
-    val paths = points(spark, dir)
-      .groupBy("path")
-      .agg(min("date").as("date"), max("version").as("version"))
+  def index(spark: SparkSession, dir: String): DataFrame =
+    expandIndexRows(
+      points(spark, dir)
+        .groupBy("path")
+        .agg(min("date").as("date"), max("version").as("version")))
 
+  /** Ancestor expansion of a (path, date, version) metric batch into
+    * index rows — shared by the batch derivation above and the
+    * streaming ingest's `foreachBatch` index maintenance
+    * (`doc/index-table.md:20-38`).
+    */
+  def expandIndexRows(paths: DataFrame): DataFrame = {
     val parts = split(col("path"), "\\.")
     val depth = size(parts)
 
@@ -125,15 +132,11 @@ object GraphiteTables {
       .agg(max("version").as("version"))
   }
 
-  /** Tagged-series inverted index (`graphite_tags` shape,
-    * `init.sql:30-38`): one row per (tag, series) with that tag in
-    * `tag1`, including the `__name__` pseudo-tag.
+  /** Tag-row expansion of a (path, date, version) tagged-metric batch
+    * (storage form `name?k=v&…`) into inverted-index rows — shared by
+    * the batch derivation below and streaming ingest.
     */
-  def tags(spark: SparkSession, dir: String): DataFrame = {
-    val series = pointsTagged(spark, dir)
-      .groupBy("path")
-      .agg(min("date").as("date"), max("version").as("version"))
-    // path = events?type=<t>&user=<u>  →  tags array
+  def expandTagRows(series: DataFrame): DataFrame = {
     val name = substring_index(col("path"), "?", 1)
     val kvs = split(substring_index(col("path"), "?", -1), "&")
     series
@@ -141,4 +144,14 @@ object GraphiteTables {
       .select(col("date"), explode(col("tags")).as("tag1"), col("path"),
         col("tags"), col("version"))
   }
+
+  /** Tagged-series inverted index (`graphite_tags` shape,
+    * `init.sql:30-38`): one row per (tag, series) with that tag in
+    * `tag1`, including the `__name__` pseudo-tag.
+    */
+  def tags(spark: SparkSession, dir: String): DataFrame =
+    expandTagRows(
+      pointsTagged(spark, dir)
+        .groupBy("path")
+        .agg(min("date").as("date"), max("version").as("version")))
 }

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.engine.Finder
+
+/** Streaming ingest: line parse, points append, index ancestor
+  * expansion, tags maintenance (SURVEY §2.9, `doc/index-table.md:20-38`).
+  */
+class IngestSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  test("parseLines: plain, tagged (sorted tags), malformed dropped") {
+    import spark.implicits._
+    val lines = Seq(
+      "lorem.ipsum.dolor 1.5 1704067200",
+      "metric1;zz=2;aa=1 2.0 1704067260",
+      "garbage",
+      "bad.value abc 1704067200").toDF("value")
+    val parsed = Ingest.parseLines(lines).collect()
+    assert(parsed.length == 2)
+    val plain = parsed.find(_.getAs[String]("path") == "lorem.ipsum.dolor").get
+    assert(plain.getAs[Double]("value") == 1.5)
+    assert(plain.getAs[Long]("time") == 1704067200L)
+    assert(plain.getAs[String]("path_reversed") == "dolor.ipsum.lorem")
+    assert(!plain.getAs[Boolean]("is_tagged"))
+    val tagged = parsed.find(_.getAs[Boolean]("is_tagged")).get
+    assert(tagged.getAs[String]("path") == "metric1?aa=1&zz=2") // sorted
+    assert(tagged.getAs[String]("path_reversed") == null)
+  }
+
+  test("end-to-end: memory stream → points + index + tags; finder reads the ingested index") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-ingest").toFile.getAbsolutePath
+    val stream = MemoryStream[String]
+    stream.addData(
+      "lorem.ipsum.dolor.sit.amet 1.0 1557827619",
+      "lorem.ipsum.other 2.0 1557827620",
+      "m;env=prod;dc=ams 3.0 1557827621")
+    val q = Ingest.stream(stream.toDF(), s"$dir/tables", s"$dir/ckpt").start()
+    q.awaitTermination(60000)
+
+    val points = spark.read.parquet(s"$dir/tables/points")
+    assert(points.count() == 3)
+
+    val index = spark.read.parquet(s"$dir/tables/index")
+    // doc/index-table.md example: 5-level metric → 8 rows
+    val amet = index.where(col("path").contains("amet") || col("path").startsWith("lorem"))
+    assert(amet.where(col("level") === 20002 && col("path") === "lorem.ipsum.").count() == 1)
+    assert(amet.where(col("level") === 10005 &&
+      col("path") === "amet.sit.dolor.ipsum.lorem").count() == 1)
+    assert(amet.where(col("level") === 5).count() == 1)
+
+    val found = Finder.find(index, "lorem.ipsum.*").collect()
+      .map(r => (r.getString(0), r.getBoolean(1))).toSet
+    assert(found == Set(("lorem.ipsum.dolor", false), ("lorem.ipsum.other", true)))
+
+    val tags = spark.read.parquet(s"$dir/tables/tags")
+    val tag1s = tags.select("tag1").as[String].collect().toSet
+    assert(tag1s == Set("__name__=m", "env=prod", "dc=ams"))
+    assert(tags.select("path").distinct().as[String].collect().toSet ==
+      Set("m?dc=ams&env=prod")) // tags sorted in storage form
+  }
+
+  test("late duplicate across batches resolved by read-side dedup") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-ingest2").toFile.getAbsolutePath
+    // same (path, time) written twice with different values: the parse
+    // derives version from time, so simulate a rewrite via processBatch
+    val b1 = Ingest.parseLines(Seq("a.b 1.0 100").toDF("value"))
+      .withColumn("version", lit(1L))
+    val b2 = Ingest.parseLines(Seq("a.b 9.0 100").toDF("value"))
+      .withColumn("version", lit(2L))
+    Ingest.processBatch(b1, s"$dir/tables")
+    Ingest.processBatch(b2, s"$dir/tables")
+    val deduped = graft.engine.Render.dedup(spark.read.parquet(s"$dir/tables/points"))
+    val rows = deduped.collect()
+    assert(rows.length == 1 && rows.head.getAs[Double]("value") == 9.0)
+  }
+}
