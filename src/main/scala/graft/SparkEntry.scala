@@ -431,6 +431,21 @@ object SparkEntry {
       Similarity.ivfAssign(vecs, centroids)
     }),
 
+    "e_neardup" -> ((s, dir) =>
+      Similarity.embeddingNearDups(
+        s.read.parquet(s"$dir/embeddings.parquet"), threshold = 0.3, bits = 8)),
+
+    "d_cluster_dedup" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val pairs = Dedup.minhashNearDups(docs, col("text"), col("doc_id"), threshold = 0.5)
+        .select("id_a", "id_b")
+      Dedup.clusters(pairs).select(col("id").as("doc_id"), col("cluster_id"))
+    }),
+
+    "p_labels" -> ((s, dir) =>
+      graft.prom.Prom.labelRows(
+        GraphiteTables.tags(s, dir).select("path").distinct())),
+
     // ----------------------------------------------------------------
     // LLM track: multimodal plumbing (binary payload, batch decode stub)
     // ----------------------------------------------------------------
@@ -740,6 +755,35 @@ object SparkEntry {
            | ranked AS (SELECT vec_id, centroid_id, sim,
            |   row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id ASC) AS rank FROM scored)
            |SELECT vec_id, centroid_id, round(sim, 4) AS sim FROM ranked WHERE rank = 1""".stripMargin),
+
+      "e_neardup" ->
+        (s"""WITH keyed AS (SELECT vec_id, embedding,
+           |   list_sum(list_transform(generate_series(1, 8), i -> CASE WHEN embedding[i] >= 0 THEN CAST(1 AS BIGINT) << (i-1) ELSE 0 END)) AS bucket
+           | FROM embeddings)
+           |SELECT a.vec_id AS id_a, b.vec_id AS id_b, round($cosine, 4) AS sim
+           |FROM keyed a JOIN keyed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+           |WHERE $cosine >= 0.3""".stripMargin),
+
+      "d_cluster_dedup" ->
+        (s"""WITH RECURSIVE
+           |cands AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM ($minhashBands) a
+           |  JOIN ($minhashBands) b ON a.band = b.band AND a.doc_id < b.doc_id GROUP BY 1, 2),
+           |sets AS (SELECT doc_id, $sh3 AS sh FROM documents),
+           |verified AS (SELECT p.id_a, p.id_b FROM cands p
+           |  JOIN sets sa ON sa.doc_id = p.id_a JOIN sets sb ON sb.doc_id = p.id_b
+           |  WHERE len(list_intersect(sa.sh, sb.sh))::double / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5),
+           |edges AS (SELECT id_a AS src, id_b AS dst FROM verified UNION SELECT id_b, id_a FROM verified),
+           |nodes AS (SELECT DISTINCT src AS id FROM edges),
+           |reach(id, label) AS (
+           |  SELECT id, id FROM nodes
+           |  UNION
+           |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id)
+           |SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id""".stripMargin),
+
+      "p_labels" ->
+        ("""WITH series AS (SELECT DISTINCT 'events?type=' || event_type || '&user=' || user_id AS path, event_type, user_id FROM events)
+          |SELECT path, unnest(['__name__', 'type', 'user']) AS name,
+          |  unnest(['events', event_type::varchar, user_id::varchar]) AS value FROM series""".stripMargin),
 
       "m_features" ->
         ("""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,

@@ -212,4 +212,59 @@ object Dedup {
     */
   def fingerprint(text: Column, w: Int = 5): Column =
     array_min(transform(shingles(text, w), s => md5(s)))
+
+  // ------------------------------------------------------------------
+  // Duplicate clusters (connected components over near-dup pairs)
+  // ------------------------------------------------------------------
+
+  /** Connected components over an undirected pair relation
+    * (`id_a`, `id_b`) by iterative min-label propagation: every node's
+    * label converges to the smallest id in its component in
+    * O(component diameter) joins. Near-dup components are tiny (dup
+    * clusters), so the loop terminates in a handful of rounds; each
+    * round is one shuffle on id — no driver-side graph.
+    */
+  def clusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("src").as("id"))
+      .distinct()
+      .withColumn("cluster_id", col("id"))
+      .cache()
+    var iter = 0
+    var changed = true
+    while (changed && iter < maxIter) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("cluster_id", "n_label"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("n_label")).as("n_min"))
+      val next = labels.join(viaNeighbors, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("cluster_id", "old"), Seq("id"))
+        .where(col("cluster_id") =!= col("old"))
+        .limit(1).count() > 0
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Near-dup dedup end to end: cluster the verified pairs, keep the
+    * min-id document of each cluster — the keep-first policy of
+    * `exact`, extended to near-duplicates. Returns surviving doc ids
+    * (docs in no pair survive by default).
+    */
+  def nearDupKeep(docs: DataFrame, pairs: DataFrame, idCol: Column = col("doc_id")): DataFrame = {
+    val cl = clusters(pairs)
+    val losers = cl.where(col("id") =!= col("cluster_id")).select(col("id"))
+    docs.join(losers, idCol === col("id"), "left_anti")
+  }
 }

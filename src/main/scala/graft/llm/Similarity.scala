@@ -96,6 +96,30 @@ object Similarity {
         round(col("sim"), 4).as("sim"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: sign-LSH bucketed
+    * candidate generation + in-bucket cosine threshold — the
+    * embedding-space analog of MinHash-LSH dedup. Near-identical
+    * vectors agree on every sign bit, so recall for true near-dups
+    * (cos ≈ 1) is high; no cross-bucket pair is ever materialized.
+    */
+  def embeddingNearDups(
+      vectors: DataFrame,
+      threshold: Double,
+      bits: Int = 8,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val keyed = vectors.select(
+      col(idCol).as("id"), col(embCol).as("emb"),
+      signBucket(col(embCol), bits).as("bucket"))
+    val a = keyed.select(col("id").as("id_a"), col("emb").as("emb_a"), col("bucket"))
+    val b = keyed.select(col("id").as("id_b"), col("emb").as("emb_b"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("sim", cosine(col("emb_a"), col("emb_b")))
+      .where(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+  }
+
   /** IVF-style coarse quantization: assign each vector to the nearest
     * of `centroids` (a small broadcast relation of (centroid_id,
     * centroid)); queries then probe only their cell. Returns the

@@ -1,0 +1,69 @@
+package graft.prom
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.compiler.Tagged
+import graft.compiler.Tagged.{Op, Term}
+
+/** Prometheus façade seams (F4, W5, `prometheus/` package): label
+  * decoding of storage paths, PromQL matcher → tagged-term mapping,
+  * and the millisecond series projection the Prom engine consumes.
+  * The PromQL evaluation engine itself is out of scope for parity
+  * (the reference imports it too).
+  */
+object Prom {
+
+  /** Storage path `name?k=v&k2=v2` → sorted label structs with
+    * `__name__` (`prometheus/labels.go:28-51`). A path with no query
+    * string becomes a single `__name__` label.
+    */
+  def labels(path: Column): Column = {
+    val name = substring_index(path, "?", 1)
+    val hasTags = path.contains("?")
+    val kvs = split(substring_index(path, "?", -1), "&")
+    val tagStructs = transform(kvs, kv =>
+      struct(
+        substring_index(kv, "=", 1).as("name"),
+        substring_index(kv, "=", -1).as("value")))
+    val nameStruct = struct(lit("__name__").as("name"), name.as("value"))
+    array_sort(
+      when(hasTags, concat(array(nameStruct), tagStructs))
+        .otherwise(array(struct(lit("__name__").as("name"), path.as("value")))))
+  }
+
+  /** Explode a path relation into (path, name, value) label rows. */
+  def labelRows(paths: DataFrame, pathCol: String = "path"): DataFrame =
+    paths
+      .select(col(pathCol).as("path"), explode(labels(col(pathCol))).as("l"))
+      .select(col("path"), col("l.name").as("name"), col("l.value").as("value"))
+
+  /** PromQL matcher types → tagged-term ops
+    * (`prometheus/matcher.go:20-38`): `=`→Eq, `!=`→Ne, `=~`→Match,
+    * `!~`→NotMatch; terms are then base-sorted exactly like
+    * seriesByTag terms.
+    */
+  def matchersToTerms(matchers: Seq[(String, String, String)]): Either[String, List[Term]] = {
+    val terms = matchers.map { case (name, matchType, value) =>
+      val op = matchType match {
+        case "="  => Op.Eq
+        case "!=" => Op.Ne
+        case "=~" => Op.Match
+        case "!~" => Op.NotMatch
+        case t    => return Left(s"unknown matcher type $t")
+      }
+      Term(name, op, value, hasWildcard = false)
+    }.toList
+    Right(Tagged.sortTerms(terms))
+  }
+
+  /** Prometheus series projection (W5, `prometheus/series_set.go:81-155`):
+    * epoch-second points → millisecond timestamps, stepping the grid so
+    * each Prom `Seek` lands on a bucket (t × 1000).
+    */
+  def msSeries(points: DataFrame): DataFrame =
+    points.select(
+      col("path"),
+      (col("time") * 1000).as("t_ms"),
+      col("value"))
+}

@@ -1,0 +1,29 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Connected-components dedup clusters over near-dup pairs. */
+class ClusterSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  test("clusters: min-label propagation over chained pairs") {
+    import spark.implicits._
+    // component {1,2,3,4} via chain, component {7,9}, singleton 5 absent
+    val pairs = Seq((2L, 3L), (1L, 2L), (3L, 4L), (9L, 7L)).toDF("id_a", "id_b")
+    val cl = Dedup.clusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cl == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("nearDupKeep: min-id survivor per cluster, untouched docs kept") {
+    import spark.implicits._
+    val docs = Seq(1L, 2L, 3L, 5L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = Dedup.nearDupKeep(docs, pairs).select("doc_id")
+      .as[Long].collect().toSet
+    assert(kept == Set(1L, 5L))
+  }
+}

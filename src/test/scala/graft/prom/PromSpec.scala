@@ -1,0 +1,49 @@
+package graft.prom
+
+import java.time.ZoneId
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.compiler.Tagged.Op
+import graft.time.DateWindow
+
+/** Prometheus seams (labels, matchers) and date-window formatting. */
+class PromSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  test("labels: tagged path → sorted labels with __name__") {
+    import spark.implicits._
+    val rows = Prom.labelRows(Seq("cpu?host=web1&env=prod", "plain.metric").toDF("path"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows.filter(_._1 == "cpu?host=web1&env=prod").toList ==
+      List( // sorted by label name
+        ("cpu?host=web1&env=prod", "__name__", "cpu"),
+        ("cpu?host=web1&env=prod", "env", "prod"),
+        ("cpu?host=web1&env=prod", "host", "web1")))
+    assert(rows.filter(_._1 == "plain.metric").toList ==
+      List(("plain.metric", "__name__", "plain.metric")))
+  }
+
+  test("matchersToTerms: op mapping + base sort") {
+    val Right(terms) = Prom.matchersToTerms(Seq(
+      ("job", "!=", "x"),
+      ("__name__", "=", "up"),
+      ("instance", "=~", "web.*")))
+    assert(terms.map(_.op) == List(Op.Eq, Op.Match, Op.Ne)) // op-rank order
+    assert(terms.head.key == "__name__")
+    assert(Prom.matchersToTerms(Seq(("a", "??", "b"))).isLeft)
+  }
+
+  test("date window modes") {
+    val tz = ZoneId.of("America/New_York") // UTC-5 in January
+    val ts = 1704070800L // 2024-01-01 01:00 UTC = 2023-12-31 20:00 EST
+    assert(DateWindow.utc(ts) == "2024-01-01")
+    assert(DateWindow.default(ts, tz) == "2023-12-31")
+    assert(DateWindow.minBoth(ts, tz) == "2023-12-31")
+    assert(DateWindow.maxBoth(ts, tz) == "2024-01-01")
+    assert(DateWindow.window(ts, ts, "both", tz) == ("2023-12-31", "2024-01-01"))
+    intercept[IllegalArgumentException](DateWindow.window(0, 0, "bogus"))
+  }
+}
