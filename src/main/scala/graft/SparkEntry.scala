@@ -377,8 +377,9 @@ object SparkEntry {
         col("text"), col("doc_id"))),
 
     "d_simhash" -> ((s, dir) =>
-      s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"), Dedup.simhash(col("text")).as("fp"))),
+      Dedup.simhashDF(s.read.parquet(s"$dir/documents.parquet"),
+          col("text"), col("doc_id"))
+        .select(col("id").as("doc_id"), col("fp"))),
 
     "d_jaccard_pairs" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(s.read.parquet(s"$dir/documents.parquet"),
@@ -481,12 +482,18 @@ object SparkEntry {
     }.mkString(" + ")
 
     val sh3 = shinglesSql(3)
-    val minhashSig =
-      s"list_transform(generate_series(0, 7), i -> list_min(list_transform(sh, s -> md5(i || ':' || s))))"
-    val bandKeys =
-      "list_transform(generate_series(0, 3), b -> b::varchar || '|' || sig[2*b+1] || '|' || sig[2*b+2])"
+    // universal-hashing minhash mirroring Dedup.minhashSignatures:
+    // 60-bit md5 base hash mod P, affine permutations (aᵢ·h + bᵢ) mod P
+    val hsExpr =
+      "list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::bigint % 2147483647)"
+    val sigExprs = (0 until 8).map(i =>
+      s"list_min(list_transform(hs, h -> (h * ${2 * i + 1} + ${1000003L * i}) % 2147483647)) AS sig_$i")
+    val bandKeys = (0 until 4)
+      .map(b => s"'$b' || '|' || sig_${2 * b} || '|' || sig_${2 * b + 1}")
     val minhashBands =
-      s"SELECT doc_id, unnest($bandKeys) AS band FROM (SELECT doc_id, $minhashSig AS sig FROM (SELECT doc_id, $sh3 AS sh FROM documents) s1) s2"
+      s"SELECT doc_id, unnest([${bandKeys.mkString(", ")}]) AS band FROM " +
+        s"(SELECT doc_id, ${sigExprs.mkString(", ")} FROM " +
+        s"(SELECT doc_id, $hsExpr AS hs FROM (SELECT doc_id, $sh3 AS sh FROM documents) s1) s2)"
 
     val dot = "list_sum(list_transform(generate_series(1, len(a.embedding)), i -> a.embedding[i]::double * b.embedding[i]::double))"
     def norm(t: String) =

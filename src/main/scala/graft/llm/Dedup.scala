@@ -48,42 +48,78 @@ object Dedup {
   // Shingling + MinHash + LSH
   // ------------------------------------------------------------------
 
-  /** w-word shingles of `text` as an array column (distinct). */
+  /** w-word shingles of `text` as an array column (distinct). Docs
+    * shorter than `w` words yield an empty array (guarded — Spark's
+    * `sequence(1, 0)` would count *down*, unlike SQL generate_series).
+    */
   def shingles(text: Column, w: Int): Column = {
     val words = split(text, "\\s+")
+    val n = size(words) - (w - 1)
     array_distinct(
       filter(
-        transform(
-          sequence(lit(1), greatest(size(words) - (w - 1), lit(0))),
-          i => array_join(slice(words, i, lit(w)), " ")),
+        when(n >= 1,
+          transform(
+            sequence(lit(1), greatest(n, lit(1))),
+            i => array_join(slice(words, i, lit(w)), " ")))
+          .otherwise(array().cast("array<string>")),
         s => s =!= ""))
   }
 
-  /** One MinHash signature value: `min over shingles of md5(i || ':' || s)`
-    * — the lexicographic min of hex digests is a valid min-hash (the
-    * digest is a uniform permutation of shingle space; independent
-    * per index `i`). Portable across engines, no RNG state.
+  /** MinHash permutation modulus: the Mersenne prime 2^31 − 1 keeps
+    * every `a·h + b` product in exact Long range in any engine.
     */
-  def minhash(shinglesCol: Column, i: Int): Column =
-    array_min(transform(shinglesCol, s => md5(concat(lit(s"$i:"), s))))
+  val MinhashP: Long = 2147483647L
 
-  /** MinHash signature of `numHashes` values as an array column. */
-  def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
-    array((0 until numHashes).map(i => minhash(shinglesCol, i)): _*)
+  /** 60-bit base hash of one shingle (first 15 md5 hex chars), reduced
+    * mod P — computed ONCE per shingle; the per-index "permutations"
+    * are cheap affine maps `(aᵢ·h + bᵢ) mod P` of it (standard
+    * universal-hashing minhash). md5 keeps it engine-portable.
+    */
+  def shingleHash(s: Column): Column =
+    pmod(conv(substring(md5(s), 1, 15), 16, 10).cast("long"), lit(MinhashP))
 
-  /** LSH band keys: the signature split into `bands` bands of `rows`
-    * values each; each band key is `band_index || joined band slice`.
+  /** The i-th affine permutation of a base hash. */
+  def permute(h: Column, i: Int): Column =
+    pmod(h * (2 * i + 1) + 1000003L * i, lit(MinhashP))
+
+  /** MinHash signatures, distributed shape: explode shingles → hash
+    * once → ONE hash-aggregate computing all `numHashes` mins (map-side
+    * partial min does the heavy lifting; one shuffle on doc id).
+    * Returns (id, sig_0 … sig_{n−1}).
+    *
+    * This deliberately avoids nested `transform(...)` lambdas per hash
+    * index — lambda expressions defeat common-subexpression
+    * elimination, so the array form recomputes shingling per index
+    * (measured 8× slower at sf0.1).
+    */
+  def minhashSignatures(
+      docs: DataFrame,
+      textCol: Column,
+      idCol: Column,
+      shingleWidth: Int,
+      numHashes: Int): DataFrame = {
+    val exploded = docs
+      .select(idCol.as("id"), explode(shingles(textCol, shingleWidth)).as("s"))
+      .withColumn("h", shingleHash(col("s")))
+    exploded
+      .groupBy("id")
+      .agg(
+        min(permute(col("h"), 0)).as("sig_0"),
+        (1 until numHashes).map(i => min(permute(col("h"), i)).as(s"sig_$i")): _*)
+  }
+
+  /** LSH band keys from signature columns: `band_index | sig | sig`.
     * Docs sharing any band key become candidates.
     */
-  def bandKeys(signature: Column, bands: Int, rows: Int): Column =
-    array((0 until bands).map { b =>
+  def bandKeyColumns(bands: Int, rows: Int): Seq[Column] =
+    (0 until bands).map { b =>
       concat_ws("|", lit(b.toString) +: (0 until rows).map(r =>
-        element_at(signature, b * rows + r + 1)): _*)
-    }: _*)
+        col(s"sig_${b * rows + r}")): _*)
+    }
 
-  /** MinHash-LSH candidate pairs: explode band keys, self-join within
-    * buckets only (shuffle on band key — never all-pairs), distinct
-    * (a < b) pairs. `bands × rows` must equal the signature length.
+  /** MinHash-LSH candidate pairs: signatures → explode band keys →
+    * self-join within buckets only (shuffle on band key — never
+    * all-pairs) → distinct (a < b) pairs.
     */
   def minhashCandidates(
       docs: DataFrame,
@@ -92,10 +128,9 @@ object Dedup {
       shingleWidth: Int = 3,
       bands: Int = 4,
       rows: Int = 2): DataFrame = {
-    val sig = minhashSignature(shingles(textCol, shingleWidth), bands * rows)
-    val keyed = docs
-      .select(idCol.as("id"), explode(bandKeys(sig, bands, rows)).as("band"))
-      .distinct()
+    val sigs = minhashSignatures(docs, textCol, idCol, shingleWidth, bands * rows)
+    val keyed = sigs
+      .select(col("id"), explode(array(bandKeyColumns(bands, rows): _*)).as("band"))
     val a = keyed.as("a")
     val b = keyed.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.id") < col("b.id"))
@@ -135,22 +170,29 @@ object Dedup {
     * pattern votes ±1 per bit; the sign of each bit-sum forms the
     * fingerprint. Bits kept ≤ 32 so all arithmetic stays in exact
     * Long range in any engine.
+    *
+    * Distributed shape: explode words → hash once → ONE hash-aggregate
+    * with 32 conditional sums (map-side combine; one shuffle on id) —
+    * the per-bit `aggregate` lambda form recomputes the word hashing
+    * per bit (32×) because lambdas defeat subexpression elimination.
     */
-  def simhash(text: Column, bits: Int = 32): Column = {
-    // hash each word once (32-bit value from the first 8 hex chars of
-    // md5), then take 32 integer bit-votes over the hashed array
-    val hashes = transform(split(text, "\\s+"),
-      w => conv(substring(md5(w), 1, 8), 16, 10).cast("long"))
+  def simhashDF(
+      docs: DataFrame,
+      textCol: Column,
+      idCol: Column,
+      bits: Int = 32): DataFrame = {
+    val words = docs.select(idCol.as("id"), explode(split(textCol, "\\s+")).as("w"))
+      .withColumn("h", conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long"))
     val bitSums = (0 until bits).map { b =>
-      aggregate(
-        hashes,
-        lit(0L),
-        (acc, h) =>
-          acc + when(shiftright(h, b).bitwiseAND(1) === 1, lit(1L)).otherwise(lit(-1L)))
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+        .as(s"s_$b")
     }
-    bitSums.zipWithIndex
-      .map { case (s, b) => when(s > 0, lit(1L << b)).otherwise(lit(0L)) }
-      .reduce(_ + _)
+    words.groupBy("id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"),
+        (0 until bits)
+          .map(b => when(col(s"s_$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("fp"))
   }
 
   /** Hamming distance between two simhash fingerprints. */
@@ -167,7 +209,7 @@ object Dedup {
       idCol: Column,
       prefixBits: Int = 8,
       maxDistance: Int = 6): DataFrame = {
-    val fp = docs.select(idCol.as("id"), simhash(textCol).as("fp"))
+    val fp = simhashDF(docs, textCol, idCol)
       .withColumn("bucket", shiftright(col("fp"), 32 - prefixBits))
     val a = fp.as("a")
     val b = fp.as("b")
