@@ -152,6 +152,15 @@ object SparkEntry {
         .select(col("path"), col("time"), round(col("value"), 4).as("value"))
     }),
 
+    "g_render_commonstep" -> ((s, dir) => {
+      val points = GraphiteTables.points(s, dir)
+      val found = Finder.find(GraphiteTables.index(s, dir), "events.*.*")
+        .select("path").collect().map(_.getString(0)).toSeq
+      Render.render(points, found, TimeFrame(WFrom, WUntil), testRules, now = WUntil,
+        appendEmpty = true, commonStep = true)
+        .select(col("path"), col("time"), round(col("value"), 4).as("value"))
+    }),
+
     "g_render_nonempty" -> ((s, dir) => {
       val points = GraphiteTables.points(s, dir)
       val found = Finder.find(GraphiteTables.index(s, dir), "events.*.*")
@@ -567,6 +576,16 @@ object SparkEntry {
           " UNION ALL " +
           renderGroupSql("max(value)", 60, WFrom, WUntil,
             "WHERE path NOT LIKE 'events.purchase.%'")),
+
+      "g_render_commonstep" ->
+        (renderGroupSql("sum(value)", 120, WFrom, WUntil,
+          "WHERE path LIKE 'events.purchase.%'") +
+          " UNION ALL " +
+          renderGroupSql("max(value)", 120, WFrom, WUntil,
+            "WHERE path LIKE 'events.error.%'") +
+          " UNION ALL " +
+          renderGroupSql("avg(value)", 120, WFrom, WUntil,
+            "WHERE path NOT LIKE 'events.purchase.%' AND path NOT LIKE 'events.error.%'")),
 
       "g_render_nonempty" ->
         (s"SELECT * FROM (${renderGroupSql("avg(value)", 60, NFrom, NUntil, "")}) r " +

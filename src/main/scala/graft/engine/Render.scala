@@ -223,10 +223,31 @@ object Render {
       rules: Rules,
       now: Long,
       consolidateBy: Option[String] = None,
-      appendEmpty: Boolean = false): DataFrame = {
+      appendEmpty: Boolean = false,
+      commonStep: Boolean = false,
+      maxGroups: Int = 32): DataFrame = {
     val spark = points.sparkSession
     import spark.implicits._
-    val groups = functionGroups(foundPaths, rules, now, tf, consolidateBy)
+    val groups0 = functionGroups(foundPaths, rules, now, tf, consolidateBy)
+    // A7 common step: the reference unifies the step across ALL
+    // targets of a timeframe (LCM, `render/data/common_step.go:10-63`)
+    // and fans out per *function* only; per-(step,func) groups are the
+    // finer-grained generalization. Both supported.
+    val groups1 =
+      if (commonStep) {
+        val lcm = groups0.map(_.step).reduceOption(StepMath.combineSteps).getOrElse(60L)
+        groups0.groupBy(_.func).map { case (fn, gs) =>
+          FuncGroup(lcm, fn, gs.flatMap(_.paths))
+        }.toSeq.sortBy(_.func.name)
+      } else groups0
+    // plan-explosion cap (SURVEY §7.4 risk 1): beyond `maxGroups`
+    // distinct (step, func) plans, coalesce per function onto the LCM
+    // step — same results on a coarser-but-valid grid.
+    val groups =
+      if (groups1.length <= maxGroups) groups1
+      else groups1.groupBy(_.func).map { case (fn, gs) =>
+        FuncGroup(gs.map(_.step).reduce(StepMath.combineSteps), fn, gs.flatMap(_.paths))
+      }.toSeq.sortBy(_.func.name)
     val frames = groups.map { g =>
       val step = StepMath.aggregatedStep(g.step, tf.from, tf.until, tf.maxDataPoints)
       val effective = g.copy(step = step)

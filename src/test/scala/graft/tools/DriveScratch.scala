@@ -8,9 +8,16 @@ object DriveScratch {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val df = graft.SparkEntry.entry(spark)
-    println("ENTRY_ROWS " + df.count())
-    df.show(5, false)
+    val dir = "/root/testdata/sf0.01"
+
+    def show(name: String): Unit = {
+      println(s"==== PLAN $name")
+      graft.SparkEntry.queries(name)(spark, dir).explain("formatted")
+    }
+    show("g_render_avg")
+    show("q_semijoin")
+    show("g_find_glob")
+    show("d_minhash_pairs")
     spark.stop()
   }
 }
