@@ -46,10 +46,13 @@ object Autocomplete {
       valuePrefix: String = "",
       limit: Int = 10000,
       flags: FeatureFlags = FeatureFlags()): DataFrame = {
+    // the graphite-web pseudo-tag `name` is stored as `__name__`
+    // (`autocomplete.go:520-527`)
+    val storageTag = if (tag == "name") "__name__" else tag
     val constrained = applyExprs(tags, exprs, flags)
     constrained
-      .where(col("tag1").startsWith(s"$tag=$valuePrefix"))
-      .select(expr(s"substring(tag1, ${tag.length + 2})").as("value"))
+      .where(col("tag1").startsWith(s"$storageTag=$valuePrefix"))
+      .select(expr(s"substring(tag1, ${storageTag.length + 2})").as("value"))
       .distinct()
       .orderBy(col("value"))
       .limit(limit)
