@@ -122,6 +122,27 @@ object SparkEntry {
     "g_find_brace" -> ((s, dir) =>
       Finder.find(GraphiteTables.index(s, dir), "events.{click,error}.*")),
 
+    // U2 split rewrite: brace disjuncts OR'd into one scan; result must
+    // equal the unsplit find.
+    "g_find_split" -> ((s, dir) =>
+      Finder.findSplit(GraphiteTables.index(s, dir), "events.{click,error}.*",
+        maxNodeToSplitIndex = 2)),
+
+    // A5 unaggregated fetch: groupArray-per-path equivalent.
+    "g_unagg_fetch" -> ((s, dir) => {
+      val pts = GraphiteTables.points(s, dir)
+        .where(col("time").between(NFrom, NUntil))
+      pts.groupBy("path")
+        .agg(
+          array_join(
+            transform(
+              sort_array(collect_list(struct(col("time"), col("version")))),
+              e => e.getField("time").cast("string")),
+            ",").as("times"),
+          count(lit(1)).as("n"),
+          round(sum("value"), 4).as("sum_value"))
+    }),
+
     // ----------------------------------------------------------------
     // Render pipeline (J1-J3, A1-A9, W1-W4, U1, O1)
     // ----------------------------------------------------------------
@@ -556,6 +577,15 @@ object SparkEntry {
       "g_find_brace" ->
         (s"SELECT DISTINCT path, true AS is_leaf FROM ($PtsSql) p " +
           "WHERE regexp_matches(path, '^events\\.(click|error)\\.[^.]*$')"),
+
+      "g_find_split" ->
+        (s"SELECT DISTINCT path, true AS is_leaf FROM ($PtsSql) p " +
+          "WHERE regexp_matches(path, '^events\\.(click|error)\\.[^.]*$')"),
+
+      "g_unagg_fetch" ->
+        (s"""SELECT path, array_to_string(list(t ORDER BY t, version), ',') AS times,
+           | count(*) AS n, round(sum(value), 4) AS sum_value
+           |FROM ($PtsSql) pts WHERE t BETWEEN $NFrom AND $NUntil GROUP BY path""".stripMargin),
 
       "g_render_avg" ->
         renderGroupSql("avg(value)", 60, WFrom, WUntil, ""),

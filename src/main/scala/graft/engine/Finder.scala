@@ -88,6 +88,51 @@ object Finder {
       (!col("path").endsWith(".")).as("is_leaf"))
   }
 
+  /** Split find (U2, `finder/split.go:72-128`): brace-split the query
+    * into selective disjuncts and run ONE scan with the OR of their
+    * predicates; orientation chosen from the first wildcarded disjunct
+    * (`whereFilter`, `split.go:241-259`). Falls back to the plain find
+    * when the query doesn't split.
+    */
+  def findSplit(
+      index: DataFrame,
+      query: String,
+      maxNodeToSplitIndex: Int = 2,
+      from: Long = 0,
+      until: Long = 0): DataFrame = {
+    val queries = graft.glob.Split.splitQuery(query, maxNodeToSplitIndex) match {
+      case Right(qs) => qs
+      case Left(e)   => throw new IllegalArgumentException(e)
+    }
+    if (queries.length <= 1) return find(index, query, from, until)
+    val rev = queries.find(Glob.hasWildcard).map(useReverse)
+      .getOrElse(useReverse(queries.head))
+    val oriented = queries.map(q => if (rev) Paths.reverse(q) else q)
+    val useDaily = from > 0 && until > 0
+    val levelOffset =
+      if (useDaily) { if (rev) Schemas.ReverseLevelOffset else 0 }
+      else { if (rev) Schemas.ReverseTreeLevelOffset else Schemas.TreeLevelOffset }
+    val datePred =
+      if (useDaily)
+        col("date").between(
+          to_date(timestamp_seconds(lit(from))),
+          to_date(timestamp_seconds(lit(until))))
+      else col("date") === lit(Schemas.DefaultTreeDate).cast("date")
+    // per-disjunct level (brace choices can alter depth) + glob, OR'd
+    val pred = datePred && oriented
+      .map(q => col("level") === (Paths.level(q) + levelOffset) &&
+        GlobCompiler.treeGlob(col("path"), q))
+      .reduceLeft(_ || _)
+    val raw = index.where(pred).select("path").distinct()
+    val display =
+      if (rev) raw.select(GraphiteTables.reversePath(col("path")).as("path"))
+      else raw
+    display.select(
+      when(col("path").endsWith("."), expr("substring(path, 1, length(path)-1)"))
+        .otherwise(col("path")).as("path"),
+      (!col("path").endsWith(".")).as("is_leaf"))
+  }
+
   /** Tagged find: seriesByTag expression → distinct storage paths
     * (`finder/tagged.go:440-502`). The first (most selective) term
     * lands on the `tag1` inverted-index column; the rest filter the
