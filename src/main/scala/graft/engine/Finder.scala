@@ -76,7 +76,16 @@ object Finder {
     * decoded from the trailing dot (`finder/finder.go:116-122`).
     * Returns (path, is_leaf) in display (direct) orientation.
     */
-  def find(index: DataFrame, query: String, from: Long = 0, until: Long = 0): DataFrame = {
+  def find(
+      index: DataFrame,
+      query: String,
+      from: Long = 0,
+      until: Long = 0,
+      wildcardMinDistance: Int = 0): DataFrame = {
+    checkWildcardDistance(Glob.clearGlob(query), wildcardMinDistance) match {
+      case Left(e)  => throw new IllegalArgumentException(e)
+      case Right(_) =>
+    }
     val (pred, rev) = compile(query, from, until)
     val raw = index.where(pred).select("path").distinct()
     val oriented =
@@ -143,11 +152,16 @@ object Finder {
       expr: String,
       flags: FeatureFlags = FeatureFlags(),
       from: Long = 0,
-      until: Long = 0): DataFrame = {
+      until: Long = 0,
+      tagsMinInQuery: Int = 0): DataFrame = {
     val terms = Tagged.parseSeriesByTag(expr, flags) match {
       case Right(t) => t
       case Left(e)  => throw new IllegalArgumentException(e)
     }
+    // admission gate (`finder/tagged.go:357-363` → HTTP 403)
+    if (tagsMinInQuery > 0 && Tagged.nonWildcardEqCount(terms) < tagsMinInQuery)
+      throw new IllegalArgumentException(
+        "seriesByTag argument has too much wildcard and regex terms")
     val pred = Tagged.wherePredicate(col("tag1"), col("tags"), terms, flags)
     val datePred =
       if (from > 0 && until > 0)

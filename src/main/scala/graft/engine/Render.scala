@@ -44,7 +44,11 @@ object Render {
       tf: TimeFrame,
       consolidateBy: Option[String] = None): Seq[FuncGroup] = {
     val age = math.max(0L, now - tf.from)
-    val overrideFunc = consolidateBy.flatMap(AggFunc.fromName)
+    // unknown consolidateBy is a request error, not a silent fallback
+    // (`render/data/targets.go:160-170` → HTTP 400)
+    val overrideFunc = consolidateBy.map(n =>
+      AggFunc.fromName(n).getOrElse(throw new IllegalArgumentException(
+        s"failed to choose appropriate aggregation function: $n")))
     paths
       .map { p =>
         val (prec, fn) = rules.lookup(p, age)
