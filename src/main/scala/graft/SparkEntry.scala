@@ -25,6 +25,9 @@ object SparkEntry {
   private val WUntil = 1704070799L // 1 h - 1 s
   private val NFrom = 1704067200L
   private val NUntil = 1704067799L // 10 min - 1 s
+  // full-month window for the headline render (baseline benchmark shape)
+  private val MFrom = 1704067200L
+  private val MUntil = 1706745599L // 31 days - 1 s
 
   /** The points-table projection of `events` as DuckDB SQL (mirrors
     * `GraphiteTables.points`).
@@ -152,6 +155,18 @@ object SparkEntry {
         .select("path").collect().map(_.getString(0)).toSeq
       Render.render(points, found, TimeFrame(WFrom, WUntil), uniformRules, now = WUntil,
         appendEmpty = true)
+        .select(col("path"), col("time"), round(col("value"), 4).as("value"))
+    }),
+
+    // Headline query mirroring the baseline's published benchmark
+    // shape (doc/aggregation.md: N metrics, long range, maxDataPoints
+    // =100): every series, full month, mdp-inflated step.
+    "g_render_headline" -> ((s, dir) => {
+      val points = GraphiteTables.points(s, dir)
+      val found = Finder.find(GraphiteTables.index(s, dir), "events.*.*")
+        .select("path").collect().map(_.getString(0)).toSeq
+      Render.render(points, found, TimeFrame(MFrom, MUntil, maxDataPoints = 100),
+        uniformRules, now = MUntil, appendEmpty = true)
         .select(col("path"), col("time"), round(col("value"), 4).as("value"))
     }),
 
@@ -589,6 +604,11 @@ object SparkEntry {
 
       "g_render_avg" ->
         renderGroupSql("avg(value)", 60, WFrom, WUntil, ""),
+
+      "g_render_headline" -> {
+        val step = graft.time.StepMath.aggregatedStep(60, MFrom, MUntil, 100)
+        renderGroupSql("avg(value)", step, MFrom, MUntil, "")
+      },
 
       "g_render_rules" ->
         (renderGroupSql("sum(value)", 120, WFrom, WUntil,
