@@ -179,6 +179,18 @@ object SparkEntry {
         .select(col("path"), col("time"), round(col("value"), 4).as("value"))
     }),
 
+    // Fully-distributed render: found paths stay a DataFrame (no
+    // driver collect, single plan for heterogeneous steps/functions).
+    // Same oracle as g_render_rules — semantics must be identical.
+    "g_render_scalable" -> ((s, dir) => {
+      val points = GraphiteTables.points(s, dir)
+      val found = Finder.find(GraphiteTables.index(s, dir), "events.*.*")
+        .where(col("is_leaf")).select("path")
+      Render.renderScalable(points, found, TimeFrame(WFrom, WUntil), testRules,
+        now = WUntil, appendEmpty = true)
+        .select(col("path"), col("time"), round(col("value"), 4).as("value"))
+    }),
+
     "g_render_consolidate" -> ((s, dir) => {
       val points = GraphiteTables.points(s, dir)
       val found = Finder.find(GraphiteTables.index(s, dir), "events.*.*")
@@ -609,6 +621,16 @@ object SparkEntry {
         val step = graft.time.StepMath.aggregatedStep(60, MFrom, MUntil, 100)
         renderGroupSql("avg(value)", step, MFrom, MUntil, "")
       },
+
+      "g_render_scalable" ->
+        (renderGroupSql("sum(value)", 120, WFrom, WUntil,
+          "WHERE path LIKE 'events.purchase.%'") +
+          " UNION ALL " +
+          renderGroupSql("max(value)", 60, WFrom, WUntil,
+            "WHERE path LIKE 'events.error.%'") +
+          " UNION ALL " +
+          renderGroupSql("avg(value)", 60, WFrom, WUntil,
+            "WHERE path NOT LIKE 'events.purchase.%' AND path NOT LIKE 'events.error.%'")),
 
       "g_render_rules" ->
         (renderGroupSql("sum(value)", 120, WFrom, WUntil,

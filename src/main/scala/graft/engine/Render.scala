@@ -215,6 +215,96 @@ object Render {
     aliasJoin(rendered, aliases)
   }
 
+  /** Fully-distributed render — the 100 TB shape (SURVEY §7.4 risk 6):
+    * the found-path set stays a DataFrame end to end. Rule lookup is a
+    * broadcast-sized CASE chain (`Rules.lookupColumns`), the
+    * heterogeneous per-path (step, function) run in ONE plan (all six
+    * aggregates computed per bucket, the per-path function selected
+    * with a CASE), and the gap-fill grid is generated per path from
+    * its own step column. No driver-side path list, no per-group plan
+    * fan-out; Catalyst/AQE pick broadcast vs shuffle for the metadata
+    * join by size.
+    *
+    * Semantically identical to `render` (oracle-checked against the
+    * same SQL); use it when the found set may exceed
+    * `max-metrics-per-target`-scale driver materialization.
+    */
+  def renderScalable(
+      points: DataFrame,
+      foundPaths: DataFrame,
+      tf: TimeFrame,
+      rules: Rules,
+      now: Long,
+      consolidateBy: Option[String] = None,
+      appendEmpty: Boolean = false): DataFrame = {
+    val age = math.max(0L, now - tf.from)
+    val overrideFunc = consolidateBy.map(n =>
+      AggFunc.fromName(n).getOrElse(throw new IllegalArgumentException(
+        s"failed to choose appropriate aggregation function: $n")))
+    val (precCol, fnCol) = rules.lookupColumns(col("path"), age)
+
+    // per-path step: A7 maxDataPoints inflation as column arithmetic
+    val mdpFloor = StepMath.ceilDiv(tf.until - tf.from, tf.maxDataPoints)
+    val base = greatest(precCol, lit(mdpFloor))
+    val stepCol = (floor((base + precCol - lit(1)) / precCol) * precCol).cast("long")
+    val meta = foundPaths.select(
+      col("path"),
+      stepCol.as("step"),
+      overrideFunc.map(f => lit(f.name)).getOrElse(fnCol).as("func"))
+
+    // per-path aligned fetch window (W2)
+    val fromC = lit(tf.from); val untilC = lit(tf.until)
+    val alignedFrom = (floor((fromC + col("step") - 1) / col("step")) * col("step")).cast("long")
+    val alignedUntil = (floor(untilC / col("step")) * col("step") + col("step") - 1).cast("long")
+
+    // coarse global time filter (steps vary per path; exact per-path
+    // filter applied after the metadata join). The slack bound is the
+    // largest step any rule can yield at this age.
+    val maxStep = (rules.patterns.flatMap(_.precisionFor(age)) :+ 60L)
+      .map(p => StepMath.aggregatedStep(p, tf.from, tf.until, tf.maxDataPoints))
+      .max
+    val maxSlack = tf.until + maxStep
+    val joined = points
+      .where(col("time").between(tf.from, maxSlack))
+      .join(meta, Seq("path"))
+      .where(col("time").between(alignedFrom, alignedUntil))
+
+    // dedup (A9) then bucket rollup (A2) in one aggregate chain; the
+    // function varies per path, so compute every aggregate and select
+    val deduped = joined
+      .groupBy(col("path"), col("step"), col("func"), col("time"))
+      .agg(max_by(col("value"), struct(col("version"), col("value"))).as("value"))
+    val bucket = (col("time") - pmod(col("time"), col("step"))).as("time")
+    val rolled = deduped
+      .groupBy(col("path"), col("step"), col("func"), bucket)
+      .agg(
+        avg(col("value")).as("v_avg"),
+        sum(col("value")).as("v_sum"),
+        min(col("value")).as("v_min"),
+        max(col("value")).as("v_max"),
+        min_by(col("value"), struct(col("time"), lit(0L))).as("v_any"),
+        max_by(col("value"), struct(col("time"), lit(0L))).as("v_anylast"))
+      .select(col("path"), col("time"),
+        when(col("func") === "avg", col("v_avg"))
+          .when(col("func") === "sum", col("v_sum"))
+          .when(col("func") === "min", col("v_min"))
+          .when(col("func") === "max", col("v_max"))
+          .when(col("func") === "any", col("v_any"))
+          .when(col("func") === "anyLast", col("v_anylast"))
+          .as("value"))
+
+    // per-path gap-fill grid from the step column (W1)
+    val gridStart0 = (fromC - pmod(fromC, col("step"))).cast("long")
+    val gridStart = when(gridStart0 < fromC, gridStart0 + col("step")).otherwise(gridStart0)
+    val gridStop = (untilC - pmod(untilC, col("step")) + col("step")).cast("long")
+    val grid = meta.select(
+      col("path"),
+      explode(sequence(gridStart, gridStop - col("step"), col("step"))).as("time"))
+    val filled = grid.join(rolled, Seq("path", "time"), "left_outer")
+      .select(col("path"), col("time"), col("value"))
+    withEmptySeries(filled, appendEmpty)
+  }
+
   /** Full render of one timeframe over an already-found path set:
     * per-(step,func) fan-out (A6), union of group results (U1), then
     * gap-fill per group step. `maxDataPoints` inflates the step per

@@ -99,6 +99,25 @@ final case class Pattern(
 
   def matches(metric: String): Boolean =
     re.forall(_.findFirstIn(metric).isDefined)
+
+  /** Precision this pattern yields at a fixed age, or None when the
+    * age precedes the first retention window (the lookup then falls
+    * through to later patterns) — mirrors the retention scan in
+    * `rules.go:330-350`.
+    */
+  def precisionFor(age: Long): Option[Long] = {
+    val rets = sortedRetention
+    var i = 0
+    while (i < rets.length) {
+      val r = rets(i)
+      if (age < r.age)
+        return if (i > 0) Some(rets(i - 1).precision) else None
+      else if (i == rets.length - 1)
+        return Some(r.precision)
+      i += 1
+    }
+    None
+  }
 }
 
 /** Compiled rollup rule set with plain/tagged separation.
@@ -155,6 +174,36 @@ final class Rules private (
 
   /** Aggregation function only. */
   def function(metric: String, age: Long): AggFunc = lookup(metric, age)._2
+
+  /** `lookup` as Catalyst Column expressions for a fixed age:
+    * (precision, function-name) per path — the 100 TB-safe variant
+    * where rule assignment happens inside the plan (a broadcast-sized
+    * CASE WHEN chain of regexes) instead of per-path driver calls.
+    * First-match-wins per the same semantics as `lookup`; age (a
+    * plan-time scalar) resolves each pattern's retention up front.
+    */
+  def lookupColumns(path: org.apache.spark.sql.Column, age: Long)
+      : (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    import org.apache.spark.sql.functions._
+    def matchCol(p: Pattern) = p.normalizedRegexp match {
+      case ".*" => lit(true)
+      case rx   => regexp_like(path, lit(rx))
+    }
+    def chain(pats: List[Pattern]) = {
+      val prec = pats.flatMap(p => p.precisionFor(age).map(v => when(matchCol(p), lit(v))))
+      val fn = pats.collect {
+        case p if p.function.isDefined => when(matchCol(p), lit(p.function.get.name))
+      }
+      (coalesce((prec :+ lit(superDefaultPrecision)): _*),
+        coalesce((fn :+ lit(superDefaultFunction.name)): _*))
+    }
+    if (separated) {
+      val (pp, pf) = chain(plain)
+      val (tp, tf) = chain(tagged)
+      val isTagged = path.contains("?")
+      (when(isTagged, tp).otherwise(pp), when(isTagged, tf).otherwise(pf))
+    } else chain(patterns)
+  }
 }
 
 object Rules {
