@@ -34,6 +34,36 @@ object Autocomplete {
     base.distinct().orderBy(col("value")).limit(limit)
   }
 
+  /** Full `/tags/autoComplete/tags` post-processing
+    * (`autocomplete.go:443-478`): `__name__` displays as `name` (and
+    * is injected if absent), tags already fixed by the query's exprs
+    * are dropped, then sort + re-limit. The storage scan stays
+    * distributed; this reshapes the (limit-bounded) result.
+    */
+  def tagNamesComplete(
+      tags: DataFrame,
+      exprs: List[String] = Nil,
+      tagPrefix: String = "",
+      limit: Int = 10000,
+      flags: FeatureFlags = FeatureFlags()): Seq[String] = {
+    val usedTags: Set[String] = Tagged.parseConditions(exprs, flags) match {
+      case Right(terms) =>
+        terms.filter(t => t.op == Tagged.Op.Eq && !t.hasWildcard)
+          .map(t => if (t.key == "__name__") "name" else t.key).toSet
+      case Left(_) => Set.empty
+    }
+    val raw = tagNames(tags, exprs, tagPrefix, limit, flags)
+      .collect().map(_.getString(0))
+      .map(t => if (t == "__name__") "name" else t)
+      .filterNot(usedTags)
+    val withName =
+      if (!raw.contains("name") && !usedTags("name") &&
+        (tagPrefix.isEmpty || "name".startsWith(tagPrefix)))
+        raw :+ "name"
+      else raw
+    withName.sorted.take(limit).toSeq
+  }
+
   /** `/tags/autoComplete/values`: distinct values of one tag,
     * optionally constrained and value-prefixed (`autocomplete.go:640-652`):
     * `substr(Tag1, len(tag)+2)` over rows whose `tag1` starts with

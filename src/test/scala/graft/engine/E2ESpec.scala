@@ -67,6 +67,16 @@ class E2ESpec extends AnyFunSuite {
     assert(values("colon", List("percent=%")) == List(":"))
   }
 
+  test("tags_checks: tag-name autocomplete with name alias and used-tag drop") {
+    assert(Autocomplete.tagNamesComplete(tagsTable, List("tag2=value21")) ==
+      Seq("name", "tag1", "tag3", "tag4"))
+    // no exprs: every tag name over all tagged series, `name` aliased
+    val all = Autocomplete.tagNamesComplete(tagsTable)
+    assert(all.contains("name") && !all.contains("__name__"))
+    assert(Autocomplete.tagNamesComplete(tagsTable, Nil, tagPrefix = "tag") ==
+      Seq("tag1", "tag2", "tag3", "tag4"))
+  }
+
   test("render_checks: plain multi-target grid values") {
     val targets = Seq("test.plain*", "test{1,2}.plain").map { t =>
       val found = Finder.find(index, t)
