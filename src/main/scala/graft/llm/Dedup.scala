@@ -267,14 +267,17 @@ object Dedup {
     * round is one shuffle on id — no driver-side graph.
     */
   def clusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // localCheckpoint (not cache) per round: truncates the growing
+    // lineage so each iteration's plan stays constant-size — iterative
+    // algorithms otherwise pay quadratic analysis/optimization time.
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
-      .cache()
+      .localCheckpoint()
     var labels = edges.select(col("src").as("id"))
       .distinct()
       .withColumn("cluster_id", col("id"))
-      .cache()
+      .localCheckpoint()
     var iter = 0
     var changed = true
     while (changed && iter < maxIter) {
@@ -283,19 +286,18 @@ object Dedup {
           .withColumnRenamed("cluster_id", "n_label"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("n_label")).as("n_min"))
+      // one action per round: materialize next labels AND the change
+      // count together (changed = any label decreased)
       val next = labels.join(viaNeighbors, Seq("id"), "left_outer")
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id")))
-            .as("cluster_id"))
-        .cache()
-      changed = next.join(labels.withColumnRenamed("cluster_id", "old"), Seq("id"))
-        .where(col("cluster_id") =!= col("old"))
-        .limit(1).count() > 0
-      labels.unpersist()
-      labels = next
+            .as("cluster_id"),
+          (col("n_min") < col("cluster_id")).as("changed"))
+        .localCheckpoint()
+      changed = next.where(col("changed")).limit(1).count() > 0
+      labels = next.select("id", "cluster_id")
       iter += 1
     }
-    edges.unpersist()
     labels
   }
 
