@@ -449,6 +449,12 @@ object SparkEntry {
     // ----------------------------------------------------------------
     // LLM track: text analysis
     // ----------------------------------------------------------------
+    // Composite curation pipeline: quality gate → exact dedup →
+    // near-dup cluster dedup (every stage bucketed, no all-pairs).
+    "d_curate" -> ((s, dir) =>
+      graft.llm.Pipeline.curate(s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), col("lang"), col("source"))),
+
     "d_langid" -> ((s, dir) =>
       s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), TextStats.langId(col("text")).as("pred_lang"))),
@@ -547,10 +553,15 @@ object SparkEntry {
       s"list_min(list_transform(hs, h -> (h * ${2 * i + 1} + ${1000003L * i}) % 2147483647)) AS sig_$i")
     val bandKeys = (0 until 4)
       .map(b => s"'$b' || '|' || sig_${2 * b} || '|' || sig_${2 * b + 1}")
-    val minhashBands =
+    def minhashBandsOver(src: String): String =
       s"SELECT doc_id, unnest([${bandKeys.mkString(", ")}]) AS band FROM " +
         s"(SELECT doc_id, ${sigExprs.mkString(", ")} FROM " +
-        s"(SELECT doc_id, $hsExpr AS hs FROM (SELECT doc_id, $sh3 AS sh FROM documents) s1) s2)"
+        s"(SELECT doc_id, $hsExpr AS hs FROM (SELECT doc_id, $sh3 AS sh FROM $src) s1) s2)"
+    val minhashBands = minhashBandsOver("documents")
+
+    val qualityExpr =
+      "0.5 * least(len(string_split_regex(trim(text), '\\s+'))::double / 64.0, 1.0) + " +
+        "0.5 * (length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))::double / greatest(length(text)::double, 1.0))"
 
     val dot = "list_sum(list_transform(generate_series(1, len(a.embedding)), i -> a.embedding[i]::double * b.embedding[i]::double))"
     def norm(t: String) =
@@ -803,6 +814,26 @@ object SparkEntry {
 
       "d_fingerprint" ->
         (s"SELECT doc_id, list_min(list_transform(${shinglesSql(5)}, s -> md5(s))) AS fp FROM documents"),
+
+      "d_curate" ->
+        (s"""WITH RECURSIVE
+           |q AS (SELECT * FROM documents WHERE $qualityExpr >= 0.75),
+           |e AS (SELECT min(doc_id) AS keep FROM q GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))),
+           |qe AS (SELECT * FROM q WHERE doc_id IN (SELECT keep FROM e)),
+           |cands AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM (${minhashBandsOver("qe")}) a
+           |  JOIN (${minhashBandsOver("qe")}) b ON a.band = b.band AND a.doc_id < b.doc_id GROUP BY 1, 2),
+           |sets AS (SELECT doc_id, $sh3 AS sh FROM qe),
+           |verified AS (SELECT p.id_a, p.id_b FROM cands p
+           |  JOIN sets sa ON sa.doc_id = p.id_a JOIN sets sb ON sb.doc_id = p.id_b
+           |  WHERE len(list_intersect(sa.sh, sb.sh))::double / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5),
+           |edges AS (SELECT id_a AS src, id_b AS dst FROM verified UNION SELECT id_b, id_a FROM verified),
+           |nodes AS (SELECT DISTINCT src AS id FROM edges),
+           |reach(id, label) AS (
+           |  SELECT id, id FROM nodes
+           |  UNION
+           |  SELECT e2.dst, r.label FROM reach r JOIN edges e2 ON e2.src = r.id),
+           |losers AS (SELECT id FROM (SELECT id, min(label) AS lbl FROM reach GROUP BY id) t WHERE id <> lbl)
+           |SELECT doc_id, lang, source FROM qe WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin),
 
       "d_langid" ->
         (s"""WITH scores AS ($langScores),

@@ -1,0 +1,32 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Composite training-data curation pipeline — the end-to-end shape a
+  * 100 TB corpus pass takes, assembled from the individual operators:
+  *
+  *   1. quality gate (cheap per-row scoring — map-only, runs first so
+  *      everything downstream sees less data);
+  *   2. exact dedup on normalized text (one hash aggregate);
+  *   3. MinHash-LSH near-dup candidates → Jaccard verify → connected
+  *      components → keep-first (banded/bucketed throughout — no
+  *      all-pairs stage at any step).
+  *
+  * Returns the surviving documents. Every stage is independently
+  * oracle-checked; the composite is too (`d_curate`).
+  */
+object Pipeline {
+
+  def curate(
+      docs: DataFrame,
+      qualityThreshold: Double = 0.75,
+      nearDupThreshold: Double = 0.5): DataFrame = {
+    val quality = docs.where(TextStats.qualityScore(col("text")) >= qualityThreshold)
+    val exact = Dedup.exactKeep(quality, md5(Dedup.normalizedText(col("text"))))
+    val pairs = Dedup
+      .minhashNearDups(exact, col("text"), col("doc_id"), threshold = nearDupThreshold)
+      .select("id_a", "id_b")
+    Dedup.nearDupKeep(exact, pairs)
+  }
+}
