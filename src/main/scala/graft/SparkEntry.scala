@@ -488,6 +488,17 @@ object SparkEntry {
           col("neighbor_id"), col("sim"))
     }),
 
+    // One distributed Lloyd's iteration (IVF training): per-centroid
+    // dimension means after nearest-centroid assignment.
+    "e_kmeans_step" -> ((s, dir) => {
+      val vecs = s.read.parquet(s"$dir/embeddings.parquet")
+      val centroids = vecs.where(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+      Similarity.kmeansStep(vecs, centroids)
+        .select(col("centroid_id"), col("pos").cast("long").as("pos"),
+          round(col("m"), 4).as("m"))
+    }),
+
     "e_ivf_assign" -> ((s, dir) => {
       val vecs = s.read.parquet(s"$dir/embeddings.parquet")
       val centroids = vecs.where(col("vec_id") < 8)
@@ -873,6 +884,21 @@ object SparkEntry {
            |   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored)
            |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(sim, 4) AS sim
            |FROM ranked WHERE rank <= 3 AND query_id < 50""".stripMargin),
+
+      "e_kmeans_step" ->
+        (s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cent FROM embeddings WHERE vec_id < 8),
+           | scored AS (SELECT a.vec_id, c.centroid_id,
+           |   list_sum(list_transform(generate_series(1, len(a.embedding)), i -> a.embedding[i]::double * c.cent[i]::double)) /
+           |   (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)), i -> a.embedding[i]::double * a.embedding[i]::double))) *
+           |    sqrt(list_sum(list_transform(generate_series(1, len(c.cent)), i -> c.cent[i]::double * c.cent[i]::double)))) AS sim
+           |   FROM embeddings a, cents c),
+           | assign AS (SELECT vec_id, centroid_id FROM (
+           |   SELECT vec_id, centroid_id, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id ASC) AS rank FROM scored) r
+           |   WHERE rank = 1)
+           |SELECT a.centroid_id, pos - 1 AS pos, round(avg(v::double), 4) AS m
+           |FROM (SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS pos FROM embeddings) x
+           |JOIN assign a ON a.vec_id = x.vec_id
+           |GROUP BY 1, 2""".stripMargin),
 
       "e_ivf_assign" ->
         (s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cent FROM embeddings WHERE vec_id < 8),

@@ -96,6 +96,49 @@ object Similarity {
         round(col("sim"), 4).as("sim"))
   }
 
+  /** One Lloyd's iteration for IVF training: assign every vector to
+    * its nearest centroid, then recompute per-centroid dimension means
+    * — posexplode + ONE two-phase hash aggregate on
+    * (centroid, dimension); fully distributed, no driver math.
+    * Returns long-form (centroid_id, pos, m).
+    */
+  def kmeansStep(
+      vectors: DataFrame,
+      centroids: DataFrame,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val assigned = ivfAssign(vectors, centroids, idCol, embCol)
+      .select(col(idCol).as("vid"), col("centroid_id"))
+    vectors.select(col(idCol).as("vid"), col(embCol).as("emb"))
+      .join(assigned, Seq("vid"))
+      .select(col("centroid_id"), posexplode(col("emb")))
+      .groupBy(col("centroid_id"), col("pos"))
+      .agg(avg(col("col").cast("double")).as("m"))
+  }
+
+  /** Full IVF training loop: deterministic init (lowest-id vectors),
+    * `iters` Lloyd iterations, lineage truncated per round. Returns
+    * (centroid_id, centroid: Array[Double]).
+    */
+  def kmeans(
+      vectors: DataFrame,
+      k: Int,
+      iters: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    var centroids = vectors.where(col(idCol) < k)
+      .select(col(idCol).cast("long").as("centroid_id"), col(embCol).as("centroid"))
+    for (_ <- 0 until iters) {
+      centroids = kmeansStep(vectors, centroids, idCol, embCol)
+        .groupBy("centroid_id")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          e => e.getField("m")).as("centroid"))
+        .localCheckpoint()
+    }
+    centroids
+  }
+
   /** Embedding-cosine near-duplicate pairs: sign-LSH bucketed
     * candidate generation + in-bucket cosine threshold — the
     * embedding-space analog of MinHash-LSH dedup. Near-identical

@@ -18,6 +18,20 @@ class ClusterSpec extends AnyFunSuite {
     assert(cl == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("kmeans: distributed Lloyd iterations converge to cluster means") {
+    import spark.implicits._
+    // two obvious clusters around (1,0) and (0,1); ids 0/1 seed one each
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.1f)), (2L, Seq(0.9f, 0.0f)), (4L, Seq(1.1f, -0.1f)),
+      (1L, Seq(0.1f, 1.0f)), (3L, Seq(0.0f, 0.9f)), (5L, Seq(-0.1f, 1.1f)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.kmeans(vecs, k = 2, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(cents.keySet == Set(0L, 1L))
+    assert(math.abs(cents(0L).head - 1.0) < 0.01 && math.abs(cents(0L)(1) - 0.0) < 0.01)
+    assert(math.abs(cents(1L).head - 0.0) < 0.01 && math.abs(cents(1L)(1) - 1.0) < 0.01)
+  }
+
   test("nearDupKeep: min-id survivor per cluster, untouched docs kept") {
     import spark.implicits._
     val docs = Seq(1L, 2L, 3L, 5L).toDF("doc_id")
