@@ -122,6 +122,12 @@ object SparkEntry {
     "g_find_reversed" -> ((s, dir) =>
       Finder.find(GraphiteTables.index(s, dir), "*.*.user3")),
 
+    // Daily-index find (P6): only metrics ACTIVE in the window match;
+    // the date filter partition-prunes the daily index levels.
+    "g_find_daily" -> ((s, dir) =>
+      Finder.find(GraphiteTables.index(s, dir), "events.*.*",
+        from = WFrom, until = WFrom + 86399)),
+
     "g_find_brace" -> ((s, dir) =>
       Finder.find(GraphiteTables.index(s, dir), "events.{click,error}.*")),
 
@@ -289,7 +295,7 @@ object SparkEntry {
     // Tagged: tags table, seriesByTag, autocomplete (P7-P10, A10-A12, O2-O3, F3)
     // ----------------------------------------------------------------
     "g_tags" -> ((s, dir) =>
-      GraphiteTables.tags(s, dir).select(col("tag1"), col("path"))),
+      GraphiteTables.tags(s, dir).select(col("tag1"), col("path")).distinct()),
 
     "g_seriesbytag" -> ((s, dir) =>
       Finder.findTagged(GraphiteTables.tags(s, dir),
@@ -601,13 +607,14 @@ object SparkEntry {
 
       "g_index" ->
         (s"""WITH pts AS ($PtsSql),
-           | firstseen AS (SELECT path, CAST(min(make_timestamp(t*1000000)) AS DATE) AS d FROM pts GROUP BY path)
-           |SELECT CAST(d AS VARCHAR) AS date, CAST(3 AS BIGINT) AS level, path FROM firstseen
-           |UNION ALL SELECT CAST(d AS VARCHAR), 10003, string_split(path, '.')[3] || '.' || string_split(path, '.')[2] || '.' || string_split(path, '.')[1] FROM firstseen
+           | daily AS (SELECT DISTINCT path, CAST(make_timestamp(t*1000000) AS DATE) AS d FROM pts),
+           | metrics AS (SELECT DISTINCT path FROM pts)
+           |SELECT CAST(d AS VARCHAR) AS date, CAST(3 AS BIGINT) AS level, path FROM daily
+           |UNION ALL SELECT CAST(d AS VARCHAR), 10003, string_split(path, '.')[3] || '.' || string_split(path, '.')[2] || '.' || string_split(path, '.')[1] FROM daily
            |UNION ALL SELECT DISTINCT '1970-02-12', 20001, 'events.' FROM pts
            |UNION ALL SELECT DISTINCT '1970-02-12', 20002, string_split(path, '.')[1] || '.' || string_split(path, '.')[2] || '.' FROM pts
-           |UNION ALL SELECT '1970-02-12', 20003, path FROM firstseen
-           |UNION ALL SELECT '1970-02-12', 30003, string_split(path, '.')[3] || '.' || string_split(path, '.')[2] || '.' || string_split(path, '.')[1] FROM firstseen""".stripMargin),
+           |UNION ALL SELECT '1970-02-12', 20003, path FROM metrics
+           |UNION ALL SELECT '1970-02-12', 30003, string_split(path, '.')[3] || '.' || string_split(path, '.')[2] || '.' || string_split(path, '.')[1] FROM metrics""".stripMargin),
 
       "g_index_dump" ->
         (s"SELECT path FROM ($pathsAllTime) t"),
@@ -622,6 +629,11 @@ object SparkEntry {
       "g_find_reversed" ->
         (s"SELECT DISTINCT path, true AS is_leaf FROM ($PtsSql) p " +
           "WHERE regexp_matches(path, '^[^.]*\\.[^.]*\\.user3$')"),
+
+      "g_find_daily" ->
+        (s"SELECT DISTINCT path, true AS is_leaf FROM ($PtsSql) p " +
+          s"WHERE regexp_matches(path, '^events\\.[^.]*\\.[^.]*$$') " +
+          s"AND CAST(make_timestamp(t*1000000) AS DATE) = DATE '2024-01-01'"),
 
       "g_find_brace" ->
         (s"SELECT DISTINCT path, true AS is_leaf FROM ($PtsSql) p " +
@@ -700,8 +712,10 @@ object SparkEntry {
             "WHERE regexp_matches(path, '^events\\.[^.]*\\.user1[^.]*$')") + ") r2"),
 
       "g_tag1_counts" ->
-        ("SELECT 'type=click' AS tag1, count(DISTINCT user_id) AS cnt FROM events WHERE event_type = 'click' " +
-          "UNION ALL SELECT 'user=3' AS tag1, count(DISTINCT event_type) AS cnt FROM events WHERE user_id = 3"),
+        // count table sums per-day rows (SummingMergeTree MV semantics):
+        // one row per (series, active day) → series-days per tag
+        ("SELECT 'type=click' AS tag1, count(DISTINCT (user_id, CAST(make_timestamp((epoch_us(ts)//1000000)*1000000) AS DATE))) AS cnt FROM events WHERE event_type = 'click' " +
+          "UNION ALL SELECT 'user=3' AS tag1, count(DISTINCT (event_type, CAST(make_timestamp((epoch_us(ts)//1000000)*1000000) AS DATE))) AS cnt FROM events WHERE user_id = 3"),
 
       "g_any_anylast" ->
         (s"""SELECT path, t - t % 600 AS time,

@@ -83,8 +83,8 @@ object GraphiteTables {
   def index(spark: SparkSession, dir: String): DataFrame =
     expandIndexRows(
       points(spark, dir)
-        .groupBy("path")
-        .agg(min("date").as("date"), max("version").as("version")))
+        .groupBy("path", "date")
+        .agg(max("version").as("version")))
 
   /** Ancestor expansion of a (path, date, version) metric batch into
     * index rows — shared by the batch derivation above and the
@@ -152,6 +152,6 @@ object GraphiteTables {
   def tags(spark: SparkSession, dir: String): DataFrame =
     expandTagRows(
       pointsTagged(spark, dir)
-        .groupBy("path")
-        .agg(min("date").as("date"), max("version").as("version")))
+        .groupBy("path", "date")
+        .agg(max("version").as("version")))
 }

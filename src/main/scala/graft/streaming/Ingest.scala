@@ -68,9 +68,11 @@ object Ingest {
         .partitionBy("date")
         .parquet(s"$outDir/points")
 
+      // per (path, day): the reference's carbon writer emits daily
+      // index/tag rows for every active day (`doc/index-table.md`)
       val newMetrics = parsed
-        .groupBy("path", "is_tagged")
-        .agg(min("date").as("date"), max("version").as("version"))
+        .groupBy("path", "is_tagged", "date")
+        .agg(max("version").as("version"))
         .cache()
 
       GraphiteTables.expandIndexRows(
