@@ -103,6 +103,24 @@ class SinkSpec extends AnyFunSuite {
       "[{path=\"a\",leaf=1}]\r\n")
   }
 
+  test("find pickle: loadable protocol-2 list of dicts") {
+    val b = FindSink.pickle(Seq(("a.b", true), ("a.c", false)))
+    assert(b(0) == 0x80.toByte && b.last == '.'.toByte)
+    Files.createDirectories(Paths.get("target"))
+    Files.write(Paths.get("target/find_pickle_sample.bin"), b)
+    assert(FindSink.pickle(Nil).toSeq == PickleSink.emptyList.toSeq)
+  }
+
+  test("find protobuf: GlobResponse layout") {
+    val fields = parseFields(FindSink.protobuf("a.*", Seq(("a.b", true), ("a.c", false))))
+    assert(new String(fields.head._3.toOption.get, "UTF-8") == "a.*")
+    val matches = fields.filter(_._1 == 2).map(f => parseFields(f._3.toOption.get))
+    assert(matches.length == 2)
+    assert(new String(matches.head.head._3.toOption.get, "UTF-8") == "a.b")
+    assert(matches.head(1)._3.left.toOption.contains(1L))
+    assert(matches(1)(1)._3.left.toOption.contains(0L))
+  }
+
   test("autocomplete JSON array") {
     assert(JsonSink.autocomplete(Seq("env", "host")) == """["env","host"]""")
     assert(JsonSink.autocomplete(Nil) == "[]")

@@ -9,15 +9,8 @@ object DriveScratch {
       .config("spark.sql.session.timeZone", "UTC").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
-
-    def show(name: String): Unit = {
-      println(s"==== PLAN $name")
-      graft.SparkEntry.queries(name)(spark, dir).explain("formatted")
-    }
-    show("g_render_avg")
-    show("q_semijoin")
-    show("g_find_glob")
-    show("d_minhash_pairs")
+    println("==== PLAN g_render_scalable")
+    graft.SparkEntry.queries("g_render_scalable")(spark, dir).explain("formatted")
     spark.stop()
   }
 }
