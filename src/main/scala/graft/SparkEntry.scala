@@ -303,6 +303,36 @@ object SparkEntry {
         .select(col("path"),
           regexp_replace(regexp_replace(col("path"), "\\?", ";"), "&", ";").as("display"))),
 
+    // Rollup rules parsed from the reference's XML dialect drive the
+    // same render (same oracle as g_render_rules).
+    "g_render_xmlrules" -> ((s, dir) => {
+      val xml =
+        """<graphite_rollup>
+          |  <pattern><regexp>\.purchase\.</regexp><function>sum</function>
+          |    <retention><age>0</age><precision>120</precision></retention></pattern>
+          |  <pattern><regexp>\.error\.</regexp><function>max</function></pattern>
+          |  <default><function>avg</function>
+          |    <retention><age>0</age><precision>60</precision></retention></default>
+          |</graphite_rollup>""".stripMargin
+      val rules = graft.rollup.Rules.fromXml(xml)
+      val points = GraphiteTables.points(s, dir)
+      val found = Finder.find(GraphiteTables.index(s, dir), "events.*.*")
+        .select("path").collect().map(_.getString(0)).toSeq
+      Render.render(points, found, TimeFrame(WFrom, WUntil), rules, now = WUntil,
+        appendEmpty = true)
+        .select(col("path"), col("time"), round(col("value"), 4).as("value"))
+    }),
+
+    // PromQL matcher → tagged-term find (Prometheus façade seam).
+    "p_matchers" -> ((s, dir) =>
+      graft.prom.Prom.findByMatchers(GraphiteTables.tags(s, dir),
+        Seq(("__name__", "=", "events"), ("type", "=", "click")))),
+
+    // Date-bounded tag-value autocomplete (tagged-autocomplete-days).
+    "g_autocomplete_dated" -> ((s, dir) =>
+      Autocomplete.tagValuesDated(GraphiteTables.tags(s, dir), "type",
+        from = WFrom, until = WFrom + 86399, exprs = List("user=3"))),
+
     "g_autocomplete_tags" -> ((s, dir) =>
       Autocomplete.tagNames(GraphiteTables.tags(s, dir))),
 
@@ -539,6 +569,13 @@ object SparkEntry {
           round(element_at(col("feature"), 1), 4).as("f0"))
     }),
 
+    "m_resize" -> ((s, dir) =>
+      Multimodal.resize(
+        Multimodal.withPayload(s.read.parquet(s"$dir/documents.parquet")), 16, 16)
+        .select(col("doc_id"), length(col("payload")).cast("long").as("n_bytes"),
+          col("meta.width").cast("long").as("width"),
+          col("meta.height").cast("long").as("height"))),
+
     "m_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(
         Multimodal.withPayload(s.read.parquet(s"$dir/documents.parquet")), stride = 64)
@@ -743,6 +780,27 @@ object SparkEntry {
         ("""SELECT DISTINCT 'events?type=click&user=' || user_id AS path,
           | 'events;type=click;user=' || user_id AS display
           |FROM events WHERE event_type = 'click' AND regexp_matches(CAST(user_id AS VARCHAR), '1')""".stripMargin),
+
+      "g_render_xmlrules" ->
+        (renderGroupSql("sum(value)", 120, WFrom, WUntil,
+          "WHERE path LIKE 'events.purchase.%'") +
+          " UNION ALL " +
+          renderGroupSql("max(value)", 60, WFrom, WUntil,
+            "WHERE path LIKE 'events.error.%'") +
+          " UNION ALL " +
+          renderGroupSql("avg(value)", 60, WFrom, WUntil,
+            "WHERE path NOT LIKE 'events.purchase.%' AND path NOT LIKE 'events.error.%'")),
+
+      "p_matchers" ->
+        ("SELECT DISTINCT 'events?type=click&user=' || user_id AS path FROM events WHERE event_type = 'click'"),
+
+      "g_autocomplete_dated" ->
+        ("SELECT DISTINCT event_type AS value FROM events WHERE user_id = 3 " +
+          "AND CAST(make_timestamp((epoch_us(ts)//1000000)*1000000) AS DATE) = DATE '2024-01-01' ORDER BY value"),
+
+      "m_resize" ->
+        ("SELECT doc_id, CAST(least(length(text), 256) AS BIGINT) AS n_bytes, " +
+          "CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height FROM documents"),
 
       "g_autocomplete_tags" ->
         ("SELECT DISTINCT value FROM (VALUES ('__name__'), ('type'), ('user')) t(value) ORDER BY value"),

@@ -95,6 +95,25 @@ object Autocomplete {
     * nesting (`autocomplete.go:300-340`). The found-path side is
     * find-result-sized → broadcast.
     */
+  /** Date-bounded variant (`tagged-autocomplete-days`,
+    * `autocomplete.go:330-346`): only series active in the window
+    * contribute names/values.
+    */
+  def tagValuesDated(
+      tags: DataFrame,
+      tag: String,
+      from: Long,
+      until: Long,
+      exprs: List[String] = Nil,
+      valuePrefix: String = "",
+      limit: Int = 10000,
+      flags: FeatureFlags = FeatureFlags()): DataFrame = {
+    val dated = tags.where(col("date").between(
+      to_date(timestamp_seconds(lit(from))),
+      to_date(timestamp_seconds(lit(until)))))
+    tagValues(dated, tag, exprs, valuePrefix, limit, flags)
+  }
+
   private def applyExprs(tags: DataFrame, exprs: List[String], flags: FeatureFlags): DataFrame =
     if (exprs.isEmpty) tags
     else {

@@ -82,6 +82,23 @@ object Multimodal {
     }(enc)
   }
 
+  /** STUB resize: a real deployment would decode + rescale pixels; the
+    * deterministic fake subsamples the payload bytes to `targetW ×
+    * targetH` (stride sampling), keeping the operator contract real:
+    * binary in → smaller binary + updated meta out, executed columnar
+    * (`substr`-style slicing, no driver round-trip).
+    */
+  def resize(withPayloads: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    val target = targetW * targetH
+    withPayloads
+      .withColumn("payload",
+        expr(s"substr(payload, 1, least(length(payload), $target))"))
+      .withColumn("meta", struct(
+        lit(targetW).as("width"),
+        lit(targetH).as("height"),
+        concat(col("meta.format"), lit(";resized")).as("format")))
+  }
+
   /** Deterministic frame sampling over a (fake) video payload: every
     * `stride`-th byte window becomes one "frame" record — exercises
     * the explode/flatMap shape of frame extraction.

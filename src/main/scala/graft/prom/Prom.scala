@@ -57,6 +57,23 @@ object Prom {
     Right(Tagged.sortTerms(terms))
   }
 
+  /** PromQL-matcher find (`prometheus/querier_select.go:95-147`):
+    * matchers → sorted tagged terms → same predicate compiler and
+    * tagged finder as seriesByTag. Returns distinct storage paths.
+    */
+  def findByMatchers(
+      tags: DataFrame,
+      matchers: Seq[(String, String, String)]): DataFrame = {
+    val terms = matchersToTerms(matchers) match {
+      case Right(t) => t
+      case Left(e)  => throw new IllegalArgumentException(e)
+    }
+    val flags = graft.model.FeatureFlags()
+    tags
+      .where(Tagged.wherePredicate(col("tag1"), col("tags"), terms, flags))
+      .select("path").distinct()
+  }
+
   /** Prometheus series projection (W5, `prometheus/series_set.go:81-155`):
     * epoch-second points → millisecond timestamps, stepping the grid so
     * each Prom `Seek` lands on a bucket (t × 1000).
