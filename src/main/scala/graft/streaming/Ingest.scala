@@ -94,4 +94,33 @@ object Ingest {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch((batch: DataFrame, _: Long) => processBatch(batch, outDir))
+
+  /** In-stream exact-duplicate suppression within the lateness bound
+    * (SURVEY §2.9): watermark + `dropDuplicatesWithinWatermark` on the
+    * full write identity. Read-side `max_by(version)` dedup remains
+    * the correctness backstop for duplicates arriving later than the
+    * watermark — matching the reference's ReplacingMergeTree +
+    * read-dedup split exactly.
+    */
+  def withStreamDedup(parsed: DataFrame, lateness: String = "1 hour"): DataFrame =
+    parsed
+      .withColumn("event_time", timestamp_seconds(col("time")))
+      .withWatermark("event_time", lateness)
+      .dropDuplicatesWithinWatermark("path", "time", "version")
+      .drop("event_time")
+
+  /** Streaming tumbling rollup (§2.9 "Windows"): watermarked
+    * event-time windows, partial aggregates maintained by the state
+    * store, append-mode emission once the watermark passes the window
+    * end. The step must match the retention the hot tier serves.
+    */
+  def streamingRollup(lines: DataFrame, stepSeconds: Int, lateness: String = "30 seconds"): DataFrame =
+    parseLines(lines)
+      .withColumn("event_time", timestamp_seconds(col("time")))
+      .withWatermark("event_time", lateness)
+      .groupBy(col("path"), window(col("event_time"), s"$stepSeconds seconds"))
+      .agg(avg(col("value")).as("value"), count(lit(1)).as("n"))
+      .select(col("path"),
+        col("window.start").cast("long").as("time"),
+        col("value"), col("n"))
 }

@@ -68,6 +68,58 @@ class IngestSpec extends AnyFunSuite {
       Set("m?dc=ams&env=prod")) // tags sorted in storage form
   }
 
+  test("streaming tumbling rollup with watermark emits closed windows") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val stream = MemoryStream[String]
+    // two windows for a.b; duplicates within a window average together
+    stream.addData(
+      "a.b 1.0 100", "a.b 3.0 105", // window [100, 110)
+      "a.b 5.0 110",                // window [110, 120)
+      "a.b 9.0 500")                // far future: advances watermark past both
+    val q = Ingest.streamingRollup(stream.toDF(), stepSeconds = 10)
+      .writeStream.format("memory").queryName("roll").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.table("roll").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.contains(("a.b", 100L, 2.0, 2L)))
+    assert(rows.contains(("a.b", 110L, 5.0, 1L)))
+  }
+
+  test("in-stream dedup drops exact duplicates within the watermark") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val stream = MemoryStream[String]
+    stream.addData("a.b 1.0 100", "a.b 1.0 100", "a.c 2.0 100")
+    val q = Ingest.withStreamDedup(Ingest.parseLines(stream.toDF()))
+      .writeStream.format("memory").queryName("dedup").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(spark.table("dedup").count() == 2)
+  }
+
+  test("ingested points table partition-prunes on date") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-prune").toFile.getAbsolutePath
+    val lines = Seq(
+      "a.b 1.0 1704067200",  // 2024-01-01
+      "a.b 2.0 1704153600",  // 2024-01-02
+      "a.b 3.0 1704240000"). // 2024-01-03
+      toDF("value")
+    Ingest.processBatch(Ingest.parseLines(lines), s"$dir/t")
+    val pts = spark.read.parquet(s"$dir/t/points")
+      .where(col("date") === "2024-01-02")
+    // date is a physical partition column of the ingested layout: the
+    // filter must prune directories, not scan+filter rows
+    val plan = pts.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("(date#") || plan.contains("date = 2024-01-02"),
+      s"no partition filter in plan:\n$plan")
+    assert(pts.count() == 1)
+  }
+
   test("late duplicate across batches resolved by read-side dedup") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
