@@ -176,6 +176,16 @@ object SparkEntry {
         .select(col("path"), col("time"), round(col("value"), 4).as("value"))
     }),
 
+    // The distributed render at the headline shape (same oracle).
+    "g_render_headline_scalable" -> ((s, dir) => {
+      val points = GraphiteTables.points(s, dir)
+      val found = Finder.find(GraphiteTables.index(s, dir), "events.*.*")
+        .where(col("is_leaf")).select("path")
+      Render.renderScalable(points, found, TimeFrame(MFrom, MUntil, maxDataPoints = 100),
+        uniformRules, now = MUntil, appendEmpty = true)
+        .select(col("path"), col("time"), round(col("value"), 4).as("value"))
+    }),
+
     "g_render_rules" -> ((s, dir) => {
       val points = GraphiteTables.points(s, dir)
       val found = Finder.find(GraphiteTables.index(s, dir), "events.*.*")
@@ -332,6 +342,14 @@ object SparkEntry {
     "g_autocomplete_dated" -> ((s, dir) =>
       Autocomplete.tagValuesDated(GraphiteTables.tags(s, dir), "type",
         from = WFrom, until = WFrom + 86399, exprs = List("user=3"))),
+
+    // Cost-ordered tagged find: same results as g_seriesbytag; the
+    // count-table stats pick the tag1 primary term.
+    "g_seriesbytag_costed" -> ((s, dir) => {
+      val tags = GraphiteTables.tags(s, dir)
+      Finder.findTaggedCosted(tags, TagStats.tag1CountPerDay(tags),
+        "seriesByTag('name=events', 'type=click', 'user=~1.*')")
+    }),
 
     "g_autocomplete_tags" -> ((s, dir) =>
       Autocomplete.tagNames(GraphiteTables.tags(s, dir))),
@@ -775,6 +793,15 @@ object SparkEntry {
       "g_tags" ->
         ("""WITH series AS (SELECT DISTINCT 'events?type=' || event_type || '&user=' || user_id AS path, event_type, user_id FROM events)
           |SELECT unnest(['__name__=events', 'type=' || event_type, 'user=' || user_id]) AS tag1, path FROM series""".stripMargin),
+
+      "g_seriesbytag_costed" ->
+        ("SELECT DISTINCT 'events?type=click&user=' || user_id AS path " +
+          "FROM events WHERE event_type = 'click' AND regexp_matches(CAST(user_id AS VARCHAR), '1')"),
+
+      "g_render_headline_scalable" -> {
+        val step = graft.time.StepMath.aggregatedStep(60, MFrom, MUntil, 100)
+        renderGroupSql("avg(value)", step, MFrom, MUntil, "")
+      },
 
       "g_seriesbytag" ->
         ("""SELECT DISTINCT 'events?type=click&user=' || user_id AS path,

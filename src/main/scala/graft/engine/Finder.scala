@@ -142,6 +142,29 @@ object Finder {
       (!col("path").endsWith(".")).as("is_leaf"))
   }
 
+  /** Tagged find with cost-based term ordering from live cardinality
+    * stats (J5, `PrepareTaggedTerms`, `finder/tagged.go:614-637`): the
+    * lowest-count exact term becomes the `tag1` primary filter. Result
+    * set is identical to the uncosted find — the stats only steer
+    * which predicate hits the inverted-index column.
+    */
+  def findTaggedCosted(
+      tags: DataFrame,
+      countTable: DataFrame,
+      expr: String,
+      flags: FeatureFlags = FeatureFlags(),
+      configuredCosts: Map[String, Tagged.Costs] = Map.empty,
+      from: Long = 0,
+      until: Long = 0): DataFrame = {
+    val parsed = Tagged.parseSeriesByTag(expr, flags) match {
+      case Right(t) => t
+      case Left(e)  => throw new IllegalArgumentException(e)
+    }
+    val terms = TagStats.prepareTerms(parsed, Some(countTable), configuredCosts, from, until)
+    val pred = Tagged.wherePredicate(col("tag1"), col("tags"), terms, flags)
+    tags.where(pred).select("path").distinct()
+  }
+
   /** Tagged find: seriesByTag expression → distinct storage paths
     * (`finder/tagged.go:440-502`). The first (most selective) term
     * lands on the `tag1` inverted-index column; the rest filter the
