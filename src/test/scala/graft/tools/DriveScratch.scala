@@ -9,8 +9,11 @@ object DriveScratch {
       .config("spark.sql.session.timeZone", "UTC").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
-    println("==== PLAN g_render_scalable")
-    graft.SparkEntry.queries("g_render_scalable")(spark, dir).explain("formatted")
+    for (name <- Seq("d_minhash_pairs", "e_lsh_knn", "e_neardup", "d_jaccard_pairs",
+        "g_render_headline_scalable")) {
+      println(s"==== PLAN $name")
+      graft.SparkEntry.queries(name)(spark, dir).explain("formatted")
+    }
     spark.stop()
   }
 }
