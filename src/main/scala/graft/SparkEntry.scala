@@ -116,6 +116,16 @@ object SparkEntry {
     "g_find_glob" -> ((s, dir) =>
       Finder.find(GraphiteTables.index(s, dir), "events.*.user1*")),
 
+    // Native codegen'd GlobMatch expression (no regex engine) on the
+    // same find shape as g_find_glob.
+    "g_find_native" -> ((s, dir) =>
+      GraphiteTables.index(s, dir)
+        .where(col("level") === 20003 &&
+          col("date") === lit(graft.model.Schemas.DefaultTreeDate).cast("date") &&
+          graft.compiler.GlobCompiler.globNative(col("path"), "events.*.user1*",
+            optionalDotAtEnd = true))
+        .select("path").distinct()),
+
     "g_find_nonleaf" -> ((s, dir) =>
       Finder.find(GraphiteTables.index(s, dir), "events.*")),
 
@@ -676,6 +686,10 @@ object SparkEntry {
 
       "g_find_glob" ->
         (s"SELECT DISTINCT path, true AS is_leaf FROM ($PtsSql) p " +
+          "WHERE regexp_matches(path, '^events\\.[^.]*\\.user1[^.]*$')"),
+
+      "g_find_native" ->
+        (s"SELECT DISTINCT path FROM ($PtsSql) p " +
           "WHERE regexp_matches(path, '^events\\.[^.]*\\.user1[^.]*$')"),
 
       "g_find_nonleaf" ->

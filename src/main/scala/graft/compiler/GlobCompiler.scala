@@ -43,6 +43,30 @@ object GlobCompiler {
   /** Tree-glob (find) form: non-leaf index rows carry a trailing dot. */
   def treeGlob(field: Column, query: String): Column = glob(field, query, optionalDotAtEnd = true)
 
+  /** Native-matcher variant: same semantics, but the residual wildcard
+    * test is the codegen'd `GlobMatch` expression instead of `rlike`
+    * (no per-row regex engine). The literal-prefix `startsWith` is
+    * kept — it is what prunes parquet row groups. Falls back to the
+    * regex path for globs the token matcher can't express (top-level
+    * commas).
+    */
+  def globNative(field: Column, query0: String, optionalDotAtEnd: Boolean = false): Column = {
+    if (query0 == "*") return lit(true)
+    val query = Glob.clearGlob(query0)
+    if (!Glob.hasWildcard(query)) {
+      return if (optionalDotAtEnd) field.isin(query, query + ".") else field === query
+    }
+    val firstWildcard = Glob.indexWildcard(query)
+    val simplePrefix = query.substring(0, firstWildcard)
+    if (simplePrefix.length == query.length - 1 && query.endsWith("*")) {
+      return field.startsWith(simplePrefix)
+    }
+    if (!GlobMatch.expressible(query)) return glob(field, query0, optionalDotAtEnd)
+    val native = GlobMatch.column(field, query, optionalDotAtEnd)
+    if (simplePrefix.isEmpty) native
+    else field.startsWith(simplePrefix) && native
+  }
+
   /** Expanded-glob list → predicate (`finder/split.go` semantics: the
     * union of per-element predicates on one scan instead of N scans).
     */
