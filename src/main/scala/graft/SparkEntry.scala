@@ -275,6 +275,22 @@ object SparkEntry {
           round(col("value"), 4).as("value"))
     }),
 
+    // Multi-timeframe MultiTarget request: two windows, each with its
+    // own targets, unioned with the request-window echo columns.
+    "g_render_timeframes" -> ((s, dir) => {
+      val points = GraphiteTables.points(s, dir)
+      val index = GraphiteTables.index(s, dir)
+      def found(t: String) = Finder.find(index, t)
+        .select("path").collect().map(_.getString(0)).toSeq.map(p => (p, p))
+      val requests = Seq(
+        TimeFrame(NFrom, NUntil) -> Seq("events.click.*" -> found("events.click.*")),
+        TimeFrame(WFrom, WUntil) -> Seq("events.error.*" -> found("events.error.*")))
+      Render.renderMultiTimeframe(points, requests, uniformRules, now = WUntil,
+        appendEmpty = true)
+        .select(col("req_from"), col("req_until"), col("target"), col("path"),
+          col("time"), round(col("value"), 4).as("value"))
+    }),
+
     // Tag cardinality stats (A11/J5): distinct-series counts for the
     // exact terms of a query, from the derived tag1 count table.
     "g_tag1_counts" -> ((s, dir) => {
@@ -779,6 +795,14 @@ object SparkEntry {
           "UNION ALL SELECT 'events.*.user1*' AS target, path AS display_name, path, time, value FROM (" +
           renderGroupSql("avg(value)", 60, NFrom, NUntil,
             "WHERE regexp_matches(path, '^events\\.[^.]*\\.user1[^.]*$')") + ") r2"),
+
+      "g_render_timeframes" ->
+        (s"SELECT $NFrom AS req_from, $NUntil AS req_until, 'events.click.*' AS target, path, time, value FROM (" +
+          renderGroupSql("avg(value)", 60, NFrom, NUntil,
+            "WHERE path LIKE 'events.click.%'") + ") r1 " +
+          s"UNION ALL SELECT $WFrom, $WUntil, 'events.error.*', path, time, value FROM (" +
+          renderGroupSql("avg(value)", 60, WFrom, WUntil,
+            "WHERE path LIKE 'events.error.%'") + ") r2"),
 
       "g_tag1_counts" ->
         // count table sums per-day rows (SummingMergeTree MV semantics):

@@ -114,6 +114,21 @@ object Autocomplete {
     tagValues(dated, tag, exprs, valuePrefix, limit, flags)
   }
 
+  /** Admission gate for autocomplete exprs (`tags-min-in-autocomplete`,
+    * `finder/tagged.go:357-360`): require at least `minTags` exact
+    * non-wildcard terms before scanning.
+    */
+  def checkTagsMinInAutocomplete(
+      exprs: List[String],
+      minTags: Int,
+      flags: FeatureFlags = FeatureFlags()): Either[String, Unit] = {
+    if (minTags <= 0) return Right(())
+    val terms = Tagged.parseConditions(exprs, flags).getOrElse(Nil)
+    if (Tagged.nonWildcardEqCount(terms) < minTags)
+      Left("seriesByTag argument has too much wildcard and regex terms")
+    else Right(())
+  }
+
   private def applyExprs(tags: DataFrame, exprs: List[String], flags: FeatureFlags): DataFrame =
     if (exprs.isEmpty) tags
     else {

@@ -305,6 +305,29 @@ object Render {
     withEmptySeries(filled, appendEmpty)
   }
 
+  /** Multi-timeframe render — the full `MultiTarget` request shape
+    * (`render/data/multi_target.go:21-28,153-248`): independent
+    * timeframes (e.g. carbonapi v3 batches with different windows)
+    * render separately and union, each row carrying its request
+    * window. The reference fans these out as goroutines; here each
+    * timeframe contributes an independent subtree of one union plan
+    * and Spark schedules them together.
+    */
+  def renderMultiTimeframe(
+      points: DataFrame,
+      requests: Seq[(TimeFrame, Seq[(String, Seq[(String, String)])])],
+      rules: Rules,
+      now: Long,
+      consolidateBy: Option[String] = None,
+      appendEmpty: Boolean = false): DataFrame = {
+    val frames = requests.map { case (tf, targets) =>
+      renderMulti(points, targets, tf, rules, now, consolidateBy, appendEmpty)
+        .withColumn("req_from", lit(tf.from))
+        .withColumn("req_until", lit(tf.until))
+    }
+    frames.reduceLeft(_.unionByName(_))
+  }
+
   /** Full render of one timeframe over an already-found path set:
     * per-(step,func) fan-out (A6), union of group results (U1), then
     * gap-fill per group step. `maxDataPoints` inflates the step per

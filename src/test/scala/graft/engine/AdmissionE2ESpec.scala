@@ -47,6 +47,14 @@ class AdmissionE2ESpec extends AnyFunSuite {
     }
   }
 
+  test("tags-min-in-autocomplete gate") {
+    val flags = FeatureFlags(useCarbonBehavior = true)
+    assert(Autocomplete.checkTagsMinInAutocomplete(List("env=prod"), 1, flags).isRight)
+    assert(Autocomplete.checkTagsMinInAutocomplete(List("env=~pr"), 1, flags).isLeft)
+    assert(Autocomplete.checkTagsMinInAutocomplete(List("env="), 1, flags).isLeft)
+    assert(Autocomplete.checkTagsMinInAutocomplete(Nil, 0, flags).isRight)
+  }
+
   test("tags-min-in-query = 1 (carbon behaviour): all-costly terms rejected") {
     val flags = FeatureFlags(useCarbonBehavior = true)
     def find(expr: String): Set[String] =
