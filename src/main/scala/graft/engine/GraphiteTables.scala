@@ -26,6 +26,20 @@ import graft.model.Schemas
   */
 object GraphiteTables {
 
+  /** The derived tables are what ingest would have materialized once;
+    * memoize + cache them per (session, dir) so repeated queries read
+    * the "stored" table instead of re-deriving it — mirroring the
+    * production layout where points/index/tags are real tables.
+    */
+  private val derived =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), DataFrame]()
+
+  private def memo(spark: SparkSession, dir: String, kind: String)(
+      build: => DataFrame): DataFrame =
+    derived.computeIfAbsent(
+      (spark.sparkContext.applicationId, dir, kind),
+      _ => build.cache())
+
   /** events.parquet carries nanosecond timestamps, which Spark's
     * parquet reader rejects by default; read them as raw Long nanos.
     */
@@ -81,10 +95,12 @@ object GraphiteTables {
     * point count.
     */
   def index(spark: SparkSession, dir: String): DataFrame =
-    expandIndexRows(
-      points(spark, dir)
-        .groupBy("path", "date")
-        .agg(max("version").as("version")))
+    memo(spark, dir, "index") {
+      expandIndexRows(
+        points(spark, dir)
+          .groupBy("path", "date")
+          .agg(max("version").as("version")))
+    }
 
   /** Ancestor expansion of a (path, date, version) metric batch into
     * index rows — shared by the batch derivation above and the
@@ -150,8 +166,10 @@ object GraphiteTables {
     * `tag1`, including the `__name__` pseudo-tag.
     */
   def tags(spark: SparkSession, dir: String): DataFrame =
-    expandTagRows(
-      pointsTagged(spark, dir)
-        .groupBy("path", "date")
-        .agg(max("version").as("version")))
+    memo(spark, dir, "tags") {
+      expandTagRows(
+        pointsTagged(spark, dir)
+          .groupBy("path", "date")
+          .agg(max("version").as("version")))
+    }
 }
