@@ -68,6 +68,30 @@ class AggE2ESpec extends AnyFunSuite {
     }
   }
 
+  test("agg_internal: internal-aggregation mode aggregates duplicate writes (no Uniq)") {
+    // `tests/agg_internal`: with internal-aggregation=true the -Resample
+    // SQL has no version dedup — duplicate (path, time) writes all
+    // aggregate. Reproduced by running the bucket rollup WITHOUT the
+    // dedup stage (the A4 pushdown path).
+    val dir = Files.createTempDirectory("graft-ai").toFile.getAbsolutePath + "/t"
+    val names = Seq("test.avg", "test.sum", "test.min", "test.max")
+    ingest(dir, 1, names.flatMap(n => Seq(
+      s"$n 3.0 ${rnow - 30}", s"$n 0.0 ${rnow - 20}",
+      s"$n 1.0 ${rnow - 10}", s"$n 2.0 $rnow")))
+    ingest(dir, 2, names.flatMap(n => Seq(
+      s"$n 0.0 ${rnow - 10}", s"$n 4.0 $rnow")))
+
+    val points = spark.read.parquet(s"$dir/points")
+      .where(col("time").between(rnow - 10, rnow + 9))
+    def rolled(name: String, fn: graft.rollup.AggFunc): Map[Long, Double] =
+      Render.rollup(points.where(col("path") === name), 10, fn)
+        .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(rolled("test.avg", AggFunc.Avg) == Map(rnow - 10 -> 0.5, rnow -> 3.0))
+    assert(rolled("test.sum", AggFunc.Sum) == Map(rnow - 10 -> 1.0, rnow -> 6.0))
+    assert(rolled("test.min", AggFunc.Min) == Map(rnow - 10 -> 0.0, rnow -> 2.0))
+    assert(rolled("test.max", AggFunc.Max) == Map(rnow - 10 -> 1.0, rnow -> 4.0))
+  }
+
   private def emptySeriesTables: String = {
     val dir = Files.createTempDirectory("graft-es").toFile.getAbsolutePath + "/t"
     // no precision truncation here: batch 2's rnow-1/rnow+1 are
