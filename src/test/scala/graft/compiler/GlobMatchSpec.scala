@@ -38,6 +38,20 @@ class GlobMatchSpec extends AnyFunSuite {
     assert(!GlobMatch.expressible("a,b.c"))
   }
 
+  test("glob_match registered as a SQL function") {
+    import spark.implicits._
+    graft.GraftFunctions.register(spark)
+    paths.toDF("path").createOrReplaceTempView("gm_paths")
+    val got = spark.sql(
+      "SELECT path FROM gm_paths WHERE glob_match(path, 'a.*.c')")
+      .as[String].collect().toSet
+    assert(got == Set("a.b.c", "a.bb.c"))
+    val withDot = spark.sql(
+      "SELECT path FROM gm_paths WHERE glob_match(path, 'a.b', true)")
+      .as[String].collect().toSet
+    assert(withDot == Set("a.b", "a.b."))
+  }
+
   test("DataFrame predicate: native equals regex path under codegen") {
     import spark.implicits._
     val df = paths.toDF("path").cache()
