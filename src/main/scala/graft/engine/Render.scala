@@ -162,13 +162,16 @@ object Render {
       appendEmpty: Boolean): DataFrame =
     if (appendEmpty) gapFilled
     else {
-      // drop series that are entirely null (had no points at all)
+      // drop series that are entirely null (had no points at all);
+      // no broadcast hint — the path set is find-result-sized in the
+      // collected variant but unbounded in renderScalable, so AQE
+      // picks broadcast vs shuffle by actual size
       val counts = gapFilled
         .groupBy("path")
         .agg(count(col("value")).as("n"))
         .where(col("n") > 0)
         .select("path")
-      gapFilled.join(broadcast(counts), Seq("path"), "left_semi")
+      gapFilled.join(counts, Seq("path"), "left_semi")
     }
 
   /** Hot ∪ cold union (S5/J3, `render/data/data.go:94-130`): recent
