@@ -244,6 +244,21 @@ object SparkEntry {
         .select(col("path"), col("time"), round(col("value"), 4).as("value"))
     }),
 
+    // Retention compaction (GraphiteMergeTree merge analog): per-row
+    // age picks the retention band; ≥2-week-old purchase points land
+    // on the 600 s grid, younger on 120 s, everything else 60 s.
+    "g_compaction" -> ((s, dir) => {
+      val rules = Rules(
+        List(
+          Pattern(RuleType.All, "\\.purchase\\.", Some(AggFunc.Sum),
+            List(Retention(0, 120), Retention(1209600, 600))),
+          Pattern(RuleType.All, "\\.error\\.", Some(AggFunc.Max), Nil)),
+        defaultPrecision = 60L,
+        defaultFunction = Some(AggFunc.Avg))
+      graft.streaming.Compaction.compact(GraphiteTables.points(s, dir), rules, now = MUntil)
+        .select(col("path"), col("time"), round(col("value"), 4).as("value"))
+    }),
+
     "g_dedup_uniq" -> ((s, dir) =>
       Render.dedup(GraphiteTables.points(s, dir))
         .select(col("path"), col("time"), col("value"))),
@@ -781,6 +796,16 @@ object SparkEntry {
       "g_render_nonempty" ->
         (s"SELECT * FROM (${renderGroupSql("avg(value)", 60, NFrom, NUntil, "")}) r " +
           "WHERE path IN (SELECT path FROM (" + ddSql(NFrom, NUntil) + ") dd2)"),
+
+      "g_compaction" ->
+        (s"""WITH dd AS (SELECT path, t, arg_max(value, version) AS value FROM ($PtsSql) pts GROUP BY path, t),
+           |r AS (SELECT path, t, value,
+           |  CASE WHEN path LIKE 'events.purchase.%' THEN (CASE WHEN $MUntil - t >= 1209600 THEN 600 ELSE 120 END) ELSE 60 END AS prec,
+           |  CASE WHEN path LIKE 'events.purchase.%' THEN 'sum' WHEN path LIKE 'events.error.%' THEN 'max' ELSE 'avg' END AS fn
+           | FROM dd)
+           |SELECT path, t - t % prec AS time,
+           |  round(CASE fn WHEN 'sum' THEN sum(value) WHEN 'max' THEN max(value) ELSE avg(value) END, 4) AS value
+           |FROM r GROUP BY path, prec, fn, t - t % prec""".stripMargin),
 
       "g_dedup_uniq" ->
         (s"SELECT path, t AS time, arg_max(value, version) AS value FROM ($PtsSql) pts GROUP BY path, t"),

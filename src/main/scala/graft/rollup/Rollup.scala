@@ -204,6 +204,45 @@ final class Rules private (
       (when(isTagged, tp).otherwise(pp), when(isTagged, tf).otherwise(pf))
     } else chain(patterns)
   }
+
+  /** Per-ROW age variant of `lookupColumns` for the compaction job:
+    * age is a Column (now − point time), so each row resolves its own
+    * retention band. A pattern whose first retention window starts
+    * after the row's age contributes nothing for precision (falls
+    * through to later patterns), exactly like `lookup`.
+    */
+  def lookupColumnsByAge(path: org.apache.spark.sql.Column, age: org.apache.spark.sql.Column)
+      : (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    import org.apache.spark.sql.functions._
+    def matchCol(p: Pattern) = p.normalizedRegexp match {
+      case ".*" => lit(true)
+      case rx   => regexp_like(path, lit(rx))
+    }
+    // per pattern: precision by descending retention age (last band
+    // whose age <= row age wins); null when age precedes every band
+    def precOf(p: Pattern): Option[org.apache.spark.sql.Column] = {
+      val bands = p.sortedRetention.reverse
+      if (bands.isEmpty) None
+      else Some(bands.tail.foldLeft(
+        when(age >= bands.head.age, lit(bands.head.precision))) {
+        case (acc, r) => acc.when(age >= r.age, lit(r.precision))
+      })
+    }
+    def chain(pats: List[Pattern]) = {
+      val prec = pats.flatMap(p => precOf(p).map(c => when(matchCol(p), c)))
+      val fn = pats.collect {
+        case p if p.function.isDefined => when(matchCol(p), lit(p.function.get.name))
+      }
+      (coalesce((prec :+ lit(superDefaultPrecision)): _*),
+        coalesce((fn :+ lit(superDefaultFunction.name)): _*))
+    }
+    if (separated) {
+      val (pp, pf) = chain(plain)
+      val (tp, tf) = chain(tagged)
+      val isTagged = path.contains("?")
+      (when(isTagged, tp).otherwise(pp), when(isTagged, tf).otherwise(pf))
+    } else chain(patterns)
+  }
 }
 
 object Rules {
