@@ -466,6 +466,20 @@ object SparkEntry {
           max("t").as("session_end"))
     }),
 
+    // Windowed top-k: busiest event type per hour (rank + tie-break).
+    "ev_topk_hourly" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hourly = GraphiteTables.events(s, dir)
+        .select(col("event_type"), (col("ts") / 1000000000L).cast("long").as("t"))
+        .groupBy((col("t") - pmod(col("t"), lit(3600))).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("hour").orderBy(col("n").desc, col("event_type").asc)
+      hourly.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 2)
+        .select(col("hour"), col("rank").cast("long").as("rank"),
+          col("event_type"), col("n"))
+    }),
+
     "ev_tumbling" -> ((s, dir) =>
       GraphiteTables.events(s, dir)
         .select(col("event_type"), (col("ts") / 1000000000L).cast("long").as("t"),
@@ -532,6 +546,11 @@ object SparkEntry {
       Dedup.simhashDF(s.read.parquet(s"$dir/documents.parquet"),
           col("text"), col("doc_id"))
         .select(col("id").as("doc_id"), col("fp"))),
+
+    "d_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashNearDups(s.read.parquet(s"$dir/documents.parquet"),
+        col("text"), col("doc_id"), prefixBits = 8, maxDistance = 14)
+        .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))),
 
     "d_jaccard_pairs" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(s.read.parquet(s"$dir/documents.parquet"),
@@ -938,6 +957,15 @@ object SparkEntry {
           |SELECT user_id, session_id, count(*) AS n_events, min(t) AS session_start, max(t) AS session_end
           |FROM sessions GROUP BY user_id, session_id""".stripMargin),
 
+      "ev_topk_hourly" ->
+        ("""WITH hourly AS (SELECT t - t % 3600 AS hour, event_type, count(*) AS n
+          |  FROM (SELECT event_type, epoch_us(ts)//1000000 AS t FROM events) e
+          |  GROUP BY hour, event_type)
+          |SELECT hour, CAST(rank AS BIGINT) AS rank, event_type, n FROM (
+          |  SELECT hour, event_type, n,
+          |    row_number() OVER (PARTITION BY hour ORDER BY n DESC, event_type ASC) AS rank
+          |  FROM hourly) r WHERE rank <= 2""".stripMargin),
+
       "ev_tumbling" ->
         ("""SELECT event_type, t - t % 3600 AS window_start, count(*) AS n, round(sum(value), 4) AS sum_value
           |FROM (SELECT event_type, epoch_us(ts)//1000000 AS t, value FROM events) e
@@ -977,6 +1005,13 @@ object SparkEntry {
 
       "d_simhash" ->
         (s"SELECT doc_id, CAST($simhashExpr AS BIGINT) AS fp FROM documents"),
+
+      "d_simhash_pairs" ->
+        (s"""WITH fps AS (SELECT doc_id, CAST($simhashExpr AS BIGINT) AS fp FROM documents),
+           |keyed AS (SELECT doc_id, fp, fp >> 24 AS bucket FROM fps)
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b, bit_count(xor(a.fp, b.fp)) AS dist
+           |FROM keyed a JOIN keyed b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.fp, b.fp)) <= 14""".stripMargin),
 
       "d_jaccard_pairs" ->
         ("""WITH docs AS (SELECT lang, source, doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS words FROM documents)
