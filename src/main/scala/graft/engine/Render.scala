@@ -375,6 +375,11 @@ object Render {
       val pathsDf = spark.createDataset(g.paths).toDF("path")
       withEmptySeries(gapFill(rolled, pathsDf, tf, step), appendEmpty)
     }
-    frames.reduceLeft(_.unionByName(_))
+    // empty find result → empty response (`render/handler.go` returns
+    // the empty body), not a planner error
+    if (frames.isEmpty)
+      spark.createDataset(Seq.empty[(String, Long, Option[Double])])
+        .toDF("path", "time", "value")
+    else frames.reduceLeft(_.unionByName(_))
   }
 }

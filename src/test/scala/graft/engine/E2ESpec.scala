@@ -77,6 +77,15 @@ class E2ESpec extends AnyFunSuite {
       Seq("tag1", "tag2", "tag3", "tag4"))
   }
 
+  test("empty find result renders as the empty response") {
+    val out = Render.render(points, Nil, TimeFrame(rnow - 10, rnow), rules, now = rnow)
+    assert(out.columns.toSeq == Seq("path", "time", "value"))
+    assert(out.count() == 0)
+    val multi = Render.renderMulti(points,
+      Seq("nothing.matches.*" -> Nil), TimeFrame(rnow - 10, rnow), rules, now = rnow)
+    assert(multi.count() == 0)
+  }
+
   test("render_checks: plain multi-target grid values") {
     val targets = Seq("test.plain*", "test{1,2}.plain").map { t =>
       val found = Finder.find(index, t)

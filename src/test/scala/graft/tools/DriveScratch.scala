@@ -1,5 +1,6 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 /** Scratch end-to-end drive harness (test scope, not shipped). */
 object DriveScratch {
   def main(args: Array[String]): Unit = {
@@ -8,17 +9,34 @@ object DriveScratch {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1"); q <- Seq("g_render_headline", "g_render_headline_scalable", "d_minhash_pairs")) {
-      val dir = s"/root/testdata/$sf"
-      // warm (table derivation is memoized per dir)
-      val t0 = System.nanoTime()
-      val n = graft.SparkEntry.queries(q)(spark, dir).count()
-      val t1 = System.nanoTime()
-      val n2 = graft.SparkEntry.queries(q)(spark, dir).count()
-      val t2 = System.nanoTime()
-      println(f"SCALE $sf%-8s $q%-28s rows=$n%8d cold=${(t1 - t0) / 1e9}%6.2fs warm=${(t2 - t1) / 1e9}%6.2fs")
-      assert(n == n2)
+    val dir = "/root/testdata/sf0.1"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"STEP $label%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s"); r
     }
+    val cands = time("candidates") {
+      graft.llm.Dedup.minhashCandidates(docs, col("text"), col("doc_id"))
+        .localCheckpoint()
+    }
+    println("CANDS " + cands.count())
+    val pairs = time("verify") {
+      val sets = docs.select(col("doc_id").as("id"),
+        graft.llm.Dedup.shingles(col("text"), 3).as("sh"))
+      cands
+        .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn("jaccard",
+          size(array_intersect(col("sh_a"), col("sh_b"))) /
+            size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        .where(col("jaccard") >= 0.5)
+        .select("id_a", "id_b").localCheckpoint()
+    }
+    println("PAIRS " + pairs.count())
+    val cl = time("clusters") {
+      graft.llm.Dedup.clusters(pairs).collect()
+    }
+    println("CLUSTERS " + cl.length)
     spark.stop()
   }
 }
