@@ -33,7 +33,7 @@ object Sinks {
     * absent); ordering is pinned by sorting the (time, value) structs.
     */
   def seriesFrame(gapFilled: DataFrame, step: Long): DataFrame = {
-    val keyCols = gapFilled.columns.filter(c => c != "time" && c != "value")
+    val keyCols = gapFilled.columns.filter(c => c != "time" && c != "value").toSeq
     val sorted = array_sort(collect_list(struct(col("time"), col("value"))))
     gapFilled
       .groupBy(keyCols.map(col): _*)
