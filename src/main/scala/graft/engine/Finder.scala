@@ -25,11 +25,11 @@ object Finder {
   def useReverse(query: String): Boolean = {
     val w = Glob.indexWildcard(query)
     if (w < 0) return false // no wildcard: direct
-    val firstDirect = query.lastIndexOf('.', w)   // segments before first wildcard
-    val reversed = Paths.reverse(query)
-    val wr = Glob.indexWildcard(reversed)
-    val firstReversed = reversed.lastIndexOf('.', wr)
-    firstReversed > firstDirect
+    // dot COUNTS on each flank, as the reference computes them
+    // (`finder/index.go:111-123`) — not character positions
+    val firstWildcardNode = query.substring(0, w).count(_ == '.')
+    val lastWildcardNode = query.substring(Glob.indexLastWildcard(query)).count(_ == '.')
+    firstWildcardNode < lastWildcardNode
   }
 
   /** Admission control (`wildcard-min-distance`, `finder/index.go:180-197`):
@@ -162,7 +162,13 @@ object Finder {
     }
     val terms = TagStats.prepareTerms(parsed, Some(countTable), configuredCosts, from, until)
     val pred = Tagged.wherePredicate(col("tag1"), col("tags"), terms, flags)
-    tags.where(pred).select("path").distinct()
+    val datePred =
+      if (from > 0 && until > 0)
+        col("date").between(
+          to_date(timestamp_seconds(lit(from))),
+          to_date(timestamp_seconds(lit(until))))
+      else lit(true)
+    tags.where(datePred && pred).select("path").distinct()
   }
 
   /** Tagged find: seriesByTag expression → distinct storage paths

@@ -116,13 +116,17 @@ object GraphiteTables {
       .withColumn("depth", depth)
       .withColumn(
         "entries",
-        // (level, path) pairs: all-time tree rows for every ancestor + self
+        // (level, path) pairs: all-time tree rows for every ancestor + self.
+        // depth-1 metrics have no ancestors — guarded, because Spark's
+        // step-less sequence(1, 0) counts DOWN to [1, 0]
         concat(
-          transform(
-            sequence(lit(1), col("depth") - 1),
-            k => struct(
-              (k + Schemas.TreeLevelOffset).as("level"),
-              concat(concat_ws(".", slice(parts, lit(1), k)), lit(".")).as("entry"))),
+          when(col("depth") > 1,
+            transform(
+              sequence(lit(1), greatest(col("depth") - 1, lit(1))),
+              k => struct(
+                (k + Schemas.TreeLevelOffset).as("level"),
+                concat(concat_ws(".", slice(parts, lit(1), k)), lit(".")).as("entry"))))
+            .otherwise(array().cast("array<struct<level:int,entry:string>>")),
           array(
             struct(
               (col("depth") + Schemas.TreeLevelOffset).as("level"),

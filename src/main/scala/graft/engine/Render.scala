@@ -136,6 +136,11 @@ object Render {
       tf: TimeFrame,
       step: Long): DataFrame = {
     val (start, stop) = StepMath.gridBounds(tf.from, tf.until, step)
+    // a window containing no step-aligned bucket yields the empty grid
+    // (Spark's sequence with positive step THROWS on start > stop)
+    if (start > stop - step)
+      return seriesPaths.limit(0)
+        .select(col("path"), lit(0L).as("time"), lit(null).cast("double").as("value"))
     val grid = seriesPaths
       .select(col("path"),
         explode(sequence(lit(start), lit(stop - step), lit(step))).as("time"))
@@ -300,9 +305,12 @@ object Render {
     val gridStart0 = (fromC - pmod(fromC, col("step"))).cast("long")
     val gridStart = when(gridStart0 < fromC, gridStart0 + col("step")).otherwise(gridStart0)
     val gridStop = (untilC - pmod(untilC, col("step")) + col("step")).cast("long")
-    val grid = meta.select(
-      col("path"),
-      explode(sequence(gridStart, gridStop - col("step"), col("step"))).as("time"))
+    // per-path guard: zero-bucket windows explode an empty array (a
+    // positive-step sequence with start > stop throws)
+    val gridSeq = when(gridStart <= gridStop - col("step"),
+      sequence(gridStart, gridStop - col("step"), col("step")))
+      .otherwise(array().cast("array<long>"))
+    val grid = meta.select(col("path"), explode(gridSeq).as("time"))
     val filled = grid.join(rolled, Seq("path", "time"), "left_outer")
       .select(col("path"), col("time"), col("value"))
     withEmptySeries(filled, appendEmpty)
@@ -328,7 +336,12 @@ object Render {
         .withColumn("req_from", lit(tf.from))
         .withColumn("req_until", lit(tf.until))
     }
-    frames.reduceLeft(_.unionByName(_))
+    if (frames.isEmpty) {
+      val spark = points.sparkSession
+      import spark.implicits._
+      spark.createDataset(Seq.empty[(String, String, String, Long, Option[Double], Long, Long)])
+        .toDF("path", "target", "display_name", "time", "value", "req_from", "req_until")
+    } else frames.reduceLeft(_.unionByName(_))
   }
 
   /** Full render of one timeframe over an already-found path set:

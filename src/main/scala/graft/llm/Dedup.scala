@@ -53,7 +53,7 @@ object Dedup {
     * `sequence(1, 0)` would count *down*, unlike SQL generate_series).
     */
   def shingles(text: Column, w: Int): Column = {
-    val words = split(text, "\\s+")
+    val words = split(trim(text), "\\s+") // trim: padded docs must not emit an empty token
     val n = size(words) - (w - 1)
     array_distinct(
       filter(
@@ -181,7 +181,7 @@ object Dedup {
       textCol: Column,
       idCol: Column,
       bits: Int = 32): DataFrame = {
-    val words = docs.select(idCol.as("id"), explode(split(textCol, "\\s+")).as("w"))
+    val words = docs.select(idCol.as("id"), explode(split(trim(textCol), "\\s+")).as("w"))
       .withColumn("h", conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long"))
     val bitSums = (0 until bits).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
@@ -236,7 +236,7 @@ object Dedup {
     val prepared = docs.select(
       (bucketCols.zipWithIndex.map { case (c, i) => c.as(s"bk$i") } :+
         idCol.as("id") :+
-        array_distinct(split(textCol, "\\s+")).as("words")): _*)
+        array_distinct(split(trim(textCol), "\\s+")).as("words")): _*)
     val bk = prepared.columns.filter(_.startsWith("bk"))
     val joinCond = bk.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _) &&
       col("a.id") < col("b.id")

@@ -103,15 +103,18 @@ object Multimodal {
     * `stride`-th byte window becomes one "frame" record — exercises
     * the explode/flatMap shape of frame extraction.
     */
-  def sampleFrames(withPayloads: DataFrame, stride: Int = 64): DataFrame =
-    withPayloads.select(
-      col("doc_id"),
-      explode(
-        transform(
-          sequence(lit(0), floor((length(col("payload")) - 1) / stride)),
-          i => struct(
-            i.cast("int").as("frame_no"),
-            col("payload").substr((i * stride + 1).cast("int"), lit(stride)).as("frame"))))
-        .as("f"))
+  def sampleFrames(withPayloads: DataFrame, stride: Int = 64): DataFrame = {
+    val lastFrame = floor((length(col("payload")) - 1) / stride)
+    // empty payloads produce no frames (a step-less sequence(0, -1)
+    // would count DOWN and emit junk rows)
+    val frames = when(length(col("payload")) > 0,
+      transform(
+        sequence(lit(0), greatest(lastFrame, lit(0))),
+        i => struct(
+          i.cast("int").as("frame_no"),
+          col("payload").substr((i * stride + 1).cast("int"), lit(stride)).as("frame"))))
+      .otherwise(array().cast("array<struct<frame_no:int,frame:binary>>"))
+    withPayloads.select(col("doc_id"), explode(frames).as("f"))
       .select(col("doc_id"), col("f.frame_no"), length(col("f.frame")).as("frame_bytes"))
+  }
 }

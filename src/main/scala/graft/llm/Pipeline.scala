@@ -22,7 +22,7 @@ object Pipeline {
       docs: DataFrame,
       qualityThreshold: Double = 0.75,
       nearDupThreshold: Double = 0.5): DataFrame = {
-    val quality = docs.where(TextStats.qualityScore(col("text")) >= qualityThreshold)
+    val quality = docs.where(TextStats.qualityScoreRaw(col("text")) >= qualityThreshold)
     val exact = Dedup.exactKeep(quality, md5(Dedup.normalizedText(col("text"))))
     val pairs = Dedup
       .minhashNearDups(exact, col("text"), col("doc_id"), threshold = nearDupThreshold)

@@ -73,12 +73,17 @@ object TextStats {
     * signals (length-normalized, alpha-heavy) — a deterministic
     * stand-in for a learned filter.
     */
-  def qualityScore(text: Column): Column = {
+  def qualityScore(text: Column): Column = round(qualityScoreRaw(text), 4)
+
+  /** Unrounded score — use this for threshold comparisons (filtering
+    * on a display-rounded value misclassifies boundary docs).
+    */
+  def qualityScoreRaw(text: Column): Column = {
     val n = wordCount(text).cast("double")
     val chars = length(text).cast("double")
     val alpha = length(regexp_replace(text, "[^A-Za-z ]", "")).cast("double")
     val lenScore = least(n / lit(64.0), lit(1.0))
     val alphaScore = alpha / greatest(chars, lit(1.0))
-    round(lit(0.5) * lenScore + lit(0.5) * alphaScore, 4)
+    lit(0.5) * lenScore + lit(0.5) * alphaScore
   }
 }

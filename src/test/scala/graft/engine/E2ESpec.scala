@@ -77,6 +77,21 @@ class E2ESpec extends AnyFunSuite {
       Seq("tag1", "tag2", "tag3", "tag4"))
   }
 
+  test("zero-bucket window renders empty, not a sequence error") {
+    // (rnow+1, rnow+9) contains no 10 s-aligned bucket
+    val out = Render.render(points, Seq("test.plain1"),
+      TimeFrame(rnow + 1, rnow + 9), rules, now = rnow + 9, appendEmpty = true)
+    assert(out.count() == 0)
+    val scalable = Render.renderScalable(points,
+      points.sparkSession.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row("test.plain1")),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("path",
+            org.apache.spark.sql.types.StringType)))),
+      TimeFrame(rnow + 1, rnow + 9), rules, now = rnow + 9, appendEmpty = true)
+    assert(scalable.count() == 0)
+  }
+
   test("empty find result renders as the empty response") {
     val out = Render.render(points, Nil, TimeFrame(rnow - 10, rnow), rules, now = rnow)
     assert(out.columns.toSeq == Seq("path", "time", "value"))

@@ -64,6 +64,15 @@ class RoutingSpec extends AnyFunSuite {
       rules, Seq("other.x"), TimeFrame(0, 1), now).map(_.table) == Some("fallback"))
   }
 
+  test("useReverse counts flank dots, not char positions") {
+    // reference finder/index.go:111-123 vectors
+    assert(!Finder.useReverse("a.b.c"))                 // no wildcard
+    assert(Finder.useReverse("*.cpu.load"))             // 0 < 2 dots
+    assert(!Finder.useReverse("host.cpu.*"))            // 2 > 0
+    assert(!Finder.useReverse("a.*.somelongsegment"))   // 1 == 1 → direct
+    assert(!Finder.useReverse("some.*.metric"))         // 1 == 1 → direct
+  }
+
   test("max-metrics guards") {
     assert(Routing.capFindAnswer(Seq(1, 2, 3), 2) == Seq(1, 2))
     assert(Routing.capFindAnswer(Seq(1, 2, 3), 0) == Seq(1, 2, 3))

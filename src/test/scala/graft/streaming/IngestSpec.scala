@@ -120,6 +120,19 @@ class IngestSpec extends AnyFunSuite {
     assert(pts.count() == 1)
   }
 
+  test("single-segment metric: no junk ancestor rows, clean find") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-seg1").toFile.getAbsolutePath
+    Ingest.processBatch(Ingest.parseLines(Seq("cpu 1.0 1700000000").toDF("value")), s"$dir/t")
+    val index = spark.read.parquet(s"$dir/t/index")
+    // no bogus '.'/'cpu.' rows from Spark's descending sequence(1, 0)
+    assert(index.where(col("path") === "." || col("path") === "cpu.").count() == 0)
+    val found = Finder.find(index, "cpu").collect()
+      .map(r => (r.getString(0), r.getBoolean(1))).toSet
+    assert(found == Set(("cpu", true)))
+  }
+
   test("late duplicate across batches resolved by read-side dedup") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
