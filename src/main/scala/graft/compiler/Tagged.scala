@@ -195,13 +195,15 @@ object Tagged {
     if (startAnchored) value.substring(1) else value
 
   /** Expand an eq-value through brace expansion into `key=value`
-    * literals; empty expansion or failure falls back to the plain
-    * concat literal.
+    * literals. A malformed glob is a request error (the reference
+    * propagates GlobExpandSimple's error to an HTTP 400,
+    * `finder/tagged.go:147-152`) — not a silent empty result.
     */
   private def eqLiterals(term: Term): List[String] =
     Glob.globExpandSimple(term.value) match {
       case Right(vs) if vs.nonEmpty => vs.map(v => s"${term.key}=$v")
-      case _                        => List(term.concat)
+      case Right(_)                 => List(term.concat)
+      case Left(err)                => throw new IllegalArgumentException(err)
     }
 
   /** First (most selective) term → predicate on the `tag1` column
@@ -305,7 +307,9 @@ object Tagged {
     val q = path.indexOf('?')
     if (q < 0 || q == path.length - 1) return path
     val name = unescape(path.substring(0, q))
-    val tags = path.substring(q + 1).split("&").map(unescape).sorted
+    // limit -1: trailing empty tag components are preserved, as Go's
+    // strings.Split does in the reference TaggedDecode
+    val tags = path.substring(q + 1).split("&", -1).map(unescape).sorted
     (name +: tags).mkString(";")
   }
 
@@ -324,9 +328,18 @@ object Tagged {
     def isHex(c: Char) = c.isDigit || ('a' <= c && c <= 'f') || ('A' <= c && c <= 'F')
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c == '%' && i + 2 < s.length && isHex(s.charAt(i + 1)) && isHex(s.charAt(i + 2))) {
-        bytes.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
-        i += 3
+      if (c == '%') {
+        if (s.length < i + 3) {
+          // truncated escape: rest verbatim (`unescape.go:51-54`)
+          flushBytes(); sb.append(s.substring(i)); i = s.length
+        } else if (isHex(s.charAt(i + 1)) && isHex(s.charAt(i + 2))) {
+          bytes.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
+          i += 3
+        } else {
+          // malformed escape: all THREE chars verbatim, consumed
+          // (`unescape.go:55-57` writes s[i:i+3] and skips past them)
+          flushBytes(); sb.append(s.substring(i, i + 3)); i += 3
+        }
       } else {
         flushBytes()
         sb.append(c)
@@ -337,14 +350,33 @@ object Tagged {
     sb.toString
   }
 
-  /** Display form → storage form: `name;k=v;…` →
-    * `name?k=v&…` (sorted), used at ingest.
+  /** Percent-escape the characters that would break the storage form's
+    * `?`/`&`/`;`/`=`-delimited structure (plus `%` itself) — the
+    * inverse of `unescape`, so `decodePath(encodePath(x)) == x`.
+    */
+  def escape(s: String): String =
+    if (!s.exists(c => c == '%' || c == '&' || c == '?' || c == ';'))  s
+    else s.flatMap {
+      case '%' => "%25"
+      case '&' => "%26"
+      case '?' => "%3F"
+      case ';' => "%3B"
+      case c   => c.toString
+    }
+
+  /** Display form → storage form: `name;k=v;…` → `name?k=v&…`
+    * (sorted), used at ingest. Tag keys/values are percent-escaped so
+    * structural characters survive the round trip.
     */
   def encodePath(display: String): String = {
-    val parts = display.split(";")
+    val parts = display.split(";", -1)
     if (parts.length <= 1) return display
-    val name = parts.head
-    val tags = parts.tail.sorted
+    val name = escape(parts.head)
+    val tags = parts.tail.map { kv =>
+      val eq = kv.indexOf('=')
+      if (eq < 0) escape(kv)
+      else escape(kv.substring(0, eq)) + "=" + escape(kv.substring(eq + 1))
+    }.sorted
     name + "?" + tags.mkString("&")
   }
 }

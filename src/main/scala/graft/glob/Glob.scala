@@ -79,17 +79,9 @@ object Glob {
     }
   }
 
-  private def splitPreserveEmpty(s: String, sep: Char): List[String] = {
-    val b = List.newBuilder[String]
-    var start = 0
-    var i = 0
-    while (i < s.length) {
-      if (s.charAt(i) == sep) { b += s.substring(start, i); start = i + 1 }
-      i += 1
-    }
-    b += s.substring(start)
-    b.result()
-  }
+  /** split preserving trailing empties (limit -1). */
+  private def splitPreserveEmpty(s: String, sep: Char): List[String] =
+    s.split(java.util.regex.Pattern.quote(sep.toString), -1).toList
 
   /** Strip degenerate one-element groups: `te{s}t`→`test`, `[b]`→`b`,
     * `{}`/`[]`→``. Groups containing `.` (or left unclosed) abort the

@@ -146,23 +146,11 @@ final class Rules private (
         (ag.isEmpty && p.function.isDefined) || (!precisionFound && p.sortedRetention.nonEmpty)
       if (interesting && p.matches(metric)) {
         if (ag.isEmpty && p.function.isDefined) ag = p.function
-        if (!precisionFound && p.sortedRetention.nonEmpty) {
-          val rets = p.sortedRetention
-          var i = 0
-          var break = false
-          while (i < rets.length && !break) {
-            val r = rets(i)
-            if (age < r.age) {
-              if (i > 0) { precision = rets(i - 1).precision; precisionFound = true }
-              break = true
-            } else if (i == rets.length - 1) {
-              precision = r.precision
-              precisionFound = true
-              break = true
-            }
-            i += 1
+        if (!precisionFound && p.sortedRetention.nonEmpty)
+          p.precisionFor(age).foreach { v =>
+            precision = v
+            precisionFound = true
           }
-        }
       }
     }
     (if (precisionFound) precision else superDefaultPrecision,
@@ -318,7 +306,13 @@ object Rules {
           throw new IllegalArgumentException(s"unknown function $f")))
       }
       val rets = children(e, "retention").map { r =>
-        Retention(text(r, "age").toLong, text(r, "precision").toLong)
+        // omitted <age>/<precision> default to 0, as Go's
+        // xml.Unmarshal leaves the zero value
+        def num(k: String): Long = text(r, k) match {
+          case ""    => 0L
+          case other => other.toLong
+        }
+        Retention(num("age"), num("precision"))
       }
       Pattern(ruleType, text(e, "regexp"), fn, rets)
     }
@@ -360,8 +354,10 @@ object Rules {
       val rets =
         if (retStr.isEmpty) Nil
         else retStr.split(",").toList.map { r =>
-          val Array(age, prec) = r.split(":").map(_.trim)
-          Retention(age.toLong, prec.toLong)
+          val fields = r.split(":").map(_.trim)
+          require(fields.length == 2 && fields.forall(_.forall(_.isDigit)),
+            s"can't parse line: $line")
+          Retention(fields(0).toLong, fields(1).toLong)
         }
       val fn =
         if (function.isEmpty) None

@@ -34,7 +34,8 @@ object TimeGrammar {
       val numStart = i
       while (i < s.length && s.charAt(i).isDigit) i += 1
       if (i == numStart) return None
-      val n = s.substring(numStart, i).toLong
+      // toLong on an unbounded digit run would throw; overflow = unparseable
+      val n = Try(s.substring(numStart, i).toLong).getOrElse(return None)
       val unitStart = i
       while (i < s.length && !s.charAt(i).isDigit) i += 1
       val unit = s.substring(unitStart, i)
@@ -142,8 +143,13 @@ object TimeGrammar {
     }
   }
 
+  /** Plus-arithmetic instead of atTime(h, m): out-of-range fields
+    * (`25:00`, `12:60`) normalize forward exactly like Go's time.Date
+    * in the reference, instead of throwing DateTimeException.
+    */
   private def atTime(now: Instant, tz: ZoneId, hour: Int, minute: Int): Long =
-    now.atZone(tz).toLocalDate.atTime(hour, minute).atZone(tz).toEpochSecond
+    now.atZone(tz).toLocalDate.atStartOfDay(tz)
+      .plusHours(hour.toLong).plusMinutes(minute.toLong).toEpochSecond
 
   /** `ds` names or formats a date; `ts` optionally carries `HH:MM`
     * (defaulting to midnight).
@@ -166,6 +172,7 @@ object TimeGrammar {
           .getOrElse(return 0L)
     }
     val (hour, minute) = if (ts.nonEmpty) parseHourMinute(ts).getOrElse((0, 0)) else (0, 0)
-    date.atTime(hour, minute).atZone(tz).toEpochSecond
+    // plus-arithmetic: out-of-range HH:MM normalizes like Go time.Date
+    date.atStartOfDay(tz).plusHours(hour.toLong).plusMinutes(minute.toLong).toEpochSecond
   }
 }

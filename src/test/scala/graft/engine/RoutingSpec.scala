@@ -64,6 +64,45 @@ class RoutingSpec extends AnyFunSuite {
       rules, Seq("other.x"), TimeFrame(0, 1), now).map(_.table) == Some("fallback"))
   }
 
+  test("review-fix regressions: grammar, rollup parsing, escape round-trip") {
+    import graft.compiler.{Tagged => T}
+    import graft.rollup.Rules
+    import graft.time.TimeGrammar
+    import java.time.{Duration, Instant, ZoneId}
+    val utc = ZoneId.of("UTC")
+    val now = Instant.ofEpochSecond(1704067200L)
+    // out-of-range HH:MM normalizes forward (Go time.Date behavior)
+    assert(TimeGrammar.parse("25:00_20240101", utc, now) == 1704067200L + 25 * 3600)
+    // overflowing digit runs are unparseable → 0, not an exception
+    assert(TimeGrammar.parse("-99999999999999999999s", utc, now) == 0L)
+    // malformed brace glob in a tagged term is a request error
+    intercept[IllegalArgumentException](
+      T.parseSeriesByTag("seriesByTag('k={a')").toOption.get.head match {
+        case t => T.wherePredicate(
+          org.apache.spark.sql.functions.col("tag1"),
+          org.apache.spark.sql.functions.col("tags"), List(t),
+          graft.model.FeatureFlags())
+      })
+    // unescape: malformed escapes pass through verbatim, 3 chars
+    // consumed (so the '%' of a following valid escape is swallowed)
+    assert(T.unescape("%x%41") == "%x%41")
+    assert(T.unescape("%%41") == "%%41")
+    assert(T.unescape("a%4") == "a%4")
+    // encode/decode round trip with structural chars in values
+    val display = "m;a=1&2;b=x;y"
+    assert(T.decodePath(T.encodePath(display)).split(";", -1).sorted.toSeq ==
+      display.split(";", -1).sorted.toSeq)
+    // decodePath keeps trailing empty components (Go strings.Split)
+    assert(T.decodePath("m?a=b&") == "m;;a=b")
+    // xml retention with omitted age defaults to 0
+    val rules = Rules.fromXml(
+      "<graphite_rollup><default><function>avg</function>" +
+        "<retention><precision>60</precision></retention></default></graphite_rollup>")
+    assert(rules.lookup("x", 0)._1 == 60L)
+    // compact grammar: malformed retention is a clean error
+    intercept[IllegalArgumentException](Rules.parseCompact("\\.max$;max;60"))
+  }
+
   test("useReverse counts flank dots, not char positions") {
     // reference finder/index.go:111-123 vectors
     assert(!Finder.useReverse("a.b.c"))                 // no wildcard
