@@ -27,6 +27,12 @@ object Ingest {
     * sort). Malformed lines are dropped (null-safe casts).
     * Columns in: `value: String`; out: full points-table schema plus
     * `is_tagged`.
+    *
+    * Known simplification: tag values are stored raw (carbon-clickhouse
+    * percent-escapes structural chars at ingest; `Tagged.escape` /
+    * `encodePath` provide the round-trip-safe encoding when values may
+    * contain `%`/`&`/`?`/`;` — the line protocol itself already
+    * excludes whitespace and `;` from values).
     */
   def parseLines(lines: DataFrame): DataFrame = {
     val f = split(trim(col("value")), "\\s+")
