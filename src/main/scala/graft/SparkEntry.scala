@@ -1092,7 +1092,8 @@ object SparkEntry {
            | assign AS (SELECT vec_id, centroid_id FROM (
            |   SELECT vec_id, centroid_id, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id ASC) AS rank FROM scored) r
            |   WHERE rank = 1)
-           |SELECT a.centroid_id, pos - 1 AS pos, round(avg(v::double), 4) AS m
+           |SELECT a.centroid_id, pos - 1 AS pos,
+           |  round(list_sum(list(v::double ORDER BY x.vec_id)) / count(*), 4) AS m
            |FROM (SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS pos FROM embeddings) x
            |JOIN assign a ON a.vec_id = x.vec_id
            |GROUP BY 1, 2""".stripMargin),
