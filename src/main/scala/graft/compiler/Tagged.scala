@@ -172,6 +172,14 @@ object Tagged {
     */
   private def matchColumn(col: Column, key: String, value: String): Column = {
     if (value.isEmpty || value == "*") return col.startsWith(s"$key=")
+    // invalid regex is a request error, not a runtime failure — the
+    // reference surfaces ClickHouse's regex compile error as HTTP 400
+    // "Incorrect regex syntax" (`helper/clickhouse/clickhouse.go:87-89`)
+    try java.util.regex.Pattern.compile(value)
+    catch {
+      case _: java.util.regex.PatternSyntaxException =>
+        throw new IllegalArgumentException("Incorrect regex syntax")
+    }
     val startAnchored = value.startsWith("^")
     val endAnchored = value.endsWith("$")
     // literal-prefix probe over the would-be "key=value" literal

@@ -1,0 +1,319 @@
+package graft.e2e
+
+import java.nio.file.Files
+import java.time.{Instant, ZoneId}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.compiler.Tagged
+import graft.engine.{Autocomplete, Finder, Render}
+import graft.model.TimeFrame
+import graft.rollup.Rules
+import graft.streaming.Ingest
+
+import Fixture._
+
+/** Executes one reference e2e scenario against the Spark engine and
+  * returns the list of mismatches (empty = pass) — the Spark-side
+  * analog of `cmd/e2e-test/checks.go`'s
+  * `verifyMetricsFind`/`verifyTags`/`verifyRender`.
+  *
+  * Storage model per config variant:
+  *   - `internal-aggregation = false` (client mode): renders with
+  *     [[Render.VersionMode.MergedCells]] — the state the reference
+  *     queries after ClickHouse's GraphiteMergeTree merges parts
+  *     (`tests/agg_latest`: a later write batch replaces a precision
+  *     cell; `tests/agg_oneblock`/`agg_merge`: same-batch duplicates
+  *     aggregate).
+  *   - `internal-aggregation = true`: [[Render.VersionMode.Raw]] —
+  *     the `-Resample` SQL aggregates every stored row with no
+  *     version resolution (`tests/agg_internal`).
+  */
+object FixtureRunner {
+
+  /** Rollup rules of the shared fixture storage schema
+    * (`tests/clickhouse/rollup/rollup.xml`): default avg @ 10 s,
+    * `.sum$`/`.min$`/`.max$` overrides with `\?`-anchored tagged
+    * twins.
+    */
+  val fixtureRulesXml: String =
+    """<yandex><graphite_rollup>
+      |  <default><function>avg</function>
+      |    <retention><age>0</age><precision>10</precision></retention>
+      |  </default>
+      |  <pattern><regexp>\.sum$</regexp><function>sum</function></pattern>
+      |  <pattern><regexp>\.sum\?</regexp><function>sum</function></pattern>
+      |  <pattern><regexp>\.min$</regexp><function>min</function></pattern>
+      |  <pattern><regexp>\.min\?</regexp><function>min</function></pattern>
+      |  <pattern><regexp>\.max$</regexp><function>max</function></pattern>
+      |  <pattern><regexp>\.max\?</regexp><function>max</function></pattern>
+      |</graphite_rollup></yandex>""".stripMargin
+
+  final case class ActualSeries(
+      name: String,
+      pathExpression: String,
+      consolidation: String,
+      start: Long,
+      stop: Long,
+      step: Long,
+      values: Seq[Double])
+
+  /** The whisper-compatible consolidation name the v3 reply carries
+    * (`render/data/data.go:53-67`: any→first, anyLast→last).
+    */
+  def whisperName(aggName: String): String = aggName match {
+    case "any"     => "first"
+    case "anyLast" => "last"
+    case other     => other
+  }
+
+  /** `consolidateBy('x')` filtering-function parse
+    * (`cmd/e2e-test/checks.go:314-335` + `render/data/targets.go:134-174`).
+    */
+  def consolidateByArg(filteringFunctions: Seq[String]): Option[String] =
+    filteringFunctions.iterator
+      .map(_.split("\\(", 2))
+      .collectFirst { case Array("consolidateBy", rest) =>
+        rest.split(",")(0).trim.stripSuffix(")").stripPrefix("'").stripSuffix("'")
+      }
+
+  final class ScenarioRun(
+      val spark: SparkSession,
+      scenario: Scenario,
+      val now: Instant,
+      tz: ZoneId = ZoneId.of("UTC")) {
+
+    val precision: Long = scenario.precision
+    private val rules: Rules = Rules.fromXml(fixtureRulesXml)
+
+    def at(s: String): Long = resolveTime(s, now, precision, tz)
+
+    /** Ingest every input block through the streaming line parser;
+      * block index is the write version (the reference's carbon
+      * upload timestamp — later blocks are newer batches).
+      */
+    val tablesDir: String = {
+      val dir = Files.createTempDirectory(s"graft-e2e-${scenario.dir}").toFile.getAbsolutePath
+      import spark.implicits._
+      scenario.inputs.zipWithIndex.foreach { case (in, i) =>
+        val lines = in.points.map(p => s"${in.name} ${p.value} ${at(p.time)}")
+        Ingest.processBatch(
+          Ingest.parseLines(lines.toDF("value"))
+            .withColumn("version", lit(i.toLong + 1L)),
+          s"$dir/t")
+      }
+      s"$dir/t"
+    }
+
+    def points: DataFrame = spark.read.parquet(s"$tablesDir/points")
+    def index: DataFrame = spark.read.parquet(s"$tablesDir/index")
+    def tagsTable: DataFrame = spark.read.parquet(s"$tablesDir/tags")
+
+    /** Run every check under one config variant; returns mismatches. */
+    def run(conf: GchConfig): Seq[String] = {
+      val errors = Seq.newBuilder[String]
+      scenario.findChecks.zipWithIndex.foreach { case (c, i) =>
+        errors ++= runFind(conf, c).map(e => s"[${scenario.dir}/${conf.label} find#$i ${c.query}] $e")
+      }
+      scenario.tagsChecks.zipWithIndex.foreach { case (c, i) =>
+        errors ++= runTags(conf, c).map(e => s"[${scenario.dir}/${conf.label} tags#$i ${c.query}] $e")
+      }
+      scenario.renderChecks.zipWithIndex.foreach { case (c, i) =>
+        errors ++= runRender(conf, c).map(e => s"[${scenario.dir}/${conf.label} render#$i] $e")
+      }
+      errors.result()
+    }
+
+    def runFind(conf: GchConfig, c: FindCheck): Seq[String] = {
+      val outcome: Either[String, Seq[FindExp]] =
+        try {
+          val df = Finder.find(index, c.query, at(c.from), at(c.until),
+            wildcardMinDistance = conf.wildcardMinDistance)
+          Right(df.orderBy("path").collect().toSeq
+            .map(r => FindExp(r.getString(0), r.getBoolean(1))))
+        } catch {
+          case e: IllegalArgumentException => Left(s"400: ${e.getMessage}")
+        }
+      checkOutcome(outcome, c.errorRegexp) { actual =>
+        if (actual == c.result) Nil
+        else Seq(s"find mismatch: got $actual, want ${c.result}")
+      }
+    }
+
+    def runTags(conf: GchConfig, c: TagsCheck): Seq[String] = {
+      val limit = if (c.limits > 0) c.limits.toInt else 10000
+      val outcome: Either[String, Seq[String]] =
+        try {
+          if (c.names) {
+            val exprs = c.query.split(";").toList.filter(_.nonEmpty)
+            Right(Autocomplete.tagNamesComplete(tagsTable, exprs, limit = limit,
+              flags = conf.flags))
+          } else {
+            // query = "<tag>;expr;expr…" (`helper/client/tags.go`)
+            val parts = c.query.split(";").toList
+            val exprs = parts.tail.filter(_.nonEmpty)
+            import spark.implicits._
+            Right(Autocomplete.tagValues(tagsTable, parts.head, exprs,
+              limit = limit, flags = conf.flags).as[String].collect().toSeq)
+          }
+        } catch {
+          case e: IllegalArgumentException => Left(s"400: ${e.getMessage}")
+        }
+      checkOutcome(outcome, c.errorRegexp) { actual =>
+        if (actual == c.result) Nil
+        else Seq(s"tags mismatch: got $actual, want ${c.result}")
+      }
+    }
+
+    def runRender(conf: GchConfig, c: RenderCheck): Seq[String] = {
+      val from = graft.time.TimeGrammar.timestampTruncate(at(c.from), precision)
+      val until = graft.time.TimeGrammar.timestampTruncate(at(c.until), precision)
+      val mdp = if (c.maxDataPoints > 0) c.maxDataPoints else 1048576L
+      val tf = TimeFrame(from, until, mdp)
+      val consolidate = consolidateByArg(c.filteringFunctions)
+      val versionMode =
+        if (conf.internalAggregation) Render.VersionMode.Raw
+        else Render.VersionMode.MergedCells
+
+      val outcome: Either[String, Seq[ActualSeries]] =
+        try {
+          // find per target: plain globs hit the index; seriesByTag the
+          // tags table; display names decode the storage form
+          val targets: Seq[(String, Seq[(String, String)])] = c.targets.map { t =>
+            if (t.startsWith("seriesByTag(")) {
+              val paths = Finder.findTagged(tagsTable, t, conf.flags,
+                tagsMinInQuery = conf.tagsMinInQuery)
+                .collect().map(_.getString(0)).toSeq
+              t -> paths.map(p => (p, Tagged.decodePath(p)))
+            } else {
+              val paths = Finder.find(index, t, from, until,
+                wildcardMinDistance = conf.wildcardMinDistance)
+                .where(col("is_leaf"))
+                .collect().map(_.getString(0)).toSeq
+              t -> paths.map(p => (p, p))
+            }
+          }
+          val out = Render.renderMulti(points, targets, tf, rules, now = until,
+            consolidateBy = consolidate,
+            appendEmpty = conf.appendEmptySeries,
+            versionMode = versionMode)
+          Right(assemble(out, targets, tf, consolidate))
+        } catch {
+          case e: IllegalArgumentException =>
+            val code =
+              if (e.getMessage != null && e.getMessage.contains("wildcard and regex terms")) "403"
+              else "400"
+            Left(s"$code: ${e.getMessage}")
+        }
+
+      checkOutcome(outcome, c.errorRegexp) { actual =>
+        compareRender(actual.sortBy(s => (s.name, s.pathExpression)), c, from)
+      }
+    }
+
+    /** Long-form render rows → per-(display, target) series with grid
+      * bounds, the v3 response shape (`render/data/ch_response.go:125-170`
+      * + the e2e client's RequestStopTime := StopTime quirk,
+      * `helper/client/render.go:180`).
+      */
+    private def assemble(
+        out: DataFrame,
+        targets: Seq[(String, Seq[(String, String)])],
+        tf: TimeFrame,
+        consolidate: Option[String]): Seq[ActualSeries] = {
+      // the same per-path (step, function) resolution render itself ran
+      val groups = Render.functionGroups(
+        targets.flatMap(_._2.map(_._1)).distinct, rules,
+        now = tf.until, tf, consolidate)
+      val funcByPath: Map[String, String] =
+        groups.flatMap(g => g.paths.map(_ -> g.func.name)).toMap
+      val stepByPath: Map[String, Long] = groups.flatMap { g =>
+        val step = graft.time.StepMath.aggregatedStep(g.step, tf.from, tf.until, tf.maxDataPoints)
+        g.paths.map(_ -> step)
+      }.toMap
+      val rows = out.select("path", "target", "display_name", "time", "value")
+        .collect()
+      rows.groupBy(r => (r.getString(2), r.getString(1), r.getString(0))).toSeq
+        .map { case ((display, target, path), rs) =>
+          val step = stepByPath(path)
+          val byTime = rs.map(r => r.getLong(3) ->
+            (if (r.isNullAt(4)) Double.NaN else r.getDouble(4))).sortBy(_._1)
+          val start = byTime.head._1
+          val stop = byTime.last._1 + step
+          val values = byTime.map(_._2).toSeq
+          // a series with no point in the window is the appended-empty
+          // synthesis, which the v3 reply emits with the literal
+          // function "any" (`render/data/ch_response.go:203`)
+          val consolidation =
+            if (values.forall(_.isNaN)) "any" else whisperName(funcByPath(path))
+          ActualSeries(
+            name = display,
+            pathExpression = target,
+            consolidation = consolidation,
+            start = start, stop = stop, step = step,
+            values = values)
+        }
+    }
+
+    private def compareRender(
+        actual: Seq[ActualSeries], c: RenderCheck, requestFrom: Long): Seq[String] = {
+      val errors = Seq.newBuilder[String]
+      val expected = c.result.sortBy(e => (e.name, e.path.getOrElse("")))
+      val actualSorted =
+        if (c.result.forall(_.path.isEmpty))
+          // v2/pickle expectations have no path → one entry per name
+          actual.groupBy(_.name).map(_._2.head).toSeq.sortBy(_.name)
+        else actual
+      if (actualSorted.length != expected.length)
+        errors += s"series count: got ${actualSorted.map(s => (s.name, s.pathExpression))}, " +
+          s"want ${expected.map(e => (e.name, e.path))}"
+      else actualSorted.zip(expected).foreach { case (a, e) =>
+        if (a.name != e.name)
+          errors += s"name: got ${a.name}, want ${e.name}"
+        else {
+          val tag = s"'${a.name}'"
+          e.path.foreach(p => if (a.pathExpression != p)
+            errors += s"$tag pathExpression: got ${a.pathExpression}, want $p")
+          e.consolidation.foreach(f => if (a.consolidation != f)
+            errors += s"$tag consolidation: got ${a.consolidation}, want $f")
+          if (a.start != at(e.start))
+            errors += s"$tag start: got ${a.start}, want ${at(e.start)} (${e.start})"
+          if (a.stop != at(e.stop))
+            errors += s"$tag stop: got ${a.stop}, want ${at(e.stop)} (${e.stop})"
+          if (a.step != e.step)
+            errors += s"$tag step: got ${a.step}, want ${e.step}"
+          // the engine reports the request window verbatim, so
+          // RequestStartTime == the (truncated) request from; the e2e
+          // client maps RequestStopTime := grid StopTime
+          // (`helper/client/render.go:171-181`)
+          e.reqStart.foreach(rs => if (requestFrom != at(rs))
+            errors += s"$tag req_start: got $requestFrom, want ${at(rs)} ($rs)")
+          e.reqStop.foreach(rs => if (a.stop != at(rs))
+            errors += s"$tag req_stop: got ${a.stop}, want ${at(rs)} ($rs)")
+          val want = e.values
+          val vs = a.values
+          if (vs.length != want.length)
+            errors += s"$tag values length: got ${vs.toList}, want ${want.toList}"
+          else vs.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+            val ok = (g.isNaN && w.isNaN) || math.abs(g - w) <= 1e-8 * math.max(math.abs(g), math.abs(w))
+            if (!ok) errors += s"$tag values[$i]: got $g, want $w (got ${vs.toList}, want ${want.toList})"
+          }
+        }
+      }
+      errors.result()
+    }
+
+    private def checkOutcome[A](
+        outcome: Either[String, A],
+        errorRegexp: String)(verify: A => Seq[String]): Seq[String] =
+      (outcome, errorRegexp) match {
+        case (Right(a), "") => verify(a)
+        case (Right(_), re) => Seq(s"want error matching '$re', got success")
+        case (Left(err), "") => Seq(s"unexpected error: $err")
+        case (Left(err), re) =>
+          if (re.r.findFirstIn(err).isDefined) Nil
+          else Seq(s"error mismatch: got '$err', want match of '$re'")
+      }
+  }
+}

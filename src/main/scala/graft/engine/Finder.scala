@@ -34,11 +34,14 @@ object Finder {
 
   /** Admission control (`wildcard-min-distance`, `finder/index.go:180-197`):
     * reject queries whose wildcards hug both ends of the path.
+    * Single-node queries are exempt — "allows to check which root
+    * nodes exist" (`index.go:187-191`).
     */
   def checkWildcardDistance(query: String, minDistance: Int): Either[String, Unit] = {
     if (minDistance <= 0) return Right(())
     val d = Glob.maxWildcardDistance(query)
-    if (d >= 0 && d < minDistance)
+    val moreThanOneNode = query.count(_ == '.') >= 1
+    if (d >= 0 && d < minDistance && moreThanOneNode)
       Left(s"query has wildcards way too early at the start and at the end of it")
     else Right(())
   }

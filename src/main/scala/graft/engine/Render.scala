@@ -33,6 +33,32 @@ object Render {
     */
   final case class FuncGroup(step: Long, func: AggFunc, paths: Seq[String])
 
+  /** How duplicate writes are resolved before bucket rollup — the
+    * three observable states of the reference's storage pipeline:
+    *
+    *   - [[VersionMode.DedupExact]]: max version wins per EXACT
+    *     (path, time) — ReplacingMergeTree read semantics before any
+    *     GraphiteMergeTree rollup merge ran (`helper/point/func.go:29-51`).
+    *     The engine default.
+    *   - [[VersionMode.MergedCells]]: GraphiteMergeTree *merged*
+    *     semantics (ClickHouse `GraphiteRollupSortedAlgorithm`, pinned
+    *     by `tests/agg_latest` vs `tests/agg_oneblock`): within each
+    *     retention precision cell, rows from the newest write batch
+    *     (max version) win outright; rows sharing that max version
+    *     aggregate with the rule function. A later write REPLACES the
+    *     cell for every function.
+    *   - [[VersionMode.Raw]]: no version resolution — every stored row
+    *     aggregates (`internal-aggregation = true`'s `-Resample` SQL,
+    *     which reads raw rows with no FINAL/version handling;
+    *     `tests/agg_internal` "Deduplication not work").
+    */
+  sealed trait VersionMode
+  object VersionMode {
+    case object DedupExact extends VersionMode
+    case object MergedCells extends VersionMode
+    case object Raw extends VersionMode
+  }
+
   /** Partition the found metrics by (step, function) via rollup-rule
     * lookup (A3/A6), with the `consolidateBy` override (A8,
     * `render/data/targets.go:134-174`).
@@ -103,14 +129,58 @@ object Render {
   def dedupAndRollup(points: DataFrame, step: Long, func: AggFunc): DataFrame =
     rollup(dedup(points), step, func)
 
+  /** GraphiteMergeTree merged-cell read semantics
+    * ([[VersionMode.MergedCells]]): one row per (path, precision
+    * cell), value = rule function over the max-version rows of the
+    * cell (a newer write batch replaces older ones; ties within the
+    * winning batch aggregate). One hash aggregate; the per-cell
+    * `collect_list` holds only that cell's duplicate writes (bounded
+    * by writes-per-cell, not data size), mirroring the bounded
+    * per-metric slice the reference's client rollup holds in memory
+    * (`helper/rollup/rules.go:407-444`).
+    */
+  def mergeCells(points: DataFrame, precision: Long, func: AggFunc): DataFrame = {
+    val cell = (col("time") - pmod(col("time"), lit(precision))).as("cell")
+    val collected = points
+      .groupBy(col("path"), cell)
+      .agg(
+        max(col("version")).as("vmax"),
+        collect_list(struct(col("version"), col("time"), col("value"))).as("arr"))
+    // winners: max-version rows, exact-time-deduped (max value pins the
+    // tie like dedup's (version, value) struct order), time-sorted
+    val winners = array_sort(filter(col("arr"), x =>
+      x.getField("version") === col("vmax") &&
+        !exists(col("arr"), y =>
+          y.getField("version") === col("vmax") &&
+            y.getField("time") === x.getField("time") &&
+            y.getField("value") > x.getField("value"))))
+    val values = transform(winners, _.getField("value"))
+    val n = size(values)
+    val agged = func match {
+      case AggFunc.Avg =>
+        aggregate(values, lit(0.0), _ + _) / n
+      case AggFunc.Sum     => aggregate(values, lit(0.0), _ + _)
+      case AggFunc.Min     => array_min(values)
+      case AggFunc.Max     => array_max(values)
+      case AggFunc.Any     => element_at(values, 1)
+      case AggFunc.AnyLast => element_at(values, -1)
+    }
+    collected.select(col("path"), col("cell").as("time"), agged.as("value"))
+  }
+
   /** Fetch one function group: broadcast semi-join (J1,
-    * `render/data/query.go:428-433`) + window filter + dedup + rollup,
-    * with from/until alignment (W2, `query.go:417-420`).
+    * `render/data/query.go:428-433`) + window filter + version
+    * resolution (per `versionMode`) + rollup, with from/until
+    * alignment (W2, `query.go:417-420`). `cellPrecision` is the
+    * storage rule precision (pre-maxDataPoints inflation) that
+    * [[VersionMode.MergedCells]] merges on.
     */
   def fetchGroup(
       points: DataFrame,
       group: FuncGroup,
-      tf: TimeFrame): DataFrame = {
+      tf: TimeFrame,
+      versionMode: VersionMode = VersionMode.DedupExact,
+      cellPrecision: Long = 0L): DataFrame = {
     val (from, until) = StepMath.alignFromUntil(tf.from, tf.until, group.step)
     val spark = points.sparkSession
     import spark.implicits._
@@ -118,7 +188,13 @@ object Render {
     val filtered = points
       .where(col("time").between(from, until))
       .join(broadcast(paths), Seq("path"), "left_semi")
-    dedupAndRollup(filtered, group.step, group.func)
+    versionMode match {
+      case VersionMode.DedupExact => dedupAndRollup(filtered, group.step, group.func)
+      case VersionMode.Raw        => rollup(filtered, group.step, group.func)
+      case VersionMode.MergedCells =>
+        val prec = if (cellPrecision > 0) cellPrecision else group.step
+        rollup(mergeCells(filtered, prec, group.func), group.step, group.func)
+    }
   }
 
   /** Gap-fill (W1, `helper/point/func.go:53-118`): project each series
@@ -209,7 +285,8 @@ object Render {
       rules: Rules,
       now: Long,
       consolidateBy: Option[String] = None,
-      appendEmpty: Boolean = false): DataFrame = {
+      appendEmpty: Boolean = false,
+      versionMode: VersionMode = VersionMode.DedupExact): DataFrame = {
     val spark = points.sparkSession
     import spark.implicits._
     val aliasRows = targets.flatMap { case (target, pairs) =>
@@ -219,7 +296,8 @@ object Render {
       .toDF("path", "target", "display_name")
     val allPaths = targets.flatMap(_._2.map(_._1)).distinct
     val rendered = render(
-      points, allPaths, tf, rules, now, consolidateBy, appendEmpty)
+      points, allPaths, tf, rules, now, consolidateBy, appendEmpty,
+      versionMode = versionMode)
     aliasJoin(rendered, aliases)
   }
 
@@ -358,7 +436,8 @@ object Render {
       consolidateBy: Option[String] = None,
       appendEmpty: Boolean = false,
       commonStep: Boolean = false,
-      maxGroups: Int = 32): DataFrame = {
+      maxGroups: Int = 32,
+      versionMode: VersionMode = VersionMode.DedupExact): DataFrame = {
     val spark = points.sparkSession
     import spark.implicits._
     val groups0 = functionGroups(foundPaths, rules, now, tf, consolidateBy)
@@ -384,7 +463,7 @@ object Render {
     val frames = groups.map { g =>
       val step = StepMath.aggregatedStep(g.step, tf.from, tf.until, tf.maxDataPoints)
       val effective = g.copy(step = step)
-      val rolled = fetchGroup(points, effective, tf)
+      val rolled = fetchGroup(points, effective, tf, versionMode, cellPrecision = g.step)
       val pathsDf = spark.createDataset(g.paths).toDF("path")
       withEmptySeries(gapFill(rolled, pathsDf, tf, step), appendEmpty)
     }

@@ -48,7 +48,10 @@ object TimeGrammar {
 
   private def unitMultiplier(u: String): Long = u match {
     case "" | "s" | "sec" | "secs" | "second" | "seconds"  => 1L
-    case "min" | "mins" | "minute" | "minutes"             => 60L
+    // bare `m` is minutes in the carbonapi interval grammar the
+    // reference delegates to (pkg/parser.IntervalString; exercised by
+    // `tests/one_table` "midnight+1380m")
+    case "m" | "min" | "mins" | "minute" | "minutes"       => 60L
     case "h" | "hour" | "hours"                            => 3600L
     case "d" | "day" | "days"                              => 86400L
     case "w" | "week" | "weeks"                            => 604800L

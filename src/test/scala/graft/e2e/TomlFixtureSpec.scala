@@ -1,0 +1,62 @@
+package graft.e2e
+
+import java.nio.file.{Files, Paths}
+import java.time.Instant
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Data-driven port of the reference's e2e conformance matrix: each
+  * `tests/<dir>/test.toml` is parsed verbatim and every
+  * find/tags/render check is executed against the Spark engine under
+  * every graphite-clickhouse config variant the scenario declares —
+  * the engine-agnostic behavioral spec SURVEY §5 names primary
+  * (`cmd/e2e-test/e2etesting.go` is the reference runner).
+  *
+  * Excluded dirs: `limiter*`/`tls`/`error_handling` (ops-level:
+  * concurrency limits, TLS wiring, proxy fault injection),
+  * `find_cache` (covered by FindCacheSpec with the TTL cache wired
+  * in), `clickhouse` (storage bootstrap, not a scenario).
+  */
+class TomlFixtureSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private val testsRoot = "/root/reference/tests"
+
+  // a fixed "wall clock": 2024-01-01 00:00:05 UTC → rnow = …:00
+  private val now = Instant.ofEpochSecond(1704067205L)
+
+  private val scenarios = Seq(
+    "one_table",
+    "agg_internal",
+    "agg_latest",
+    "agg_merge",
+    "agg_oneblock",
+    "emptyseries_append",
+    "emptyseries_noappend",
+    "consolidateBy",
+    "feature_flags_both_true",
+    "feature_flags_false",
+    "feature_flags_use_carbon_behaviour",
+    "feature_flags_dont_match_missing_tags",
+    "wildcard_min_distance",
+    "tags_min_in_query")
+
+  for (dir <- scenarios) {
+    val path = Paths.get(testsRoot, dir)
+    if (Files.isRegularFile(path.resolve("test.toml"))) {
+      val scenario = Fixture.load(path)
+      // one ingest per scenario, shared by its config-variant tests
+      lazy val run = new FixtureRunner.ScenarioRun(spark, scenario, now)
+      for (conf <- scenario.configs) {
+        test(s"$dir [${conf.label}]") {
+          val errors = run.run(conf)
+          assert(errors.isEmpty, errors.mkString("\n", "\n", ""))
+        }
+      }
+    } else {
+      ignore(s"$dir (fixture not present)") {}
+    }
+  }
+}
