@@ -110,63 +110,135 @@ object FixtureRunner {
     def index: DataFrame = spark.read.parquet(s"$tablesDir/index")
     def tagsTable: DataFrame = spark.read.parquet(s"$tablesDir/tags")
 
-    /** Run every check under one config variant; returns mismatches. */
+    /** Run every check under one config variant; returns mismatches.
+      * When the variant configures `[common.find-cache]`, one cache
+      * lives for the whole run so the fixture's `in_cache` /
+      * `cache_ttl` expectations see earlier checks' entries — the
+      * reference runner's behavior against a single live process.
+      */
     def run(conf: GchConfig): Seq[String] = {
+      val cache = new graft.engine.FindCache.TtlCache[Any]()
       val errors = Seq.newBuilder[String]
       scenario.findChecks.zipWithIndex.foreach { case (c, i) =>
-        errors ++= runFind(conf, c).map(e => s"[${scenario.dir}/${conf.label} find#$i ${c.query}] $e")
+        errors ++= runFind(conf, c, cache).map(e => s"[${scenario.dir}/${conf.label} find#$i ${c.query}] $e")
       }
       scenario.tagsChecks.zipWithIndex.foreach { case (c, i) =>
-        errors ++= runTags(conf, c).map(e => s"[${scenario.dir}/${conf.label} tags#$i ${c.query}] $e")
+        errors ++= runTags(conf, c, cache).map(e => s"[${scenario.dir}/${conf.label} tags#$i ${c.query}] $e")
       }
       scenario.renderChecks.zipWithIndex.foreach { case (c, i) =>
-        errors ++= runRender(conf, c).map(e => s"[${scenario.dir}/${conf.label} render#$i] $e")
+        errors ++= runRender(conf, c, cache).map(e => s"[${scenario.dir}/${conf.label} render#$i] $e")
       }
       errors.result()
     }
 
-    def runFind(conf: GchConfig, c: FindCheck): Seq[String] = {
+    private def nowSec: Long = now.getEpochSecond
+
+    private def cacheConfig(conf: GchConfig) = graft.engine.FindCache.Config(
+      defaultTimeoutSec = conf.findCacheDefaultTimeout,
+      shortTimeoutSec = conf.findCacheShortTimeout,
+      shortDurationSec = conf.findCacheShortDuration,
+      findTimeoutSec = conf.findCacheFindTimeout)
+
+    /** Cache-state assertions shared by the three check kinds: the
+      * first request's hit state must equal `in_cache`, the chosen TTL
+      * must equal `cache_ttl`, and (like the e2e runner's second
+      * query, `checks.go:109-118`) a repeat must hit.
+      */
+    private def cacheErrors(
+        useCache: Boolean,
+        hit: Boolean,
+        ttl: Int,
+        expTtl: Int,
+        expInCache: Boolean,
+        secondHit: => Boolean): Seq[String] =
+      if (!useCache) Nil
+      else {
+        val errors = Seq.newBuilder[String]
+        if (hit != expInCache)
+          errors += s"X-Cached-Find: got hit=$hit, want in_cache=$expInCache"
+        if (expTtl > 0 && ttl != expTtl)
+          errors += s"cache ttl: got $ttl, want $expTtl"
+        if (expTtl > 0 && !secondHit)
+          errors += "second request was not served from cache"
+        errors.result()
+      }
+
+    def runFind(
+        conf: GchConfig,
+        c: FindCheck,
+        cache: graft.engine.FindCache.TtlCache[Any]): Seq[String] = {
+      val useCache = conf.findCache && conf.findCacheFindTimeout > 0
+      val ttl = conf.findCacheFindTimeout
+      val key = graft.engine.FindCache.findKey(c.query, nowSec, ttl)
+      var cacheAsserts: Seq[String] = Nil
       val outcome: Either[String, Seq[FindExp]] =
         try {
-          val df = Finder.find(index, c.query, at(c.from), at(c.until),
-            wildcardMinDistance = conf.wildcardMinDistance)
-          Right(df.orderBy("path").collect().toSeq
-            .map(r => FindExp(r.getString(0), r.getBoolean(1))))
+          def compute: Seq[FindExp] =
+            Finder.find(index, c.query, at(c.from), at(c.until),
+              wildcardMinDistance = conf.wildcardMinDistance)
+              .orderBy("path").collect().toSeq
+              .map(r => FindExp(r.getString(0), r.getBoolean(1)))
+          val (result, hit) =
+            if (useCache)
+              graft.engine.FindCache.through(cache, key, ttl, nowSec)(compute: Any)
+            else (compute: Any, false)
+          cacheAsserts = cacheErrors(useCache, hit, ttl, c.cacheTtl, c.inCache,
+            cache.get(key, nowSec).isDefined)
+          Right(result.asInstanceOf[Seq[FindExp]])
         } catch {
           case e: IllegalArgumentException => Left(s"400: ${e.getMessage}")
         }
       checkOutcome(outcome, c.errorRegexp) { actual =>
-        if (actual == c.result) Nil
-        else Seq(s"find mismatch: got $actual, want ${c.result}")
+        (if (actual == c.result) Nil
+         else Seq(s"find mismatch: got $actual, want ${c.result}")) ++ cacheAsserts
       }
     }
 
-    def runTags(conf: GchConfig, c: TagsCheck): Seq[String] = {
+    def runTags(
+        conf: GchConfig,
+        c: TagsCheck,
+        cache: graft.engine.FindCache.TtlCache[Any]): Seq[String] = {
       val limit = if (c.limits > 0) c.limits.toInt else 10000
+      val useCache = conf.findCache && conf.findCacheFindTimeout > 0
+      val ttl = conf.findCacheFindTimeout
+      val kind = if (c.names) "tags" else "values"
+      val key = graft.engine.FindCache.autocompleteKey(kind, c.query, nowSec, ttl)
+      var cacheAsserts: Seq[String] = Nil
       val outcome: Either[String, Seq[String]] =
         try {
-          if (c.names) {
-            val exprs = c.query.split(";").toList.filter(_.nonEmpty)
-            Right(Autocomplete.tagNamesComplete(tagsTable, exprs, limit = limit,
-              flags = conf.flags))
-          } else {
-            // query = "<tag>;expr;expr…" (`helper/client/tags.go`)
-            val parts = c.query.split(";").toList
-            val exprs = parts.tail.filter(_.nonEmpty)
-            import spark.implicits._
-            Right(Autocomplete.tagValues(tagsTable, parts.head, exprs,
-              limit = limit, flags = conf.flags).as[String].collect().toSeq)
-          }
+          def compute: Seq[String] =
+            if (c.names) {
+              val exprs = c.query.split(";").toList.filter(_.nonEmpty)
+              Autocomplete.tagNamesComplete(tagsTable, exprs, limit = limit,
+                flags = conf.flags)
+            } else {
+              // query = "<tag>;expr;expr…" (`helper/client/tags.go`)
+              val parts = c.query.split(";").toList
+              val exprs = parts.tail.filter(_.nonEmpty)
+              import spark.implicits._
+              Autocomplete.tagValues(tagsTable, parts.head, exprs,
+                limit = limit, flags = conf.flags).as[String].collect().toSeq
+            }
+          val (result, hit) =
+            if (useCache)
+              graft.engine.FindCache.through(cache, key, ttl, nowSec)(compute: Any)
+            else (compute: Any, false)
+          cacheAsserts = cacheErrors(useCache, hit, ttl, c.cacheTtl, c.inCache,
+            cache.get(key, nowSec).isDefined)
+          Right(result.asInstanceOf[Seq[String]])
         } catch {
           case e: IllegalArgumentException => Left(s"400: ${e.getMessage}")
         }
       checkOutcome(outcome, c.errorRegexp) { actual =>
-        if (actual == c.result) Nil
-        else Seq(s"tags mismatch: got $actual, want ${c.result}")
+        (if (actual == c.result) Nil
+         else Seq(s"tags mismatch: got $actual, want ${c.result}")) ++ cacheAsserts
       }
     }
 
-    def runRender(conf: GchConfig, c: RenderCheck): Seq[String] = {
+    def runRender(
+        conf: GchConfig,
+        c: RenderCheck,
+        cache: graft.engine.FindCache.TtlCache[Any]): Seq[String] = {
       val from = graft.time.TimeGrammar.timestampTruncate(at(c.from), precision)
       val until = graft.time.TimeGrammar.timestampTruncate(at(c.until), precision)
       val mdp = if (c.maxDataPoints > 0) c.maxDataPoints else 1048576L
@@ -175,25 +247,44 @@ object FixtureRunner {
       val versionMode =
         if (conf.internalAggregation) Render.VersionMode.Raw
         else Render.VersionMode.MergedCells
+      val ttl = graft.engine.FindCache.renderTimeout(cacheConfig(conf), nowSec, from, until)
+      val useCache = conf.findCache && ttl > 0
+      var cacheAsserts: Seq[String] = Nil
 
       val outcome: Either[String, Seq[ActualSeries]] =
         try {
           // find per target: plain globs hit the index; seriesByTag the
-          // tags table; display names decode the storage form
+          // tags table; display names decode the storage form. Only the
+          // FIND result is cacheable — points always render fresh
+          // (`tests/find_cache`: a hit with a longer window returns the
+          // longer fresh grid).
+          var allHit = true
+          var allSecondHit = true
           val targets: Seq[(String, Seq[(String, String)])] = c.targets.map { t =>
-            if (t.startsWith("seriesByTag(")) {
-              val paths = Finder.findTagged(tagsTable, t, conf.flags,
-                tagsMinInQuery = conf.tagsMinInQuery)
-                .collect().map(_.getString(0)).toSeq
-              t -> paths.map(p => (p, Tagged.decodePath(p)))
-            } else {
-              val paths = Finder.find(index, t, from, until,
-                wildcardMinDistance = conf.wildcardMinDistance)
-                .where(col("is_leaf"))
-                .collect().map(_.getString(0)).toSeq
-              t -> paths.map(p => (p, p))
-            }
+            def compute: Seq[(String, String)] =
+              if (t.startsWith("seriesByTag(")) {
+                Finder.findTagged(tagsTable, t, conf.flags,
+                  tagsMinInQuery = conf.tagsMinInQuery)
+                  .collect().map(_.getString(0)).toSeq
+                  .map(p => (p, Tagged.decodePath(p)))
+              } else {
+                Finder.find(index, t, from, until,
+                  wildcardMinDistance = conf.wildcardMinDistance)
+                  .where(col("is_leaf"))
+                  .collect().map(_.getString(0)).toSeq
+                  .map(p => (p, p))
+              }
+            val key = graft.engine.FindCache.targetKey(from, until, t, ttl)
+            val (pairs, hit) =
+              if (useCache)
+                graft.engine.FindCache.through(cache, key, ttl, nowSec)(compute: Any)
+              else (compute: Any, false)
+            allHit &&= hit
+            allSecondHit &&= cache.get(key, nowSec).isDefined
+            t -> pairs.asInstanceOf[Seq[(String, String)]]
           }
+          cacheAsserts = cacheErrors(useCache, allHit, ttl, c.cacheTtl, c.inCache,
+            allSecondHit)
           val out = Render.renderMulti(points, targets, tf, rules, now = until,
             consolidateBy = consolidate,
             appendEmpty = conf.appendEmptySeries,
@@ -208,7 +299,8 @@ object FixtureRunner {
         }
 
       checkOutcome(outcome, c.errorRegexp) { actual =>
-        compareRender(actual.sortBy(s => (s.name, s.pathExpression)), c, from)
+        compareRender(actual.sortBy(s => (s.name, s.pathExpression)), c, from) ++
+          cacheAsserts
       }
     }
 

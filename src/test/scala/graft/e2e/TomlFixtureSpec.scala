@@ -15,17 +15,19 @@ import graft.SparkTestBase
   * (`cmd/e2e-test/e2etesting.go` is the reference runner).
   *
   * Excluded dirs: `limiter*`/`tls`/`error_handling` (ops-level:
-  * concurrency limits, TLS wiring, proxy fault injection),
-  * `find_cache` (covered by FindCacheSpec with the TTL cache wired
-  * in), `clickhouse` (storage bootstrap, not a scenario).
+  * concurrency limits, TLS wiring, proxy fault injection) and
+  * `clickhouse` (storage bootstrap, not a scenario).
   */
 class TomlFixtureSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
 
   private val testsRoot = "/root/reference/tests"
 
-  // a fixed "wall clock": 2024-01-01 00:00:05 UTC → rnow = …:00
-  private val now = Instant.ofEpochSecond(1704067205L)
+  // a fixed "wall clock": 2024-01-01 12:00:05 UTC → rnow = 12:00:00.
+  // Mid-day, like the real runner's wall clock — `find_cache` renders
+  // a [midnight-270s, midnight] window and expects the `now` point to
+  // fall outside it.
+  private val now = Instant.ofEpochSecond(1704110405L)
 
   private val scenarios = Seq(
     "one_table",
@@ -41,7 +43,8 @@ class TomlFixtureSpec extends AnyFunSuite {
     "feature_flags_use_carbon_behaviour",
     "feature_flags_dont_match_missing_tags",
     "wildcard_min_distance",
-    "tags_min_in_query")
+    "tags_min_in_query",
+    "find_cache")
 
   for (dir <- scenarios) {
     val path = Paths.get(testsRoot, dir)
