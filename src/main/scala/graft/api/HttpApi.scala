@@ -1,0 +1,484 @@
+package graft.api
+
+import java.net.InetSocketAddress
+import java.net.URLDecoder
+import java.nio.charset.StandardCharsets
+import java.time.Instant
+
+import scala.util.control.NonFatal
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.compiler.Tagged
+import graft.engine.{Autocomplete, FindCache, Finder, Render}
+import graft.model.{FeatureFlags, TimeFrame}
+import graft.rollup.Rules
+import graft.sinks.{FindSink, JsonSink, PickleSink, ProtobufSink, Series, Wire}
+import graft.time.{StepMath, TimeGrammar}
+
+/** The HTTP service surface — every route of the reference server
+  * (`graphite-clickhouse.go:561-599`) over the Spark engine:
+  * `/render/`, `/metrics/find/`, `/metrics/index.json`,
+  * `/tags/autoComplete/{tags,values}`, `/_internal/capabilities/`,
+  * `/alive` and `/health`.
+  *
+  * Format dispatch mirrors `render/reply/formatter.go:25-50`
+  * (carbonapi_v3_pb | pickle | protobuf aka carbonapi_v2_pb; json for
+  * debugging), and the find cache sets `X-Cached-Find` exactly like
+  * `find/handler.go:133-159` / `render/handler.go:59-118`.
+  *
+  * The server is deliberately driver-side glue: every byte it returns
+  * is produced by the already-tested engine (Finder/Render) and wire
+  * sinks — request parsing and route plumbing is all that lives here.
+  * JDK `com.sun.net.httpserver` keeps the dependency set empty.
+  */
+object HttpApi {
+
+  final case class Config(
+      rules: Rules,
+      flags: FeatureFlags = FeatureFlags(),
+      internalAggregation: Boolean = false,
+      appendEmptySeries: Boolean = false,
+      wildcardMinDistance: Int = 0,
+      tagsMinInQuery: Int = 0,
+      findCache: Option[FindCache.Config] = None,
+      taggedAutocompleteDays: Int = 0)
+
+  /** One render-target's filtering function (v3 FilterFunctions). */
+  final case class FilteringFunction(name: String, arguments: Seq[String])
+
+  final case class ParsedQuery(params: Map[String, Seq[String]]) {
+    def first(key: String): Option[String] = params.get(key).flatMap(_.headOption)
+    def all(key: String): Seq[String] = params.getOrElse(key, Nil)
+  }
+
+  def parseQueryString(raw: String): ParsedQuery =
+    if (raw == null || raw.isEmpty) ParsedQuery(Map.empty)
+    else ParsedQuery(
+      raw.split("&").toSeq.filter(_.nonEmpty)
+        .map { kv =>
+          kv.split("=", 2) match {
+            case Array(k, v) =>
+              URLDecoder.decode(k, StandardCharsets.UTF_8) ->
+                URLDecoder.decode(v, StandardCharsets.UTF_8)
+            case Array(k) => URLDecoder.decode(k, StandardCharsets.UTF_8) -> ""
+          }
+        }
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) })
+
+  /** carbonapi_v3_pb MultiFetchRequest decode (public
+    * go-graphite/protocol carbonapi_v3_pb.proto: FetchRequest
+    * name=1, startTime=2, stopTime=3, highPrecisionTimestamps=4,
+    * pathExpression=5, maxDataPoints=6, filterFunctions=7).
+    */
+  def parseV3Request(body: Array[Byte])
+      : Seq[(String, Long, Long, Long, Seq[FilteringFunction])] = {
+    val out = Seq.newBuilder[(String, Long, Long, Long, Seq[FilteringFunction])]
+    val r = new Wire.Reader(body)
+    while (r.hasNext) {
+      val (field, wt) = r.nextField()
+      if (field == 1 && wt == Wire.LengthDelimited) {
+        val m = r.lengthDelimited()
+        var name = ""; var path = ""; var from = 0L; var until = 0L; var mdp = 0L
+        val ffs = Seq.newBuilder[FilteringFunction]
+        while (m.hasNext) {
+          val (f, w) = m.nextField()
+          f match {
+            case 1 => name = m.stringValue()
+            case 2 => from = m.varint()
+            case 3 => until = m.varint()
+            case 5 => path = m.stringValue()
+            case 6 => mdp = m.varint()
+            case 7 =>
+              val ff = m.lengthDelimited()
+              var fn = ""; val args = Seq.newBuilder[String]
+              while (ff.hasNext) {
+                val (f2, w2) = ff.nextField()
+                f2 match {
+                  case 1 => fn = ff.stringValue()
+                  case 2 => args += ff.stringValue()
+                  case _ => ff.skip(w2)
+                }
+              }
+              ffs += FilteringFunction(fn, args.result())
+            case _ => m.skip(w)
+          }
+        }
+        val target = if (path.nonEmpty) path else name
+        out += ((target, from, until, mdp, ffs.result()))
+      } else r.skip(wt)
+    }
+    out.result()
+  }
+
+  /** v3 CapabilityResponse (`capabilities/handler.go:71-79`):
+    * supportedProtocols=1, name=2; the boolean capabilities default
+    * false and are omitted.
+    */
+  def capabilityResponse(hostname: String): Array[Byte] = {
+    val b = new Wire.Buf
+    Seq("carbonapi_v3_pb", "carbonapi_v2_pb", "graphite-web-pickle")
+      .foreach(p => b.string(1, p))
+    b.string(2, hostname)
+    b.bytes
+  }
+
+  /** Engine-error → HTTP status, matching the reference's mapping:
+    * admission 403 for tagged-term gates (`finder/tagged.go:357-363`),
+    * 400 for everything else request-shaped.
+    */
+  def errorStatus(e: Throwable): Int =
+    if (e.getMessage != null && e.getMessage.contains("wildcard and regex terms")) 403
+    else 400
+}
+
+/** One listening server bound to a table set. `tablesDir` must hold
+  * the `points`/`index`/`tags` parquet family the ingest maintains.
+  */
+final class HttpApi(
+    spark: SparkSession,
+    tablesDir: String,
+    cfg: HttpApi.Config,
+    clock: () => Instant = () => Instant.now(),
+    port: Int = 0) {
+
+  import HttpApi._
+
+  private val cache = new FindCache.TtlCache[Any]()
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+
+  private def points: DataFrame = spark.read.parquet(s"$tablesDir/points")
+  private def index: DataFrame = spark.read.parquet(s"$tablesDir/index")
+  private def tagsTable: DataFrame = spark.read.parquet(s"$tablesDir/tags")
+
+  def address: String = s"http://127.0.0.1:${server.getAddress.getPort}"
+
+  def start(): this.type = {
+    server.createContext("/", handle _)
+    server.setExecutor(null) // same-thread; Spark jobs dominate latency
+    server.start()
+    this
+  }
+
+  def stop(): Unit = server.stop(0)
+
+  // -------------------------------------------------------------
+  // dispatch
+  // -------------------------------------------------------------
+
+  private def handle(ex: HttpExchange): Unit = {
+    val path = ex.getRequestURI.getPath
+    try {
+      path match {
+        case p if p.startsWith("/render")        => render(ex)
+        case p if p.startsWith("/metrics/find")  => find(ex)
+        case "/metrics/index.json"               => indexJson(ex)
+        case "/tags/autoComplete/tags"           => autocompleteTags(ex, names = true)
+        case "/tags/autoComplete/values"         => autocompleteTags(ex, names = false)
+        case p if p.startsWith("/_internal/capabilities") => capabilities(ex)
+        case "/alive" =>
+          reply(ex, 200, "text/plain", "Graphite-clickhouse is alive.\n".getBytes)
+        case "/health" => reply(ex, 200, "text/plain", "Ok\n".getBytes)
+        case _         => reply(ex, 404, "text/plain", "not found\n".getBytes)
+      }
+    } catch {
+      case e: IllegalArgumentException =>
+        reply(ex, errorStatus(e), "text/plain", (s"${e.getMessage}\n").getBytes)
+      case NonFatal(e) =>
+        reply(ex, 500, "text/plain", (s"internal error: ${e.getMessage}\n").getBytes)
+    } finally ex.close()
+  }
+
+  private def reply(
+      ex: HttpExchange, status: Int, contentType: String, body: Array[Byte]): Unit = {
+    ex.getResponseHeaders.set("Content-Type", contentType)
+    ex.sendResponseHeaders(status, if (body.isEmpty) -1 else body.length.toLong)
+    if (body.nonEmpty) ex.getResponseBody.write(body)
+  }
+
+  private def readBody(ex: HttpExchange): Array[Byte] =
+    ex.getRequestBody.readAllBytes()
+
+  /** Merge URI query params with an urlencoded form body. */
+  private def formParams(ex: HttpExchange, body: Array[Byte]): ParsedQuery = {
+    val fromUri = parseQueryString(ex.getRequestURI.getRawQuery)
+    val ct = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
+    if (ct.startsWith("application/x-www-form-urlencoded") && body.nonEmpty) {
+      val fromBody = parseQueryString(new String(body, StandardCharsets.UTF_8))
+      ParsedQuery(fromUri.params ++ fromBody.params.map { case (k, v) =>
+        k -> (fromUri.all(k) ++ v)
+      })
+    } else fromUri
+  }
+
+  // -------------------------------------------------------------
+  // /metrics/find
+  // -------------------------------------------------------------
+
+  private def find(ex: HttpExchange): Unit = {
+    val q = formParams(ex, readBody(ex))
+    val query = q.first("query").getOrElse("")
+    if (query.isEmpty) { reply(ex, 400, "text/plain", "Query not set\n".getBytes); return }
+    val format = q.first("format").getOrElse("pickle")
+    val now = clock()
+    val from = q.first("from").map(s => TimeGrammar.parse(s, java.time.ZoneOffset.UTC, now)).getOrElse(0L)
+    val until = q.first("until").map(s => TimeGrammar.parse(s, java.time.ZoneOffset.UTC, now)).getOrElse(0L)
+
+    def compute: Seq[(String, Boolean)] =
+      Finder.find(index, query, from, until,
+        wildcardMinDistance = cfg.wildcardMinDistance)
+        .orderBy("path").collect().toSeq
+        .map(r => (r.getString(0), r.getBoolean(1)))
+
+    val (rows, hit, ttl) = cfg.findCache match {
+      case Some(fc) if fc.findTimeoutSec > 0 && q.first("noCache").forall(v => v != "1" && v != "true") =>
+        val key = FindCache.findKey(query, now.getEpochSecond, fc.findTimeoutSec)
+        val (v, h) = FindCache.through(cache, key, fc.findTimeoutSec, now.getEpochSecond)(compute: Any)
+        (v.asInstanceOf[Seq[(String, Boolean)]], h, fc.findTimeoutSec)
+      case _ => (compute, false, 0)
+    }
+    if (hit) ex.getResponseHeaders.set("X-Cached-Find", ttl.toString)
+
+    format match {
+      case "json" => reply(ex, 200, "application/json", JsonSink.find(rows).getBytes)
+      case "pickle" => reply(ex, 200, "application/pickle", FindSink.pickle(rows))
+      case "protobuf" | "carbonapi_v2_pb" | "carbonapi_v3_pb" =>
+        reply(ex, 200, "application/x-protobuf", FindSink.protobuf(query, rows))
+      case other => reply(ex, 400, "text/plain", s"unsupported format $other\n".getBytes)
+    }
+  }
+
+  // -------------------------------------------------------------
+  // /render
+  // -------------------------------------------------------------
+
+  private def render(ex: HttpExchange): Unit = {
+    val body = readBody(ex)
+    val q = formParams(ex, body)
+    val format = q.first("format").getOrElse("")
+    val now = clock()
+
+    // (target, from, until, mdp, filteringFunctions) request rows
+    val requests: Seq[(String, Long, Long, Long, Seq[FilteringFunction])] =
+      if (format == "carbonapi_v3_pb") parseV3Request(body)
+      else {
+        val from = q.first("from").map(s => TimeGrammar.parse(s, java.time.ZoneOffset.UTC, now)).getOrElse(0L)
+        val until = q.first("until").map(s => TimeGrammar.parse(s, java.time.ZoneOffset.UTC, now)).getOrElse(0L)
+        val mdp = q.first("maxDataPoints").flatMap(s => s.toLongOption).getOrElse(0L)
+        q.all("target").map(t => (t, from, until, mdp, Nil))
+      }
+    if (requests.isEmpty) { reply(ex, 400, "text/plain", "no targets\n".getBytes); return }
+    if (requests.exists { case (_, f, u, _, _) => f >= u }) {
+      reply(ex, 400, "text/plain", "invalid time range\n".getBytes); return
+    }
+
+    val pts = points
+    val idx = index
+    val tags = tagsTable
+    var anyCacheHit = false
+    var maxTtl = 0
+
+    // group per (from, until, mdp) window like MFRToMultiTarget
+    val frames = requests.groupBy { case (_, f, u, m, _) => (f, u, m) }.toSeq.sortBy(_._1)
+    val allSeries = frames.flatMap { case ((from, until, mdp0), reqs) =>
+      val mdp = if (mdp0 > 0) mdp0 else Request.DefaultMaxDataPoints
+      val tf = TimeFrame(from, until, mdp)
+      val consolidate = reqs.flatMap(_._5).collectFirst {
+        case FilteringFunction("consolidateBy", args) if args.nonEmpty => args.head
+      }
+      val versionMode =
+        if (cfg.internalAggregation) Render.VersionMode.Raw
+        else Render.VersionMode.MergedCells
+
+      val targets: Seq[(String, Seq[(String, String)])] = reqs.map(_._1).distinct.map { t =>
+        def compute: Seq[(String, String)] =
+          if (t.startsWith("seriesByTag(")) {
+            Finder.findTagged(tags, t, cfg.flags, tagsMinInQuery = cfg.tagsMinInQuery)
+              .collect().map(_.getString(0)).toSeq
+              .map(p => (p, Tagged.decodePath(p)))
+          } else {
+            Finder.find(idx, t, from, until,
+              wildcardMinDistance = cfg.wildcardMinDistance)
+              .where(col("is_leaf"))
+              .collect().map(_.getString(0)).toSeq
+              .map(p => (p, p))
+          }
+        val pairs = cfg.findCache match {
+          case Some(fc) =>
+            val ttl = FindCache.renderTimeout(fc, now.getEpochSecond, from, until)
+            if (ttl > 0) {
+              val key = FindCache.targetKey(from, until, t, ttl)
+              val (v, h) = FindCache.through(cache, key, ttl, now.getEpochSecond)(compute: Any)
+              if (h) { anyCacheHit = true; maxTtl = math.max(maxTtl, ttl) }
+              v.asInstanceOf[Seq[(String, String)]]
+            } else compute
+          case None => compute
+        }
+        t -> pairs
+      }
+
+      val out = Render.renderMulti(pts, targets, tf, cfg.rules, now = now.getEpochSecond,
+        consolidateBy = consolidate,
+        appendEmpty = cfg.appendEmptySeries,
+        versionMode = versionMode)
+      collectSeries(out, targets, tf, consolidate).map(s => (s, from, until))
+    }
+
+    if (anyCacheHit) ex.getResponseHeaders.set("X-Cached-Find", maxTtl.toString)
+
+    format match {
+      case "carbonapi_v3_pb" =>
+        val bodyOut = new java.io.ByteArrayOutputStream()
+        allSeries.foreach { case (s, f, u) =>
+          bodyOut.write(ProtobufSink.encodeV3(Seq(s), f, u))
+        }
+        reply(ex, 200, "application/x-protobuf", bodyOut.toByteArray)
+      case "protobuf" | "carbonapi_v2_pb" =>
+        reply(ex, 200, "application/x-protobuf", ProtobufSink.encodeV2(allSeries.map(_._1)))
+      case "pickle" =>
+        reply(ex, 200, "application/pickle", PickleSink.encode(allSeries.map(_._1)))
+      case "json" =>
+        val (f, u) = frames.headOption.map(fr => (fr._1._1, fr._1._2)).getOrElse((0L, 0L))
+        reply(ex, 200, "application/json", JsonSink.render(allSeries.map(_._1), f, u).getBytes)
+      case other =>
+        reply(ex, 400, "text/plain",
+          (s"format $other is not supported, supported formats: carbonapi_v3_pb, " +
+            "pickle, protobuf (aka carbonapi_v2_pb)\n").getBytes)
+    }
+  }
+
+  /** Long-form render rows → wire Series (shared with the fixture
+    * runner's assembly; the per-path step/function resolution repeats
+    * the rule lookup render used).
+    */
+  private def collectSeries(
+      out: DataFrame,
+      targets: Seq[(String, Seq[(String, String)])],
+      tf: TimeFrame,
+      consolidate: Option[String]): Seq[Series] = {
+    val groups = Render.functionGroups(
+      targets.flatMap(_._2.map(_._1)).distinct, cfg.rules,
+      now = clock().getEpochSecond, tf, consolidate)
+    val funcByPath = groups.flatMap(g => g.paths.map(_ -> g.func.name)).toMap
+    val stepByPath = groups.flatMap { g =>
+      val step = StepMath.aggregatedStep(g.step, tf.from, tf.until, tf.maxDataPoints)
+      g.paths.map(_ -> step)
+    }.toMap
+    out.select("path", "target", "display_name", "time", "value")
+      .collect()
+      .groupBy(r => (r.getString(2), r.getString(1), r.getString(0))).toSeq
+      .sortBy(_._1)
+      .map { case ((display, target, path), rs) =>
+        val step = stepByPath(path)
+        val byTime = rs.map(r => r.getLong(3) ->
+          (if (r.isNullAt(4)) Double.NaN else r.getDouble(4))).sortBy(_._1)
+        val values = byTime.map(_._2)
+        val fn =
+          if (values.forall(_.isNaN)) "any"
+          else funcByPath(path) match {
+            case "any" => "first"
+            case "anyLast" => "last"
+            case other => other
+          }
+        Series(
+          name = display,
+          pathExpression = target,
+          function = fn,
+          start = byTime.head._1,
+          stop = byTime.last._1 + step,
+          step = step,
+          values = values)
+      }
+  }
+
+  // -------------------------------------------------------------
+  // /metrics/index.json
+  // -------------------------------------------------------------
+
+  private def indexJson(ex: HttpExchange): Unit = {
+    // all leaf metric names, both plain and tagged (`index/index.go`)
+    val plain = index
+      .where(col("level") >= graft.model.Schemas.TreeLevelOffset &&
+        col("level") < graft.model.Schemas.ReverseTreeLevelOffset &&
+        !col("path").endsWith("."))
+      .select("path").distinct()
+    val tagged = tagsTable.select("path").distinct()
+      .select(col("path"))
+    val names = plain.unionByName(tagged)
+      .orderBy("path").collect().map(_.getString(0))
+    val sb = new StringBuilder("[")
+    names.zipWithIndex.foreach { case (n, i) =>
+      if (i > 0) sb.append(',')
+      sb.append('"').append(n.replace("\\", "\\\\").replace("\"", "\\\"")).append('"')
+    }
+    sb.append("]")
+    reply(ex, 200, "application/json", sb.toString.getBytes)
+  }
+
+  // -------------------------------------------------------------
+  // /tags/autoComplete/{tags,values}
+  // -------------------------------------------------------------
+
+  private def autocompleteTags(ex: HttpExchange, names: Boolean): Unit = {
+    val q = formParams(ex, readBody(ex))
+    val exprs = q.all("expr").toList
+    val limit = q.first("limit").flatMap(_.toIntOption).getOrElse(10000)
+    val now = clock()
+
+    def compute: Seq[String] =
+      if (names)
+        Autocomplete.tagNamesComplete(tagsTable, exprs,
+          tagPrefix = q.first("tagPrefix").getOrElse(""), limit = limit, flags = cfg.flags)
+      else {
+        val tag = q.first("tag").getOrElse(
+          throw new IllegalArgumentException("tag is not set"))
+        import spark.implicits._
+        Autocomplete.tagValues(tagsTable, tag, exprs,
+          valuePrefix = q.first("valuePrefix").getOrElse(""), limit = limit,
+          flags = cfg.flags).as[String].collect().toSeq
+      }
+
+    val (values, hit, ttl) = cfg.findCache match {
+      case Some(fc) if fc.findTimeoutSec > 0 =>
+        val kind = if (names) "tags" else "values"
+        val params = (exprs ++ q.first("tag") ++ q.first("tagPrefix") ++
+          q.first("valuePrefix") ++ Seq(limit.toString)).mkString(";")
+        val key = FindCache.autocompleteKey(kind, params, now.getEpochSecond, fc.findTimeoutSec)
+        val (v, h) = FindCache.through(cache, key, fc.findTimeoutSec, now.getEpochSecond)(compute: Any)
+        (v.asInstanceOf[Seq[String]], h, fc.findTimeoutSec)
+      case _ => (compute, false, 0)
+    }
+    if (hit) ex.getResponseHeaders.set("X-Cached-Find", ttl.toString)
+    reply(ex, 200, "application/json", JsonSink.autocomplete(values).getBytes)
+  }
+
+  // -------------------------------------------------------------
+  // /_internal/capabilities
+  // -------------------------------------------------------------
+
+  private def capabilities(ex: HttpExchange): Unit = {
+    val q = formParams(ex, readBody(ex))
+    val format = {
+      val accepts = ex.getRequestHeaders.get("Accept")
+      val fromAccept = accepts != null &&
+        accepts.stream().anyMatch(_ == "application/x-carbonapi-v3-pb")
+      if (fromAccept) "carbonapi_v3_pb" else q.first("format").getOrElse("")
+    }
+    val hostname =
+      try java.net.InetAddress.getLocalHost.getHostName
+      catch { case NonFatal(_) => "(unknown)" }
+    format match {
+      case "carbonapi_v3_pb" =>
+        reply(ex, 200, "application/x-carbonapi-v3-pb", capabilityResponse(hostname))
+      case "json" =>
+        val body =
+          s"""{"supportedProtocols":["carbonapi_v3_pb","carbonapi_v2_pb","graphite-web-pickle"],""" +
+            s""""name":"$hostname","highPrecisionTimestamps":false,""" +
+            """"supportFilteringFunctions":false,"likeSplittedRequests":false,"supportStreaming":false}"""
+        reply(ex, 200, "application/json", body.getBytes)
+      case _ => reply(ex, 400, "text/plain", "Bad request (unsupported format)\n".getBytes)
+    }
+  }
+}

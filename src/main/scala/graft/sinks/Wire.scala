@@ -55,4 +55,74 @@ object Wire {
     def bytes: Array[Byte] = out.toByteArray
     def size: Int = out.size()
   }
+
+  /** Minimal protobuf reader — enough to decode the flat carbonapi
+    * request messages the HTTP surface accepts (v3 MultiFetchRequest /
+    * CapabilityRequest). Iterate with `nextField`; value accessors
+    * must match the wire type the tag declared.
+    */
+  final class Reader(buf: Array[Byte], start: Int, end: Int) {
+    def this(buf: Array[Byte]) = this(buf, 0, buf.length)
+    private var pos = start
+
+    def hasNext: Boolean = pos < end
+
+    def varint(): Long = {
+      var shift = 0
+      var v = 0L
+      var b = 0
+      do {
+        if (pos >= end) throw new IllegalArgumentException("truncated varint")
+        b = buf(pos) & 0xff
+        pos += 1
+        v |= (b & 0x7fL) << shift
+        shift += 7
+      } while ((b & 0x80) != 0)
+      v
+    }
+
+    /** Returns the field number and leaves the value to be consumed
+      * by exactly one accessor (or `skip`).
+      */
+    def nextField(): (Int, Int) = {
+      val key = varint()
+      ((key >>> 3).toInt, (key & 7).toInt)
+    }
+
+    def lengthDelimited(): Reader = {
+      val len = varint().toInt
+      val r = new Reader(buf, pos, pos + len)
+      pos += len
+      r
+    }
+
+    def stringValue(): String = {
+      val len = varint().toInt
+      val s = new String(buf, pos, len, "UTF-8")
+      pos += len
+      s
+    }
+
+    def rawByte(): Int = {
+      if (pos >= end) throw new IllegalArgumentException("truncated message")
+      val b = buf(pos) & 0xff
+      pos += 1
+      b
+    }
+
+    def doubleLE(): Double = {
+      var bits = 0L
+      var i = 0
+      while (i < 8) { bits |= (rawByte().toLong & 0xffL) << (8 * i); i += 1 }
+      java.lang.Double.longBitsToDouble(bits)
+    }
+
+    def skip(wireType: Int): Unit = wireType match {
+      case 0 => varint(); ()
+      case 1 => pos += 8
+      case LengthDelimited => val len = varint().toInt; pos += len
+      case Fixed32 => pos += 4
+      case other => throw new IllegalArgumentException(s"unsupported wire type $other")
+    }
+  }
 }

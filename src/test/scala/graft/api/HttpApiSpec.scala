@@ -1,0 +1,190 @@
+package graft.api
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+import java.time.Instant
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.engine.FindCache
+import graft.model.FeatureFlags
+import graft.rollup.{AggFunc, Rules}
+import graft.sinks.{FindSink, Wire}
+import graft.streaming.Ingest
+
+/** Socket round-trips for every HTTP route over the `one_table`
+  * fixture data: each format is requested over a real TCP connection
+  * and decoded (or byte-compared against the tested sink encoders) —
+  * the e2e layer the reference exercises with
+  * `cmd/e2e-test/checks.go`.
+  */
+class HttpApiSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private val rnow = 1704067200L
+  private val now = Instant.ofEpochSecond(rnow + 5)
+
+  private lazy val tablesDir: String = {
+    val dir = Files.createTempDirectory("graft-http").toFile.getAbsolutePath
+    import spark.implicits._
+    def pts(name: String, vs: Seq[Double]): Seq[String] =
+      vs.zipWithIndex.map { case (v, i) => s"$name $v ${rnow - 30 + i * 10}" }
+    val lines =
+      pts("test.plain1", Seq(3.0, 0.0, 1.0, 2.0)) ++
+      pts("test.plain2", Seq(2.0, 1.0, 1.5, 2.5)) ++
+      pts("test2.plain", Seq(1.0, 2.0, 2.5, 3.5)) ++
+      pts("metric1;tag1=value1;tag2=value21;tag3=value3", Seq(2.0, 2.5, 2.0, 3.0))
+    Ingest.processBatch(Ingest.parseLines(lines.toDF("value")), s"$dir/t")
+    s"$dir/t"
+  }
+
+  private val rules = Rules(Nil, defaultPrecision = 10L, defaultFunction = Some(AggFunc.Avg))
+
+  private lazy val api: HttpApi = new HttpApi(
+    spark, tablesDir,
+    HttpApi.Config(
+      rules = rules,
+      flags = FeatureFlags(),
+      findCache = Some(FindCache.Config(
+        defaultTimeoutSec = 300, shortTimeoutSec = 60,
+        shortDurationSec = 240, findTimeoutSec = 120))),
+    clock = () => now).start()
+
+  private val client = HttpClient.newHttpClient()
+
+  private def get(path: String): HttpResponse[Array[Byte]] =
+    client.send(
+      HttpRequest.newBuilder(URI.create(api.address + path)).GET().build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+
+  private def post(path: String, body: Array[Byte]): HttpResponse[Array[Byte]] =
+    client.send(
+      HttpRequest.newBuilder(URI.create(api.address + path))
+        .POST(HttpRequest.BodyPublishers.ofByteArray(body)).build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+
+  test("/alive") {
+    val r = get("/alive")
+    assert(r.statusCode() == 200)
+    assert(new String(r.body()) == "Graphite-clickhouse is alive.\n")
+  }
+
+  test("/metrics/find json, pickle, protobuf agree with the sinks") {
+    val rows = Seq(("test.plain1", true), ("test.plain2", true))
+    val j = get("/metrics/find/?query=test.pl*&format=json")
+    assert(j.statusCode() == 200)
+    // the reference's (quirky, non-JSON) find body, `find/find.go:200-245`
+    assert(new String(j.body()) == graft.sinks.JsonSink.find(rows))
+    val p = get("/metrics/find/?query=test.pl*&format=pickle")
+    assert(p.body().sameElements(FindSink.pickle(rows)))
+    val pb = get("/metrics/find/?query=test.pl*&format=protobuf")
+    assert(pb.body().sameElements(FindSink.protobuf("test.pl*", rows)))
+  }
+
+  test("/metrics/find repeat is served from cache with X-Cached-Find") {
+    get("/metrics/find/?query=test2.*&format=pickle")
+    val second = get("/metrics/find/?query=test2.*&format=pickle")
+    assert(second.headers().firstValue("X-Cached-Find").orElse("") == "120")
+  }
+
+  test("/render carbonapi_v3_pb round-trip") {
+    // MultiFetchRequest{metrics=[FetchRequest{name/path, start, stop}]}
+    val fr = new Wire.Buf
+    fr.string(1, "test.plain*")
+    fr.tag(2, 0).varint(rnow - 10)
+    fr.tag(3, 0).varint(rnow)
+    fr.string(5, "test.plain*")
+    val req = new Wire.Buf
+    req.tag(1, Wire.LengthDelimited).varint(fr.size.toLong).raw(fr.bytes)
+
+    val r = post("/render/?format=carbonapi_v3_pb", req.bytes)
+    assert(r.statusCode() == 200)
+
+    // decode: repeated FetchResponse{name=1, path=2, func=3, start=4,
+    // stop=5, step=6, values=9 packed}
+    var series = Map.empty[String, (String, Long, Long, Long, Seq[Double])]
+    val rd = new Wire.Reader(r.body())
+    while (rd.hasNext) {
+      val (f, w) = rd.nextField()
+      assert(f == 1 && w == Wire.LengthDelimited)
+      val m = rd.lengthDelimited()
+      var name = ""; var fn = ""; var start = 0L; var stop = 0L; var step = 0L
+      val values = Seq.newBuilder[Double]
+      while (m.hasNext) {
+        val (f2, w2) = m.nextField()
+        f2 match {
+          case 1 => name = m.stringValue()
+          case 3 => fn = m.stringValue()
+          case 4 => start = m.varint()
+          case 5 => stop = m.varint()
+          case 6 => step = m.varint()
+          case 9 =>
+            val vals = m.lengthDelimited()
+            while (vals.hasNext) values += vals.doubleLE()
+          case _ => m.skip(w2)
+        }
+      }
+      series += name -> ((fn, start, stop, step, values.result()))
+    }
+    assert(series.keySet == Set("test.plain1", "test.plain2"))
+    val (fn, start, stop, step, vs) = series("test.plain1")
+    assert(fn == "avg" && start == rnow - 10 && stop == rnow + 10 && step == 10)
+    assert(vs == Seq(1.0, 2.0))
+    assert(series("test.plain2")._5 == Seq(1.5, 2.5))
+  }
+
+  test("/render pickle and v2 protobuf succeed; tagged target renders") {
+    val p = get(s"/render/?format=pickle&target=test.plain*&from=${rnow - 10}&until=$rnow")
+    assert(p.statusCode() == 200 && p.body().nonEmpty)
+    val v2 = get(s"/render/?format=protobuf&target=test.plain*&from=${rnow - 10}&until=$rnow")
+    assert(v2.statusCode() == 200 && v2.body().nonEmpty)
+    val tagged = get("/render/?format=json&target=" +
+      java.net.URLEncoder.encode("seriesByTag('name=metric1', 'tag2=value21')", "UTF-8") +
+      s"&from=${rnow - 10}&until=$rnow")
+    assert(tagged.statusCode() == 200)
+    assert(new String(tagged.body()).contains("metric1;tag1=value1;tag2=value21;tag3=value3"))
+  }
+
+  test("/render bad format and bad window are request errors") {
+    assert(get(s"/render/?format=bogus&target=a&from=1&until=2").statusCode() == 400)
+    assert(get(s"/render/?format=json&target=a&from=10&until=10").statusCode() == 400)
+  }
+
+  test("/tags/autoComplete/values and /tags") {
+    val vals = get("/tags/autoComplete/values?tag=tag2&expr=" +
+      java.net.URLEncoder.encode("tag1=value1", "UTF-8"))
+    assert(new String(vals.body()) == """["value21"]""")
+    val names = get("/tags/autoComplete/tags")
+    val parsed = new String(names.body())
+    assert(parsed.contains("\"tag1\"") && parsed.contains("\"name\"") &&
+      !parsed.contains("__name__"))
+  }
+
+  test("/metrics/index.json lists plain and tagged series") {
+    val r = get("/metrics/index.json")
+    val body = new String(r.body())
+    assert(body.startsWith("[") && body.endsWith("]"))
+    assert(body.contains("\"test.plain1\"") && body.contains("\"test2.plain\""))
+    assert(body.contains("metric1?tag1=value1"))
+    assert(!body.contains("\"test.\"")) // no ancestor rows
+  }
+
+  test("/_internal/capabilities protobuf") {
+    val r = post("/_internal/capabilities/?format=carbonapi_v3_pb", Array.emptyByteArray)
+    assert(r.statusCode() == 200)
+    val rd = new Wire.Reader(r.body())
+    val protos = Seq.newBuilder[String]
+    while (rd.hasNext) {
+      val (f, w) = rd.nextField()
+      if (f == 1 && w == Wire.LengthDelimited) protos += rd.stringValue()
+      else rd.skip(w)
+    }
+    assert(protos.result().contains("carbonapi_v3_pb"))
+  }
+
+  test("unknown route is 404") {
+    assert(get("/nope").statusCode() == 404)
+  }
+}

@@ -1,0 +1,178 @@
+package graft.api
+
+import java.net.{URI, URLEncoder}
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.{Files, Paths}
+import java.time.Instant
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.e2e.{Fixture, FixtureRunner}
+import graft.engine.FindCache
+import graft.sinks.{FindSink, JsonSink}
+
+/** The reference TOML conformance cases, replayed over a real HTTP
+  * socket: every find check round-trips in all three wire formats
+  * (byte-compared against the tested sink encoders for the expected
+  * rows), every render check round-trips as carbonapi_v3_pb and is
+  * decoded field-by-field, and cache/admission behavior is asserted
+  * via status codes and the `X-Cached-Find` header — the full
+  * `cmd/e2e-test` loop with the Spark engine behind the socket.
+  */
+class TomlOverHttpSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private val testsRoot = "/root/reference/tests"
+  private val now = Instant.ofEpochSecond(1704110405L) // noon+5s, like the runner
+
+  private val scenarios = Seq(
+    "one_table", "wildcard_min_distance", "tags_min_in_query", "consolidateBy",
+    "find_cache")
+
+  private val client = HttpClient.newHttpClient()
+
+  private def get(api: HttpApi, path: String): HttpResponse[Array[Byte]] =
+    client.send(
+      HttpRequest.newBuilder(URI.create(api.address + path)).GET().build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+
+  private def post(api: HttpApi, path: String, body: Array[Byte]): HttpResponse[Array[Byte]] =
+    client.send(
+      HttpRequest.newBuilder(URI.create(api.address + path))
+        .POST(HttpRequest.BodyPublishers.ofByteArray(body)).build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+
+  private def enc(s: String): String = URLEncoder.encode(s, "UTF-8")
+
+  for (dir <- scenarios) {
+    val path = Paths.get(testsRoot, dir)
+    if (Files.isRegularFile(path.resolve("test.toml"))) {
+      val scenario = Fixture.load(path)
+      lazy val run = new FixtureRunner.ScenarioRun(spark, scenario, now)
+      for (conf <- scenario.configs) {
+        test(s"$dir [${conf.label}] over HTTP") {
+          val api = new HttpApi(
+            spark, run.tablesDir,
+            HttpApi.Config(
+              rules = graft.rollup.Rules.fromXml(FixtureRunner.fixtureRulesXml),
+              flags = conf.flags,
+              internalAggregation = conf.internalAggregation,
+              appendEmptySeries = conf.appendEmptySeries,
+              wildcardMinDistance = conf.wildcardMinDistance,
+              tagsMinInQuery = conf.tagsMinInQuery,
+              findCache =
+                if (conf.findCache) Some(FindCache.Config(
+                  defaultTimeoutSec = conf.findCacheDefaultTimeout,
+                  shortTimeoutSec = conf.findCacheShortTimeout,
+                  shortDurationSec = conf.findCacheShortDuration,
+                  findTimeoutSec = conf.findCacheFindTimeout))
+                else None),
+            clock = () => now).start()
+          try runScenario(api, scenario, conf)
+          finally api.stop()
+        }
+      }
+    }
+  }
+
+  private def runScenario(
+      api: HttpApi, scenario: Fixture.Scenario, conf: Fixture.GchConfig): Unit = {
+    val errors = Seq.newBuilder[String]
+    def at(s: String): Long =
+      Fixture.resolveTime(s, now, scenario.precision, java.time.ZoneOffset.UTC)
+
+    scenario.findChecks.zipWithIndex.foreach { case (c, i) =>
+      val expected = c.result.map(e => (e.path, e.isLeaf))
+      val window = (if (c.from.nonEmpty) s"&from=${at(c.from)}" else "") +
+        (if (c.until.nonEmpty) s"&until=${at(c.until)}" else "")
+      val pb = get(api, s"/metrics/find/?query=${enc(c.query)}&format=protobuf$window")
+      if (c.errorRegexp.nonEmpty) {
+        if (pb.statusCode() == 200)
+          errors += s"find#$i ${c.query}: want error, got 200"
+      } else {
+        if (!pb.body().sameElements(FindSink.protobuf(c.query, expected)))
+          errors += s"find#$i ${c.query}: protobuf bytes mismatch"
+        val pk = get(api, s"/metrics/find/?query=${enc(c.query)}&format=pickle$window")
+        if (!pk.body().sameElements(FindSink.pickle(expected)))
+          errors += s"find#$i ${c.query}: pickle bytes mismatch"
+        if (c.cacheTtl > 0) {
+          val again = get(api, s"/metrics/find/?query=${enc(c.query)}&format=pickle$window")
+          val header = again.headers().firstValue("X-Cached-Find").orElse("")
+          if (header != c.cacheTtl.toString)
+            errors += s"find#$i ${c.query}: X-Cached-Find got '$header', want ${c.cacheTtl}"
+        }
+      }
+    }
+
+    scenario.tagsChecks.zipWithIndex.foreach { case (c, i) =>
+      val parts = c.query.split(";").toList
+      val exprQ = parts.tail.filter(_.nonEmpty).map(e => s"&expr=${enc(e)}").mkString
+      val url =
+        if (c.names) s"/tags/autoComplete/tags?x=1$exprQ"
+        else s"/tags/autoComplete/values?tag=${enc(parts.head)}$exprQ"
+      val r = get(api, url)
+      if (c.errorRegexp.nonEmpty) {
+        if (r.statusCode() == 200) errors += s"tags#$i ${c.query}: want error, got 200"
+      } else if (new String(r.body()) != JsonSink.autocomplete(c.result))
+        errors += s"tags#$i ${c.query}: got ${new String(r.body())}, want ${JsonSink.autocomplete(c.result)}"
+    }
+
+    scenario.renderChecks.zipWithIndex.foreach { case (c, i) =>
+      val from = graft.time.TimeGrammar.timestampTruncate(at(c.from), scenario.precision)
+      val until = graft.time.TimeGrammar.timestampTruncate(at(c.until), scenario.precision)
+      val ffs = c.filteringFunctions.map { s =>
+        val Array(n, rest) = s.split("\\(", 2)
+        HttpApi.FilteringFunction(n,
+          rest.stripSuffix(")").split(",").map(_.trim.stripPrefix("'").stripSuffix("'")).toSeq
+            .filter(_.nonEmpty))
+      }
+      val req = V3Codec.buildRequest(
+        c.targets.map(t => (t, from, until, c.maxDataPoints, ffs)))
+      val r = post(api, "/render/?format=carbonapi_v3_pb", req)
+      if (c.errorRegexp.nonEmpty) {
+        val want = c.errorRegexp.takeWhile(_.isDigit)
+        val wantStatus = c.errorRegexp.dropWhile(!_.isDigit).takeWhile(_.isDigit)
+        val _ = want
+        if (r.statusCode() == 200)
+          errors += s"render#$i: want error $wantStatus, got 200"
+        else if (wantStatus.nonEmpty && r.statusCode().toString != wantStatus)
+          errors += s"render#$i: want status $wantStatus, got ${r.statusCode()}"
+      } else {
+        val actual = V3Codec.decodeResponse(r.body())
+          .sortBy(f => (f.name, f.pathExpression))
+        val expected = c.result.sortBy(e => (e.name, e.path.getOrElse("")))
+        if (actual.length != expected.length)
+          errors += s"render#$i: got ${actual.map(_.name)}, want ${expected.map(_.name)}"
+        else actual.zip(expected).foreach { case (a, e) =>
+          if (a.name != e.name) errors += s"render#$i: name ${a.name} != ${e.name}"
+          else {
+            e.path.foreach(p => if (a.pathExpression != p)
+              errors += s"render#$i ${a.name}: path ${a.pathExpression} != $p")
+            e.consolidation.foreach(f => if (a.consolidationFunc != f)
+              errors += s"render#$i ${a.name}: func ${a.consolidationFunc} != $f")
+            if (a.start != at(e.start) || a.stop != at(e.stop) || a.step != e.step)
+              errors += s"render#$i ${a.name}: grid (${a.start},${a.stop},${a.step}) != " +
+                s"(${at(e.start)},${at(e.stop)},${e.step})"
+            val vs = a.values
+            if (vs.length != e.values.length)
+              errors += s"render#$i ${a.name}: ${vs.toList} != ${e.values.toList}"
+            else vs.zip(e.values).foreach { case (g, w) =>
+              if (!((g.isNaN && w.isNaN) || math.abs(g - w) < 1e-8))
+                errors += s"render#$i ${a.name}: ${vs.toList} != ${e.values.toList}"
+            }
+          }
+        }
+        if (c.cacheTtl > 0 && conf.findCache) {
+          val again = post(api, "/render/?format=carbonapi_v3_pb", req)
+          val header = again.headers().firstValue("X-Cached-Find").orElse("")
+          if (header != c.cacheTtl.toString)
+            errors += s"render#$i: X-Cached-Find got '$header', want ${c.cacheTtl}"
+        }
+      }
+    }
+
+    val all = errors.result()
+    assert(all.isEmpty, all.mkString("\n", "\n", ""))
+  }
+}
