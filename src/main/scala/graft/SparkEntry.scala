@@ -602,6 +602,16 @@ object SparkEntry {
           col("neighbor_id"), col("sim"))
     }),
 
+    // OR-amplified multi-table LSH ANN (recall path; RecallSpec holds
+    // recall@10 >= 0.9 vs bruteKnn at 24 tables)
+    "e_lsh_knn_multi" -> ((s, dir) => {
+      val vecs = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.lshKnnMulti(vecs, k = 3, dim = 64, bits = 4, tables = 8)
+        .where(col("query_id") < 50)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("sim"))
+    }),
+
     // One distributed Lloyd's iteration (IVF training): per-centroid
     // dimension means after nearest-centroid assignment.
     "e_kmeans_step" -> ((s, dir) => {
@@ -1081,6 +1091,31 @@ object SparkEntry {
            |   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored)
            |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(sim, 4) AS sim
            |FROM ranked WHERE rank <= 3 AND query_id < 50""".stripMargin),
+
+      "e_lsh_knn_multi" -> {
+        // identical plane constants as Similarity.multiTableBucket
+        // (difference-of-two-components hyperplanes per (table, bit))
+        val tables = 8; val bits = 4; val dim = 64
+        def bucketSql(t: Int): String =
+          (0 until bits).map { b =>
+            val (i, j) = graft.llm.Similarity.planeCoords(t, b, dim)
+            s"(CASE WHEN embedding[${i + 1}]::double - embedding[${j + 1}]::double >= 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)"
+          }.mkString(" + ")
+        val bucketCols = (0 until tables).map(t => s"${bucketSql(t)} AS t$t").mkString(",\n   ")
+        val orJoin = (0 until tables).map(t => s"a.t$t = b.t$t").mkString(" OR ")
+        s"""WITH keyed AS (SELECT vec_id, embedding,
+           |   $bucketCols
+           | FROM embeddings),
+           | cand AS (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+           |   FROM keyed a JOIN keyed b ON a.vec_id <> b.vec_id AND ($orJoin)),
+           | scored AS (SELECT c.query_id, c.neighbor_id, $cosine AS sim
+           |   FROM cand c JOIN embeddings a ON a.vec_id = c.query_id
+           |   JOIN embeddings b ON b.vec_id = c.neighbor_id),
+           | ranked AS (SELECT query_id, neighbor_id, sim,
+           |   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored)
+           |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(sim, 4) AS sim
+           |FROM ranked WHERE rank <= 3 AND query_id < 50""".stripMargin
+      },
 
       "e_kmeans_step" ->
         (s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cent FROM embeddings WHERE vec_id < 8),

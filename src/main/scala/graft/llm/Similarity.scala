@@ -96,6 +96,103 @@ object Similarity {
         round(col("sim"), 4).as("sim"))
   }
 
+  /** Deterministic pseudo-random index in [0, dim) for hash table `t`,
+    * bit `b`, slot `s` — splitmix-style integer mixing, no RNG state
+    * (scripts and both engines must derive identical planes).
+    */
+  private[graft] def planeIndex(t: Int, b: Int, s: Int, dim: Int): Int = {
+    var z = t.toLong * 0x9E3779B97F4A7C15L + b.toLong * 0xBF58476D1CE4E5B9L +
+      s.toLong * 0x94D049BB133111EBL + 0x2545F4914F6CDD1DL
+    z ^= z >>> 30; z *= 0xBF58476D1CE4E5B9L
+    z ^= z >>> 27; z *= 0x94D049BB133111EBL
+    z ^= z >>> 31
+    ((z % dim) + dim).toInt % dim
+  }
+
+  /** The two embedding components whose difference defines hyperplane
+    * (t, b): normal = e_i − e_j (distinct i, j).
+    */
+  private[graft] def planeCoords(t: Int, b: Int, dim: Int): (Int, Int) = {
+    val i = planeIndex(t, b, 0, dim)
+    var j = planeIndex(t, b, 1, dim)
+    if (j == i) j = (j + 1) % dim
+    (i, j)
+  }
+
+  /** Sign bucket of hash table `t`: bit b = [e_i − e_j ≥ 0] for the
+    * (t, b) plane. Non-axis-aligned (unlike [[signBucket]]) and
+    * different per table — the OR-amplification construction.
+    */
+  def multiTableBucket(emb: Column, bits: Int, t: Int, dim: Int): Column =
+    (0 until bits).map { b =>
+      val (i, j) = planeCoords(t, b, dim)
+      when(element_at(emb, i + 1).cast("double") - element_at(emb, j + 1).cast("double") >= 0d,
+        lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Multi-table LSH ANN: `tables` independent sign-hash tables;
+    * candidates are the union of per-table same-bucket pairs
+    * (OR-amplification: a near neighbor is missed only if it falls on
+    * the wrong side in EVERY table, so recall rises exponentially in
+    * `tables` while each table's candidate set stays Σ sᵢ²-bounded).
+    *
+    * Execution shape: ONE equi-join on the composite (table, bucket)
+    * key via a T-way explode — no cross-bucket or cross-table pair is
+    * ever materialized; duplicate candidates dedup BEFORE cosine
+    * scoring so each pair is scored once.
+    */
+  def lshKnnMulti(
+      vectors: DataFrame,
+      k: Int,
+      dim: Int,
+      bits: Int = 8,
+      tables: Int = 8,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val buckets = array((0 until tables).map(t =>
+      struct(lit(t).as("t"), multiTableBucket(col(embCol), bits, t, dim).as("b"))): _*)
+    val keyed = vectors.select(
+      col(idCol).as("id"), col(embCol).as("emb"), explode(buckets).as("tb"))
+    val a = keyed.select(col("id").as("query_id"), col("emb").as("q_emb"), col("tb"))
+    val b = keyed.select(col("id").as("neighbor_id"), col("emb").as("v_emb"), col("tb"))
+    val candidates = a.join(b, Seq("tb"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("sim", cosine(col("q_emb"), col("v_emb")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    candidates
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 4).as("sim"))
+  }
+
+  /** Multi-table embedding near-dup pairs — [[embeddingNearDups]] with
+    * OR-amplified candidate generation.
+    */
+  def embeddingNearDupsMulti(
+      vectors: DataFrame,
+      threshold: Double,
+      dim: Int,
+      bits: Int = 8,
+      tables: Int = 8,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val buckets = array((0 until tables).map(t =>
+      struct(lit(t).as("t"), multiTableBucket(col(embCol), bits, t, dim).as("b"))): _*)
+    val keyed = vectors.select(
+      col(idCol).as("id"), col(embCol).as("emb"), explode(buckets).as("tb"))
+    val a = keyed.select(col("id").as("id_a"), col("emb").as("emb_a"), col("tb"))
+    val b = keyed.select(col("id").as("id_b"), col("emb").as("emb_b"), col("tb"))
+    a.join(b, Seq("tb"))
+      .where(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("sim", cosine(col("emb_a"), col("emb_b")))
+      .where(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+  }
+
   /** One Lloyd's iteration for IVF training: assign every vector to
     * its nearest centroid, then recompute per-centroid dimension means
     * — posexplode + ONE two-phase hash aggregate on

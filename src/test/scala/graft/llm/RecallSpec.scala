@@ -1,0 +1,57 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** ANN quality gate: multi-table LSH must reach recall@10 ≥ 0.9
+  * against the exact brute-force baseline on the sf0.01 embeddings —
+  * the OR-amplification property a single sign table cannot provide
+  * (measured ≈0.02 at one 8-bit table on this data; ≈0.96 at
+  * 24 tables × 4 bits).
+  */
+class RecallSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private val sfDir = "/root/testdata/sf0.01"
+
+  test("multi-table LSH recall@10 >= 0.9 vs bruteKnn") {
+    assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+    val k = 10
+    def topk(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select(col("query_id"), col("neighbor_id")).collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val truth = topk(Similarity.bruteKnn(vecs, vecs, k))
+    val approx = topk(Similarity.lshKnnMulti(vecs, k, dim = 64, bits = 4, tables = 24))
+    val recalls = truth.map { case (q, t) =>
+      approx.get(q).map(a => (a & t).size.toDouble / t.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, f"mean recall@10 = $mean%.3f")
+    vecs.unpersist()
+    ()
+  }
+
+  test("multi-table near-dup candidates are a superset of single-table's") {
+    assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = pairs(Similarity.embeddingNearDups(vecs, threshold = 0.3, bits = 8))
+    val multi = pairs(Similarity.embeddingNearDupsMulti(
+      vecs, threshold = 0.3, dim = 64, bits = 4, tables = 16))
+    // OR-amplification can only add candidate coverage at these
+    // parameters (4-bit tables are strictly coarser than 8-bit)
+    assert(multi.size >= single.size)
+  }
+
+  test("plane coords are deterministic, distinct, and in range") {
+    for (t <- 0 until 32; b <- 0 until 8) {
+      val (i, j) = Similarity.planeCoords(t, b, 64)
+      assert(i != j && i >= 0 && i < 64 && j >= 0 && j < 64)
+      assert((i, j) == Similarity.planeCoords(t, b, 64))
+    }
+  }
+}
