@@ -32,6 +32,26 @@ object Finder {
     firstWildcardNode < lastWildcardNode
   }
 
+  /** Config-aware chooser (`finder/index.go:100-130` with the
+    * `index-reverse`/`index-reverses` overrides): a forced global
+    * mode wins outright (even for wildcard-free queries — matching
+    * the reference's `Test_useReverseWithSetConfig`), then the first
+    * matching per-target rule, then the dot-count heuristic.
+    */
+  def useReverse(query: String, policy: Routing.ReversePolicy): Boolean = {
+    import Routing.ReverseMode
+    policy.mode match {
+      case ReverseMode.Direct   => false
+      case ReverseMode.Reversed => true
+      case ReverseMode.Auto =>
+        Routing.checkReverses(query, policy.rules) match {
+          case ReverseMode.Direct   => false
+          case ReverseMode.Reversed => true
+          case ReverseMode.Auto     => useReverse(query)
+        }
+    }
+  }
+
   /** Admission control (`wildcard-min-distance`, `finder/index.go:180-197`):
     * reject queries whose wildcards hug both ends of the path.
     * Single-node queries are exempt — "allows to check which root
@@ -54,9 +74,10 @@ object Finder {
       query0: String,
       from: Long = 0,
       until: Long = 0,
-      reverse: Option[Boolean] = None): (Column, Boolean) = {
+      reverse: Option[Boolean] = None,
+      reversePolicy: Routing.ReversePolicy = Routing.ReversePolicy()): (Column, Boolean) = {
     val query = Glob.clearGlob(query0)
-    val rev = reverse.getOrElse(useReverse(query))
+    val rev = reverse.getOrElse(useReverse(query, reversePolicy))
     val q = if (rev) Paths.reverse(query) else query
     val depth = Paths.level(q)
     val useDaily = from > 0 && until > 0
@@ -84,12 +105,13 @@ object Finder {
       query: String,
       from: Long = 0,
       until: Long = 0,
-      wildcardMinDistance: Int = 0): DataFrame = {
+      wildcardMinDistance: Int = 0,
+      reversePolicy: Routing.ReversePolicy = Routing.ReversePolicy()): DataFrame = {
     checkWildcardDistance(Glob.clearGlob(query), wildcardMinDistance) match {
       case Left(e)  => throw new IllegalArgumentException(e)
       case Right(_) =>
     }
-    val (pred, rev) = compile(query, from, until)
+    val (pred, rev) = compile(query, from, until, reversePolicy = reversePolicy)
     val raw = index.where(pred).select("path").distinct()
     val oriented =
       if (rev) raw.select(GraphiteTables.reversePath(col("path")).as("path"))

@@ -26,6 +26,78 @@ object Routing {
     blacklist.exists(_.findFirstIn(query).isDefined)
 
   // ----------------------------------------------------------------
+  // U3 config overrides: index-reverse / index-reverses
+  // (`config/config.go:130-161`, `finder/index.go:81-99`)
+  // ----------------------------------------------------------------
+
+  /** Direct/reversed representation setting: `auto` defers to the
+    * per-rule overrides and then the dot-count heuristic.
+    */
+  sealed trait ReverseMode
+  object ReverseMode {
+    case object Auto extends ReverseMode
+    case object Direct extends ReverseMode
+    case object Reversed extends ReverseMode
+
+    /** Valid names per `config.IndexReverseNames`. */
+    def fromString(s: String): Either[String, ReverseMode] = s match {
+      case "auto"     => Right(Auto)
+      case "direct"   => Right(Direct)
+      case "reversed" => Right(Reversed)
+      case other      => Left(s"$other is not valid value for index-reverses.reverse")
+    }
+  }
+
+  /** One `[[clickhouse.index-reverses]]` rule: every set matcher must
+    * hit (prefix AND suffix AND regex); first matching rule wins.
+    */
+  final case class ReverseRule(
+      prefix: String,
+      suffix: String,
+      regex: Option[Regex],
+      mode: ReverseMode) {
+    def matches(query: String): Boolean =
+      (prefix.isEmpty || query.startsWith(prefix)) &&
+        (suffix.isEmpty || query.endsWith(suffix)) &&
+        regex.forall(_.findFirstIn(query).isDefined)
+  }
+
+  object ReverseRule {
+    /** Validating constructor — the reference's `Compile()`
+      * (`config.go:446-464`): a rule must carry at least one matcher,
+      * the regex must compile, and the mode name must be valid.
+      */
+    def compile(
+        prefix: String = "",
+        suffix: String = "",
+        regexStr: String = "",
+        reverse: String = "auto"): Either[String, ReverseRule] =
+      for {
+        mode <- ReverseMode.fromString(reverse)
+        regex <-
+          if (regexStr.isEmpty) Right(None)
+          else
+            try Right(Some(regexStr.r))
+            catch { case e: java.util.regex.PatternSyntaxException => Left(e.getMessage) }
+        _ <-
+          if (regexStr.isEmpty && prefix.isEmpty && suffix.isEmpty)
+            Left("empthy index-use-reverses rule")
+          else Right(())
+      } yield ReverseRule(prefix, suffix, regex, mode)
+  }
+
+  /** The full chooser configuration: a global mode plus ordered
+    * per-target rules (consulted only when the global mode is auto).
+    */
+  final case class ReversePolicy(
+      mode: ReverseMode = ReverseMode.Auto,
+      rules: Seq[ReverseRule] = Nil)
+
+  /** First matching rule's mode, else auto (`finder/index.go:81-99`). */
+  def checkReverses(query: String, rules: Seq[ReverseRule]): ReverseMode =
+    rules.find(_.matches(query)).map(_.mode).getOrElse(ReverseMode.Auto)
+
+  // ----------------------------------------------------------------
   // P12: extra-prefix wrapper (`finder/prefix.go:37-130`)
   // ----------------------------------------------------------------
 

@@ -152,4 +152,78 @@ class RoutingSpec extends AnyFunSuite {
     val s2 = Tagged.sortTerms(mixed)
     assert(s2.map(_.key) == List("__name__", "b", "c", "a"))
   }
+
+  // ----------------------------------------------------------------
+  // U3 reverse config overrides (`finder/index_test.go:14-100`,
+  // `config/config_test.go:393-395`)
+  // ----------------------------------------------------------------
+
+  test("useReverse: forced global mode wins (Test_useReverseWithSetConfig vectors)") {
+    import Routing.{ReverseMode, ReversePolicy}
+    val vectors = Seq(
+      ("a.b.c.d.e", ReverseMode.Reversed, true),
+      ("a.b.c.d.e", ReverseMode.Auto, false),
+      ("a.b.c.d.e", ReverseMode.Direct, false),
+      ("a.b.c.d.e*", ReverseMode.Direct, false),
+      ("a.b.c.d*.e", ReverseMode.Direct, false),
+      ("a.b.c.d*.e", ReverseMode.Reversed, true),
+      ("a*.b.c.d*.e", ReverseMode.Reversed, true),
+      ("a.b*.c.d*.e", ReverseMode.Reversed, true),
+      ("a.*.c.*.e.*.j", ReverseMode.Reversed, true),
+      ("a.*.c.*.e.*.j", ReverseMode.Direct, false),
+      ("a.b*.c.*d.e", ReverseMode.Reversed, true))
+    vectors.foreach { case (q, mode, want) =>
+      assert(Finder.useReverse(q, ReversePolicy(mode)) == want, s"$q $mode")
+    }
+  }
+
+  test("checkReverses: first matching rule wins (Test_checkReverses vectors)") {
+    import Routing.{ReverseMode, ReversePolicy, ReverseRule}
+    val rules = Seq(
+      ReverseRule.compile(suffix = ".sum", reverse = "direct"),
+      ReverseRule.compile(prefix = "test.", suffix = ".alloc", reverse = "direct"),
+      ReverseRule.compile(prefix = "test2.", reverse = "reversed"),
+      ReverseRule.compile(regexStr = """^a\..*\.max$""", reverse = "reversed"))
+      .map(_.toOption.get)
+    val policy = ReversePolicy(ReverseMode.Auto, rules)
+    val vectors = Seq(
+      ("a.b.c.d*.sum", false),
+      ("a*.b.c.d.sum", false),
+      ("test.b.c*.d*.alloc", false),
+      ("test.b.c*.d.alloc", false),
+      ("test2.b.c*.d*.e", true),
+      ("test2.b.c*.d.e", true),
+      ("a.b.c.d*.max", true),
+      ("a.b.c*.d.max", true))
+    vectors.foreach { case (q, want) =>
+      assert(Finder.useReverse(q, policy) == want, q)
+    }
+    // unmatched queries fall back to the dot-count heuristic
+    assert(Finder.useReverse("z.b*.c.d.e", policy) == Finder.useReverse("z.b*.c.d.e"))
+  }
+
+  test("reverse rule validation: empty rule and bad mode are config errors") {
+    import Routing.ReverseRule
+    assert(ReverseRule.compile().isLeft)
+    assert(ReverseRule.compile(prefix = "a.", reverse = "sideways").isLeft)
+    assert(ReverseRule.compile(regexStr = "[unclosed", reverse = "direct").isLeft)
+    assert(ReverseRule.compile(suffix = ".sum", reverse = "direct").isRight)
+  }
+
+  test("find honors a per-rule reverse override end to end") {
+    import Routing.{ReverseMode, ReversePolicy, ReverseRule}
+    val spark = graft.SparkTestBase.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-rev").toFile.getAbsolutePath
+    graft.streaming.Ingest.processBatch(
+      graft.streaming.Ingest.parseLines(
+        Seq("test2.metric.leaf 1.0 1000").toDF("value")), s"$dir/t")
+    val index = spark.read.parquet(s"$dir/t/index")
+    val policy = ReversePolicy(ReverseMode.Auto,
+      Seq(ReverseRule.compile(prefix = "test2.", reverse = "reversed").toOption.get))
+    // forced-reversed query answers identically to the direct plan
+    val got = Finder.find(index, "test2.metric.*", reversePolicy = policy)
+      .collect().map(r => (r.getString(0), r.getBoolean(1))).toSet
+    assert(got == Set(("test2.metric.leaf", true)))
+  }
 }
