@@ -40,8 +40,15 @@ object GlobCompiler {
     else field.startsWith(simplePrefix) && field.rlike(re)
   }
 
-  /** Tree-glob (find) form: non-leaf index rows carry a trailing dot. */
-  def treeGlob(field: Column, query: String): Column = glob(field, query, optionalDotAtEnd = true)
+  /** Tree-glob (find) form: non-leaf index rows carry a trailing dot.
+    * Routed through the native codegen'd matcher — brace/alternation
+    * finds were ~3× slower on the regex path (BENCH r2:
+    * `g_find_brace` 3.7 s vs `g_find_native` 1.2 s at sf0.1); globs
+    * the token matcher can't express still fall back to `rlike`
+    * inside [[globNative]].
+    */
+  def treeGlob(field: Column, query: String): Column =
+    globNative(field, query, optionalDotAtEnd = true)
 
   /** Native-matcher variant: same semantics, but the residual wildcard
     * test is the codegen'd `GlobMatch` expression instead of `rlike`

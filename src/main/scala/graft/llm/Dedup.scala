@@ -286,13 +286,27 @@ object Dedup {
           .withColumnRenamed("cluster_id", "n_label"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("n_label")).as("n_min"))
-      // one action per round: materialize next labels AND the change
-      // count together (changed = any label decreased)
-      val next = labels.join(viaNeighbors, Seq("id"), "left_outer")
-        .select(col("id"),
+      val prelim = labels.join(viaNeighbors, Seq("id"), "left_outer")
+        .select(col("id"), col("cluster_id").as("old_label"),
           least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id")))
-            .as("cluster_id"),
-          (col("n_min") < col("cluster_id")).as("changed"))
+            .as("mid_label"))
+        .localCheckpoint()
+      // pointer jumping (path halving): l(id) ← l(l(id)). A label is
+      // always the id of a node in the same component, so the
+      // composed label stays in-component and only decreases —
+      // convergence drops from O(diameter) to O(log diameter) rounds,
+      // i.e. fewer shuffle jobs, the actual cost driver of the loop.
+      val jumped = prelim.join(
+        prelim.select(col("id").as("pid"), col("mid_label").as("p_label")),
+        col("mid_label") === col("pid"), "left_outer")
+        .select(col("id"), col("old_label"),
+          least(col("mid_label"), coalesce(col("p_label"), col("mid_label")))
+            .as("cluster_id"))
+      // one action per round: materialize next labels AND the change
+      // marker together (changed = any label decreased)
+      val next = jumped
+        .select(col("id"), col("cluster_id"),
+          (col("cluster_id") < col("old_label")).as("changed"))
         .localCheckpoint()
       changed = next.where(col("changed")).limit(1).count() > 0
       labels = next.select("id", "cluster_id")
