@@ -618,7 +618,7 @@ object SparkEntry {
       val vecs = s.read.parquet(s"$dir/embeddings.parquet")
       val centroids = vecs.where(col("vec_id") < 8)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
-      Similarity.kmeansStep(vecs, centroids)
+      Similarity.kmeansStep(vecs, centroids, exact = true)
         .select(col("centroid_id"), col("pos").cast("long").as("pos"),
           round(col("m"), 4).as("m"))
     }),

@@ -12,11 +12,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.compiler.Tagged
-import graft.engine.{Autocomplete, FindCache, Finder, Render}
+import graft.engine.{Autocomplete, FindCache, Finder, Render, SeriesAssembly}
 import graft.model.{FeatureFlags, TimeFrame}
 import graft.rollup.Rules
-import graft.sinks.{FindSink, JsonSink, PickleSink, ProtobufSink, Series, Wire}
-import graft.time.{StepMath, TimeGrammar}
+import graft.sinks.{FindSink, JsonSink, PickleSink, ProtobufSink, Wire}
+import graft.time.TimeGrammar
 
 /** The HTTP service surface — every route of the reference server
   * (`graphite-clickhouse.go:561-599`) over the Spark engine:
@@ -132,6 +132,12 @@ object HttpApi {
   def errorStatus(e: Throwable): Int =
     if (e.getMessage != null && e.getMessage.contains("wildcard and regex terms")) 403
     else 400
+
+  /** carbonapi's TruthyBool: the `noCache` form value is true for any
+    * of 1/t/true/y/yes (case-insensitive).
+    */
+  def truthy(s: Option[String]): Boolean =
+    s.exists(v => Set("1", "t", "true", "y", "yes").contains(v.toLowerCase))
 }
 
 /** One listening server bound to a table set. `tablesDir` must hold
@@ -233,7 +239,7 @@ final class HttpApi(
         .map(r => (r.getString(0), r.getBoolean(1)))
 
     val (rows, hit, ttl) = cfg.findCache match {
-      case Some(fc) if fc.findTimeoutSec > 0 && q.first("noCache").forall(v => v != "1" && v != "true") =>
+      case Some(fc) if fc.findTimeoutSec > 0 && !truthy(q.first("noCache")) =>
         val key = FindCache.findKey(query, now.getEpochSecond, fc.findTimeoutSec)
         val (v, h) = FindCache.through(cache, key, fc.findTimeoutSec, now.getEpochSecond)(compute: Any)
         (v.asInstanceOf[Seq[(String, Boolean)]], h, fc.findTimeoutSec)
@@ -277,53 +283,67 @@ final class HttpApi(
     val pts = points
     val idx = index
     val tags = tagsTable
+    val useCache = !truthy(q.first("noCache"))
     var anyCacheHit = false
     var maxTtl = 0
 
-    // group per (from, until, mdp) window like MFRToMultiTarget
+    def consolidateOf(ffs: Seq[FilteringFunction]): Option[String] =
+      ffs.collectFirst {
+        case FilteringFunction("consolidateBy", args) if args.nonEmpty => args.head
+      }
+
+    // group per (from, until, mdp) window like MFRToMultiTarget, then
+    // per target-set consolidateBy — the reference resolves filtering
+    // functions PER TARGET (`render/data/targets.go:134-174`), so two
+    // targets in one window with different consolidateBy render in
+    // separate function groups
     val frames = requests.groupBy { case (_, f, u, m, _) => (f, u, m) }.toSeq.sortBy(_._1)
     val allSeries = frames.flatMap { case ((from, until, mdp0), reqs) =>
       val mdp = if (mdp0 > 0) mdp0 else Request.DefaultMaxDataPoints
       val tf = TimeFrame(from, until, mdp)
-      val consolidate = reqs.flatMap(_._5).collectFirst {
-        case FilteringFunction("consolidateBy", args) if args.nonEmpty => args.head
-      }
       val versionMode =
         if (cfg.internalAggregation) Render.VersionMode.Raw
         else Render.VersionMode.MergedCells
 
-      val targets: Seq[(String, Seq[(String, String)])] = reqs.map(_._1).distinct.map { t =>
-        def compute: Seq[(String, String)] =
-          if (t.startsWith("seriesByTag(")) {
-            Finder.findTagged(tags, t, cfg.flags, tagsMinInQuery = cfg.tagsMinInQuery)
-              .collect().map(_.getString(0)).toSeq
-              .map(p => (p, Tagged.decodePath(p)))
-          } else {
-            Finder.find(idx, t, from, until,
-              wildcardMinDistance = cfg.wildcardMinDistance)
-              .where(col("is_leaf"))
-              .collect().map(_.getString(0)).toSeq
-              .map(p => (p, p))
-          }
-        val pairs = cfg.findCache match {
-          case Some(fc) =>
-            val ttl = FindCache.renderTimeout(fc, now.getEpochSecond, from, until)
-            if (ttl > 0) {
-              val key = FindCache.targetKey(from, until, t, ttl)
-              val (v, h) = FindCache.through(cache, key, ttl, now.getEpochSecond)(compute: Any)
-              if (h) { anyCacheHit = true; maxTtl = math.max(maxTtl, ttl) }
-              v.asInstanceOf[Seq[(String, String)]]
-            } else compute
-          case None => compute
-        }
-        t -> pairs
-      }
+      reqs.groupBy(r => consolidateOf(r._5)).toSeq.sortBy(_._1).flatMap {
+        case (consolidate, subReqs) =>
+          val targets: Seq[(String, Seq[(String, String)])] =
+            subReqs.map(_._1).distinct.map { t =>
+              def compute: Seq[(String, String)] =
+                if (t.startsWith("seriesByTag(")) {
+                  Finder.findTagged(tags, t, cfg.flags, tagsMinInQuery = cfg.tagsMinInQuery)
+                    .collect().map(_.getString(0)).toSeq
+                    .map(p => (p, Tagged.decodePath(p)))
+                } else {
+                  Finder.find(idx, t, from, until,
+                    wildcardMinDistance = cfg.wildcardMinDistance)
+                    .where(col("is_leaf"))
+                    .collect().map(_.getString(0)).toSeq
+                    .map(p => (p, p))
+                }
+              val pairs = cfg.findCache match {
+                case Some(fc) if useCache =>
+                  val ttl = FindCache.renderTimeout(fc, now.getEpochSecond, from, until)
+                  if (ttl > 0) {
+                    val key = FindCache.targetKey(from, until, t, ttl)
+                    val (v, h) = FindCache.through(cache, key, ttl, now.getEpochSecond)(compute: Any)
+                    if (h) { anyCacheHit = true; maxTtl = math.max(maxTtl, ttl) }
+                    v.asInstanceOf[Seq[(String, String)]]
+                  } else compute
+                case _ => compute
+              }
+              t -> pairs
+            }
 
-      val out = Render.renderMulti(pts, targets, tf, cfg.rules, now = now.getEpochSecond,
-        consolidateBy = consolidate,
-        appendEmpty = cfg.appendEmptySeries,
-        versionMode = versionMode)
-      collectSeries(out, targets, tf, consolidate).map(s => (s, from, until))
+          val out = Render.renderMulti(pts, targets, tf, cfg.rules,
+            now = now.getEpochSecond,
+            consolidateBy = consolidate,
+            appendEmpty = cfg.appendEmptySeries,
+            versionMode = versionMode)
+          SeriesAssembly.collect(out, targets, tf, cfg.rules,
+            now = now.getEpochSecond, consolidateBy = consolidate)
+            .map(s => (s, from, until))
+      }
     }
 
     if (anyCacheHit) ex.getResponseHeaders.set("X-Cached-Find", maxTtl.toString)
@@ -347,50 +367,6 @@ final class HttpApi(
           (s"format $other is not supported, supported formats: carbonapi_v3_pb, " +
             "pickle, protobuf (aka carbonapi_v2_pb)\n").getBytes)
     }
-  }
-
-  /** Long-form render rows → wire Series (shared with the fixture
-    * runner's assembly; the per-path step/function resolution repeats
-    * the rule lookup render used).
-    */
-  private def collectSeries(
-      out: DataFrame,
-      targets: Seq[(String, Seq[(String, String)])],
-      tf: TimeFrame,
-      consolidate: Option[String]): Seq[Series] = {
-    val groups = Render.functionGroups(
-      targets.flatMap(_._2.map(_._1)).distinct, cfg.rules,
-      now = clock().getEpochSecond, tf, consolidate)
-    val funcByPath = groups.flatMap(g => g.paths.map(_ -> g.func.name)).toMap
-    val stepByPath = groups.flatMap { g =>
-      val step = StepMath.aggregatedStep(g.step, tf.from, tf.until, tf.maxDataPoints)
-      g.paths.map(_ -> step)
-    }.toMap
-    out.select("path", "target", "display_name", "time", "value")
-      .collect()
-      .groupBy(r => (r.getString(2), r.getString(1), r.getString(0))).toSeq
-      .sortBy(_._1)
-      .map { case ((display, target, path), rs) =>
-        val step = stepByPath(path)
-        val byTime = rs.map(r => r.getLong(3) ->
-          (if (r.isNullAt(4)) Double.NaN else r.getDouble(4))).sortBy(_._1)
-        val values = byTime.map(_._2)
-        val fn =
-          if (values.forall(_.isNaN)) "any"
-          else funcByPath(path) match {
-            case "any" => "first"
-            case "anyLast" => "last"
-            case other => other
-          }
-        Series(
-          name = display,
-          pathExpression = target,
-          function = fn,
-          start = byTime.head._1,
-          stop = byTime.last._1 + step,
-          step = step,
-          values = values)
-      }
   }
 
   // -------------------------------------------------------------
@@ -441,7 +417,7 @@ final class HttpApi(
       }
 
     val (values, hit, ttl) = cfg.findCache match {
-      case Some(fc) if fc.findTimeoutSec > 0 =>
+      case Some(fc) if fc.findTimeoutSec > 0 && !truthy(q.first("noCache")) =>
         val kind = if (names) "tags" else "values"
         val params = (exprs ++ q.first("tag") ++ q.first("tagPrefix") ++
           q.first("valuePrefix") ++ Seq(limit.toString)).mkString(";")

@@ -50,24 +50,6 @@ object FixtureRunner {
       |  <pattern><regexp>\.max\?</regexp><function>max</function></pattern>
       |</graphite_rollup></yandex>""".stripMargin
 
-  final case class ActualSeries(
-      name: String,
-      pathExpression: String,
-      consolidation: String,
-      start: Long,
-      stop: Long,
-      step: Long,
-      values: Seq[Double])
-
-  /** The whisper-compatible consolidation name the v3 reply carries
-    * (`render/data/data.go:53-67`: any→first, anyLast→last).
-    */
-  def whisperName(aggName: String): String = aggName match {
-    case "any"     => "first"
-    case "anyLast" => "last"
-    case other     => other
-  }
-
   /** `consolidateBy('x')` filtering-function parse
     * (`cmd/e2e-test/checks.go:314-335` + `render/data/targets.go:134-174`).
     */
@@ -251,7 +233,7 @@ object FixtureRunner {
       val useCache = conf.findCache && ttl > 0
       var cacheAsserts: Seq[String] = Nil
 
-      val outcome: Either[String, Seq[ActualSeries]] =
+      val outcome: Either[String, Seq[graft.sinks.Series]] =
         try {
           // find per target: plain globs hit the index; seriesByTag the
           // tags table; display names decode the storage form. Only the
@@ -289,7 +271,10 @@ object FixtureRunner {
             consolidateBy = consolidate,
             appendEmpty = conf.appendEmptySeries,
             versionMode = versionMode)
-          Right(assemble(out, targets, tf, consolidate))
+          // shared response assembly (SeriesAssembly = the
+          // ch_response.go step), with the same `now` the render used
+          Right(graft.engine.SeriesAssembly.collect(
+            out, targets, tf, rules, now = until, consolidateBy = consolidate))
         } catch {
           case e: IllegalArgumentException =>
             val code =
@@ -304,52 +289,8 @@ object FixtureRunner {
       }
     }
 
-    /** Long-form render rows → per-(display, target) series with grid
-      * bounds, the v3 response shape (`render/data/ch_response.go:125-170`
-      * + the e2e client's RequestStopTime := StopTime quirk,
-      * `helper/client/render.go:180`).
-      */
-    private def assemble(
-        out: DataFrame,
-        targets: Seq[(String, Seq[(String, String)])],
-        tf: TimeFrame,
-        consolidate: Option[String]): Seq[ActualSeries] = {
-      // the same per-path (step, function) resolution render itself ran
-      val groups = Render.functionGroups(
-        targets.flatMap(_._2.map(_._1)).distinct, rules,
-        now = tf.until, tf, consolidate)
-      val funcByPath: Map[String, String] =
-        groups.flatMap(g => g.paths.map(_ -> g.func.name)).toMap
-      val stepByPath: Map[String, Long] = groups.flatMap { g =>
-        val step = graft.time.StepMath.aggregatedStep(g.step, tf.from, tf.until, tf.maxDataPoints)
-        g.paths.map(_ -> step)
-      }.toMap
-      val rows = out.select("path", "target", "display_name", "time", "value")
-        .collect()
-      rows.groupBy(r => (r.getString(2), r.getString(1), r.getString(0))).toSeq
-        .map { case ((display, target, path), rs) =>
-          val step = stepByPath(path)
-          val byTime = rs.map(r => r.getLong(3) ->
-            (if (r.isNullAt(4)) Double.NaN else r.getDouble(4))).sortBy(_._1)
-          val start = byTime.head._1
-          val stop = byTime.last._1 + step
-          val values = byTime.map(_._2).toSeq
-          // a series with no point in the window is the appended-empty
-          // synthesis, which the v3 reply emits with the literal
-          // function "any" (`render/data/ch_response.go:203`)
-          val consolidation =
-            if (values.forall(_.isNaN)) "any" else whisperName(funcByPath(path))
-          ActualSeries(
-            name = display,
-            pathExpression = target,
-            consolidation = consolidation,
-            start = start, stop = stop, step = step,
-            values = values)
-        }
-    }
-
     private def compareRender(
-        actual: Seq[ActualSeries], c: RenderCheck, requestFrom: Long): Seq[String] = {
+        actual: Seq[graft.sinks.Series], c: RenderCheck, requestFrom: Long): Seq[String] = {
       val errors = Seq.newBuilder[String]
       val expected = c.result.sortBy(e => (e.name, e.path.getOrElse("")))
       val actualSorted =
@@ -367,8 +308,8 @@ object FixtureRunner {
           val tag = s"'${a.name}'"
           e.path.foreach(p => if (a.pathExpression != p)
             errors += s"$tag pathExpression: got ${a.pathExpression}, want $p")
-          e.consolidation.foreach(f => if (a.consolidation != f)
-            errors += s"$tag consolidation: got ${a.consolidation}, want $f")
+          e.consolidation.foreach(f => if (a.function != f)
+            errors += s"$tag consolidation: got ${a.function}, want $f")
           if (a.start != at(e.start))
             errors += s"$tag start: got ${a.start}, want ${at(e.start)} (${e.start})"
           if (a.stop != at(e.stop))

@@ -50,6 +50,16 @@ object FindCache {
       if (map.size() >= maxEntries) {
         val it = map.entrySet().iterator()
         while (it.hasNext) if (it.next().getValue._1 <= nowSec) it.remove()
+        // maxEntries is a hard cap, not just a sweep trigger: with
+        // attacker-controlled keys nothing may be expired, so evict
+        // the soonest-to-expire live entries to make room
+        if (map.size() >= maxEntries) {
+          import scala.jdk.CollectionConverters._
+          map.entrySet().asScala.toSeq
+            .sortBy(_.getValue._1)
+            .take(map.size() - maxEntries + 1)
+            .foreach(e => map.remove(e.getKey))
+        }
       }
       map.put(key, (nowSec + ttlSec, value))
     }

@@ -146,14 +146,16 @@ object Render {
       .agg(
         max(col("version")).as("vmax"),
         collect_list(struct(col("version"), col("time"), col("value"))).as("arr"))
-    // winners: max-version rows, exact-time-deduped (max value pins the
-    // tie like dedup's (version, value) struct order), time-sorted
-    val winners = array_sort(filter(col("arr"), x =>
-      x.getField("version") === col("vmax") &&
-        !exists(col("arr"), y =>
-          y.getField("version") === col("vmax") &&
-            y.getField("time") === x.getField("time") &&
-            y.getField("value") > x.getField("value"))))
+    // winners: max-version rows, exact-time-deduped to ONE row per
+    // time (max value pins the tie like dedup's (version, value)
+    // struct order; array_distinct first, so byte-identical duplicate
+    // writes can't double-count under sum), time-sorted
+    val maxed = array_distinct(filter(col("arr"), x =>
+      x.getField("version") === col("vmax")))
+    val winners = array_sort(filter(maxed, x =>
+      !exists(maxed, y =>
+        y.getField("time") === x.getField("time") &&
+          y.getField("value") > x.getField("value"))))
     val values = transform(winners, _.getField("value"))
     val n = size(values)
     val agged = func match {

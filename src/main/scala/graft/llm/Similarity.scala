@@ -199,36 +199,40 @@ object Similarity {
     * (centroid, dimension); fully distributed, no driver math.
     * Returns long-form (centroid_id, pos, m).
     *
-    * The mean is computed as a sequential double fold in vector-id
-    * order (collect values, sort by id, left-fold `+`), not `avg`:
-    * parallel partial-agg summation order is nondeterministic across
-    * engines, and a float sum can land on either side of a
+    * With `exact = true` the mean is a sequential double fold in
+    * vector-id order (collect values, sort by id, left-fold `+`), not
+    * `avg`: parallel partial-agg summation order is nondeterministic
+    * across engines, and a float sum can land on either side of a
     * round-half boundary. The ordered fold is the same primitive as
     * [[dot]], which is bit-identical to DuckDB's `list_sum` over an
-    * `ORDER BY`-ed list. Group size is bounded by the largest
-    * centroid cell; for a pure-throughput training loop where
-    * cross-engine bit-equality doesn't matter, `avg` is the
-    * streaming-agg alternative.
+    * `ORDER BY`-ed list — used by the oracle-checked `e_kmeans_step`.
+    * The default (`exact = false`) is the streaming two-phase `avg`:
+    * cheaper (no per-group list) and right for the training loop,
+    * where cross-engine bit-equality doesn't matter.
     */
   def kmeansStep(
       vectors: DataFrame,
       centroids: DataFrame,
       idCol: String = "vec_id",
-      embCol: String = "embedding"): DataFrame = {
+      embCol: String = "embedding",
+      exact: Boolean = false): DataFrame = {
     val assigned = ivfAssign(vectors, centroids, idCol, embCol)
       .select(col(idCol).as("vid"), col("centroid_id"))
-    vectors.select(col(idCol).as("vid"), col(embCol).as("emb"))
+    val exploded = vectors.select(col(idCol).as("vid"), col(embCol).as("emb"))
       .join(assigned, Seq("vid"))
       .select(col("centroid_id"), col("vid"), posexplode(col("emb")))
       .groupBy(col("centroid_id"), col("pos"))
-      .agg(
+    if (!exact)
+      exploded.agg(avg(col("col").cast("double")).as("m"))
+    else
+      exploded.agg(
         aggregate(
           transform(
             array_sort(collect_list(struct(col("vid"), col("col").cast("double").as("v")))),
             e => e.getField("v")),
           lit(0.0), (acc, x) => acc + x).as("s"),
         count(lit(1)).as("c"))
-      .select(col("centroid_id"), col("pos"), (col("s") / col("c")).as("m"))
+        .select(col("centroid_id"), col("pos"), (col("s") / col("c")).as("m"))
   }
 
   /** Full IVF training loop: deterministic init (lowest-id vectors),

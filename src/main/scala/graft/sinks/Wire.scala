@@ -89,15 +89,27 @@ object Wire {
       ((key >>> 3).toInt, (key & 7).toInt)
     }
 
+    /** Validate an encoded length: negative (varint overflow) or
+      * past-the-end lengths would otherwise move `pos` backwards (an
+      * infinite parse loop on a malformed request — a DoS on the
+      * same-thread HTTP server) or read outside the declared message.
+      */
+    private def boundedLen(): Int = {
+      val len = varint()
+      if (len < 0 || len > end - pos)
+        throw new IllegalArgumentException(s"bad length $len at $pos")
+      len.toInt
+    }
+
     def lengthDelimited(): Reader = {
-      val len = varint().toInt
+      val len = boundedLen()
       val r = new Reader(buf, pos, pos + len)
       pos += len
       r
     }
 
     def stringValue(): String = {
-      val len = varint().toInt
+      val len = boundedLen()
       val s = new String(buf, pos, len, "UTF-8")
       pos += len
       s
@@ -120,7 +132,12 @@ object Wire {
     def skip(wireType: Int): Unit = wireType match {
       case 0 => varint(); ()
       case 1 => pos += 8
-      case LengthDelimited => val len = varint().toInt; pos += len
+      case LengthDelimited =>
+        // NOT `pos += boundedLen()`: Scala reads the left operand of
+        // `+=` BEFORE evaluating the right side, which would discard
+        // the length-varint bytes boundedLen itself consumed
+        val len = boundedLen()
+        pos += len
       case Fixed32 => pos += 4
       case other => throw new IllegalArgumentException(s"unsupported wire type $other")
     }

@@ -67,11 +67,18 @@ object Sessionize {
     var open = state.getOption
     ts.foreach { t =>
       open match {
-        case Some(s) if t - s.end <= gapSec =>
-          open = Some(SessionState(s.start, math.max(s.end, t), s.n + 1))
-        case Some(s) =>
+        // within the gap on either side: a late cross-batch event can
+        // precede the open session's start, so the start must lower
+        // (the batch twin's min(t)) — not just the end raised
+        case Some(s) if t - s.end <= gapSec && s.start - t <= gapSec =>
+          open = Some(SessionState(math.min(s.start, t), math.max(s.end, t), s.n + 1))
+        case Some(s) if t > s.end =>
           closed += Session(userId, s.start, s.end, s.n)
           open = Some(SessionState(t, t, 1))
+        case Some(_) =>
+          // older than start − gap: a separate already-quiet past
+          // session; emit it closed without disturbing the open one
+          closed += Session(userId, t, t, 1)
         case None =>
           open = Some(SessionState(t, t, 1))
       }
