@@ -23,7 +23,14 @@ object Pipeline {
       qualityThreshold: Double = 0.75,
       nearDupThreshold: Double = 0.5): DataFrame = {
     val quality = docs.where(TextStats.qualityScoreRaw(col("text")) >= qualityThreshold)
+    // The exact-dedup survivor set is consumed TWICE (minhash candidate
+    // generation and the final keep-join) — materialize it once instead
+    // of recomputing the quality scan + hash aggregate per consumer.
+    // localCheckpoint spills via the block manager (memory-and-disk),
+    // the same storage bet the CC loop already makes; the alternative
+    // at 100 TB is two full corpus recomputations.
     val exact = Dedup.exactKeep(quality, md5(Dedup.normalizedText(col("text"))))
+      .localCheckpoint()
     val pairs = Dedup
       .minhashNearDups(exact, col("text"), col("doc_id"), threshold = nearDupThreshold)
       .select("id_a", "id_b")
