@@ -184,6 +184,10 @@ final class HttpApi(
         case "/tags/autoComplete/tags"           => autocompleteTags(ex, names = true)
         case "/tags/autoComplete/values"         => autocompleteTags(ex, names = false)
         case p if p.startsWith("/_internal/capabilities") => capabilities(ex)
+        case "/api/v1/labels"                    => promLabels(ex)
+        case p if p.startsWith("/api/v1/label/") && p.endsWith("/values") =>
+          promLabelValues(ex, p.stripPrefix("/api/v1/label/").stripSuffix("/values"))
+        case "/api/v1/series"                    => promSeries(ex)
         case "/alive" =>
           reply(ex, 200, "text/plain", "Graphite-clickhouse is alive.\n".getBytes)
         case "/health" => reply(ex, 200, "text/plain", "Ok\n".getBytes)
@@ -428,6 +432,79 @@ final class HttpApi(
     }
     if (hit) ex.getResponseHeaders.set("X-Cached-Find", ttl.toString)
     reply(ex, 200, "application/json", JsonSink.autocomplete(values).getBytes)
+  }
+
+  // -------------------------------------------------------------
+  // Prometheus label API (`prometheus/labels.go`, `series.go`):
+  // label names/values and series label sets served from the tags
+  // table via the same matcher → tagged-term compiler the reference
+  // uses. PromQL evaluation stays out of scope (SURVEY §7.4).
+  // -------------------------------------------------------------
+
+  private def promJson(data: String): Array[Byte] =
+    s"""{"status":"success","data":$data}""".getBytes
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c    => c.toString
+    } + "\""
+
+  /** Series for the request's `match[]` selectors (union), as decoded
+    * label rows; empty match list → all tagged series.
+    */
+  private def matchedPaths(q: ParsedQuery): DataFrame = {
+    val selectors = q.all("match[]")
+    if (selectors.isEmpty) tagsTable.select("path").distinct()
+    else selectors
+      .map { sel =>
+        val matchers = graft.prom.Prom.parseSelector(sel) match {
+          case Right(m) => m
+          case Left(e)  => throw new IllegalArgumentException(e)
+        }
+        graft.prom.Prom.findByMatchers(tagsTable, matchers)
+      }
+      .reduceLeft(_ unionByName _).distinct()
+  }
+
+  private def promLabels(ex: HttpExchange): Unit = {
+    val q = formParams(ex, readBody(ex))
+    val names = graft.prom.Prom.labelRows(matchedPaths(q))
+      .select("name").distinct().orderBy("name")
+      .collect().map(_.getString(0))
+    reply(ex, 200, "application/json",
+      promJson(names.map(jstr).mkString("[", ",", "]")))
+  }
+
+  private def promLabelValues(ex: HttpExchange, label: String): Unit = {
+    val q = formParams(ex, readBody(ex))
+    val values = graft.prom.Prom.labelRows(matchedPaths(q))
+      .where(col("name") === label)
+      .select("value").distinct().orderBy("value")
+      .collect().map(_.getString(0))
+    reply(ex, 200, "application/json",
+      promJson(values.map(jstr).mkString("[", ",", "]")))
+  }
+
+  private def promSeries(ex: HttpExchange): Unit = {
+    val q = formParams(ex, readBody(ex))
+    if (q.all("match[]").isEmpty) {
+      reply(ex, 400, "application/json",
+        """{"status":"error","error":"no match[] parameter provided"}""".getBytes)
+      return
+    }
+    val series = graft.prom.Prom.labelRows(matchedPaths(q))
+      .orderBy("path", "name")
+      .collect()
+      .groupBy(_.getString(0)).toSeq.sortBy(_._1)
+      .map { case (_, rows) =>
+        rows.sortBy(_.getString(1))
+          .map(r => s"${jstr(r.getString(1))}:${jstr(r.getString(2))}")
+          .mkString("{", ",", "}")
+      }
+    reply(ex, 200, "application/json", promJson(series.mkString("[", ",", "]")))
   }
 
   // -------------------------------------------------------------

@@ -74,6 +74,59 @@ object Prom {
       .select("path").distinct()
   }
 
+  /** Minimal PromQL series-selector parser for the HTTP label/series
+    * endpoints: `name{k="v", k2!~"re"}`, `{k="v"}`, or a bare metric
+    * name. Only the selector grammar the label APIs need — full PromQL
+    * evaluation stays out of scope (the reference imports the upstream
+    * engine for that, `prometheus/querier_select.go`).
+    */
+  def parseSelector(s0: String): Either[String, Seq[(String, String, String)]] = {
+    val s = s0.trim
+    if (s.isEmpty) return Left("empty selector")
+    val braceAt = s.indexOf('{')
+    val (name, body) =
+      if (braceAt < 0) (s, "")
+      else {
+        if (!s.endsWith("}")) return Left(s"unclosed selector: $s0")
+        (s.substring(0, braceAt).trim, s.substring(braceAt + 1, s.length - 1))
+      }
+    val out = Seq.newBuilder[(String, String, String)]
+    if (name.nonEmpty) out += (("__name__", "=", name))
+    var rest = body.trim
+    while (rest.nonEmpty) {
+      val opAt = rest.indexWhere(c => c == '=' || c == '!')
+      if (opAt <= 0) return Left(s"bad matcher near '$rest'")
+      val key = rest.substring(0, opAt).trim
+      val afterKey = rest.substring(opAt)
+      val op =
+        if (afterKey.startsWith("=~")) "=~"
+        else if (afterKey.startsWith("!~")) "!~"
+        else if (afterKey.startsWith("!=")) "!="
+        else if (afterKey.startsWith("=")) "="
+        else return Left(s"bad matcher op near '$afterKey'")
+      val afterOp = afterKey.substring(op.length).trim
+      if (!afterOp.startsWith("\"")) return Left(s"expected quoted value near '$afterOp'")
+      val sb = new StringBuilder
+      var i = 1
+      var closed = false
+      while (i < afterOp.length && !closed) {
+        afterOp.charAt(i) match {
+          case '\\' if i + 1 < afterOp.length =>
+            sb.append(afterOp.charAt(i + 1)); i += 2
+          case '"' => closed = true; i += 1
+          case c   => sb.append(c); i += 1
+        }
+      }
+      if (!closed) return Left(s"unterminated value in '$s0'")
+      out += ((key, op, sb.toString))
+      rest = afterOp.substring(i).trim
+      if (rest.startsWith(",")) rest = rest.substring(1).trim
+      else if (rest.nonEmpty) return Left(s"expected ',' near '$rest'")
+    }
+    val result = out.result()
+    if (result.isEmpty) Left("selector matches nothing") else Right(result)
+  }
+
   /** Prometheus series projection (W5, `prometheus/series_set.go:81-155`):
     * epoch-second points → millisecond timestamps, stepping the grid so
     * each Prom `Seek` lands on a bucket (t × 1000).

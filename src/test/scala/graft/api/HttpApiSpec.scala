@@ -184,6 +184,21 @@ class HttpApiSpec extends AnyFunSuite {
     assert(protos.result().contains("carbonapi_v3_pb"))
   }
 
+  test("prometheus label API: names, values, series") {
+    val names = new String(get("/api/v1/labels").body())
+    assert(names == """{"status":"success","data":["__name__","tag1","tag2","tag3"]}""")
+    val values = new String(get("/api/v1/label/tag2/values").body())
+    assert(values == """{"status":"success","data":["value21"]}""")
+    val sel = java.net.URLEncoder.encode("""metric1{tag1="value1"}""", "UTF-8")
+    val series = new String(get(s"/api/v1/series?match[]=$sel").body())
+    assert(series ==
+      """{"status":"success","data":[{"__name__":"metric1","tag1":"value1","tag2":"value21","tag3":"value3"}]}""")
+    // missing match[] is a prometheus API error
+    assert(get("/api/v1/series").statusCode() == 400)
+    // bad selector is a request error
+    assert(get("/api/v1/series?match[]=%7Bunclosed").statusCode() == 400)
+  }
+
   test("unknown route is 404") {
     assert(get("/nope").statusCode() == 404)
   }

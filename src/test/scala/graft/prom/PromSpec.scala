@@ -46,4 +46,19 @@ class PromSpec extends AnyFunSuite {
     assert(DateWindow.window(ts, ts, "both", tz) == ("2023-12-31", "2024-01-01"))
     intercept[IllegalArgumentException](DateWindow.window(0, 0, "bogus"))
   }
+
+  test("parseSelector: metric, matchers, escapes, errors") {
+    import Prom.parseSelector
+    assert(parseSelector("up") == Right(Seq(("__name__", "=", "up"))))
+    assert(parseSelector("""up{job="api"}""") ==
+      Right(Seq(("__name__", "=", "up"), ("job", "=", "api"))))
+    assert(parseSelector("""{a="1", b!="2", c=~"x.*", d!~"y"}""") ==
+      Right(Seq(("a", "=", "1"), ("b", "!=", "2"), ("c", "=~", "x.*"), ("d", "!~", "y"))))
+    assert(parseSelector("""{k="quo\"te"}""") == Right(Seq(("k", "=", "quo\"te"))))
+    assert(parseSelector("{unclosed").isLeft)
+    assert(parseSelector("""{k="unterminated}""").isLeft)
+    assert(parseSelector("""{="novalue"}""").isLeft)
+    assert(parseSelector("{}").isLeft)
+    assert(parseSelector("""{k="a" j="b"}""").isLeft) // missing comma
+  }
 }
