@@ -163,12 +163,22 @@ final class HttpApi(
 
   def start(): this.type = {
     server.createContext("/", handle _)
-    server.setExecutor(null) // same-thread; Spark jobs dominate latency
+    // a small pool, not same-thread dispatch: one slow render (or one
+    // malformed request) must not serialize every other route behind
+    // it. SparkSession is thread-safe; concurrent handlers just become
+    // concurrent Spark jobs, scheduled fairly by the driver.
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
     server.start()
     this
   }
 
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = {
+    server.stop(0)
+    server.getExecutor match {
+      case es: java.util.concurrent.ExecutorService => es.shutdown()
+      case _ =>
+    }
+  }
 
   // -------------------------------------------------------------
   // dispatch
