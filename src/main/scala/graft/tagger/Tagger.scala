@@ -118,8 +118,13 @@ object Tagger {
     * (`tagger.go:294-296`).
     */
   def tag(tree: DataFrame, rules: List[Rule]): DataFrame = {
+    // `base` feeds four consumers (chain explode, the down join, the
+    // child merge, the final join) and `down` two — materialize each
+    // once instead of re-running the distinct + per-rule regex match
+    // per consumer
     val base = tree.select(col("path"), col("date"), col("version")).distinct()
       .withColumn("matched", matchedTags(col("path"), rules))
+      .localCheckpoint()
 
     // ancestors-or-self pairs: (x, each prefix chain entry of x)
     val segs = split(regexp_replace(col("path"), "\\.$", ""), "\\.")
@@ -138,6 +143,7 @@ object Tagger {
       .join(base.select(col("path").as("y"), col("matched")), Seq("y"))
       .groupBy(col("x").as("path"))
       .agg(array_distinct(flatten(collect_list(col("matched")))).as("down"))
+      .localCheckpoint()
 
     // one-hop upward: parent ← union of direct children's down sets
     val parentOf = concat(
