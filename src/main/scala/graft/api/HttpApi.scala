@@ -8,7 +8,7 @@ import java.time.Instant
 import scala.util.control.NonFatal
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.compiler.Tagged
@@ -44,7 +44,8 @@ object HttpApi {
       wildcardMinDistance: Int = 0,
       tagsMinInQuery: Int = 0,
       findCache: Option[FindCache.Config] = None,
-      taggedAutocompleteDays: Int = 0)
+      taggedAutocompleteDays: Int = 0,
+      httpWorkers: Int = 8)
 
   /** One render-target's filtering function (v3 FilterFunctions). */
   final case class FilteringFunction(name: String, arguments: Seq[String])
@@ -166,8 +167,11 @@ final class HttpApi(
     // a small pool, not same-thread dispatch: one slow render (or one
     // malformed request) must not serialize every other route behind
     // it. SparkSession is thread-safe; concurrent handlers just become
-    // concurrent Spark jobs, scheduled fairly by the driver.
-    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+    // concurrent Spark jobs, scheduled fairly by the driver. Daemon
+    // threads so a caller that forgets stop() doesn't pin the JVM.
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, cfg.httpWorkers),
+      (r: Runnable) => { val t = new Thread(r, "graft-http"); t.setDaemon(true); t }))
     server.start()
     this
   }
@@ -398,13 +402,8 @@ final class HttpApi(
       .select(col("path"))
     val names = plain.unionByName(tagged)
       .orderBy("path").collect().map(_.getString(0))
-    val sb = new StringBuilder("[")
-    names.zipWithIndex.foreach { case (n, i) =>
-      if (i > 0) sb.append(',')
-      sb.append('"').append(n.replace("\\", "\\\\").replace("\"", "\\\"")).append('"')
-    }
-    sb.append("]")
-    reply(ex, 200, "application/json", sb.toString.getBytes)
+    reply(ex, 200, "application/json",
+      names.map(JsonSink.q).mkString("[", ",", "]").getBytes)
   }
 
   // -------------------------------------------------------------
@@ -454,59 +453,89 @@ final class HttpApi(
   private def promJson(data: String): Array[Byte] =
     s"""{"status":"success","data":$data}""".getBytes
 
-  private def jstr(s: String): String =
-    "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c    => c.toString
-    } + "\""
+  private def jstr(s: String): String = JsonSink.q(s)
+
+  private def promError(ex: HttpExchange, msg: String): Unit =
+    reply(ex, 400, "application/json",
+      s"""{"status":"error","error":${jstr(msg)}}""".getBytes)
+
+  /** Prom API errors wear the status/error JSON envelope, not the
+    * generic text mapping (clients parse the envelope).
+    */
+  private def promRoute(ex: HttpExchange)(body: => Unit): Unit =
+    try body
+    catch { case e: IllegalArgumentException => promError(ex, e.getMessage) }
+
+  /** The date window the reference applies to the tagged index
+    * (`prometheus/querier.go:40,79`, `querier_select.go:63-95`):
+    * the request's start/end when present, else the last
+    * `tagged-autocomplete-days` — this is what prunes the date
+    * partitions instead of scanning all retention.
+    */
+  private def promDatePred(q: ParsedQuery): Column = {
+    def ts(v: String): Option[Long] = {
+      val t = TimeGrammar.parse(v, java.time.ZoneOffset.UTC, clock())
+      if (t > 0) Some(t) else None
+    }
+    val start = q.first("start").flatMap(ts)
+    val end = q.first("end").flatMap(ts)
+    (start, end) match {
+      case (Some(s), Some(e)) =>
+        col("date").between(
+          to_date(timestamp_seconds(lit(s))), to_date(timestamp_seconds(lit(e))))
+      case _ if cfg.taggedAutocompleteDays > 0 =>
+        col("date") >= to_date(timestamp_seconds(
+          lit(clock().getEpochSecond - cfg.taggedAutocompleteDays.toLong * 86400L)))
+      case _ => lit(true)
+    }
+  }
 
   /** Series for the request's `match[]` selectors (union), as decoded
-    * label rows; empty match list → all tagged series.
+    * label rows; empty match list → all tagged series in the window.
     */
   private def matchedPaths(q: ParsedQuery): DataFrame = {
+    val windowed = tagsTable.where(promDatePred(q))
     val selectors = q.all("match[]")
-    if (selectors.isEmpty) tagsTable.select("path").distinct()
+    if (selectors.isEmpty) windowed.select("path").distinct()
     else selectors
       .map { sel =>
         val matchers = graft.prom.Prom.parseSelector(sel) match {
           case Right(m) => m
           case Left(e)  => throw new IllegalArgumentException(e)
         }
-        graft.prom.Prom.findByMatchers(tagsTable, matchers)
+        graft.prom.Prom.findByMatchers(windowed, matchers)
       }
       .reduceLeft(_ unionByName _).distinct()
   }
 
-  private def promLabels(ex: HttpExchange): Unit = {
+  private def promLabels(ex: HttpExchange): Unit = promRoute(ex) {
     val q = formParams(ex, readBody(ex))
     val names = graft.prom.Prom.labelRows(matchedPaths(q))
-      .select("name").distinct().orderBy("name")
-      .collect().map(_.getString(0))
+      .select("name").distinct()
+      .collect().map(_.getString(0)).sorted
     reply(ex, 200, "application/json",
       promJson(names.map(jstr).mkString("[", ",", "]")))
   }
 
-  private def promLabelValues(ex: HttpExchange, label: String): Unit = {
+  private def promLabelValues(ex: HttpExchange, label: String): Unit = promRoute(ex) {
     val q = formParams(ex, readBody(ex))
     val values = graft.prom.Prom.labelRows(matchedPaths(q))
       .where(col("name") === label)
-      .select("value").distinct().orderBy("value")
-      .collect().map(_.getString(0))
+      .select("value").distinct()
+      .collect().map(_.getString(0)).sorted
     reply(ex, 200, "application/json",
       promJson(values.map(jstr).mkString("[", ",", "]")))
   }
 
-  private def promSeries(ex: HttpExchange): Unit = {
+  private def promSeries(ex: HttpExchange): Unit = promRoute(ex) {
     val q = formParams(ex, readBody(ex))
     if (q.all("match[]").isEmpty) {
-      reply(ex, 400, "application/json",
-        """{"status":"error","error":"no match[] parameter provided"}""".getBytes)
+      promError(ex, "no match[] parameter provided")
       return
     }
+    // ordering is pinned driver-side on the response-sized result; a
+    // distributed sort here would be a wasted range-partition pass
     val series = graft.prom.Prom.labelRows(matchedPaths(q))
-      .orderBy("path", "name")
       .collect()
       .groupBy(_.getString(0)).toSeq.sortBy(_._1)
       .map { case (_, rows) =>

@@ -105,14 +105,28 @@ object FindCache {
     s"1970-02-12;$kind;$params;ts=$ts"
   }
 
-  /** Get-or-compute helper: returns (value, wasHit). */
+  /** Get-or-compute helper: returns (value, wasHit). Concurrent
+    * misses on the SAME key serialize on a per-key in-flight lock so
+    * identical requests don't stampede the backing Spark job (the
+    * workload the cache exists to absorb); distinct keys stay fully
+    * concurrent.
+    */
   def through[V](cache: TtlCache[V], key: String, ttlSec: Int, nowSec: Long)(
       compute: => V): (V, Boolean) =
     cache.get(key, nowSec) match {
       case Some(v) => (v, true)
       case None =>
-        val v = compute
-        cache.put(key, v, ttlSec, nowSec)
-        (v, false)
+        val lock = inflight.computeIfAbsent(key, _ => new Object)
+        try lock.synchronized {
+          cache.get(key, nowSec) match {
+            case Some(v) => (v, true) // another thread filled it
+            case None =>
+              val v = compute
+              cache.put(key, v, ttlSec, nowSec)
+              (v, false)
+          }
+        } finally inflight.remove(key)
     }
+
+  private val inflight = new ConcurrentHashMap[String, Object]()
 }

@@ -112,7 +112,17 @@ object Prom {
       while (i < afterOp.length && !closed) {
         afterOp.charAt(i) match {
           case '\\' if i + 1 < afterOp.length =>
-            sb.append(afterOp.charAt(i + 1)); i += 2
+            // Go strconv.Unquote escape set (the subset PromQL strings
+            // use); unknown escapes are an error, not a silent strip
+            afterOp.charAt(i + 1) match {
+              case 'n'   => sb.append('\n')
+              case 't'   => sb.append('\t')
+              case 'r'   => sb.append('\r')
+              case '"'   => sb.append('"')
+              case '\\'  => sb.append('\\')
+              case other => return Left(s"unsupported escape \\$other in '$s0'")
+            }
+            i += 2
           case '"' => closed = true; i += 1
           case c   => sb.append(c); i += 1
         }

@@ -9,7 +9,8 @@ import java.util.Locale
   */
 object JsonSink {
 
-  private def q(s: String): String =
+  /** JSON string escape — the single escaper every route shares. */
+  def q(s: String): String =
     "\"" + s.flatMap {
       case '"'          => "\\\""
       case '\\'         => "\\\\"
