@@ -14,8 +14,12 @@ import graft.rollup.{AggFunc, Pattern, Retention, RuleType, Rules}
   * track) is registered here as a `queries` entry with a DuckDB
   * oracle. Conventions keeping the oracle compare stable:
   * numeric outputs are BIGINT/DOUBLE on both sides, float aggregates
-  * are `round(x, 4)` on both sides, and orderings that feed `limit`
-  * are tie-broken by a unique key.
+  * are `round(x, 4)` on both sides, orderings that feed `limit`
+  * are tie-broken by a unique key, and rounded columns that can go
+  * negative get `round(...) + 0` in the DuckDB SQL: DuckDB's round
+  * keeps IEEE `-0.0` while Spark's goes through BigDecimal (which has
+  * no signed zero) and yields `+0.0` — the `+ 0` collapses both to
+  * `+0.0` so the value hash can't split on a signed zero.
   */
 object SparkEntry {
 
@@ -1079,7 +1083,7 @@ object SparkEntry {
            | FROM embeddings a JOIN embeddings b ON a.vec_id < 5 AND a.vec_id <> b.vec_id),
            | ranked AS (SELECT query_id, neighbor_id, sim,
            |   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored)
-           |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(sim, 4) AS sim FROM ranked WHERE rank <= 5""".stripMargin),
+           |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(sim, 4) + 0 AS sim FROM ranked WHERE rank <= 5""".stripMargin),
 
       "e_lsh_knn" ->
         (s"""WITH keyed AS (SELECT vec_id, embedding,
@@ -1089,7 +1093,7 @@ object SparkEntry {
            |   FROM keyed a JOIN keyed b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
            | ranked AS (SELECT query_id, neighbor_id, sim,
            |   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored)
-           |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(sim, 4) AS sim
+           |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(sim, 4) + 0 AS sim
            |FROM ranked WHERE rank <= 3 AND query_id < 50""".stripMargin),
 
       "e_lsh_knn_multi" -> {
@@ -1113,7 +1117,7 @@ object SparkEntry {
            |   JOIN embeddings b ON b.vec_id = c.neighbor_id),
            | ranked AS (SELECT query_id, neighbor_id, sim,
            |   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored)
-           |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(sim, 4) AS sim
+           |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(sim, 4) + 0 AS sim
            |FROM ranked WHERE rank <= 3 AND query_id < 50""".stripMargin
       },
 
@@ -1128,7 +1132,7 @@ object SparkEntry {
            |   SELECT vec_id, centroid_id, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id ASC) AS rank FROM scored) r
            |   WHERE rank = 1)
            |SELECT a.centroid_id, pos - 1 AS pos,
-           |  round(list_sum(list(v::double ORDER BY x.vec_id)) / count(*), 4) AS m
+           |  round(list_sum(list(v::double ORDER BY x.vec_id)) / count(*), 4) + 0 AS m
            |FROM (SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS pos FROM embeddings) x
            |JOIN assign a ON a.vec_id = x.vec_id
            |GROUP BY 1, 2""".stripMargin),
@@ -1142,13 +1146,13 @@ object SparkEntry {
            |   FROM embeddings a, cents c),
            | ranked AS (SELECT vec_id, centroid_id, sim,
            |   row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id ASC) AS rank FROM scored)
-           |SELECT vec_id, centroid_id, round(sim, 4) AS sim FROM ranked WHERE rank = 1""".stripMargin),
+           |SELECT vec_id, centroid_id, round(sim, 4) + 0 AS sim FROM ranked WHERE rank = 1""".stripMargin),
 
       "e_neardup" ->
         (s"""WITH keyed AS (SELECT vec_id, embedding,
            |   list_sum(list_transform(generate_series(1, 8), i -> CASE WHEN embedding[i] >= 0 THEN CAST(1 AS BIGINT) << (i-1) ELSE 0 END)) AS bucket
            | FROM embeddings)
-           |SELECT a.vec_id AS id_a, b.vec_id AS id_b, round($cosine, 4) AS sim
+           |SELECT a.vec_id AS id_a, b.vec_id AS id_b, round($cosine, 4) + 0 AS sim
            |FROM keyed a JOIN keyed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
            |WHERE $cosine >= 0.3""".stripMargin),
 
