@@ -4,6 +4,7 @@ import java.nio.file.{Files, Path, Paths}
 import java.time.{Duration, Instant, ZoneId}
 import scala.jdk.CollectionConverters._
 
+import graft.engine.Guards
 import graft.model.FeatureFlags
 import graft.time.TimeGrammar
 
@@ -33,6 +34,7 @@ object Fixture {
       errorRegexp: String,
       cacheTtl: Int,
       inCache: Boolean,
+      proxyDelayMs: Long,
       result: Seq[FindExp])
 
   final case class TagsCheck(
@@ -43,6 +45,7 @@ object Fixture {
       errorRegexp: String,
       cacheTtl: Int,
       inCache: Boolean,
+      proxyDelayMs: Long,
       result: Seq[String])
 
   final case class SeriesExp(
@@ -67,6 +70,7 @@ object Fixture {
       errorRegexp: String,
       cacheTtl: Int,
       inCache: Boolean,
+      proxyDelayMs: Long,
       result: Seq[SeriesExp])
 
   /** Engine knobs scraped from a `graphite-clickhouse*.conf.tpl`
@@ -84,7 +88,23 @@ object Fixture {
       findCacheDefaultTimeout: Int = 0,
       findCacheShortTimeout: Int = 0,
       findCacheShortDuration: Long = 0L,
-      findCacheFindTimeout: Int = 0)
+      findCacheFindTimeout: Int = 0,
+      indexTimeoutSec: Long = 0L,
+      dataTimeoutSec: Long = 0L,
+      defaultLimits: Guards.ReadLimits = Guards.ReadLimits(),
+      queryParams: Seq[Guards.QueryParam] = Nil) {
+
+    /** The runtime band list (`config.go:625-631`): default band from
+      * the base url/data-timeout + the declared `query-params`.
+      */
+    def bands: IndexedSeq[Guards.QueryParam] =
+      Guards.withDefault(
+        Guards.QueryParam(0L, dataTimeoutSec, defaultLimits),
+        // a band without its own data-timeout inherits the base one
+        // (`config.go:611-613`)
+        queryParams.map(q =>
+          if (q.dataTimeoutSec == 0) q.copy(dataTimeoutSec = dataTimeoutSec) else q))
+  }
 
   final case class Scenario(
       dir: String,
@@ -127,6 +147,7 @@ object Fixture {
         errorRegexp = c.getStr("error_regexp"),
         cacheTtl = c.getInt("cache_ttl").toInt,
         inCache = c.get("in_cache").exists(_.bool),
+        proxyDelayMs = durationMillis(c.getStr("proxy_delay")),
         result = c.getArr("result").map(r =>
           FindExp(r.getStr("path"), r.get("is_leaf").exists(_.bool))))
     }
@@ -140,6 +161,7 @@ object Fixture {
         errorRegexp = c.getStr("error_regexp"),
         cacheTtl = c.getInt("cache_ttl").toInt,
         inCache = c.get("in_cache").exists(_.bool),
+        proxyDelayMs = durationMillis(c.getStr("proxy_delay")),
         result = c.getArr("result").map(_.str))
     }
 
@@ -155,6 +177,7 @@ object Fixture {
         errorRegexp = c.getStr("error_regexp"),
         cacheTtl = c.getInt("cache_ttl").toInt,
         inCache = c.get("in_cache").exists(_.bool),
+        proxyDelayMs = durationMillis(c.getStr("proxy_delay")),
         result = c.getArr("result").map { r =>
           SeriesExp(
             name = r.getStr("name"),
@@ -186,6 +209,12 @@ object Fixture {
     if (s.isEmpty) 0L
     else TimeGrammar.intervalSeconds(s, 1).getOrElse(0L)
 
+  /** `"1500ms"` → 1500; coarser units go through [[durationSeconds]]. */
+  def durationMillis(s: String): Long =
+    if (s.isEmpty) 0L
+    else if (s.endsWith("ms")) s.stripSuffix("ms").trim.toLong
+    else durationSeconds(s) * 1000L
+
   /** Line-scan the knobs this harness honors out of a
     * graphite-clickhouse config template. The templates are TOML too,
     * but flat key scanning is enough (and robust to the `{{ .VAR }}`
@@ -194,14 +223,34 @@ object Fixture {
   def parseConfTpl(label: String, text: String): GchConfig = {
     var c = GchConfig(label = label)
     var section = ""
+    // `query-params = [ { … }, … ]` spans lines (an array of inline
+    // tables, as the reference templates write it) — collect the block
+    // verbatim and split it into entries afterwards, so its inner
+    // `url =` lines don't collide with the flat `[clickhouse] url` key.
+    var inQueryParams = false
+    val qpBuf = new StringBuilder
     text.linesIterator.foreach { raw =>
       val line = raw.trim
-      if (line.startsWith("[")) section = line.stripPrefix("[").takeWhile(_ != ']')
+      if (inQueryParams) {
+        if (line == "]") {
+          inQueryParams = false
+          c = c.copy(queryParams = parseQueryParams(qpBuf.toString()))
+        } else qpBuf.append(line).append('\n')
+      }
+      else if (section == "clickhouse" && line.startsWith("query-params") && line.endsWith("["))
+        inQueryParams = true
+      else if (line.startsWith("[")) section = line.stripPrefix("[").takeWhile(_ != ']')
       else line.split("=", 2) match {
         case Array(k0, v0) =>
           val k = k0.trim
           val v = v0.trim.stripPrefix("\"").stripSuffix("\"")
           (section, k) match {
+            case ("clickhouse", "url") =>
+              c = c.copy(defaultLimits = Guards.ReadLimits.fromUrl(v))
+            case ("clickhouse", "data-timeout") =>
+              c = c.copy(dataTimeoutSec = durationSeconds(v))
+            case ("clickhouse", "index-timeout") =>
+              c = c.copy(indexTimeoutSec = durationSeconds(v))
             case ("clickhouse", "internal-aggregation") =>
               c = c.copy(internalAggregation = v == "true")
             case ("common", "append-empty-series") | ("clickhouse", "append-empty-series") =>
@@ -228,5 +277,24 @@ object Fixture {
       }
     }
     c
+  }
+
+  /** Split a collected `query-params` block into bands: one `{ … }`
+    * inline table each, with `duration`, `url` (read limits) and an
+    * optional `data-timeout` (0 here = inherit the base, resolved in
+    * [[GchConfig.bands]]).
+    */
+  private def parseQueryParams(block: String): Seq[Guards.QueryParam] = {
+    def field(entry: String, key: String): Option[String] =
+      ("""(?m)^\s*""" + java.util.regex.Pattern.quote(key) + """\s*=\s*"([^"]*)"""").r
+        .findFirstMatchIn(entry).map(_.group(1))
+    // a chunk between '}'s that carries no `key = "value"` line is
+    // inter-entry punctuation (the ',' and '{' separators), not a band
+    block.split("\\}").toSeq.map(_.trim).filter(_.contains("=")).map { entry =>
+      Guards.QueryParam(
+        durationSec = durationSeconds(field(entry, "duration").getOrElse("")),
+        dataTimeoutSec = durationSeconds(field(entry, "data-timeout").getOrElse("")),
+        limits = field(entry, "url").map(Guards.ReadLimits.fromUrl).getOrElse(Guards.ReadLimits()))
+    }
   }
 }

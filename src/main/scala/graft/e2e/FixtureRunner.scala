@@ -7,7 +7,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.compiler.Tagged
-import graft.engine.{Autocomplete, Finder, Render}
+import graft.engine.{Autocomplete, Finder, Guards, Render}
 import graft.model.TimeFrame
 import graft.rollup.Rules
 import graft.streaming.Ingest
@@ -115,6 +115,19 @@ object FixtureRunner {
 
     private def nowSec: Long = now.getEpochSecond
 
+    /** One storage round-trip under the engine's guard rails: the
+      * check's `proxy_delay` (the e2e harness's delaying proxy,
+      * `e2etesting.go:77,102,128`) runs INSIDE the deadline, so a
+      * delay longer than the configured timeout produces the
+      * reference's 504 — and the underlying Spark job group is
+      * actually cancelled, not abandoned.
+      */
+    private def staged[T](delayMs: Long, timeoutSec: Long)(body: => T): T =
+      Guards.withDeadline(spark, timeoutSec) {
+        if (delayMs > 0) Thread.sleep(delayMs)
+        body
+      }
+
     private def cacheConfig(conf: GchConfig) = graft.engine.FindCache.Config(
       defaultTimeoutSec = conf.findCacheDefaultTimeout,
       shortTimeoutSec = conf.findCacheShortTimeout,
@@ -155,11 +168,12 @@ object FixtureRunner {
       var cacheAsserts: Seq[String] = Nil
       val outcome: Either[String, Seq[FindExp]] =
         try {
-          def compute: Seq[FindExp] =
+          def compute: Seq[FindExp] = staged(c.proxyDelayMs, conf.indexTimeoutSec) {
             Finder.find(index, c.query, at(c.from), at(c.until),
               wildcardMinDistance = conf.wildcardMinDistance)
               .orderBy("path").collect().toSeq
               .map(r => FindExp(r.getString(0), r.getBoolean(1)))
+          }
           val (result, hit) =
             if (useCache)
               graft.engine.FindCache.through(cache, key, ttl, nowSec)(compute: Any)
@@ -168,6 +182,7 @@ object FixtureRunner {
             cache.get(key, nowSec).isDefined)
           Right(result.asInstanceOf[Seq[FindExp]])
         } catch {
+          case e: Guards.StorageError     => Left(s"${e.code}: ${e.message}")
           case e: IllegalArgumentException => Left(s"400: ${e.getMessage}")
         }
       checkOutcome(outcome, c.errorRegexp) { actual =>
@@ -188,7 +203,7 @@ object FixtureRunner {
       var cacheAsserts: Seq[String] = Nil
       val outcome: Either[String, Seq[String]] =
         try {
-          def compute: Seq[String] =
+          def compute: Seq[String] = staged(c.proxyDelayMs, conf.indexTimeoutSec) {
             if (c.names) {
               val exprs = c.query.split(";").toList.filter(_.nonEmpty)
               Autocomplete.tagNamesComplete(tagsTable, exprs, limit = limit,
@@ -201,6 +216,7 @@ object FixtureRunner {
               Autocomplete.tagValues(tagsTable, parts.head, exprs,
                 limit = limit, flags = conf.flags).as[String].collect().toSeq
             }
+          }
           val (result, hit) =
             if (useCache)
               graft.engine.FindCache.through(cache, key, ttl, nowSec)(compute: Any)
@@ -209,6 +225,7 @@ object FixtureRunner {
             cache.get(key, nowSec).isDefined)
           Right(result.asInstanceOf[Seq[String]])
         } catch {
+          case e: Guards.StorageError     => Left(s"${e.code}: ${e.message}")
           case e: IllegalArgumentException => Left(s"400: ${e.getMessage}")
         }
       checkOutcome(outcome, c.errorRegexp) { actual =>
@@ -243,7 +260,7 @@ object FixtureRunner {
           var allHit = true
           var allSecondHit = true
           val targets: Seq[(String, Seq[(String, String)])] = c.targets.map { t =>
-            def compute: Seq[(String, String)] =
+            def compute: Seq[(String, String)] = staged(c.proxyDelayMs, conf.indexTimeoutSec) {
               if (t.startsWith("seriesByTag(")) {
                 Finder.findTagged(tagsTable, t, conf.flags,
                   tagsMinInQuery = conf.tagsMinInQuery)
@@ -256,6 +273,7 @@ object FixtureRunner {
                   .collect().map(_.getString(0)).toSeq
                   .map(p => (p, p))
               }
+            }
             val key = graft.engine.FindCache.targetKey(from, until, t, ttl)
             val (pairs, hit) =
               if (useCache)
@@ -267,15 +285,29 @@ object FixtureRunner {
           }
           cacheAsserts = cacheErrors(useCache, allHit, ttl, c.cacheTtl, c.inCache,
             allSecondHit)
-          val out = Render.renderMulti(points, targets, tf, rules, now = until,
-            consolidateBy = consolidate,
-            appendEmpty = conf.appendEmptySeries,
-            versionMode = versionMode)
-          // shared response assembly (SeriesAssembly = the
-          // ch_response.go step), with the same `now` the render used
-          Right(graft.engine.SeriesAssembly.collect(
-            out, targets, tf, rules, now = until, consolidateBy = consolidate))
+          // per-window query-param band (`render/data/query.go:131-138`):
+          // read limits are a metadata pre-flight over the scan this
+          // render would do; the data fetch runs under the band's
+          // data-timeout.
+          val band = Guards.select(conf.bands, until - from)
+          val foundPaths = targets.flatMap(_._2.map(_._1)).distinct
+          lazy val pruned = points.where(
+            col("path").isInCollection(foundPaths) && col("time").between(from, until))
+          Guards.checkReadLimits(band.limits,
+            rows = pruned.count(),
+            bytes = pruned.queryExecution.optimizedPlan.stats.sizeInBytes)
+          staged(c.proxyDelayMs, band.dataTimeoutSec) {
+            val out = Render.renderMulti(points, targets, tf, rules, now = until,
+              consolidateBy = consolidate,
+              appendEmpty = conf.appendEmptySeries,
+              versionMode = versionMode)
+            // shared response assembly (SeriesAssembly = the
+            // ch_response.go step), with the same `now` the render used
+            Right(graft.engine.SeriesAssembly.collect(
+              out, targets, tf, rules, now = until, consolidateBy = consolidate))
+          }
         } catch {
+          case e: Guards.StorageError => Left(s"${e.code}: ${e.message}")
           case e: IllegalArgumentException =>
             val code =
               if (e.getMessage != null && e.getMessage.contains("wildcard and regex terms")) "403"

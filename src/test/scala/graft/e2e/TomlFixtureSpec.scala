@@ -44,7 +44,10 @@ class TomlFixtureSpec extends AnyFunSuite {
     "feature_flags_dont_match_missing_tags",
     "wildcard_min_distance",
     "tags_min_in_query",
-    "find_cache")
+    "find_cache",
+    // last: its 1 s index/data timeouts assume a warm session (the
+    // reference harness likewise runs it against a long-lived server)
+    "error_handling")
 
   for (dir <- scenarios) {
     val path = Paths.get(testsRoot, dir)
