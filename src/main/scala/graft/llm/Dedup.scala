@@ -82,6 +82,18 @@ object Dedup {
   def permute(h: Column, i: Int): Column =
     pmod(h * (2 * i + 1) + 1000003L * i, lit(MinhashP))
 
+  /** The corpus reduced to `(id, sh: Array[String])` shingle sets —
+    * the one expensive text pass that candidate generation AND
+    * verification both consume. Callers materialize it
+    * (`localCheckpoint`) when it feeds more than one downstream stage.
+    */
+  def shingleSets(
+      docs: DataFrame,
+      textCol: Column,
+      idCol: Column,
+      shingleWidth: Int): DataFrame =
+    docs.select(idCol.as("id"), shingles(textCol, shingleWidth).as("sh"))
+
   /** MinHash signatures, distributed shape: explode shingles → hash
     * once → ONE hash-aggregate computing all `numHashes` mins (map-side
     * partial min does the heavy lifting; one shuffle on doc id).
@@ -97,9 +109,13 @@ object Dedup {
       textCol: Column,
       idCol: Column,
       shingleWidth: Int,
-      numHashes: Int): DataFrame = {
-    val exploded = docs
-      .select(idCol.as("id"), explode(shingles(textCol, shingleWidth)).as("s"))
+      numHashes: Int): DataFrame =
+    signaturesFromSets(shingleSets(docs, textCol, idCol, shingleWidth), numHashes)
+
+  /** [[minhashSignatures]] over a pre-computed `(id, sh)` relation. */
+  def signaturesFromSets(sets: DataFrame, numHashes: Int): DataFrame = {
+    val exploded = sets
+      .select(col("id"), explode(col("sh")).as("s"))
       .withColumn("h", shingleHash(col("s")))
     exploded
       .groupBy("id")
@@ -120,6 +136,11 @@ object Dedup {
   /** MinHash-LSH candidate pairs: signatures → explode band keys →
     * self-join within buckets only (shuffle on band key — never
     * all-pairs) → distinct (a < b) pairs.
+    *
+    * The signature relation is materialized (`localCheckpoint`) before
+    * the self-join: both join branches would otherwise re-run the full
+    * shingle→hash→aggregate pipeline — at 100 TB that is two corpus
+    * passes instead of one plus a (tiny) signature-table read.
     */
   def minhashCandidates(
       docs: DataFrame,
@@ -129,6 +150,12 @@ object Dedup {
       bands: Int = 4,
       rows: Int = 2): DataFrame = {
     val sigs = minhashSignatures(docs, textCol, idCol, shingleWidth, bands * rows)
+      .localCheckpoint()
+    candidatesFromSignatures(sigs, bands, rows)
+  }
+
+  /** Banded self-join of an (already materialized) signature relation. */
+  private def candidatesFromSignatures(sigs: DataFrame, bands: Int, rows: Int): DataFrame = {
     val keyed = sigs
       .select(col("id"), explode(array(bandKeyColumns(bands, rows): _*)).as("band"))
     val a = keyed.as("a")
@@ -141,6 +168,11 @@ object Dedup {
   /** MinHash-LSH near-dup pairs with exact Jaccard verification of the
     * candidates (candidate generation is banded; verification joins
     * shingle sets back by id — both sides bucketed, no cartesian).
+    *
+    * The shingle sets are computed ONCE and materialized: signatures
+    * are derived from them and verification reads them twice by id —
+    * without the checkpoint the text would be re-shingled three times
+    * (once per signature branch, once per verification side).
     */
   def minhashNearDups(
       docs: DataFrame,
@@ -150,8 +182,9 @@ object Dedup {
       bands: Int = 4,
       rows: Int = 2,
       threshold: Double = 0.6): DataFrame = {
-    val cands = minhashCandidates(docs, textCol, idCol, shingleWidth, bands, rows)
-    val sets = docs.select(idCol.as("id"), shingles(textCol, shingleWidth).as("sh"))
+    val sets = shingleSets(docs, textCol, idCol, shingleWidth).localCheckpoint()
+    val sigs = signaturesFromSets(sets, bands * rows).localCheckpoint()
+    val cands = candidatesFromSignatures(sigs, bands, rows)
     cands
       .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
