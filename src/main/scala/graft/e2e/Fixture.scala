@@ -288,9 +288,14 @@ object Fixture {
     def field(entry: String, key: String): Option[String] =
       ("""(?m)^\s*""" + java.util.regex.Pattern.quote(key) + """\s*=\s*"([^"]*)"""").r
         .findFirstMatchIn(entry).map(_.group(1))
+    // the reference templates embed go-template placeholders
+    // (`{{ .PROXY_URL }}` in tests/error_handling) whose `}}` would
+    // otherwise terminate an entry mid-url — drop them first; the
+    // read-limit params live in the url's query string, not the host.
+    val cleaned = block.replaceAll("""\{\{[^{}]*\}\}""", "")
     // a chunk between '}'s that carries no `key = "value"` line is
     // inter-entry punctuation (the ',' and '{' separators), not a band
-    block.split("\\}").toSeq.map(_.trim).filter(_.contains("=")).map { entry =>
+    cleaned.split("\\}").toSeq.map(_.trim).filter(_.contains("=")).map { entry =>
       Guards.QueryParam(
         durationSec = durationSeconds(field(entry, "duration").getOrElse("")),
         dataTimeoutSec = durationSeconds(field(entry, "data-timeout").getOrElse("")),
