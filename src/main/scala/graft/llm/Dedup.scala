@@ -82,10 +82,11 @@ object Dedup {
   def permute(h: Column, i: Int): Column =
     pmod(h * (2 * i + 1) + 1000003L * i, lit(MinhashP))
 
-  /** The corpus reduced to `(id, sh: Array[String])` shingle sets —
-    * the one expensive text pass that candidate generation AND
-    * verification both consume. Callers materialize it
-    * (`localCheckpoint`) when it feeds more than one downstream stage.
+  /** The corpus reduced to `(id, sh: Array[String])` shingle sets.
+    * Deliberately NOT materialized here: at 100 TB this relation is
+    * corpus-sized, so callers that need it twice re-derive it over a
+    * *reduced* id set (semi-join) instead of persisting it — see
+    * [[minhashNearDups]].
     */
   def shingleSets(
       docs: DataFrame,
@@ -137,10 +138,16 @@ object Dedup {
     * self-join within buckets only (shuffle on band key — never
     * all-pairs) → distinct (a < b) pairs.
     *
-    * The signature relation is materialized (`localCheckpoint`) before
-    * the self-join: both join branches would otherwise re-run the full
-    * shingle→hash→aggregate pipeline — at 100 TB that is two corpus
-    * passes instead of one plus a (tiny) signature-table read.
+    * The signature relation — tiny: `numHashes` longs per doc — is
+    * materialized (`localCheckpoint(eager = false)`, so this remains a
+    * lazy plan builder) before the self-join: both join branches would
+    * otherwise re-run the full shingle→hash→aggregate pipeline — at
+    * 100 TB that is two corpus passes instead of one plus a (tiny)
+    * signature-table read. `localCheckpoint` is not fault-tolerant
+    * (lineage is truncated), which is an acceptable trade *only*
+    * because the checkpointed relation is signature-sized; on a real
+    * cluster swap it for a persisted table / reliable checkpoint if
+    * re-running the corpus pass on executor loss is unacceptable.
     */
   def minhashCandidates(
       docs: DataFrame,
@@ -150,7 +157,7 @@ object Dedup {
       bands: Int = 4,
       rows: Int = 2): DataFrame = {
     val sigs = minhashSignatures(docs, textCol, idCol, shingleWidth, bands * rows)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     candidatesFromSignatures(sigs, bands, rows)
   }
 
@@ -169,10 +176,17 @@ object Dedup {
     * candidates (candidate generation is banded; verification joins
     * shingle sets back by id — both sides bucketed, no cartesian).
     *
-    * The shingle sets are computed ONCE and materialized: signatures
-    * are derived from them and verification reads them twice by id —
-    * without the checkpoint the text would be re-shingled three times
-    * (once per signature branch, once per verification side).
+    * 100 TB materialization discipline: only the *signature* relation
+    * (numHashes longs per doc) is checkpointed — it feeds both branches
+    * of the banded self-join, and truncating its lineage there costs
+    * only signature-sized executor storage. The corpus-sized shingle
+    * sets are NOT persisted anywhere: verification re-shingles only the
+    * docs that appear in some candidate pair, obtained by semi-joining
+    * the corpus against the distinct candidate ids. The candidate set
+    * is Σ sᵢ² bucket-bounded and ≪ corpus, so the extra cost is one
+    * pruned re-scan of the text column for a small fraction of rows —
+    * versus pinning a corpus-scale relation in non-fault-tolerant
+    * executor storage (`localCheckpoint` dies with a lost executor).
     */
   def minhashNearDups(
       docs: DataFrame,
@@ -182,12 +196,24 @@ object Dedup {
       bands: Int = 4,
       rows: Int = 2,
       threshold: Double = 0.6): DataFrame = {
-    val sets = shingleSets(docs, textCol, idCol, shingleWidth).localCheckpoint()
-    val sigs = signaturesFromSets(sets, bands * rows).localCheckpoint()
+    val sets = shingleSets(docs, textCol, idCol, shingleWidth)
+    val sigs = signaturesFromSets(sets, bands * rows).localCheckpoint(eager = false)
     val cands = candidatesFromSignatures(sigs, bands, rows)
+      .localCheckpoint(eager = false) // read twice: id collection + verify join
+    // ids touched by any candidate pair — tiny; broadcast-joins below
+    val candIds = cands.select(col("id_a").as("id"))
+      .unionByName(cands.select(col("id_b").as("id")))
+      .distinct()
+    // re-shingle ONLY candidate docs (docs ⋉ candIds); checkpointed so
+    // the a-side and b-side verify joins share one candidate-sized
+    // relation instead of shingling the candidates twice
+    val candSets = shingleSets(
+      docs.join(candIds, idCol === col("id"), "left_semi"),
+      textCol, idCol, shingleWidth)
+      .localCheckpoint(eager = false)
     cands
-      .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-      .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .join(candSets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(candSets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))) /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
