@@ -12,7 +12,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.compiler.Tagged
-import graft.engine.{Autocomplete, FindCache, Finder, Render, SeriesAssembly}
+import graft.engine.{Autocomplete, FindCache, Finder, Guards, Limiter, Render, SeriesAssembly}
 import graft.model.{FeatureFlags, TimeFrame}
 import graft.rollup.Rules
 import graft.sinks.{FindSink, JsonSink, PickleSink, ProtobufSink, Wire}
@@ -45,7 +45,21 @@ object HttpApi {
       tagsMinInQuery: Int = 0,
       findCache: Option[FindCache.Config] = None,
       taggedAutocompleteDays: Int = 0,
-      httpWorkers: Int = 8)
+      httpWorkers: Int = 8,
+      limits: Limits = Limits())
+
+  /** Admission limiters per route family plus per-user overrides —
+    * the reference's `config.go:749-768` limiter set. Note the
+    * reference quirk kept for parity: `/metrics/find` admits through
+    * the TAGS limiter (`find/handler.go:50-51` calls
+    * `GetUserTagsLimiter`), not a find-specific one. Refusals map to
+    * 503 (`helper/clickhouse/clickhouse.go:105-111`).
+    */
+  final case class Limits(
+      tags: Limiter.ServerLimiter = Limiter.Noop,
+      render: Limiter.ServerLimiter = Limiter.Noop,
+      user: Map[String, Limiter.ServerLimiter] = Map.empty,
+      waitMs: Long = 60000L)
 
   /** One render-target's filtering function (v3 FilterFunctions). */
   final case class FilteringFunction(name: String, arguments: Seq[String])
@@ -208,11 +222,24 @@ final class HttpApi(
         case _         => reply(ex, 404, "text/plain", "not found\n".getBytes)
       }
     } catch {
+      case e: Guards.StorageError =>
+        // storage guards (403/504) and limiter refusals (503)
+        reply(ex, e.code, "text/plain", (s"${e.message}\n").getBytes)
       case e: IllegalArgumentException =>
         reply(ex, errorStatus(e), "text/plain", (s"${e.getMessage}\n").getBytes)
       case NonFatal(e) =>
         reply(ex, 500, "text/plain", (s"internal error: ${e.getMessage}\n").getBytes)
     } finally ex.close()
+  }
+
+  /** The route's limiter, per-user override first
+    * (`config.GetUserFindLimiter`/`GetQueryLimiter` keyed by the
+    * `X-Forwarded-User` header).
+    */
+  private def limiterFor(
+      ex: HttpExchange, route: Limits => Limiter.ServerLimiter): Limiter.ServerLimiter = {
+    val user = Option(ex.getRequestHeaders.getFirst("X-Forwarded-User")).getOrElse("")
+    cfg.limits.user.getOrElse(user, route(cfg.limits))
   }
 
   private def reply(
@@ -250,11 +277,15 @@ final class HttpApi(
     val from = q.first("from").map(s => TimeGrammar.parse(s, java.time.ZoneOffset.UTC, now)).getOrElse(0L)
     val until = q.first("until").map(s => TimeGrammar.parse(s, java.time.ZoneOffset.UTC, now)).getOrElse(0L)
 
-    def compute: Seq[(String, Boolean)] =
+    // reference quirk kept: find admits through the tags limiter
+    // (`find/handler.go:50-51`); cache hits bypass admission
+    val lim = limiterFor(ex, _.tags)
+    def compute: Seq[(String, Boolean)] = lim.withSlot(cfg.limits.waitMs) {
       Finder.find(index, query, from, until,
         wildcardMinDistance = cfg.wildcardMinDistance)
         .orderBy("path").collect().toSeq
         .map(r => (r.getString(0), r.getBoolean(1)))
+    }
 
     val (rows, hit, ttl) = cfg.findCache match {
       case Some(fc) if fc.findTimeoutSec > 0 && !truthy(q.first("noCache")) =>
@@ -314,9 +345,14 @@ final class HttpApi(
     // per target-set consolidateBy — the reference resolves filtering
     // functions PER TARGET (`render/data/targets.go:134-174`), so two
     // targets in one window with different consolidateBy render in
-    // separate function groups
+    // separate function groups.
+    // One render-limiter slot held across find+fetch, like the
+    // reference's per-target Enter around its fetch goroutine
+    // (`render/handler.go:181-199`); refusal → 503 via handle()'s
+    // StorageError mapping.
+    val renderLim = limiterFor(ex, _.render)
     val frames = requests.groupBy { case (_, f, u, m, _) => (f, u, m) }.toSeq.sortBy(_._1)
-    val allSeries = frames.flatMap { case ((from, until, mdp0), reqs) =>
+    val allSeries = renderLim.withSlot(cfg.limits.waitMs) { frames.flatMap { case ((from, until, mdp0), reqs) =>
       val mdp = if (mdp0 > 0) mdp0 else Request.DefaultMaxDataPoints
       val tf = TimeFrame(from, until, mdp)
       val versionMode =
@@ -362,7 +398,7 @@ final class HttpApi(
             now = now.getEpochSecond, consolidateBy = consolidate)
             .map(s => (s, from, until))
       }
-    }
+    } }
 
     if (anyCacheHit) ex.getResponseHeaders.set("X-Cached-Find", maxTtl.toString)
 
@@ -416,7 +452,8 @@ final class HttpApi(
     val limit = q.first("limit").flatMap(_.toIntOption).getOrElse(10000)
     val now = clock()
 
-    def compute: Seq[String] =
+    val lim = limiterFor(ex, _.tags)
+    def compute: Seq[String] = lim.withSlot(cfg.limits.waitMs) {
       if (names)
         Autocomplete.tagNamesComplete(tagsTable, exprs,
           tagPrefix = q.first("tagPrefix").getOrElse(""), limit = limit, flags = cfg.flags)
@@ -428,6 +465,7 @@ final class HttpApi(
           valuePrefix = q.first("valuePrefix").getOrElse(""), limit = limit,
           flags = cfg.flags).as[String].collect().toSeq
       }
+    }
 
     val (values, hit, ttl) = cfg.findCache match {
       case Some(fc) if fc.findTimeoutSec > 0 && !truthy(q.first("noCache")) =>

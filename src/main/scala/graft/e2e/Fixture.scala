@@ -4,7 +4,7 @@ import java.nio.file.{Files, Path, Paths}
 import java.time.{Duration, Instant, ZoneId}
 import scala.jdk.CollectionConverters._
 
-import graft.engine.Guards
+import graft.engine.{Guards, Limiter}
 import graft.model.FeatureFlags
 import graft.time.TimeGrammar
 
@@ -92,7 +92,32 @@ object Fixture {
       indexTimeoutSec: Long = 0L,
       dataTimeoutSec: Long = 0L,
       defaultLimits: Guards.ReadLimits = Guards.ReadLimits(),
-      queryParams: Seq[Guards.QueryParam] = Nil) {
+      queryParams: Seq[Guards.QueryParam] = Nil,
+      renderMaxQueries: Int = 0,
+      renderConcurrent: Int = 0,
+      renderAdaptive: Int = 0,
+      findMaxQueries: Int = 0,
+      findConcurrent: Int = 0,
+      findAdaptive: Int = 0,
+      tagsMaxQueries: Int = 0,
+      tagsConcurrent: Int = 0,
+      tagsAdaptive: Int = 0) {
+
+    /** The find/tags limiters (`config.go:749-757`, with the
+      * concurrent-above-max normalization of `config.go:739-745`) and
+      * the render default-band limiter (`config.go:625-631` — the
+      * reference prepends the default band WITHOUT that normalization).
+      */
+    def findLimiter(loadAvg: () => Double): Limiter.ServerLimiter =
+      Limiter(findMaxQueries,
+        Limiter.normalizedConcurrent(findMaxQueries, findConcurrent),
+        findAdaptive, loadAvg)
+    def tagsLimiter(loadAvg: () => Double): Limiter.ServerLimiter =
+      Limiter(tagsMaxQueries,
+        Limiter.normalizedConcurrent(tagsMaxQueries, tagsConcurrent),
+        tagsAdaptive, loadAvg)
+    def renderLimiter(loadAvg: () => Double): Limiter.ServerLimiter =
+      Limiter(renderMaxQueries, renderConcurrent, renderAdaptive, loadAvg)
 
     /** The runtime band list (`config.go:625-631`): default band from
       * the base url/data-timeout + the declared `query-params`.
@@ -259,6 +284,28 @@ object Fixture {
               c = c.copy(wildcardMinDistance = v.toInt)
             case ("clickhouse", "tags-min-in-query") | ("common", "tags-min-in-query") =>
               c = c.copy(tagsMinInQuery = v.toInt)
+            // limiter knobs (`config.go:216-228`). The templates/doc
+            // spell the concurrency cap both "-max-concurrent"
+            // (tests/limiter*, doc/config.md:115-119) and
+            // "-concurrent-queries" (the struct tags); accept both.
+            case ("clickhouse", "render-max-queries") =>
+              c = c.copy(renderMaxQueries = v.toInt)
+            case ("clickhouse", "render-max-concurrent") | ("clickhouse", "render-concurrent-queries") =>
+              c = c.copy(renderConcurrent = v.toInt)
+            case ("clickhouse", "render-adaptive-queries") =>
+              c = c.copy(renderAdaptive = v.toInt)
+            case ("clickhouse", "find-max-queries") =>
+              c = c.copy(findMaxQueries = v.toInt)
+            case ("clickhouse", "find-max-concurrent") | ("clickhouse", "find-concurrent-queries") =>
+              c = c.copy(findConcurrent = v.toInt)
+            case ("clickhouse", "find-adaptive-queries") =>
+              c = c.copy(findAdaptive = v.toInt)
+            case ("clickhouse", "tags-max-queries") =>
+              c = c.copy(tagsMaxQueries = v.toInt)
+            case ("clickhouse", "tags-max-concurrent") | ("clickhouse", "tags-concurrent-queries") =>
+              c = c.copy(tagsConcurrent = v.toInt)
+            case ("clickhouse", "tags-adaptive-queries") =>
+              c = c.copy(tagsAdaptive = v.toInt)
             case ("feature-flags", "use-carbon-behaviour") =>
               c = c.copy(flags = c.flags.copy(useCarbonBehavior = v == "true"))
             case ("feature-flags", "dont-match-missing-tags") =>

@@ -7,7 +7,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.compiler.Tagged
-import graft.engine.{Autocomplete, Finder, Guards, Render}
+import graft.engine.{Autocomplete, Finder, Guards, Limiter, Render}
 import graft.model.TimeFrame
 import graft.rollup.Rules
 import graft.streaming.Ingest
@@ -31,6 +31,12 @@ import Fixture._
   *     version resolution (`tests/agg_internal`).
   */
 object FixtureRunner {
+
+  /** The per-route limiter set of one config variant. */
+  final case class Limiters(
+      find: Limiter.ServerLimiter,
+      tags: Limiter.ServerLimiter,
+      render: Limiter.ServerLimiter)
 
   /** Rollup rules of the shared fixture storage schema
     * (`tests/clickhouse/rollup/rollup.xml`): default avg @ 10 s,
@@ -100,18 +106,34 @@ object FixtureRunner {
       */
     def run(conf: GchConfig): Seq[String] = {
       val cache = new graft.engine.FindCache.TtlCache[Any]()
+      // one limiter set per config variant, shared across its checks —
+      // the reference builds them once at config load
+      // (`config.go:749-768`). Load average pinned to 0 so the
+      // adaptive variants reserve nothing: the replay asserts RESULTS,
+      // not the host's current load (LimiterSpec covers reservation).
+      val lims = Limiters(
+        find = conf.findLimiter(() => 0.0),
+        tags = conf.tagsLimiter(() => 0.0),
+        render = conf.renderLimiter(() => 0.0))
       val errors = Seq.newBuilder[String]
       scenario.findChecks.zipWithIndex.foreach { case (c, i) =>
-        errors ++= runFind(conf, c, cache).map(e => s"[${scenario.dir}/${conf.label} find#$i ${c.query}] $e")
+        errors ++= runFind(conf, c, cache, lims).map(e => s"[${scenario.dir}/${conf.label} find#$i ${c.query}] $e")
       }
       scenario.tagsChecks.zipWithIndex.foreach { case (c, i) =>
-        errors ++= runTags(conf, c, cache).map(e => s"[${scenario.dir}/${conf.label} tags#$i ${c.query}] $e")
+        errors ++= runTags(conf, c, cache, lims).map(e => s"[${scenario.dir}/${conf.label} tags#$i ${c.query}] $e")
       }
       scenario.renderChecks.zipWithIndex.foreach { case (c, i) =>
-        errors ++= runRender(conf, c, cache).map(e => s"[${scenario.dir}/${conf.label} render#$i] $e")
+        errors ++= runRender(conf, c, cache, lims).map(e => s"[${scenario.dir}/${conf.label} render#$i] $e")
       }
       errors.result()
     }
+
+    /** Queue/concurrency admission waits up to the reference's Enter
+      * context deadline — the index timeout for all three routes
+      * (`find/handler.go:169-172`, `render/handler.go:156,181`).
+      */
+    private def limiterWaitMs(conf: GchConfig): Long =
+      if (conf.indexTimeoutSec > 0) conf.indexTimeoutSec * 1000L else 60000L
 
     private def nowSec: Long = now.getEpochSecond
 
@@ -161,18 +183,23 @@ object FixtureRunner {
     def runFind(
         conf: GchConfig,
         c: FindCheck,
-        cache: graft.engine.FindCache.TtlCache[Any]): Seq[String] = {
+        cache: graft.engine.FindCache.TtlCache[Any],
+        lims: Limiters = Limiters(Limiter.Noop, Limiter.Noop, Limiter.Noop)): Seq[String] = {
       val useCache = conf.findCache && conf.findCacheFindTimeout > 0
       val ttl = conf.findCacheFindTimeout
       val key = graft.engine.FindCache.findKey(c.query, nowSec, ttl)
       var cacheAsserts: Seq[String] = Nil
       val outcome: Either[String, Seq[FindExp]] =
         try {
-          def compute: Seq[FindExp] = staged(c.proxyDelayMs, conf.indexTimeoutSec) {
-            Finder.find(index, c.query, at(c.from), at(c.until),
-              wildcardMinDistance = conf.wildcardMinDistance)
-              .orderBy("path").collect().toSeq
-              .map(r => FindExp(r.getString(0), r.getBoolean(1)))
+          // limiter INSIDE compute: cache hits bypass admission, like
+          // the reference's cached-find path skipping Enter
+          def compute: Seq[FindExp] = lims.find.withSlot(limiterWaitMs(conf)) {
+            staged(c.proxyDelayMs, conf.indexTimeoutSec) {
+              Finder.find(index, c.query, at(c.from), at(c.until),
+                wildcardMinDistance = conf.wildcardMinDistance)
+                .orderBy("path").collect().toSeq
+                .map(r => FindExp(r.getString(0), r.getBoolean(1)))
+            }
           }
           val (result, hit) =
             if (useCache)
@@ -194,7 +221,8 @@ object FixtureRunner {
     def runTags(
         conf: GchConfig,
         c: TagsCheck,
-        cache: graft.engine.FindCache.TtlCache[Any]): Seq[String] = {
+        cache: graft.engine.FindCache.TtlCache[Any],
+        lims: Limiters = Limiters(Limiter.Noop, Limiter.Noop, Limiter.Noop)): Seq[String] = {
       val limit = if (c.limits > 0) c.limits.toInt else 10000
       val useCache = conf.findCache && conf.findCacheFindTimeout > 0
       val ttl = conf.findCacheFindTimeout
@@ -203,18 +231,20 @@ object FixtureRunner {
       var cacheAsserts: Seq[String] = Nil
       val outcome: Either[String, Seq[String]] =
         try {
-          def compute: Seq[String] = staged(c.proxyDelayMs, conf.indexTimeoutSec) {
-            if (c.names) {
-              val exprs = c.query.split(";").toList.filter(_.nonEmpty)
-              Autocomplete.tagNamesComplete(tagsTable, exprs, limit = limit,
-                flags = conf.flags)
-            } else {
-              // query = "<tag>;expr;expr…" (`helper/client/tags.go`)
-              val parts = c.query.split(";").toList
-              val exprs = parts.tail.filter(_.nonEmpty)
-              import spark.implicits._
-              Autocomplete.tagValues(tagsTable, parts.head, exprs,
-                limit = limit, flags = conf.flags).as[String].collect().toSeq
+          def compute: Seq[String] = lims.tags.withSlot(limiterWaitMs(conf)) {
+            staged(c.proxyDelayMs, conf.indexTimeoutSec) {
+              if (c.names) {
+                val exprs = c.query.split(";").toList.filter(_.nonEmpty)
+                Autocomplete.tagNamesComplete(tagsTable, exprs, limit = limit,
+                  flags = conf.flags)
+              } else {
+                // query = "<tag>;expr;expr…" (`helper/client/tags.go`)
+                val parts = c.query.split(";").toList
+                val exprs = parts.tail.filter(_.nonEmpty)
+                import spark.implicits._
+                Autocomplete.tagValues(tagsTable, parts.head, exprs,
+                  limit = limit, flags = conf.flags).as[String].collect().toSeq
+              }
             }
           }
           val (result, hit) =
@@ -237,7 +267,8 @@ object FixtureRunner {
     def runRender(
         conf: GchConfig,
         c: RenderCheck,
-        cache: graft.engine.FindCache.TtlCache[Any]): Seq[String] = {
+        cache: graft.engine.FindCache.TtlCache[Any],
+        lims: Limiters = Limiters(Limiter.Noop, Limiter.Noop, Limiter.Noop)): Seq[String] = {
       val from = graft.time.TimeGrammar.timestampTruncate(at(c.from), precision)
       val until = graft.time.TimeGrammar.timestampTruncate(at(c.until), precision)
       val mdp = if (c.maxDataPoints > 0) c.maxDataPoints else 1048576L
@@ -251,7 +282,7 @@ object FixtureRunner {
       var cacheAsserts: Seq[String] = Nil
 
       val outcome: Either[String, Seq[graft.sinks.Series]] =
-        try {
+        try lims.render.withSlot(limiterWaitMs(conf)) {
           // find per target: plain globs hit the index; seriesByTag the
           // tags table; display names decode the storage form. Only the
           // FIND result is cacheable — points always render fresh

@@ -199,6 +199,48 @@ class HttpApiSpec extends AnyFunSuite {
     assert(get("/api/v1/series?match[]=%7Bunclosed").statusCode() == 400)
   }
 
+  test("limiter saturation surfaces as 503; per-user override applies") {
+    import graft.engine.Limiter
+    // queue cap 1 + concurrency 1: while the slot is held, further
+    // requests overflow IMMEDIATELY (no queueing) → 503 with the
+    // reference's wording (`limiter/interface.go:11`, clickhouse.go:105)
+    val renderLim = Limiter(maxQueries = 1, concurrent = 1)
+    val aliceLim = Limiter(maxQueries = 1, concurrent = 1)
+    val limited = new HttpApi(
+      spark, tablesDir,
+      HttpApi.Config(rules = rules,
+        limits = HttpApi.Limits(
+          render = renderLim,
+          user = Map("alice" -> aliceLim),
+          waitMs = 100L)),
+      clock = () => now).start()
+    try {
+      def render(user: Option[String]): HttpResponse[Array[Byte]] = {
+        val b = HttpRequest.newBuilder(URI.create(
+          limited.address + s"/render/?target=test.plain1&from=${rnow - 60}&until=$rnow&format=json"))
+        user.foreach(u => b.header("X-Forwarded-User", u))
+        client.send(b.GET().build(), HttpResponse.BodyHandlers.ofByteArray())
+      }
+      assert(render(None).statusCode() == 200)
+      renderLim.enter(100) // saturate the global render limiter
+      try {
+        val refused = render(None)
+        assert(refused.statusCode() == 503)
+        assert(new String(refused.body()).trim == Limiter.OverflowMessage)
+        // alice has her own limiter: unaffected by the global one
+        assert(render(Some("alice")).statusCode() == 200)
+        aliceLim.enter(100)
+        try {
+          val auser = render(Some("alice"))
+          assert(auser.statusCode() == 503)
+          assert(new String(auser.body()).trim == Limiter.OverflowMessage)
+        } finally aliceLim.leave()
+      } finally renderLim.leave()
+      // released: admitted again
+      assert(render(None).statusCode() == 200)
+    } finally limited.stop()
+  }
+
   test("unknown route is 404") {
     assert(get("/nope").statusCode() == 404)
   }

@@ -59,4 +59,26 @@ class FixtureSpec extends AnyFunSuite {
     assert(Guards.select(bands, 2L * 3600L) == bands(1))
     assert(Guards.select(bands, 8L * 3600L) == bands(2))
   }
+
+  test("limiter knobs parse in both spellings (tests/limiterwn, doc/config.md)") {
+    val c = Fixture.parseConfTpl("tpl",
+      """[clickhouse]
+        |url = "{{ .CLICKHOUSE_URL }}/?readonly=2"
+        |render-max-queries = 100
+        |render-max-concurrent = 6
+        |render-adaptive-queries = 2
+        |find-max-queries = 50
+        |find-concurrent-queries = 4
+        |tags-max-queries = 50
+        |tags-max-concurrent = 4
+        |""".stripMargin)
+    assert(c.renderMaxQueries == 100 && c.renderConcurrent == 6 && c.renderAdaptive == 2)
+    assert(c.findMaxQueries == 50 && c.findConcurrent == 4 && c.findAdaptive == 0)
+    assert(c.tagsMaxQueries == 50 && c.tagsConcurrent == 4)
+    assert(c.findLimiter(() => 0.0).enabled)
+    assert(c.renderLimiter(() => 0.0).enabled)
+    // no knobs → Noop
+    val none = Fixture.parseConfTpl("tpl", "[clickhouse]\nurl = \"x\"\n")
+    assert(!none.findLimiter(() => 0.0).enabled)
+  }
 }

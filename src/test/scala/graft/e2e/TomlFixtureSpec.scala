@@ -14,9 +14,12 @@ import graft.SparkTestBase
   * the engine-agnostic behavioral spec SURVEY §5 names primary
   * (`cmd/e2e-test/e2etesting.go` is the reference runner).
   *
-  * Excluded dirs: `limiter*`/`tls`/`error_handling` (ops-level:
-  * concurrency limits, TLS wiring, proxy fault injection) and
-  * `clickhouse` (storage bootstrap, not a scenario).
+  * Excluded dirs: `tls` (TLS wiring is JVM keystore config, not
+  * engine behavior) and `clickhouse` (storage bootstrap, not a
+  * scenario). The `limiter{a,max,w,wn}` dirs replay with their
+  * admission limiters built and engaged per check
+  * ([[FixtureRunner.Limiters]]); saturation refusals themselves are
+  * covered deterministically by `LimiterSpec`.
   */
 class TomlFixtureSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
@@ -45,6 +48,10 @@ class TomlFixtureSpec extends AnyFunSuite {
     "wildcard_min_distance",
     "tags_min_in_query",
     "find_cache",
+    "limitera",
+    "limitermax",
+    "limiterw",
+    "limiterwn",
     // last: its 1 s index/data timeouts assume a warm session (the
     // reference harness likewise runs it against a long-lived server)
     "error_handling")
