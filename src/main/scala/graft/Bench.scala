@@ -6,6 +6,13 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR and prints one JSON line with per-query wall
   * times. A query that throws is reported in an `errors` map (and
   * counted) instead of being silently timed as if it ran.
+  *
+  * Each query is executed twice and the MIN is reported: recorded
+  * rounds 4/5 carried 3-8x phantom regressions from one-shot cold
+  * timings under a noisy host (GC pause, page cache eviction, a
+  * co-tenant burst) that vanished on re-run. min-of-2 measures the
+  * plan, not the weather; the single-pass wall time is still
+  * reported per query under `cold` for cache-sensitivity reading.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -32,12 +39,18 @@ object Bench {
     } catch { case _: Throwable => }
 
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val coldTimings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
+      def once(): Double = {
+        val t0 = System.nanoTime()
         fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        timings(name) = (System.nanoTime() - t0) / 1e9
+        (System.nanoTime() - t0) / 1e9
+      }
+      try {
+        val first = once()
+        coldTimings(name) = first
+        timings(name) = math.min(first, once())
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
@@ -52,10 +65,11 @@ object Bench {
       case c => c.toString
     } + "\""
     val qs = timings.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val cs = coldTimings.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = timings.values.sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$cs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -649,6 +649,32 @@ object SparkEntry {
       graft.prom.Prom.labelRows(
         GraphiteTables.tags(s, dir).select("path").distinct())),
 
+    // /api/v1/query_range PromQL subset: instant selector (most recent
+    // sample per grid point within the lookback) and a range function,
+    // over the tagged points. Slot-explode + one hash agg — no range
+    // join (PLAN_NOTES round 6). The testdata event stream is sparse
+    // (~3 clicks/series/week), so the grid is month-long with 6 h
+    // steps and a 1 d lookback/window for meaningful row coverage.
+    "p_query_range" -> ((s, dir) =>
+      graft.prom.PromQL.evalMatrix(
+        GraphiteTables.pointsTagged(s, dir),
+        GraphiteTables.tags(s, dir),
+        graft.prom.PromQL.Selector(Seq(("__name__", "=", "events"), ("type", "=", "click"))),
+        start = WFrom, end = WFrom + 30L * 86400L, step0 = 21600L,
+        lookbackSec = 86400L)),
+
+    "p_query_range_avg" -> ((s, dir) =>
+      graft.prom.PromQL.evalMatrix(
+        GraphiteTables.pointsTagged(s, dir),
+        GraphiteTables.tags(s, dir),
+        graft.prom.PromQL.RangeFn("avg_over_time",
+          graft.prom.PromQL.Selector(Seq(("__name__", "=", "events"), ("type", "=", "click"))),
+          rangeSec = 86400L),
+        start = WFrom, end = WFrom + 30L * 86400L, step0 = 21600L)
+        // fp-order-proof the oracle hash compare, like the other
+        // floating aggregates
+        .withColumn("value", round(col("value"), 6))),
+
     // ----------------------------------------------------------------
     // LLM track: multimodal plumbing (binary payload, batch decode stub)
     // ----------------------------------------------------------------
@@ -1176,6 +1202,32 @@ object SparkEntry {
         ("""WITH series AS (SELECT DISTINCT 'events?type=' || event_type || '&user=' || user_id AS path, event_type, user_id FROM events)
           |SELECT path, unnest(['__name__', 'type', 'user']) AS name,
           |  unnest(['events', event_type::varchar, user_id::varchar]) AS value FROM series""".stripMargin),
+
+      "p_query_range" ->
+        (s"""WITH dedup AS (
+           |  SELECT 'events?type=click&user=' || user_id AS path,
+           |         epoch_us(ts)//1000000 AS time,
+           |         arg_max(value, event_id) AS value
+           |  FROM events WHERE event_type = 'click'
+           |  GROUP BY 1, 2),
+           |grid AS (SELECT $WFrom + 21600*n AS t FROM generate_series(0, 120) g(n)),
+           |win AS (
+           |  SELECT d.path, g.t, d.value, d.time FROM dedup d
+           |  JOIN grid g ON d.time <= g.t AND d.time > g.t - 86400)
+           |SELECT path, t, arg_max(value, time) AS value FROM win GROUP BY 1, 2""".stripMargin),
+
+      "p_query_range_avg" ->
+        (s"""WITH dedup AS (
+           |  SELECT 'events?type=click&user=' || user_id AS path,
+           |         epoch_us(ts)//1000000 AS time,
+           |         arg_max(value, event_id) AS value
+           |  FROM events WHERE event_type = 'click'
+           |  GROUP BY 1, 2),
+           |grid AS (SELECT $WFrom + 21600*n AS t FROM generate_series(0, 120) g(n)),
+           |win AS (
+           |  SELECT d.path, g.t, d.value FROM dedup d
+           |  JOIN grid g ON d.time <= g.t AND d.time > g.t - 86400)
+           |SELECT path, t, round(avg(value), 6) AS value FROM win GROUP BY 1, 2""".stripMargin),
 
       "m_features" ->
         ("""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,

@@ -216,6 +216,7 @@ final class HttpApi(
         case p if p.startsWith("/api/v1/label/") && p.endsWith("/values") =>
           promLabelValues(ex, p.stripPrefix("/api/v1/label/").stripSuffix("/values"))
         case "/api/v1/series"                    => promSeries(ex)
+        case "/api/v1/query_range"               => promQueryRange(ex)
         case "/alive" =>
           reply(ex, 200, "text/plain", "Graphite-clickhouse is alive.\n".getBytes)
         case "/health" => reply(ex, 200, "text/plain", "Ok\n".getBytes)
@@ -563,6 +564,44 @@ final class HttpApi(
       .collect().map(_.getString(0)).sorted
     reply(ex, 200, "application/json",
       promJson(values.map(jstr).mkString("[", ",", "]")))
+  }
+
+  /** `/api/v1/query_range` over the [[graft.prom.PromQL]] subset
+    * evaluator: instant selector plus rate, increase, and the
+    * `_over_time` family, on the Prometheus matrix JSON envelope.
+    * Runs under the tags limiter like the other Prometheus label
+    * routes.
+    */
+  private def promQueryRange(ex: HttpExchange): Unit = promRoute(ex) {
+    val q = formParams(ex, readBody(ex))
+    val query = q.first("query").getOrElse(
+      throw new IllegalArgumentException("query is not set"))
+    def ts(key: String): Long = q.first(key) match {
+      case Some(v) =>
+        v.toDoubleOption.map(_.toLong).getOrElse(
+          try java.time.Instant.parse(v).getEpochSecond
+          catch { case _: java.time.format.DateTimeParseException =>
+            throw new IllegalArgumentException(s"bad $key: '$v'") })
+      case None => throw new IllegalArgumentException(s"$key is not set")
+    }
+    val start = ts("start")
+    val end = ts("end")
+    if (end < start) throw new IllegalArgumentException("end < start")
+    val step = q.first("step") match {
+      case None => 60L
+      case Some(s) => s.toDoubleOption.map(v => math.max(1L, v.toLong)).getOrElse(
+        graft.prom.PromQL.durationSec(s).fold(
+          e => throw new IllegalArgumentException(e), identity))
+    }
+    val expr = graft.prom.PromQL.parse(query).fold(
+      e => throw new IllegalArgumentException(e), identity)
+    val lim = limiterFor(ex, _.tags)
+    val rows = lim.withSlot(cfg.limits.waitMs) {
+      graft.prom.PromQL.evalMatrix(points, tagsTable, expr, start, end, step)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    }
+    reply(ex, 200, "application/json",
+      graft.prom.PromQL.matrixJson(rows, jstr).getBytes)
   }
 
   private def promSeries(ex: HttpExchange): Unit = promRoute(ex) {

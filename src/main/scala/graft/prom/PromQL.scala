@@ -1,0 +1,223 @@
+package graft.prom
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Minimal PromQL subset for `/api/v1/query_range` — enough for a
+  * Prometheus UI smoke over the Graphite-tagged storage: an instant
+  * vector selector, plus `rate`/`increase`/`*_over_time` over a range
+  * selector. The reference serves full PromQL by importing the stock
+  * upstream engine (`prometheus/run.go:28-83`); this evaluator covers
+  * the selector/rate subset natively instead, on the same
+  * matcher→tagged-term seam (`prometheus/querier_select.go:95-147`).
+  *
+  * Declared divergence: `rate`/`increase` use the classic
+  * first-to-last-sample form with counter-reset correction, WITHOUT
+  * Prometheus's boundary extrapolation (extrapolatedRate) — documented
+  * here because the value at window edges can differ by a fraction of
+  * one scrape interval.
+  *
+  * Evaluation is one distributed pass, scale-shaped for wide fleets:
+  * each sample is exploded onto the [t₀+n·step] eval slots it can
+  * serve (bounded by window/step slots per sample), then ONE hash
+  * aggregate per (series, slot) computes the vector — no range join,
+  * no per-series driver loop, no full-window sort except inside
+  * `rate`'s bounded per-slot sample list.
+  */
+object PromQL {
+
+  /** Prometheus's default instant-vector staleness lookback (5 m). */
+  val LookbackSec: Long = 300L
+
+  sealed trait Expr { def matchers: Seq[(String, String, String)] }
+
+  /** `metric{k="v"}` — instant vector, evaluated per grid point as
+    * the most recent sample within the lookback window.
+    */
+  final case class Selector(matchers: Seq[(String, String, String)]) extends Expr
+
+  /** `fn(metric{…}[range])` for fn ∈ rate | increase | avg_over_time |
+    * sum_over_time | min_over_time | max_over_time | count_over_time |
+    * last_over_time.
+    */
+  final case class RangeFn(
+      fn: String,
+      sel: Selector,
+      rangeSec: Long) extends Expr {
+    def matchers: Seq[(String, String, String)] = sel.matchers
+  }
+
+  val rangeFns: Set[String] = Set(
+    "rate", "increase", "avg_over_time", "sum_over_time", "min_over_time",
+    "max_over_time", "count_over_time", "last_over_time")
+
+  /** `"5m"`/`"90s"`/`"1h"` (single unit, like the common UI forms) →
+    * seconds.
+    */
+  def durationSec(s: String): Either[String, Long] = {
+    val m = "^([0-9]+)(ms|s|m|h|d|w|y)$".r
+    s.trim match {
+      case m(n, unit) =>
+        val mult = unit match {
+          case "ms" => return Right(math.max(1L, n.toLong / 1000))
+          case "s" => 1L; case "m" => 60L; case "h" => 3600L
+          case "d" => 86400L; case "w" => 604800L; case "y" => 31536000L
+        }
+        Right(n.toLong * mult)
+      case other => Left(s"bad duration: '$other'")
+    }
+  }
+
+  /** Parse the subset: `fn(selector[dur])` or a bare selector. */
+  def parse(q0: String): Either[String, Expr] = {
+    val q = q0.trim
+    val fnMatch = "^([a-z_]+)\\((.*)\\)$".r
+    q match {
+      case fnMatch(fn, inner0) =>
+        if (!rangeFns(fn)) return Left(s"unsupported function: $fn")
+        val inner = inner0.trim
+        if (!inner.endsWith("]")) return Left(s"$fn expects a range selector, got '$inner'")
+        val brk = inner.lastIndexOf('[')
+        if (brk < 0) return Left(s"$fn expects a range selector, got '$inner'")
+        for {
+          d <- durationSec(inner.substring(brk + 1, inner.length - 1))
+          sel <- Prom.parseSelector(inner.substring(0, brk))
+        } yield RangeFn(fn, Selector(sel), d)
+      case _ =>
+        Prom.parseSelector(q).map(Selector(_))
+    }
+  }
+
+  /** Evaluate `expr` on the grid `start, start+step, …, ≤ end`.
+    * Returns (path, t, value) matrix rows; `tags` is the tagged-series
+    * relation the matchers select paths from, `points` the raw
+    * (path, time, value) samples.
+    */
+  def evalMatrix(
+      points: DataFrame,
+      tags: DataFrame,
+      expr: Expr,
+      start: Long,
+      end: Long,
+      step0: Long,
+      lookbackSec: Long = LookbackSec): DataFrame = {
+    require(end >= start, "end < start")
+    val step = math.max(1L, step0)
+    val lastSlot = (end - start) / step
+
+    val win = expr match {
+      case _: Selector      => lookbackSec
+      case RangeFn(_, _, d) => d
+    }
+
+    // the matched series set is find-result-sized — broadcast it so
+    // the sample scan needs no shuffle for the semi-join
+    val paths = Prom.findByMatchers(tags, expr.matchers)
+    val scanned = points
+      .join(broadcast(paths), Seq("path"), "left_semi")
+      .where(col("time") > lit(start - win) && col("time") <= lit(end))
+    // duplicate write versions resolve max-version-wins before any
+    // window math, like the render path's Uniq dedup
+    // (`helper/point/func.go:29-51`)
+    val pts =
+      if (scanned.columns.contains("version"))
+        scanned.groupBy("path", "time")
+          .agg(max_by(col("value"), col("version")).as("value"))
+      else scanned.select("path", "time", "value")
+
+    // slot range a sample at time s can serve: t = start + n·step with
+    // s ≤ t  and  t < s + win  (Prometheus takes samples from
+    // (t-win, t]). Integer bounds, clamped to the grid; `sequence`
+    // would count DOWN for empty ranges, so filter first.
+    val offs = col("time") - lit(start)
+    val nMin = greatest(lit(0L), floor((offs + lit(step - 1)) / lit(step)).cast("long"))
+    val nMax = least(lit(lastSlot), floor((offs + lit(win - 1)) / lit(step)).cast("long"))
+    val slotted = pts
+      .withColumn("n_min", nMin).withColumn("n_max", nMax)
+      .where(col("n_min") <= col("n_max"))
+      .select(col("path"), col("time"), col("value"),
+        explode(sequence(col("n_min"), col("n_max"))).as("n"))
+
+    val t = (lit(start) + col("n") * lit(step)).as("t")
+    expr match {
+      case _: Selector =>
+        // most recent sample in the window — one hash aggregate
+        slotted.groupBy(col("path"), col("n"))
+          .agg(max_by(col("value"), col("time")).as("value"))
+          .select(col("path"), t, col("value"))
+
+      case RangeFn(fn, _, _) =>
+        val g = slotted.groupBy(col("path"), col("n"))
+        val out = fn match {
+          case "avg_over_time"   => g.agg(avg("value").as("value"))
+          case "sum_over_time"   => g.agg(sum("value").as("value"))
+          case "min_over_time"   => g.agg(min("value").as("value"))
+          case "max_over_time"   => g.agg(max("value").as("value"))
+          case "count_over_time" => g.agg(count(lit(1)).cast("double").as("value"))
+          case "last_over_time"  => g.agg(max_by(col("value"), col("time")).as("value"))
+          case "rate" | "increase" =>
+            // per-slot sample list is bounded by window/scrape-interval
+            // — sorting it is cheap and stays inside the aggregate
+            val sorted = array_sort(collect_list(struct(col("time"), col("value"))))
+            g.agg(sorted.as("s"), count(lit(1)).as("cnt"))
+              .where(col("cnt") >= 2)
+              .withColumn("first", element_at(col("s"), 1))
+              .withColumn("last", element_at(col("s"), -1))
+              // counter resets: every time a sample drops below its
+              // predecessor, the predecessor's value is added back
+              .withColumn("resets",
+                aggregate(
+                  zip_with(
+                    slice(col("s"), lit(1), size(col("s")) - 1),
+                    slice(col("s"), lit(2), size(col("s")) - 1),
+                    (a, b) => when(b("value") < a("value"), a("value")).otherwise(lit(0.0))),
+                  lit(0.0), (acc, x) => acc + x))
+              .withColumn("increase",
+                col("last")("value") - col("first")("value") + col("resets"))
+              .withColumn("value",
+                if (fn == "rate")
+                  col("increase") / (col("last")("time") - col("first")("time"))
+                else col("increase"))
+          case other => throw new IllegalArgumentException(s"unsupported function $other")
+        }
+        out.select(col("path"), t, col("value"))
+    }
+  }
+
+  /** Driver-side label decode of a storage path (`name?k=v&…`) for
+    * response assembly — the scalar twin of [[Prom.labels]].
+    */
+  def labelsOf(path: String): Seq[(String, String)] = {
+    val q = path.indexOf('?')
+    if (q < 0) Seq("__name__" -> path)
+    else {
+      val kvs = path.substring(q + 1).split("&").toSeq.map { kv =>
+        val eq = kv.indexOf('=')
+        if (eq < 0) kv -> "" else kv.substring(0, eq) -> kv.substring(eq + 1)
+      }
+      (("__name__" -> path.substring(0, q)) +: kvs).sortBy(_._1)
+    }
+  }
+
+  /** Prometheus's shortest-form sample value formatting. */
+  def fmtValue(v: Double): String =
+    if (v.isNaN) "NaN"
+    else if (v.isPosInfinity) "+Inf"
+    else if (v.isNegInfinity) "-Inf"
+    else if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString
+    else v.toString
+
+  /** `(path, t, value)` matrix rows → the `/api/v1/query_range` JSON
+    * envelope (`{"status":"success","data":{"resultType":"matrix",…}}`).
+    */
+  def matrixJson(rows: Seq[(String, Long, Double)], jstr: String => String): String = {
+    val series = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (path, rs) =>
+      val metric = labelsOf(path)
+        .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+      val values = rs.sortBy(_._2)
+        .map { case (_, t, v) => s"[$t,${jstr(fmtValue(v))}]" }.mkString("[", ",", "]")
+      s"""{"metric":$metric,"values":$values}"""
+    }
+    s"""{"status":"success","data":{"resultType":"matrix","result":${series.mkString("[", ",", "]")}}}"""
+  }
+}

@@ -199,6 +199,34 @@ class HttpApiSpec extends AnyFunSuite {
     assert(get("/api/v1/series?match[]=%7Bunclosed").statusCode() == 400)
   }
 
+  test("/api/v1/query_range: selector, avg_over_time, rate") {
+    // metric1 samples: 2.0, 2.5, 2.0, 3.0 at rnow-30 … rnow step 10
+    def qr(query: String, start: Long, end: Long, step: Long): String = {
+      val enc = java.net.URLEncoder.encode(query, "UTF-8")
+      val r = get(s"/api/v1/query_range?query=$enc&start=$start&end=$end&step=$step")
+      assert(r.statusCode() == 200, new String(r.body()))
+      new String(r.body())
+    }
+    // instant selector: latest sample at each grid point
+    assert(qr("""metric1{tag1="value1"}""", rnow - 30, rnow, 10) ==
+      """{"status":"success","data":{"resultType":"matrix","result":[""" +
+      """{"metric":{"__name__":"metric1","tag1":"value1","tag2":"value21","tag3":"value3"},""" +
+      s""""values":[[${rnow - 30},"2"],[${rnow - 20},"2.5"],[${rnow - 10},"2"],[$rnow,"3"]]}]}}""")
+    // staleness: a grid point past the last sample (within 5m lookback)
+    // repeats the last value
+    assert(qr("metric1", rnow + 60, rnow + 60, 60).contains(s"""[[${rnow + 60},"3"]]"""))
+    // avg_over_time over a 20s window
+    assert(qr("avg_over_time(metric1[20s])", rnow - 30, rnow, 10).contains(
+      s""""values":[[${rnow - 30},"2"],[${rnow - 20},"2.25"],[${rnow - 10},"2.25"],[$rnow,"2.5"]]"""))
+    // rate with one counter reset: (3.0 - 2.5 + 2.5) / 20s = 0.15
+    assert(qr("rate(metric1[30s])", rnow, rnow, 30).contains(
+      s""""values":[[$rnow,"0.15"]]"""))
+    // bad query → Prometheus error envelope
+    val bad = get("/api/v1/query_range?query=rate(m)&start=0&end=1&step=1")
+    assert(bad.statusCode() == 400)
+    assert(new String(bad.body()).startsWith("""{"status":"error""""))
+  }
+
   test("limiter saturation surfaces as 503; per-user override applies") {
     import graft.engine.Limiter
     // queue cap 1 + concurrency 1: while the slot is held, further

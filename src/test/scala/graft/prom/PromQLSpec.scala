@@ -1,0 +1,48 @@
+package graft.prom
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Parser/formatter kernels of the `/api/v1/query_range` subset
+  * (evaluation itself is exercised over HTTP in `HttpApiSpec`).
+  */
+class PromQLSpec extends AnyFunSuite {
+
+  test("durations") {
+    assert(PromQL.durationSec("5m") == Right(300L))
+    assert(PromQL.durationSec("90s") == Right(90L))
+    assert(PromQL.durationSec("1h") == Right(3600L))
+    assert(PromQL.durationSec("2d") == Right(172800L))
+    assert(PromQL.durationSec("1500ms") == Right(1L))
+    assert(PromQL.durationSec("5x").isLeft)
+    assert(PromQL.durationSec("").isLeft)
+  }
+
+  test("parse: bare selector, with matchers, range functions") {
+    assert(PromQL.parse("metric1") ==
+      Right(PromQL.Selector(Seq(("__name__", "=", "metric1")))))
+    assert(PromQL.parse("""metric1{tag1="value1"}""") ==
+      Right(PromQL.Selector(Seq(("__name__", "=", "metric1"), ("tag1", "=", "value1")))))
+    assert(PromQL.parse("""rate(metric1{a=~"b.*"}[5m])""") ==
+      Right(PromQL.RangeFn("rate",
+        PromQL.Selector(Seq(("__name__", "=", "metric1"), ("a", "=~", "b.*"))), 300L)))
+    assert(PromQL.parse("avg_over_time(m[90s])") ==
+      Right(PromQL.RangeFn("avg_over_time",
+        PromQL.Selector(Seq(("__name__", "=", "m"))), 90L)))
+    assert(PromQL.parse("rate(m)").isLeft) // missing range
+    assert(PromQL.parse("not_a_fn(m[5m])").isLeft) // unknown fn → selector parse fails
+  }
+
+  test("labelsOf decodes the storage path into sorted labels") {
+    assert(PromQL.labelsOf("metric1?tag1=value1&tag2=v2") ==
+      Seq("__name__" -> "metric1", "tag1" -> "value1", "tag2" -> "v2"))
+    assert(PromQL.labelsOf("plain.name") == Seq("__name__" -> "plain.name"))
+  }
+
+  test("fmtValue matches Prometheus short forms") {
+    assert(PromQL.fmtValue(2.0) == "2")
+    assert(PromQL.fmtValue(2.5) == "2.5")
+    assert(PromQL.fmtValue(0.15) == "0.15")
+    assert(PromQL.fmtValue(Double.NaN) == "NaN")
+    assert(PromQL.fmtValue(Double.PositiveInfinity) == "+Inf")
+  }
+}
