@@ -634,6 +634,19 @@ object SparkEntry {
       Similarity.ivfAssign(vecs, centroids)
     }),
 
+    // IVF-Flat search: probe the 2 nearest of 8 cells per query, score
+    // cosine inside the probed cells only (one equi-join on the cell
+    // key — the FAISS-style serve path over the ivfAssign index).
+    "e_ivf_search" -> ((s, dir) => {
+      val vecs = s.read.parquet(s"$dir/embeddings.parquet")
+      val centroids = vecs.where(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+      Similarity.ivfSearch(vecs, centroids, vecs.where(col("vec_id") < 5),
+          k = 5, nprobe = 2)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("sim"))
+    }),
+
     "e_neardup" -> ((s, dir) =>
       Similarity.embeddingNearDups(
         s.read.parquet(s"$dir/embeddings.parquet"), threshold = 0.3, bits = 8)),
@@ -673,6 +686,20 @@ object SparkEntry {
         start = WFrom, end = WFrom + 30L * 86400L, step0 = 21600L)
         // fp-order-proof the oracle hash compare, like the other
         // floating aggregates
+        .withColumn("value", round(col("value"), 6))),
+
+    // `sum by (type) (events)` — the PromQL aggregation operator: the
+    // per-series instant vector re-keyed to its `type` label and
+    // summed per grid slot (one extra hash aggregate, name dropped
+    // from the output series like Prometheus).
+    "p_query_range_sum_by" -> ((s, dir) =>
+      graft.prom.PromQL.evalMatrix(
+        GraphiteTables.pointsTagged(s, dir),
+        GraphiteTables.tags(s, dir),
+        graft.prom.PromQL.parse("sum by (type) (events)")
+          .fold(e => throw new IllegalArgumentException(e), identity),
+        start = WFrom, end = WFrom + 30L * 86400L, step0 = 21600L,
+        lookbackSec = 86400L)
         .withColumn("value", round(col("value"), 6))),
 
     // ----------------------------------------------------------------
@@ -1174,6 +1201,29 @@ object SparkEntry {
            |   row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id ASC) AS rank FROM scored)
            |SELECT vec_id, centroid_id, round(sim, 4) + 0 AS sim FROM ranked WHERE rank = 1""".stripMargin),
 
+      "e_ivf_search" ->
+        (s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cent FROM embeddings WHERE vec_id < 8),
+           | cscored AS (SELECT a.vec_id, c.centroid_id,
+           |   list_sum(list_transform(generate_series(1, len(a.embedding)), i -> a.embedding[i]::double * c.cent[i]::double)) /
+           |   (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)), i -> a.embedding[i]::double * a.embedding[i]::double))) *
+           |    sqrt(list_sum(list_transform(generate_series(1, len(c.cent)), i -> c.cent[i]::double * c.cent[i]::double)))) AS sim
+           |   FROM embeddings a, cents c),
+           | assign AS (SELECT vec_id AS neighbor_id, centroid_id FROM (
+           |   SELECT vec_id, centroid_id, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id ASC) AS rank FROM cscored) r
+           |   WHERE rank = 1),
+           | probes AS (SELECT vec_id AS query_id, centroid_id FROM (
+           |   SELECT vec_id, centroid_id, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id ASC) AS rank FROM cscored WHERE vec_id < 5) r
+           |   WHERE rank <= 2),
+           | cand AS (SELECT p.query_id, s.neighbor_id FROM probes p
+           |   JOIN assign s ON s.centroid_id = p.centroid_id AND p.query_id <> s.neighbor_id),
+           | scored AS (SELECT c.query_id, c.neighbor_id, $cosine AS sim
+           |   FROM cand c JOIN embeddings a ON a.vec_id = c.query_id
+           |   JOIN embeddings b ON b.vec_id = c.neighbor_id),
+           | ranked AS (SELECT query_id, neighbor_id, sim,
+           |   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored)
+           |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(sim, 4) + 0 AS sim
+           |FROM ranked WHERE rank <= 5""".stripMargin),
+
       "e_neardup" ->
         (s"""WITH keyed AS (SELECT vec_id, embedding,
            |   list_sum(list_transform(generate_series(1, 8), i -> CASE WHEN embedding[i] >= 0 THEN CAST(1 AS BIGINT) << (i-1) ELSE 0 END)) AS bucket
@@ -1228,6 +1278,23 @@ object SparkEntry {
            |  SELECT d.path, g.t, d.value FROM dedup d
            |  JOIN grid g ON d.time <= g.t AND d.time > g.t - 86400)
            |SELECT path, t, round(avg(value), 6) AS value FROM win GROUP BY 1, 2""".stripMargin),
+
+      "p_query_range_sum_by" ->
+        (s"""WITH dedup AS (
+           |  SELECT 'events?type=' || event_type || '&user=' || user_id AS path,
+           |         event_type,
+           |         epoch_us(ts)//1000000 AS time,
+           |         arg_max(value, event_id) AS value
+           |  FROM events
+           |  GROUP BY 1, 2, 3),
+           |grid AS (SELECT $WFrom + 21600*n AS t FROM generate_series(0, 120) g(n)),
+           |win AS (
+           |  SELECT d.path, d.event_type, g.t, d.value, d.time FROM dedup d
+           |  JOIN grid g ON d.time <= g.t AND d.time > g.t - 86400),
+           |inst AS (SELECT path, event_type, t, arg_max(value, time) AS value
+           |  FROM win GROUP BY 1, 2, 3)
+           |SELECT '?type=' || event_type AS path, t, round(sum(value), 6) AS value
+           |FROM inst GROUP BY 1, 2""".stripMargin),
 
       "m_features" ->
         ("""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,

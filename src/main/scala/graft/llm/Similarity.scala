@@ -301,4 +301,58 @@ object Similarity {
       .where(col("rank") === 1)
       .select(col("id").as(idCol), col("centroid_id"), round(col("sim"), 4).as("sim"))
   }
+
+  /** IVF top-k search — the query path the [[ivfAssign]]/[[kmeans]]
+    * index exists for. Every stored vector lives in exactly one cell
+    * (its nearest centroid); a query probes its `nprobe` nearest cells
+    * and scores cosine against only the vectors inside them.
+    *
+    * Execution shape at 100 TB: both nearest-centroid passes are
+    * broadcast joins (the centroid table is tiny by construction), the
+    * probe list is `queries × nprobe` rows, and candidate generation is
+    * ONE equi-join on `centroid_id` — the big vector relation shuffles
+    * on its cell key once and no cross-cell pair is ever materialized.
+    * Recall is tunable with `nprobe` exactly like FAISS-style IVF-Flat;
+    * the brute-force path ([[bruteKnn]]) stays the exactness baseline.
+    */
+  /** `broadcastProbes`: request-sized query sets (the serving path)
+    * broadcast their probe list so the corpus join is shuffle-free on
+    * the query side; set false for corpus-scale batch query sets,
+    * which should shuffle on `centroid_id` like the stored side.
+    */
+  def ivfSearch(
+      vectors: DataFrame,
+      centroids: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nprobe: Int = 1,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      broadcastProbes: Boolean = true): DataFrame = {
+    val cents = broadcast(centroids.select(col("centroid_id"), col("centroid")))
+    // stored side: each vector keyed by its one home cell
+    val cells = ivfAssign(vectors, centroids, idCol, embCol)
+      .select(col(idCol).as("neighbor_id"), col("centroid_id"))
+      .join(vectors.select(col(idCol).as("neighbor_id"), col(embCol).as("v_emb")),
+        Seq("neighbor_id"))
+    // query side: top-nprobe cells per query
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(col("c_sim").desc, col("centroid_id").asc)
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
+      .join(cents)
+      .withColumn("c_sim", cosine(col("q_emb"), col("centroid")))
+      .withColumn("c_rank", row_number().over(probeW))
+      .where(col("c_rank") <= nprobe)
+      .select(col("query_id"), col("q_emb"), col("centroid_id"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    cells.join(if (broadcastProbes) broadcast(probes) else probes, Seq("centroid_id"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("q_emb"), col("v_emb")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 4).as("sim"))
+  }
 }

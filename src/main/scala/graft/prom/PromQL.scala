@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions._
 
 /** Minimal PromQL subset for `/api/v1/query_range` — enough for a
   * Prometheus UI smoke over the Graphite-tagged storage: an instant
-  * vector selector, plus `rate`/`increase`/`*_over_time` over a range
-  * selector. The reference serves full PromQL by importing the stock
+  * vector selector, `rate`/`increase`/`*_over_time` over a range
+  * selector, and `sum`/`avg`/`min`/`max`/`count` aggregation with
+  * `by (label, …)` grouping over any of those. The reference serves full PromQL by importing the stock
   * upstream engine (`prometheus/run.go:28-83`); this evaluator covers
   * the selector/rate subset natively instead, on the same
   * matcher→tagged-term seam (`prometheus/querier_select.go:95-147`).
@@ -47,9 +48,23 @@ object PromQL {
     def matchers: Seq[(String, String, String)] = sel.matchers
   }
 
+  /** `op by (l1, l2) (inner)` for op ∈ sum | avg | min | max | count —
+    * Prometheus aggregation over the instant vector: one extra hash
+    * aggregate per grid slot on the label subset (empty `by` collapses
+    * to a single series). Output series keep only the `by` labels,
+    * encoded back into the storage path form (`?k=v&…`, no name) so
+    * the response assembly stays uniform. `by (__name__)` is not
+    * supported (the name is not a query-string label in storage form).
+    */
+  final case class Agg(op: String, by: Seq[String], inner: Expr) extends Expr {
+    def matchers: Seq[(String, String, String)] = inner.matchers
+  }
+
   val rangeFns: Set[String] = Set(
     "rate", "increase", "avg_over_time", "sum_over_time", "min_over_time",
     "max_over_time", "count_over_time", "last_over_time")
+
+  val aggOps: Set[String] = Set("sum", "avg", "min", "max", "count")
 
   /** `"5m"`/`"90s"`/`"1h"` (single unit, like the common UI forms) →
     * seconds.
@@ -68,11 +83,24 @@ object PromQL {
     }
   }
 
-  /** Parse the subset: `fn(selector[dur])` or a bare selector. */
+  /** Parse the subset: `op by (labels) (expr)` / `op(expr) by (labels)`
+    * aggregations over `fn(selector[dur])` or a bare selector.
+    */
   def parse(q0: String): Either[String, Expr] = {
     val q = q0.trim
+    val aggPre = "^(sum|avg|min|max|count)\\s*by\\s*\\(([^()]*)\\)\\s*\\((.*)\\)$".r
+    val aggSuf = "^(sum|avg|min|max|count)\\s*\\((.*)\\)\\s*by\\s*\\(([^()]*)\\)$".r
+    val aggBare = "^(sum|avg|min|max|count)\\s*\\((.*)\\)$".r
+    def agg(op: String, by: String, inner: String): Either[String, Expr] = {
+      val labels = by.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      if (labels.contains("__name__")) Left("by (__name__) is not supported")
+      else parse(inner).map(Agg(op, labels, _))
+    }
     val fnMatch = "^([a-z_]+)\\((.*)\\)$".r
     q match {
+      case aggPre(op, by, inner)  => agg(op, by, inner)
+      case aggSuf(op, inner, by)  => agg(op, by, inner)
+      case aggBare(op, inner) => agg(op, "", inner)
       case fnMatch(fn, inner0) =>
         if (!rangeFns(fn)) return Left(s"unsupported function: $fn")
         val inner = inner0.trim
@@ -102,12 +130,19 @@ object PromQL {
       step0: Long,
       lookbackSec: Long = LookbackSec): DataFrame = {
     require(end >= start, "end < start")
+    expr match {
+      case Agg(op, by, inner) =>
+        return aggMatrix(
+          evalMatrix(points, tags, inner, start, end, step0, lookbackSec), op, by)
+      case _ =>
+    }
     val step = math.max(1L, step0)
     val lastSlot = (end - start) / step
 
     val win = expr match {
       case _: Selector      => lookbackSec
       case RangeFn(_, _, d) => d
+      case _: Agg           => throw new IllegalStateException("handled above")
     }
 
     // the matched series set is find-result-sized — broadcast it so
@@ -184,18 +219,52 @@ object PromQL {
     }
   }
 
+  /** Prometheus aggregation over matrix rows: re-key each series to
+    * its `by`-label subset (labels decoded straight out of the storage
+    * path, re-encoded sorted into the nameless `?k=v&…` form) and run
+    * ONE more hash aggregate on (group, slot). A label the series
+    * lacks — or carries empty, which Prometheus treats as absent — is
+    * dropped from the group key; empty `by` collapses everything onto
+    * the empty path (= the empty label set).
+    */
+  private[prom] def aggMatrix(base: DataFrame, op: String, by: Seq[String]): DataFrame = {
+    val parts = by.distinct.sorted.map { k =>
+      val v = regexp_extract(col("path"),
+        "[?&]" + java.util.regex.Pattern.quote(k) + "=([^&]*)", 1)
+      when(v =!= "", concat(lit(k + "="), v))
+    }
+    val qs = if (parts.isEmpty) lit("") else concat_ws("&", parts: _*)
+    val gpath = when(qs === "", lit("")).otherwise(concat(lit("?"), qs))
+    val g = base.groupBy(gpath.as("path"), col("t"))
+    val out = op match {
+      case "sum"   => g.agg(sum("value").as("value"))
+      case "avg"   => g.agg(avg("value").as("value"))
+      case "min"   => g.agg(min("value").as("value"))
+      case "max"   => g.agg(max("value").as("value"))
+      case "count" => g.agg(count(lit(1)).cast("double").as("value"))
+      case other   => throw new IllegalArgumentException(s"unsupported aggregation $other")
+    }
+    out.select("path", "t", "value")
+  }
+
   /** Driver-side label decode of a storage path (`name?k=v&…`) for
-    * response assembly — the scalar twin of [[Prom.labels]].
+    * response assembly — the scalar twin of [[Prom.labels]]. Aggregated
+    * series come back nameless (`?k=v&…` or fully empty for the empty
+    * label set) and decode without a `__name__` entry, matching
+    * Prometheus's name-dropping aggregation output.
     */
   def labelsOf(path: String): Seq[(String, String)] = {
     val q = path.indexOf('?')
-    if (q < 0) Seq("__name__" -> path)
+    if (path.isEmpty) Seq.empty
+    else if (q < 0) Seq("__name__" -> path)
     else {
       val kvs = path.substring(q + 1).split("&").toSeq.map { kv =>
         val eq = kv.indexOf('=')
         if (eq < 0) kv -> "" else kv.substring(0, eq) -> kv.substring(eq + 1)
       }
-      (("__name__" -> path.substring(0, q)) +: kvs).sortBy(_._1)
+      val name = path.substring(0, q)
+      val named = if (name.isEmpty) kvs else ("__name__" -> name) +: kvs
+      named.sortBy(_._1)
     }
   }
 

@@ -221,6 +221,12 @@ class HttpApiSpec extends AnyFunSuite {
     // rate with one counter reset: (3.0 - 2.5 + 2.5) / 20s = 0.15
     assert(qr("rate(metric1[30s])", rnow, rnow, 30).contains(
       s""""values":[[$rnow,"0.15"]]"""))
+    // aggregation: __name__ is dropped, only the by-labels survive
+    assert(qr("sum by (tag2) (metric1)", rnow, rnow, 30) ==
+      """{"status":"success","data":{"resultType":"matrix","result":[""" +
+      s"""{"metric":{"tag2":"value21"},"values":[[$rnow,"3"]]}]}}""")
+    // empty by → everything collapses onto the empty label set
+    assert(qr("sum(metric1)", rnow, rnow, 30).contains(""""metric":{},"""))
     // bad query → Prometheus error envelope
     val bad = get("/api/v1/query_range?query=rate(m)&start=0&end=1&step=1")
     assert(bad.statusCode() == 400)

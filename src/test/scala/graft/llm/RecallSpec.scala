@@ -47,6 +47,31 @@ class RecallSpec extends AnyFunSuite {
     assert(multi.size >= single.size)
   }
 
+  test("IVF search: all cells probed equals brute force; recall grows with nprobe") {
+    assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+    val cents = vecs.where(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+    val queries = vecs.where(col("vec_id") < 30)
+    val k = 10
+    def topk(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select(col("query_id"), col("neighbor_id")).collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val truth = topk(Similarity.bruteKnn(vecs, queries, k))
+    // nprobe = #cells → every candidate is scored → exactly brute force
+    assert(topk(Similarity.ivfSearch(vecs, cents, queries, k, nprobe = 8)) == truth)
+    def recall(m: Map[Long, Set[Long]]): Double =
+      truth.map { case (q, t) =>
+        m.get(q).map(a => (a & t).size.toDouble / t.size).getOrElse(0.0)
+      }.sum / truth.size
+    val r1 = recall(topk(Similarity.ivfSearch(vecs, cents, queries, k, nprobe = 1)))
+    val r4 = recall(topk(Similarity.ivfSearch(vecs, cents, queries, k, nprobe = 4)))
+    assert(r4 >= r1, f"recall fell with nprobe: r1=$r1%.3f r4=$r4%.3f")
+    assert(r4 >= 0.5, f"nprobe=4/8 recall@10 = $r4%.3f")
+    vecs.unpersist()
+    ()
+  }
+
   test("plane coords are deterministic, distinct, and in range") {
     for (t <- 0 until 32; b <- 0 until 8) {
       val (i, j) = Similarity.planeCoords(t, b, 64)

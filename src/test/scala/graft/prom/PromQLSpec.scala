@@ -32,10 +32,32 @@ class PromQLSpec extends AnyFunSuite {
     assert(PromQL.parse("not_a_fn(m[5m])").isLeft) // unknown fn → selector parse fails
   }
 
+  test("parse: aggregation operators with by-grouping") {
+    val sel = PromQL.Selector(Seq(("__name__", "=", "m")))
+    assert(PromQL.parse("sum by (type) (m)") ==
+      Right(PromQL.Agg("sum", Seq("type"), sel)))
+    assert(PromQL.parse("sum(m) by (type, user)") ==
+      Right(PromQL.Agg("sum", Seq("type", "user"), sel)))
+    assert(PromQL.parse("count(m)") == Right(PromQL.Agg("count", Nil, sel)))
+    assert(PromQL.parse("avg by (a) (rate(m[5m]))") ==
+      Right(PromQL.Agg("avg", Seq("a"), PromQL.RangeFn("rate", sel, 300L))))
+    // nested aggregation composes
+    assert(PromQL.parse("max(sum by (a, b) (m))") ==
+      Right(PromQL.Agg("max", Nil, PromQL.Agg("sum", Seq("a", "b"), sel))))
+    // agg names that prefix range fns still parse as range fns
+    assert(PromQL.parse("sum_over_time(m[90s])") ==
+      Right(PromQL.RangeFn("sum_over_time", sel, 90L)))
+    assert(PromQL.parse("sum by (__name__) (m)").isLeft)
+    assert(PromQL.parse("quantile(m)").isLeft)
+  }
+
   test("labelsOf decodes the storage path into sorted labels") {
     assert(PromQL.labelsOf("metric1?tag1=value1&tag2=v2") ==
       Seq("__name__" -> "metric1", "tag1" -> "value1", "tag2" -> "v2"))
     assert(PromQL.labelsOf("plain.name") == Seq("__name__" -> "plain.name"))
+    // aggregated series come back nameless or fully label-less
+    assert(PromQL.labelsOf("?type=click") == Seq("type" -> "click"))
+    assert(PromQL.labelsOf("") == Seq.empty)
   }
 
   test("fmtValue matches Prometheus short forms") {
