@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.{Autocomplete, Finder, GraphiteTables, Render, TagStats}
-import graft.llm.{Dedup, Multimodal, Similarity, TextStats}
+import graft.llm.{Dedup, Multimodal, Sampling, Similarity, TextStats}
 import graft.model.TimeFrame
 import graft.rollup.{AggFunc, Pattern, Retention, RuleType, Rules}
 
@@ -589,6 +589,39 @@ object SparkEntry {
           TextStats.tokensBpeish(col("text")).cast("long").as("n_bpe_tokens"))),
 
     // ----------------------------------------------------------------
+    // LLM track: deterministic sampling / sharding / sequence packing
+    // ----------------------------------------------------------------
+    // stratified quota sample: pure id-hash filter on the scan — no
+    // shuffle, reproducible across runs/engines/retries
+    "d_sample_strat" -> ((s, dir) =>
+      Sampling.sampleStratified(
+        s.read.parquet(s"$dir/documents.parquet"),
+        col("lang"), Map("en" -> 0.5, "fr" -> 0.25), defaultRate = 0.1)
+        .select("doc_id", "lang")),
+
+    "d_split" -> ((s, dir) =>
+      Sampling.split(
+        s.read.parquet(s"$dir/documents.parquet"),
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+        .select("doc_id", "split")),
+
+    // deterministic corpus permutation: shard by id-hash, rank by hash
+    // within shard (one bounded per-shard sort, no global sort)
+    "d_shard" -> ((s, dir) =>
+      Sampling.shardAssign(s.read.parquet(s"$dir/documents.parquet"), shards = 8)
+        .select(col("doc_id"), col("shard"), col("pos"))),
+
+    // concat-and-chop sequence packing: whitespace-token stream per
+    // shard chopped into 512-token bins (offset = stream position)
+    "d_pack" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Sampling.packSequences(docs, TextStats.tokensWhitespace(col("text")),
+          budget = 512L, shards = 8)
+        .select(col("doc_id"), col("shard"), col("pos"), col("tokens"),
+          col("offset"), col("bin"))
+    }),
+
+    // ----------------------------------------------------------------
     // LLM track: similarity search over embeddings
     // ----------------------------------------------------------------
     "e_knn_brute" -> ((s, dir) => {
@@ -1129,6 +1162,34 @@ object SparkEntry {
         ("""SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
           | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
           |FROM documents""".stripMargin),
+
+      "d_sample_strat" ->
+        ("""SELECT doc_id, lang FROM documents
+          |WHERE ('0x' || substr(md5(doc_id::varchar), 1, 15))::bigint / 1152921504606846976.0 <
+          |  CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'fr' THEN 0.25 ELSE 0.1 END""".stripMargin),
+
+      "d_split" ->
+        ("""SELECT doc_id,
+          |  CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+          |FROM (SELECT doc_id,
+          |  ('0x' || substr(md5(doc_id::varchar || '|split'), 1, 15))::bigint / 1152921504606846976.0 AS u
+          |  FROM documents) t""".stripMargin),
+
+      "d_shard" ->
+        ("""WITH h AS (SELECT doc_id, ('0x' || substr(md5(doc_id::varchar), 1, 15))::bigint AS hv FROM documents)
+          |SELECT doc_id, CAST(hv % 8 AS INT) AS shard,
+          |  CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) - 1 AS BIGINT) AS pos
+          |FROM h""".stripMargin),
+
+      "d_pack" ->
+        ("""WITH h AS (SELECT doc_id, text, ('0x' || substr(md5(doc_id::varchar), 1, 15))::bigint AS hv FROM documents),
+          |sh AS (SELECT doc_id, CAST(hv % 8 AS INT) AS shard,
+          |  row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) - 1 AS pos,
+          |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tokens FROM h),
+          |c AS (SELECT doc_id, shard, pos, tokens,
+          |  CAST(sum(tokens) OVER (PARTITION BY shard ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tokens AS BIGINT) AS "offset" FROM sh)
+          |SELECT doc_id, shard, CAST(pos AS BIGINT) AS pos, tokens, "offset",
+          |  CAST(floor("offset" / 512) AS BIGINT) AS bin FROM c""".stripMargin),
 
       "e_knn_brute" ->
         (s"""WITH scored AS (

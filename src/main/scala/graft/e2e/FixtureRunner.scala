@@ -66,11 +66,21 @@ object FixtureRunner {
         rest.split(",")(0).trim.stripSuffix(")").stripPrefix("'").stripSuffix("'")
       }
 
+  /** `timeScale` multiplies every configured timeout AND every
+    * `proxy_delay` by the same factor. The reference e2e runs against
+    * a dedicated ClickHouse where a 1 s data-timeout dwarfs real
+    * compute; replayed inside a parallel test JVM the same 1 s can be
+    * eaten by scheduler noise. Scaling both sides preserves every
+    * deterministic delay-vs-timeout relation (a check 504s after
+    * scaling iff it 504s in the reference) while giving real compute
+    * proportional headroom.
+    */
   final class ScenarioRun(
       val spark: SparkSession,
       scenario: Scenario,
       val now: Instant,
-      tz: ZoneId = ZoneId.of("UTC")) {
+      tz: ZoneId = ZoneId.of("UTC"),
+      timeScale: Long = 1L) {
 
     val precision: Long = scenario.precision
     private val rules: Rules = Rules.fromXml(fixtureRulesXml)
@@ -145,8 +155,8 @@ object FixtureRunner {
       * actually cancelled, not abandoned.
       */
     private def staged[T](delayMs: Long, timeoutSec: Long)(body: => T): T =
-      Guards.withDeadline(spark, timeoutSec) {
-        if (delayMs > 0) Thread.sleep(delayMs)
+      Guards.withDeadline(spark, timeoutSec * timeScale) {
+        if (delayMs > 0) Thread.sleep(delayMs * timeScale)
         body
       }
 

@@ -1,0 +1,122 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deterministic sampling / sharding / packing for training-data
+  * pipelines — the selection half of corpus curation (the scoring
+  * half lives in [[TextStats]], the dedup half in [[Dedup]]).
+  *
+  * Everything here keys off one primitive: a uniform-[0,1) hash of
+  * the row id ([[hash01]], md5-derived like [[Dedup]]'s shingle
+  * hashes). That buys three properties a `rand()`-based sample can
+  * never give a 100 TB pipeline:
+  *   - reproducible across runs, engines, and retries (a re-executed
+  *     task keeps the same sample — no lineage nondeterminism);
+  *   - NO shuffle for sampling: quota filters are narrow `WHERE`
+  *     clauses that ride the parquet scan;
+  *   - auditable: whether a given document was sampled is a pure
+  *     function of its id and the config.
+  */
+object Sampling {
+
+  /** Uniform [0,1) from the first 60 md5 bits of the id's string form
+    * — deterministic, engine-portable (DuckDB:
+    * `('0x' || substr(md5(id::varchar), 1, 15))::bigint / 2^60`).
+    */
+  def hash01(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 15), 16, 10)
+      .cast("double") / lit(1152921504606846976d) // 2^60
+
+  /** Salted variant: independent draws per use site (a doc sampled
+    * for split A must not be correlated with its draw for split B).
+    */
+  def hash01(id: Column, salt: String): Column =
+    conv(substring(md5(concat(id.cast("string"), lit("|" + salt))), 1, 15), 16, 10)
+      .cast("double") / lit(1152921504606846976d)
+
+  /** Stratified sample: keep each row with its stratum's rate
+    * (`rates`, driver-side map — strata are few by definition),
+    * `defaultRate` for unlisted strata. Pure narrow filter — at any
+    * scale this is a predicate on the scan, zero shuffle, and the
+    * realized fraction concentrates on the quota by id-hash
+    * uniformity.
+    */
+  def sampleStratified(
+      df: DataFrame,
+      stratum: Column,
+      rates: Map[String, Double],
+      defaultRate: Double = 0.0,
+      idCol: String = "doc_id"): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, r)) =>
+      when(stratum === k, lit(r)).otherwise(acc)
+    }
+    df.where(hash01(col(idCol)) < rate)
+  }
+
+  /** Deterministic train/validation/test-style split: labels each row
+    * by where its (salted) hash falls in the cumulative `fractions`
+    * ladder. One pass, no shuffle, stable under retries.
+    */
+  def split(
+      df: DataFrame,
+      fractions: Seq[(String, Double)],
+      salt: String = "split",
+      idCol: String = "doc_id"): DataFrame = {
+    require(fractions.nonEmpty && math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      "split fractions must sum to 1")
+    val u = hash01(col(idCol), salt)
+    val cum = fractions.scanLeft(0.0)(_ + _._2).tail
+    val label = fractions.zip(cum).init.foldRight(lit(fractions.last._1)) {
+      case (((name, _), hi), acc) => when(u < hi, lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", label)
+  }
+
+  /** Shard assignment + deterministic within-shard order — the
+    * "global shuffle" of a training corpus without a global sort:
+    * shard = id-hash mod `shards` (write-partition key), `pos` =
+    * rank by hash inside the shard. Each shard orders independently
+    * (one bounded sort per shard, shards sized by the writer), and
+    * the combined (shard, pos) order is a reproducible uniform
+    * permutation of the corpus.
+    */
+  def shardAssign(
+      df: DataFrame,
+      shards: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10).cast("long")
+    val keyed = df.withColumn("shard", (h % shards).cast("int"))
+    val w = Window.partitionBy("shard").orderBy(h.asc, col(idCol).asc)
+    keyed.withColumn("pos", row_number().over(w).cast("long") - 1)
+  }
+
+  /** Sequence packing, concat-and-chop style: in the deterministic
+    * shard order of [[shardAssign]], documents concatenate into one
+    * token stream per shard and the stream is chopped into
+    * `budget`-token training sequences. Emits each document's token
+    * `offset` in its shard's stream and the `bin` (sequence index)
+    * where it starts — a document may straddle into the next bin,
+    * exactly like pretraining's max_seq_len chopping.
+    *
+    * One window cumsum per shard, no cross-shard dependency: the
+    * per-shard sort is bounded by shard size (the writer picks
+    * `shards` so that holds), and shards pack in parallel.
+    */
+  def packSequences(
+      df: DataFrame,
+      tokensCol: Column,
+      budget: Long,
+      shards: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val sharded = shardAssign(df, shards, idCol)
+      .withColumn("tokens", tokensCol.cast("long"))
+    val w = Window.partitionBy("shard").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sharded
+      .withColumn("offset", sum(col("tokens")).over(w) - col("tokens"))
+      .withColumn("bin", floor(col("offset") / lit(budget)).cast("long"))
+  }
+}

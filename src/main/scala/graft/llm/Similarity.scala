@@ -314,8 +314,8 @@ object Similarity {
     * on its cell key once and no cross-cell pair is ever materialized.
     * Recall is tunable with `nprobe` exactly like FAISS-style IVF-Flat;
     * the brute-force path ([[bruteKnn]]) stays the exactness baseline.
-    */
-  /** `broadcastProbes`: request-sized query sets (the serving path)
+    *
+    * `broadcastProbes`: request-sized query sets (the serving path)
     * broadcast their probe list so the corpus join is shuffle-free on
     * the query side; set false for corpus-scale batch query sets,
     * which should shuffle on `centroid_id` like the stored side.

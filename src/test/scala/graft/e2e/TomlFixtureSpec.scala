@@ -60,8 +60,12 @@ class TomlFixtureSpec extends AnyFunSuite {
     val path = Paths.get(testsRoot, dir)
     if (Files.isRegularFile(path.resolve("test.toml"))) {
       val scenario = Fixture.load(path)
-      // one ingest per scenario, shared by its config-variant tests
-      lazy val run = new FixtureRunner.ScenarioRun(spark, scenario, now)
+      // one ingest per scenario, shared by its config-variant tests.
+      // timeScale = 4: under the full parallel suite, real compute can
+      // eat a reference 1 s data-timeout that assumed a dedicated
+      // server; scaling timeouts AND proxy delays together keeps every
+      // 504-vs-success expectation deterministic (see ScenarioRun doc).
+      lazy val run = new FixtureRunner.ScenarioRun(spark, scenario, now, timeScale = 4L)
       for (conf <- scenario.configs) {
         test(s"$dir [${conf.label}]") {
           val errors = run.run(conf)

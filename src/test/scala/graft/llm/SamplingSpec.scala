@@ -1,0 +1,79 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Invariants of the deterministic sampling/sharding/packing kernels
+  * (engine-match vs DuckDB is covered by the `d_sample_strat` /
+  * `d_split` / `d_shard` / `d_pack` oracles).
+  */
+class SamplingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def docs = {
+    import spark.implicits._
+    (0L until 1000L).map(i => (i, ("w " * (i % 97 + 1).toInt).trim))
+      .toDF("doc_id", "text")
+  }
+
+  test("hash01 is deterministic and uniform-ish") {
+    val u = docs.select(Sampling.hash01(col("doc_id")).as("u"))
+    val again = docs.select(Sampling.hash01(col("doc_id")).as("u"))
+    assert(u.collect().map(_.getDouble(0)).toSeq ==
+      again.collect().map(_.getDouble(0)).toSeq)
+    val mean = u.agg(avg("u")).head().getDouble(0)
+    assert(math.abs(mean - 0.5) < 0.05, s"mean $mean")
+    assert(u.where(col("u") < 0.0 || col("u") >= 1.0).count() == 0)
+    // salted draws are independent of unsalted ones
+    val corr = docs.select(
+      Sampling.hash01(col("doc_id")).as("a"),
+      Sampling.hash01(col("doc_id"), "other").as("b"))
+      .agg(avg(when(col("a") < 0.5 && col("b") < 0.5, 1.0).otherwise(0.0)))
+      .head().getDouble(0)
+    assert(math.abs(corr - 0.25) < 0.06, s"joint <0.5 rate $corr")
+  }
+
+  test("split labels by the cumulative fraction ladder, realized near quota") {
+    val out = Sampling.split(docs, Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts("train") > 700 && counts("train") < 900, counts.toString)
+    assert(out.count() == 1000)
+    assertThrows[IllegalArgumentException] {
+      Sampling.split(docs, Seq(("a", 0.5), ("b", 0.2)))
+    }
+  }
+
+  test("shardAssign gives dense per-shard positions and a stable permutation") {
+    val out = Sampling.shardAssign(docs, shards = 8).cache()
+    assert(out.count() == 1000)
+    // pos is dense 0..n_s-1 within each shard
+    val bad = out.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("pos").as("mx"), min("pos").as("mn"),
+        countDistinct("pos").as("d"))
+      .where(col("mx") =!= col("n") - 1 || col("mn") =!= 0 || col("d") =!= col("n"))
+    assert(bad.count() == 0)
+    assert(out.select("shard").distinct().count() == 8)
+    out.unpersist()
+    ()
+  }
+
+  test("packSequences: offsets are the running token stream; bins chop at the budget") {
+    val out = Sampling.packSequences(
+      docs, TextStats.tokensWhitespace(col("text")), budget = 128L, shards = 4)
+    val rows = out.select("shard", "pos", "tokens", "offset", "bin")
+      .collect()
+      .groupBy(_.getInt(0)).map { case (s, rs) => s -> rs.sortBy(_.getLong(1)) }
+    rows.foreach { case (_, rs) =>
+      var expect = 0L
+      rs.foreach { r =>
+        assert(r.getLong(3) == expect, s"offset at pos ${r.getLong(1)}")
+        assert(r.getLong(4) == r.getLong(3) / 128L)
+        expect += r.getLong(2)
+      }
+    }
+  }
+}
