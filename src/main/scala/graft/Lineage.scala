@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Lineage truncation with a deployment-selectable durability mode.
+  *
+  * Iterative and multi-pass plans (connected-components label
+  * propagation, MinHash signature reuse, the tagger's shared
+  * relations) must cut their logical plan periodically or pay
+  * ever-growing optimizer time and, in loops, unbounded recomputation
+  * on retry. Spark offers two cuts:
+  *
+  *  - `localCheckpoint` — blocks in the executors' block manager
+  *    (memory, spilling to local disk). Cheap and dependency-free,
+  *    but NOT fault-tolerant: lose one executor after truncation and
+  *    the job dies, and ~relation-sized blocks pin executor storage.
+  *    The right default on a single node and at test SF.
+  *  - `checkpoint` — files under `SparkContext.checkpointDir`
+  *    (HDFS/S3/DBFS in production). Survives executor loss; the
+  *    100 TB choice for anything corpus-scale or inside a long loop,
+  *    at the price of a write+read of the relation.
+  *
+  * Call sites state the semantics ("cut the plan here"); the
+  * deployment states the durability: set `graft.checkpoint.dir` on
+  * the session (e.g. `spark.conf.set("graft.checkpoint.dir",
+  * "s3://bucket/graft-ckpt")`) and every truncation in the engine
+  * becomes a reliable checkpoint; leave it unset and truncation stays
+  * local. This closes the fault-tolerance caveat that a bare
+  * `localCheckpoint` carries at cluster scale without making small
+  * deployments stand up a checkpoint filesystem.
+  */
+object Lineage {
+
+  /** Runtime-conf key naming the reliable checkpoint directory. */
+  val ConfKey = "graft.checkpoint.dir"
+
+  /** Cut `df`'s lineage. Reliable (`checkpoint`) when
+    * [[ConfKey]] is set on the session, local otherwise. With
+    * `eager = false` the cut is planned but materialization happens
+    * on the first action, so plan-builder APIs stay lazy.
+    */
+  def truncate(df: DataFrame, eager: Boolean = true): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.getOption(ConfKey).filter(_.nonEmpty) match {
+      case Some(dir) =>
+        val sc = spark.sparkContext
+        // setCheckpointDir creates a per-context UUID subdir under
+        // `dir`; only (re)set when the configured root changed.
+        if (!sc.getCheckpointDir.exists(_.startsWith(dir))) sc.setCheckpointDir(dir)
+        df.checkpoint(eager)
+      case None => df.localCheckpoint(eager)
+    }
+  }
+
+  /** Chained form: `df.truncateLineage()` ≡ `Lineage.truncate(df)`. */
+  implicit class TruncateOps(private val df: DataFrame) extends AnyVal {
+    def truncateLineage(eager: Boolean = true): DataFrame = Lineage.truncate(df, eager)
+  }
+}

@@ -3,6 +3,8 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.Lineage.TruncateOps
+
 /** Document deduplication operators for large-scale training-data
   * pipelines: exact, MinHash+LSH, SimHash, and n-gram Jaccard.
   *
@@ -139,15 +141,15 @@ object Dedup {
     * all-pairs) → distinct (a < b) pairs.
     *
     * The signature relation — tiny: `numHashes` longs per doc — is
-    * materialized (`localCheckpoint(eager = false)`, so this remains a
-    * lazy plan builder) before the self-join: both join branches would
-    * otherwise re-run the full shingle→hash→aggregate pipeline — at
-    * 100 TB that is two corpus passes instead of one plus a (tiny)
-    * signature-table read. `localCheckpoint` is not fault-tolerant
-    * (lineage is truncated), which is an acceptable trade *only*
-    * because the checkpointed relation is signature-sized; on a real
-    * cluster swap it for a persisted table / reliable checkpoint if
-    * re-running the corpus pass on executor loss is unacceptable.
+    * materialized ([[graft.Lineage.truncate]] with `eager = false`, so
+    * this remains a lazy plan builder) before the self-join: both join
+    * branches would otherwise re-run the full shingle→hash→aggregate
+    * pipeline — at 100 TB that is two corpus passes instead of one
+    * plus a (tiny) signature-table read. Truncation is
+    * executor-local by default (fine: the relation is
+    * signature-sized); on a real cluster set `graft.checkpoint.dir`
+    * to make every cut a reliable checkpoint that survives executor
+    * loss.
     */
   def minhashCandidates(
       docs: DataFrame,
@@ -157,7 +159,7 @@ object Dedup {
       bands: Int = 4,
       rows: Int = 2): DataFrame = {
     val sigs = minhashSignatures(docs, textCol, idCol, shingleWidth, bands * rows)
-      .localCheckpoint(eager = false)
+      .truncateLineage(eager = false)
     candidatesFromSignatures(sigs, bands, rows)
   }
 
@@ -185,8 +187,9 @@ object Dedup {
     * the corpus against the distinct candidate ids. The candidate set
     * is Σ sᵢ² bucket-bounded and ≪ corpus, so the extra cost is one
     * pruned re-scan of the text column for a small fraction of rows —
-    * versus pinning a corpus-scale relation in non-fault-tolerant
-    * executor storage (`localCheckpoint` dies with a lost executor).
+    * versus pinning a corpus-scale relation in executor storage
+    * (executor-local truncation dies with a lost executor; see
+    * [[graft.Lineage]] for the durable mode).
     */
   def minhashNearDups(
       docs: DataFrame,
@@ -197,9 +200,9 @@ object Dedup {
       rows: Int = 2,
       threshold: Double = 0.6): DataFrame = {
     val sets = shingleSets(docs, textCol, idCol, shingleWidth)
-    val sigs = signaturesFromSets(sets, bands * rows).localCheckpoint(eager = false)
+    val sigs = signaturesFromSets(sets, bands * rows).truncateLineage(eager = false)
     val cands = candidatesFromSignatures(sigs, bands, rows)
-      .localCheckpoint(eager = false) // read twice: id collection + verify join
+      .truncateLineage(eager = false) // read twice: id collection + verify join
     // ids touched by any candidate pair — tiny; broadcast-joins below
     val candIds = cands.select(col("id_a").as("id"))
       .unionByName(cands.select(col("id_b").as("id")))
@@ -210,7 +213,7 @@ object Dedup {
     val candSets = shingleSets(
       docs.join(candIds, idCol === col("id"), "left_semi"),
       textCol, idCol, shingleWidth)
-      .localCheckpoint(eager = false)
+      .truncateLineage(eager = false)
     cands
       .join(candSets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(candSets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -326,17 +329,19 @@ object Dedup {
     * round is one shuffle on id — no driver-side graph.
     */
   def clusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    // localCheckpoint (not cache) per round: truncates the growing
-    // lineage so each iteration's plan stays constant-size — iterative
-    // algorithms otherwise pay quadratic analysis/optimization time.
+    // truncate (not cache) per round: cuts the growing lineage so each
+    // iteration's plan stays constant-size — iterative algorithms
+    // otherwise pay quadratic analysis/optimization time. Durable when
+    // graft.checkpoint.dir is set (a lost executor mid-loop then costs
+    // a round, not the job).
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
-      .localCheckpoint()
+      .truncateLineage()
     var labels = edges.select(col("src").as("id"))
       .distinct()
       .withColumn("cluster_id", col("id"))
-      .localCheckpoint()
+      .truncateLineage()
     var iter = 0
     var changed = true
     while (changed && iter < maxIter) {
@@ -349,7 +354,7 @@ object Dedup {
         .select(col("id"), col("cluster_id").as("old_label"),
           least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id")))
             .as("mid_label"))
-        .localCheckpoint()
+        .truncateLineage()
       // pointer jumping (path halving): l(id) ← l(l(id)). A label is
       // always the id of a node in the same component, so the
       // composed label stays in-component and only decreases —
@@ -366,7 +371,7 @@ object Dedup {
       val next = jumped
         .select(col("id"), col("cluster_id"),
           (col("cluster_id") < col("old_label")).as("changed"))
-        .localCheckpoint()
+        .truncateLineage()
       changed = next.where(col("changed")).limit(1).count() > 0
       labels = next.select("id", "cluster_id")
       iter += 1

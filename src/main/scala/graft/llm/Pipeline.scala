@@ -3,6 +3,8 @@ package graft.llm
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.Lineage.TruncateOps
+
 /** Composite training-data curation pipeline — the end-to-end shape a
   * 100 TB corpus pass takes, assembled from the individual operators:
   *
@@ -26,11 +28,12 @@ object Pipeline {
     // The exact-dedup survivor set is consumed TWICE (minhash candidate
     // generation and the final keep-join) — materialize it once instead
     // of recomputing the quality scan + hash aggregate per consumer.
-    // localCheckpoint spills via the block manager (memory-and-disk),
-    // the same storage bet the CC loop already makes; the alternative
-    // at 100 TB is two full corpus recomputations.
+    // Lineage.truncate spills via the block manager (memory-and-disk)
+    // by default — the same storage bet the CC loop already makes — or
+    // to the reliable graft.checkpoint.dir when configured; the
+    // alternative at 100 TB is two full corpus recomputations.
     val exact = Dedup.exactKeep(quality, md5(Dedup.normalizedText(col("text"))))
-      .localCheckpoint()
+      .truncateLineage()
     val pairs = Dedup
       .minhashNearDups(exact, col("text"), col("doc_id"), threshold = nearDupThreshold)
       .select("id_a", "id_b")

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
+import graft.Lineage.TruncateOps
+
 /** Similarity search over an embedding column (`Array[Float]`).
   *
   * Two paths, per the usual ANN playbook:
@@ -253,7 +255,7 @@ object Similarity {
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("m")))),
           e => e.getField("m")).as("centroid"))
-        .localCheckpoint()
+        .truncateLineage()
     }
     centroids
   }

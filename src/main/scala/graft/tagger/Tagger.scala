@@ -3,6 +3,8 @@ package graft.tagger
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.Lineage.TruncateOps
+
 /** The tagger batch job (S10) — Spark-native analog of
   * `tagger/tagger.go:76-370` + `tagger/rule.go:12-120`: take every
   * metric path in the index tree (metric + ancestors), match TOML
@@ -124,7 +126,7 @@ object Tagger {
     // per consumer
     val base = tree.select(col("path"), col("date"), col("version")).distinct()
       .withColumn("matched", matchedTags(col("path"), rules))
-      .localCheckpoint()
+      .truncateLineage()
 
     // ancestors-or-self pairs: (x, each prefix chain entry of x)
     val segs = split(regexp_replace(col("path"), "\\.$", ""), "\\.")
@@ -143,7 +145,7 @@ object Tagger {
       .join(base.select(col("path").as("y"), col("matched")), Seq("y"))
       .groupBy(col("x").as("path"))
       .agg(array_distinct(flatten(collect_list(col("matched")))).as("down"))
-      .localCheckpoint()
+      .truncateLineage()
 
     // one-hop upward: parent ← union of direct children's down sets
     val parentOf = concat(

@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import java.util.Comparator
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.Dedup
+
+/** Lineage.truncate: executor-local by default, reliable checkpoint
+  * files when `graft.checkpoint.dir` is set — same results either way.
+  *
+  * Runs on `spark.newSession()` so the runtime-conf flip is invisible
+  * to the other (parallel) suites sharing the test SparkContext.
+  */
+class LineageSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+
+  test("default mode truncates lineage without touching any checkpoint dir") {
+    val s = spark.newSession()
+    import s.implicits._
+    val cut = Lineage.truncate(Seq(1, 2, 3).toDF("x"))
+    assert(cut.as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+    // plan was cut: the materialized relation is a scan, not a project
+    assert(cut.queryExecution.optimizedPlan.collectLeaves().nonEmpty)
+  }
+
+  test("graft.checkpoint.dir switches every cut to reliable checkpoint files") {
+    val s = spark.newSession()
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-ckpt")
+    try {
+      s.conf.set(Lineage.ConfKey, dir.toString)
+      // exercise a real consumer: the CC loop truncates per round
+      val pairs = Seq((2L, 3L), (1L, 2L), (9L, 7L)).toDF("id_a", "id_b")
+      val cl = Dedup.clusters(pairs).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(cl == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+      // reliable mode really wrote RDD checkpoint files under the dir
+      val wrote = Files.walk(dir).filter(p => p.getFileName.toString.startsWith("rdd-"))
+        .count()
+      assert(wrote > 0, s"no rdd-* checkpoint dirs under $dir")
+    } finally {
+      s.conf.unset(Lineage.ConfKey)
+      deleteRecursively(dir)
+    }
+  }
+
+  test("lazy truncation stays lazy in reliable mode and matches results") {
+    val s = spark.newSession()
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-ckpt-lazy")
+    try {
+      s.conf.set(Lineage.ConfKey, dir.toString)
+      val docs = Seq(
+        (1L, "the quick brown fox jumps over the lazy dog again and again"),
+        (2L, "the quick brown fox jumps over the lazy dog again and again"),
+        (3L, "completely different text with no overlap at all here truly"))
+        .toDF("doc_id", "text")
+      val pairs = Dedup.minhashNearDups(docs, col("text"), col("doc_id"),
+        shingleWidth = 3, bands = 8, rows = 2, threshold = 0.8)
+      val got = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 2L)))
+    } finally {
+      s.conf.unset(Lineage.ConfKey)
+      deleteRecursively(dir)
+    }
+  }
+}
