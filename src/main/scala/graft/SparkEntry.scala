@@ -735,6 +735,19 @@ object SparkEntry {
         lookbackSec = 86400L)
         .withColumn("value", round(col("value"), 6))),
 
+    // `topk(3, events{type="click"})` — per grid slot, the 3 matched
+    // series with the largest instant value (full label sets kept;
+    // path tie-break pins the order). One window rank on t over the
+    // fleet-sized slot rows — no per-slot driver loop.
+    "p_query_topk" -> ((s, dir) =>
+      graft.prom.PromQL.evalMatrix(
+        GraphiteTables.pointsTagged(s, dir),
+        GraphiteTables.tags(s, dir),
+        graft.prom.PromQL.parse("""topk(3, events{type="click"})""")
+          .fold(e => throw new IllegalArgumentException(e), identity),
+        start = WFrom, end = WFrom + 30L * 86400L, step0 = 21600L,
+        lookbackSec = 86400L)),
+
     // ----------------------------------------------------------------
     // LLM track: multimodal plumbing (binary payload, batch decode stub)
     // ----------------------------------------------------------------
@@ -1356,6 +1369,24 @@ object SparkEntry {
            |  FROM win GROUP BY 1, 2, 3)
            |SELECT '?type=' || event_type AS path, t, round(sum(value), 6) AS value
            |FROM inst GROUP BY 1, 2""".stripMargin),
+
+      "p_query_topk" ->
+        (s"""WITH dedup AS (
+           |  SELECT 'events?type=click&user=' || user_id AS path,
+           |         epoch_us(ts)//1000000 AS time,
+           |         arg_max(value, event_id) AS value
+           |  FROM events WHERE event_type = 'click'
+           |  GROUP BY 1, 2),
+           |grid AS (SELECT $WFrom + 21600*n AS t FROM generate_series(0, 120) g(n)),
+           |win AS (
+           |  SELECT d.path, g.t, d.value, d.time FROM dedup d
+           |  JOIN grid g ON d.time <= g.t AND d.time > g.t - 86400),
+           |inst AS (SELECT path, t, arg_max(value, time) AS value
+           |  FROM win GROUP BY 1, 2)
+           |SELECT path, t, value FROM (
+           |  SELECT path, t, value,
+           |         row_number() OVER (PARTITION BY t ORDER BY value DESC, path) AS rk
+           |  FROM inst) WHERE rk <= 3""".stripMargin),
 
       "m_features" ->
         ("""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,

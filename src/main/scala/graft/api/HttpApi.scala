@@ -217,6 +217,7 @@ final class HttpApi(
           promLabelValues(ex, p.stripPrefix("/api/v1/label/").stripSuffix("/values"))
         case "/api/v1/series"                    => promSeries(ex)
         case "/api/v1/query_range"               => promQueryRange(ex)
+        case "/api/v1/query"                     => promQueryInstant(ex)
         case "/alive" =>
           reply(ex, 200, "text/plain", "Graphite-clickhouse is alive.\n".getBytes)
         case "/health" => reply(ex, 200, "text/plain", "Ok\n".getBytes)
@@ -572,16 +573,19 @@ final class HttpApi(
     * Runs under the tags limiter like the other Prometheus label
     * routes.
     */
+  /** Unix-seconds or RFC3339 timestamp param, Prometheus-style. */
+  private def promTs(key: String, v: String): Long =
+    v.toDoubleOption.map(_.toLong).getOrElse(
+      try java.time.Instant.parse(v).getEpochSecond
+      catch { case _: java.time.format.DateTimeParseException =>
+        throw new IllegalArgumentException(s"bad $key: '$v'") })
+
   private def promQueryRange(ex: HttpExchange): Unit = promRoute(ex) {
     val q = formParams(ex, readBody(ex))
     val query = q.first("query").getOrElse(
       throw new IllegalArgumentException("query is not set"))
     def ts(key: String): Long = q.first(key) match {
-      case Some(v) =>
-        v.toDoubleOption.map(_.toLong).getOrElse(
-          try java.time.Instant.parse(v).getEpochSecond
-          catch { case _: java.time.format.DateTimeParseException =>
-            throw new IllegalArgumentException(s"bad $key: '$v'") })
+      case Some(v) => promTs(key, v)
       case None => throw new IllegalArgumentException(s"$key is not set")
     }
     val start = ts("start")
@@ -602,6 +606,32 @@ final class HttpApi(
     }
     reply(ex, 200, "application/json",
       graft.prom.PromQL.matrixJson(rows, jstr).getBytes)
+  }
+
+  /** `/api/v1/query` — instant evaluation of the same PromQL subset:
+    * one grid point at `time` (default: the server clock), vector
+    * JSON envelope. The evaluator is the range one with
+    * `start = end = time`, so selector lookback, counter-reset rate
+    * math, and by-label aggregation behave identically to
+    * `/api/v1/query_range`.
+    */
+  private def promQueryInstant(ex: HttpExchange): Unit = promRoute(ex) {
+    val q = formParams(ex, readBody(ex))
+    val query = q.first("query").getOrElse(
+      throw new IllegalArgumentException("query is not set"))
+    val time = q.first("time") match {
+      case Some(v) => promTs("time", v)
+      case None => clock().getEpochSecond
+    }
+    val expr = graft.prom.PromQL.parse(query).fold(
+      e => throw new IllegalArgumentException(e), identity)
+    val lim = limiterFor(ex, _.tags)
+    val rows = lim.withSlot(cfg.limits.waitMs) {
+      graft.prom.PromQL.evalMatrix(points, tagsTable, expr, time, time, 1L)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    }
+    reply(ex, 200, "application/json",
+      graft.prom.PromQL.vectorJson(rows, jstr).getBytes)
   }
 
   private def promSeries(ex: HttpExchange): Unit = promRoute(ex) {

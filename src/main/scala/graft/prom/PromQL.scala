@@ -3,11 +3,13 @@ package graft.prom
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Minimal PromQL subset for `/api/v1/query_range` — enough for a
+/** Minimal PromQL subset for `/api/v1/query_range` and
+  * `/api/v1/query` — enough for a
   * Prometheus UI smoke over the Graphite-tagged storage: an instant
   * vector selector, `rate`/`increase`/`*_over_time` over a range
-  * selector, and `sum`/`avg`/`min`/`max`/`count` aggregation with
-  * `by (label, …)` grouping over any of those. The reference serves full PromQL by importing the stock
+  * selector, `sum`/`avg`/`min`/`max`/`count` aggregation with
+  * `by (label, …)` grouping, and `topk`/`bottomk` selection over any
+  * of those. The reference serves full PromQL by importing the stock
   * upstream engine (`prometheus/run.go:28-83`); this evaluator covers
   * the selector/rate subset natively instead, on the same
   * matcher→tagged-term seam (`prometheus/querier_select.go:95-147`).
@@ -60,6 +62,16 @@ object PromQL {
     def matchers: Seq[(String, String, String)] = inner.matchers
   }
 
+  /** `topk(k, inner)` / `bottomk(k, inner)` — per grid point, the k
+    * series with the largest (smallest) value. Unlike [[Agg]] the
+    * output series keep their full label sets; ties break on the
+    * storage path for deterministic output (Prometheus leaves tie
+    * order unspecified).
+    */
+  final case class RankK(op: String, k: Int, inner: Expr) extends Expr {
+    def matchers: Seq[(String, String, String)] = inner.matchers
+  }
+
   val rangeFns: Set[String] = Set(
     "rate", "increase", "avg_over_time", "sum_over_time", "min_over_time",
     "max_over_time", "count_over_time", "last_over_time")
@@ -96,8 +108,14 @@ object PromQL {
       if (labels.contains("__name__")) Left("by (__name__) is not supported")
       else parse(inner).map(Agg(op, labels, _))
     }
+    val rankK = "^(topk|bottomk)\\s*\\(\\s*(\\d+)\\s*,(.*)\\)$".r
     val fnMatch = "^([a-z_]+)\\((.*)\\)$".r
     q match {
+      case rankK(op, ks, inner) =>
+        ks.toIntOption.filter(_ >= 1) match {
+          case Some(k) => parse(inner).map(RankK(op, k, _))
+          case None    => Left(s"$op: bad k '$ks'")
+        }
       case aggPre(op, by, inner)  => agg(op, by, inner)
       case aggSuf(op, inner, by)  => agg(op, by, inner)
       case aggBare(op, inner) => agg(op, "", inner)
@@ -134,6 +152,9 @@ object PromQL {
       case Agg(op, by, inner) =>
         return aggMatrix(
           evalMatrix(points, tags, inner, start, end, step0, lookbackSec), op, by)
+      case RankK(op, k, inner) =>
+        return rankMatrix(
+          evalMatrix(points, tags, inner, start, end, step0, lookbackSec), op, k)
       case _ =>
     }
     val step = math.max(1L, step0)
@@ -142,7 +163,7 @@ object PromQL {
     val win = expr match {
       case _: Selector      => lookbackSec
       case RangeFn(_, _, d) => d
-      case _: Agg           => throw new IllegalStateException("handled above")
+      case _: Agg | _: RankK => throw new IllegalStateException("handled above")
     }
 
     // the matched series set is find-result-sized — broadcast it so
@@ -247,6 +268,22 @@ object PromQL {
     out.select("path", "t", "value")
   }
 
+  /** `topk`/`bottomk` over matrix rows: one window rank per grid slot
+    * (shuffle on `t`; per-slot row count = matched series count, so
+    * the window state is fleet-sized, not sample-sized). Ties break on
+    * path for deterministic output.
+    */
+  private[prom] def rankMatrix(base: DataFrame, op: String, k: Int): DataFrame = {
+    val ord =
+      if (op == "topk") Seq(col("value").desc, col("path").asc)
+      else Seq(col("value").asc, col("path").asc)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("t")).orderBy(ord: _*)
+    base.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select("path", "t", "value")
+  }
+
   /** Driver-side label decode of a storage path (`name?k=v&…`) for
     * response assembly — the scalar twin of [[Prom.labels]]. Aggregated
     * series come back nameless (`?k=v&…` or fully empty for the empty
@@ -288,5 +325,17 @@ object PromQL {
       s"""{"metric":$metric,"values":$values}"""
     }
     s"""{"status":"success","data":{"resultType":"matrix","result":${series.mkString("[", ",", "]")}}}"""
+  }
+
+  /** `(path, t, value)` rows at one instant → the `/api/v1/query`
+    * JSON envelope (`resultType: "vector"`, one `value` per series).
+    */
+  def vectorJson(rows: Seq[(String, Long, Double)], jstr: String => String): String = {
+    val series = rows.sortBy(_._1).map { case (path, t, v) =>
+      val metric = labelsOf(path)
+        .map { case (k, lv) => s"${jstr(k)}:${jstr(lv)}" }.mkString("{", ",", "}")
+      s"""{"metric":$metric,"value":[$t,${jstr(fmtValue(v))}]}"""
+    }
+    s"""{"status":"success","data":{"resultType":"vector","result":${series.mkString("[", ",", "]")}}}"""
   }
 }

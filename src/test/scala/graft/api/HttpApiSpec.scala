@@ -233,6 +233,31 @@ class HttpApiSpec extends AnyFunSuite {
     assert(new String(bad.body()).startsWith("""{"status":"error""""))
   }
 
+  test("/api/v1/query: instant vector at an explicit and the default time") {
+    def qi(params: String): String = {
+      val r = get(s"/api/v1/query?$params")
+      assert(r.statusCode() == 200, new String(r.body()))
+      new String(r.body())
+    }
+    val enc = java.net.URLEncoder.encode("""metric1{tag1="value1"}""", "UTF-8")
+    // explicit time: latest sample within lookback, vector envelope
+    assert(qi(s"query=$enc&time=$rnow") ==
+      """{"status":"success","data":{"resultType":"vector","result":[""" +
+      """{"metric":{"__name__":"metric1","tag1":"value1","tag2":"value21","tag3":"value3"},""" +
+      s""""value":[$rnow,"3"]}]}}""")
+    // default time = server clock (the spec's fixed clock is rnow+5)
+    assert(qi(s"query=$enc").contains(s""""value":[${rnow + 5},"3"]"""))
+    // aggregation drops __name__, same as query_range
+    val aggEnc = java.net.URLEncoder.encode("sum by (tag2) (metric1)", "UTF-8")
+    assert(qi(s"query=$aggEnc&time=$rnow") ==
+      """{"status":"success","data":{"resultType":"vector","result":[""" +
+      s"""{"metric":{"tag2":"value21"},"value":[$rnow,"3"]}]}}""")
+    // bad query → Prometheus error envelope
+    val bad = get(s"/api/v1/query?query=rate(m)&time=$rnow")
+    assert(bad.statusCode() == 400)
+    assert(new String(bad.body()).startsWith("""{"status":"error""""))
+  }
+
   test("limiter saturation surfaces as 503; per-user override applies") {
     import graft.engine.Limiter
     // queue cap 1 + concurrency 1: while the slot is held, further

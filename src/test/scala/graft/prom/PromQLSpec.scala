@@ -51,6 +51,17 @@ class PromQLSpec extends AnyFunSuite {
     assert(PromQL.parse("quantile(m)").isLeft)
   }
 
+  test("parse: topk/bottomk selection, composing with agg and range fns") {
+    val sel = PromQL.Selector(Seq(("__name__", "=", "m")))
+    assert(PromQL.parse("topk(3, m)") == Right(PromQL.RankK("topk", 3, sel)))
+    assert(PromQL.parse("bottomk(1, rate(m[5m]))") ==
+      Right(PromQL.RankK("bottomk", 1, PromQL.RangeFn("rate", sel, 300L))))
+    assert(PromQL.parse("topk(2, sum by (a) (m))") ==
+      Right(PromQL.RankK("topk", 2, PromQL.Agg("sum", Seq("a"), sel))))
+    assert(PromQL.parse("topk(0, m)").isLeft)
+    assert(PromQL.parse("topk(m)").isLeft)
+  }
+
   test("labelsOf decodes the storage path into sorted labels") {
     assert(PromQL.labelsOf("metric1?tag1=value1&tag2=v2") ==
       Seq("__name__" -> "metric1", "tag1" -> "value1", "tag2" -> "v2"))
