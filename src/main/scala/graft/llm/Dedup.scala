@@ -334,8 +334,15 @@ object Dedup {
     // otherwise pay quadratic analysis/optimization time. Durable when
     // graft.checkpoint.dir is set (a lost executor mid-loop then costs
     // a round, not the job).
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    //
+    // pairs is materialized BEFORE the symmetrize union: its two
+    // branches would otherwise each recompute the upstream pair
+    // producer (for near-dup input that is the whole candidate→Jaccard
+    // verification join), and the pair relation is the small end of
+    // the funnel — cheapest possible point to cut.
+    val p = pairs.select(col("id_a"), col("id_b")).truncateLineage()
+    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .truncateLineage()
     var labels = edges.select(col("src").as("id"))
