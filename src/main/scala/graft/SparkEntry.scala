@@ -588,6 +588,20 @@ object SparkEntry {
           TextStats.tokensWhitespace(col("text")).cast("long").as("n_ws_tokens"),
           TextStats.tokensBpeish(col("text")).cast("long").as("n_bpe_tokens"))),
 
+    // Gopher-style within-document repetition signals: duplicate-line
+    // ratio + chars, top-bigram char coverage, duplicate-trigram
+    // ratio. Pure higher-order array expressions fused into the scan
+    // (map-only at any scale); the line metrics are degenerate on the
+    // single-line synthetic corpus (spec-covered with multi-line docs)
+    // while the n-gram metrics carry real signal here.
+    "d_repetition" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          TextStats.dupLineRatio(col("text")).as("dup_line_ratio"),
+          TextStats.dupLineCharRatio(col("text")).as("dup_line_char_ratio"),
+          TextStats.topBigramCharRatio(col("text")).as("top_bigram_char_ratio"),
+          TextStats.dupTrigramRatio(col("text")).as("dup_trigram_ratio"))),
+
     // ----------------------------------------------------------------
     // LLM track: deterministic sampling / sharding / sequence packing
     // ----------------------------------------------------------------
@@ -1175,6 +1189,41 @@ object SparkEntry {
         ("""SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
           | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
           |FROM documents""".stripMargin),
+
+      "d_repetition" ->
+        ("""WITH base AS (
+          |  SELECT doc_id,
+          |    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '') AS ls,
+          |    regexp_split_to_array(trim(text), '\s+') AS ws
+          |  FROM documents),
+          |g AS (
+          |  SELECT doc_id, ls, ws,
+          |    list_transform(
+          |      list_zip(list_slice(ws, 1, greatest(len(ws)-1, 0)), list_slice(ws, 2, greatest(len(ws)-1, 0)+1)),
+          |      p -> p[1] || ' ' || p[2]) AS bg,
+          |    list_transform(
+          |      list_zip(list_slice(ws, 1, greatest(len(ws)-2, 0)), list_slice(ws, 2, greatest(len(ws)-2, 0)+1),
+          |               list_slice(ws, 3, greatest(len(ws)-2, 0)+2)),
+          |      p -> p[1] || ' ' || p[2] || ' ' || p[3]) AS tg
+          |  FROM base),
+          |r AS (
+          |  SELECT doc_id, ls, ws, bg, tg,
+          |    list_max(list_transform(list_distinct(bg), q -> len(list_filter(bg, x -> x = q)))) AS maxc,
+          |    list_sum(list_transform(ws, w -> length(w))) AS wchars
+          |  FROM g)
+          |SELECT doc_id,
+          |  CASE WHEN len(ls) > 0
+          |    THEN round(1.0 - len(list_distinct(ls))::DOUBLE / len(ls), 6) + 0 ELSE 0.0 END AS dup_line_ratio,
+          |  CASE WHEN coalesce(list_sum(list_transform(ls, l -> length(l))), 0) > 0
+          |    THEN round(list_sum(list_transform(ls, l -> CASE WHEN len(list_filter(ls, x -> x = l)) > 1 THEN length(l) ELSE 0 END))::DOUBLE
+          |      / list_sum(list_transform(ls, l -> length(l))), 6) + 0 ELSE 0.0 END AS dup_line_char_ratio,
+          |  CASE WHEN len(bg) > 0 AND coalesce(wchars, 0) > 0
+          |    THEN round(maxc::DOUBLE * length(replace(
+          |        list_min(list_filter(list_distinct(bg), q -> len(list_filter(bg, x -> x = q)) = maxc)), ' ', ''))
+          |      / wchars, 6) + 0 ELSE 0.0 END AS top_bigram_char_ratio,
+          |  CASE WHEN len(tg) > 0
+          |    THEN round(1.0 - len(list_distinct(tg))::DOUBLE / len(tg), 6) + 0 ELSE 0.0 END AS dup_trigram_ratio
+          |FROM r""".stripMargin),
 
       "d_sample_strat" ->
         ("""SELECT doc_id, lang FROM documents

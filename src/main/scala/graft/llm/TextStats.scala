@@ -86,4 +86,73 @@ object TextStats {
     val alphaScore = alpha / greatest(chars, lit(1.0))
     lit(0.5) * lenScore + lit(0.5) * alphaScore
   }
+
+  // ------------------------------------------------------------------
+  // Within-document repetition (Gopher-style repetition filters)
+  // ------------------------------------------------------------------
+  // All pure higher-order column expressions over per-document arrays:
+  // O(segments²) worst case per document, zero shuffles, fused into
+  // the scan — the per-doc arrays are bounded by document length, so
+  // at 100 TB this stays a map-only pass like the other TextStats.
+
+  /** Non-empty trimmed lines of the document. */
+  def docLines(text: Column): Column =
+    filter(transform(split(text, "\n"), l => trim(l)), l => l =!= "")
+
+  /** Fraction of lines that are repeats of an earlier line
+    * (1 − distinct/total); 0 for empty documents.
+    */
+  def dupLineRatio(text: Column): Column = {
+    val ls = docLines(text)
+    when(size(ls) > 0,
+      round(lit(1.0) - size(array_distinct(ls)).cast("double") / size(ls).cast("double"), 6))
+      .otherwise(lit(0.0))
+  }
+
+  /** Fraction of line characters inside lines that occur more than
+    * once (every occurrence counts, the Gopher duplicate-line-chars
+    * signal); 0 when the document has no line characters.
+    */
+  def dupLineCharRatio(text: Column): Column = {
+    val ls = docLines(text)
+    val tot = aggregate(ls, lit(0L), (acc, l) => acc + length(l).cast("long"))
+    val dup = aggregate(ls, lit(0L), (acc, l) =>
+      acc + when(size(filter(ls, x => x === l)) > 1, length(l).cast("long")).otherwise(lit(0L)))
+    when(tot > 0, round(dup.cast("double") / tot.cast("double"), 6)).otherwise(lit(0.0))
+  }
+
+  private def wordNgrams(ws: Column, n: Int): Column = {
+    val len = greatest(size(ws) - lit(n - 1), lit(0))
+    (2 to n).foldLeft(slice(ws, lit(1), len)) { (acc, i) =>
+      zip_with(acc, slice(ws, lit(i), len), (a, b) => concat(a, lit(" "), b))
+    }
+  }
+
+  /** Fraction of word characters covered by the single most frequent
+    * word bigram (count × bigram chars / total word chars) — the
+    * Gopher top-2-gram signal. Ties break on the lexicographically
+    * smallest gram for deterministic output.
+    */
+  def topBigramCharRatio(text: Column): Column = {
+    val ws = words(text)
+    val bg = wordNgrams(ws, 2)
+    val uniq = array_distinct(bg)
+    val maxc = array_max(transform(uniq, g => size(filter(bg, x => x === g))))
+    val best = array_min(filter(uniq, g => size(filter(bg, x => x === g)) === maxc))
+    val wordChars = aggregate(ws, lit(0L), (acc, w) => acc + length(w).cast("long"))
+    when(size(bg) > 0 && wordChars > 0,
+      round(maxc.cast("double") * length(regexp_replace(best, " ", "")).cast("double")
+        / wordChars.cast("double"), 6))
+      .otherwise(lit(0.0))
+  }
+
+  /** Fraction of word trigram instances that are repeats
+    * (1 − distinct/total trigrams); 0 below three words.
+    */
+  def dupTrigramRatio(text: Column): Column = {
+    val tg = wordNgrams(words(text), 3)
+    when(size(tg) > 0,
+      round(lit(1.0) - size(array_distinct(tg)).cast("double") / size(tg).cast("double"), 6))
+      .otherwise(lit(0.0))
+  }
 }
