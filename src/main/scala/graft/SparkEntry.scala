@@ -762,6 +762,19 @@ object SparkEntry {
         start = WFrom, end = WFrom + 30L * 86400L, step0 = 21600L,
         lookbackSec = 86400L)),
 
+    // `quantile by (type) (0.5, events)` — the per-slot cross-series
+    // median within each type group (exact linear interpolation, like
+    // Prometheus; DuckDB's quantile_cont is the same estimator).
+    "p_query_quantile" -> ((s, dir) =>
+      graft.prom.PromQL.evalMatrix(
+        GraphiteTables.pointsTagged(s, dir),
+        GraphiteTables.tags(s, dir),
+        graft.prom.PromQL.parse("quantile by (type) (0.5, events)")
+          .fold(e => throw new IllegalArgumentException(e), identity),
+        start = WFrom, end = WFrom + 30L * 86400L, step0 = 21600L,
+        lookbackSec = 86400L)
+        .withColumn("value", round(col("value"), 6))),
+
     // ----------------------------------------------------------------
     // LLM track: multimodal plumbing (binary payload, batch decode stub)
     // ----------------------------------------------------------------
@@ -1436,6 +1449,24 @@ object SparkEntry {
            |  SELECT path, t, value,
            |         row_number() OVER (PARTITION BY t ORDER BY value DESC, path) AS rk
            |  FROM inst) WHERE rk <= 3""".stripMargin),
+
+      "p_query_quantile" ->
+        (s"""WITH dedup AS (
+           |  SELECT 'events?type=' || event_type || '&user=' || user_id AS path,
+           |         event_type,
+           |         epoch_us(ts)//1000000 AS time,
+           |         arg_max(value, event_id) AS value
+           |  FROM events
+           |  GROUP BY 1, 2, 3),
+           |grid AS (SELECT $WFrom + 21600*n AS t FROM generate_series(0, 120) g(n)),
+           |win AS (
+           |  SELECT d.path, d.event_type, g.t, d.value, d.time FROM dedup d
+           |  JOIN grid g ON d.time <= g.t AND d.time > g.t - 86400),
+           |inst AS (SELECT path, event_type, t, arg_max(value, time) AS value
+           |  FROM win GROUP BY 1, 2, 3)
+           |SELECT '?type=' || event_type AS path, t,
+           |       round(quantile_cont(value, 0.5), 6) + 0 AS value
+           |FROM inst GROUP BY 1, 2""".stripMargin),
 
       "m_features" ->
         ("""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,

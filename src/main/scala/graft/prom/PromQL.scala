@@ -7,8 +7,9 @@ import org.apache.spark.sql.functions._
   * `/api/v1/query` — enough for a
   * Prometheus UI smoke over the Graphite-tagged storage: an instant
   * vector selector, `rate`/`increase`/`*_over_time` over a range
-  * selector, `sum`/`avg`/`min`/`max`/`count` aggregation with
-  * `by (label, …)` grouping, and `topk`/`bottomk` selection over any
+  * selector, `sum`/`avg`/`min`/`max`/`count`/`stddev`/`stdvar`/
+  * `quantile(φ, …)` aggregation with `by (label, …)` grouping, and
+  * `topk`/`bottomk` selection over any
   * of those. The reference serves full PromQL by importing the stock
   * upstream engine (`prometheus/run.go:28-83`); this evaluator covers
   * the selector/rate subset natively instead, on the same
@@ -72,11 +73,20 @@ object PromQL {
     def matchers: Seq[(String, String, String)] = inner.matchers
   }
 
+  /** `quantile(φ, inner)` / `quantile by (labels) (φ, inner)` — the
+    * φ-quantile (linear interpolation across series values, like
+    * Prometheus) per grid point and `by`-group.
+    */
+  final case class Quantile(phi: Double, by: Seq[String], inner: Expr) extends Expr {
+    def matchers: Seq[(String, String, String)] = inner.matchers
+  }
+
   val rangeFns: Set[String] = Set(
     "rate", "increase", "avg_over_time", "sum_over_time", "min_over_time",
     "max_over_time", "count_over_time", "last_over_time")
 
-  val aggOps: Set[String] = Set("sum", "avg", "min", "max", "count")
+  val aggOps: Set[String] = Set(
+    "sum", "avg", "min", "max", "count", "stddev", "stdvar")
 
   /** `"5m"`/`"90s"`/`"1h"` (single unit, like the common UI forms) →
     * seconds.
@@ -100,9 +110,12 @@ object PromQL {
     */
   def parse(q0: String): Either[String, Expr] = {
     val q = q0.trim
-    val aggPre = "^(sum|avg|min|max|count)\\s*by\\s*\\(([^()]*)\\)\\s*\\((.*)\\)$".r
-    val aggSuf = "^(sum|avg|min|max|count)\\s*\\((.*)\\)\\s*by\\s*\\(([^()]*)\\)$".r
-    val aggBare = "^(sum|avg|min|max|count)\\s*\\((.*)\\)$".r
+    val ops = "sum|avg|min|max|count|stddev|stdvar"
+    val aggPre = ("^(" + ops + ")\\s*by\\s*\\(([^()]*)\\)\\s*\\((.*)\\)$").r
+    val aggSuf = ("^(" + ops + ")\\s*\\((.*)\\)\\s*by\\s*\\(([^()]*)\\)$").r
+    val aggBare = ("^(" + ops + ")\\s*\\((.*)\\)$").r
+    val quantPre = "^quantile\\s*by\\s*\\(([^()]*)\\)\\s*\\(\\s*([0-9.]+)\\s*,(.*)\\)$".r
+    val quantBare = "^quantile\\s*\\(\\s*([0-9.]+)\\s*,(.*)\\)$".r
     def agg(op: String, by: String, inner: String): Either[String, Expr] = {
       val labels = by.split(",").map(_.trim).filter(_.nonEmpty).toSeq
       if (labels.contains("__name__")) Left("by (__name__) is not supported")
@@ -119,6 +132,18 @@ object PromQL {
       case aggPre(op, by, inner)  => agg(op, by, inner)
       case aggSuf(op, inner, by)  => agg(op, by, inner)
       case aggBare(op, inner) => agg(op, "", inner)
+      case quantPre(by, phi, inner) =>
+        val labels = by.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        phi.toDoubleOption.filter(p => p >= 0.0 && p <= 1.0) match {
+          case _ if labels.contains("__name__") => Left("by (__name__) is not supported")
+          case Some(p) => parse(inner).map(Quantile(p, labels, _))
+          case None    => Left(s"quantile: bad phi '$phi'")
+        }
+      case quantBare(phi, inner) =>
+        phi.toDoubleOption.filter(p => p >= 0.0 && p <= 1.0) match {
+          case Some(p) => parse(inner).map(Quantile(p, Nil, _))
+          case None    => Left(s"quantile: bad phi '$phi'")
+        }
       case fnMatch(fn, inner0) =>
         if (!rangeFns(fn)) return Left(s"unsupported function: $fn")
         val inner = inner0.trim
@@ -155,6 +180,10 @@ object PromQL {
       case RankK(op, k, inner) =>
         return rankMatrix(
           evalMatrix(points, tags, inner, start, end, step0, lookbackSec), op, k)
+      case Quantile(phi, by, inner) =>
+        return aggMatrix(
+          evalMatrix(points, tags, inner, start, end, step0, lookbackSec),
+          "quantile", by, phi)
       case _ =>
     }
     val step = math.max(1L, step0)
@@ -163,7 +192,8 @@ object PromQL {
     val win = expr match {
       case _: Selector      => lookbackSec
       case RangeFn(_, _, d) => d
-      case _: Agg | _: RankK => throw new IllegalStateException("handled above")
+      case _: Agg | _: RankK | _: Quantile =>
+        throw new IllegalStateException("handled above")
     }
 
     // the matched series set is find-result-sized — broadcast it so
@@ -237,6 +267,9 @@ object PromQL {
           case other => throw new IllegalArgumentException(s"unsupported function $other")
         }
         out.select(col("path"), t, col("value"))
+
+      case _: Agg | _: RankK | _: Quantile =>
+        throw new IllegalStateException("handled above")
     }
   }
 
@@ -248,7 +281,11 @@ object PromQL {
     * dropped from the group key; empty `by` collapses everything onto
     * the empty path (= the empty label set).
     */
-  private[prom] def aggMatrix(base: DataFrame, op: String, by: Seq[String]): DataFrame = {
+  private[prom] def aggMatrix(
+      base: DataFrame,
+      op: String,
+      by: Seq[String],
+      phi: Double = Double.NaN): DataFrame = {
     val parts = by.distinct.sorted.map { k =>
       val v = regexp_extract(col("path"),
         "[?&]" + java.util.regex.Pattern.quote(k) + "=([^&]*)", 1)
@@ -263,6 +300,13 @@ object PromQL {
       case "min"   => g.agg(min("value").as("value"))
       case "max"   => g.agg(max("value").as("value"))
       case "count" => g.agg(count(lit(1)).cast("double").as("value"))
+      // population forms, like Prometheus's stddev/stdvar
+      case "stddev" => g.agg(stddev_pop(col("value")).as("value"))
+      case "stdvar" => g.agg(var_pop(col("value")).as("value"))
+      // exact linear-interpolation quantile: per-(group, slot) value
+      // counts are fleet-sized, so the exact sort stays inside the
+      // aggregate — no approx sketch needed at this cardinality
+      case "quantile" => g.agg(percentile(col("value"), lit(phi)).as("value"))
       case other   => throw new IllegalArgumentException(s"unsupported aggregation $other")
     }
     out.select("path", "t", "value")

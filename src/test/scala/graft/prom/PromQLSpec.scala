@@ -62,6 +62,19 @@ class PromQLSpec extends AnyFunSuite {
     assert(PromQL.parse("topk(m)").isLeft)
   }
 
+  test("parse: stddev/stdvar/quantile aggregations") {
+    val sel = PromQL.Selector(Seq(("__name__", "=", "m")))
+    assert(PromQL.parse("stddev by (a) (m)") ==
+      Right(PromQL.Agg("stddev", Seq("a"), sel)))
+    assert(PromQL.parse("stdvar(m)") == Right(PromQL.Agg("stdvar", Nil, sel)))
+    assert(PromQL.parse("quantile(0.9, m)") ==
+      Right(PromQL.Quantile(0.9, Nil, sel)))
+    assert(PromQL.parse("quantile by (type) (0.5, m)") ==
+      Right(PromQL.Quantile(0.5, Seq("type"), sel)))
+    assert(PromQL.parse("quantile(1.5, m)").isLeft)
+    assert(PromQL.parse("quantile by (__name__) (0.5, m)").isLeft)
+  }
+
   test("labelsOf decodes the storage path into sorted labels") {
     assert(PromQL.labelsOf("metric1?tag1=value1&tag2=v2") ==
       Seq("__name__" -> "metric1", "tag1" -> "value1", "tag2" -> "v2"))
