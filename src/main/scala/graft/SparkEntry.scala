@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.{Autocomplete, Finder, GraphiteTables, Render, TagStats}
-import graft.llm.{Dedup, Multimodal, Sampling, Similarity, TextStats}
+import graft.llm.{Decontaminate, Dedup, Multimodal, Sampling, Similarity, TextStats}
 import graft.model.TimeFrame
 import graft.rollup.{AggFunc, Pattern, Retention, RuleType, Rules}
 
@@ -587,6 +587,32 @@ object SparkEntry {
         .select(col("doc_id"),
           TextStats.tokensWhitespace(col("text")).cast("long").as("n_ws_tokens"),
           TextStats.tokensBpeish(col("text")).cast("long").as("n_bpe_tokens"))),
+
+    // Benchmark decontamination: docs sharing >= 2 distinct 5-word
+    // shingles with the (broadcast-sized) eval subset. One corpus
+    // shingle pass + broadcast join + partial-agg count — no pairwise
+    // stage, no corpus shuffle.
+    "d_decontaminate" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Decontaminate.contaminated(
+        docs, docs.where(col("doc_id") % 97 === 0),
+        col("text"), col("doc_id"), col("text"), w = 5, minShared = 2)
+    }),
+
+    // PII scrub: the corpus carries no PII-shaped strings, so the
+    // query salts deterministic synthetic PII from doc_id into the
+    // text (both engines identically) and verifies the redaction +
+    // counts — real regex signal on every row.
+    "d_scrub" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val salted = concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com from 10.0."),
+        col("doc_id") % 256, lit(".7 or call +1 555 867-53"), col("doc_id") % 100)
+      docs.select(
+        col("doc_id") +:
+          TextStats.scrubPii(salted).as("scrubbed") +:
+          TextStats.piiCounts(salted): _*)
+    }),
 
     // Gopher-style within-document repetition signals: duplicate-line
     // ratio + chars, top-bigram char coverage, duplicate-trigram
@@ -1202,6 +1228,26 @@ object SparkEntry {
         ("""SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
           | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
           |FROM documents""".stripMargin),
+
+      "d_decontaminate" ->
+        (s"""WITH ev AS (SELECT DISTINCT unnest(${shinglesSql(5)}) AS sh FROM documents WHERE doc_id % 97 = 0),
+           |ds AS (SELECT doc_id, unnest(${shinglesSql(5)}) AS sh FROM documents)
+           |SELECT ds.doc_id, count(*) AS n_shared FROM ds JOIN ev USING (sh)
+           |GROUP BY 1 HAVING count(*) >= 2""".stripMargin),
+
+      "d_scrub" ->
+        ("""WITH salted AS (
+          |  SELECT doc_id,
+          |    text || ' contact user' || doc_id || '@example.com from 10.0.' || (doc_id % 256) || '.7 or call +1 555 867-53' || (doc_id % 100) AS t
+          |  FROM documents),
+          |m1 AS (SELECT doc_id, t, regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1 FROM salted),
+          |m2 AS (SELECT doc_id, t, t1, regexp_replace(t1, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS t2 FROM m1)
+          |SELECT doc_id,
+          |  regexp_replace(t2, '\+[0-9][0-9 ().-]{6,}[0-9]', '<PHONE>', 'g') AS scrubbed,
+          |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+          |  CAST(len(regexp_extract_all(t1, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+          |  CAST(len(regexp_extract_all(t2, '\+[0-9][0-9 ().-]{6,}[0-9]')) AS BIGINT) AS n_phones
+          |FROM m2""".stripMargin),
 
       "d_repetition" ->
         ("""WITH base AS (

@@ -155,4 +155,35 @@ object TextStats {
       round(lit(1.0) - size(array_distinct(tg)).cast("double") / size(tg).cast("double"), 6))
       .otherwise(lit(0.0))
   }
+
+  // ------------------------------------------------------------------
+  // PII scrubbing (curation-pipeline redaction pass)
+  // ------------------------------------------------------------------
+  // RE2-compatible patterns (no backrefs/lookaround) so the exact
+  // same regexes run under Java regex here and RE2-based engines in
+  // oracles/ports; applied email → IPv4 → phone, most-specific first.
+
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  private val PhoneRe = "\\+[0-9][0-9 ().-]{6,}[0-9]"
+
+  /** Redact emails, IPv4 addresses, and international-format phone
+    * numbers with typed placeholders — one fused `regexp_replace`
+    * chain inside the scan.
+    */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** (n_emails, n_ips, n_phones) found by the same patterns. */
+  def piiCounts(text: Column): Seq[Column] = Seq(
+    size(regexp_extract_all(text, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+    size(regexp_extract_all(regexp_replace(text, EmailRe, "<EMAIL>"), lit(Ipv4Re), lit(0)))
+      .cast("long").as("n_ips"),
+    size(regexp_extract_all(
+      regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"),
+      lit(PhoneRe), lit(0))).cast("long").as("n_phones"))
 }
