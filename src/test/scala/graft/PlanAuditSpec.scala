@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audit: pins the scale-critical plan shapes so a
+  * refactor can't silently regress them. These are the properties
+  * PLAN_NOTES argues make the operators safe at 100 TB — small sides
+  * broadcast, pair generation bucket-keyed, and never a cartesian /
+  * broadcast-nested-loop fallback anywhere in a registered query.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  // pair-producing and join-heavy queries: the ones where a planner
+  // fallback to an all-pairs shape would be a scale-killer
+  private val audited = Seq(
+    "d_decontaminate", "d_minhash_pairs", "d_jaccard_pairs",
+    "d_simhash_pairs", "e_lsh_knn", "e_lsh_knn_multi",
+    "e_neardup", "g_render_headline",
+    "g_render_headline_scalable", "p_query_range", "p_query_topk",
+    "q_semijoin", "g_hotcold")
+
+  for (name <- audited) {
+    test(s"$name: no cartesian or nested-loop join in the physical plan") {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"CartesianProduct in $name")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"BroadcastNestedLoopJoin in $name")
+    }
+  }
+
+  // brute-force KNN and IVF cell-probing deliberately cross a
+  // BROADCAST-bounded side (query batch / centroid table) with the
+  // corpus — a broadcast nested-loop is their correct shape; the
+  // shape that must never appear is a distributed CartesianProduct
+  // (both sides shuffled, no broadcast bound).
+  for (name <- Seq("e_knn_brute", "e_ivf_search")) {
+    test(s"$name: all-pairs stage is broadcast-bounded, never a distributed cartesian") {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"CartesianProduct in $name")
+      assert(p.contains("Broadcast"), s"no broadcast bound in $name")
+    }
+  }
+
+  test("d_decontaminate: eval shingles reach the corpus via broadcast") {
+    assert(plan("d_decontaminate").contains("BroadcastHashJoin"))
+  }
+
+  test("e_knn_brute: the query side is broadcast, corpus side streams") {
+    assert(plan("e_knn_brute").contains("Broadcast"))
+  }
+
+  test("p_query_range: matched series reach the sample scan via broadcast") {
+    assert(plan("p_query_range").contains("BroadcastHashJoin"))
+  }
+}
