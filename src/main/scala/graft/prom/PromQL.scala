@@ -51,7 +51,8 @@ object PromQL {
     def matchers: Seq[(String, String, String)] = sel.matchers
   }
 
-  /** `op by (l1, l2) (inner)` for op ∈ sum | avg | min | max | count —
+  /** `op by (l1, l2) (inner)` for op ∈ sum | avg | min | max | count |
+    * stddev | stdvar | group —
     * Prometheus aggregation over the instant vector: one extra hash
     * aggregate per grid slot on the label subset (empty `by` collapses
     * to a single series). Output series keep only the `by` labels,
@@ -86,7 +87,7 @@ object PromQL {
     "max_over_time", "count_over_time", "last_over_time")
 
   val aggOps: Set[String] = Set(
-    "sum", "avg", "min", "max", "count", "stddev", "stdvar")
+    "sum", "avg", "min", "max", "count", "stddev", "stdvar", "group")
 
   /** `"5m"`/`"90s"`/`"1h"` (single unit, like the common UI forms) →
     * seconds.
@@ -110,7 +111,7 @@ object PromQL {
     */
   def parse(q0: String): Either[String, Expr] = {
     val q = q0.trim
-    val ops = "sum|avg|min|max|count|stddev|stdvar"
+    val ops = "sum|avg|min|max|count|stddev|stdvar|group"
     val aggPre = ("^(" + ops + ")\\s*by\\s*\\(([^()]*)\\)\\s*\\((.*)\\)$").r
     val aggSuf = ("^(" + ops + ")\\s*\\((.*)\\)\\s*by\\s*\\(([^()]*)\\)$").r
     val aggBare = ("^(" + ops + ")\\s*\\((.*)\\)$").r
@@ -300,6 +301,7 @@ object PromQL {
       case "min"   => g.agg(min("value").as("value"))
       case "max"   => g.agg(max("value").as("value"))
       case "count" => g.agg(count(lit(1)).cast("double").as("value"))
+      case "group" => g.agg(max(lit(1.0)).as("value"))
       // population forms, like Prometheus's stddev/stdvar
       case "stddev" => g.agg(stddev_pop(col("value")).as("value"))
       case "stdvar" => g.agg(var_pop(col("value")).as("value"))

@@ -227,6 +227,10 @@ class HttpApiSpec extends AnyFunSuite {
       s"""{"metric":{"tag2":"value21"},"values":[[$rnow,"3"]]}]}}""")
     // empty by → everything collapses onto the empty label set
     assert(qr("sum(metric1)", rnow, rnow, 30).contains(""""metric":{},"""))
+    // group: presence marker, value pinned to 1
+    assert(qr("group by (tag2) (metric1)", rnow, rnow, 30) ==
+      """{"status":"success","data":{"resultType":"matrix","result":[""" +
+      s"""{"metric":{"tag2":"value21"},"values":[[$rnow,"1"]]}]}}""")
     // bad query → Prometheus error envelope
     val bad = get("/api/v1/query_range?query=rate(m)&start=0&end=1&step=1")
     assert(bad.statusCode() == 400)

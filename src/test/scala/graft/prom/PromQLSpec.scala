@@ -73,6 +73,8 @@ class PromQLSpec extends AnyFunSuite {
       Right(PromQL.Quantile(0.5, Seq("type"), sel)))
     assert(PromQL.parse("quantile(1.5, m)").isLeft)
     assert(PromQL.parse("quantile by (__name__) (0.5, m)").isLeft)
+    assert(PromQL.parse("group by (a) (m)") ==
+      Right(PromQL.Agg("group", Seq("a"), sel)))
   }
 
   test("labelsOf decodes the storage path into sorted labels") {
