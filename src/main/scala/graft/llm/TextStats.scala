@@ -112,12 +112,29 @@ object TextStats {
   /** Fraction of line characters inside lines that occur more than
     * once (every occurrence counts, the Gopher duplicate-line-chars
     * signal); 0 when the document has no line characters.
+    *
+    * Single sorted fold — never close over another array expression
+    * inside a lambda body: interpreted higher-order functions
+    * re-evaluate the whole captured subtree per element, turning a
+    * per-document O(L) pass into O(L²·split) (measured: minutes per
+    * small corpus before this shape).
     */
   def dupLineCharRatio(text: Column): Column = {
     val ls = docLines(text)
     val tot = aggregate(ls, lit(0L), (acc, l) => acc + length(l).cast("long"))
-    val dup = aggregate(ls, lit(0L), (acc, l) =>
-      acc + when(size(filter(ls, x => x === l)) > 1, length(l).cast("long")).otherwise(lit(0L)))
+    // fold over the sorted lines: a run's 2nd member charges both
+    // copies (the 1st retroactively), members beyond charge themselves
+    val dup = aggregate(
+      array_sort(ls),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0L).as("dup")),
+      (acc, l) => {
+        val run = when(l === acc.getField("prev"), acc.getField("run") + 1).otherwise(lit(1))
+        val add = when(run === 2, length(l).cast("long") * 2)
+          .when(run > 2, length(l).cast("long"))
+          .otherwise(lit(0L))
+        struct(l.as("prev"), run.as("run"), (acc.getField("dup") + add).as("dup"))
+      },
+      acc => acc.getField("dup"))
     when(tot > 0, round(dup.cast("double") / tot.cast("double"), 6)).otherwise(lit(0.0))
   }
 
@@ -132,16 +149,30 @@ object TextStats {
     * word bigram (count × bigram chars / total word chars) — the
     * Gopher top-2-gram signal. Ties break on the lexicographically
     * smallest gram for deterministic output.
+    *
+    * Single sorted fold (run-length max over the sorted bigram list);
+    * ascending order makes the FIRST run reaching the max the
+    * lexicographically smallest gram, which is the tie-break. See
+    * [[dupLineCharRatio]] for why no lambda closes over `bg`.
     */
   def topBigramCharRatio(text: Column): Column = {
     val ws = words(text)
     val bg = wordNgrams(ws, 2)
-    val uniq = array_distinct(bg)
-    val maxc = array_max(transform(uniq, g => size(filter(bg, x => x === g))))
-    val best = array_min(filter(uniq, g => size(filter(bg, x => x === g)) === maxc))
+    val best = aggregate(
+      array_sort(bg),
+      struct(lit("").as("prev"), lit(0).as("run"),
+        lit(0).as("bcnt"), lit("").as("bgram")),
+      (acc, g) => {
+        val run = when(g === acc.getField("prev"), acc.getField("run") + 1).otherwise(lit(1))
+        val better = run > acc.getField("bcnt")
+        struct(g.as("prev"), run.as("run"),
+          when(better, run).otherwise(acc.getField("bcnt")).as("bcnt"),
+          when(better, g).otherwise(acc.getField("bgram")).as("bgram"))
+      })
     val wordChars = aggregate(ws, lit(0L), (acc, w) => acc + length(w).cast("long"))
     when(size(bg) > 0 && wordChars > 0,
-      round(maxc.cast("double") * length(regexp_replace(best, " ", "")).cast("double")
+      round(best.getField("bcnt").cast("double") *
+        length(regexp_replace(best.getField("bgram"), " ", "")).cast("double")
         / wordChars.cast("double"), 6))
       .otherwise(lit(0.0))
   }
