@@ -788,6 +788,20 @@ object SparkEntry {
         start = WFrom, end = WFrom + 30L * 86400L, step0 = 21600L,
         lookbackSec = 86400L)),
 
+    // vector arithmetic: per-user click fraction = two aggregated
+    // matrices equi-joined on (label set, slot) — the canonical
+    // error-rate/CTR ratio query.
+    "p_query_binop" -> ((s, dir) =>
+      graft.prom.PromQL.evalMatrix(
+        GraphiteTables.pointsTagged(s, dir),
+        GraphiteTables.tags(s, dir),
+        graft.prom.PromQL.parse(
+          """sum by (user) (events{type="click"}) / sum by (user) (events)""")
+          .fold(e => throw new IllegalArgumentException(e), identity),
+        start = WFrom, end = WFrom + 30L * 86400L, step0 = 21600L,
+        lookbackSec = 86400L)
+        .withColumn("value", round(col("value"), 6))),
+
     // `quantile by (type) (0.5, events)` — the per-slot cross-series
     // median within each type group (exact linear interpolation, like
     // Prometheus; DuckDB's quantile_cont is the same estimator).
@@ -1495,6 +1509,27 @@ object SparkEntry {
            |  SELECT path, t, value,
            |         row_number() OVER (PARTITION BY t ORDER BY value DESC, path) AS rk
            |  FROM inst) WHERE rk <= 3""".stripMargin),
+
+      "p_query_binop" ->
+        (s"""WITH dedup AS (
+           |  SELECT 'events?type=' || event_type || '&user=' || user_id AS path,
+           |         event_type, user_id,
+           |         epoch_us(ts)//1000000 AS time,
+           |         arg_max(value, event_id) AS value
+           |  FROM events
+           |  GROUP BY 1, 2, 3, 4),
+           |grid AS (SELECT $WFrom + 21600*n AS t FROM generate_series(0, 120) g(n)),
+           |win AS (
+           |  SELECT d.path, d.event_type, d.user_id, g.t, d.value, d.time FROM dedup d
+           |  JOIN grid g ON d.time <= g.t AND d.time > g.t - 86400),
+           |inst AS (SELECT path, event_type, user_id, t, arg_max(value, time) AS value
+           |  FROM win GROUP BY 1, 2, 3, 4),
+           |clicks AS (SELECT '?user=' || user_id AS path, t, sum(value) AS v
+           |  FROM inst WHERE event_type = 'click' GROUP BY 1, 2),
+           |total AS (SELECT '?user=' || user_id AS path, t, sum(value) AS v
+           |  FROM inst GROUP BY 1, 2)
+           |SELECT c.path, c.t, round(c.v / tt.v, 6) + 0 AS value
+           |FROM clicks c JOIN total tt ON c.path = tt.path AND c.t = tt.t""".stripMargin),
 
       "p_query_quantile" ->
         (s"""WITH dedup AS (

@@ -8,8 +8,9 @@ import org.apache.spark.sql.functions._
   * Prometheus UI smoke over the Graphite-tagged storage: an instant
   * vector selector, `rate`/`increase`/`*_over_time` over a range
   * selector, `sum`/`avg`/`min`/`max`/`count`/`stddev`/`stdvar`/
-  * `quantile(φ, …)` aggregation with `by (label, …)` grouping, and
-  * `topk`/`bottomk` selection over any
+  * `group`/`quantile(φ, …)` aggregation with `by (label, …)`
+  * grouping, `topk`/`bottomk` selection, and space-separated vector
+  * arithmetic (`a / b`, one-to-one label matching) over any
   * of those. The reference serves full PromQL by importing the stock
   * upstream engine (`prometheus/run.go:28-83`); this evaluator covers
   * the selector/rate subset natively instead, on the same
@@ -82,6 +83,17 @@ object PromQL {
     def matchers: Seq[(String, String, String)] = inner.matchers
   }
 
+  /** `lhs op rhs` for op ∈ + - * / — vector arithmetic with
+    * Prometheus's default one-to-one matching on the full label set
+    * ignoring `__name__` (the name is dropped from the result, as
+    * Prometheus does). Declared divergence: if several series on one
+    * side share a label set (same labels, different names) the match
+    * degenerates to many-to-many instead of Prometheus's hard error.
+    */
+  final case class BinOp(op: String, lhs: Expr, rhs: Expr) extends Expr {
+    def matchers: Seq[(String, String, String)] = lhs.matchers
+  }
+
   val rangeFns: Set[String] = Set(
     "rate", "increase", "avg_over_time", "sum_over_time", "min_over_time",
     "max_over_time", "count_over_time", "last_over_time")
@@ -124,6 +136,13 @@ object PromQL {
     }
     val rankK = "^(topk|bottomk)\\s*\\(\\s*(\\d+)\\s*,(.*)\\)$".r
     val fnMatch = "^([a-z_]+)\\((.*)\\)$".r
+    // binary operators split at paren/brace/bracket/quote depth 0 —
+    // last +/- first (left-assoc, lowest precedence), then last */
+    splitBinOp(q) match {
+      case Some((op, l, r)) =>
+        return for { le <- parse(l); re <- parse(r) } yield BinOp(op, le, re)
+      case None =>
+    }
     q match {
       case rankK(op, ks, inner) =>
         ks.toIntOption.filter(_ >= 1) match {
@@ -160,6 +179,44 @@ object PromQL {
     }
   }
 
+  /** Find the top-level binary operator to split at: the LAST
+    * depth-0 `+`/`-` (lowest precedence, left-assoc), else the last
+    * depth-0 `*`/`/`. The operator must be space-separated — graphite
+    * metric names may legally contain `-`/`.`, so `my-metric` stays a
+    * selector while `a - b` is arithmetic. Returns (op, lhs, rhs).
+    */
+  private def splitBinOp(q: String): Option[(String, String, String)] = {
+    var depth = 0
+    var inQuote = false
+    var lastAdd = -1
+    var lastMul = -1
+    var i = 0
+    while (i < q.length) {
+      val c = q.charAt(i)
+      def spaced = i > 0 && q.charAt(i - 1) == ' ' &&
+        i + 1 < q.length && q.charAt(i + 1) == ' '
+      if (inQuote) {
+        if (c == '\\') i += 1
+        else if (c == '"') inQuote = false
+      } else c match {
+        case '"' => inQuote = true
+        case '(' | '[' | '{' => depth += 1
+        case ')' | ']' | '}' => depth -= 1
+        case '+' | '-' if depth == 0 && spaced => lastAdd = i
+        case '*' | '/' if depth == 0 && spaced => lastMul = i
+        case _ =>
+      }
+      i += 1
+    }
+    val at = if (lastAdd >= 0) lastAdd else lastMul
+    if (at <= 0 || at >= q.length - 1) None
+    else {
+      val (l, r) = (q.substring(0, at).trim, q.substring(at + 1).trim)
+      if (l.isEmpty || r.isEmpty) None
+      else Some((q.charAt(at).toString, l, r))
+    }
+  }
+
   /** Evaluate `expr` on the grid `start, start+step, …, ≤ end`.
     * Returns (path, t, value) matrix rows; `tags` is the tagged-series
     * relation the matchers select paths from, `points` the raw
@@ -185,6 +242,10 @@ object PromQL {
         return aggMatrix(
           evalMatrix(points, tags, inner, start, end, step0, lookbackSec),
           "quantile", by, phi)
+      case BinOp(op, l, r) =>
+        return binOpMatrix(
+          evalMatrix(points, tags, l, start, end, step0, lookbackSec),
+          evalMatrix(points, tags, r, start, end, step0, lookbackSec), op)
       case _ =>
     }
     val step = math.max(1L, step0)
@@ -193,7 +254,7 @@ object PromQL {
     val win = expr match {
       case _: Selector      => lookbackSec
       case RangeFn(_, _, d) => d
-      case _: Agg | _: RankK | _: Quantile =>
+      case _: Agg | _: RankK | _: Quantile | _: BinOp =>
         throw new IllegalStateException("handled above")
     }
 
@@ -269,9 +330,29 @@ object PromQL {
         }
         out.select(col("path"), t, col("value"))
 
-      case _: Agg | _: RankK | _: Quantile =>
+      case _: Agg | _: RankK | _: Quantile | _: BinOp =>
         throw new IllegalStateException("handled above")
     }
+  }
+
+  /** Vector arithmetic over two matrices: equi-join on (label set
+    * without the name, slot). Both sides are already (series × slots)
+    * result matrices — fleet-sized, one shuffle each on the join key;
+    * the result is nameless like Prometheus's arithmetic output.
+    */
+  private[prom] def binOpMatrix(lm: DataFrame, rm: DataFrame, op: String): DataFrame = {
+    def keyed(m: DataFrame, v: String) = m.select(
+      regexp_replace(col("path"), "^[^?]*", "").as("path"),
+      col("t"), col("value").as(v))
+    val joined = keyed(lm, "lv").join(keyed(rm, "rv"), Seq("path", "t"))
+    val value = op match {
+      case "+" => col("lv") + col("rv")
+      case "-" => col("lv") - col("rv")
+      case "*" => col("lv") * col("rv")
+      case "/" => col("lv") / col("rv")
+      case other => throw new IllegalArgumentException(s"unsupported operator $other")
+    }
+    joined.select(col("path"), col("t"), value.as("value"))
   }
 
   /** Prometheus aggregation over matrix rows: re-key each series to

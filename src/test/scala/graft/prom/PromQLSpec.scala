@@ -77,6 +77,27 @@ class PromQLSpec extends AnyFunSuite {
       Right(PromQL.Agg("group", Seq("a"), sel)))
   }
 
+  test("parse: binary operators split at depth 0, spaced only") {
+    val sel = PromQL.Selector(Seq(("__name__", "=", "m")))
+    val seln = PromQL.Selector(Seq(("__name__", "=", "n")))
+    assert(PromQL.parse("m / n") == Right(PromQL.BinOp("/", sel, seln)))
+    assert(PromQL.parse("sum by (a) (m) / sum by (a) (n)") ==
+      Right(PromQL.BinOp("/",
+        PromQL.Agg("sum", Seq("a"), sel), PromQL.Agg("sum", Seq("a"), seln))))
+    // left-assoc chain: split at the LAST low-precedence op
+    assert(PromQL.parse("m + n - m") ==
+      Right(PromQL.BinOp("-", PromQL.BinOp("+", sel, seln), sel)))
+    // * binds tighter than +: the + is the top split
+    assert(PromQL.parse("m + n * m") ==
+      Right(PromQL.BinOp("+", sel, PromQL.BinOp("*", seln, sel))))
+    // hyphenated metric names stay selectors (operator must be spaced)
+    assert(PromQL.parse("my-metric") ==
+      Right(PromQL.Selector(Seq(("__name__", "=", "my-metric")))))
+    // ops inside parens/braces/brackets don't split
+    assert(PromQL.parse("""rate(m[5m])""") ==
+      Right(PromQL.RangeFn("rate", sel, 300L)))
+  }
+
   test("labelsOf decodes the storage path into sorted labels") {
     assert(PromQL.labelsOf("metric1?tag1=value1&tag2=v2") ==
       Seq("__name__" -> "metric1", "tag1" -> "value1", "tag2" -> "v2"))
