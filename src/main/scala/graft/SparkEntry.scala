@@ -639,6 +639,15 @@ object SparkEntry {
         col("lang"), Map("en" -> 0.5, "fr" -> 0.25), defaultRate = 0.1)
         .select("doc_id", "lang")),
 
+    // temperature mixing (tau=0.5 upsamples tail languages, 30% of
+    // the corpus kept in expectation): rates from one tiny per-key
+    // aggregate, selection a salted-hash scan filter
+    "d_sample_temp" -> ((s, dir) =>
+      Sampling.temperatureSample(
+        s.read.parquet(s"$dir/documents.parquet"),
+        col("lang"), tau = 0.5, targetFraction = 0.3)
+        .select("doc_id", "lang")),
+
     "d_split" -> ((s, dir) =>
       Sampling.split(
         s.read.parquet(s"$dir/documents.parquet"),
@@ -1303,6 +1312,13 @@ object SparkEntry {
           |WHERE ('0x' || substr(md5(doc_id::varchar), 1, 15))::bigint / 1152921504606846976.0 <
           |  CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'fr' THEN 0.25 ELSE 0.1 END""".stripMargin),
 
+      "d_sample_temp" ->
+        ("""WITH counts AS (SELECT lang, count(*)::double AS c FROM documents GROUP BY 1),
+          |tot AS (SELECT lang, c, sum(c) OVER () AS n, pow(c / sum(c) OVER (), 0.5) AS pw FROM counts),
+          |rates AS (SELECT lang, round(least(1.0, 0.3 * n * pw / sum(pw) OVER () / c), 6) AS rate FROM tot)
+          |SELECT d.doc_id, d.lang FROM documents d JOIN rates r ON d.lang = r.lang
+          |WHERE ('0x' || substr(md5(d.doc_id::varchar || '|temp'), 1, 15))::bigint / 1152921504606846976.0 < r.rate""".stripMargin),
+
       "d_split" ->
         ("""SELECT doc_id,
           |  CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
@@ -1528,7 +1544,11 @@ object SparkEntry {
            |  FROM inst WHERE event_type = 'click' GROUP BY 1, 2),
            |total AS (SELECT '?user=' || user_id AS path, t, sum(value) AS v
            |  FROM inst GROUP BY 1, 2)
-           |SELECT c.path, c.t, round(c.v / tt.v, 6) + 0 AS value
+           |SELECT c.path, c.t,
+           |  CASE WHEN tt.v <> 0 THEN round(c.v / tt.v, 6) + 0
+           |       WHEN c.v > 0 THEN 'infinity'::double
+           |       WHEN c.v < 0 THEN '-infinity'::double
+           |       ELSE 'nan'::double END AS value
            |FROM clicks c JOIN total tt ON c.path = tt.path AND c.t = tt.t""".stripMargin),
 
       "p_query_quantile" ->

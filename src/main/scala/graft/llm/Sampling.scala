@@ -55,6 +55,41 @@ object Sampling {
     df.where(hash01(col(idCol)) < rate)
   }
 
+  /** Temperature-based source mixing — the multilingual/multi-source
+    * rebalancing rule of the mT5/XLM-R pipelines: key `k` with corpus
+    * share p_k is sampled ∝ p_k^tau (tau < 1 upsamples tail sources,
+    * tau = 1 keeps the natural mix), scaled so the expected kept
+    * fraction of the corpus is `targetFraction`, with per-key accept
+    * rates capped at 1.
+    *
+    * Scale shape: the per-key count aggregate is source-cardinality-
+    * sized (small by definition), the rate table broadcasts back, and
+    * selection stays a narrow salted-hash filter on the scan — the
+    * corpus is read once and never shuffled. Rates are rounded to
+    * 6 dp so the accept boundary is engine-portable.
+    */
+  def temperatureSample(
+      df: DataFrame,
+      key: Column,
+      tau: Double,
+      targetFraction: Double,
+      idCol: String = "doc_id"): DataFrame = {
+    require(tau > 0.0 && targetFraction > 0.0 && targetFraction <= 1.0,
+      "tau > 0 and 0 < targetFraction <= 1 required")
+    val all = Window.partitionBy()
+    val rates = df.groupBy(key.as("__mix_key")).agg(count(lit(1)).cast("double").as("c"))
+      .withColumn("n", sum("c").over(all))
+      .withColumn("pw", pow(col("c") / col("n"), tau))
+      .withColumn("rate", round(
+        least(lit(1.0),
+          lit(targetFraction) * col("n") * (col("pw") / sum("pw").over(all)) / col("c")),
+        6))
+      .select(col("__mix_key"), col("rate"))
+    df.join(broadcast(rates), key === col("__mix_key"))
+      .where(hash01(col(idCol), "temp") < col("rate"))
+      .drop("__mix_key", "rate")
+  }
+
   /** Deterministic train/validation/test-style split: labels each row
     * by where its (salted) hash falls in the cumulative `fractions`
     * ladder. One pass, no shuffle, stable under retries.

@@ -349,7 +349,14 @@ object PromQL {
       case "+" => col("lv") + col("rv")
       case "-" => col("lv") - col("rv")
       case "*" => col("lv") * col("rv")
-      case "/" => col("lv") / col("rv")
+      case "/" =>
+        // IEEE semantics like Prometheus (x/0 = ±Inf, 0/0 = NaN) —
+        // spelled out because Spark 4's ANSI mode makes `/` throw on
+        // a zero divisor instead
+        when(col("rv") =!= 0.0, col("lv") / col("rv"))
+          .when(col("lv") > 0.0, lit(Double.PositiveInfinity))
+          .when(col("lv") < 0.0, lit(Double.NegativeInfinity))
+          .otherwise(lit(Double.NaN))
       case other => throw new IllegalArgumentException(s"unsupported operator $other")
     }
     joined.select(col("path"), col("t"), value.as("value"))

@@ -61,6 +61,29 @@ class SamplingSpec extends AnyFunSuite {
     ()
   }
 
+  test("temperatureSample: tau<1 upsamples tail keys, rates cap at 1, deterministic") {
+    import spark.implicits._
+    // 900 'big' vs 100 'small': natural shares 0.9/0.1; tau=0.5
+    // tempers to ~0.75/0.25 of the kept set
+    val df = ((1 to 900).map(i => (i.toLong, "big")) ++
+      (901 to 1000).map(i => (i.toLong, "small"))).toDF("doc_id", "k")
+    val kept = Sampling.temperatureSample(df, col("k"), tau = 0.5, targetFraction = 0.3)
+      .select("doc_id", "k").collect().map(r => (r.getLong(0), r.getString(1)))
+    val byKey = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    // expected rates: w_big = .9^.5/Z, w_small = .1^.5/Z with
+    // Z = .9^.5+.1^.5 → kept share big ≈ 0.75, small ≈ 0.25 of 300
+    assert(math.abs(byKey("big") - 225.0) < 40, s"big=${byKey("big")}")
+    assert(math.abs(byKey("small") - 75.0) < 25, s"small=${byKey("small")}")
+    // deterministic: a second run selects the identical ids
+    val again = Sampling.temperatureSample(df, col("k"), tau = 0.5, targetFraction = 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == kept.map(_._1).toSet)
+    // a tiny key with rate capped at 1 keeps everything
+    val capped = Sampling.temperatureSample(df, col("k"), tau = 0.1, targetFraction = 0.9)
+    val smallKept = capped.where(col("k") === "small").count()
+    assert(smallKept == 100L)
+  }
+
   test("packSequences: offsets are the running token stream; bins chop at the budget") {
     val out = Sampling.packSequences(
       docs, TextStats.tokensWhitespace(col("text")), budget = 128L, shards = 4)
