@@ -94,6 +94,11 @@ object PromQL {
     def matchers: Seq[(String, String, String)] = lhs.matchers
   }
 
+  /** A numeric literal operand (`m * 60`, `m / 100`). */
+  final case class Scalar(v: Double) extends Expr {
+    def matchers: Seq[(String, String, String)] = Seq.empty
+  }
+
   val rangeFns: Set[String] = Set(
     "rate", "increase", "avg_over_time", "sum_over_time", "min_over_time",
     "max_over_time", "count_over_time", "last_over_time")
@@ -175,7 +180,10 @@ object PromQL {
           sel <- Prom.parseSelector(inner.substring(0, brk))
         } yield RangeFn(fn, Selector(sel), d)
       case _ =>
-        Prom.parseSelector(q).map(Selector(_))
+        q.toDoubleOption match {
+          case Some(v) => Right(Scalar(v))
+          case None    => Prom.parseSelector(q).map(Selector(_))
+        }
     }
   }
 
@@ -243,9 +251,24 @@ object PromQL {
           evalMatrix(points, tags, inner, start, end, step0, lookbackSec),
           "quantile", by, phi)
       case BinOp(op, l, r) =>
-        return binOpMatrix(
-          evalMatrix(points, tags, l, start, end, step0, lookbackSec),
-          evalMatrix(points, tags, r, start, end, step0, lookbackSec), op)
+        return (l, r) match {
+          case (Scalar(_), Scalar(_)) =>
+            throw new IllegalArgumentException("scalar-only expressions are not supported")
+          case (Scalar(a), e) =>
+            scalarOpMatrix(
+              evalMatrix(points, tags, e, start, end, step0, lookbackSec),
+              op, a, scalarLeft = true)
+          case (e, Scalar(b)) =>
+            scalarOpMatrix(
+              evalMatrix(points, tags, e, start, end, step0, lookbackSec),
+              op, b, scalarLeft = false)
+          case _ =>
+            binOpMatrix(
+              evalMatrix(points, tags, l, start, end, step0, lookbackSec),
+              evalMatrix(points, tags, r, start, end, step0, lookbackSec), op)
+        }
+      case Scalar(_) =>
+        throw new IllegalArgumentException("scalar-only expressions are not supported")
       case _ =>
     }
     val step = math.max(1L, step0)
@@ -254,7 +277,7 @@ object PromQL {
     val win = expr match {
       case _: Selector      => lookbackSec
       case RangeFn(_, _, d) => d
-      case _: Agg | _: RankK | _: Quantile | _: BinOp =>
+      case _: Agg | _: RankK | _: Quantile | _: BinOp | _: Scalar =>
         throw new IllegalStateException("handled above")
     }
 
@@ -330,7 +353,7 @@ object PromQL {
         }
         out.select(col("path"), t, col("value"))
 
-      case _: Agg | _: RankK | _: Quantile | _: BinOp =>
+      case _: Agg | _: RankK | _: Quantile | _: BinOp | _: Scalar =>
         throw new IllegalStateException("handled above")
     }
   }
@@ -360,6 +383,31 @@ object PromQL {
       case other => throw new IllegalArgumentException(s"unsupported operator $other")
     }
     joined.select(col("path"), col("t"), value.as("value"))
+  }
+
+  /** Vector–scalar arithmetic: map over the matrix, keeping labels
+    * but dropping the name (as Prometheus does for any arithmetic);
+    * IEEE division semantics spelled out like [[binOpMatrix]].
+    */
+  private[prom] def scalarOpMatrix(
+      m: DataFrame, op: String, s: Double, scalarLeft: Boolean): DataFrame = {
+    val v = col("value")
+    def divide(num: Column, den: Column): Column =
+      when(den =!= 0.0, num / den)
+        .when(num > 0.0, lit(Double.PositiveInfinity))
+        .when(num < 0.0, lit(Double.NegativeInfinity))
+        .otherwise(lit(Double.NaN))
+    val out = (op, scalarLeft) match {
+      case ("+", _)     => v + lit(s)
+      case ("*", _)     => v * lit(s)
+      case ("-", false) => v - lit(s)
+      case ("-", true)  => lit(s) - v
+      case ("/", false) => divide(v, lit(s))
+      case ("/", true)  => divide(lit(s), v)
+      case (other, _) => throw new IllegalArgumentException(s"unsupported operator $other")
+    }
+    m.select(regexp_replace(col("path"), "^[^?]*", "").as("path"),
+      col("t"), out.as("value"))
   }
 
   /** Prometheus aggregation over matrix rows: re-key each series to

@@ -256,6 +256,12 @@ class HttpApiSpec extends AnyFunSuite {
     assert(qi(s"query=$aggEnc&time=$rnow") ==
       """{"status":"success","data":{"resultType":"vector","result":[""" +
       s"""{"metric":{"tag2":"value21"},"value":[$rnow,"3"]}]}}""")
+    // vector-scalar arithmetic: name dropped, labels kept
+    val mulEnc = java.net.URLEncoder.encode("""metric1{tag1="value1"} * 2""", "UTF-8")
+    assert(qi(s"query=$mulEnc&time=$rnow") ==
+      """{"status":"success","data":{"resultType":"vector","result":[""" +
+      """{"metric":{"tag1":"value1","tag2":"value21","tag3":"value3"},""" +
+      s""""value":[$rnow,"6"]}]}}""")
     // bad query → Prometheus error envelope
     val bad = get(s"/api/v1/query?query=rate(m)&time=$rnow")
     assert(bad.statusCode() == 400)

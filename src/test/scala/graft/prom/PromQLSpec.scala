@@ -96,6 +96,11 @@ class PromQLSpec extends AnyFunSuite {
     // ops inside parens/braces/brackets don't split
     assert(PromQL.parse("""rate(m[5m])""") ==
       Right(PromQL.RangeFn("rate", sel, 300L)))
+    // scalar operands parse as literals
+    assert(PromQL.parse("rate(m[5m]) * 60") ==
+      Right(PromQL.BinOp("*", PromQL.RangeFn("rate", sel, 300L), PromQL.Scalar(60.0))))
+    assert(PromQL.parse("100 * m") ==
+      Right(PromQL.BinOp("*", PromQL.Scalar(100.0), sel)))
   }
 
   test("labelsOf decodes the storage path into sorted labels") {
