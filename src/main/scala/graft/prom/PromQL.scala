@@ -99,6 +99,15 @@ object PromQL {
     def matchers: Seq[(String, String, String)] = Seq.empty
   }
 
+  /** `sel offset 1h` / `rate(m[5m] offset 1h)` — evaluate the inner
+    * selector shifted `offsetSec` into the past (the week-over-week
+    * dashboard modifier). Evaluation is the same plan on a shifted
+    * window with the grid stamps shifted back — no extra pass.
+    */
+  final case class Offset(offsetSec: Long, inner: Expr) extends Expr {
+    def matchers: Seq[(String, String, String)] = inner.matchers
+  }
+
   val rangeFns: Set[String] = Set(
     "rate", "increase", "avg_over_time", "sum_over_time", "min_over_time",
     "max_over_time", "count_over_time", "last_over_time")
@@ -169,21 +178,41 @@ object PromQL {
           case Some(p) => parse(inner).map(Quantile(p, Nil, _))
           case None    => Left(s"quantile: bad phi '$phi'")
         }
-      case fnMatch(fn, inner0) =>
+      case fnMatch(fn, inner1) =>
         if (!rangeFns(fn)) return Left(s"unsupported function: $fn")
-        val inner = inner0.trim
+        val (inner, off) = stripOffset(inner1.trim)
         if (!inner.endsWith("]")) return Left(s"$fn expects a range selector, got '$inner'")
         val brk = inner.lastIndexOf('[')
         if (brk < 0) return Left(s"$fn expects a range selector, got '$inner'")
-        for {
+        val parsed: Either[String, Expr] = for {
           d <- durationSec(inner.substring(brk + 1, inner.length - 1))
           sel <- Prom.parseSelector(inner.substring(0, brk))
         } yield RangeFn(fn, Selector(sel), d)
+        off.fold(parsed)(o => parsed.flatMap(e => o.map(Offset(_, e))))
       case _ =>
-        q.toDoubleOption match {
+        val (base, off) = stripOffset(q)
+        val parsed: Either[String, Expr] = base.toDoubleOption match {
           case Some(v) => Right(Scalar(v))
-          case None    => Prom.parseSelector(q).map(Selector(_))
+          case None    => Prom.parseSelector(base).map(Selector(_))
         }
+        off.fold(parsed) {
+          o => parsed.flatMap {
+            case s: Selector => o.map(Offset(_, s))
+            case _ => Left("offset only applies to selectors")
+          }
+        }
+    }
+  }
+
+  /** Split a trailing ` offset <dur>` modifier off an expression
+    * string. Returns (rest, None) when absent, or (rest,
+    * Some(parsed duration)).
+    */
+  private def stripOffset(s: String): (String, Option[Either[String, Long]]) = {
+    val offRe = "^(.*\\S)\\s+offset\\s+(\\S+)$".r
+    s match {
+      case offRe(rest, dur) => (rest.trim, Some(durationSec(dur)))
+      case _ => (s, None)
     }
   }
 
@@ -269,6 +298,10 @@ object PromQL {
         }
       case Scalar(_) =>
         throw new IllegalArgumentException("scalar-only expressions are not supported")
+      case Offset(o, inner) =>
+        // same plan over the shifted window, stamps shifted back
+        return evalMatrix(points, tags, inner, start - o, end - o, step0, lookbackSec)
+          .select(col("path"), (col("t") + lit(o)).as("t"), col("value"))
       case _ =>
     }
     val step = math.max(1L, step0)
@@ -277,7 +310,7 @@ object PromQL {
     val win = expr match {
       case _: Selector      => lookbackSec
       case RangeFn(_, _, d) => d
-      case _: Agg | _: RankK | _: Quantile | _: BinOp | _: Scalar =>
+      case _: Agg | _: RankK | _: Quantile | _: BinOp | _: Scalar | _: Offset =>
         throw new IllegalStateException("handled above")
     }
 
@@ -353,7 +386,7 @@ object PromQL {
         }
         out.select(col("path"), t, col("value"))
 
-      case _: Agg | _: RankK | _: Quantile | _: BinOp | _: Scalar =>
+      case _: Agg | _: RankK | _: Quantile | _: BinOp | _: Scalar | _: Offset =>
         throw new IllegalStateException("handled above")
     }
   }

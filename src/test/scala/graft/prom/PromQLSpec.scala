@@ -103,6 +103,19 @@ class PromQLSpec extends AnyFunSuite {
       Right(PromQL.BinOp("*", PromQL.Scalar(100.0), sel)))
   }
 
+  test("parse: offset modifier on instant and range selectors") {
+    val sel = PromQL.Selector(Seq(("__name__", "=", "m")))
+    assert(PromQL.parse("m offset 1h") == Right(PromQL.Offset(3600L, sel)))
+    assert(PromQL.parse("rate(m[5m] offset 1h)") ==
+      Right(PromQL.Offset(3600L, PromQL.RangeFn("rate", sel, 300L))))
+    // composes under aggregation and arithmetic (week-over-week ratio)
+    assert(PromQL.parse("sum(m offset 1w)") ==
+      Right(PromQL.Agg("sum", Nil, PromQL.Offset(604800L, sel))))
+    assert(PromQL.parse("m / m offset 1w") ==
+      Right(PromQL.BinOp("/", sel, PromQL.Offset(604800L, sel))))
+    assert(PromQL.parse("m offset 1x").isLeft)
+  }
+
   test("labelsOf decodes the storage path into sorted labels") {
     assert(PromQL.labelsOf("metric1?tag1=value1&tag2=v2") ==
       Seq("__name__" -> "metric1", "tag1" -> "value1", "tag2" -> "v2"))
