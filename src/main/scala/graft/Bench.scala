@@ -49,8 +49,11 @@ object Bench {
       }
       try {
         val first = once()
-        coldTimings(name) = first
         timings(name) = math.min(first, once())
+        // record cold only once BOTH runs succeeded: a query whose
+        // re-run throws must appear in errors alone, keeping
+        // queries/cold/errors a partition of the query set
+        coldTimings(name) = first
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)

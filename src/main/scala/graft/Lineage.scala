@@ -39,14 +39,19 @@ object Lineage {
     * `eager = false` the cut is planned but materialization happens
     * on the first action, so plan-builder APIs stay lazy.
     */
+  /** The root we last passed to `setCheckpointDir` — compared against
+    * the raw conf value, NOT `SparkContext.getCheckpointDir` (which
+    * returns the fully-qualified per-context UUID subdir and so never
+    * equals the configured root: matching against it would mint a
+    * fresh UUID dir on every truncate call).
+    */
+  private val appliedRoot = new java.util.concurrent.atomic.AtomicReference[String](null)
+
   def truncate(df: DataFrame, eager: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     spark.conf.getOption(ConfKey).filter(_.nonEmpty) match {
       case Some(dir) =>
-        val sc = spark.sparkContext
-        // setCheckpointDir creates a per-context UUID subdir under
-        // `dir`; only (re)set when the configured root changed.
-        if (!sc.getCheckpointDir.exists(_.startsWith(dir))) sc.setCheckpointDir(dir)
+        if (appliedRoot.getAndSet(dir) != dir) spark.sparkContext.setCheckpointDir(dir)
         df.checkpoint(eager)
       case None => df.localCheckpoint(eager)
     }

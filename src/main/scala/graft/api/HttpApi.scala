@@ -576,7 +576,9 @@ final class HttpApi(
   /** Unix-seconds or RFC3339 timestamp param, Prometheus-style. */
   private def promTs(key: String, v: String): Long =
     v.toDoubleOption.map(_.toLong).getOrElse(
-      try java.time.Instant.parse(v).getEpochSecond
+      // RFC3339 with any numeric zone offset, like Prometheus
+      // (Instant.parse alone only accepts the trailing-Z form)
+      try java.time.OffsetDateTime.parse(v).toEpochSecond
       catch { case _: java.time.format.DateTimeParseException =>
         throw new IllegalArgumentException(s"bad $key: '$v'") })
 
@@ -593,14 +595,21 @@ final class HttpApi(
     if (end < start) throw new IllegalArgumentException("end < start")
     val step = q.first("step") match {
       case None => 60L
-      case Some(s) => s.toDoubleOption.map(v => math.max(1L, v.toLong)).getOrElse(
+      case Some(s) => s.toDoubleOption.map(_.toLong).getOrElse(
         graft.prom.PromQL.durationSec(s).fold(
           e => throw new IllegalArgumentException(e), identity))
     }
+    // zero/negative step is a request error like Prometheus — silently
+    // clamping would evaluate a multi-million-slot grid nobody asked for
+    if (step <= 0) throw new IllegalArgumentException(
+      s"step must be positive, got $step")
     val expr = graft.prom.PromQL.parse(query).fold(
       e => throw new IllegalArgumentException(e), identity)
-    val lim = limiterFor(ex, _.tags)
-    val rows = lim.withSlot(cfg.limits.waitMs) {
+    // PromQL evaluation is a data read: admit through the render/query
+    // limiter with NO per-user override, like the reference's
+    // prometheus path (`prometheus/querier_select.go:101` takes the
+    // query limiter with an empty username) — not the tags limiter.
+    val rows = cfg.limits.render.withSlot(cfg.limits.waitMs) {
       graft.prom.PromQL.evalMatrix(points, tagsTable, expr, start, end, step)
         .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
     }
@@ -625,8 +634,8 @@ final class HttpApi(
     }
     val expr = graft.prom.PromQL.parse(query).fold(
       e => throw new IllegalArgumentException(e), identity)
-    val lim = limiterFor(ex, _.tags)
-    val rows = lim.withSlot(cfg.limits.waitMs) {
+    // render/query limiter, no user override — see promQueryRange
+    val rows = cfg.limits.render.withSlot(cfg.limits.waitMs) {
       graft.prom.PromQL.evalMatrix(points, tagsTable, expr, time, time, 1L)
         .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
     }

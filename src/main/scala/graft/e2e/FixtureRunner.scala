@@ -143,7 +143,9 @@ object FixtureRunner {
       * (`find/handler.go:169-172`, `render/handler.go:156,181`).
       */
     private def limiterWaitMs(conf: GchConfig): Long =
-      if (conf.indexTimeoutSec > 0) conf.indexTimeoutSec * 1000L else 60000L
+      // timeScale applies here like every other configured timeout, so
+      // a scaled replay preserves each check's wait-vs-delay outcome
+      (if (conf.indexTimeoutSec > 0) conf.indexTimeoutSec * 1000L else 60000L) * timeScale
 
     private def nowSec: Long = now.getEpochSecond
 

@@ -21,19 +21,24 @@ import org.apache.spark.sql.expressions.Window
   */
 object Sampling {
 
-  /** Uniform [0,1) from the first 60 md5 bits of the id's string form
-    * — deterministic, engine-portable (DuckDB:
-    * `('0x' || substr(md5(id::varchar), 1, 15))::bigint / 2^60`).
+  /** First 60 md5 bits of the id's string form as a long — the ONE
+    * spelling of the engine-portable hash contract (DuckDB twin:
+    * `('0x' || substr(md5(id::varchar), 1, 15))::bigint`). Every
+    * sampler derives from this so a change cannot de-synchronize one
+    * oracle from the others.
     */
+  def hashBits60(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Uniform [0,1) from [[hashBits60]] (÷ 2^60). */
   def hash01(id: Column): Column =
-    conv(substring(md5(id.cast("string")), 1, 15), 16, 10)
-      .cast("double") / lit(1152921504606846976d) // 2^60
+    hashBits60(id).cast("double") / lit(1152921504606846976d) // 2^60
 
   /** Salted variant: independent draws per use site (a doc sampled
     * for split A must not be correlated with its draw for split B).
     */
   def hash01(id: Column, salt: String): Column =
-    conv(substring(md5(concat(id.cast("string"), lit("|" + salt))), 1, 15), 16, 10)
+    hashBits60(concat(id.cast("string"), lit("|" + salt)))
       .cast("double") / lit(1152921504606846976d)
 
   /** Stratified sample: keep each row with its stratum's rate
@@ -121,7 +126,7 @@ object Sampling {
       df: DataFrame,
       shards: Int,
       idCol: String = "doc_id"): DataFrame = {
-    val h = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10).cast("long")
+    val h = hashBits60(col(idCol))
     val keyed = df.withColumn("shard", (h % shards).cast("int"))
     val w = Window.partitionBy("shard").orderBy(h.asc, col(idCol).asc)
     keyed.withColumn("pos", row_number().over(w).cast("long") - 1)
