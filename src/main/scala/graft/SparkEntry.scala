@@ -797,6 +797,17 @@ object SparkEntry {
         start = WFrom, end = WFrom + 30L * 86400L, step0 = 21600L,
         lookbackSec = 86400L)),
 
+    // comparison filter (alert shape): instant-vector rows surviving
+    // `> 50`, full label set and name kept (Prometheus filter mode).
+    "p_query_cmp" -> ((s, dir) =>
+      graft.prom.PromQL.evalMatrix(
+        GraphiteTables.pointsTagged(s, dir),
+        GraphiteTables.tags(s, dir),
+        graft.prom.PromQL.parse("""events{type="click"} > 50""")
+          .fold(e => throw new IllegalArgumentException(e), identity),
+        start = WFrom, end = WFrom + 30L * 86400L, step0 = 21600L,
+        lookbackSec = 86400L)),
+
     // offset modifier: yesterday's instant vector on today's grid —
     // identical plan over the shifted window, stamps shifted back.
     "p_query_offset" -> ((s, dir) =>
@@ -1536,6 +1547,20 @@ object SparkEntry {
            |  SELECT path, t, value,
            |         row_number() OVER (PARTITION BY t ORDER BY value DESC, path) AS rk
            |  FROM inst) WHERE rk <= 3""".stripMargin),
+
+      "p_query_cmp" ->
+        (s"""WITH dedup AS (
+           |  SELECT 'events?type=click&user=' || user_id AS path,
+           |         epoch_us(ts)//1000000 AS time,
+           |         arg_max(value, event_id) AS value
+           |  FROM events WHERE event_type = 'click'
+           |  GROUP BY 1, 2),
+           |grid AS (SELECT $WFrom + 21600*n AS t FROM generate_series(0, 120) g(n)),
+           |win AS (
+           |  SELECT d.path, g.t, d.value, d.time FROM dedup d
+           |  JOIN grid g ON d.time <= g.t AND d.time > g.t - 86400),
+           |inst AS (SELECT path, t, arg_max(value, time) AS value FROM win GROUP BY 1, 2)
+           |SELECT path, t, value FROM inst WHERE value > 50""".stripMargin),
 
       "p_query_offset" ->
         (s"""WITH dedup AS (

@@ -216,42 +216,53 @@ object PromQL {
     }
   }
 
-  /** Find the top-level binary operator to split at: the LAST
-    * depth-0 `+`/`-` (lowest precedence, left-assoc), else the last
-    * depth-0 `*`/`/`. The operator must be space-separated — graphite
-    * metric names may legally contain `-`/`.`, so `my-metric` stays a
-    * selector while `a - b` is arithmetic. Returns (op, lhs, rhs).
+  /** Find the top-level binary operator to split at, loosest
+    * precedence first (Prometheus order): the LAST depth-0 spaced
+    * comparison (`== != > < >= <=`), else the last `+`/`-`, else the
+    * last `*`/`/` — last occurrence for left-associativity. The
+    * operator must be space-separated — graphite metric names may
+    * legally contain `-`/`.`, so `my-metric` stays a selector while
+    * `a - b` is arithmetic. Returns (op, lhs, rhs).
     */
   private def splitBinOp(q: String): Option[(String, String, String)] = {
+    val n = q.length
+    val depth0 = new Array[Boolean](n)
     var depth = 0
     var inQuote = false
-    var lastAdd = -1
-    var lastMul = -1
     var i = 0
-    while (i < q.length) {
+    while (i < n) {
       val c = q.charAt(i)
-      def spaced = i > 0 && q.charAt(i - 1) == ' ' &&
-        i + 1 < q.length && q.charAt(i + 1) == ' '
       if (inQuote) {
-        if (c == '\\') i += 1
+        depth0(i) = false
+        if (c == '\\' && i + 1 < n) { i += 1; depth0(i) = false }
         else if (c == '"') inQuote = false
-      } else c match {
-        case '"' => inQuote = true
-        case '(' | '[' | '{' => depth += 1
-        case ')' | ']' | '}' => depth -= 1
-        case '+' | '-' if depth == 0 && spaced => lastAdd = i
-        case '*' | '/' if depth == 0 && spaced => lastMul = i
-        case _ =>
+      } else {
+        c match {
+          case '"' => inQuote = true
+          case '(' | '[' | '{' => depth += 1
+          case ')' | ']' | '}' => depth -= 1
+          case _ =>
+        }
+        depth0(i) = depth == 0 && !inQuote
       }
       i += 1
     }
-    val at = if (lastAdd >= 0) lastAdd else lastMul
-    if (at <= 0 || at >= q.length - 1) None
-    else {
-      val (l, r) = (q.substring(0, at).trim, q.substring(at + 1).trim)
-      if (l.isEmpty || r.isEmpty) None
-      else Some((q.charAt(at).toString, l, r))
-    }
+    // last depth-0 occurrence of any ` op ` from the tier
+    def lastSpaced(ops: Seq[String]): Option[(Int, String)] =
+      ops.flatMap { op =>
+        val needle = " " + op + " "
+        Iterator.iterate(q.lastIndexOf(needle))(at => q.lastIndexOf(needle, at - 1))
+          .takeWhile(_ >= 0)
+          .find(at => (at + 1 until at + 1 + op.length).forall(depth0))
+          .map(at => (at + 1, op))
+      }.sortBy(-_._1).headOption
+    lastSpaced(Seq("==", "!=", ">=", "<=", ">", "<"))
+      .orElse(lastSpaced(Seq("+", "-")))
+      .orElse(lastSpaced(Seq("*", "/")))
+      .map { case (at, op) =>
+        (op, q.substring(0, at).trim, q.substring(at + op.length).trim)
+      }
+      .filter { case (_, l, r) => l.nonEmpty && r.nonEmpty }
   }
 
   /** Evaluate `expr` on the grid `start, start+step, …, ≤ end`.
@@ -391,12 +402,36 @@ object PromQL {
     }
   }
 
+  /** Comparison operators evaluate in Prometheus's filter mode. */
+  private val cmpOps = Set(">", "<", ">=", "<=", "==", "!=")
+
+  private def cmpPred(op: String, l: Column, r: Column): Column = op match {
+    case ">"  => l > r
+    case "<"  => l < r
+    case ">=" => l >= r
+    case "<=" => l <= r
+    case "==" => l === r
+    case "!=" => l =!= r
+    case other => throw new IllegalArgumentException(s"unsupported operator $other")
+  }
+
   /** Vector arithmetic over two matrices: equi-join on (label set
     * without the name, slot). Both sides are already (series × slots)
     * result matrices — fleet-sized, one shuffle each on the join key;
     * the result is nameless like Prometheus's arithmetic output.
+    * Comparisons instead FILTER: left-side series (full path, name
+    * kept) survive where the comparison holds, like Prometheus's
+    * filter-mode comparison without `bool`.
     */
   private[prom] def binOpMatrix(lm: DataFrame, rm: DataFrame, op: String): DataFrame = {
+    if (cmpOps(op)) {
+      val key = regexp_replace(col("path"), "^[^?]*", "")
+      val l2 = lm.select(col("path"), key.as("k"), col("t"), col("value"))
+      val r2 = rm.select(key.as("k"), col("t"), col("value").as("rv"))
+      return l2.join(r2, Seq("k", "t"))
+        .where(cmpPred(op, col("value"), col("rv")))
+        .select("path", "t", "value")
+    }
     def keyed(m: DataFrame, v: String) = m.select(
       regexp_replace(col("path"), "^[^?]*", "").as("path"),
       col("t"), col("value").as(v))
@@ -425,6 +460,11 @@ object PromQL {
   private[prom] def scalarOpMatrix(
       m: DataFrame, op: String, s: Double, scalarLeft: Boolean): DataFrame = {
     val v = col("value")
+    if (cmpOps(op)) {
+      // filter mode: rows survive unchanged, full path (name) kept
+      val pred = if (scalarLeft) cmpPred(op, lit(s), v) else cmpPred(op, v, lit(s))
+      return m.where(pred).select("path", "t", "value")
+    }
     def divide(num: Column, den: Column): Column =
       when(den =!= 0.0, num / den)
         .when(num > 0.0, lit(Double.PositiveInfinity))

@@ -103,6 +103,20 @@ class PromQLSpec extends AnyFunSuite {
       Right(PromQL.BinOp("*", PromQL.Scalar(100.0), sel)))
   }
 
+  test("parse: comparison operators bind loosest, filter mode") {
+    val sel = PromQL.Selector(Seq(("__name__", "=", "m")))
+    val seln = PromQL.Selector(Seq(("__name__", "=", "n")))
+    assert(PromQL.parse("m > 10") == Right(PromQL.BinOp(">", sel, PromQL.Scalar(10.0))))
+    assert(PromQL.parse("m >= 0.5") == Right(PromQL.BinOp(">=", sel, PromQL.Scalar(0.5))))
+    assert(PromQL.parse("m != n") == Right(PromQL.BinOp("!=", sel, seln)))
+    // comparison binds looser than arithmetic
+    assert(PromQL.parse("m + n > 10") ==
+      Right(PromQL.BinOp(">", PromQL.BinOp("+", sel, seln), PromQL.Scalar(10.0))))
+    // != inside matcher braces is a matcher, not an operator
+    assert(PromQL.parse("""m{k != "v"}""") ==
+      Right(PromQL.Selector(Seq(("__name__", "=", "m"), ("k", "!=", "v")))))
+  }
+
   test("parse: offset modifier on instant and range selectors") {
     val sel = PromQL.Selector(Seq(("__name__", "=", "m")))
     assert(PromQL.parse("m offset 1h") == Right(PromQL.Offset(3600L, sel)))
