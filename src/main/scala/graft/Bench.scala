@@ -71,8 +71,21 @@ object Bench {
     val cs = coldTimings.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = timings.values.sum
+    // the stdout contract line carries queries (min-of-2) but NOT the
+    // cold map: round 6's recorded artifact was head-truncated by the
+    // driver's tail-capture once cold doubled the line length, silently
+    // losing the first ~17 entries. Everything — cold included — goes
+    // durably to target/bench.json.
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$cs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":"$sfDir"}"""
+    try {
+      val out = java.nio.file.Paths.get("target/bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, full.getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"bench.json write failed: ${e.getMessage}") }
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$cs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -39,19 +39,26 @@ object Lineage {
     * `eager = false` the cut is planned but materialization happens
     * on the first action, so plan-builder APIs stay lazy.
     */
-  /** The root we last passed to `setCheckpointDir` — compared against
-    * the raw conf value, NOT `SparkContext.getCheckpointDir` (which
-    * returns the fully-qualified per-context UUID subdir and so never
-    * equals the configured root: matching against it would mint a
-    * fresh UUID dir on every truncate call).
+  /** The root we last passed to `setCheckpointDir`, PER SparkContext —
+    * compared against the raw conf value, NOT
+    * `SparkContext.getCheckpointDir` (which returns the
+    * fully-qualified per-context UUID subdir and so never equals the
+    * configured root: matching against it would mint a fresh UUID dir
+    * on every truncate call). Keyed by context so a restarted or
+    * second context gets its own `setCheckpointDir` call instead of
+    * inheriting a stale "already applied" memo from a dead one; the
+    * weak-keyed map lets stopped contexts be collected.
     */
-  private val appliedRoot = new java.util.concurrent.atomic.AtomicReference[String](null)
+  private val appliedRoot =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.SparkContext, String]())
 
   def truncate(df: DataFrame, eager: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     spark.conf.getOption(ConfKey).filter(_.nonEmpty) match {
       case Some(dir) =>
-        if (appliedRoot.getAndSet(dir) != dir) spark.sparkContext.setCheckpointDir(dir)
+        val sc = spark.sparkContext
+        if (appliedRoot.put(sc, dir) != dir) sc.setCheckpointDir(dir)
         df.checkpoint(eager)
       case None => df.localCheckpoint(eager)
     }

@@ -846,6 +846,115 @@ object SparkEntry {
         lookbackSec = 86400L)
         .withColumn("value", round(col("value"), 6))),
 
+    // parenthesized nesting: parens force + before * (without them
+    // the * would bind tighter); one-to-one matching keys the right
+    // side's five types down to the left's click series.
+    "p_query_paren" -> ((s, dir) =>
+      graft.prom.PromQL.evalMatrix(
+        GraphiteTables.pointsTagged(s, dir),
+        GraphiteTables.tags(s, dir),
+        graft.prom.PromQL.parse("""(events{type="click"} + events) * 2""")
+          .fold(e => throw new IllegalArgumentException(e), identity),
+        start = WFrom, end = WFrom + 30L * 86400L, step0 = 21600L,
+        lookbackSec = 86400L)),
+
+    // `unless` alert-suppression shape: click series minus the slots
+    // where the same series trips `> 50` — one anti-join per slot on
+    // the full label set.
+    "p_query_setop" -> ((s, dir) =>
+      graft.prom.PromQL.evalMatrix(
+        GraphiteTables.pointsTagged(s, dir),
+        GraphiteTables.tags(s, dir),
+        graft.prom.PromQL.parse(
+          """events{type="click"} unless (events{type="click"} > 50)""")
+          .fold(e => throw new IllegalArgumentException(e), identity),
+        start = WFrom, end = WFrom + 30L * 86400L, step0 = 21600L,
+        lookbackSec = 86400L)),
+
+    // `or` over two disjoint filtered alert vectors: left rows plus
+    // the right rows whose label set has no left entry that slot.
+    "p_query_or" -> ((s, dir) =>
+      graft.prom.PromQL.evalMatrix(
+        GraphiteTables.pointsTagged(s, dir),
+        GraphiteTables.tags(s, dir),
+        graft.prom.PromQL.parse(
+          """(events{type="click"} > 50) or (events{type="view"} > 20)""")
+          .fold(e => throw new IllegalArgumentException(e), identity),
+        start = WFrom, end = WFrom + 30L * 86400L, step0 = 21600L,
+        lookbackSec = 86400L)),
+
+    // `> bool` — 0/1-valued comparison with arithmetic's label
+    // handling (name dropped), the alert-expression building block.
+    "p_query_bool" -> ((s, dir) =>
+      graft.prom.PromQL.evalMatrix(
+        GraphiteTables.pointsTagged(s, dir),
+        GraphiteTables.tags(s, dir),
+        graft.prom.PromQL.parse("""events{type="click"} > bool 50""")
+          .fold(e => throw new IllegalArgumentException(e), identity),
+        start = WFrom, end = WFrom + 30L * 86400L, step0 = 21600L,
+        lookbackSec = 86400L)),
+
+    // many-to-one: each series divided by its type-group sum
+    // (`group_left` share-of-total) — the "one" side broadcast-sized,
+    // both sides equi-joined on (type, slot), never a cartesian.
+    "p_query_groupleft" -> ((s, dir) =>
+      graft.prom.PromQL.evalMatrix(
+        GraphiteTables.pointsTagged(s, dir),
+        GraphiteTables.tags(s, dir),
+        graft.prom.PromQL.parse(
+          "events / on(type) group_left sum by (type) (events)")
+          .fold(e => throw new IllegalArgumentException(e), identity),
+        start = WFrom, end = WFrom + 30L * 86400L, step0 = 21600L,
+        lookbackSec = 86400L)
+        .withColumn("value", round(col("value"), 6))),
+
+    // histogram_quantile over cumulative `le` buckets: the bucket
+    // matrix is built from events (each sample serves its ≤4 grid
+    // slots, then fans out to the buckets ≥ its value — both explodes
+    // bounded), one hash-agg per (type, le, slot), then the kernel's
+    // labels-minus-le regroup + in-row interpolation. NaN rows (a
+    // group with a lone +Inf bucket) are dropped on both sides.
+    "p_query_histq" -> ((s, dir) => {
+      val step = 21600L; val win = 86400L; val lastSlot = 120L
+      val ev = GraphiteTables.events(s, dir)
+      val time = (col("ts") / 1000000000L).cast("long")
+      val offs = time - lit(WFrom)
+      val nMin = greatest(lit(0L), floor((offs + lit(step - 1)) / lit(step)).cast("long"))
+      val nMax = least(lit(lastSlot), floor((offs + lit(win - 1)) / lit(step)).cast("long"))
+      val buckets = Seq("25" -> 25.0, "50" -> 50.0, "100" -> 100.0,
+        "+Inf" -> Double.PositiveInfinity)
+      val leArr = array(buckets.map { case (s0, v) =>
+        struct(lit(s0).as("le"), lit(v).as("ub"))
+      }: _*)
+      val hist = ev
+        .select(col("event_type"), col("value"),
+          col("ts"), explode(leArr).as("b"))
+        .where(col("value") <= col("b.ub"))
+        .withColumn("n_min", nMin).withColumn("n_max", nMax)
+        .where(col("n_min") <= col("n_max"))
+        .select(col("event_type"), col("b.le").as("le"),
+          explode(sequence(col("n_min"), col("n_max"))).as("n"))
+        .groupBy("event_type", "le", "n")
+        .agg(count(lit(1)).cast("double").as("value"))
+        .select(
+          concat(lit("h?le="), col("le"), lit("&type="), col("event_type")).as("path"),
+          (lit(WFrom) + col("n") * lit(step)).as("t"),
+          col("value"))
+      graft.prom.PromQL.histogramQuantileMatrix(hist, 0.5)
+        .where(!isnan(col("value")))
+        .withColumn("value", round(col("value"), 6))
+    }),
+
+    // remote-read sample selection (`/api/v1/read` core): matcher
+    // find → broadcast semi-join → window → version dedup; raw
+    // samples, no grid — the caller's engine does the math.
+    "p_remote_read" -> ((s, dir) =>
+      graft.prom.Prom.remoteReadSelect(
+        GraphiteTables.pointsTagged(s, dir),
+        GraphiteTables.tags(s, dir),
+        Seq(("__name__", "=", "events"), ("type", "=", "click")),
+        startS = WFrom, endS = WFrom + 30L * 86400L)),
+
     // ----------------------------------------------------------------
     // LLM track: multimodal plumbing (binary payload, batch decode stub)
     // ----------------------------------------------------------------
@@ -1617,6 +1726,134 @@ object SparkEntry {
            |SELECT '?type=' || event_type AS path, t,
            |       round(quantile_cont(value, 0.5), 6) + 0 AS value
            |FROM inst GROUP BY 1, 2""".stripMargin),
+
+      "p_query_paren" ->
+        (s"""WITH dedup AS (
+           |  SELECT event_type, user_id,
+           |         epoch_us(ts)//1000000 AS time,
+           |         arg_max(value, event_id) AS value
+           |  FROM events
+           |  GROUP BY 1, 2, 3),
+           |grid AS (SELECT $WFrom + 21600*n AS t FROM generate_series(0, 120) g(n)),
+           |win AS (
+           |  SELECT d.event_type, d.user_id, g.t, d.value, d.time FROM dedup d
+           |  JOIN grid g ON d.time <= g.t AND d.time > g.t - 86400),
+           |inst AS (SELECT event_type, user_id, t, arg_max(value, time) AS value
+           |  FROM win GROUP BY 1, 2, 3)
+           |SELECT '?type=click&user=' || user_id AS path, t,
+           |       (value + value) * 2 AS value
+           |FROM inst WHERE event_type = 'click'""".stripMargin),
+
+      "p_query_setop" ->
+        (s"""WITH dedup AS (
+           |  SELECT 'events?type=click&user=' || user_id AS path,
+           |         epoch_us(ts)//1000000 AS time,
+           |         arg_max(value, event_id) AS value
+           |  FROM events WHERE event_type = 'click'
+           |  GROUP BY 1, 2),
+           |grid AS (SELECT $WFrom + 21600*n AS t FROM generate_series(0, 120) g(n)),
+           |win AS (
+           |  SELECT d.path, g.t, d.value, d.time FROM dedup d
+           |  JOIN grid g ON d.time <= g.t AND d.time > g.t - 86400),
+           |inst AS (SELECT path, t, arg_max(value, time) AS value FROM win GROUP BY 1, 2)
+           |SELECT path, t, value FROM inst WHERE NOT value > 50""".stripMargin),
+
+      "p_query_or" ->
+        (s"""WITH dedup AS (
+           |  SELECT event_type, user_id,
+           |         epoch_us(ts)//1000000 AS time,
+           |         arg_max(value, event_id) AS value
+           |  FROM events WHERE event_type IN ('click', 'view')
+           |  GROUP BY 1, 2, 3),
+           |grid AS (SELECT $WFrom + 21600*n AS t FROM generate_series(0, 120) g(n)),
+           |win AS (
+           |  SELECT d.event_type, d.user_id, g.t, d.value, d.time FROM dedup d
+           |  JOIN grid g ON d.time <= g.t AND d.time > g.t - 86400),
+           |inst AS (SELECT event_type, user_id, t, arg_max(value, time) AS value
+           |  FROM win GROUP BY 1, 2, 3)
+           |SELECT 'events?type=' || event_type || '&user=' || user_id AS path, t, value
+           |FROM inst
+           |WHERE (event_type = 'click' AND value > 50)
+           |   OR (event_type = 'view' AND value > 20)""".stripMargin),
+
+      "p_query_bool" ->
+        (s"""WITH dedup AS (
+           |  SELECT 'events?type=click&user=' || user_id AS path, user_id,
+           |         epoch_us(ts)//1000000 AS time,
+           |         arg_max(value, event_id) AS value
+           |  FROM events WHERE event_type = 'click'
+           |  GROUP BY 1, 2, 3),
+           |grid AS (SELECT $WFrom + 21600*n AS t FROM generate_series(0, 120) g(n)),
+           |win AS (
+           |  SELECT d.path, d.user_id, g.t, d.value, d.time FROM dedup d
+           |  JOIN grid g ON d.time <= g.t AND d.time > g.t - 86400),
+           |inst AS (SELECT path, user_id, t, arg_max(value, time) AS value
+           |  FROM win GROUP BY 1, 2, 3)
+           |SELECT '?type=click&user=' || user_id AS path, t,
+           |       CASE WHEN value > 50 THEN 1.0 ELSE 0.0 END AS value
+           |FROM inst""".stripMargin),
+
+      "p_query_groupleft" ->
+        (s"""WITH dedup AS (
+           |  SELECT event_type, user_id,
+           |         epoch_us(ts)//1000000 AS time,
+           |         arg_max(value, event_id) AS value
+           |  FROM events
+           |  GROUP BY 1, 2, 3),
+           |grid AS (SELECT $WFrom + 21600*n AS t FROM generate_series(0, 120) g(n)),
+           |win AS (
+           |  SELECT d.event_type, d.user_id, g.t, d.value, d.time FROM dedup d
+           |  JOIN grid g ON d.time <= g.t AND d.time > g.t - 86400),
+           |inst AS (SELECT event_type, user_id, t, arg_max(value, time) AS value
+           |  FROM win GROUP BY 1, 2, 3),
+           |sums AS (SELECT event_type, t, sum(value) AS s FROM inst GROUP BY 1, 2)
+           |SELECT '?type=' || i.event_type || '&user=' || i.user_id AS path, i.t,
+           |       round(i.value / s.s, 6) + 0 AS value
+           |FROM inst i JOIN sums s ON i.event_type = s.event_type AND i.t = s.t""".stripMargin),
+
+      "p_query_histq" ->
+        (s"""WITH grid AS (SELECT $WFrom + 21600*n AS t FROM generate_series(0, 120) g(n)),
+           |ev AS (SELECT event_type, epoch_us(ts)//1000000 AS time, value FROM events),
+           |win AS (
+           |  SELECT e.event_type, g.t, e.value FROM ev e
+           |  JOIN grid g ON e.time <= g.t AND e.time > g.t - 86400),
+           |hist AS (
+           |  SELECT event_type, t, u.le, count(*)::double AS cnt
+           |  FROM win, unnest([25.0, 50.0, 100.0, 'infinity'::double]) AS u(le)
+           |  WHERE value <= u.le
+           |  GROUP BY 1, 2, 3),
+           |sel AS (
+           |  SELECT event_type, t, max(cnt) AS obs, count(*) AS nb,
+           |         max(CASE WHEN NOT isinf(le) THEN le END) AS hi_fin,
+           |         min(le) AS lo_le
+           |  FROM hist GROUP BY 1, 2),
+           |pick AS (
+           |  SELECT h.event_type, h.t,
+           |         any_value(s.obs) AS obs, any_value(s.nb) AS nb,
+           |         any_value(s.hi_fin) AS hi_fin, any_value(s.lo_le) AS lo_le,
+           |         0.5 * any_value(s.obs) AS rank,
+           |         min(h.le) FILTER (WHERE h.cnt >= 0.5 * s.obs) AS b_end,
+           |         min(h.cnt) FILTER (WHERE h.cnt >= 0.5 * s.obs) AS b_cnt,
+           |         coalesce(max(h.le) FILTER (WHERE h.cnt < 0.5 * s.obs), 0) AS b_start,
+           |         coalesce(max(h.cnt) FILTER (WHERE h.cnt < 0.5 * s.obs), 0) AS prev_cnt
+           |  FROM hist h JOIN sel s USING (event_type, t)
+           |  GROUP BY 1, 2)
+           |SELECT '?type=' || event_type AS path, t,
+           |  round(CASE
+           |    WHEN isinf(b_end) THEN hi_fin
+           |    WHEN b_end = lo_le AND b_end <= 0 THEN b_end
+           |    ELSE b_start + (b_end - b_start) * (rank - prev_cnt) / (b_cnt - prev_cnt)
+           |  END, 6) + 0 AS value
+           |FROM pick WHERE nb >= 2 AND obs > 0""".stripMargin),
+
+      "p_remote_read" ->
+        (s"""SELECT 'events?type=click&user=' || user_id AS path,
+           |       epoch_us(ts)//1000000 AS time,
+           |       arg_max(value, event_id) AS value
+           |FROM events
+           |WHERE event_type = 'click'
+           |  AND epoch_us(ts)//1000000 BETWEEN $WFrom AND $WFrom + 30*86400
+           |GROUP BY 1, 2""".stripMargin),
 
       "m_features" ->
         ("""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,

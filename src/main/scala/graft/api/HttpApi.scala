@@ -218,9 +218,17 @@ final class HttpApi(
         case "/api/v1/series"                    => promSeries(ex)
         case "/api/v1/query_range"               => promQueryRange(ex)
         case "/api/v1/query"                     => promQueryInstant(ex)
+        case "/api/v1/read"                      => promRemoteRead(ex)
         case "/alive" =>
           reply(ex, 200, "text/plain", "Graphite-clickhouse is alive.\n".getBytes)
-        case "/health" => reply(ex, 200, "text/plain", "Ok\n".getBytes)
+        case "/health" =>
+          // real storage probe, not a static Ok — a dead table path
+          // must fail the LB check (`healthcheck/healthcheck.go:36-50`)
+          if (healthy())
+            reply(ex, 200, "text/plain", "Graphite-clickhouse is alive.\n".getBytes)
+          else
+            reply(ex, 503, "text/plain", "Storage healthcheck failed\n".getBytes)
+        case "/debug/config" => debugConfig(ex)
         case _         => reply(ex, 404, "text/plain", "not found\n".getBytes)
       }
     } catch {
@@ -595,7 +603,11 @@ final class HttpApi(
     if (end < start) throw new IllegalArgumentException("end < start")
     val step = q.first("step") match {
       case None => 60L
-      case Some(s) => s.toDoubleOption.map(_.toLong).getOrElse(
+      // fractional numeric steps round UP to whole seconds (Prometheus
+      // accepts "0.5"; our grid is second-resolution) — ceil, not
+      // truncate, so they don't collapse to 0 and trip the
+      // positive-step error below
+      case Some(s) => s.toDoubleOption.map(v => math.ceil(v).toLong).getOrElse(
         graft.prom.PromQL.durationSec(s).fold(
           e => throw new IllegalArgumentException(e), identity))
     }
@@ -660,6 +672,162 @@ final class HttpApi(
           .mkString("{", ",", "}")
       }
     reply(ex, 200, "application/json", promJson(series.mkString("[", ",", "]")))
+  }
+
+  // -------------------------------------------------------------
+  // /health probe, /debug/config, /api/v1/read
+  // -------------------------------------------------------------
+
+  /** Last health probe verdict and its epoch-second stamp; null until
+    * the first probe (a sentinel stamp like Long.MinValue would
+    * overflow the `now - last` age check).
+    */
+  @volatile private var healthLast: (Long, Boolean) = null
+
+  /** The reference's storage probe (`healthcheck/healthcheck.go:36-50`):
+    * a deliberately non-matching index query (wrong level, nonsense
+    * path, epoch-era date) — success means the storage path works
+    * end-to-end, the result is always empty. At most one probe per
+    * 10 s (the reference's rate), the verdict cached in between so a
+    * hammering load balancer costs one Spark job per window.
+    */
+  private def healthy(): Boolean = {
+    val now = clock().getEpochSecond
+    val cached = healthLast
+    if (cached != null && now - cached._1 < 10) cached._2
+    else {
+      val verdict =
+        try {
+          index.where(col("level") === 20002 &&
+              col("path").isin("NonExistient", "NonExistient.") &&
+              col("date") === lit("1970-02-12").cast("date"))
+            .select("path").distinct().count()
+          true
+        } catch { case NonFatal(_) => false }
+      healthLast = (now, verdict)
+      verdict
+    }
+  }
+
+  /** `/debug/config` (`graphite-clickhouse.go:573-593`): the active
+    * config marshaled as indented JSON — the ops "what is this
+    * instance actually running with" endpoint.
+    */
+  private def debugConfig(ex: HttpExchange): Unit = {
+    def js(pairs: (String, String)*): String =
+      pairs.map { case (k, v) => s"  ${jstr(k)}: $v" }.mkString("{\n", ",\n", "\n}")
+    val limiterJson = (l: Limiter.ServerLimiter) => jstr(l.toString)
+    val body = js(
+      "tablesDir" -> jstr(tablesDir),
+      "internalAggregation" -> cfg.internalAggregation.toString,
+      "appendEmptySeries" -> cfg.appendEmptySeries.toString,
+      "wildcardMinDistance" -> cfg.wildcardMinDistance.toString,
+      "tagsMinInQuery" -> cfg.tagsMinInQuery.toString,
+      "taggedAutocompleteDays" -> cfg.taggedAutocompleteDays.toString,
+      "httpWorkers" -> cfg.httpWorkers.toString,
+      "findCache" -> cfg.findCache.map(c => jstr(c.toString)).getOrElse("null"),
+      "rollupRules" -> cfg.rules.patterns.length.toString,
+      "featureFlags" -> jstr(cfg.flags.toString),
+      "limits" -> js(
+        "tags" -> limiterJson(cfg.limits.tags),
+        "render" -> limiterJson(cfg.limits.render),
+        "userOverrides" -> cfg.limits.user.size.toString,
+        "waitMs" -> cfg.limits.waitMs.toString))
+    reply(ex, 200, "application/json", (body + "\n").getBytes)
+  }
+
+  /** Prometheus remote read (`/api/v1/read`): snappy-block-compressed
+    * protobuf `ReadRequest` → matcher find → windowed raw samples →
+    * `ReadResponse` (public prompb shapes; the reference serves this
+    * via the stock web handler, `prometheus/run.go:80`). Sample
+    * streams are raw (version-deduped, no grid/rollup) — remote read
+    * returns source samples and lets the caller's PromQL engine do
+    * the math.
+    */
+  private def promRemoteRead(ex: HttpExchange): Unit = {
+    val raw = readBody(ex)
+    val body =
+      try org.xerial.snappy.Snappy.uncompress(raw)
+      catch { case NonFatal(_) =>
+        throw new IllegalArgumentException("snappy decode failed") }
+    // ReadRequest{queries=1}; Query{start_ms=1, end_ms=2, matchers=3};
+    // LabelMatcher{type=1 (EQ NEQ RE NRE), name=2, value=3}
+    final case class ReadQuery(
+        startMs: Long, endMs: Long, matchers: Seq[(String, String, String)])
+    val queries = Seq.newBuilder[ReadQuery]
+    val r = new Wire.Reader(body)
+    while (r.hasNext) {
+      val (field, wt) = r.nextField()
+      if (field == 1 && wt == Wire.LengthDelimited) {
+        val qr = r.lengthDelimited()
+        var startMs = 0L; var endMs = 0L
+        val ms = Seq.newBuilder[(String, String, String)]
+        while (qr.hasNext) {
+          val (f, w) = qr.nextField()
+          f match {
+            case 1 => startMs = qr.varint()
+            case 2 => endMs = qr.varint()
+            case 3 =>
+              val mr = qr.lengthDelimited()
+              var typ = 0L; var name = ""; var value = ""
+              while (mr.hasNext) {
+                val (mf, mw) = mr.nextField()
+                mf match {
+                  case 1 => typ = mr.varint()
+                  case 2 => name = mr.stringValue()
+                  case 3 => value = mr.stringValue()
+                  case _ => mr.skip(mw)
+                }
+              }
+              val op = typ match {
+                case 0 => "="
+                case 1 => "!="
+                case 2 => "=~"
+                case 3 => "!~"
+                case t => throw new IllegalArgumentException(s"unknown matcher type $t")
+              }
+              ms += ((name, op, value))
+            case _ => qr.skip(w)
+          }
+        }
+        queries += ReadQuery(startMs, endMs, ms.result())
+      } else r.skip(wt)
+    }
+    // remote read is a data read: render/query limiter, like the
+    // reference's RemoteReadConcurrencyLimit seam
+    val out = new Wire.Buf
+    cfg.limits.render.withSlot(cfg.limits.waitMs) {
+      queries.result().foreach { q =>
+        val startS = Math.floorDiv(q.startMs, 1000L)
+        val endS = Math.floorDiv(q.endMs + 999L, 1000L)
+        val pts = graft.prom.Prom.remoteReadSelect(
+          points, tagsTable, q.matchers, startS, endS)
+        val rows = pts.collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        // QueryResult{timeseries=1}; TimeSeries{labels=1, samples=2};
+        // Label{name=1, value=2}; Sample{value=1 (fixed64), ts_ms=2}
+        val result = new Wire.Buf
+        rows.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (path, rs) =>
+          val series = new Wire.Buf
+          graft.prom.PromQL.labelsOf(path).foreach { case (k, v) =>
+            val lb = new Wire.Buf
+            lb.string(1, k).string(2, v)
+            series.tag(1, Wire.LengthDelimited).varint(lb.size.toLong).raw(lb.bytes)
+          }
+          rs.sortBy(_._2).foreach { case (_, t, v) =>
+            val sb = new Wire.Buf
+            sb.tag(1, 1).doubleLE(v)
+            sb.tag(2, 0).varint(t * 1000L)
+            series.tag(2, Wire.LengthDelimited).varint(sb.size.toLong).raw(sb.bytes)
+          }
+          result.tag(1, Wire.LengthDelimited).varint(series.size.toLong).raw(series.bytes)
+        }
+        out.tag(1, Wire.LengthDelimited).varint(result.size.toLong).raw(result.bytes)
+      }
+    }
+    ex.getResponseHeaders.set("Content-Encoding", "snappy")
+    reply(ex, 200, "application/x-protobuf",
+      org.xerial.snappy.Snappy.compress(out.bytes))
   }
 
   // -------------------------------------------------------------

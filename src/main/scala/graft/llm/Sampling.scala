@@ -85,9 +85,13 @@ object Sampling {
     val rates = df.groupBy(key.as("__mix_key")).agg(count(lit(1)).cast("double").as("c"))
       .withColumn("n", sum("c").over(all))
       .withColumn("pw", pow(col("c") / col("n"), tau))
+      // left-associated exactly like the DuckDB oracle twin
+      // (`0.3 * n * pw / sum(pw) OVER () / c`) — a different float
+      // association could round differently at the 6-dp boundary and
+      // de-synchronize the accept set between engines
       .withColumn("rate", round(
         least(lit(1.0),
-          lit(targetFraction) * col("n") * (col("pw") / sum("pw").over(all)) / col("c")),
+          lit(targetFraction) * col("n") * col("pw") / sum("pw").over(all) / col("c")),
         6))
       .select(col("__mix_key"), col("rate"))
     df.join(broadcast(rates), key === col("__mix_key"))

@@ -146,4 +146,32 @@ object Prom {
       col("path"),
       (col("time") * 1000).as("t_ms"),
       col("value"))
+
+  /** Remote-read sample selection (`/api/v1/read`): matcher find over
+    * the date-windowed tagged index, semi-join the points scan on the
+    * (broadcast-sized) found paths, window on time, version-dedup —
+    * raw source samples, no grid/rollup, because remote read hands the
+    * math to the caller's own PromQL engine
+    * (`prometheus/querier_select.go:95-147`). One shuffle (the dedup
+    * hash-agg); the path join is broadcast.
+    */
+  def remoteReadSelect(
+      points: DataFrame,
+      tags: DataFrame,
+      matchers: Seq[(String, String, String)],
+      startS: Long,
+      endS: Long): DataFrame = {
+    val dated = tags.where(
+      col("date").between(
+        to_date(timestamp_seconds(lit(startS))),
+        to_date(timestamp_seconds(lit(endS)))))
+    val paths = findByMatchers(dated, matchers)
+    val scanned = points
+      .join(broadcast(paths), Seq("path"), "left_semi")
+      .where(col("time") >= lit(startS) && col("time") <= lit(endS))
+    if (scanned.columns.contains("version"))
+      scanned.groupBy("path", "time")
+        .agg(max_by(col("value"), col("version")).as("value"))
+    else scanned.select("path", "time", "value")
+  }
 }

@@ -24,7 +24,14 @@ class PlanAuditSpec extends AnyFunSuite {
     "d_simhash_pairs", "e_lsh_knn", "e_lsh_knn_multi",
     "e_neardup", "g_render_headline",
     "g_render_headline_scalable", "p_query_range", "p_query_topk",
-    "q_semijoin", "g_hotcold")
+    "q_semijoin", "g_hotcold",
+    // PromQL binary/set/matching evaluator: every vector-vector
+    // combinator must stay an equi-join on (match key, slot) —
+    // whatever the on/ignoring/group_left modifiers — never a
+    // cartesian (`PromQL.binOpMatrix`/`setOpMatrix`)
+    "p_query_binop", "p_query_paren", "p_query_setop", "p_query_or",
+    "p_query_bool", "p_query_groupleft", "p_query_histq",
+    "p_remote_read")
 
   for (name <- audited) {
     test(s"$name: no cartesian or nested-loop join in the physical plan") {
@@ -58,5 +65,28 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("p_query_range: matched series reach the sample scan via broadcast") {
     assert(plan("p_query_range").contains("BroadcastHashJoin"))
+  }
+
+  test("p_query_groupleft: many-to-one matching is a hash equi-join") {
+    // group_left joins the fleet-sized "many" side to the per-group
+    // "one" side on (key, slot) — a hash join, never a nested loop
+    val p = plan("p_query_groupleft")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      "no equi-join in p_query_groupleft")
+  }
+
+  test("p_remote_read: found paths reach the points scan via broadcast semi-join") {
+    val p = plan("p_remote_read")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "remote read must broadcast the found-path set")
+  }
+
+  test("p_query_histq: bucket regroup is one hash aggregate, no join after the matrix") {
+    // histogram_quantile's interpolation lives inside the aggregate
+    // row (collect_list of scrape-config-sized buckets) — adding a
+    // join or window here would shuffle the matrix twice
+    val p = plan("p_query_histq")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      "no collect_list aggregate in p_query_histq")
   }
 }

@@ -310,6 +310,119 @@ class HttpApiSpec extends AnyFunSuite {
     } finally limited.stop()
   }
 
+  test("/health probes storage: 200 on a live table set, 503 on a dead one") {
+    val ok = get("/health")
+    assert(ok.statusCode() == 200)
+    assert(new String(ok.body()) == "Graphite-clickhouse is alive.\n")
+    // an api bound to a nonexistent tables dir must FAIL the probe —
+    // the reference's healthcheck runs a real index query
+    // (`healthcheck/healthcheck.go:36-50`), not a static Ok
+    val deadApi = new HttpApi(
+      spark, "/nonexistent/graft-tables",
+      HttpApi.Config(rules = rules, flags = FeatureFlags()),
+      clock = () => now).start()
+    try {
+      val r = client.send(
+        HttpRequest.newBuilder(URI.create(deadApi.address + "/health")).GET().build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(r.statusCode() == 503)
+      assert(new String(r.body()).contains("healthcheck failed"))
+    } finally deadApi.stop()
+  }
+
+  test("/debug/config dumps the active config as JSON") {
+    val r = get("/debug/config")
+    assert(r.statusCode() == 200)
+    val body = new String(r.body())
+    assert(body.contains("\"tablesDir\""))
+    assert(body.contains("\"wildcardMinDistance\""))
+    assert(body.contains("\"limits\""))
+    // it's the ACTIVE config, not a template: the spec's find cache
+    assert(body.contains("\"findCache\""))
+  }
+
+  test("/api/v1/read: snappy protobuf remote-read round-trip") {
+    // ReadRequest{queries=1}; Query{start_ms=1, end_ms=2, matchers=3};
+    // LabelMatcher{type=1 (0=EQ), name=2, value=3}
+    def matcher(typ: Long, name: String, value: String): Wire.Buf = {
+      val b = new Wire.Buf
+      b.tag(1, 0).varint(typ)
+      b.string(2, name).string(3, value)
+      b
+    }
+    val q = new Wire.Buf
+    q.tag(1, 0).varint((rnow - 30) * 1000L)
+    q.tag(2, 0).varint(rnow * 1000L)
+    Seq(matcher(0, "__name__", "metric1"), matcher(0, "tag1", "value1")).foreach { m =>
+      q.tag(3, Wire.LengthDelimited).varint(m.size.toLong).raw(m.bytes)
+    }
+    val req = new Wire.Buf
+    req.tag(1, Wire.LengthDelimited).varint(q.size.toLong).raw(q.bytes)
+
+    val r = post("/api/v1/read", org.xerial.snappy.Snappy.compress(req.bytes))
+    assert(r.statusCode() == 200, new String(r.body()))
+    assert(r.headers().firstValue("Content-Encoding").orElse("") == "snappy")
+    val body = org.xerial.snappy.Snappy.uncompress(r.body())
+
+    // ReadResponse{results=1}; QueryResult{timeseries=1};
+    // TimeSeries{labels=1, samples=2}; Label{name=1, value=2};
+    // Sample{value=1 fixed64, timestamp_ms=2}
+    val rd = new Wire.Reader(body)
+    var labels = Seq.empty[(String, String)]
+    var samples = Seq.empty[(Long, Double)]
+    var nSeries = 0
+    while (rd.hasNext) {
+      val (f, w) = rd.nextField()
+      assert(f == 1 && w == Wire.LengthDelimited)
+      val qr = rd.lengthDelimited()
+      while (qr.hasNext) {
+        val (f2, w2) = qr.nextField()
+        if (f2 == 1 && w2 == Wire.LengthDelimited) {
+          nSeries += 1
+          val ts = qr.lengthDelimited()
+          while (ts.hasNext) {
+            val (f3, w3) = ts.nextField()
+            f3 match {
+              case 1 =>
+                val lb = ts.lengthDelimited()
+                var n = ""; var v = ""
+                while (lb.hasNext) {
+                  val (f4, w4) = lb.nextField()
+                  f4 match {
+                    case 1 => n = lb.stringValue()
+                    case 2 => v = lb.stringValue()
+                    case _ => lb.skip(w4)
+                  }
+                }
+                labels :+= ((n, v))
+              case 2 =>
+                val sb = ts.lengthDelimited()
+                var value = 0.0; var tms = 0L
+                while (sb.hasNext) {
+                  val (f4, w4) = sb.nextField()
+                  f4 match {
+                    case 1 => value = sb.doubleLE()
+                    case 2 => tms = sb.varint()
+                    case _ => sb.skip(w4)
+                  }
+                }
+                samples :+= ((tms, value))
+              case _ => ts.skip(w3)
+            }
+          }
+        } else qr.skip(w2)
+      }
+    }
+    assert(nSeries == 1)
+    assert(labels == Seq(
+      "__name__" -> "metric1", "tag1" -> "value1",
+      "tag2" -> "value21", "tag3" -> "value3"))
+    // raw source samples at ms resolution, version-deduped, time-windowed
+    assert(samples == Seq(
+      (rnow - 30) * 1000L -> 2.0, (rnow - 20) * 1000L -> 2.5,
+      (rnow - 10) * 1000L -> 2.0, rnow * 1000L -> 3.0))
+  }
+
   test("unknown route is 404") {
     assert(get("/nope").statusCode() == 404)
   }

@@ -130,6 +130,92 @@ class PromQLSpec extends AnyFunSuite {
     assert(PromQL.parse("m offset 1x").isLeft)
   }
 
+  test("parse: parenthesized expressions group explicitly") {
+    val sel = PromQL.Selector(Seq(("__name__", "=", "m")))
+    val seln = PromQL.Selector(Seq(("__name__", "=", "n")))
+    assert(PromQL.parse("(m)") == Right(sel))
+    assert(PromQL.parse("(m + n) / m") ==
+      Right(PromQL.BinOp("/", PromQL.BinOp("+", sel, seln), sel)))
+    assert(PromQL.parse("m / (m + n)") ==
+      Right(PromQL.BinOp("/", sel, PromQL.BinOp("+", sel, seln))))
+    assert(PromQL.parse("((m))") == Right(sel))
+    // `(m) (n)` is not a wrapper — the first paren closes mid-string
+    assert(PromQL.parse("(m) (n)").isLeft)
+  }
+
+  test("parse: set operators, loosest precedence (or < and/unless < cmp)") {
+    val sel = PromQL.Selector(Seq(("__name__", "=", "m")))
+    val seln = PromQL.Selector(Seq(("__name__", "=", "n")))
+    assert(PromQL.parse("m and n") == Right(PromQL.SetOp("and", sel, seln)))
+    assert(PromQL.parse("m unless n") == Right(PromQL.SetOp("unless", sel, seln)))
+    assert(PromQL.parse("m and n or m") ==
+      Right(PromQL.SetOp("or", PromQL.SetOp("and", sel, seln), sel)))
+    // comparison binds tighter than the set op
+    assert(PromQL.parse("m unless n > 10") ==
+      Right(PromQL.SetOp("unless", sel,
+        PromQL.BinOp(">", seln, PromQL.Scalar(10.0)))))
+    // set ops need vector operands
+    assert(PromQL.parse("m and 1").isLeft)
+    // no grouping allowed for set operators
+    assert(PromQL.parse("m and on(a) group_left n").isLeft)
+    // but on/ignoring keys are fine
+    assert(PromQL.parse("m and on(a) n") ==
+      Right(PromQL.SetOp("and", sel, seln,
+        PromQL.Matching(on = true, Seq("a"), PromQL.Matching.OneToOne, Nil))))
+  }
+
+  test("parse: on/ignoring and group_left/group_right modifiers") {
+    val sel = PromQL.Selector(Seq(("__name__", "=", "m")))
+    val seln = PromQL.Selector(Seq(("__name__", "=", "n")))
+    assert(PromQL.parse("m / on(job) n") ==
+      Right(PromQL.BinOp("/", sel, seln, boolMode = false,
+        PromQL.Matching(on = true, Seq("job"), PromQL.Matching.OneToOne, Nil))))
+    assert(PromQL.parse("m / ignoring(a, b) n") ==
+      Right(PromQL.BinOp("/", sel, seln, boolMode = false,
+        PromQL.Matching(on = false, Seq("a", "b"), PromQL.Matching.OneToOne, Nil))))
+    assert(PromQL.parse("m / on(job) group_left n") ==
+      Right(PromQL.BinOp("/", sel, seln, boolMode = false,
+        PromQL.Matching(on = true, Seq("job"), PromQL.Matching.GroupLeft, Nil))))
+    assert(PromQL.parse("m / on(job) group_left(ver) n") ==
+      Right(PromQL.BinOp("/", sel, seln, boolMode = false,
+        PromQL.Matching(on = true, Seq("job"), PromQL.Matching.GroupLeft, Seq("ver")))))
+    assert(PromQL.parse("m * on(job) group_right n") ==
+      Right(PromQL.BinOp("*", sel, seln, boolMode = false,
+        PromQL.Matching(on = true, Seq("job"), PromQL.Matching.GroupRight, Nil))))
+    // group modifiers require an on/ignoring clause (like Prometheus)
+    assert(PromQL.parse("m / group_left n").isLeft)
+    // matching modifiers need vector operands
+    assert(PromQL.parse("m / on(job) 5").isLeft)
+  }
+
+  test("parse: bool modifier on comparisons; % and ^ operators") {
+    val sel = PromQL.Selector(Seq(("__name__", "=", "m")))
+    val seln = PromQL.Selector(Seq(("__name__", "=", "n")))
+    assert(PromQL.parse("m > bool 10") ==
+      Right(PromQL.BinOp(">", sel, PromQL.Scalar(10.0), boolMode = true)))
+    assert(PromQL.parse("m == bool n") ==
+      Right(PromQL.BinOp("==", sel, seln, boolMode = true)))
+    // bool only applies to comparisons
+    assert(PromQL.parse("m + bool n").isLeft)
+    assert(PromQL.parse("m % n") == Right(PromQL.BinOp("%", sel, seln)))
+    assert(PromQL.parse("m ^ n") == Right(PromQL.BinOp("^", sel, seln)))
+    // ^ binds tightest
+    assert(PromQL.parse("m * n ^ m") ==
+      Right(PromQL.BinOp("*", sel, PromQL.BinOp("^", seln, sel))))
+  }
+
+  test("parse: histogram_quantile") {
+    val sel = PromQL.Selector(Seq(("__name__", "=", "m")))
+    assert(PromQL.parse("histogram_quantile(0.9, m)") ==
+      Right(PromQL.HistQuantile(0.9, sel)))
+    assert(PromQL.parse("histogram_quantile(0.99, rate(m[5m]))") ==
+      Right(PromQL.HistQuantile(0.99, PromQL.RangeFn("rate", sel, 300L))))
+    // φ outside [0,1] parses (evaluates to ±Inf, like Prometheus)
+    assert(PromQL.parse("histogram_quantile(1.5, m)") ==
+      Right(PromQL.HistQuantile(1.5, sel)))
+    assert(PromQL.parse("histogram_quantile(x, m)").isLeft)
+  }
+
   test("labelsOf decodes the storage path into sorted labels") {
     assert(PromQL.labelsOf("metric1?tag1=value1&tag2=v2") ==
       Seq("__name__" -> "metric1", "tag1" -> "value1", "tag2" -> "v2"))
@@ -145,5 +231,120 @@ class PromQLSpec extends AnyFunSuite {
     assert(PromQL.fmtValue(0.15) == "0.15")
     assert(PromQL.fmtValue(Double.NaN) == "NaN")
     assert(PromQL.fmtValue(Double.PositiveInfinity) == "+Inf")
+  }
+}
+
+/** Matrix-combinator evaluation vectors for the binary/set/histogram
+  * operators, on hand-built (path, t, value) matrices (the full
+  * selector→matrix path is exercised over HTTP in `HttpApiSpec` and
+  * by the `p_query_*` oracle queries).
+  */
+class PromQLEvalSpec extends AnyFunSuite {
+  private lazy val spark = graft.SparkTestBase.spark
+
+  private def matrix(rows: (String, Long, Double)*) = {
+    import spark.implicits._
+    rows.toDF("path", "t", "value")
+  }
+
+  private def rowSet(df: org.apache.spark.sql.DataFrame): Set[(String, Long, Double)] =
+    df.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("set operators: and/unless/or keyed per slot") {
+    val lm = matrix(("m?a=1", 0L, 1.0), ("m?a=2", 0L, 2.0), ("m?a=1", 60L, 3.0))
+    val rm = matrix(("n?a=1", 0L, 9.0))
+    assert(rowSet(PromQL.setOpMatrix(lm, rm, "and", PromQL.Matching.default)) ==
+      Set(("m?a=1", 0L, 1.0)))
+    assert(rowSet(PromQL.setOpMatrix(lm, rm, "unless", PromQL.Matching.default)) ==
+      Set(("m?a=2", 0L, 2.0), ("m?a=1", 60L, 3.0)))
+    // or: left rows, plus right rows whose key has no left entry then
+    val rm2 = matrix(("n?a=1", 0L, 9.0), ("n?a=3", 0L, 7.0))
+    assert(rowSet(PromQL.setOpMatrix(lm, rm2, "or", PromQL.Matching.default)) ==
+      Set(("m?a=1", 0L, 1.0), ("m?a=2", 0L, 2.0), ("m?a=1", 60L, 3.0),
+        ("n?a=3", 0L, 7.0)))
+  }
+
+  test("on(...) match key restricts; one-to-one output is the key") {
+    val lm = matrix(("m?inst=1&job=x", 0L, 10.0))
+    val rm = matrix(("s?job=x", 0L, 5.0))
+    val m = PromQL.Matching(on = true, Seq("job"), PromQL.Matching.OneToOne, Nil)
+    assert(rowSet(PromQL.binOpMatrix(lm, rm, "/", boolMode = false, m)) ==
+      Set(("?job=x", 0L, 2.0)))
+    // ignoring(inst) keys on the remaining labels (job)
+    val mi = PromQL.Matching(on = false, Seq("inst"), PromQL.Matching.OneToOne, Nil)
+    assert(rowSet(PromQL.binOpMatrix(lm, rm, "/", boolMode = false, mi)) ==
+      Set(("?job=x", 0L, 2.0)))
+  }
+
+  test("group_left: many-to-one with include labels from the one side") {
+    val lm = matrix(("m?inst=1&job=x", 0L, 10.0), ("m?inst=2&job=x", 0L, 20.0))
+    val rm = matrix(("s?job=x&ver=2", 0L, 5.0))
+    val m = PromQL.Matching(on = true, Seq("job"), PromQL.Matching.GroupLeft, Nil)
+    assert(rowSet(PromQL.binOpMatrix(lm, rm, "/", boolMode = false, m)) ==
+      Set(("?inst=1&job=x", 0L, 2.0), ("?inst=2&job=x", 0L, 4.0)))
+    val minc = PromQL.Matching(on = true, Seq("job"), PromQL.Matching.GroupLeft, Seq("ver"))
+    assert(rowSet(PromQL.binOpMatrix(lm, rm, "/", boolMode = false, minc)) ==
+      Set(("?inst=1&job=x&ver=2", 0L, 2.0), ("?inst=2&job=x&ver=2", 0L, 4.0)))
+    // group_right mirrors: many side on the right
+    val mr = PromQL.Matching(on = true, Seq("job"), PromQL.Matching.GroupRight, Nil)
+    assert(rowSet(PromQL.binOpMatrix(rm, lm, "/", boolMode = false, mr)) ==
+      Set(("?inst=1&job=x", 0L, 0.5), ("?inst=2&job=x", 0L, 0.25)))
+  }
+
+  test("bool comparisons emit 0/1 with arithmetic label handling") {
+    val lm = matrix(("m?a=1", 0L, 10.0), ("m?a=2", 0L, 1.0))
+    val rm = matrix(("n?a=1", 0L, 5.0), ("n?a=2", 0L, 5.0))
+    assert(rowSet(PromQL.binOpMatrix(lm, rm, ">", boolMode = true, PromQL.Matching.default)) ==
+      Set(("?a=1", 0L, 1.0), ("?a=2", 0L, 0.0)))
+    // filter mode dedups a duplicate right key deterministically (max)
+    val rdup = matrix(("n?a=1", 0L, 5.0), ("o?a=1", 0L, 50.0))
+    assert(rowSet(PromQL.binOpMatrix(lm, rdup, ">", boolMode = false, PromQL.Matching.default)) ==
+      Set.empty[(String, Long, Double)]) // 10 > max(5, 50) fails
+  }
+
+  test("histogram_quantile interpolates within sorted le buckets") {
+    val lm = matrix(
+      ("h?job=a&le=0.1", 0L, 1.0),
+      ("h?job=a&le=0.5", 0L, 3.0),
+      ("h?job=a&le=+Inf", 0L, 4.0))
+    // rank = 0.5*4 = 2 → bucket (0.1, 0.5], interp 0.1 + 0.4*(2-1)/(3-1)
+    val out = rowSet(PromQL.histogramQuantileMatrix(lm, 0.5))
+    assert(out.map(_._1) == Set("?job=a"))
+    assert(math.abs(out.head._3 - 0.3) < 1e-12)
+    // φ = 1 lands in +Inf → highest finite bound
+    assert(rowSet(PromQL.histogramQuantileMatrix(lm, 1.0)) ==
+      Set(("?job=a", 0L, 0.5)))
+    // φ outside [0,1] → ±Inf
+    assert(rowSet(PromQL.histogramQuantileMatrix(lm, 1.5)) ==
+      Set(("?job=a", 0L, Double.PositiveInfinity)))
+    assert(rowSet(PromQL.histogramQuantileMatrix(lm, -0.5)) ==
+      Set(("?job=a", 0L, Double.NegativeInfinity)))
+    // no +Inf bucket → NaN
+    val noInf = matrix(("h?job=a&le=0.1", 0L, 1.0), ("h?job=a&le=0.5", 0L, 3.0))
+    assert(rowSet(PromQL.histogramQuantileMatrix(noInf, 0.5)).head._3.isNaN)
+    // first bucket with le <= 0 resolves to its own bound
+    val negFirst = matrix(
+      ("h?job=a&le=-1", 0L, 5.0),
+      ("h?job=a&le=1", 0L, 8.0),
+      ("h?job=a&le=+Inf", 0L, 10.0))
+    assert(rowSet(PromQL.histogramQuantileMatrix(negFirst, 0.3)) ==
+      Set(("?job=a", 0L, -1.0)))
+    // full-parse e2e: histogram_quantile over a selector, per group
+    val expr = PromQL.parse("histogram_quantile(0.5, h)").toOption.get
+    val pts = matrix(
+      ("h?job=a&le=0.1", 0L, 1.0), ("h?job=a&le=0.5", 0L, 3.0),
+      ("h?job=a&le=+Inf", 0L, 4.0),
+      ("h?job=b&le=0.1", 0L, 4.0), ("h?job=b&le=+Inf", 0L, 4.0))
+      .withColumnRenamed("t", "time")
+    val tags = graft.engine.GraphiteTables.expandTagRows(
+      pts.select(org.apache.spark.sql.functions.col("path"))
+        .distinct()
+        .withColumn("date", org.apache.spark.sql.functions.lit("1970-01-01").cast("date"))
+        .withColumn("version", org.apache.spark.sql.functions.lit(0L)))
+    val out2 = rowSet(PromQL.evalMatrix(pts, tags, expr, 0L, 0L, 1L, lookbackSec = 300L))
+    assert(out2.exists(r => r._1 == "?job=a" && math.abs(r._3 - 0.3) < 1e-12))
+    // job=b: rank 2 falls in the first bucket (cnt 4 ≥ 2, le 0.1 > 0)
+    // → interpolate from 0: 0 + 0.1*(2-0)/(4-0) = 0.05
+    assert(out2.exists(r => r._1 == "?job=b" && math.abs(r._3 - 0.05) < 1e-12))
   }
 }
