@@ -955,6 +955,145 @@ object SparkEntry {
         Seq(("__name__", "=", "events"), ("type", "=", "click")),
         startS = WFrom, endS = WFrom + 30L * 86400L)),
 
+    // `without` grouping: keep every label but `user` (and the name)
+    // — same single extra hash aggregate as `by`, inverted key.
+    "p_query_without" -> ((s, dir) =>
+      graft.prom.PromQL.evalMatrix(
+        GraphiteTables.pointsTagged(s, dir),
+        GraphiteTables.tags(s, dir),
+        graft.prom.PromQL.parse("sum without (user) (events)")
+          .fold(e => throw new IllegalArgumentException(e), identity),
+        start = WFrom, end = WFrom + 30L * 86400L, step0 = 21600L,
+        lookbackSec = 86400L)
+        .withColumn("value", round(col("value"), 6))),
+
+    // scalar math: clamp into [40, 60] — name dropped, labels kept,
+    // one projection over the matrix.
+    "p_query_math" -> ((s, dir) =>
+      graft.prom.PromQL.evalMatrix(
+        GraphiteTables.pointsTagged(s, dir),
+        GraphiteTables.tags(s, dir),
+        graft.prom.PromQL.parse("""clamp(events{type="click"}, 40, 60)""")
+          .fold(e => throw new IllegalArgumentException(e), identity),
+        start = WFrom, end = WFrom + 30L * 86400L, step0 = 21600L,
+        lookbackSec = 86400L)),
+
+    // gauge delta over the range window (classic last-minus-first,
+    // same declared divergence as rate).
+    "p_query_delta" -> ((s, dir) =>
+      graft.prom.PromQL.evalMatrix(
+        GraphiteTables.pointsTagged(s, dir),
+        GraphiteTables.tags(s, dir),
+        graft.prom.PromQL.parse("delta(events[1d])")
+          .fold(e => throw new IllegalArgumentException(e), identity),
+        start = WFrom, end = WFrom + 30L * 86400L, step0 = 21600L,
+        lookbackSec = 86400L)
+        .withColumn("value", round(col("value"), 6))),
+
+    // instant rate from the last two samples, counter-reset aware.
+    "p_query_irate" -> ((s, dir) =>
+      graft.prom.PromQL.evalMatrix(
+        GraphiteTables.pointsTagged(s, dir),
+        GraphiteTables.tags(s, dir),
+        graft.prom.PromQL.parse("irate(events[1d])")
+          .fold(e => throw new IllegalArgumentException(e), identity),
+        start = WFrom, end = WFrom + 30L * 86400L, step0 = 21600L,
+        lookbackSec = 86400L)
+        .withColumn("value", round(col("value"), 6))),
+
+    // least-squares slope per (series, slot) — plain sum aggregates
+    // over slot-centered time, no sample list.
+    "p_query_deriv" -> ((s, dir) =>
+      graft.prom.PromQL.evalMatrix(
+        GraphiteTables.pointsTagged(s, dir),
+        GraphiteTables.tags(s, dir),
+        graft.prom.PromQL.parse("deriv(events[1d])")
+          .fold(e => throw new IllegalArgumentException(e), identity),
+        start = WFrom, end = WFrom + 30L * 86400L, step0 = 21600L,
+        lookbackSec = 86400L)
+        .withColumn("value", round(col("value"), 6))),
+
+    // linear prediction one hour past each slot (the disk-full alert
+    // shape): intercept-at-slot + slope · 3600.
+    "p_query_predict" -> ((s, dir) =>
+      graft.prom.PromQL.evalMatrix(
+        GraphiteTables.pointsTagged(s, dir),
+        GraphiteTables.tags(s, dir),
+        graft.prom.PromQL.parse("predict_linear(events[1d], 3600)")
+          .fold(e => throw new IllegalArgumentException(e), identity),
+        start = WFrom, end = WFrom + 30L * 86400L, step0 = 21600L,
+        lookbackSec = 86400L)
+        .withColumn("value", round(col("value"), 6))),
+
+    // exact interpolated in-window quantile.
+    "p_query_quantile_ot" -> ((s, dir) =>
+      graft.prom.PromQL.evalMatrix(
+        GraphiteTables.pointsTagged(s, dir),
+        GraphiteTables.tags(s, dir),
+        graft.prom.PromQL.parse("quantile_over_time(0.9, events[1d])")
+          .fold(e => throw new IllegalArgumentException(e), identity),
+        start = WFrom, end = WFrom + 30L * 86400L, step0 = 21600L,
+        lookbackSec = 86400L)
+        .withColumn("value", round(col("value"), 6))),
+
+    // value-change count per window (sorted in-aggregate pair fold).
+    "p_query_changes" -> ((s, dir) =>
+      graft.prom.PromQL.evalMatrix(
+        GraphiteTables.pointsTagged(s, dir),
+        GraphiteTables.tags(s, dir),
+        graft.prom.PromQL.parse("changes(events[1d])")
+          .fold(e => throw new IllegalArgumentException(e), identity),
+        start = WFrom, end = WFrom + 30L * 86400L, step0 = 21600L,
+        lookbackSec = 86400L)),
+
+    // absent() on a selector matching nothing: 1 at every grid slot,
+    // labels from the equality matchers (grid anti-join, result-sized).
+    "p_query_absent" -> ((s, dir) =>
+      graft.prom.PromQL.evalMatrix(
+        GraphiteTables.pointsTagged(s, dir),
+        GraphiteTables.tags(s, dir),
+        graft.prom.PromQL.parse("""absent(events{type="nosuch"})""")
+          .fold(e => throw new IllegalArgumentException(e), identity),
+        start = WFrom, end = WFrom + 30L * 86400L, step0 = 21600L,
+        lookbackSec = 86400L)),
+
+    // label_replace: derive app=x-click from the type label via an
+    // anchored capture-group regex — pure path rewrite, no shuffle.
+    "p_query_label_replace" -> ((s, dir) =>
+      graft.prom.PromQL.evalMatrix(
+        GraphiteTables.pointsTagged(s, dir),
+        GraphiteTables.tags(s, dir),
+        graft.prom.PromQL.parse(
+          """label_replace(events{type="click"}, "app", "x-$1", "type", "(cl.*)")""")
+          .fold(e => throw new IllegalArgumentException(e), identity),
+        start = WFrom, end = WFrom + 30L * 86400L, step0 = 21600L,
+        lookbackSec = 86400L)),
+
+    // subquery: inner sum(events) on its own aligned 6h grid, outer
+    // max_over_time over each slot's trailing day of inner points —
+    // one extra evaluation pass, same slot-aggregate plan.
+    "p_query_subquery" -> ((s, dir) =>
+      graft.prom.PromQL.evalMatrix(
+        GraphiteTables.pointsTagged(s, dir),
+        GraphiteTables.tags(s, dir),
+        graft.prom.PromQL.parse("max_over_time(sum(events)[1d:6h])")
+          .fold(e => throw new IllegalArgumentException(e), identity),
+        start = WFrom, end = WFrom + 30L * 86400L, step0 = 21600L,
+        lookbackSec = 86400L)
+        .withColumn("value", round(col("value"), 6))),
+
+    // count_values: series-count histogram keyed by the (rounded,
+    // Prometheus-formatted) sample value.
+    "p_query_count_values" -> ((s, dir) =>
+      graft.prom.PromQL.evalMatrix(
+        GraphiteTables.pointsTagged(s, dir),
+        GraphiteTables.tags(s, dir),
+        graft.prom.PromQL.parse(
+          """count_values("v", round(events{type="click"}))""")
+          .fold(e => throw new IllegalArgumentException(e), identity),
+        start = WFrom, end = WFrom + 30L * 86400L, step0 = 21600L,
+        lookbackSec = 86400L)),
+
     // ----------------------------------------------------------------
     // LLM track: multimodal plumbing (binary payload, batch decode stub)
     // ----------------------------------------------------------------
@@ -1854,6 +1993,209 @@ object SparkEntry {
            |WHERE event_type = 'click'
            |  AND epoch_us(ts)//1000000 BETWEEN $WFrom AND $WFrom + 30*86400
            |GROUP BY 1, 2""".stripMargin),
+
+      "p_query_without" ->
+        (s"""WITH dedup AS (
+           |  SELECT event_type, user_id,
+           |         epoch_us(ts)//1000000 AS time,
+           |         arg_max(value, event_id) AS value
+           |  FROM events
+           |  GROUP BY 1, 2, 3),
+           |grid AS (SELECT $WFrom + 21600*n AS t FROM generate_series(0, 120) g(n)),
+           |win AS (
+           |  SELECT d.event_type, d.user_id, g.t, d.value, d.time FROM dedup d
+           |  JOIN grid g ON d.time <= g.t AND d.time > g.t - 86400),
+           |inst AS (SELECT event_type, user_id, t, arg_max(value, time) AS value
+           |  FROM win GROUP BY 1, 2, 3)
+           |SELECT '?type=' || event_type AS path, t,
+           |       round(sum(value), 6) + 0 AS value
+           |FROM inst GROUP BY 1, 2""".stripMargin),
+
+      "p_query_math" ->
+        (s"""WITH dedup AS (
+           |  SELECT user_id,
+           |         epoch_us(ts)//1000000 AS time,
+           |         arg_max(value, event_id) AS value
+           |  FROM events WHERE event_type = 'click'
+           |  GROUP BY 1, 2),
+           |grid AS (SELECT $WFrom + 21600*n AS t FROM generate_series(0, 120) g(n)),
+           |win AS (
+           |  SELECT d.user_id, g.t, d.value, d.time FROM dedup d
+           |  JOIN grid g ON d.time <= g.t AND d.time > g.t - 86400),
+           |inst AS (SELECT user_id, t, arg_max(value, time) AS value
+           |  FROM win GROUP BY 1, 2)
+           |SELECT '?type=click&user=' || user_id AS path, t,
+           |       least(greatest(value, 40), 60) AS value
+           |FROM inst""".stripMargin),
+
+      "p_query_delta" ->
+        (s"""WITH dedup AS (
+           |  SELECT 'events?type=' || event_type || '&user=' || user_id AS path,
+           |         epoch_us(ts)//1000000 AS time,
+           |         arg_max(value, event_id) AS value
+           |  FROM events
+           |  GROUP BY 1, 2),
+           |grid AS (SELECT $WFrom + 21600*n AS t FROM generate_series(0, 120) g(n)),
+           |win AS (
+           |  SELECT d.path, g.t, d.value, d.time FROM dedup d
+           |  JOIN grid g ON d.time <= g.t AND d.time > g.t - 86400)
+           |SELECT path, t,
+           |       round(arg_max(value, time) - arg_min(value, time), 6) + 0 AS value
+           |FROM win GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin),
+
+      "p_query_irate" ->
+        (s"""WITH dedup AS (
+           |  SELECT 'events?type=' || event_type || '&user=' || user_id AS path,
+           |         epoch_us(ts)//1000000 AS time,
+           |         arg_max(value, event_id) AS value
+           |  FROM events
+           |  GROUP BY 1, 2),
+           |grid AS (SELECT $WFrom + 21600*n AS t FROM generate_series(0, 120) g(n)),
+           |win AS (
+           |  SELECT d.path, g.t, d.value, d.time FROM dedup d
+           |  JOIN grid g ON d.time <= g.t AND d.time > g.t - 86400),
+           |ranked AS (
+           |  SELECT path, t, time, value,
+           |         row_number() OVER (PARTITION BY path, t ORDER BY time DESC) AS rn
+           |  FROM win)
+           |SELECT l.path, l.t,
+           |       round(CASE WHEN l.value >= p.value THEN l.value - p.value
+           |                  ELSE l.value END / (l.time - p.time), 6) + 0 AS value
+           |FROM (SELECT * FROM ranked WHERE rn = 1) l
+           |JOIN (SELECT * FROM ranked WHERE rn = 2) p USING (path, t)""".stripMargin),
+
+      "p_query_deriv" ->
+        (s"""WITH dedup AS (
+           |  SELECT 'events?type=' || event_type || '&user=' || user_id AS path,
+           |         epoch_us(ts)//1000000 AS time,
+           |         arg_max(value, event_id) AS value
+           |  FROM events
+           |  GROUP BY 1, 2),
+           |grid AS (SELECT $WFrom + 21600*n AS t FROM generate_series(0, 120) g(n)),
+           |win AS (
+           |  SELECT d.path, g.t, (d.time - g.t)::double AS tc, d.value FROM dedup d
+           |  JOIN grid g ON d.time <= g.t AND d.time > g.t - 86400),
+           |sums AS (
+           |  SELECT path, t, count(*)::double AS cnt, sum(tc) AS st, sum(value) AS sv,
+           |         sum(tc * value) AS stv, sum(tc * tc) AS st2
+           |  FROM win GROUP BY 1, 2 HAVING count(*) >= 2)
+           |SELECT path, t,
+           |       round((cnt*stv - st*sv) / (cnt*st2 - st*st), 6) + 0 AS value
+           |FROM sums WHERE cnt*st2 - st*st != 0""".stripMargin),
+
+      "p_query_predict" ->
+        (s"""WITH dedup AS (
+           |  SELECT 'events?type=' || event_type || '&user=' || user_id AS path,
+           |         epoch_us(ts)//1000000 AS time,
+           |         arg_max(value, event_id) AS value
+           |  FROM events
+           |  GROUP BY 1, 2),
+           |grid AS (SELECT $WFrom + 21600*n AS t FROM generate_series(0, 120) g(n)),
+           |win AS (
+           |  SELECT d.path, g.t, (d.time - g.t)::double AS tc, d.value FROM dedup d
+           |  JOIN grid g ON d.time <= g.t AND d.time > g.t - 86400),
+           |sums AS (
+           |  SELECT path, t, count(*)::double AS cnt, sum(tc) AS st, sum(value) AS sv,
+           |         sum(tc * value) AS stv, sum(tc * tc) AS st2
+           |  FROM win GROUP BY 1, 2 HAVING count(*) >= 2),
+           |fit AS (
+           |  SELECT path, t, sv, st, cnt,
+           |         CASE WHEN cnt*st2 - st*st != 0
+           |              THEN (cnt*stv - st*sv) / (cnt*st2 - st*st) END AS slope
+           |  FROM sums)
+           |SELECT path, t,
+           |       round((sv - slope*st)/cnt + slope*3600, 6) + 0 AS value
+           |FROM fit WHERE slope IS NOT NULL""".stripMargin),
+
+      "p_query_quantile_ot" ->
+        (s"""WITH dedup AS (
+           |  SELECT 'events?type=' || event_type || '&user=' || user_id AS path,
+           |         epoch_us(ts)//1000000 AS time,
+           |         arg_max(value, event_id) AS value
+           |  FROM events
+           |  GROUP BY 1, 2),
+           |grid AS (SELECT $WFrom + 21600*n AS t FROM generate_series(0, 120) g(n)),
+           |win AS (
+           |  SELECT d.path, g.t, d.value FROM dedup d
+           |  JOIN grid g ON d.time <= g.t AND d.time > g.t - 86400)
+           |SELECT path, t,
+           |       round(quantile_cont(value, 0.9), 6) + 0 AS value
+           |FROM win GROUP BY 1, 2""".stripMargin),
+
+      "p_query_changes" ->
+        (s"""WITH dedup AS (
+           |  SELECT 'events?type=' || event_type || '&user=' || user_id AS path,
+           |         epoch_us(ts)//1000000 AS time,
+           |         arg_max(value, event_id) AS value
+           |  FROM events
+           |  GROUP BY 1, 2),
+           |grid AS (SELECT $WFrom + 21600*n AS t FROM generate_series(0, 120) g(n)),
+           |win AS (
+           |  SELECT d.path, g.t, d.value, d.time,
+           |         lag(d.value) OVER (PARTITION BY d.path, g.t ORDER BY d.time) AS pv
+           |  FROM dedup d
+           |  JOIN grid g ON d.time <= g.t AND d.time > g.t - 86400)
+           |SELECT path, t,
+           |       sum(CASE WHEN pv IS NOT NULL AND value != pv
+           |                THEN 1.0 ELSE 0.0 END) AS value
+           |FROM win GROUP BY 1, 2""".stripMargin),
+
+      "p_query_absent" ->
+        (s"""SELECT '?type=nosuch' AS path, $WFrom + 21600*n AS t, 1.0 AS value
+           |FROM generate_series(0, 120) g(n)""".stripMargin),
+
+      "p_query_label_replace" ->
+        (s"""WITH dedup AS (
+           |  SELECT user_id,
+           |         epoch_us(ts)//1000000 AS time,
+           |         arg_max(value, event_id) AS value
+           |  FROM events WHERE event_type = 'click'
+           |  GROUP BY 1, 2),
+           |grid AS (SELECT $WFrom + 21600*n AS t FROM generate_series(0, 120) g(n)),
+           |win AS (
+           |  SELECT d.user_id, g.t, d.value, d.time FROM dedup d
+           |  JOIN grid g ON d.time <= g.t AND d.time > g.t - 86400),
+           |inst AS (SELECT user_id, t, arg_max(value, time) AS value
+           |  FROM win GROUP BY 1, 2)
+           |SELECT 'events?app=x-click&type=click&user=' || user_id AS path, t, value
+           |FROM inst""".stripMargin),
+
+      "p_query_subquery" ->
+        (s"""WITH dedup AS (
+           |  SELECT event_type, user_id,
+           |         epoch_us(ts)//1000000 AS time,
+           |         arg_max(value, event_id) AS value
+           |  FROM events
+           |  GROUP BY 1, 2, 3),
+           |igrid AS (SELECT ($WFrom - 64800) + 21600*j AS it
+           |          FROM generate_series(0, 123) g(j)),
+           |iwin AS (
+           |  SELECT d.event_type, d.user_id, i.it, d.value, d.time FROM dedup d
+           |  JOIN igrid i ON d.time <= i.it AND d.time > i.it - 86400),
+           |iinst AS (SELECT event_type, user_id, it, arg_max(value, time) AS value
+           |  FROM iwin GROUP BY 1, 2, 3),
+           |isum AS (SELECT it, sum(value) AS value FROM iinst GROUP BY 1),
+           |grid AS (SELECT $WFrom + 21600*n AS t FROM generate_series(0, 120) g(n))
+           |SELECT '' AS path, g.t, round(max(s.value), 6) + 0 AS value
+           |FROM grid g JOIN isum s ON s.it <= g.t AND s.it > g.t - 86400
+           |GROUP BY 2""".stripMargin),
+
+      "p_query_count_values" ->
+        (s"""WITH dedup AS (
+           |  SELECT user_id,
+           |         epoch_us(ts)//1000000 AS time,
+           |         arg_max(value, event_id) AS value
+           |  FROM events WHERE event_type = 'click'
+           |  GROUP BY 1, 2),
+           |grid AS (SELECT $WFrom + 21600*n AS t FROM generate_series(0, 120) g(n)),
+           |win AS (
+           |  SELECT d.user_id, g.t, d.value, d.time FROM dedup d
+           |  JOIN grid g ON d.time <= g.t AND d.time > g.t - 86400),
+           |inst AS (SELECT user_id, t, arg_max(value, time) AS value
+           |  FROM win GROUP BY 1, 2)
+           |SELECT '?v=' || CAST(CAST(floor(value + 0.5) AS BIGINT) AS VARCHAR) AS path,
+           |       t, count(*)::double AS value
+           |FROM inst GROUP BY 1, 2""".stripMargin),
 
       "m_features" ->
         ("""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,

@@ -8,9 +8,13 @@ import org.apache.spark.sql.functions._
   * Graphite-tagged storage: instant vector selectors,
   * `rate`/`increase`/`*_over_time` over a range selector,
   * `sum`/`avg`/`min`/`max`/`count`/`stddev`/`stdvar`/`group`/
-  * `quantile(φ, …)` aggregation with `by (label, …)` grouping,
+  * `quantile(φ, …)` aggregation with `by`/`without` grouping,
   * `topk`/`bottomk`, `histogram_quantile` with `le`-bucket
-  * interpolation, parenthesized nesting, and space-separated binary
+  * interpolation, the range-function family (`delta`/`idelta`/
+  * `irate`/`resets`/`changes`/`deriv`/`predict_linear`/
+  * `quantile_over_time` and the rest of `*_over_time`), scalar math
+  * (`abs`…`clamp*`), `absent`, `label_replace`/`label_join`,
+  * parenthesized nesting, and space-separated binary
   * operators: arithmetic (`+ - * / % ^`), comparisons (filter mode,
   * or 0/1 with `bool`), and the set operators `and`/`or`/`unless` —
   * all with `on(…)`/`ignoring(…)` match keys and
@@ -45,27 +49,72 @@ object PromQL {
     */
   final case class Selector(matchers: Seq[(String, String, String)]) extends Expr
 
-  /** `fn(metric{…}[range])` for fn ∈ rate | increase | avg_over_time |
-    * sum_over_time | min_over_time | max_over_time | count_over_time |
-    * last_over_time.
+  /** `fn(metric{…}[range])` for fn ∈ rate | increase | delta | idelta |
+    * irate | resets | changes | deriv | `*_over_time` — plus the
+    * parameterized forms `quantile_over_time(φ, m[d])` and
+    * `predict_linear(m[d], t)` whose scalar rides in `arg`.
     */
   final case class RangeFn(
       fn: String,
       sel: Selector,
-      rangeSec: Long) extends Expr {
+      rangeSec: Long,
+      arg: Option[Double] = None) extends Expr {
     def matchers: Seq[(String, String, String)] = sel.matchers
   }
 
-  /** `op by (l1, l2) (inner)` for op ∈ sum | avg | min | max | count |
-    * stddev | stdvar | group —
+  /** `fn(v)` scalar math over an instant vector — abs | ceil | floor |
+    * round(v[, to_nearest]) | sqrt | exp | ln | log2 | log10 | sgn |
+    * clamp(v, lo, hi) | clamp_min(v, lo) | clamp_max(v, hi). Applied
+    * per sample; the metric name is dropped (as Prometheus does for
+    * every math function), labels kept.
+    */
+  final case class MathFn(fn: String, args: Seq[Double], inner: Expr) extends Expr {
+    def matchers: Seq[(String, String, String)] = inner.matchers
+  }
+
+  /** `absent(expr)` — 1 at every grid slot where `expr` evaluates to
+    * no series, nothing elsewhere. The result labels derive from the
+    * inner selector's equality matchers sans `__name__`, like
+    * Prometheus (`absent(m{job="x"})` → `{job="x"}`).
+    */
+  final case class Absent(inner: Expr) extends Expr {
+    def matchers: Seq[(String, String, String)] = inner.matchers
+  }
+
+  /** `label_replace(v, dst, replacement, src, regex)` — if `regex`
+    * (anchored) matches the `src` label's value, set `dst` to the
+    * replacement with `$1`-style group refs expanded; otherwise the
+    * series passes through unchanged. Unlike the math functions the
+    * name survives (and IS addressable as `__name__`).
+    */
+  final case class LabelReplace(
+      dst: String, replacement: String, src: String, regex: String,
+      inner: Expr) extends Expr {
+    def matchers: Seq[(String, String, String)] = inner.matchers
+  }
+
+  /** `label_join(v, dst, sep, src1, src2, …)` — set `dst` to the
+    * `sep`-joined values of the source labels (missing sources join as
+    * empty), unconditionally.
+    */
+  final case class LabelJoin(
+      dst: String, sep: String, srcs: Seq[String], inner: Expr) extends Expr {
+    def matchers: Seq[(String, String, String)] = inner.matchers
+  }
+
+  /** `op by (l1, l2) (inner)` / `op without (l1, l2) (inner)` for
+    * op ∈ sum | avg | min | max | count | stddev | stdvar | group —
     * Prometheus aggregation over the instant vector: one extra hash
     * aggregate per grid slot on the label subset (empty `by` collapses
-    * to a single series). Output series keep only the `by` labels,
+    * to a single series; `without` keeps every label BUT the listed
+    * ones and `__name__`). Output series keep only the group labels,
     * encoded back into the storage path form (`?k=v&…`, no name) so
     * the response assembly stays uniform. `by (__name__)` is not
     * supported (the name is not a query-string label in storage form).
     */
-  final case class Agg(op: String, by: Seq[String], inner: Expr) extends Expr {
+  final case class Agg(
+      op: String, by: Seq[String], inner: Expr,
+      without: Boolean = false) extends Expr {
     def matchers: Seq[(String, String, String)] = inner.matchers
   }
 
@@ -79,11 +128,13 @@ object PromQL {
     def matchers: Seq[(String, String, String)] = inner.matchers
   }
 
-  /** `quantile(φ, inner)` / `quantile by (labels) (φ, inner)` — the
-    * φ-quantile (linear interpolation across series values, like
-    * Prometheus) per grid point and `by`-group.
+  /** `quantile(φ, inner)` / `quantile by|without (labels) (φ, inner)`
+    * — the φ-quantile (linear interpolation across series values, like
+    * Prometheus) per grid point and group.
     */
-  final case class Quantile(phi: Double, by: Seq[String], inner: Expr) extends Expr {
+  final case class Quantile(
+      phi: Double, by: Seq[String], inner: Expr,
+      without: Boolean = false) extends Expr {
     def matchers: Seq[(String, String, String)] = inner.matchers
   }
 
@@ -156,6 +207,33 @@ object PromQL {
     def matchers: Seq[(String, String, String)] = inner.matchers
   }
 
+  /** `fn(inner[range:step])` — a range function over a SUBQUERY: the
+    * inner expression is evaluated on its own absolutely-aligned grid
+    * at `stepSec` resolution (empty step = the outer query step, like
+    * Prometheus's default-to-evaluation-interval), and `fn` aggregates
+    * the inner points falling in each outer slot's `(T-range, T]`
+    * window. One extra evaluation pass at the inner resolution — the
+    * window math itself reuses the same explode-onto-slots aggregate
+    * as a plain range selector.
+    */
+  final case class SubQuery(
+      fn: String,
+      inner: Expr,
+      rangeSec: Long,
+      stepSec: Option[Long],
+      arg: Option[Double] = None) extends Expr {
+    def matchers: Seq[(String, String, String)] = inner.matchers
+  }
+
+  /** `count_values("label", inner)` — per slot, the number of series
+    * sharing each distinct value, keyed by a fresh label carrying the
+    * value formatted Prometheus-style. One hash aggregate on the
+    * formatted value.
+    */
+  final case class CountValues(label: String, inner: Expr) extends Expr {
+    def matchers: Seq[(String, String, String)] = inner.matchers
+  }
+
   /** A numeric literal operand (`m * 60`, `m / 100`). */
   final case class Scalar(v: Double) extends Expr {
     def matchers: Seq[(String, String, String)] = Seq.empty
@@ -171,13 +249,23 @@ object PromQL {
   }
 
   val rangeFns: Set[String] = Set(
-    "rate", "increase", "avg_over_time", "sum_over_time", "min_over_time",
-    "max_over_time", "count_over_time", "last_over_time")
+    "rate", "increase", "delta", "idelta", "irate", "resets", "changes",
+    "deriv", "avg_over_time", "sum_over_time", "min_over_time",
+    "max_over_time", "count_over_time", "last_over_time",
+    "stddev_over_time", "stdvar_over_time", "present_over_time")
 
   val aggOps: Set[String] = Set(
     "sum", "avg", "min", "max", "count", "stddev", "stdvar", "group")
 
   val setOps: Set[String] = Set("and", "or", "unless")
+
+  /** Scalar math functions and their (min, max) extra-arg counts. */
+  val mathFns: Map[String, (Int, Int)] = Map(
+    "abs" -> (0, 0), "ceil" -> (0, 0), "floor" -> (0, 0),
+    "round" -> (0, 1), "sqrt" -> (0, 0), "exp" -> (0, 0),
+    "ln" -> (0, 0), "log2" -> (0, 0), "log10" -> (0, 0),
+    "sgn" -> (0, 0), "clamp" -> (2, 2), "clamp_min" -> (1, 1),
+    "clamp_max" -> (1, 1))
 
   /** `"5m"`/`"90s"`/`"1h"` (single unit, like the common UI forms) →
     * seconds.
@@ -202,15 +290,16 @@ object PromQL {
   def parse(q0: String): Either[String, Expr] = {
     val q = q0.trim
     val ops = "sum|avg|min|max|count|stddev|stdvar|group"
-    val aggPre = ("^(" + ops + ")\\s*by\\s*\\(([^()]*)\\)\\s*\\((.*)\\)$").r
-    val aggSuf = ("^(" + ops + ")\\s*\\((.*)\\)\\s*by\\s*\\(([^()]*)\\)$").r
+    val aggPre = ("^(" + ops + ")\\s*(by|without)\\s*\\(([^()]*)\\)\\s*\\((.*)\\)$").r
+    val aggSuf = ("^(" + ops + ")\\s*\\((.*)\\)\\s*(by|without)\\s*\\(([^()]*)\\)$").r
     val aggBare = ("^(" + ops + ")\\s*\\((.*)\\)$").r
-    val quantPre = "^quantile\\s*by\\s*\\(([^()]*)\\)\\s*\\(\\s*([0-9.]+)\\s*,(.*)\\)$".r
+    val quantPre = "^quantile\\s*(by|without)\\s*\\(([^()]*)\\)\\s*\\(\\s*([0-9.]+)\\s*,(.*)\\)$".r
     val quantBare = "^quantile\\s*\\(\\s*([0-9.]+)\\s*,(.*)\\)$".r
-    def agg(op: String, by: String, inner: String): Either[String, Expr] = {
+    def agg(op: String, mode: String, by: String, inner: String): Either[String, Expr] = {
       val labels = by.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-      if (labels.contains("__name__")) Left("by (__name__) is not supported")
-      else parse(inner).map(Agg(op, labels, _))
+      if (mode == "by" && labels.contains("__name__"))
+        Left("by (__name__) is not supported")
+      else parse(inner).map(Agg(op, labels, _, without = mode == "without"))
     }
     val rankK = "^(topk|bottomk)\\s*\\(\\s*(\\d+)\\s*,(.*)\\)$".r
     val histQ = "^histogram_quantile\\s*\\(\\s*(-?[0-9.]+)\\s*,(.*)\\)$".r
@@ -254,14 +343,16 @@ object PromQL {
           case Some(k) => parse(inner).map(RankK(op, k, _))
           case None    => Left(s"$op: bad k '$ks'")
         }
-      case aggPre(op, by, inner)  => agg(op, by, inner)
-      case aggSuf(op, inner, by)  => agg(op, by, inner)
-      case aggBare(op, inner) => agg(op, "", inner)
-      case quantPre(by, phi, inner) =>
+      case aggPre(op, mode, by, inner)  => agg(op, mode, by, inner)
+      case aggSuf(op, inner, mode, by)  => agg(op, mode, by, inner)
+      case aggBare(op, inner) => agg(op, "by", "", inner)
+      case quantPre(mode, by, phi, inner) =>
         val labels = by.split(",").map(_.trim).filter(_.nonEmpty).toSeq
         phi.toDoubleOption.filter(p => p >= 0.0 && p <= 1.0) match {
-          case _ if labels.contains("__name__") => Left("by (__name__) is not supported")
-          case Some(p) => parse(inner).map(Quantile(p, labels, _))
+          case _ if mode == "by" && labels.contains("__name__") =>
+            Left("by (__name__) is not supported")
+          case Some(p) =>
+            parse(inner).map(Quantile(p, labels, _, without = mode == "without"))
           case None    => Left(s"quantile: bad phi '$phi'")
         }
       case quantBare(phi, inner) =>
@@ -269,17 +360,7 @@ object PromQL {
           case Some(p) => parse(inner).map(Quantile(p, Nil, _))
           case None    => Left(s"quantile: bad phi '$phi'")
         }
-      case fnMatch(fn, inner1) =>
-        if (!rangeFns(fn)) return Left(s"unsupported function: $fn")
-        val (inner, off) = stripOffset(inner1.trim)
-        if (!inner.endsWith("]")) return Left(s"$fn expects a range selector, got '$inner'")
-        val brk = inner.lastIndexOf('[')
-        if (brk < 0) return Left(s"$fn expects a range selector, got '$inner'")
-        val parsed: Either[String, Expr] = for {
-          d <- durationSec(inner.substring(brk + 1, inner.length - 1))
-          sel <- Prom.parseSelector(inner.substring(0, brk))
-        } yield RangeFn(fn, Selector(sel), d)
-        off.fold(parsed)(o => parsed.flatMap(e => o.map(Offset(_, e))))
+      case fnMatch(fn, inner1) => parseFn(fn, inner1)
       case _ =>
         val (base, off) = stripOffset(q)
         val parsed: Either[String, Expr] = base.toDoubleOption match {
@@ -311,6 +392,152 @@ object PromQL {
       case offRe(rest, dur) => (rest.trim, Some(durationSec(dur)))
       case _ => (s, None)
     }
+  }
+
+  /** Split a function's argument list at depth-0 commas (quotes and
+    * every bracket kind respected).
+    */
+  private def splitArgs(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    var inQuote = false
+    var last = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQuote) {
+        if (c == '\\' && i + 1 < s.length) i += 1
+        else if (c == '"') inQuote = false
+      } else c match {
+        case '"' => inQuote = true
+        case '(' | '[' | '{' => depth += 1
+        case ')' | ']' | '}' => depth -= 1
+        case ',' if depth == 0 => out += s.substring(last, i).trim; last = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += s.substring(last).trim
+    out.result()
+  }
+
+  /** A double-quoted string literal argument → its unescaped value. */
+  private def strArg(s: String): Either[String, String] = {
+    val t = s.trim
+    if (t.length < 2 || t.charAt(0) != '"' || t.charAt(t.length - 1) != '"')
+      Left(s"expected a string literal, got '$s'")
+    else Right(t.substring(1, t.length - 1)
+      .replace("\\\"", "\"").replace("\\\\", "\\"))
+  }
+
+  /** `m{…}[5m]` or `expr[1h:5m]` (with optional trailing `offset` on
+    * the selector form) → either a plain (selector, range, offset) or
+    * a subquery (inner expr, range, inner step) for a range-function
+    * argument.
+    */
+  private def parseRangeArg(
+      fn: String, s0: String, arg: Option[Double]): Either[String, Expr] = {
+    val (inner, off0) = stripOffset(s0.trim)
+    if (!inner.endsWith("]")) return Left(s"$fn expects a range selector, got '$inner'")
+    val brk = inner.lastIndexOf('[')
+    if (brk < 0) return Left(s"$fn expects a range selector, got '$inner'")
+    val rng = inner.substring(brk + 1, inner.length - 1)
+    val colonAt = rng.indexOf(':')
+    if (colonAt >= 0) {
+      // subquery `expr[range:step]`; empty step = outer query step
+      if (off0.nonEmpty) return Left(s"offset on a subquery is not supported")
+      val stepStr = rng.substring(colonAt + 1).trim
+      for {
+        d <- durationSec(rng.substring(0, colonAt))
+        st <- if (stepStr.isEmpty) Right(None) else durationSec(stepStr).map(Some(_))
+        e <- parse(inner.substring(0, brk))
+      } yield SubQuery(fn, e, d, st, arg)
+    } else
+      for {
+        d <- durationSec(rng)
+        sel <- Prom.parseSelector(inner.substring(0, brk))
+        off <- off0 match {
+          case None => Right(None)
+          case Some(e) => e.map(Some(_))
+        }
+      } yield withOffset(RangeFn(fn, Selector(sel), d, arg), off)
+  }
+
+  private def withOffset(e: Expr, off: Option[Long]): Expr =
+    off.fold(e)(Offset(_, e))
+
+  /** Function-call dispatch: range functions (plus the parameterized
+    * `quantile_over_time`/`predict_linear`), scalar math, `absent`,
+    * `count_values`, and the label manipulators.
+    */
+  private def parseFn(fn: String, body: String): Either[String, Expr] = fn match {
+    case f if rangeFns(f) => parseRangeArg(f, body, None)
+    case "quantile_over_time" =>
+      splitArgs(body) match {
+        case Seq(phis, rng) =>
+          phis.toDoubleOption match {
+            case Some(p) => parseRangeArg(fn, rng, Some(p))
+            case None => Left(s"quantile_over_time: bad phi '$phis'")
+          }
+        case _ => Left("quantile_over_time expects (phi, m[d])")
+      }
+    case "predict_linear" =>
+      splitArgs(body) match {
+        case Seq(rng, ts) =>
+          ts.toDoubleOption match {
+            case Some(t) => parseRangeArg(fn, rng, Some(t))
+            case None => Left(s"predict_linear: bad horizon '$ts'")
+          }
+        case _ => Left("predict_linear expects (m[d], seconds)")
+      }
+    case "count_values" =>
+      splitArgs(body) match {
+        case Seq(lbl, v) =>
+          for {
+            l <- strArg(lbl)
+            _ <- if (l == "__name__" || l.isEmpty)
+                   Left("count_values: bad label name") else Right(())
+            inner <- parse(v)
+          } yield CountValues(l, inner)
+        case _ => Left("count_values expects (\"label\", v)")
+      }
+    case f if mathFns.contains(f) =>
+      val (lo, hi) = mathFns(f)
+      val args = splitArgs(body)
+      if (args.size < 1 + lo || args.size > 1 + hi)
+        return Left(s"$f expects ${1 + lo}..${1 + hi} arguments")
+      val nums = args.drop(1).map(a =>
+        a.toDoubleOption.toRight(s"$f: bad numeric argument '$a'"))
+      nums.collectFirst { case Left(e) => e } match {
+        case Some(e) => Left(e)
+        case None =>
+          parse(args.head).map(MathFn(f, nums.map(_.toOption.get), _))
+      }
+    case "absent" => parse(body).map(Absent(_))
+    case "label_replace" =>
+      splitArgs(body) match {
+        case Seq(v, dst, rep, src, re) =>
+          for {
+            d <- strArg(dst); r <- strArg(rep); s <- strArg(src); rx <- strArg(re)
+            _ <- try { java.util.regex.Pattern.compile(rx); Right(()) }
+                 catch { case e: Exception => Left(s"label_replace: bad regex: ${e.getMessage}") }
+            inner <- parse(v)
+          } yield LabelReplace(d, r, s, rx, inner)
+        case _ => Left("label_replace expects (v, dst, replacement, src, regex)")
+      }
+    case "label_join" =>
+      splitArgs(body) match {
+        case v +: dst +: sep +: srcs if srcs.nonEmpty =>
+          for {
+            d <- strArg(dst); sp <- strArg(sep)
+            ss <- srcs.foldLeft[Either[String, Seq[String]]](Right(Seq.empty)) {
+              (acc, s) => acc.flatMap(a => strArg(s).map(a :+ _))
+            }
+            inner <- parse(v)
+          } yield LabelJoin(d, sp, ss, inner)
+        case _ => Left("label_join expects (v, dst, sep, src...)")
+      }
+    case other => Left(s"unsupported function: $other")
   }
 
   /** `(expr)` spanning the whole string (the closing paren of the
@@ -462,16 +689,61 @@ object PromQL {
       lookbackSec: Long = LookbackSec): DataFrame = {
     require(end >= start, "end < start")
     expr match {
-      case Agg(op, by, inner) =>
+      case Agg(op, by, inner, without) =>
         return aggMatrix(
-          evalMatrix(points, tags, inner, start, end, step0, lookbackSec), op, by)
+          evalMatrix(points, tags, inner, start, end, step0, lookbackSec),
+          op, by, without = without)
       case RankK(op, k, inner) =>
         return rankMatrix(
           evalMatrix(points, tags, inner, start, end, step0, lookbackSec), op, k)
-      case Quantile(phi, by, inner) =>
+      case Quantile(phi, by, inner, without) =>
         return aggMatrix(
           evalMatrix(points, tags, inner, start, end, step0, lookbackSec),
-          "quantile", by, phi)
+          "quantile", by, phi, without = without)
+      case MathFn(fn, args, inner) =>
+        return mathFnMatrix(
+          evalMatrix(points, tags, inner, start, end, step0, lookbackSec), fn, args)
+      case Absent(inner) =>
+        val base = evalMatrix(points, tags, inner, start, end, step0, lookbackSec)
+        val step = math.max(1L, step0)
+        val lastSlot = (end - start) / step
+        // result labels: the inner selector's equality matchers sans
+        // __name__ (Prometheus absent()), sorted into path form
+        val labels = (inner match {
+          case s: Selector => s.matchers
+          case _ => Seq.empty
+        }).collect { case (k, "=", v) if k != "__name__" => s"$k=$v" }.sorted
+        val path = if (labels.isEmpty) "" else labels.mkString("?", "&", "")
+        val grid = points.sparkSession.range(0, lastSlot + 1)
+          .select((lit(start) + col("id") * lit(step)).as("t"))
+        return grid.join(base.select("t").distinct(), Seq("t"), "left_anti")
+          .select(lit(path).as("path"), col("t"), lit(1.0).as("value"))
+      case LabelReplace(dst, rep, src, regex, inner) =>
+        return labelReplaceMatrix(
+          evalMatrix(points, tags, inner, start, end, step0, lookbackSec),
+          dst, rep, src, regex)
+      case LabelJoin(dst, sep, srcs, inner) =>
+        return labelJoinMatrix(
+          evalMatrix(points, tags, inner, start, end, step0, lookbackSec),
+          dst, sep, srcs)
+      case CountValues(label, inner) =>
+        return countValuesMatrix(
+          evalMatrix(points, tags, inner, start, end, step0, lookbackSec), label)
+      case SubQuery(fn, inner, rangeSec, stepSec, arg) =>
+        // inner pass on the absolutely-aligned subquery grid (the
+        // smallest step-multiple > start - range, like Prometheus),
+        // then the SAME slot aggregate as a plain range selector,
+        // reading inner grid points instead of raw samples
+        val outerStep = math.max(1L, step0)
+        val subStep = math.max(1L, stepSec.getOrElse(outerStep))
+        val innerStart = (Math.floorDiv(start - rangeSec, subStep) + 1) * subStep
+        val innerM =
+          evalMatrix(points, tags, inner, innerStart, math.max(innerStart, end),
+            subStep, lookbackSec)
+            .withColumnRenamed("t", "time")
+        val bounded =
+          if (innerStart > end) innerM.where(lit(false)) else innerM
+        return windowAggregate(bounded, fn, arg, start, end, outerStep, rangeSec)
       case BinOp(op, l, r, bool, m) =>
         return (l, r) match {
           case (Scalar(_), Scalar(_)) =>
@@ -506,13 +778,11 @@ object PromQL {
       case _ =>
     }
     val step = math.max(1L, step0)
-    val lastSlot = (end - start) / step
 
     val win = expr match {
-      case _: Selector      => lookbackSec
-      case RangeFn(_, _, d) => d
-      case _: Agg | _: RankK | _: Quantile | _: BinOp | _: SetOp | _: HistQuantile | _: Scalar | _: Offset =>
-        throw new IllegalStateException("handled above")
+      case _: Selector => lookbackSec
+      case rf: RangeFn => rf.rangeSec
+      case _ => throw new IllegalStateException("handled above")
     }
 
     // the matched series set is find-result-sized — broadcast it so
@@ -530,6 +800,32 @@ object PromQL {
           .agg(max_by(col("value"), col("version")).as("value"))
       else scanned.select("path", "time", "value")
 
+    expr match {
+      case _: Selector =>
+        windowAggregate(pts, "__instant__", None, start, end, step, win)
+      case RangeFn(fn, _, _, arg) =>
+        windowAggregate(pts, fn, arg, start, end, step, win)
+      case _ =>
+        throw new IllegalStateException("handled above")
+    }
+  }
+
+  /** The shared slot-window aggregate: explode each (path, time,
+    * value) row onto the `start + n·step` grid slots whose
+    * `(t-win, t]` window contains it (both raw samples and subquery
+    * inner grid points take this path), then ONE hash aggregate per
+    * (series, slot) computes `fn` — `"__instant__"` meaning the
+    * most-recent-sample selector semantics.
+    */
+  private def windowAggregate(
+      pts: DataFrame,
+      fnName: String,
+      argOpt: Option[Double],
+      start: Long,
+      end: Long,
+      step: Long,
+      win: Long): DataFrame = {
+    val lastSlot = (end - start) / step
     // slot range a sample at time s can serve: t = start + n·step with
     // s ≤ t  and  t < s + win  (Prometheus takes samples from
     // (t-win, t]). Integer bounds, clamped to the grid; `sequence`
@@ -544,26 +840,99 @@ object PromQL {
         explode(sequence(col("n_min"), col("n_max"))).as("n"))
 
     val t = (lit(start) + col("n") * lit(step)).as("t")
-    expr match {
-      case _: Selector =>
+    fnName match {
+      case "__instant__" =>
         // most recent sample in the window — one hash aggregate
         slotted.groupBy(col("path"), col("n"))
           .agg(max_by(col("value"), col("time")).as("value"))
           .select(col("path"), t, col("value"))
 
-      case RangeFn(fn, _, _) =>
+      case fn =>
         val g = slotted.groupBy(col("path"), col("n"))
+        // per-slot sample list is bounded by window/scrape-interval
+        // — sorting it is cheap and stays inside the aggregate
+        lazy val sorted = array_sort(collect_list(struct(col("time"), col("value"))))
+        // consecutive-pair fold over the sorted list (resets/changes)
+        def pairFold(f: (Column, Column) => Column): Column =
+          aggregate(
+            zip_with(
+              slice(col("s"), lit(1), size(col("s")) - 1),
+              slice(col("s"), lit(2), size(col("s")) - 1),
+              f),
+            lit(0.0), (acc, x) => acc + x)
         val out = fn match {
-          case "avg_over_time"   => g.agg(avg("value").as("value"))
-          case "sum_over_time"   => g.agg(sum("value").as("value"))
-          case "min_over_time"   => g.agg(min("value").as("value"))
-          case "max_over_time"   => g.agg(max("value").as("value"))
-          case "count_over_time" => g.agg(count(lit(1)).cast("double").as("value"))
-          case "last_over_time"  => g.agg(max_by(col("value"), col("time")).as("value"))
+          case "avg_over_time"    => g.agg(avg("value").as("value"))
+          case "sum_over_time"    => g.agg(sum("value").as("value"))
+          case "min_over_time"    => g.agg(min("value").as("value"))
+          case "max_over_time"    => g.agg(max("value").as("value"))
+          case "count_over_time"  => g.agg(count(lit(1)).cast("double").as("value"))
+          case "last_over_time"   => g.agg(max_by(col("value"), col("time")).as("value"))
+          case "present_over_time" => g.agg(max(lit(1.0)).as("value"))
+          // population forms, like Prometheus
+          case "stddev_over_time" => g.agg(stddev_pop(col("value")).as("value"))
+          case "stdvar_over_time" => g.agg(var_pop(col("value")).as("value"))
+          // exact linear-interpolation quantile — per-slot sample
+          // lists are window-bounded, the sort stays in the aggregate
+          case "quantile_over_time" =>
+            g.agg(percentile(col("value"), lit(argOpt.get)).as("value"))
+          case "delta" =>
+            // classic last-minus-first gauge delta (same declared
+            // divergence as rate: no boundary extrapolation)
+            g.agg(min_by(col("value"), col("time")).as("first"),
+                max_by(col("value"), col("time")).as("last"),
+                count(lit(1)).as("cnt"))
+              .where(col("cnt") >= 2)
+              .withColumn("value", col("last") - col("first"))
+          case "idelta" | "irate" =>
+            g.agg(sorted.as("s"), count(lit(1)).as("cnt"))
+              .where(col("cnt") >= 2)
+              .withColumn("lastp", element_at(col("s"), -1))
+              .withColumn("prevp", element_at(col("s"), -2))
+              .withColumn("value",
+                if (fn == "idelta")
+                  col("lastp")("value") - col("prevp")("value")
+                else {
+                  // counter reset between the last two samples: the
+                  // last value IS the increase (Prometheus instantRate)
+                  val diff = when(
+                    col("lastp")("value") >= col("prevp")("value"),
+                    col("lastp")("value") - col("prevp")("value"))
+                    .otherwise(col("lastp")("value"))
+                  diff / (col("lastp")("time") - col("prevp")("time"))
+                })
+          case "resets" =>
+            g.agg(sorted.as("s"))
+              .withColumn("value", pairFold((a, b) =>
+                when(b("value") < a("value"), lit(1.0)).otherwise(lit(0.0))))
+          case "changes" =>
+            g.agg(sorted.as("s"))
+              .withColumn("value", pairFold((a, b) =>
+                when(b("value") =!= a("value"), lit(1.0)).otherwise(lit(0.0))))
+          case "deriv" | "predict_linear" =>
+            // least-squares slope over (t, v), time centered on the
+            // eval slot for float stability (epoch² overflows double
+            // mantissa); plain sums — no sample list needed
+            val tc = (col("time") - (lit(start) + col("n") * lit(step))).cast("double")
+            val g2 = slotted.withColumn("tc", tc).groupBy(col("path"), col("n"))
+            val den = col("cnt") * col("st2") - col("st") * col("st")
+            val slope0 = col("cnt") * col("stv") - col("st") * col("sv")
+            val slope = when(den =!= 0.0, slope0 / den).otherwise(lit(Double.NaN))
+            g2.agg(
+                count(lit(1)).cast("double").as("cnt"),
+                sum("tc").as("st"), sum("value").as("sv"),
+                sum(col("tc") * col("value")).as("stv"),
+                sum(col("tc") * col("tc")).as("st2"))
+              .where(col("cnt") >= 2)
+              .withColumn("slope", slope)
+              .withColumn("value",
+                if (fn == "deriv") col("slope")
+                else {
+                  // regression value `arg` seconds past the eval slot
+                  // (tc = 0 is the slot itself)
+                  val intercept = (col("sv") - col("slope") * col("st")) / col("cnt")
+                  intercept + col("slope") * lit(argOpt.get)
+                })
           case "rate" | "increase" =>
-            // per-slot sample list is bounded by window/scrape-interval
-            // — sorting it is cheap and stays inside the aggregate
-            val sorted = array_sort(collect_list(struct(col("time"), col("value"))))
             g.agg(sorted.as("s"), count(lit(1)).as("cnt"))
               .where(col("cnt") >= 2)
               .withColumn("first", element_at(col("s"), 1))
@@ -586,9 +955,6 @@ object PromQL {
           case other => throw new IllegalArgumentException(s"unsupported function $other")
         }
         out.select(col("path"), t, col("value"))
-
-      case _: Agg | _: RankK | _: Quantile | _: BinOp | _: SetOp | _: HistQuantile | _: Scalar | _: Offset =>
-        throw new IllegalStateException("handled above")
     }
   }
 
@@ -796,6 +1162,132 @@ object PromQL {
       col("t"), out.as("value"))
   }
 
+  /** Double-precision floor/ceil that stay double: Spark's
+    * `floor`/`ceil` cast to LONG (overflowing under ANSI for huge
+    * doubles and ±Inf); `v - pmod(v, 1)` is exact for finite doubles
+    * and the non-finite cases pass through.
+    */
+  private def floorD(v: Column): Column =
+    when(isnan(v) || v === lit(Double.PositiveInfinity) ||
+        v === lit(Double.NegativeInfinity), v)
+      .otherwise(v - pmod(v, lit(1.0)))
+  private def ceilD(v: Column): Column = negate(floorD(negate(v)))
+
+  /** Scalar math over a matrix: value transform per row, metric name
+    * dropped (as Prometheus does for every math function), labels
+    * kept. Non-positive log inputs follow Prometheus (ln(0) = -Inf,
+    * ln(<0) = NaN) rather than SQL NULL; `round`'s half always rounds
+    * up (`floor(v/to + 0.5)·to`, Go semantics) rather than SQL
+    * HALF_UP-on-magnitude; clamp bounds NaN-safe.
+    */
+  private[prom] def mathFnMatrix(
+      m: DataFrame, fn: String, args: Seq[Double]): DataFrame = {
+    val v = col("value")
+    def logBase(log: Column => Column): Column =
+      when(isnan(v), v)
+        .when(v > 0.0, log(v))
+        .when(v === 0.0, lit(Double.NegativeInfinity))
+        .otherwise(lit(Double.NaN))
+    val out = fn match {
+      case "abs"   => abs(v)
+      case "ceil"  => ceilD(v)
+      case "floor" => floorD(v)
+      case "round" =>
+        val to = args.headOption.getOrElse(1.0)
+        floorD(v / lit(to) + lit(0.5)) * lit(to)
+      case "sqrt" =>
+        when(v >= 0.0, sqrt(v)).otherwise(lit(Double.NaN))
+      case "exp"   => exp(v)
+      case "ln"    => logBase(log(_))
+      case "log2"  => logBase(log2(_))
+      case "log10" => logBase(log10(_))
+      case "sgn"   => signum(v)
+      case "clamp" =>
+        val (lo, hi) = (args(0), args(1))
+        if (lo > hi) lit(Double.NaN)
+        else when(isnan(v), v).otherwise(least(greatest(v, lit(lo)), lit(hi)))
+      case "clamp_min" =>
+        when(isnan(v), v).otherwise(greatest(v, lit(args(0))))
+      case "clamp_max" =>
+        when(isnan(v), v).otherwise(least(v, lit(args(0))))
+      case other => throw new IllegalArgumentException(s"unsupported function $other")
+    }
+    m.select(regexp_replace(col("path"), "^[^?]*", "").as("path"),
+      col("t"), out.as("value"))
+  }
+
+  /** The name and query-string halves of a storage path. */
+  private def pathName(p: Column): Column =
+    when(p.contains("?"), substring_index(p, "?", 1)).otherwise(p)
+  private def pathQs(p: Column): Column =
+    regexp_replace(p, "^[^?]*\\??", "")
+
+  /** A label's value out of a path (`""` = absent), `__name__` being
+    * the name segment.
+    */
+  private def labelVal(p: Column, k: String): Column =
+    if (k == "__name__") pathName(p)
+    else regexp_extract(p,
+      "[?&]" + java.util.regex.Pattern.quote(k) + "=([^&]*)", 1)
+
+  /** Rebuild a path with label `dst` set to `newVal` (empty = remove):
+    * name segment handled directly, query-string labels re-sorted into
+    * canonical `k=v&…` order.
+    */
+  private def setLabelPath(p: Column, dst: String, newVal: Column): Column = {
+    if (dst == "__name__")
+      when(pathQs(p) === "", newVal)
+        .otherwise(concat(newVal, lit("?"), pathQs(p)))
+    else {
+      val kept = filter(split(pathQs(p), "&"), x =>
+        x =!= "" && substring_index(x, "=", 1) =!= dst)
+      val added = when(newVal =!= "", array(concat(lit(dst + "="), newVal)))
+        .otherwise(array().cast("array<string>"))
+      val qs = array_join(array_sort(concat(kept, added)), "&")
+      when(qs === "", pathName(p)).otherwise(concat(pathName(p), lit("?"), qs))
+    }
+  }
+
+  /** `label_replace` over a matrix: anchored regex on the src label's
+    * value; matching rows get dst rewritten (with `$n` group refs),
+    * others pass through. Pure column math — one projection, no
+    * shuffle.
+    */
+  private[prom] def labelReplaceMatrix(
+      m: DataFrame, dst: String, rep: String, src: String, regex: String): DataFrame = {
+    val anchored = "^(?:" + regex + ")$"
+    val srcVal = labelVal(col("path"), src)
+    val matched = srcVal.rlike(anchored)
+    val newVal = regexp_replace(srcVal, anchored, rep)
+    val path = when(matched, setLabelPath(col("path"), dst, newVal))
+      .otherwise(col("path"))
+    m.select(path.as("path"), col("t"), col("value"))
+  }
+
+  /** `label_join` over a matrix: dst = sep-joined source label values,
+    * unconditionally.
+    */
+  private[prom] def labelJoinMatrix(
+      m: DataFrame, dst: String, sep: String, srcs: Seq[String]): DataFrame = {
+    val joined = concat_ws(sep, srcs.map(labelVal(col("path"), _)): _*)
+    m.select(setLabelPath(col("path"), dst, joined).as("path"),
+      col("t"), col("value"))
+  }
+
+  /** `count_values` over a matrix: one hash aggregate on (formatted
+    * value, slot); the value string uses [[fmtValue]]'s shortest form
+    * (integral doubles print without the `.0`), matching Prometheus's
+    * label rendering.
+    */
+  private[prom] def countValuesMatrix(m: DataFrame, label: String): DataFrame = {
+    val v = col("value")
+    val vstr = when(
+      !isnan(v) && v === floorD(v) && abs(v) < 1e15,
+      v.cast("long").cast("string")).otherwise(v.cast("string"))
+    m.groupBy(concat(lit("?" + label + "="), vstr).as("path"), col("t"))
+      .agg(count(lit(1)).cast("double").as("value"))
+  }
+
   /** `histogram_quantile(φ, …)` over an inner matrix of cumulative
     * `le` buckets: ONE hash aggregate re-keys each series to its
     * labels-minus-`le` group per slot and collects the (upper bound,
@@ -865,13 +1357,24 @@ object PromQL {
       base: DataFrame,
       op: String,
       by: Seq[String],
-      phi: Double = Double.NaN): DataFrame = {
-    val parts = by.distinct.sorted.map { k =>
-      val v = regexp_extract(col("path"),
-        "[?&]" + java.util.regex.Pattern.quote(k) + "=([^&]*)", 1)
-      when(v =!= "", concat(lit(k + "="), v))
+      phi: Double = Double.NaN,
+      without: Boolean = false): DataFrame = {
+    val qs = if (without) {
+      // keep every label BUT the listed ones (and the name) — the
+      // pre-sorted query string filtered in place
+      val dropped = array(by.distinct.map(lit): _*)
+      array_join(
+        filter(split(pathQs(col("path")), "&"), x =>
+          x =!= "" && !array_contains(dropped, substring_index(x, "=", 1))),
+        "&")
+    } else {
+      val parts = by.distinct.sorted.map { k =>
+        val v = regexp_extract(col("path"),
+          "[?&]" + java.util.regex.Pattern.quote(k) + "=([^&]*)", 1)
+        when(v =!= "", concat(lit(k + "="), v))
+      }
+      if (parts.isEmpty) lit("") else concat_ws("&", parts: _*)
     }
-    val qs = if (parts.isEmpty) lit("") else concat_ws("&", parts: _*)
     val gpath = when(qs === "", lit("")).otherwise(concat(lit("?"), qs))
     val g = base.groupBy(gpath.as("path"), col("t"))
     val out = op match {

@@ -31,7 +31,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // cartesian (`PromQL.binOpMatrix`/`setOpMatrix`)
     "p_query_binop", "p_query_paren", "p_query_setop", "p_query_or",
     "p_query_bool", "p_query_groupleft", "p_query_histq",
-    "p_remote_read")
+    "p_remote_read",
+    // range-fn/math/label batch: all single-pass aggregates or
+    // projections — a join appearing here would be a regression
+    "p_query_without", "p_query_delta", "p_query_irate",
+    "p_query_deriv", "p_query_predict", "p_query_quantile_ot",
+    "p_query_changes", "p_query_label_replace",
+    "p_query_subquery", "p_query_count_values")
 
   for (name <- audited) {
     test(s"$name: no cartesian or nested-loop join in the physical plan") {

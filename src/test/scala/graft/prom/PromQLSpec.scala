@@ -204,6 +204,85 @@ class PromQLSpec extends AnyFunSuite {
       Right(PromQL.BinOp("*", sel, PromQL.BinOp("^", seln, sel))))
   }
 
+  test("parse: without grouping on aggregations and quantile") {
+    val sel = PromQL.Selector(Seq(("__name__", "=", "m")))
+    assert(PromQL.parse("sum without (a, b) (m)") ==
+      Right(PromQL.Agg("sum", Seq("a", "b"), sel, without = true)))
+    assert(PromQL.parse("avg(m) without (a)") ==
+      Right(PromQL.Agg("avg", Seq("a"), sel, without = true)))
+    assert(PromQL.parse("quantile without (a) (0.5, m)") ==
+      Right(PromQL.Quantile(0.5, Seq("a"), sel, without = true)))
+    // without (__name__) is legal (the name is dropped anyway)
+    assert(PromQL.parse("sum without (__name__) (m)").isRight)
+    assert(PromQL.parse("sum by (__name__) (m)").isLeft)
+  }
+
+  test("parse: extended range functions") {
+    val sel = PromQL.Selector(Seq(("__name__", "=", "m")))
+    assert(PromQL.parse("delta(m[5m])") ==
+      Right(PromQL.RangeFn("delta", sel, 300L)))
+    assert(PromQL.parse("irate(m[1m])") ==
+      Right(PromQL.RangeFn("irate", sel, 60L)))
+    assert(PromQL.parse("changes(m[1h])") ==
+      Right(PromQL.RangeFn("changes", sel, 3600L)))
+    assert(PromQL.parse("quantile_over_time(0.9, m[5m])") ==
+      Right(PromQL.RangeFn("quantile_over_time", sel, 300L, Some(0.9))))
+    assert(PromQL.parse("predict_linear(m[1h], 3600)") ==
+      Right(PromQL.RangeFn("predict_linear", sel, 3600L, Some(3600.0))))
+    assert(PromQL.parse("deriv(m[1h] offset 1h)") ==
+      Right(PromQL.Offset(3600L, PromQL.RangeFn("deriv", sel, 3600L))))
+    assert(PromQL.parse("quantile_over_time(x, m[5m])").isLeft)
+    assert(PromQL.parse("predict_linear(m, 3600)").isLeft)
+  }
+
+  test("parse: scalar math functions") {
+    val sel = PromQL.Selector(Seq(("__name__", "=", "m")))
+    assert(PromQL.parse("abs(m)") == Right(PromQL.MathFn("abs", Nil, sel)))
+    assert(PromQL.parse("round(m, 5)") ==
+      Right(PromQL.MathFn("round", Seq(5.0), sel)))
+    assert(PromQL.parse("clamp(m, 0, 10)") ==
+      Right(PromQL.MathFn("clamp", Seq(0.0, 10.0), sel)))
+    assert(PromQL.parse("clamp_min(rate(m[5m]), 0)") ==
+      Right(PromQL.MathFn("clamp_min", Seq(0.0),
+        PromQL.RangeFn("rate", sel, 300L))))
+    // arg-count validation
+    assert(PromQL.parse("clamp(m, 0)").isLeft)
+    assert(PromQL.parse("abs(m, 1)").isLeft)
+  }
+
+  test("parse: absent, label_replace, label_join") {
+    val sel = PromQL.Selector(Seq(("__name__", "=", "m"), ("job", "=", "x")))
+    assert(PromQL.parse("""absent(m{job="x"})""") == Right(PromQL.Absent(sel)))
+    assert(PromQL.parse(
+      """label_replace(m{job="x"}, "dst", "$1", "src", "(.*)")""") ==
+      Right(PromQL.LabelReplace("dst", "$1", "src", "(.*)", sel)))
+    assert(PromQL.parse(
+      """label_join(m{job="x"}, "dst", "-", "a", "b")""") ==
+      Right(PromQL.LabelJoin("dst", "-", Seq("a", "b"), sel)))
+    // malformed regex and non-string args are parse errors
+    assert(PromQL.parse(
+      """label_replace(m, "dst", "$1", "src", "(unclosed")""").isLeft)
+    assert(PromQL.parse("""label_replace(m, dst, "$1", "src", ".*")""").isLeft)
+  }
+
+  test("parse: subqueries and count_values") {
+    val sel = PromQL.Selector(Seq(("__name__", "=", "m")))
+    assert(PromQL.parse("max_over_time(rate(m[5m])[1h:5m])") ==
+      Right(PromQL.SubQuery("max_over_time",
+        PromQL.RangeFn("rate", sel, 300L), 3600L, Some(300L))))
+    // empty step = outer query resolution
+    assert(PromQL.parse("min_over_time(m[1h:])") ==
+      Right(PromQL.SubQuery("min_over_time", sel, 3600L, None)))
+    assert(PromQL.parse("quantile_over_time(0.9, sum(m)[1h:5m])") ==
+      Right(PromQL.SubQuery("quantile_over_time",
+        PromQL.Agg("sum", Nil, sel), 3600L, Some(300L), Some(0.9))))
+    assert(PromQL.parse("rate(m[5m:abc])").isLeft)
+    assert(PromQL.parse("""count_values("v", m)""") ==
+      Right(PromQL.CountValues("v", sel)))
+    assert(PromQL.parse("""count_values("__name__", m)""").isLeft)
+    assert(PromQL.parse("count_values(v, m)").isLeft)
+  }
+
   test("parse: histogram_quantile") {
     val sel = PromQL.Selector(Seq(("__name__", "=", "m")))
     assert(PromQL.parse("histogram_quantile(0.9, m)") ==
@@ -300,6 +379,167 @@ class PromQLEvalSpec extends AnyFunSuite {
     val rdup = matrix(("n?a=1", 0L, 5.0), ("o?a=1", 0L, 50.0))
     assert(rowSet(PromQL.binOpMatrix(lm, rdup, ">", boolMode = false, PromQL.Matching.default)) ==
       Set.empty[(String, Long, Double)]) // 10 > max(5, 50) fails
+  }
+
+  test("math functions: value transform, name dropped, edge semantics") {
+    val m = matrix(("m?a=1", 0L, -1.5), ("m?a=2", 0L, 2.5))
+    assert(rowSet(PromQL.mathFnMatrix(m, "abs", Nil)) ==
+      Set(("?a=1", 0L, 1.5), ("?a=2", 0L, 2.5)))
+    assert(rowSet(PromQL.mathFnMatrix(m, "floor", Nil)) ==
+      Set(("?a=1", 0L, -2.0), ("?a=2", 0L, 2.0)))
+    assert(rowSet(PromQL.mathFnMatrix(m, "ceil", Nil)) ==
+      Set(("?a=1", 0L, -1.0), ("?a=2", 0L, 3.0)))
+    // Go-style round: half away from zero only for the positive half
+    // (floor(v/to + 0.5)*to), to_nearest scaling
+    assert(rowSet(PromQL.mathFnMatrix(m, "round", Seq(1.0))) ==
+      Set(("?a=1", 0L, -1.0), ("?a=2", 0L, 3.0)))
+    assert(rowSet(PromQL.mathFnMatrix(m, "round", Seq(5.0))) ==
+      Set(("?a=1", 0L, 0.0), ("?a=2", 0L, 5.0)))
+    assert(rowSet(PromQL.mathFnMatrix(m, "clamp", Seq(0.0, 2.0))) ==
+      Set(("?a=1", 0L, 0.0), ("?a=2", 0L, 2.0)))
+    assert(rowSet(PromQL.mathFnMatrix(m, "sgn", Nil)) ==
+      Set(("?a=1", 0L, -1.0), ("?a=2", 0L, 1.0)))
+    // ln(0) = -Inf, ln(<0) = NaN — Prometheus, not SQL NULL
+    val z = matrix(("m?x=z", 0L, 0.0), ("m?x=n", 0L, -1.0), ("m?x=e", 0L, math.E))
+    val ln = rowSet(PromQL.mathFnMatrix(z, "ln", Nil)).map(r => r._1 -> r._3).toMap
+    assert(ln("?x=z") == Double.NegativeInfinity)
+    assert(ln("?x=n").isNaN)
+    assert(math.abs(ln("?x=e") - 1.0) < 1e-12)
+    // sqrt(<0) = NaN
+    assert(rowSet(PromQL.mathFnMatrix(matrix(("m", 0L, -4.0)), "sqrt", Nil))
+      .head._3.isNaN)
+    // clamp with lo > hi = NaN (Prometheus), NaN passes through clamp
+    assert(rowSet(PromQL.mathFnMatrix(m, "clamp", Seq(3.0, 1.0))).forall(_._3.isNaN))
+  }
+
+  test("aggMatrix without: group key is everything but the listed labels") {
+    val m = matrix(
+      ("m?type=a&user=1", 0L, 1.0), ("m?type=a&user=2", 0L, 2.0),
+      ("m?type=b&user=1", 0L, 5.0))
+    assert(rowSet(PromQL.aggMatrix(m, "sum", Seq("user"), without = true)) ==
+      Set(("?type=a", 0L, 3.0), ("?type=b", 0L, 5.0)))
+    // without an absent label = full label set sans name
+    assert(rowSet(PromQL.aggMatrix(m, "count", Seq("zzz"), without = true)) ==
+      Set(("?type=a&user=1", 0L, 1.0), ("?type=a&user=2", 0L, 1.0),
+        ("?type=b&user=1", 0L, 1.0)))
+  }
+
+  test("label_replace and label_join rewrite paths in place") {
+    val m = matrix(("m?src=abc&z=1", 0L, 1.0), ("m?src=xyz&z=1", 0L, 2.0))
+    // anchored match on src: only abc matches a(.*) → dst=b-bc
+    assert(rowSet(PromQL.labelReplaceMatrix(m, "dst", "b-$1", "src", "a(.*)")) ==
+      Set(("m?dst=b-bc&src=abc&z=1", 0L, 1.0), ("m?src=xyz&z=1", 0L, 2.0)))
+    // empty replacement removes the label; overwriting an existing one
+    val m2 = matrix(("m?a=1&b=2", 0L, 1.0))
+    assert(rowSet(PromQL.labelReplaceMatrix(m2, "b", "", "a", "1")) ==
+      Set(("m?a=1", 0L, 1.0)))
+    // dst = __name__ renames the metric
+    assert(rowSet(PromQL.labelReplaceMatrix(m2, "__name__", "renamed", "a", "1")) ==
+      Set(("renamed?a=1&b=2", 0L, 1.0)))
+    // src = __name__ reads the name
+    assert(rowSet(PromQL.labelReplaceMatrix(m2, "c", "$1", "__name__", "(m)")) ==
+      Set(("m?a=1&b=2&c=m", 0L, 1.0)))
+    // label_join: unconditional, missing sources join as empty
+    assert(rowSet(PromQL.labelJoinMatrix(m2, "j", "-", Seq("a", "b"))) ==
+      Set(("m?a=1&b=2&j=1-2", 0L, 1.0)))
+    assert(rowSet(PromQL.labelJoinMatrix(m2, "j", "-", Seq("a", "nope"))) ==
+      Set(("m?a=1&b=2&j=1-", 0L, 1.0)))
+  }
+
+  test("extended range functions over a tiny series") {
+    // samples at t = 0, 10, 20, 30: values 1, 3, 2, 5
+    val pts = matrix(
+      ("m?job=a", 0L, 1.0), ("m?job=a", 10L, 3.0),
+      ("m?job=a", 20L, 2.0), ("m?job=a", 30L, 5.0))
+      .withColumnRenamed("t", "time")
+    val tags = graft.engine.GraphiteTables.expandTagRows(
+      pts.select(org.apache.spark.sql.functions.col("path"))
+        .distinct()
+        .withColumn("date", org.apache.spark.sql.functions.lit("1970-01-01").cast("date"))
+        .withColumn("version", org.apache.spark.sql.functions.lit(0L)))
+    def eval(q: String): Set[(String, Long, Double)] = rowSet(PromQL.evalMatrix(
+      pts, tags, PromQL.parse(q).toOption.get, 30L, 30L, 1L, lookbackSec = 40L))
+    assert(eval("delta(m[40s])") == Set(("m?job=a", 30L, 4.0)))
+    assert(eval("idelta(m[40s])") == Set(("m?job=a", 30L, 3.0)))
+    // irate: (5 - 2) / (30 - 20)
+    assert(eval("irate(m[40s])") == Set(("m?job=a", 30L, 0.3)))
+    assert(eval("resets(m[40s])") == Set(("m?job=a", 30L, 1.0)))
+    assert(eval("changes(m[40s])") == Set(("m?job=a", 30L, 3.0)))
+    // least squares over tc = (-30,-20,-10,0), v = (1,3,2,5):
+    // slope = 0.11, intercept at slot = 4.4
+    val d = eval("deriv(m[40s])")
+    assert(d.size == 1 && math.abs(d.head._3 - 0.11) < 1e-12)
+    val p = eval("predict_linear(m[40s], 10)")
+    assert(p.size == 1 && math.abs(p.head._3 - 5.5) < 1e-12)
+    assert(eval("stddev_over_time(m[40s])").head._3 ==
+      math.sqrt((Seq(1.0, 3.0, 2.0, 5.0).map(v => (v - 2.75) * (v - 2.75)).sum) / 4))
+    assert(eval("present_over_time(m[40s])") == Set(("m?job=a", 30L, 1.0)))
+    // quantile_over_time: exact interpolation over {1,2,3,5} at 0.5
+    assert(eval("quantile_over_time(0.5, m[40s])") == Set(("m?job=a", 30L, 2.5)))
+    // irate counter reset: last < prev → last value is the increase
+    val pts2 = matrix(("c", 0L, 10.0), ("c", 10L, 2.0))
+      .withColumnRenamed("t", "time")
+    val tags2 = graft.engine.GraphiteTables.expandTagRows(
+      pts2.select(org.apache.spark.sql.functions.col("path")).distinct()
+        .withColumn("date", org.apache.spark.sql.functions.lit("1970-01-01").cast("date"))
+        .withColumn("version", org.apache.spark.sql.functions.lit(0L)))
+    val ir = rowSet(PromQL.evalMatrix(
+      pts2, tags2, PromQL.parse("irate(c[20s])").toOption.get,
+      10L, 10L, 1L, lookbackSec = 20L))
+    assert(ir == Set(("c", 10L, 0.2))) // 2 / 10
+  }
+
+  test("count_values groups by Prometheus-formatted value") {
+    val m = matrix(
+      ("m?a=1", 0L, 2.0), ("m?a=2", 0L, 2.0), ("m?a=3", 0L, 2.5),
+      ("m?a=1", 30L, 2.0))
+    assert(rowSet(PromQL.countValuesMatrix(m, "v")) ==
+      Set(("?v=2", 0L, 2.0), ("?v=2.5", 0L, 1.0), ("?v=2", 30L, 1.0)))
+  }
+
+  test("subquery: inner grid aligned to step multiples, outer window aggregate") {
+    // samples every 10s; subquery inner step 20s, outer window 60s
+    val pts = matrix(
+      (0L to 9L).map(i => ("m?job=a", i * 10L, i.toDouble)): _*)
+      .withColumnRenamed("t", "time")
+    val tags = graft.engine.GraphiteTables.expandTagRows(
+      pts.select(org.apache.spark.sql.functions.col("path")).distinct()
+        .withColumn("date", org.apache.spark.sql.functions.lit("1970-01-01").cast("date"))
+        .withColumn("version", org.apache.spark.sql.functions.lit(0L)))
+    // inner instant eval at t = 40, 60, 80 (multiples of 20 in (30, 90])
+    // gives values 4, 6, 8; max_over_time over the trailing 60s at 90
+    val out = rowSet(PromQL.evalMatrix(
+      pts, tags,
+      PromQL.parse("max_over_time(m[60s:20s])").toOption.get,
+      90L, 90L, 1L, lookbackSec = 300L))
+    assert(out == Set(("m?job=a", 90L, 8.0)))
+    // min over the same inner points
+    assert(rowSet(PromQL.evalMatrix(
+      pts, tags,
+      PromQL.parse("min_over_time(m[60s:20s])").toOption.get,
+      90L, 90L, 1L, lookbackSec = 300L)) == Set(("m?job=a", 90L, 4.0)))
+    // empty inner step inherits the outer resolution (30s → 60, 90)
+    assert(rowSet(PromQL.evalMatrix(
+      pts, tags,
+      PromQL.parse("min_over_time(m[60s:])").toOption.get,
+      90L, 90L, 30L, lookbackSec = 300L)) == Set(("m?job=a", 90L, 6.0)))
+  }
+
+  test("absent: 1 where the inner vector is empty, labels from eq matchers") {
+    val pts = matrix(("m?job=a", 0L, 1.0)).withColumnRenamed("t", "time")
+    val tags = graft.engine.GraphiteTables.expandTagRows(
+      pts.select(org.apache.spark.sql.functions.col("path")).distinct()
+        .withColumn("date", org.apache.spark.sql.functions.lit("1970-01-01").cast("date"))
+        .withColumn("version", org.apache.spark.sql.functions.lit(0L)))
+    // matching series present at every slot → absent is empty
+    assert(rowSet(PromQL.evalMatrix(
+      pts, tags, PromQL.parse("""absent(m{job="a"})""").toOption.get,
+      0L, 60L, 30L, lookbackSec = 300L)).isEmpty)
+    // nothing matches → 1 at every slot, labels from the matchers
+    assert(rowSet(PromQL.evalMatrix(
+      pts, tags, PromQL.parse("""absent(nope{job="a"})""").toOption.get,
+      0L, 60L, 30L, lookbackSec = 300L)) ==
+      Set(("?job=a", 0L, 1.0), ("?job=a", 30L, 1.0), ("?job=a", 60L, 1.0)))
   }
 
   test("histogram_quantile interpolates within sorted le buckets") {
