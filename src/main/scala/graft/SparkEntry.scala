@@ -614,6 +614,22 @@ object SparkEntry {
           TextStats.piiCounts(salted): _*)
     }),
 
+    // C4-style heuristic filter battery over deterministically salted
+    // docs (the raw synthetic corpus is single-line with no code/
+    // lorem markers, so — like d_scrub — the salt is reproduced
+    // identically in the DuckDB twin): line signals + document drops
+    // + the composite keep decision, all fused into one scan pass.
+    "d_c4" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val salted = concat(
+        replace(col("text"), lit(" scan "), lit(".\n")),
+        when(col("doc_id") % 7 === 0, lit("\nlorem ipsum filler")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit("\nif (x) { return }")).otherwise(lit("")))
+      docs.select(
+        (col("doc_id") +: TextStats.c4Signals(salted)) :+
+          TextStats.c4Keep(salted).cast("long").as("keep"): _*)
+    }),
+
     // Gopher-style within-document repetition signals: duplicate-line
     // ratio + chars, top-bigram char coverage, duplicate-trigram
     // ratio. Pure higher-order array expressions fused into the scan
@@ -1541,6 +1557,39 @@ object SparkEntry {
           |  CAST(len(regexp_extract_all(t1, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
           |  CAST(len(regexp_extract_all(t2, '\+[0-9][0-9 ().-]{6,}[0-9]')) AS BIGINT) AS n_phones
           |FROM m2""".stripMargin),
+
+      "d_c4" ->
+        ("""WITH salted AS (
+          |  SELECT doc_id,
+          |    replace(text, ' scan ', '.' || chr(10))
+          |    || CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'lorem ipsum filler' ELSE '' END
+          |    || CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'if (x) { return }' ELSE '' END AS t
+          |  FROM documents),
+          |lined AS (
+          |  SELECT doc_id, t,
+          |    list_filter(list_transform(string_split(t, chr(10)), x -> trim(x)), x -> x <> '') AS ls
+          |  FROM salted),
+          |sig AS (
+          |  SELECT doc_id,
+          |    CAST(len(ls) AS BIGINT) AS n_lines,
+          |    len(list_filter(ls, x -> regexp_matches(x, '[.!?"]$')))::double / greatest(len(ls), 1) AS term,
+          |    len(list_filter(ls, x -> regexp_matches(x, '^[-*•]')))::double / greatest(len(ls), 1) AS bullet,
+          |    len(list_filter(ls, x -> x LIKE '%...'))::double / greatest(len(ls), 1) AS ellipsis,
+          |    len(list_filter(ls, x -> len(regexp_split_to_array(x, '\s+')) >= 5))::double / greatest(len(ls), 1) AS longl,
+          |    CAST(CASE WHEN contains(lower(t), 'lorem ipsum') THEN 1 ELSE 0 END AS BIGINT) AS has_lorem,
+          |    CAST(CASE WHEN contains(t, '{') THEN 1 ELSE 0 END AS BIGINT) AS has_brace,
+          |    len(regexp_split_to_array(trim(t), '\s+')) AS n_words
+          |  FROM lined)
+          |SELECT doc_id, n_lines,
+          |  round(term, 4) + 0 AS term_punct_ratio,
+          |  round(bullet, 4) + 0 AS bullet_ratio,
+          |  round(ellipsis, 4) + 0 AS ellipsis_ratio,
+          |  round(longl, 4) + 0 AS long_line_ratio,
+          |  has_lorem, has_brace,
+          |  CAST(CASE WHEN has_lorem = 0 AND has_brace = 0
+          |            AND term >= 0.25 AND n_words >= 10
+          |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+          |FROM sig""".stripMargin),
 
       "d_repetition" ->
         ("""WITH base AS (

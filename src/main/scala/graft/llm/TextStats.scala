@@ -217,4 +217,64 @@ object TextStats {
     size(regexp_extract_all(
       regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"),
       lit(PhoneRe), lit(0))).cast("long").as("n_phones"))
+
+  // ------------------------------------------------------------------
+  // C4-style heuristic document filters
+  // ------------------------------------------------------------------
+  // The classic web-corpus cleanup battery (C4, Raffel et al. 2020
+  // §2.2, plus two Gopher line rules): per-line terminal punctuation,
+  // bullet starts, ellipsis ends, the lorem-ipsum and curly-brace
+  // document drops, and a words-per-line floor. All pure column math
+  // over the per-document line array — fused into the scan, map-only
+  // at any scale, like the rest of TextStats.
+
+  /** Fraction of lines satisfying `pred` (0 for empty docs). */
+  private def lineRatio(lines: Column, pred: Column => Column): Column =
+    size(filter(lines, pred)).cast("double") /
+      greatest(size(lines).cast("double"), lit(1.0))
+
+  /** The unrounded C4 signals, in order: n_lines, terminal-punct line
+    * ratio, bullet-start line ratio, ellipsis-end line ratio,
+    * ≥5-word line ratio, has-lorem-ipsum, has-curly-brace.
+    */
+  private def c4Raw(text: Column): (Column, Column, Column, Column, Column, Column, Column) = {
+    val lines = docLines(text)
+    (size(lines).cast("long"),
+      lineRatio(lines, l => l.rlike("[.!?\"]$")),
+      lineRatio(lines, l => l.rlike("^[-*•]")),
+      lineRatio(lines, l => l.endsWith("...")),
+      lineRatio(lines, l => size(split(l, "\\s+")) >= 5),
+      lower(text).contains("lorem ipsum").cast("long"),
+      text.contains("{").cast("long"))
+  }
+
+  /** The C4 filter signals as named display columns (ratios rounded
+    * for stable cross-engine output).
+    */
+  def c4Signals(text: Column): Seq[Column] = {
+    val (nLines, term, bullet, ellipsis, longLine, lorem, brace) = c4Raw(text)
+    Seq(
+      nLines.as("n_lines"),
+      round(term, 4).as("term_punct_ratio"),
+      round(bullet, 4).as("bullet_ratio"),
+      round(ellipsis, 4).as("ellipsis_ratio"),
+      round(longLine, 4).as("long_line_ratio"),
+      lorem.as("has_lorem"),
+      brace.as("has_brace"))
+  }
+
+  /** Composite keep decision over the RAW signals (thresholding a
+    * display-rounded ratio misclassifies boundary docs): drop
+    * lorem-ipsum and code-bearing docs, demand a minimum terminal-
+    * punctuation line ratio and word count. Thresholds are the
+    * C4/Gopher defaults scaled to short synthetic docs.
+    */
+  def c4Keep(
+      text: Column,
+      minTermPunct: Double = 0.25,
+      minWords: Int = 10): Column = {
+    val (_, term, _, _, _, lorem, brace) = c4Raw(text)
+    (lorem === 0) && (brace === 0) &&
+      (term >= lit(minTermPunct)) && (wordCount(text) >= minWords)
+  }
 }

@@ -50,4 +50,38 @@ class CurationSpec extends AnyFunSuite {
       .toDF("text").select(TextStats.scrubPii(col("text"))).head().getString(0)
     assert(s == "no personal data in this sentence at all")
   }
+
+  test("c4 signals: line ratios, document drops, keep decision") {
+    import spark.implicits._
+    val doc =
+      "This is a proper sentence.\n" +
+      "- a bullet item\n" +
+      "trailing off somewhere...\n" +
+      "short\n" +
+      "Another full sentence with enough words here."
+    def sig(text: String): Map[String, Any] = {
+      val row = Seq(text).toDF("text")
+        .select(TextStats.c4Signals(col("text")): _*).head()
+      row.schema.fieldNames.zip(row.toSeq).toMap
+    }
+    val s = sig(doc)
+    assert(s("n_lines") == 5L)
+    assert(s("term_punct_ratio") == 0.6)  // lines 1, 3 (…), 5 end in .
+    assert(s("bullet_ratio") == 0.2)
+    assert(s("ellipsis_ratio") == 0.2)
+    assert(s("long_line_ratio") == 0.4)   // >= 5 words: lines 1 and 5
+    assert(s("has_lorem") == 0L && s("has_brace") == 0L)
+    assert(sig("Some Lorem Ipsum boilerplate.")("has_lorem") == 1L)
+    assert(sig("if (x) { return y }")("has_brace") == 1L)
+
+    def keep(text: String): Boolean = Seq(text).toDF("text")
+      .select(TextStats.c4Keep(col("text")).as("k")).head().getBoolean(0)
+    // enough words, every line punctuated → kept
+    assert(keep("One full sentence with plenty of words right here today.\n" +
+      "And another complete sentence to round the document out."))
+    assert(!keep("lorem ipsum " + ("word " * 20) + "Ends fine."))
+    assert(!keep(("word " * 20) + "{ code }.")) // brace drop
+    assert(!keep("No terminal punctuation " + ("word " * 20))) // punct floor
+    assert(!keep("Too short."))                 // word-count floor
+  }
 }
