@@ -491,6 +491,20 @@ object SparkEntry {
         .groupBy(col("event_type"), (col("t") - pmod(col("t"), lit(3600))).as("window_start"))
         .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))),
 
+    // sliding windows (1h length, 15m slide): Spark's native window()
+    // — each event fans out to length/slide windows; identical code
+    // works on readStream with a watermark for the streaming path.
+    "ev_sliding" -> ((s, dir) =>
+      GraphiteTables.events(s, dir)
+        .select(col("event_type"),
+          timestamp_seconds((col("ts") / 1000000000L).cast("long")).as("tt"),
+          col("value"))
+        .groupBy(col("event_type"), window(col("tt"), "1 hour", "15 minutes"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+        .select(col("event_type"),
+          col("window.start").cast("long").as("window_start"),
+          col("n"), col("sum_value"))),
+
     // ----------------------------------------------------------------
     // TPC-H track: scans, joins, aggregation shapes (S1, J1, A4)
     // ----------------------------------------------------------------
@@ -613,6 +627,14 @@ object SparkEntry {
           TextStats.scrubPii(salted).as("scrubbed") +:
           TextStats.piiCounts(salted): _*)
     }),
+
+    // ExactSubstr-lite: per-doc duplicated 5-gram span stats — one
+    // hash aggregate on the shingle hash, dup-key semi-join back,
+    // totals straight off the scan; no doc×doc stage.
+    "d_dup_spans" -> ((s, dir) =>
+      Dedup.duplicateSpans(
+        s.read.parquet(s"$dir/documents.parquet"),
+        col("text"), col("doc_id"), w = 5)),
 
     // C4-style heuristic filter battery over deterministically salted
     // docs (the raw synthetic corpus is single-line with no code/
@@ -1446,6 +1468,13 @@ object SparkEntry {
           |FROM (SELECT event_type, epoch_us(ts)//1000000 AS t, value FROM events) e
           |GROUP BY event_type, window_start""".stripMargin),
 
+      "ev_sliding" ->
+        ("""SELECT event_type, (t - t % 900) - 900*j AS window_start,
+          |       count(*) AS n, round(sum(value), 4) AS sum_value
+          |FROM (SELECT event_type, epoch_us(ts)//1000000 AS t, value FROM events) e,
+          |     generate_series(0, 3) g(j)
+          |GROUP BY 1, 2""".stripMargin),
+
       "q1_agg" ->
         ("""SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty,
           | round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
@@ -1557,6 +1586,20 @@ object SparkEntry {
           |  CAST(len(regexp_extract_all(t1, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
           |  CAST(len(regexp_extract_all(t2, '\+[0-9][0-9 ().-]{6,}[0-9]')) AS BIGINT) AS n_phones
           |FROM m2""".stripMargin),
+
+      "d_dup_spans" ->
+        (s"""WITH sh AS (
+           |  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::bigint % 2147483647 AS h
+           |  FROM (SELECT doc_id, unnest(${shinglesSql(5)}) AS s FROM documents) t),
+           |dupk AS (SELECT h FROM sh GROUP BY h HAVING count(*) > 1),
+           |dup AS (SELECT doc_id, count(*) AS n_dup FROM sh
+           |        WHERE h IN (SELECT h FROM dupk) GROUP BY doc_id),
+           |tot AS (SELECT doc_id, CAST(len(${shinglesSql(5)}) AS BIGINT) AS n_shingles
+           |        FROM documents)
+           |SELECT t.doc_id, t.n_shingles,
+           |       CAST(coalesce(d.n_dup, 0) AS BIGINT) AS n_dup,
+           |       round(coalesce(d.n_dup, 0)::double / greatest(t.n_shingles::double, 1.0), 4) + 0 AS dup_ratio
+           |FROM tot t LEFT JOIN dup d USING (doc_id)""".stripMargin),
 
       "d_c4" ->
         ("""WITH salted AS (

@@ -237,6 +237,41 @@ class HttpApiSpec extends AnyFunSuite {
     assert(new String(bad.body()).startsWith("""{"status":"error""""))
   }
 
+  test("/api/v1/query_range: round-7 operators over HTTP") {
+    def qr(query: String): String = {
+      val enc = java.net.URLEncoder.encode(query, "UTF-8")
+      val r = get(s"/api/v1/query_range?query=$enc&start=$rnow&end=$rnow&step=30")
+      assert(r.statusCode() == 200, new String(r.body()))
+      new String(r.body())
+    }
+    // metric1 latest = 3.0; filter-mode comparison keeps it
+    assert(qr("metric1 > 2.5").contains(s"""[[$rnow,"3"]]"""))
+    // bool mode emits 1 with the name dropped
+    assert(qr("metric1 > bool 2.5").contains(""""metric":{"tag1":"value1""""))
+    // set op: self unless self > 10 keeps the series (3 ≤ 10)
+    assert(qr("metric1 unless (metric1 > 10)").contains(s"""[[$rnow,"3"]]"""))
+    // scalar math drops the name, keeps labels
+    val clamped = qr("clamp(metric1, 0, 2)")
+    assert(clamped.contains(""""metric":{"tag1":"value1"""") &&
+      clamped.contains(s"""[[$rnow,"2"]]"""))
+    // group_left self-division = 1
+    assert(qr("metric1 / on(tag2) group_left sum by (tag2) (metric1)")
+      .contains(s"""[[$rnow,"1"]]"""))
+    // subquery: min of the last-30s instant evals at 10s resolution
+    assert(qr("min_over_time(metric1[30s:10s])").contains(s"""[[$rnow,"2"]]"""))
+    // label_replace adds a derived label through the endpoint
+    assert(qr("""label_replace(metric1, "t", "$1", "tag2", "value(.*)")""")
+      .contains(""""t":"21""""))
+    // changes over the sample window: 2.0, 2.5, 2.0, 3.0 → 3 changes
+    assert(qr("changes(metric1[40s])").contains(s"""[[$rnow,"3"]]"""))
+    // absent of a missing metric returns the matcher labels
+    assert(qr("""absent(nosuch{job="x"})""").contains(""""job":"x""""))
+    // histogram_quantile over constructed le series is exercised in
+    // PromQLEvalSpec; an unknown function is still a clean 400
+    assert(get(s"/api/v1/query_range?query=nope(metric1)&start=$rnow&end=$rnow&step=30")
+      .statusCode() == 400)
+  }
+
   test("/api/v1/query: instant vector at an explicit and the default time") {
     def qi(params: String): String = {
       val r = get(s"/api/v1/query?$params")
