@@ -38,10 +38,17 @@ object Bench {
       graft.engine.GraphiteTables.tags(spark, sfDir).count()
     } catch { case _: Throwable => }
 
+    // optional comma-separated query-name filter (local iteration on
+    // one operator without paying the full sweep)
+    val only: Option[Set[String]] =
+      if (args.nonEmpty) Some(args(0).split(',').toSet) else None
+
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val coldTimings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.mode("overwrite").format("noop").save()

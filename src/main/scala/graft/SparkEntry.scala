@@ -1132,6 +1132,53 @@ object SparkEntry {
         start = WFrom, end = WFrom + 30L * 86400L, step0 = 21600L,
         lookbackSec = 86400L)),
 
+    // time() as an element-wise scalar: seconds-since-last-sample
+    // freshness (the staleness-alert shape) — no join, one projection.
+    "p_query_time" -> ((s, dir) =>
+      graft.prom.PromQL.evalMatrix(
+        GraphiteTables.pointsTagged(s, dir),
+        GraphiteTables.tags(s, dir),
+        graft.prom.PromQL.parse("time() - max_over_time(events[1d])")
+          .fold(e => throw new IllegalArgumentException(e), identity),
+        start = WFrom, end = WFrom + 30L * 86400L, step0 = 21600L,
+        lookbackSec = 86400L)),
+
+    // maintenance-window idiom: alert condition silenced outside
+    // working hours via `and on()` against the hour() grid series.
+    "p_query_hour" -> ((s, dir) =>
+      graft.prom.PromQL.evalMatrix(
+        GraphiteTables.pointsTagged(s, dir),
+        GraphiteTables.tags(s, dir),
+        graft.prom.PromQL.parse(
+          """events{type="click"} > 50 and on() (hour() >= 6)""")
+          .fold(e => throw new IllegalArgumentException(e), identity),
+        start = WFrom, end = WFrom + 30L * 86400L, step0 = 21600L,
+        lookbackSec = 86400L)),
+
+    // double exponential smoothing: sequential fold inside one
+    // higher-order aggregate per (series, slot).
+    "p_query_holt" -> ((s, dir) =>
+      graft.prom.PromQL.evalMatrix(
+        GraphiteTables.pointsTagged(s, dir),
+        GraphiteTables.tags(s, dir),
+        graft.prom.PromQL.parse("holt_winters(events[1d], 0.5, 0.3)")
+          .fold(e => throw new IllegalArgumentException(e), identity),
+        start = WFrom, end = WFrom + 30L * 86400L, step0 = 21600L,
+        lookbackSec = 86400L)
+        .withColumn("value", round(col("value"), 6))),
+
+    // `or vector(0)`: the Grafana no-data fallback — the label-less
+    // constant series fills slots where the left side is empty.
+    "p_query_vector" -> ((s, dir) =>
+      graft.prom.PromQL.evalMatrix(
+        GraphiteTables.pointsTagged(s, dir),
+        GraphiteTables.tags(s, dir),
+        graft.prom.PromQL.parse("sum(events) or vector(0)")
+          .fold(e => throw new IllegalArgumentException(e), identity),
+        start = WFrom, end = WFrom + 30L * 86400L, step0 = 21600L,
+        lookbackSec = 86400L)
+        .withColumn("value", round(col("value"), 6))),
+
     // ----------------------------------------------------------------
     // LLM track: multimodal plumbing (binary payload, batch decode stub)
     // ----------------------------------------------------------------
@@ -2251,6 +2298,83 @@ object SparkEntry {
            |  FROM win GROUP BY 1, 2)
            |SELECT 'events?app=x-click&type=click&user=' || user_id AS path, t, value
            |FROM inst""".stripMargin),
+
+      "p_query_hour" ->
+        (s"""WITH dedup AS (
+           |  SELECT user_id,
+           |         epoch_us(ts)//1000000 AS time,
+           |         arg_max(value, event_id) AS value
+           |  FROM events WHERE event_type = 'click'
+           |  GROUP BY 1, 2),
+           |grid AS (SELECT $WFrom + 21600*n AS t FROM generate_series(0, 120) g(n)),
+           |win AS (
+           |  SELECT d.user_id, g.t, d.value, d.time FROM dedup d
+           |  JOIN grid g ON d.time <= g.t AND d.time > g.t - 86400),
+           |inst AS (SELECT user_id, t, arg_max(value, time) AS value
+           |  FROM win GROUP BY 1, 2)
+           |SELECT 'events?type=click&user=' || user_id AS path, t, value
+           |FROM inst WHERE value > 50 AND ((t // 3600) % 24) >= 6""".stripMargin),
+
+      "p_query_holt" ->
+        (s"""WITH dedup AS (
+           |  SELECT 'events?type=' || event_type || '&user=' || user_id AS path,
+           |         epoch_us(ts)//1000000 AS time,
+           |         arg_max(value, event_id) AS value
+           |  FROM events
+           |  GROUP BY 1, 2),
+           |grid AS (SELECT $WFrom + 21600*n AS t FROM generate_series(0, 120) g(n)),
+           |win AS (
+           |  SELECT d.path, g.t, d.value, d.time FROM dedup d
+           |  JOIN grid g ON d.time <= g.t AND d.time > g.t - 86400),
+           |lst AS (
+           |  SELECT path, t, list(value ORDER BY time) AS xs
+           |  FROM win GROUP BY 1, 2 HAVING count(*) >= 2)
+           |SELECT path, t,
+           |  round(list_reduce(
+           |    list_prepend([0.0::double, xs[1], xs[2] - xs[1], 1.0::double],
+           |      list_transform(xs[2:], x -> [x, 0.0::double, 0.0::double, 0.0::double])),
+           |    (acc, e) -> [
+           |      acc[2],
+           |      0.5::double * e[1] + (1.0::double - 0.5::double) * (acc[2] +
+           |            (CASE WHEN acc[4] = 1.0 THEN acc[3]
+           |                  ELSE 0.3::double * (acc[2] - acc[1]) + (1.0::double - 0.3::double) * acc[3] END)),
+           |      CASE WHEN acc[4] = 1.0 THEN acc[3]
+           |           ELSE 0.3::double * (acc[2] - acc[1]) + (1.0::double - 0.3::double) * acc[3] END,
+           |      acc[4] + 1.0
+           |    ])[2], 6) + 0 AS value
+           |FROM lst""".stripMargin),
+
+      "p_query_time" ->
+        (s"""WITH dedup AS (
+           |  SELECT event_type, user_id,
+           |         epoch_us(ts)//1000000 AS time,
+           |         arg_max(value, event_id) AS value
+           |  FROM events
+           |  GROUP BY 1, 2, 3),
+           |grid AS (SELECT $WFrom + 21600*n AS t FROM generate_series(0, 120) g(n)),
+           |win AS (
+           |  SELECT d.event_type, d.user_id, g.t, d.value FROM dedup d
+           |  JOIN grid g ON d.time <= g.t AND d.time > g.t - 86400)
+           |SELECT '?type=' || event_type || '&user=' || user_id AS path, t,
+           |       (t - max(value))::double AS value
+           |FROM win GROUP BY 1, 2""".stripMargin),
+
+      "p_query_vector" ->
+        (s"""WITH dedup AS (
+           |  SELECT event_type, user_id,
+           |         epoch_us(ts)//1000000 AS time,
+           |         arg_max(value, event_id) AS value
+           |  FROM events
+           |  GROUP BY 1, 2, 3),
+           |grid AS (SELECT $WFrom + 21600*n AS t FROM generate_series(0, 120) g(n)),
+           |win AS (
+           |  SELECT d.event_type, d.user_id, g.t, d.value, d.time FROM dedup d
+           |  JOIN grid g ON d.time <= g.t AND d.time > g.t - 86400),
+           |inst AS (SELECT event_type, user_id, t, arg_max(value, time) AS value
+           |  FROM win GROUP BY 1, 2, 3),
+           |s AS (SELECT t, sum(value) AS value FROM inst GROUP BY 1)
+           |SELECT '' AS path, g.t, round(coalesce(s.value, 0), 6) + 0 AS value
+           |FROM grid g LEFT JOIN s ON s.t = g.t""".stripMargin),
 
       "p_query_subquery" ->
         (s"""WITH dedup AS (

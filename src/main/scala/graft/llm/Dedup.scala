@@ -321,32 +321,38 @@ object Dedup {
     * after Lee et al. 2022 "Deduplicating Training Data Makes
     * Language Models Better"): a w-word shingle appearing in ≥2
     * documents marks a duplicated span; per document, count how many
-    * of its distinct shingles are duplicated elsewhere. Plan: explode
-    * → ONE hash aggregate on the 60-bit shingle hash → the duplicated
-    * key set (dup-sized, typically ≪ corpus) semi-joins the exploded
-    * relation back → per-doc count. Two shuffles on the shingle hash,
-    * never a doc×doc pair; totals come straight off the scan
-    * (`size(shingles)`), and nothing corpus-sized is persisted — the
-    * explode is re-derived, same discipline as [[minhashNearDups]].
+    * of its distinct shingles are duplicated elsewhere. Plan: the
+    * shingle explode runs ONCE (it is the expensive stage — w-word
+    * array_join + md5 per shingle), a count window partitioned on the
+    * 60-bit shingle hash annotates each occurrence with its global
+    * frequency, then one hash aggregate per doc folds totals and
+    * duplicated counts together — one explode, two shuffles (h, then
+    * doc_id), never a doc×doc pair, nothing corpus-sized persisted.
+    * Documents with NO shingles (< w words) are absent from the
+    * explode and re-enter via the left join with zero counts.
     */
   def duplicateSpans(
       docs: DataFrame,
       textCol: Column,
       idCol: Column = col("doc_id"),
       w: Int = 5): DataFrame = {
-    def exploded = docs.select(idCol.as("doc_id"), explode(shingles(textCol, w)).as("s"))
-      .withColumn("h", shingleHash(col("s"))).select("doc_id", "h")
-    val dupKeys = exploded.groupBy("h")
-      .agg(count(lit(1)).as("n")).where(col("n") > 1).select("h")
-    val perDocDup = exploded.join(dupKeys, Seq("h"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
-    docs.select(idCol.as("doc_id"),
-        size(shingles(textCol, w)).cast("long").as("n_shingles"))
-      .join(perDocDup, Seq("doc_id"), "left_outer")
-      .select(col("doc_id"), col("n_shingles"),
+    val exploded = docs
+      .select(idCol.as("doc_id"), explode(shingles(textCol, w)).as("s"))
+      .select(col("doc_id"), shingleHash(col("s")).as("h"))
+    val byKey = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    val perDoc = exploded
+      .withColumn("n", count(lit(1)).over(byKey))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_dup"))
+    docs.select(idCol.as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
         coalesce(col("n_dup"), lit(0L)).as("n_dup"),
         round(coalesce(col("n_dup"), lit(0L)).cast("double") /
-          greatest(col("n_shingles").cast("double"), lit(1.0)), 4).as("dup_ratio"))
+          greatest(coalesce(col("n_shingles"), lit(0L)).cast("double"), lit(1.0)),
+          4).as("dup_ratio"))
   }
 
   // ------------------------------------------------------------------

@@ -51,15 +51,26 @@ object PromQL {
 
   /** `fn(metric{…}[range])` for fn ∈ rate | increase | delta | idelta |
     * irate | resets | changes | deriv | `*_over_time` — plus the
-    * parameterized forms `quantile_over_time(φ, m[d])` and
-    * `predict_linear(m[d], t)` whose scalar rides in `arg`.
+    * parameterized forms `quantile_over_time(φ, m[d])`,
+    * `predict_linear(m[d], t)` and `holt_winters(m[d], sf, tf)`
+    * whose scalars ride in `arg`/`arg2`.
     */
   final case class RangeFn(
       fn: String,
       sel: Selector,
       rangeSec: Long,
-      arg: Option[Double] = None) extends Expr {
+      arg: Option[Double] = None,
+      arg2: Option[Double] = None) extends Expr {
     def matchers: Seq[(String, String, String)] = sel.matchers
+  }
+
+  /** `minute()` / `hour()` / `day_of_week()` — UTC calendar components
+    * of the evaluation timestamp as a label-less grid series (the
+    * maintenance-window idiom `alerts and on() (hour() >= 6)`). Only
+    * the no-argument form; pure epoch arithmetic, engine-portable.
+    */
+  final case class DateFn(fn: String) extends Expr {
+    def matchers: Seq[(String, String, String)] = Seq.empty
   }
 
   /** `fn(v)` scalar math over an instant vector — abs | ceil | floor |
@@ -221,7 +232,8 @@ object PromQL {
       inner: Expr,
       rangeSec: Long,
       stepSec: Option[Long],
-      arg: Option[Double] = None) extends Expr {
+      arg: Option[Double] = None,
+      arg2: Option[Double] = None) extends Expr {
     def matchers: Seq[(String, String, String)] = inner.matchers
   }
 
@@ -237,6 +249,34 @@ object PromQL {
   /** A numeric literal operand (`m * 60`, `m / 100`). */
   final case class Scalar(v: Double) extends Expr {
     def matchers: Seq[(String, String, String)] = Seq.empty
+  }
+
+  /** `time()` — the evaluation timestamp, a per-slot scalar. As a
+    * binary operand it applies element-wise like a scalar (the
+    * `time() - max_over_time(m[1h])` freshness-alert shape);
+    * standalone it yields one label-less series whose value is the
+    * slot time (Prometheus renders a scalar result type — declared
+    * divergence in the envelope, same numbers).
+    */
+  case object TimeFn extends Expr {
+    def matchers: Seq[(String, String, String)] = Seq.empty
+  }
+
+  /** `vector(v)` — one label-less series with constant value `v` at
+    * every grid slot (the `expr or vector(0)` no-data fallback).
+    */
+  final case class VectorLit(v: Double) extends Expr {
+    def matchers: Seq[(String, String, String)] = Seq.empty
+  }
+
+  /** `sort(expr)` / `sort_desc(expr)` — value ordering of the instant
+    * vector. A matrix relation has no row order, so evaluation is the
+    * identity here; the instant-query response assembly orders by
+    * value when the top-level expression is a Sort (range responses
+    * are keyed by series, where Prometheus ignores sort too).
+    */
+  final case class Sort(desc: Boolean, inner: Expr) extends Expr {
+    def matchers: Seq[(String, String, String)] = inner.matchers
   }
 
   /** `sel offset 1h` / `rate(m[5m] offset 1h)` — evaluate the inner
@@ -317,7 +357,7 @@ object PromQL {
           le <- parse(l)
           re <- parse(r)
           _ <- (le, re) match {
-            case (Scalar(_), _) | (_, Scalar(_))
+            case (Scalar(_) | TimeFn, _) | (_, Scalar(_) | TimeFn)
                 if setOps(op) || m != Matching.default =>
               Left(s"vector matching modifiers and set operators need vector operands: '$q0'")
             case _ => Right(())
@@ -501,6 +541,26 @@ object PromQL {
           } yield CountValues(l, inner)
         case _ => Left("count_values expects (\"label\", v)")
       }
+    case "holt_winters" | "double_exponential_smoothing" =>
+      splitArgs(body) match {
+        case Seq(rng, sfs, tfs) =>
+          (sfs.toDoubleOption, tfs.toDoubleOption) match {
+            case (Some(sf), Some(tf))
+                if sf > 0 && sf < 1 && tf > 0 && tf < 1 =>
+              parseRangeArg("holt_winters", rng, Some(sf)) map {
+                case rf: RangeFn => rf.copy(arg2 = Some(tf))
+                case sq: SubQuery => sq.copy(arg2 = Some(tf))
+                case Offset(o, rf: RangeFn) => Offset(o, rf.copy(arg2 = Some(tf)))
+                case other => other
+              }
+            case _ =>
+              Left(s"$fn: smoothing factors must be in (0, 1)")
+          }
+        case _ => Left(s"$fn expects (m[d], sf, tf)")
+      }
+    case "minute" | "hour" | "day_of_week" =>
+      if (body.trim.isEmpty) Right(DateFn(fn))
+      else Left(s"$fn: only the no-argument form is supported")
     case f if mathFns.contains(f) =>
       val (lo, hi) = mathFns(f)
       val args = splitArgs(body)
@@ -514,6 +574,16 @@ object PromQL {
           parse(args.head).map(MathFn(f, nums.map(_.toOption.get), _))
       }
     case "absent" => parse(body).map(Absent(_))
+    case "vector" =>
+      body.trim.toDoubleOption match {
+        case Some(v) => Right(VectorLit(v))
+        case None => Left(s"vector() expects a number, got '$body'")
+      }
+    case "time" =>
+      if (body.trim.isEmpty) Right(TimeFn)
+      else Left("time() takes no arguments")
+    case "sort"      => parse(body).map(Sort(desc = false, _))
+    case "sort_desc" => parse(body).map(Sort(desc = true, _))
     case "label_replace" =>
       splitArgs(body) match {
         case Seq(v, dst, rep, src, re) =>
@@ -729,7 +799,7 @@ object PromQL {
       case CountValues(label, inner) =>
         return countValuesMatrix(
           evalMatrix(points, tags, inner, start, end, step0, lookbackSec), label)
-      case SubQuery(fn, inner, rangeSec, stepSec, arg) =>
+      case SubQuery(fn, inner, rangeSec, stepSec, arg, arg2) =>
         // inner pass on the absolutely-aligned subquery grid (the
         // smallest step-multiple > start - range, like Prometheus),
         // then the SAME slot aggregate as a plain range selector,
@@ -743,19 +813,29 @@ object PromQL {
             .withColumnRenamed("t", "time")
         val bounded =
           if (innerStart > end) innerM.where(lit(false)) else innerM
-        return windowAggregate(bounded, fn, arg, start, end, outerStep, rangeSec)
+        return windowAggregate(bounded, fn, arg, arg2, start, end, outerStep, rangeSec)
       case BinOp(op, l, r, bool, m) =>
+        // scalar-like operands (literals and time()) apply
+        // element-wise over the other side's matrix — no join
         return (l, r) match {
-          case (Scalar(_), Scalar(_)) =>
+          case (Scalar(_) | TimeFn, Scalar(_) | TimeFn) =>
             throw new IllegalArgumentException("scalar-only expressions are not supported")
           case (Scalar(a), e) =>
             scalarOpMatrix(
               evalMatrix(points, tags, e, start, end, step0, lookbackSec),
-              op, a, scalarLeft = true, boolMode = bool)
+              op, lit(a), scalarLeft = true, boolMode = bool)
           case (e, Scalar(b)) =>
             scalarOpMatrix(
               evalMatrix(points, tags, e, start, end, step0, lookbackSec),
-              op, b, scalarLeft = false, boolMode = bool)
+              op, lit(b), scalarLeft = false, boolMode = bool)
+          case (TimeFn, e) =>
+            scalarOpMatrix(
+              evalMatrix(points, tags, e, start, end, step0, lookbackSec),
+              op, col("t").cast("double"), scalarLeft = true, boolMode = bool)
+          case (e, TimeFn) =>
+            scalarOpMatrix(
+              evalMatrix(points, tags, e, start, end, step0, lookbackSec),
+              op, col("t").cast("double"), scalarLeft = false, boolMode = bool)
           case _ =>
             binOpMatrix(
               evalMatrix(points, tags, l, start, end, step0, lookbackSec),
@@ -771,6 +851,25 @@ object PromQL {
           evalMatrix(points, tags, inner, start, end, step0, lookbackSec), phi)
       case Scalar(_) =>
         throw new IllegalArgumentException("scalar-only expressions are not supported")
+      case Sort(_, inner) =>
+        // a matrix has no row order — ordering applies at the
+        // instant-response assembly (see [[Sort]])
+        return evalMatrix(points, tags, inner, start, end, step0, lookbackSec)
+      case VectorLit(v) =>
+        return gridMatrix(points, start, end, step0, lit(v))
+      case TimeFn =>
+        return gridMatrix(points, start, end, step0, col("t").cast("double"))
+      case DateFn(fn) =>
+        // UTC calendar components as pure epoch arithmetic (epoch day
+        // zero was a Thursday = weekday 4) — no timezone dependency
+        val t = col("t")
+        val component = fn match {
+          case "minute"      => floor(t / 60L) % 60L
+          case "hour"        => floor(t / 3600L) % 24L
+          case "day_of_week" => (floor(t / 86400L) + 4L) % 7L
+          case other => throw new IllegalArgumentException(s"unsupported $other")
+        }
+        return gridMatrix(points, start, end, step0, component)
       case Offset(o, inner) =>
         // same plan over the shifted window, stamps shifted back
         return evalMatrix(points, tags, inner, start - o, end - o, step0, lookbackSec)
@@ -802,9 +901,9 @@ object PromQL {
 
     expr match {
       case _: Selector =>
-        windowAggregate(pts, "__instant__", None, start, end, step, win)
-      case RangeFn(fn, _, _, arg) =>
-        windowAggregate(pts, fn, arg, start, end, step, win)
+        windowAggregate(pts, "__instant__", None, None, start, end, step, win)
+      case rf: RangeFn =>
+        windowAggregate(pts, rf.fn, rf.arg, rf.arg2, start, end, step, win)
       case _ =>
         throw new IllegalStateException("handled above")
     }
@@ -821,6 +920,7 @@ object PromQL {
       pts: DataFrame,
       fnName: String,
       argOpt: Option[Double],
+      arg2Opt: Option[Double],
       start: Long,
       end: Long,
       step: Long,
@@ -932,6 +1032,33 @@ object PromQL {
                   val intercept = (col("sv") - col("slope") * col("st")) / col("cnt")
                   intercept + col("slope") * lit(argOpt.get)
                 })
+          case "holt_winters" =>
+            // Prometheus double exponential smoothing
+            // (`promql/functions.go funcHoltWinters`): sequential fold
+            // over the window's sorted samples — state (s0, s1, b, i)
+            // inside ONE higher-order aggregate, no UDF, list bounded
+            // by window/scrape-interval
+            val sf = argOpt.get; val tf = arg2Opt.get
+            val xs = transform(col("s"), e => e("value"))
+            val x0 = element_at(xs, 1); val x1 = element_at(xs, 2)
+            val init = struct(
+              lit(0.0).as("s0"), x0.as("s1"), (x1 - x0).as("b"), lit(1L).as("i"))
+            val fold = aggregate(
+              slice(xs, lit(2), size(xs) - 1), init,
+              (acc, x) => {
+                val bNew = when(acc("i") === 1L, acc("b"))
+                  .otherwise(lit(tf) * (acc("s1") - acc("s0")) +
+                    lit(1.0 - tf) * acc("b"))
+                struct(
+                  acc("s1").as("s0"),
+                  (lit(sf) * x + lit(1.0 - sf) * (acc("s1") + bNew)).as("s1"),
+                  bNew.as("b"),
+                  (acc("i") + 1L).as("i"))
+              },
+              acc => acc("s1"))
+            g.agg(sorted.as("s"), count(lit(1)).as("cnt"))
+              .where(col("cnt") >= 2)
+              .withColumn("value", fold)
           case "rate" | "increase" =>
             g.agg(sorted.as("s"), count(lit(1)).as("cnt"))
               .where(col("cnt") >= 2)
@@ -1146,20 +1273,33 @@ object PromQL {
     * `boolMode`, which emits 0/1 nameless rows.
     */
   private[prom] def scalarOpMatrix(
-      m: DataFrame, op: String, s: Double, scalarLeft: Boolean,
+      m: DataFrame, op: String, s: Column, scalarLeft: Boolean,
       boolMode: Boolean = false): DataFrame = {
     val v = col("value")
     if (cmpOps(op)) {
-      val pred = if (scalarLeft) cmpPred(op, lit(s), v) else cmpPred(op, v, lit(s))
+      val pred = if (scalarLeft) cmpPred(op, s, v) else cmpPred(op, v, s)
       return if (boolMode)
         m.select(regexp_replace(col("path"), "^[^?]*", "").as("path"),
           col("t"), when(pred, lit(1.0)).otherwise(lit(0.0)).as("value"))
       else m.where(pred).select("path", "t", "value")
     }
     val out =
-      if (scalarLeft) arithValue(op, lit(s), v) else arithValue(op, v, lit(s))
+      if (scalarLeft) arithValue(op, s, v) else arithValue(op, v, s)
     m.select(regexp_replace(col("path"), "^[^?]*", "").as("path"),
       col("t"), out.as("value"))
+  }
+
+  /** One label-less series over the full eval grid (`vector(v)`,
+    * standalone `time()`): `range(slots)` projected to (path="", t,
+    * value) — result-sized, no scan of the points relation.
+    */
+  private def gridMatrix(
+      points: DataFrame, start: Long, end: Long, step0: Long,
+      value: Column): DataFrame = {
+    val step = math.max(1L, step0)
+    points.sparkSession.range(0, (end - start) / step + 1)
+      .select((lit(start) + col("id") * lit(step)).as("t"))
+      .select(lit("").as("path"), col("t"), value.cast("double").as("value"))
   }
 
   /** Double-precision floor/ceil that stay double: Spark's
@@ -1458,8 +1598,11 @@ object PromQL {
   /** `(path, t, value)` rows at one instant → the `/api/v1/query`
     * JSON envelope (`resultType: "vector"`, one `value` per series).
     */
-  def vectorJson(rows: Seq[(String, Long, Double)], jstr: String => String): String = {
-    val series = rows.sortBy(_._1).map { case (path, t, v) =>
+  def vectorJson(
+      rows: Seq[(String, Long, Double)],
+      jstr: String => String,
+      presorted: Boolean = false): String = {
+    val series = (if (presorted) rows else rows.sortBy(_._1)).map { case (path, t, v) =>
       val metric = labelsOf(path)
         .map { case (k, lv) => s"${jstr(k)}:${jstr(lv)}" }.mkString("{", ",", "}")
       s"""{"metric":$metric,"value":[$t,${jstr(fmtValue(v))}]}"""

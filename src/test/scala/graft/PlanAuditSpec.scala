@@ -37,7 +37,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "p_query_without", "p_query_delta", "p_query_irate",
     "p_query_deriv", "p_query_predict", "p_query_quantile_ot",
     "p_query_changes", "p_query_label_replace",
-    "p_query_subquery", "p_query_count_values")
+    "p_query_subquery", "p_query_count_values",
+    "p_query_time", "p_query_vector", "p_query_hour", "p_query_holt",
+    // duplicate-span stats: one explode + count window + per-doc agg
+    "d_dup_spans")
 
   for (name <- audited) {
     test(s"$name: no cartesian or nested-loop join in the physical plan") {

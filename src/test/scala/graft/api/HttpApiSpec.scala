@@ -301,6 +301,14 @@ class HttpApiSpec extends AnyFunSuite {
     val bad = get(s"/api/v1/query?query=rate(m)&time=$rnow")
     assert(bad.statusCode() == 400)
     assert(new String(bad.body()).startsWith("""{"status":"error""""))
+    // sort_desc orders the instant vector by value: the summed series
+    // (3) before the vector(0) fallback
+    val sortEnc = java.net.URLEncoder.encode(
+      "sort_desc(sum by (tag2) (metric1) or vector(0))", "UTF-8")
+    val sorted = qi(s"query=$sortEnc&time=$rnow")
+    val at3 = sorted.indexOf(s""""value":[$rnow,"3"]""")
+    val at0 = sorted.indexOf(s""""value":[$rnow,"0"]""")
+    assert(at3 >= 0 && at0 > at3, sorted)
   }
 
   test("limiter saturation surfaces as 503; per-user override applies") {

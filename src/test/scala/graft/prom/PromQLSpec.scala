@@ -283,6 +283,41 @@ class PromQLSpec extends AnyFunSuite {
     assert(PromQL.parse("count_values(v, m)").isLeft)
   }
 
+  test("parse: time(), vector(), sort/sort_desc") {
+    val sel = PromQL.Selector(Seq(("__name__", "=", "m")))
+    assert(PromQL.parse("time()") == Right(PromQL.TimeFn))
+    assert(PromQL.parse("vector(0)") == Right(PromQL.VectorLit(0.0)))
+    assert(PromQL.parse("time() - m") ==
+      Right(PromQL.BinOp("-", PromQL.TimeFn, sel)))
+    assert(PromQL.parse("m or vector(0)") ==
+      Right(PromQL.SetOp("or", sel, PromQL.VectorLit(0.0))))
+    assert(PromQL.parse("sort(m)") == Right(PromQL.Sort(desc = false, sel)))
+    assert(PromQL.parse("sort_desc(sum by (a) (m))") ==
+      Right(PromQL.Sort(desc = true, PromQL.Agg("sum", Seq("a"), sel))))
+    // time() is scalar-like: no set ops, no matching modifiers
+    assert(PromQL.parse("time() and m").isLeft)
+    assert(PromQL.parse("vector(x)").isLeft)
+    assert(PromQL.parse("time(5)").isLeft)
+  }
+
+  test("parse: holt_winters and date functions") {
+    val sel = PromQL.Selector(Seq(("__name__", "=", "m")))
+    assert(PromQL.parse("holt_winters(m[1h], 0.5, 0.3)") ==
+      Right(PromQL.RangeFn("holt_winters", sel, 3600L, Some(0.5), Some(0.3))))
+    // upstream's new name parses to the same node
+    assert(PromQL.parse("double_exponential_smoothing(m[1h], 0.5, 0.3)") ==
+      Right(PromQL.RangeFn("holt_winters", sel, 3600L, Some(0.5), Some(0.3))))
+    // smoothing factors must be strictly inside (0, 1)
+    assert(PromQL.parse("holt_winters(m[1h], 0, 0.3)").isLeft)
+    assert(PromQL.parse("holt_winters(m[1h], 0.5, 1)").isLeft)
+    assert(PromQL.parse("hour()") == Right(PromQL.DateFn("hour")))
+    assert(PromQL.parse("minute()") == Right(PromQL.DateFn("minute")))
+    assert(PromQL.parse("day_of_week()") == Right(PromQL.DateFn("day_of_week")))
+    assert(PromQL.parse("hour(m)").isLeft)
+    // the maintenance-window idiom parses end to end
+    assert(PromQL.parse("m > 50 and on() (hour() >= 6)").isRight)
+  }
+
   test("parse: histogram_quantile") {
     val sel = PromQL.Selector(Seq(("__name__", "=", "m")))
     assert(PromQL.parse("histogram_quantile(0.9, m)") ==
@@ -523,6 +558,51 @@ class PromQLEvalSpec extends AnyFunSuite {
       pts, tags,
       PromQL.parse("min_over_time(m[60s:])").toOption.get,
       90L, 90L, 30L, lookbackSec = 300L)) == Set(("m?job=a", 90L, 6.0)))
+  }
+
+  test("time() and vector(): per-slot scalars and the or-fallback") {
+    val pts = matrix(("m?job=a", 0L, 7.0)).withColumnRenamed("t", "time")
+    val tags = graft.engine.GraphiteTables.expandTagRows(
+      pts.select(org.apache.spark.sql.functions.col("path")).distinct()
+        .withColumn("date", org.apache.spark.sql.functions.lit("1970-01-01").cast("date"))
+        .withColumn("version", org.apache.spark.sql.functions.lit(0L)))
+    def eval(q: String, start: Long = 0L, end: Long = 60L) = rowSet(
+      PromQL.evalMatrix(pts, tags, PromQL.parse(q).toOption.get,
+        start, end, 30L, lookbackSec = 10L))
+    // vector(v): one label-less series across the grid
+    assert(eval("vector(2.5)") ==
+      Set(("", 0L, 2.5), ("", 30L, 2.5), ("", 60L, 2.5)))
+    // standalone time(): value = slot stamp
+    assert(eval("time()") == Set(("", 0L, 0.0), ("", 30L, 30.0), ("", 60L, 60.0)))
+    // element-wise: time() - m at slot 0 (m stale past 10s lookback)
+    assert(eval("time() - m") == Set(("?job=a", 0L, -7.0)))
+    // the Grafana no-data fallback: m's only slot is 0, vector(0)
+    // fills the rest (empty label set on both sides)
+    assert(eval("sum(m) or vector(0)") ==
+      Set(("", 0L, 7.0), ("", 30L, 0.0), ("", 60L, 0.0)))
+  }
+
+  test("holt_winters matches the reference recurrence; date fns are UTC math") {
+    val pts = matrix(
+      ("m", 0L, 5.0), ("m", 10L, 3.0), ("m", 20L, 8.0),
+      ("m", 30L, 1.0), ("m", 40L, 9.0))
+      .withColumnRenamed("t", "time")
+    val tags = graft.engine.GraphiteTables.expandTagRows(
+      pts.select(org.apache.spark.sql.functions.col("path")).distinct()
+        .withColumn("date", org.apache.spark.sql.functions.lit("1970-01-01").cast("date"))
+        .withColumn("version", org.apache.spark.sql.functions.lit(0L)))
+    // hand-folded funcHoltWinters(sf=0.5, tf=0.3) over 5,3,8,1,9
+    val out = rowSet(PromQL.evalMatrix(
+      pts, tags, PromQL.parse("holt_winters(m[50s], 0.5, 0.3)").toOption.get,
+      40L, 40L, 1L))
+    assert(out.size == 1 && math.abs(out.head._3 - 4.97125) < 1e-9)
+    // date functions over the grid: epoch 0 was a Thursday (dow 4)
+    def eval(q: String) = rowSet(PromQL.evalMatrix(
+      pts, tags, PromQL.parse(q).toOption.get, 0L, 7200L, 3600L))
+    assert(eval("hour()") == Set(("", 0L, 0.0), ("", 3600L, 1.0), ("", 7200L, 2.0)))
+    assert(eval("day_of_week()") ==
+      Set(("", 0L, 4.0), ("", 3600L, 4.0), ("", 7200L, 4.0)))
+    assert(eval("minute()") == Set(("", 0L, 0.0), ("", 3600L, 0.0), ("", 7200L, 0.0)))
   }
 
   test("absent: 1 where the inner vector is empty, labels from eq matchers") {
