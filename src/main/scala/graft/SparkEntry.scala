@@ -771,6 +771,21 @@ object SparkEntry {
       Similarity.embeddingNearDups(
         s.read.parquet(s"$dir/embeddings.parquet"), threshold = 0.3, bits = 8)),
 
+    // PQ/ADC search: 64-d vectors as 8 codes against 8-entry
+    // deterministic-init codebooks; corpus side joins the broadcast
+    // query lookup tables on (sub, code) and never touches raw
+    // vectors. (Training loop exercised in PQSpec; the oracle pins
+    // encode + ADC with init codebooks.)
+    "e_pq_search" -> ((s, dir) => {
+      val vecs = s.read.parquet(s"$dir/embeddings.parquet")
+      val books = Similarity.pqTrain(vecs, m = 8, k = 8, iters = 0, dim = 64)
+      val codes = Similarity.pqEncode(vecs, books, m = 8, dim = 64)
+      Similarity.pqSearch(codes, books, vecs.where(col("vec_id") < 5),
+          k = 5, m = 8, dim = 64)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("d2"))
+    }),
+
     "d_cluster_dedup" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       val pairs = Dedup.minhashNearDups(docs, col("text"), col("doc_id"), threshold = 0.5)
@@ -1844,6 +1859,33 @@ object SparkEntry {
            |   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored)
            |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(sim, 4) + 0 AS sim
            |FROM ranked WHERE rank <= 5""".stripMargin),
+
+      "e_pq_search" ->
+        ("""WITH subs AS (
+          |  SELECT vec_id, s.sub, embedding[s.sub*8+1 : s.sub*8+8] AS semb
+          |  FROM embeddings, (SELECT unnest(generate_series(0, 7)) AS sub) s),
+          |cb AS (SELECT sub, vec_id AS cid, semb AS cent FROM subs WHERE vec_id < 8),
+          |enc AS (
+          |  SELECT vec_id AS neighbor_id, sub, cid AS code FROM (
+          |    SELECT v.vec_id, v.sub, c.cid,
+          |      row_number() OVER (PARTITION BY v.vec_id, v.sub ORDER BY
+          |        list_sum(list_transform(generate_series(1, 8), i -> (v.semb[i]::double - c.cent[i]::double) * (v.semb[i]::double - c.cent[i]::double))) ASC,
+          |        c.cid ASC) AS rk
+          |    FROM subs v JOIN cb c ON c.sub = v.sub) r
+          |  WHERE rk = 1),
+          |lut AS (
+          |  SELECT v.vec_id AS query_id, v.sub, c.cid AS code,
+          |    list_sum(list_transform(generate_series(1, 8), i -> (v.semb[i]::double - c.cent[i]::double) * (v.semb[i]::double - c.cent[i]::double))) AS pd2
+          |  FROM subs v JOIN cb c ON c.sub = v.sub WHERE v.vec_id < 5),
+          |scored AS (
+          |  SELECT l.query_id, e.neighbor_id, list_sum(list(l.pd2 ORDER BY l.sub)) AS d2
+          |  FROM enc e JOIN lut l ON l.sub = e.sub AND l.code = e.code
+          |  WHERE l.query_id <> e.neighbor_id
+          |  GROUP BY 1, 2),
+          |ranked AS (SELECT query_id, neighbor_id, d2,
+          |  row_number() OVER (PARTITION BY query_id ORDER BY d2 ASC, neighbor_id ASC) AS rank FROM scored)
+          |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(d2, 4) + 0 AS d2
+          |FROM ranked WHERE rank <= 5""".stripMargin),
 
       "e_neardup" ->
         (s"""WITH keyed AS (SELECT vec_id, embedding,

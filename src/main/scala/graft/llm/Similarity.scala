@@ -357,4 +357,144 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("sim"), 4).as("sim"))
   }
+
+  // ------------------------------------------------------------------
+  // Product quantization (the IVF-PQ compression stage)
+  // ------------------------------------------------------------------
+  // FAISS-style PQ: vectors split into `m` equal subvectors, each
+  // subspace quantized against its own k-entry codebook; a vector is
+  // stored as m small codes and queries score candidates with
+  // asymmetric distance (ADC) — per-query lookup tables of partial
+  // squared L2 against every codebook entry, summed per code. At
+  // 100 TB this is the memory play: 64-d float vectors (256 B) become
+  // m bytes, and search never touches the raw corpus vectors.
+
+  /** Sequential-fold squared L2 distance of two array columns —
+    * ordered like [[dot]], so cross-engine float results are
+    * bit-identical.
+    */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** The (vid, sub, semb) subvector relation: every vector exploded
+    * into its `m` width-`dim/m` subvectors.
+    */
+  private def subVectors(
+      vectors: DataFrame, m: Int, dim: Int,
+      idCol: String, embCol: String): DataFrame = {
+    val sd = dim / m
+    require(sd * m == dim, s"dim $dim not divisible into $m subspaces")
+    vectors
+      .select(col(idCol).cast("long").as("vid"),
+        explode(transform(sequence(lit(0), lit(m - 1)), s =>
+          struct(s.as("sub"), slice(col(embCol), s * sd + 1, lit(sd)).as("semb"))))
+          .as("x"))
+      .select(col("vid"), col("x.sub").as("sub"), col("x.semb").as("semb"))
+  }
+
+  /** PQ codebook training: k-means independently per subspace — but
+    * all `m` subspaces train in the SAME distributed passes by keeping
+    * `sub` in every grouping key (no per-subspace job loop).
+    * Deterministic init: the subvectors of the `k` lowest-id vectors.
+    * Returns (sub, centroid_id, centroid).
+    */
+  def pqTrain(
+      vectors: DataFrame,
+      m: Int,
+      k: Int,
+      iters: Int,
+      dim: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val subs = subVectors(vectors, m, dim, idCol, embCol)
+    var cents = subs.where(col("vid") < k)
+      .select(col("sub"), col("vid").as("centroid_id"), col("semb").as("centroid"))
+    for (_ <- 0 until iters) {
+      val w = Window.partitionBy("vid", "sub")
+        .orderBy(col("d2").asc, col("centroid_id").asc)
+      cents = subs.join(broadcast(cents), Seq("sub"))
+        .withColumn("d2", l2sq(col("semb"), col("centroid")))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1)
+        .select(col("sub"), col("centroid_id"), posexplode(col("semb")))
+        .groupBy(col("sub"), col("centroid_id"), col("pos"))
+        .agg(avg(col("col").cast("double")).as("mv"))
+        .groupBy("sub", "centroid_id")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("mv")))),
+          e => e.getField("mv")).as("centroid"))
+        .truncateLineage()
+    }
+    cents
+  }
+
+  /** PQ encoding: each vector → its `m` nearest-codebook-entry codes
+    * (sub order). One broadcast join + rank per (vector, subspace) —
+    * the corpus shuffles once on nothing (broadcast side is the
+    * codebook), then one hash aggregate packs the codes array.
+    */
+  def pqEncode(
+      vectors: DataFrame,
+      codebooks: DataFrame,
+      m: Int,
+      dim: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val subs = subVectors(vectors, m, dim, idCol, embCol)
+    val w = Window.partitionBy("vid", "sub")
+      .orderBy(col("d2").asc, col("centroid_id").asc)
+    subs.join(broadcast(codebooks), Seq("sub"))
+      .withColumn("d2", l2sq(col("semb"), col("centroid")))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .groupBy(col("vid").as(idCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("centroid_id")))),
+        e => e.getField("centroid_id")).as("codes"))
+  }
+
+  /** ADC top-k search over PQ codes: the query side builds its lookup
+    * table (query × sub × codebook-entry partial d², request-sized →
+    * broadcast), the corpus side explodes its codes (m small rows per
+    * vector), and ONE equi-join on (sub, code) + one ordered-fold
+    * aggregate per (query, vector) sums the asymmetric distance. The
+    * raw corpus vectors are never touched — that is the point of PQ.
+    * Per-pair partials fold in `sub` order so results are
+    * deterministic and engine-portable.
+    */
+  def pqSearch(
+      codes: DataFrame,
+      codebooks: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      m: Int,
+      dim: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val lut = subVectors(queries, m, dim, idCol, embCol)
+      .join(broadcast(codebooks), Seq("sub"))
+      .select(col("vid").as("query_id"), col("sub"),
+        col("centroid_id").as("code"), l2sq(col("semb"), col("centroid")).as("pd2"))
+    val corpus = codes.select(col(idCol).as("neighbor_id"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+      .select(col("neighbor_id"), col("sub").cast("long").as("sub"), col("code"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("d2").asc, col("neighbor_id").asc)
+    corpus
+      .join(broadcast(lut), Seq("sub", "code"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(aggregate(
+        transform(
+          array_sort(collect_list(struct(col("sub"), col("pd2")))),
+          e => e.getField("pd2")),
+        lit(0.0), (acc, v) => acc + v).as("d2"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("d2"), 4).as("d2"))
+  }
 }

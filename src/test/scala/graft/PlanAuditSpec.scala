@@ -40,7 +40,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "p_query_subquery", "p_query_count_values",
     "p_query_time", "p_query_vector", "p_query_hour", "p_query_holt",
     // duplicate-span stats: one explode + count window + per-doc agg
-    "d_dup_spans")
+    "d_dup_spans",
+    // PQ/ADC: codebooks + query LUTs broadcast, one (sub, code) join
+    "e_pq_search")
 
   for (name <- audited) {
     test(s"$name: no cartesian or nested-loop join in the physical plan") {
