@@ -628,6 +628,15 @@ object SparkEntry {
           TextStats.piiCounts(salted): _*)
     }),
 
+    // Okapi BM25 of every document against a fixed query term set —
+    // the target-domain retrieval-quality signal; corpus stats from
+    // ONE aggregate, broadcast back, score fused into the scan.
+    "d_bm25" -> ((s, dir) =>
+      TextStats.bm25(
+        s.read.parquet(s"$dir/documents.parquet"),
+        Seq("data", "query", "spark", "join"),
+        col("text"), col("doc_id"))),
+
     // ExactSubstr-lite: per-doc duplicated 5-gram span stats — one
     // hash aggregate on the shingle hash, dup-key semi-join back,
     // totals straight off the scan; no doc×doc stage.
@@ -1182,6 +1191,28 @@ object SparkEntry {
         lookbackSec = 86400L)
         .withColumn("value", round(col("value"), 6))),
 
+    // @ modifier: evaluation pinned to day 7 — one inner pass, the
+    // result-sized vector replicated across the grid by explode.
+    "p_query_at" -> ((s, dir) =>
+      graft.prom.PromQL.evalMatrix(
+        GraphiteTables.pointsTagged(s, dir),
+        GraphiteTables.tags(s, dir),
+        graft.prom.PromQL.parse(
+          s"""events{type="click"} @ ${WFrom + 7L * 86400L}""")
+          .fold(e => throw new IllegalArgumentException(e), identity),
+        start = WFrom, end = WFrom + 30L * 86400L, step0 = 21600L,
+        lookbackSec = 86400L)),
+
+    // limitk: at most 3 series per slot, deterministic path order.
+    "p_query_limitk" -> ((s, dir) =>
+      graft.prom.PromQL.evalMatrix(
+        GraphiteTables.pointsTagged(s, dir),
+        GraphiteTables.tags(s, dir),
+        graft.prom.PromQL.parse("limitk(3, events)")
+          .fold(e => throw new IllegalArgumentException(e), identity),
+        start = WFrom, end = WFrom + 30L * 86400L, step0 = 21600L,
+        lookbackSec = 86400L)),
+
     // `or vector(0)`: the Grafana no-data fallback — the label-less
     // constant series fills slots where the left side is empty.
     "p_query_vector" -> ((s, dir) =>
@@ -1648,6 +1679,32 @@ object SparkEntry {
           |  CAST(len(regexp_extract_all(t1, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
           |  CAST(len(regexp_extract_all(t2, '\+[0-9][0-9 ().-]{6,}[0-9]')) AS BIGINT) AS n_phones
           |FROM m2""".stripMargin),
+
+      "d_bm25" ->
+        ("""WITH ws AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+          |d AS (SELECT doc_id, w, len(w)::double AS dl FROM ws),
+          |g AS (SELECT count(*)::double AS n, sum(dl) / count(*)::double AS avgdl FROM d),
+          |dfs AS (
+          |  SELECT t.term, count(*)::double AS df
+          |  FROM d, unnest(['data','join','query','spark']) AS t(term)
+          |  WHERE list_contains(w, t.term) GROUP BY 1),
+          |per AS (
+          |  SELECT d.doc_id, d.dl, t.term,
+          |         len(list_filter(d.w, x -> x = t.term))::double AS tf,
+          |         coalesce(f.df, 0.0) AS df
+          |  FROM d CROSS JOIN unnest(['data','join','query','spark']) AS t(term)
+          |  LEFT JOIN dfs f ON f.term = t.term),
+          |scored AS (
+          |  SELECT doc_id, dl, term,
+          |    CASE WHEN tf > 0 THEN
+          |      ln(1.0::double + ((SELECT n FROM g) - df + 0.5::double) / (df + 0.5::double))
+          |      * tf * (1.2::double + 1.0::double)
+          |      / (tf + 1.2::double * ((1.0::double - 0.75::double) + 0.75::double * dl / (SELECT avgdl FROM g)))
+          |    ELSE 0.0::double END AS contrib
+          |  FROM per)
+          |SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+          |       round(list_sum(list(contrib ORDER BY term)), 4) + 0 AS bm25
+          |FROM scored GROUP BY 1, 2""".stripMargin),
 
       "d_dup_spans" ->
         (s"""WITH sh AS (
@@ -2400,6 +2457,44 @@ object SparkEntry {
            |SELECT '?type=' || event_type || '&user=' || user_id AS path, t,
            |       (t - max(value))::double AS value
            |FROM win GROUP BY 1, 2""".stripMargin),
+
+      "p_query_at" ->
+        (s"""WITH dedup AS (
+           |  SELECT user_id,
+           |         epoch_us(ts)//1000000 AS time,
+           |         arg_max(value, event_id) AS value
+           |  FROM events WHERE event_type = 'click'
+           |  GROUP BY 1, 2),
+           |pinned AS (
+           |  SELECT 'events?type=click&user=' || user_id AS path,
+           |         arg_max(value, time) AS value
+           |  FROM dedup
+           |  WHERE time <= ${WFrom + 7L * 86400L}
+           |    AND time > ${WFrom + 7L * 86400L} - 86400
+           |  GROUP BY 1)
+           |SELECT path, $WFrom + 21600*n AS t, value
+           |FROM pinned, generate_series(0, 120) g(n)""".stripMargin),
+
+      "p_query_limitk" ->
+        (s"""WITH dedup AS (
+           |  SELECT event_type, user_id,
+           |         epoch_us(ts)//1000000 AS time,
+           |         arg_max(value, event_id) AS value
+           |  FROM events
+           |  GROUP BY 1, 2, 3),
+           |grid AS (SELECT $WFrom + 21600*n AS t FROM generate_series(0, 120) g(n)),
+           |win AS (
+           |  SELECT d.event_type, d.user_id, g.t, d.value, d.time FROM dedup d
+           |  JOIN grid g ON d.time <= g.t AND d.time > g.t - 86400),
+           |inst AS (
+           |  SELECT 'events?type=' || event_type || '&user=' || user_id AS path,
+           |         t, arg_max(value, time) AS value
+           |  FROM win GROUP BY 1, 2)
+           |SELECT path, t, value FROM (
+           |  SELECT path, t, value,
+           |         row_number() OVER (PARTITION BY t ORDER BY path ASC) AS rk
+           |  FROM inst) r
+           |WHERE rk <= 3""".stripMargin),
 
       "p_query_vector" ->
         (s"""WITH dedup AS (

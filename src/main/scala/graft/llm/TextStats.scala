@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines: language ID,
@@ -276,5 +276,72 @@ object TextStats {
     val (_, term, _, _, _, lorem, brace) = c4Raw(text)
     (lorem === 0) && (brace === 0) &&
       (term >= lit(minTermPunct)) && (wordCount(text) >= minWords)
+  }
+
+  // ------------------------------------------------------------------
+  // BM25 / TF-IDF retrieval scoring
+  // ------------------------------------------------------------------
+  // Okapi BM25 of every document against a fixed query term set — the
+  // standard retrieval-quality signal a curation pipeline uses to
+  // rank corpus documents against a target-domain query. Fully
+  // distributed: document frequencies come from ONE hash aggregate
+  // over an exploded (term ∈ query only) relation, the tiny
+  // (n_terms + 1)-row statistics relation broadcasts back, and the
+  // score is an ordered fold over the literal query-term array inside
+  // the scan — engine-portable float math, no driver loop.
+
+  /** Per-document BM25 against `queryTerms` (matched on lowercased
+    * whitespace tokens). Returns (id, dl, score columns appended).
+    * `idf` uses the standard Robertson–Sparck Jones form
+    * `ln(1 + (N - df + 0.5) / (df + 0.5))`.
+    */
+  def bm25(
+      docs: DataFrame,
+      queryTerms: Seq[String],
+      textCol: Column,
+      idCol: Column,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val terms = queryTerms.map(_.toLowerCase).distinct.sorted
+    val termArr = array(terms.map(lit): _*)
+    val ws = words(lower(textCol))
+    // corpus statistics: per-term document frequency + (N, avgdl) —
+    // one exploded pass filtered to the query terms, one aggregate;
+    // the result is query-term-sized and broadcasts
+    val matched = docs.select(
+      idCol.as("__id"), size(ws).cast("double").as("__dl"),
+      filter(array_distinct(ws), w => array_contains(termArr, w)).as("__hits"))
+    val stats = matched
+      .select(col("__dl"), explode(concat(array(lit("")), col("__hits"))).as("__t"))
+      .groupBy("__t")
+      .agg(count(lit(1)).cast("double").as("__df"), sum("__dl").as("__sdl"))
+    // the "" sentinel row carries N and Σdl (every doc contributes it)
+    val global = stats.where(col("__t") === "")
+      .select(col("__df").as("__n"), (col("__sdl") / col("__df")).as("__avgdl"))
+    val dfMap = stats.where(col("__t") =!= "")
+      .groupBy().agg(map_from_arrays(
+        collect_list(col("__t")), collect_list(col("__df"))).as("__dfs"))
+    // score: ordered fold over the sorted literal term list — tf is an
+    // in-row count over the MATERIALIZED token column (`__ws` is an
+    // attribute reference inside the lambdas, not a recompute — the
+    // round-6 HOF discipline), idf a broadcast-map lookup;
+    // deterministic float association for the oracle twin
+    val withStats = docs
+      .crossJoin(broadcast(global))
+      .crossJoin(broadcast(dfMap))
+      .withColumn("__ws", words(lower(textCol)))
+    val dl = size(col("__ws")).cast("double")
+    val score = aggregate(
+      termArr, lit(0.0), (acc, t) => {
+        val tf = size(filter(col("__ws"), w => w === t)).cast("double")
+        val df0 = coalesce(element_at(col("__dfs"), t), lit(0.0))
+        val idf = log(lit(1.0) + (col("__n") - df0 + lit(0.5)) / (df0 + lit(0.5)))
+        val denom = tf + lit(k1) * (lit(1.0 - b) + lit(b) * dl / col("__avgdl"))
+        acc + when(tf > 0.0, idf * tf * lit(k1 + 1.0) / denom).otherwise(lit(0.0))
+      })
+    withStats.select(
+      idCol.as("doc_id"),
+      dl.cast("long").as("dl"),
+      round(score, 4).as("bm25"))
   }
 }

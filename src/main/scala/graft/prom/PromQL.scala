@@ -288,6 +288,32 @@ object PromQL {
     def matchers: Seq[(String, String, String)] = inner.matchers
   }
 
+  /** `sel @ 1704067200` / `rate(m[5m] @ ts)` — pin the evaluation to
+    * a fixed timestamp (Grafana's compare-to-fixed-time): the inner
+    * expression evaluates ONCE at `ts` and the (result-sized) vector
+    * replicates across the grid by explode — no join, no re-scan per
+    * slot. `ts = None` means `@ end()`; `ts = Some(Left(()))` is not
+    * modeled — `@ start()`/`@ end()` arrive as [[AtStart]]/[[AtEnd]].
+    */
+  final case class At(ts: Long, inner: Expr) extends Expr {
+    def matchers: Seq[(String, String, String)] = inner.matchers
+  }
+
+  /** `@ start()` / `@ end()` — resolved against the query window at
+    * evaluation time.
+    */
+  final case class AtEdge(atStart: Boolean, inner: Expr) extends Expr {
+    def matchers: Seq[(String, String, String)] = inner.matchers
+  }
+
+  /** `limitk(k, expr)` — at most k series per slot. Prometheus leaves
+    * the pick unspecified; this evaluator picks deterministically by
+    * storage-path order (one window rank per slot, like topk).
+    */
+  final case class LimitK(k: Int, inner: Expr) extends Expr {
+    def matchers: Seq[(String, String, String)] = inner.matchers
+  }
+
   val rangeFns: Set[String] = Set(
     "rate", "increase", "delta", "idelta", "irate", "resets", "changes",
     "deriv", "avg_over_time", "sum_over_time", "min_over_time",
@@ -342,6 +368,7 @@ object PromQL {
       else parse(inner).map(Agg(op, labels, _, without = mode == "without"))
     }
     val rankK = "^(topk|bottomk)\\s*\\(\\s*(\\d+)\\s*,(.*)\\)$".r
+    val limitK = "^limitk\\s*\\(\\s*(\\d+)\\s*,(.*)\\)$".r
     val histQ = "^histogram_quantile\\s*\\(\\s*(-?[0-9.]+)\\s*,(.*)\\)$".r
     val fnMatch = "^([a-z_]+)\\((.*)\\)$".r
     // binary operators split at paren/brace/bracket/quote depth 0 —
@@ -383,6 +410,11 @@ object PromQL {
           case Some(k) => parse(inner).map(RankK(op, k, _))
           case None    => Left(s"$op: bad k '$ks'")
         }
+      case limitK(ks, inner) =>
+        ks.toIntOption.filter(_ >= 1) match {
+          case Some(k) => parse(inner).map(LimitK(k, _))
+          case None    => Left(s"limitk: bad k '$ks'")
+        }
       case aggPre(op, mode, by, inner)  => agg(op, mode, by, inner)
       case aggSuf(op, inner, mode, by)  => agg(op, mode, by, inner)
       case aggBare(op, inner) => agg(op, "by", "", inner)
@@ -402,22 +434,22 @@ object PromQL {
         }
       case fnMatch(fn, inner1) => parseFn(fn, inner1)
       case _ =>
-        val (base, off) = stripOffset(q)
-        val parsed: Either[String, Expr] = base.toDoubleOption match {
-          case Some(v) => Right(Scalar(v))
-          // parens/whitespace in the metric-name part mean an
-          // expression failed to match above, not a selector —
-          // `(m) (n)` must not become a metric literally named that
-          case None if base.takeWhile(_ != '{').exists(c =>
-              c == '(' || c == ')' || c.isWhitespace) =>
-            Left(s"not a valid expression: '$q0'")
-          case None => Prom.parseSelector(base).map(Selector(_))
-        }
-        off.fold(parsed) {
-          o => parsed.flatMap {
-            case s: Selector => o.map(Offset(_, s))
-            case _ => Left("offset only applies to selectors")
+        applyModifiers(q, { base =>
+          base.toDoubleOption match {
+            case Some(v) => Right(Scalar(v))
+            // parens/whitespace in the metric-name part mean an
+            // expression failed to match above, not a selector —
+            // `(m) (n)` must not become a metric literally named that
+            case None if base.takeWhile(_ != '{').exists(c =>
+                c == '(' || c == ')' || c.isWhitespace) =>
+              Left(s"not a valid expression: '$q0'")
+            case None => Prom.parseSelector(base).map(Selector(_))
           }
+        }).flatMap {
+          case Offset(_, _: Scalar) | At(_, _: Scalar) | AtEdge(_, _: Scalar) |
+               At(_, Offset(_, _: Scalar)) | AtEdge(_, Offset(_, _: Scalar)) =>
+            Left("offset/@ only apply to selectors")
+          case e => Right(e)
         }
     }
   }
@@ -431,6 +463,62 @@ object PromQL {
     s match {
       case offRe(rest, dur) => (rest.trim, Some(durationSec(dur)))
       case _ => (s, None)
+    }
+  }
+
+  /** Split a trailing ` @ <ts|start()|end()>` modifier. Returns the
+    * rest plus a wrapper constructor for the pinned evaluation.
+    */
+  private def stripAt(s: String): (String, Option[Either[String, Expr => Expr]]) = {
+    val atRe = "^(.*\\S)\\s+@\\s+(\\S+)$".r
+    s match {
+      case atRe(rest, spec) =>
+        val w: Either[String, Expr => Expr] = spec match {
+          case "start()" => Right(AtEdge(atStart = true, _))
+          case "end()"   => Right(AtEdge(atStart = false, _))
+          case n => n.toDoubleOption match {
+            case Some(ts) => Right(At(ts.toLong, _))
+            case None => Left(s"bad @ timestamp '$n'")
+          }
+        }
+        (rest.trim, Some(w))
+      case _ => (s, None)
+    }
+  }
+
+  /** Strip trailing `offset` and `@` modifiers (either order, each at
+    * most once, like Prometheus) and wrap `inner` accordingly —
+    * offset innermost, so `m @ ts offset 1h` reads relative to the
+    * pinned time.
+    */
+  private def applyModifiers(
+      s0: String, build: String => Either[String, Expr]): Either[String, Expr] = {
+    var rest = s0.trim
+    var off: Option[Long] = None
+    var at: Option[Expr => Expr] = None
+    var changed = true
+    while (changed) {
+      changed = false
+      if (off.isEmpty) stripOffset(rest) match {
+        case (r, Some(e)) =>
+          e match {
+            case Right(o) => off = Some(o); rest = r; changed = true
+            case Left(err) => return Left(err)
+          }
+        case _ =>
+      }
+      if (at.isEmpty) stripAt(rest) match {
+        case (r, Some(e)) =>
+          e match {
+            case Right(w) => at = Some(w); rest = r; changed = true
+            case Left(err) => return Left(err)
+          }
+        case _ =>
+      }
+    }
+    build(rest).map { e =>
+      val withOff = off.fold(e)(Offset(_, e))
+      at.fold(withOff)(w => w(withOff))
     }
   }
 
@@ -476,35 +564,29 @@ object PromQL {
     * argument.
     */
   private def parseRangeArg(
-      fn: String, s0: String, arg: Option[Double]): Either[String, Expr] = {
-    val (inner, off0) = stripOffset(s0.trim)
-    if (!inner.endsWith("]")) return Left(s"$fn expects a range selector, got '$inner'")
-    val brk = inner.lastIndexOf('[')
-    if (brk < 0) return Left(s"$fn expects a range selector, got '$inner'")
-    val rng = inner.substring(brk + 1, inner.length - 1)
-    val colonAt = rng.indexOf(':')
-    if (colonAt >= 0) {
-      // subquery `expr[range:step]`; empty step = outer query step
-      if (off0.nonEmpty) return Left(s"offset on a subquery is not supported")
-      val stepStr = rng.substring(colonAt + 1).trim
-      for {
-        d <- durationSec(rng.substring(0, colonAt))
-        st <- if (stepStr.isEmpty) Right(None) else durationSec(stepStr).map(Some(_))
-        e <- parse(inner.substring(0, brk))
-      } yield SubQuery(fn, e, d, st, arg)
-    } else
-      for {
-        d <- durationSec(rng)
-        sel <- Prom.parseSelector(inner.substring(0, brk))
-        off <- off0 match {
-          case None => Right(None)
-          case Some(e) => e.map(Some(_))
-        }
-      } yield withOffset(RangeFn(fn, Selector(sel), d, arg), off)
-  }
-
-  private def withOffset(e: Expr, off: Option[Long]): Expr =
-    off.fold(e)(Offset(_, e))
+      fn: String, s0: String, arg: Option[Double]): Either[String, Expr] =
+    applyModifiers(s0, { inner =>
+      val brk = inner.lastIndexOf('[')
+      if (!inner.endsWith("]") || brk < 0)
+        Left(s"$fn expects a range selector, got '$inner'")
+      else {
+        val rng = inner.substring(brk + 1, inner.length - 1)
+        val colonAt = rng.indexOf(':')
+        if (colonAt >= 0) {
+          // subquery `expr[range:step]`; empty step = outer query step
+          val stepStr = rng.substring(colonAt + 1).trim
+          for {
+            d <- durationSec(rng.substring(0, colonAt))
+            st <- if (stepStr.isEmpty) Right(None) else durationSec(stepStr).map(Some(_))
+            e <- parse(inner.substring(0, brk))
+          } yield SubQuery(fn, e, d, st, arg)
+        } else
+          for {
+            d <- durationSec(rng)
+            sel <- Prom.parseSelector(inner.substring(0, brk))
+          } yield RangeFn(fn, Selector(sel), d, arg)
+      }
+    })
 
   /** Function-call dispatch: range functions (plus the parameterized
     * `quantile_over_time`/`predict_linear`), scalar math, `absent`,
@@ -874,6 +956,27 @@ object PromQL {
         // same plan over the shifted window, stamps shifted back
         return evalMatrix(points, tags, inner, start - o, end - o, step0, lookbackSec)
           .select(col("path"), (col("t") + lit(o)).as("t"), col("value"))
+      case At(ts, inner) =>
+        // pinned evaluation: inner runs ONCE at ts, the result-sized
+        // vector replicates across the grid by explode — no join, no
+        // per-slot re-scan
+        val one = evalMatrix(points, tags, inner, ts, ts, 1L, lookbackSec)
+        val step = math.max(1L, step0)
+        val lastSlot = (end - start) / step
+        return one.select(col("path"), col("value"),
+            explode(sequence(lit(0L), lit(lastSlot))).as("n"))
+          .select(col("path"), (lit(start) + col("n") * lit(step)).as("t"),
+            col("value"))
+      case AtEdge(atStart, inner) =>
+        return evalMatrix(points, tags,
+          At(if (atStart) start else end, inner), start, end, step0, lookbackSec)
+      case LimitK(k, inner) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("t")).orderBy(col("path").asc)
+        return evalMatrix(points, tags, inner, start, end, step0, lookbackSec)
+          .withColumn("rk", row_number().over(w))
+          .where(col("rk") <= k)
+          .select("path", "t", "value")
       case _ =>
     }
     val step = math.max(1L, step0)

@@ -39,6 +39,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "p_query_changes", "p_query_label_replace",
     "p_query_subquery", "p_query_count_values",
     "p_query_time", "p_query_vector", "p_query_hour", "p_query_holt",
+    "p_query_at", "p_query_limitk",
     // duplicate-span stats: one explode + count window + per-doc agg
     "d_dup_spans",
     // PQ/ADC: codebooks + query LUTs broadcast, one (sub, code) join

@@ -318,6 +318,25 @@ class PromQLSpec extends AnyFunSuite {
     assert(PromQL.parse("m > 50 and on() (hour() >= 6)").isRight)
   }
 
+  test("parse: @ modifier and limitk") {
+    val sel = PromQL.Selector(Seq(("__name__", "=", "m")))
+    assert(PromQL.parse("m @ 1704067200") == Right(PromQL.At(1704067200L, sel)))
+    assert(PromQL.parse("m @ start()") == Right(PromQL.AtEdge(atStart = true, sel)))
+    assert(PromQL.parse("m @ end()") == Right(PromQL.AtEdge(atStart = false, sel)))
+    assert(PromQL.parse("rate(m[5m] @ 100)") ==
+      Right(PromQL.At(100L, PromQL.RangeFn("rate", sel, 300L))))
+    // offset composes inside @ (read relative to the pinned time),
+    // whichever order the modifiers are written in
+    assert(PromQL.parse("m @ 100 offset 5m") ==
+      Right(PromQL.At(100L, PromQL.Offset(300L, sel))))
+    assert(PromQL.parse("m offset 5m @ 100") ==
+      Right(PromQL.At(100L, PromQL.Offset(300L, sel))))
+    assert(PromQL.parse("5 @ 100").isLeft)
+    assert(PromQL.parse("m @ nope").isLeft)
+    assert(PromQL.parse("limitk(2, m)") == Right(PromQL.LimitK(2, sel)))
+    assert(PromQL.parse("limitk(0, m)").isLeft)
+  }
+
   test("parse: histogram_quantile") {
     val sel = PromQL.Selector(Seq(("__name__", "=", "m")))
     assert(PromQL.parse("histogram_quantile(0.9, m)") ==
@@ -603,6 +622,30 @@ class PromQLEvalSpec extends AnyFunSuite {
     assert(eval("day_of_week()") ==
       Set(("", 0L, 4.0), ("", 3600L, 4.0), ("", 7200L, 4.0)))
     assert(eval("minute()") == Set(("", 0L, 0.0), ("", 3600L, 0.0), ("", 7200L, 0.0)))
+  }
+
+  test("@ pins evaluation; limitk caps series per slot") {
+    val pts = matrix(
+      ("a", 0L, 1.0), ("a", 30L, 2.0), ("b", 0L, 5.0), ("c", 0L, 9.0),
+      ("m?x=1", 0L, 1.0), ("m?x=2", 0L, 5.0), ("m?x=3", 0L, 9.0))
+      .withColumnRenamed("t", "time")
+    val tags = graft.engine.GraphiteTables.expandTagRows(
+      pts.select(org.apache.spark.sql.functions.col("path")).distinct()
+        .withColumn("date", org.apache.spark.sql.functions.lit("1970-01-01").cast("date"))
+        .withColumn("version", org.apache.spark.sql.functions.lit(0L)))
+    def eval(q: String) = rowSet(PromQL.evalMatrix(
+      pts, tags, PromQL.parse(q).toOption.get, 0L, 60L, 30L, lookbackSec = 10L))
+    // a @ 0 pins value 1.0 across all three slots (a's value at t=0)
+    assert(eval("a @ 0") ==
+      Set(("a", 0L, 1.0), ("a", 30L, 1.0), ("a", 60L, 1.0)))
+    // @ start() / @ end(): pinned to the window edges
+    assert(eval("a @ start()") == eval("a @ 0"))
+    assert(eval("a @ 30") ==
+      Set(("a", 0L, 2.0), ("a", 30L, 2.0), ("a", 60L, 2.0)))
+    // limitk(2, …) keeps the 2 lowest paths per slot (staleness keeps
+    // the t=0 samples alive only at slot 0 under the 10s lookback)
+    assert(eval("limitk(2, m)") ==
+      Set(("m?x=1", 0L, 1.0), ("m?x=2", 0L, 5.0)))
   }
 
   test("absent: 1 where the inner vector is empty, labels from eq matchers") {
