@@ -323,13 +323,20 @@ object Dedup {
     * documents marks a duplicated span; per document, count how many
     * of its distinct shingles are duplicated elsewhere. Plan: the
     * shingle explode runs ONCE (it is the expensive stage — w-word
-    * array_join + md5 per shingle), a count window partitioned on the
-    * 60-bit shingle hash annotates each occurrence with its global
-    * frequency, then one hash aggregate per doc folds totals and
-    * duplicated counts together — one explode, two shuffles (h, then
-    * doc_id), never a doc×doc pair, nothing corpus-sized persisted.
-    * Documents with NO shingles (< w words) are absent from the
-    * explode and re-enter via the left join with zero counts.
+    * array_join + md5 per shingle) and collapses immediately into a
+    * (doc_id, h, c) aggregate with map-side partials; global shingle
+    * frequency is then a second aggregate on h (again with partials,
+    * so a hot boilerplate shingle arrives at the reducer as one row
+    * per map partition, not one row per occurrence) joined back on h.
+    * Both consumers of the (doc_id, h) aggregate hang off the SAME
+    * exchange, which Catalyst dedups (ReusedExchange) — the explode
+    * still runs once. Never a window over the content-hash key: a
+    * window gets no partial aggregation, so the hot key would
+    * serialize into a single task at corpus scale. The join's skewed
+    * side carries at most one row per (doc, hot shingle) — AQE
+    * skew-join splittable. Documents with NO shingles (< w words) are
+    * absent from the explode and re-enter via the left join with zero
+    * counts.
     */
   def duplicateSpans(
       docs: DataFrame,
@@ -339,12 +346,13 @@ object Dedup {
     val exploded = docs
       .select(idCol.as("doc_id"), explode(shingles(textCol, w)).as("s"))
       .select(col("doc_id"), shingleHash(col("s")).as("h"))
-    val byKey = org.apache.spark.sql.expressions.Window.partitionBy("h")
-    val perDoc = exploded
-      .withColumn("n", count(lit(1)).over(byKey))
+    val perDocKey = exploded.groupBy("doc_id", "h")
+      .agg(count(lit(1)).as("c"))
+    val byKey = perDocKey.groupBy("h").agg(sum(col("c")).as("n"))
+    val perDoc = perDocKey.join(byKey, Seq("h"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .agg(sum(col("c")).as("n_shingles"),
+        sum(when(col("n") > 1, col("c")).otherwise(0L)).as("n_dup"))
     docs.select(idCol.as("doc_id"))
       .join(perDoc, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),

@@ -398,7 +398,10 @@ object Similarity {
   /** PQ codebook training: k-means independently per subspace — but
     * all `m` subspaces train in the SAME distributed passes by keeping
     * `sub` in every grouping key (no per-subspace job loop).
-    * Deterministic init: the subvectors of the `k` lowest-id vectors.
+    * Deterministic init: the subvectors of the `k` lowest-id vectors —
+    * selected by rank (a distributed top-k, TakeOrderedAndProject),
+    * NOT a literal `vid < k` predicate, so sparse or non-zero-based id
+    * spaces still seed a full k-entry codebook.
     * Returns (sub, centroid_id, centroid).
     */
   def pqTrain(
@@ -410,7 +413,9 @@ object Similarity {
       idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
     val subs = subVectors(vectors, m, dim, idCol, embCol)
-    var cents = subs.where(col("vid") < k)
+    val initIds = vectors.select(col(idCol).cast("long").as("vid"))
+      .distinct().orderBy(col("vid")).limit(k)
+    var cents = subs.join(broadcast(initIds), Seq("vid"))
       .select(col("sub"), col("vid").as("centroid_id"), col("semb").as("centroid"))
     for (_ <- 0 until iters) {
       val w = Window.partitionBy("vid", "sub")

@@ -30,6 +30,12 @@ import org.apache.spark.sql.functions._
   * here because the value at window edges can differ by a fraction of
   * one scrape interval.
   *
+  * Declared divergence: durations resolve at ONE-SECOND granularity —
+  * a `ms` duration truncates to whole seconds with a 1 s floor
+  * (`[500ms]` and `[1500ms]` both evaluate as `[1s]`), because the
+  * storage step and eval grid are whole-second (Graphite-style)
+  * rather than millisecond-based like Prometheus.
+  *
   * Evaluation is one distributed pass, scale-shaped for wide fleets:
   * each sample is exploded onto the [t₀+n·step] eval slots it can
   * serve (bounded by window/step slots per sample), then ONE hash
@@ -341,6 +347,8 @@ object PromQL {
     s.trim match {
       case m(n, unit) =>
         val mult = unit match {
+          // second-granularity engine: ms truncates to whole seconds
+          // with a 1 s floor (declared divergence in the header)
           case "ms" => return Right(math.max(1L, n.toLong / 1000))
           case "s" => 1L; case "m" => 60L; case "h" => 3600L
           case "d" => 86400L; case "w" => 604800L; case "y" => 31536000L
@@ -454,25 +462,55 @@ object PromQL {
     }
   }
 
+  /** True iff every char of `s[from, from+len)` sits at
+    * bracket/brace/paren/quote depth 0 — the same scan `splitBinOp`
+    * uses, so a keyword inside a label value or a nested group is
+    * never mistaken for a trailing modifier.
+    */
+  private def atDepth0(s: String, from: Int, len: Int): Boolean = {
+    var depth = 0
+    var inQuote = false
+    var i = 0
+    val until = math.min(s.length, from + len)
+    while (i < from) {
+      val c = s.charAt(i)
+      if (inQuote) {
+        if (c == '\\' && i + 1 < s.length) i += 1
+        else if (c == '"') inQuote = false
+      } else c match {
+        case '"' => inQuote = true
+        case '(' | '[' | '{' => depth += 1
+        case ')' | ']' | '}' => depth -= 1
+        case _ =>
+      }
+      i += 1
+    }
+    // the keyword span itself must contain no quote/bracket state
+    depth == 0 && !inQuote && from >= 0 && until == from + len
+  }
+
   /** Split a trailing ` offset <dur>` modifier off an expression
     * string. Returns (rest, None) when absent, or (rest,
-    * Some(parsed duration)).
+    * Some(parsed duration)). Only a keyword at bracket/quote depth 0
+    * counts — `m{msg="retry offset 5m"}` is a plain selector.
     */
   private def stripOffset(s: String): (String, Option[Either[String, Long]]) = {
     val offRe = "^(.*\\S)\\s+offset\\s+(\\S+)$".r
     s match {
-      case offRe(rest, dur) => (rest.trim, Some(durationSec(dur)))
+      case offRe(rest, dur) if atDepth0(s, s.indexOf("offset", rest.length), 6) =>
+        (rest.trim, Some(durationSec(dur)))
       case _ => (s, None)
     }
   }
 
   /** Split a trailing ` @ <ts|start()|end()>` modifier. Returns the
-    * rest plus a wrapper constructor for the pinned evaluation.
+    * rest plus a wrapper constructor for the pinned evaluation. Only
+    * a depth-0 `@` counts — `m{msg="a @ b"}` is a plain selector.
     */
   private def stripAt(s: String): (String, Option[Either[String, Expr => Expr]]) = {
     val atRe = "^(.*\\S)\\s+@\\s+(\\S+)$".r
     s match {
-      case atRe(rest, spec) =>
+      case atRe(rest, spec) if atDepth0(s, s.indexOf("@", rest.length), 1) =>
         val w: Either[String, Expr => Expr] = spec match {
           case "start()" => Right(AtEdge(atStart = true, _))
           case "end()"   => Right(AtEdge(atStart = false, _))

@@ -40,7 +40,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "p_query_subquery", "p_query_count_values",
     "p_query_time", "p_query_vector", "p_query_hour", "p_query_holt",
     "p_query_at", "p_query_limitk",
-    // duplicate-span stats: one explode + count window + per-doc agg
+    // duplicate-span stats: one explode + two-level hash agg + join-back
     "d_dup_spans",
     // PQ/ADC: codebooks + query LUTs broadcast, one (sub, code) join
     "e_pq_search")
@@ -91,6 +91,16 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("p_remote_read")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
       "remote read must broadcast the found-path set")
+  }
+
+  test("d_dup_spans: no window over the content-hash key") {
+    // a Window.partitionBy(h) gets no partial aggregation and no AQE
+    // skew relief — a hot boilerplate shingle would serialize into one
+    // task at corpus scale. Frequency must come from hash aggregates
+    // (map-side partials) + join-back, never a window.
+    val p = plan("d_dup_spans")
+    assert(!p.contains("Window"), "Window over content-hash key in d_dup_spans")
+    assert(p.contains("HashAggregate"), "expected hash aggregates in d_dup_spans")
   }
 
   test("p_query_histq: bucket regroup is one hash aggregate, no join after the matrix") {

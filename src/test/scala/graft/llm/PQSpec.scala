@@ -61,4 +61,19 @@ class PQSpec extends AnyFunSuite {
       .collect()
     assert(books.nonEmpty && books.forall(_.getSeq[Double](2).size == 8))
   }
+
+  test("init seeds a full k-entry codebook on sparse, non-zero-based ids") {
+    // ids 1000, 1007, 1014, … — a literal `vid < k` predicate would
+    // select NOTHING here; rank-based init must still pick the k
+    // lowest ids and yield k entries in every subspace
+    val sparse = vecs.withColumn("vec_id", col("vec_id") * 7 + 1000)
+    val books = Similarity.pqTrain(sparse, m = 8, k = 4, iters = 0, dim = 64)
+    val perSub = books.groupBy("sub").count().collect()
+    assert(perSub.length == 8 && perSub.forall(_.getLong(1) == 4L),
+      s"expected 4 entries in each of 8 subspaces: ${perSub.mkString(",")}")
+    // and the seeds are exactly the 4 lowest ids
+    val ids = books.select("centroid_id").distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1000L, 1007L, 1014L, 1021L), ids.toString)
+  }
 }

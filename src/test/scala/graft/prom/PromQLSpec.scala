@@ -130,6 +130,22 @@ class PromQLSpec extends AnyFunSuite {
     assert(PromQL.parse("m offset 1x").isLeft)
   }
 
+  test("parse: offset/@ keywords inside label values are not modifiers") {
+    // a label value ending in ` offset <x>` / ` @ <x>` must parse as a
+    // plain selector — the modifier strip only fires at quote depth 0
+    assert(PromQL.parse("""m{msg="retry offset 5m"}""") ==
+      Right(PromQL.Selector(Seq(("__name__", "=", "m"), ("msg", "=", "retry offset 5m")))))
+    assert(PromQL.parse("""m{msg="at @ 100"}""") ==
+      Right(PromQL.Selector(Seq(("__name__", "=", "m"), ("msg", "=", "at @ 100")))))
+    // a REAL trailing modifier after such a label still strips
+    assert(PromQL.parse("""m{msg="retry offset 5m"} offset 1h""") ==
+      Right(PromQL.Offset(3600L,
+        PromQL.Selector(Seq(("__name__", "=", "m"), ("msg", "=", "retry offset 5m"))))))
+    assert(PromQL.parse("""m{msg="a @ 1"} @ 100""") ==
+      Right(PromQL.At(100L,
+        PromQL.Selector(Seq(("__name__", "=", "m"), ("msg", "=", "a @ 1"))))))
+  }
+
   test("parse: parenthesized expressions group explicitly") {
     val sel = PromQL.Selector(Seq(("__name__", "=", "m")))
     val seln = PromQL.Selector(Seq(("__name__", "=", "n")))
