@@ -1213,6 +1213,55 @@ object SparkEntry {
         start = WFrom, end = WFrom + 30L * 86400L, step0 = 21600L,
         lookbackSec = 86400L)),
 
+    // timestamp(): the latest raw sample's OWN time per series — the
+    // same one-pass slot aggregate as a selector, max(time) instead of
+    // max_by(value, time).
+    "p_query_timestamp" -> ((s, dir) =>
+      graft.prom.PromQL.evalMatrix(
+        GraphiteTables.pointsTagged(s, dir),
+        GraphiteTables.tags(s, dir),
+        graft.prom.PromQL.parse("""timestamp(events{type="click"})""")
+          .fold(e => throw new IllegalArgumentException(e), identity),
+        start = WFrom, end = WFrom + 30L * 86400L, step0 = 21600L,
+        lookbackSec = 86400L)),
+
+    // scalar(): per-slot exactly-one-series reduction of sum(events),
+    // applied element-wise to the click vector via a broadcast join
+    // on the slot — the fleet-relative-share idiom.
+    "p_query_scalar" -> ((s, dir) =>
+      graft.prom.PromQL.evalMatrix(
+        GraphiteTables.pointsTagged(s, dir),
+        GraphiteTables.tags(s, dir),
+        graft.prom.PromQL.parse(
+          """events{type="click"} / scalar(sum(events))""")
+          .fold(e => throw new IllegalArgumentException(e), identity),
+        start = WFrom, end = WFrom + 30L * 86400L, step0 = 21600L,
+        lookbackSec = 86400L)
+        .withColumn("value", round(col("value"), 6))),
+
+    // scalar-only arithmetic (`1+2`-style): no points scan at all —
+    // one grid-range projection.
+    "p_query_scalar_arith" -> ((s, dir) =>
+      graft.prom.PromQL.evalMatrix(
+        GraphiteTables.pointsTagged(s, dir),
+        GraphiteTables.tags(s, dir),
+        graft.prom.PromQL.parse("2 * pi() + time() / 1000")
+          .fold(e => throw new IllegalArgumentException(e), identity),
+        start = WFrom, end = WFrom + 30L * 86400L, step0 = 21600L,
+        lookbackSec = 86400L)),
+
+    // trig + angle conversion over a vector (rounded: transcendental
+    // libm results are not bit-pinned across engines).
+    "p_query_trig" -> ((s, dir) =>
+      graft.prom.PromQL.evalMatrix(
+        GraphiteTables.pointsTagged(s, dir),
+        GraphiteTables.tags(s, dir),
+        graft.prom.PromQL.parse("""deg(atan(events{type="click"} / 100))""")
+          .fold(e => throw new IllegalArgumentException(e), identity),
+        start = WFrom, end = WFrom + 30L * 86400L, step0 = 21600L,
+        lookbackSec = 86400L)
+        .withColumn("value", round(col("value"), 4))),
+
     // `or vector(0)`: the Grafana no-data fallback — the label-less
     // constant series fills slots where the left side is empty.
     "p_query_vector" -> ((s, dir) =>
@@ -2495,6 +2544,61 @@ object SparkEntry {
            |         row_number() OVER (PARTITION BY t ORDER BY path ASC) AS rk
            |  FROM inst) r
            |WHERE rk <= 3""".stripMargin),
+
+      "p_query_timestamp" ->
+        (s"""WITH dedup AS (
+           |  SELECT user_id,
+           |         epoch_us(ts)//1000000 AS time
+           |  FROM events WHERE event_type = 'click'
+           |  GROUP BY 1, 2),
+           |grid AS (SELECT $WFrom + 21600*n AS t FROM generate_series(0, 120) g(n)),
+           |win AS (
+           |  SELECT d.user_id, g.t, d.time FROM dedup d
+           |  JOIN grid g ON d.time <= g.t AND d.time > g.t - 86400)
+           |SELECT '?type=click&user=' || user_id AS path, t,
+           |       max(time)::double AS value
+           |FROM win GROUP BY 1, 2""".stripMargin),
+
+      "p_query_scalar" ->
+        (s"""WITH dedup AS (
+           |  SELECT event_type, user_id,
+           |         epoch_us(ts)//1000000 AS time,
+           |         arg_max(value, event_id) AS value
+           |  FROM events
+           |  GROUP BY 1, 2, 3),
+           |grid AS (SELECT $WFrom + 21600*n AS t FROM generate_series(0, 120) g(n)),
+           |win AS (
+           |  SELECT d.event_type, d.user_id, g.t, d.value, d.time FROM dedup d
+           |  JOIN grid g ON d.time <= g.t AND d.time > g.t - 86400),
+           |inst AS (SELECT event_type, user_id, t, arg_max(value, time) AS value
+           |  FROM win GROUP BY 1, 2, 3),
+           |tot AS (SELECT t, sum(value) AS sv FROM inst GROUP BY t)
+           |SELECT '?type=click&user=' || i.user_id AS path, i.t,
+           |       round(i.value / s.sv, 6) + 0 AS value
+           |FROM inst i JOIN tot s ON i.t = s.t
+           |WHERE i.event_type = 'click'""".stripMargin),
+
+      "p_query_scalar_arith" ->
+        (s"""SELECT '' AS path, $WFrom + 21600*n AS t,
+           |       (2*pi() + ($WFrom + 21600*n)/1000.0)::double AS value
+           |FROM generate_series(0, 120) g(n)""".stripMargin),
+
+      "p_query_trig" ->
+        (s"""WITH dedup AS (
+           |  SELECT user_id,
+           |         epoch_us(ts)//1000000 AS time,
+           |         arg_max(value, event_id) AS value
+           |  FROM events WHERE event_type = 'click'
+           |  GROUP BY 1, 2),
+           |grid AS (SELECT $WFrom + 21600*n AS t FROM generate_series(0, 120) g(n)),
+           |win AS (
+           |  SELECT d.user_id, g.t, d.value, d.time FROM dedup d
+           |  JOIN grid g ON d.time <= g.t AND d.time > g.t - 86400),
+           |inst AS (SELECT user_id, t, arg_max(value, time) AS value
+           |  FROM win GROUP BY 1, 2)
+           |SELECT '?type=click&user=' || user_id AS path, t,
+           |       round(degrees(atan(value / 100)), 4) + 0 AS value
+           |FROM inst""".stripMargin),
 
       "p_query_vector" ->
         (s"""WITH dedup AS (

@@ -219,6 +219,8 @@ final class HttpApi(
         case "/api/v1/query_range"               => promQueryRange(ex)
         case "/api/v1/query"                     => promQueryInstant(ex)
         case "/api/v1/read"                      => promRemoteRead(ex)
+        case "/api/v1/status/buildinfo"          => promBuildInfo(ex)
+        case "/api/v1/metadata"                  => promMetadata(ex)
         case "/alive" =>
           reply(ex, 200, "text/plain", "Graphite-clickhouse is alive.\n".getBytes)
         case "/health" =>
@@ -663,6 +665,22 @@ final class HttpApi(
       graft.prom.PromQL.vectorJson(ordered, jstr,
         presorted = expr.isInstanceOf[graft.prom.PromQL.Sort]).getBytes)
   }
+
+  /** Grafana's datasource bootstrap: before the first query it probes
+    * `/api/v1/status/buildinfo` (version-based feature detection) and
+    * `/api/v1/metadata` (metric help/type autocomplete). The reference
+    * serves both by mounting the stock Prometheus web handler
+    * (`prometheus/run.go:62-88`); its embedded engine never scrapes, so
+    * metadata is the empty map there too — here the two routes are
+    * static JSON documents with the same envelopes.
+    */
+  private def promBuildInfo(ex: HttpExchange): Unit =
+    reply(ex, 200, "application/json", promJson(
+      """{"version":"2.45.0","revision":"graft","branch":"HEAD",""" +
+        """"buildUser":"","buildDate":"","goVersion":""}"""))
+
+  private def promMetadata(ex: HttpExchange): Unit =
+    reply(ex, 200, "application/json", promJson("{}"))
 
   private def promSeries(ex: HttpExchange): Unit = promRoute(ex) {
     val q = formParams(ex, readBody(ex))

@@ -275,6 +275,27 @@ object PromQL {
     def matchers: Seq[(String, String, String)] = Seq.empty
   }
 
+  /** `timestamp(v)` — per series, the timestamp of the sample each
+    * instant-vector entry is based on: the raw latest-sample time for
+    * a plain (possibly offset) selector, the evaluation slot time for
+    * any derived vector (derived samples are minted at eval time,
+    * exactly like Prometheus). Metric name dropped, like every
+    * function.
+    */
+  final case class TimestampFn(inner: Expr) extends Expr {
+    def matchers: Seq[(String, String, String)] = inner.matchers
+  }
+
+  /** `scalar(v)` — the single series' value at each slot when `v` has
+    * exactly one series there, NaN otherwise. Scalar-TYPED: as a
+    * binary operand it applies element-wise per slot (a broadcast
+    * join on t, grid-sized); standalone it renders as one label-less
+    * grid series (same declared envelope divergence as `time()`).
+    */
+  final case class ScalarFn(inner: Expr) extends Expr {
+    def matchers: Seq[(String, String, String)] = inner.matchers
+  }
+
   /** `sort(expr)` / `sort_desc(expr)` — value ordering of the instant
     * vector. A matrix relation has no row order, so evaluation is the
     * identity here; the instant-query response assembly orders by
@@ -337,7 +358,28 @@ object PromQL {
     "round" -> (0, 1), "sqrt" -> (0, 0), "exp" -> (0, 0),
     "ln" -> (0, 0), "log2" -> (0, 0), "log10" -> (0, 0),
     "sgn" -> (0, 0), "clamp" -> (2, 2), "clamp_min" -> (1, 1),
-    "clamp_max" -> (1, 1))
+    "clamp_max" -> (1, 1),
+    // trigonometry + angle conversion (Prometheus's experimental trig
+    // set): plain IEEE doubles, NaN outside the domain like Go's math
+    "sin" -> (0, 0), "cos" -> (0, 0), "tan" -> (0, 0),
+    "asin" -> (0, 0), "acos" -> (0, 0), "atan" -> (0, 0),
+    "sinh" -> (0, 0), "cosh" -> (0, 0), "tanh" -> (0, 0),
+    "asinh" -> (0, 0), "acosh" -> (0, 0), "atanh" -> (0, 0),
+    "deg" -> (0, 0), "rad" -> (0, 0))
+
+  /** Scalar-TYPED expressions (Prometheus's scalar result type):
+    * number literals, `time()`, `pi()` (a literal after parse),
+    * `scalar(v)`, and math/arithmetic compositions of those. These
+    * apply element-wise per slot as binary operands and render as one
+    * label-less grid series standalone.
+    */
+  def isScalarExpr(e: Expr): Boolean = e match {
+    case Scalar(_) | TimeFn  => true
+    case ScalarFn(_)         => true
+    case MathFn(_, _, inner) => isScalarExpr(inner)
+    case BinOp(_, l, r, _, _) => isScalarExpr(l) && isScalarExpr(r)
+    case _ => false
+  }
 
   /** `"5m"`/`"90s"`/`"1h"` (single unit, like the common UI forms) →
     * seconds.
@@ -391,12 +433,13 @@ object PromQL {
           (bool, m, r) = mods
           le <- parse(l)
           re <- parse(r)
-          _ <- (le, re) match {
-            case (Scalar(_) | TimeFn, _) | (_, Scalar(_) | TimeFn)
-                if setOps(op) || m != Matching.default =>
+          _ <-
+            if ((isScalarExpr(le) || isScalarExpr(re)) &&
+                (setOps(op) || m != Matching.default))
               Left(s"vector matching modifiers and set operators need vector operands: '$q0'")
-            case _ => Right(())
-          }
+            else if (cmpOps(op) && !bool && isScalarExpr(le) && isScalarExpr(re))
+              Left(s"comparisons between scalars must use BOOL modifier: '$q0'")
+            else Right(())
         } yield
           if (setOps(op)) SetOp(op, le, re, m) else BinOp(op, le, re, bool, m)
       case None =>
@@ -702,6 +745,19 @@ object PromQL {
     case "time" =>
       if (body.trim.isEmpty) Right(TimeFn)
       else Left("time() takes no arguments")
+    case "pi" =>
+      // a literal after parse: π composes through the scalar-column
+      // machinery for free
+      if (body.trim.isEmpty) Right(Scalar(math.Pi))
+      else Left("pi() takes no arguments")
+    case "timestamp" =>
+      parse(body).flatMap(e =>
+        if (isScalarExpr(e)) Left("timestamp() expects an instant vector")
+        else Right(TimestampFn(e)))
+    case "scalar" =>
+      parse(body).flatMap(e =>
+        if (isScalarExpr(e)) Left("scalar() expects an instant vector")
+        else Right(ScalarFn(e)))
     case "sort"      => parse(body).map(Sort(desc = false, _))
     case "sort_desc" => parse(body).map(Sort(desc = true, _))
     case "label_replace" =>
@@ -879,6 +935,25 @@ object PromQL {
       lookbackSec: Long = LookbackSec): DataFrame = {
     require(end >= start, "end < start")
     expr match {
+      // scalar-typed expressions (`1 + 2`, `2 * pi()`, `scalar(v)`
+      // arithmetic) render as one label-less grid series (declared
+      // envelope divergence, same numbers as Prometheus's scalar type)
+      case e if isScalarExpr(e) =>
+        return scalarSlots(points, tags, e, start, end, step0, lookbackSec)
+          .select(lit("").as("path"), col("t"), col("sval").as("value"))
+      // timestamp over a plain (possibly offset) selector falls to the
+      // raw-sample scan below and stamps the latest sample's OWN time;
+      // offset shifts the window, stamps stay raw (like Prometheus)
+      case TimestampFn(Offset(o, sel: Selector)) =>
+        return evalMatrix(points, tags, TimestampFn(sel),
+            start - o, end - o, step0, lookbackSec)
+          .select(col("path"), (col("t") + lit(o)).as("t"), col("value"))
+      case TimestampFn(inner) if !inner.isInstanceOf[Selector] =>
+        // derived vectors: their samples are minted at eval time, so
+        // the stamp IS the slot time — one projection, no extra scan
+        return evalMatrix(points, tags, inner, start, end, step0, lookbackSec)
+          .select(regexp_replace(col("path"), "^[^?]*", "").as("path"),
+            col("t"), col("t").cast("double").as("value"))
       case Agg(op, by, inner, without) =>
         return aggMatrix(
           evalMatrix(points, tags, inner, start, end, step0, lookbackSec),
@@ -935,27 +1010,18 @@ object PromQL {
           if (innerStart > end) innerM.where(lit(false)) else innerM
         return windowAggregate(bounded, fn, arg, arg2, start, end, outerStep, rangeSec)
       case BinOp(op, l, r, bool, m) =>
-        // scalar-like operands (literals and time()) apply
-        // element-wise over the other side's matrix — no join
+        // scalar-typed operands (literals, time(), pi-arithmetic,
+        // scalar(v)) apply element-wise over the other side's matrix —
+        // column-expressible scalars need no join at all; scalar(v)
+        // joins its per-slot value on t (broadcast, grid-sized). The
+        // both-scalar case was caught by the guard above.
         return (l, r) match {
-          case (Scalar(_) | TimeFn, Scalar(_) | TimeFn) =>
-            throw new IllegalArgumentException("scalar-only expressions are not supported")
-          case (Scalar(a), e) =>
-            scalarOpMatrix(
-              evalMatrix(points, tags, e, start, end, step0, lookbackSec),
-              op, lit(a), scalarLeft = true, boolMode = bool)
-          case (e, Scalar(b)) =>
-            scalarOpMatrix(
-              evalMatrix(points, tags, e, start, end, step0, lookbackSec),
-              op, lit(b), scalarLeft = false, boolMode = bool)
-          case (TimeFn, e) =>
-            scalarOpMatrix(
-              evalMatrix(points, tags, e, start, end, step0, lookbackSec),
-              op, col("t").cast("double"), scalarLeft = true, boolMode = bool)
-          case (e, TimeFn) =>
-            scalarOpMatrix(
-              evalMatrix(points, tags, e, start, end, step0, lookbackSec),
-              op, col("t").cast("double"), scalarLeft = false, boolMode = bool)
+          case (se, e) if isScalarExpr(se) =>
+            vecScalarOp(points, tags, e, se, op, scalarLeft = true, bool,
+              start, end, step0, lookbackSec)
+          case (e, se) if isScalarExpr(se) =>
+            vecScalarOp(points, tags, e, se, op, scalarLeft = false, bool,
+              start, end, step0, lookbackSec)
           case _ =>
             binOpMatrix(
               evalMatrix(points, tags, l, start, end, step0, lookbackSec),
@@ -969,16 +1035,12 @@ object PromQL {
       case HistQuantile(phi, inner) =>
         return histogramQuantileMatrix(
           evalMatrix(points, tags, inner, start, end, step0, lookbackSec), phi)
-      case Scalar(_) =>
-        throw new IllegalArgumentException("scalar-only expressions are not supported")
       case Sort(_, inner) =>
         // a matrix has no row order — ordering applies at the
         // instant-response assembly (see [[Sort]])
         return evalMatrix(points, tags, inner, start, end, step0, lookbackSec)
       case VectorLit(v) =>
         return gridMatrix(points, start, end, step0, lit(v))
-      case TimeFn =>
-        return gridMatrix(points, start, end, step0, col("t").cast("double"))
       case DateFn(fn) =>
         // UTC calendar components as pure epoch arithmetic (epoch day
         // zero was a Thursday = weekday 4) — no timezone dependency
@@ -1020,8 +1082,9 @@ object PromQL {
     val step = math.max(1L, step0)
 
     val win = expr match {
-      case _: Selector => lookbackSec
-      case rf: RangeFn => rf.rangeSec
+      case _: Selector    => lookbackSec
+      case _: TimestampFn => lookbackSec
+      case rf: RangeFn    => rf.rangeSec
       case _ => throw new IllegalStateException("handled above")
     }
 
@@ -1043,6 +1106,8 @@ object PromQL {
     expr match {
       case _: Selector =>
         windowAggregate(pts, "__instant__", None, None, start, end, step, win)
+      case _: TimestampFn =>
+        windowAggregate(pts, "__timestamp__", None, None, start, end, step, win)
       case rf: RangeFn =>
         windowAggregate(pts, rf.fn, rf.arg, rf.arg2, start, end, step, win)
       case _ =>
@@ -1087,6 +1152,14 @@ object PromQL {
         slotted.groupBy(col("path"), col("n"))
           .agg(max_by(col("value"), col("time")).as("value"))
           .select(col("path"), t, col("value"))
+
+      case "__timestamp__" =>
+        // timestamp(sel): the latest sample's OWN time (= max time),
+        // metric name dropped like every Prometheus function
+        slotted.groupBy(col("path"), col("n"))
+          .agg(max(col("time")).cast("double").as("value"))
+          .select(regexp_replace(col("path"), "^[^?]*", "").as("path"),
+            t, col("value"))
 
       case fn =>
         val g = slotted.groupBy(col("path"), col("n"))
@@ -1436,11 +1509,92 @@ object PromQL {
     */
   private def gridMatrix(
       points: DataFrame, start: Long, end: Long, step0: Long,
-      value: Column): DataFrame = {
+      value: Column): DataFrame =
+    gridT(points, start, end, step0)
+      .select(lit("").as("path"), col("t"), value.cast("double").as("value"))
+
+  /** The bare (t) grid relation — result-sized, no points scan. */
+  private def gridT(
+      points: DataFrame, start: Long, end: Long, step0: Long): DataFrame = {
     val step = math.max(1L, step0)
     points.sparkSession.range(0, (end - start) / step + 1)
       .select((lit(start) + col("id") * lit(step)).as("t"))
-      .select(lit("").as("path"), col("t"), value.cast("double").as("value"))
+  }
+
+  /** A scalar-typed expression as a Column over `t` — defined when no
+    * evaluation pass is needed (literals, `time()`, math/arith over
+    * those). `scalar(v)` needs its inner vector evaluated, so it is
+    * NOT column-expressible and takes the [[scalarSlots]] path.
+    * Scalar comparisons are 0/1-valued (the parser enforced `bool`).
+    */
+  private def scalarColumn(e: Expr): Option[Column] = e match {
+    case Scalar(v) => Some(lit(v))
+    case TimeFn    => Some(col("t").cast("double"))
+    case MathFn(fn, args, inner) => scalarColumn(inner).map(mathValue(fn, args, _))
+    case BinOp(op, l, r, _, _) =>
+      for { lc <- scalarColumn(l); rc <- scalarColumn(r) } yield
+        if (cmpOps(op)) when(cmpPred(op, lc, rc), lit(1.0)).otherwise(lit(0.0))
+        else arithValue(op, lc, rc)
+    case _ => None
+  }
+
+  /** Evaluate a scalar-typed expression to its per-slot value: one
+    * (t, sval) row per grid slot. Column-expressible scalars are a
+    * bare grid projection; `scalar(v)` evaluates its inner vector once
+    * and reduces per slot (exactly-one-series → the value, else NaN,
+    * like Prometheus); compositions combine grid-sized frames on t.
+    */
+  private def scalarSlots(
+      points: DataFrame, tags: DataFrame, e: Expr,
+      start: Long, end: Long, step0: Long, lookbackSec: Long): DataFrame =
+    scalarColumn(e) match {
+      case Some(c) =>
+        gridT(points, start, end, step0)
+          .select(col("t"), c.cast("double").as("sval"))
+      case None => e match {
+        case ScalarFn(inner) =>
+          val m = evalMatrix(points, tags, inner, start, end, step0, lookbackSec)
+          val per = m.groupBy("t").agg(
+            when(count(lit(1)) === 1, min(col("value")))
+              .otherwise(lit(Double.NaN)).as("sval"))
+          gridT(points, start, end, step0)
+            .join(per, Seq("t"), "left_outer")
+            .select(col("t"), coalesce(col("sval"), lit(Double.NaN)).as("sval"))
+        case MathFn(fn, args, inner) =>
+          scalarSlots(points, tags, inner, start, end, step0, lookbackSec)
+            .select(col("t"),
+              mathValue(fn, args, col("sval")).cast("double").as("sval"))
+        case BinOp(op, l, r, _, _) =>
+          val ls = scalarSlots(points, tags, l, start, end, step0, lookbackSec)
+            .withColumnRenamed("sval", "ls")
+          val rs = scalarSlots(points, tags, r, start, end, step0, lookbackSec)
+            .withColumnRenamed("sval", "rs")
+          val out =
+            if (cmpOps(op))
+              when(cmpPred(op, col("ls"), col("rs")), lit(1.0)).otherwise(lit(0.0))
+            else arithValue(op, col("ls"), col("rs"))
+          ls.join(rs, Seq("t")).select(col("t"), out.cast("double").as("sval"))
+        case other =>
+          throw new IllegalArgumentException(s"not a scalar expression: $other")
+      }
+    }
+
+  /** Vector–scalar binary operation where the scalar side may need
+    * evaluation: the no-join column fast path when possible, otherwise
+    * a broadcast join of the grid-sized per-slot scalar on t.
+    */
+  private def vecScalarOp(
+      points: DataFrame, tags: DataFrame, vec: Expr, sca: Expr,
+      op: String, scalarLeft: Boolean, boolMode: Boolean,
+      start: Long, end: Long, step0: Long, lookbackSec: Long): DataFrame = {
+    val m = evalMatrix(points, tags, vec, start, end, step0, lookbackSec)
+    scalarColumn(sca) match {
+      case Some(c) => scalarOpMatrix(m, op, c, scalarLeft, boolMode)
+      case None =>
+        val slots = scalarSlots(points, tags, sca, start, end, step0, lookbackSec)
+        scalarOpMatrix(m.join(broadcast(slots), Seq("t")), op, col("sval"),
+          scalarLeft, boolMode)
+    }
   }
 
   /** Double-precision floor/ceil that stay double: Spark's
@@ -1462,14 +1616,20 @@ object PromQL {
     * HALF_UP-on-magnitude; clamp bounds NaN-safe.
     */
   private[prom] def mathFnMatrix(
-      m: DataFrame, fn: String, args: Seq[Double]): DataFrame = {
-    val v = col("value")
+      m: DataFrame, fn: String, args: Seq[Double]): DataFrame =
+    m.select(regexp_replace(col("path"), "^[^?]*", "").as("path"),
+      col("t"), mathValue(fn, args, col("value")).as("value"))
+
+  /** The value transform of one math function — shared between the
+    * matrix form and scalar-typed expressions (`sin(pi() / 2)`).
+    */
+  private def mathValue(fn: String, args: Seq[Double], v: Column): Column = {
     def logBase(log: Column => Column): Column =
       when(isnan(v), v)
         .when(v > 0.0, log(v))
         .when(v === 0.0, lit(Double.NegativeInfinity))
         .otherwise(lit(Double.NaN))
-    val out = fn match {
+    fn match {
       case "abs"   => abs(v)
       case "ceil"  => ceilD(v)
       case "floor" => floorD(v)
@@ -1491,10 +1651,24 @@ object PromQL {
         when(isnan(v), v).otherwise(greatest(v, lit(args(0))))
       case "clamp_max" =>
         when(isnan(v), v).otherwise(least(v, lit(args(0))))
+      // trig: the JVM functions follow IEEE/Go (NaN outside the
+      // domain), so no extra guards needed
+      case "sin"   => sin(v)
+      case "cos"   => cos(v)
+      case "tan"   => tan(v)
+      case "asin"  => asin(v)
+      case "acos"  => acos(v)
+      case "atan"  => atan(v)
+      case "sinh"  => sinh(v)
+      case "cosh"  => cosh(v)
+      case "tanh"  => tanh(v)
+      case "asinh" => asinh(v)
+      case "acosh" => acosh(v)
+      case "atanh" => atanh(v)
+      case "deg"   => degrees(v)
+      case "rad"   => radians(v)
       case other => throw new IllegalArgumentException(s"unsupported function $other")
     }
-    m.select(regexp_replace(col("path"), "^[^?]*", "").as("path"),
-      col("t"), out.as("value"))
   }
 
   /** The name and query-string halves of a storage path. */

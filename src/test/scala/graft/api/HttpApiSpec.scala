@@ -199,6 +199,35 @@ class HttpApiSpec extends AnyFunSuite {
     assert(get("/api/v1/series?match[]=%7Bunclosed").statusCode() == 400)
   }
 
+  test("Grafana bootstrap: buildinfo and metadata are parseable success envelopes") {
+    // Grafana's Prometheus datasource probes these two before any
+    // query; both must be status=success JSON it can destructure
+    val bi = get("/api/v1/status/buildinfo")
+    assert(bi.statusCode() == 200)
+    assert(bi.headers().firstValue("Content-Type").orElse("") == "application/json")
+    val biBody = new String(bi.body())
+    // a version string Grafana's semver feature-detection can parse
+    assert(biBody.startsWith("""{"status":"success","data":{"""))
+    assert("""\"version\":\"\d+\.\d+\.\d+\"""".r.findFirstIn(biBody).isDefined, biBody)
+
+    val md = get("/api/v1/metadata")
+    assert(md.statusCode() == 200)
+    // scrape-less engine: the metadata map is empty, like the
+    // reference's embedded Prometheus web with no scrape manager data
+    assert(new String(md.body()) == """{"status":"success","data":{}}""")
+  }
+
+  test("Grafana datasource init sequence: buildinfo -> labels -> query_range") {
+    // the exact call order the datasource makes on dashboard load
+    assert(get("/api/v1/status/buildinfo").statusCode() == 200)
+    val labels = new String(get("/api/v1/labels").body())
+    assert(labels.contains("\"tag1\""), labels)
+    val enc = java.net.URLEncoder.encode("""metric1{tag1="value1"}""", "UTF-8")
+    val qr = get(s"/api/v1/query_range?query=$enc&start=${rnow - 30}&end=$rnow&step=10")
+    assert(qr.statusCode() == 200)
+    assert(new String(qr.body()).contains(""""resultType":"matrix""""))
+  }
+
   test("/api/v1/query_range: selector, avg_over_time, rate") {
     // metric1 samples: 2.0, 2.5, 2.0, 3.0 at rnow-30 … rnow step 10
     def qr(query: String, start: Long, end: Long, step: Long): String = {

@@ -617,6 +617,72 @@ class PromQLEvalSpec extends AnyFunSuite {
       Set(("", 0L, 7.0), ("", 30L, 0.0), ("", 60L, 0.0)))
   }
 
+  test("parse: scalar-only expressions, pi(), timestamp(), scalar(), trig") {
+    val sel = PromQL.Selector(Seq(("__name__", "=", "m")))
+    // scalar-only arithmetic parses (no longer rejected)
+    assert(PromQL.parse("1 + 2") ==
+      Right(PromQL.BinOp("+", PromQL.Scalar(1.0), PromQL.Scalar(2.0))))
+    assert(PromQL.parse("pi()") == Right(PromQL.Scalar(math.Pi)))
+    assert(PromQL.parse("2 * pi()") ==
+      Right(PromQL.BinOp("*", PromQL.Scalar(2.0), PromQL.Scalar(math.Pi))))
+    // scalar comparisons require bool, like Prometheus
+    assert(PromQL.parse("1 > 2").isLeft)
+    assert(PromQL.parse("1 > bool 2") ==
+      Right(PromQL.BinOp(">", PromQL.Scalar(1.0), PromQL.Scalar(2.0), boolMode = true)))
+    assert(PromQL.parse("time() > 100").isLeft)
+    // timestamp()/scalar() wrap vectors, reject scalars
+    assert(PromQL.parse("timestamp(m)") == Right(PromQL.TimestampFn(sel)))
+    assert(PromQL.parse("scalar(m)") == Right(PromQL.ScalarFn(sel)))
+    assert(PromQL.parse("timestamp(1 + 2)").isLeft)
+    assert(PromQL.parse("scalar(2)").isLeft)
+    // trig are plain math functions
+    assert(PromQL.parse("sin(m)") == Right(PromQL.MathFn("sin", Nil, sel)))
+    assert(PromQL.parse("deg(atan(m))") ==
+      Right(PromQL.MathFn("deg", Nil, PromQL.MathFn("atan", Nil, sel))))
+  }
+
+  test("eval: scalar-only grids, scalar(), timestamp(), trig values") {
+    val pts = matrix(
+      ("m?x=1", 0L, 3.0), ("m?x=1", 30L, 4.0), ("m?x=2", 30L, 6.0),
+      ("solo", 0L, 7.0), ("solo", 30L, 8.0))
+      .withColumnRenamed("t", "time")
+    val tags = graft.engine.GraphiteTables.expandTagRows(
+      pts.select(org.apache.spark.sql.functions.col("path")).distinct()
+        .withColumn("date", org.apache.spark.sql.functions.lit("1970-01-01").cast("date"))
+        .withColumn("version", org.apache.spark.sql.functions.lit(0L)))
+    def eval(q: String, lookback: Long = 10L) = rowSet(PromQL.evalMatrix(
+      pts, tags, PromQL.parse(q).toOption.get, 0L, 60L, 30L,
+      lookbackSec = lookback))
+    // scalar-only arithmetic: one label-less grid series, no scan
+    assert(eval("1 + 2") == Set(("", 0L, 3.0), ("", 30L, 3.0), ("", 60L, 3.0)))
+    assert(eval("2 * pi()").forall(_._3 == 2 * math.Pi))
+    assert(eval("time() / 30 + 1") ==
+      Set(("", 0L, 1.0), ("", 30L, 2.0), ("", 60L, 3.0)))
+    assert(eval("1 > bool 2").forall(_._3 == 0.0))
+    // scalar(solo): exactly one series → its value; NaN where stale
+    assert(eval("scalar(solo)").filterNot(r => r._3.isNaN) ==
+      Set(("", 0L, 7.0), ("", 30L, 8.0)))
+    assert(eval("scalar(solo)").count(_._3.isNaN) == 1) // slot 60 stale
+    // scalar(m): two series at slot 30 → NaN there
+    assert(eval("scalar(m)").count(_._3.isNaN) == 2) // slots 30 (2 series), 60 (0)
+    assert(eval("scalar(m)").contains(("", 0L, 3.0)))
+    // vector / scalar() joins per slot: m at 30 / solo at 30 = v/8
+    assert(eval("m / scalar(solo)") ==
+      Set(("?x=1", 0L, 3.0 / 7.0), ("?x=1", 30L, 4.0 / 8.0), ("?x=2", 30L, 6.0 / 8.0)))
+    // timestamp(sel): the raw latest-sample time, name dropped
+    assert(eval("timestamp(m)", lookback = 40L) ==
+      Set(("?x=1", 0L, 0.0), ("?x=1", 30L, 30.0), ("?x=1", 60L, 30.0),
+        ("?x=2", 30L, 30.0), ("?x=2", 60L, 30.0)))
+    // timestamp over a derived vector: stamps are the slot times
+    assert(eval("timestamp(sum(solo))", lookback = 40L) ==
+      Set(("", 0L, 0.0), ("", 30L, 30.0), ("", 60L, 60.0)))
+    // trig: sin(solo at 0) = sin(7), deg/rad round-trip
+    assert(eval("sin(solo)").exists(r =>
+      r._2 == 0L && math.abs(r._3 - math.sin(7.0)) < 1e-12))
+    assert(eval("rad(deg(solo))").exists(r =>
+      r._2 == 0L && math.abs(r._3 - 7.0) < 1e-12))
+  }
+
   test("holt_winters matches the reference recurrence; date fns are UTC math") {
     val pts = matrix(
       ("m", 0L, 5.0), ("m", 10L, 3.0), ("m", 20L, 8.0),
