@@ -46,7 +46,57 @@ object HttpApi {
       findCache: Option[FindCache.Config] = None,
       taggedAutocompleteDays: Int = 0,
       httpWorkers: Int = 8,
-      limits: Limits = Limits())
+      limits: Limits = Limits(),
+      tls: Option[Tls] = None)
+
+  /** TLS listener config — the JVM-keystore equivalent of the
+    * reference's `[clickhouse.tls]` cert block (`tests/tls/
+    * graphite-clickhouse.conf.tpl`): a PKCS12/JKS keystore holding the
+    * server key + certificate.
+    */
+  final case class Tls(
+      keystorePath: String,
+      password: String,
+      storeType: String = "PKCS12")
+
+  private def loadKeystore(t: Tls): java.security.KeyStore = {
+    val ks = java.security.KeyStore.getInstance(t.storeType)
+    val in = new java.io.FileInputStream(t.keystorePath)
+    try ks.load(in, t.password.toCharArray) finally in.close()
+    ks
+  }
+
+  /** Server-side SSLContext from the keystore's private key. */
+  def serverSslContext(t: Tls): javax.net.ssl.SSLContext = {
+    val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+      javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(loadKeystore(t), t.password.toCharArray)
+    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    ctx.init(kmf.getKeyManagers, null, null)
+    ctx
+  }
+
+  /** Client-side SSLContext trusting the certificates in the same
+    * keystore (the self-signed e2e setup: the server cert IS the CA,
+    * like the reference's `ca.crt`).
+    */
+  def clientSslContext(t: Tls): javax.net.ssl.SSLContext = {
+    val ks = loadKeystore(t)
+    val trust = java.security.KeyStore.getInstance("PKCS12")
+    trust.load(null, null)
+    val aliases = ks.aliases()
+    while (aliases.hasMoreElements) {
+      val a = aliases.nextElement()
+      val cert = ks.getCertificate(a)
+      if (cert != null) trust.setCertificateEntry(s"ca-$a", cert)
+    }
+    val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+      javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+    tmf.init(trust)
+    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    ctx.init(null, tmf.getTrustManagers, null)
+    ctx
+  }
 
   /** Admission limiters per route family plus per-user overrides —
     * the reference's `config.go:749-768` limiter set. Note the
@@ -168,13 +218,26 @@ final class HttpApi(
   import HttpApi._
 
   private val cache = new FindCache.TtlCache[Any]()
-  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  private val server: HttpServer = cfg.tls match {
+    case Some(t) =>
+      // HTTPS listener on the same JDK server — the keystore is the
+      // JVM analogue of the reference's [clickhouse.tls] cert block
+      val s = com.sun.net.httpserver.HttpsServer.create(
+        new InetSocketAddress("127.0.0.1", port), 0)
+      s.setHttpsConfigurator(
+        new com.sun.net.httpserver.HttpsConfigurator(HttpApi.serverSslContext(t)))
+      s
+    case None => HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  }
 
   private def points: DataFrame = spark.read.parquet(s"$tablesDir/points")
   private def index: DataFrame = spark.read.parquet(s"$tablesDir/index")
   private def tagsTable: DataFrame = spark.read.parquet(s"$tablesDir/tags")
 
-  def address: String = s"http://127.0.0.1:${server.getAddress.getPort}"
+  def address: String = {
+    val scheme = if (cfg.tls.isDefined) "https" else "http"
+    s"$scheme://127.0.0.1:${server.getAddress.getPort}"
+  }
 
   def start(): this.type = {
     server.createContext("/", handle _)

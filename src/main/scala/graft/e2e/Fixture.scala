@@ -101,7 +101,10 @@ object Fixture {
       findAdaptive: Int = 0,
       tagsMaxQueries: Int = 0,
       tagsConcurrent: Int = 0,
-      tagsAdaptive: Int = 0) {
+      tagsAdaptive: Int = 0,
+      // the template declares a [clickhouse.tls] cert block — the
+      // scenario expects its server driven over TLS
+      tls: Boolean = false) {
 
     /** The find/tags limiters (`config.go:749-757`, with the
       * concurrent-above-max normalization of `config.go:739-745`) and
@@ -264,7 +267,10 @@ object Fixture {
       }
       else if (section == "clickhouse" && line.startsWith("query-params") && line.endsWith("["))
         inQueryParams = true
-      else if (line.startsWith("[")) section = line.stripPrefix("[").takeWhile(_ != ']')
+      else if (line.startsWith("[")) {
+        section = line.stripPrefix("[").takeWhile(_ != ']')
+        if (section == "clickhouse.tls") c = c.copy(tls = true)
+      }
       else line.split("=", 2) match {
         case Array(k0, v0) =>
           val k = k0.trim

@@ -216,9 +216,11 @@ object PromQL {
     * `bucketQuantile` (`promql/quantile.go`) including its edge cases
     * (±Inf for φ outside [0,1], NaN without a +Inf bucket or with < 2
     * buckets, highest finite bound when the rank lands in +Inf, lower
-    * bound clamp for a first bucket with `le ≤ 0`). Divergence: no
-    * monotonicity repair pass — bucket counts that genuinely decrease
-    * (float jitter after `rate`) are used as-is.
+    * bound clamp for a first bucket with `le ≤ 0`), and its
+    * monotonicity repair: each cumulative count is clamped to the
+    * running max before interpolation, so float jitter after `rate`
+    * (a bucket dipping below its predecessor) cannot produce an
+    * out-of-range quantile.
     */
   final case class HistQuantile(phi: Double, inner: Expr) extends Expr {
     def matchers: Seq[(String, String, String)] = inner.matchers
@@ -1755,7 +1757,10 @@ object PromQL {
     * the +Inf bucket resolves to the highest finite bound; a first
     * bucket with `le ≤ 0` resolves to its own bound; series lacking a
     * +Inf bucket, or with < 2 buckets, yield NaN; φ outside [0,1]
-    * yields ±Inf. (No monotonicity repair — see [[HistQuantile]].)
+    * yields ±Inf. Before interpolation, upstream's monotonicity
+    * repair runs in-row: each cumulative count is clamped to the
+    * running max (`ensureMonotonic`), so post-`rate` float jitter
+    * cannot push the rank search out of order.
     */
   def histogramQuantileMatrix(base: DataFrame, phi: Double): DataFrame = {
     val leStr = regexp_extract(col("path"), "[?&]le=([^&]*)", 1)
@@ -1775,6 +1780,15 @@ object PromQL {
       .groupBy(gpath.as("path"), col("t"))
       .agg(array_sort(
         collect_list(struct(leVal.as("le"), col("value").as("cnt")))).as("b"))
+      // monotonicity repair: cumulative count i becomes the max over
+      // counts 0..i. Bucket lists are scrape-config-sized (tens), so
+      // the quadratic in-row scan is cheap; `b` is an attribute
+      // reference, not a recomputed subtree, so the lambda stays
+      // eval-once per element
+      .withColumn("b", transform(b, (x, i) =>
+        struct(x("le").as("le"),
+          array_max(transform(slice(b, lit(1), i + lit(1)), y => y("cnt")))
+            .as("cnt"))))
       .withColumn("n", size(b))
       .withColumn("obs", element_at(b, -1)("cnt"))
       .withColumn("rank", lit(phi) * col("obs"))

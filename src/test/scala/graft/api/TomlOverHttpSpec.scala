@@ -28,9 +28,30 @@ class TomlOverHttpSpec extends AnyFunSuite {
 
   private val scenarios = Seq(
     "one_table", "wildcard_min_distance", "tags_min_in_query", "consolidateBy",
-    "find_cache")
+    "find_cache",
+    // the reference's TLS scenario: same checks, the transport is
+    // HTTPS (JVM keystore standing in for the cert-file config block)
+    "tls")
 
-  private val client = HttpClient.newHttpClient()
+  private val plainClient = HttpClient.newHttpClient()
+  @volatile private var client: HttpClient = plainClient
+
+  /** A throwaway self-signed PKCS12 keystore, generated once with the
+    * JDK's keytool — the e2e stand-in for the reference's checked-in
+    * `tests/tls/ca.crt` + `client.key` pair.
+    */
+  private lazy val tlsKeystore: String = {
+    val dir = Files.createTempDirectory("graft-tls")
+    val ks = dir.resolve("server.p12").toString
+    val keytool = Paths.get(System.getProperty("java.home"), "bin", "keytool").toString
+    val cmd = Seq(keytool, "-genkeypair", "-alias", "graft", "-keyalg", "RSA",
+      "-keysize", "2048", "-validity", "2", "-dname", "CN=127.0.0.1",
+      "-ext", "SAN=IP:127.0.0.1",
+      "-keystore", ks, "-storetype", "PKCS12", "-storepass", "graftpass")
+    val rc = new ProcessBuilder(cmd: _*).inheritIO().start().waitFor()
+    assert(rc == 0, s"keytool failed with exit $rc")
+    ks
+  }
 
   private def get(api: HttpApi, path: String): HttpResponse[Array[Byte]] =
     client.send(
@@ -51,7 +72,10 @@ class TomlOverHttpSpec extends AnyFunSuite {
       val scenario = Fixture.load(path)
       lazy val run = new FixtureRunner.ScenarioRun(spark, scenario, now)
       for (conf <- scenario.configs) {
-        test(s"$dir [${conf.label}] over HTTP") {
+        val transport = if (conf.tls) "HTTPS" else "HTTP"
+        test(s"$dir [${conf.label}] over $transport") {
+          val tls =
+            if (conf.tls) Some(HttpApi.Tls(tlsKeystore, "graftpass")) else None
           val api = new HttpApi(
             spark, run.tablesDir,
             HttpApi.Config(
@@ -67,10 +91,18 @@ class TomlOverHttpSpec extends AnyFunSuite {
                   shortTimeoutSec = conf.findCacheShortTimeout,
                   shortDurationSec = conf.findCacheShortDuration,
                   findTimeoutSec = conf.findCacheFindTimeout))
-                else None),
+                else None,
+              tls = tls),
             clock = () => now).start()
+          client = tls match {
+            case Some(t) =>
+              assert(api.address.startsWith("https://"), api.address)
+              HttpClient.newBuilder()
+                .sslContext(HttpApi.clientSslContext(t)).build()
+            case None => plainClient
+          }
           try runScenario(api, scenario, conf)
-          finally api.stop()
+          finally { api.stop(); client = plainClient }
         }
       }
     }

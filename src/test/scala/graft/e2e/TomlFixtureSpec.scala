@@ -14,9 +14,10 @@ import graft.SparkTestBase
   * the engine-agnostic behavioral spec SURVEY §5 names primary
   * (`cmd/e2e-test/e2etesting.go` is the reference runner).
   *
-  * Excluded dirs: `tls` (TLS wiring is JVM keystore config, not
-  * engine behavior) and `clickhouse` (storage bootstrap, not a
-  * scenario). The `limiter{a,max,w,wn}` dirs replay with their
+  * Excluded dirs: `clickhouse` only (storage bootstrap, not a
+  * scenario). The `tls` dir replays here engine-wise and over an
+  * HTTPS socket in `TomlOverHttpSpec` (JVM keystore standing in for
+  * the reference's cert files). The `limiter{a,max,w,wn}` dirs replay with their
   * admission limiters built and engaged per check
   * ([[FixtureRunner.Limiters]]); saturation refusals themselves are
   * covered deterministically by `LimiterSpec`.
@@ -52,6 +53,10 @@ class TomlFixtureSpec extends AnyFunSuite {
     "limitermax",
     "limiterw",
     "limiterwn",
+    // the TLS scenario's checks are the one_table family plus the
+    // midnight/day-end date-boundary cases; the HTTPS transport leg
+    // runs in TomlOverHttpSpec
+    "tls",
     // last: its 1 s index/data timeouts assume a warm session (the
     // reference harness likewise runs it against a long-lived server)
     "error_handling")

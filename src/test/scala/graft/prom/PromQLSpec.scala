@@ -792,4 +792,28 @@ class PromQLEvalSpec extends AnyFunSuite {
     // → interpolate from 0: 0 + 0.1*(2-0)/(4-0) = 0.05
     assert(out2.exists(r => r._1 == "?job=b" && math.abs(r._3 - 0.05) < 1e-12))
   }
+
+  test("histogram_quantile repairs non-monotonic cumulative buckets like upstream") {
+    // post-rate float jitter: the 0.5 bucket dips below its
+    // predecessor; ensureMonotonic clamps counts to the running max
+    // → (2.2, 2.2, 4, 4)
+    val jitter = matrix(
+      ("h?job=a&le=0.1", 0L, 2.2),
+      ("h?job=a&le=0.5", 0L, 1.9),
+      ("h?job=a&le=1", 0L, 4.0),
+      ("h?job=a&le=+Inf", 0L, 4.0))
+    // rank = 0.5·4 = 2 lands in the FIRST bucket after repair →
+    // interpolate from 0: 0.1·2/2.2 — upstream bucketQuantile's output
+    // on the same vector. Without the repair the rank search would
+    // land in the dipped bucket and extrapolate 0.3667 instead.
+    val out = rowSet(PromQL.histogramQuantileMatrix(jitter, 0.5))
+    assert(out.map(_._1) == Set("?job=a"))
+    assert(math.abs(out.head._3 - 0.1 * 2.0 / 2.2) < 1e-12, out.toString)
+    // a rank past the dip interpolates on repaired counts too:
+    // φ=0.9 → rank 3.6 → bucket (0.5, 1]
+    val out9 = rowSet(PromQL.histogramQuantileMatrix(jitter, 0.9))
+    assert(math.abs(
+      out9.head._3 - (0.5 + 0.5 * (0.9 * 4.0 - 2.2) / (4.0 - 2.2))) < 1e-12,
+      out9.toString)
+  }
 }
