@@ -1,0 +1,96 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Hot-key stress for the dedup operators — the generated fixtures
+  * concentrate exactly the skew that kills naive plans at corpus
+  * scale (a boilerplate shingle shared by 30% of documents; an LSH
+  * band bucket holding 50% of all signatures), then pin BOTH the
+  * result and the plan shape. The plan assertions are the 100 TB
+  * design claims as regressing tests: shingle frequency must come
+  * from hash aggregates (map-side partials + AQE-splittable
+  * join-back), never a `Window.partitionBy(h)` that serializes the
+  * hot key into one task; pair generation must stay bucket-keyed
+  * (equi-join on the band), never a cartesian.
+  */
+class SkewSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  test("duplicateSpans under a 30%-hot shingle: hash-agg plan, correct counts") {
+    import spark.implicits._
+    val n = 5000
+    val hot = 1500 // 30% of docs share one boilerplate 5-shingle
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      when(col("id") < hot,
+        concat(lit("alpha bravo charlie delta echo "),
+          concat(lit("u"), col("id")), lit(" "),
+          concat(lit("v"), col("id"))))
+        .otherwise(
+          // 6 unique words → 2 unique shingles per doc, nothing shared
+          concat_ws(" ", Seq("a", "b", "c", "d", "e", "f").map(p =>
+            concat(lit(p), col("id"))): _*))
+        .as("text"))
+
+    val out = Dedup.duplicateSpans(docs, col("text"), col("doc_id"))
+
+    // plan shape: no window over the content-hash key, hash aggregates
+    // only (partial aggregation collapses the hot key map-side)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "Window over content-hash key under skew")
+    assert(plan.contains("HashAggregate"), "expected hash aggregates")
+
+    val t0 = System.nanoTime()
+    val rows = out.collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    // generous wall bound: the point is that the hot key must not
+    // serialize the stage (the pre-fix window shape degrades linearly
+    // in hot-key occurrences on ONE task)
+    assert(secs < 120.0, f"duplicateSpans took $secs%.1f s under skew")
+
+    val byId = rows.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byId.size == n)
+    // hot docs: 7 words → 3 shingles, exactly one (the boilerplate
+    // prefix) duplicated elsewhere
+    assert((0L until hot.toLong).forall(i => byId(i) == ((3L, 1L))),
+      s"hot docs miscounted: ${byId(0L)}")
+    // cold docs: 2 unique shingles, zero duplicated
+    assert((hot.toLong until n.toLong).forall(i => byId(i) == ((2L, 0L))),
+      s"cold docs miscounted: ${byId(hot.toLong)}")
+  }
+
+  test("minhash near-dups under a 50%-hot band bucket: bucket-keyed plan, full clique") {
+    import spark.implicits._
+    val n = 1200
+    val dup = 600 // half the corpus shares one signature → one hot bucket
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      when(col("id") < dup,
+        lit("the same boilerplate text repeated across many documents verbatim"))
+        .otherwise(concat_ws(" ", Seq("p", "q", "r", "s", "t").map(p =>
+          concat(lit(p), col("id"))): _*))
+        .as("text"))
+
+    val pairs = Dedup.minhashNearDups(
+      docs, col("text"), col("doc_id"), shingleWidth = 3, bands = 4, rows = 2,
+      threshold = 0.6)
+
+    // plan shape: candidate generation is an equi-join on the band key
+    // — a skewed bucket is an AQE skew-join problem, never a cartesian
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "cartesian under banded skew")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "nested loop under banded skew")
+
+    val t0 = System.nanoTime()
+    val got = pairs.collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 180.0, f"minhashNearDups took $secs%.1f s under skew")
+
+    // identical docs form the complete clique at jaccard 1.0; the
+    // unique half contributes nothing
+    assert(got.length == dup * (dup - 1) / 2, s"got ${got.length} pairs")
+    assert(got.forall(_.getDouble(2) == 1.0))
+    assert(got.forall(r => r.getLong(0) < dup && r.getLong(1) < dup))
+  }
+}
