@@ -1213,6 +1213,39 @@ object SparkEntry {
         start = WFrom, end = WFrom + 30L * 86400L, step0 = 21600L,
         lookbackSec = 86400L)),
 
+    // absent_over_time: 1 where the range window holds no sample —
+    // present_over_time's one-pass aggregate anti-joined to the grid.
+    "p_query_absent_ot" -> ((s, dir) =>
+      graft.prom.PromQL.evalMatrix(
+        GraphiteTables.pointsTagged(s, dir),
+        GraphiteTables.tags(s, dir),
+        graft.prom.PromQL.parse("""absent_over_time(events{type="nosuch"}[1d])""")
+          .fold(e => throw new IllegalArgumentException(e), identity),
+        start = WFrom, end = WFrom + 30L * 86400L, step0 = 21600L,
+        lookbackSec = 86400L)),
+
+    // mad_over_time: two in-row interpolated medians per window.
+    "p_query_mad" -> ((s, dir) =>
+      graft.prom.PromQL.evalMatrix(
+        GraphiteTables.pointsTagged(s, dir),
+        GraphiteTables.tags(s, dir),
+        graft.prom.PromQL.parse("mad_over_time(events[1d])")
+          .fold(e => throw new IllegalArgumentException(e), identity),
+        start = WFrom, end = WFrom + 30L * 86400L, step0 = 21600L,
+        lookbackSec = 86400L)
+        .withColumn("value", round(col("value"), 6))),
+
+    // atan2 as an infix vector-scalar operator (multiplicative tier).
+    "p_query_atan2" -> ((s, dir) =>
+      graft.prom.PromQL.evalMatrix(
+        GraphiteTables.pointsTagged(s, dir),
+        GraphiteTables.tags(s, dir),
+        graft.prom.PromQL.parse("""events{type="click"} atan2 100""")
+          .fold(e => throw new IllegalArgumentException(e), identity),
+        start = WFrom, end = WFrom + 30L * 86400L, step0 = 21600L,
+        lookbackSec = 86400L)
+        .withColumn("value", round(col("value"), 4))),
+
     // timestamp(): the latest raw sample's OWN time per series — the
     // same one-pass slot aggregate as a selector, max(time) instead of
     // max_by(value, time).
@@ -2544,6 +2577,43 @@ object SparkEntry {
            |         row_number() OVER (PARTITION BY t ORDER BY path ASC) AS rk
            |  FROM inst) r
            |WHERE rk <= 3""".stripMargin),
+
+      "p_query_absent_ot" ->
+        (s"""SELECT '?type=nosuch' AS path, $WFrom + 21600*n AS t,
+           |       1.0::double AS value
+           |FROM generate_series(0, 120) g(n)""".stripMargin),
+
+      "p_query_mad" ->
+        (s"""WITH dedup AS (
+           |  SELECT event_type, user_id,
+           |         epoch_us(ts)//1000000 AS time,
+           |         arg_max(value, event_id) AS value
+           |  FROM events
+           |  GROUP BY 1, 2, 3),
+           |grid AS (SELECT $WFrom + 21600*n AS t FROM generate_series(0, 120) g(n)),
+           |win AS (
+           |  SELECT d.event_type, d.user_id, g.t, d.value FROM dedup d
+           |  JOIN grid g ON d.time <= g.t AND d.time > g.t - 86400)
+           |SELECT 'events?type=' || event_type || '&user=' || user_id AS path, t,
+           |       round(mad(value), 6) + 0 AS value
+           |FROM win GROUP BY 1, 2""".stripMargin),
+
+      "p_query_atan2" ->
+        (s"""WITH dedup AS (
+           |  SELECT user_id,
+           |         epoch_us(ts)//1000000 AS time,
+           |         arg_max(value, event_id) AS value
+           |  FROM events WHERE event_type = 'click'
+           |  GROUP BY 1, 2),
+           |grid AS (SELECT $WFrom + 21600*n AS t FROM generate_series(0, 120) g(n)),
+           |win AS (
+           |  SELECT d.user_id, g.t, d.value, d.time FROM dedup d
+           |  JOIN grid g ON d.time <= g.t AND d.time > g.t - 86400),
+           |inst AS (SELECT user_id, t, arg_max(value, time) AS value
+           |  FROM win GROUP BY 1, 2)
+           |SELECT '?type=click&user=' || user_id AS path, t,
+           |       round(atan2(value, 100), 4) + 0 AS value
+           |FROM inst""".stripMargin),
 
       "p_query_timestamp" ->
         (s"""WITH dedup AS (

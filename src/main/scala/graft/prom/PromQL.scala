@@ -18,7 +18,8 @@ import org.apache.spark.sql.functions._
   * operators: arithmetic (`+ - * / % ^`), comparisons (filter mode,
   * or 0/1 with `bool`), and the set operators `and`/`or`/`unless` —
   * all with `on(…)`/`ignoring(…)` match keys and
-  * `group_left(…)`/`group_right(…)` many-to-one matching. The
+  * `group_left(…)`/`group_right(…)` many-to-one matching; `atan2`
+  * rides the multiplicative tier like upstream. The
   * reference serves full PromQL by importing the stock upstream
   * engine (`prometheus/run.go:28-83`); this evaluator covers the
   * subset natively — and distributed — instead, on the same
@@ -347,7 +348,8 @@ object PromQL {
     "rate", "increase", "delta", "idelta", "irate", "resets", "changes",
     "deriv", "avg_over_time", "sum_over_time", "min_over_time",
     "max_over_time", "count_over_time", "last_over_time",
-    "stddev_over_time", "stdvar_over_time", "present_over_time")
+    "stddev_over_time", "stdvar_over_time", "present_over_time",
+    "absent_over_time", "mad_over_time")
 
   val aggOps: Set[String] = Set(
     "sum", "avg", "min", "max", "count", "stddev", "stdvar", "group")
@@ -914,7 +916,7 @@ object PromQL {
       .orElse(lastSpaced(Seq("and", "unless")))
       .orElse(lastSpaced(Seq("==", "!=", ">=", "<=", ">", "<")))
       .orElse(lastSpaced(Seq("+", "-")))
-      .orElse(lastSpaced(Seq("*", "/", "%")))
+      .orElse(lastSpaced(Seq("*", "/", "%", "atan2")))
       .orElse(firstSpaced(Seq("^")))
       .map { case (at, op) =>
         (op, q.substring(0, at).trim, q.substring(at + op.length).trim)
@@ -971,20 +973,23 @@ object PromQL {
         return mathFnMatrix(
           evalMatrix(points, tags, inner, start, end, step0, lookbackSec), fn, args)
       case Absent(inner) =>
-        val base = evalMatrix(points, tags, inner, start, end, step0, lookbackSec)
-        val step = math.max(1L, step0)
-        val lastSlot = (end - start) / step
-        // result labels: the inner selector's equality matchers sans
-        // __name__ (Prometheus absent()), sorted into path form
-        val labels = (inner match {
-          case s: Selector => s.matchers
-          case _ => Seq.empty
-        }).collect { case (k, "=", v) if k != "__name__" => s"$k=$v" }.sorted
-        val path = if (labels.isEmpty) "" else labels.mkString("?", "&", "")
-        val grid = points.sparkSession.range(0, lastSlot + 1)
-          .select((lit(start) + col("id") * lit(step)).as("t"))
-        return grid.join(base.select("t").distinct(), Seq("t"), "left_anti")
-          .select(lit(path).as("path"), col("t"), lit(1.0).as("value"))
+        return absentGrid(points,
+          evalMatrix(points, tags, inner, start, end, step0, lookbackSec),
+          inner, start, end, step0)
+      case RangeFn("absent_over_time", sel, rangeSec, _, _) =>
+        // 1 where the RANGE window holds no sample: the presence
+        // matrix is the cheap one-pass present_over_time aggregate,
+        // absence is the grid anti-join against its slots
+        return absentGrid(points,
+          evalMatrix(points, tags, RangeFn("present_over_time", sel, rangeSec),
+            start, end, step0, lookbackSec),
+          sel, start, end, step0)
+      case SubQuery("absent_over_time", inner, rangeSec, stepSec, _, _) =>
+        return absentGrid(points,
+          evalMatrix(points, tags,
+            SubQuery("present_over_time", inner, rangeSec, stepSec, None, None),
+            start, end, step0, lookbackSec),
+          inner, start, end, step0)
       case LabelReplace(dst, rep, src, regex, inner) =>
         return labelReplaceMatrix(
           evalMatrix(points, tags, inner, start, end, step0, lookbackSec),
@@ -1191,6 +1196,18 @@ object PromQL {
           // lists are window-bounded, the sort stays in the aggregate
           case "quantile_over_time" =>
             g.agg(percentile(col("value"), lit(argOpt.get)).as("value"))
+          case "mad_over_time" =>
+            // median absolute deviation (Prometheus's experimental fn):
+            // two in-row φ=0.5 interpolated quantiles over the
+            // window-bounded value list — `vs` and `med` are attribute
+            // references inside the lambdas, so each evaluates once
+            def arrMedian(a: Column): Column =
+              (element_at(a, ((size(a) - 1) / lit(2)).cast("int") + 1) +
+                element_at(a, (size(a) / lit(2)).cast("int") + 1)) / lit(2.0)
+            g.agg(array_sort(collect_list(col("value"))).as("vs"))
+              .withColumn("med", arrMedian(col("vs")))
+              .withColumn("value",
+                arrMedian(array_sort(transform(col("vs"), v => abs(v - col("med"))))))
           case "delta" =>
             // classic last-minus-first gauge delta (same declared
             // divergence as rate: no boundary extrapolation)
@@ -1366,6 +1383,8 @@ object PromQL {
       // Go math.Mod: sign follows the dividend; x % 0 is NaN
       when(rv =!= 0.0, lv % rv).otherwise(lit(Double.NaN))
     case "^" => pow(lv, rv)
+    // infix trig operator, multiplicative precedence like Prometheus
+    case "atan2" => atan2(lv, rv)
     case other => throw new IllegalArgumentException(s"unsupported operator $other")
   }
 
@@ -1521,6 +1540,24 @@ object PromQL {
     val step = math.max(1L, step0)
     points.sparkSession.range(0, (end - start) / step + 1)
       .select((lit(start) + col("id") * lit(step)).as("t"))
+  }
+
+  /** The `absent()` / `absent_over_time()` assembly: 1 at every grid
+    * slot where `base` has no row; result labels from the inner
+    * selector's equality matchers sans `__name__` (Prometheus's
+    * absent-label rule), sorted into path form.
+    */
+  private def absentGrid(
+      points: DataFrame, base: DataFrame, inner: Expr,
+      start: Long, end: Long, step0: Long): DataFrame = {
+    val labels = (inner match {
+      case s: Selector => s.matchers
+      case _ => Seq.empty
+    }).collect { case (k, "=", v) if k != "__name__" => s"$k=$v" }.sorted
+    val path = if (labels.isEmpty) "" else labels.mkString("?", "&", "")
+    gridT(points, start, end, step0)
+      .join(base.select("t").distinct(), Seq("t"), "left_anti")
+      .select(lit(path).as("path"), col("t"), lit(1.0).as("value"))
   }
 
   /** A scalar-typed expression as a Column over `t` — defined when no

@@ -683,6 +683,48 @@ class PromQLEvalSpec extends AnyFunSuite {
       r._2 == 0L && math.abs(r._3 - 7.0) < 1e-12))
   }
 
+  test("parse+eval: absent_over_time, mad_over_time, atan2") {
+    val sel = PromQL.Selector(Seq(("__name__", "=", "m")))
+    val seln = PromQL.Selector(Seq(("__name__", "=", "n")))
+    assert(PromQL.parse("absent_over_time(m[5m])") ==
+      Right(PromQL.RangeFn("absent_over_time", sel, 300L)))
+    assert(PromQL.parse("mad_over_time(m[5m])") ==
+      Right(PromQL.RangeFn("mad_over_time", sel, 300L)))
+    // atan2 binds at the multiplicative tier: a + b atan2 c splits at +
+    assert(PromQL.parse("m atan2 n") ==
+      Right(PromQL.BinOp("atan2", sel, seln)))
+    assert(PromQL.parse("m + n atan2 n") ==
+      Right(PromQL.BinOp("+", sel, PromQL.BinOp("atan2", seln, seln))))
+
+    val pts = matrix(
+      ("m?job=a", 0L, 1.0), ("m?job=a", 10L, 5.0), ("m?job=a", 20L, 2.0),
+      ("m?job=a", 30L, 9.0))
+      .withColumnRenamed("t", "time")
+    val tags = graft.engine.GraphiteTables.expandTagRows(
+      pts.select(org.apache.spark.sql.functions.col("path")).distinct()
+        .withColumn("date", org.apache.spark.sql.functions.lit("1970-01-01").cast("date"))
+        .withColumn("version", org.apache.spark.sql.functions.lit(0L)))
+    def eval(q: String, start: Long = 0L, end: Long = 60L, step: Long = 30L) =
+      rowSet(PromQL.evalMatrix(pts, tags, PromQL.parse(q).toOption.get,
+        start, end, step, lookbackSec = 10L))
+    // absent_over_time: window (t-20, t] at t=60 holds nothing; the
+    // labels come from the eq matchers
+    assert(eval("""absent_over_time(m{job="a"}[20s])""") ==
+      Set(("?job=a", 60L, 1.0)))
+    // a matching window is absent-free
+    assert(eval("""absent_over_time(m{job="a"}[40s])""").isEmpty)
+    // mad_over_time over (1,5,2,9) at t=30: median 3.5 → deviations
+    // (2.5, 1.5, 1.5, 5.5) → median 2.0
+    assert(eval("mad_over_time(m[40s])", start = 30L, end = 30L, step = 1L) ==
+      Set(("m?job=a", 30L, 2.0)))
+    // odd window (1,5,2) at t=20: median 2 → |dev| (1,3,0) → 1
+    assert(eval("mad_over_time(m[30s])", start = 20L, end = 20L, step = 1L) ==
+      Set(("m?job=a", 20L, 1.0)))
+    // atan2 vector-scalar: name dropped, atan2(9, 1) at t=30
+    assert(eval("m atan2 1", start = 30L, end = 30L, step = 1L) ==
+      Set(("?job=a", 30L, math.atan2(9.0, 1.0))))
+  }
+
   test("holt_winters matches the reference recurrence; date fns are UTC math") {
     val pts = matrix(
       ("m", 0L, 5.0), ("m", 10L, 3.0), ("m", 20L, 8.0),
