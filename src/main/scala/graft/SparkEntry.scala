@@ -602,6 +602,17 @@ object SparkEntry {
           TextStats.tokensWhitespace(col("text")).cast("long").as("n_ws_tokens"),
           TextStats.tokensBpeish(col("text")).cast("long").as("n_bpe_tokens"))),
 
+    // Data-mixture planning table: per-source docs/tokens/share and
+    // the temperature-weighted target share — one corpus pass into a
+    // per-source hash aggregate; the total/normalize windows run on
+    // the source-cardinality-sized result.
+    "d_mixture" -> ((s, dir) =>
+      Sampling.mixtureReport(
+        s.read.parquet(s"$dir/documents.parquet"),
+        key = col("source"),
+        tokens = TextStats.tokensWhitespace(col("text")),
+        tau = 0.7)),
+
     // Benchmark decontamination: docs sharing >= 2 distinct 5-word
     // shingles with the (broadcast-sized) eval subset. One corpus
     // shingle pass + broadcast join + partial-agg count — no pairwise
@@ -1741,6 +1752,21 @@ object SparkEntry {
         ("""SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
           | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
           |FROM documents""".stripMargin),
+
+      "d_mixture" ->
+        ("""WITH per AS (
+          |  SELECT source, count(*) AS n_docs,
+          |         sum(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)) AS n_tokens
+          |  FROM documents GROUP BY 1),
+          |fr AS (
+          |  SELECT source, n_docs, n_tokens,
+          |         n_tokens::double / (sum(n_tokens) OVER ())::double AS tf
+          |  FROM per),
+          |pw AS (SELECT *, pow(tf, 0.7::double) AS p FROM fr)
+          |SELECT source, n_docs, n_tokens,
+          |       round(tf, 6) + 0 AS token_frac,
+          |       round(p / sum(p) OVER (), 6) + 0 AS weight
+          |FROM pw""".stripMargin),
 
       "d_decontaminate" ->
         (s"""WITH ev AS (SELECT DISTINCT unnest(${shinglesSql(5)}) AS sh FROM documents WHERE doc_id % 97 = 0),

@@ -343,7 +343,13 @@ object Dedup {
       textCol: Column,
       idCol: Column = col("doc_id"),
       w: Int = 5): DataFrame = {
+    // the explicit not-null (a no-op for the result: a null id never
+    // matches the left join below) keeps BOTH consumers' scans
+    // byte-identical — the outer join would otherwise push
+    // IsNotNull(doc_id) into only one branch and break the exchange
+    // reuse that makes the explode run once
     val exploded = docs
+      .where(idCol.isNotNull)
       .select(idCol.as("doc_id"), explode(shingles(textCol, w)).as("s"))
       .select(col("doc_id"), shingleHash(col("s")).as("h"))
     val perDocKey = exploded.groupBy("doc_id", "h")

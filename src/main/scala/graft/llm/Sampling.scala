@@ -60,6 +60,37 @@ object Sampling {
     df.where(hash01(col(idCol)) < rate)
   }
 
+  /** Per-source data-mixture report — the token-budget planning table
+    * a training run starts from: docs and tokens per source, each
+    * source's token share of the corpus, and its temperature-weighted
+    * target share (share ∝ p^tau, normalized; tau < 1 upsamples tail
+    * sources like the mT5/XLM-R mixing rule).
+    *
+    * Scale shape: ONE corpus pass — the token count folds into a
+    * per-source hash aggregate (map-side partials), and every
+    * derived column lives on the source-cardinality-sized result
+    * (small by definition), where the unpartitioned total windows are
+    * k-row driver-scale work, not corpus work.
+    */
+  def mixtureReport(
+      df: DataFrame,
+      key: Column,
+      tokens: Column,
+      tau: Double = 1.0): DataFrame = {
+    require(tau > 0.0, "tau > 0 required")
+    val all = Window.partitionBy()
+    df.groupBy(key.as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokens.cast("long")).as("n_tokens"))
+      .withColumn("token_frac",
+        col("n_tokens").cast("double") / sum("n_tokens").over(all).cast("double"))
+      .withColumn("pw", pow(col("token_frac"), tau))
+      .withColumn("weight", col("pw") / sum("pw").over(all))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("token_frac"), 6).as("token_frac"),
+        round(col("weight"), 6).as("weight"))
+  }
+
   /** Temperature-based source mixing — the multilingual/multi-source
     * rebalancing rule of the mT5/XLM-R pipelines: key `k` with corpus
     * share p_k is sampled ∝ p_k^tau (tau < 1 upsamples tail sources,

@@ -35,6 +35,27 @@ class SamplingSpec extends AnyFunSuite {
     assert(math.abs(corr - 0.25) < 0.06, s"joint <0.5 rate $corr")
   }
 
+  test("mixtureReport: shares sum to 1; tau=1 is the natural mix; tau<1 lifts the tail") {
+    import spark.implicits._
+    val d = Seq.tabulate(300)(i =>
+      (i.toLong, "a b c d", if (i < 240) "big" else "small"))
+      .toDF("doc_id", "text", "source")
+    val nat = Sampling.mixtureReport(d, col("source"),
+      TextStats.tokensWhitespace(col("text")), tau = 1.0)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    // equal-length docs: token share = doc share; tau=1 keeps it
+    assert(nat("big") == ((240L, 960L, 0.8, 0.8)))
+    assert(nat("small") == ((60L, 240L, 0.2, 0.2)))
+    // tau<1 compresses the ratio toward uniform: the tail's weight
+    // rises above its natural share, the head's falls; still sums to 1
+    val temp = Sampling.mixtureReport(d, col("source"),
+      TextStats.tokensWhitespace(col("text")), tau = 0.5)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(temp("small") > 0.2 && temp("big") < 0.8)
+    assert(math.abs(temp.values.sum - 1.0) < 1e-5)
+  }
+
   test("split labels by the cumulative fraction ladder, realized near quota") {
     val out = Sampling.split(docs, Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
     val counts = out.groupBy("split").count().collect()
