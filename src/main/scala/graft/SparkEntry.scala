@@ -1224,6 +1224,17 @@ object SparkEntry {
         start = WFrom, end = WFrom + 30L * 86400L, step0 = 21600L,
         lookbackSec = 86400L)),
 
+    // grouped ranking: the per-group-best idiom (`topk by (type)`) —
+    // one window rank per (group, slot), full label sets kept.
+    "p_query_topk_by" -> ((s, dir) =>
+      graft.prom.PromQL.evalMatrix(
+        GraphiteTables.pointsTagged(s, dir),
+        GraphiteTables.tags(s, dir),
+        graft.prom.PromQL.parse("topk by (type) (1, events)")
+          .fold(e => throw new IllegalArgumentException(e), identity),
+        start = WFrom, end = WFrom + 30L * 86400L, step0 = 21600L,
+        lookbackSec = 86400L)),
+
     // absent_over_time: 1 where the range window holds no sample —
     // present_over_time's one-pass aggregate anti-joined to the grid.
     "p_query_absent_ot" -> ((s, dir) =>
@@ -2603,6 +2614,29 @@ object SparkEntry {
            |         row_number() OVER (PARTITION BY t ORDER BY path ASC) AS rk
            |  FROM inst) r
            |WHERE rk <= 3""".stripMargin),
+
+      "p_query_topk_by" ->
+        (s"""WITH dedup AS (
+           |  SELECT event_type, user_id,
+           |         epoch_us(ts)//1000000 AS time,
+           |         arg_max(value, event_id) AS value
+           |  FROM events
+           |  GROUP BY 1, 2, 3),
+           |grid AS (SELECT $WFrom + 21600*n AS t FROM generate_series(0, 120) g(n)),
+           |win AS (
+           |  SELECT d.event_type, d.user_id, g.t, d.value, d.time FROM dedup d
+           |  JOIN grid g ON d.time <= g.t AND d.time > g.t - 86400),
+           |inst AS (
+           |  SELECT event_type,
+           |         'events?type=' || event_type || '&user=' || user_id AS path,
+           |         t, arg_max(value, time) AS value
+           |  FROM win GROUP BY 1, 2, 3)
+           |SELECT path, t, value FROM (
+           |  SELECT path, t, value,
+           |         row_number() OVER (PARTITION BY t, event_type
+           |                            ORDER BY value DESC, path ASC) AS rk
+           |  FROM inst) r
+           |WHERE rk <= 1""".stripMargin),
 
       "p_query_absent_ot" ->
         (s"""SELECT '?type=nosuch' AS path, $WFrom + 21600*n AS t,

@@ -284,6 +284,18 @@ final class HttpApi(
         case "/api/v1/read"                      => promRemoteRead(ex)
         case "/api/v1/status/buildinfo"          => promBuildInfo(ex)
         case "/api/v1/metadata"                  => promMetadata(ex)
+        case "/api/v1/rules" =>
+          // no rule manager content — the reference's embedded web
+          // serves the same empty group list
+          reply(ex, 200, "application/json",
+            promJson("""{"groups":[]}"""))
+        case "/api/v1/alerts" =>
+          reply(ex, 200, "application/json",
+            promJson("""{"alerts":[]}"""))
+        case "/api/v1/query_exemplars" =>
+          // exemplar storage is a stub upstream too
+          // (`prometheus/exemplar.go` nopExemplarQueryable)
+          reply(ex, 200, "application/json", promJson("[]"))
         case "/alive" =>
           reply(ex, 200, "text/plain", "Graphite-clickhouse is alive.\n".getBytes)
         case "/health" =>

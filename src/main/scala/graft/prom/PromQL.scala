@@ -142,7 +142,9 @@ object PromQL {
     * storage path for deterministic output (Prometheus leaves tie
     * order unspecified).
     */
-  final case class RankK(op: String, k: Int, inner: Expr) extends Expr {
+  final case class RankK(
+      op: String, k: Int, inner: Expr,
+      by: Seq[String] = Nil, without: Boolean = false) extends Expr {
     def matchers: Seq[(String, String, String)] = inner.matchers
   }
 
@@ -422,6 +424,24 @@ object PromQL {
       else parse(inner).map(Agg(op, labels, _, without = mode == "without"))
     }
     val rankK = "^(topk|bottomk)\\s*\\(\\s*(\\d+)\\s*,(.*)\\)$".r
+    // grouped ranking: `topk by (l) (k, v)` / `topk(k, v) by (l)` —
+    // k best per group per slot, full label sets kept
+    val rankKPre =
+      "^(topk|bottomk)\\s*(by|without)\\s*\\(([^()]*)\\)\\s*\\(\\s*(\\d+)\\s*,(.*)\\)$".r
+    val rankKSuf =
+      "^(topk|bottomk)\\s*\\(\\s*(\\d+)\\s*,(.*)\\)\\s*(by|without)\\s*\\(([^()]*)\\)$".r
+    def rankWithGroup(
+        op: String, mode: String, by: String, ks: String,
+        inner: String): Either[String, Expr] = {
+      val labels = by.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      if (mode == "by" && labels.contains("__name__"))
+        Left("by (__name__) is not supported")
+      else ks.toIntOption.filter(_ >= 1) match {
+        case Some(k) =>
+          parse(inner).map(RankK(op, k, _, labels, without = mode == "without"))
+        case None => Left(s"$op: bad k '$ks'")
+      }
+    }
     val limitK = "^limitk\\s*\\(\\s*(\\d+)\\s*,(.*)\\)$".r
     val histQ = "^histogram_quantile\\s*\\(\\s*(-?[0-9.]+)\\s*,(.*)\\)$".r
     val fnMatch = "^([a-z_]+)\\((.*)\\)$".r
@@ -460,6 +480,10 @@ object PromQL {
           case Some(p) => parse(inner).map(HistQuantile(p, _))
           case None    => Left(s"histogram_quantile: bad phi '$phis'")
         }
+      case rankKPre(op, mode, by, ks, inner) =>
+        rankWithGroup(op, mode, by, ks, inner)
+      case rankKSuf(op, ks, inner, mode, by) =>
+        rankWithGroup(op, mode, by, ks, inner)
       case rankK(op, ks, inner) =>
         ks.toIntOption.filter(_ >= 1) match {
           case Some(k) => parse(inner).map(RankK(op, k, _))
@@ -962,9 +986,10 @@ object PromQL {
         return aggMatrix(
           evalMatrix(points, tags, inner, start, end, step0, lookbackSec),
           op, by, without = without)
-      case RankK(op, k, inner) =>
+      case RankK(op, k, inner, by, without) =>
         return rankMatrix(
-          evalMatrix(points, tags, inner, start, end, step0, lookbackSec), op, k)
+          evalMatrix(points, tags, inner, start, end, step0, lookbackSec),
+          op, k, by, without)
       case Quantile(phi, by, inner, without) =>
         return aggMatrix(
           evalMatrix(points, tags, inner, start, end, step0, lookbackSec),
@@ -1859,12 +1884,12 @@ object PromQL {
     * dropped from the group key; empty `by` collapses everything onto
     * the empty path (= the empty label set).
     */
-  private[prom] def aggMatrix(
-      base: DataFrame,
-      op: String,
-      by: Seq[String],
-      phi: Double = Double.NaN,
-      without: Boolean = false): DataFrame = {
+  /** The `by`/`without` grouping key of a series path: the nameless,
+    * sorted `?k=v&…` form (empty for the empty label set). A label the
+    * series lacks — or carries empty, which Prometheus treats as
+    * absent — is dropped from the key.
+    */
+  private def groupKeyPath(by: Seq[String], without: Boolean): Column = {
     val qs = if (without) {
       // keep every label BUT the listed ones (and the name) — the
       // pre-sorted query string filtered in place
@@ -1881,8 +1906,16 @@ object PromQL {
       }
       if (parts.isEmpty) lit("") else concat_ws("&", parts: _*)
     }
-    val gpath = when(qs === "", lit("")).otherwise(concat(lit("?"), qs))
-    val g = base.groupBy(gpath.as("path"), col("t"))
+    when(qs === "", lit("")).otherwise(concat(lit("?"), qs))
+  }
+
+  private[prom] def aggMatrix(
+      base: DataFrame,
+      op: String,
+      by: Seq[String],
+      phi: Double = Double.NaN,
+      without: Boolean = false): DataFrame = {
+    val g = base.groupBy(groupKeyPath(by, without).as("path"), col("t"))
     val out = op match {
       case "sum"   => g.agg(sum("value").as("value"))
       case "avg"   => g.agg(avg("value").as("value"))
@@ -1907,12 +1940,16 @@ object PromQL {
     * the window state is fleet-sized, not sample-sized). Ties break on
     * path for deterministic output.
     */
-  private[prom] def rankMatrix(base: DataFrame, op: String, k: Int): DataFrame = {
+  private[prom] def rankMatrix(
+      base: DataFrame, op: String, k: Int,
+      by: Seq[String] = Nil, without: Boolean = false): DataFrame = {
     val ord =
       if (op == "topk") Seq(col("value").desc, col("path").asc)
       else Seq(col("value").asc, col("path").asc)
+    // grouped form: k best per (group, slot); the plain form is the
+    // empty group (a constant key — same partitioning as t alone)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("t")).orderBy(ord: _*)
+      .partitionBy(col("t"), groupKeyPath(by, without)).orderBy(ord: _*)
     base.withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
       .select("path", "t", "value")

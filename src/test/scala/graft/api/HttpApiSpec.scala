@@ -215,6 +215,16 @@ class HttpApiSpec extends AnyFunSuite {
     // scrape-less engine: the metadata map is empty, like the
     // reference's embedded Prometheus web with no scrape manager data
     assert(new String(md.body()) == """{"status":"success","data":{}}""")
+
+    // the rule/alert/exemplar routes Grafana's alerting UI probes:
+    // empty success envelopes, like the reference's managers-without-
+    // content embedded web
+    assert(new String(get("/api/v1/rules").body()) ==
+      """{"status":"success","data":{"groups":[]}}""")
+    assert(new String(get("/api/v1/alerts").body()) ==
+      """{"status":"success","data":{"alerts":[]}}""")
+    assert(new String(get("/api/v1/query_exemplars").body()) ==
+      """{"status":"success","data":[]}""")
   }
 
   test("Grafana datasource init sequence: buildinfo -> labels -> query_range") {

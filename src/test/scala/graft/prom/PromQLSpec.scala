@@ -62,6 +62,18 @@ class PromQLSpec extends AnyFunSuite {
     assert(PromQL.parse("topk(m)").isLeft)
   }
 
+  test("parse: grouped topk/bottomk (by/without, both modifier positions)") {
+    val sel = PromQL.Selector(Seq(("__name__", "=", "m")))
+    assert(PromQL.parse("topk by (job) (2, m)") ==
+      Right(PromQL.RankK("topk", 2, sel, Seq("job"))))
+    assert(PromQL.parse("topk(2, m) by (job)") ==
+      Right(PromQL.RankK("topk", 2, sel, Seq("job"))))
+    assert(PromQL.parse("bottomk without (job, env) (1, m)") ==
+      Right(PromQL.RankK("bottomk", 1, sel, Seq("job", "env"), without = true)))
+    assert(PromQL.parse("topk by (__name__) (2, m)").isLeft)
+    assert(PromQL.parse("topk by (job) (0, m)").isLeft)
+  }
+
   test("parse: stddev/stdvar/quantile aggregations") {
     val sel = PromQL.Selector(Seq(("__name__", "=", "m")))
     assert(PromQL.parse("stddev by (a) (m)") ==
@@ -770,6 +782,27 @@ class PromQLEvalSpec extends AnyFunSuite {
     // the t=0 samples alive only at slot 0 under the 10s lookback)
     assert(eval("limitk(2, m)") ==
       Set(("m?x=1", 0L, 1.0), ("m?x=2", 0L, 5.0)))
+  }
+
+  test("grouped topk ranks within each label group per slot") {
+    val pts = matrix(
+      ("m?g=a&x=1", 0L, 1.0), ("m?g=a&x=2", 0L, 5.0),
+      ("m?g=b&x=3", 0L, 2.0), ("m?g=b&x=4", 0L, 9.0))
+      .withColumnRenamed("t", "time")
+    val tags = graft.engine.GraphiteTables.expandTagRows(
+      pts.select(org.apache.spark.sql.functions.col("path")).distinct()
+        .withColumn("date", org.apache.spark.sql.functions.lit("1970-01-01").cast("date"))
+        .withColumn("version", org.apache.spark.sql.functions.lit(0L)))
+    def eval(q: String) = rowSet(PromQL.evalMatrix(
+      pts, tags, PromQL.parse(q).toOption.get, 0L, 0L, 1L, lookbackSec = 10L))
+    // plain topk: global best
+    assert(eval("topk(1, m)") == Set(("m?g=b&x=4", 0L, 9.0)))
+    // by (g): the best per group, full labels kept
+    assert(eval("topk by (g) (1, m)") ==
+      Set(("m?g=a&x=2", 0L, 5.0), ("m?g=b&x=4", 0L, 9.0)))
+    // without (x): same grouping through the complement
+    assert(eval("bottomk without (x) (1, m)") ==
+      Set(("m?g=a&x=1", 0L, 1.0), ("m?g=b&x=3", 0L, 2.0)))
   }
 
   test("absent: 1 where the inner vector is empty, labels from eq matchers") {
