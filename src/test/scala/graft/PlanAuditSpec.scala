@@ -40,6 +40,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "p_query_subquery", "p_query_count_values",
     "p_query_time", "p_query_vector", "p_query_hour", "p_query_holt",
     "p_query_at", "p_query_limitk",
+    // round-8 additions: grouped ranking, scalar()-join, timestamp,
+    // scalar-only grids, absent_over_time, mad, atan2, mixture report
+    "p_query_topk_by", "p_query_scalar", "p_query_scalar_arith",
+    "p_query_timestamp", "p_query_absent_ot", "p_query_mad",
+    "p_query_atan2", "p_query_trig", "d_mixture",
     // duplicate-span stats: one explode + two-level hash agg + join-back
     "d_dup_spans",
     // PQ/ADC: codebooks + query LUTs broadcast, one (sub, code) join
