@@ -1224,6 +1224,17 @@ object SparkEntry {
         start = WFrom, end = WFrom + 30L * 86400L, step0 = 21600L,
         lookbackSec = 86400L)),
 
+    // limit_ratio: deterministic ≈40% of series by the md5-of-path
+    // draw — one narrow filter on the vector, no shuffle.
+    "p_query_limit_ratio" -> ((s, dir) =>
+      graft.prom.PromQL.evalMatrix(
+        GraphiteTables.pointsTagged(s, dir),
+        GraphiteTables.tags(s, dir),
+        graft.prom.PromQL.parse("limit_ratio(0.4, events)")
+          .fold(e => throw new IllegalArgumentException(e), identity),
+        start = WFrom, end = WFrom + 30L * 86400L, step0 = 21600L,
+        lookbackSec = 86400L)),
+
     // grouped ranking: the per-group-best idiom (`topk by (type)`) —
     // one window rank per (group, slot), full label sets kept.
     "p_query_topk_by" -> ((s, dir) =>
@@ -2614,6 +2625,25 @@ object SparkEntry {
            |         row_number() OVER (PARTITION BY t ORDER BY path ASC) AS rk
            |  FROM inst) r
            |WHERE rk <= 3""".stripMargin),
+
+      "p_query_limit_ratio" ->
+        (s"""WITH dedup AS (
+           |  SELECT event_type, user_id,
+           |         epoch_us(ts)//1000000 AS time,
+           |         arg_max(value, event_id) AS value
+           |  FROM events
+           |  GROUP BY 1, 2, 3),
+           |grid AS (SELECT $WFrom + 21600*n AS t FROM generate_series(0, 120) g(n)),
+           |win AS (
+           |  SELECT d.event_type, d.user_id, g.t, d.value, d.time FROM dedup d
+           |  JOIN grid g ON d.time <= g.t AND d.time > g.t - 86400),
+           |inst AS (
+           |  SELECT 'events?type=' || event_type || '&user=' || user_id AS path,
+           |         t, arg_max(value, time) AS value
+           |  FROM win GROUP BY 1, 2)
+           |SELECT path, t, value FROM inst
+           |WHERE ('0x' || substr(md5(path), 1, 15))::bigint
+           |        / 1152921504606846976.0 < 0.4""".stripMargin),
 
       "p_query_topk_by" ->
         (s"""WITH dedup AS (

@@ -342,6 +342,18 @@ object PromQL {
     * the pick unspecified; this evaluator picks deterministically by
     * storage-path order (one window rank per slot, like topk).
     */
+  /** `limit_ratio(r, v)` — a deterministic ≈`r` fraction of the inner
+    * vector's series; `limit_ratio(r, v)` and `limit_ratio(r - 1, v)`
+    * partition the vector exactly, like upstream (a negative ratio
+    * keeps the complement: draw ≥ 1 + r). Declared divergence: the
+    * per-series draw is the engine-portable md5-of-path uniform
+    * ([[graft.llm.Sampling.hash01]]), not upstream's labels-hash —
+    * same determinism and partition contract, different membership.
+    */
+  final case class LimitRatio(r: Double, inner: Expr) extends Expr {
+    def matchers: Seq[(String, String, String)] = inner.matchers
+  }
+
   final case class LimitK(k: Int, inner: Expr) extends Expr {
     def matchers: Seq[(String, String, String)] = inner.matchers
   }
@@ -443,6 +455,7 @@ object PromQL {
       }
     }
     val limitK = "^limitk\\s*\\(\\s*(\\d+)\\s*,(.*)\\)$".r
+    val limitRatio = "^limit_ratio\\s*\\(\\s*(-?[0-9.]+)\\s*,(.*)\\)$".r
     val histQ = "^histogram_quantile\\s*\\(\\s*(-?[0-9.]+)\\s*,(.*)\\)$".r
     val fnMatch = "^([a-z_]+)\\((.*)\\)$".r
     // binary operators split at paren/brace/bracket/quote depth 0 —
@@ -493,6 +506,11 @@ object PromQL {
         ks.toIntOption.filter(_ >= 1) match {
           case Some(k) => parse(inner).map(LimitK(k, _))
           case None    => Left(s"limitk: bad k '$ks'")
+        }
+      case limitRatio(rs, inner) =>
+        rs.toDoubleOption.filter(r => r >= -1.0 && r <= 1.0) match {
+          case Some(r) => parse(inner).map(LimitRatio(r, _))
+          case None    => Left(s"limit_ratio: ratio must be in [-1, 1], got '$rs'")
         }
       case aggPre(op, mode, by, inner)  => agg(op, mode, by, inner)
       case aggSuf(op, inner, mode, by)  => agg(op, mode, by, inner)
@@ -1102,6 +1120,13 @@ object PromQL {
       case AtEdge(atStart, inner) =>
         return evalMatrix(points, tags,
           At(if (atStart) start else end, inner), start, end, step0, lookbackSec)
+      case LimitRatio(r, inner) =>
+        // series-consistent across slots: the draw hashes the path
+        // only — one narrow filter, no shuffle, no window
+        val draw = graft.llm.Sampling.hash01(col("path"))
+        val keep = if (r >= 0) draw < lit(r) else draw >= lit(1.0 + r)
+        return evalMatrix(points, tags, inner, start, end, step0, lookbackSec)
+          .where(keep)
       case LimitK(k, inner) =>
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("t")).orderBy(col("path").asc)

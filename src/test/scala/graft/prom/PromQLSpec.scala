@@ -784,6 +784,27 @@ class PromQLEvalSpec extends AnyFunSuite {
       Set(("m?x=1", 0L, 1.0), ("m?x=2", 0L, 5.0)))
   }
 
+  test("limit_ratio partitions the vector deterministically") {
+    val pts = matrix(
+      (0 until 20).map(i => (s"m?x=$i", 0L, i.toDouble)): _*)
+      .withColumnRenamed("t", "time")
+    val tags = graft.engine.GraphiteTables.expandTagRows(
+      pts.select(org.apache.spark.sql.functions.col("path")).distinct()
+        .withColumn("date", org.apache.spark.sql.functions.lit("1970-01-01").cast("date"))
+        .withColumn("version", org.apache.spark.sql.functions.lit(0L)))
+    def eval(q: String) = rowSet(PromQL.evalMatrix(
+      pts, tags, PromQL.parse(q).toOption.get, 0L, 0L, 1L, lookbackSec = 10L))
+    val all = eval("m")
+    val kept = eval("limit_ratio(0.5, m)")
+    val rest = eval("limit_ratio(-0.5, m)")
+    // r and r-1 partition the vector exactly (upstream's contract)
+    assert(kept.intersect(rest).isEmpty)
+    assert(kept.union(rest) == all)
+    // deterministic: same query, same membership
+    assert(eval("limit_ratio(0.5, m)") == kept)
+    assert(PromQL.parse("limit_ratio(1.5, m)").isLeft)
+  }
+
   test("grouped topk ranks within each label group per slot") {
     val pts = matrix(
       ("m?g=a&x=1", 0L, 1.0), ("m?g=a&x=2", 0L, 5.0),
