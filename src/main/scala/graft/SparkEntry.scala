@@ -1190,6 +1190,32 @@ object SparkEntry {
         start = WFrom, end = WFrom + 30L * 86400L, step0 = 21600L,
         lookbackSec = 86400L)),
 
+    // calendar grid series: month-length gating via days_in_month()
+    // (the "31-day months only" alert-silencing idiom); the calendar
+    // components route through the timezone-free DATE type.
+    "p_query_datefns" -> ((s, dir) =>
+      graft.prom.PromQL.evalMatrix(
+        GraphiteTables.pointsTagged(s, dir),
+        GraphiteTables.tags(s, dir),
+        graft.prom.PromQL.parse(
+          """events{type="click"} > 50 and on() (days_in_month() == 31)""")
+          .fold(e => throw new IllegalArgumentException(e), identity),
+        start = WFrom, end = WFrom + 30L * 86400L, step0 = 21600L,
+        lookbackSec = 86400L)),
+
+    // vector-value form: each sample VALUE (here the sample stamp via
+    // timestamp()) mapped through the calendar component — narrow
+    // projection, metric name dropped.
+    "p_query_date_vec" -> ((s, dir) =>
+      graft.prom.PromQL.evalMatrix(
+        GraphiteTables.pointsTagged(s, dir),
+        GraphiteTables.tags(s, dir),
+        graft.prom.PromQL.parse(
+          """day_of_year(timestamp(events{type="click"}))""")
+          .fold(e => throw new IllegalArgumentException(e), identity),
+        start = WFrom, end = WFrom + 30L * 86400L, step0 = 21600L,
+        lookbackSec = 86400L)),
+
     // double exponential smoothing: sequential fold inside one
     // higher-order aggregate per (series, slot).
     "p_query_holt" -> ((s, dir) =>
@@ -2543,6 +2569,40 @@ object SparkEntry {
            |  FROM win GROUP BY 1, 2)
            |SELECT 'events?type=click&user=' || user_id AS path, t, value
            |FROM inst WHERE value > 50 AND ((t // 3600) % 24) >= 6""".stripMargin),
+
+      "p_query_datefns" ->
+        (s"""WITH dedup AS (
+           |  SELECT user_id,
+           |         epoch_us(ts)//1000000 AS time,
+           |         arg_max(value, event_id) AS value
+           |  FROM events WHERE event_type = 'click'
+           |  GROUP BY 1, 2),
+           |grid AS (SELECT $WFrom + 21600*n AS t FROM generate_series(0, 120) g(n)),
+           |win AS (
+           |  SELECT d.user_id, g.t, d.value, d.time FROM dedup d
+           |  JOIN grid g ON d.time <= g.t AND d.time > g.t - 86400),
+           |inst AS (SELECT user_id, t, arg_max(value, time) AS value
+           |  FROM win GROUP BY 1, 2)
+           |SELECT 'events?type=click&user=' || user_id AS path, t, value
+           |FROM inst WHERE value > 50
+           |  AND day(last_day(make_timestamp(t * 1000000))) = 31""".stripMargin),
+
+      "p_query_date_vec" ->
+        (s"""WITH dedup AS (
+           |  SELECT user_id,
+           |         epoch_us(ts)//1000000 AS time,
+           |         arg_max(value, event_id) AS value
+           |  FROM events WHERE event_type = 'click'
+           |  GROUP BY 1, 2),
+           |grid AS (SELECT $WFrom + 21600*n AS t FROM generate_series(0, 120) g(n)),
+           |win AS (
+           |  SELECT d.user_id, g.t, d.time FROM dedup d
+           |  JOIN grid g ON d.time <= g.t AND d.time > g.t - 86400),
+           |inst AS (SELECT user_id, t, max(time) AS stamp
+           |  FROM win GROUP BY 1, 2)
+           |SELECT '?type=click&user=' || user_id AS path, t,
+           |       dayofyear(make_timestamp(stamp * 1000000))::double AS value
+           |FROM inst""".stripMargin),
 
       "p_query_holt" ->
         (s"""WITH dedup AS (

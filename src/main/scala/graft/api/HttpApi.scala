@@ -728,17 +728,12 @@ final class HttpApi(
       graft.prom.PromQL.evalMatrix(points, tagsTable, expr, time, time, 1L)
         .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
     }
-    // sort()/sort_desc() order the instant vector by value (the only
-    // place Prometheus honors them); ties break on path for stability
-    val ordered = expr match {
-      case graft.prom.PromQL.Sort(desc, _) =>
-        if (desc) rows.sortBy { case (p, _, v) => (-v, p) }
-        else rows.sortBy { case (p, _, v) => (v, p) }
-      case _ => rows
-    }
+    // sort()/sort_desc()/sort_by_label(_desc) order the instant
+    // vector (the only place Prometheus honors them)
+    val ordered = graft.prom.PromQL.orderInstant(expr, rows)
     reply(ex, 200, "application/json",
-      graft.prom.PromQL.vectorJson(ordered, jstr,
-        presorted = expr.isInstanceOf[graft.prom.PromQL.Sort]).getBytes)
+      graft.prom.PromQL.vectorJson(ordered.getOrElse(rows), jstr,
+        presorted = ordered.isDefined).getBytes)
   }
 
   /** Grafana's datasource bootstrap: before the first query it probes

@@ -71,13 +71,20 @@ object PromQL {
     def matchers: Seq[(String, String, String)] = sel.matchers
   }
 
-  /** `minute()` / `hour()` / `day_of_week()` — UTC calendar components
-    * of the evaluation timestamp as a label-less grid series (the
-    * maintenance-window idiom `alerts and on() (hour() >= 6)`). Only
-    * the no-argument form; pure epoch arithmetic, engine-portable.
+  /** `minute()` / `hour()` / `day_of_week()` / `day_of_month()` /
+    * `day_of_year()` / `month()` / `year()` / `days_in_month()` — UTC
+    * calendar components. The no-argument form is a label-less grid
+    * series over the evaluation timestamps (the maintenance-window
+    * idiom `alerts and on() (hour() >= 6)`); `fn(v)` maps each sample
+    * VALUE through the component, labels kept and the metric name
+    * dropped (Prometheus's rule for every value-transforming
+    * function). Sub-day components are pure epoch arithmetic; the
+    * calendar ones go through the timezone-free DATE type (epoch-day
+    * offset from 1970-01-01), never the session zone.
     */
-  final case class DateFn(fn: String) extends Expr {
-    def matchers: Seq[(String, String, String)] = Seq.empty
+  final case class DateFn(fn: String, inner: Option[Expr] = None) extends Expr {
+    def matchers: Seq[(String, String, String)] =
+      inner.map(_.matchers).getOrElse(Seq.empty)
   }
 
   /** `fn(v)` scalar math over an instant vector — abs | ceil | floor |
@@ -308,6 +315,17 @@ object PromQL {
     * are keyed by series, where Prometheus ignores sort too).
     */
   final case class Sort(desc: Boolean, inner: Expr) extends Expr {
+    def matchers: Seq[(String, String, String)] = inner.matchers
+  }
+
+  /** `sort_by_label(v, "l1", ...)` / `sort_by_label_desc(...)` — label
+    * ordering of the instant vector. Like [[Sort]]: a matrix relation
+    * has no row order, so evaluation is the identity and the
+    * instant-response assembly orders by the named labels' values
+    * (lexicographic, missing label sorts first), ties broken by path.
+    */
+  final case class SortByLabel(desc: Boolean, labels: Seq[String], inner: Expr)
+      extends Expr {
     def matchers: Seq[(String, String, String)] = inner.matchers
   }
 
@@ -767,9 +785,12 @@ object PromQL {
           }
         case _ => Left(s"$fn expects (m[d], sf, tf)")
       }
-    case "minute" | "hour" | "day_of_week" =>
+    case "minute" | "hour" | "day_of_week" | "day_of_month" |
+         "day_of_year" | "month" | "year" | "days_in_month" =>
       if (body.trim.isEmpty) Right(DateFn(fn))
-      else Left(s"$fn: only the no-argument form is supported")
+      else parse(body).flatMap(e =>
+        if (isScalarExpr(e)) Left(s"$fn expects an instant vector")
+        else Right(DateFn(fn, Some(e))))
     case f if mathFns.contains(f) =>
       val (lo, hi) = mathFns(f)
       val args = splitArgs(body)
@@ -806,6 +827,17 @@ object PromQL {
         else Right(ScalarFn(e)))
     case "sort"      => parse(body).map(Sort(desc = false, _))
     case "sort_desc" => parse(body).map(Sort(desc = true, _))
+    case "sort_by_label" | "sort_by_label_desc" =>
+      splitArgs(body) match {
+        case v +: ls if ls.nonEmpty =>
+          for {
+            labels <- ls.foldLeft[Either[String, Seq[String]]](Right(Seq.empty)) {
+              (acc, l) => acc.flatMap(a => strArg(l).map(a :+ _))
+            }
+            inner <- parse(v)
+          } yield SortByLabel(fn.endsWith("_desc"), labels, inner)
+        case _ => Left(s"$fn expects (v, label, ...)")
+      }
     case "label_replace" =>
       splitArgs(body) match {
         case Seq(v, dst, rep, src, re) =>
@@ -1089,19 +1121,20 @@ object PromQL {
         // a matrix has no row order — ordering applies at the
         // instant-response assembly (see [[Sort]])
         return evalMatrix(points, tags, inner, start, end, step0, lookbackSec)
+      case SortByLabel(_, _, inner) =>
+        return evalMatrix(points, tags, inner, start, end, step0, lookbackSec)
       case VectorLit(v) =>
         return gridMatrix(points, start, end, step0, lit(v))
-      case DateFn(fn) =>
-        // UTC calendar components as pure epoch arithmetic (epoch day
-        // zero was a Thursday = weekday 4) — no timezone dependency
-        val t = col("t")
-        val component = fn match {
-          case "minute"      => floor(t / 60L) % 60L
-          case "hour"        => floor(t / 3600L) % 24L
-          case "day_of_week" => (floor(t / 86400L) + 4L) % 7L
-          case other => throw new IllegalArgumentException(s"unsupported $other")
-        }
-        return gridMatrix(points, start, end, step0, component)
+      case DateFn(fn, None) =>
+        return gridMatrix(points, start, end, step0, dateComponent(fn, col("t")))
+      case DateFn(fn, Some(inner)) =>
+        // value form: each sample value is an epoch-seconds timestamp;
+        // narrow map, metric name dropped like every math function
+        val m = evalMatrix(points, tags, inner, start, end, step0, lookbackSec)
+        return m.select(
+          regexp_replace(col("path"), "^[^?]*", "").as("path"), col("t"),
+          dateComponent(fn, floor(col("value")).cast("long")).cast("double")
+            .as("value"))
       case Offset(o, inner) =>
         // same plan over the shifted window, stamps shifted back
         return evalMatrix(points, tags, inner, start - o, end - o, step0, lookbackSec)
@@ -1574,6 +1607,28 @@ object PromQL {
       col("t"), out.as("value"))
   }
 
+  /** One UTC calendar component of an epoch-seconds column. Sub-day
+    * components are modular epoch arithmetic (epoch day zero was a
+    * Thursday = weekday 4); the calendar ones add the epoch-day count
+    * to the DATE literal 1970-01-01 — DATE functions carry no
+    * timezone, so the result is UTC regardless of the session zone.
+    */
+  private def dateComponent(fn: String, tSec: Column): Column = {
+    lazy val d = date_add(lit("1970-01-01").cast("date"),
+      floor(tSec.cast("double") / 86400d).cast("int"))
+    fn match {
+      case "minute"        => floor(tSec / 60L) % 60L
+      case "hour"          => floor(tSec / 3600L) % 24L
+      case "day_of_week"   => (floor(tSec / 86400L) + 4L) % 7L
+      case "day_of_month"  => dayofmonth(d)
+      case "day_of_year"   => dayofyear(d)
+      case "month"         => month(d)
+      case "year"          => year(d)
+      case "days_in_month" => dayofmonth(last_day(d))
+      case other => throw new IllegalArgumentException(s"unsupported $other")
+    }
+  }
+
   /** One label-less series over the full eval grid (`vector(v)`,
     * standalone `time()`): `range(slots)` projected to (path="", t,
     * value) — result-sized, no scan of the points relation.
@@ -2026,6 +2081,31 @@ object PromQL {
   /** `(path, t, value)` rows at one instant → the `/api/v1/query`
     * JSON envelope (`resultType: "vector"`, one `value` per series).
     */
+  /** Instant-vector response ordering for a top-level sort() /
+    * sort_desc() / sort_by_label() / sort_by_label_desc() — the only
+    * place Prometheus honors them. None = not a sort expression
+    * (assembly falls back to its stable path order). Label sorts are
+    * lexicographic on the named labels' values (a missing label sorts
+    * first), ties broken by path; value sorts break ties on path.
+    */
+  def orderInstant(
+      expr: Expr,
+      rows: Seq[(String, Long, Double)]): Option[Seq[(String, Long, Double)]] =
+    expr match {
+      case Sort(desc, _) =>
+        Some(if (desc) rows.sortBy { case (p, _, v) => (-v, p) }
+             else rows.sortBy { case (p, _, v) => (v, p) })
+      case SortByLabel(desc, labels, _) =>
+        implicit val seqOrd: Ordering[Seq[String]] =
+          scala.math.Ordering.Implicits.seqOrdering
+        val keyed = rows.sortBy { case (p, _, _) =>
+          val ls = labelsOf(p).toMap
+          (labels.map(l => ls.getOrElse(l, "")), p)
+        }
+        Some(if (desc) keyed.reverse else keyed)
+      case _ => None
+    }
+
   def vectorJson(
       rows: Seq[(String, Long, Double)],
       jstr: String => String,

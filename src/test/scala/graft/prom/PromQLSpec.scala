@@ -805,6 +805,62 @@ class PromQLEvalSpec extends AnyFunSuite {
     assert(PromQL.parse("limit_ratio(1.5, m)").isLeft)
   }
 
+  test("calendar date functions: grid form and vector-value form") {
+    // 2024-02-29 00:00 UTC — leap day, a Thursday
+    val leap = 1709164800L
+    val pts = matrix(("m?x=1", leap, leap.toDouble))
+      .withColumnRenamed("t", "time")
+    val tags = graft.engine.GraphiteTables.expandTagRows(
+      pts.select(org.apache.spark.sql.functions.col("path")).distinct()
+        .withColumn("date", org.apache.spark.sql.functions.lit("1970-01-01").cast("date"))
+        .withColumn("version", org.apache.spark.sql.functions.lit(0L)))
+    def eval(q: String) = rowSet(PromQL.evalMatrix(
+      pts, tags, PromQL.parse(q).toOption.get, leap, leap, 1L, lookbackSec = 10L))
+    // no-arg: label-less grid series over the eval timestamp
+    assert(eval("month()") == Set(("", leap, 2.0)))
+    assert(eval("year()") == Set(("", leap, 2024.0)))
+    assert(eval("day_of_month()") == Set(("", leap, 29.0)))
+    assert(eval("day_of_year()") == Set(("", leap, 60.0)))
+    assert(eval("days_in_month()") == Set(("", leap, 29.0)))
+    assert(eval("day_of_week()") == Set(("", leap, 4.0)))
+    // vector form: sample VALUES are the timestamps; name dropped
+    assert(eval("month(m)") == Set(("?x=1", leap, 2.0)))
+    assert(eval("days_in_month(m)") == Set(("?x=1", leap, 29.0)))
+    // non-leap February
+    val feb23 = 1676419200L // 2023-02-15 00:00 UTC
+    val pts2 = matrix(("m?x=1", feb23, feb23.toDouble))
+      .withColumnRenamed("t", "time")
+    assert(rowSet(PromQL.evalMatrix(pts2, tags,
+      PromQL.parse("days_in_month()").toOption.get,
+      feb23, feb23, 1L, lookbackSec = 10L)) == Set(("", feb23, 28.0)))
+    assert(PromQL.parse("month(1 + 2)").isLeft)
+    assert(PromQL.parse("month(3)").isLeft)
+  }
+
+  test("sort_by_label orders the instant assembly, eval is identity") {
+    assert(PromQL.parse("""sort_by_label(m, "a", "b")""") ==
+      Right(PromQL.SortByLabel(desc = false,
+        Seq("a", "b"), PromQL.Selector(Seq(("__name__", "=", "m"))))))
+    assert(PromQL.parse("""sort_by_label_desc(m, "a")""").toOption.get
+      .asInstanceOf[PromQL.SortByLabel].desc)
+    assert(PromQL.parse("sort_by_label(m)").isLeft)
+    val rows = Seq(("m?a=2&b=x", 0L, 1.0), ("m?a=1&b=y", 0L, 2.0),
+      ("m?b=z", 0L, 3.0))
+    val asc = PromQL.orderInstant(
+      PromQL.parse("""sort_by_label(m, "a")""").toOption.get, rows).get
+    // missing label sorts first; then by label value
+    assert(asc.map(_._1) == Seq("m?b=z", "m?a=1&b=y", "m?a=2&b=x"))
+    val desc = PromQL.orderInstant(
+      PromQL.parse("""sort_by_label_desc(m, "a")""").toOption.get, rows).get
+    assert(desc.map(_._1) == asc.map(_._1).reverse)
+    // value sort still routes through the same helper
+    assert(PromQL.orderInstant(
+      PromQL.parse("sort_desc(m)").toOption.get, rows).get.map(_._3) ==
+      Seq(3.0, 2.0, 1.0))
+    assert(PromQL.orderInstant(
+      PromQL.parse("m").toOption.get, rows).isEmpty)
+  }
+
   test("grouped topk ranks within each label group per slot") {
     val pts = matrix(
       ("m?g=a&x=1", 0L, 1.0), ("m?g=a&x=2", 0L, 5.0),
