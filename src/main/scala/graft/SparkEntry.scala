@@ -728,6 +728,13 @@ object SparkEntry {
           col("offset"), col("bin"))
     }),
 
+    // overlapping token-window chunking (context-window prep): chunk i
+    // covers tokens [48i, 48i+64) so neighbors share 16 tokens; pure
+    // narrow split+explode, no shuffle at any corpus scale.
+    "d_chunks" -> ((s, dir) =>
+      Sampling.chunkTokens(s.read.parquet(s"$dir/documents.parquet"),
+        col("text"), window = 64, stride = 48)),
+
     // ----------------------------------------------------------------
     // LLM track: similarity search over embeddings
     // ----------------------------------------------------------------
@@ -1978,6 +1985,21 @@ object SparkEntry {
           |  CAST(sum(tokens) OVER (PARTITION BY shard ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tokens AS BIGINT) AS "offset" FROM sh)
           |SELECT doc_id, shard, CAST(pos AS BIGINT) AS pos, tokens, "offset",
           |  CAST(floor("offset" / 512) AS BIGINT) AS bin FROM c""".stripMargin),
+
+      "d_chunks" ->
+        ("""WITH toks AS (
+          |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+          |  FROM documents),
+          |starts AS (
+          |  SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS start
+          |  FROM toks WHERE len(toks) > 0)
+          |SELECT doc_id, CAST(start // 48 AS BIGINT) AS chunk_id,
+          |  CAST(start AS BIGINT) AS start,
+          |  CAST(least(len(toks) - start, 64) AS BIGINT) AS n_tokens,
+          |  array_to_string(
+          |    list_slice(toks, start + 1, least(start + 64, len(toks))), ' ')
+          |    AS chunk
+          |FROM starts""".stripMargin),
 
       "e_knn_brute" ->
         (s"""WITH scored AS (

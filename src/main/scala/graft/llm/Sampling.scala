@@ -194,4 +194,37 @@ object Sampling {
       .withColumn("offset", sum(col("tokens")).over(w) - col("tokens"))
       .withColumn("bin", floor(col("offset") / lit(budget)).cast("long"))
   }
+
+  /** Overlapping token-window chunking — the per-document form of
+    * training-sequence prep (packSequences is the cross-document
+    * form): chunk `i` covers whitespace tokens
+    * `[i·stride, i·stride + window)`, so consecutive chunks share
+    * `window − stride` tokens of context; the tail chunk is partial.
+    * Every start below the token count emits, so each token lands in
+    * ⌈window/stride⌉ chunks and nothing is dropped. Purely narrow:
+    * one split + one bounded explode per row — no shuffle at any
+    * corpus scale, output ≈ n/stride rows per doc.
+    */
+  def chunkTokens(
+      df: DataFrame,
+      text: Column,
+      window: Int,
+      stride: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      "need 0 < stride <= window")
+    val toks = org.apache.spark.sql.functions.split(trim(text), "\\s+")
+    df.select(col(idCol), toks.as("toks"))
+      .where(size(col("toks")) > 0)
+      .select(col(idCol), col("toks"),
+        posexplode(sequence(lit(0), size(col("toks")) - 1, lit(stride)))
+          .as(Seq("chunk_id", "start")))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        col("start").cast("long").as("start"),
+        least(size(col("toks")) - col("start"), lit(window)).cast("long")
+          .as("n_tokens"),
+        // slice is 1-based; the tail slice is naturally partial
+        array_join(slice(col("toks"), col("start") + 1, lit(window)), " ")
+          .as("chunk"))
+  }
 }

@@ -120,4 +120,28 @@ class SamplingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("chunkTokens: stride overlap, partial tail, full coverage") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "only"),                                   // single token
+      (3L, (1 to 4).map(i => s"u$i").mkString(" ")))  // window-sized
+      .toDF("doc_id", "text")
+    val out = Sampling.chunkTokens(d, col("text"), window = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+      .sortBy(t => (t._1, t._2))
+    // doc 1: starts 0,3,6,9 — neighbors share window-stride=1 token
+    assert(out.filter(_._1 == 1L).map(t => (t._2, t._3, t._4, t._5)).toSeq == Seq(
+      (0L, 0L, 4L, "t1 t2 t3 t4"),
+      (1L, 3L, 4L, "t4 t5 t6 t7"),
+      (2L, 6L, 4L, "t7 t8 t9 t10"),
+      (3L, 9L, 1L, "t10")))
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 0L, 1L, "only")))
+    assert(out.filter(_._1 == 3L).map(_._5).toSeq == Seq("u1 u2 u3 u4", "u4"))
+    // every token of doc 1 appears in some chunk
+    val covered = out.filter(_._1 == 1L).flatMap(_._5.split(" ")).toSet
+    assert(covered == (1 to 10).map(i => s"t$i").toSet)
+  }
 }
