@@ -728,6 +728,13 @@ object SparkEntry {
           col("offset"), col("bin"))
     }),
 
+    // vocabulary/coverage report: top-200 token types with corpus
+    // share and cumulative coverage — partial-agg count per type,
+    // top-K heap merge (no global sort), windows on the K-row result.
+    "d_vocab" -> ((s, dir) =>
+      TextStats.vocabReport(
+        s.read.parquet(s"$dir/documents.parquet"), col("text"), topK = 200)),
+
     // overlapping token-window chunking (context-window prep): chunk i
     // covers tokens [48i, 48i+64) so neighbors share 16 tokens; pure
     // narrow split+explode, no shuffle at any corpus scale.
@@ -1985,6 +1992,22 @@ object SparkEntry {
           |  CAST(sum(tokens) OVER (PARTITION BY shard ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tokens AS BIGINT) AS "offset" FROM sh)
           |SELECT doc_id, shard, CAST(pos AS BIGINT) AS pos, tokens, "offset",
           |  CAST(floor("offset" / 512) AS BIGINT) AS bin FROM c""".stripMargin),
+
+      "d_vocab" ->
+        ("""WITH toks AS (
+          |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+          |  FROM documents),
+          |counts AS (SELECT token, count(*)::bigint AS n FROM toks GROUP BY 1),
+          |tot AS (SELECT sum(n) AS total FROM counts),
+          |top AS (SELECT token, n FROM counts ORDER BY n DESC, token LIMIT 200),
+          |r AS (SELECT token, n,
+          |    row_number() OVER (ORDER BY n DESC, token) AS rank,
+          |    sum(n) OVER (ORDER BY n DESC, token
+          |                 ROWS UNBOUNDED PRECEDING) AS cum_n
+          |  FROM top)
+          |SELECT token, n, CAST(rank AS BIGINT) AS rank,
+          |  n::double / total AS share, cum_n::double / total AS cum_share
+          |FROM r, tot""".stripMargin),
 
       "d_chunks" ->
         ("""WITH toks AS (

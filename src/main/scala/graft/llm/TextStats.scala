@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines: language ID,
@@ -343,5 +344,32 @@ object TextStats {
       idCol.as("doc_id"),
       dl.cast("long").as("dl"),
       round(score, 4).as("bm25"))
+  }
+
+  /** Vocabulary report: the `topK` most frequent whitespace tokens
+    * with rank, corpus share, and cumulative coverage (the "how much
+    * of the stream do the top-N types cover" tokenizer-planning
+    * table). One explode + one partial-agg count per type, then
+    * top-K by per-partition heap merge (TakeOrdered — no global
+    * sort); the rank/cumsum window runs on the K-row result and the
+    * corpus total rides a 1-row broadcast. Shares are single
+    * divisions of exact longs — deterministic across engines, no
+    * rounding needed. Ties break on token text.
+    */
+  def vocabReport(docs: DataFrame, text: Column, topK: Int): DataFrame = {
+    val counts = docs
+      .select(explode(words(text)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    val total = counts.groupBy().agg(sum(col("n")).as("__total"))
+    val w = Window.orderBy(col("n").desc, col("token").asc)
+    counts
+      .orderBy(col("n").desc, col("token").asc).limit(topK)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_n", sum(col("n")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(total))
+      .select(col("token"), col("n"), col("rank"),
+        (col("n").cast("double") / col("__total")).as("share"),
+        (col("cum_n").cast("double") / col("__total")).as("cum_share"))
   }
 }

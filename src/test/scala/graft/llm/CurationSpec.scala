@@ -84,4 +84,17 @@ class CurationSpec extends AnyFunSuite {
     assert(!keep("No terminal punctuation " + ("word " * 20))) // punct floor
     assert(!keep("Too short."))                 // word-count floor
   }
+
+  test("vocabReport ranks by frequency with exact cumulative coverage") {
+    import spark.implicits._
+    // stream: a×5 b×3 c×1 d×1 → total 10
+    val docs = Seq((1L, "a b a b a"), (2L, "a b c a d")).toDF("doc_id", "text")
+    val out = TextStats.vocabReport(docs, col("text"), topK = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(_._3)
+    assert(out.map(t => (t._1, t._2, t._3)).toSeq ==
+      Seq(("a", 5L, 1L), ("b", 3L, 2L), ("c", 1L, 3L))) // c beats d on text
+    assert(out.map(_._4).toSeq == Seq(0.5, 0.3, 0.1))
+    assert(out.map(_._5).toSeq == Seq(0.5, 0.8, 0.9))
+  }
 }
