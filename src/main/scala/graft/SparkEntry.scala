@@ -728,6 +728,13 @@ object SparkEntry {
           col("offset"), col("bin"))
     }),
 
+    // unigram-LM perplexity proxy (KenLM-free quality signal): corpus
+    // as LM, per-doc mean token NLL + perplexity; two partial-agg
+    // counts + one token equi-join, ordered fold for float identity.
+    "d_unigram_ppl" -> ((s, dir) =>
+      TextStats.unigramLogLoss(
+        s.read.parquet(s"$dir/documents.parquet"), col("text"), col("doc_id"))),
+
     // vocabulary/coverage report: top-200 token types with corpus
     // share and cumulative coverage — partial-agg count per type,
     // top-K heap merge (no global sort), windows on the K-row result.
@@ -1992,6 +1999,26 @@ object SparkEntry {
           |  CAST(sum(tokens) OVER (PARTITION BY shard ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tokens AS BIGINT) AS "offset" FROM sh)
           |SELECT doc_id, shard, CAST(pos AS BIGINT) AS pos, tokens, "offset",
           |  CAST(floor("offset" / 512) AS BIGINT) AS bin FROM c""".stripMargin),
+
+      "d_unigram_ppl" ->
+        ("""WITH toks AS (
+          |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+          |  FROM documents),
+          |tf AS (SELECT doc_id, token, count(*)::bigint AS tf
+          |  FROM toks GROUP BY 1, 2),
+          |vocab AS (SELECT token, count(*)::bigint AS n FROM toks GROUP BY 1),
+          |tot AS (SELECT sum(n) AS total FROM vocab),
+          |contrib AS (
+          |  SELECT t.doc_id, t.token, t.tf, t.tf * -ln(v.n::double / total) AS c
+          |  FROM tf t JOIN vocab v USING (token), tot),
+          |agg AS (
+          |  SELECT doc_id, list(c ORDER BY token) AS cs,
+          |         CAST(sum(tf) AS BIGINT) AS dl
+          |  FROM contrib GROUP BY 1)
+          |SELECT doc_id, dl,
+          |  round(list_reduce(cs, (a, b) -> a + b) / dl, 4) + 0 AS nll,
+          |  round(exp(list_reduce(cs, (a, b) -> a + b) / dl), 4) + 0 AS ppl
+          |FROM agg""".stripMargin),
 
       "d_vocab" ->
         ("""WITH toks AS (

@@ -346,6 +346,42 @@ object TextStats {
       round(score, 4).as("bm25"))
   }
 
+  /** Unigram-LM cross-entropy scoring — the KenLM-free perplexity
+    * proxy for quality filtering: the corpus itself is the language
+    * model (`P(w) = count(w) / total`), each document scores its mean
+    * token negative log-likelihood (nats) and its perplexity
+    * `exp(nll)`. Boilerplate scores low, rare-token noise scores
+    * high; filter on either tail.
+    *
+    * Scale shape: two partial-agg counts (per-(doc,token) tf and the
+    * vocab table) + ONE equi-join on token (vocab side is 1 row per
+    * type; AQE handles hot stop-word keys) + one per-doc aggregate.
+    * No broadcast of the vocab is assumed — at corpus scale it can be
+    * billions of types. Float discipline: per-token contributions are
+    * summed by an ordered fold over the token-sorted list (documents
+    * hold few distinct types), and `ln` results round to 4 dp at the
+    * end — `ln` is not correctly-rounded IEEE across engines.
+    */
+  def unigramLogLoss(
+      docs: DataFrame, text: Column, idCol: Column): DataFrame = {
+    val toks = docs.select(idCol.as("doc_id"), explode(words(text)).as("token"))
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("n"))
+    val total = vocab.groupBy().agg(sum(col("n")).as("__total"))
+    val contrib = tf.join(vocab, "token")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("token"), col("tf"),
+        (col("tf") * -log(col("n").cast("double") / col("__total"))).as("c"))
+    val folded = contrib.groupBy("doc_id").agg(
+      sum(col("tf")).as("dl"),
+      aggregate(
+        array_sort(collect_list(struct(col("token"), col("c")))),
+        lit(0.0), (acc, s) => acc + s.getField("c")).as("__nats"))
+    folded.select(col("doc_id"), col("dl"),
+      round(col("__nats") / col("dl"), 4).as("nll"),
+      round(exp(col("__nats") / col("dl")), 4).as("ppl"))
+  }
+
   /** Vocabulary report: the `topK` most frequent whitespace tokens
     * with rank, corpus share, and cumulative coverage (the "how much
     * of the stream do the top-N types cover" tokenizer-planning

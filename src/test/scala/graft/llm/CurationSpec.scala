@@ -85,6 +85,22 @@ class CurationSpec extends AnyFunSuite {
     assert(!keep("Too short."))                 // word-count floor
   }
 
+  test("unigramLogLoss: corpus-as-LM mean NLL and perplexity per doc") {
+    import spark.implicits._
+    // corpus: a×6 b×1 c×1, total 8 → P(a)=3/4, P(b)=P(c)=1/8
+    val docs = Seq((1L, "a a b c"), (2L, "a a a a")).toDF("doc_id", "text")
+    val out = TextStats.unigramLogLoss(docs, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    def r4(x: Double) = math.round(x * 1e4) / 1e4
+    val nll1 = (2 * -math.log(0.75) + 2 * -math.log(0.125)) / 4
+    assert(out(1L) == ((4L, r4(nll1), r4(math.exp(nll1)))))
+    val nll2 = -math.log(0.75)
+    assert(out(2L) == ((4L, r4(nll2), r4(math.exp(nll2)))))
+    // boilerplate (all-common tokens) scores strictly lower
+    assert(out(2L)._2 < out(1L)._2)
+  }
+
   test("vocabReport ranks by frequency with exact cumulative coverage") {
     import spark.implicits._
     // stream: a×5 b×3 c×1 d×1 → total 10
