@@ -728,6 +728,26 @@ object SparkEntry {
           col("offset"), col("bin"))
     }),
 
+    // Unicode dedup-key normalization via the native codegen'd
+    // NormalizeText expression (NFC + strip accents + lower +
+    // collapse ws). The corpus is ASCII, so deterministic accented
+    // suffixes (incl. a decomposed combining sequence) are salted in
+    // from doc_id — both engines identically — to exercise the
+    // Unicode path on every row; map-only, fused with the scan.
+    "d_normalize" -> ((s, dir) => {
+      val suffixes = array(
+        lit("Élan e\u0301lan CAFÉ"), // decomposed combining acute
+        lit("Ünïted Ñandú"),
+        lit("Åse çédille  spaced\tout"),
+        lit("plain ASCII ø"))
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          graft.functions.NormalizeText.column(
+            concat(col("text"), lit(" "),
+              element_at(suffixes, (col("doc_id") % 4).cast("int") + 1)))
+            .as("norm"))
+    }),
+
     // unigram-LM perplexity proxy (KenLM-free quality signal): corpus
     // as LM, per-doc mean token NLL + perplexity; two partial-agg
     // counts + one token equi-join, ordered fold for float identity.
@@ -1999,6 +2019,17 @@ object SparkEntry {
           |  CAST(sum(tokens) OVER (PARTITION BY shard ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tokens AS BIGINT) AS "offset" FROM sh)
           |SELECT doc_id, shard, CAST(pos AS BIGINT) AS pos, tokens, "offset",
           |  CAST(floor("offset" / 512) AS BIGINT) AS bin FROM c""".stripMargin),
+
+      "d_normalize" ->
+        ("""SELECT doc_id,
+          |  trim(regexp_replace(lower(strip_accents(nfc_normalize(
+          |    text || ' ' ||
+          |    CASE doc_id % 4
+          |      WHEN 0 THEN 'Élan e' || chr(769) || 'lan CAFÉ'
+          |      WHEN 1 THEN 'Ünïted Ñandú'
+          |      WHEN 2 THEN 'Åse çédille  spaced' || chr(9) || 'out'
+          |      ELSE 'plain ASCII ø' END))), '\s+', ' ', 'g')) AS norm
+          |FROM documents""".stripMargin),
 
       "d_unigram_ppl" ->
         ("""WITH toks AS (
