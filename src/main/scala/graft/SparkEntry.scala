@@ -828,6 +828,19 @@ object SparkEntry {
           col("neighbor_id"), col("sim"))
     }),
 
+    // ANN self-evaluation: recall@5 of the IVF path against the brute
+    // ground truth on the same probes — the nprobe-tuning harness as
+    // a first-class query (both sides result-sized).
+    "e_ivf_recall" -> ((s, dir) => {
+      val vecs = s.read.parquet(s"$dir/embeddings.parquet")
+      val centroids = vecs.where(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+      val queries = vecs.where(col("vec_id") < 5)
+      Similarity.recallAtK(
+        Similarity.ivfSearch(vecs, centroids, queries, k = 5, nprobe = 2),
+        Similarity.bruteKnn(vecs, queries, k = 5), k = 5)
+    }),
+
     "e_neardup" -> ((s, dir) =>
       Similarity.embeddingNearDups(
         s.read.parquet(s"$dir/embeddings.parquet"), threshold = 0.3, bits = 8)),
@@ -2175,6 +2188,41 @@ object SparkEntry {
            |   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored)
            |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(sim, 4) + 0 AS sim
            |FROM ranked WHERE rank <= 5""".stripMargin),
+
+      "e_ivf_recall" ->
+        (s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cent FROM embeddings WHERE vec_id < 8),
+           | cscored AS (SELECT a.vec_id, c.centroid_id,
+           |   list_sum(list_transform(generate_series(1, len(a.embedding)), i -> a.embedding[i]::double * c.cent[i]::double)) /
+           |   (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)), i -> a.embedding[i]::double * a.embedding[i]::double))) *
+           |    sqrt(list_sum(list_transform(generate_series(1, len(c.cent)), i -> c.cent[i]::double * c.cent[i]::double)))) AS sim
+           |   FROM embeddings a, cents c),
+           | assign AS (SELECT vec_id AS neighbor_id, centroid_id FROM (
+           |   SELECT vec_id, centroid_id, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id ASC) AS rank FROM cscored) r
+           |   WHERE rank = 1),
+           | probes AS (SELECT vec_id AS query_id, centroid_id FROM (
+           |   SELECT vec_id, centroid_id, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id ASC) AS rank FROM cscored WHERE vec_id < 5) r
+           |   WHERE rank <= 2),
+           | cand AS (SELECT p.query_id, s.neighbor_id FROM probes p
+           |   JOIN assign s ON s.centroid_id = p.centroid_id AND p.query_id <> s.neighbor_id),
+           | iscored AS (SELECT c.query_id, c.neighbor_id, $cosine AS sim
+           |   FROM cand c JOIN embeddings a ON a.vec_id = c.query_id
+           |   JOIN embeddings b ON b.vec_id = c.neighbor_id),
+           | ivf AS (SELECT query_id, neighbor_id FROM (
+           |   SELECT query_id, neighbor_id,
+           |     row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM iscored) r
+           |   WHERE rank <= 5),
+           | bscored AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $cosine AS sim
+           |   FROM embeddings a JOIN embeddings b ON a.vec_id < 5 AND a.vec_id <> b.vec_id),
+           | brute AS (SELECT query_id, neighbor_id FROM (
+           |   SELECT query_id, neighbor_id,
+           |     row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM bscored) r
+           |   WHERE rank <= 5),
+           | hits AS (SELECT i.query_id, count(*)::bigint AS hits
+           |   FROM ivf i JOIN brute b USING (query_id, neighbor_id) GROUP BY 1)
+           |SELECT q.query_id, coalesce(h.hits, 0)::bigint AS hits,
+           |  coalesce(h.hits, 0)::double / 5 AS recall
+           |FROM (SELECT DISTINCT query_id FROM brute) q
+           |LEFT JOIN hits h USING (query_id)""".stripMargin),
 
       "e_pq_search" ->
         ("""WITH subs AS (

@@ -502,4 +502,25 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("d2"), 4).as("d2"))
   }
+
+  /** Recall@k of an approximate ANN result against exact ground truth
+    * — the self-evaluation harness for tuning nprobe/bits/tables:
+    * per-query `|approx ∩ exact| / k`. Both inputs are result-sized
+    * ((queries × k) rows), so the semi-join and count are trivial at
+    * any corpus scale; queries the approximate pass missed entirely
+    * still report (recall 0) via the left join from the exact side.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val hits = approx.select(col("query_id"), col("neighbor_id"))
+      .join(exact.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    exact.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        (coalesce(col("hits"), lit(0L)).cast("double") / lit(k.toDouble))
+          .as("recall"))
+  }
 }
