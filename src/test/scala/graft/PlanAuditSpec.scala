@@ -45,6 +45,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "p_query_topk_by", "p_query_scalar", "p_query_scalar_arith",
     "p_query_timestamp", "p_query_absent_ot", "p_query_mad",
     "p_query_atan2", "p_query_trig", "d_mixture",
+    // round-8 batch 2: ratio filter, calendar fns, chunking, vocab,
+    // unigram LM, normalization, ANN recall eval
+    "p_query_limit_ratio", "p_query_datefns", "p_query_date_vec",
+    "d_chunks", "d_normalize",
     // duplicate-span stats: one explode + two-level hash agg + join-back
     "d_dup_spans",
     // PQ/ADC: codebooks + query LUTs broadcast, one (sub, code) join
@@ -64,7 +68,13 @@ class PlanAuditSpec extends AnyFunSuite {
   // corpus — a broadcast nested-loop is their correct shape; the
   // shape that must never appear is a distributed CartesianProduct
   // (both sides shuffled, no broadcast bound).
-  for (name <- Seq("e_knn_brute", "e_ivf_search")) {
+  // d_vocab / d_unigram_ppl / e_ivf_recall additionally cross a 1-row
+  // broadcast scalar (corpus total) or ride bruteKnn's broadcast
+  // query batch — a broadcast nested-loop over a 1-row/K-row side is
+  // their correct shape, so they audit here rather than in the strict
+  // no-BNLJ list above.
+  for (name <- Seq("e_knn_brute", "e_ivf_search", "d_vocab",
+      "d_unigram_ppl", "e_ivf_recall")) {
     test(s"$name: all-pairs stage is broadcast-bounded, never a distributed cartesian") {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"CartesianProduct in $name")
@@ -106,6 +116,35 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("d_dup_spans")
     assert(!p.contains("Window"), "Window over content-hash key in d_dup_spans")
     assert(p.contains("HashAggregate"), "expected hash aggregates in d_dup_spans")
+  }
+
+  test("d_chunks: chunking is map-only — no shuffle at any corpus scale") {
+    val p = plan("d_chunks")
+    assert(!p.contains("Exchange"), s"shuffle in d_chunks:\n$p")
+  }
+
+  test("d_normalize: normalization fuses into the scan, map-only") {
+    val p = plan("d_normalize")
+    assert(!p.contains("Exchange"), s"shuffle in d_normalize:\n$p")
+    assert(p.contains("normalize_text"), "native expression not in plan")
+  }
+
+  test("d_vocab: top-K is a heap merge, never a global sort of the vocab") {
+    // the vocabulary can be billions of types at corpus scale — the
+    // top-K must be TakeOrdered (per-partition heaps + driver merge
+    // of K rows), not a range-partitioned global Sort
+    val p = plan("d_vocab")
+    assert(p.contains("TakeOrderedAndProject"), s"no heap top-K in d_vocab:\n$p")
+  }
+
+  test("d_unigram_ppl: vocab joins by hash equi-join, no broadcast assumption") {
+    // the vocab table is corpus-sized (billions of types at 100 TB);
+    // the token join must be a shuffled equi-join AQE can skew-split,
+    // and the only broadcast is the 1-row corpus total
+    val p = plan("d_unigram_ppl")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"no equi-join in d_unigram_ppl:\n$p")
+    assert(!p.contains("CartesianProduct"), "cartesian in d_unigram_ppl")
   }
 
   test("p_query_histq: bucket regroup is one hash aggregate, no join after the matrix") {
