@@ -828,6 +828,15 @@ object SparkEntry {
           col("neighbor_id"), col("sim"))
     }),
 
+    // SemDeDup: cluster-scoped embedding near-dup pruning — pair
+    // generation bounded to the cluster key equi-join, keep-lowest-id.
+    "d_semdedup" -> ((s, dir) => {
+      val vecs = s.read.parquet(s"$dir/embeddings.parquet")
+      val centroids = vecs.where(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+      Similarity.semanticDedup(vecs, centroids, threshold = 0.3)
+    }),
+
     // ANN self-evaluation: recall@5 of the IVF path against the brute
     // ground truth on the same probes — the nprobe-tuning harness as
     // a first-class query (both sides result-sized).
@@ -2188,6 +2197,25 @@ object SparkEntry {
            |   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored)
            |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(sim, 4) + 0 AS sim
            |FROM ranked WHERE rank <= 5""".stripMargin),
+
+      "d_semdedup" ->
+        (s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cent FROM embeddings WHERE vec_id < 8),
+           | cscored AS (SELECT a.vec_id, c.centroid_id,
+           |   list_sum(list_transform(generate_series(1, len(a.embedding)), i -> a.embedding[i]::double * c.cent[i]::double)) /
+           |   (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)), i -> a.embedding[i]::double * a.embedding[i]::double))) *
+           |    sqrt(list_sum(list_transform(generate_series(1, len(c.cent)), i -> c.cent[i]::double * c.cent[i]::double)))) AS sim
+           |   FROM embeddings a, cents c),
+           | assign AS (SELECT vec_id, centroid_id FROM (
+           |   SELECT vec_id, centroid_id, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id ASC) AS rank FROM cscored) r
+           |   WHERE rank = 1),
+           | dropped AS (SELECT DISTINCT y.vec_id FROM assign x
+           |   JOIN assign y ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+           |   JOIN embeddings a ON a.vec_id = x.vec_id
+           |   JOIN embeddings b ON b.vec_id = y.vec_id
+           |   WHERE $cosine >= 0.3)
+           |SELECT s.vec_id, s.centroid_id FROM assign s
+           |LEFT JOIN dropped d ON s.vec_id = d.vec_id
+           |WHERE d.vec_id IS NULL""".stripMargin),
 
       "e_ivf_recall" ->
         (s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cent FROM embeddings WHERE vec_id < 8),

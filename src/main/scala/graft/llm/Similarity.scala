@@ -503,6 +503,40 @@ object Similarity {
         round(col("d2"), 4).as("d2"))
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster embeddings with a coarse centroid
+    * table, then drop every vector that has a lower-id neighbor above
+    * `threshold` cosine INSIDE its cluster — near-duplicate pruning
+    * whose pair generation is bounded to Σ|cluster|² by the
+    * cluster-key equi-join, never the corpus square. Returns the
+    * survivors as (vec_id, centroid_id).
+    *
+    * Divergence from the paper: the paper keeps a random member of
+    * each duplicate set; this keeps the LOWEST id (deterministic for
+    * the oracle and idempotent across reruns). Assignment ties break
+    * on centroid id like [[ivfAssign]].
+    */
+  def semanticDedup(
+      vectors: DataFrame,
+      centroids: DataFrame,
+      threshold: Double,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val assign = ivfAssign(vectors, centroids, idCol, embCol)
+      .select(col(idCol), col("centroid_id"))
+    val keyed = vectors.select(col(idCol).as("id"), col(embCol).as("emb"))
+      .join(assign.select(col(idCol).as("id"), col("centroid_id")), Seq("id"))
+    val a = keyed.select(col("id").as("id_a"), col("emb").as("emb_a"),
+      col("centroid_id"))
+    val b = keyed.select(col("id").as("id_b"), col("emb").as("emb_b"),
+      col("centroid_id"))
+    val dropped = a.join(b, Seq("centroid_id"))
+      .where(col("id_a") < col("id_b"))
+      .where(cosine(col("emb_a"), col("emb_b")) >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    assign.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** Recall@k of an approximate ANN result against exact ground truth
     * — the self-evaluation harness for tuning nprobe/bits/tables:
     * per-query `|approx ∩ exact| / k`. Both inputs are result-sized

@@ -79,4 +79,32 @@ class RecallSpec extends AnyFunSuite {
       assert((i, j) == Similarity.planeCoords(t, b, 64))
     }
   }
+
+  test("semanticDedup: keep-lowest-id within a cluster, cluster-scoped") {
+    import spark.implicits._
+    // centroids pull rows into two clean clusters on axis 0 vs axis 1
+    val cents = Seq((0L, Array(1f, 0f, 0f)), (1L, Array(0f, 1f, 0f)))
+      .toDF("centroid_id", "centroid")
+    val vecs = Seq(
+      (10L, Array(1f, 0.1f, 0f)),   // cluster 0
+      (11L, Array(1f, 0.1f, 0f)),   // exact dup of 10 → dropped
+      (12L, Array(1f, -0.9f, 0f)),  // cluster 0, far from 10 → kept
+      (20L, Array(0.1f, 1f, 0f)),   // cluster 1
+      (21L, Array(1f, 0.1f, 0.001f))// near-dup of 10 but lands cluster 0→dropped
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(vecs, cents, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((10L, 0L), (12L, 0L), (20L, 1L)))
+    // assignment ties break to the lowest centroid id, so two
+    // identical vectors equidistant from both centroids land in ONE
+    // cluster and dedup against each other
+    val cross = Seq(
+      (1L, Array(0.9f, 0.9f, 0f)), (2L, Array(0.9f, 0.9f, 0f)))
+      .toDF("vec_id", "embedding")
+    val cents2 = Seq((0L, Array(1f, 0.8f, 0f)), (1L, Array(0.8f, 1f, 0f)))
+      .toDF("centroid_id", "centroid")
+    val same = Similarity.semanticDedup(cross, cents2, threshold = 0.95)
+      .collect().map(_.getLong(0)).toSet
+    assert(same == Set(1L))
+  }
 }
