@@ -341,7 +341,12 @@ class PromQLSpec extends AnyFunSuite {
     assert(PromQL.parse("hour()") == Right(PromQL.DateFn("hour")))
     assert(PromQL.parse("minute()") == Right(PromQL.DateFn("minute")))
     assert(PromQL.parse("day_of_week()") == Right(PromQL.DateFn("day_of_week")))
-    assert(PromQL.parse("hour(m)").isLeft)
+    // vector-arg form maps sample values through the component
+    assert(PromQL.parse("hour(m)") == Right(PromQL.DateFn("hour",
+      Some(PromQL.Selector(Seq(("__name__", "=", "m")))))))
+    assert(PromQL.parse("month()") == Right(PromQL.DateFn("month")))
+    assert(PromQL.parse("days_in_month()") ==
+      Right(PromQL.DateFn("days_in_month")))
     // the maintenance-window idiom parses end to end
     assert(PromQL.parse("m > 50 and on() (hour() >= 6)").isRight)
   }
