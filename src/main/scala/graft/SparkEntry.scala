@@ -869,6 +869,19 @@ object SparkEntry {
           col("neighbor_id"), col("d2"))
     }),
 
+    // IVF-PQ composed search: cell-bounded candidates × ADC scoring —
+    // the FAISS serving shape; candidates never touch raw vectors.
+    "e_ivfpq_search" -> ((s, dir) => {
+      val vecs = s.read.parquet(s"$dir/embeddings.parquet")
+      val centroids = vecs.where(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+      val books = Similarity.pqTrain(vecs, m = 8, k = 8, iters = 0, dim = 64)
+      Similarity.ivfPqSearch(vecs, centroids, books,
+          vecs.where(col("vec_id") < 5), k = 5, m = 8, dim = 64, nprobe = 3)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("d2"))
+    }),
+
     "d_cluster_dedup" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       val pairs = Dedup.minhashNearDups(docs, col("text"), col("doc_id"), threshold = 0.5)
@@ -2278,6 +2291,48 @@ object SparkEntry {
           |  row_number() OVER (PARTITION BY query_id ORDER BY d2 ASC, neighbor_id ASC) AS rank FROM scored)
           |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(d2, 4) + 0 AS d2
           |FROM ranked WHERE rank <= 5""".stripMargin),
+
+      "e_ivfpq_search" ->
+        (s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cent FROM embeddings WHERE vec_id < 8),
+           | cscored AS (SELECT a.vec_id, c.centroid_id,
+           |   list_sum(list_transform(generate_series(1, len(a.embedding)), i -> a.embedding[i]::double * c.cent[i]::double)) /
+           |   (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)), i -> a.embedding[i]::double * a.embedding[i]::double))) *
+           |    sqrt(list_sum(list_transform(generate_series(1, len(c.cent)), i -> c.cent[i]::double * c.cent[i]::double)))) AS sim
+           |   FROM embeddings a, cents c),
+           | assign AS (SELECT vec_id AS neighbor_id, centroid_id FROM (
+           |   SELECT vec_id, centroid_id, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id ASC) AS rank FROM cscored) r
+           |   WHERE rank = 1),
+           | probes AS (SELECT vec_id AS query_id, centroid_id FROM (
+           |   SELECT vec_id, centroid_id, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id ASC) AS rank FROM cscored WHERE vec_id < 5) r
+           |   WHERE rank <= 3),
+           | cand AS (SELECT p.query_id, s.neighbor_id FROM probes p
+           |   JOIN assign s ON s.centroid_id = p.centroid_id AND p.query_id <> s.neighbor_id),
+           | subs AS (
+           |  SELECT vec_id, s.sub, embedding[s.sub*8+1 : s.sub*8+8] AS semb
+           |  FROM embeddings, (SELECT unnest(generate_series(0, 7)) AS sub) s),
+           | cb AS (SELECT sub, vec_id AS cid, semb AS cent FROM subs WHERE vec_id < 8),
+           | enc AS (
+           |  SELECT vec_id AS neighbor_id, sub, cid AS code FROM (
+           |    SELECT v.vec_id, v.sub, c.cid,
+           |      row_number() OVER (PARTITION BY v.vec_id, v.sub ORDER BY
+           |        list_sum(list_transform(generate_series(1, 8), i -> (v.semb[i]::double - c.cent[i]::double) * (v.semb[i]::double - c.cent[i]::double))) ASC,
+           |        c.cid ASC) AS rk
+           |    FROM subs v JOIN cb c ON c.sub = v.sub) r
+           |  WHERE rk = 1),
+           | lut AS (
+           |  SELECT v.vec_id AS query_id, v.sub, c.cid AS code,
+           |    list_sum(list_transform(generate_series(1, 8), i -> (v.semb[i]::double - c.cent[i]::double) * (v.semb[i]::double - c.cent[i]::double))) AS pd2
+           |  FROM subs v JOIN cb c ON c.sub = v.sub WHERE v.vec_id < 5),
+           | scored AS (
+           |  SELECT l.query_id, e.neighbor_id, list_sum(list(l.pd2 ORDER BY l.sub)) AS d2
+           |  FROM cand x
+           |  JOIN enc e ON e.neighbor_id = x.neighbor_id
+           |  JOIN lut l ON l.query_id = x.query_id AND l.sub = e.sub AND l.code = e.code
+           |  GROUP BY 1, 2),
+           | ranked AS (SELECT query_id, neighbor_id, d2,
+           |  row_number() OVER (PARTITION BY query_id ORDER BY d2 ASC, neighbor_id ASC) AS rank FROM scored)
+           |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(d2, 4) + 0 AS d2
+           |FROM ranked WHERE rank <= 5""".stripMargin),
 
       "e_neardup" ->
         (s"""WITH keyed AS (SELECT vec_id, embedding,

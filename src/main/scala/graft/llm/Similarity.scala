@@ -503,6 +503,68 @@ object Similarity {
         round(col("d2"), 4).as("d2"))
   }
 
+  /** IVF-PQ search — the FAISS-style composition of the coarse index
+    * and the compressed scorer: queries probe their `nprobe` nearest
+    * cells ([[ivfAssign]] keys the stored side), candidates come from
+    * ONE equi-join on `centroid_id`, and ONLY those candidates are
+    * scored with PQ asymmetric distance against the broadcast query
+    * LUT. Raw corpus vectors are touched once at build time
+    * ([[pqEncode]]); search reads m codes per candidate. At 100 TB
+    * this is the serving shape: cell-bounded candidate generation
+    * (like [[ivfSearch]]) times O(m)-byte scoring (like [[pqSearch]])
+    * — neither a corpus-wide ADC pass nor raw-vector reads.
+    */
+  def ivfPqSearch(
+      vectors: DataFrame,
+      centroids: DataFrame,
+      codebooks: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      m: Int,
+      dim: Int,
+      nprobe: Int = 1,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val cents = broadcast(centroids.select(col("centroid_id"), col("centroid")))
+    val assign = ivfAssign(vectors, centroids, idCol, embCol)
+      .select(col(idCol).as("neighbor_id"), col("centroid_id"))
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(col("c_sim").desc, col("centroid_id").asc)
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
+      .join(cents)
+      .withColumn("c_sim", cosine(col("q_emb"), col("centroid")))
+      .withColumn("c_rank", row_number().over(probeW))
+      .where(col("c_rank") <= nprobe)
+      .select(col("query_id"), col("centroid_id"))
+    val cand = assign.join(broadcast(probes), Seq("centroid_id"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    val corpus = pqEncode(vectors, codebooks, m, dim, idCol, embCol)
+      .select(col(idCol).as("neighbor_id"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+      .select(col("neighbor_id"), col("sub").cast("long").as("sub"), col("code"))
+    val lut = subVectors(queries, m, dim, idCol, embCol)
+      .join(broadcast(codebooks), Seq("sub"))
+      .select(col("vid").as("query_id"), col("sub"),
+        col("centroid_id").as("code"), l2sq(col("semb"), col("centroid")).as("pd2"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("d2").asc, col("neighbor_id").asc)
+    cand
+      .join(corpus, Seq("neighbor_id"))
+      .join(broadcast(lut), Seq("query_id", "sub", "code"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(aggregate(
+        transform(
+          array_sort(collect_list(struct(col("sub"), col("pd2")))),
+          e => e.getField("pd2")),
+        lit(0.0), (acc, v) => acc + v).as("d2"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("d2"), 4).as("d2"))
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023,
     * arXiv:2303.09540): cluster embeddings with a coarse centroid
     * table, then drop every vector that has a lower-id neighbor above

@@ -76,4 +76,33 @@ class PQSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(ids == Seq(1000L, 1007L, 1014L, 1021L), ids.toString)
   }
+
+  test("ivfPqSearch with all cells probed equals the corpus-wide ADC pass") {
+    // nprobe = #centroids → the candidate set is the whole corpus
+    // minus self, so IVF-PQ must reproduce pqSearch exactly; any
+    // smaller nprobe only drops candidates, never re-scores them
+    val centroids = vecs.where(col("vec_id") < 4)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+    val books = Similarity.pqTrain(vecs, m = 8, k = 8, iters = 0, dim = 64)
+    val codes = Similarity.pqEncode(vecs, books, m = 8, dim = 64)
+    val queries = vecs.where(col("vec_id") < 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "neighbor_id", "d2")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3))).toSet
+    val full = rows(Similarity.pqSearch(codes, books, queries,
+      k = 5, m = 8, dim = 64))
+    val ivfpq = rows(Similarity.ivfPqSearch(vecs, centroids, books, queries,
+      k = 5, m = 8, dim = 64, nprobe = 4))
+    assert(ivfpq == full)
+    // tighter probing drops candidates but never re-scores them:
+    // every (query, neighbor, d2) it returns appears verbatim in the
+    // corpus-wide ADC ranking
+    val allAdc = rows(Similarity.pqSearch(codes, books, queries,
+      k = 20, m = 8, dim = 64)).map(t => (t._1, t._3, t._4))
+    val narrow = rows(Similarity.ivfPqSearch(vecs, centroids, books, queries,
+      k = 5, m = 8, dim = 64, nprobe = 1))
+    assert(narrow.nonEmpty)
+    assert(narrow.forall(t => allAdc.contains((t._1, t._3, t._4))))
+  }
 }
