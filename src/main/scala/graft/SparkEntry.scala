@@ -748,6 +748,29 @@ object SparkEntry {
             .as("norm"))
     }),
 
+    // Gopher hard-threshold quality rules (word window, symbol ratio,
+    // bullet/ellipsis lines, alpha words, stopword presence) — the
+    // rule-based companion to d_quality's blended score; map-only.
+    "d_gopher" -> ((s, dir) => {
+      // the synthetic corpus has no English stopwords, so a third of
+      // the docs get the required set salted in (both engines
+      // identically) — the keep decision then varies on real signals
+      val t = when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" the be to of and that have with")))
+        .otherwise(col("text"))
+      val Seq(n, meanLen, symbol, bullet, ellipsis, alpha, stops) =
+        TextStats.gopherSignals(t)
+      s.read.parquet(s"$dir/documents.parquet").select(
+        col("doc_id"), n,
+        round(meanLen, 4).as("mean_word_len"),
+        round(symbol, 4).as("symbol_ratio"),
+        round(bullet, 4).as("bullet_line_ratio"),
+        round(ellipsis, 4).as("ellipsis_line_ratio"),
+        round(alpha, 4).as("alpha_word_ratio"),
+        stops,
+        TextStats.gopherKeep(t).as("keep"))
+    }),
+
     // unigram-LM perplexity proxy (KenLM-free quality signal): corpus
     // as LM, per-doc mean token NLL + perplexity; two partial-agg
     // counts + one token equi-join, ordered fold for float identity.
@@ -2054,6 +2077,49 @@ object SparkEntry {
           |  CAST(sum(tokens) OVER (PARTITION BY shard ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tokens AS BIGINT) AS "offset" FROM sh)
           |SELECT doc_id, shard, CAST(pos AS BIGINT) AS pos, tokens, "offset",
           |  CAST(floor("offset" / 512) AS BIGINT) AS bin FROM c""".stripMargin),
+
+      "d_gopher" ->
+        ("""WITH salted AS (
+          |  SELECT doc_id, CASE WHEN doc_id % 3 = 0
+          |    THEN text || ' the be to of and that have with'
+          |    ELSE text END AS text
+          |  FROM documents),
+          |sig AS (
+          |  SELECT doc_id,
+          |    string_split_regex(trim(text), '\s+') AS ws,
+          |    string_split_regex(trim(lower(text)), '\s+') AS lws,
+          |    list_filter(list_transform(string_split(text, chr(10)),
+          |      l -> trim(l)), l -> l <> '') AS lines,
+          |    len(regexp_replace(text, '\s', '', 'g'))::double AS nospace,
+          |    (len(text) - len(regexp_replace(text, '#|\.\.\.|…', '', 'g')))::double AS symbols
+          |  FROM salted),
+          |r AS (
+          |  SELECT doc_id,
+          |    len(ws)::bigint AS n_words,
+          |    nospace / greatest(len(ws), 1) AS mean_word_len,
+          |    symbols / greatest(len(ws), 1) AS symbol_ratio,
+          |    len(list_filter(lines, l -> regexp_matches(l, '^[•\-\*]')))::double
+          |      / greatest(len(lines), 1) AS bullet_line_ratio,
+          |    len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)$')))::double
+          |      / greatest(len(lines), 1) AS ellipsis_line_ratio,
+          |    len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))::double
+          |      / greatest(len(ws), 1) AS alpha_word_ratio,
+          |    len(list_filter(['the','be','to','of','and','that','have','with'],
+          |      s -> list_contains(lws, s)))::bigint AS stop_hits
+          |  FROM sig)
+          |SELECT doc_id, n_words,
+          |  round(mean_word_len, 4) + 0 AS mean_word_len,
+          |  round(symbol_ratio, 4) + 0 AS symbol_ratio,
+          |  round(bullet_line_ratio, 4) + 0 AS bullet_line_ratio,
+          |  round(ellipsis_line_ratio, 4) + 0 AS ellipsis_line_ratio,
+          |  round(alpha_word_ratio, 4) + 0 AS alpha_word_ratio,
+          |  stop_hits,
+          |  (n_words >= 50 AND n_words <= 100000
+          |   AND mean_word_len >= 3 AND mean_word_len <= 10
+          |   AND symbol_ratio <= 0.1::double AND bullet_line_ratio <= 0.9::double
+          |   AND ellipsis_line_ratio <= 0.3::double
+          |   AND alpha_word_ratio >= 0.8::double AND stop_hits >= 2) AS keep
+          |FROM r""".stripMargin),
 
       "d_normalize" ->
         ("""SELECT doc_id,

@@ -346,6 +346,59 @@ object TextStats {
       round(score, 4).as("bm25"))
   }
 
+  /** Gopher quality rules (Rae et al. 2021, arXiv:2112.11446 §A1.1) —
+    * the hard-threshold filter family, complementary to the blended
+    * [[qualityScore]]: word-count window, mean word length window,
+    * symbol-to-word ratio (#/ellipsis), bullet-start and
+    * ellipsis-end line fractions, alphabetic-word fraction, and a
+    * required-stopword presence count. Returns the signal columns
+    * plus the `keep` decision; thresholds are the paper's. All
+    * in-row column expressions — a map-only pass at any scale.
+    * Comparisons run on the RAW ratios (filtering on display-rounded
+    * values misclassifies boundary docs, the [[qualityScoreRaw]]
+    * lesson).
+    */
+  def gopherSignals(text: Column): Seq[Column] = {
+    val ws = words(text)
+    val n = size(ws).cast("double")
+    val lines0 = filter(transform(split(text, "\n"), l => trim(l)), l => l =!= "")
+    val nLines = greatest(size(lines0), lit(1)).cast("double")
+    val meanLen = length(regexp_replace(text, "\\s", "")).cast("double") /
+      greatest(n, lit(1.0))
+    val symbols = (length(text) -
+      length(regexp_replace(text, "#|\\.\\.\\.|…", ""))).cast("double")
+    val bulletFrac = size(filter(lines0,
+      l => l.rlike("^[•\\-\\*]"))).cast("double") / nLines
+    val ellipsisFrac = size(filter(lines0,
+      l => l.rlike("(\\.\\.\\.|…)$"))).cast("double") / nLines
+    val alphaFrac = size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("double") /
+      greatest(n, lit(1.0))
+    val required = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val stopHits = size(filter(
+      array(required.map(lit): _*), s => array_contains(words(lower(text)), s)))
+    Seq(n.cast("long").as("n_words"), meanLen.as("mean_word_len"),
+      (symbols / greatest(n, lit(1.0))).as("symbol_ratio"),
+      bulletFrac.as("bullet_line_ratio"),
+      ellipsisFrac.as("ellipsis_line_ratio"),
+      alphaFrac.as("alpha_word_ratio"),
+      stopHits.cast("long").as("stop_hits"))
+  }
+
+  /** The Gopher keep decision over [[gopherSignals]] (same column
+    * order): thresholds from the paper — 50 ≤ words ≤ 100 000, mean
+    * word length in [3, 10], symbol ratio ≤ 0.1, ≤ 90% bullet lines,
+    * ≤ 30% ellipsis lines, ≥ 80% alphabetic words, ≥ 2 required
+    * stopwords.
+    */
+  def gopherKeep(text: Column): Column = {
+    val s = gopherSignals(text)
+    val Seq(n, meanLen, symbol, bullet, ellipsis, alpha, stops) = s
+    (n >= 50L) && (n <= 100000L) &&
+      (meanLen >= 3.0) && (meanLen <= 10.0) &&
+      (symbol <= 0.1) && (bullet <= 0.9) && (ellipsis <= 0.3) &&
+      (alpha >= 0.8) && (stops >= 2L)
+  }
+
   /** Unigram-LM cross-entropy scoring — the KenLM-free perplexity
     * proxy for quality filtering: the corpus itself is the language
     * model (`P(w) = count(w) / total`), each document scores its mean

@@ -123,6 +123,11 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"shuffle in d_chunks:\n$p")
   }
 
+  test("d_gopher: rule evaluation is map-only") {
+    val p = plan("d_gopher")
+    assert(!p.contains("Exchange"), s"shuffle in d_gopher:\n$p")
+  }
+
   test("d_normalize: normalization fuses into the scan, map-only") {
     val p = plan("d_normalize")
     assert(!p.contains("Exchange"), s"shuffle in d_normalize:\n$p")

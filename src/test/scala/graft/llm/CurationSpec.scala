@@ -85,6 +85,26 @@ class CurationSpec extends AnyFunSuite {
     assert(!keep("Too short."))                 // word-count floor
   }
 
+  test("gopher rules: each threshold drops its own degenerate doc") {
+    import spark.implicits._
+    def keep(t: String): Boolean = Seq(t).toDF("text")
+      .select(TextStats.gopherKeep(col("text")).as("k"))
+      .collect().head.getBoolean(0)
+    val good = ("the be to of " + ("plain word " * 30)).trim
+    assert(keep(good))
+    assert(!keep("the be too short"))                       // < 50 words
+    assert(!keep(("the be " + ("# " * 60)).trim))           // symbols + word len
+    // 3 long lines, each ellipsis-terminated: line fraction 1.0 trips
+    // while the symbol ratio (3/60) stays under its own threshold
+    assert(!keep(Seq.fill(3)("the be to of " + ("word " * 16).trim + "…")
+      .mkString("\n")))
+    val bullets = ("the be to of " + ("word " * 50)).trim
+      .split(" ").map("- " + _).mkString("\n")
+    assert(!keep(bullets))                                  // all bullet lines
+    assert(!keep(("the be " + ("1234 " * 60)).trim))        // numeric words
+    assert(!keep(("plain " * 60).trim))                     // no required stopwords
+  }
+
   test("unigramLogLoss: corpus-as-LM mean NLL and perplexity per doc") {
     import spark.implicits._
     // corpus: a×6 b×1 c×1, total 8 → P(a)=3/4, P(b)=P(c)=1/8
