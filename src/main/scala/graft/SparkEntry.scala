@@ -778,6 +778,15 @@ object SparkEntry {
       TextStats.unigramLogLoss(
         s.read.parquet(s"$dir/documents.parquet"), col("text"), col("doc_id"))),
 
+    // held-out bigram LM with Stupid Backoff: train on the even-id
+    // half, score everything — unseen bigrams take the real backoff
+    // path; three shuffled equi-joins, no LM broadcast.
+    "d_bigram_ppl" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      TextStats.bigramLogLoss(
+        docs.where(col("doc_id") % 2 === 0), docs, col("text"), col("doc_id"))
+    }),
+
     // vocabulary/coverage report: top-200 token types with corpus
     // share and cumulative coverage — partial-agg count per type,
     // top-K heap merge (no global sort), windows on the K-row result.
@@ -2146,6 +2155,43 @@ object SparkEntry {
           |agg AS (
           |  SELECT doc_id, list(c ORDER BY token) AS cs,
           |         CAST(sum(tf) AS BIGINT) AS dl
+          |  FROM contrib GROUP BY 1)
+          |SELECT doc_id, dl,
+          |  round(list_reduce(cs, (a, b) -> a + b) / dl, 4) + 0 AS nll,
+          |  round(exp(list_reduce(cs, (a, b) -> a + b) / dl), 4) + 0 AS ppl
+          |FROM agg""".stripMargin),
+
+      "d_bigram_ppl" ->
+        ("""WITH toks AS (
+          |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+          |  FROM documents),
+          |tr AS (SELECT * FROM toks WHERE doc_id % 2 = 0),
+          |uni AS (
+          |  SELECT w, count(*)::bigint AS n_w
+          |  FROM (SELECT unnest(ws) AS w FROM tr) GROUP BY 1),
+          |tot AS (SELECT sum(n_w) AS total, count(*)::bigint AS vsize FROM uni),
+          |bigtr AS (
+          |  SELECT ws[i] AS w1, ws[i+1] AS w2, count(*)::bigint AS n_b FROM (
+          |    SELECT ws, unnest(range(1, len(ws))) AS i FROM tr
+          |    WHERE len(ws) >= 2)
+          |  GROUP BY 1, 2),
+          |big AS (
+          |  SELECT doc_id, i AS pos, ws[i] AS w1, ws[i+1] AS w2 FROM (
+          |    SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM toks
+          |    WHERE len(ws) >= 2)),
+          |contrib AS (
+          |  SELECT b.doc_id, b.pos,
+          |    -ln(CASE WHEN bt.n_b IS NOT NULL
+          |          THEN bt.n_b::double / u1.n_w
+          |          ELSE 0.4::double * (coalesce(u2.n_w, 0) + 1) / (total + vsize)
+          |        END) AS c
+          |  FROM big b
+          |  LEFT JOIN bigtr bt ON bt.w1 = b.w1 AND bt.w2 = b.w2
+          |  LEFT JOIN uni u1 ON u1.w = b.w1
+          |  LEFT JOIN uni u2 ON u2.w = b.w2, tot),
+          |agg AS (
+          |  SELECT doc_id, list(c ORDER BY pos) AS cs,
+          |         count(*)::bigint AS dl
           |  FROM contrib GROUP BY 1)
           |SELECT doc_id, dl,
           |  round(list_reduce(cs, (a, b) -> a + b) / dl, 4) + 0 AS nll,

@@ -435,6 +435,63 @@ object TextStats {
       round(exp(col("__nats") / col("dl")), 4).as("ppl"))
   }
 
+  /** Bigram-LM scoring with Stupid Backoff (Brants et al. 2007,
+    * "Large Language Models in Machine Translation"): documents score
+    * against an LM built from a TRAIN relation (typically a corpus
+    * split), so unseen bigrams genuinely take the backoff path —
+    * `S(w₂|w₁) = n(w₁w₂)/n(w₁)` when the bigram was seen, else
+    * `0.4 · (n(w₂)+1)/(total+|V|)` (the paper's α with an add-one
+    * smoothed unigram, declared divergence so held-out tokens never
+    * hit ln 0). Per doc: mean −ln S over its n−1 bigram positions
+    * (docs under two tokens drop) plus the perplexity.
+    *
+    * Scale shape: bigram extraction is in-row (one sequence-transform
+    * over the materialized token array); the LM tables are two
+    * partial-agg counts; scoring is THREE shuffled equi-joins (bigram,
+    * left-context unigram, backoff unigram) — no LM broadcast (bigram
+    * types outnumber documents at corpus scale); the two scalar
+    * totals ride a 1-row broadcast. Contributions fold in position
+    * order; `ln` rounds to 4 dp at the end.
+    */
+  def bigramLogLoss(
+      train: DataFrame, docs: DataFrame, text: Column, idCol: Column): DataFrame = {
+    def bigramRows(df: DataFrame): DataFrame =
+      df.select(idCol.as("doc_id"), words(text).as("toks"))
+        .where(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("toks")) - 1),
+          i => struct(i.as("pos"), element_at(col("toks"), i).as("w1"),
+            element_at(col("toks"), i + 1).as("w2")))).as("b"))
+        .select(col("doc_id"), col("b.pos").as("pos"),
+          col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val uni = train.select(explode(words(text)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n_w"))
+    val totals = uni.groupBy().agg(
+      sum(col("n_w")).as("__total"), count(lit(1)).as("__vsize"))
+    val bi = bigramRows(train).groupBy("w1", "w2").agg(count(lit(1)).as("n_b"))
+    val contrib = bigramRows(docs)
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(uni.select(col("w").as("w1"), col("n_w").as("n_w1")), Seq("w1"), "left")
+      .join(uni.select(col("w").as("w2"), col("n_w").as("n_w2")), Seq("w2"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("pos"),
+        (-log(when(col("n_b").isNotNull,
+            col("n_b").cast("double") / col("n_w1"))
+          .otherwise(lit(0.4) * (coalesce(col("n_w2"), lit(0L)) + lit(1L))
+            .cast("double") / (col("__total") + col("__vsize")))))
+          .as("c"))
+    contrib.groupBy("doc_id").agg(
+        count(lit(1)).as("dl"),
+        aggregate(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("c")))),
+            e => e.getField("c")),
+          lit(0.0), (acc, v) => acc + v).as("__nats"))
+      .select(col("doc_id"), col("dl"),
+        round(col("__nats") / col("dl"), 4).as("nll"),
+        round(exp(col("__nats") / col("dl")), 4).as("ppl"))
+  }
+
   /** Vocabulary report: the `topK` most frequent whitespace tokens
     * with rank, corpus share, and cumulative coverage (the "how much
     * of the stream do the top-N types cover" tokenizer-planning

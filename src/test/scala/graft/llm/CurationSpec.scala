@@ -121,6 +121,28 @@ class CurationSpec extends AnyFunSuite {
     assert(out(2L)._2 < out(1L)._2)
   }
 
+  test("bigramLogLoss: seen bigrams use the LM, unseen take Stupid Backoff") {
+    import spark.implicits._
+    // train: "a b a b" → bigrams (a,b)×2 (b,a)×1; uni a:2 b:2;
+    // total 4, |V| 2
+    val train = Seq((0L, "a b a b")).toDF("doc_id", "text")
+    val docs = Seq((0L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val out = TextStats.bigramLogLoss(train, docs, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    def r4(x: Double) = math.round(x * 1e4) / 1e4
+    // train doc: p(b|a)=1, p(a|b)=1/2, p(b|a)=1 → nll = ln2/3
+    val nll0 = math.log(2.0) / 3
+    assert(out(0L) == ((3L, r4(nll0), r4(math.exp(nll0)))))
+    // held-out doc: (a,b) seen p=1; (b,c) unseen → 0.4·(0+1)/(4+2)
+    val nll2 = (0.0 - math.log(0.4 / 6.0)) / 2
+    assert(out(2L) == ((2L, r4(nll2), r4(math.exp(nll2)))))
+    // single-token docs drop
+    assert(!TextStats.bigramLogLoss(train,
+        Seq((9L, "solo")).toDF("doc_id", "text"), col("text"), col("doc_id"))
+      .collect().map(_.getLong(0)).contains(9L))
+  }
+
   test("vocabReport ranks by frequency with exact cumulative coverage") {
     import spark.implicits._
     // stream: a×5 b×3 c×1 d×1 → total 10
