@@ -348,6 +348,21 @@ class HttpApiSpec extends AnyFunSuite {
     val at3 = sorted.indexOf(s""""value":[$rnow,"3"]""")
     val at0 = sorted.indexOf(s""""value":[$rnow,"0"]""")
     assert(at3 >= 0 && at0 > at3, sorted)
+    // sort_by_label: missing label sorts FIRST ascending (the vector()
+    // fallback has no tag2), so desc puts the labeled series first
+    val sblEnc = java.net.URLEncoder.encode(
+      """sort_by_label_desc(sum by (tag2) (metric1) or vector(0), "tag2")""",
+      "UTF-8")
+    val byLabel = qi(s"query=$sblEnc&time=$rnow")
+    val lat3 = byLabel.indexOf(s""""value":[$rnow,"3"]""")
+    val lat0 = byLabel.indexOf(s""""value":[$rnow,"0"]""")
+    assert(lat3 >= 0 && lat0 > lat3, byLabel)
+    val sblAsc = java.net.URLEncoder.encode(
+      """sort_by_label(sum by (tag2) (metric1) or vector(0), "tag2")""",
+      "UTF-8")
+    val byLabelAsc = qi(s"query=$sblAsc&time=$rnow")
+    assert(byLabelAsc.indexOf(s""""value":[$rnow,"0"]""") <
+      byLabelAsc.indexOf(s""""value":[$rnow,"3"]"""), byLabelAsc)
   }
 
   test("limiter saturation surfaces as 503; per-user override applies") {

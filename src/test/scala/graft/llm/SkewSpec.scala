@@ -93,4 +93,40 @@ class SkewSpec extends AnyFunSuite {
     assert(got.forall(_.getDouble(2) == 1.0))
     assert(got.forall(r => r.getLong(0) < dup && r.getLong(1) < dup))
   }
+
+  test("semanticDedup under one 60%-hot cluster: cluster-keyed plan, keep-lowest") {
+    import spark.implicits._
+    val n = 2000
+    val hot = 1200 // 60% of vectors collapse into cluster 0
+    // two near-dup piles in different cells: hot (60%) around axis 0,
+    // the rest around axis 2 — every vector inside a pile is a
+    // near-dup of every other, so keep-lowest leaves exactly one per
+    // pile and the pair join handles Σ|cluster|² ≈ 1.0 M candidates
+    val vecs = spark.range(n).select(col("id").as("vec_id"),
+      when(col("id") < hot,
+        array(lit(1.0), col("id").cast("double") * 1e-7, lit(0.0), lit(0.0)))
+        .otherwise(array(lit(0.0), lit(0.0), lit(1.0),
+          col("id").cast("double") * 1e-7))
+        .as("embedding"))
+    val cents = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0)), (1L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 0.0, 1.0, 0.0)), (3L, Seq(0.0, 0.0, 0.0, 1.0)))
+      .toDF("centroid_id", "centroid")
+
+    val out = Similarity.semanticDedup(vecs, cents, threshold = 0.95)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "cartesian under cluster skew")
+
+    val t0 = System.nanoTime()
+    val rows = out.collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    // Σ|cluster|² pairs (≈ 0.7 M cosines here) must stream through the
+    // cluster-key equi-join, not serialize or square the corpus
+    assert(secs < 120.0, f"semanticDedup took $secs%.1f s under skew")
+
+    val ids = rows.map(_.getLong(0)).toSet
+    // each pile keeps exactly its lowest id — cluster-scoped, so the
+    // two piles never dedup against each other
+    assert(ids == Set(0L, hot.toLong), s"survivors: $ids")
+  }
 }
