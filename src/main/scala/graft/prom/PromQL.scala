@@ -605,7 +605,10 @@ object PromQL {
     val offRe = "^(.*\\S)\\s+offset\\s+(\\S+)$".r
     s match {
       case offRe(rest, dur) if atDepth0(s, s.indexOf("offset", rest.length), 6) =>
-        (rest.trim, Some(durationSec(dur)))
+        // negative offsets look AHEAD of the eval time, like upstream
+        val (sign, d) =
+          if (dur.startsWith("-")) (-1L, dur.substring(1)) else (1L, dur)
+        (rest.trim, Some(durationSec(d).map(_ * sign)))
       case _ => (s, None)
     }
   }

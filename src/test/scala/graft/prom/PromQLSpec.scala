@@ -140,6 +140,9 @@ class PromQLSpec extends AnyFunSuite {
     assert(PromQL.parse("m / m offset 1w") ==
       Right(PromQL.BinOp("/", sel, PromQL.Offset(604800L, sel))))
     assert(PromQL.parse("m offset 1x").isLeft)
+    // negative offset looks ahead of the eval time, like upstream
+    assert(PromQL.parse("m offset -5m") == Right(PromQL.Offset(-300L, sel)))
+    assert(PromQL.parse("m offset -1x").isLeft)
   }
 
   test("parse: offset/@ keywords inside label values are not modifiers") {
