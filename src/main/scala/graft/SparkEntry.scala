@@ -758,8 +758,8 @@ object SparkEntry {
       val t = when(col("doc_id") % 3 === 0,
         concat(col("text"), lit(" the be to of and that have with")))
         .otherwise(col("text"))
-      val Seq(n, meanLen, symbol, bullet, ellipsis, alpha, stops) =
-        TextStats.gopherSignals(t)
+      val sig = TextStats.gopherSignals(t)
+      val Seq(n, meanLen, symbol, bullet, ellipsis, alpha, stops) = sig
       s.read.parquet(s"$dir/documents.parquet").select(
         col("doc_id"), n,
         round(meanLen, 4).as("mean_word_len"),
@@ -768,7 +768,7 @@ object SparkEntry {
         round(ellipsis, 4).as("ellipsis_line_ratio"),
         round(alpha, 4).as("alpha_word_ratio"),
         stops,
-        TextStats.gopherKeep(t).as("keep"))
+        TextStats.gopherKeep(sig).as("keep"))
     }),
 
     // unigram-LM perplexity proxy (KenLM-free quality signal): corpus

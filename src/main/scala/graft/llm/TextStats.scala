@@ -374,8 +374,12 @@ object TextStats {
     val alphaFrac = size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("double") /
       greatest(n, lit(1.0))
     val required = Seq("the", "be", "to", "of", "and", "that", "have", "with")
-    val stopHits = size(filter(
-      array(required.map(lit): _*), s => array_contains(words(lower(text)), s)))
+    // one-pass distinct-presence count: array_intersect dedups, and
+    // the tokenization is NOT inside a lambda (a per-stopword
+    // array_contains would re-split the document 8× — the HOF
+    // discipline)
+    val stopHits = size(array_intersect(
+      array(required.map(lit): _*), words(lower(text))))
     Seq(n.cast("long").as("n_words"), meanLen.as("mean_word_len"),
       (symbols / greatest(n, lit(1.0))).as("symbol_ratio"),
       bulletFrac.as("bullet_line_ratio"),
@@ -390,9 +394,14 @@ object TextStats {
     * ≤ 30% ellipsis lines, ≥ 80% alphabetic words, ≥ 2 required
     * stopwords.
     */
-  def gopherKeep(text: Column): Column = {
-    val s = gopherSignals(text)
-    val Seq(n, meanLen, symbol, bullet, ellipsis, alpha, stops) = s
+  def gopherKeep(text: Column): Column = gopherKeep(gopherSignals(text))
+
+  /** [[gopherKeep]] over already-built signals — callers that also
+    * project the signals pass them here so the seven regex passes run
+    * once per row, not twice.
+    */
+  def gopherKeep(signals: Seq[Column]): Column = {
+    val Seq(n, meanLen, symbol, bullet, ellipsis, alpha, stops) = signals
     (n >= 50L) && (n <= 100000L) &&
       (meanLen >= 3.0) && (meanLen <= 10.0) &&
       (symbol <= 0.1) && (bullet <= 0.9) && (ellipsis <= 0.3) &&

@@ -1620,9 +1620,11 @@ object PromQL {
     lazy val d = date_add(lit("1970-01-01").cast("date"),
       floor(tSec.cast("double") / 86400d).cast("int"))
     fn match {
-      case "minute"        => floor(tSec / 60L) % 60L
-      case "hour"          => floor(tSec / 3600L) % 24L
-      case "day_of_week"   => (floor(tSec / 86400L) + 4L) % 7L
+      // pmod, not %: pre-1970 timestamps floor-divide negative and
+      // Prometheus's time.Unix wraps them into the positive range
+      case "minute"        => pmod(floor(tSec / 60L), lit(60L))
+      case "hour"          => pmod(floor(tSec / 3600L), lit(24L))
+      case "day_of_week"   => pmod(floor(tSec / 86400L) + 4L, lit(7L))
       case "day_of_month"  => dayofmonth(d)
       case "day_of_year"   => dayofyear(d)
       case "month"         => month(d)
@@ -2099,13 +2101,19 @@ object PromQL {
         Some(if (desc) rows.sortBy { case (p, _, v) => (-v, p) }
              else rows.sortBy { case (p, _, v) => (v, p) })
       case SortByLabel(desc, labels, _) =>
-        implicit val seqOrd: Ordering[Seq[String]] =
+        val seqOrd: Ordering[Seq[String]] =
           scala.math.Ordering.Implicits.seqOrdering
-        val keyed = rows.sortBy { case (p, _, _) =>
+        def key(p: String): Seq[String] = {
           val ls = labelsOf(p).toMap
-          (labels.map(l => ls.getOrElse(l, "")), p)
+          labels.map(l => ls.getOrElse(l, ""))
         }
-        Some(if (desc) keyed.reverse else keyed)
+        // desc reverses the LABEL comparison only; the path tiebreak
+        // stays ascending in both directions (a blanket reverse would
+        // flip ties too)
+        Some(rows.sortWith { case ((px, _, _), (py, _, _)) =>
+          val c = seqOrd.compare(key(px), key(py))
+          if (c != 0) { if (desc) c > 0 else c < 0 } else px < py
+        })
       case _ => None
     }
 

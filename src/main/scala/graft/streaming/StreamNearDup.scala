@@ -30,7 +30,7 @@ object StreamNearDup {
   final case class Candidate(
       doc_id: Long, first_id: Long, band: String, est_jaccard: Double)
 
-  final case class BandState(firstId: Long, sig: Seq[Long])
+  final case class BandState(firstId: Long, sig: Seq[Long], lastSeenMs: Long)
 
   /** `docs` must carry the `eventTime` timestamp column plus the id
     * and text columns. Emits one [[Candidate]] per (late doc, band)
@@ -83,8 +83,14 @@ object StreamNearDup {
 
   /** Per-band transition: the earliest doc seen within the horizon
     * owns the band; every other arrival emits a candidate against the
-    * owner. Batch arrival order is not time order, so rows sort on
-    * (event time, id) first — deterministic across retries.
+    * owner. The horizon is enforced at ARRIVAL time against the
+    * owner's own last sighting — the event-time timeout only cleans
+    * state in quiet batches (the watermark lags a batch, so an
+    * arrival after a long gap would otherwise still see the stale
+    * owner) — and collisions do NOT refresh the owner, so a steady
+    * near-dup stream cannot pin it forever. Batch arrival order is
+    * not time order, so rows sort on (event time, id) first —
+    * deterministic across retries.
     */
   private def processBand(horizonSec: Long)(
       band: String,
@@ -94,25 +100,32 @@ object StreamNearDup {
       state.remove()
       return Iterator.empty
     }
+    val horizonMs = horizonSec * 1000L
     val sorted = rows.toArray.sortBy(r => (r._2.getTime, r._1))
     val out = Seq.newBuilder[Candidate]
     var owner = state.getOption
-    var lastMs = 0L
     sorted.foreach { case (docId, ts, sig, _) =>
-      lastMs = math.max(lastMs, ts.getTime)
+      val ms = ts.getTime
       owner match {
+        case Some(s) if ms > s.lastSeenMs + horizonMs =>
+          // owner expired before this arrival: silent re-registration
+          owner = Some(BandState(docId, sig, ms))
         case Some(s) if s.firstId != docId =>
           val matching = s.sig.zip(sig).count { case (a, b) => a == b }
           out += Candidate(docId, s.firstId, band,
             matching.toDouble / math.max(1, sig.length))
-        case Some(_) => // re-arrival of the owner itself: no pair
+        case Some(s) => // the owner re-arrived: refresh its horizon
+          owner = Some(s.copy(lastSeenMs = math.max(s.lastSeenMs, ms)))
         case None =>
-          owner = Some(BandState(docId, sig))
+          owner = Some(BandState(docId, sig, ms))
       }
     }
     owner.foreach { s =>
       state.update(s)
-      state.setTimeoutTimestamp(lastMs + horizonSec * 1000L)
+      // eviction for quiet bands; arrivals enforce the horizon above,
+      // so a timeout lagging behind the watermark is harmless
+      state.setTimeoutTimestamp(
+        math.max(state.getCurrentWatermarkMs() + 1L, s.lastSeenMs + horizonMs))
     }
     out.result().iterator
   }

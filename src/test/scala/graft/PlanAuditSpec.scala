@@ -45,10 +45,12 @@ class PlanAuditSpec extends AnyFunSuite {
     "p_query_topk_by", "p_query_scalar", "p_query_scalar_arith",
     "p_query_timestamp", "p_query_absent_ot", "p_query_mad",
     "p_query_atan2", "p_query_trig", "d_mixture",
-    // round-8 batch 2: ratio filter, calendar fns, chunking, vocab,
-    // unigram LM, normalization, ANN recall eval
+    // round-8 batch 2: ratio filter, calendar fns, chunking,
+    // normalization (vocab / LM / recall / semdedup / ivfpq carry a
+    // legitimate 1-row-or-tiny broadcast nested loop and audit in the
+    // relaxed broadcast-bounded group below)
     "p_query_limit_ratio", "p_query_datefns", "p_query_date_vec",
-    "d_chunks", "d_normalize",
+    "d_chunks", "d_normalize", "d_gopher",
     // duplicate-span stats: one explode + two-level hash agg + join-back
     "d_dup_spans",
     // PQ/ADC: codebooks + query LUTs broadcast, one (sub, code) join

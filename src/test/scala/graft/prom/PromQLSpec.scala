@@ -861,6 +861,11 @@ class PromQLEvalSpec extends AnyFunSuite {
     val desc = PromQL.orderInstant(
       PromQL.parse("""sort_by_label_desc(m, "a")""").toOption.get, rows).get
     assert(desc.map(_._1) == asc.map(_._1).reverse)
+    // equal label values: the path tiebreak stays ASCENDING under desc
+    val tied = Seq(("m?a=1&b=y", 0L, 1.0), ("m?a=1&b=x", 0L, 2.0))
+    assert(PromQL.orderInstant(
+      PromQL.parse("""sort_by_label_desc(m, "a")""").toOption.get, tied)
+      .get.map(_._1) == Seq("m?a=1&b=x", "m?a=1&b=y"))
     // value sort still routes through the same helper
     assert(PromQL.orderInstant(
       PromQL.parse("sort_desc(m)").toOption.get, rows).get.map(_._3) ==

@@ -70,6 +70,23 @@ class StreamNearDupSpec extends AnyFunSuite {
     assert(got.forall(_._1 != 3L), got.toString)
   }
 
+  test("a stale owner expires at ARRIVAL even when the watermark lags a batch") {
+    // no intermediate batch: the watermark at batch 2 is still 0, so
+    // only the arrival-time horizon check can expire doc 1's bands
+    val got = run(Seq(
+      Seq((1L, 100L, base)),
+      Seq((3L, 5050L, base))))
+    assert(got.isEmpty, got.toString)
+    // and the late doc re-registered: a third copy within ITS horizon
+    // pairs against it, not against the long-gone doc 1
+    val got2 = run(Seq(
+      Seq((1L, 100L, base)),
+      Seq((3L, 5050L, base)),
+      Seq((4L, 5100L, base))))
+    assert(got2.nonEmpty && got2.forall(c => c._1 == 4L && c._2 == 3L),
+      got2.toString)
+  }
+
   test("same-batch near-dups pair against the earliest doc in the batch") {
     val got = run(Seq(Seq((5L, 100L, base), (4L, 90L, near))))
     // 4 is earlier → owns the bands; 5 pairs against 4
