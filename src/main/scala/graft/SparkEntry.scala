@@ -613,6 +613,17 @@ object SparkEntry {
         tokens = TextStats.tokensWhitespace(col("text")),
         tau = 0.7)),
 
+    // mixture materialization: the report's target shares as epoch
+    // replication (downsampled sources thin, upsampled tails repeat
+    // with a copy index) — broadcast epochs table, narrow filter +
+    // bounded explode, corpus read once.
+    "d_mixture_apply" -> ((s, dir) =>
+      Sampling.mixtureApply(
+        s.read.parquet(s"$dir/documents.parquet"),
+        key = col("source"),
+        tokens = TextStats.tokensWhitespace(col("text")),
+        tau = 0.3)),
+
     // Benchmark decontamination: docs sharing >= 2 distinct 5-word
     // shingles with the (broadcast-sized) eval subset. One corpus
     // shingle pass + broadcast join + partial-agg count — no pairwise
@@ -1923,6 +1934,29 @@ object SparkEntry {
           |       round(tf, 6) + 0 AS token_frac,
           |       round(p / sum(p) OVER (), 6) + 0 AS weight
           |FROM pw""".stripMargin),
+
+      "d_mixture_apply" ->
+        ("""WITH per AS (
+          |  SELECT source,
+          |         sum(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)) AS nt
+          |  FROM documents GROUP BY 1),
+          |eps AS (
+          |  SELECT source, nt, sum(nt) OVER () AS total,
+          |         pow(nt::double / (sum(nt) OVER ())::double, 0.3::double) AS pw
+          |  FROM per),
+          |ep2 AS (
+          |  SELECT source, nt, total, round(pw / sum(pw) OVER (), 6) AS w
+          |  FROM eps),
+          |ep3 AS (SELECT source, round(w * total / nt, 6) + 0 AS epochs FROM ep2),
+          |reps AS (
+          |  SELECT d.doc_id, d.source, e.epochs,
+          |    CAST(floor(e.epochs) + CASE WHEN
+          |      ('0x' || substr(md5(d.doc_id::varchar || '|epoch'), 1, 15))::bigint
+          |        / 1152921504606846976.0 < e.epochs - floor(e.epochs)
+          |      THEN 1 ELSE 0 END AS BIGINT) AS copies
+          |  FROM documents d JOIN ep3 e USING (source))
+          |SELECT doc_id, source, epochs, unnest(range(0, copies)) AS copy
+          |FROM reps WHERE copies > 0""".stripMargin),
 
       "d_decontaminate" ->
         (s"""WITH ev AS (SELECT DISTINCT unnest(${shinglesSql(5)}) AS sh FROM documents WHERE doc_id % 97 = 0),

@@ -130,6 +130,49 @@ object Sampling {
       .drop("__mix_key", "rate")
   }
 
+  /** Materialize a temperature mixture as EPOCH REPLICATION — the
+    * step after [[mixtureReport]]: each source's target share
+    * `w = p^tau / Σp^tau` becomes `epochs = w · total / tokens_s`
+    * traversals of that source, so the emitted token mix matches the
+    * report. Docs replicate ⌊e⌋ times plus one more when the salted
+    * id-draw lands under frac(e) — downsampled sources (e < 1) thin
+    * out, upsampled tails (e > 1) repeat with a `copy` index the
+    * trainer can shuffle on. Deterministic per id, stable under
+    * retries.
+    *
+    * Scale shape: the epochs table is source-cardinality-sized and
+    * broadcasts back; emission is one narrow filter + one bounded
+    * explode on the scan — the corpus is read once, never shuffled.
+    * Epochs round to 6 dp (from the 6-dp weight) so the replication
+    * boundary is engine-portable.
+    */
+  def mixtureApply(
+      df: DataFrame,
+      key: Column,
+      tokens: Column,
+      tau: Double = 1.0,
+      idCol: String = "doc_id"): DataFrame = {
+    val all = Window.partitionBy()
+    val epochs = df.groupBy(key.as("__mix_key"))
+      .agg(sum(tokens.cast("long")).as("nt"))
+      .withColumn("total", sum("nt").over(all))
+      .withColumn("pw", pow(col("nt").cast("double") / col("total"), tau))
+      .withColumn("w", round(col("pw") / sum("pw").over(all), 6))
+      // left-associated like the oracle twin: w * total / nt
+      .withColumn("epochs", round(col("w") * col("total") / col("nt"), 6))
+      .select(col("__mix_key"), col("epochs"))
+    val draw = hash01(col(idCol), "epoch")
+    df.select(col(idCol), key.as("__mix_key"))
+      .join(broadcast(epochs), Seq("__mix_key"))
+      .withColumn("copies",
+        (floor(col("epochs")) +
+          when(draw < col("epochs") - floor(col("epochs")), 1L).otherwise(0L))
+          .cast("long"))
+      .where(col("copies") > 0L)
+      .select(col(idCol), col("__mix_key").as("source"), col("epochs"),
+        explode(sequence(lit(0L), col("copies") - 1L)).as("copy"))
+  }
+
   /** Deterministic train/validation/test-style split: labels each row
     * by where its (salted) hash falls in the cumulative `fractions`
     * ladder. One pass, no shuffle, stable under retries.

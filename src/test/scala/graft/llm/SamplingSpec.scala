@@ -121,6 +121,38 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("mixtureApply: tail sources repeat by their epoch count, heads thin") {
+    import spark.implicits._
+    // A: 90 docs × 100 tokens, B: 10 docs × 100 tokens; tau = 0.5 →
+    // wA = 0.75, wB = 0.25 → epochs_A = 0.8333…, epochs_B = 2.5
+    val docs = (0 until 90).map(i => (i.toLong, "A", ("w " * 100).trim)) ++
+      (0 until 10).map(i => (100L + i, "B", ("w " * 100).trim))
+    val df = docs.toDF("doc_id", "source", "text")
+    val out = Sampling.mixtureApply(df, col("source"),
+        TextStats.tokensWhitespace(col("text")), tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getLong(3)))
+    val byDoc = out.groupBy(_._1)
+    // every emitted row carries the source's epoch count
+    assert(out.filter(_._2 == "A").forall(_._3 == 0.833333))
+    assert(out.filter(_._2 == "B").forall(_._3 == 2.5))
+    // B docs repeat 2 or 3 times with contiguous copy indices
+    val bCounts = (0 until 10).map(i => byDoc.get(100L + i).map(_.length).getOrElse(0))
+    assert(bCounts.forall(c => c == 2 || c == 3), bCounts.toString)
+    byDoc.foreach { case (_, rs) =>
+      assert(rs.map(_._4).sorted.toSeq == (0L until rs.length.toLong))
+    }
+    // A docs appear at most once; the realized fraction tracks 0.833
+    val aKept = (0 until 90).count(i => byDoc.contains(i.toLong))
+    assert(byDoc.filter(_._1 < 90L).forall(_._2.length == 1))
+    assert(aKept > 55 && aKept <= 90, s"aKept $aKept")
+    // deterministic under re-run
+    val again = Sampling.mixtureApply(df, col("source"),
+        TextStats.tokensWhitespace(col("text")), tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(again == out.map(t => (t._1, t._4)).toSet)
+  }
+
   test("chunkTokens: stride overlap, partial tail, full coverage") {
     import spark.implicits._
     val d = Seq(
