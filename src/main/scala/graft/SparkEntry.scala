@@ -871,6 +871,15 @@ object SparkEntry {
           col("neighbor_id"), col("sim"))
     }),
 
+    // kNN label propagation: majority label among the 5 nearest
+    // neighbors vs the probe's own label — auto-labeling eval; one
+    // result-sized vote aggregate over any neighbor relation.
+    "e_knn_classify" -> ((s, dir) => {
+      val vecs = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.knnClassify(
+        Similarity.bruteKnn(vecs, vecs.where(col("vec_id") < 20), k = 5), vecs)
+    }),
+
     // SemDeDup: cluster-scoped embedding near-dup pruning — pair
     // generation bounded to the cluster key equi-join, keep-lowest-id.
     "d_semdedup" -> ((s, dir) => {
@@ -2356,6 +2365,26 @@ object SparkEntry {
            |   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored)
            |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(sim, 4) + 0 AS sim
            |FROM ranked WHERE rank <= 5""".stripMargin),
+
+      "e_knn_classify" ->
+        (s"""WITH scored AS (
+           | SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $cosine AS sim
+           | FROM embeddings a JOIN embeddings b ON a.vec_id < 20 AND a.vec_id <> b.vec_id),
+           | nn AS (SELECT query_id, neighbor_id FROM (
+           |   SELECT query_id, neighbor_id,
+           |     row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+           |   FROM scored) r WHERE rank <= 5),
+           | votes AS (
+           |   SELECT n.query_id, e.label AS n_label, count(*)::bigint AS votes
+           |   FROM nn n JOIN embeddings e ON e.vec_id = n.neighbor_id
+           |   GROUP BY 1, 2),
+           | top AS (SELECT query_id, n_label AS pred_label, votes FROM (
+           |   SELECT query_id, n_label, votes,
+           |     row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, n_label ASC) AS rk
+           |   FROM votes) v WHERE rk = 1)
+           |SELECT t.query_id, t.pred_label, t.votes, e.label AS true_label,
+           |       t.pred_label = e.label AS correct
+           |FROM top t JOIN embeddings e ON e.vec_id = t.query_id""".stripMargin),
 
       "d_semdedup" ->
         (s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cent FROM embeddings WHERE vec_id < 8),

@@ -599,6 +599,36 @@ object Similarity {
     assign.join(dropped, Seq(idCol), "left_anti")
   }
 
+  /** kNN label propagation — auto-labeling for training-data tagging:
+    * each query takes the majority label among its k nearest
+    * neighbors (ties break on the smaller label id), reported next to
+    * its own label for accuracy measurement. Rides any neighbor
+    * relation — brute force here, or the IVF/PQ paths at scale — so
+    * the vote is one result-sized aggregate over (query × k) rows.
+    */
+  def knnClassify(
+      neighbors: DataFrame,
+      labels: DataFrame,
+      idCol: String = "vec_id",
+      labelCol: String = "label"): DataFrame = {
+    val lab = labels.select(col(idCol), col(labelCol))
+    val votes = neighbors.select(col("query_id"), col("neighbor_id"))
+      .join(lab.select(col(idCol).as("neighbor_id"),
+        col(labelCol).as("n_label")), Seq("neighbor_id"))
+      .groupBy("query_id", "n_label").agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("votes").desc, col("n_label").asc)
+    votes.withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("query_id"), col("n_label").as("pred_label"),
+        col("votes"))
+      .join(lab.select(col(idCol).as("query_id"),
+        col(labelCol).as("true_label")), Seq("query_id"))
+      .select(col("query_id"), col("pred_label"), col("votes"),
+        col("true_label"),
+        (col("pred_label") === col("true_label")).as("correct"))
+  }
+
   /** Recall@k of an approximate ANN result against exact ground truth
     * — the self-evaluation harness for tuning nprobe/bits/tables:
     * per-query `|approx ∩ exact| / k`. Both inputs are result-sized
