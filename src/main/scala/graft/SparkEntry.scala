@@ -484,6 +484,17 @@ object SparkEntry {
           col("event_type"), col("n"))
     }),
 
+    // ordered conversion funnel view -> click -> purchase: one hash
+    // aggregate per user + a bounded in-row fold — never the
+    // tA<tB<tC triple self-join that squares the event table.
+    "ev_funnel" -> ((s, dir) =>
+      graft.events.Funnel.funnel3(
+        GraphiteTables.events(s, dir),
+        steps = Seq("view", "click", "purchase"),
+        userCol = col("user_id"), typeCol = col("event_type"),
+        timeCol = (col("ts") / 1000000000L).cast("long"),
+        windowSec = 86400L)),
+
     "ev_tumbling" -> ((s, dir) =>
       GraphiteTables.events(s, dir)
         .select(col("event_type"), (col("ts") / 1000000000L).cast("long").as("t"),
@@ -1824,6 +1835,31 @@ object SparkEntry {
           |  SELECT hour, event_type, n,
           |    row_number() OVER (PARTITION BY hour ORDER BY n DESC, event_type ASC) AS rank
           |  FROM hourly) r WHERE rank <= 2""".stripMargin),
+
+      "ev_funnel" ->
+        ("""WITH ev AS (
+          |  SELECT user_id, epoch_us(ts)//1000000 AS t,
+          |    CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+          |      WHEN 'purchase' THEN 3 ELSE 0 END AS step
+          |  FROM events),
+          |lists AS (
+          |  SELECT user_id, list([t, step] ORDER BY t, step) AS evs
+          |  FROM ev WHERE step > 0 GROUP BY 1),
+          |folded AS (
+          |  SELECT user_id,
+          |    list_reduce(list_prepend([-1, -1, -1]::BIGINT[], evs), (acc, e) -> [
+          |      CASE WHEN acc[1] = -1 AND e[2] = 1 THEN e[1] ELSE acc[1] END,
+          |      CASE WHEN acc[1] <> -1 AND acc[2] = -1 AND e[2] = 2
+          |        AND e[1] > acc[1] AND e[1] - acc[1] <= 86400 THEN e[1] ELSE acc[2] END,
+          |      CASE WHEN acc[2] <> -1 AND acc[3] = -1 AND e[2] = 3
+          |        AND e[1] > acc[2] AND e[1] - acc[2] <= 86400 THEN e[1] ELSE acc[3] END]) AS f
+          |  FROM lists)
+          |SELECT user_id,
+          |  nullif(f[1], -1) AS t_view,
+          |  nullif(f[2], -1) AS t_click,
+          |  nullif(f[3], -1) AS t_purchase,
+          |  ((f[1] <> -1)::int + (f[2] <> -1)::int + (f[3] <> -1)::int)::bigint AS stage
+          |FROM folded""".stripMargin),
 
       "ev_tumbling" ->
         ("""SELECT event_type, t - t % 3600 AS window_start, count(*) AS n, round(sum(value), 4) AS sum_value

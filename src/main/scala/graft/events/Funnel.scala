@@ -1,0 +1,82 @@
+package graft.events
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ordered-step funnel analysis over an event stream — the
+  * conversion-path query (view → click → purchase): for each user,
+  * the first time of step 1, the first step-2 event STRICTLY after
+  * it, and the first step-3 event strictly after that.
+  *
+  * Shape: one hash aggregate per user collects the (t, step) pairs,
+  * then a SEQUENTIAL fold over the time-sorted bounded list walks the
+  * funnel — no self-joins (the classic tA < tB < tC triple-join
+  * squares the event table), no window over the full stream, state
+  * bounded by one user's events. `windowSec` bounds each conversion
+  * step (first-touch attribution: the funnel stalls if the FIRST
+  * step-1 event converts late, it does not retry later step-1
+  * events — the classic strict-first-touch contract). Events sort by
+  * (t, step code) so
+  * simultaneous events resolve deterministically; a later-step event
+  * at the exact timestamp of its predecessor does NOT count (strict
+  * progression).
+  */
+object Funnel {
+
+  /** `steps` are the ordered event types of the funnel. Returns
+    * (user_id, t_step1.., stage) with NULL times for unreached steps
+    * and `stage` = number of steps completed. Currently fixed to
+    * 3-step funnels — the common depth; the fold generalizes.
+    */
+  def funnel3(
+      events: DataFrame,
+      steps: Seq[String],
+      userCol: Column,
+      typeCol: Column,
+      timeCol: Column,
+      windowSec: Long = Long.MaxValue): DataFrame = {
+    require(steps.size == 3, "funnel3 takes exactly 3 ordered steps")
+    require(windowSec > 0, "windowSec must be positive")
+    // step codes keep (t, code) sort order deterministic and
+    // engine-portable regardless of type-string ordering
+    val code = when(typeCol === steps(0), 1)
+      .when(typeCol === steps(1), 2)
+      .when(typeCol === steps(2), 3)
+      .otherwise(0)
+    val acc0 = struct(lit(-1L).as("a"), lit(-1L).as("b"), lit(-1L).as("c"))
+    val folded = events
+      .select(userCol.as("user_id"), timeCol.cast("long").as("t"),
+        code.as("step"))
+      .where(col("step") > 0)
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("t"), col("step")))).as("evs"))
+      .select(col("user_id"), aggregate(col("evs"), acc0, (acc, e) => {
+        val (t, s) = (e.getField("t"), e.getField("step"))
+        val a = when(acc.getField("a") === -1L && s === 1, t)
+          .otherwise(acc.getField("a"))
+        // each stage gates on the PRE-update predecessor: a step-2
+        // event in the same fold step as its step-1 event (same
+        // timestamp) must not complete two stages at once
+        val b = when(acc.getField("a") =!= -1L && acc.getField("b") === -1L &&
+            s === 2 && t > acc.getField("a") &&
+            t - acc.getField("a") <= windowSec, t)
+          .otherwise(acc.getField("b"))
+        val c = when(acc.getField("b") =!= -1L && acc.getField("c") === -1L &&
+            s === 3 && t > acc.getField("b") &&
+            t - acc.getField("b") <= windowSec, t)
+          .otherwise(acc.getField("c"))
+        struct(a.as("a"), b.as("b"), c.as("c"))
+      }).as("f"))
+    def t(field: String) = {
+      val v = col("f").getField(field)
+      when(v === -1L, lit(null).cast("long")).otherwise(v)
+    }
+    folded.select(col("user_id"),
+      t("a").as(s"t_${steps(0)}"),
+      t("b").as(s"t_${steps(1)}"),
+      t("c").as(s"t_${steps(2)}"),
+      ((col("f").getField("a") =!= -1L).cast("int") +
+        (col("f").getField("b") =!= -1L).cast("int") +
+        (col("f").getField("c") =!= -1L).cast("int")).cast("long").as("stage"))
+  }
+}

@@ -1,0 +1,52 @@
+package graft.events
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Funnel fold semantics: strict time progression, conversion window,
+  * first-touch attribution.
+  */
+class FunnelSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def run(rows: (Long, String, Long)*) = {
+    import spark.implicits._
+    Funnel.funnel3(rows.toDF("user_id", "event_type", "t"),
+        steps = Seq("view", "click", "purchase"),
+        userCol = col("user_id"), typeCol = col("event_type"),
+        timeCol = col("t"), windowSec = 100L)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), r.getLong(4))))
+      .toMap
+  }
+
+  test("stages complete strictly in order within the window") {
+    val out = run(
+      (1L, "view", 10L), (1L, "click", 50L), (1L, "purchase", 120L),
+      // user 2: click BEFORE the view never counts
+      (2L, "click", 5L), (2L, "view", 10L),
+      // user 3: click outside the window -> funnel stalls at stage 1
+      (3L, "view", 10L), (3L, "click", 200L),
+      // user 4: same-timestamp click does not complete two stages
+      (4L, "view", 10L), (4L, "click", 10L), (4L, "purchase", 20L))
+    assert(out(1L) == ((Some(10L), Some(50L), Some(120L), 3L)))
+    assert(out(2L) == ((Some(10L), None, None, 1L)))
+    assert(out(3L) == ((Some(10L), None, None, 1L)))
+    // purchase at 20 needs a completed click first — stage stays 1
+    assert(out(4L) == ((Some(10L), None, None, 1L)))
+  }
+
+  test("first-touch attribution: the FIRST view anchors, later ones do not retry") {
+    // first view at 10 only converts via the click at 200 (outside
+    // the 100s window); the second view at 150 would have converted,
+    // but strict first-touch does not re-anchor
+    val out = run(
+      (7L, "view", 10L), (7L, "view", 150L), (7L, "click", 200L))
+    assert(out(7L) == ((Some(10L), None, None, 1L)))
+    // non-funnel event types are ignored entirely
+    val out2 = run((8L, "error", 10L), (8L, "view", 20L), (8L, "click", 30L))
+    assert(out2(8L) == ((Some(20L), Some(30L), None, 2L)))
+  }
+}
