@@ -495,6 +495,16 @@ object SparkEntry {
         timeCol = (col("ts") / 1000000000L).cast("long"),
         windowSec = 86400L)),
 
+    // cohort retention triangle: cohort by first-signup week, count
+    // members active in each later week — one user-keyed equi-join,
+    // no per-period scan.
+    "ev_retention" -> ((s, dir) =>
+      graft.events.Funnel.retention(
+        GraphiteTables.events(s, dir),
+        anchorType = "signup",
+        userCol = col("user_id"), typeCol = col("event_type"),
+        timeCol = (col("ts") / 1000000000L).cast("long"))),
+
     "ev_tumbling" -> ((s, dir) =>
       GraphiteTables.events(s, dir)
         .select(col("event_type"), (col("ts") / 1000000000L).cast("long").as("t"),
@@ -1860,6 +1870,21 @@ object SparkEntry {
           |  nullif(f[3], -1) AS t_purchase,
           |  ((f[1] <> -1)::int + (f[2] <> -1)::int + (f[3] <> -1)::int)::bigint AS stage
           |FROM folded""".stripMargin),
+
+      "ev_retention" ->
+        ("""WITH ev AS (
+          |  SELECT user_id, event_type,
+          |    CAST(floor((epoch_us(ts)//1000000) / 604800) AS BIGINT) AS p
+          |  FROM events),
+          |cohorts AS (
+          |  SELECT user_id, min(p) AS cohort FROM ev
+          |  WHERE event_type = 'signup' GROUP BY 1),
+          |active AS (SELECT DISTINCT user_id, p FROM ev)
+          |SELECT c.cohort, a.p - c.cohort AS "offset",
+          |       count(*)::bigint AS n_users
+          |FROM cohorts c JOIN active a USING (user_id)
+          |WHERE a.p >= c.cohort
+          |GROUP BY 1, 2""".stripMargin),
 
       "ev_tumbling" ->
         ("""SELECT event_type, t - t % 3600 AS window_start, count(*) AS n, round(sum(value), 4) AS sum_value

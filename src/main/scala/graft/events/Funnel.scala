@@ -79,4 +79,36 @@ object Funnel {
         (col("f").getField("b") =!= -1L).cast("int") +
         (col("f").getField("c") =!= -1L).cast("int")).cast("long").as("stage"))
   }
+
+  /** Cohort retention: users cohort by the period of their FIRST
+    * `anchorType` event; a cohort member counts as retained in offset
+    * `k` when ANY of their events falls in the k-th period after the
+    * cohort period. Returns (cohort, offset, n_users) — the classic
+    * retention triangle.
+    *
+    * Shape: one aggregate finds each user's cohort period, one
+    * distinct projection lists (user, active period), and the
+    * offset count is a hash aggregate after an equi-join on user —
+    * the cohort side is one row per user, so AQE can broadcast or
+    * shuffle it; no window over the event stream, no per-period scan.
+    */
+  def retention(
+      events: DataFrame,
+      anchorType: String,
+      userCol: Column,
+      typeCol: Column,
+      timeCol: Column,
+      periodSec: Long = 604800L): DataFrame = {
+    require(periodSec > 0, "periodSec must be positive")
+    val period = floor(timeCol.cast("long") / periodSec).cast("long")
+    val cohorts = events.where(typeCol === anchorType)
+      .groupBy(userCol.as("user_id"))
+      .agg(min(period).as("cohort"))
+    val active = events
+      .select(userCol.as("user_id"), period.as("p")).distinct()
+    cohorts.join(active, Seq("user_id"))
+      .where(col("p") >= col("cohort"))
+      .groupBy(col("cohort"), (col("p") - col("cohort")).as("offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

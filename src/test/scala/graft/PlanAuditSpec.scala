@@ -45,7 +45,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "p_query_topk_by", "p_query_scalar", "p_query_scalar_arith",
     "p_query_timestamp", "p_query_absent_ot", "p_query_mad",
     "p_query_atan2", "p_query_trig", "d_mixture", "d_mixture_apply",
-    "ev_funnel",
+    "ev_funnel", "ev_retention",
     // round-8 batch 2: ratio filter, calendar fns, chunking,
     // normalization (vocab / LM / recall / semdedup / ivfpq carry a
     // legitimate 1-row-or-tiny broadcast nested loop and audit in the

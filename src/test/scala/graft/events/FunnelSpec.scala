@@ -38,6 +38,25 @@ class FunnelSpec extends AnyFunSuite {
     assert(out(4L) == ((Some(10L), None, None, 1L)))
   }
 
+  test("retention: cohort by first anchor, active periods count once") {
+    import spark.implicits._
+    // period = 100s. u1 signs up in period 0, active 0/1/3 (the
+    // period-1 duplicate counts once); u2 signs up period 1, active 1;
+    // u3 never signs up -> no cohort; u1's pre-signup activity would
+    // be negative-offset and is excluded
+    val df = Seq(
+      (1L, "signup", 10L), (1L, "view", 120L), (1L, "view", 150L),
+      (1L, "click", 310L),
+      (2L, "signup", 130L), (2L, "view", 160L),
+      (3L, "view", 20L)).toDF("user_id", "event_type", "t")
+    val out = Funnel.retention(df, "signup",
+        col("user_id"), col("event_type"), col("t"), periodSec = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      (0L, 0L) -> 1L, (0L, 1L) -> 1L, (0L, 3L) -> 1L, // u1
+      (1L, 0L) -> 1L))                                 // u2
+  }
+
   test("first-touch attribution: the FIRST view anchors, later ones do not retry") {
     // first view at 10 only converts via the click at 200 (outside
     // the 100s window); the second view at 150 would have converted,
