@@ -608,6 +608,16 @@ object SparkEntry {
       graft.llm.Pipeline.curate(s.read.parquet(s"$dir/documents.parquet"))
         .select(col("doc_id"), col("lang"), col("source"))),
 
+    // the full pipeline with the decontamination tail: quality gate →
+    // exact dedup → near-dup keep → drop docs sharing >= 2 shingles
+    // with the (broadcast) eval subset.
+    "d_curate_decon" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.llm.Pipeline.curateDecontaminated(
+          docs, docs.where(col("doc_id") % 97 === 0))
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
     "d_langid" -> ((s, dir) =>
       s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), TextStats.langId(col("text")).as("pred_lang"))),
@@ -1969,6 +1979,31 @@ object SparkEntry {
            |  SELECT e2.dst, r.label FROM reach r JOIN edges e2 ON e2.src = r.id),
            |losers AS (SELECT id FROM (SELECT id, min(label) AS lbl FROM reach GROUP BY id) t WHERE id <> lbl)
            |SELECT doc_id, lang, source FROM qe WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin),
+
+      "d_curate_decon" ->
+        (s"""WITH RECURSIVE
+           |q AS (SELECT * FROM documents WHERE $qualityExpr >= 0.75),
+           |e AS (SELECT min(doc_id) AS keep FROM q GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))),
+           |qe AS (SELECT * FROM q WHERE doc_id IN (SELECT keep FROM e)),
+           |cands AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM (${minhashBandsOver("qe")}) a
+           |  JOIN (${minhashBandsOver("qe")}) b ON a.band = b.band AND a.doc_id < b.doc_id GROUP BY 1, 2),
+           |sets AS (SELECT doc_id, $sh3 AS sh FROM qe),
+           |verified AS (SELECT p.id_a, p.id_b FROM cands p
+           |  JOIN sets sa ON sa.doc_id = p.id_a JOIN sets sb ON sb.doc_id = p.id_b
+           |  WHERE len(list_intersect(sa.sh, sb.sh))::double / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5),
+           |edges AS (SELECT id_a AS src, id_b AS dst FROM verified UNION SELECT id_b, id_a FROM verified),
+           |nodes AS (SELECT DISTINCT src AS id FROM edges),
+           |reach(id, label) AS (
+           |  SELECT id, id FROM nodes
+           |  UNION
+           |  SELECT e2.dst, r.label FROM reach r JOIN edges e2 ON e2.src = r.id),
+           |losers AS (SELECT id FROM (SELECT id, min(label) AS lbl FROM reach GROUP BY id) t WHERE id <> lbl),
+           |kept AS (SELECT * FROM qe WHERE doc_id NOT IN (SELECT id FROM losers)),
+           |ev AS (SELECT DISTINCT unnest(${shinglesSql(5)}) AS sh FROM documents WHERE doc_id % 97 = 0),
+           |ks AS (SELECT doc_id, unnest(${shinglesSql(5)}) AS sh FROM kept),
+           |cont AS (SELECT ks.doc_id FROM ks JOIN ev USING (sh) GROUP BY 1 HAVING count(*) >= 2)
+           |SELECT doc_id, lang, source FROM kept
+           |WHERE doc_id NOT IN (SELECT doc_id FROM cont)""".stripMargin),
 
       "d_langid" ->
         (s"""WITH scores AS ($langScores),

@@ -20,6 +20,26 @@ import graft.Lineage.TruncateOps
   */
 object Pipeline {
 
+  /** [[curate]] plus the benchmark-decontamination tail: documents
+    * sharing `minShared`+ distinct 5-word shingles with the
+    * (broadcast-sized) eval set are dropped AFTER dedup — the
+    * cheapest point, since dedup has already shrunk the corpus and
+    * the eval side is a broadcast join either way.
+    */
+  def curateDecontaminated(
+      docs: DataFrame,
+      evalSet: DataFrame,
+      qualityThreshold: Double = 0.75,
+      nearDupThreshold: Double = 0.5,
+      minShared: Int = 2): DataFrame = {
+    val kept = curate(docs, qualityThreshold, nearDupThreshold)
+    kept.join(
+      Decontaminate.contaminated(kept, evalSet,
+          col("text"), col("doc_id"), col("text"), w = 5, minShared = minShared)
+        .select("doc_id"),
+      Seq("doc_id"), "left_anti")
+  }
+
   def curate(
       docs: DataFrame,
       qualityThreshold: Double = 0.75,

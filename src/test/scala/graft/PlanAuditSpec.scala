@@ -78,7 +78,7 @@ class PlanAuditSpec extends AnyFunSuite {
   // no-BNLJ list above.
   for (name <- Seq("e_knn_brute", "e_ivf_search", "d_vocab",
       "d_unigram_ppl", "d_bigram_ppl", "e_ivf_recall", "d_semdedup",
-      "e_ivfpq_search", "e_knn_classify")) {
+      "e_ivfpq_search", "e_knn_classify", "d_curate_decon")) {
     test(s"$name: all-pairs stage is broadcast-bounded, never a distributed cartesian") {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"CartesianProduct in $name")
