@@ -29,7 +29,10 @@ import org.apache.spark.sql.functions._
   * first-to-last-sample form with counter-reset correction, WITHOUT
   * Prometheus's boundary extrapolation (extrapolatedRate) — documented
   * here because the value at window edges can differ by a fraction of
-  * one scrape interval.
+  * one scrape interval. The extension names `xrate`/`xincrease`
+  * implement the upstream extrapolated semantics exactly (window-edge
+  * extrapolation capped at half the average sample spacing, counter
+  * zero-crossing clamp) for callers that want upstream parity.
   *
   * Declared divergence: durations resolve at ONE-SECOND granularity —
   * a `ms` duration truncates to whole seconds with a 1 s floor
@@ -377,7 +380,8 @@ object PromQL {
   }
 
   val rangeFns: Set[String] = Set(
-    "rate", "increase", "delta", "idelta", "irate", "resets", "changes",
+    "rate", "increase", "xrate", "xincrease",
+    "delta", "idelta", "irate", "resets", "changes",
     "deriv", "avg_over_time", "sum_over_time", "min_over_time",
     "max_over_time", "count_over_time", "last_over_time",
     "stddev_over_time", "stdvar_over_time", "present_over_time",
@@ -1378,8 +1382,8 @@ object PromQL {
             g.agg(sorted.as("s"), count(lit(1)).as("cnt"))
               .where(col("cnt") >= 2)
               .withColumn("value", fold)
-          case "rate" | "increase" =>
-            g.agg(sorted.as("s"), count(lit(1)).as("cnt"))
+          case "rate" | "increase" | "xrate" | "xincrease" =>
+            val base = g.agg(sorted.as("s"), count(lit(1)).as("cnt"))
               .where(col("cnt") >= 2)
               .withColumn("first", element_at(col("s"), 1))
               .withColumn("last", element_at(col("s"), -1))
@@ -1394,10 +1398,39 @@ object PromQL {
                   lit(0.0), (acc, x) => acc + x))
               .withColumn("increase",
                 col("last")("value") - col("first")("value") + col("resets"))
-              .withColumn("value",
-                if (fn == "rate")
-                  col("increase") / (col("last")("time") - col("first")("time"))
-                else col("increase"))
+            fn match {
+              case "rate" =>
+                base.withColumn("value",
+                  col("increase") / (col("last")("time") - col("first")("time")))
+              case "increase" =>
+                base.withColumn("value", col("increase"))
+              case _ =>
+                // xrate/xincrease: upstream's boundary extrapolation
+                // (promql/functions.go extrapolatedRate) — extrapolate
+                // the sampled interval to the window edges, but no
+                // further than half the average sample spacing past
+                // the first/last sample; clamp the start at the
+                // counter's estimated zero crossing
+                val tEnd = (lit(start) + col("n") * lit(step)).cast("double")
+                val firstT = col("first")("time").cast("double")
+                val lastT = col("last")("time").cast("double")
+                val firstV = col("first")("value")
+                val sampled = lastT - firstT
+                val avgDur = sampled / (col("cnt") - 1).cast("double")
+                val dStart0 = firstT - (tEnd - lit(win.toDouble))
+                val dEnd0 = tEnd - lastT
+                val durToZero = sampled * (firstV / col("increase"))
+                val dStart1 = when(
+                  col("increase") > 0.0 && firstV >= 0.0 && durToZero < dStart0,
+                  durToZero).otherwise(dStart0)
+                val thresh = avgDur * lit(1.1)
+                val dStart = when(dStart1 >= thresh, avgDur / 2).otherwise(dStart1)
+                val dEnd = when(dEnd0 >= thresh, avgDur / 2).otherwise(dEnd0)
+                val factor = (sampled + dStart + dEnd) / sampled
+                base.withColumn("value",
+                  if (fn == "xrate") col("increase") * factor / lit(win.toDouble)
+                  else col("increase") * factor)
+            }
           case other => throw new IllegalArgumentException(s"unsupported function $other")
         }
         out.select(col("path"), t, col("value"))

@@ -34,7 +34,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "p_remote_read",
     // range-fn/math/label batch: all single-pass aggregates or
     // projections — a join appearing here would be a regression
-    "p_query_without", "p_query_delta", "p_query_irate",
+    "p_query_without", "p_query_delta", "p_query_irate", "p_query_xrate",
     "p_query_deriv", "p_query_predict", "p_query_quantile_ot",
     "p_query_changes", "p_query_label_replace",
     "p_query_subquery", "p_query_count_values",

@@ -845,6 +845,32 @@ class PromQLEvalSpec extends AnyFunSuite {
     assert(PromQL.parse("month(3)").isLeft)
   }
 
+  test("xrate/xincrease reproduce upstream's boundary extrapolation") {
+    val tags = graft.engine.GraphiteTables.expandTagRows(
+      matrix(("m?x=1", 0L, 0.0))
+        .select(org.apache.spark.sql.functions.col("path")).distinct()
+        .withColumn("date", org.apache.spark.sql.functions.lit("1970-01-01").cast("date"))
+        .withColumn("version", org.apache.spark.sql.functions.lit(0L)))
+    def eval(q: String, pts: (String, Long, Double)*) = rowSet(PromQL.evalMatrix(
+      matrix(pts: _*).withColumnRenamed("t", "time"), tags,
+      PromQL.parse(q).toOption.get, 100L, 100L, 1L, lookbackSec = 10L))
+    // 3 samples spanning [20,80] of a 100s window ending at t=100:
+    // inc=30, sampled=60, avgDur=30, dStart=20 (zero-crossing = 20
+    // does not shrink it), dEnd=20 → factor 100/60
+    val pts = Seq(("m?x=1", 20L, 10.0), ("m?x=1", 40L, 20.0),
+      ("m?x=1", 80L, 40.0))
+    assert(eval("xincrease(m[100s])", pts: _*) ==
+      Set(("m?x=1", 100L, 30.0 * (100.0 / 60.0))))
+    assert(eval("xrate(m[100s])", pts: _*) ==
+      Set(("m?x=1", 100L, 30.0 * (100.0 / 60.0) / 100.0)))
+    // sparse early pair: dStart clamps at the zero crossing (0), the
+    // long tail gap clamps at avgDur/2 → factor (5+0+2.5)/5 = 1.5
+    assert(eval("xincrease(m[100s])", ("m?x=1", 5L, 0.0), ("m?x=1", 10L, 10.0)) ==
+      Set(("m?x=1", 100L, 15.0)))
+    // plain increase stays first-to-last (the declared divergence)
+    assert(eval("increase(m[100s])", pts: _*) == Set(("m?x=1", 100L, 30.0)))
+  }
+
   test("sort_by_label orders the instant assembly, eval is identity") {
     assert(PromQL.parse("""sort_by_label(m, "a", "b")""") ==
       Right(PromQL.SortByLabel(desc = false,
