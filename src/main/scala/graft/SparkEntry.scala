@@ -505,6 +505,16 @@ object SparkEntry {
         userCol = col("user_id"), typeCol = col("event_type"),
         timeCol = (col("ts") / 1000000000L).cast("long"))),
 
+    // Markov transition matrix of user journeys: one high-cardinality
+    // per-user window, then result-sized aggregates — the per-src
+    // share is a join-back, never a window on the hot type key.
+    "ev_paths" -> ((s, dir) =>
+      graft.events.Funnel.transitions(
+        GraphiteTables.events(s, dir),
+        userCol = col("user_id"), typeCol = col("event_type"),
+        timeCol = (col("ts") / 1000000000L).cast("long"),
+        idCol = col("event_id"))),
+
     "ev_tumbling" -> ((s, dir) =>
       GraphiteTables.events(s, dir)
         .select(col("event_type"), (col("ts") / 1000000000L).cast("long").as("t"),
@@ -698,6 +708,15 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"),
         col("text"), col("doc_id"), w = 5)),
 
+    // ExactSubstr removal: cut every word covered by a corpus-repeated
+    // 5-gram and reassemble — slim positional-shingle explode, hash
+    // aggregate on the shingle hash (no window), per-doc start-set
+    // fold-back, map-only reassembly over the original scan.
+    "d_scrub_spans" -> ((s, dir) =>
+      Dedup.scrubSpans(
+        s.read.parquet(s"$dir/documents.parquet"),
+        col("text"), col("doc_id"), w = 5)),
+
     // C4-style heuristic filter battery over deterministically salted
     // docs (the raw synthetic corpus is single-line with no code/
     // lorem markers, so — like d_scrub — the salt is reproduced
@@ -738,6 +757,15 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"),
         col("lang"), Map("en" -> 0.5, "fr" -> 0.25), defaultRate = 0.1)
         .select("doc_id", "lang")),
+
+    // token-budget curation: best-quality-first selection under a
+    // 10k-token budget via the two-phase distributed cumulative sum
+    // (range partition → per-range offsets → within-range window) —
+    // never a global single-task running-sum window.
+    "d_budget" -> ((s, dir) =>
+      Sampling.tokenBudget(
+        s.read.parquet(s"$dir/documents.parquet"),
+        col("text"), budget = 10000L)),
 
     // temperature mixing (tau=0.5 upsamples tail languages, 30% of
     // the corpus kept in expectation): rates from one tiny per-key
@@ -1910,6 +1938,19 @@ object SparkEntry {
           |WHERE a.p >= c.cohort
           |GROUP BY 1, 2""".stripMargin),
 
+      "ev_paths" ->
+        ("""WITH seq AS (
+          |  SELECT user_id, event_type,
+          |    lead(event_type) OVER (PARTITION BY user_id
+          |      ORDER BY epoch_us(ts)//1000000, event_id) AS nxt
+          |  FROM events),
+          |c AS (SELECT event_type AS src, nxt AS dst, count(*) AS n
+          |      FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+          |t AS (SELECT src, sum(n) AS tot FROM c GROUP BY 1)
+          |SELECT c.src, c.dst, CAST(c.n AS BIGINT) AS n,
+          |       round(c.n::double / t.tot::double, 4) + 0 AS p
+          |FROM c JOIN t USING (src)""".stripMargin),
+
       "ev_tumbling" ->
         ("""SELECT event_type, t - t % 3600 AS window_start, count(*) AS n, round(sum(value), 4) AS sum_value
           |FROM (SELECT event_type, epoch_us(ts)//1000000 AS t, value FROM events) e
@@ -2137,6 +2178,25 @@ object SparkEntry {
            |       round(coalesce(d.n_dup, 0)::double / greatest(t.n_shingles::double, 1.0), 4) + 0 AS dup_ratio
            |FROM tot t LEFT JOIN dup d USING (doc_id)""".stripMargin),
 
+      "d_scrub_spans" ->
+        ("""WITH wrds AS (
+          |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+          |pos AS (
+          |  SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 4, 0))) AS i
+          |  FROM wrds),
+          |sh AS (SELECT doc_id, i, md5(array_to_string(ws[i:i+4], ' ')) AS h FROM pos),
+          |dupk AS (SELECT h FROM sh GROUP BY h HAVING count(*) > 1),
+          |starts AS (
+          |  SELECT doc_id, flatten(list_transform(list(i), s -> generate_series(s, s+4))) AS cov
+          |  FROM sh WHERE h IN (SELECT h FROM dupk) GROUP BY doc_id)
+          |SELECT w.doc_id,
+          |  coalesce(array_to_string(
+          |    list_filter(w.ws, (x, i) -> NOT list_contains(coalesce(s.cov, []), i)), ' '), '') AS clean_text,
+          |  CAST(len(w.ws) AS BIGINT) AS n_words,
+          |  CAST(len(w.ws) -
+          |    len(list_filter(w.ws, (x, i) -> NOT list_contains(coalesce(s.cov, []), i))) AS BIGINT) AS n_removed
+          |FROM wrds w LEFT JOIN starts s USING (doc_id)""".stripMargin),
+
       "d_c4" ->
         ("""WITH salted AS (
           |  SELECT doc_id,
@@ -2209,6 +2269,20 @@ object SparkEntry {
         ("""SELECT doc_id, lang FROM documents
           |WHERE ('0x' || substr(md5(doc_id::varchar), 1, 15))::bigint / 1152921504606846976.0 <
           |  CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'fr' THEN 0.25 ELSE 0.1 END""".stripMargin),
+
+      "d_budget" ->
+        ("""WITH t AS (
+          |  SELECT doc_id,
+          |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tokens,
+          |    0.5 * least(len(string_split_regex(trim(text), '\s+'))::double / 64.0, 1.0)
+          |      + 0.5 * (length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))::double
+          |               / greatest(length(text)::double, 1.0)) AS q
+          |  FROM documents),
+          |c AS (SELECT doc_id, tokens, q,
+          |        sum(tokens) OVER (ORDER BY q DESC, doc_id) AS cum FROM t)
+          |SELECT doc_id, tokens, round(q, 4) + 0 AS quality,
+          |       CAST(cum AS BIGINT) AS cum_tokens
+          |FROM c WHERE cum <= 10000""".stripMargin),
 
       "d_sample_temp" ->
         ("""WITH counts AS (SELECT lang, count(*)::double AS c FROM documents GROUP BY 1),

@@ -111,4 +111,38 @@ object Funnel {
       .groupBy(col("cohort"), (col("p") - col("cohort")).as("offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** First-order event-path transition matrix (the Markov-chain view
+    * of user journeys): for every consecutive pair of events by the
+    * same user, count src→dst transitions and their per-src share.
+    *
+    * Shape: ONE window over (user, time, event-id) — the partition
+    * key is the user id, high-cardinality by construction, so the
+    * window parallelizes at any scale (never a window over the
+    * low-cardinality event type). The per-src normalization is a
+    * second hash aggregate on the result-sized (|types|²) counts
+    * joined back — not a window over the hot src key. Ties at the
+    * same timestamp order by event id, so the chain is deterministic.
+    */
+  def transitions(
+      events: DataFrame,
+      userCol: Column,
+      typeCol: Column,
+      timeCol: Column,
+      idCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
+    val pairs = events
+      .select(userCol.as("user_id"), typeCol.as("etype"),
+        timeCol.as("t"), idCol.as("event_id"))
+      .withColumn("next", lead(col("etype"), 1).over(w))
+      .where(col("next").isNotNull)
+    val counts = pairs
+      .groupBy(col("etype").as("src"), col("next").as("dst"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("src").agg(sum("n").as("tot"))
+    counts.join(totals, Seq("src"))
+      .select(col("src"), col("dst"), col("n"),
+        round(col("n").cast("double") / col("tot").cast("double"), 4).as("p"))
+  }
 }

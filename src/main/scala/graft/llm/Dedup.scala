@@ -369,6 +369,63 @@ object Dedup {
           4).as("dup_ratio"))
   }
 
+  /** Positional w-word shingles (NON-distinct, unlike [[shingles]]):
+    * element j (0-based) is the shingle starting at word j, so a
+    * `posexplode` yields (start, shingle) pairs directly.
+    */
+  private def positionalShingles(words: Column, w: Int): Column = {
+    val n = size(words) - (w - 1)
+    when(n >= 1,
+      transform(
+        sequence(lit(1), greatest(n, lit(1))),
+        i => array_join(slice(words, i, lit(w)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** ExactSubstr-style duplicate-span REMOVAL — the cleanup step that
+    * [[duplicateSpans]]' statistics feed (Lee et al. 2022 cut the
+    * repeated substrings out of the corpus, they don't just count
+    * them): drop every word covered by a w-word shingle whose exact
+    * text occurs more than once in the corpus (intra- or
+    * inter-document), then reassemble the survivors in order.
+    *
+    * Plan shape at corpus scale: positional shingles explode ONCE
+    * into slim (doc_id, start, h) rows; the duplicated-hash set is a
+    * hash aggregate with map-side partials (never a window over the
+    * content hash — the boilerplate-shingle lesson from
+    * [[duplicateSpans]]); duplicate span starts fold back per
+    * document via `collect_set` (bounded by document word count);
+    * coverage and reassembly are a map-only array pass fused over the
+    * original scan, so the corpus text itself is never shuffled.
+    * Word positions are 0-based end to end (`posexplode` / 2-arg
+    * `filter` index).
+    */
+  def scrubSpans(
+      docs: DataFrame,
+      textCol: Column,
+      idCol: Column = col("doc_id"),
+      w: Int = 5): DataFrame = {
+    val base = docs
+      .where(idCol.isNotNull)
+      .select(idCol.as("doc_id"), split(trim(textCol), "\\s+").as("ws"))
+    val sh = base
+      .select(col("doc_id"), posexplode(positionalShingles(col("ws"), w)))
+      .select(col("doc_id"), col("pos"), md5(col("col")).as("h"))
+    val dupKeys = sh.groupBy("h").agg(count(lit(1)).as("n"))
+      .where(col("n") > 1).select("h")
+    val dupStarts = sh.join(dupKeys, Seq("h"), "left_semi")
+      .groupBy("doc_id").agg(collect_set(col("pos")).as("starts"))
+    val covered = array_distinct(flatten(transform(
+      coalesce(col("starts"), array().cast("array<int>")),
+      st => sequence(st, st + (w - 1)))))
+    val kept = filter(col("ws"), (word, i) => !array_contains(covered, i))
+    base.join(dupStarts, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        array_join(kept, " ").as("clean_text"),
+        size(col("ws")).cast("long").as("n_words"),
+        (size(col("ws")) - size(kept)).cast("long").as("n_removed"))
+  }
+
   // ------------------------------------------------------------------
   // Duplicate clusters (connected components over near-dup pairs)
   // ------------------------------------------------------------------

@@ -270,4 +270,53 @@ object Sampling {
         array_join(slice(col("toks"), col("start") + 1, lit(window)), " ")
           .as("chunk"))
   }
+
+  /** Quality-ranked token-budget selection: keep the best documents
+    * (by `qualityCol` descending, id ascending as the total-order
+    * tiebreak) whose running token total stays within `budget` — the
+    * "spend N tokens on the best data" curation step.
+    *
+    * The running total is a two-phase distributed cumulative sum, the
+    * shape that survives 100 TB: range-partition the slim
+    * (id, tokens, quality) projection on the rank order, aggregate
+    * per-range token totals (map-side partials, `buckets` rows out),
+    * turn those into per-range offsets with a window over the
+    * `buckets`-row relation (metadata-sized, explicitly NOT the
+    * corpus), broadcast the offsets back, and finish with a running
+    * sum windowed WITHIN each range partition — every window
+    * partition is one balanced range, never a global single-task
+    * sort. The range relation is lineage-truncated so the offset pass
+    * and the output pass share one materialization of the shuffle.
+    */
+  def tokenBudget(
+      docs: DataFrame,
+      textCol: Column,
+      budget: Long,
+      idCol: Column = col("doc_id"),
+      buckets: Int = 32): DataFrame = {
+    import graft.Lineage.TruncateOps
+    val scored = docs.select(
+      idCol.as("doc_id"),
+      size(org.apache.spark.sql.functions.split(trim(textCol), "\\s+"))
+        .cast("long").as("tokens"),
+      TextStats.qualityScoreRaw(textCol).as("q"))
+    val ranged = scored
+      .repartitionByRange(buckets, col("q").desc, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .truncateLineage()
+    val offsets = ranged.groupBy("pid").agg(sum("tokens").as("ptot"))
+      .withColumn("off",
+        coalesce(sum("ptot").over(
+          Window.orderBy("pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "off")
+    ranged
+      .join(broadcast(offsets), Seq("pid"))
+      .withColumn("cum",
+        col("off") + sum("tokens").over(
+          Window.partitionBy("pid").orderBy(col("q").desc, col("doc_id"))))
+      .where(col("cum") <= budget)
+      .select(col("doc_id"), col("tokens"),
+        round(col("q"), 4).as("quality"), col("cum").as("cum_tokens"))
+  }
 }

@@ -68,4 +68,29 @@ class FunnelSpec extends AnyFunSuite {
     val out2 = run((8L, "error", 10L), (8L, "view", 20L), (8L, "click", 30L))
     assert(out2(8L) == ((Some(20L), Some(30L), None, 2L)))
   }
+
+  test("transitions: per-user consecutive pairs, per-src shares, tie by event id") {
+    import spark.implicits._
+    val events = Seq(
+      // u1: view -> click -> view (two transitions)
+      (1L, "view", 10L, 100L), (1L, "click", 20L, 101L), (1L, "view", 30L, 102L),
+      // u2: view -> view (same timestamp: event id orders the chain)
+      (2L, "view", 50L, 201L), (2L, "view", 50L, 200L),
+      // u3: a single event emits no transition
+      (3L, "purchase", 5L, 300L))
+      .toDF("user_id", "event_type", "t", "event_id")
+    val out = Funnel.transitions(events,
+        userCol = col("user_id"), typeCol = col("event_type"),
+        timeCol = col("t"), idCol = col("event_id"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    // src=view: view->click (u1) and view->view (u2) — u1's trailing
+    // view is terminal and emits nothing -> shares 1/2 each
+    assert(out(("view", "click")) == ((1L, 0.5)))
+    assert(out(("view", "view")) == ((1L, 0.5)))
+    // src=click: only click->view
+    assert(out(("click", "view")) == ((1L, 1.0)))
+    assert(out.size == 3, s"unexpected transitions: ${out.keySet}")
+  }
 }

@@ -176,4 +176,26 @@ class SamplingSpec extends AnyFunSuite {
     val covered = out.filter(_._1 == 1L).flatMap(_._5.split(" ")).toSet
     assert(covered == (1 to 10).map(i => s"t$i").toSet)
   }
+
+  test("tokenBudget: best-quality prefix within budget, exact running total") {
+    import spark.implicits._
+    // quality = 0.5*min(n/64,1) + 0.5*alphaRatio; all-alpha texts rank
+    // purely by word count here, ties broken by doc_id ascending.
+    val docs = (1L to 40L).map(i =>
+      (i, (0 until (if (i <= 10) 60 else 10)).map(j => s"w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Sampling.tokenBudget(docs, col("text"), budget = 630L, buckets = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+      .sortBy(_._3)
+    // ten 60-token docs (q≈0.73) fill 600; the 10-token docs (q≈0.41)
+    // follow by id: 11 at 610, 12 at 620, 13 exactly at the 630 cap.
+    assert(out.map(_._1).toSeq == ((1L to 10L) ++ Seq(11L, 12L, 13L)))
+    // the running total is the exact global cumulative sum in rank order
+    assert(out.map(_._3).toSeq == (1 to 10).map(_ * 60L) ++ Seq(610L, 620L, 630L))
+    // determinism across runs (range partition boundaries must not
+    // leak into the result)
+    val again = Sampling.tokenBudget(docs, col("text"), budget = 630L, buckets = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sortBy(_._3)
+    assert(again.toSeq == out.toSeq)
+  }
 }
