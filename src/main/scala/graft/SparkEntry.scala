@@ -709,9 +709,10 @@ object SparkEntry {
         col("text"), col("doc_id"), w = 5)),
 
     // ExactSubstr removal: cut every word covered by a corpus-repeated
-    // 5-gram and reassemble — slim positional-shingle explode, hash
-    // aggregate on the shingle hash (no window), per-doc start-set
-    // fold-back, map-only reassembly over the original scan.
+    // 5-gram and reassemble — slim positional-shingle explodes (two
+    // deliberate passes: count, then locate), hash aggregate on the
+    // shingle hash (no window), per-doc start-set fold-back, map-only
+    // reassembly over the original scan.
     "d_scrub_spans" -> ((s, dir) =>
       Dedup.scrubSpans(
         s.read.parquet(s"$dir/documents.parquet"),
@@ -1490,6 +1491,19 @@ object SparkEntry {
         GraphiteTables.pointsTagged(s, dir),
         GraphiteTables.tags(s, dir),
         graft.prom.PromQL.parse("mad_over_time(events[1d])")
+          .fold(e => throw new IllegalArgumentException(e), identity),
+        start = WFrom, end = WFrom + 30L * 86400L, step0 = 21600L,
+        lookbackSec = 86400L)
+        .withColumn("value", round(col("value"), 6))),
+
+    // first_over_time: the window's earliest sample (min_by on time),
+    // same explode-onto-slots + one hash aggregate plan as the rest
+    // of the *_over_time family.
+    "p_query_first" -> ((s, dir) =>
+      graft.prom.PromQL.evalMatrix(
+        GraphiteTables.pointsTagged(s, dir),
+        GraphiteTables.tags(s, dir),
+        graft.prom.PromQL.parse("first_over_time(events[1d])")
           .fold(e => throw new IllegalArgumentException(e), identity),
         start = WFrom, end = WFrom + 30L * 86400L, step0 = 21600L,
         lookbackSec = 86400L)
@@ -3379,6 +3393,21 @@ object SparkEntry {
            |  JOIN grid g ON d.time <= g.t AND d.time > g.t - 86400)
            |SELECT 'events?type=' || event_type || '&user=' || user_id AS path, t,
            |       round(mad(value), 6) + 0 AS value
+           |FROM win GROUP BY 1, 2""".stripMargin),
+
+      "p_query_first" ->
+        (s"""WITH dedup AS (
+           |  SELECT event_type, user_id,
+           |         epoch_us(ts)//1000000 AS time,
+           |         arg_max(value, event_id) AS value
+           |  FROM events
+           |  GROUP BY 1, 2, 3),
+           |grid AS (SELECT $WFrom + 21600*n AS t FROM generate_series(0, 120) g(n)),
+           |win AS (
+           |  SELECT d.event_type, d.user_id, g.t, d.time, d.value FROM dedup d
+           |  JOIN grid g ON d.time <= g.t AND d.time > g.t - 86400)
+           |SELECT 'events?type=' || event_type || '&user=' || user_id AS path, t,
+           |       round(arg_min(value, time), 6) + 0 AS value
            |FROM win GROUP BY 1, 2""".stripMargin),
 
       "p_query_atan2" ->

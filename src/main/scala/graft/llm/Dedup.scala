@@ -389,14 +389,24 @@ object Dedup {
     * text occurs more than once in the corpus (intra- or
     * inter-document), then reassemble the survivors in order.
     *
-    * Plan shape at corpus scale: positional shingles explode ONCE
-    * into slim (doc_id, start, h) rows; the duplicated-hash set is a
-    * hash aggregate with map-side partials (never a window over the
+    * Plan shape at corpus scale: positional shingles explode into
+    * slim (doc_id, start, h) rows; the duplicated-hash set is a hash
+    * aggregate with map-side partials (never a window over the
     * content hash — the boilerplate-shingle lesson from
     * [[duplicateSpans]]); duplicate span starts fold back per
     * document via `collect_set` (bounded by document word count);
     * coverage and reassembly are a map-only array pass fused over the
     * original scan, so the corpus text itself is never shuffled.
+    *
+    * The explode deliberately runs TWICE (once to count, once to
+    * locate) — the removal analogue of ExactSubstr's multi-pass
+    * design. Unlike [[duplicateSpans]], the two consumers cannot
+    * share one exchange: the locate side must carry positions that
+    * the count side prunes, so Catalyst plans them apart. Recomputing
+    * a map-side md5 pass scales; the alternatives do not — the
+    * positional relation is corpus-words-sized (hundreds of TB at the
+    * design point, too big to checkpoint per query), and collecting
+    * occurrence lists per hash OOMs on the hot boilerplate shingle.
     * Word positions are 0-based end to end (`posexplode` / 2-arg
     * `filter` index).
     */

@@ -384,8 +384,8 @@ object PromQL {
     "delta", "idelta", "irate", "resets", "changes",
     "deriv", "avg_over_time", "sum_over_time", "min_over_time",
     "max_over_time", "count_over_time", "last_over_time",
-    "stddev_over_time", "stdvar_over_time", "present_over_time",
-    "absent_over_time", "mad_over_time")
+    "first_over_time", "stddev_over_time", "stdvar_over_time",
+    "present_over_time", "absent_over_time", "mad_over_time")
 
   val aggOps: Set[String] = Set(
     "sum", "avg", "min", "max", "count", "stddev", "stdvar", "group")
@@ -1278,6 +1278,7 @@ object PromQL {
           case "max_over_time"    => g.agg(max("value").as("value"))
           case "count_over_time"  => g.agg(count(lit(1)).cast("double").as("value"))
           case "last_over_time"   => g.agg(max_by(col("value"), col("time")).as("value"))
+          case "first_over_time"  => g.agg(min_by(col("value"), col("time")).as("value"))
           case "present_over_time" => g.agg(max(lit(1.0)).as("value"))
           // population forms, like Prometheus
           case "stddev_over_time" => g.agg(stddev_pop(col("value")).as("value"))

@@ -564,6 +564,9 @@ class PromQLEvalSpec extends AnyFunSuite {
     assert(eval("stddev_over_time(m[40s])").head._3 ==
       math.sqrt((Seq(1.0, 3.0, 2.0, 5.0).map(v => (v - 2.75) * (v - 2.75)).sum) / 4))
     assert(eval("present_over_time(m[40s])") == Set(("m?job=a", 30L, 1.0)))
+    // first/last bracket the window: earliest sample 1.0, latest 5.0
+    assert(eval("first_over_time(m[40s])") == Set(("m?job=a", 30L, 1.0)))
+    assert(eval("last_over_time(m[40s])") == Set(("m?job=a", 30L, 5.0)))
     // quantile_over_time: exact interpolation over {1,2,3,5} at 0.5
     assert(eval("quantile_over_time(0.5, m[40s])") == Set(("m?job=a", 30L, 2.5)))
     // irate counter reset: last < prev → last value is the increase

@@ -1,16 +1,18 @@
 package graft.tools
-import org.apache.spark.sql.SparkSession
-/** Scratch end-to-end drive harness (test scope, not shipped). */
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
 object DriveScratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    val df = graft.SparkEntry.entry(spark)
-    println("ENTRY_ROWS " + df.count())
-    df.show(5, false)
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = graft.llm.Dedup.scrubSpans(docs, col("text"), col("doc_id"), 5)
+    val plan = out.queryExecution.executedPlan.toString
+    println("MARKER generates=" + "Generate".r.findAllIn(plan).length +
+      " reused=" + "ReusedExchange".r.findAllIn(plan).length +
+      " scans=" + "FileScan".r.findAllIn(plan).length)
     spark.stop()
   }
 }
