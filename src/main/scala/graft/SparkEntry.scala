@@ -536,6 +536,17 @@ object SparkEntry {
           col("window.start").cast("long").as("window_start"),
           col("n"), col("sum_value"))),
 
+    // RFM quintile scoring: user-grain aggregate, then three exact
+    // global n-tiles via the two-phase rank (range partition + per-
+    // range row_number + broadcast offsets) — never a partitionless
+    // `ntile() OVER (ORDER BY …)` that serializes the relation.
+    "ev_rfm" -> ((s, dir) =>
+      graft.events.Rfm.rfm(
+        GraphiteTables.events(s, dir),
+        userCol = col("user_id"),
+        timeCol = (col("ts") / 1000000000L).cast("long"),
+        valueCol = col("value"))),
+
     // ----------------------------------------------------------------
     // TPC-H track: scans, joins, aggregation shapes (S1, J1, A4)
     // ----------------------------------------------------------------
@@ -1976,6 +1987,17 @@ object SparkEntry {
           |FROM (SELECT event_type, epoch_us(ts)//1000000 AS t, value FROM events) e,
           |     generate_series(0, 3) g(j)
           |GROUP BY 1, 2""".stripMargin),
+
+      "ev_rfm" ->
+        ("""WITH grain AS (
+          |  SELECT user_id, max(epoch_us(ts)//1000000) AS recency,
+          |         count(*) AS frequency, round(sum(value), 4) AS monetary
+          |  FROM events GROUP BY 1)
+          |SELECT user_id, recency, frequency, monetary,
+          |  CAST(ntile(5) OVER (ORDER BY recency, user_id) AS BIGINT) AS r,
+          |  CAST(ntile(5) OVER (ORDER BY frequency, user_id) AS BIGINT) AS f,
+          |  CAST(ntile(5) OVER (ORDER BY monetary, user_id) AS BIGINT) AS m
+          |FROM grain""".stripMargin),
 
       "q1_agg" ->
         ("""SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty,

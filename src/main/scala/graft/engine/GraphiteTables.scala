@@ -40,12 +40,20 @@ object GraphiteTables {
       (spark.sparkContext.applicationId, dir, kind),
       _ => build.cache())
 
-  /** events.parquet carries nanosecond timestamps, which Spark's
-    * parquet reader rejects by default; read them as raw Long nanos.
+  /** events.parquet has shipped `ts` both as nanosecond timestamps
+    * (which Spark's parquet reader rejects by default — read as raw
+    * Long nanos) and as microsecond timestamps (read as
+    * TIMESTAMP_NTZ). Normalize to the Long-nanos contract every
+    * downstream query assumes, whichever the file carries.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
+    val df = spark.read.parquet(s"$dir/events.parquet")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ => // session tz is UTC, so NTZ wall-clock == the instant
+        df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000L)
+    }
   }
 
   /** Points table (plain hierarchical paths), schema per
