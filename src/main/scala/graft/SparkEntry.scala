@@ -876,6 +876,20 @@ object SparkEntry {
       TextStats.vocabReport(
         s.read.parquet(s"$dir/documents.parquet"), col("text"), topK = 200)),
 
+    // per-doc top-5 TF-IDF terms: df joins back on the term (shuffled
+    // equi-join, AQE skew-splittable); the top-k window partitions on
+    // the doc id, bounded by doc length — never on the term key.
+    "d_tfidf" -> ((s, dir) =>
+      TextStats.tfidfTopK(s.read.parquet(s"$dir/documents.parquet"),
+        col("text"), col("doc_id"), k = 5)),
+
+    // capped inverted index: salted two-stage top-k aggregation keeps
+    // the 8 lowest doc ids per term without ever materializing a hot
+    // stop-word's full posting list in one task.
+    "d_inverted" -> ((s, dir) =>
+      TextStats.invertedIndex(s.read.parquet(s"$dir/documents.parquet"),
+        col("text"), col("doc_id"), cap = 8, salts = 16)),
+
     // overlapping token-window chunking (context-window prep): chunk i
     // covers tokens [48i, 48i+64) so neighbors share 16 tokens; pure
     // narrow split+explode, no shuffle at any corpus scale.
@@ -2476,6 +2490,32 @@ object SparkEntry {
           |SELECT token, n, CAST(rank AS BIGINT) AS rank,
           |  n::double / total AS share, cum_n::double / total AS cum_share
           |FROM r, tot""".stripMargin),
+
+      "d_tfidf" ->
+        ("""WITH toks AS (
+          |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+          |  FROM documents),
+          |grain AS (SELECT doc_id, token, count(*)::bigint AS tf FROM toks GROUP BY 1, 2),
+          |dfs AS (SELECT token, count(*)::bigint AS df FROM grain GROUP BY 1),
+          |n AS (SELECT count(*)::double AS nn FROM documents),
+          |scored AS (
+          |  SELECT g.doc_id, g.token, g.tf, d.df,
+          |         round(g.tf * ln(nn / d.df), 4) AS score
+          |  FROM grain g JOIN dfs d USING (token), n),
+          |r AS (SELECT *, row_number() OVER (
+          |    PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rank
+          |  FROM scored)
+          |SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, tf, df, score
+          |FROM r WHERE rank <= 5""".stripMargin),
+
+      "d_inverted" ->
+        ("""WITH tok0 AS (
+          |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+          |  FROM documents),
+          |toks AS (SELECT DISTINCT doc_id, token FROM tok0)
+          |SELECT token, count(*)::bigint AS df,
+          |       (list(doc_id ORDER BY doc_id))[1:8] AS postings
+          |FROM toks GROUP BY 1""".stripMargin),
 
       "d_chunks" ->
         ("""WITH toks AS (

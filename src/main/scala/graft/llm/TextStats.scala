@@ -527,4 +527,70 @@ object TextStats {
         (col("n").cast("double") / col("__total")).as("share"),
         (col("cum_n").cast("double") / col("__total")).as("cum_share"))
   }
+
+  /** Per-document top-`k` terms by TF-IDF (`score = tf · ln(N/df)`,
+    * 4-dp rounded for the cross-engine ln). Plan shape: one explode →
+    * hash aggregate to the (doc, term, tf) grain; df comes from a
+    * second hash aggregate over that grain (map-side partials absorb
+    * hot stop-words) and joins back on the term — a shuffled
+    * equi-join AQE can skew-split, with corpus N riding a 1-row
+    * broadcast. The final top-k window partitions on the DOCUMENT id
+    * (bounded by doc length), never on the term key.
+    */
+  def tfidfTopK(
+      docs: DataFrame,
+      textCol: Column,
+      idCol: Column,
+      k: Int): DataFrame = {
+    val grain = docs
+      .select(idCol.as("doc_id"), explode(words(lower(textCol))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfs = grain.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.groupBy().agg(count(lit(1)).cast("double").as("__n"))
+    val scored = grain
+      .join(dfs, Seq("token"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * log(col("__n") / col("df")), 4))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("token").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("token"), col("tf"),
+        col("df"), col("score"))
+  }
+
+  /** Inverted index with capped postings: per term, the document
+    * frequency plus the `cap` LOWEST doc ids containing it. The
+    * posting cap is computed with salted two-stage top-k aggregation:
+    * stage 1 keeps the `cap` smallest ids within each of `salts` salt
+    * buckets (every group is ≤ its bucket's share of the docs), stage
+    * 2 merges ≤ `salts`·`cap` candidates per term — a hot stop-word
+    * never materializes its full posting list in one task, unlike the
+    * textbook `collect_list` over the term key or a term-partitioned
+    * row_number window. df sums exact per-bucket counts in the same
+    * two aggregates. Size `salts` so a worst-case stage-1 buffer
+    * (corpus docs / salts ids) fits an executor: 1024 holds a
+    * billion-doc stop-word to ~1M ids (≈8 MB) per group while stage 2
+    * merges ≤ salts·cap candidates per term.
+    */
+  def invertedIndex(
+      docs: DataFrame,
+      textCol: Column,
+      idCol: Column,
+      cap: Int,
+      salts: Int = 256): DataFrame = {
+    val grain = docs
+      .select(idCol.as("doc_id"), explode(array_distinct(words(lower(textCol)))).as("token"))
+    val partial = grain
+      .groupBy(col("token"), pmod(col("doc_id"), lit(salts)).as("__salt"))
+      .agg(count(lit(1)).as("__n"),
+        slice(array_sort(collect_list(col("doc_id"))), 1, cap).as("__ids"))
+    partial
+      .groupBy("token")
+      .agg(sum("__n").as("df"),
+        slice(array_sort(flatten(collect_list(col("__ids")))), 1, cap)
+          .as("postings"))
+  }
 }

@@ -78,7 +78,10 @@ class PlanAuditSpec extends AnyFunSuite {
   // no-BNLJ list above.
   for (name <- Seq("e_knn_brute", "e_ivf_search", "d_vocab",
       "d_unigram_ppl", "d_bigram_ppl", "e_ivf_recall", "d_semdedup",
-      "e_ivfpq_search", "e_knn_classify", "d_curate_decon")) {
+      "e_ivfpq_search", "e_knn_classify", "d_curate_decon",
+      // TF-IDF's corpus N rides a 1-row broadcast scalar; the df join
+      // itself is a shuffled equi-join (asserted below)
+      "d_tfidf")) {
     test(s"$name: all-pairs stage is broadcast-bounded, never a distributed cartesian") {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"CartesianProduct in $name")
@@ -154,6 +157,50 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
       s"no equi-join in d_unigram_ppl:\n$p")
     assert(!p.contains("CartesianProduct"), "cartesian in d_unigram_ppl")
+  }
+
+  test("ev_rfm: exact ntile is the two-phase rank, never a global-ORDER window over the relation") {
+    // ntileExact's contract: range-partition the relation, row_number
+    // WITHIN each range (window partitioned on the range id), and
+    // broadcast the per-range offsets back. The partitionless windows
+    // in the plan run only over the `buckets`-row offsets relation;
+    // the relation-sized windows must all be keyed on __pid.
+    // (the range-partition exchange itself sits behind ntileExact's
+    // lineage cut, so it is not visible in this query's plan string)
+    val p = plan("ev_rfm")
+    assert(!p.contains("CartesianProduct"), "cartesian in ev_rfm")
+    assert(p.contains("windowspecdefinition(__pid"),
+      s"per-range row_number not partitioned on __pid in ev_rfm:\n$p")
+    // the naive shape would window the relation ordered directly on a
+    // metric with no partition key — spec would print the metric first
+    assert(!"windowspecdefinition\\((recency|frequency|monetary)".r
+      .findFirstIn(p).isDefined,
+      s"partitionless metric-ordered window in ev_rfm:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      "offsets must join back via broadcast in ev_rfm")
+  }
+
+  test("d_tfidf: top-k window partitions on the doc id, never the term key") {
+    // a term-partitioned window would serialize a hot stop-word's
+    // postings into one task; the doc-partitioned window is bounded
+    // by document length
+    val p = plan("d_tfidf")
+    assert(p.contains("windowspecdefinition(doc_id"),
+      s"top-k window not partitioned on doc_id in d_tfidf:\n$p")
+    assert(!p.contains("windowspecdefinition(token"),
+      s"term-partitioned window in d_tfidf:\n$p")
+    // df must reach the grain via a shuffled equi-join (AQE can
+    // skew-split it), never by assuming the vocab broadcasts
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"no equi-join for df in d_tfidf:\n$p")
+  }
+
+  test("d_inverted: no window over the term key — postings via salted two-stage aggregate") {
+    val p = plan("d_inverted")
+    assert(!p.contains("Window"), s"window in d_inverted:\n$p")
+    assert(!p.contains("CartesianProduct"), "cartesian in d_inverted")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      "expected collect_list aggregates in d_inverted")
   }
 
   test("p_query_histq: bucket regroup is one hash aggregate, no join after the matrix") {
