@@ -890,6 +890,13 @@ object SparkEntry {
       TextStats.invertedIndex(s.read.parquet(s"$dir/documents.parquet"),
         col("text"), col("doc_id"), cap = 8, salts = 16)),
 
+    // TextRank keyword importance: PageRank (4 iterations) over the
+    // token co-occurrence graph; in-row pair explode, then per
+    // iteration one rank⋈edges equi-join + one dst hash aggregate.
+    "d_textrank" -> ((s, dir) =>
+      graft.llm.Graph.textrank(s.read.parquet(s"$dir/documents.parquet"),
+        col("text"), col("doc_id"), iters = 4)),
+
     // overlapping token-window chunking (context-window prep): chunk i
     // covers tokens [48i, 48i+64) so neighbors share 16 tokens; pure
     // narrow split+explode, no shuffle at any corpus scale.
@@ -2516,6 +2523,34 @@ object SparkEntry {
           |SELECT token, count(*)::bigint AS df,
           |       (list(doc_id ORDER BY doc_id))[1:8] AS postings
           |FROM toks GROUP BY 1""".stripMargin),
+
+      "d_textrank" ->
+        ("""WITH tok0 AS (
+          |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+          |  FROM documents),
+          |tok AS (SELECT DISTINCT doc_id, token FROM tok0),
+          |edges AS (
+          |  SELECT DISTINCT a.token AS ta, b.token AS tb
+          |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.token < b.token),
+          |sym AS (SELECT ta AS src, tb AS dst FROM edges
+          |        UNION ALL SELECT tb, ta FROM edges),
+          |deg AS (SELECT src AS node, count(*)::double AS deg FROM sym GROUP BY 1),
+          |n AS (SELECT count(*)::double AS nn FROM deg),
+          |r0 AS (SELECT node, 1.0 / nn AS rank FROM deg, n),
+          |r1 AS (SELECT s.dst AS node, (1.0 - 0.85) / nn + 0.85 * sum(r.rank / d.deg) AS rank
+          |       FROM r0 r JOIN deg d ON d.node = r.node JOIN sym s ON s.src = r.node, n
+          |       GROUP BY s.dst, nn),
+          |r2 AS (SELECT s.dst AS node, (1.0 - 0.85) / nn + 0.85 * sum(r.rank / d.deg) AS rank
+          |       FROM r1 r JOIN deg d ON d.node = r.node JOIN sym s ON s.src = r.node, n
+          |       GROUP BY s.dst, nn),
+          |r3 AS (SELECT s.dst AS node, (1.0 - 0.85) / nn + 0.85 * sum(r.rank / d.deg) AS rank
+          |       FROM r2 r JOIN deg d ON d.node = r.node JOIN sym s ON s.src = r.node, n
+          |       GROUP BY s.dst, nn),
+          |r4 AS (SELECT s.dst AS node, (1.0 - 0.85) / nn + 0.85 * sum(r.rank / d.deg) AS rank
+          |       FROM r3 r JOIN deg d ON d.node = r.node JOIN sym s ON s.src = r.node, n
+          |       GROUP BY s.dst, nn)
+          |SELECT r4.node, round(r4.rank, 6) AS pagerank, CAST(d.deg AS BIGINT) AS deg
+          |FROM r4 JOIN deg d ON d.node = r4.node""".stripMargin),
 
       "d_chunks" ->
         ("""WITH toks AS (

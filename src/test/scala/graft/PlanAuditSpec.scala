@@ -81,7 +81,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "e_ivfpq_search", "e_knn_classify", "d_curate_decon",
       // TF-IDF's corpus N rides a 1-row broadcast scalar; the df join
       // itself is a shuffled equi-join (asserted below)
-      "d_tfidf")) {
+      "d_tfidf",
+      // TextRank's per-iteration (1-d)/n term rides the same 1-row
+      // broadcast; rank⋈edges is a shuffled equi-join (asserted below)
+      "d_textrank")) {
     test(s"$name: all-pairs stage is broadcast-bounded, never a distributed cartesian") {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"CartesianProduct in $name")
@@ -201,6 +204,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "cartesian in d_inverted")
     assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
       "expected collect_list aggregates in d_inverted")
+  }
+
+  test("d_textrank: iteration is equi-join + hash aggregate, never a window") {
+    // each PageRank step must be rank⋈edges on the source key plus a
+    // destination hash aggregate — a window over a graph key would
+    // serialize a hub's edges into one task
+    val p = plan("d_textrank")
+    assert(!p.contains("Window"), s"window in d_textrank:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"no equi-join in d_textrank:\n$p")
   }
 
   test("p_query_histq: bucket regroup is one hash aggregate, no join after the matrix") {
