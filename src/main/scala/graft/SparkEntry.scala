@@ -897,6 +897,13 @@ object SparkEntry {
       graft.llm.Graph.textrank(s.read.parquet(s"$dir/documents.parquet"),
         col("text"), col("doc_id"), iters = 4)),
 
+    // exact global doc-length quantiles via the two-phase rank — no
+    // global sort, no sketch; percentile_cont interpolation.
+    "d_quantiles" -> ((s, dir) =>
+      graft.llm.Quantiles.exactQuantiles(
+        s.read.parquet(s"$dir/documents.parquet"), col("n_chars"),
+        qs = Seq(0.25, 0.5, 0.9, 0.99))),
+
     // overlapping token-window chunking (context-window prep): chunk i
     // covers tokens [48i, 48i+64) so neighbors share 16 tokens; pure
     // narrow split+explode, no shuffle at any corpus scale.
@@ -2523,6 +2530,13 @@ object SparkEntry {
           |SELECT token, count(*)::bigint AS df,
           |       (list(doc_id ORDER BY doc_id))[1:8] AS postings
           |FROM toks GROUP BY 1""".stripMargin),
+
+      "d_quantiles" ->
+        ("""WITH lens AS (SELECT n_chars::double AS v FROM documents)
+          |SELECT 0.25::double AS q, round(percentile_cont(0.25) WITHIN GROUP (ORDER BY v), 4) AS value FROM lens
+          |UNION ALL SELECT 0.5::double, round(percentile_cont(0.5) WITHIN GROUP (ORDER BY v), 4) FROM lens
+          |UNION ALL SELECT 0.9::double, round(percentile_cont(0.9) WITHIN GROUP (ORDER BY v), 4) FROM lens
+          |UNION ALL SELECT 0.99::double, round(percentile_cont(0.99) WITHIN GROUP (ORDER BY v), 4) FROM lens""".stripMargin),
 
       "d_textrank" ->
         ("""WITH tok0 AS (

@@ -216,6 +216,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no equi-join in d_textrank:\n$p")
   }
 
+  test("d_quantiles: exact rank via the two-phase shape, wanted ranks broadcast back") {
+    val p = plan("d_quantiles")
+    assert(!p.contains("CartesianProduct"), "cartesian in d_quantiles")
+    assert(p.contains("windowspecdefinition(__pid"),
+      s"per-range row_number not partitioned on __pid in d_quantiles:\n$p")
+    assert(!"windowspecdefinition\\(v#".r.findFirstIn(p).isDefined,
+      s"partitionless value-ordered window in d_quantiles:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      "wanted ranks must reach the ranked relation via broadcast")
+  }
+
   test("p_query_histq: bucket regroup is one hash aggregate, no join after the matrix") {
     // histogram_quantile's interpolation lives inside the aggregate
     // row (collect_list of scrape-config-sized buckets) — adding a

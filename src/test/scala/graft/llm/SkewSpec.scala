@@ -94,6 +94,32 @@ class SkewSpec extends AnyFunSuite {
     assert(got.forall(r => r.getLong(0) < dup && r.getLong(1) < dup))
   }
 
+  test("invertedIndex under a 100%-hot stop-word: salted aggregate, exact lowest cap") {
+    import spark.implicits._
+    val n = 20000
+    // 'the' appears in EVERY doc — the textbook posting-list hot key;
+    // each doc also carries a unique token
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      concat(lit("the u"), col("id")).as("text"))
+
+    val out = TextStats.invertedIndex(docs, col("text"), col("doc_id"),
+      cap = 8, salts = 16)
+    // plan shape: two aggregate levels, never a window or a
+    // term-keyed row_number that serializes the stop-word
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "window over the term key under skew")
+    assert(!plan.contains("CartesianProduct"), "cartesian in invertedIndex")
+
+    val t0 = System.nanoTime()
+    val hot = out.where(col("token") === "the").collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 60.0, f"invertedIndex took $secs%.1f s under skew")
+    assert(hot.length == 1)
+    assert(hot.head.getAs[Long]("df") == n.toLong)
+    assert(hot.head.getSeq[Long](hot.head.fieldIndex("postings")).toList ==
+      (0L until 8L).toList)
+  }
+
   test("semanticDedup under one 60%-hot cluster: cluster-keyed plan, keep-lowest") {
     import spark.implicits._
     val n = 2000
