@@ -904,6 +904,14 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"), col("n_chars"),
         qs = Seq(0.25, 0.5, 0.9, 0.99))),
 
+    // per-language exact quantiles: the grouped two-phase rank — a
+    // hot language (en ≈ 44% of docs) never serializes into one task
+    // the way a PARTITION BY lang window would.
+    "d_quantiles_by_lang" -> ((s, dir) =>
+      graft.llm.Quantiles.exactQuantilesBy(
+        s.read.parquet(s"$dir/documents.parquet"), "lang", col("n_chars"),
+        qs = Seq(0.25, 0.5, 0.9))),
+
     // overlapping token-window chunking (context-window prep): chunk i
     // covers tokens [48i, 48i+64) so neighbors share 16 tokens; pure
     // narrow split+explode, no shuffle at any corpus scale.
@@ -2537,6 +2545,12 @@ object SparkEntry {
           |UNION ALL SELECT 0.5::double, round(percentile_cont(0.5) WITHIN GROUP (ORDER BY v), 4) FROM lens
           |UNION ALL SELECT 0.9::double, round(percentile_cont(0.9) WITHIN GROUP (ORDER BY v), 4) FROM lens
           |UNION ALL SELECT 0.99::double, round(percentile_cont(0.99) WITHIN GROUP (ORDER BY v), 4) FROM lens""".stripMargin),
+
+      "d_quantiles_by_lang" ->
+        ("""WITH lens AS (SELECT lang, n_chars::double AS v FROM documents)
+          |SELECT lang, 0.25::double AS q, round(percentile_cont(0.25) WITHIN GROUP (ORDER BY v), 4) AS value FROM lens GROUP BY lang
+          |UNION ALL SELECT lang, 0.5::double, round(percentile_cont(0.5) WITHIN GROUP (ORDER BY v), 4) FROM lens GROUP BY lang
+          |UNION ALL SELECT lang, 0.9::double, round(percentile_cont(0.9) WITHIN GROUP (ORDER BY v), 4) FROM lens GROUP BY lang""".stripMargin),
 
       "d_textrank" ->
         ("""WITH tok0 AS (

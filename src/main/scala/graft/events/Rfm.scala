@@ -66,6 +66,47 @@ object Rfm {
       .drop("__pid", "__off", "__total")
   }
 
+  /** Exact 1-based rank WITHIN each group, plus the group's total
+    * row count — without ever co-locating a whole group. The naive
+    * `row_number() OVER (PARTITION BY g ORDER BY …)` serializes a hot
+    * group (a 60%-of-corpus language, say) into one task; here the
+    * relation range-partitions on (group ++ sort), so a hot group
+    * spans consecutive ranges, per-(range, group) counts stay tiny
+    * (≤ buckets + distinct-groups rows total, by range contiguity),
+    * and the offset/total windows run over that tiny relation keyed
+    * on the group. The per-range row_number is keyed on (range id,
+    * group) — bounded by the range size whatever the group skew.
+    * Offsets join back on (range id ++ group); AQE broadcasts the
+    * small side. Pass `groupCols = Nil` for a global rank.
+    */
+  def rankExactBy(
+      df: DataFrame,
+      groupCols: Seq[String],
+      sort: Seq[Column],
+      rankCol: String = "rank",
+      totalCol: String = "total",
+      buckets: Int = 32): DataFrame = {
+    val gcols = groupCols.map(col)
+    val ranged = df
+      .repartitionByRange(buckets, (gcols ++ sort): _*)
+      .withColumn("__pid", spark_partition_id())
+      .truncateLineage()
+    val perRange = ranged
+      .groupBy(col("__pid") +: gcols: _*).agg(count(lit(1)).as("__pn"))
+    val wOff = Window.partitionBy(gcols: _*).orderBy("__pid")
+    val offsets = perRange
+      .withColumn("__off", coalesce(sum("__pn").over(
+        wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn(totalCol, sum("__pn").over(Window.partitionBy(gcols: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("__pid") +: gcols :+ col("__off") :+ col(totalCol): _*)
+    val rank = col("__off") + row_number().over(
+      Window.partitionBy(col("__pid") +: gcols: _*).orderBy(sort: _*))
+    ranged.join(offsets, "__pid" +: groupCols)
+      .withColumn(rankCol, rank)
+      .drop("__pid", "__off")
+  }
+
   /** RFM quintile scoring: per user, last-activity time (recency),
     * event count (frequency) and value sum (monetary), each scored
     * 1..n by [[ntileExact]] ascending — higher score = more recent /

@@ -227,6 +227,20 @@ class PlanAuditSpec extends AnyFunSuite {
       "wanted ranks must reach the ranked relation via broadcast")
   }
 
+  test("d_quantiles_by_lang: hot group never serializes — rank windows keyed on (range, group)") {
+    // the naive per-group shape is a window PARTITION BY lang ORDER BY
+    // value over the corpus relation — the hot language lands in one
+    // task. The grouped two-phase rank keys every corpus-sized window
+    // on (__pid, lang); lang-only windows run over the tiny per-range
+    // counts relation, whose spec orders by __pid, never the value.
+    val p = plan("d_quantiles_by_lang")
+    assert(!p.contains("CartesianProduct"), "cartesian in d_quantiles_by_lang")
+    assert(p.contains("windowspecdefinition(__pid"),
+      s"per-range row_number not keyed on __pid in d_quantiles_by_lang:\n$p")
+    assert(!"windowspecdefinition\\(lang#\\d+, v#".r.findFirstIn(p).isDefined,
+      s"value-ordered lang window over the corpus in d_quantiles_by_lang:\n$p")
+  }
+
   test("p_query_histq: bucket regroup is one hash aggregate, no join after the matrix") {
     // histogram_quantile's interpolation lives inside the aggregate
     // row (collect_list of scrape-config-sized buckets) — adding a

@@ -46,4 +46,41 @@ class QuantilesSpec extends AnyFunSuite {
     assert(exact(Seq(42.0), Seq(0.0, 0.5, 1.0)) ==
       Map(0.0 -> 42.0, 0.5 -> 42.0, 1.0 -> 42.0))
   }
+
+  test("grouped quantiles match per-group percentile_cont, hot group included") {
+    import spark.implicits._
+    // group a: 90% of the rows (the hot group); b: even count; c: one row
+    val rows = (1 to 900).map(i => ("a", i.toDouble)) ++
+      (1 to 10).map(i => ("b", i * 10.0)) ++ Seq(("c", 5.0))
+    val df = rows.toDF("g", "v")
+    df.createOrReplaceTempView("qtg_in")
+    val qs = Seq(0.25, 0.5, 0.9)
+    for (buckets <- Seq(1, 4, 16)) {
+      val got = Quantiles.exactQuantilesBy(df, "g", col("v"), qs, buckets = buckets)
+        .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
+        .toMap
+      for (q <- qs) {
+        val want = spark.sql(
+          s"SELECT g, round(percentile_cont($q) WITHIN GROUP (ORDER BY v), 4) FROM qtg_in GROUP BY g")
+          .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+        for (g <- Seq("a", "b", "c"))
+          assert(got((g, q)) == want(g), s"g=$g q=$q buckets=$buckets")
+      }
+    }
+  }
+
+  test("grouped rank is exact per group across range splits") {
+    import spark.implicits._
+    val df = Seq(("x", 30.0), ("x", 10.0), ("y", 5.0), ("x", 20.0), ("y", 1.0))
+      .toDF("g", "v")
+    val out = graft.events.Rfm.rankExactBy(df, Seq("g"), Seq(col("v")),
+        buckets = 3)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        ((r.getAs[Long]("rank"), r.getAs[Long]("total")))).toMap
+    assert(out(("x", 10.0)) == ((1L, 3L)))
+    assert(out(("x", 20.0)) == ((2L, 3L)))
+    assert(out(("x", 30.0)) == ((3L, 3L)))
+    assert(out(("y", 1.0)) == ((1L, 2L)))
+    assert(out(("y", 5.0)) == ((2L, 2L)))
+  }
 }
