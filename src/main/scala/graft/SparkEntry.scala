@@ -536,6 +536,15 @@ object SparkEntry {
           col("window.start").cast("long").as("window_start"),
           col("n"), col("sum_value"))),
 
+    // hourly volume anomalies: z-score per (type, hour) against the
+    // type's hourly distribution — two hash aggregates + one type-key
+    // equi-join, no windows.
+    "ev_anomaly" -> ((s, dir) =>
+      graft.events.Anomaly.hourlyZscores(
+        GraphiteTables.events(s, dir),
+        typeCol = col("event_type"),
+        timeCol = (col("ts") / 1000000000L).cast("long"))),
+
     // RFM quintile scoring: user-grain aggregate, then three exact
     // global n-tiles via the two-phase rank (range partition + per-
     // range row_number + broadcast offsets) — never a partitionless
@@ -896,6 +905,12 @@ object SparkEntry {
     "d_textrank" -> ((s, dir) =>
       graft.llm.Graph.textrank(s.read.parquet(s"$dir/documents.parquet"),
         col("text"), col("doc_id"), iters = 4)),
+
+    // BPE merge-candidate counting: word-frequency aggregate, in-row
+    // adjacent-char pair explode, pair-count aggregate, heap top-50.
+    "d_bpe_pairs" -> ((s, dir) =>
+      TextStats.bpePairs(s.read.parquet(s"$dir/documents.parquet"),
+        col("text"), topK = 50)),
 
     // exact global doc-length quantiles via the two-phase rank — no
     // global sort, no sketch; percentile_cont interpolation.
@@ -2024,6 +2039,20 @@ object SparkEntry {
           |     generate_series(0, 3) g(j)
           |GROUP BY 1, 2""".stripMargin),
 
+      "ev_anomaly" ->
+        ("""WITH counts AS (
+          |  SELECT event_type, t - t % 3600 AS window_start, count(*) AS n
+          |  FROM (SELECT event_type, epoch_us(ts)//1000000 AS t FROM events) e
+          |  GROUP BY 1, 2),
+          |stats AS (
+          |  SELECT event_type, avg(n) AS mean, stddev_samp(n) AS sd
+          |  FROM counts GROUP BY 1),
+          |z AS (
+          |  SELECT c.event_type, c.window_start, c.n,
+          |         round((c.n - s.mean) / s.sd, 4) + 0 AS z
+          |  FROM counts c JOIN stats s USING (event_type))
+          |SELECT event_type, window_start, n, z FROM z WHERE abs(z) >= 2.0""".stripMargin),
+
       "ev_rfm" ->
         ("""WITH grain AS (
           |  SELECT user_id, max(epoch_us(ts)//1000000) AS recency,
@@ -2538,6 +2567,19 @@ object SparkEntry {
           |SELECT token, count(*)::bigint AS df,
           |       (list(doc_id ORDER BY doc_id))[1:8] AS postings
           |FROM toks GROUP BY 1""".stripMargin),
+
+      "d_bpe_pairs" ->
+        ("""WITH wf AS (
+          |  SELECT word, count(*)::bigint AS wf FROM (
+          |    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+          |    FROM documents) t
+          |  WHERE length(word) >= 2 GROUP BY 1),
+          |pairs AS (
+          |  SELECT substr(word, i, 1) || ' ' || substr(word, i + 1, 1) AS pair, wf
+          |  FROM (SELECT word, wf, unnest(range(1, length(word))) AS i FROM wf)),
+          |c AS (SELECT pair, sum(wf)::bigint AS n FROM pairs GROUP BY 1)
+          |SELECT pair, n, CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rank
+          |FROM c ORDER BY n DESC, pair LIMIT 50""".stripMargin),
 
       "d_quantiles" ->
         ("""WITH lens AS (SELECT n_chars::double AS v FROM documents)

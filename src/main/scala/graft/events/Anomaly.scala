@@ -1,0 +1,41 @@
+package graft.events
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Volume-anomaly detection over an event stream: z-score each
+  * (type, hour) count against that type's hourly distribution and
+  * keep the outliers. Two hash aggregates (hourly counts, then
+  * per-type mean/stddev) and one equi-join back on the type key —
+  * map-side partials absorb hot types at every stage; nothing is
+  * windowed or collected. The z-score is 4-dp rounded: distributed
+  * variance merges in partition order, and the cross-engine wobble
+  * (~1e-12 relative) sits far below the rounding boundary.
+  */
+object Anomaly {
+
+  /** (event_type, window_start, n, z) for hours with |z| ≥
+    * `threshold`; a type with zero variance never flags.
+    */
+  def hourlyZscores(
+      events: DataFrame,
+      typeCol: Column,
+      timeCol: Column,
+      windowSec: Long = 3600L,
+      threshold: Double = 2.0): DataFrame = {
+    val counts = events
+      .select(typeCol.as("event_type"), timeCol.as("__t"))
+      .groupBy(col("event_type"),
+        (col("__t") - pmod(col("__t"), lit(windowSec))).as("window_start"))
+      .agg(count(lit(1)).as("n"))
+    val stats = counts.groupBy("event_type")
+      .agg(avg(col("n")).as("__mean"), stddev_samp(col("n")).as("__sd"))
+    counts.join(stats, Seq("event_type"))
+      // explicit zero-variance guard (ANSI division would throw); the
+      // null z never passes the threshold filter
+      .withColumn("z", when(col("__sd") > 0.0,
+        round((col("n") - col("__mean")) / col("__sd"), 4)))
+      .where(abs(col("z")) >= threshold)
+      .select(col("event_type"), col("window_start"), col("n"), col("z"))
+  }
+}

@@ -561,6 +561,32 @@ object TextStats {
         col("df"), col("score"))
   }
 
+  /** First BPE merge step: adjacent-character pair frequencies over
+    * the word-frequency table (the tokenizer-training kernel — each
+    * merge round re-runs this over re-segmented words). Two hash
+    * aggregates, both map-side-partial friendly: corpus → word
+    * frequencies, then in-row pair explode (lambdas reference the
+    * materialized char-array ATTRIBUTE, per the HOF discipline) →
+    * pair counts weighted by word frequency. Top-K is TakeOrdered
+    * (per-partition heaps), the rank window runs over K rows.
+    */
+  def bpePairs(docs: DataFrame, textCol: Column, topK: Int): DataFrame = {
+    val wordFreq = docs
+      .select(explode(words(lower(textCol))).as("word"))
+      .where(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("wf"))
+    val pairs = wordFreq
+      .withColumn("__cs", split(col("word"), ""))
+      .select(col("wf"), explode(transform(
+        slice(col("__cs"), lit(1), size(col("__cs")) - 1),
+        (c, i) => concat(c, lit(" "), element_at(col("__cs"), i + 2))))
+        .as("pair"))
+    val counts = pairs.groupBy("pair").agg(sum("wf").as("n"))
+    val w = Window.orderBy(col("n").desc, col("pair").asc)
+    counts.orderBy(col("n").desc, col("pair").asc).limit(topK)
+      .withColumn("rank", row_number().over(w).cast("long"))
+  }
+
   /** Inverted index with capped postings: per term, the document
     * frequency plus the `cap` LOWEST doc ids containing it. The
     * posting cap is computed with salted two-stage top-k aggregation:

@@ -54,6 +54,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "d_chunks", "d_normalize", "d_gopher",
     // duplicate-span stats: one explode + two-level hash agg + join-back
     "d_dup_spans",
+    // hourly z-scores: two hash aggs + one type-key equi-join
+    "ev_anomaly",
+    // BPE pair counts: two hash aggs + heap top-K, no join at all
+    "d_bpe_pairs",
     // PQ/ADC: codebooks + query LUTs broadcast, one (sub, code) join
     "e_pq_search")
 

@@ -1,0 +1,27 @@
+package graft.events
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class AnomalySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  test("a volume spike flags; steady types and zero-variance types never do") {
+    import spark.implicits._
+    // 'click': 10 hours of 2 events + one hour of 30 → that hour is
+    // the lone outlier. 'steady': identical counts → sd = 0 → never
+    // flags (no div-by-zero row leaks out).
+    val click = (0 until 10).flatMap(h => Seq.fill(2)(("click", h * 3600L))) ++
+      Seq.fill(30)(("click", 10 * 3600L))
+    val steady = (0 until 10).map(h => ("steady", h * 3600L))
+    val df = (click ++ steady).toDF("event_type", "t")
+    val out = Anomaly.hourlyZscores(df, col("event_type"), col("t"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set(("click", 36000L)))
+    val (n, z) = out(("click", 36000L))
+    assert(n == 30L && z > 2.0)
+  }
+}

@@ -42,6 +42,17 @@ class IndexingSpec extends AnyFunSuite {
     assert(out == Seq("a", "b"))
   }
 
+  test("bpe pairs: adjacent-char counts weighted by word frequency") {
+    import spark.implicits._
+    // 'ab' ×3 (two docs), 'abc' ×1, single chars dropped
+    val d = docs((1L, "ab ab x"), (2L, "ab abc"))
+    val out = TextStats.bpePairs(d, col("text"), topK = 10)
+      .collect().map(r => r.getAs[String]("pair") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("rank")))).toMap
+    // 'a b' from every ab (3) + abc (1) = 4; 'b c' from abc = 1
+    assert(out == Map("a b" -> ((4L, 1L)), "b c" -> ((1L, 2L))))
+  }
+
   test("inverted index: df counts documents once, postings capped at the lowest ids") {
     // 'w' in 5 docs (repeated within doc 10 — df counts it once);
     // cap=3 keeps the three lowest doc ids across salt buckets
