@@ -545,6 +545,14 @@ object SparkEntry {
         typeCol = col("event_type"),
         timeCol = (col("ts") / 1000000000L).cast("long"))),
 
+    // pairwise hourly-volume correlation across event types; reached
+    // through an hour-keyed equi-join, never a relation cartesian.
+    "ev_corr" -> ((s, dir) =>
+      graft.events.Anomaly.typeCorrelation(
+        GraphiteTables.events(s, dir),
+        typeCol = col("event_type"),
+        timeCol = (col("ts") / 1000000000L).cast("long"))),
+
     // RFM quintile scoring: user-grain aggregate, then three exact
     // global n-tiles via the two-phase rank (range partition + per-
     // range row_number + broadcast offsets) — never a partitionless
@@ -2052,6 +2060,16 @@ object SparkEntry {
           |         round((c.n - s.mean) / s.sd, 4) + 0 AS z
           |  FROM counts c JOIN stats s USING (event_type))
           |SELECT event_type, window_start, n, z FROM z WHERE abs(z) >= 2.0""".stripMargin),
+
+      "ev_corr" ->
+        ("""WITH c AS (
+          |  SELECT event_type AS t, ts2 - ts2 % 3600 AS h, count(*) AS n
+          |  FROM (SELECT event_type, epoch_us(ts)//1000000 AS ts2 FROM events) e
+          |  GROUP BY 1, 2)
+          |SELECT a.t AS ta, b.t AS tb, count(*) AS n_hours,
+          |       round(corr(a.n, b.n), 4) + 0 AS r
+          |FROM c a JOIN c b ON a.h = b.h AND a.t < b.t
+          |GROUP BY 1, 2""".stripMargin),
 
       "ev_rfm" ->
         ("""WITH grain AS (

@@ -38,4 +38,30 @@ object Anomaly {
       .where(abs(col("z")) >= threshold)
       .select(col("event_type"), col("window_start"), col("n"), col("z"))
   }
+
+  /** Pearson correlation of hourly volumes for every type pair
+    * (ta < tb), over the hours BOTH types are active (inner join on
+    * the hour key — the correlation-matrix shape is inherently
+    * |types|² but reached through an hour-keyed equi-join, each hour
+    * contributing its own pair block, never a relation-level
+    * cartesian). 4-dp rounded: Pearson's merge is partition-order
+    * dependent at ~1e-12 relative.
+    */
+  def typeCorrelation(
+      events: DataFrame,
+      typeCol: Column,
+      timeCol: Column,
+      windowSec: Long = 3600L): DataFrame = {
+    val counts = events
+      .select(typeCol.as("t"), timeCol.as("__t"))
+      .groupBy(col("t"),
+        (col("__t") - pmod(col("__t"), lit(windowSec))).as("h"))
+      .agg(count(lit(1)).as("n"))
+    val a = counts.select(col("t").as("ta"), col("h"), col("n").as("na"))
+    val b = counts.select(col("t").as("tb"), col("h"), col("n").as("nb"))
+    a.join(b, Seq("h")).where(col("ta") < col("tb"))
+      .groupBy("ta", "tb")
+      .agg(count(lit(1)).as("n_hours"),
+        round(corr(col("na"), col("nb")), 4).as("r"))
+  }
 }

@@ -56,6 +56,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "d_dup_spans",
     // hourly z-scores: two hash aggs + one type-key equi-join
     "ev_anomaly",
+    // correlation matrix: hour-keyed equi-join, never a cartesian
+    "ev_corr",
     // BPE pair counts: two hash aggs + heap top-K, no join at all
     "d_bpe_pairs",
     // PQ/ADC: codebooks + query LUTs broadcast, one (sub, code) join

@@ -24,4 +24,21 @@ class AnomalySpec extends AnyFunSuite {
     val (n, z) = out(("click", 36000L))
     assert(n == 30L && z > 2.0)
   }
+
+  test("type correlation: ±1 on linearly dependent hourly volumes, pairs ordered") {
+    import spark.implicits._
+    // over 3 hours: up = 1,2,3 events; down = 3,2,1; flat2 tracks up
+    def burst(t: String, perHour: Seq[Int]) =
+      perHour.zipWithIndex.flatMap { case (k, h) =>
+        Seq.fill(k)((t, h * 3600L)) }
+    val df = (burst("up", Seq(1, 2, 3)) ++ burst("down", Seq(3, 2, 1)) ++
+      burst("tracks", Seq(2, 4, 6))).toDF("event_type", "t")
+    val out = Anomaly.typeCorrelation(df, col("event_type"), col("t"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(("down", "up")) == ((3L, -1.0)))
+    assert(out(("tracks", "up")) == ((3L, 1.0)))
+    assert(out(("down", "tracks")) == ((3L, -1.0)))
+    assert(out.size == 3) // ta < tb only — no self or mirrored pairs
+  }
 }
