@@ -545,6 +545,15 @@ object SparkEntry {
         typeCol = col("event_type"),
         timeCol = (col("ts") / 1000000000L).cast("long"))),
 
+    // DAU / trailing-7-day WAU / stickiness: the rolling distinct is
+    // a bounded 7× in-row fan-out + second distinct, never a sliding
+    // window over user sets.
+    "ev_dau_wau" -> ((s, dir) =>
+      graft.events.Funnel.dauWau(
+        GraphiteTables.events(s, dir),
+        userCol = col("user_id"),
+        timeCol = (col("ts") / 1000000000L).cast("long"))),
+
     // pairwise hourly-volume correlation across event types; reached
     // through an hour-keyed equi-join, never a relation cartesian.
     "ev_corr" -> ((s, dir) =>
@@ -2060,6 +2069,18 @@ object SparkEntry {
           |         round((c.n - s.mean) / s.sd, 4) + 0 AS z
           |  FROM counts c JOIN stats s USING (event_type))
           |SELECT event_type, window_start, n, z FROM z WHERE abs(z) >= 2.0""".stripMargin),
+
+      "ev_dau_wau" ->
+        ("""WITH ud AS (
+          |  SELECT DISTINCT user_id, (epoch_us(ts)//1000000)//86400 AS day FROM events),
+          |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+          |expanded AS (
+          |  SELECT DISTINCT user_id, day + j AS wday
+          |  FROM ud, generate_series(0, 6) g(j)),
+          |wau AS (SELECT wday, count(*) AS wau FROM expanded GROUP BY 1)
+          |SELECT d.day, d.dau, w.wau,
+          |       round(d.dau::double / w.wau::double, 4) AS stickiness
+          |FROM dau d JOIN wau w ON w.wday = d.day""".stripMargin),
 
       "ev_corr" ->
         ("""WITH c AS (

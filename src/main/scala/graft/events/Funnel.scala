@@ -145,4 +145,33 @@ object Funnel {
       .select(col("src"), col("dst"), col("n"),
         round(col("n").cast("double") / col("tot").cast("double"), 4).as("p"))
   }
+
+  /** DAU / trailing-7-day WAU / stickiness per day. The rolling
+    * distinct is NEVER a sliding window over user sets: each (user,
+    * active day) row — already deduped by one hash aggregate —
+    * fans out to the ≤ 7 window-end days it can serve (a bounded
+    * in-row explode, the sliding-window trick `ev_sliding` uses),
+    * then a second distinct + count per window end. Two distincts +
+    * two counts + one day-keyed equi-join, all map-side-partial
+    * friendly; no window functions anywhere.
+    */
+  def dauWau(
+      events: DataFrame,
+      userCol: Column,
+      timeCol: Column,
+      daySec: Long = 86400L): DataFrame = {
+    val ud = events
+      .select(userCol.as("user_id"), (timeCol / daySec).cast("long").as("day"))
+      .distinct()
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + 6)).as("wday"))
+      .distinct()
+      .groupBy("wday").agg(count(lit(1)).as("wau"))
+    dau.join(wau, dau("day") === wau("wday"))
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau").cast("double"), 4)
+          .as("stickiness"))
+  }
 }

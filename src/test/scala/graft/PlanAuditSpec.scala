@@ -58,6 +58,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "ev_anomaly",
     // correlation matrix: hour-keyed equi-join, never a cartesian
     "ev_corr",
+    // DAU/WAU: bounded 7x fan-out + distincts, day-keyed equi-join
+    "ev_dau_wau",
     // BPE pair counts: two hash aggs + heap top-K, no join at all
     "d_bpe_pairs",
     // PQ/ADC: codebooks + query LUTs broadcast, one (sub, code) join

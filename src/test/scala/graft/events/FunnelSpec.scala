@@ -93,4 +93,27 @@ class FunnelSpec extends AnyFunSuite {
     assert(out(("click", "view")) == ((1L, 1.0)))
     assert(out.size == 3, s"unexpected transitions: ${out.keySet}")
   }
+
+  test("dau/wau: trailing window counts a user once, stickiness is dau over wau") {
+    import spark.implicits._
+    val day = 86400L
+    // u1 active days 0 and 1 (twice on day 1); u2 active day 0 only;
+    // u3 active day 8 (outside day 1's window, inside day 8's)
+    val events = Seq(
+      (1L, 10L), (1L, day + 5L), (1L, day + 6L),
+      (2L, 20L),
+      (3L, 8 * day + 1L)).toDF("user_id", "t")
+    val out = Funnel.dauWau(events, col("user_id"), col("t"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // day 0: dau 2 (u1,u2), wau 2 (window days -6..0)
+    assert(out(0L) == ((2L, 2L, 1.0)))
+    // day 1: dau 1 (u1 once despite two events), wau 2 (u1,u2 in 0..1)
+    assert(out(1L) == ((1L, 2L, 0.5)))
+    // day 8: dau 1 (u3); u1's day-1 activity still inside 2..8? no —
+    // window is trailing 7 days [2, 8], so only u3
+    assert(out(8L) == ((1L, 1L, 1.0)))
+    // days with no activity emit no dau row (join keeps dau days only)
+    assert(out.keySet == Set(0L, 1L, 8L))
+  }
 }
