@@ -120,6 +120,35 @@ class SkewSpec extends AnyFunSuite {
       (0L until 8L).toList)
   }
 
+  test("rankExactBy under a 90%-hot group: ranks exact, no group-windowed corpus") {
+    import graft.events.Rfm
+    val n = 100000
+    val df = spark.range(n.toLong).select(
+      when(col("id") % 10 < 9, lit("en")).otherwise(lit("de")).as("g"),
+      (col("id") * 37 % 1000).cast("double").as("v"),
+      col("id"))
+    val out = Rfm.rankExactBy(df, Seq("g"), Seq(col("v"), col("id")),
+      buckets = 16)
+    // the naive shape would window the 100k-row relation PARTITION BY
+    // g ORDER BY v — spec would print the value right after the group
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!"windowspecdefinition\\(g#\\d+, v#".r.findFirstIn(plan).isDefined,
+      "value-ordered group window over the relation under skew")
+
+    val t0 = System.nanoTime()
+    val stats = out.groupBy("g").agg(
+      count(lit(1)).as("rows"), countDistinct(col("rank")).as("dranks"),
+      min("rank").as("lo"), max("rank").as("hi"), max("total").as("total"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 60.0, f"rankExactBy took $secs%.1f s under skew")
+    // exact dense 1..count rank per group, totals right
+    assert(stats("en") == ((90000L, 90000L, 1L, 90000L, 90000L)))
+    assert(stats("de") == ((10000L, 10000L, 1L, 10000L, 10000L)))
+  }
+
   test("semanticDedup under one 60%-hot cluster: cluster-keyed plan, keep-lowest") {
     import spark.implicits._
     val n = 2000
