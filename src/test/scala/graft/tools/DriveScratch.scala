@@ -1,32 +1,32 @@
 package graft.tools
 
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
 import graft.SparkTestBase
 
 object DriveScratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkTestBase.spark
-    val dir = "/root/testdata/sf0.01"
-    val out = graft.SparkEntry.queries("ev_rfm")(spark, dir)
-    // oracle SQL with DuckDB's epoch_us(ts)//1000000 translated to the
-    // nanos-as-long read Spark does (ts/1e9)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet").createOrReplaceTempView("events")
-    val oracle = spark.sql(
-      """WITH grain AS (
-        |  SELECT user_id, max(CAST(unix_micros(CAST(ts AS TIMESTAMP)) / 1000000 AS BIGINT)) AS recency,
-        |         count(*) AS frequency, round(sum(value), 4) AS monetary
-        |  FROM events GROUP BY 1)
-        |SELECT user_id, recency, frequency, monetary,
-        |  CAST(ntile(5) OVER (ORDER BY recency, user_id) AS BIGINT) AS r,
-        |  CAST(ntile(5) OVER (ORDER BY frequency, user_id) AS BIGINT) AS f,
-        |  CAST(ntile(5) OVER (ORDER BY monetary, user_id) AS BIGINT) AS m
-        |FROM grain""".stripMargin)
-    val a = out.collect().map(_.toString).sorted
-    val b = oracle.collect().map(_.toString).sorted
-    println("MARKER rows=" + a.length + "/" + b.length +
-      " schemaA=" + out.schema.map(f => f.name + ":" + f.dataType.simpleString).mkString(",") +
-      " schemaB=" + oracle.schema.map(f => f.name + ":" + f.dataType.simpleString).mkString(",") +
-      " equal=" + (a.toSeq == b.toSeq))
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // drive StreamAnomaly end to end over a MemoryStream: 30 training
+    // values then one 10-sigma spike — exactly one flagged row expected
+    val stream = MemoryStream[(String, Long, Double)]
+    val input = stream.toDF().select(
+      col("_1").as("event_type"), col("_2").as("t"), col("_3").as("value"))
+    val out = graft.streaming.StreamAnomaly.zscores(input, minN = 30L, threshold = 3.0)
+    val q = out.writeStream.format("memory").queryName("drive_anom")
+      .outputMode("append").start()
+    stream.addData((0 until 30).map(i =>
+      ("cpu", i.toLong, 10.0 + (if (i % 2 == 0) 0.5 else -0.5))))
+    q.processAllAvailable()
+    stream.addData(Seq(("cpu", 99L, 60.0)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("drive_anom").collect()
+    println("MARKER flagged=" + rows.length +
+      " row=" + rows.headOption.map(_.toString).getOrElse("none"))
     spark.stop()
   }
 }
