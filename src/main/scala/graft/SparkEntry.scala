@@ -790,6 +790,13 @@ object SparkEntry {
     // ----------------------------------------------------------------
     // stratified quota sample: pure id-hash filter on the scan — no
     // shuffle, reproducible across runs/engines/retries
+    // A-ES weighted sampling without replacement: u^(1/w) keys from
+    // the portable md5 uniform, heap top-k — one narrow pass.
+    "d_sample_weighted" -> ((s, dir) =>
+      Sampling.sampleWeighted(
+        s.read.parquet(s"$dir/documents.parquet"),
+        col("doc_id"), col("n_chars"), k = 100)),
+
     "d_sample_strat" -> ((s, dir) =>
       Sampling.sampleStratified(
         s.read.parquet(s"$dir/documents.parquet"),
@@ -2404,6 +2411,16 @@ object SparkEntry {
           |  CASE WHEN len(tg) > 0
           |    THEN round(1.0 - len(list_distinct(tg))::DOUBLE / len(tg), 6) + 0 ELSE 0.0 END AS dup_trigram_ratio
           |FROM r""".stripMargin),
+
+      "d_sample_weighted" ->
+        ("""SELECT doc_id AS id, n_chars::bigint AS weight,
+          |       CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS BIGINT) AS rank
+          |FROM (
+          |  SELECT doc_id, n_chars,
+          |    pow(('0x' || substr(md5(doc_id::varchar), 1, 15))::bigint / 1152921504606846976.0,
+          |        1.0 / n_chars) AS key
+          |  FROM documents)
+          |ORDER BY key DESC, doc_id LIMIT 100""".stripMargin),
 
       "d_sample_strat" ->
         ("""SELECT doc_id, lang FROM documents

@@ -319,4 +319,28 @@ object Sampling {
       .select(col("doc_id"), col("tokens"),
         round(col("q"), 4).as("quality"), col("cum").as("cum_tokens"))
   }
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    * A-ES): each row draws key `u^(1/w)` with `u` the deterministic
+    * [[hash01]] uniform, and the k largest keys are the sample —
+    * inclusion probability proportional to weight, no replacement,
+    * ONE pass. The top-k is TakeOrdered (per-partition heaps + a
+    * k-row driver merge), never a global sort; the whole operator is
+    * a narrow projection + heap at any corpus scale. Weights must be
+    * positive.
+    */
+  def sampleWeighted(
+      df: DataFrame,
+      idCol: Column,
+      weightCol: Column,
+      k: Int): DataFrame = {
+    val key = pow(hash01(idCol), lit(1.0) / weightCol.cast("double"))
+    df.select(idCol.as("id"), weightCol.cast("long").as("weight"),
+        key.as("__key"))
+      .orderBy(col("__key").desc, col("id").asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("__key").desc, col("id").asc)).cast("long"))
+      .select(col("id"), col("weight"), col("rank"))
+  }
 }

@@ -198,4 +198,25 @@ class SamplingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sortBy(_._3)
     assert(again.toSeq == out.toSeq)
   }
+
+  test("weighted sampling: heavy weights dominate, heap top-k plan, deterministic") {
+    import spark.implicits._
+    // 10 rows at weight 10^6 vs 1000 rows at weight 1: with keys
+    // u^(1/w) the heavy keys sit near 1, so k=10 is ~all heavy
+    val rows = (0L until 10L).map(i => (i, 1000000L)) ++
+      (1000L until 2000L).map(i => (i, 1L))
+    val df = rows.toDF("doc_id", "w")
+    val out = Sampling.sampleWeighted(df, col("doc_id"), col("w"), k = 10)
+    assert(out.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"), "top-k must be a heap, not a sort")
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.length == 10)
+    assert(got.map(_._2).sorted.toSeq == (1L to 10L))
+    val heavy = got.count(_._1 < 10L)
+    assert(heavy >= 8, s"only $heavy heavy rows selected")
+    // deterministic: same hash, same sample
+    val again = Sampling.sampleWeighted(df, col("doc_id"), col("w"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(again.toSeq == got.toSeq)
+  }
 }
