@@ -624,6 +624,17 @@ object SparkEntry {
       Dedup.exact(s.read.parquet(s"$dir/documents.parquet"),
         md5(Dedup.normalizedText(col("text"))))),
 
+    // incremental ingest dedup: arrivals (doc_id >= 250) anti-joined
+    // against the already-ingested store's distinct normalized keys.
+    "d_incremental_dedup" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val key = md5(Dedup.normalizedText(col("text")))
+      Dedup.dedupAgainst(
+          docs.where(col("doc_id") >= 250), docs.where(col("doc_id") < 250),
+          key, key)
+        .select(col("doc_id"), col("lang"))
+    }),
+
     "d_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashCandidates(s.read.parquet(s"$dir/documents.parquet"),
         col("text"), col("doc_id"))),
@@ -2137,6 +2148,13 @@ object SparkEntry {
       "d_exact_norm" ->
         ("SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS dedup_key, " +
           "min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY 1"),
+
+      "d_incremental_dedup" ->
+        ("""SELECT a.doc_id, a.lang FROM documents a
+          |WHERE a.doc_id >= 250 AND NOT EXISTS (
+          |  SELECT 1 FROM documents b WHERE b.doc_id < 250
+          |    AND md5(trim(regexp_replace(lower(b.text), '\s+', ' ', 'g'))) =
+          |        md5(trim(regexp_replace(lower(a.text), '\s+', ' ', 'g'))))""".stripMargin),
 
       "d_minhash_pairs" ->
         (s"SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM ($minhashBands) a " +

@@ -40,6 +40,23 @@ object Dedup {
     docs.join(keep, idCol === col("keep_id"), "left_semi")
   }
 
+  /** Incremental ingest dedup: drop arrivals whose content key
+    * already exists in the ingested store — ONE hash anti-join on the
+    * key (AQE skew-splittable; the store side carries only its
+    * distinct keys, so a boilerplate key the store holds a million
+    * times costs one row). The cross-corpus complement of
+    * [[exactKeep]]: run this at ingest against the compacted store,
+    * run `exactKeep` inside each batch.
+    */
+  def dedupAgainst(
+      arrivals: DataFrame,
+      store: DataFrame,
+      arrivalKey: Column,
+      storeKey: Column): DataFrame =
+    arrivals.withColumn("__k", arrivalKey)
+      .join(store.select(storeKey.as("__k")).distinct(), Seq("__k"), "left_anti")
+      .drop("__k")
+
   /** Normalized text key: lowercase, collapse whitespace — the usual
     * "almost exact" dedup key.
     */

@@ -18,6 +18,22 @@ class ClusterSpec extends AnyFunSuite {
     assert(cl == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("dedupAgainst: arrivals matching the store drop, store keys dedupe first") {
+    import spark.implicits._
+    val store = Seq((1L, "The  cat"), (2L, "the cat"), (3L, "a dog"))
+      .toDF("doc_id", "text")
+    val arrivals = Seq(
+      (10L, "THE CAT"),   // normalize-matches the store → dropped
+      (11L, "a  DOG"),    // ditto
+      (12L, "a parrot"),  // new content → kept
+      (13L, "a parrot"))  // in-batch duplicate is NOT this op's job → kept
+      .toDF("doc_id", "text")
+    val key = md5(Dedup.normalizedText(col("text")))
+    val out = Dedup.dedupAgainst(arrivals, store, key, key)
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(12L, 13L))
+  }
+
   test("kmeans: distributed Lloyd iterations converge to cluster means") {
     import spark.implicits._
     // two obvious clusters around (1,0) and (0,1); ids 0/1 seed one each
