@@ -680,6 +680,15 @@ object SparkEntry {
       s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), TextStats.langId(col("text")).as("pred_lang"))),
 
+    // language-ID evaluation: confusion matrix of the n-gram
+    // heuristic against the labeled lang column — in-row prediction +
+    // ONE hash aggregate, map-side partials on a |langs|² key space.
+    "d_lang_confusion" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .groupBy(col("lang").as("actual"),
+          TextStats.langId(col("text")).as("predicted"))
+        .agg(count(lit(1)).as("n"))),
+
     "d_quality" -> ((s, dir) =>
       s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id") +: TextStats.qualityFeatures(col("text")) :+
@@ -2229,6 +2238,13 @@ object SparkEntry {
         (s"""WITH scores AS ($langScores),
            | ranked AS (SELECT doc_id, lang, hits, row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang ASC) AS rn FROM scores)
            |SELECT doc_id, CASE WHEN hits > 0 THEN lang ELSE 'und' END AS pred_lang FROM ranked WHERE rn = 1""".stripMargin),
+
+      "d_lang_confusion" ->
+        (s"""WITH scores AS ($langScores),
+           | ranked AS (SELECT doc_id, lang, hits, row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang ASC) AS rn FROM scores),
+           | pred AS (SELECT doc_id, CASE WHEN hits > 0 THEN lang ELSE 'und' END AS predicted FROM ranked WHERE rn = 1)
+           |SELECT d.lang AS actual, p.predicted, count(*) AS n
+           |FROM documents d JOIN pred p USING (doc_id) GROUP BY 1, 2""".stripMargin),
 
       "d_quality" ->
         (s"""SELECT doc_id,

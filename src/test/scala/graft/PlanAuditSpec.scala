@@ -62,6 +62,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "ev_dau_wau",
     // BPE pair counts: two hash aggs + heap top-K, no join at all
     "d_bpe_pairs",
+    // lang-ID confusion: in-row prediction + one hash agg, no join
+    "d_lang_confusion",
     // PQ/ADC: codebooks + query LUTs broadcast, one (sub, code) join
     "e_pq_search")
 
