@@ -562,6 +562,58 @@ object SparkEntry {
         typeCol = col("event_type"),
         timeCol = (col("ts") / 1000000000L).cast("long"))),
 
+    // session duration percentiles: sessionize (user-bounded windows)
+    // → exact global quantiles via the two-phase rank.
+    "ev_session_stats" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = GraphiteTables.events(s, dir)
+        .select(col("user_id"), (col("ts") / 1000000000L).cast("long").as("t"),
+          col("event_id"))
+      val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+      val sessions = ev
+        .withColumn("new_session",
+          when(col("t") - lag(col("t"), 1).over(w) > 1800 ||
+            lag(col("t"), 1).over(w).isNull, 1L).otherwise(0L))
+        .withColumn("session_id", sum("new_session").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(min("t").as("ss"), max("t").as("se"))
+      graft.llm.Quantiles.exactQuantiles(
+        sessions.select((col("se") - col("ss")).as("dur")), col("dur"),
+        qs = Seq(0.5, 0.9, 0.99))
+    }),
+
+    // anomalous-hour bursts: gaps-and-islands over the FLAGGED hours
+    // only — the island window partitions a timeline-bounded relation,
+    // never the raw event stream.
+    "ev_bursts" -> ((s, dir) =>
+      graft.events.Anomaly.bursts(
+        GraphiteTables.events(s, dir),
+        typeCol = col("event_type"),
+        timeCol = (col("ts") / 1000000000L).cast("long"),
+        threshold = 1.5)),
+
+    // per-type exact value percentiles via the grouped two-phase rank
+    // (a hot event type spans consecutive ranges, never one window
+    // task).
+    "ev_latency_pct" -> ((s, dir) =>
+      graft.llm.Quantiles.exactQuantilesBy(
+        GraphiteTables.events(s, dir)
+          .select(col("event_type"), col("value")),
+        "event_type", col("value"), qs = Seq(0.5, 0.95, 0.99))),
+
+    // per-type top-10 users by total value: salted two-stage top-k —
+    // a type carrying 90% of events never serializes into one
+    // row_number window task.
+    "ev_top_users" -> ((s, dir) => {
+      val totals = GraphiteTables.events(s, dir)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(round(sum("value"), 4).as("total_value"))
+      graft.events.TopK.topKBy(totals, Seq("event_type"),
+        col("user_id"), col("total_value"), k = 10,
+        idName = "user_id", valueName = "total_value")
+    }),
+
     // RFM quintile scoring: user-grain aggregate, then three exact
     // global n-tiles via the two-phase rank (range partition + per-
     // range row_number + broadcast offsets) — never a partitionless
@@ -656,6 +708,29 @@ object SparkEntry {
     "d_fingerprint" -> ((s, dir) =>
       s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), Dedup.fingerprint(col("text")).as("fp"))),
+
+    // per-source duplication audit: distinct vs total 5-gram shingle
+    // mass — two-phase exact distinct (hot shingles collapse in
+    // map-side partials), never count(DISTINCT) or a content window.
+    "d_shingle_card" -> ((s, dir) =>
+      Dedup.duplicationStats(s.read.parquet(s"$dir/documents.parquet"),
+        col("text"), "source")),
+
+    // per-source NEAR-dup rate: which sources lose the most docs to
+    // minhash cluster dedup — clusters' keep-first verdict joined
+    // back onto the docs, one hash aggregate per source.
+    "d_source_dup_rate" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val pairs = Dedup.minhashNearDups(docs, col("text"), col("doc_id"),
+        threshold = 0.5).select("id_a", "id_b")
+      val cl = Dedup.clusters(pairs).select(col("id").as("doc_id"), col("cluster_id"))
+      docs.join(cl, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("cluster_id").isNotNull &&
+            col("cluster_id") =!= col("doc_id"), 1L).otherwise(0L)).as("n_dropped"))
+        .withColumn("dup_rate", round(col("n_dropped") / col("n_docs"), 4))
+    }),
 
     // ----------------------------------------------------------------
     // LLM track: text analysis
@@ -2119,6 +2194,61 @@ object SparkEntry {
           |FROM c a JOIN c b ON a.h = b.h AND a.t < b.t
           |GROUP BY 1, 2""".stripMargin),
 
+      "ev_session_stats" ->
+        ("""WITH ev AS (SELECT user_id, epoch_us(ts)//1000000 AS t, event_id FROM events),
+          | flagged AS (SELECT user_id, t, event_id,
+          |   CASE WHEN t - lag(t) OVER w > 1800 OR lag(t) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+          |   FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+          | sessions AS (SELECT user_id, t,
+          |   CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+          |   FROM flagged),
+          | sess AS (SELECT user_id, session_id, min(t) AS ss, max(t) AS se FROM sessions GROUP BY 1, 2),
+          | durs AS (SELECT (se - ss)::double AS v FROM sess)
+          |SELECT 0.5::double AS q, round(percentile_cont(0.5) WITHIN GROUP (ORDER BY v), 4) AS value FROM durs
+          |UNION ALL SELECT 0.9::double, round(percentile_cont(0.9) WITHIN GROUP (ORDER BY v), 4) FROM durs
+          |UNION ALL SELECT 0.99::double, round(percentile_cont(0.99) WITHIN GROUP (ORDER BY v), 4) FROM durs""".stripMargin),
+
+      "ev_bursts" ->
+        ("""WITH counts AS (
+          |  SELECT event_type, t - t % 3600 AS window_start, count(*) AS n
+          |  FROM (SELECT event_type, epoch_us(ts)//1000000 AS t FROM events) e
+          |  GROUP BY 1, 2),
+          |stats AS (
+          |  SELECT event_type, avg(n) AS mean, stddev_samp(n) AS sd
+          |  FROM counts GROUP BY 1),
+          |z AS (
+          |  SELECT c.event_type, c.window_start, c.n,
+          |         round((c.n - s.mean) / s.sd, 4) + 0 AS z
+          |  FROM counts c JOIN stats s USING (event_type)
+          |  WHERE s.sd > 0),
+          |f AS (SELECT * FROM z WHERE abs(z) >= 1.5),
+          |isl AS (
+          |  SELECT event_type, window_start, z,
+          |         window_start//3600 -
+          |           row_number() OVER (PARTITION BY event_type ORDER BY window_start) AS i
+          |  FROM f)
+          |SELECT event_type, min(window_start) AS start_ts, max(window_start) AS end_ts,
+          |       count(*) AS n_windows, max(abs(z)) AS peak_absz
+          |FROM isl GROUP BY event_type, i""".stripMargin),
+
+      "ev_latency_pct" ->
+        ("""WITH vals AS (SELECT event_type, value::double AS v FROM events)
+          |SELECT event_type, 0.5::double AS q, round(percentile_cont(0.5) WITHIN GROUP (ORDER BY v), 4) AS value FROM vals GROUP BY event_type
+          |UNION ALL SELECT event_type, 0.95::double, round(percentile_cont(0.95) WITHIN GROUP (ORDER BY v), 4) FROM vals GROUP BY event_type
+          |UNION ALL SELECT event_type, 0.99::double, round(percentile_cont(0.99) WITHIN GROUP (ORDER BY v), 4) FROM vals GROUP BY event_type""".stripMargin),
+
+      "ev_top_users" ->
+        ("""WITH totals AS (
+          |  SELECT event_type, user_id, round(sum(value), 4) AS total_value
+          |  FROM events GROUP BY 1, 2),
+          |ranked AS (
+          |  SELECT event_type, user_id, total_value,
+          |         CAST(row_number() OVER (PARTITION BY event_type
+          |           ORDER BY total_value DESC, user_id) AS BIGINT) AS rank
+          |  FROM totals)
+          |SELECT event_type, rank, user_id, total_value
+          |FROM ranked WHERE rank <= 10""".stripMargin),
+
       "ev_rfm" ->
         ("""WITH grain AS (
           |  SELECT user_id, max(epoch_us(ts)//1000000) AS recency,
@@ -2188,6 +2318,41 @@ object SparkEntry {
 
       "d_fingerprint" ->
         (s"SELECT doc_id, list_min(list_transform(${shinglesSql(5)}, s -> md5(s))) AS fp FROM documents"),
+
+      "d_shingle_card" ->
+        (s"""WITH sh AS (SELECT source, unnest(${shinglesSql(5)}) AS s FROM documents),
+           |perkey AS (SELECT source, s, count(*) AS n FROM sh GROUP BY 1, 2),
+           |agg AS (SELECT source, count(*) AS distinct_shingles,
+           |               sum(n)::bigint AS total_shingles FROM perkey GROUP BY 1),
+           |nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1)
+           |SELECT nd.source, nd.n_docs,
+           |       coalesce(agg.total_shingles, 0) AS total_shingles,
+           |       coalesce(agg.distinct_shingles, 0) AS distinct_shingles,
+           |       CASE WHEN agg.total_shingles > 0
+           |            THEN round(1.0 - distinct_shingles::double / total_shingles, 4) END AS dup_ratio
+           |FROM nd LEFT JOIN agg USING (source)""".stripMargin),
+
+      "d_source_dup_rate" ->
+        (s"""WITH RECURSIVE
+           |cands AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM ($minhashBands) a
+           |  JOIN ($minhashBands) b ON a.band = b.band AND a.doc_id < b.doc_id GROUP BY 1, 2),
+           |sets AS (SELECT doc_id, $sh3 AS sh FROM documents),
+           |verified AS (SELECT p.id_a, p.id_b FROM cands p
+           |  JOIN sets sa ON sa.doc_id = p.id_a JOIN sets sb ON sb.doc_id = p.id_b
+           |  WHERE len(list_intersect(sa.sh, sb.sh))::double / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5),
+           |edges AS (SELECT id_a AS src, id_b AS dst FROM verified UNION SELECT id_b, id_a FROM verified),
+           |nodes AS (SELECT DISTINCT src AS id FROM edges),
+           |reach(id, label) AS (
+           |  SELECT id, id FROM nodes
+           |  UNION
+           |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+           |cl AS (SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id)
+           |SELECT d.source, count(*) AS n_docs,
+           |       sum(CASE WHEN cl.cluster_id IS NOT NULL AND cl.cluster_id <> d.doc_id
+           |                THEN 1 ELSE 0 END)::bigint AS n_dropped,
+           |       round(sum(CASE WHEN cl.cluster_id IS NOT NULL AND cl.cluster_id <> d.doc_id
+           |                 THEN 1 ELSE 0 END)::double / count(*), 4) AS dup_rate
+           |FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id GROUP BY 1""".stripMargin),
 
       "d_curate" ->
         (s"""WITH RECURSIVE

@@ -39,6 +39,37 @@ object Anomaly {
       .select(col("event_type"), col("window_start"), col("n"), col("z"))
   }
 
+  /** Anomalous-hour BURSTS: maximal runs of consecutive flagged
+    * windows per type, via the gaps-and-islands rank difference
+    * (`window index − row_number`). The island window partitions on
+    * the type over the FLAGGED relation only — anomaly-count-sized
+    * and bounded by the timeline length, never by the corpus, so a
+    * hot event type costs at most (hours in range) rows in one task,
+    * unlike a window over the raw event stream. Spikes and dips both
+    * flag (|z| ≥ threshold), so a spike adjacent to a dip reads as
+    * one anomalous period.
+    */
+  def bursts(
+      events: DataFrame,
+      typeCol: Column,
+      timeCol: Column,
+      windowSec: Long = 3600L,
+      threshold: Double = 2.0): DataFrame = {
+    val flagged = hourlyZscores(events, typeCol, timeCol, windowSec, threshold)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("window_start")
+    flagged
+      .withColumn("__isl",
+        (col("window_start") / windowSec).cast("long") - row_number().over(w))
+      .groupBy(col("event_type"), col("__isl"))
+      .agg(min(col("window_start")).as("start_ts"),
+        max(col("window_start")).as("end_ts"),
+        count(lit(1)).as("n_windows"),
+        max(abs(col("z"))).as("peak_absz"))
+      .select(col("event_type"), col("start_ts"), col("end_ts"),
+        col("n_windows"), col("peak_absz"))
+  }
+
   /** Pearson correlation of hourly volumes for every type pair
     * (ta < tb), over the hours BOTH types are active (inner join on
     * the hour key — the correlation-matrix shape is inherently

@@ -57,6 +57,37 @@ object Dedup {
       .join(store.select(storeKey.as("__k")).distinct(), Seq("__k"), "left_anti")
       .drop("__k")
 
+  /** Per-group duplication audit: how much of a group's shingle mass
+    * is repeated content — the curation diagnostic that decides which
+    * sources are worth near-dup passes at all. Exact distinct counts
+    * via the two-phase aggregate (`groupBy(group, shingle).count` →
+    * `groupBy(group)`) — the first stage's map-side partials collapse
+    * a boilerplate shingle before the shuffle, so a hot 5-gram costs
+    * one row per map partition, never a `count(DISTINCT)` expand or a
+    * content-keyed window. `dup_ratio = 1 − distinct/total` over the
+    * per-doc-distinct shingle multiset (the containment convention
+    * the minhash pipeline uses).
+    */
+  def duplicationStats(
+      docs: DataFrame,
+      textCol: Column,
+      groupCol: String,
+      w: Int = 5): DataFrame = {
+    val grain = docs.select(col(groupCol), explode(shingles(textCol, w)).as("__sh"))
+    val perKey = grain.groupBy(col(groupCol), col("__sh"))
+      .agg(count(lit(1)).as("__n"))
+    val shStats = perKey.groupBy(groupCol)
+      .agg(count(lit(1)).as("distinct_shingles"), sum("__n").as("total_shingles"))
+    docs.groupBy(groupCol).agg(count(lit(1)).as("n_docs"))
+      .join(shStats, Seq(groupCol), "left")
+      .select(col(groupCol), col("n_docs"),
+        coalesce(col("total_shingles"), lit(0L)).as("total_shingles"),
+        coalesce(col("distinct_shingles"), lit(0L)).as("distinct_shingles"),
+        when(col("total_shingles") > 0,
+          round(lit(1.0) - col("distinct_shingles") / col("total_shingles"), 4))
+          .as("dup_ratio"))
+  }
+
   /** Normalized text key: lowercase, collapse whitespace — the usual
     * "almost exact" dedup key.
     */

@@ -25,6 +25,21 @@ class AnomalySpec extends AnyFunSuite {
     assert(n == 30L && z > 2.0)
   }
 
+  test("bursts: consecutive flagged hours fuse into one period, gaps split") {
+    import spark.implicits._
+    // baseline 2/hour over 20 hours, spikes of 40 at hours 5,6,7 and
+    // hour 15 → exactly two bursts: [5..7] and [15..15]
+    val base = (0 until 20).flatMap(h => Seq.fill(2)(("click", h * 3600L)))
+    val spikes = Seq(5, 6, 7, 15).flatMap(h => Seq.fill(40)(("click", h * 3600L)))
+    val df = (base ++ spikes).toDF("event_type", "t")
+    val out = Anomaly.bursts(df, col("event_type"), col("t"), threshold = 1.0)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(out == Set(
+      ("click", 5 * 3600L, 7 * 3600L, 3L),
+      ("click", 15 * 3600L, 15 * 3600L, 1L)))
+  }
+
   test("type correlation: ±1 on linearly dependent hourly volumes, pairs ordered") {
     import spark.implicits._
     // over 3 hours: up = 1,2,3 events; down = 3,2,1; flat2 tracks up
