@@ -716,6 +716,17 @@ object SparkEntry {
       Dedup.duplicationStats(s.read.parquet(s"$dir/documents.parquet"),
         col("text"), "source")),
 
+    // near-dup cluster size histogram: how big do duplicate families
+    // get — two result-sized hash aggregates over the CC labels.
+    "d_cluster_sizes" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val pairs = Dedup.minhashNearDups(docs, col("text"), col("doc_id"),
+        threshold = 0.5).select("id_a", "id_b")
+      Dedup.clusters(pairs)
+        .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+    }),
+
     // per-source NEAR-dup rate: which sources lose the most docs to
     // minhash cluster dedup — clusters' keep-first verdict joined
     // back onto the docs, one hash aggregate per source.
@@ -1146,6 +1157,16 @@ object SparkEntry {
     "e_neardup" -> ((s, dir) =>
       Similarity.embeddingNearDups(
         s.read.parquet(s"$dir/embeddings.parquet"), threshold = 0.3, bits = 8)),
+
+    // semantic decontamination: drop corpus vectors cosine-near ANY
+    // eval vector (broadcast eval, one corpus scan, zero corpus
+    // shuffle) — catches paraphrased leakage exact n-grams miss.
+    "e_decon_sem" -> ((s, dir) => {
+      val vecs = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.semanticDecon(vecs, vecs.where(col("vec_id") % 97 === 0),
+          threshold = 0.95)
+        .select(col("vec_id"), col("label").cast("long").as("label"))
+    }),
 
     // PQ/ADC search: 64-d vectors as 8 codes against 8-entry
     // deterministic-init codebooks; corpus side joins the broadcast
@@ -2332,6 +2353,24 @@ object SparkEntry {
            |            THEN round(1.0 - distinct_shingles::double / total_shingles, 4) END AS dup_ratio
            |FROM nd LEFT JOIN agg USING (source)""".stripMargin),
 
+      "d_cluster_sizes" ->
+        (s"""WITH RECURSIVE
+           |cands AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM ($minhashBands) a
+           |  JOIN ($minhashBands) b ON a.band = b.band AND a.doc_id < b.doc_id GROUP BY 1, 2),
+           |sets AS (SELECT doc_id, $sh3 AS sh FROM documents),
+           |verified AS (SELECT p.id_a, p.id_b FROM cands p
+           |  JOIN sets sa ON sa.doc_id = p.id_a JOIN sets sb ON sb.doc_id = p.id_b
+           |  WHERE len(list_intersect(sa.sh, sb.sh))::double / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5),
+           |edges AS (SELECT id_a AS src, id_b AS dst FROM verified UNION SELECT id_b, id_a FROM verified),
+           |nodes AS (SELECT DISTINCT src AS id FROM edges),
+           |reach(id, label) AS (
+           |  SELECT id, id FROM nodes
+           |  UNION
+           |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+           |cl AS (SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id),
+           |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM cl GROUP BY 1)
+           |SELECT cluster_size, count(*) AS n_clusters FROM sizes GROUP BY 1""".stripMargin),
+
       "d_source_dup_rate" ->
         (s"""WITH RECURSIVE
            |cands AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM ($minhashBands) a
@@ -3128,6 +3167,13 @@ object SparkEntry {
            |  row_number() OVER (PARTITION BY query_id ORDER BY d2 ASC, neighbor_id ASC) AS rank FROM scored)
            |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(d2, 4) + 0 AS d2
            |FROM ranked WHERE rank <= 5""".stripMargin),
+
+      "e_decon_sem" ->
+        (s"""WITH ev AS (SELECT embedding FROM embeddings WHERE vec_id % 97 = 0),
+           |cont AS (SELECT DISTINCT a.vec_id FROM embeddings a
+           |  JOIN ev b ON $cosine >= 0.95)
+           |SELECT a.vec_id, a.label::bigint AS label FROM embeddings a
+           |WHERE a.vec_id NOT IN (SELECT vec_id FROM cont)""".stripMargin),
 
       "e_neardup" ->
         (s"""WITH keyed AS (SELECT vec_id, embedding,

@@ -599,6 +599,33 @@ object Similarity {
     assign.join(dropped, Seq(idCol), "left_anti")
   }
 
+  /** Semantic decontamination: drop every corpus vector whose cosine
+    * against ANY eval-set vector reaches `threshold` — the embedding
+    * analogue of the shingle decontamination pass
+    * (`Decontaminate.dropContaminated`), catching paraphrased
+    * benchmark leakage that exact n-grams miss. The eval side is
+    * benchmark-sized (thousands of vectors, never corpus-sized) and
+    * broadcast-ENFORCED, so the corpus is scanned exactly once and
+    * scored map-side (broadcast nested-loop, |corpus|·|eval| scalar
+    * work but zero corpus shuffle); the contaminated-id set is
+    * result-sized and anti-joins back. For eval sets too big to
+    * broadcast, pre-bucket both sides with [[multiTableBucket]] as in
+    * [[embeddingNearDupsMulti]].
+    */
+  def semanticDecon(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      threshold: Double,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val ev = broadcast(evalSet.select(col(embCol).as("__eemb")))
+    val contaminated = corpus
+      .select(col(idCol), col(embCol).as("__cemb"))
+      .join(ev, cosine(col("__cemb"), col("__eemb")) >= threshold)
+      .select(col(idCol)).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** kNN label propagation — auto-labeling for training-data tagging:
     * each query takes the majority label among its k nearest
     * neighbors (ties break on the smaller label id), reported next to
