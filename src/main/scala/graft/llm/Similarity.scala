@@ -16,20 +16,20 @@ import graft.Lineage.TruncateOps
   *     grouped by the sign pattern of their leading components, and
   *     cosine is evaluated within buckets only.
   *
-  * Dot products use `zip_with` + `aggregate` — a sequential
-  * index-order double fold, deterministic and codegen-friendly (no
-  * UDF).
+  * Dot products / L2 use the native codegen kernels
+  * ([[graft.functions.VecMath]]) — one fused whole-stage-codegen loop
+  * per row-pair, double accumulation in index order, deterministic
+  * (no UDF, no interpreted HOF lambdas, no intermediate arrays).
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two float-array columns (double
-    * accumulation in index order — deterministic).
+  /** Dot product of two float/double-array columns — the native
+    * codegen kernel ([[graft.functions.VecMath.dot]]): one fused loop
+    * with double accumulation in index order, bit-identical to the
+    * `aggregate(zip_with(…))` fold it replaces but without the
+    * interpreted lambdas or the per-row intermediate array.
     */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, x) => acc + x)
+  def dot(a: Column, b: Column): Column = graft.functions.VecMath.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -369,15 +369,11 @@ object Similarity {
   // 100 TB this is the memory play: 64-d float vectors (256 B) become
   // m bytes, and search never touches the raw corpus vectors.
 
-  /** Sequential-fold squared L2 distance of two array columns —
+  /** Squared L2 distance via the native codegen kernel — accumulation
     * ordered like [[dot]], so cross-engine float results are
     * bit-identical.
     */
-  def l2sq(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) =>
-        (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
-      lit(0.0), (acc, v) => acc + v)
+  def l2sq(a: Column, b: Column): Column = graft.functions.VecMath.l2sq(a, b)
 
   /** The (vid, sub, semb) subvector relation: every vector exploded
     * into its `m` width-`dim/m` subvectors.
