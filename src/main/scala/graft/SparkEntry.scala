@@ -614,6 +614,45 @@ object SparkEntry {
         idName = "user_id", valueName = "total_value")
     }),
 
+    // AS-OF join (ClickHouse ASOF semantics): each event enriched
+    // with the user's most recent COMPLETED-day value snapshot —
+    // union + one key-bounded ride-forward pass, single shuffle,
+    // never an inequality theta join.
+    "ev_asof" -> ((s, dir) => {
+      val ev = GraphiteTables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          (col("ts") / 1000000000L).cast("long").as("t"), col("value"))
+      val dim = ev
+        .groupBy(col("user_id"), (col("t") / 86400L).cast("long").as("__day"))
+        .agg(round(sum("value"), 4).as("prev_day_value"))
+        .select(col("user_id"), ((col("__day") + 1) * 86400L).as("snap_t"),
+          col("prev_day_value"))
+      graft.events.AsOf.asofJoin(
+        ev.select("event_id", "user_id", "t"), dim,
+        keyCols = Seq("user_id"), leftTime = "t", rightTime = "snap_t",
+        valueCols = Seq("prev_day_value"))
+    }),
+
+    // interval (range) join done scale-correctly: events × burst
+    // periods becomes an equi-join on (type, hour bucket) with the
+    // BETWEEN as residual filter — never a nested-loop theta join.
+    "ev_in_burst" -> ((s, dir) => {
+      val ev = GraphiteTables.events(s, dir)
+        .select(col("event_type"), (col("ts") / 1000000000L).cast("long").as("t"),
+          col("value"))
+      val b = graft.events.Anomaly.bursts(
+          GraphiteTables.events(s, dir),
+          typeCol = col("event_type"),
+          timeCol = (col("ts") / 1000000000L).cast("long"),
+          threshold = 1.5)
+        .withColumn("end_incl", col("end_ts") + 3599L)
+        .select("event_type", "start_ts", "end_ts", "end_incl")
+      graft.events.Intervals.intervalJoin(ev, b, Seq("event_type"),
+          timeCol = "t", startCol = "start_ts", endCol = "end_incl")
+        .groupBy("event_type", "start_ts", "end_ts")
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+    }),
+
     // RFM quintile scoring: user-grain aggregate, then three exact
     // global n-tiles via the two-phase rank (range partition + per-
     // range row_number + broadcast offsets) — never a partitionless
@@ -2269,6 +2308,43 @@ object SparkEntry {
           |  FROM totals)
           |SELECT event_type, rank, user_id, total_value
           |FROM ranked WHERE rank <= 10""".stripMargin),
+
+      "ev_asof" ->
+        ("""WITH ev AS (SELECT event_id, user_id, epoch_us(ts)//1000000 AS t, value FROM events),
+          |dim AS (SELECT user_id, (t//86400 + 1) * 86400 AS snap_t,
+          |               round(sum(value), 4) AS prev_day_value
+          |        FROM ev GROUP BY user_id, t//86400)
+          |SELECT e.user_id, e.event_id, e.t, d.snap_t AS asof_t, d.prev_day_value
+          |FROM ev e ASOF LEFT JOIN dim d
+          |  ON e.user_id = d.user_id AND e.t >= d.snap_t""".stripMargin),
+
+      "ev_in_burst" ->
+        ("""WITH counts AS (
+          |  SELECT event_type, t - t % 3600 AS window_start, count(*) AS n
+          |  FROM (SELECT event_type, epoch_us(ts)//1000000 AS t FROM events) e
+          |  GROUP BY 1, 2),
+          |stats AS (
+          |  SELECT event_type, avg(n) AS mean, stddev_samp(n) AS sd
+          |  FROM counts GROUP BY 1),
+          |z AS (
+          |  SELECT c.event_type, c.window_start, c.n,
+          |         round((c.n - s.mean) / s.sd, 4) + 0 AS z
+          |  FROM counts c JOIN stats s USING (event_type)
+          |  WHERE s.sd > 0),
+          |f AS (SELECT * FROM z WHERE abs(z) >= 1.5),
+          |isl AS (
+          |  SELECT event_type, window_start,
+          |         window_start//3600 -
+          |           row_number() OVER (PARTITION BY event_type ORDER BY window_start) AS i
+          |  FROM f),
+          |bursts AS (SELECT event_type, min(window_start) AS start_ts, max(window_start) AS end_ts
+          |           FROM isl GROUP BY event_type, i),
+          |ev AS (SELECT event_type, epoch_us(ts)//1000000 AS t, value FROM events)
+          |SELECT b.event_type, b.start_ts, b.end_ts,
+          |       count(*) AS n_events, round(sum(e.value), 4) AS sum_value
+          |FROM bursts b JOIN ev e ON e.event_type = b.event_type
+          |  AND e.t BETWEEN b.start_ts AND b.end_ts + 3599
+          |GROUP BY 1, 2, 3""".stripMargin),
 
       "ev_rfm" ->
         ("""WITH grain AS (
