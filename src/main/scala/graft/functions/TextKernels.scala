@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftExpressionBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass word-shingling kernel backing [[graft.llm.Dedup.shingles]].
+  * The Column composition it replaces —
+  * `array_distinct(filter(transform(sequence(…), i =>
+  * array_join(slice(split(trim(text)), i, w), " ")), …))` — is five
+  * nested higher-order functions whose lambdas evaluate interpreted
+  * AND re-materialize intermediate arrays per document; this emits
+  * one referenced-object call per row (the `GlobMatcher` codegen
+  * pattern) that splits, windows, joins, and dedups in a single pass.
+  *
+  * Bit-exact parity with the HOF chain, pinned in `ShingleKernelSpec`:
+  * `UTF8String.trim()` (what Spark's `trim` calls), Java regex
+  * `\s+` split with limit −1 (what Spark's `split` does), single-space
+  * joins, empty shingles filtered, first-occurrence-order distinct
+  * (what `array_distinct` keeps), docs shorter than `w` words → empty
+  * array.
+  */
+final class ShingleKernel(width: Int) extends Serializable {
+  @transient private lazy val ws = java.util.regex.Pattern.compile("\\s+")
+
+  def shingles(s: UTF8String): ArrayData = {
+    val words = ws.split(s.trim().toString, -1)
+    val n = words.length - (width - 1)
+    if (n < 1) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < width) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      if (sb.length > 0) seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size())
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** `word_shingles(text, w)`: distinct w-word shingles of `text`. */
+case class WordShingles(child: Expression, width: Int) extends UnaryExpression {
+  require(width >= 1, "shingle width must be positive")
+
+  @transient private lazy val kernel = new ShingleKernel(width)
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override protected def nullSafeEval(input: Any): Any =
+    kernel.shingles(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleKernel", kernel, classOf[ShingleKernel].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.shingles($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+
+  override def toString: String = s"word_shingles($child, $width)"
+}
+
+object TextKernels {
+  def shingles(text: Column, width: Int): Column =
+    GraftExpressionBridge.column(
+      WordShingles(GraftExpressionBridge.expression(text), width))
+}

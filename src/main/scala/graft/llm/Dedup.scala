@@ -98,22 +98,15 @@ object Dedup {
   // Shingling + MinHash + LSH
   // ------------------------------------------------------------------
 
-  /** w-word shingles of `text` as an array column (distinct). Docs
-    * shorter than `w` words yield an empty array (guarded — Spark's
-    * `sequence(1, 0)` would count *down*, unlike SQL generate_series).
+  /** w-word shingles of `text` as an array column (distinct) — the
+    * native one-pass kernel ([[graft.functions.TextKernels.shingles]]),
+    * bit-identical to the five-HOF Column chain it replaced
+    * (split/trim → windowed `array_join` → filter → `array_distinct`;
+    * parity pinned in `ShingleKernelSpec`). Docs shorter than `w`
+    * words yield an empty array.
     */
-  def shingles(text: Column, w: Int): Column = {
-    val words = split(trim(text), "\\s+") // trim: padded docs must not emit an empty token
-    val n = size(words) - (w - 1)
-    array_distinct(
-      filter(
-        when(n >= 1,
-          transform(
-            sequence(lit(1), greatest(n, lit(1))),
-            i => array_join(slice(words, i, lit(w)), " ")))
-          .otherwise(array().cast("array<string>")),
-        s => s =!= ""))
-  }
+  def shingles(text: Column, w: Int): Column =
+    graft.functions.TextKernels.shingles(text, w)
 
   /** MinHash permutation modulus: the Mersenne prime 2^31 − 1 keeps
     * every `a·h + b` product in exact Long range in any engine.
