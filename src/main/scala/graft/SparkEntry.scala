@@ -614,6 +614,21 @@ object SparkEntry {
         idName = "user_id", valueName = "total_value")
     }),
 
+    // time-to-convert percentiles: completed funnels' view→purchase
+    // durations through the exact two-phase-ranked quantiles.
+    "ev_funnel_time" -> ((s, dir) => {
+      val f = graft.events.Funnel.funnel3(
+        GraphiteTables.events(s, dir),
+        steps = Seq("view", "click", "purchase"),
+        userCol = col("user_id"), typeCol = col("event_type"),
+        timeCol = (col("ts") / 1000000000L).cast("long"),
+        windowSec = 86400L)
+      graft.llm.Quantiles.exactQuantiles(
+        f.where(col("stage") === 3)
+          .select((col("t_purchase") - col("t_view")).as("dur")),
+        col("dur"), qs = Seq(0.25, 0.5, 0.9))
+    }),
+
     // AS-OF join (ClickHouse ASOF semantics): each event enriched
     // with the user's most recent COMPLETED-day value snapshot —
     // union + one key-bounded ride-forward pass, single shuffle,
@@ -747,6 +762,14 @@ object SparkEntry {
     "d_fingerprint" -> ((s, dir) =>
       s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), Dedup.fingerprint(col("text")).as("fp"))),
+
+    // PMI bigram collocations (phrase mining): unigram/bigram counts
+    // from one corpus scan, vocab joins back on the word key, top-K
+    // on the 4-dp-rounded score.
+    "d_pmi_bigrams" -> ((s, dir) =>
+      graft.llm.TextStats.pmiBigrams(
+        s.read.parquet(s"$dir/documents.parquet"), col("text"),
+        topK = 50, minCount = 5L)),
 
     // per-source duplication audit: distinct vs total 5-gram shingle
     // mass — two-phase exact distinct (hot shingles collapse in
@@ -2309,6 +2332,30 @@ object SparkEntry {
           |SELECT event_type, rank, user_id, total_value
           |FROM ranked WHERE rank <= 10""".stripMargin),
 
+      "ev_funnel_time" ->
+        ("""WITH ev AS (
+          |  SELECT user_id, epoch_us(ts)//1000000 AS t,
+          |    CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+          |      WHEN 'purchase' THEN 3 ELSE 0 END AS step
+          |  FROM events),
+          |lists AS (
+          |  SELECT user_id, list([t, step] ORDER BY t, step) AS evs
+          |  FROM ev WHERE step > 0 GROUP BY 1),
+          |folded AS (
+          |  SELECT user_id,
+          |    list_reduce(list_prepend([-1, -1, -1]::BIGINT[], evs), (acc, e) -> [
+          |      CASE WHEN acc[1] = -1 AND e[2] = 1 THEN e[1] ELSE acc[1] END,
+          |      CASE WHEN acc[1] <> -1 AND acc[2] = -1 AND e[2] = 2
+          |        AND e[1] > acc[1] AND e[1] - acc[1] <= 86400 THEN e[1] ELSE acc[2] END,
+          |      CASE WHEN acc[2] <> -1 AND acc[3] = -1 AND e[2] = 3
+          |        AND e[1] > acc[2] AND e[1] - acc[2] <= 86400 THEN e[1] ELSE acc[3] END]) AS f
+          |  FROM lists),
+          |durs AS (SELECT (f[3] - f[1])::double AS v FROM folded
+          |         WHERE f[1] <> -1 AND f[2] <> -1 AND f[3] <> -1)
+          |SELECT 0.25::double AS q, round(percentile_cont(0.25) WITHIN GROUP (ORDER BY v), 4) AS value FROM durs
+          |UNION ALL SELECT 0.5::double, round(percentile_cont(0.5) WITHIN GROUP (ORDER BY v), 4) FROM durs
+          |UNION ALL SELECT 0.9::double, round(percentile_cont(0.9) WITHIN GROUP (ORDER BY v), 4) FROM durs""".stripMargin),
+
       "ev_asof" ->
         ("""WITH ev AS (SELECT event_id, user_id, epoch_us(ts)//1000000 AS t, value FROM events),
           |dim AS (SELECT user_id, (t//86400 + 1) * 86400 AS snap_t,
@@ -2415,6 +2462,25 @@ object SparkEntry {
 
       "d_fingerprint" ->
         (s"SELECT doc_id, list_min(list_transform(${shinglesSql(5)}, s -> md5(s))) AS fp FROM documents"),
+
+      "d_pmi_bigrams" ->
+        ("""WITH toks AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
+          |uni AS (SELECT unnest(ws) AS w FROM toks),
+          |uc AS (SELECT w, count(*) AS c FROM uni GROUP BY 1),
+          |tot AS (SELECT (SELECT count(*)::double FROM uni) AS n_uni,
+          |               (SELECT sum(greatest(len(ws) - 1, 0))::double FROM toks) AS n_bi),
+          |bi AS (SELECT p[1] AS a, p[2] AS b FROM (
+          |  SELECT unnest(list_transform(generate_series(1, greatest(len(ws) - 1, 0)),
+          |                i -> [ws[i], ws[i+1]])) AS p FROM toks)),
+          |bc AS (SELECT a, b, count(*) AS c_ab FROM bi GROUP BY 1, 2 HAVING count(*) >= 5),
+          |scored AS (
+          |  SELECT bc.a, bc.b, bc.c_ab,
+          |         round(ln((bc.c_ab::double * tot.n_uni * tot.n_uni) /
+          |                  (tot.n_bi * ca.c::double * cb.c::double)), 4) + 0 AS pmi
+          |  FROM bc JOIN uc ca ON ca.w = bc.a JOIN uc cb ON cb.w = bc.b, tot)
+          |SELECT CAST(row_number() OVER (ORDER BY pmi DESC, a, b) AS BIGINT) AS rank,
+          |       a, b, c_ab, pmi
+          |FROM scored ORDER BY pmi DESC, a, b LIMIT 50""".stripMargin),
 
       "d_shingle_card" ->
         (s"""WITH sh AS (SELECT source, unnest(${shinglesSql(5)}) AS s FROM documents),

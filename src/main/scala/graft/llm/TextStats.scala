@@ -570,6 +570,50 @@ object TextStats {
     * pair counts weighted by word frequency. Top-K is TakeOrdered
     * (per-partition heaps), the rank window runs over K rows.
     */
+  /** PMI-scored bigram collocations — the classic phrase-mining
+    * kernel (word2vec-style phrase detection): for adjacent word
+    * pairs, `pmi = ln(p(ab) / (p(a)·p(b)))`, keeping pairs seen ≥
+    * `minCount` times and the `topK` highest. One corpus scan feeds
+    * the unigram aggregate, the in-row adjacent-pair explode (lambda
+    * over the materialized words ATTRIBUTE, per the HOF discipline),
+    * and the token/bigram totals; the vocabulary joins back twice on
+    * the word key (broadcast while a vocab fits, AQE decides). All
+    * arithmetic in doubles (a corpus-sized token count squared
+    * overflows long), 4-dp rounded, ranked on the ROUNDED score so
+    * cross-engine ln wobble cannot reorder ties.
+    */
+  def pmiBigrams(
+      docs: DataFrame,
+      textCol: Column,
+      topK: Int,
+      minCount: Long): DataFrame = {
+    val toks = docs.select(words(lower(textCol)).as("ws"))
+    val uni = toks.select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val totals = toks.agg(
+      sum(size(col("ws"))).cast("double").as("n_uni"),
+      sum(greatest(size(col("ws")) - 1, lit(0))).cast("double").as("n_bi"))
+    val bi = toks
+      .select(explode(transform(
+        slice(col("ws"), lit(1), greatest(size(col("ws")) - 1, lit(0))),
+        (w, i) => struct(w.as("a"), element_at(col("ws"), i + 2).as("b"))))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val biC = bi.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+      .where(col("c_ab") >= minCount)
+    val scored = biC
+      .join(uni.select(col("w").as("a"), col("c").as("c_a")), Seq("a"))
+      .join(uni.select(col("w").as("b"), col("c").as("c_b")), Seq("b"))
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi", round(log(
+        (col("c_ab").cast("double") * col("n_uni") * col("n_uni")) /
+          (col("n_bi") * col("c_a").cast("double") * col("c_b").cast("double"))), 4))
+    val w = Window.orderBy(col("pmi").desc, col("a").asc, col("b").asc)
+    scored.orderBy(col("pmi").desc, col("a").asc, col("b").asc).limit(topK)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select("rank", "a", "b", "c_ab", "pmi")
+  }
+
   def bpePairs(docs: DataFrame, textCol: Column, topK: Int): DataFrame = {
     val wordFreq = docs
       .select(explode(words(lower(textCol))).as("word"))
