@@ -53,6 +53,58 @@ final class ShingleKernel(width: Int) extends Serializable {
   }
 }
 
+/** Positional (non-distinct, in-order) w-gram kernel over an
+  * already-split words ARRAY — the span-removal variant, where
+  * shingle index i must stay aligned with word position i.
+  */
+final class PositionalShingleKernel(width: Int) extends Serializable {
+  def shingles(ws: ArrayData): ArrayData = {
+    val n = ws.numElements() - (width - 1)
+    if (n < 1) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < width) {
+        if (j > 0) sb.append(' ')
+        sb.append(ws.getUTF8String(i + j).toString)
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `positional_shingles(words, w)`: overlapping w-grams of a words
+  * array, one per start position.
+  */
+case class PositionalShingles(child: Expression, width: Int) extends UnaryExpression {
+  require(width >= 1, "shingle width must be positive")
+
+  @transient private lazy val kernel = new PositionalShingleKernel(width)
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "positional_shingles"
+
+  override protected def nullSafeEval(input: Any): Any =
+    kernel.shingles(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("posShingleKernel", kernel,
+      classOf[PositionalShingleKernel].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.shingles($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PositionalShingles =
+    copy(child = newChild)
+
+  override def toString: String = s"positional_shingles($child, $width)"
+}
+
 /** `word_shingles(text, w)`: distinct w-word shingles of `text`. */
 case class WordShingles(child: Expression, width: Int) extends UnaryExpression {
   require(width >= 1, "shingle width must be positive")
@@ -80,4 +132,8 @@ object TextKernels {
   def shingles(text: Column, width: Int): Column =
     GraftExpressionBridge.column(
       WordShingles(GraftExpressionBridge.expression(text), width))
+
+  def positionalShingles(words: Column, width: Int): Column =
+    GraftExpressionBridge.column(
+      PositionalShingles(GraftExpressionBridge.expression(words), width))
 }

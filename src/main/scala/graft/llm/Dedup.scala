@@ -414,14 +414,12 @@ object Dedup {
     * element j (0-based) is the shingle starting at word j, so a
     * `posexplode` yields (start, shingle) pairs directly.
     */
-  private def positionalShingles(words: Column, w: Int): Column = {
-    val n = size(words) - (w - 1)
-    when(n >= 1,
-      transform(
-        sequence(lit(1), greatest(n, lit(1))),
-        i => array_join(slice(words, i, lit(w)), " ")))
-      .otherwise(array().cast("array<string>"))
-  }
+  /** Overlapping w-grams aligned with word positions — the native
+    * one-pass kernel (parity with the HOF chain in
+    * `ShingleKernelSpec`).
+    */
+  private def positionalShingles(words: Column, w: Int): Column =
+    graft.functions.TextKernels.positionalShingles(words, w)
 
   /** ExactSubstr-style duplicate-span REMOVAL — the cleanup step that
     * [[duplicateSpans]]' statistics feed (Lee et al. 2022 cut the

@@ -48,6 +48,29 @@ class ShingleKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("positional kernel == positional HOF chain (order, duplicates kept)") {
+    import spark.implicits._
+    def hofPositional(words: org.apache.spark.sql.Column, w: Int) = {
+      val n = size(words) - (w - 1)
+      when(n >= 1,
+        transform(sequence(lit(1), greatest(n, lit(1))),
+          i => array_join(slice(words, i, lit(w)), " ")))
+        .otherwise(array().cast("array<string>"))
+    }
+    val texts = Seq("a b a b a b", "x", "", "p q r s t u v").toDF("text")
+    for (w <- Seq(1, 2, 5)) {
+      val rows = texts.select(split(trim(col("text")), "\\s+").as("ws"))
+        .select(
+          TextKernels.positionalShingles(col("ws"), w).as("native"),
+          hofPositional(col("ws"), w).as("hof"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"w=$w diverged: ${r.getSeq[String](0)} vs ${r.getSeq[String](1)}")
+      }
+    }
+  }
+
   test("null text stays null; kernel runs inside codegen") {
     val df = spark.range(5).select(
       when(col("id") % 2 === 0, concat(lit("w"), col("id"), lit(" x y z v")))
