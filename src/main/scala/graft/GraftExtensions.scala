@@ -19,7 +19,7 @@ import graft.compiler.GlobMatch
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction(GraftFunctions.globMatchDescriptor)
+    GraftFunctions.descriptors.foreach(ext.injectFunction)
 }
 
 object GraftFunctions {
@@ -45,10 +45,51 @@ object GraftFunctions {
     new ExpressionInfo(classOf[GlobMatch].getName, "glob_match"),
     buildGlobMatch)
 
-  /** Register on a live session (test/driver convenience). */
-  def register(spark: SparkSession): Unit = {
-    val (_, info, builder) = globMatchDescriptor
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("glob_match"), info, builder)
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(i: Int, _) => i
+    case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
   }
+
+  private def descriptor(
+      name: String,
+      clazz: Class[_],
+      build: Seq[Expression] => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name), build)
+
+  /** Every custom expression, SQL-callable. */
+  val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    globMatchDescriptor,
+    descriptor("normalize_text", classOf[graft.functions.NormalizeText], args => {
+      require(args.length == 1, "normalize_text(text) expects 1 argument")
+      graft.functions.NormalizeText(args.head)
+    }),
+    descriptor("vec_dot", classOf[graft.functions.VecDot], args => {
+      require(args.length == 2, "vec_dot(a, b) expects 2 arguments")
+      graft.functions.VecDot(args(0), args(1))
+    }),
+    descriptor("vec_l2sq", classOf[graft.functions.VecL2Sq], args => {
+      require(args.length == 2, "vec_l2sq(a, b) expects 2 arguments")
+      graft.functions.VecL2Sq(args(0), args(1))
+    }),
+    descriptor("word_shingles", classOf[graft.functions.WordShingles], args => {
+      require(args.length == 2, "word_shingles(text, w) expects 2 arguments")
+      graft.functions.WordShingles(args(0), intLit(args(1), "w"))
+    }),
+    descriptor("positional_shingles", classOf[graft.functions.PositionalShingles], args => {
+      require(args.length == 2, "positional_shingles(words, w) expects 2 arguments")
+      graft.functions.PositionalShingles(args(0), intLit(args(1), "w"))
+    }),
+    descriptor("zorder", classOf[graft.functions.ZOrderLong], args => {
+      require(args.length == 2 || args.length == 3,
+        "zorder(a, b[, bits]) expects 2 or 3 arguments")
+      graft.functions.ZOrderLong(args(0), args(1),
+        args.lift(2).map(intLit(_, "bits")).getOrElse(21))
+    }))
+
+  /** Register on a live session (test/driver convenience). */
+  def register(spark: SparkSession): Unit =
+    descriptors.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }
