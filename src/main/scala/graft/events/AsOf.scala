@@ -74,4 +74,95 @@ object AsOf {
       .select((ks ++ leftOnly.map(col) ++ Seq(col("asof_t")) ++
         valueCols.map(col)): _*)
   }
+
+  /** [[asofJoin]] for TIME-HOT keys — one key owning a meaningful
+    * fraction of all rows would serialize the plain ride-forward
+    * window into a single task. Same semantics, two-phase: (1) per
+    * (key, time-bucket) the right side collapses to its LAST row — a
+    * hash aggregate with map-side partials, skew-immune; (2) that
+    * bucket-grain relation (timeline/bucketSec rows per key, bounded
+    * by the clock not the corpus) rides forward per key to give every
+    * bucket its SEED = the latest right row before the bucket; (3)
+    * the final window runs per (key, bucket) — a partition holds one
+    * bucket's rows, so the hot key splits across its buckets instead
+    * of one task. Equivalence with [[asofJoin]] is pinned in
+    * `AsOfSpec`. Pick `bucketSec` so a hot key's densest bucket fits
+    * a task.
+    */
+  def asofJoinBucketed(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      valueCols: Seq[String],
+      bucketSec: Long): DataFrame = {
+    require(bucketSec > 0, "bucketSec must be positive")
+    val ks = keyCols.map(col)
+    val leftOnly = left.columns.filterNot(c => keyCols.contains(c))
+
+    // (1) last right row per (key, bucket): max_by on the (rt) order —
+    // one hash aggregate, partial-agg collapses a hot bucket map-side
+    val rKeyed = right.select(
+      (ks ++ Seq(col(rightTime).cast("long").as("__rt")) ++ valueCols.map(col)): _*)
+      .withColumn("__bk", (col("__rt") / bucketSec).cast("long"))
+    val lastPerBucket = rKeyed
+      .groupBy((ks :+ col("__bk")): _*)
+      .agg(max(struct((col("__rt") +: valueCols.map(col)): _*)).as("__last"))
+    // (2) seeds: EVERY bucket that appears on either side (a bucket
+    // holding only left rows still needs the latest right row from
+    // before it) gets seed = max over earlier buckets' last rows. The
+    // window partitions per key over the bucket GRAIN (timeline-
+    // bounded), not the row grain.
+    val leftBuckets = left
+      .select((ks :+ (col(leftTime).cast("long") / bucketSec).cast("long").as("__bk")): _*)
+      .distinct()
+    val allBuckets = leftBuckets
+      .unionByName(lastPerBucket.select((ks :+ col("__bk")): _*))
+      .distinct()
+    val wSeed = org.apache.spark.sql.expressions.Window
+      .partitionBy(ks: _*).orderBy(col("__bk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val seeds = allBuckets
+      .join(lastPerBucket, keyCols :+ "__bk", "left")
+      .withColumn("__seed", max(col("__last")).over(wSeed))
+      .where(col("__seed").isNotNull)
+      .select((ks ++ Seq(col("__bk"), col("__seed"))): _*)
+
+    // (3) per-(key, bucket) union: seed (sorts first), right rows,
+    // left rows — the ride-forward window partition is one bucket
+    val rightRows = rKeyed.select(
+      (ks ++ Seq(col("__bk"), col("__rt").as("__t"), lit(0).as("__side"),
+        col("__rt")) ++ valueCols.map(col)): _*)
+    val seedRows = seeds.select(
+      (ks ++ Seq(col("__bk"), lit(Long.MinValue).as("__t"), lit(-1).as("__side"),
+        col("__seed.__rt").as("__rt")) ++
+        valueCols.map(c => col(s"__seed.$c").as(c))): _*)
+    val leftRows = left
+      .withColumn("__t", col(leftTime).cast("long"))
+      .withColumn("__bk", (col("__t") / bucketSec).cast("long"))
+      .select((ks ++ Seq(col("__bk"), col("__t"), lit(1).as("__side"),
+        lit(null).cast("long").as("__rt")) ++
+        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)) ++
+        leftOnly.map(col)): _*)
+    val rightAligned = rightRows
+      .select((rightRows.columns.map(col) ++
+        leftOnly.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    val seedAligned = seedRows
+      .select((seedRows.columns.map(col) ++
+        leftOnly.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy((ks :+ col("__bk")): _*)
+      .orderBy(col("__t"), col("__side"), col("__rt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ridden = leftRows.unionByName(rightAligned).unionByName(seedAligned)
+      .withColumn("asof_t", last(col("__rt"), ignoreNulls = true).over(w))
+    val valueRidden = valueCols.foldLeft(ridden) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    valueRidden.where(col("__side") === 1)
+      .select((ks ++ leftOnly.map(col) ++ Seq(col("asof_t")) ++
+        valueCols.map(col)): _*)
+  }
 }

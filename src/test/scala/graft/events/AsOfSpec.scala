@@ -33,6 +33,33 @@ class AsOfSpec extends AnyFunSuite {
     assert(out((2L, 100L)) == ((None, None)))          // other key unaffected
   }
 
+  test("bucketed variant ≡ plain as-of on dense data; final window keyed per bucket") {
+    import spark.implicits._
+    // 5 keys × interleaved left/right times, seeds crossing bucket
+    // boundaries (bucket = 100s, right rows only every 370s)
+    val left = spark.range(2000).select(pmod(col("id"), lit(5)).as("k"),
+      (col("id") * 13 % 7000).as("t"))
+    val right = spark.range(120).select(pmod(col("id"), lit(5)).as("k"),
+      (col("id") * 370 % 7000).as("rt"), (col("id") * 3).cast("double").as("v"))
+      .groupBy("k", "rt").agg(max("v").as("v")) // unique (k, rt)
+
+    val plain = AsOf.asofJoin(left, right, Seq("k"), "t", "rt", Seq("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)), Option(r.get(3)))).toSet
+    val bucketed = AsOf.asofJoinBucketed(left, right, Seq("k"), "t", "rt",
+      Seq("v"), bucketSec = 100L)
+    val got = bucketed.collect().map(r => (r.getLong(0), r.getLong(1),
+      Option(r.get(2)), Option(r.get(3)))).toSet
+    assert(got == plain)
+
+    // the hot-key defense: the final ride-forward window partitions on
+    // (key, bucket), never the bare key
+    val plan = bucketed.queryExecution.executedPlan.toString
+    val windowLines = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowLines.exists(_.contains("__bk")),
+      s"final window not bucket-partitioned:\n${windowLines.mkString("\n")}")
+  }
+
   test("plan: no nested-loop/cartesian; the ride-forward window is keyed") {
     import spark.implicits._
     val left = spark.range(1000).select(pmod(col("id"), lit(10)).as("k"),
