@@ -947,11 +947,12 @@ object SparkEntry {
     // while the n-gram metrics carry real signal here.
     "d_repetition" -> ((s, dir) =>
       s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), TextStats.repetitionMetrics(col("text")).as("__m"))
         .select(col("doc_id"),
-          TextStats.dupLineRatio(col("text")).as("dup_line_ratio"),
-          TextStats.dupLineCharRatio(col("text")).as("dup_line_char_ratio"),
-          TextStats.topBigramCharRatio(col("text")).as("top_bigram_char_ratio"),
-          TextStats.dupTrigramRatio(col("text")).as("dup_trigram_ratio"))),
+          col("__m.dup_line_ratio").as("dup_line_ratio"),
+          col("__m.dup_line_char_ratio").as("dup_line_char_ratio"),
+          col("__m.top_bigram_char_ratio").as("top_bigram_char_ratio"),
+          col("__m.dup_trigram_ratio").as("dup_trigram_ratio"))),
 
     // ----------------------------------------------------------------
     // LLM track: deterministic sampling / sharding / sequence packing

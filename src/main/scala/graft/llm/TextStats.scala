@@ -100,6 +100,14 @@ object TextStats {
   def docLines(text: Column): Column =
     filter(transform(split(text, "\n"), l => trim(l)), l => l =!= "")
 
+  /** All four repetition signals from ONE pass over the document —
+    * the native kernel ([[graft.functions.RepetitionMetrics]]); the
+    * individual Column forms below are kept as the parity reference
+    * (`RepetitionSpec` pins bit-equality).
+    */
+  def repetitionMetrics(text: Column): Column =
+    graft.functions.RepetitionMetrics.column(text)
+
   /** Fraction of lines that are repeats of an earlier line
     * (1 − distinct/total); 0 for empty documents.
     */

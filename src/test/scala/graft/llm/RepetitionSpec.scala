@@ -48,6 +48,34 @@ class RepetitionSpec extends AnyFunSuite {
     assert(tgr == 0.5)
   }
 
+  test("native kernel is bit-identical to the four Column chains") {
+    import spark.implicits._
+    val texts = Seq(
+      "spam\nham\nspam\n\n  \nok",
+      "alpha beta\ngamma delta",
+      "a b a b a b",
+      "", "word", "two words",
+      "x y x y z x y\nx y x y z x y\nother line",
+      "tabs\tand spaces  mixed\nsecond  line\nsecond  line",
+      "p q r p q r p q r p q",
+      "é ü é ü é"  // non-ASCII code points count once
+    ).toDF("text")
+    val rows = texts.select(
+      TextStats.repetitionMetrics(col("text")).as("m"),
+      TextStats.dupLineRatio(col("text")).as("r1"),
+      TextStats.dupLineCharRatio(col("text")).as("r2"),
+      TextStats.topBigramCharRatio(col("text")).as("r3"),
+      TextStats.dupTrigramRatio(col("text")).as("r4"))
+      .collect()
+    rows.foreach { r =>
+      val m = r.getStruct(0)
+      assert(m.getDouble(0) == r.getDouble(1), s"dup_line_ratio: $r")
+      assert(m.getDouble(1) == r.getDouble(2), s"dup_line_char_ratio: $r")
+      assert(m.getDouble(2) == r.getDouble(3), s"top_bigram_char_ratio: $r")
+      assert(m.getDouble(3) == r.getDouble(4), s"dup_trigram_ratio: $r")
+    }
+  }
+
   test("degenerate inputs: empty, single word, two words") {
     assert(metrics("") == ((0.0, 0.0, 0.0, 0.0)))
     assert(metrics("word") == ((0.0, 0.0, 0.0, 0.0)))
