@@ -114,6 +114,55 @@ case class VecL2Sq(left: Expression, right: Expression) extends VecFold {
     copy(left = newLeft, right = newRight)
 }
 
+/** Jaccard similarity of two SORTED, DISTINCT string arrays — a
+  * single merge pass with zero allocation, replacing
+  * `size(array_intersect) / size(array_union)`, which rebuilds a
+  * hash set for every PAIR (a document's words re-hashed once per
+  * candidate pair). Callers pre-sort each side once per document;
+  * set semantics make the value identical. Comparison is UTF-8 byte
+  * order (what `array_sort` produces). Empty∩empty yields NaN like
+  * the 0/0.0 division it replaces.
+  */
+case class SortedSetJaccard(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sorted_set_jaccard"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val aa = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val bb = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    SortedSetJaccard.jaccard(aa, bb)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = ${SortedSetJaccard.getClass.getName.stripSuffix("$")}.jaccard($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedSetJaccard =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedSetJaccard {
+  /** Merge-count |a∩b| over sorted inputs; |a∪b| = na + nb − inter. */
+  def jaccard(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    val union = na + nb - inter
+    if (union == 0) Double.NaN else inter.toDouble / union.toDouble
+  }
+}
+
 object VecMath {
   def dot(a: Column, b: Column): Column =
     GraftExpressionBridge.column(VecDot(

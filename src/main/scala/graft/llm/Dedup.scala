@@ -336,17 +336,22 @@ object Dedup {
       idCol: Column,
       bucketCols: Seq[Column],
       threshold: Double): DataFrame = {
+    // sort+distinct ONCE per document; the per-pair evaluation is then
+    // a zero-allocation merge (SortedSetJaccard) instead of
+    // array_intersect/array_union rebuilding hash sets per pair
     val prepared = docs.select(
       (bucketCols.zipWithIndex.map { case (c, i) => c.as(s"bk$i") } :+
         idCol.as("id") :+
-        array_distinct(split(trim(textCol), "\\s+")).as("words")): _*)
+        array_sort(array_distinct(split(trim(textCol), "\\s+"))).as("words")): _*)
     val bk = prepared.columns.filter(_.startsWith("bk"))
     val joinCond = bk.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _) &&
       col("a.id") < col("b.id")
     prepared.as("a").join(prepared.as("b"), joinCond)
       .withColumn("jaccard",
-        size(array_intersect(col("a.words"), col("b.words"))) /
-          size(array_union(col("a.words"), col("b.words"))).cast("double"))
+        org.apache.spark.sql.GraftExpressionBridge.column(
+          graft.functions.SortedSetJaccard(
+            org.apache.spark.sql.GraftExpressionBridge.expression(col("a.words")),
+            org.apache.spark.sql.GraftExpressionBridge.expression(col("b.words")))))
       .where(col("jaccard") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         round(col("jaccard"), 4).as("jaccard"))

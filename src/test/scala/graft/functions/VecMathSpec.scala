@@ -58,6 +58,29 @@ class VecMathSpec extends AnyFunSuite {
     assert(r.isNullAt(2))
   }
 
+  test("sorted_set_jaccard == intersect/union division on arbitrary word sets") {
+    import org.apache.spark.sql.GraftExpressionBridge
+    def native(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      GraftExpressionBridge.column(SortedSetJaccard(
+        GraftExpressionBridge.expression(a), GraftExpressionBridge.expression(b)))
+    // deterministic word sets of varying overlap, pre-sorted+distinct
+    val df = spark.range(200).select(
+      array_sort(array_distinct(transform(sequence(lit(1), pmod(col("id"), lit(7)) + 1),
+        i => concat(lit("w"), pmod(col("id") * i, lit(11)))))).as("a"),
+      array_sort(array_distinct(transform(sequence(lit(1), pmod(col("id"), lit(5)) + 2),
+        i => concat(lit("w"), pmod(col("id") + i * 3, lit(11)))))).as("b"))
+    val rows = df.select(
+      native(col("a"), col("b")).as("n"),
+      (size(array_intersect(col("a"), col("b"))) /
+        size(array_union(col("a"), col("b"))).cast("double")).as("h"))
+      .collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"jaccard diverged: ${r.getDouble(0)} vs ${r.getDouble(1)}")
+    }
+  }
+
   test("the kernel stays inside whole-stage codegen") {
     // range input (a literal Seq constant-folds to LocalTableScan);
     // arrays built with array(), not transform — HOF lambdas are
