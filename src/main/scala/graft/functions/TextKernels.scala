@@ -128,6 +128,70 @@ case class WordShingles(child: Expression, width: Int) extends UnaryExpression {
   override def toString: String = s"word_shingles($child, $width)"
 }
 
+/** One-pass language-ID kernel: every word answers ALL language
+  * tables at once through a word→bitmask map, replacing the per-lang
+  * re-split + interpreted 10-way-OR `filter` lambdas. Argmax with
+  * strict-greater over the SORTED language codes replicates the
+  * `reduce(when(b > a, b).otherwise(a))` tie-break (earlier code
+  * wins); zero hits anywhere → "und". Tokenization mirrors
+  * `words(lower(text))`: UTF8String lower → trim → `\s+` split.
+  */
+final class LangIdKernel(tables: Map[String, Seq[String]]) extends Serializable {
+  private val langs: Array[String] = tables.keys.toArray.sorted
+  private val masks: java.util.HashMap[String, Int] = {
+    val m = new java.util.HashMap[String, Int]()
+    langs.zipWithIndex.foreach { case (l, i) =>
+      tables(l).foreach(w => m.merge(w, 1 << i, (a, b) => a | b))
+    }
+    m
+  }
+  @transient private lazy val ws = java.util.regex.Pattern.compile("\\s+")
+
+  def langId(text: UTF8String): UTF8String = {
+    val counts = new Array[Int](langs.length)
+    val toks = ws.split(text.toLowerCase.trim().toString, -1)
+    var t = 0
+    while (t < toks.length) {
+      val mask = masks.getOrDefault(toks(t), 0)
+      if (mask != 0) {
+        var i = 0
+        while (i < langs.length) {
+          if ((mask & (1 << i)) != 0) counts(i) += 1
+          i += 1
+        }
+      }
+      t += 1
+    }
+    var best = 0
+    var i = 1
+    while (i < langs.length) {
+      if (counts(i) > counts(best)) best = i
+      i += 1
+    }
+    UTF8String.fromString(if (counts(best) > 0) langs(best) else "und")
+  }
+}
+
+/** `lang_id(text)`: argmax stopword-hit language code, or "und". */
+case class LangId(child: Expression, tables: Map[String, Seq[String]])
+    extends UnaryExpression {
+  @transient private lazy val kernel = new LangIdKernel(tables)
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "lang_id"
+
+  override protected def nullSafeEval(input: Any): Any =
+    kernel.langId(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("langIdKernel", kernel, classOf[LangIdKernel].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.langId($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LangId =
+    copy(child = newChild)
+}
+
 object TextKernels {
   def shingles(text: Column, width: Int): Column =
     GraftExpressionBridge.column(
@@ -136,4 +200,8 @@ object TextKernels {
   def positionalShingles(words: Column, width: Int): Column =
     GraftExpressionBridge.column(
       PositionalShingles(GraftExpressionBridge.expression(words), width))
+
+  def langId(text: Column, tables: Map[String, Seq[String]]): Column =
+    GraftExpressionBridge.column(
+      LangId(GraftExpressionBridge.expression(text), tables))
 }

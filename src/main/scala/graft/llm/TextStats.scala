@@ -42,7 +42,13 @@ object TextStats {
   /** Language ID by argmax stopword-hit-rate over the known tables;
     * documents with no hits anywhere get "und" (undetermined).
     */
-  def langId(text: Column): Column = {
+  def langId(text: Column): Column =
+    graft.functions.TextKernels.langId(text, stopwords)
+
+  /** The original Column composition, kept as the parity reference
+    * for the native kernel (`LangIdSpec`).
+    */
+  private[llm] def langIdReference(text: Column): Column = {
     val scored = stopwords.keys.toSeq.sorted.map(l => (l, stopwordHits(text, l)))
     val best = scored.map { case (l, s) =>
       struct(s.as("hits"), lit(l).as("lang"))
