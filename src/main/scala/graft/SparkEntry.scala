@@ -923,6 +923,24 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"),
         col("text"), col("doc_id"), w = 5)),
 
+    // boilerplate-line removal over deterministically multi-lined docs
+    // (the synthetic corpus is single-line, so — like d_c4 — header/
+    // footer lines are salted in identically in the DuckDB twin): a
+    // trimmed line in ≥2 distinct docs drops everywhere; two-phase
+    // hot-key aggregate, never a content-keyed window.
+    "d_boilerplate" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val salted = concat(
+        when(col("doc_id") % 3 === 0,
+          lit("subscribe to our newsletter\n")).otherwise(lit("")),
+        col("text"),
+        when(col("doc_id") % 4 === 0,
+          lit("\nall rights reserved")).otherwise(lit("")))
+      Dedup.dropBoilerplateLines(
+        docs.select(col("doc_id"), salted.as("text")),
+        col("text"), col("doc_id"), minDocs = 2)
+    }),
+
     // C4-style heuristic filter battery over deterministically salted
     // docs (the raw synthetic corpus is single-line with no code/
     // lorem markers, so — like d_scrub — the salt is reproduced
@@ -1085,6 +1103,23 @@ object SparkEntry {
       TextStats.tfidfTopK(s.read.parquet(s"$dir/documents.parquet"),
         col("text"), col("doc_id"), k = 5)),
 
+    // DSIR hashed-ngram importance weights (target = src0/src1 docs):
+    // one feature explode into per-(doc, bucket) counts, the two
+    // distributions off the SAME relation, 256-row log-ratio table
+    // broadcast back; per-doc sorted fold for float determinism.
+    "d_dsir" -> ((s, dir) =>
+      Sampling.dsirWeights(
+        s.read.parquet(s"$dir/documents.parquet"), col("text"),
+        col("source").isin("src0", "src1"), col("doc_id"), buckets = 256)),
+
+    // CCNet-style per-language perplexity terciles: exact grouped
+    // quantile cuts (two-phase rank, no lang-partitioned window)
+    // broadcast back onto the doc-sized NLL relation.
+    "d_ppl_buckets" -> ((s, dir) =>
+      TextStats.pplBuckets(
+        s.read.parquet(s"$dir/documents.parquet"),
+        col("text"), col("lang"), col("doc_id"))),
+
     // capped inverted index: salted two-stage top-k aggregation keeps
     // the 8 lowest doc ids per term without ever materializing a hot
     // stop-word's full posting list in one task.
@@ -1172,6 +1207,13 @@ object SparkEntry {
         .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
       Similarity.ivfAssign(vecs, centroids)
     }),
+
+    // Greedy k-center (farthest-point) seeding: 4 rounds of broadcast
+    // centers → one corpus scan → TakeOrdered(1); deterministic argmax
+    // (lowest id on ties), no seeded RNG.
+    "e_kcenter" -> ((s, dir) =>
+      Similarity.kcenterInit(
+        s.read.parquet(s"$dir/embeddings.parquet"), k = 4)),
 
     // IVF-Flat search: probe the 2 nearest of 8 cells per query, score
     // cosine inside the probed cells only (one equi-join on the cell
@@ -2725,6 +2767,26 @@ object SparkEntry {
           |    len(list_filter(w.ws, (x, i) -> NOT list_contains(coalesce(s.cov, []), i))) AS BIGINT) AS n_removed
           |FROM wrds w LEFT JOIN starts s USING (doc_id)""".stripMargin),
 
+      "d_boilerplate" ->
+        ("""WITH docs2 AS (
+          |  SELECT doc_id,
+          |    (CASE WHEN doc_id % 3 = 0 THEN 'subscribe to our newsletter' || chr(10) ELSE '' END)
+          |    || text ||
+          |    (CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'all rights reserved' ELSE '' END) AS text
+          |  FROM documents),
+          |ls AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM docs2),
+          |pos AS (SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS i FROM ls),
+          |lines AS (SELECT doc_id, i, ls[i] AS line, trim(ls[i]) AS key FROM pos),
+          |hot AS (SELECT key FROM (
+          |    SELECT key, doc_id FROM lines WHERE key <> '' GROUP BY 1, 2)
+          |  GROUP BY key HAVING count(*) >= 2),
+          |marked AS (SELECT doc_id, i, line,
+          |    (key <> '' AND key IN (SELECT key FROM hot)) AS dropit FROM lines)
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+          |  CAST(coalesce(sum(CASE WHEN dropit THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_removed,
+          |  coalesce(string_agg(CASE WHEN NOT dropit THEN line END, chr(10) ORDER BY i), '') AS clean_text
+          |FROM marked GROUP BY doc_id""".stripMargin),
+
       "d_c4" ->
         ("""WITH salted AS (
           |  SELECT doc_id,
@@ -2925,6 +2987,65 @@ object SparkEntry {
           |  round(list_reduce(cs, (a, b) -> a + b) / dl, 4) + 0 AS nll,
           |  round(exp(list_reduce(cs, (a, b) -> a + b) / dl), 4) + 0 AS ppl
           |FROM agg""".stripMargin),
+
+      "d_dsir" ->
+        ("""WITH ws AS (
+          |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS ws
+          |  FROM documents),
+          |feats AS (
+          |  SELECT doc_id, source,
+          |    unnest(ws || list_transform(generate_series(1, len(ws) - 1),
+          |      i -> ws[i] || ' ' || ws[i + 1])) AS f
+          |  FROM ws),
+          |hashed AS (
+          |  SELECT doc_id, (source IN ('src0', 'src1')) AS tgt,
+          |    ('0x' || substr(md5(f), 1, 15))::bigint % 256 AS bucket
+          |  FROM feats),
+          |perdoc AS (SELECT doc_id, bucket, count(*)::bigint AS n
+          |  FROM hashed GROUP BY 1, 2),
+          |dist AS (SELECT bucket,
+          |    sum(CASE WHEN tgt THEN 1 ELSE 0 END)::bigint AS ct,
+          |    count(*)::bigint AS cr
+          |  FROM hashed GROUP BY 1),
+          |tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM dist),
+          |ratio AS (SELECT bucket,
+          |    ln((ct + 1)::double / (tt + 256)) - ln((cr + 1)::double / (tr + 256)) AS lam
+          |  FROM dist, tot),
+          |agg AS (SELECT doc_id, list(n * lam ORDER BY bucket) AS cs,
+          |    CAST(sum(n) AS BIGINT) AS n_feats
+          |  FROM perdoc JOIN ratio USING (bucket) GROUP BY 1)
+          |SELECT doc_id, n_feats,
+          |  round(list_reduce(cs, (a, b) -> a + b), 4) + 0 AS log_weight
+          |FROM agg""".stripMargin),
+
+      "d_ppl_buckets" ->
+        ("""WITH toks AS (
+          |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+          |  FROM documents),
+          |tf AS (SELECT doc_id, token, count(*)::bigint AS tf
+          |  FROM toks GROUP BY 1, 2),
+          |vocab AS (SELECT token, count(*)::bigint AS n FROM toks GROUP BY 1),
+          |tot AS (SELECT sum(n) AS total FROM vocab),
+          |contrib AS (
+          |  SELECT t.doc_id, t.token, t.tf, t.tf * -ln(v.n::double / total) AS c
+          |  FROM tf t JOIN vocab v USING (token), tot),
+          |agg AS (
+          |  SELECT doc_id, list(c ORDER BY token) AS cs,
+          |         CAST(sum(tf) AS BIGINT) AS dl
+          |  FROM contrib GROUP BY 1),
+          |nll AS (
+          |  SELECT a.doc_id, d.lang,
+          |    round(list_reduce(cs, (x, y) -> x + y) / dl, 4) + 0 AS nll
+          |  FROM agg a JOIN documents d USING (doc_id)),
+          |cuts AS (SELECT lang,
+          |    round(percentile_cont(0.3333333333333333) WITHIN GROUP (ORDER BY nll), 4) AS q33,
+          |    round(percentile_cont(0.6666666666666666) WITHIN GROUP (ORDER BY nll), 4) AS q67
+          |  FROM nll GROUP BY lang)
+          |SELECT n.doc_id, n.lang, n.nll,
+          |  CASE WHEN n.nll <= c.q33 THEN 'head'
+          |       WHEN n.nll <= c.q67 THEN 'middle'
+          |       ELSE 'tail' END AS bucket
+          |FROM nll n JOIN cuts c USING (lang)""".stripMargin),
 
       "d_bigram_ppl" ->
         ("""WITH toks AS (
@@ -3133,6 +3254,27 @@ object SparkEntry {
            |FROM (SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS pos FROM embeddings) x
            |JOIN assign a ON a.vec_id = x.vec_id
            |GROUP BY 1, 2""".stripMargin),
+
+      "e_kcenter" -> {
+        def l2(a: String, b: String): String =
+          s"list_sum(list_transform(generate_series(1, len($a.embedding)), " +
+            s"i -> ($a.embedding[i]::double - $b.embedding[i]::double) * " +
+            s"($a.embedding[i]::double - $b.embedding[i]::double)))"
+        s"""WITH c1 AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 1),
+           | d1 AS (SELECT e.vec_id, e.embedding, ${l2("e", "c")} AS mind
+           |   FROM embeddings e, c1 c),
+           | c2 AS (SELECT vec_id, embedding, mind FROM d1 ORDER BY mind DESC, vec_id ASC LIMIT 1),
+           | d2 AS (SELECT d.vec_id, d.embedding, least(d.mind, ${l2("d", "c")}) AS mind
+           |   FROM d1 d, c2 c),
+           | c3 AS (SELECT vec_id, embedding, mind FROM d2 ORDER BY mind DESC, vec_id ASC LIMIT 1),
+           | d3 AS (SELECT d.vec_id, d.embedding, least(d.mind, ${l2("d", "c")}) AS mind
+           |   FROM d2 d, c3 c),
+           | c4 AS (SELECT vec_id, mind FROM d3 ORDER BY mind DESC, vec_id ASC LIMIT 1)
+           |SELECT CAST(1 AS BIGINT) AS rank, vec_id, 0.0 AS dist FROM c1
+           |UNION ALL SELECT CAST(2 AS BIGINT), vec_id, round(mind, 4) + 0 FROM c2
+           |UNION ALL SELECT CAST(3 AS BIGINT), vec_id, round(mind, 4) + 0 FROM c3
+           |UNION ALL SELECT CAST(4 AS BIGINT), vec_id, round(mind, 4) + 0 FROM c4""".stripMargin
+      },
 
       "e_ivf_assign" ->
         (s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cent FROM embeddings WHERE vec_id < 8),

@@ -559,4 +559,87 @@ object Dedup {
     val losers = cl.where(col("id") =!= col("cluster_id")).select(col("id"))
     docs.join(losers, idCol === col("id"), "left_anti")
   }
+
+  /** Optimal LSH banding plan: among all (bands b, rows r) with
+    * b·r = `nHashes`, pick the one minimizing the integrated
+    * candidate error against the target Jaccard `threshold` t —
+    * ∫₀ᵗ p(s) ds (false-positive mass) + ∫ₜ¹ (1 − p(s)) ds
+    * (false-negative mass) with p(s) = 1 − (1 − sʳ)ᵇ, the standard
+    * S-curve analysis (Mining of Massive Datasets §3.4). Driver-side
+    * arithmetic over the ≤ d(n) divisor pairs — this is the knob
+    * that sizes [[minhashPairs]]' Σsᵢ² candidate budget before a
+    * corpus-scale run, not a per-row operator.
+    *
+    * Returns (bands, rows, s50, fpMass, fnMass) where
+    * s50 = (1/b)^(1/r) is the curve's 50% threshold.
+    */
+  def lshPlan(nHashes: Int, threshold: Double): (Int, Int, Double, Double, Double) = {
+    require(nHashes >= 1 && threshold > 0 && threshold < 1,
+      "need nHashes >= 1 and threshold in (0,1)")
+    val steps = 1000
+    def pCand(s: Double, b: Int, r: Int): Double =
+      1.0 - math.pow(1.0 - math.pow(s, r), b)
+    val plans = for {
+      r <- 1 to nHashes if nHashes % r == 0
+      b = nHashes / r
+    } yield {
+      var fp = 0.0; var fn = 0.0
+      var i = 0
+      while (i < steps) {
+        val s = (i + 0.5) / steps
+        val p = pCand(s, b, r)
+        if (s < threshold) fp += p / steps else fn += (1.0 - p) / steps
+        i += 1
+      }
+      (b, r, math.pow(1.0 / b, 1.0 / r), fp, fn)
+    }
+    plans.minBy(p => p._4 + p._5)
+  }
+
+  /** Boilerplate-line removal (the line-level dedup pass web-corpus
+    * pipelines run before document-level dedup — cookie banners,
+    * nav menus, and footers repeat VERBATIM across pages, so a line
+    * whose trimmed text occurs in ≥ `minDocs` distinct documents is
+    * dropped from every document). Whitespace-only lines are
+    * structure, not content: they are never counted and never
+    * removed. Returns `(doc_id, n_lines, n_removed, clean_text)` with
+    * survivors rejoined in original order.
+    *
+    * Scale shape: the line explode collapses immediately into a
+    * `(key, doc_id)` aggregate and then a per-key distinct-doc count —
+    * both hash aggregates with map-side partials, so a footer line
+    * present on 10⁹ pages arrives at its reducer as one row per map
+    * partition, never one row per occurrence (the `duplicateSpans`
+    * lesson: no content-keyed window anywhere). The hot-key join back
+    * is AQE skew-splittable; reassembly is a per-document aggregate
+    * bounded by document line count.
+    */
+  def dropBoilerplateLines(
+      docs: DataFrame,
+      textCol: Column,
+      idCol: Column = col("doc_id"),
+      minDocs: Int = 2): DataFrame = {
+    val lines = docs
+      .select(idCol.as("doc_id"), posexplode(split(textCol, "\n")).as(Seq("pos", "line")))
+      .withColumn("key", trim(col("line")))
+    val hot = lines.where(col("key") =!= "")
+      .groupBy("key", "doc_id").agg(count(lit(1)).as("__c"))
+      .groupBy("key").agg(count(lit(1)).as("nd"))
+      .where(col("nd") >= minDocs)
+      .select(col("key"), lit(true).as("__drop"))
+    val marked = lines.join(hot, Seq("key"), "left_outer")
+      .select(col("doc_id"), col("pos"), col("line"),
+        coalesce(col("__drop"), lit(false)).as("drop"))
+    marked.groupBy("doc_id").agg(
+      count(lit(1)).as("n_lines"),
+      sum(when(col("drop"), 1L).otherwise(0L)).as("n_removed"),
+      coalesce(
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(!col("drop"), struct(col("pos"), col("line"))))),
+            s => s.getField("line")),
+          "\n"),
+        lit("")).as("clean_text"))
+  }
 }

@@ -343,4 +343,62 @@ object Sampling {
         Window.orderBy(col("__key").desc, col("id").asc)).cast("long"))
       .select(col("id"), col("weight"), col("rank"))
   }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw
+    * document by how much more likely its hashed n-gram features are
+    * under a TARGET distribution (a small high-quality subset) than
+    * under the RAW corpus distribution —
+    * `log w(d) = Σ_f n_f(d) · (ln p̂_tgt(bucket(f)) − ln p̂_raw(bucket(f)))`
+    * with word unigram+bigram features hashed into `buckets` cells
+    * and add-one smoothing on both distributions (the paper's hashed
+    * generative model). The weights feed [[sampleWeighted]] /
+    * [[hash01]]-Gumbel resampling downstream.
+    *
+    * Scale shape: ONE feature explode collapsing immediately into
+    * per-(doc, bucket) counts (map-side partials absorb hot buckets);
+    * the two distributions are ONE `buckets`-row aggregate over the
+    * same relation (target mass via a conditional sum — the target
+    * flag rides the explode, no second corpus pass); the log-ratio
+    * table is buckets-sized and broadcast back. Per-doc folding runs
+    * in bucket order (sorted fold) so the float sum is deterministic
+    * and engine-portable.
+    */
+  def dsirWeights(
+      docs: DataFrame,
+      textCol: Column,
+      targetPred: Column,
+      idCol: Column = col("doc_id"),
+      buckets: Int = 1024): DataFrame = {
+    val ws = TextStats.words(textCol)
+    val bigrams = when(size(ws) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(ws) - 1),
+        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
+    val feats = docs
+      .select(idCol.as("doc_id"), targetPred.as("__tgt"),
+        explode(concat(ws, bigrams)).as("f"))
+      .withColumn("bucket",
+        pmod(conv(substring(md5(col("f")), 1, 15), 16, 10).cast("long"),
+          lit(buckets)))
+    val perDoc = feats.groupBy("doc_id", "bucket")
+      .agg(count(lit(1)).as("n"))
+    val dist = feats.groupBy("bucket").agg(
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("ct"),
+      count(lit(1)).as("cr"))
+    val totals = dist.groupBy().agg(
+      sum(col("ct")).as("__tt"), sum(col("cr")).as("__tr"))
+    val ratio = dist.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        (log((col("ct") + 1).cast("double") / (col("__tt") + buckets)) -
+          log((col("cr") + 1).cast("double") / (col("__tr") + buckets))).as("lam"))
+    perDoc.join(broadcast(ratio), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(sum(col("n")).as("n_feats"),
+        aggregate(
+          array_sort(collect_list(struct(col("bucket"),
+            (col("n") * col("lam")).as("c")))),
+          lit(0.0), (acc, s) => acc + s.getField("c")).as("__lw"))
+      .select(col("doc_id"), col("n_feats"),
+        round(col("__lw"), 4).as("log_weight"))
+  }
 }

@@ -260,6 +260,52 @@ object Similarity {
     centroids
   }
 
+  /** Greedy k-center (farthest-point) seeding — Gonzalez 1985, the
+    * deterministic cousin of k-means++ (k-means++ samples ∝ D²; the
+    * greedy rule takes the argmax, so no seeded RNG is needed for
+    * engine-portable results): seed with the lowest-id vector, then
+    * `k−1` times add the vector farthest (squared L2, lowest id on
+    * ties) from its nearest chosen center. Spreads initial centroids
+    * across the data diameter — the standard fix for [[kmeans]]'
+    * lowest-id init collapsing into one dense region.
+    *
+    * Scale shape per round: centers-so-far (≤ k rows) broadcast
+    * against ONE corpus scan; the per-vector nearest-center distance
+    * is a bounded hash aggregate and the winner a TakeOrdered(1) —
+    * per-partition heaps, never a global sort. k rounds = k scans,
+    * the same job-count discipline as [[kmeans]] iterations (k is
+    * tens; the corpus is never shuffled at all).
+    */
+  def kcenterInit(
+      vectors: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val spark = vectors.sparkSession
+    val base = vectors.select(col(idCol).cast("long").as("id"),
+      col(embCol).as("emb"))
+    val seed = base.orderBy(col("id").asc).limit(1).collect()(0)
+    var chosen = Vector[(Long, Long, Double)]((1L, seed.getLong(0), 0.0))
+    var centers = base.where(col("id") === seed.getLong(0))
+      .select(col("id").as("cid"), col("emb").as("cemb"))
+    for (r <- 2 to k) {
+      val far = base.crossJoin(broadcast(centers))
+        .groupBy("id").agg(min(l2sq(col("emb"), col("cemb"))).as("mind"))
+        .orderBy(col("mind").desc, col("id").asc)
+        .limit(1)
+        .collect()(0)
+      val wid = far.getLong(0)
+      chosen :+= ((r.toLong, wid, far.getDouble(1)))
+      centers = centers.unionAll(
+        base.where(col("id") === wid)
+          .select(col("id").as("cid"), col("emb").as("cemb")))
+    }
+    import spark.implicits._
+    chosen.toDF("rank", "vec_id", "__d")
+      .select(col("rank"), col("vec_id"), round(col("__d"), 4).as("dist"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: sign-LSH bucketed
     * candidate generation + in-bucket cosine threshold — the
     * embedding-space analog of MinHash-LSH dedup. Near-identical

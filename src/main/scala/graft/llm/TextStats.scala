@@ -677,4 +677,43 @@ object TextStats {
         slice(array_sort(flatten(collect_list(col("__ids")))), 1, cap)
           .as("postings"))
   }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data"): per language, split documents into head / middle / tail
+    * thirds by LM perplexity — CCNet computes per-language KenLM
+    * perplexity percentiles and keeps the head (and often middle) as
+    * the quality cut. Here the LM is the corpus-as-LM unigram NLL
+    * ([[unigramLogLoss]], already oracle-pinned) and the cuts are the
+    * EXACT per-language NLL terciles via the grouped two-phase rank
+    * (no `percentile_approx` drift, no language-partitioned window —
+    * a 90%-English crawl never serializes into one rank task).
+    *
+    * Bucket rule (both cuts rounded to 4 dp so the boundary decision
+    * is engine-portable): `nll ≤ q33 → head`, `≤ q67 → middle`, else
+    * `tail`. Returns `(doc_id, lang, nll, bucket)`.
+    *
+    * Scale shape: the NLL relation is doc-sized; terciles add two
+    * bounded aggregates over it; the cuts table is |langs|×2 rows and
+    * broadcast back — nothing corpus-sized shuffles twice.
+    */
+  def pplBuckets(
+      docs: DataFrame,
+      textCol: Column,
+      langCol: Column,
+      idCol: Column): DataFrame = {
+    val nll = unigramLogLoss(docs, textCol, idCol)
+      .join(docs.select(idCol.as("doc_id"), langCol.as("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("nll"))
+    val cuts = Quantiles
+      .exactQuantilesBy(nll, "lang", col("nll"), Seq(1.0 / 3, 2.0 / 3))
+      .groupBy("lang")
+      .agg(round(min(when(col("q") < 0.5, col("value"))), 4).as("q33"),
+        round(min(when(col("q") > 0.5, col("value"))), 4).as("q67"))
+    nll.join(broadcast(cuts), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("nll"),
+        when(col("nll") <= col("q33"), "head")
+          .when(col("nll") <= col("q67"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
 }

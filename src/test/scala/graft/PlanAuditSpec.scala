@@ -138,6 +138,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), "expected hash aggregates in d_dup_spans")
   }
 
+  test("d_boilerplate: no window over the line-content key") {
+    // same rule as d_dup_spans: a footer line on 10⁹ pages must fold
+    // through hash aggregates (two-phase distinct-doc count), never a
+    // window keyed on the line text.
+    val p = plan("d_boilerplate")
+    assert(!p.contains("Window"), "Window over line key in d_boilerplate")
+    assert(p.contains("HashAggregate"), "expected hash aggregates in d_boilerplate")
+  }
+
+  test("d_dsir: the bucket log-ratio table is broadcast, the corpus never re-shuffles for it") {
+    val p = plan("d_dsir")
+    assert(p.contains("BroadcastHashJoin"),
+      "d_dsir must broadcast the buckets-sized ratio table")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"),
+      s"unexpected cartesian/window in d_dsir")
+  }
+
+  test("d_ppl_buckets: per-lang cuts broadcast back; no lang-partitioned window over docs") {
+    val p = plan("d_ppl_buckets")
+    assert(p.contains("BroadcastHashJoin"),
+      "d_ppl_buckets must broadcast the |langs|-sized cuts table")
+  }
+
   test("d_chunks: chunking is map-only — no shuffle at any corpus scale") {
     val p = plan("d_chunks")
     assert(!p.contains("Exchange"), s"shuffle in d_chunks:\n$p")
