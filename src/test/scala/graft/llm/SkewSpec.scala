@@ -61,6 +61,39 @@ class SkewSpec extends AnyFunSuite {
       s"cold docs miscounted: ${byId(hot.toLong)}")
   }
 
+  test("dropBoilerplateLines under a 40%-hot footer line: hash-agg plan, exact removal") {
+    import spark.implicits._
+    val n = 5000
+    val hot = 2000 // 40% of docs carry the same footer line
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      concat(
+        concat(lit("unique"), col("id")),
+        when(col("id") < hot, lit("\nall rights reserved")).otherwise(lit("")))
+        .as("text"))
+
+    val out = Dedup.dropBoilerplateLines(docs, col("text"), col("doc_id"))
+
+    // the d_dup_spans rule at line granularity: the 2000-doc footer
+    // must fold through hash aggregates (map-side partials), never a
+    // line-keyed window that serializes it into one task
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "Window over line key under skew")
+    assert(plan.contains("HashAggregate"), "expected hash aggregates")
+
+    val t0 = System.nanoTime()
+    val rows = out.collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 120.0, f"dropBoilerplateLines took $secs%.1f s under skew")
+
+    val byId = rows.map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(byId.size == n)
+    assert((0L until hot.toLong).forall(i =>
+      byId(i) == ((2L, 1L, s"unique$i"))), s"hot docs wrong: ${byId(0L)}")
+    assert((hot.toLong until n.toLong).forall(i =>
+      byId(i) == ((1L, 0L, s"unique$i"))), s"cold docs wrong: ${byId(hot.toLong)}")
+  }
+
   test("minhash near-dups under a 50%-hot band bucket: bucket-keyed plan, full clique") {
     import spark.implicits._
     val n = 1200
