@@ -192,10 +192,112 @@ case class LangId(child: Expression, tables: Map[String, Seq[String]])
     copy(child = newChild)
 }
 
+/** One-pass DSIR feature-bucket counter: hashed word unigram+bigram
+  * counts per document, replacing explode(md5-hex → `conv` base-16
+  * decode → pmod) — `conv` decodes through arbitrary-precision
+  * arithmetic per FEATURE, and the exploded relation (≈2× corpus
+  * token count) then has to shuffle into per-(doc, bucket) counts.
+  * This kernel folds the whole feature stream of a document into a
+  * `buckets`-sized count array in-row, so the corpus never explodes
+  * and never shuffles for the per-doc side.
+  *
+  * Bucket parity with the Column chain it replaces (pinned in
+  * `CurationOpsSpec` and the `d_dsir` oracle): bucket =
+  * (first 15 hex digits of md5(feature-UTF8) as a 60-bit value)
+  * mod `buckets` — the repo-standard engine-portable hash
+  * ([[graft.llm.Dedup.shingleHash]] uses the same construction).
+  */
+final class DsirBucketKernel(buckets: Int) extends Serializable {
+  @transient private lazy val ws = java.util.regex.Pattern.compile("\\s+")
+  @transient private lazy val md =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  private def bucketOf(bytes: Array[Byte]): Int = {
+    val d = md.get()
+    d.reset()
+    val dig = d.digest(bytes)
+    // first 15 hex digits = the digest's top 60 bits (7 bytes + hi nibble)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (dig(i) & 0xffL); i += 1 }
+    v = (v << 4) | ((dig(7) & 0xffL) >>> 4)
+    (v % buckets).toInt
+  }
+
+  def counts(s: UTF8String): ArrayData = {
+    val words = ws.split(s.trim().toString, -1)
+    val c = new Array[Int](buckets)
+    var i = 0
+    while (i < words.length) {
+      c(bucketOf(words(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))) += 1
+      i += 1
+    }
+    i = 0
+    while (i < words.length - 1) {
+      val f = words(i) + " " + words(i + 1)
+      c(bucketOf(f.getBytes(java.nio.charset.StandardCharsets.UTF_8))) += 1
+      i += 1
+    }
+    var nz = 0
+    var b = 0
+    while (b < buckets) { if (c(b) > 0) nz += 1; b += 1 }
+    val out = new Array[Any](nz)
+    b = 0
+    var k = 0
+    while (b < buckets) {
+      if (c(b) > 0) {
+        out(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](b, c(b)))
+        k += 1
+      }
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `dsir_buckets(text)`: bucket-sorted (bucket, n) hashed-feature
+  * counts for DSIR scoring.
+  */
+case class DsirBuckets(child: Expression, buckets: Int) extends UnaryExpression {
+  require(buckets >= 1, "bucket count must be positive")
+
+  @transient private lazy val kernel = new DsirBucketKernel(buckets)
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("bucket",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.IntegerType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "dsir_buckets"
+
+  override protected def nullSafeEval(input: Any): Any =
+    kernel.counts(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("dsirKernel", kernel, classOf[DsirBucketKernel].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.counts($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DsirBuckets =
+    copy(child = newChild)
+
+  override def toString: String = s"dsir_buckets($child, $buckets)"
+}
+
 object TextKernels {
   def shingles(text: Column, width: Int): Column =
     GraftExpressionBridge.column(
       WordShingles(GraftExpressionBridge.expression(text), width))
+
+  def dsirBuckets(text: Column, buckets: Int): Column =
+    GraftExpressionBridge.column(
+      DsirBuckets(GraftExpressionBridge.expression(text), buckets))
 
   def positionalShingles(words: Column, width: Int): Column =
     GraftExpressionBridge.column(

@@ -355,14 +355,16 @@ object Sampling {
     * generative model). The weights feed [[sampleWeighted]] /
     * [[hash01]]-Gumbel resampling downstream.
     *
-    * Scale shape: ONE feature explode collapsing immediately into
-    * per-(doc, bucket) counts (map-side partials absorb hot buckets);
-    * the two distributions are ONE `buckets`-row aggregate over the
-    * same relation (target mass via a conditional sum — the target
-    * flag rides the explode, no second corpus pass); the log-ratio
-    * table is buckets-sized and broadcast back. Per-doc folding runs
-    * in bucket order (sorted fold) so the float sum is deterministic
-    * and engine-portable.
+    * Scale shape — the DSIR paper's own two-pass design, with ZERO
+    * corpus shuffle: pass 1 folds each document's whole feature
+    * stream into a bucket-sorted count array IN-ROW (native
+    * [[graft.functions.DsirBuckets]] kernel — no feature explode),
+    * and the two distributions reduce the slim exploded counts into
+    * a `buckets`-row aggregate whose log-ratios collect to the
+    * driver (result-sized, like rollup rules). Pass 2 is map-only:
+    * each document folds `n · λ(bucket)` over its own count array
+    * against the literal λ table, in bucket order (sorted fold) so
+    * the float sum is deterministic and engine-portable.
     */
   def dsirWeights(
       docs: DataFrame,
@@ -370,35 +372,30 @@ object Sampling {
       targetPred: Column,
       idCol: Column = col("doc_id"),
       buckets: Int = 1024): DataFrame = {
-    val ws = TextStats.words(textCol)
-    val bigrams = when(size(ws) < 2, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(ws) - 1),
-        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
-    val feats = docs
-      .select(idCol.as("doc_id"), targetPred.as("__tgt"),
-        explode(concat(ws, bigrams)).as("f"))
-      .withColumn("bucket",
-        pmod(conv(substring(md5(col("f")), 1, 15), 16, 10).cast("long"),
-          lit(buckets)))
-    val perDoc = feats.groupBy("doc_id", "bucket")
-      .agg(count(lit(1)).as("n"))
-    val dist = feats.groupBy("bucket").agg(
-      sum(when(col("__tgt"), 1L).otherwise(0L)).as("ct"),
-      count(lit(1)).as("cr"))
+    val counted = docs.select(idCol.as("doc_id"), targetPred.as("__tgt"),
+      graft.functions.TextKernels.dsirBuckets(textCol, buckets).as("bc"))
+    val dist = counted
+      .select(col("__tgt"), explode(col("bc")).as("e"))
+      .groupBy(col("e.bucket").as("bucket"))
+      .agg(sum(when(col("__tgt"), col("e.n")).otherwise(0L)).as("ct"),
+        sum(col("e.n")).as("cr"))
     val totals = dist.groupBy().agg(
       sum(col("ct")).as("__tt"), sum(col("cr")).as("__tr"))
-    val ratio = dist.crossJoin(broadcast(totals))
+    val lam = new Array[Double](buckets)
+    dist.crossJoin(broadcast(totals))
       .select(col("bucket"),
         (log((col("ct") + 1).cast("double") / (col("__tt") + buckets)) -
           log((col("cr") + 1).cast("double") / (col("__tr") + buckets))).as("lam"))
-    perDoc.join(broadcast(ratio), Seq("bucket"))
-      .groupBy("doc_id")
-      .agg(sum(col("n")).as("n_feats"),
-        aggregate(
-          array_sort(collect_list(struct(col("bucket"),
-            (col("n") * col("lam")).as("c")))),
-          lit(0.0), (acc, s) => acc + s.getField("c")).as("__lw"))
-      .select(col("doc_id"), col("n_feats"),
-        round(col("__lw"), 4).as("log_weight"))
+      .collect()
+      .foreach(r => lam(r.getInt(0)) = r.getDouble(1))
+    val lamArr = array(lam.toSeq.map(lit): _*)
+    counted.select(col("doc_id"),
+      aggregate(col("bc"), lit(0L),
+        (acc, s) => acc + s.getField("n")).as("n_feats"),
+      round(
+        aggregate(col("bc"), lit(0.0),
+          (acc, s) => acc +
+            s.getField("n") * element_at(lamArr, s.getField("bucket") + 1)),
+        4).as("log_weight"))
   }
 }

@@ -147,12 +147,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), "expected hash aggregates in d_boilerplate")
   }
 
-  test("d_dsir: the bucket log-ratio table is broadcast, the corpus never re-shuffles for it") {
+  test("d_dsir: scoring is map-only — the corpus never shuffles or joins for it") {
+    // pass 1 (distribution estimate) collects a buckets-sized λ table
+    // to the driver; the returned scoring plan must then be a pure
+    // scan-side fold against the literal λ array — no Exchange, no
+    // join, no window at any corpus scale
     val p = plan("d_dsir")
-    assert(p.contains("BroadcastHashJoin"),
-      "d_dsir must broadcast the buckets-sized ratio table")
-    assert(!p.contains("CartesianProduct") && !p.contains("Window"),
-      s"unexpected cartesian/window in d_dsir")
+    assert(!p.contains("Exchange"), s"shuffle in d_dsir scoring pass:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      "unexpected join/window in d_dsir scoring pass")
   }
 
   test("d_ppl_buckets: per-lang cuts broadcast back; no lang-partitioned window over docs") {
