@@ -1112,10 +1112,28 @@ object PromQL {
             vecScalarOp(points, tags, e, se, op, scalarLeft = false, bool,
               start, end, step0, lookbackSec)
           case _ =>
-            binOpMatrix(
-              evalMatrix(points, tags, l, start, end, step0, lookbackSec),
-              evalMatrix(points, tags, r, start, end, step0, lookbackSec),
-              op, bool, m)
+            (l, r) match {
+              // fused same-scan form for the dashboard-ratio pattern
+              // `agg by (g) (m{f1}) op agg by (g) (m2{f2})`: both
+              // sides are aggregates over plain instant selectors
+              // with the SAME grouping, so ONE union-path scan with
+              // per-series match flags evaluates both sides as
+              // conditional aggregates in a single pass — the scan,
+              // slot explode, instant aggregate, group aggregate, and
+              // the (k, t) equi-join all collapse from ×2 to ×1
+              case (Agg(a1, by1, s1: Selector, w1),
+                    Agg(a2, by2, s2: Selector, w2))
+                  if !bool && !cmpOps(op) && by1 == by2 && w1 == w2 &&
+                    m == Matching.default &&
+                    fusableAggOps(a1) && fusableAggOps(a2) =>
+                fusedAggBinOp(points, tags, op, a1, a2, by1, w1, s1, s2,
+                  start, end, step0, lookbackSec)
+              case _ =>
+                binOpMatrix(
+                  evalMatrix(points, tags, l, start, end, step0, lookbackSec),
+                  evalMatrix(points, tags, r, start, end, step0, lookbackSec),
+                  op, bool, m)
+            }
         }
       case SetOp(op, l, r, m) =>
         return setOpMatrix(
@@ -1551,6 +1569,98 @@ object PromQL {
     *    its max value per (key, slot) — Prometheus errors on that
     *    duplicate too (declared divergence, ADVICE r6).
     */
+  /** Aggregation ops a fused binop can evaluate as a conditional
+    * (`when(flag, value)`-gated, null-skipping) aggregate.
+    */
+  private val fusableAggOps =
+    Set("sum", "avg", "min", "max", "count", "group", "stddev", "stdvar")
+
+  /** Fused evaluation of `agg1 by (g) (sel1) op agg2 by (g) (sel2)`
+    * (one-to-one default matching, non-comparison op): instead of two
+    * full selector pipelines joined on (key, slot), scan the UNION of
+    * the two matched path sets ONCE with per-series boolean match
+    * flags, and compute both sides as conditional aggregates of the
+    * same group-by — Prometheus's inner-join-on-slots semantics falls
+    * out of the presence gates (a side "has" a (group, slot) iff ≥ 1
+    * flagged series contributed a sample in the lookback window).
+    *
+    * Scale shape: the dominant costs of the generic path — the sample
+    * scan, the slot explode, the per-(series, slot) instant
+    * aggregate, and the per-(group, slot) aggregate — each run ONCE
+    * instead of twice, and the (k, t) shuffle join disappears
+    * entirely. Flags are per-series constants (label predicates), so
+    * they ride every aggregate without changing its cardinality.
+    */
+  private def fusedAggBinOp(
+      points: DataFrame,
+      tags: DataFrame,
+      op: String,
+      aop1: String,
+      aop2: String,
+      by: Seq[String],
+      without: Boolean,
+      s1: Selector,
+      s2: Selector,
+      start: Long,
+      end: Long,
+      step0: Long,
+      lookbackSec: Long): DataFrame = {
+    val step = math.max(1L, step0)
+    val p1 = Prom.findByMatchers(tags, s1.matchers)
+      .select(col("path"), lit(true).as("__m1"))
+    val p2 = Prom.findByMatchers(tags, s2.matchers)
+      .select(col("path"), lit(true).as("__m2"))
+    val paths = p1.join(p2, Seq("path"), "full_outer")
+      .select(col("path"),
+        coalesce(col("__m1"), lit(false)).as("__m1"),
+        coalesce(col("__m2"), lit(false)).as("__m2"))
+    val scanned = points
+      .join(broadcast(paths), Seq("path"))
+      .where(col("time") > lit(start - lookbackSec) && col("time") <= lit(end))
+    // max-version-wins dedup, flags ride (constant per path — the
+    // grouping cardinality is unchanged)
+    val pts =
+      if (scanned.columns.contains("version"))
+        scanned.groupBy("path", "time", "__m1", "__m2")
+          .agg(max_by(col("value"), col("version")).as("value"))
+      else
+        scanned.select(col("path"), col("time"), col("value"),
+          col("__m1"), col("__m2"))
+    // the windowAggregate grid math, inlined so the flags ride along
+    val lastSlot = (end - start) / step
+    val offs = col("time") - lit(start)
+    val nMin = greatest(lit(0L), floor((offs + lit(step - 1)) / lit(step)).cast("long"))
+    val nMax = least(lit(lastSlot),
+      floor((offs + lit(lookbackSec - 1)) / lit(step)).cast("long"))
+    val slotted = pts
+      .withColumn("n_min", nMin).withColumn("n_max", nMax)
+      .where(col("n_min") <= col("n_max"))
+      .select(col("path"), col("time"), col("value"), col("__m1"), col("__m2"),
+        explode(sequence(col("n_min"), col("n_max"))).as("n"))
+    val inst = slotted
+      .groupBy(col("path"), col("__m1"), col("__m2"), col("n"))
+      .agg(max_by(col("value"), col("time")).as("value"))
+    def condAgg(aop: String, flag: Column): Column = aop match {
+      case "sum"    => sum(when(flag, col("value")))
+      case "avg"    => avg(when(flag, col("value")))
+      case "min"    => min(when(flag, col("value")))
+      case "max"    => max(when(flag, col("value")))
+      case "count"  => count(when(flag, lit(1))).cast("double")
+      case "group"  => max(when(flag, lit(1.0)))
+      case "stddev" => stddev_pop(when(flag, col("value")))
+      case "stdvar" => var_pop(when(flag, col("value")))
+      case other => throw new IllegalStateException(s"unfusable agg $other")
+    }
+    val t = (lit(start) + col("n") * lit(step)).as("t")
+    inst.groupBy(groupKeyPath(by, without).as("path"), col("n"))
+      .agg(condAgg(aop1, col("__m1")).as("lv"),
+        condAgg(aop2, col("__m2")).as("rv"),
+        count(when(col("__m1"), lit(1))).as("__n1"),
+        count(when(col("__m2"), lit(1))).as("__n2"))
+      .where(col("__n1") > 0 && col("__n2") > 0)
+      .select(col("path"), t, arithValue(op, col("lv"), col("rv")).as("value"))
+  }
+
   private[prom] def binOpMatrix(
       lm: DataFrame,
       rm: DataFrame,

@@ -138,6 +138,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), "expected hash aggregates in d_dup_spans")
   }
 
+  test("p_query_binop: same-grouping agg ratio fuses into ONE sample scan") {
+    // `sum by (u)(m{f}) / sum by (u)(m)` must evaluate both sides as
+    // conditional aggregates over one union-path scan — the generic
+    // two-pipeline + (k, t) join shape scans the points table twice
+    val p = plan("p_query_binop")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans <= 3, s"expected ≤3 parquet scans (2 finds + 1 points), got $scans")
+  }
+
   test("d_boilerplate: no window over the line-content key") {
     // same rule as d_dup_spans: a footer line on 10⁹ pages must fold
     // through hash aggregates (two-phase distinct-doc count), never a

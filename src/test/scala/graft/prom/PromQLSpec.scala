@@ -1010,4 +1010,42 @@ class PromQLEvalSpec extends AnyFunSuite {
       out9.head._3 - (0.5 + 0.5 * (0.9 * 4.0 - 2.2) / (4.0 - 2.2))) < 1e-12,
       out9.toString)
   }
+
+  test("fused agg binop ≡ generic two-pipeline evaluation") {
+    // three series: m{job=a,inst=1}, m{job=a,inst=2}, m{job=b,inst=1};
+    // job=b has a slot the filtered left side lacks entirely
+    val pts = matrix(
+      ("m?inst=1&job=a", 0L, 1.0), ("m?inst=1&job=a", 10L, 3.0),
+      ("m?inst=2&job=a", 0L, 2.0),
+      ("m?inst=1&job=b", 0L, 4.0), ("m?inst=1&job=b", 10L, 6.0))
+      .withColumnRenamed("t", "time")
+    val tags = graft.engine.GraphiteTables.expandTagRows(
+      pts.select(org.apache.spark.sql.functions.col("path"))
+        .distinct()
+        .withColumn("date",
+          org.apache.spark.sql.functions.lit("1970-01-01").cast("date"))
+        .withColumn("version", org.apache.spark.sql.functions.lit(0L)))
+    def eval(q: String): Set[(String, Long, Double)] = rowSet(PromQL.evalMatrix(
+      pts, tags, PromQL.parse(q).toOption.get, 0L, 10L, 10L, lookbackSec = 15L))
+    def generic(ql: String, qr: String, op: String): Set[(String, Long, Double)] =
+      rowSet(PromQL.binOpMatrix(
+        PromQL.evalMatrix(pts, tags, PromQL.parse(ql).toOption.get,
+          0L, 10L, 10L, lookbackSec = 15L),
+        PromQL.evalMatrix(pts, tags, PromQL.parse(qr).toOption.get,
+          0L, 10L, 10L, lookbackSec = 15L),
+        op))
+    // overlapping-but-different sides, same grouping → fuses
+    val q1 = ("""sum by (job) (m{inst="1"})""", """sum by (job) (m)""")
+    assert(eval(s"${q1._1} / ${q1._2}") == generic(q1._1, q1._2, "/"))
+    // mixed aggregation ops on the two sides
+    val q2 = ("""avg by (job) (m{inst="1"})""", """count by (job) (m)""")
+    assert(eval(s"${q2._1} * ${q2._2}") == generic(q2._1, q2._2, "*"))
+    // empty grouping key (sum by ()): single nameless group
+    val q3 = ("""sum(m{job="a"})""", """sum(m)""")
+    assert(eval(s"${q3._1} - ${q3._2}") == generic(q3._1, q3._2, "-"))
+    // a group present on ONE side only must vanish (inner-join gate):
+    // left selector matches nothing under job=b at slot 0 and 10
+    val only = eval("""sum by (job) (m{inst="2"}) / sum by (job) (m)""")
+    assert(only.map(_._1) == Set("?job=a"), only.toString)
+  }
 }
