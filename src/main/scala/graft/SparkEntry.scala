@@ -1104,13 +1104,29 @@ object SparkEntry {
         col("text"), col("doc_id"), k = 5)),
 
     // DSIR hashed-ngram importance weights (target = src0/src1 docs):
-    // one feature explode into per-(doc, bucket) counts, the two
-    // distributions off the SAME relation, 256-row log-ratio table
-    // broadcast back; per-doc sorted fold for float determinism.
+    // native in-row bucket-count kernel, distributions collected as a
+    // 256-row λ table, map-only scoring fold — zero corpus shuffle.
     "d_dsir" -> ((s, dir) =>
       Sampling.dsirWeights(
         s.read.parquet(s"$dir/documents.parquet"), col("text"),
         col("source").isin("src0", "src1"), col("doc_id"), buckets = 256)),
+
+    // DSIR end-to-end: importance weights → A-ES resample of the top
+    // 100 by exp(log w) — the paper's selection step; narrow scoring
+    // pass + TakeOrdered heaps, never a corpus sort.
+    "d_dsir_sample" -> ((s, dir) => {
+      val w = Sampling.dsirWeights(
+        s.read.parquet(s"$dir/documents.parquet"), col("text"),
+        col("source").isin("src0", "src1"), col("doc_id"), buckets = 256)
+      Sampling.resampleByWeight(w, col("doc_id"), exp(col("log_weight")), k = 100)
+    }),
+
+    // fixed-weight logistic quality classifier (the GPT-3-style
+    // model-based filter's serving path): σ over three fused quality
+    // signals, keep at p ≥ 0.5 — map-only, fully in the scan.
+    "d_quality_clf" -> ((s, dir) =>
+      TextStats.qualityClassifier(
+        s.read.parquet(s"$dir/documents.parquet"), col("text"), col("doc_id"))),
 
     // CCNet-style per-language perplexity terciles: exact grouped
     // quantile cuts (two-phase rank, no lang-partitioned window)
@@ -1917,6 +1933,37 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] = {
+    // DSIR importance weights — shared by d_dsir and d_dsir_sample
+    val dsirSql =
+      """WITH ws AS (
+        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |feats AS (
+        |  SELECT doc_id, source,
+        |    unnest(ws || list_transform(generate_series(1, len(ws) - 1),
+        |      i -> ws[i] || ' ' || ws[i + 1])) AS f
+        |  FROM ws),
+        |hashed AS (
+        |  SELECT doc_id, (source IN ('src0', 'src1')) AS tgt,
+        |    ('0x' || substr(md5(f), 1, 15))::bigint % 256 AS bucket
+        |  FROM feats),
+        |perdoc AS (SELECT doc_id, bucket, count(*)::bigint AS n
+        |  FROM hashed GROUP BY 1, 2),
+        |dist AS (SELECT bucket,
+        |    sum(CASE WHEN tgt THEN 1 ELSE 0 END)::bigint AS ct,
+        |    count(*)::bigint AS cr
+        |  FROM hashed GROUP BY 1),
+        |tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM dist),
+        |ratio AS (SELECT bucket,
+        |    ln((ct + 1)::double / (tt + 256)) - ln((cr + 1)::double / (tr + 256)) AS lam
+        |  FROM dist, tot),
+        |agg AS (SELECT doc_id, list(n * lam ORDER BY bucket) AS cs,
+        |    CAST(sum(n) AS BIGINT) AS n_feats
+        |  FROM perdoc JOIN ratio USING (bucket) GROUP BY 1)
+        |SELECT doc_id, n_feats,
+        |  round(list_reduce(cs, (a, b) -> a + b), 4) + 0 AS log_weight
+        |FROM agg""".stripMargin
+
     val pathsAllTime =
       "SELECT DISTINCT 'events.' AS path FROM events " +
         "UNION SELECT DISTINCT 'events.' || event_type || '.' FROM events " +
@@ -2988,35 +3035,31 @@ object SparkEntry {
           |  round(exp(list_reduce(cs, (a, b) -> a + b) / dl), 4) + 0 AS ppl
           |FROM agg""".stripMargin),
 
-      "d_dsir" ->
-        ("""WITH ws AS (
-          |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS ws
-          |  FROM documents),
-          |feats AS (
-          |  SELECT doc_id, source,
-          |    unnest(ws || list_transform(generate_series(1, len(ws) - 1),
-          |      i -> ws[i] || ' ' || ws[i + 1])) AS f
-          |  FROM ws),
-          |hashed AS (
-          |  SELECT doc_id, (source IN ('src0', 'src1')) AS tgt,
-          |    ('0x' || substr(md5(f), 1, 15))::bigint % 256 AS bucket
-          |  FROM feats),
-          |perdoc AS (SELECT doc_id, bucket, count(*)::bigint AS n
-          |  FROM hashed GROUP BY 1, 2),
-          |dist AS (SELECT bucket,
-          |    sum(CASE WHEN tgt THEN 1 ELSE 0 END)::bigint AS ct,
-          |    count(*)::bigint AS cr
-          |  FROM hashed GROUP BY 1),
-          |tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM dist),
-          |ratio AS (SELECT bucket,
-          |    ln((ct + 1)::double / (tt + 256)) - ln((cr + 1)::double / (tr + 256)) AS lam
-          |  FROM dist, tot),
-          |agg AS (SELECT doc_id, list(n * lam ORDER BY bucket) AS cs,
-          |    CAST(sum(n) AS BIGINT) AS n_feats
-          |  FROM perdoc JOIN ratio USING (bucket) GROUP BY 1)
-          |SELECT doc_id, n_feats,
-          |  round(list_reduce(cs, (a, b) -> a + b), 4) + 0 AS log_weight
-          |FROM agg""".stripMargin),
+      "d_dsir" -> dsirSql,
+
+      "d_dsir_sample" ->
+        (s"""WITH dsir AS ($dsirSql),
+           |w AS (SELECT doc_id, exp(log_weight) AS wt,
+           |    pow(('0x' || substr(md5(doc_id::varchar), 1, 15))::bigint / 1152921504606846976.0,
+           |        1.0 / exp(log_weight)) AS key
+           |  FROM dsir)
+           |SELECT doc_id AS id, round(wt, 6) + 0 AS weight,
+           |  CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS BIGINT) AS rank
+           |FROM w ORDER BY key DESC, doc_id LIMIT 100""".stripMargin),
+
+      "d_quality_clf" ->
+        (s"""WITH sig AS (
+           |  SELECT doc_id,
+           |    -2.0
+           |    + 2.0 * least(len(string_split_regex(trim(text), '\\s+'))::double / 64.0, 1.0)
+           |    + 2.5 * (length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))::double
+           |             / greatest(length(text)::double, 1.0))
+           |    + 3.0 * (${hitsExpr("en")}::double
+           |             / greatest(len(string_split_regex(trim(text), '\\s+'))::double, 1.0)) AS z
+           |  FROM documents)
+           |SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 4) + 0 AS p_quality,
+           |  (1.0 / (1.0 + exp(-z)) >= 0.5) AS keep
+           |FROM sig""".stripMargin),
 
       "d_ppl_buckets" ->
         ("""WITH toks AS (

@@ -344,6 +344,27 @@ object Sampling {
       .select(col("id"), col("weight"), col("rank"))
   }
 
+  /** A-ES resampling on a REAL-valued weight column (the
+    * [[sampleWeighted]] contract generalized past integer weights —
+    * what [[dsirWeights]]' `exp(log w)` importance weights need):
+    * key `u^(1/w)`, top-k by key. Same scale shape: narrow
+    * projection + TakeOrdered heaps, no shuffle of the corpus.
+    */
+  def resampleByWeight(
+      df: DataFrame,
+      idCol: Column,
+      weightCol: Column,
+      k: Int): DataFrame = {
+    val w = weightCol.cast("double")
+    val key = pow(hash01(idCol), lit(1.0) / w)
+    df.select(idCol.as("id"), round(w, 6).as("weight"), key.as("__key"))
+      .orderBy(col("__key").desc, col("id").asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("__key").desc, col("id").asc)).cast("long"))
+      .select(col("id"), col("weight"), col("rank"))
+  }
+
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every raw
     * document by how much more likely its hashed n-gram features are

@@ -678,6 +678,31 @@ object TextStats {
           .as("postings"))
   }
 
+  /** Fixed-weight logistic quality classifier — the serving path of
+    * the fastText-style quality models the GPT-3 / LLaMA pipelines
+    * filter with (Brown et al. 2020 §A; a trained model would only
+    * swap the coefficient literals): `p = σ(w·x + b)` over three
+    * engine quality signals (length score, alphabetic ratio, English
+    * stop-word density), `keep = p ≥ 0.5`. Entirely fused into the
+    * scan — one pass, zero shuffle at any corpus scale; the logit
+    * stays unrounded for the keep threshold (the [[qualityScoreRaw]]
+    * boundary-doc rule) and the displayed probability rounds to 4 dp.
+    */
+  def qualityClassifier(
+      docs: DataFrame, textCol: Column, idCol: Column): DataFrame = {
+    val n = wordCount(textCol).cast("double")
+    val chars = length(textCol).cast("double")
+    val alpha = length(regexp_replace(textCol, "[^A-Za-z ]", "")).cast("double")
+    val lenScore = least(n / lit(64.0), lit(1.0))
+    val alphaScore = alpha / greatest(chars, lit(1.0))
+    val stopScore = stopwordHits(textCol, "en").cast("double") / greatest(n, lit(1.0))
+    val z = lit(-2.0) + lit(2.0) * lenScore + lit(2.5) * alphaScore +
+      lit(3.0) * stopScore
+    val p = lit(1.0) / (lit(1.0) + exp(-z))
+    docs.select(idCol.as("doc_id"), round(p, 4).as("p_quality"),
+      (p >= 0.5).as("keep"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
     * Extracting High Quality Monolingual Datasets from Web Crawl
     * Data"): per language, split documents into head / middle / tail

@@ -102,6 +102,32 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(picks.map(_._1).toSet.size == 4, "ranks pick distinct vectors")
   }
 
+  test("resampleByWeight: inclusion tracks weight; deterministic across runs") {
+    import spark.implicits._
+    // 1000 rows, 100 of them with 50× the weight of the rest
+    val d = (0L until 1000L).map(i => (i, if (i < 100) 50.0 else 1.0))
+      .toDF("doc_id", "w")
+    def run() = Sampling.resampleByWeight(d, col("doc_id"), col("w"), k = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    val a = run()
+    assert(a == run(), "A-ES draw must be deterministic")
+    val heavy = a.map(_._1).count(_ < 100L)
+    assert(heavy > 50, s"heavy rows under-sampled: $heavy/100")
+    assert(a.map(_._2).sorted == (1L to 100L), "ranks are 1..k")
+  }
+
+  test("qualityClassifier: clean English prose keeps, symbol soup drops") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, ("the quick brown fox jumps over the lazy dog and " * 8).trim),
+      (2L, "@@ ### $$$$ %% ^^^^ && ** (()) 123 456 789 000 !!!")).toDF("doc_id", "text")
+    val out = TextStats.qualityClassifier(d, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    assert(out(1L)._2, s"clean prose dropped: ${out(1L)}")
+    assert(!out(2L)._2, s"symbol soup kept: ${out(2L)}")
+    assert(out(1L)._1 > out(2L)._1)
+  }
+
   test("lshPlan: b*r = n, s50 tracks the threshold, and the plan beats naive extremes") {
     val (b, r, s50, fp, fn) = Dedup.lshPlan(128, 0.8)
     assert(b * r == 128)
