@@ -1113,7 +1113,7 @@ object PromQL {
               start, end, step0, lookbackSec)
           case _ =>
             (l, r) match {
-              // fused same-scan form for the dashboard-ratio pattern
+              // fully-fused form for the dashboard-ratio pattern
               // `agg by (g) (m{f1}) op agg by (g) (m2{f2})`: both
               // sides are aggregates over plain instant selectors
               // with the SAME grouping, so ONE union-path scan with
@@ -1128,6 +1128,18 @@ object PromQL {
                     fusableAggOps(a1) && fusableAggOps(a2) =>
                 fusedAggBinOp(points, tags, op, a1, a2, by1, w1, s1, s2,
                   start, end, step0, lookbackSec)
+              // NOT fused: group_left/group_right, set ops, and
+              // cmp-filter binops stay on the generic two-pipeline +
+              // (k, t) equi-join. Measured dead ends (sf0.1): a
+              // windowed conditional aggregate over one shared
+              // flagged matrix is a single subtree but sorts millions
+              // of (match key, slot) micro-partitions (`or` 1.65 →
+              // 3.48 s); deriving both sides from one shared
+              // DataFrame re-executes the scan because per-side
+              // filter pushdown breaks exchange-reuse subtree
+              // identity. The join form is the right plan: both
+              // inputs are fleet-sized matrices and the join is one
+              // shuffle each on (k, t).
               case _ =>
                 binOpMatrix(
                   evalMatrix(points, tags, l, start, end, step0, lookbackSec),
@@ -1591,14 +1603,16 @@ object PromQL {
     * entirely. Flags are per-series constants (label predicates), so
     * they ride every aggregate without changing its cardinality.
     */
-  private def fusedAggBinOp(
+  /** The shared flagged instant matrix two selector-rooted binop/setop
+    * sides evaluate from: ONE sample scan over the UNION of the two
+    * matched path sets, with per-series boolean match flags riding
+    * the version dedup, slot explode, and instant aggregate (they
+    * are label predicates — constant per series — so no aggregate
+    * changes cardinality). Returns (path, t, value, __m1, __m2).
+    */
+  private def sharedInstantMatrix(
       points: DataFrame,
       tags: DataFrame,
-      op: String,
-      aop1: String,
-      aop2: String,
-      by: Seq[String],
-      without: Boolean,
       s1: Selector,
       s2: Selector,
       start: Long,
@@ -1637,28 +1651,53 @@ object PromQL {
       .where(col("n_min") <= col("n_max"))
       .select(col("path"), col("time"), col("value"), col("__m1"), col("__m2"),
         explode(sequence(col("n_min"), col("n_max"))).as("n"))
-    val inst = slotted
+    slotted
       .groupBy(col("path"), col("__m1"), col("__m2"), col("n"))
       .agg(max_by(col("value"), col("time")).as("value"))
-    def condAgg(aop: String, flag: Column): Column = aop match {
-      case "sum"    => sum(when(flag, col("value")))
-      case "avg"    => avg(when(flag, col("value")))
-      case "min"    => min(when(flag, col("value")))
-      case "max"    => max(when(flag, col("value")))
-      case "count"  => count(when(flag, lit(1))).cast("double")
-      case "group"  => max(when(flag, lit(1.0)))
-      case "stddev" => stddev_pop(when(flag, col("value")))
-      case "stdvar" => var_pop(when(flag, col("value")))
-      case other => throw new IllegalStateException(s"unfusable agg $other")
-    }
-    val t = (lit(start) + col("n") * lit(step)).as("t")
-    inst.groupBy(groupKeyPath(by, without).as("path"), col("n"))
+      .select(col("path"), (lit(start) + col("n") * lit(step)).as("t"),
+        col("value"), col("__m1"), col("__m2"))
+  }
+
+  /** The `when(flag, …)`-gated (null-skipping) form of a fusable
+    * aggregation op, usable both as a group aggregate and a window
+    * aggregate.
+    */
+  private def condAgg(aop: String, flag: Column): Column = aop match {
+    case "sum"    => sum(when(flag, col("value")))
+    case "avg"    => avg(when(flag, col("value")))
+    case "min"    => min(when(flag, col("value")))
+    case "max"    => max(when(flag, col("value")))
+    case "count"  => count(when(flag, lit(1))).cast("double")
+    case "group"  => max(when(flag, lit(1.0)))
+    case "stddev" => stddev_pop(when(flag, col("value")))
+    case "stdvar" => var_pop(when(flag, col("value")))
+    case other => throw new IllegalStateException(s"unfusable agg $other")
+  }
+
+  private def fusedAggBinOp(
+      points: DataFrame,
+      tags: DataFrame,
+      op: String,
+      aop1: String,
+      aop2: String,
+      by: Seq[String],
+      without: Boolean,
+      s1: Selector,
+      s2: Selector,
+      start: Long,
+      end: Long,
+      step0: Long,
+      lookbackSec: Long): DataFrame = {
+    val inst = sharedInstantMatrix(points, tags, s1, s2,
+      start, end, step0, lookbackSec)
+    inst.groupBy(groupKeyPath(by, without).as("path"), col("t"))
       .agg(condAgg(aop1, col("__m1")).as("lv"),
         condAgg(aop2, col("__m2")).as("rv"),
         count(when(col("__m1"), lit(1))).as("__n1"),
         count(when(col("__m2"), lit(1))).as("__n2"))
       .where(col("__n1") > 0 && col("__n2") > 0)
-      .select(col("path"), t, arithValue(op, col("lv"), col("rv")).as("value"))
+      .select(col("path"), col("t"),
+        arithValue(op, col("lv"), col("rv")).as("value"))
   }
 
   private[prom] def binOpMatrix(
