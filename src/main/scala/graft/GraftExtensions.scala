@@ -85,6 +85,10 @@ object GraftFunctions {
         "zorder(a, b[, bits]) expects 2 or 3 arguments")
       graft.functions.ZOrderLong(args(0), args(1),
         args.lift(2).map(intLit(_, "bits")).getOrElse(21))
+    }),
+    descriptor("dsir_buckets", classOf[graft.functions.DsirBuckets], args => {
+      require(args.length == 2, "dsir_buckets(text, buckets) expects 2 arguments")
+      graft.functions.DsirBuckets(args(0), intLit(args(1), "buckets"))
     }))
 
   /** Register on a live session (test/driver convenience). */

@@ -923,6 +923,16 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"),
         col("text"), col("doc_id"), w = 5)),
 
+    // proper Schleimer winnowing: positional 5-gram hashes, window-4
+    // minima, per-doc sorted distinct fingerprint set — in-row fold,
+    // map-only at any corpus scale.
+    "d_winnow" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          Dedup.winnow(col("text"), k = 5, w = 4).as("fps"))
+        .select(col("doc_id"), size(col("fps")).cast("long").as("n_fps"),
+          col("fps"))),
+
     // boilerplate-line removal over deterministically multi-lined docs
     // (the synthetic corpus is single-line, so — like d_c4 — header/
     // footer lines are salted in identically in the DuckDB twin): a
@@ -1230,6 +1240,22 @@ object SparkEntry {
     "e_kcenter" -> ((s, dir) =>
       Similarity.kcenterInit(
         s.read.parquet(s"$dir/embeddings.parquet"), k = 4)),
+
+    // FAISS-style SQ8: per-dim (min, scale) trained in one elementwise
+    // aggregate, 1-byte codes, asymmetric L2 against raw queries —
+    // the 4×-memory-compression serve path.
+    "e_sq8_search" -> ((s, dir) => {
+      val vecs = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.sq8Search(vecs, vecs.where(col("vec_id") < 5), k = 5, dim = 64)
+    }),
+
+    // Matryoshka truncate-then-rerank: coarse cosine on the first 16
+    // dims (top-20 shortlist), exact full-dim rerank to top-5.
+    "e_mrl_search" -> ((s, dir) => {
+      val vecs = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.mrlSearch(vecs, vecs.where(col("vec_id") < 5),
+        k = 5, coarseDim = 16, rerank = 20)
+    }),
 
     // IVF-Flat search: probe the 2 nearest of 8 cells per query, score
     // cosine inside the probed cells only (one equi-join on the cell
@@ -2814,6 +2840,23 @@ object SparkEntry {
           |    len(list_filter(w.ws, (x, i) -> NOT list_contains(coalesce(s.cov, []), i))) AS BIGINT) AS n_removed
           |FROM wrds w LEFT JOIN starts s USING (doc_id)""".stripMargin),
 
+      "d_winnow" ->
+        ("""WITH wrds AS (
+          |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+          |hs AS (
+          |  SELECT doc_id, list_transform(generate_series(1, greatest(len(ws) - 4, 0)),
+          |    i -> ('0x' || substr(md5(array_to_string(ws[i:i+4], ' ')), 1, 15))::bigint % 2147483647) AS hs
+          |  FROM wrds),
+          |fps AS (
+          |  SELECT doc_id,
+          |    CASE WHEN len(hs) = 0 THEN []::bigint[]
+          |         WHEN len(hs) < 4 THEN [list_min(hs)]
+          |         ELSE list_sort(list_distinct(list_transform(
+          |           generate_series(1, len(hs) - 3), i -> list_min(hs[i:i+3]))))
+          |    END AS fps
+          |  FROM hs)
+          |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps, fps FROM fps""".stripMargin),
+
       "d_boilerplate" ->
         ("""WITH docs2 AS (
           |  SELECT doc_id,
@@ -3317,6 +3360,45 @@ object SparkEntry {
            |UNION ALL SELECT CAST(2 AS BIGINT), vec_id, round(mind, 4) + 0 FROM c2
            |UNION ALL SELECT CAST(3 AS BIGINT), vec_id, round(mind, 4) + 0 FROM c3
            |UNION ALL SELECT CAST(4 AS BIGINT), vec_id, round(mind, 4) + 0 FROM c4""".stripMargin
+      },
+
+      "e_sq8_search" -> {
+        val deq = "mns[i] + least(greatest(floor((a.embedding[i]::double - mns[i]) / scs[i] * 255.0 + 0.5), 0), 255) / 255.0 * scs[i]"
+        s"""WITH stats AS (
+           |  SELECT pos, min(v::double) AS mn,
+           |    greatest(max(v::double) - min(v::double), 1e-12) AS sc
+           |  FROM (SELECT unnest(embedding) AS v, generate_subscripts(embedding, 1) AS pos
+           |        FROM embeddings) t GROUP BY pos),
+           | arrs AS (SELECT list(mn ORDER BY pos) AS mns, list(sc ORDER BY pos) AS scs FROM stats),
+           | q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+           | scored AS (SELECT q.query_id, a.vec_id AS neighbor_id,
+           |   list_sum(list_transform(generate_series(1, len(a.embedding)),
+           |     i -> ($deq - q.embedding[i]::double) * ($deq - q.embedding[i]::double))) AS dist
+           |   FROM embeddings a, q, arrs WHERE q.query_id <> a.vec_id),
+           | ranked AS (SELECT query_id, neighbor_id, dist,
+           |   row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC) AS rank FROM scored)
+           |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(dist, 4) + 0 AS dist
+           |FROM ranked WHERE rank <= 5""".stripMargin
+      },
+
+      "e_mrl_search" -> {
+        def dotN(n: String) =
+          s"list_sum(list_transform(generate_series(1, $n), i -> a.embedding[i]::double * q.embedding[i]::double))"
+        def normN(t: String, n: String) =
+          s"sqrt(list_sum(list_transform(generate_series(1, $n), i -> $t.embedding[i]::double * $t.embedding[i]::double)))"
+        s"""WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+           | coarse AS (SELECT q.query_id, a.vec_id AS neighbor_id,
+           |   ${dotN("16")} / (${normN("q", "16")} * ${normN("a", "16")}) AS csim,
+           |   ${dotN("len(a.embedding)")} / (${normN("q", "len(q.embedding)")} * ${normN("a", "len(a.embedding)")}) AS sim
+           |   FROM embeddings a, q WHERE q.query_id <> a.vec_id),
+           | short AS (SELECT query_id, neighbor_id, sim FROM (
+           |   SELECT query_id, neighbor_id, sim,
+           |     row_number() OVER (PARTITION BY query_id ORDER BY csim DESC, neighbor_id ASC) AS crank
+           |   FROM coarse) c WHERE crank <= 20),
+           | ranked AS (SELECT query_id, neighbor_id, sim,
+           |   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM short)
+           |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(sim, 4) + 0 AS sim
+           |FROM ranked WHERE rank <= 5""".stripMargin
       },
 
       "e_ivf_assign" ->

@@ -363,6 +363,32 @@ object Dedup {
   def fingerprint(text: Column, w: Int = 5): Column =
     array_min(transform(shingles(text, w), s => md5(s)))
 
+  /** Proper winnowing (Schleimer et al. 2003, "Winnowing: Local
+    * Algorithms for Document Fingerprinting"): hash every k-gram IN
+    * POSITION ORDER, slide a window of `w` consecutive hashes, and
+    * select each window's minimum — the guarantee is that any match
+    * of length ≥ k + w − 1 shares a fingerprint. The fingerprint SET
+    * per document is the sorted distinct selected hashes (position
+    * identity is not needed for set-overlap detection, so the
+    * rightmost-min tie rule collapses to plain window minima).
+    * Documents with fewer than `w` windows fall back to one whole-doc
+    * window ([[fingerprint]]'s rule). Entirely in-row (one O(n·w)
+    * fold over the positional shingle hashes) — map-only at any
+    * corpus scale.
+    */
+  def winnow(text: Column, k: Int = 5, w: Int = 4): Column = {
+    val hs = transform(
+      graft.functions.TextKernels.positionalShingles(
+        split(trim(text), "\\s+"), k),
+      s => shingleHash(s))
+    val nWin = size(hs) - (w - 1)
+    when(size(hs) === 0, array().cast("array<long>"))
+      .when(nWin < 1, array(array_min(hs)))
+      .otherwise(array_sort(array_distinct(
+        transform(sequence(lit(1), nWin),
+          i => array_min(slice(hs, i, lit(w)))))))
+  }
+
   /** Cross-document duplicate-span statistics (ExactSubstr-lite,
     * after Lee et al. 2022 "Deduplicating Training Data Makes
     * Language Models Better"): a w-word shingle appearing in ≥2

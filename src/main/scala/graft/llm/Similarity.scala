@@ -718,4 +718,131 @@ object Similarity {
         (coalesce(col("hits"), lit(0L)).cast("double") / lit(k.toDouble))
           .as("recall"))
   }
+
+  // ------------------------------------------------------------------
+  // Scalar quantization (FAISS SQ8) and truncate-then-rerank (MRL)
+  // ------------------------------------------------------------------
+
+  /** Per-dimension (min, scale) training for 8-bit scalar
+    * quantization: ONE elementwise aggregate over the corpus
+    * (explode to (pos, v), min/max per pos), collected driver-side —
+    * dimension-count-sized, like rollup rules. Returns (mins, scales)
+    * as arrays indexed by 0-based dimension.
+    */
+  def sq8Train(
+      vectors: DataFrame,
+      dim: Int,
+      embCol: String = "embedding"): (Array[Double], Array[Double]) = {
+    val stats = vectors
+      .select(posexplode(col(embCol)).as(Seq("pos", "v")))
+      .groupBy("pos")
+      .agg(min(col("v").cast("double")).as("mn"),
+        max(col("v").cast("double")).as("mx"))
+      .collect()
+    val mins = new Array[Double](dim)
+    val scales = new Array[Double](dim)
+    stats.foreach { r =>
+      val p = r.getInt(0)
+      mins(p) = r.getDouble(1)
+      // degenerate (constant) dimensions quantize to code 0 via scale 1
+      scales(p) = math.max(r.getDouble(2) - r.getDouble(1), 1e-12)
+    }
+    (mins, scales)
+  }
+
+  /** SQ8 encode: `code[i] = floor((v[i]−min[i])/scale[i]·255 + 0.5)`
+    * clamped to [0, 255] — `floor(x+0.5)` (not `round`) so the
+    * half-way tie rule is identical in every engine. Map-only.
+    */
+  def sq8Encode(
+      vectors: DataFrame,
+      mins: Array[Double],
+      scales: Array[Double],
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val mn = array(mins.map(lit): _*)
+    val sc = array(scales.map(lit): _*)
+    val codes = zip_with(col(embCol),
+      sequence(lit(1), lit(mins.length)),
+      (v, i) => greatest(lit(0),
+        least(lit(255),
+          floor((v.cast("double") - element_at(mn, i)) / element_at(sc, i)
+            * 255.0 + 0.5).cast("int"))))
+    vectors.select(col(idCol).cast("long").as("vid"), codes.as("codes"))
+  }
+
+  /** SQ8 asymmetric search: dequantize each stored code vector
+    * in-row (`min + code/255·scale`) and score squared L2 against the
+    * RAW query (FAISS's asymmetric distance — queries are never
+    * quantized). One corpus scan with the broadcast query batch;
+    * per-query top-k via the fleet-sized rank window. 4 bytes → 1
+    * byte per dimension is the memory play at 100 TB; the scan cost
+    * is unchanged.
+    */
+  def sq8Search(
+      vectors: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      dim: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val (mins, scales) = sq8Train(vectors, dim, embCol)
+    val mn = array(mins.map(lit): _*)
+    val sc = array(scales.map(lit): _*)
+    val enc = sq8Encode(vectors, mins, scales, idCol, embCol)
+    val deq = zip_with(col("codes"), sequence(lit(1), lit(dim)),
+      (c, i) => element_at(mn, i) +
+        c.cast("double") / 255.0 * element_at(sc, i))
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      col(embCol).as("q_emb"))
+    val scored = enc
+      .join(broadcast(q), col("query_id") =!= col("vid"))
+      .withColumn("dist", l2sq(deq, col("q_emb")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dist").asc, col("vid").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vid").as("neighbor_id"),
+        round(col("dist"), 4).as("dist"))
+  }
+
+  /** Matryoshka-style truncate-then-rerank (Kusupati et al. 2022):
+    * coarse top-`rerank` per query by cosine over the FIRST
+    * `coarseDim` components (a prefix slice — MRL embeddings front-
+    * load information), then exact full-dimension cosine re-ranking
+    * of the shortlist to top-`k`. One corpus scan at 1/4 the
+    * arithmetic, then a shortlist-sized (queries × rerank) exact
+    * pass — the standard two-stage serving shape.
+    */
+  def mrlSearch(
+      vectors: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      coarseDim: Int,
+      rerank: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      col(embCol).as("q_emb"))
+    val v = vectors.select(col(idCol).cast("long").as("neighbor_id"),
+      col(embCol).as("v_emb"))
+    val coarse = v
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("csim",
+        cosine(slice(col("q_emb"), 1, coarseDim),
+          slice(col("v_emb"), 1, coarseDim)))
+    val cw = Window.partitionBy("query_id")
+      .orderBy(col("csim").desc, col("neighbor_id").asc)
+    val shortlist = coarse
+      .withColumn("crank", row_number().over(cw))
+      .where(col("crank") <= rerank)
+    val rw = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    shortlist
+      .withColumn("sim", cosine(col("q_emb"), col("v_emb")))
+      .withColumn("rank", row_number().over(rw).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 4).as("sim"))
+  }
 }

@@ -1,0 +1,65 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Behavioral invariants of SQ8 / MRL search and proper winnowing
+  * (engine-match vs DuckDB is covered by the `e_sq8_search` /
+  * `e_mrl_search` / `d_winnow` oracles).
+  */
+class AnnCompressionSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  test("sq8: codes stay in [0,255] and dequantized search agrees with brute L2 at top ranks") {
+    val (mins, scales) = Similarity.sq8Train(vecs, dim = 64)
+    assert(mins.length == 64 && scales.forall(_ > 0))
+    val enc = Similarity.sq8Encode(vecs, mins, scales)
+    val bad = enc.where(exists(col("codes"), c => c < 0 || c > 255)).count()
+    assert(bad == 0, "codes out of byte range")
+    // 8-bit quantization noise must not destroy neighbor structure:
+    // ≥ 3 of the exact top-5 survive per query on average
+    val q = vecs.where(col("vec_id") < 5)
+    val approx = Similarity.sq8Search(vecs, q, k = 5, dim = 64)
+      .select(col("query_id"), col("neighbor_id"))
+    val exactNN = Similarity.bruteKnn(vecs, q, k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = approx.join(exactNN, Seq("query_id", "neighbor_id"), "left_semi").count()
+    assert(hits >= 15, s"SQ8 overlap with exact top-5 too low: $hits/25")
+  }
+
+  test("mrl: full-width rerank scores equal brute cosine for the kept neighbors") {
+    val q = vecs.where(col("vec_id") < 5)
+    val mrl = Similarity.mrlSearch(vecs, q, k = 5, coarseDim = 16, rerank = 20)
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+    val brute = Similarity.bruteKnn(vecs, q, k = 200)
+      .select(col("query_id"), col("neighbor_id"), col("sim").as("bsim"))
+    val joined = mrl.join(brute, Seq("query_id", "neighbor_id"))
+    assert(joined.count() == mrl.count(), "every MRL hit exists in the brute ranking")
+    assert(joined.where(col("sim") =!= col("bsim")).count() == 0,
+      "rerank scores must be the exact full-dim cosine")
+  }
+
+  test("winnow: the Schleimer guarantee — docs sharing a ≥ k+w−1 word span share a fingerprint") {
+    import spark.implicits._
+    // k=5, w=4 → any shared span of ≥ 8 words guarantees a common fp
+    val span = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val d = Seq(
+      (1L, s"one two three $span nine ten"),
+      (2L, s"$span completely different tail words here"),
+      (3L, "nothing in common with the others at all ok")).toDF("doc_id", "text")
+    val fps = d.select(col("doc_id"), Dedup.winnow(col("text"), 5, 4).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((fps(1L) intersect fps(2L)).nonEmpty, "shared span must share a fingerprint")
+    assert((fps(1L) intersect fps(3L)).isEmpty)
+    // short docs (< w windows) fall back to the whole-doc minimum
+    val shortDoc = Seq((9L, "just five words of text")).toDF("doc_id", "text")
+    val sfp = shortDoc.select(Dedup.winnow(col("text"), 5, 4).as("fps"))
+      .head().getSeq[Long](0)
+    assert(sfp.length == 1)
+  }
+}
