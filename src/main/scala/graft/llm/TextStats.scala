@@ -688,8 +688,11 @@ object TextStats {
     * stays unrounded for the keep threshold (the [[qualityScoreRaw]]
     * boundary-doc rule) and the displayed probability rounds to 4 dp.
     */
-  def qualityClassifier(
-      docs: DataFrame, textCol: Column, idCol: Column): DataFrame = {
+  /** The classifier's unrounded probability — reusable wherever the
+    * gate must compare on the raw value (batch classifier, streaming
+    * curation).
+    */
+  def qualityProbability(textCol: Column): Column = {
     val n = wordCount(textCol).cast("double")
     val chars = length(textCol).cast("double")
     val alpha = length(regexp_replace(textCol, "[^A-Za-z ]", "")).cast("double")
@@ -698,7 +701,12 @@ object TextStats {
     val stopScore = stopwordHits(textCol, "en").cast("double") / greatest(n, lit(1.0))
     val z = lit(-2.0) + lit(2.0) * lenScore + lit(2.5) * alphaScore +
       lit(3.0) * stopScore
-    val p = lit(1.0) / (lit(1.0) + exp(-z))
+    lit(1.0) / (lit(1.0) + exp(-z))
+  }
+
+  def qualityClassifier(
+      docs: DataFrame, textCol: Column, idCol: Column): DataFrame = {
+    val p = qualityProbability(textCol)
     docs.select(idCol.as("doc_id"), round(p, 4).as("p_quality"),
       (p >= 0.5).as("keep"))
   }
