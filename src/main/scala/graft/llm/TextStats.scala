@@ -727,8 +727,11 @@ object TextStats {
     * `tail`. Returns `(doc_id, lang, nll, bucket)`.
     *
     * Scale shape: the NLL relation is doc-sized; terciles add two
-    * bounded aggregates over it; the cuts table is |langs|×2 rows and
-    * broadcast back — nothing corpus-sized shuffles twice.
+    * bounded aggregates over it, and the |langs|×2 cuts COLLECT to
+    * the driver (result-sized, the rollup-rules/DSIR-λ precedent) so
+    * the bucket assignment is a literal CASE chain on a second
+    * NLL pass — without the collect, the cuts subtree and the final
+    * join both re-evaluate the token-explode NLL inside one job.
     */
   def pplBuckets(
       docs: DataFrame,
@@ -743,10 +746,17 @@ object TextStats {
       .groupBy("lang")
       .agg(round(min(when(col("q") < 0.5, col("value"))), 4).as("q33"),
         round(min(when(col("q") > 0.5, col("value"))), 4).as("q67"))
-    nll.join(broadcast(cuts), Seq("lang"))
-      .select(col("doc_id"), col("lang"), col("nll"),
-        when(col("nll") <= col("q33"), "head")
-          .when(col("nll") <= col("q67"), "middle")
-          .otherwise("tail").as("bucket"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val q33 = cuts.foldLeft(lit(Double.NaN)) { case (acc, (l, (a, _))) =>
+      when(col("lang") === l, lit(a)).otherwise(acc)
+    }
+    val q67 = cuts.foldLeft(lit(Double.NaN)) { case (acc, (l, (_, b))) =>
+      when(col("lang") === l, lit(b)).otherwise(acc)
+    }
+    nll.select(col("doc_id"), col("lang"), col("nll"),
+      when(col("nll") <= q33, "head")
+        .when(col("nll") <= q67, "middle")
+        .otherwise("tail").as("bucket"))
   }
 }
