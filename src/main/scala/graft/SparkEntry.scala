@@ -1138,6 +1138,20 @@ object SparkEntry {
       TextStats.qualityClassifier(
         s.read.parquet(s"$dir/documents.parquet"), col("text"), col("doc_id"))),
 
+    // two-tier blocklist content gate (Dolma-style): frequency terms
+    // ratio-capped, instant-drop terms hard-block; map-only.
+    "d_toxicity" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id") +: TextStats.blocklistSignals(col("text"),
+          blocked = Seq("slow", "merge"), hardBlock = Seq("dup"),
+          maxRatio = 0.07): _*)),
+
+    // shard manifest with order-insensitive content checksums — the
+    // release-integrity record; one hash aggregate per shard.
+    "d_manifest" -> ((s, dir) =>
+      Sampling.shardManifest(
+        s.read.parquet(s"$dir/documents.parquet"), col("text"), shards = 8)),
+
     // CCNet-style per-language perplexity terciles: exact grouped
     // quantile cuts (two-phase rank, no lang-partitioned window)
     // broadcast back onto the doc-sized NLL relation.
@@ -2839,6 +2853,32 @@ object SparkEntry {
           |  CAST(len(w.ws) -
           |    len(list_filter(w.ws, (x, i) -> NOT list_contains(coalesce(s.cov, []), i))) AS BIGINT) AS n_removed
           |FROM wrds w LEFT JOIN starts s USING (doc_id)""".stripMargin),
+
+      "d_toxicity" ->
+        ("""WITH ws AS (
+          |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+          |  FROM documents),
+          |sig AS (SELECT doc_id,
+          |    len(list_filter(ws, w -> w IN ('slow', 'merge')))::bigint AS n_blocked,
+          |    len(ws)::double AS n,
+          |    list_contains(ws, 'dup') AS hard_hit
+          |  FROM ws)
+          |SELECT doc_id, n_blocked,
+          |  round(n_blocked::double / greatest(n, 1.0), 4) + 0 AS blocked_ratio,
+          |  hard_hit,
+          |  (NOT hard_hit AND n_blocked::double / greatest(n, 1.0) <= 0.07) AS keep
+          |FROM sig""".stripMargin),
+
+      "d_manifest" ->
+        ("""WITH sharded AS (
+          |  SELECT doc_id, text,
+          |    CAST(('0x' || substr(md5(doc_id::varchar), 1, 15))::bigint % 8 AS INTEGER) AS shard
+          |  FROM documents)
+          |SELECT shard, count(*)::bigint AS n_docs,
+          |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens,
+          |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+          |  CAST(sum(('0x' || substr(md5(text), 1, 15))::bigint % 2147483647) % 2147483647 AS BIGINT) AS checksum
+          |FROM sharded GROUP BY shard""".stripMargin),
 
       "d_winnow" ->
         ("""WITH wrds AS (

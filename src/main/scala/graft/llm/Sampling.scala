@@ -210,6 +210,31 @@ object Sampling {
     keyed.withColumn("pos", row_number().over(w).cast("long") - 1)
   }
 
+  /** Shard manifest — the integrity record a dataset release ships
+    * next to its shards: per shard, document count, token mass, byte
+    * mass, and an ORDER-INSENSITIVE content checksum (sum of per-doc
+    * content hashes mod 2³¹−1 — commutative, so the checksum is
+    * reproducible whatever order the shard's rows arrive in, and any
+    * dropped/duplicated/mutated document changes it; the 31-bit
+    * modulus keeps the un-modded int64 sum overflow-free up to 2³²
+    * documents PER SHARD, a bound the shard count is sized to at any
+    * corpus scale). One hash aggregate with map-side partials;
+    * verification re-runs the same aggregate on the consumer side.
+    */
+  def shardManifest(
+      df: DataFrame,
+      textCol: Column,
+      shards: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    val p = lit(2147483647L) // 2^31 - 1
+    shardAssign(df, shards, idCol)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextStats.tokensWhitespace(textCol).cast("long")).as("n_tokens"),
+        sum(length(textCol).cast("long")).as("n_chars"),
+        pmod(sum(pmod(hashBits60(textCol), p)), p).as("checksum"))
+  }
+
   /** Sequence packing, concat-and-chop style: in the deterministic
     * shard order of [[shardAssign]], documents concatenate into one
     * token stream per shard and the stream is chopped into

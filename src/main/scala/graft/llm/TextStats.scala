@@ -678,6 +678,31 @@ object TextStats {
           .as("postings"))
   }
 
+  /** Blocklist ("toxicity") filtering — the Dolma/C4-style content
+    * gate: fraction of lowercased words on a blocklist, flag when the
+    * ratio exceeds `maxRatio` OR any `hardBlock` term appears at all
+    * (the two-tier rule corpus pipelines use: frequency terms vs
+    * instant-drop terms). The word lists are driver-side constants
+    * compiled into the predicate — a map-only scan pass, like every
+    * TextStats filter.
+    */
+  def blocklistSignals(
+      textCol: Column,
+      blocked: Seq[String],
+      hardBlock: Seq[String],
+      maxRatio: Double): Seq[Column] = {
+    val ws = words(lower(textCol))
+    val n = size(ws).cast("double")
+    val hits = size(filter(ws, w => blocked.map(b => w === b).reduce(_ || _)))
+    val hard = hardBlock.map(b => array_contains(ws, b))
+      .foldLeft(lit(false))(_ || _)
+    val ratio = hits.cast("double") / greatest(n, lit(1.0))
+    Seq(hits.cast("long").as("n_blocked"),
+      round(ratio, 4).as("blocked_ratio"),
+      hard.as("hard_hit"),
+      (!hard && ratio <= maxRatio).as("keep"))
+  }
+
   /** Fixed-weight logistic quality classifier — the serving path of
     * the fastText-style quality models the GPT-3 / LLaMA pipelines
     * filter with (Brown et al. 2020 §A; a trained model would only

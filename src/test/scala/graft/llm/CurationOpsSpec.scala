@@ -128,6 +128,43 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out(1L)._1 > out(2L)._1)
   }
 
+  test("blocklistSignals: hard terms drop instantly, frequency terms only past the cap") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "clean words only here today"),
+      (2L, "bad bad bad clean words"),          // 3/5 = 0.6 > cap
+      (3L, "one bad among many many clean words here"), // 1/8 ≤ cap
+      (4L, "totally fine except nuke")).toDF("doc_id", "text")
+    val out = d.select(col("doc_id") +: TextStats.blocklistSignals(col("text"),
+        blocked = Seq("bad"), hardBlock = Seq("nuke"), maxRatio = 0.2): _*)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getBoolean(3), r.getBoolean(4)))).toMap
+    assert(out(1L) == ((0L, false, true)))
+    assert(out(2L) == ((3L, false, false)))
+    assert(out(3L) == ((1L, false, true)))
+    assert(out(4L) == ((0L, true, false)), "hard term must drop regardless of ratio")
+  }
+
+  test("shardManifest: checksum is order-insensitive and mutation-sensitive") {
+    import spark.implicits._
+    val d = (0L until 200L).map(i => (i, s"document number $i content")).toDF("doc_id", "text")
+    val m1 = Sampling.shardManifest(d, col("text"), shards = 4)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(4)))).toMap
+    assert(m1.keySet == Set(0, 1, 2, 3))
+    assert(m1.values.map(_._1).sum == 200L)
+    // row order must not matter
+    val m2 = Sampling.shardManifest(d.orderBy(col("doc_id").desc), col("text"), shards = 4)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(4)))).toMap
+    assert(m1 == m2)
+    // a single mutated document must change exactly its shard's checksum
+    val mutated = d.withColumn("text",
+      when(col("doc_id") === 7L, lit("TAMPERED")).otherwise(col("text")))
+    val m3 = Sampling.shardManifest(mutated, col("text"), shards = 4)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(4)))).toMap
+    assert(m1 != m3)
+    assert(m1.count { case (k, v) => m3(k) != v } == 1)
+  }
+
   test("lshPlan: b*r = n, s50 tracks the threshold, and the plan beats naive extremes") {
     val (b, r, s50, fp, fn) = Dedup.lshPlan(128, 0.8)
     assert(b * r == 128)
