@@ -792,6 +792,24 @@ object SparkEntry {
     // per-source NEAR-dup rate: which sources lose the most docs to
     // minhash cluster dedup — clusters' keep-first verdict joined
     // back onto the docs, one hash aggregate per source.
+    // cross-source duplication overlap: which sources near-duplicate
+    // into which (the "is crawl N swallowing wiki?" audit) — verified
+    // near-dup pairs labeled by source on both ends, unordered.
+    "d_source_overlap" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val pairs = Dedup.minhashNearDups(docs, col("text"), col("doc_id"),
+        threshold = 0.5).select("id_a", "id_b")
+      val src = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("source_a")),
+          Seq("id_a"))
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("source_b")),
+          Seq("id_b"))
+        .select(least(col("source_a"), col("source_b")).as("src_lo"),
+          greatest(col("source_a"), col("source_b")).as("src_hi"))
+        .groupBy("src_lo", "src_hi").agg(count(lit(1)).as("n_pairs"))
+    }),
+
     "d_source_dup_rate" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       val pairs = Dedup.minhashNearDups(docs, col("text"), col("doc_id"),
@@ -2642,6 +2660,21 @@ object SparkEntry {
            |cl AS (SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id),
            |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM cl GROUP BY 1)
            |SELECT cluster_size, count(*) AS n_clusters FROM sizes GROUP BY 1""".stripMargin),
+
+      "d_source_overlap" ->
+        (s"""WITH cands AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM ($minhashBands) a
+           |  JOIN ($minhashBands) b ON a.band = b.band AND a.doc_id < b.doc_id GROUP BY 1, 2),
+           |sets AS (SELECT doc_id, $sh3 AS sh FROM documents),
+           |verified AS (SELECT p.id_a, p.id_b FROM cands p
+           |  JOIN sets sa ON sa.doc_id = p.id_a JOIN sets sb ON sb.doc_id = p.id_b
+           |  WHERE len(list_intersect(sa.sh, sb.sh))::double / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5),
+           |lab AS (SELECT doc_id, source FROM documents)
+           |SELECT least(sa.source, sb.source) AS src_lo,
+           |       greatest(sa.source, sb.source) AS src_hi,
+           |       count(*)::bigint AS n_pairs
+           |FROM verified v JOIN lab sa ON sa.doc_id = v.id_a
+           |JOIN lab sb ON sb.doc_id = v.id_b
+           |GROUP BY 1, 2""".stripMargin),
 
       "d_source_dup_rate" ->
         (s"""WITH RECURSIVE
