@@ -259,6 +259,103 @@ final class DsirBucketKernel(buckets: Int) extends Serializable {
   }
 }
 
+/** One-pass winnowing kernel (Schleimer et al. 2003) backing
+  * [[graft.llm.Dedup.winnow]]: positional k-gram hashes (the
+  * repo-standard md5-top-60-bits mod 2³¹−1, bit-identical to
+  * `Dedup.shingleHash`), sliding-window minima via a monotonic deque
+  * (O(n) total, vs the Column chain's O(n·w) slices ×4 re-evaluated
+  * hash arrays), distinct + sort for the fingerprint set.
+  */
+final class WinnowKernel(k: Int, w: Int) extends Serializable {
+  @transient private lazy val ws = java.util.regex.Pattern.compile("\\s+")
+  @transient private lazy val md =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  private def hash60(bytes: Array[Byte]): Long = {
+    val d = md.get()
+    d.reset()
+    val dig = d.digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (dig(i) & 0xffL); i += 1 }
+    v = (v << 4) | ((dig(7) & 0xffL) >>> 4)
+    v % 2147483647L
+  }
+
+  def fingerprints(s: UTF8String): ArrayData = {
+    val words = ws.split(s.trim().toString, -1)
+    val n = words.length - (k - 1)
+    if (n < 1) return new GenericArrayData(Array.empty[Any])
+    val hs = new Array[Long](n)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      hs(i) = hash60(
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      i += 1
+    }
+    val sel = new java.util.TreeSet[java.lang.Long]()
+    if (n < w) {
+      // fewer hashes than a window: one whole-doc window
+      var m = hs(0); i = 1
+      while (i < n) { if (hs(i) < m) m = hs(i); i += 1 }
+      sel.add(m)
+    } else {
+      // monotonic deque of indices, increasing hash values
+      val dq = new Array[Int](n)
+      var head = 0; var tail = 0 // [head, tail)
+      i = 0
+      while (i < n) {
+        while (tail > head && hs(dq(tail - 1)) >= hs(i)) tail -= 1
+        dq(tail) = i; tail += 1
+        if (dq(head) <= i - w) head += 1
+        if (i >= w - 1) sel.add(hs(dq(head)))
+        i += 1
+      }
+    }
+    val out = new Array[Any](sel.size())
+    val it = sel.iterator()
+    var p = 0
+    while (it.hasNext) { out(p) = it.next().longValue(); p += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** `winnow_fps(text)`: sorted distinct winnowing fingerprints. */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  require(k >= 1 && w >= 1, "k and w must be positive")
+
+  @transient private lazy val kernel = new WinnowKernel(k, w)
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "winnow_fps"
+
+  override protected def nullSafeEval(input: Any): Any =
+    kernel.fingerprints(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("winnowKernel", kernel, classOf[WinnowKernel].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.fingerprints($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+
+  override def toString: String = s"winnow_fps($child, $k, $w)"
+}
+
 /** `dsir_buckets(text)`: bucket-sorted (bucket, n) hashed-feature
   * counts for DSIR scoring.
   */
