@@ -633,6 +633,50 @@ object SparkEntry {
     // with the user's most recent COMPLETED-day value snapshot —
     // union + one key-bounded ride-forward pass, single shuffle,
     // never an inequality theta join.
+    // last-touch attribution: each purchase rides back to the user's
+    // most recent click/view within 24h (AS-OF reuse; touches
+    // collapsed per (user, second) first so the pick is
+    // deterministic); outside the window → unattributed NULLs.
+    "ev_attribution" -> ((s, dir) => {
+      val ev = GraphiteTables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          (col("ts") / 1000000000L).cast("long").as("t"), col("value"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("t"), col("value"))
+      val touches = ev.where(col("event_type").isin("click", "view"))
+        .groupBy(col("user_id"), col("t").as("touch_t"))
+        .agg(max(col("event_type")).as("touch_type"))
+      val inWin = col("asof_t").isNotNull && col("asof_t") >= col("t") - 86400L
+      graft.events.AsOf.asofJoin(purchases, touches,
+          keyCols = Seq("user_id"), leftTime = "t", rightTime = "touch_t",
+          valueCols = Seq("touch_type"))
+        .select(col("event_id"), col("user_id"), col("t"),
+          round(col("value"), 4).as("value"),
+          when(inWin, col("touch_type")).as("touch_type"),
+          when(inWin, col("asof_t")).as("touch_t"))
+    }),
+
+    // cohort LTV: revenue by (signup-cohort week, age week) with
+    // distinct buyers via the two-phase aggregate (no Expand).
+    "ev_cohort_ltv" -> ((s, dir) => {
+      val ev = GraphiteTables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          (col("ts") / 1000000000L).cast("long").as("t"), col("value"))
+      val cohort = ev.where(col("event_type") === "signup")
+        .groupBy("user_id")
+        .agg(floor(min(col("t")) / 604800L).cast("long").as("cohort_week"))
+      ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), floor(col("t") / 604800L).cast("long").as("week"),
+          col("value"))
+        .join(cohort, Seq("user_id"))
+        .groupBy(col("user_id"), col("cohort_week"),
+          (col("week") - col("cohort_week")).as("age_week"))
+        .agg(sum(col("value")).as("__v"))
+        .groupBy("cohort_week", "age_week")
+        .agg(count(lit(1)).as("n_buyers"),
+          round(sum(col("__v")), 4).as("revenue"))
+    }),
+
     "ev_asof" -> ((s, dir) => {
       val ev = GraphiteTables.events(s, dir)
         .select(col("event_id"), col("user_id"),
@@ -2503,6 +2547,32 @@ object SparkEntry {
           |SELECT 0.25::double AS q, round(percentile_cont(0.25) WITHIN GROUP (ORDER BY v), 4) AS value FROM durs
           |UNION ALL SELECT 0.5::double, round(percentile_cont(0.5) WITHIN GROUP (ORDER BY v), 4) FROM durs
           |UNION ALL SELECT 0.9::double, round(percentile_cont(0.9) WITHIN GROUP (ORDER BY v), 4) FROM durs""".stripMargin),
+
+      "ev_attribution" ->
+        ("""WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts)//1000000 AS t, value FROM events),
+          |p AS (SELECT event_id, user_id, t, value FROM ev WHERE event_type = 'purchase'),
+          |tch AS (SELECT user_id, t AS touch_t, max(event_type) AS touch_type
+          |        FROM ev WHERE event_type IN ('click', 'view') GROUP BY 1, 2)
+          |SELECT p.event_id, p.user_id, p.t, round(p.value, 4) + 0 AS value,
+          |  CASE WHEN d.touch_t IS NOT NULL AND d.touch_t >= p.t - 86400 THEN d.touch_type END AS touch_type,
+          |  CASE WHEN d.touch_t IS NOT NULL AND d.touch_t >= p.t - 86400 THEN d.touch_t END AS touch_t
+          |FROM p ASOF LEFT JOIN tch d
+          |  ON p.user_id = d.user_id AND p.t >= d.touch_t""".stripMargin),
+
+      "ev_cohort_ltv" ->
+        ("""WITH ev AS (SELECT user_id, event_type, epoch_us(ts)//1000000 AS t, value FROM events),
+          |cohort AS (SELECT user_id, CAST(floor(min(t) / 604800.0) AS BIGINT) AS cohort_week
+          |           FROM ev WHERE event_type = 'signup' GROUP BY 1),
+          |per_user AS (
+          |  SELECT e.user_id, c.cohort_week,
+          |         CAST(floor(e.t / 604800.0) AS BIGINT) - c.cohort_week AS age_week,
+          |         sum(e.value) AS v
+          |  FROM ev e JOIN cohort c USING (user_id)
+          |  WHERE e.event_type = 'purchase'
+          |  GROUP BY 1, 2, 3)
+          |SELECT cohort_week, age_week, count(*)::bigint AS n_buyers,
+          |       round(sum(v), 4) + 0 AS revenue
+          |FROM per_user GROUP BY 1, 2""".stripMargin),
 
       "ev_asof" ->
         ("""WITH ev AS (SELECT event_id, user_id, epoch_us(ts)//1000000 AS t, value FROM events),
