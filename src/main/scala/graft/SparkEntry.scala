@@ -1317,6 +1317,30 @@ object SparkEntry {
       Similarity.kcenterInit(
         s.read.parquet(s"$dir/embeddings.parquet"), k = 4)),
 
+    // intra-label cohesion: cosine of every vector to its label
+    // centroid (clustering-quality / outlier audit). Centroid means
+    // fold in vec_id order (sorted fold — engine-identical floats);
+    // the |labels|-sized centroid table broadcasts back.
+    "e_cohesion" -> ((s, dir) => {
+      val vecs = s.read.parquet(s"$dir/embeddings.parquet")
+      val cents = vecs
+        .select(col("label"), col("vec_id"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("label", "pos")
+        .agg((aggregate(
+          array_sort(collect_list(struct(col("vec_id"),
+            col("v").cast("double").as("v")))),
+          lit(0.0), (a, e) => a + e.getField("v")) / count(lit(1))).as("m"))
+        .groupBy("label")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          e => e.getField("m")).as("centroid"))
+      vecs.join(broadcast(cents), Seq("label"))
+        .select(col("label"), col("vec_id"),
+          round(Similarity.cosine(col("embedding"), col("centroid")), 4)
+            .as("cos_centroid"))
+    }),
+
     // FAISS-style SQ8: per-dim (min, scale) trained in one elementwise
     // aggregate, 1-byte codes, asymmetric L2 against raw queries —
     // the 4×-memory-compression serve path.
@@ -3504,6 +3528,26 @@ object SparkEntry {
            |UNION ALL SELECT CAST(3 AS BIGINT), vec_id, round(mind, 4) + 0 FROM c3
            |UNION ALL SELECT CAST(4 AS BIGINT), vec_id, round(mind, 4) + 0 FROM c4""".stripMargin
       },
+
+      "e_cohesion" ->
+        ("""WITH pts AS (
+           |  SELECT label, vec_id, unnest(embedding) AS v,
+           |         generate_subscripts(embedding, 1) AS pos
+           |  FROM embeddings),
+           |cent AS (
+           |  SELECT label, pos,
+           |    list_reduce(list(v::double ORDER BY vec_id), (a, b) -> a + b) / count(*) AS m
+           |  FROM pts GROUP BY 1, 2),
+           |cents AS (SELECT label, list(m ORDER BY pos) AS centroid FROM cent GROUP BY 1)
+           |SELECT e.label, e.vec_id,
+           |  round(
+           |    list_sum(list_transform(generate_series(1, len(e.embedding)),
+           |      i -> e.embedding[i]::double * c.centroid[i])) /
+           |    (sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+           |      i -> e.embedding[i]::double * e.embedding[i]::double))) *
+           |     sqrt(list_sum(list_transform(generate_series(1, len(c.centroid)),
+           |      i -> c.centroid[i] * c.centroid[i])))), 4) + 0 AS cos_centroid
+           |FROM embeddings e JOIN cents c USING (label)""".stripMargin),
 
       "e_sq8_search" -> {
         val deq = "mns[i] + least(greatest(floor((a.embedding[i]::double - mns[i]) / scs[i] * 255.0 + 0.5), 0), 255) / 255.0 * scs[i]"
