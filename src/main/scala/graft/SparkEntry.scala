@@ -1222,6 +1222,17 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"),
         col("text"), col("lang"), col("doc_id"))),
 
+    // CCNet end to end: language ID (the native kernel — CCNet
+    // computes its own langid, not a trusted label) → per-PREDICTED-
+    // lang perplexity terciles → keep head+middle.
+    "d_ccnet" -> ((s, dir) => {
+      val pred = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"),
+          TextStats.langId(col("text")).as("lang"))
+      TextStats.pplBuckets(pred, col("text"), col("lang"), col("doc_id"))
+        .where(col("bucket") =!= "tail")
+    }),
+
     // capped inverted index: salted two-stage top-k aggregation keeps
     // the 8 lowest doc ids per term without ever materializing a hot
     // stop-word's full posting list in one task.
@@ -1316,6 +1327,36 @@ object SparkEntry {
     "e_kcenter" -> ((s, dir) =>
       Similarity.kcenterInit(
         s.read.parquet(s"$dir/embeddings.parquet"), k = 4)),
+
+    // nearest-centroid classification confusion: assign each vector
+    // to its max-cosine label centroid (broadcast |labels|-sized
+    // table), confusion vs the true label — the centroid-quality
+    // companion to e_knn_classify.
+    "e_ncc" -> ((s, dir) => {
+      val vecs = s.read.parquet(s"$dir/embeddings.parquet")
+      val cents = vecs
+        .select(col("label"), col("vec_id"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("label", "pos")
+        .agg((aggregate(
+          array_sort(collect_list(struct(col("vec_id"),
+            col("v").cast("double").as("v")))),
+          lit(0.0), (a, e) => a + e.getField("v")) / count(lit(1))).as("m"))
+        .groupBy("label")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          e => e.getField("m")).as("centroid"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id")
+        .orderBy(col("sim").desc, col("c_label").asc)
+      vecs.crossJoin(broadcast(cents
+          .select(col("label").as("c_label"), col("centroid"))))
+        .withColumn("sim", Similarity.cosine(col("embedding"), col("centroid")))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .groupBy(col("label").as("actual"), col("c_label").as("predicted"))
+        .agg(count(lit(1)).as("n"))
+    }),
 
     // intra-label cohesion: cosine of every vector to its label
     // centroid (clustering-quality / outlier audit). Centroid means
@@ -3300,6 +3341,42 @@ object SparkEntry {
           |       ELSE 'tail' END AS bucket
           |FROM nll n JOIN cuts c USING (lang)""".stripMargin),
 
+      "d_ccnet" ->
+        (s"""WITH scores AS ($langScores),
+           |lranked AS (SELECT doc_id, lang, hits,
+           |  row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang ASC) AS rn FROM scores),
+           |pred AS (SELECT doc_id, CASE WHEN hits > 0 THEN lang ELSE 'und' END AS lang
+           |  FROM lranked WHERE rn = 1),
+           |toks AS (
+           |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+           |  FROM documents),
+           |tf AS (SELECT doc_id, token, count(*)::bigint AS tf
+           |  FROM toks GROUP BY 1, 2),
+           |vocab AS (SELECT token, count(*)::bigint AS n FROM toks GROUP BY 1),
+           |tot AS (SELECT sum(n) AS total FROM vocab),
+           |contrib AS (
+           |  SELECT t.doc_id, t.token, t.tf, t.tf * -ln(v.n::double / total) AS c
+           |  FROM tf t JOIN vocab v USING (token), tot),
+           |agg AS (
+           |  SELECT doc_id, list(c ORDER BY token) AS cs,
+           |         CAST(sum(tf) AS BIGINT) AS dl
+           |  FROM contrib GROUP BY 1),
+           |nll AS (
+           |  SELECT a.doc_id, p.lang,
+           |    round(list_reduce(cs, (x, y) -> x + y) / dl, 4) + 0 AS nll
+           |  FROM agg a JOIN pred p USING (doc_id)),
+           |cuts AS (SELECT lang,
+           |    round(percentile_cont(0.3333333333333333) WITHIN GROUP (ORDER BY nll), 4) AS q33,
+           |    round(percentile_cont(0.6666666666666666) WITHIN GROUP (ORDER BY nll), 4) AS q67
+           |  FROM nll GROUP BY lang),
+           |bucketed AS (
+           |  SELECT n.doc_id, n.lang, n.nll,
+           |    CASE WHEN n.nll <= c.q33 THEN 'head'
+           |         WHEN n.nll <= c.q67 THEN 'middle'
+           |         ELSE 'tail' END AS bucket
+           |  FROM nll n JOIN cuts c USING (lang))
+           |SELECT doc_id, lang, nll, bucket FROM bucketed WHERE bucket <> 'tail'""".stripMargin),
+
       "d_bigram_ppl" ->
         ("""WITH toks AS (
           |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
@@ -3528,6 +3605,32 @@ object SparkEntry {
            |UNION ALL SELECT CAST(3 AS BIGINT), vec_id, round(mind, 4) + 0 FROM c3
            |UNION ALL SELECT CAST(4 AS BIGINT), vec_id, round(mind, 4) + 0 FROM c4""".stripMargin
       },
+
+      "e_ncc" ->
+        ("""WITH pts AS (
+           |  SELECT label, vec_id, unnest(embedding) AS v,
+           |         generate_subscripts(embedding, 1) AS pos
+           |  FROM embeddings),
+           |cent AS (
+           |  SELECT label, pos,
+           |    list_reduce(list(v::double ORDER BY vec_id), (a, b) -> a + b) / count(*) AS m
+           |  FROM pts GROUP BY 1, 2),
+           |cents AS (SELECT label AS c_label, list(m ORDER BY pos) AS centroid FROM cent GROUP BY 1),
+           |scored AS (
+           |  SELECT e.vec_id, e.label, c.c_label,
+           |    list_sum(list_transform(generate_series(1, len(e.embedding)),
+           |      i -> e.embedding[i]::double * c.centroid[i])) /
+           |    (sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+           |      i -> e.embedding[i]::double * e.embedding[i]::double))) *
+           |     sqrt(list_sum(list_transform(generate_series(1, len(c.centroid)),
+           |      i -> c.centroid[i] * c.centroid[i])))) AS sim
+           |  FROM embeddings e, cents c),
+           |assigned AS (SELECT vec_id, label, c_label FROM (
+           |  SELECT vec_id, label, c_label,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_label ASC) AS rn
+           |  FROM scored) r WHERE rn = 1)
+           |SELECT label AS actual, c_label AS predicted, count(*)::bigint AS n
+           |FROM assigned GROUP BY 1, 2""".stripMargin),
 
       "e_cohesion" ->
         ("""WITH pts AS (
