@@ -65,7 +65,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // lang-ID confusion: in-row prediction + one hash agg, no join
     "d_lang_confusion",
     // PQ/ADC: codebooks + query LUTs broadcast, one (sub, code) join
-    "e_pq_search")
+    "e_pq_search",
+    // cross-source overlap: pair labeling must stay equi-joins over
+    // the Σsᵢ²-bounded candidate machinery
+    "d_source_overlap")
 
   for (name <- audited) {
     test(s"$name: no cartesian or nested-loop join in the physical plan") {
@@ -145,6 +148,26 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("p_query_binop")
     val scans = "Scan parquet".r.findAllIn(p).length
     assert(scans <= 3, s"expected ≤3 parquet scans (2 finds + 1 points), got $scans")
+  }
+
+  test("batch-24+ map-only operators: winnow/toxicity/quality_clf never shuffle") {
+    for (name <- Seq("d_winnow", "d_toxicity", "d_quality_clf")) {
+      val p = plan(name)
+      assert(!p.contains("Exchange"), s"shuffle in map-only $name:\n$p")
+    }
+  }
+
+  test("d_manifest: one aggregate, no join — the release checksum is a single pass") {
+    val p = plan("d_manifest")
+    assert(!p.contains("Join"), s"unexpected join in d_manifest:\n$p")
+    assert(p.contains("HashAggregate"), "expected hash aggregate in d_manifest")
+  }
+
+  test("e_cohesion: the centroid table joins back as a broadcast equi-join") {
+    val p = plan("e_cohesion")
+    assert(p.contains("BroadcastHashJoin"),
+      "e_cohesion must broadcast the |labels|-sized centroid table")
+    assert(!p.contains("CartesianProduct"))
   }
 
   test("d_boilerplate: no window over the line-content key") {
