@@ -836,6 +836,12 @@ object SparkEntry {
     // per-source NEAR-dup rate: which sources lose the most docs to
     // minhash cluster dedup — clusters' keep-first verdict joined
     // back onto the docs, one hash aggregate per source.
+    // dedup-funnel data card: doc/token survival counts per curation
+    // stage — 1-row aggregates over the staged relations.
+    "d_funnel_report" -> ((s, dir) =>
+      graft.llm.Pipeline.funnelReport(
+        s.read.parquet(s"$dir/documents.parquet"))),
+
     // cross-source duplication overlap: which sources near-duplicate
     // into which (the "is crawl N swallowing wiki?" audit) — verified
     // near-dup pairs labeled by source on both ends, unordered.
@@ -2832,6 +2838,34 @@ object SparkEntry {
            |       round(sum(CASE WHEN cl.cluster_id IS NOT NULL AND cl.cluster_id <> d.doc_id
            |                 THEN 1 ELSE 0 END)::double / count(*), 4) AS dup_rate
            |FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id GROUP BY 1""".stripMargin),
+
+      "d_funnel_report" ->
+        (s"""WITH RECURSIVE
+           |q AS (SELECT * FROM documents WHERE $qualityExpr >= 0.75),
+           |e AS (SELECT min(doc_id) AS keep FROM q GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))),
+           |qe AS (SELECT * FROM q WHERE doc_id IN (SELECT keep FROM e)),
+           |cands AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM (${minhashBandsOver("qe")}) a
+           |  JOIN (${minhashBandsOver("qe")}) b ON a.band = b.band AND a.doc_id < b.doc_id GROUP BY 1, 2),
+           |sets AS (SELECT doc_id, $sh3 AS sh FROM qe),
+           |verified AS (SELECT p.id_a, p.id_b FROM cands p
+           |  JOIN sets sa ON sa.doc_id = p.id_a JOIN sets sb ON sb.doc_id = p.id_b
+           |  WHERE len(list_intersect(sa.sh, sb.sh))::double / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5),
+           |edges AS (SELECT id_a AS src, id_b AS dst FROM verified UNION SELECT id_b, id_a FROM verified),
+           |nodes AS (SELECT DISTINCT src AS id FROM edges),
+           |reach(id, label) AS (
+           |  SELECT id, id FROM nodes
+           |  UNION
+           |  SELECT e2.dst, r.label FROM reach r JOIN edges e2 ON e2.src = r.id),
+           |losers AS (SELECT id FROM (SELECT id, min(label) AS lbl FROM reach GROUP BY id) t WHERE id <> lbl),
+           |nd AS (SELECT * FROM qe WHERE doc_id NOT IN (SELECT id FROM losers))
+           |SELECT CAST(1 AS BIGINT) AS stage_no, 'raw' AS stage, count(*)::bigint AS n_docs,
+           |  CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS n_tokens FROM documents
+           |UNION ALL SELECT CAST(2 AS BIGINT), 'quality', count(*)::bigint,
+           |  CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) FROM q
+           |UNION ALL SELECT CAST(3 AS BIGINT), 'exact', count(*)::bigint,
+           |  CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) FROM qe
+           |UNION ALL SELECT CAST(4 AS BIGINT), 'neardup', count(*)::bigint,
+           |  CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) FROM nd""".stripMargin),
 
       "d_curate" ->
         (s"""WITH RECURSIVE

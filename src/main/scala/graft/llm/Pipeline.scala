@@ -59,4 +59,35 @@ object Pipeline {
       .select("id_a", "id_b")
     Dedup.nearDupKeep(exact, pairs)
   }
+
+  /** The dedup-funnel "data card": document and token counts after
+    * each curation stage (raw → quality gate → exact dedup → near-dup
+    * dedup) — the survival table every dataset release publishes.
+    * Each stage row is a 1-row global aggregate over the SAME staged
+    * relations [[curate]] builds (the exact-dedup survivor set is
+    * already materialized once there); the four rows union at the
+    * end — stage-count work, not corpus work.
+    */
+  def funnelReport(
+      docs: DataFrame,
+      qualityThreshold: Double = 0.75,
+      nearDupThreshold: Double = 0.5): DataFrame = {
+    def stageRow(no: Int, name: String, df: DataFrame): DataFrame =
+      df.groupBy().agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextStats.tokensWhitespace(col("text")).cast("long")).as("n_tokens"))
+        .select(lit(no.toLong).as("stage_no"), lit(name).as("stage"),
+          col("n_docs"), col("n_tokens"))
+    val quality = docs.where(TextStats.qualityScoreRaw(col("text")) >= qualityThreshold)
+    val exact = Dedup.exactKeep(quality, md5(Dedup.normalizedText(col("text"))))
+      .truncateLineage()
+    val pairs = Dedup
+      .minhashNearDups(exact, col("text"), col("doc_id"), threshold = nearDupThreshold)
+      .select("id_a", "id_b")
+    val near = Dedup.nearDupKeep(exact, pairs)
+    stageRow(1, "raw", docs)
+      .unionByName(stageRow(2, "quality", quality))
+      .unionByName(stageRow(3, "exact", exact))
+      .unionByName(stageRow(4, "neardup", near))
+  }
 }

@@ -43,4 +43,28 @@ object StreamCurate {
       .withColumn("n_tokens", TextStats.tokensWhitespace(textCol))
     StreamDedup.firstSeenNormalized(scored, textCol, eventTime, lateness)
   }
+
+  /** Quality-drift monitor — the feed-health dashboard next to the
+    * gate: per tumbling event-time window, document count and the
+    * mean/stddev of the quality probability over ALL arrivals (gated
+    * and not — drift detection must see what the gate rejects).
+    * A watermarked windowed aggregate: state is one row per open
+    * window, emitted on watermark close (append mode), independent
+    * of stream volume.
+    */
+  def qualityDrift(
+      docs: DataFrame,
+      textCol: Column,
+      eventTime: String = "event_time",
+      windowDur: String = "1 minute",
+      lateness: String = "2 minutes"): DataFrame =
+    docs
+      .withColumn("__p", TextStats.qualityProbability(textCol))
+      .withWatermark(eventTime, lateness)
+      .groupBy(window(col(eventTime), windowDur))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("__p")), 4).as("mean_quality"),
+        round(stddev_pop(col("__p")), 4).as("sd_quality"))
+      .select(col("window.start").as("window_start"),
+        col("n_docs"), col("mean_quality"), col("sd_quality"))
 }

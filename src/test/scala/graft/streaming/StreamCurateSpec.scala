@@ -46,6 +46,36 @@ class StreamCurateSpec extends AnyFunSuite {
     assert(byId(1L)._4 >= 0.5)
   }
 
+  test("qualityDrift: per-window mean/sd over ALL arrivals, emitted on watermark close") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Long, String)]
+    val input = stream.toDF().select(
+      col("_1").as("doc_id"),
+      timestamp_seconds(col("_2")).as("event_time"),
+      col("_3").as("text"))
+    val out = StreamCurate.qualityDrift(input, col("text"),
+      windowDur = "60 seconds", lateness = "10 seconds")
+    val name = s"drift_out_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    // window [60, 120): one good + one junk doc — junk must be counted
+    stream.addData(Seq((1L, 70L, goodText), (2L, 80L, junkText)))
+    q.processAllAvailable()
+    // advance the watermark far enough to close it
+    stream.addData(Seq((3L, 500L, goodText)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table(name).collect()
+      .map(r => (r.getTimestamp(0).toInstant.getEpochSecond,
+        r.getLong(1), r.getDouble(2)))
+    spark.catalog.dropTempView(name)
+    assert(rows.length == 1, rows.mkString(", "))
+    assert(rows.head._1 == 60L && rows.head._2 == 2L)
+    // mean over good+junk sits strictly between the two probabilities
+    assert(rows.head._3 > 0.1 && rows.head._3 < 0.9)
+  }
+
   test("state stays bounded: the dedup key expires past the watermark horizon") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
