@@ -1388,6 +1388,20 @@ object SparkEntry {
             .as("cos_centroid"))
     }),
 
+    // one Lloyd iteration from the k-center seeds — the two
+    // primitives composed (spread seeding feeding IVF training).
+    "e_kmeans_kcenter" -> ((s, dir) => {
+      val vecs = s.read.parquet(s"$dir/embeddings.parquet")
+      val seeds = Similarity.kcenterInit(vecs, k = 4)
+        .select(col("rank"), col("vec_id"))
+      val centroids = seeds
+        .join(vecs, Seq("vec_id"))
+        .select((col("rank") - 1).as("centroid_id"), col("embedding").as("centroid"))
+      Similarity.kmeansStep(vecs, centroids, exact = true)
+        .select(col("centroid_id"), col("pos").cast("long").as("pos"),
+          round(col("m"), 4).as("m"))
+    }),
+
     // FAISS-style SQ8: per-dim (min, scale) trained in one elementwise
     // aggregate, 1-byte codes, asymmetric L2 against raw queries —
     // the 4×-memory-compression serve path.
@@ -3618,6 +3632,41 @@ object SparkEntry {
            |FROM (SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS pos FROM embeddings) x
            |JOIN assign a ON a.vec_id = x.vec_id
            |GROUP BY 1, 2""".stripMargin),
+
+      "e_kmeans_kcenter" -> {
+        def l2(a: String, b: String): String =
+          s"list_sum(list_transform(generate_series(1, len($a.embedding)), " +
+            s"i -> ($a.embedding[i]::double - $b.embedding[i]::double) * " +
+            s"($a.embedding[i]::double - $b.embedding[i]::double)))"
+        s"""WITH c1 AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 1),
+           | d1 AS (SELECT e.vec_id, e.embedding, ${l2("e", "c")} AS mind
+           |   FROM embeddings e, c1 c),
+           | c2 AS (SELECT vec_id, embedding, mind FROM d1 ORDER BY mind DESC, vec_id ASC LIMIT 1),
+           | d2 AS (SELECT d.vec_id, d.embedding, least(d.mind, ${l2("d", "c")}) AS mind
+           |   FROM d1 d, c2 c),
+           | c3 AS (SELECT vec_id, embedding, mind FROM d2 ORDER BY mind DESC, vec_id ASC LIMIT 1),
+           | d3 AS (SELECT d.vec_id, d.embedding, least(d.mind, ${l2("d", "c")}) AS mind
+           |   FROM d2 d, c3 c),
+           | c4 AS (SELECT vec_id, embedding FROM d3 ORDER BY mind DESC, vec_id ASC LIMIT 1),
+           | cents AS (
+           |   SELECT CAST(0 AS BIGINT) AS centroid_id, embedding AS cent FROM c1
+           |   UNION ALL SELECT CAST(1 AS BIGINT), embedding FROM c2
+           |   UNION ALL SELECT CAST(2 AS BIGINT), embedding FROM c3
+           |   UNION ALL SELECT CAST(3 AS BIGINT), embedding FROM c4),
+           | scored AS (SELECT a.vec_id, c.centroid_id,
+           |   list_sum(list_transform(generate_series(1, len(a.embedding)), i -> a.embedding[i]::double * c.cent[i]::double)) /
+           |   (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)), i -> a.embedding[i]::double * a.embedding[i]::double))) *
+           |    sqrt(list_sum(list_transform(generate_series(1, len(c.cent)), i -> c.cent[i]::double * c.cent[i]::double)))) AS sim
+           |   FROM embeddings a, cents c),
+           | assign AS (SELECT vec_id, centroid_id FROM (
+           |   SELECT vec_id, centroid_id, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id ASC) AS rank FROM scored) r
+           |   WHERE rank = 1)
+           |SELECT a.centroid_id, pos - 1 AS pos,
+           |  round(list_sum(list(v::double ORDER BY x.vec_id)) / count(*), 4) + 0 AS m
+           |FROM (SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS pos FROM embeddings) x
+           |JOIN assign a ON a.vec_id = x.vec_id
+           |GROUP BY 1, 2""".stripMargin
+      },
 
       "e_kcenter" -> {
         def l2(a: String, b: String): String =
