@@ -1220,6 +1220,24 @@ object SparkEntry {
       Sampling.shardManifest(
         s.read.parquet(s"$dir/documents.parquet"), col("text"), shards = 8)),
 
+    // packing-efficiency report: per shard, bins the 512-token
+    // concat-and-chop stream fills and its utilization — exact from
+    // the shard token totals (documents straddle bins, so the stream
+    // is contiguous by construction); one aggregate.
+    "d_pack_stats" -> ((s, dir) => {
+      val budget = 512L
+      Sampling.shardAssign(
+          s.read.parquet(s"$dir/documents.parquet"), shards = 8)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextStats.tokensWhitespace(col("text")).cast("long")).as("n_tokens"))
+        .select(col("shard"), col("n_docs"), col("n_tokens"),
+          ceil(col("n_tokens").cast("double") / budget).cast("long").as("n_bins"),
+          round(col("n_tokens").cast("double") /
+            (ceil(col("n_tokens").cast("double") / budget) * budget), 4)
+            .as("utilization"))
+    }),
+
     // CCNet-style per-language perplexity terciles: exact grouped
     // quantile cuts (two-phase rank, no lang-partitioned window)
     // broadcast back onto the doc-sized NLL relation.
@@ -3095,6 +3113,20 @@ object SparkEntry {
           |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
           |  CAST(sum(('0x' || substr(md5(text), 1, 15))::bigint % 2147483647) % 2147483647 AS BIGINT) AS checksum
           |FROM sharded GROUP BY shard""".stripMargin),
+
+      "d_pack_stats" ->
+        ("""WITH sharded AS (
+          |  SELECT doc_id, text,
+          |    CAST(('0x' || substr(md5(doc_id::varchar), 1, 15))::bigint % 8 AS INTEGER) AS shard
+          |  FROM documents),
+          |agg AS (
+          |  SELECT shard, count(*)::bigint AS n_docs,
+          |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+          |  FROM sharded GROUP BY 1)
+          |SELECT shard, n_docs, n_tokens,
+          |  CAST(ceil(n_tokens::double / 512) AS BIGINT) AS n_bins,
+          |  round(n_tokens::double / (ceil(n_tokens::double / 512) * 512), 4) + 0 AS utilization
+          |FROM agg""".stripMargin),
 
       "d_winnow" ->
         ("""WITH wrds AS (
