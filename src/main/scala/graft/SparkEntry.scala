@@ -842,6 +842,20 @@ object SparkEntry {
       graft.llm.Pipeline.funnelReport(
         s.read.parquet(s"$dir/documents.parquet"))),
 
+    // snapshot diff (incremental-release audit): v2 drops every 10th
+    // doc, mutates every 7th, adds shifted copies of every 5th —
+    // status decided by a full-outer id join over content hashes.
+    "d_snapshot_diff" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val v2 = docs.where(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.where(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      graft.llm.Pipeline.snapshotDiff(docs, v2)
+    }),
+
     // cross-source duplication overlap: which sources near-duplicate
     // into which (the "is crawl N swallowing wiki?" audit) — verified
     // near-dup pairs labeled by source on both ends, unordered.
@@ -2870,6 +2884,24 @@ object SparkEntry {
            |       round(sum(CASE WHEN cl.cluster_id IS NOT NULL AND cl.cluster_id <> d.doc_id
            |                 THEN 1 ELSE 0 END)::double / count(*), 4) AS dup_rate
            |FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id GROUP BY 1""".stripMargin),
+
+      "d_snapshot_diff" ->
+        ("""WITH v2 AS (
+          |  SELECT doc_id,
+          |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+          |  FROM documents WHERE doc_id % 10 <> 0
+          |  UNION ALL
+          |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0),
+          |o AS (SELECT doc_id, md5(text) AS h_old FROM documents),
+          |n AS (SELECT doc_id, md5(text) AS h_new FROM v2),
+          |j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, h_old, h_new
+          |      FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+          |SELECT CASE WHEN h_old IS NULL THEN 'added'
+          |            WHEN h_new IS NULL THEN 'removed'
+          |            WHEN h_old <> h_new THEN 'changed'
+          |            ELSE 'unchanged' END AS status,
+          |       count(*)::bigint AS n_docs
+          |FROM j GROUP BY 1""".stripMargin),
 
       "d_funnel_report" ->
         (s"""WITH RECURSIVE

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.Lineage.TruncateOps
@@ -89,5 +89,28 @@ object Pipeline {
       .unionByName(stageRow(2, "quality", quality))
       .unionByName(stageRow(3, "exact", exact))
       .unionByName(stageRow(4, "neardup", near))
+  }
+
+  /** Snapshot diff between two corpus versions — the audit an
+    * incremental release publishes (what changed since v1): per
+    * status (`added` / `removed` / `changed` / `unchanged`), document
+    * counts, decided by a full-outer id join over content hashes.
+    * One shuffle on the id (AQE-sizable), status is a projection —
+    * no content ever moves, only (id, md5) pairs.
+    */
+  def snapshotDiff(
+      oldDocs: DataFrame,
+      newDocs: DataFrame,
+      idCol: Column = col("doc_id"),
+      textCol: Column = col("text")): DataFrame = {
+    val o = oldDocs.select(idCol.as("doc_id"), md5(textCol).as("__h_old"))
+    val n = newDocs.select(idCol.as("doc_id"), md5(textCol).as("__h_new"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(
+        when(col("__h_old").isNull, "added")
+          .when(col("__h_new").isNull, "removed")
+          .when(col("__h_old") =!= col("__h_new"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy("status").agg(count(lit(1)).as("n_docs"))
   }
 }
