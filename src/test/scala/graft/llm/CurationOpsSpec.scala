@@ -165,6 +165,19 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(m1.count { case (k, v) => m3(k) != v } == 1)
   }
 
+  test("snapshotDiff: identical snapshots are all unchanged; each edit class lands once") {
+    import spark.implicits._
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val same = graft.llm.Pipeline.snapshotDiff(v1, v1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(same == Map("unchanged" -> 3L))
+    val v2 = Seq((1L, "a"), (2L, "B!"), (9L, "new")).toDF("doc_id", "text")
+    val diff = graft.llm.Pipeline.snapshotDiff(v1, v2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(diff == Map("unchanged" -> 1L, "changed" -> 1L,
+      "removed" -> 1L, "added" -> 1L), diff.toString)
+  }
+
   test("lshPlan: b*r = n, s50 tracks the threshold, and the plan beats naive extremes") {
     val (b, r, s50, fp, fn) = Dedup.lshPlan(128, 0.8)
     assert(b * r == 128)
