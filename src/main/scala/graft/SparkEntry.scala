@@ -856,6 +856,15 @@ object SparkEntry {
       graft.llm.Pipeline.snapshotDiff(docs, v2)
     }),
 
+    // minhash recall harness: banded-pipeline pairs vs exact blocked
+    // shingle-Jaccard truth (precision 1 by construction — the verify
+    // step is exact; recall is the band-miss rate lshPlan sizes).
+    "d_minhash_recall" -> ((s, dir) =>
+      Dedup.minhashRecall(
+        s.read.parquet(s"$dir/documents.parquet"),
+        col("text"), col("doc_id"),
+        bucketCols = Seq(col("lang"), col("source")), threshold = 0.5)),
+
     // cross-source duplication overlap: which sources near-duplicate
     // into which (the "is crawl N swallowing wiki?" audit) — verified
     // near-dup pairs labeled by source on both ends, unordered.
@@ -2847,6 +2856,31 @@ object SparkEntry {
            |cl AS (SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id),
            |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM cl GROUP BY 1)
            |SELECT cluster_size, count(*) AS n_clusters FROM sizes GROUP BY 1""".stripMargin),
+
+      "d_minhash_recall" ->
+        (s"""WITH lab AS (SELECT doc_id, lang, source FROM documents),
+           |sets AS (SELECT doc_id, $sh3 AS sh FROM documents),
+           |truth AS (SELECT sa.doc_id AS id_a, sb.doc_id AS id_b
+           |  FROM sets sa JOIN lab la ON la.doc_id = sa.doc_id
+           |  JOIN sets sb ON sa.doc_id < sb.doc_id
+           |  JOIN lab lb ON lb.doc_id = sb.doc_id
+           |  WHERE la.lang = lb.lang AND la.source = lb.source
+           |    AND len(list_intersect(sa.sh, sb.sh))::double / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5),
+           |cands AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM ($minhashBands) a
+           |  JOIN ($minhashBands) b ON a.band = b.band AND a.doc_id < b.doc_id GROUP BY 1, 2),
+           |verified AS (SELECT p.id_a, p.id_b FROM cands p
+           |  JOIN sets sa ON sa.doc_id = p.id_a JOIN sets sb ON sb.doc_id = p.id_b
+           |  WHERE len(list_intersect(sa.sh, sb.sh))::double / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5),
+           |approx AS (SELECT v.id_a, v.id_b FROM verified v
+           |  JOIN lab la ON la.doc_id = v.id_a JOIN lab lb ON lb.doc_id = v.id_b
+           |  WHERE la.lang = lb.lang AND la.source = lb.source),
+           |hit AS (SELECT a.id_a, a.id_b FROM approx a
+           |  JOIN truth t ON t.id_a = a.id_a AND t.id_b = a.id_b)
+           |SELECT (SELECT count(*) FROM truth)::bigint AS n_truth,
+           |  (SELECT count(*) FROM approx)::bigint AS n_approx,
+           |  (SELECT count(*) FROM hit)::bigint AS n_hit,
+           |  round((SELECT count(*) FROM hit)::double / greatest((SELECT count(*) FROM approx)::double, 1.0), 4) + 0 AS precision,
+           |  round((SELECT count(*) FROM hit)::double / greatest((SELECT count(*) FROM truth)::double, 1.0), 4) + 0 AS recall""".stripMargin),
 
       "d_source_overlap" ->
         (s"""WITH cands AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM ($minhashBands) a

@@ -581,6 +581,59 @@ object Dedup {
     docs.join(losers, idCol === col("id"), "left_anti")
   }
 
+  /** MinHash-LSH recall harness — the dedup analog of
+    * [[Similarity.recallAtK]]'s "measure, don't guess" rule: exact
+    * shingle-Jaccard TRUTH pairs inside explicit blocks (the only
+    * place exact truth is computable without an all-pairs stage)
+    * versus the banded pipeline's verified pairs restricted to the
+    * same blocks. Because [[minhashNearDups]] verifies candidates
+    * with the exact Jaccard, precision is 1 by construction — the
+    * number this harness exists for is RECALL, the band-miss rate
+    * the (bands, rows) choice trades away (size it with [[lshPlan]]).
+    * One-row report: (n_truth, n_approx, n_hit, precision, recall).
+    */
+  def minhashRecall(
+      docs: DataFrame,
+      textCol: Column,
+      idCol: Column,
+      bucketCols: Seq[Column],
+      shingleWidth: Int = 3,
+      bands: Int = 4,
+      rows: Int = 2,
+      threshold: Double = 0.5): DataFrame = {
+    val lab = docs.select(
+      (bucketCols.zipWithIndex.map { case (c, i) => c.as(s"bk$i") } :+
+        idCol.as("id")): _*)
+    val bk = lab.columns.filter(_.startsWith("bk"))
+    val sets = shingleSets(docs, textCol, idCol, shingleWidth)
+      .join(lab, Seq("id"))
+    val joinCond = bk.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _) &&
+      col("a.id") < col("b.id")
+    val truth = sets.as("a").join(sets.as("b"), joinCond)
+      .withColumn("j",
+        size(array_intersect(col("a.sh"), col("b.sh"))) /
+          size(array_union(col("a.sh"), col("b.sh"))).cast("double"))
+      .where(col("j") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val sameBlock = bk.map(c => col(s"la.$c") === col(s"lb.$c")).reduce(_ && _)
+    val approx = minhashNearDups(docs, textCol, idCol, shingleWidth,
+        bands, rows, threshold)
+      .join(lab.as("la"), col("id_a") === col("la.id"))
+      .join(lab.as("lb"), col("id_b") === col("lb.id"))
+      .where(sameBlock)
+      .select(col("id_a"), col("id_b"))
+    val hit = approx.join(truth, Seq("id_a", "id_b"), "left_semi")
+    val nT = truth.groupBy().agg(count(lit(1)).as("n_truth"))
+    val nA = approx.groupBy().agg(count(lit(1)).as("n_approx"))
+    val nH = hit.groupBy().agg(count(lit(1)).as("n_hit"))
+    nT.crossJoin(nA).crossJoin(nH)
+      .select(col("n_truth"), col("n_approx"), col("n_hit"),
+        round(col("n_hit") / greatest(col("n_approx").cast("double"), lit(1.0)), 4)
+          .as("precision"),
+        round(col("n_hit") / greatest(col("n_truth").cast("double"), lit(1.0)), 4)
+          .as("recall"))
+  }
+
   /** Optimal LSH banding plan: among all (bands b, rows r) with
     * b·r = `nHashes`, pick the one minimizing the integrated
     * candidate error against the target Jaccard `threshold` t —
