@@ -1375,6 +1375,24 @@ object SparkEntry {
       Similarity.kcenterInit(
         s.read.parquet(s"$dir/embeddings.parquet"), k = 4)),
 
+    // chunk → document mean-pooling (the retrieval-serving reduction
+    // for chunked long docs): 8 consecutive chunk vectors pool into
+    // one document embedding; sorted folds keep the float sums
+    // engine-identical.
+    "e_doc_pool" -> ((s, dir) =>
+      s.read.parquet(s"$dir/embeddings.parquet")
+        .select(floor(col("vec_id") / 8).cast("long").as("doc_key"),
+          col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("doc_key", "pos")
+        .agg((aggregate(
+          array_sort(collect_list(struct(col("vec_id"),
+            col("v").cast("double").as("v")))),
+          lit(0.0), (a, e) => a + e.getField("v")) / count(lit(1))).as("m"))
+        .groupBy("doc_key")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          e => round(e.getField("m"), 4)).as("pooled"))),
+
     // nearest-centroid classification confusion: assign each vector
     // to its max-cosine label centroid (broadcast |labels|-sized
     // table), confusion vs the true label — the centroid-quality
@@ -3786,6 +3804,18 @@ object SparkEntry {
            |UNION ALL SELECT CAST(3 AS BIGINT), vec_id, round(mind, 4) + 0 FROM c3
            |UNION ALL SELECT CAST(4 AS BIGINT), vec_id, round(mind, 4) + 0 FROM c4""".stripMargin
       },
+
+      "e_doc_pool" ->
+        ("""WITH pts AS (
+           |  SELECT vec_id // 8 AS doc_key, vec_id, unnest(embedding) AS v,
+           |         generate_subscripts(embedding, 1) AS pos
+           |  FROM embeddings),
+           |m AS (
+           |  SELECT doc_key, pos,
+           |    list_reduce(list(v::double ORDER BY vec_id), (a, b) -> a + b) / count(*) AS m
+           |  FROM pts GROUP BY 1, 2)
+           |SELECT doc_key, list(round(m, 4) ORDER BY pos) AS pooled
+           |FROM m GROUP BY 1""".stripMargin),
 
       "e_ncc" ->
         ("""WITH pts AS (
