@@ -1197,6 +1197,45 @@ object SparkEntry {
       TextStats.vocabReport(
         s.read.parquet(s"$dir/documents.parquet"), col("text"), topK = 200)),
 
+    // per-doc unigram Shannon entropy (nats) — the repetitiveness /
+    // gibberish quality signal: explode → per-(doc, word) counts →
+    // sorted -p·ln p fold; two partial-agg aggregates, no window.
+    "d_entropy" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), explode(TextStats.words(col("text"))).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("__n"),
+          aggregate(
+            array_sort(collect_list(struct(col("w"), col("c")))),
+            lit(0.0), (a, e) => a - e.getField("c") * log(e.getField("c")))
+            .as("__s"))
+        .select(col("doc_id"), col("__n").as("n_words"),
+          round(col("__s") / col("__n") + log(col("__n")), 4).as("entropy"))),
+
+    // corpus Zipf slope: log-log OLS over the top-200 vocab ranks —
+    // the corpus-health check (natural text ≈ −1); a 200-row
+    // aggregate past the vocab heap top-K.
+    "d_zipf" -> ((s, dir) => {
+      val v = TextStats.vocabReport(
+          s.read.parquet(s"$dir/documents.parquet"), col("text"), topK = 200)
+        .select(col("rank"), log(col("rank").cast("double")).as("x"),
+          log(col("n").cast("double")).as("y"))
+      // sums fold in rank order (sorted folds) so the 200-term float
+      // arithmetic is engine-identical
+      def fold(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = aggregate(
+        array_sort(collect_list(struct(col("rank"), c.as("t")))),
+        lit(0.0), (a, e) => a + e.getField("t"))
+      v.groupBy()
+        .agg(count(lit(1)).as("__n"), fold(col("x")).as("__sx"),
+          fold(col("y")).as("__sy"), fold(col("x") * col("y")).as("__sxy"),
+          fold(col("x") * col("x")).as("__sxx"))
+        .select(col("__n").as("n_terms"),
+          round((col("__sxy") - col("__sx") * col("__sy") / col("__n")) /
+            (col("__sxx") - col("__sx") * col("__sx") / col("__n")), 4)
+            .as("zipf_slope"))
+    }),
+
     // per-doc top-5 TF-IDF terms: df joins back on the term (shuffled
     // equi-join, AQE skew-splittable); the top-k window partitions on
     // the doc id, bounded by doc length — never on the term key.
@@ -3577,6 +3616,36 @@ object SparkEntry {
           |  round(list_reduce(cs, (a, b) -> a + b) / dl, 4) + 0 AS nll,
           |  round(exp(list_reduce(cs, (a, b) -> a + b) / dl), 4) + 0 AS ppl
           |FROM agg""".stripMargin),
+
+      "d_entropy" ->
+        ("""WITH toks AS (
+          |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+          |  FROM documents),
+          |cnt AS (SELECT doc_id, w, count(*)::bigint AS c FROM toks GROUP BY 1, 2),
+          |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+          |    list_reduce(list(-(c * ln(c)) ORDER BY w), (a, b) -> a + b) AS s
+          |  FROM cnt GROUP BY 1)
+          |SELECT doc_id, n_words,
+          |  round(s / n_words + ln(n_words), 4) + 0 AS entropy
+          |FROM agg""".stripMargin),
+
+      "d_zipf" ->
+        ("""WITH toks AS (
+          |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+          |  FROM documents),
+          |counts AS (SELECT token, count(*)::bigint AS n FROM toks GROUP BY 1),
+          |top AS (SELECT token, n FROM counts ORDER BY n DESC, token LIMIT 200),
+          |r AS (SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rank FROM top),
+          |t AS (SELECT rank, ln(rank::double) AS x, ln(n::double) AS y FROM r),
+          |f AS (SELECT count(*)::bigint AS n_terms,
+          |    list_reduce(list(x ORDER BY rank), (a, b) -> a + b) AS sx,
+          |    list_reduce(list(y ORDER BY rank), (a, b) -> a + b) AS sy,
+          |    list_reduce(list(x * y ORDER BY rank), (a, b) -> a + b) AS sxy,
+          |    list_reduce(list(x * x ORDER BY rank), (a, b) -> a + b) AS sxx
+          |  FROM t)
+          |SELECT n_terms,
+          |  round((sxy - sx * sy / n_terms) / (sxx - sx * sx / n_terms), 4) + 0 AS zipf_slope
+          |FROM f""".stripMargin),
 
       "d_vocab" ->
         ("""WITH toks AS (
