@@ -605,14 +605,20 @@ object Dedup {
       (bucketCols.zipWithIndex.map { case (c, i) => c.as(s"bk$i") } :+
         idCol.as("id")): _*)
     val bk = lab.columns.filter(_.startsWith("bk"))
+    // per-doc sort ONCE so the per-pair truth evaluation is the
+    // zero-allocation merge kernel, not a hash-set rebuild per pair
+    // (set semantics — the Jaccard value is order-independent)
     val sets = shingleSets(docs, textCol, idCol, shingleWidth)
+      .select(col("id"), array_sort(col("sh")).as("sh"))
       .join(lab, Seq("id"))
     val joinCond = bk.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _) &&
       col("a.id") < col("b.id")
     val truth = sets.as("a").join(sets.as("b"), joinCond)
       .withColumn("j",
-        size(array_intersect(col("a.sh"), col("b.sh"))) /
-          size(array_union(col("a.sh"), col("b.sh"))).cast("double"))
+        org.apache.spark.sql.GraftExpressionBridge.column(
+          graft.functions.SortedSetJaccard(
+            org.apache.spark.sql.GraftExpressionBridge.expression(col("a.sh")),
+            org.apache.spark.sql.GraftExpressionBridge.expression(col("b.sh")))))
       .where(col("j") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
     val sameBlock = bk.map(c => col(s"la.$c") === col(s"lb.$c")).reduce(_ && _)
