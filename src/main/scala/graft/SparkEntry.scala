@@ -1243,6 +1243,18 @@ object SparkEntry {
       TextStats.tfidfTopK(s.read.parquet(s"$dir/documents.parquet"),
         col("text"), col("doc_id"), k = 5)),
 
+    // deterministic k-per-group sample (balanced eval-set draws):
+    // top-20 per lang by the uniform id hash via the salted two-stage
+    // top-k — a 44%-hot language never serializes into one rank task.
+    "d_sample_group" -> ((s, dir) =>
+      graft.events.TopK.topKBy(
+        s.read.parquet(s"$dir/documents.parquet"),
+        groupCols = Seq("lang"), idCol = col("doc_id"),
+        valueCol = Sampling.hash01(col("doc_id")), k = 20,
+        idName = "doc_id", valueName = "draw")
+        .select(col("lang"), col("rank"), col("doc_id"),
+          round(col("draw"), 6).as("draw"))),
+
     // DSIR hashed-ngram importance weights (target = src0/src1 docs):
     // native in-row bucket-count kernel, distributions collected as a
     // 256-row λ table, map-only scoring fold — zero corpus shuffle.
@@ -3488,6 +3500,17 @@ object SparkEntry {
           |  round(list_reduce(cs, (a, b) -> a + b) / dl, 4) + 0 AS nll,
           |  round(exp(list_reduce(cs, (a, b) -> a + b) / dl), 4) + 0 AS ppl
           |FROM agg""".stripMargin),
+
+      "d_sample_group" ->
+        ("""WITH drawn AS (
+          |  SELECT lang, doc_id,
+          |    ('0x' || substr(md5(doc_id::varchar), 1, 15))::bigint / 1152921504606846976.0 AS draw
+          |  FROM documents),
+          |ranked AS (SELECT lang, doc_id, draw,
+          |    row_number() OVER (PARTITION BY lang ORDER BY draw DESC, doc_id ASC) AS rank
+          |  FROM drawn)
+          |SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, round(draw, 6) + 0 AS draw
+          |FROM ranked WHERE rank <= 20""".stripMargin),
 
       "d_dsir" -> dsirSql,
 
