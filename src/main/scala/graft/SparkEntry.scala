@@ -1022,7 +1022,10 @@ object SparkEntry {
         .select(col("doc_id"),
           Dedup.winnow(col("text"), k = 5, w = 4).as("fps"))
         .select(col("doc_id"), size(col("fps")).cast("long").as("n_fps"),
-          col("fps"))),
+          // stringified for the oracle comparator (array-typed top-level
+          // columns are not sortable driver-side); long elements format
+          // identically in Spark and DuckDB.
+          array_join(col("fps").cast("array<string>"), ",").as("fps_str"))),
 
     // boilerplate-line removal over deterministically multi-lined docs
     // (the synthetic corpus is single-line, so — like d_c4 — header/
@@ -1336,7 +1339,11 @@ object SparkEntry {
     // stop-word's full posting list in one task.
     "d_inverted" -> ((s, dir) =>
       TextStats.invertedIndex(s.read.parquet(s"$dir/documents.parquet"),
-        col("text"), col("doc_id"), cap = 8, salts = 16)),
+        col("text"), col("doc_id"), cap = 8, salts = 16)
+        // posting list stringified for the oracle comparator (top-level
+        // array columns are not sortable driver-side).
+        .withColumn("postings",
+          array_join(col("postings").cast("array<string>"), ","))),
 
     // TextRank keyword importance: PageRank (4 iterations) over the
     // token co-occurrence graph; in-row pair explode, then per
@@ -1431,6 +1438,9 @@ object SparkEntry {
     // one document embedding; sorted folds keep the float sums
     // engine-identical.
     "e_doc_pool" -> ((s, dir) =>
+      // one row per (doc_key, dimension) so the result is scalar-only
+      // for the oracle comparator; pos is 1-based to match DuckDB's
+      // generate_subscripts.
       s.read.parquet(s"$dir/embeddings.parquet")
         .select(floor(col("vec_id") / 8).cast("long").as("doc_key"),
           col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
@@ -1439,10 +1449,8 @@ object SparkEntry {
           array_sort(collect_list(struct(col("vec_id"),
             col("v").cast("double").as("v")))),
           lit(0.0), (a, e) => a + e.getField("v")) / count(lit(1))).as("m"))
-        .groupBy("doc_key")
-        .agg(transform(
-          array_sort(collect_list(struct(col("pos"), col("m")))),
-          e => round(e.getField("m"), 4)).as("pooled"))),
+        .select(col("doc_key"), (col("pos") + 1).cast("long").as("pos"),
+          round(col("m"), 4).as("pooled"))),
 
     // nearest-centroid classification confusion: assign each vector
     // to its max-cosine label centroid (broadcast |labels|-sized
@@ -3109,7 +3117,7 @@ object SparkEntry {
       "d_mixture" ->
         ("""WITH per AS (
           |  SELECT source, count(*) AS n_docs,
-          |         sum(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)) AS n_tokens
+          |         CAST(sum(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)) AS BIGINT) AS n_tokens
           |  FROM documents GROUP BY 1),
           |fr AS (
           |  SELECT source, n_docs, n_tokens,
@@ -3278,7 +3286,8 @@ object SparkEntry {
           |           generate_series(1, len(hs) - 3), i -> list_min(hs[i:i+3]))))
           |    END AS fps
           |  FROM hs)
-          |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps, fps FROM fps""".stripMargin),
+          |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
+          |       array_to_string(fps, ',') AS fps_str FROM fps""".stripMargin),
 
       "d_boilerplate" ->
         ("""WITH docs2 AS (
@@ -3709,7 +3718,7 @@ object SparkEntry {
           |  FROM documents),
           |toks AS (SELECT DISTINCT doc_id, token FROM tok0)
           |SELECT token, count(*)::bigint AS df,
-          |       (list(doc_id ORDER BY doc_id))[1:8] AS postings
+          |       array_to_string((list(doc_id ORDER BY doc_id))[1:8], ',') AS postings
           |FROM toks GROUP BY 1""".stripMargin),
 
       "d_bpe_pairs" ->
@@ -3906,8 +3915,9 @@ object SparkEntry {
            |  SELECT doc_key, pos,
            |    list_reduce(list(v::double ORDER BY vec_id), (a, b) -> a + b) / count(*) AS m
            |  FROM pts GROUP BY 1, 2)
-           |SELECT doc_key, list(round(m, 4) ORDER BY pos) AS pooled
-           |FROM m GROUP BY 1""".stripMargin),
+           |SELECT CAST(doc_key AS BIGINT) AS doc_key, CAST(pos AS BIGINT) AS pos,
+           |       round(m, 4) + 0 AS pooled
+           |FROM m""".stripMargin),
 
       "e_ncc" ->
         ("""WITH pts AS (

@@ -32,11 +32,18 @@ object Graph {
       bCol: Column,
       iters: Int,
       damping: Double = 0.85): DataFrame = {
-    val sym = edges.select(aCol.as("src"), bCol.as("dst"))
-      .union(edges.select(bCol.as("src"), aCol.as("dst")))
-      .distinct()
-    val deg = sym.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).cast("double").as("deg"))
+    // `sym` and `deg` are referenced inside every iteration; without a
+    // lineage cut each loop pass re-derives the edge list from its
+    // upstream corpus scan (textrank's doc-scan → pair explode →
+    // distinct ran ~8× for 4 iterations). Truncate both ONCE before
+    // the loop — same discipline as Dedup.clusters / Similarity.kmeans.
+    val sym = graft.Lineage.truncate(
+      edges.select(aCol.as("src"), bCol.as("dst"))
+        .union(edges.select(bCol.as("src"), aCol.as("dst")))
+        .distinct())
+    val deg = graft.Lineage.truncate(
+      sym.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).cast("double").as("deg")))
     val n = deg.groupBy().agg(count(lit(1)).cast("double").as("__n"))
     var ranks = deg.crossJoin(broadcast(n))
       .select(col("node"), (lit(1.0) / col("__n")).as("rank"))
