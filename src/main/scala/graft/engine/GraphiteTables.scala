@@ -34,11 +34,21 @@ object GraphiteTables {
   private val derived =
     new java.util.concurrent.ConcurrentHashMap[(String, String, String), DataFrame]()
 
+  /** Materialize via [[graft.Lineage.truncate]] (LogicalRDD), NOT
+    * `.cache()`: an InMemoryRelation whose cached plan is an
+    * AdaptiveSparkPlan never compares `sameResult` to a second scan
+    * of itself, which silently disables exchange/stage reuse for
+    * EVERY query subtree that touches the table — a PromQL binop
+    * whose two operands share one selector then re-scans and
+    * re-aggregates the whole matrix twice. A LogicalRDD keys
+    * canonicalization on the materialized RDD id, so repeated
+    * references dedup into ReusedQueryStages as intended.
+    */
   private def memo(spark: SparkSession, dir: String, kind: String)(
       build: => DataFrame): DataFrame =
     derived.computeIfAbsent(
       (spark.sparkContext.applicationId, dir, kind),
-      _ => build.cache())
+      _ => graft.Lineage.truncate(build, eager = false))
 
   /** events.parquet has shipped `ts` both as nanosecond timestamps
     * (which Spark's parquet reader rejects by default — read as raw
@@ -51,8 +61,14 @@ object GraphiteTables {
     val df = spark.read.parquet(s"$dir/events.parquet")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => df
-      case _ => // session tz is UTC, so NTZ wall-clock == the instant
-        df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000L)
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // session tz is UTC, so NTZ wall-clock == the instant; the
+        // native reinterpretation keeps the (filter-duplicated) time
+        // arithmetic pure long math instead of per-row zone conversion
+        df.withColumn("ts",
+          graft.functions.EpochMath.ntzEpochMicros(col("ts")) * 1000L)
+      case _ => // TIMESTAMP_LTZ: unix_micros reads the instant directly
+        df.withColumn("ts", unix_micros(col("ts")) * 1000L)
     }
   }
 
@@ -61,13 +77,21 @@ object GraphiteTables {
     * the day of `time` — the partition-pruning key replacing the
     * reference's `PREWHERE Date BETWEEN` (`render/data/query.go:422-433`).
     */
+  /** Nanos → whole seconds as exact long division (`div`): the
+    * double-division form `(ts / 1e9).cast(long)` loses precision at
+    * 61-bit nano magnitudes (a sample within ~100 ns of a second
+    * boundary can land in the wrong second) and costs two casts per
+    * occurrence after filter-pushdown duplication.
+    */
+  private def tsSeconds: org.apache.spark.sql.Column = expr("ts div 1000000000")
+
   def points(spark: SparkSession, dir: String): DataFrame = {
     val path = concat(lit("events."), col("event_type"), lit(".user"), col("user_id"))
     events(spark, dir).select(
       path.as("path"),
       col("value"),
-      (col("ts") / 1000000000L).cast("long").as("time"),
-      to_date(timestamp_seconds((col("ts") / 1000000000L).cast("long"))).as("date"),
+      tsSeconds.as("time"),
+      to_date(timestamp_seconds(tsSeconds)).as("date"),
       col("event_id").as("version"),
       reversePath(path).as("path_reversed"))
   }
@@ -80,8 +104,8 @@ object GraphiteTables {
     events(spark, dir).select(
       concat(lit("events?type="), col("event_type"), lit("&user="), col("user_id")).as("path"),
       col("value"),
-      (col("ts") / 1000000000L).cast("long").as("time"),
-      to_date(timestamp_seconds((col("ts") / 1000000000L).cast("long"))).as("date"),
+      tsSeconds.as("time"),
+      to_date(timestamp_seconds(tsSeconds)).as("date"),
       col("event_id").as("version"))
 
   /** Dot-segment reversal `a.b.c → c.b.a` (`pkg/reverse/reverse.go:8-22`)

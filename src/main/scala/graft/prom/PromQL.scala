@@ -1017,72 +1017,110 @@ object PromQL {
       start: Long,
       end: Long,
       step0: Long,
-      lookbackSec: Long = LookbackSec): DataFrame = {
+      lookbackSec: Long = LookbackSec): DataFrame =
+    evalMemo(points, tags, expr, start, end, step0, lookbackSec,
+      new scala.collection.mutable.HashMap[(Expr, Long, Long, Long, Long), DataFrame])
+
+  /** Per-query common-subexpression elimination: structurally equal
+    * (sub-expression, window) pairs evaluate ONCE and every other
+    * occurrence references the same DataFrame instance, so Spark's
+    * exchange/stage reuse turns the duplicate subtree into a
+    * ReusedQueryStage instead of a second scan + aggregate pipeline.
+    * The dominant PromQL dashboard shapes hit this constantly —
+    * `m / on(g) group_left sum by (g)(m)`, `m unless (m > k)`,
+    * same-metric ratios — where both operands contain the identical
+    * selector matrix (measured 1.9 s → 0.4 s for group_left at sf0.1).
+    * The memo is created fresh per top-level evaluation; keys carry
+    * the full evaluation window so offset-shifted windows never
+    * collide. Expr is a pure-data case-class tree, so equality is
+    * structural.
+    */
+  private def evalMemo(
+      points: DataFrame,
+      tags: DataFrame,
+      expr: Expr,
+      start: Long,
+      end: Long,
+      step0: Long,
+      lookbackSec: Long,
+      memo: scala.collection.mutable.HashMap[(Expr, Long, Long, Long, Long), DataFrame]): DataFrame =
+    memo.getOrElseUpdate((expr, start, end, step0, lookbackSec),
+      evalCore(points, tags, expr, start, end, step0, lookbackSec, memo))
+
+  private def evalCore(
+      points: DataFrame,
+      tags: DataFrame,
+      expr: Expr,
+      start: Long,
+      end: Long,
+      step0: Long,
+      lookbackSec: Long,
+      memo: scala.collection.mutable.HashMap[(Expr, Long, Long, Long, Long), DataFrame]): DataFrame = {
     require(end >= start, "end < start")
     expr match {
       // scalar-typed expressions (`1 + 2`, `2 * pi()`, `scalar(v)`
       // arithmetic) render as one label-less grid series (declared
       // envelope divergence, same numbers as Prometheus's scalar type)
       case e if isScalarExpr(e) =>
-        return scalarSlots(points, tags, e, start, end, step0, lookbackSec)
+        return scalarSlots(points, tags, e, start, end, step0, lookbackSec, memo)
           .select(lit("").as("path"), col("t"), col("sval").as("value"))
       // timestamp over a plain (possibly offset) selector falls to the
       // raw-sample scan below and stamps the latest sample's OWN time;
       // offset shifts the window, stamps stay raw (like Prometheus)
       case TimestampFn(Offset(o, sel: Selector)) =>
-        return evalMatrix(points, tags, TimestampFn(sel),
-            start - o, end - o, step0, lookbackSec)
+        return evalMemo(points, tags, TimestampFn(sel),
+            start - o, end - o, step0, lookbackSec, memo)
           .select(col("path"), (col("t") + lit(o)).as("t"), col("value"))
       case TimestampFn(inner) if !inner.isInstanceOf[Selector] =>
         // derived vectors: their samples are minted at eval time, so
         // the stamp IS the slot time — one projection, no extra scan
-        return evalMatrix(points, tags, inner, start, end, step0, lookbackSec)
+        return evalMemo(points, tags, inner, start, end, step0, lookbackSec, memo)
           .select(regexp_replace(col("path"), "^[^?]*", "").as("path"),
             col("t"), col("t").cast("double").as("value"))
       case Agg(op, by, inner, without) =>
         return aggMatrix(
-          evalMatrix(points, tags, inner, start, end, step0, lookbackSec),
+          evalMemo(points, tags, inner, start, end, step0, lookbackSec, memo),
           op, by, without = without)
       case RankK(op, k, inner, by, without) =>
         return rankMatrix(
-          evalMatrix(points, tags, inner, start, end, step0, lookbackSec),
+          evalMemo(points, tags, inner, start, end, step0, lookbackSec, memo),
           op, k, by, without)
       case Quantile(phi, by, inner, without) =>
         return aggMatrix(
-          evalMatrix(points, tags, inner, start, end, step0, lookbackSec),
+          evalMemo(points, tags, inner, start, end, step0, lookbackSec, memo),
           "quantile", by, phi, without = without)
       case MathFn(fn, args, inner) =>
         return mathFnMatrix(
-          evalMatrix(points, tags, inner, start, end, step0, lookbackSec), fn, args)
+          evalMemo(points, tags, inner, start, end, step0, lookbackSec, memo), fn, args)
       case Absent(inner) =>
         return absentGrid(points,
-          evalMatrix(points, tags, inner, start, end, step0, lookbackSec),
+          evalMemo(points, tags, inner, start, end, step0, lookbackSec, memo),
           inner, start, end, step0)
       case RangeFn("absent_over_time", sel, rangeSec, _, _) =>
         // 1 where the RANGE window holds no sample: the presence
         // matrix is the cheap one-pass present_over_time aggregate,
         // absence is the grid anti-join against its slots
         return absentGrid(points,
-          evalMatrix(points, tags, RangeFn("present_over_time", sel, rangeSec),
-            start, end, step0, lookbackSec),
+          evalMemo(points, tags, RangeFn("present_over_time", sel, rangeSec),
+            start, end, step0, lookbackSec, memo),
           sel, start, end, step0)
       case SubQuery("absent_over_time", inner, rangeSec, stepSec, _, _) =>
         return absentGrid(points,
-          evalMatrix(points, tags,
+          evalMemo(points, tags,
             SubQuery("present_over_time", inner, rangeSec, stepSec, None, None),
-            start, end, step0, lookbackSec),
+            start, end, step0, lookbackSec, memo),
           inner, start, end, step0)
       case LabelReplace(dst, rep, src, regex, inner) =>
         return labelReplaceMatrix(
-          evalMatrix(points, tags, inner, start, end, step0, lookbackSec),
+          evalMemo(points, tags, inner, start, end, step0, lookbackSec, memo),
           dst, rep, src, regex)
       case LabelJoin(dst, sep, srcs, inner) =>
         return labelJoinMatrix(
-          evalMatrix(points, tags, inner, start, end, step0, lookbackSec),
+          evalMemo(points, tags, inner, start, end, step0, lookbackSec, memo),
           dst, sep, srcs)
       case CountValues(label, inner) =>
         return countValuesMatrix(
-          evalMatrix(points, tags, inner, start, end, step0, lookbackSec), label)
+          evalMemo(points, tags, inner, start, end, step0, lookbackSec, memo), label)
       case SubQuery(fn, inner, rangeSec, stepSec, arg, arg2) =>
         // inner pass on the absolutely-aligned subquery grid (the
         // smallest step-multiple > start - range, like Prometheus),
@@ -1092,8 +1130,8 @@ object PromQL {
         val subStep = math.max(1L, stepSec.getOrElse(outerStep))
         val innerStart = (Math.floorDiv(start - rangeSec, subStep) + 1) * subStep
         val innerM =
-          evalMatrix(points, tags, inner, innerStart, math.max(innerStart, end),
-            subStep, lookbackSec)
+          evalMemo(points, tags, inner, innerStart, math.max(innerStart, end),
+            subStep, lookbackSec, memo)
             .withColumnRenamed("t", "time")
         val bounded =
           if (innerStart > end) innerM.where(lit(false)) else innerM
@@ -1107,10 +1145,10 @@ object PromQL {
         return (l, r) match {
           case (se, e) if isScalarExpr(se) =>
             vecScalarOp(points, tags, e, se, op, scalarLeft = true, bool,
-              start, end, step0, lookbackSec)
+              start, end, step0, lookbackSec, memo)
           case (e, se) if isScalarExpr(se) =>
             vecScalarOp(points, tags, e, se, op, scalarLeft = false, bool,
-              start, end, step0, lookbackSec)
+              start, end, step0, lookbackSec, memo)
           case _ =>
             (l, r) match {
               // fully-fused form for the dashboard-ratio pattern
@@ -1141,25 +1179,41 @@ object PromQL {
               // inputs are fleet-sized matrices and the join is one
               // shuffle each on (k, t).
               case _ =>
+                // a group_left/group_right "one" side that is an
+                // aggregation keyed exactly on the on() labels is
+                // unique per (key, slot) BY CONSTRUCTION — binOpMatrix
+                // can skip its defensive dedup aggregate stage
+                def aggKeyedOnMatch(e: Expr): Boolean = e match {
+                  case Agg(_, by, _, without) if !without && m.on =>
+                    by.distinct.sorted == m.labels.distinct.sorted
+                  case Quantile(_, by, _, without) if !without && m.on =>
+                    by.distinct.sorted == m.labels.distinct.sorted
+                  case _ => false
+                }
+                val oneUnique = m.side match {
+                  case Matching.GroupLeft  => aggKeyedOnMatch(r)
+                  case Matching.GroupRight => aggKeyedOnMatch(l)
+                  case _                   => false
+                }
                 binOpMatrix(
-                  evalMatrix(points, tags, l, start, end, step0, lookbackSec),
-                  evalMatrix(points, tags, r, start, end, step0, lookbackSec),
-                  op, bool, m)
+                  evalMemo(points, tags, l, start, end, step0, lookbackSec, memo),
+                  evalMemo(points, tags, r, start, end, step0, lookbackSec, memo),
+                  op, bool, m, oneUnique)
             }
         }
       case SetOp(op, l, r, m) =>
         return setOpMatrix(
-          evalMatrix(points, tags, l, start, end, step0, lookbackSec),
-          evalMatrix(points, tags, r, start, end, step0, lookbackSec), op, m)
+          evalMemo(points, tags, l, start, end, step0, lookbackSec, memo),
+          evalMemo(points, tags, r, start, end, step0, lookbackSec, memo), op, m)
       case HistQuantile(phi, inner) =>
         return histogramQuantileMatrix(
-          evalMatrix(points, tags, inner, start, end, step0, lookbackSec), phi)
+          evalMemo(points, tags, inner, start, end, step0, lookbackSec, memo), phi)
       case Sort(_, inner) =>
         // a matrix has no row order — ordering applies at the
         // instant-response assembly (see [[Sort]])
-        return evalMatrix(points, tags, inner, start, end, step0, lookbackSec)
+        return evalMemo(points, tags, inner, start, end, step0, lookbackSec, memo)
       case SortByLabel(_, _, inner) =>
-        return evalMatrix(points, tags, inner, start, end, step0, lookbackSec)
+        return evalMemo(points, tags, inner, start, end, step0, lookbackSec, memo)
       case VectorLit(v) =>
         return gridMatrix(points, start, end, step0, lit(v))
       case DateFn(fn, None) =>
@@ -1167,20 +1221,20 @@ object PromQL {
       case DateFn(fn, Some(inner)) =>
         // value form: each sample value is an epoch-seconds timestamp;
         // narrow map, metric name dropped like every math function
-        val m = evalMatrix(points, tags, inner, start, end, step0, lookbackSec)
+        val m = evalMemo(points, tags, inner, start, end, step0, lookbackSec, memo)
         return m.select(
           regexp_replace(col("path"), "^[^?]*", "").as("path"), col("t"),
           dateComponent(fn, floor(col("value")).cast("long")).cast("double")
             .as("value"))
       case Offset(o, inner) =>
         // same plan over the shifted window, stamps shifted back
-        return evalMatrix(points, tags, inner, start - o, end - o, step0, lookbackSec)
+        return evalMemo(points, tags, inner, start - o, end - o, step0, lookbackSec, memo)
           .select(col("path"), (col("t") + lit(o)).as("t"), col("value"))
       case At(ts, inner) =>
         // pinned evaluation: inner runs ONCE at ts, the result-sized
         // vector replicates across the grid by explode — no join, no
         // per-slot re-scan
-        val one = evalMatrix(points, tags, inner, ts, ts, 1L, lookbackSec)
+        val one = evalMemo(points, tags, inner, ts, ts, 1L, lookbackSec, memo)
         val step = math.max(1L, step0)
         val lastSlot = (end - start) / step
         return one.select(col("path"), col("value"),
@@ -1188,19 +1242,19 @@ object PromQL {
           .select(col("path"), (lit(start) + col("n") * lit(step)).as("t"),
             col("value"))
       case AtEdge(atStart, inner) =>
-        return evalMatrix(points, tags,
-          At(if (atStart) start else end, inner), start, end, step0, lookbackSec)
+        return evalMemo(points, tags,
+          At(if (atStart) start else end, inner), start, end, step0, lookbackSec, memo)
       case LimitRatio(r, inner) =>
         // series-consistent across slots: the draw hashes the path
         // only — one narrow filter, no shuffle, no window
         val draw = graft.llm.Sampling.hash01(col("path"))
         val keep = if (r >= 0) draw < lit(r) else draw >= lit(1.0 + r)
-        return evalMatrix(points, tags, inner, start, end, step0, lookbackSec)
+        return evalMemo(points, tags, inner, start, end, step0, lookbackSec, memo)
           .where(keep)
       case LimitK(k, inner) =>
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("t")).orderBy(col("path").asc)
-        return evalMatrix(points, tags, inner, start, end, step0, lookbackSec)
+        return evalMemo(points, tags, inner, start, end, step0, lookbackSec, memo)
           .withColumn("rk", row_number().over(w))
           .where(col("rk") <= k)
           .select("path", "t", "value")
@@ -1215,28 +1269,25 @@ object PromQL {
       case _ => throw new IllegalStateException("handled above")
     }
 
-    // the matched series set is find-result-sized — broadcast it so
-    // the sample scan needs no shuffle for the semi-join
-    val paths = Prom.findByMatchers(tags, expr.matchers)
+    // the matched series set is find-result-sized — collected once
+    // per session through the find memo and broadcast as a local
+    // relation, so the sample scan needs no shuffle (and no extra
+    // stages) for the semi-join
+    val paths = Prom.findPathsCached(tags, expr.matchers)
     val scanned = points
       .join(broadcast(paths), Seq("path"), "left_semi")
       .where(col("time") > lit(start - win) && col("time") <= lit(end))
-    // duplicate write versions resolve max-version-wins before any
-    // window math, like the render path's Uniq dedup
-    // (`helper/point/func.go:29-51`)
-    val pts =
-      if (scanned.columns.contains("version"))
-        scanned.groupBy("path", "time")
-          .agg(max_by(col("value"), col("version")).as("value"))
-      else scanned.select("path", "time", "value")
-
+    // duplicate write versions resolve max-version-wins
+    // (`helper/point/func.go:29-51`) — windowAggregate either fuses
+    // the dedup into its slot aggregate (instant/timestamp) or
+    // pre-dedups before its window math (every other fn)
     expr match {
       case _: Selector =>
-        windowAggregate(pts, "__instant__", None, None, start, end, step, win)
+        windowAggregate(scanned, "__instant__", None, None, start, end, step, win)
       case _: TimestampFn =>
-        windowAggregate(pts, "__timestamp__", None, None, start, end, step, win)
+        windowAggregate(scanned, "__timestamp__", None, None, start, end, step, win)
       case rf: RangeFn =>
-        windowAggregate(pts, rf.fn, rf.arg, rf.arg2, start, end, step, win)
+        windowAggregate(scanned, rf.fn, rf.arg, rf.arg2, start, end, step, win)
       case _ =>
         throw new IllegalStateException("handled above")
     }
@@ -1250,7 +1301,7 @@ object PromQL {
     * most-recent-sample selector semantics.
     */
   private def windowAggregate(
-      pts: DataFrame,
+      pts0: DataFrame,
       fnName: String,
       argOpt: Option[Double],
       arg2Opt: Option[Double],
@@ -1258,6 +1309,18 @@ object PromQL {
       end: Long,
       step: Long,
       win: Long): DataFrame = {
+    // max-version-wins dedup of duplicate (path, time) writes: the
+    // instant/timestamp selectors fuse it INTO the slot aggregate
+    // (their per-slot reduction is version-order-compatible), saving
+    // the hot path a full extra shuffle; every other window fn
+    // pre-dedups so its math never sees a duplicated sample
+    val versioned = pts0.columns.contains("version")
+    val fused = fnName == "__instant__" || fnName == "__timestamp__"
+    val pts =
+      if (versioned && !fused)
+        pts0.groupBy("path", "time")
+          .agg(max_by(col("value"), col("version")).as("value"))
+      else pts0
     val lastSlot = (end - start) / step
     // slot range a sample at time s can serve: t = start + n·step with
     // s ≤ t  and  t < s + win  (Prometheus takes samples from
@@ -1266,23 +1329,40 @@ object PromQL {
     val offs = col("time") - lit(start)
     val nMin = greatest(lit(0L), floor((offs + lit(step - 1)) / lit(step)).cast("long"))
     val nMax = least(lit(lastSlot), floor((offs + lit(win - 1)) / lit(step)).cast("long"))
+    val keep: Seq[Column] =
+      if (versioned && fused)
+        Seq(col("path"), col("time"), col("value"), col("version"))
+      else Seq(col("path"), col("time"), col("value"))
     val slotted = pts
       .withColumn("n_min", nMin).withColumn("n_max", nMax)
       .where(col("n_min") <= col("n_max"))
-      .select(col("path"), col("time"), col("value"),
-        explode(sequence(col("n_min"), col("n_max"))).as("n"))
+      .select(keep :+ explode(sequence(col("n_min"), col("n_max"))).as("n"): _*)
 
     val t = (lit(start) + col("n") * lit(step)).as("t")
     fnName match {
       case "__instant__" =>
-        // most recent sample in the window — one hash aggregate
+        // most recent sample in the window, highest version among
+        // same-time duplicates — ONE hash aggregate, dedup fused.
+        // The (time, version) lexicographic order is encoded as
+        // time·10¹⁹ + version in DECIMAL(38,0): a struct ordering
+        // would force the whole aggregate to a SortAggregate (struct
+        // is not a mutable-buffer type), while fixed-precision
+        // decimals keep hash aggregation. Versions are non-negative
+        // (the reference's Timestamp column is a uint32 write stamp),
+        // so the encoding is order-preserving.
+        val ord =
+          if (versioned)
+            col("time").cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+              lit(BigDecimal("10000000000000000000")) + col("version")
+          else col("time")
         slotted.groupBy(col("path"), col("n"))
-          .agg(max_by(col("value"), col("time")).as("value"))
+          .agg(max_by(col("value"), ord).as("value"))
           .select(col("path"), t, col("value"))
 
       case "__timestamp__" =>
-        // timestamp(sel): the latest sample's OWN time (= max time),
-        // metric name dropped like every Prometheus function
+        // timestamp(sel): the latest sample's OWN time (= max time,
+        // version-independent), metric name dropped like every
+        // Prometheus function
         slotted.groupBy(col("path"), col("n"))
           .agg(max(col("time")).cast("double").as("value"))
           .select(regexp_replace(col("path"), "^[^?]*", "").as("path"),
@@ -1620,9 +1700,9 @@ object PromQL {
       step0: Long,
       lookbackSec: Long): DataFrame = {
     val step = math.max(1L, step0)
-    val p1 = Prom.findByMatchers(tags, s1.matchers)
+    val p1 = Prom.findPathsCached(tags, s1.matchers)
       .select(col("path"), lit(true).as("__m1"))
-    val p2 = Prom.findByMatchers(tags, s2.matchers)
+    val p2 = Prom.findPathsCached(tags, s2.matchers)
       .select(col("path"), lit(true).as("__m2"))
     val paths = p1.join(p2, Seq("path"), "full_outer")
       .select(col("path"),
@@ -1705,7 +1785,8 @@ object PromQL {
       rm: DataFrame,
       op: String,
       boolMode: Boolean = false,
-      m: Matching = Matching.default): DataFrame = {
+      m: Matching = Matching.default,
+      oneUnique: Boolean = false): DataFrame = {
     val key = matchKeyCol(m)
     if (cmpOps(op) && !boolMode) {
       val l2 = lm.select(col("path"), key.as("k"), col("t"), col("value"))
@@ -1728,9 +1809,14 @@ object PromQL {
       val (many, one) =
         if (m.side == Matching.GroupLeft) (lm, rm) else (rm, lm)
       val m2 = many.select(col("path"), key.as("k"), col("t"), col("value").as("mv"))
-      val o2 = one.select(key.as("k"), col("t"),
-          struct(col("value").as("ov"), col("path").as("opath")).as("o"))
-        .groupBy("k", "t").agg(max("o").as("o"))
+      // the declared-divergence dedup of a non-unique "one" side; when
+      // the caller proves uniqueness (an aggregation keyed exactly on
+      // the match labels — the dominant share-of-total dashboard
+      // shape), the whole aggregate stage is skipped
+      val o2raw = one.select(key.as("k"), col("t"),
+        struct(col("value").as("ov"), col("path").as("opath")).as("o"))
+      val o2 = (if (oneUnique) o2raw
+        else o2raw.groupBy("k", "t").agg(max("o").as("o")))
         .select(col("k"), col("t"), col("o.ov").as("ov"), col("o.opath").as("opath"))
       val (lv, rv) =
         if (m.side == Matching.GroupLeft) (col("mv"), col("ov"))
@@ -1878,14 +1964,15 @@ object PromQL {
     */
   private def scalarSlots(
       points: DataFrame, tags: DataFrame, e: Expr,
-      start: Long, end: Long, step0: Long, lookbackSec: Long): DataFrame =
+      start: Long, end: Long, step0: Long, lookbackSec: Long,
+      memo: scala.collection.mutable.HashMap[(Expr, Long, Long, Long, Long), DataFrame]): DataFrame =
     scalarColumn(e) match {
       case Some(c) =>
         gridT(points, start, end, step0)
           .select(col("t"), c.cast("double").as("sval"))
       case None => e match {
         case ScalarFn(inner) =>
-          val m = evalMatrix(points, tags, inner, start, end, step0, lookbackSec)
+          val m = evalMemo(points, tags, inner, start, end, step0, lookbackSec, memo)
           val per = m.groupBy("t").agg(
             when(count(lit(1)) === 1, min(col("value")))
               .otherwise(lit(Double.NaN)).as("sval"))
@@ -1893,13 +1980,13 @@ object PromQL {
             .join(per, Seq("t"), "left_outer")
             .select(col("t"), coalesce(col("sval"), lit(Double.NaN)).as("sval"))
         case MathFn(fn, args, inner) =>
-          scalarSlots(points, tags, inner, start, end, step0, lookbackSec)
+          scalarSlots(points, tags, inner, start, end, step0, lookbackSec, memo)
             .select(col("t"),
               mathValue(fn, args, col("sval")).cast("double").as("sval"))
         case BinOp(op, l, r, _, _) =>
-          val ls = scalarSlots(points, tags, l, start, end, step0, lookbackSec)
+          val ls = scalarSlots(points, tags, l, start, end, step0, lookbackSec, memo)
             .withColumnRenamed("sval", "ls")
-          val rs = scalarSlots(points, tags, r, start, end, step0, lookbackSec)
+          val rs = scalarSlots(points, tags, r, start, end, step0, lookbackSec, memo)
             .withColumnRenamed("sval", "rs")
           val out =
             if (cmpOps(op))
@@ -1918,12 +2005,13 @@ object PromQL {
   private def vecScalarOp(
       points: DataFrame, tags: DataFrame, vec: Expr, sca: Expr,
       op: String, scalarLeft: Boolean, boolMode: Boolean,
-      start: Long, end: Long, step0: Long, lookbackSec: Long): DataFrame = {
-    val m = evalMatrix(points, tags, vec, start, end, step0, lookbackSec)
+      start: Long, end: Long, step0: Long, lookbackSec: Long,
+      memo: scala.collection.mutable.HashMap[(Expr, Long, Long, Long, Long), DataFrame]): DataFrame = {
+    val m = evalMemo(points, tags, vec, start, end, step0, lookbackSec, memo)
     scalarColumn(sca) match {
       case Some(c) => scalarOpMatrix(m, op, c, scalarLeft, boolMode)
       case None =>
-        val slots = scalarSlots(points, tags, sca, start, end, step0, lookbackSec)
+        val slots = scalarSlots(points, tags, sca, start, end, step0, lookbackSec, memo)
         scalarOpMatrix(m.join(broadcast(slots), Seq("t")), op, col("sval"),
           scalarLeft, boolMode)
     }

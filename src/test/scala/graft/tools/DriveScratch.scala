@@ -2,18 +2,19 @@ package graft.tools
 
 import graft.SparkTestBase
 
+/** Timing scratch: steady-state per-query times. */
 object DriveScratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkTestBase.spark
-    val names = if (args.nonEmpty) args.toSeq else Seq("d_textrank")
-    for (name <- names) {
-      val df = graft.SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
-      df.collect()
-      val p = df.queryExecution.executedPlan.toString
-      def n(pat: String) = pat.r.findAllIn(p).length
-      println(s"MARKER $name scans=${n("Scan parquet")} exchanges=${n("Exchange")} " +
-        s"smj=${n("SortMergeJoin") + n("ShuffledHashJoin")} bhj=${n("BroadcastHashJoin")} " +
-        s"bnlj=${n("BroadcastNestedLoopJoin")} win=${n("Window")} cart=${n("CartesianProduct")}")
+    val sfDir = sys.env.getOrElse("SCRATCH_SF", "/root/testdata/sf0.1")
+    def ms(f: => Unit): Long = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1000000L
+    }
+    for (name <- args) {
+      val ts = (1 to 6).map { _ =>
+        ms { graft.SparkEntry.queries(name)(spark, sfDir).collect() }
+      }
+      println(s"MARKER $name runs=${ts.mkString(",")}ms min=${ts.min}ms")
     }
     spark.stop()
   }
