@@ -1894,6 +1894,20 @@ object SparkEntry {
         lookbackSec = 86400L)
         .withColumn("value", round(col("value"), 6))),
 
+    // plain rate() now defaults to upstream's extrapolatedRate — this
+    // query pins the default against the same extrapolation twin the
+    // xrate alias is checked with (different selector so both rows
+    // stay independently meaningful).
+    "p_query_rate_extrap" -> ((s, dir) =>
+      graft.prom.PromQL.evalMatrix(
+        GraphiteTables.pointsTagged(s, dir),
+        GraphiteTables.tags(s, dir),
+        graft.prom.PromQL.parse("""rate(events{type="click"}[1d])""")
+          .fold(e => throw new IllegalArgumentException(e), identity),
+        start = WFrom, end = WFrom + 30L * 86400L, step0 = 21600L,
+        lookbackSec = 86400L)
+        .withColumn("value", round(col("value"), 6))),
+
     "p_query_irate" -> ((s, dir) =>
       graft.prom.PromQL.evalMatrix(
         GraphiteTables.pointsTagged(s, dir),
@@ -4520,10 +4534,28 @@ object SparkEntry {
            |grid AS (SELECT $WFrom + 21600*n AS t FROM generate_series(0, 120) g(n)),
            |win AS (
            |  SELECT d.path, g.t, d.value, d.time FROM dedup d
-           |  JOIN grid g ON d.time <= g.t AND d.time > g.t - 86400)
+           |  JOIN grid g ON d.time <= g.t AND d.time > g.t - 86400),
+           |lst AS (
+           |  SELECT path, t,
+           |    min(time) AS ft, max(time) AS lt,
+           |    arg_min(value, time) AS fv, arg_max(value, time) AS lv,
+           |    count(*)::bigint AS cnt
+           |  FROM win GROUP BY 1, 2 HAVING count(*) >= 2),
+           |calc AS (SELECT path, t, lv - fv AS inc,
+           |    (lt::double - ft::double) AS sampled,
+           |    (lt::double - ft::double) / (cnt - 1)::double AS avgdur,
+           |    ft::double - (t::double - 86400) AS dstart0,
+           |    t::double - lt::double AS dend0
+           |  FROM lst),
+           |fin AS (SELECT path, t, inc, sampled,
+           |    CASE WHEN dstart0 >= avgdur * 1.1::double
+           |         THEN avgdur / 2 ELSE dstart0 END AS dstart,
+           |    CASE WHEN dend0 >= avgdur * 1.1::double
+           |         THEN avgdur / 2 ELSE dend0 END AS dend
+           |  FROM calc)
            |SELECT path, t,
-           |       round(arg_max(value, time) - arg_min(value, time), 6) + 0 AS value
-           |FROM win GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin),
+           |  round(inc * ((sampled + dstart + dend) / sampled), 6) + 0 AS value
+           |FROM fin""".stripMargin),
 
       "p_query_xrate" ->
         (s"""WITH dedup AS (
@@ -4531,6 +4563,46 @@ object SparkEntry {
            |         epoch_us(ts)//1000000 AS time,
            |         arg_max(value, event_id) AS value
            |  FROM events WHERE event_type = 'view'
+           |  GROUP BY 1, 2),
+           |grid AS (SELECT $WFrom + 21600*n AS t FROM generate_series(0, 120) g(n)),
+           |win AS (
+           |  SELECT d.path, g.t, d.value, d.time FROM dedup d
+           |  JOIN grid g ON d.time <= g.t AND d.time > g.t - 86400),
+           |lst AS (
+           |  SELECT path, t, list(value ORDER BY time) AS vs,
+           |    min(time) AS ft, max(time) AS lt,
+           |    arg_min(value, time) AS fv, arg_max(value, time) AS lv,
+           |    count(*)::bigint AS cnt
+           |  FROM win GROUP BY 1, 2 HAVING count(*) >= 2),
+           |res AS (SELECT *, coalesce(list_sum(list_transform(range(1, len(vs)),
+           |    i -> CASE WHEN vs[i+1] < vs[i] THEN vs[i] ELSE 0.0::double END)),
+           |    0.0::double) AS resets FROM lst),
+           |calc AS (SELECT path, t, lv - fv + resets AS inc,
+           |    (lt::double - ft::double) AS sampled,
+           |    (lt::double - ft::double) / (cnt - 1)::double AS avgdur,
+           |    ft::double - (t::double - 86400) AS dstart0,
+           |    t::double - lt::double AS dend0, fv
+           |  FROM res),
+           |st AS (SELECT path, t, inc, sampled, avgdur, dend0,
+           |    CASE WHEN inc > 0 AND fv >= 0 AND sampled * (fv / inc) < dstart0
+           |         THEN sampled * (fv / inc) ELSE dstart0 END AS dstart1
+           |  FROM calc),
+           |fin AS (SELECT path, t, inc, sampled,
+           |    CASE WHEN dstart1 >= avgdur * 1.1::double
+           |         THEN avgdur / 2 ELSE dstart1 END AS dstart,
+           |    CASE WHEN dend0 >= avgdur * 1.1::double
+           |         THEN avgdur / 2 ELSE dend0 END AS dend
+           |  FROM st)
+           |SELECT path, t,
+           |  round(inc * ((sampled + dstart + dend) / sampled) / 86400::double, 6) + 0 AS value
+           |FROM fin""".stripMargin),
+
+      "p_query_rate_extrap" ->
+        (s"""WITH dedup AS (
+           |  SELECT 'events?type=click&user=' || user_id AS path,
+           |         epoch_us(ts)//1000000 AS time,
+           |         arg_max(value, event_id) AS value
+           |  FROM events WHERE event_type = 'click'
            |  GROUP BY 1, 2),
            |grid AS (SELECT $WFrom + 21600*n AS t FROM generate_series(0, 120) g(n)),
            |win AS (

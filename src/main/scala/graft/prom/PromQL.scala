@@ -25,20 +25,20 @@ import org.apache.spark.sql.functions._
   * subset natively — and distributed — instead, on the same
   * matcher→tagged-term seam (`prometheus/querier_select.go:95-147`).
   *
-  * Declared divergence: `rate`/`increase` use the classic
-  * first-to-last-sample form with counter-reset correction, WITHOUT
-  * Prometheus's boundary extrapolation (extrapolatedRate) — documented
-  * here because the value at window edges can differ by a fraction of
-  * one scrape interval. The extension names `xrate`/`xincrease`
-  * implement the upstream extrapolated semantics exactly (window-edge
+  * `rate`/`increase`/`delta` follow upstream's extrapolatedRate
+  * semantics exactly (`promql/functions.go`): window-edge
   * extrapolation capped at half the average sample spacing, counter
-  * zero-crossing clamp) for callers that want upstream parity.
+  * zero-crossing clamp for the counter forms, no reset correction for
+  * the gauge `delta`. The extension names `xrate`/`xincrease` are
+  * kept as aliases from rounds where the classic non-extrapolated
+  * form was the default.
   *
-  * Declared divergence: durations resolve at ONE-SECOND granularity —
-  * a `ms` duration truncates to whole seconds with a 1 s floor
-  * (`[500ms]` and `[1500ms]` both evaluate as `[1s]`), because the
-  * storage step and eval grid are whole-second (Graphite-style)
-  * rather than millisecond-based like Prometheus.
+  * Declared divergence: durations resolve at ONE-SECOND granularity
+  * because the storage step and eval grid are whole-second
+  * (Graphite-style) rather than millisecond-based like Prometheus.
+  * Whole-second `ms` durations (`[2000ms]`) convert exactly;
+  * sub-second ones (`[500ms]`, `[1500ms]`) are rejected with a parse
+  * error instead of being silently widened.
   *
   * Evaluation is one distributed pass, scale-shaped for wide fleets:
   * each sample is exploded onto the [t₀+n·step] eval slots it can
@@ -429,9 +429,15 @@ object PromQL {
     s.trim match {
       case m(n, unit) =>
         val mult = unit match {
-          // second-granularity engine: ms truncates to whole seconds
-          // with a 1 s floor (declared divergence in the header)
-          case "ms" => return Right(math.max(1L, n.toLong / 1000))
+          // second-granularity engine: whole-second ms durations
+          // convert exactly; sub-second ones are REJECTED rather than
+          // silently widened (declared divergence in the header —
+          // a copy-pasted upstream query gets a parse error it can
+          // see, never a quietly different window)
+          case "ms" =>
+            return if (n.toLong > 0 && n.toLong % 1000 == 0) Right(n.toLong / 1000)
+            else Left(s"sub-second duration '${s.trim}' is not supported " +
+              "by the second-resolution store (whole-second ms values are)")
           case "s" => 1L; case "m" => 60L; case "h" => 3600L
           case "d" => 86400L; case "w" => 604800L; case "y" => 31536000L
         }
@@ -1409,14 +1415,6 @@ object PromQL {
               .withColumn("med", arrMedian(col("vs")))
               .withColumn("value",
                 arrMedian(array_sort(transform(col("vs"), v => abs(v - col("med"))))))
-          case "delta" =>
-            // classic last-minus-first gauge delta (same declared
-            // divergence as rate: no boundary extrapolation)
-            g.agg(min_by(col("value"), col("time")).as("first"),
-                max_by(col("value"), col("time")).as("last"),
-                count(lit(1)).as("cnt"))
-              .where(col("cnt") >= 2)
-              .withColumn("value", col("last") - col("first"))
           case "idelta" | "irate" =>
             g.agg(sorted.as("s"), count(lit(1)).as("cnt"))
               .where(col("cnt") >= 2)
@@ -1493,55 +1491,59 @@ object PromQL {
             g.agg(sorted.as("s"), count(lit(1)).as("cnt"))
               .where(col("cnt") >= 2)
               .withColumn("value", fold)
-          case "rate" | "increase" | "xrate" | "xincrease" =>
-            val base = g.agg(sorted.as("s"), count(lit(1)).as("cnt"))
+          case "delta" | "rate" | "increase" | "xrate" | "xincrease" =>
+            // upstream's extrapolatedRate (promql/functions.go):
+            // counter delta (with reset correction) or gauge delta
+            // (`delta`, no reset logic), extrapolated to the window
+            // edges but no further than half the average sample
+            // spacing past the first/last sample; counters clamp the
+            // start at the estimated zero crossing. `rate`/`increase`
+            // follow upstream exactly; `xrate`/`xincrease` are kept as
+            // aliases from when the classic non-extrapolated form was
+            // the default.
+            val isCounter = fn != "delta"
+            val base0 = g.agg(sorted.as("s"), count(lit(1)).as("cnt"))
               .where(col("cnt") >= 2)
               .withColumn("first", element_at(col("s"), 1))
               .withColumn("last", element_at(col("s"), -1))
-              // counter resets: every time a sample drops below its
-              // predecessor, the predecessor's value is added back
-              .withColumn("resets",
-                aggregate(
-                  zip_with(
-                    slice(col("s"), lit(1), size(col("s")) - 1),
-                    slice(col("s"), lit(2), size(col("s")) - 1),
-                    (a, b) => when(b("value") < a("value"), a("value")).otherwise(lit(0.0))),
-                  lit(0.0), (acc, x) => acc + x))
-              .withColumn("increase",
-                col("last")("value") - col("first")("value") + col("resets"))
-            fn match {
-              case "rate" =>
-                base.withColumn("value",
-                  col("increase") / (col("last")("time") - col("first")("time")))
-              case "increase" =>
-                base.withColumn("value", col("increase"))
-              case _ =>
-                // xrate/xincrease: upstream's boundary extrapolation
-                // (promql/functions.go extrapolatedRate) — extrapolate
-                // the sampled interval to the window edges, but no
-                // further than half the average sample spacing past
-                // the first/last sample; clamp the start at the
-                // counter's estimated zero crossing
-                val tEnd = (lit(start) + col("n") * lit(step)).cast("double")
-                val firstT = col("first")("time").cast("double")
-                val lastT = col("last")("time").cast("double")
-                val firstV = col("first")("value")
-                val sampled = lastT - firstT
-                val avgDur = sampled / (col("cnt") - 1).cast("double")
-                val dStart0 = firstT - (tEnd - lit(win.toDouble))
-                val dEnd0 = tEnd - lastT
-                val durToZero = sampled * (firstV / col("increase"))
-                val dStart1 = when(
-                  col("increase") > 0.0 && firstV >= 0.0 && durToZero < dStart0,
+            val base =
+              if (isCounter)
+                // counter resets: every time a sample drops below its
+                // predecessor, the predecessor's value is added back
+                base0.withColumn("resets",
+                    aggregate(
+                      zip_with(
+                        slice(col("s"), lit(1), size(col("s")) - 1),
+                        slice(col("s"), lit(2), size(col("s")) - 1),
+                        (a, b) => when(b("value") < a("value"), a("value")).otherwise(lit(0.0))),
+                      lit(0.0), (acc, x) => acc + x))
+                  .withColumn("increase",
+                    col("last")("value") - col("first")("value") + col("resets"))
+              else
+                base0.withColumn("increase",
+                  col("last")("value") - col("first")("value"))
+            val tEnd = (lit(start) + col("n") * lit(step)).cast("double")
+            val firstT = col("first")("time").cast("double")
+            val lastT = col("last")("time").cast("double")
+            val firstV = col("first")("value")
+            val sampled = lastT - firstT
+            val avgDur = sampled / (col("cnt") - 1).cast("double")
+            val dStart0 = firstT - (tEnd - lit(win.toDouble))
+            val dEnd0 = tEnd - lastT
+            val durToZero = sampled * (firstV / col("increase"))
+            val dStart1 =
+              if (isCounter)
+                when(col("increase") > 0.0 && firstV >= 0.0 && durToZero < dStart0,
                   durToZero).otherwise(dStart0)
-                val thresh = avgDur * lit(1.1)
-                val dStart = when(dStart1 >= thresh, avgDur / 2).otherwise(dStart1)
-                val dEnd = when(dEnd0 >= thresh, avgDur / 2).otherwise(dEnd0)
-                val factor = (sampled + dStart + dEnd) / sampled
-                base.withColumn("value",
-                  if (fn == "xrate") col("increase") * factor / lit(win.toDouble)
-                  else col("increase") * factor)
-            }
+              else dStart0
+            val thresh = avgDur * lit(1.1)
+            val dStart = when(dStart1 >= thresh, avgDur / 2).otherwise(dStart1)
+            val dEnd = when(dEnd0 >= thresh, avgDur / 2).otherwise(dEnd0)
+            val factor = (sampled + dStart + dEnd) / sampled
+            base.withColumn("value",
+              if (fn == "rate" || fn == "xrate")
+                col("increase") * factor / lit(win.toDouble)
+              else col("increase") * factor)
           case other => throw new IllegalArgumentException(s"unsupported function $other")
         }
         out.select(col("path"), t, col("value"))

@@ -12,7 +12,12 @@ class PromQLSpec extends AnyFunSuite {
     assert(PromQL.durationSec("90s") == Right(90L))
     assert(PromQL.durationSec("1h") == Right(3600L))
     assert(PromQL.durationSec("2d") == Right(172800L))
-    assert(PromQL.durationSec("1500ms") == Right(1L))
+    // whole-second ms convert exactly; sub-second reject (the
+    // second-resolution store never silently widens a window)
+    assert(PromQL.durationSec("2000ms") == Right(2L))
+    assert(PromQL.durationSec("1500ms").isLeft)
+    assert(PromQL.durationSec("500ms").isLeft)
+    assert(PromQL.durationSec("0ms").isLeft)
     assert(PromQL.durationSec("5x").isLeft)
     assert(PromQL.durationSec("").isLeft)
   }
@@ -549,7 +554,9 @@ class PromQLEvalSpec extends AnyFunSuite {
         .withColumn("version", org.apache.spark.sql.functions.lit(0L)))
     def eval(q: String): Set[(String, Long, Double)] = rowSet(PromQL.evalMatrix(
       pts, tags, PromQL.parse(q).toOption.get, 30L, 30L, 1L, lookbackSec = 40L))
-    assert(eval("delta(m[40s])") == Set(("m?job=a", 30L, 4.0)))
+    // delta extrapolates like upstream: inc=4 over sampled=30 of the
+    // 40s window, dStart=10 (< 1.1·avgDur), dEnd=0 → factor 4/3
+    assert(eval("delta(m[40s])") == Set(("m?job=a", 30L, 4.0 * 4.0 / 3.0)))
     assert(eval("idelta(m[40s])") == Set(("m?job=a", 30L, 3.0)))
     // irate: (5 - 2) / (30 - 20)
     assert(eval("irate(m[40s])") == Set(("m?job=a", 30L, 0.3)))
@@ -870,8 +877,9 @@ class PromQLEvalSpec extends AnyFunSuite {
     // long tail gap clamps at avgDur/2 → factor (5+0+2.5)/5 = 1.5
     assert(eval("xincrease(m[100s])", ("m?x=1", 5L, 0.0), ("m?x=1", 10L, 10.0)) ==
       Set(("m?x=1", 100L, 15.0)))
-    // plain increase stays first-to-last (the declared divergence)
-    assert(eval("increase(m[100s])", pts: _*) == Set(("m?x=1", 100L, 30.0)))
+    // plain increase now defaults to the same upstream extrapolation
+    assert(eval("increase(m[100s])", pts: _*) ==
+      Set(("m?x=1", 100L, 30.0 * (100.0 / 60.0))))
   }
 
   test("sort_by_label orders the instant assembly, eval is identity") {
