@@ -512,6 +512,14 @@ object Dedup {
     * clusters), so the loop terminates in a handful of rounds; each
     * round is one shuffle on id — no driver-side graph.
     */
+  /** Pair-count ceiling for the driver-side union-find shortcut in
+    * [[clusters]] — ~16 bytes/pair plus index overhead, so the default
+    * bounds driver memory at tens of MB. Override per session with
+    * `spark.conf.set("graft.cc.localThreshold", …)`; set 0 to force
+    * the distributed loop.
+    */
+  val CcLocalThresholdKey = "graft.cc.localThreshold"
+
   def clusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     // truncate (not cache) per round: cuts the growing lineage so each
     // iteration's plan stays constant-size — iterative algorithms
@@ -525,6 +533,50 @@ object Dedup {
     // verification join), and the pair relation is the small end of
     // the funnel — cheapest possible point to cut.
     val p = pairs.select(col("id_a"), col("id_b")).truncateLineage()
+
+    // adaptive: the VERIFIED pair relation is the small end of the
+    // dedup funnel (candidates are band-bucketed and Jaccard-checked
+    // before they get here), so on most corpora it fits the driver
+    // with room to spare. Below the bound, a driver-side union-find
+    // with min-id labeling produces EXACTLY the distributed loop's
+    // fixpoint in one collect instead of ~log(diameter) rounds of
+    // (2 truncate jobs + 1 convergence count) each; above it — or for
+    // non-long id types — the pointer-jumping loop runs unchanged.
+    // The count is against the already-materialized checkpoint, so
+    // the probe costs one cheap job, not a recomputation.
+    val isLong = p.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.LongType)
+    val localMax = p.sparkSession.conf
+      .getOption(CcLocalThresholdKey).map(_.toLong).getOrElse(1000000L)
+    if (isLong && localMax > 0 && p.count() <= localMax) {
+      val rows = p.collect()
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x0: Long): Long = {
+        var x = x0
+        var r = parent.getOrDefault(x, x)
+        while (r != x) { x = r; r = parent.getOrDefault(x, x) }
+        // path compression
+        var y = x0
+        while (y != r) { val n = parent.getOrDefault(y, y); parent.put(y, r); y = n }
+        r
+      }
+      rows.foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        val (ra, rb) = (find(a), find(b))
+        // union by MIN id so every root is already its component's
+        // minimum — the exact labeling the distributed loop converges to
+        if (ra != rb) {
+          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+      val ids = new java.util.HashSet[Long]()
+      rows.foreach { r => ids.add(r.getLong(0)); ids.add(r.getLong(1)) }
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](ids.size)
+      ids.forEach(id => out += ((id, find(id))))
+      val spark = p.sparkSession
+      import spark.implicits._
+      return out.toSeq.toDF("id", "cluster_id")
+    }
     val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()

@@ -32,7 +32,10 @@ object Pipeline {
       qualityThreshold: Double = 0.75,
       nearDupThreshold: Double = 0.5,
       minShared: Int = 2): DataFrame = {
+    // the curate survivors feed BOTH the decon shingle pass and the
+    // final anti-join — materialize once, like curate's own exact set
     val kept = curate(docs, qualityThreshold, nearDupThreshold)
+      .truncateLineage()
     kept.join(
       Decontaminate.contaminated(kept, evalSet,
           col("text"), col("doc_id"), col("text"), w = 5, minShared = minShared)
@@ -78,15 +81,29 @@ object Pipeline {
           sum(TextStats.tokensWhitespace(col("text")).cast("long")).as("n_tokens"))
         .select(lit(no.toLong).as("stage_no"), lit(name).as("stage"),
           col("n_docs"), col("n_tokens"))
-    val quality = docs.where(TextStats.qualityScoreRaw(col("text")) >= qualityThreshold)
+    // stages 1+2 fuse into ONE corpus scan: the quality gate is a
+    // per-row predicate, so the raw and gated rows are conditional
+    // aggregates of the same pass (separate stageRows would scan the
+    // corpus twice for what one map-side aggregate computes)
+    val passes = TextStats.qualityScoreRaw(col("text")) >= qualityThreshold
+    val toks = TextStats.tokensWhitespace(col("text")).cast("long")
+    val rawQuality = docs.groupBy().agg(
+        count(lit(1)).as("n1"), sum(toks).as("t1"),
+        count(when(passes, lit(1))).as("n2"), sum(when(passes, toks)).as("t2"))
+      .select(explode(array(
+        struct(lit(1L).as("stage_no"), lit("raw").as("stage"),
+          col("n1").as("n_docs"), col("t1").as("n_tokens")),
+        struct(lit(2L).as("stage_no"), lit("quality").as("stage"),
+          col("n2").as("n_docs"), col("t2").as("n_tokens")))).as("r"))
+      .select("r.stage_no", "r.stage", "r.n_docs", "r.n_tokens")
+    val quality = docs.where(passes)
     val exact = Dedup.exactKeep(quality, md5(Dedup.normalizedText(col("text"))))
       .truncateLineage()
     val pairs = Dedup
       .minhashNearDups(exact, col("text"), col("doc_id"), threshold = nearDupThreshold)
       .select("id_a", "id_b")
     val near = Dedup.nearDupKeep(exact, pairs)
-    stageRow(1, "raw", docs)
-      .unionByName(stageRow(2, "quality", quality))
+    rawQuality
       .unionByName(stageRow(3, "exact", exact))
       .unionByName(stageRow(4, "neardup", near))
   }

@@ -18,6 +18,25 @@ class ClusterSpec extends AnyFunSuite {
     assert(cl == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("clusters: distributed pointer-jumping loop ≡ driver union-find shortcut") {
+    import spark.implicits._
+    // large-ish random graph exercising chains, stars, and singletons
+    val rnd = new scala.util.Random(7)
+    val pairs = (1 to 400).map { _ =>
+      val a = rnd.nextInt(120).toLong; val b = rnd.nextInt(120).toLong
+      (math.min(a, b), math.max(a, b) + 1)
+    }.toDF("id_a", "id_b")
+    def run(): Map[Long, Long] =
+      Dedup.clusters(pairs).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val local = run()
+    spark.conf.set(Dedup.CcLocalThresholdKey, "0") // force the loop
+    val dist =
+      try run()
+      finally spark.conf.unset(Dedup.CcLocalThresholdKey)
+    assert(local == dist)
+    assert(local.nonEmpty)
+  }
+
   test("dedupAgainst: arrivals matching the store drop, store keys dedupe first") {
     import spark.implicits._
     val store = Seq((1L, "The  cat"), (2L, "the cat"), (3L, "a dog"))

@@ -11,7 +11,7 @@ object DriveScratch {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1000000L
     }
     for (name <- args) {
-      val ts = (1 to 6).map { _ =>
+      val ts = (1 to 5).map { _ =>
         ms { graft.SparkEntry.queries(name)(spark, sfDir).collect() }
       }
       println(s"MARKER $name runs=${ts.mkString(",")}ms min=${ts.min}ms")
