@@ -74,8 +74,12 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val qs = timings.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
-    val cs = coldTimings.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    // 4-dp values (0.1 ms resolution): full-precision doubles nearly
+    // triple the stdout line length, and the driver's tail-capture
+    // head-truncated the r8 artifact once the line outgrew its buffer
+    def num(v: Double): String = f"$v%.4f"
+    val qs = timings.map { case (k, v) => s"${jstr(k)}:${num(v)}" }.mkString("{", ",", "}")
+    val cs = coldTimings.map { case (k, v) => s"${jstr(k)}:${num(v)}" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = timings.values.sum
     // the stdout contract line carries queries (min-of-2) but NOT the
