@@ -2,19 +2,32 @@ package graft.tools
 
 import graft.SparkTestBase
 
-/** Timing scratch: steady-state per-query times. */
+/** Census mode: executed-plan operator counts for every registered
+  * query at sf0.001 → markdown table rows on stdout.
+  */
 object DriveScratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkTestBase.spark
-    val sfDir = sys.env.getOrElse("SCRATCH_SF", "/root/testdata/sf0.1")
-    def ms(f: => Unit): Long = {
-      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1000000L
-    }
-    for (name <- args) {
-      val ts = (1 to 5).map { _ =>
-        ms { graft.SparkEntry.queries(name)(spark, sfDir).collect() }
+    val sfDir = "/root/testdata/sf0.001"
+    val names = graft.SparkEntry.queries.keys.toSeq.sorted
+    for (name <- names) {
+      try {
+        val df = graft.SparkEntry.queries(name)(spark, sfDir)
+        df.write.mode("overwrite").format("noop").save()
+        val p = df.queryExecution.executedPlan.toString
+        def n(pat: String) = pat.r.findAllIn(p).length
+        val scans = n("FileScan parquet")
+        val ex = n("Exchange")
+        val smj = n("SortMergeJoin") + n("ShuffledHashJoin")
+        val bhj = n("BroadcastHashJoin")
+        val bnlj = n("BroadcastNestedLoopJoin")
+        val win = n("Window")
+        val cart = n("CartesianProduct")
+        println(s"CENSUS | $name | $scans | $ex | $smj | $bhj | $bnlj | $win | $cart |")
+      } catch {
+        case e: Throwable =>
+          println(s"CENSUS-ERR $name ${Option(e.getMessage).getOrElse("?").take(120)}")
       }
-      println(s"MARKER $name runs=${ts.mkString(",")}ms min=${ts.min}ms")
     }
     spark.stop()
   }
