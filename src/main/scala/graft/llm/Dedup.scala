@@ -665,6 +665,10 @@ object Dedup {
       .join(lab, Seq("id"))
     val joinCond = bk.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _) &&
       col("a.id") < col("b.id")
+    // truth and approx are each consumed TWICE (the hit semi-join and
+    // their own count row) — materialize the pair-sized relations once
+    // instead of re-running the blocked join / banded pipeline per
+    // consumer
     val truth = sets.as("a").join(sets.as("b"), joinCond)
       .withColumn("j",
         org.apache.spark.sql.GraftExpressionBridge.column(
@@ -673,6 +677,7 @@ object Dedup {
             org.apache.spark.sql.GraftExpressionBridge.expression(col("b.sh")))))
       .where(col("j") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .truncateLineage()
     val sameBlock = bk.map(c => col(s"la.$c") === col(s"lb.$c")).reduce(_ && _)
     val approx = minhashNearDups(docs, textCol, idCol, shingleWidth,
         bands, rows, threshold)
@@ -680,6 +685,7 @@ object Dedup {
       .join(lab.as("lb"), col("id_b") === col("lb.id"))
       .where(sameBlock)
       .select(col("id_a"), col("id_b"))
+      .truncateLineage()
     val hit = approx.join(truth, Seq("id_a", "id_b"), "left_semi")
     val nT = truth.groupBy().agg(count(lit(1)).as("n_truth"))
     val nA = approx.groupBy().agg(count(lit(1)).as("n_approx"))

@@ -763,9 +763,13 @@ object TextStats {
       textCol: Column,
       langCol: Column,
       idCol: Column): DataFrame = {
-    val nll = unigramLogLoss(docs, textCol, idCol)
-      .join(docs.select(idCol.as("doc_id"), langCol.as("lang")), Seq("doc_id"))
-      .select(col("doc_id"), col("lang"), col("nll"))
+    // the doc-sized NLL relation feeds BOTH the per-lang cut
+    // derivation and the final bucket projection — materialize it
+    // once instead of re-running the vocab join per consumer
+    val nll = graft.Lineage.truncate(
+      unigramLogLoss(docs, textCol, idCol)
+        .join(docs.select(idCol.as("doc_id"), langCol.as("lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("nll")))
     val cuts = Quantiles
       .exactQuantilesBy(nll, "lang", col("nll"), Seq(1.0 / 3, 2.0 / 3))
       .groupBy("lang")
