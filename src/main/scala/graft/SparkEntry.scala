@@ -1358,6 +1358,24 @@ object SparkEntry {
       TextStats.bpePairs(s.read.parquet(s"$dir/documents.parquet"),
         col("text"), topK = 50)),
 
+    // distributed BPE merge LEARNING: one corpus pass builds the
+    // word-frequency table; each of the 4 merge steps is a pair
+    // aggregate + top-1 + map-only merge application over the
+    // vocab-sized relation only (lineage-cut per step).
+    "d_bpe_train" -> ((s, dir) =>
+      graft.llm.Bpe.train(
+        s.read.parquet(s"$dir/documents.parquet"), col("text"), merges = 4)),
+
+    // BPE encoding with the rules just learned: map-only over the
+    // corpus, per-word replace-scan application in rule order.
+    "d_bpe_encode" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val rules = graft.llm.Bpe.train(docs, col("text"), merges = 4)
+        .orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.llm.Bpe.encode(docs, col("text"), col("doc_id"), rules)
+    }),
+
     // exact global doc-length quantiles via the two-phase rank — no
     // global sort, no sketch; percentile_cont interpolation.
     "d_quantiles" -> ((s, dir) =>
@@ -3747,6 +3765,122 @@ object SparkEntry {
           |c AS (SELECT pair, sum(wf)::bigint AS n FROM pairs GROUP BY 1)
           |SELECT pair, n, CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rank
           |FROM c ORDER BY n DESC, pair LIMIT 50""".stripMargin),
+
+      "d_bpe_train" ->
+        ("""WITH wf0 AS (
+          |  SELECT trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS sym,
+          |         CAST(count(*) AS BIGINT) AS freq
+          |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents) t
+          |  WHERE w <> '' GROUP BY 1),
+          |p1 AS (SELECT list_transform(generate_series(1, len(ss) - 1),
+          |    i -> ss[i] || ' ' || ss[i + 1]) AS prs, freq
+          |  FROM (SELECT string_split(sym, ' ') AS ss, freq FROM wf0)),
+          |c1 AS (SELECT unnest(prs) AS pair, freq FROM p1),
+          |n1 AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM c1 GROUP BY 1),
+          |t1 AS (SELECT pair, n, ' ' || pair || ' ' AS pat,
+          |    ' ' || replace(pair, ' ', '') || ' ' AS rep
+          |  FROM n1 ORDER BY n DESC, pair LIMIT 1),
+          |wf1 AS (SELECT trim(replace(replace(replace(replace(replace(replace(' ' || w.sym || ' ', t.pat, t.rep), t.pat, t.rep), t.pat, t.rep), t.pat, t.rep), t.pat, t.rep), t.pat, t.rep)) AS sym, w.freq
+          |  FROM wf0 w, t1 t),
+          |p2 AS (SELECT list_transform(generate_series(1, len(ss) - 1),
+          |    i -> ss[i] || ' ' || ss[i + 1]) AS prs, freq
+          |  FROM (SELECT string_split(sym, ' ') AS ss, freq FROM wf1)),
+          |c2 AS (SELECT unnest(prs) AS pair, freq FROM p2),
+          |n2 AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM c2 GROUP BY 1),
+          |t2 AS (SELECT pair, n, ' ' || pair || ' ' AS pat,
+          |    ' ' || replace(pair, ' ', '') || ' ' AS rep
+          |  FROM n2 ORDER BY n DESC, pair LIMIT 1),
+          |wf2 AS (SELECT trim(replace(replace(replace(replace(replace(replace(' ' || w.sym || ' ', t.pat, t.rep), t.pat, t.rep), t.pat, t.rep), t.pat, t.rep), t.pat, t.rep), t.pat, t.rep)) AS sym, w.freq
+          |  FROM wf1 w, t2 t),
+          |p3 AS (SELECT list_transform(generate_series(1, len(ss) - 1),
+          |    i -> ss[i] || ' ' || ss[i + 1]) AS prs, freq
+          |  FROM (SELECT string_split(sym, ' ') AS ss, freq FROM wf2)),
+          |c3 AS (SELECT unnest(prs) AS pair, freq FROM p3),
+          |n3 AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM c3 GROUP BY 1),
+          |t3 AS (SELECT pair, n, ' ' || pair || ' ' AS pat,
+          |    ' ' || replace(pair, ' ', '') || ' ' AS rep
+          |  FROM n3 ORDER BY n DESC, pair LIMIT 1),
+          |wf3 AS (SELECT trim(replace(replace(replace(replace(replace(replace(' ' || w.sym || ' ', t.pat, t.rep), t.pat, t.rep), t.pat, t.rep), t.pat, t.rep), t.pat, t.rep), t.pat, t.rep)) AS sym, w.freq
+          |  FROM wf2 w, t3 t),
+          |p4 AS (SELECT list_transform(generate_series(1, len(ss) - 1),
+          |    i -> ss[i] || ' ' || ss[i + 1]) AS prs, freq
+          |  FROM (SELECT string_split(sym, ' ') AS ss, freq FROM wf3)),
+          |c4 AS (SELECT unnest(prs) AS pair, freq FROM p4),
+          |n4 AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM c4 GROUP BY 1),
+          |t4 AS (SELECT pair, n, ' ' || pair || ' ' AS pat,
+          |    ' ' || replace(pair, ' ', '') || ' ' AS rep
+          |  FROM n4 ORDER BY n DESC, pair LIMIT 1),
+          |wf4 AS (SELECT trim(replace(replace(replace(replace(replace(replace(' ' || w.sym || ' ', t.pat, t.rep), t.pat, t.rep), t.pat, t.rep), t.pat, t.rep), t.pat, t.rep), t.pat, t.rep)) AS sym, w.freq
+          |  FROM wf3 w, t4 t)
+          |SELECT * FROM (
+          |  SELECT CAST(1 AS BIGINT) AS step, string_split(pair, ' ')[1] AS lhs,
+          |         string_split(pair, ' ')[2] AS rhs, replace(pair, ' ', '') AS merged, n FROM t1
+          |  UNION ALL SELECT CAST(2 AS BIGINT), string_split(pair, ' ')[1],
+          |         string_split(pair, ' ')[2], replace(pair, ' ', ''), n FROM t2
+          |  UNION ALL SELECT CAST(3 AS BIGINT), string_split(pair, ' ')[1],
+          |         string_split(pair, ' ')[2], replace(pair, ' ', ''), n FROM t3
+          |  UNION ALL SELECT CAST(4 AS BIGINT), string_split(pair, ' ')[1],
+          |         string_split(pair, ' ')[2], replace(pair, ' ', ''), n FROM t4)""".stripMargin),
+
+      "d_bpe_encode" ->
+        ("""WITH wf0 AS (
+          |  SELECT trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS sym,
+          |         CAST(count(*) AS BIGINT) AS freq
+          |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents) t
+          |  WHERE w <> '' GROUP BY 1),
+          |p1 AS (SELECT list_transform(generate_series(1, len(ss) - 1),
+          |    i -> ss[i] || ' ' || ss[i + 1]) AS prs, freq
+          |  FROM (SELECT string_split(sym, ' ') AS ss, freq FROM wf0)),
+          |c1 AS (SELECT unnest(prs) AS pair, freq FROM p1),
+          |n1 AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM c1 GROUP BY 1),
+          |t1 AS (SELECT pair, n, ' ' || pair || ' ' AS pat,
+          |    ' ' || replace(pair, ' ', '') || ' ' AS rep
+          |  FROM n1 ORDER BY n DESC, pair LIMIT 1),
+          |wf1 AS (SELECT trim(replace(replace(replace(replace(replace(replace(' ' || w.sym || ' ', t.pat, t.rep), t.pat, t.rep), t.pat, t.rep), t.pat, t.rep), t.pat, t.rep), t.pat, t.rep)) AS sym, w.freq
+          |  FROM wf0 w, t1 t),
+          |p2 AS (SELECT list_transform(generate_series(1, len(ss) - 1),
+          |    i -> ss[i] || ' ' || ss[i + 1]) AS prs, freq
+          |  FROM (SELECT string_split(sym, ' ') AS ss, freq FROM wf1)),
+          |c2 AS (SELECT unnest(prs) AS pair, freq FROM p2),
+          |n2 AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM c2 GROUP BY 1),
+          |t2 AS (SELECT pair, n, ' ' || pair || ' ' AS pat,
+          |    ' ' || replace(pair, ' ', '') || ' ' AS rep
+          |  FROM n2 ORDER BY n DESC, pair LIMIT 1),
+          |wf2 AS (SELECT trim(replace(replace(replace(replace(replace(replace(' ' || w.sym || ' ', t.pat, t.rep), t.pat, t.rep), t.pat, t.rep), t.pat, t.rep), t.pat, t.rep), t.pat, t.rep)) AS sym, w.freq
+          |  FROM wf1 w, t2 t),
+          |p3 AS (SELECT list_transform(generate_series(1, len(ss) - 1),
+          |    i -> ss[i] || ' ' || ss[i + 1]) AS prs, freq
+          |  FROM (SELECT string_split(sym, ' ') AS ss, freq FROM wf2)),
+          |c3 AS (SELECT unnest(prs) AS pair, freq FROM p3),
+          |n3 AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM c3 GROUP BY 1),
+          |t3 AS (SELECT pair, n, ' ' || pair || ' ' AS pat,
+          |    ' ' || replace(pair, ' ', '') || ' ' AS rep
+          |  FROM n3 ORDER BY n DESC, pair LIMIT 1),
+          |wf3 AS (SELECT trim(replace(replace(replace(replace(replace(replace(' ' || w.sym || ' ', t.pat, t.rep), t.pat, t.rep), t.pat, t.rep), t.pat, t.rep), t.pat, t.rep), t.pat, t.rep)) AS sym, w.freq
+          |  FROM wf2 w, t3 t),
+          |p4 AS (SELECT list_transform(generate_series(1, len(ss) - 1),
+          |    i -> ss[i] || ' ' || ss[i + 1]) AS prs, freq
+          |  FROM (SELECT string_split(sym, ' ') AS ss, freq FROM wf3)),
+          |c4 AS (SELECT unnest(prs) AS pair, freq FROM p4),
+          |n4 AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM c4 GROUP BY 1),
+          |t4 AS (SELECT pair, n, ' ' || pair || ' ' AS pat,
+          |    ' ' || replace(pair, ' ', '') || ' ' AS rep
+          |  FROM n4 ORDER BY n DESC, pair LIMIT 1),
+          |wf4 AS (SELECT trim(replace(replace(replace(replace(replace(replace(' ' || w.sym || ' ', t.pat, t.rep), t.pat, t.rep), t.pat, t.rep), t.pat, t.rep), t.pat, t.rep), t.pat, t.rep)) AS sym, w.freq
+          |  FROM wf3 w, t4 t),
+          |m AS (SELECT t1.pat AS p1, t1.rep AS r1, t2.pat AS p2, t2.rep AS r2,
+          |             t3.pat AS p3, t3.rep AS r3, t4.pat AS p4, t4.rep AS r4
+          |      FROM t1, t2, t3, t4),
+          |enc AS (
+          |  SELECT doc_id,
+          |    list_transform(
+          |      list_filter(string_split_regex(trim(text), '\s+'), w -> w <> ''),
+          |      w -> trim(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(' ' || trim(regexp_replace(w, '(.)', '\1 ', 'g')) || ' ', m.p1, m.r1), m.p1, m.r1), m.p1, m.r1), m.p1, m.r1), m.p1, m.r1), m.p1, m.r1), m.p2, m.r2), m.p2, m.r2), m.p2, m.r2), m.p2, m.r2), m.p2, m.r2), m.p2, m.r2), m.p3, m.r3), m.p3, m.r3), m.p3, m.r3), m.p3, m.r3), m.p3, m.r3), m.p3, m.r3), m.p4, m.r4), m.p4, m.r4), m.p4, m.r4), m.p4, m.r4), m.p4, m.r4), m.p4, m.r4))) AS ws
+          |  FROM documents, m)
+          |SELECT doc_id,
+          |  CAST(coalesce(list_sum(list_transform(ws, s -> len(string_split(s, ' ')))), 0) AS BIGINT) AS n_tokens,
+          |  array_to_string(ws, ' ') AS tokens_str
+          |FROM enc""".stripMargin),
 
       "d_quantiles" ->
         ("""WITH lens AS (SELECT n_chars::double AS v FROM documents)
