@@ -73,6 +73,19 @@ object Bpe {
     * Ties break on pair text ascending, so the whole run is
     * deterministic on any engine.
     */
+  /** Vocab-count ceiling for the driver-side training loop. A real
+    * tokenizer run is ~30k merges; per-merge distributed jobs would
+    * be 30k job rounds, while the word-frequency table (what the loop
+    * actually iterates over) is vocab-sized and fits the driver on
+    * any natural-language corpus — so below the bound the classic
+    * in-memory loop runs with IDENTICAL semantics (same replace-scan
+    * application, same tie-breaks; `java.lang.String.replace` and
+    * Spark's `replace` are the same literal left-to-right scan).
+    * Override with `spark.conf.set("graft.bpe.localVocabThreshold",…)`;
+    * 0 forces the distributed loop.
+    */
+  val LocalVocabThresholdKey = "graft.bpe.localVocabThreshold"
+
   def train(
       docs: DataFrame,
       textCol: Column,
@@ -86,21 +99,53 @@ object Bpe {
       .select(charSymbols(col("w")).as("sym"), col("freq"))
       .truncateLineage()
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
-    for (step <- 1 to merges) {
-      val top = wf
-        .select(explode(adjacentPairs(col("sym"))).as("pair"), col("freq"))
-        .groupBy("pair").agg(sum("freq").as("n"))
-        .orderBy(col("n").desc, col("pair").asc)
-        .limit(1)
-        .collect()
-      if (top.nonEmpty) {
-        val pair = top(0).getString(0)
-        val n = top(0).getLong(1)
-        val Array(l, r) = pair.split(" ", 2)
-        learned += ((step, l, r, l + r, n))
-        wf = wf
-          .select(applyMerge(col("sym"), lit(l), lit(r)).as("sym"), col("freq"))
-          .truncateLineage()
+    val localMax = spark.conf.getOption(LocalVocabThresholdKey)
+      .map(_.toLong).getOrElse(1000000L)
+    if (localMax > 0 && wf.count() <= localMax) {
+      // driver-side classic loop over the collected vocab
+      var vocab = wf.collect().map(r => (r.getString(0), r.getLong(1)))
+      for (step <- 1 to merges) {
+        val counts = scala.collection.mutable.HashMap.empty[String, Long]
+        for ((sym, freq) <- vocab) {
+          val ss = sym.split(" ")
+          var i = 0
+          while (i < ss.length - 1) {
+            val p = ss(i) + " " + ss(i + 1)
+            counts(p) = counts.getOrElse(p, 0L) + freq
+            i += 1
+          }
+        }
+        if (counts.nonEmpty) {
+          val (pair, n) = counts.minBy { case (p, c) => (-c, p) }
+          val Array(l, r) = pair.split(" ", 2)
+          learned += ((step, l, r, l + r, n))
+          val pat = " " + pair + " "
+          val rep = " " + l + r + " "
+          vocab = vocab.map { case (sym, freq) =>
+            var s = " " + sym + " "
+            var k = 0
+            while (k < MergePasses) { s = s.replace(pat, rep); k += 1 }
+            (s.trim, freq)
+          }
+        }
+      }
+    } else {
+      for (step <- 1 to merges) {
+        val top = wf
+          .select(explode(adjacentPairs(col("sym"))).as("pair"), col("freq"))
+          .groupBy("pair").agg(sum("freq").as("n"))
+          .orderBy(col("n").desc, col("pair").asc)
+          .limit(1)
+          .collect()
+        if (top.nonEmpty) {
+          val pair = top(0).getString(0)
+          val n = top(0).getLong(1)
+          val Array(l, r) = pair.split(" ", 2)
+          learned += ((step, l, r, l + r, n))
+          wf = wf
+            .select(applyMerge(col("sym"), lit(l), lit(r)).as("sym"), col("freq"))
+            .truncateLineage()
+        }
       }
     }
     import spark.implicits._

@@ -55,6 +55,28 @@ class BpeSpec extends AnyFunSuite {
       (2L, 3L, "w o w")))
   }
 
+  test("train: driver-side classic loop ≡ distributed merge loop") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val letters = "abcde"
+    val docs = (1 to 60).map { _ =>
+      (1 to 8).map(_ =>
+        (1 to (2 + rnd.nextInt(5))).map(_ =>
+          letters(rnd.nextInt(letters.length))).mkString).mkString(" ")
+    }.toDF("text")
+    def run(): Seq[(Long, String, String, String, Long)] =
+      Bpe.train(docs, col("text"), merges = 5).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).toSeq
+    val local = run()
+    spark.conf.set(Bpe.LocalVocabThresholdKey, "0") // force distributed
+    val dist =
+      try run()
+      finally spark.conf.unset(Bpe.LocalVocabThresholdKey)
+    assert(local == dist)
+    assert(local.size == 5)
+  }
+
   test("train is a single corpus pass: merge steps never rescan documents") {
     import spark.implicits._
     val docs = Seq("alpha beta beta gamma").toDF("text")
