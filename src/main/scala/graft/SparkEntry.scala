@@ -1647,6 +1647,24 @@ object SparkEntry {
       Dedup.clusters(pairs).select(col("id").as("doc_id"), col("cluster_id"))
     }),
 
+    // leakage-safe split: the hash draw keys on the near-dup CLUSTER
+    // (singletons on their own id), so near-duplicate documents never
+    // straddle train/val/test — the split-contamination guard every
+    // eval pipeline needs. One narrow hash filter on top of the
+    // cluster relation; docs in no pair join nothing.
+    "d_split_leakage" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val pairs = Dedup.minhashNearDups(docs, col("text"), col("doc_id"), threshold = 0.5)
+        .select("id_a", "id_b")
+      val cl = Dedup.clusters(pairs).withColumnRenamed("id", "doc_id")
+      graft.llm.Sampling.splitGrouped(
+          docs.join(cl, Seq("doc_id"), "left_outer"),
+          Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)),
+          coalesce(col("cluster_id"), col("doc_id")))
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("grp"), col("split"))
+    }),
+
     "p_labels" -> ((s, dir) =>
       graft.prom.Prom.labelRows(
         GraphiteTables.tags(s, dir).select("path").distinct())),
@@ -4359,6 +4377,31 @@ object SparkEntry {
            |  UNION
            |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id)
            |SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id""".stripMargin),
+
+      "d_split_leakage" ->
+        (s"""WITH RECURSIVE
+           |cands AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM ($minhashBands) a
+           |  JOIN ($minhashBands) b ON a.band = b.band AND a.doc_id < b.doc_id GROUP BY 1, 2),
+           |sets AS (SELECT doc_id, $sh3 AS sh FROM documents),
+           |verified AS (SELECT p.id_a, p.id_b FROM cands p
+           |  JOIN sets sa ON sa.doc_id = p.id_a JOIN sets sb ON sb.doc_id = p.id_b
+           |  WHERE len(list_intersect(sa.sh, sb.sh))::double / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5),
+           |edges AS (SELECT id_a AS src, id_b AS dst FROM verified UNION SELECT id_b, id_a FROM verified),
+           |nodes AS (SELECT DISTINCT src AS id FROM edges),
+           |reach(id, label) AS (
+           |  SELECT id, id FROM nodes
+           |  UNION
+           |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+           |cl AS (SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id),
+           |keyed AS (
+           |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS grp
+           |  FROM documents d LEFT JOIN cl c ON c.doc_id = d.doc_id),
+           |u AS (SELECT doc_id, grp,
+           |  ('0x' || substr(md5(grp::varchar || '|split'), 1, 15))::bigint / 1152921504606846976.0 AS u
+           |  FROM keyed)
+           |SELECT doc_id, grp,
+           |  CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+           |FROM u""".stripMargin),
 
       "p_labels" ->
         ("""WITH series AS (SELECT DISTINCT 'events?type=' || event_type || '&user=' || user_id AS path, event_type, user_id FROM events)

@@ -181,10 +181,24 @@ object Sampling {
       df: DataFrame,
       fractions: Seq[(String, Double)],
       salt: String = "split",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id"): DataFrame =
+    splitGrouped(df, fractions, col(idCol), salt)
+
+  /** Group-keyed split: the hash draw keys on `groupCol` instead of
+    * the row id, so every row of a group lands in the SAME split —
+    * the leakage-safe assignment (near-dup clusters, same-domain
+    * pages, chunked long docs must not straddle train/test). Same
+    * narrow-filter shape as [[split]]: one hash per row, zero
+    * shuffle beyond whatever produced the group key.
+    */
+  def splitGrouped(
+      df: DataFrame,
+      fractions: Seq[(String, Double)],
+      groupCol: Column,
+      salt: String = "split"): DataFrame = {
     require(fractions.nonEmpty && math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
       "split fractions must sum to 1")
-    val u = hash01(col(idCol), salt)
+    val u = hash01(groupCol, salt)
     val cum = fractions.scanLeft(0.0)(_ + _._2).tail
     val label = fractions.zip(cum).init.foldRight(lit(fractions.last._1)) {
       case (((name, _), hi), acc) => when(u < hi, lit(name)).otherwise(acc)

@@ -18,6 +18,27 @@ class SamplingSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
   }
 
+  test("splitGrouped: every member of a group lands in the same split") {
+    import spark.implicits._
+    // 200 docs in 40 groups of 5
+    val df = (0L until 200L).map(i => (i, i / 5L)).toDF("doc_id", "grp")
+    val out = Sampling.splitGrouped(df,
+      Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)),
+      org.apache.spark.sql.functions.col("grp"))
+    val perGroup = out.groupBy("grp")
+      .agg(org.apache.spark.sql.functions.countDistinct("split").as("n"))
+      .collect().map(_.getLong(1))
+    assert(perGroup.forall(_ == 1L))
+    // and the split is the id-keyed split of the group key (same draw)
+    val byKey = Sampling.split(
+      df.select(org.apache.spark.sql.functions.col("grp").as("doc_id")).distinct(),
+      Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val got = out.select("grp", "split").distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got == byKey)
+  }
+
   test("hash01 is deterministic and uniform-ish") {
     val u = docs.select(Sampling.hash01(col("doc_id")).as("u"))
     val again = docs.select(Sampling.hash01(col("doc_id")).as("u"))
