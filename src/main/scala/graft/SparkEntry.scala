@@ -1647,6 +1647,40 @@ object SparkEntry {
       Dedup.clusters(pairs).select(col("id").as("doc_id"), col("cluster_id"))
     }),
 
+    // split-leakage audit: how many verified near-dup pairs straddle
+    // splits under the naive id-keyed draw vs the cluster-keyed one
+    // (which is leak-free BY CONSTRUCTION — the audit pins the 0).
+    // One pair-relation pass + a doc-sized label join, two result rows.
+    "d_split_audit" -> ((s, dir) => {
+      val fr = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val pairs = Dedup.minhashNearDups(docs, col("text"), col("doc_id"), threshold = 0.5)
+        .select("id_a", "id_b")
+      val pairsM = graft.Lineage.truncate(pairs)
+      val cl = Dedup.clusters(pairsM).withColumnRenamed("id", "doc_id")
+      val keyed = docs.select("doc_id").join(cl, Seq("doc_id"), "left_outer")
+        .withColumn("grp", coalesce(col("cluster_id"), col("doc_id")))
+      val lab = graft.llm.Sampling.splitGrouped(
+          graft.llm.Sampling.split(keyed, fr).withColumnRenamed("split", "sp_id"),
+          fr, col("grp"))
+        .select(col("doc_id"), col("sp_id"), col("split").as("sp_grp"))
+      val j = pairsM
+        .join(lab.select(col("doc_id").as("id_a"), col("sp_id").as("a_id"),
+          col("sp_grp").as("a_grp")), Seq("id_a"))
+        .join(lab.select(col("doc_id").as("id_b"), col("sp_id").as("b_id"),
+          col("sp_grp").as("b_grp")), Seq("id_b"))
+      j.groupBy().agg(
+          count(lit(1)).as("np"),
+          sum(when(col("a_id") =!= col("b_id"), 1L).otherwise(0L)).as("s_id"),
+          sum(when(col("a_grp") =!= col("b_grp"), 1L).otherwise(0L)).as("s_grp"))
+        .select(explode(array(
+          struct(lit("id_keyed").as("policy"), col("np").as("n_pairs"),
+            col("s_id").as("n_straddle")),
+          struct(lit("group_keyed").as("policy"), col("np").as("n_pairs"),
+            col("s_grp").as("n_straddle")))).as("r"))
+        .select("r.policy", "r.n_pairs", "r.n_straddle")
+    }),
+
     // leakage-safe split: the hash draw keys on the near-dup CLUSTER
     // (singletons on their own id), so near-duplicate documents never
     // straddle train/val/test — the split-contamination guard every
@@ -4402,6 +4436,40 @@ object SparkEntry {
            |SELECT doc_id, grp,
            |  CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
            |FROM u""".stripMargin),
+
+      "d_split_audit" ->
+        (s"""WITH RECURSIVE
+           |cands AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM ($minhashBands) a
+           |  JOIN ($minhashBands) b ON a.band = b.band AND a.doc_id < b.doc_id GROUP BY 1, 2),
+           |sets AS (SELECT doc_id, $sh3 AS sh FROM documents),
+           |verified AS (SELECT p.id_a, p.id_b FROM cands p
+           |  JOIN sets sa ON sa.doc_id = p.id_a JOIN sets sb ON sb.doc_id = p.id_b
+           |  WHERE len(list_intersect(sa.sh, sb.sh))::double / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5),
+           |edges AS (SELECT id_a AS src, id_b AS dst FROM verified UNION SELECT id_b, id_a FROM verified),
+           |nodes AS (SELECT DISTINCT src AS id FROM edges),
+           |reach(id, label) AS (
+           |  SELECT id, id FROM nodes
+           |  UNION
+           |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+           |cl AS (SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id),
+           |lab AS (
+           |  SELECT d.doc_id,
+           |    CASE WHEN ui < 0.8 THEN 'train' WHEN ui < 0.9 THEN 'val' ELSE 'test' END AS sp_id,
+           |    CASE WHEN ug < 0.8 THEN 'train' WHEN ug < 0.9 THEN 'val' ELSE 'test' END AS sp_grp
+           |  FROM (
+           |    SELECT d.doc_id,
+           |      ('0x' || substr(md5(d.doc_id::varchar || '|split'), 1, 15))::bigint / 1152921504606846976.0 AS ui,
+           |      ('0x' || substr(md5(coalesce(c.cluster_id, d.doc_id)::varchar || '|split'), 1, 15))::bigint / 1152921504606846976.0 AS ug
+           |    FROM documents d LEFT JOIN cl c ON c.doc_id = d.doc_id) d),
+           |agg AS (
+           |  SELECT count(*)::bigint AS np,
+           |    CAST(sum(CASE WHEN la.sp_id <> lb.sp_id THEN 1 ELSE 0 END) AS BIGINT) AS s_id,
+           |    CAST(sum(CASE WHEN la.sp_grp <> lb.sp_grp THEN 1 ELSE 0 END) AS BIGINT) AS s_grp
+           |  FROM verified v
+           |  JOIN lab la ON la.doc_id = v.id_a JOIN lab lb ON lb.doc_id = v.id_b)
+           |SELECT 'id_keyed' AS policy, np AS n_pairs, s_id AS n_straddle FROM agg
+           |UNION ALL
+           |SELECT 'group_keyed', np, s_grp FROM agg""".stripMargin),
 
       "p_labels" ->
         ("""WITH series AS (SELECT DISTINCT 'events?type=' || event_type || '&user=' || user_id AS path, event_type, user_id FROM events)
