@@ -190,10 +190,15 @@ class PlanAuditSpec extends AnyFunSuite {
       "unexpected join/window in d_dsir scoring pass")
   }
 
-  test("d_ppl_buckets: per-lang cuts broadcast back; no lang-partitioned window over docs") {
+  test("d_ppl_buckets: cuts fold into a map-only pass; no lang-partitioned window over docs") {
+    // the |langs|-sized cuts are collected driver-side and folded
+    // into a CASE chain over the ONCE-materialized NLL relation —
+    // the bucket projection is a pure map (no join, no window, no
+    // shuffle); the naive shape would window PARTITION BY lang over
+    // the corpus-sized relation
     val p = plan("d_ppl_buckets")
-    assert(p.contains("BroadcastHashJoin"),
-      "d_ppl_buckets must broadcast the |langs|-sized cuts table")
+    assert(!p.contains("Window"), s"lang window in d_ppl_buckets:\n$p")
+    assert(!p.contains("Exchange"), s"shuffle in d_ppl_buckets bucket pass:\n$p")
   }
 
   test("d_chunks: chunking is map-only — no shuffle at any corpus scale") {
