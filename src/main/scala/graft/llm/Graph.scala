@@ -44,13 +44,18 @@ object Graph {
     val deg = graft.Lineage.truncate(
       sym.groupBy(col("src").as("node"))
         .agg(count(lit(1)).cast("double").as("deg")))
+    // pre-join the out-degree INTO the edge list once: each iteration
+    // then needs ONE rank⋈edges equi-join instead of rank⋈deg⋈edges —
+    // one join (and its shuffle) saved per iteration at any scale
+    val symDeg = graft.Lineage.truncate(
+      sym.join(deg.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("src").as("node"), col("dst"), col("deg")))
     val n = deg.groupBy().agg(count(lit(1)).cast("double").as("__n"))
     var ranks = deg.crossJoin(broadcast(n))
       .select(col("node"), (lit(1.0) / col("__n")).as("rank"))
     for (_ <- 0 until iters) {
       val contribs = ranks
-        .join(deg, Seq("node"))
-        .join(sym.withColumnRenamed("src", "node"), Seq("node"))
+        .join(symDeg, Seq("node"))
         .select(col("dst").as("node"), (col("rank") / col("deg")).as("__c"))
       // every node of a symmetric graph has an in-edge, so the
       // aggregate covers the full node set — no fill-in join needed
