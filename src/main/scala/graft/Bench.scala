@@ -76,8 +76,11 @@ object Bench {
     } + "\""
     // 4-dp values (0.1 ms resolution): full-precision doubles nearly
     // triple the stdout line length, and the driver's tail-capture
-    // head-truncated the r8 artifact once the line outgrew its buffer
-    def num(v: Double): String = f"$v%.4f"
+    // head-truncated the r8 artifact once the line outgrew its buffer.
+    // Locale.ROOT: the default-locale formatter writes "0,1234" on
+    // comma-decimal JVMs, which would corrupt the JSON contract line.
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     val qs = timings.map { case (k, v) => s"${jstr(k)}:${num(v)}" }.mkString("{", ",", "}")
     val cs = coldTimings.map { case (k, v) => s"${jstr(k)}:${num(v)}" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")

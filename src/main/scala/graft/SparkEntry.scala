@@ -3920,9 +3920,11 @@ object SparkEntry {
           |  FROM n4 ORDER BY n DESC, pair LIMIT 1),
           |wf4 AS (SELECT trim(replace(replace(replace(replace(replace(replace(' ' || w.sym || ' ', t.pat, t.rep), t.pat, t.rep), t.pat, t.rep), t.pat, t.rep), t.pat, t.rep), t.pat, t.rep)) AS sym, w.freq
           |  FROM wf3 w, t4 t),
-          |m AS (SELECT t1.pat AS p1, t1.rep AS r1, t2.pat AS p2, t2.rep AS r2,
-          |             t3.pat AS p3, t3.rep AS r3, t4.pat AS p4, t4.rep AS r4
-          |      FROM t1, t2, t3, t4),
+          |m AS (SELECT
+          |        coalesce((SELECT pat FROM t1), ' ') AS p1, coalesce((SELECT rep FROM t1), ' ') AS r1,
+          |        coalesce((SELECT pat FROM t2), ' ') AS p2, coalesce((SELECT rep FROM t2), ' ') AS r2,
+          |        coalesce((SELECT pat FROM t3), ' ') AS p3, coalesce((SELECT rep FROM t3), ' ') AS r3,
+          |        coalesce((SELECT pat FROM t4), ' ') AS p4, coalesce((SELECT rep FROM t4), ' ') AS r4),
           |enc AS (
           |  SELECT doc_id,
           |    list_transform(

@@ -43,6 +43,14 @@ object GraphiteTables {
     * re-aggregates the whole matrix twice. A LogicalRDD keys
     * canonicalization on the materialized RDD id, so repeated
     * references dedup into ReusedQueryStages as intended.
+    *
+    * Durability tradeoff vs `.cache()`: a localCheckpoint does not
+    * recompute lost blocks from lineage, so a multi-executor
+    * deployment MUST set `graft.checkpoint.dir` (the [[graft.Lineage]]
+    * contract) to make every truncation a reliable checkpoint;
+    * without it an executor loss poisons the memo entry for the rest
+    * of the application. Single-JVM (local mode) deployments are
+    * unaffected.
     */
   private def memo(spark: SparkSession, dir: String, kind: String)(
       build: => DataFrame): DataFrame =
@@ -67,8 +75,11 @@ object GraphiteTables {
         // arithmetic pure long math instead of per-row zone conversion
         df.withColumn("ts",
           graft.functions.EpochMath.ntzEpochMicros(col("ts")) * 1000L)
-      case _ => // TIMESTAMP_LTZ: unix_micros reads the instant directly
+      case org.apache.spark.sql.types.TimestampType =>
+        // TIMESTAMP_LTZ: unix_micros reads the instant directly
         df.withColumn("ts", unix_micros(col("ts")) * 1000L)
+      case _ => // anything else (string/date/…): coerce via timestamp
+        df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000L)
     }
   }
 

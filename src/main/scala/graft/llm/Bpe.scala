@@ -40,6 +40,25 @@ object Bpe {
     */
   val MergePasses = 6
 
+  /** UTF-8 byte-order string comparison — Spark's UTF8String and
+    * DuckDB's binary collation order; differs from String.compareTo
+    * only for supplementary-plane characters.
+    */
+  private[llm] val utf8Ordering: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int = {
+      val ab = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val bb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = math.min(ab.length, bb.length)
+      var i = 0
+      while (i < n) {
+        val d = (ab(i) & 0xff) - (bb(i) & 0xff)
+        if (d != 0) return d
+        i += 1
+      }
+      ab.length - bb.length
+    }
+  }
+
   /** Space-joined initial symbol string of a word: one character per
     * symbol (`"abc"` → `"a b c"`).
     */
@@ -116,7 +135,12 @@ object Bpe {
           }
         }
         if (counts.nonEmpty) {
-          val (pair, n) = counts.minBy { case (p, c) => (-c, p) }
+          // tie-break in UTF-8 BYTE order, matching the distributed
+          // orderBy (UTF8String) and DuckDB's binary collation —
+          // String.compareTo is UTF-16 code-unit order, which
+          // disagrees for supplementary-plane vs U+E000..U+FFFF chars
+          val (pair, n) = counts.minBy { case (p, c) => (-c, p) }(
+            Ordering.Tuple2(Ordering.Long, utf8Ordering))
           val Array(l, r) = pair.split(" ", 2)
           learned += ((step, l, r, l + r, n))
           val pat = " " + pair + " "

@@ -91,25 +91,48 @@ object Prom {
     * table it reads. Long-running services with streaming index
     * updates get TTL semantics one level up ([[graft.engine.FindCache]]).
     */
+  /** Outer key: the tags DataFrame INSTANCE (DataFrame has identity
+    * equals, so a hit is guaranteed to be the same table — no hash
+    * collision can alias two tables), held weakly so per-request
+    * frames (the HTTP layer rebuilds its tags view every call) are
+    * collected instead of accumulating; the engine's session-memoized
+    * tables are strongly held by their memo and persist. The inner
+    * per-table map is bounded.
+    */
   private val findMemo =
     java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[(String, Int, String), Array[String]](256, 0.75f, true) {
-        override def removeEldestEntry(
-            e: java.util.Map.Entry[(String, Int, String), Array[String]]): Boolean =
-          size() > 4096
-      })
+      new java.util.WeakHashMap[DataFrame,
+        java.util.LinkedHashMap[String, Array[String]]]())
 
   def findPathsCached(
       tags: DataFrame,
       matchers: Seq[(String, String, String)]): DataFrame = {
     val spark = tags.sparkSession
-    val key = (spark.sparkContext.applicationId,
-      System.identityHashCode(tags.queryExecution.logical),
-      matchers.mkString("|"))
-    var paths = findMemo.get(key)
-    if (paths == null) {
-      paths = findByMatchers(tags, matchers).collect().map(_.getString(0))
-      findMemo.put(key, paths)
+    val key = matchers.mkString("|")
+    val paths = findMemo.synchronized {
+      val inner = {
+        val m = findMemo.get(tags)
+        if (m != null) m
+        else {
+          val m2 = new java.util.LinkedHashMap[String, Array[String]](64, 0.75f, true) {
+            override def removeEldestEntry(
+                e: java.util.Map.Entry[String, Array[String]]): Boolean =
+              size() > 1024
+          }
+          findMemo.put(tags, m2)
+          m2
+        }
+      }
+      inner.get(key)
+    } match {
+      case null =>
+        val computed = findByMatchers(tags, matchers).collect().map(_.getString(0))
+        findMemo.synchronized {
+          val inner = findMemo.get(tags)
+          if (inner != null) inner.put(key, computed)
+        }
+        computed
+      case hit => hit
     }
     import spark.implicits._
     spark.createDataset(paths.toIndexedSeq).toDF("path")
