@@ -98,8 +98,38 @@ object Bench {
       java.nio.file.Files.write(out, full.getBytes("UTF-8"))
     } catch { case e: Throwable =>
       System.err.println(s"bench.json write failed: ${e.getMessage}") }
+    // The driver's tail-capture keeps only the LAST 2000 chars of
+    // stdout; a single contract line carrying all 201 per-query times
+    // (~4.6 KB) always loses its head — r8/r9 artifacts arrived with
+    // "metric"/"value" cut off and parsed=null. So: (a) the full map
+    // goes out first as deterministic ≤110-char "BENCH i/n" chunk
+    // lines (full stdout carries everything; the tail still keeps the
+    // last ~12 chunks), and (b) the FINAL line is a short contract
+    // JSON — headline + slowest subset in "queries", totals, and a
+    // pointer to the durable full artifact — sized to survive the
+    // 2000-char window whole, so `parsed` is non-null again.
+    val entries = timings.map { case (k, v) => s"${jstr(k)}:${num(v)}" }.toSeq
+    val chunks = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    for (e <- entries) {
+      if (cur.nonEmpty && cur.length + e.length + 1 > 110) {
+        chunks += cur.toString; cur.clear()
+      }
+      if (cur.nonEmpty) cur.append(',')
+      cur.append(e)
+    }
+    if (cur.nonEmpty) chunks += cur.toString
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      println(s"BENCH ${i + 1}/${chunks.size} {$c}")
+    }
+    val headline = Seq("g_render_headline", "g_render_headline_scalable", "q1_agg")
+    val slowest = timings.toSeq.sortBy(-_._2).take(8).map(_._1)
+    val sel = (headline ++ slowest).distinct.filter(timings.contains)
+    val hq = sel.map(k => s"${jstr(k)}:${num(timings(k))}").mkString("{", ",", "}")
+    val esShort = errors.take(3).map { case (k, v) => s"${jstr(k)}:${jstr(v.take(80))}" }
+      .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$hq,"queries_note":"headline+slowest subset of ${timings.size}; full map in BENCH chunk lines above and target/bench.json","errors":$esShort,"n_ok":${timings.size},"n_err":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -34,6 +34,13 @@ object Lineage {
   /** Runtime-conf key naming the reliable checkpoint directory. */
   val ConfKey = "graft.checkpoint.dir"
 
+  /** Runtime-conf key: set `"true"` to make a non-local deployment
+    * FAIL FAST on the first truncation instead of warning when
+    * [[ConfKey]] is unset — for operators who want the durability
+    * contract enforced, not advised.
+    */
+  val RequireDurableKey = "graft.checkpoint.requireDurable"
+
   /** Cut `df`'s lineage. Reliable (`checkpoint`) when
     * [[ConfKey]] is set on the session, local otherwise. With
     * `eager = false` the cut is planned but materialization happens
@@ -53,6 +60,33 @@ object Lineage {
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[org.apache.spark.SparkContext, String]())
 
+  /** Durability-contract check for the local-checkpoint fallback:
+    * returns the warning to emit (None = nothing to say). Pure so the
+    * policy is unit-testable — `local[...]` masters can't reproduce a
+    * multi-executor deployment in-process.
+    */
+  private[graft] def durabilityWarning(
+      isLocal: Boolean, requireDurable: Boolean): Option[String] =
+    if (isLocal) None
+    else if (requireDurable)
+      throw new IllegalStateException(
+        s"$ConfKey is unset on a multi-executor deployment and " +
+          s"$RequireDurableKey=true: localCheckpoint blocks die with their " +
+          "executor and would poison every memoized table for the " +
+          "application's lifetime. Set a durable checkpoint directory.")
+    else Some(
+      s"$ConfKey is unset on a multi-executor deployment: lineage " +
+        "truncation falls back to localCheckpoint, whose blocks are NOT " +
+        "fault-tolerant — one executor loss poisons the memoized relation " +
+        "for the application's lifetime. Set " +
+        s"""spark.conf.set("$ConfKey", "<hdfs/s3 path>") (or """ +
+        s"$RequireDurableKey=true to fail fast).")
+
+  /** Contexts already warned — once per application, not per truncate. */
+  private val warned =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.SparkContext, java.lang.Boolean]())
+
   def truncate(df: DataFrame, eager: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     spark.conf.getOption(ConfKey).filter(_.nonEmpty) match {
@@ -60,7 +94,15 @@ object Lineage {
         val sc = spark.sparkContext
         if (appliedRoot.put(sc, dir) != dir) sc.setCheckpointDir(dir)
         df.checkpoint(eager)
-      case None => df.localCheckpoint(eager)
+      case None =>
+        val sc = spark.sparkContext
+        val requireDurable = spark.conf
+          .getOption(RequireDurableKey).exists(_.equalsIgnoreCase("true"))
+        durabilityWarning(sc.isLocal, requireDurable).foreach { msg =>
+          if (warned.put(sc, java.lang.Boolean.TRUE) == null)
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+        }
+        df.localCheckpoint(eager)
     }
   }
 

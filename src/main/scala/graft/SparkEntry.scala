@@ -4830,13 +4830,13 @@ object SparkEntry {
            |    ft::double - (t::double - 86400) AS dstart0,
            |    t::double - lt::double AS dend0, fv
            |  FROM res),
-           |st AS (SELECT path, t, inc, sampled, avgdur, dend0,
-           |    CASE WHEN inc > 0 AND fv >= 0 AND sampled * (fv / inc) < dstart0
-           |         THEN sampled * (fv / inc) ELSE dstart0 END AS dstart1
+           |st AS (SELECT path, t, inc, sampled, avgdur, dend0, fv,
+           |    CASE WHEN dstart0 >= avgdur * 1.1::double
+           |         THEN avgdur / 2 ELSE dstart0 END AS dstartc
            |  FROM calc),
            |fin AS (SELECT path, t, inc, sampled,
-           |    CASE WHEN dstart1 >= avgdur * 1.1::double
-           |         THEN avgdur / 2 ELSE dstart1 END AS dstart,
+           |    CASE WHEN inc > 0 AND fv >= 0 AND sampled * (fv / inc) < dstartc
+           |         THEN sampled * (fv / inc) ELSE dstartc END AS dstart,
            |    CASE WHEN dend0 >= avgdur * 1.1::double
            |         THEN avgdur / 2 ELSE dend0 END AS dend
            |  FROM st)
@@ -4870,13 +4870,13 @@ object SparkEntry {
            |    ft::double - (t::double - 86400) AS dstart0,
            |    t::double - lt::double AS dend0, fv
            |  FROM res),
-           |st AS (SELECT path, t, inc, sampled, avgdur, dend0,
-           |    CASE WHEN inc > 0 AND fv >= 0 AND sampled * (fv / inc) < dstart0
-           |         THEN sampled * (fv / inc) ELSE dstart0 END AS dstart1
+           |st AS (SELECT path, t, inc, sampled, avgdur, dend0, fv,
+           |    CASE WHEN dstart0 >= avgdur * 1.1::double
+           |         THEN avgdur / 2 ELSE dstart0 END AS dstartc
            |  FROM calc),
            |fin AS (SELECT path, t, inc, sampled,
-           |    CASE WHEN dstart1 >= avgdur * 1.1::double
-           |         THEN avgdur / 2 ELSE dstart1 END AS dstart,
+           |    CASE WHEN inc > 0 AND fv >= 0 AND sampled * (fv / inc) < dstartc
+           |         THEN sampled * (fv / inc) ELSE dstartc END AS dstart,
            |    CASE WHEN dend0 >= avgdur * 1.1::double
            |         THEN avgdur / 2 ELSE dend0 END AS dend
            |  FROM st)

@@ -1,7 +1,8 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 import graft.Lineage.TruncateOps
 
@@ -105,16 +106,67 @@ object Bpe {
     */
   val LocalVocabThresholdKey = "graft.bpe.localVocabThreshold"
 
+  /** Learn `merges` BPE merge rules from a corpus.
+    *
+    * `minFreq` / `topV` bound the word-frequency relation BEFORE the
+    * merge loop — the knob that makes training corpus-scale-safe. A
+    * 100 TB web corpus has tens of millions of distinct "words" (URLs,
+    * hex hashes, typos), which would keep the driver-side classic loop
+    * from ever engaging; a frequency floor (`freq >= minFreq`) or a
+    * top-V cut (keep the `topV` most frequent words, ties on word text
+    * ascending for determinism) shrinks the relation to the Zipf head
+    * that actually decides the merges. Both prunes are one extra
+    * filter / TakeOrdered over the already vocab-sized relation — the
+    * corpus is still scanned exactly once.
+    *
+    * Approximation contract: pruning is exact whenever every step's
+    * winning pair beats the runner-up by more than the pruned
+    * frequency mass. A word of frequency f and s symbols contributes
+    * at most f·(s−1) to ANY pair count, so the total perturbation of
+    * any pair count is bounded by Σ_pruned freq·(symbols−1) — on a
+    * Zipfian corpus with counts in the billions for head pairs and a
+    * floor of a few occurrences, orders of magnitude below every
+    * early-merge margin. The bound is computed (one aggregate over
+    * the vocab-sized pruned complement) and logged so a run can audit
+    * its own exactness; `minFreq = 1, topV = 0` (the defaults)
+    * disable pruning and reproduce the unpruned result bit-for-bit.
+    */
   def train(
       docs: DataFrame,
       textCol: Column,
-      merges: Int): DataFrame = {
+      merges: Int,
+      minFreq: Long = 1L,
+      topV: Int = 0): DataFrame = {
     val spark = docs.sparkSession
-    // pass 1 (the ONLY corpus pass): word-frequency table
-    var wf = docs
+    val pruning = minFreq > 1L || topV > 0
+    // pass 1 (the ONLY corpus pass): word-frequency table. Truncated
+    // separately only when pruning needs to consume it twice (kept +
+    // audit complement); unpruned stays the single cut below.
+    val wf0raw = docs
       .select(explode(split(trim(textCol), "\\s+")).as("w"))
       .where(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("freq"))
+    val wf0 = if (pruning) wf0raw.truncateLineage() else wf0raw
+    val floored = if (minFreq > 1L) wf0.where(col("freq") >= minFreq) else wf0
+    val kept =
+      if (topV > 0)
+        // TakeOrdered over the vocab-sized relation — deterministic
+        // (freq desc, word asc), no global sort materialized
+        floored.orderBy(col("freq").desc, col("w").asc).limit(topV)
+      else floored
+    if (pruning) {
+      // audit the approximation: max perturbation of any pair count
+      // is the pruned words' Σ freq·(symbols−1)
+      val bound = wf0.exceptAll(kept)
+        .select(sum(col("freq") * (length(col("w")) - 1)).as("b"))
+        .collect().headOption.flatMap(r => Option(r.get(0)).map(_.toString))
+        .getOrElse("0")
+      org.slf4j.LoggerFactory.getLogger(getClass).info(
+        s"Bpe.train pruning engaged (minFreq=$minFreq, topV=$topV): " +
+          s"pair-count perturbation bound = $bound; merges whose winning " +
+          "margin exceeds this are provably identical to the unpruned run")
+    }
+    var wf = kept
       .select(charSymbols(col("w")).as("sym"), col("freq"))
       .truncateLineage()
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
@@ -178,16 +230,68 @@ object Bpe {
         col("merged"), col("n"))
   }
 
+  /** Rule-count ceiling for the per-rule Column-expression chain in
+    * [[encode]]. Each rule adds [[MergePasses]] nested `replace`
+    * calls, so the expression tree grows 6× linearly with rule count
+    * and a realistic ~30k-merge vocabulary would blow past analyzer /
+    * codegen limits. Above the bound, encoding switches to a
+    * `mapPartitions` kernel (same replace-scan semantics —
+    * `java.lang.String.replace` is the identical literal left-to-right
+    * scan — with a per-partition distinct-word memo, the natural shape
+    * for a production tokenizer pass). Override with
+    * `spark.conf.set("graft.bpe.exprChainRuleLimit", …)`.
+    */
+  val ExprChainRuleLimitKey = "graft.bpe.exprChainRuleLimit"
+
+  /** Local twin of [[charSymbols]] + the full [[applyMerge]] rule
+    * chain: one code point per initial symbol, then each rule applied
+    * as [[MergePasses]] literal replace-scan passes, in rule order.
+    */
+  private[llm] def encodeWordLocal(
+      word: String, rules: Array[(String, String)]): String = {
+    val sb = new java.lang.StringBuilder(word.length * 2 + 2)
+    sb.append(' ')
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      sb.appendCodePoint(cp)
+      sb.append(' ')
+      i += Character.charCount(cp)
+    }
+    var s = sb.toString // " a b c " — space-wrapped throughout
+    var r = 0
+    while (r < rules.length) {
+      val (l, rt) = rules(r)
+      val pat = " " + l + " " + rt + " "
+      if (s.contains(pat)) {
+        val rep = " " + l + rt + " "
+        var k = 0
+        while (k < MergePasses) { s = s.replace(pat, rep); k += 1 }
+      }
+      r += 1
+    }
+    s.trim
+  }
+
   /** Tokenize with a learned merge list: apply each rule in order to
     * every word — map-only over the corpus, the serving-side pair of
     * [[train]]. Returns (id, n_tokens, tokens_str): token count and
     * the space-joined token stream per document.
+    *
+    * Small rule lists compile to a pure Column-expression chain
+    * (whole-stage codegen); rule lists past [[ExprChainRuleLimitKey]]
+    * run the `mapPartitions` kernel instead — identical semantics,
+    * constant-size plan, per-partition word memo (Zipf makes the memo
+    * hit rate ≈ 1 on natural text).
     */
   def encode(
       docs: DataFrame,
       textCol: Column,
       idCol: Column,
       rules: Seq[(String, String)]): DataFrame = {
+    val exprLimit = docs.sparkSession.conf
+      .getOption(ExprChainRuleLimitKey).map(_.toInt).getOrElse(64)
+    if (rules.size > exprLimit) return encodeKernel(docs, textCol, idCol, rules)
     val words = docs.select(idCol.as("doc_id"),
       transform(
         filter(split(trim(textCol), "\\s+"), w => w =!= ""),
@@ -200,5 +304,58 @@ object Bpe {
       aggregate(col("ws"), lit(0L),
         (acc, w) => acc + size(split(w, " "))).as("n_tokens"),
       array_join(col("ws"), " ").as("tokens_str"))
+  }
+
+  /** `mapPartitions` encoding path for large rule lists — still
+    * map-only over the corpus (no shuffle), rules shipped once per
+    * task in the closure, words memoized per partition (bounded).
+    */
+  private def encodeKernel(
+      docs: DataFrame,
+      textCol: Column,
+      idCol: Column,
+      rules: Seq[(String, String)]): DataFrame = {
+    val pre = docs.select(idCol.as("doc_id"), textCol.as("__text"))
+    val idField = pre.schema.head
+    val outSchema = StructType(Seq(
+      StructField("doc_id", idField.dataType, idField.nullable),
+      StructField("n_tokens", LongType, nullable = true),
+      StructField("tokens_str", StringType, nullable = true)))
+    val rulesArr = rules.toArray
+    val MemoCap = 1 << 20 // per-partition distinct-word memo bound
+    pre.mapPartitions { it =>
+      val memo = new java.util.HashMap[String, String]()
+      it.map { row =>
+        val id = row.get(0)
+        val text = row.getString(1)
+        if (text == null) Row(id, null, null)
+        else {
+          val ws = text.trim.split("\\s+")
+          var n = 0L
+          val sb = new java.lang.StringBuilder
+          var first = true
+          var i = 0
+          while (i < ws.length) {
+            val w = ws(i)
+            if (w.nonEmpty) {
+              var enc = memo.get(w)
+              if (enc == null) {
+                enc = encodeWordLocal(w, rulesArr)
+                if (memo.size < MemoCap) memo.put(w, enc)
+              }
+              var sp = 0
+              var j = 0
+              while (j < enc.length) { if (enc.charAt(j) == ' ') sp += 1; j += 1 }
+              n += sp + 1
+              if (!first) sb.append(' ')
+              sb.append(enc)
+              first = false
+            }
+            i += 1
+          }
+          Row(id, n, sb.toString)
+        }
+      }
+    }(Encoders.row(outSchema))
   }
 }

@@ -102,21 +102,25 @@ object Prom {
   private val findMemo =
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[DataFrame,
-        java.util.LinkedHashMap[String, Array[String]]]())
+        java.util.LinkedHashMap[List[(String, String, String)], Array[String]]]())
 
   def findPathsCached(
       tags: DataFrame,
       matchers: Seq[(String, String, String)]): DataFrame = {
     val spark = tags.sparkSession
-    val key = matchers.mkString("|")
+    // key on the matcher list itself (structural equality) — a joined
+    // string is ambiguous: {a="b)|(c,=,d"} would serialize identically
+    // to the two-matcher set {a="b", c="d"} and alias their cache rows
+    val key = matchers.toList
     val paths = findMemo.synchronized {
       val inner = {
         val m = findMemo.get(tags)
         if (m != null) m
         else {
-          val m2 = new java.util.LinkedHashMap[String, Array[String]](64, 0.75f, true) {
+          val m2 = new java.util.LinkedHashMap[
+              List[(String, String, String)], Array[String]](64, 0.75f, true) {
             override def removeEldestEntry(
-                e: java.util.Map.Entry[String, Array[String]]): Boolean =
+                e: java.util.Map.Entry[List[(String, String, String)], Array[String]]): Boolean =
               size() > 1024
           }
           findMemo.put(tags, m2)

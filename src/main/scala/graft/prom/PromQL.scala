@@ -1531,13 +1531,19 @@ object PromQL {
             val dStart0 = firstT - (tEnd - lit(win.toDouble))
             val dEnd0 = tEnd - lastT
             val durToZero = sampled * (firstV / col("increase"))
-            val dStart1 =
-              if (isCounter)
-                when(col("increase") > 0.0 && firstV >= 0.0 && durToZero < dStart0,
-                  durToZero).otherwise(dStart0)
-              else dStart0
+            // pinned upstream order (post-2.52 reorder): cap
+            // durationToStart at the 1.1×avgDur extrapolation
+            // threshold FIRST, then clamp the counter zero crossing
+            // against the CAPPED value — the reverse order returns
+            // durToZero where upstream returns avgDur/2 whenever
+            // dStart0 >= threshold and durToZero ∈ (avgDur/2, thresh)
             val thresh = avgDur * lit(1.1)
-            val dStart = when(dStart1 >= thresh, avgDur / 2).otherwise(dStart1)
+            val dStartCapped = when(dStart0 >= thresh, avgDur / 2).otherwise(dStart0)
+            val dStart =
+              if (isCounter)
+                when(col("increase") > 0.0 && firstV >= 0.0 && durToZero < dStartCapped,
+                  durToZero).otherwise(dStartCapped)
+              else dStartCapped
             val dEnd = when(dEnd0 >= thresh, avgDur / 2).otherwise(dEnd0)
             val factor = (sampled + dStart + dEnd) / sampled
             base.withColumn("value",

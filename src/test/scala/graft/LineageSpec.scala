@@ -52,6 +52,26 @@ class LineageSpec extends AnyFunSuite {
     }
   }
 
+  test("durability contract: warn on multi-executor without a checkpoint dir, fail fast on request") {
+    // local deployments: silent (the default test/dev path)
+    assert(Lineage.durabilityWarning(isLocal = true, requireDurable = false).isEmpty)
+    // multi-executor without graft.checkpoint.dir: prominent warning
+    // naming both the risk and the remedies
+    val warn = Lineage.durabilityWarning(isLocal = false, requireDurable = false)
+    assert(warn.exists(m => m.contains(Lineage.ConfKey) &&
+      m.contains("executor loss") && m.contains(Lineage.RequireDurableKey)))
+    // requireDurable=true: the run refuses to proceed
+    val e = intercept[IllegalStateException](
+      Lineage.durabilityWarning(isLocal = false, requireDurable = true))
+    assert(e.getMessage.contains(Lineage.ConfKey))
+    // a configured checkpoint dir never reaches the fallback at all —
+    // pinned by the reliable-mode test above; and truncate on the
+    // local test context stays warning-free end-to-end
+    val s = spark.newSession()
+    import s.implicits._
+    assert(Lineage.truncate(Seq(1).toDF("x")).count() == 1L)
+  }
+
   test("lazy truncation stays lazy in reliable mode and matches results") {
     val s = spark.newSession()
     import s.implicits._

@@ -77,6 +77,65 @@ class BpeSpec extends AnyFunSuite {
     assert(local.size == 5)
   }
 
+  test("train: minFreq floor inert on disjoint singletons → merges AND counts identical") {
+    import spark.implicits._
+    // head words (freq ≥ 2) decide every merge; the singleton "xyz"
+    // shares no letters with them, so pruning it perturbs no competing
+    // pair count — pruned run must equal the unpruned run bit-for-bit
+    val docs = Seq("low low lower xyz", "low lower").toDF("text")
+    def run(minFreq: Long) =
+      Bpe.train(docs, col("text"), merges = 3, minFreq = minFreq)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).toSeq
+    assert(run(1L) == run(2L))
+    assert(run(2L).map(t => (t._2, t._3)) == Seq(("l", "o"), ("lo", "w"), ("e", "r")))
+  }
+
+  test("train: topV cut keeps the Zipf head; driver loop engages below threshold") {
+    import spark.implicits._
+    // distinct words: low(×3) lower(×2) xyz(×1) qqq(×1) → topV=2 keeps
+    // low+lower (freq desc, word asc deterministic); merges match the
+    // classic fixture
+    val docs = Seq("low low lower xyz", "low lower qqq").toDF("text")
+    val rules = Bpe.train(docs, col("text"), merges = 2, topV = 2)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(rules == Seq(("l", "o"), ("lo", "w")))
+  }
+
+  test("train: pruning makes the driver loop engage on a long-tail vocab") {
+    import spark.implicits._
+    // 40 distinct singleton junk words + a small head; with the
+    // local-vocab threshold forced to 10 the unpruned run would take
+    // the distributed path, but minFreq=2 prunes the tail to 2 words
+    // → driver loop engages and still learns the head merges
+    val junk = (1 to 40).map(i => f"zz$i%02d").mkString(" ")
+    val docs = Seq(s"low low lower $junk", "low lower").toDF("text")
+    spark.conf.set(Bpe.LocalVocabThresholdKey, "10")
+    try {
+      val rules = Bpe.train(docs, col("text"), merges = 2, minFreq = 2)
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      assert(rules == Seq(("l", "o"), ("lo", "w")))
+    } finally spark.conf.unset(Bpe.LocalVocabThresholdKey)
+  }
+
+  test("encode: mapPartitions kernel ≡ Column-expression chain") {
+    import spark.implicits._
+    val docs = Seq((1L, "low lower low"), (2L, "wow  low"), (3L, ""),
+      (4L, "aaaa baab")).toDF("doc_id", "text")
+    val rules = Seq(("l", "o"), ("lo", "w"), ("a", "a"), ("e", "r"))
+    def collectOut(limit: String) = {
+      spark.conf.set(Bpe.ExprChainRuleLimitKey, limit)
+      try Bpe.encode(docs, col("text"), col("doc_id"), rules)
+        .orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+      finally spark.conf.unset(Bpe.ExprChainRuleLimitKey)
+    }
+    val viaExpr = collectOut("64")
+    val viaKernel = collectOut("0") // force the kernel path
+    assert(viaExpr == viaKernel)
+    assert(viaKernel.find(_._1 == 4L).get._3 == "aa aa b aa b")
+  }
+
   test("train is a single corpus pass: merge steps never rescan documents") {
     import spark.implicits._
     val docs = Seq("alpha beta beta gamma").toDF("text")

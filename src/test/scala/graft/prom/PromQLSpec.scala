@@ -880,6 +880,14 @@ class PromQLEvalSpec extends AnyFunSuite {
     // plain increase now defaults to the same upstream extrapolation
     assert(eval("increase(m[100s])", pts: _*) ==
       Set(("m?x=1", 100L, 30.0 * (100.0 / 60.0))))
+    // clamp/cap ORDER (upstream post-2.52): dStart0=30 ≥ thresh=11 →
+    // capped to avgDur/2=5 FIRST; zero crossing durToZero=30·4/15=8
+    // is checked against the CAPPED 5 (8 not < 5 → stays 5), NOT
+    // against the raw 30 (which would yield 8 → increase 21.5)
+    val pts2 = Seq(("m?x=1", 30L, 4.0), ("m?x=1", 40L, 9.0),
+      ("m?x=1", 50L, 14.0), ("m?x=1", 60L, 19.0))
+    assert(eval("increase(m[100s])", pts2: _*) ==
+      Set(("m?x=1", 100L, 20.0))) // 15·(30+5+5)/30
   }
 
   test("sort_by_label orders the instant assembly, eval is identity") {

@@ -36,6 +36,24 @@ class PromSpec extends AnyFunSuite {
     assert(Prom.matchersToTerms(Seq(("a", "??", "b"))).isLeft)
   }
 
+  test("findPathsCached: structural matcher key — no string-serialization aliasing") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val paths = Seq("m?a=b)|(c,=,d", "m?a=b&c=d").toDF("path")
+      .withColumn("date", lit("1970-01-01").cast("date"))
+      .withColumn("version", lit(0L))
+    val tags = graft.engine.GraphiteTables.expandTagRows(paths)
+    val m1 = Seq(("a", "=", "b)|(c,=,d"))
+    val m2 = Seq(("a", "=", "b"), ("c", "=", "d"))
+    // the two matcher sets serialize to the SAME joined string — the
+    // memo must still key them separately (structural list equality)
+    assert(m1.mkString("|") == m2.mkString("|"))
+    val r1 = Prom.findPathsCached(tags, m1).collect().map(_.getString(0)).toSet
+    val r2 = Prom.findPathsCached(tags, m2).collect().map(_.getString(0)).toSet
+    assert(r1 == Set("m?a=b)|(c,=,d"))
+    assert(r2 == Set("m?a=b&c=d"))
+  }
+
   test("date window modes") {
     val tz = ZoneId.of("America/New_York") // UTC-5 in January
     val ts = 1704070800L // 2024-01-01 01:00 UTC = 2023-12-31 20:00 EST
