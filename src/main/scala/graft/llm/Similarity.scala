@@ -778,6 +778,13 @@ object Similarity {
     * per-query top-k via the fleet-sized rank window. 4 bytes → 1
     * byte per dimension is the memory play at 100 TB; the scan cost
     * is unchanged.
+    *
+    * The per-dim (min, scale) table stays IN-PLAN as a single-row
+    * broadcast relation (pos-sorted arrays) instead of the
+    * [[sq8Train]] driver collect: identical arithmetic, but one Spark
+    * job instead of two and no driver synchronization point — the
+    * collect form cost a full extra job of fixed overhead per query
+    * at bench scale and serializes the pipeline at any scale.
     */
   def sq8Search(
       vectors: DataFrame,
@@ -786,10 +793,25 @@ object Similarity {
       dim: Int,
       idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
-    val (mins, scales) = sq8Train(vectors, dim, embCol)
-    val mn = array(mins.map(lit): _*)
-    val sc = array(scales.map(lit): _*)
-    val enc = sq8Encode(vectors, mins, scales, idCol, embCol)
+    val stats = vectors
+      .select(posexplode(col(embCol)).as(Seq("pos", "v")))
+      .groupBy("pos")
+      .agg(min(col("v").cast("double")).as("mn"),
+        max(col("v").cast("double")).as("mx"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("mn"),
+        greatest(col("mx") - col("mn"), lit(1e-12)).as("sc")))).as("st"))
+      .select(transform(col("st"), s => s("mn")).as("__mins"),
+        transform(col("st"), s => s("sc")).as("__scales"))
+    val mn = col("__mins"); val sc = col("__scales")
+    val enc = vectors
+      .join(broadcast(stats)) // 1-row broadcast LUT
+      .select(col(idCol).cast("long").as("vid"),
+        zip_with(col(embCol), sequence(lit(1), lit(dim)),
+          (v, i) => greatest(lit(0),
+            least(lit(255),
+              floor((v.cast("double") - element_at(mn, i)) / element_at(sc, i)
+                * 255.0 + 0.5).cast("int")))).as("codes"),
+        mn, sc)
     val deq = zip_with(col("codes"), sequence(lit(1), lit(dim)),
       (c, i) => element_at(mn, i) +
         c.cast("double") / 255.0 * element_at(sc, i))
@@ -798,6 +820,7 @@ object Similarity {
     val scored = enc
       .join(broadcast(q), col("query_id") =!= col("vid"))
       .withColumn("dist", l2sq(deq, col("q_emb")))
+      .drop("__mins", "__scales")
     val w = Window.partitionBy("query_id")
       .orderBy(col("dist").asc, col("vid").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))

@@ -4,9 +4,13 @@ import graft.SparkTestBase
 
 /** Census mode: executed-plan operator counts for every registered
   * query at sf0.001 → markdown table rows on stdout.
+  *
+  * `Test/runMain graft.tools.DriveScratch sq8` switches to the
+  * e_sq8_search phase-timing drive (r9→r10 regression triage).
   */
 object DriveScratch {
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("sq8")) { sq8Drive(); return }
     val spark = SparkTestBase.spark
     val sfDir = "/root/testdata/sf0.001"
     val names = graft.SparkEntry.queries.keys.toSeq.sorted
@@ -29,6 +33,52 @@ object DriveScratch {
           println(s"CENSUS-ERR $name ${Option(e.getMessage).getOrElse("?").take(120)}")
       }
     }
+    spark.stop()
+  }
+
+  private def sq8Drive(): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import graft.llm.Similarity
+    val spark = SparkTestBase.spark
+    val dir = "/root/testdata/sf0.1"
+    def t(label: String)(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"SQ8TIME $label $s%.3f s"); s
+    }
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+    println(s"SQ8ROWS ${vecs.count()}")
+    // OLD shape: driver-collected train stats + literal-array encode
+    def oldSearch(): Unit = {
+      val dim = 64; val k = 5
+      val (mins, scales) = Similarity.sq8Train(vecs, dim)
+      val mn = array(mins.map(lit): _*)
+      val sc = array(scales.map(lit): _*)
+      val enc = Similarity.sq8Encode(vecs, mins, scales)
+      val deq = zip_with(col("codes"), sequence(lit(1), lit(dim)),
+        (c, i) => element_at(mn, i) + c.cast("double") / 255.0 * element_at(sc, i))
+      val q = vecs.where(col("vec_id") < 5)
+        .select(col("vec_id").cast("long").as("query_id"), col("embedding").as("q_emb"))
+      val scored = enc.join(broadcast(q), col("query_id") =!= col("vid"))
+        .withColumn("dist", Similarity.l2sq(deq, col("q_emb")))
+      val w = Window.partitionBy("query_id").orderBy(col("dist").asc, col("vid").asc)
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= k)
+        .select(col("query_id"), col("rank"), col("vid").as("neighbor_id"),
+          round(col("dist"), 4).as("dist"))
+        .write.mode("overwrite").format("noop").save()
+    }
+    def newSearch(): Unit =
+      Similarity.sq8Search(vecs, vecs.where(col("vec_id") < 5), k = 5, dim = 64)
+        .write.mode("overwrite").format("noop").save()
+    // interleave old/new, report per-variant min — same JVM, same weather
+    var oldMin = Double.MaxValue; var newMin = Double.MaxValue
+    for (round <- 1 to 4) {
+      oldMin = math.min(oldMin, t(s"r$round-old")(oldSearch()))
+      newMin = math.min(newMin, t(s"r$round-new")(newSearch()))
+    }
+    println(f"SQ8MIN old $oldMin%.3f new $newMin%.3f")
     spark.stop()
   }
 }
