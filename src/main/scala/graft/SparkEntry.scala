@@ -2316,7 +2316,39 @@ object SparkEntry {
       Multimodal.sampleFrames(
         Multimodal.withPayload(s.read.parquet(s"$dir/documents.parquet")), stride = 64)
         .select(col("doc_id"), col("frame_no").cast("long").as("frame_no"),
-          col("frame_bytes").cast("long").as("frame_bytes"))))
+          col("frame_bytes").cast("long").as("frame_bytes"))),
+
+    // REAL image codec (JDK ImageIO, no external libs): encode each
+    // document as a genuine PNG, decode it back per partition, emit
+    // decoded dims + pixel features. PNG is lossless → features are
+    // deterministic; the compressed byte stream is writer-dependent,
+    // so no SQL oracle — rows-only gate + pixel-exact ImageCodecSpec.
+    "m_png_features" -> ((s, dir) =>
+      Multimodal.extractImageFeatures(
+        Multimodal.withPngPayload(s.read.parquet(s"$dir/documents.parquet")), bins = 8)
+        .select(col("doc_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          round(element_at(col("feature"), 1), 4).as("mean_r"),
+          round(element_at(col("feature"), 4), 4).as("lum_bin0"))),
+
+    // REAL resize: decode → nearest-neighbor rescale → PNG re-encode;
+    // output meta comes from the decoded-and-scaled image.
+    "m_png_resize" -> ((s, dir) =>
+      Multimodal.extractImageFeatures(
+        Multimodal.resizeImages(
+          Multimodal.withPngPayload(s.read.parquet(s"$dir/documents.parquet")), 4, 3),
+        bins = 4)
+        .select(col("doc_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          round(element_at(col("feature"), 2), 4).as("mean_g"))),
+
+    // REAL audio codec (JDK WAV/PCM): seed-keyed sine payloads
+    // round-tripped through the JDK encoder/decoder, RMS +
+    // zero-crossing features out.
+    "m_wav_features" -> ((s, dir) =>
+      Multimodal.extractWavFeatures(s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), col("n_samples"),
+          round(col("rms"), 4).as("rms"), col("zero_crossings"))))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.

@@ -40,6 +40,20 @@ import org.apache.spark.sql.functions._
   * sub-second ones (`[500ms]`, `[1500ms]`) are rejected with a parse
   * error instead of being silently widened.
   *
+  * Function-table parity (swept against the pinned upstream,
+  * v2024-08-27): every function and aggregation in upstream's table
+  * is implemented EXCEPT (a) the native-histogram family
+  * (`histogram_count`/`histogram_sum`/`histogram_avg`/
+  * `histogram_fraction`/`histogram_stddev`/`histogram_stdvar` and
+  * `histogram_quantile`'s native-sample path) — the Graphite-tagged
+  * storage model has no native-histogram sample type, so only the
+  * classic `le`-bucket `histogram_quantile` applies; and (b) the
+  * 3.x experimental `info()` and `ts_of_*_over_time`. `limitk`/
+  * `limit_ratio`/`sort_by_label{,_desc}`/`mad_over_time`/
+  * `double_exponential_smoothing` (upstream's experimental set) and
+  * `@ start()`/`@ end()` ARE implemented; `first_over_time` is a
+  * superset extension.
+  *
   * Evaluation is one distributed pass, scale-shaped for wide fleets:
   * each sample is exploded onto the [t₀+n·step] eval slots it can
   * serve (bounded by window/step slots per sample), then ONE hash

@@ -1,0 +1,98 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** REAL JDK codecs in Multimodal: PNG round trips pixel-exactly
+  * (lossless), resize lands on the target grid, WAV decode recovers
+  * the sine's RMS and zero-crossing rate — the decode step is no
+  * longer a stub for image/audio.
+  */
+class ImageCodecSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  test("pngBytes → ImageIO.read round trip is pixel-exact") {
+    val seed = "the quick brown fox".getBytes("UTF-8")
+    val png = Multimodal.pngBytes(seed, 7, 5)
+    // a genuine PNG: magic bytes present
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth == 7 && img.getHeight == 5)
+    // pixels match the generator formula exactly (PNG is lossless)
+    for (y <- 0 until 5; x <- 0 until 7) {
+      val i = y * 7 + x
+      val r = seed(i % seed.length) & 0xff
+      val g = seed((i * 31 + 7) % seed.length) & 0xff
+      val b = (i * 131) & 0xff
+      assert((img.getRGB(x, y) & 0xffffff) == ((r << 16) | (g << 8) | b),
+        s"pixel ($x,$y)")
+    }
+  }
+
+  test("extractImageFeatures: decoded dims + channel means match a local decode") {
+    import spark.implicits._
+    val docs = Seq((3L, "alpha beta"), (17L, "gamma")).toDF("doc_id", "text")
+    val out = Multimodal.extractImageFeatures(
+        Multimodal.withPngPayload(docs), bins = 4)
+      .orderBy("doc_id").collect()
+    assert(out.length == 2)
+    for (row <- out) {
+      val id = row.getLong(0)
+      val text = if (id == 3L) "alpha beta" else "gamma"
+      val w = (4 + (id % 13)).toInt
+      val h = (4 + (id % 11)).toInt
+      assert(row.getInt(1) == w && row.getInt(2) == h)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+        Multimodal.pngBytes(text.getBytes("UTF-8"), w, h)))
+      val expect = Multimodal.imageFeatures(img, 4)
+      val got = row.getSeq[Double](3)
+      assert(got.size == 3 + 4)
+      expect.zip(got).foreach { case (e, g) => assert(math.abs(e - g) < 1e-12) }
+      // luminance histogram is a distribution
+      assert(math.abs(got.drop(3).sum - 1.0) < 1e-9)
+    }
+  }
+
+  test("resizeImages: nearest-neighbor rescale to the target grid, re-decodable") {
+    import spark.implicits._
+    val docs = Seq((9L, "some pixels here")).toDF("doc_id", "text")
+    val out = Multimodal.resizeImages(Multimodal.withPngPayload(docs), 4, 3)
+      .collect().head
+    assert(out.getStruct(2).getInt(0) == 4 && out.getStruct(2).getInt(1) == 3)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out.getAs[Array[Byte]]("payload")))
+    assert(img.getWidth == 4 && img.getHeight == 3)
+  }
+
+  test("WAV round trip: RMS ≈ amp/√2 and zero-crossing rate ≈ 2·freq·duration") {
+    val id = 42L
+    val wav = Multimodal.wavBytes(id) // freq = 200 + 42 = 242 Hz, 800 samples @ 8 kHz
+    assert(new String(wav.slice(0, 4), "US-ASCII") == "RIFF")
+    val Some((n, rms, zc)) = Multimodal.audioFeatures(wav)
+    assert(n == 800L)
+    assert(math.abs(rms - 0.5 / math.sqrt(2)) < 0.01)
+    val expectedZc = 2.0 * 242.0 * (800.0 / 8000.0) // ≈ 48.4
+    assert(math.abs(zc - expectedZc) <= 2)
+  }
+
+  test("corrupt payloads are skipped, not fatal") {
+    import spark.implicits._
+    val docs = Seq((1L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
+    assert(Multimodal.extractImageFeatures(docs, bins = 4).count() == 0L)
+    assert(Multimodal.audioFeatures(Array[Byte](9, 9)).isEmpty)
+  }
+
+  test("registered m_png/m_wav queries run on testdata with full coverage") {
+    val sfDir = "/root/testdata/sf0.001"
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val feat = graft.SparkEntry.queries("m_png_features")(spark, sfDir)
+    assert(feat.count() == nDocs) // every payload decoded — none dropped
+    val res = graft.SparkEntry.queries("m_png_resize")(spark, sfDir)
+      .agg(min("width"), max("width"), min("height"), max("height")).collect().head
+    assert(res.getLong(0) == 4L && res.getLong(1) == 4L &&
+      res.getLong(2) == 3L && res.getLong(3) == 3L)
+    assert(graft.SparkEntry.queries("m_wav_features")(spark, sfDir).count() == nDocs)
+  }
+}

@@ -1,0 +1,131 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthetic ×R scale probe (round-10 advice #2): replicate the sf0.1
+  * tables ×1/×10/×100 with perturbed identities, run the heaviest
+  * registered pipelines UNCHANGED against each scaled dir, and report
+  * per-query wall time + driver heap + a cartesian census — the
+  * evidence that wall-time stays near-linear in data size and no plan
+  * degenerates when the corpus grows 100×.
+  *
+  * Perturbation design (what makes the ratios meaningful):
+  *  - `documents`: replica 0 is the original; replica i>0 suffixes
+  *    every word with `_i`, so every shingle/token/hash differs
+  *    across replicas. Each replica is a disjoint "sublanguage":
+  *    within-replica duplicate/near-dup structure is preserved
+  *    exactly, across-replica candidate pairs are impossible — so
+  *    candidate/pair volume scales ×R (linear), the realistic shape
+  *    for a corpus that grows by ingesting NEW content. Naive
+  *    replication without text perturbation would instead create
+  *    ×R-sized duplicate clusters (quadratic pair blowup) — a skew
+  *    stress test, not a scale probe.
+  *  - `events`: user_id += i·10M (new series/paths — how a metrics
+  *    fleet actually grows), event_id += i·1e9 (version uniqueness),
+  *    timestamps untouched (same window, denser fleet).
+  *  - `embeddings`: vec_id += i·10M, each component jittered by
+  *    i·1e-6 (breaks exact ties; keeps the metric structure).
+  *
+  * Run: `Test/runMain graft.tools.ScaleProbe [factors]`, factors
+  * defaulting to `1,10,100`. Emits `SCALE |` rows for SCALE_NOTES.md.
+  */
+object ScaleProbe {
+
+  val ProbeQueries: Seq[String] = Seq(
+    "d_minhash_pairs", "d_cluster_dedup", "d_dup_spans", "d_scrub_spans",
+    "d_curate_decon", "d_tfidf", "d_quantiles_by_lang", "d_bpe_train",
+    "e_ivfpq_search", "g_render_headline_scalable", "p_query_groupleft")
+
+  def main(args: Array[String]): Unit = {
+    val factors = args.headOption.map(_.split(',').map(_.trim.toInt).toSeq)
+      .getOrElse(Seq(1, 10, 100))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    for (r <- factors) {
+      val dir = s"target/scale/x$r"
+      buildScaledDir(spark, srcDir, dir, r)
+      // warm the derived graphite side tables (ingest-owned in
+      // production; untimed here exactly as in Bench)
+      try {
+        graft.engine.GraphiteTables.index(spark, dir).count()
+        graft.engine.GraphiteTables.tags(spark, dir).count()
+      } catch { case _: Throwable => }
+      for (name <- ProbeQueries if graft.SparkEntry.queries.contains(name)) {
+        // construction INSIDE the timer — driver-loop queries (BPE
+        // training, rollup-rule assignment) do real work while the
+        // plan is being built, exactly as Bench times them
+        def once(): (Double, String) = {
+          val t0 = System.nanoTime()
+          val df = graft.SparkEntry.queries(name)(spark, dir)
+          df.write.mode("overwrite").format("noop").save()
+          ((System.nanoTime() - t0) / 1e9, df.queryExecution.executedPlan.toString)
+        }
+        try {
+          val (t1, _) = once()
+          val (t2, plan) = once()
+          val cart = "CartesianProduct".r.findAllIn(plan).length
+          System.gc()
+          val heapMb = (Runtime.getRuntime.totalMemory() -
+            Runtime.getRuntime.freeMemory()) / (1024 * 1024)
+          // local mode: the "driver" heap doubles as executor storage
+          // for the memoized derived tables (localCheckpoint blocks) —
+          // report that storage separately; heapMB − storageMB tracks
+          // true driver-side state
+          val storageMb = spark.sparkContext.getRDDStorageInfo
+            .map(_.memSize).sum / (1024 * 1024)
+          println(f"SCALE | x$r | $name | ${math.min(t1, t2)}%.2f | cart=$cart | heapMB=$heapMb | storageMB=$storageMb")
+        } catch {
+          case e: Throwable =>
+            println(s"SCALE-ERR | x$r | $name | ${Option(e.getMessage).getOrElse("?").take(150)}")
+        }
+      }
+    }
+    spark.stop()
+  }
+
+  /** Write the ×r replicated tables under `dir` (idempotent overwrite). */
+  def buildScaledDir(spark: SparkSession, srcDir: String, dir: String, r: Int): Unit = {
+    val rep = explode(sequence(lit(0), lit(r - 1))).as("rep")
+
+    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+    docs.select(col("*"), rep)
+      .select(
+        (col("doc_id") + col("rep") * 10000000L).as("doc_id"),
+        when(col("rep") === 0, col("text"))
+          .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("$1_"), col("rep").cast("string")))).as("text"),
+        col("lang"), col("source"),
+        when(col("rep") === 0, col("n_chars"))
+          .otherwise(length(regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("$1_"), col("rep").cast("string"))))).as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val events = spark.read.parquet(s"$srcDir/events.parquet")
+    events.select(col("*"), rep)
+      .select(
+        (col("event_id") + col("rep") * 1000000000L).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("rep") * 10000000L).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val embs = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    embs.select(col("*"), rep)
+      .select(
+        (col("vec_id") + col("rep") * 10000000L).as("vec_id"),
+        transform(col("embedding"),
+          x => (x + col("rep").cast("float") * lit(1e-6f)).cast("float"))
+          .as("embedding"),
+        col("label"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+  }
+}
