@@ -36,6 +36,8 @@ object Bench {
     try {
       graft.engine.GraphiteTables.index(spark, sfDir).count()
       graft.engine.GraphiteTables.tags(spark, sfDir).count()
+      graft.engine.GraphiteTables.points(spark, sfDir).count()
+      graft.engine.GraphiteTables.pointsTagged(spark, sfDir).count()
     } catch { case _: Throwable => }
 
     // optional comma-separated query-name filter (local iteration on

@@ -118,6 +118,23 @@ class BpeSpec extends AnyFunSuite {
     } finally spark.conf.unset(Bpe.LocalVocabThresholdKey)
   }
 
+  test("train: pruning composes with the distributed loop too") {
+    import spark.implicits._
+    val docs = Seq("low low lower xyz", "low lower").toDF("text")
+    spark.conf.set(Bpe.LocalVocabThresholdKey, "0") // force distributed
+    try {
+      val rules = Bpe.train(docs, col("text"), merges = 3, minFreq = 2)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).toSeq
+      // identical to the unpruned classic fixture — the floor only
+      // drops the letter-disjoint singleton
+      assert(rules == Seq(
+        (1L, "l", "o", "lo", 5L),
+        (2L, "lo", "w", "low", 5L),
+        (3L, "e", "r", "er", 2L)))
+    } finally spark.conf.unset(Bpe.LocalVocabThresholdKey)
+  }
+
   test("encode: mapPartitions kernel ≡ Column-expression chain") {
     import spark.implicits._
     val docs = Seq((1L, "low lower low"), (2L, "wow  low"), (3L, ""),

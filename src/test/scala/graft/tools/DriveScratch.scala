@@ -11,6 +11,7 @@ import graft.SparkTestBase
 object DriveScratch {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("sq8")) { sq8Drive(); return }
+    if (args.headOption.contains("groupleft")) { groupLeftDrive(args.drop(1)); return }
     val spark = SparkTestBase.spark
     val sfDir = "/root/testdata/sf0.001"
     val names = graft.SparkEntry.queries.keys.toSeq.sorted
@@ -33,6 +34,52 @@ object DriveScratch {
           println(s"CENSUS-ERR $name ${Option(e.getMessage).getOrElse("?").take(120)}")
       }
     }
+    spark.stop()
+  }
+
+  /** Stage-level triage of p_query_groupleft at a scaled dir: per-stage
+    * wall time + task count + shuffle volumes, plus the formatted plan.
+    */
+  private def groupLeftDrive(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("target/scale/x100")
+    val threads = args.lift(1).getOrElse("32")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$threads]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val ms = for {
+          s <- si.submissionTime; c <- si.completionTime
+        } yield c - s
+        stages.add(f"GLSTAGE ${si.stageId}%4d ${ms.getOrElse(-1L)}%7d ms " +
+          f"tasks=${si.numTasks}%3d in=${si.taskMetrics.inputMetrics.bytesRead / 1048576}%5d MB " +
+          f"sh-r=${si.taskMetrics.shuffleReadMetrics.totalBytesRead / 1048576}%5d MB " +
+          f"sh-w=${si.taskMetrics.shuffleWriteMetrics.bytesWritten / 1048576}%5d MB " +
+          f"spill=${si.taskMetrics.diskBytesSpilled / 1048576}%5d MB | ${si.name.take(60)}")
+      }
+    })
+    try {
+      graft.engine.GraphiteTables.index(spark, dir).count()
+      graft.engine.GraphiteTables.tags(spark, dir).count()
+      graft.engine.GraphiteTables.points(spark, dir).count()
+      graft.engine.GraphiteTables.pointsTagged(spark, dir).count()
+    } catch { case _: Throwable => }
+    stages.clear()
+    val t0 = System.nanoTime()
+    val df = graft.SparkEntry.queries("p_query_groupleft")(spark, dir)
+    df.write.mode("overwrite").format("noop").save()
+    println(f"GLTOTAL ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    Thread.sleep(2000) // let listener drain
+    stages.forEach(println)
+    println(df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted")).take(8000))
     spark.stop()
   }
 

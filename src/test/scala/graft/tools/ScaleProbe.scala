@@ -53,11 +53,18 @@ object ScaleProbe {
     for (r <- factors) {
       val dir = s"target/scale/x$r"
       buildScaledDir(spark, srcDir, dir, r)
-      // warm the derived graphite side tables (ingest-owned in
-      // production; untimed here exactly as in Bench)
+      // warm ALL the derived graphite tables (ingest-owned in
+      // production; untimed here as in Bench). Including the two
+      // points tables matters at big factors: the memo materializes
+      // lazily on first action, so whichever query touches it first
+      // would otherwise absorb a multi-GB derivation+cache job — and
+      // worse, run its own aggregates against the same unified memory
+      // pool the caching is filling.
       try {
         graft.engine.GraphiteTables.index(spark, dir).count()
         graft.engine.GraphiteTables.tags(spark, dir).count()
+        graft.engine.GraphiteTables.points(spark, dir).count()
+        graft.engine.GraphiteTables.pointsTagged(spark, dir).count()
       } catch { case _: Throwable => }
       for (name <- ProbeQueries if graft.SparkEntry.queries.contains(name)) {
         // construction INSIDE the timer — driver-loop queries (BPE
