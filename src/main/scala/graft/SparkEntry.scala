@@ -1366,6 +1366,16 @@ object SparkEntry {
       graft.llm.Bpe.train(
         s.read.parquet(s"$dir/documents.parquet"), col("text"), merges = 4)),
 
+    // training with the corpus-scale frequency floor engaged (the
+    // parameter that makes a 100 TB vocab driver-loop-sized); the
+    // DuckDB twin implements the same floor independently, so the
+    // pruning semantics sit under the hard oracle gate, not just the
+    // unit spec.
+    "d_bpe_train_pruned" -> ((s, dir) =>
+      graft.llm.Bpe.train(
+        s.read.parquet(s"$dir/documents.parquet"), col("text"), merges = 4,
+        minFreq = 2)),
+
     // BPE encoding with the rules just learned: map-only over the
     // corpus, per-word replace-scan application in rule order.
     "d_bpe_encode" -> ((s, dir) => {
@@ -2348,12 +2358,93 @@ object SparkEntry {
     "m_wav_features" -> ((s, dir) =>
       Multimodal.extractWavFeatures(s.read.parquet(s"$dir/documents.parquet"))
         .select(col("doc_id"), col("n_samples"),
-          round(col("rms"), 4).as("rms"), col("zero_crossings"))))
+          round(col("rms"), 4).as("rms"), col("zero_crossings"))),
+
+    // REAL video codec (MJPEG-in-AVI, pure JDK): genuine AVI payloads
+    // written per partition, container-walked back, every 2nd frame
+    // JPEG-decoded. The (frame_no, width, height) grid is arithmetic
+    // in doc_id, so DuckDB pins the FULL write→parse→decode round
+    // trip under the hard hash gate — dims come from the decoded
+    // JPEGs, not the container metadata.
+    "m_avi_frames" -> ((s, dir) =>
+      Multimodal.sampleVideoFrames(
+        Multimodal.withAviPayload(s.read.parquet(s"$dir/documents.parquet")),
+        everyK = 2)
+        .select(col("doc_id"), col("frame_no").cast("long").as("frame_no"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"))),
+
+    // Decoded-pixel temporal features (mean luminance + inter-frame
+    // motion). JPEG is lossy so the values are codec-stream-dependent:
+    // rows-only gate + value pinning in VideoCodecSpec.
+    "m_avi_motion" -> ((s, dir) =>
+      Multimodal.videoMotion(
+        Multimodal.withAviPayload(s.read.parquet(s"$dir/documents.parquet")))
+        .select(col("doc_id"), col("n_frames"),
+          round(col("mean_lum"), 4).as("mean_lum"),
+          round(col("motion"), 4).as("motion"))))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] = {
+    // BPE merge learning (4 unrolled merge rounds) — shared between
+    // the unpruned run and the minFreq-floored run ("/*PRUNE*/" hole)
+    val bpeTrainSqlTpl =
+      """WITH wf0 AS (
+        |  SELECT trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS sym,
+        |         CAST(count(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents) t
+        |  WHERE w <> '' GROUP BY 1/*PRUNE*/),
+        |p1 AS (SELECT list_transform(generate_series(1, len(ss) - 1),
+        |    i -> ss[i] || ' ' || ss[i + 1]) AS prs, freq
+        |  FROM (SELECT string_split(sym, ' ') AS ss, freq FROM wf0)),
+        |c1 AS (SELECT unnest(prs) AS pair, freq FROM p1),
+        |n1 AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM c1 GROUP BY 1),
+        |t1 AS (SELECT pair, n, ' ' || pair || ' ' AS pat,
+        |    ' ' || replace(pair, ' ', '') || ' ' AS rep
+        |  FROM n1 ORDER BY n DESC, pair LIMIT 1),
+        |wf1 AS (SELECT trim(replace(replace(replace(replace(replace(replace(' ' || w.sym || ' ', t.pat, t.rep), t.pat, t.rep), t.pat, t.rep), t.pat, t.rep), t.pat, t.rep), t.pat, t.rep)) AS sym, w.freq
+        |  FROM wf0 w, t1 t),
+        |p2 AS (SELECT list_transform(generate_series(1, len(ss) - 1),
+        |    i -> ss[i] || ' ' || ss[i + 1]) AS prs, freq
+        |  FROM (SELECT string_split(sym, ' ') AS ss, freq FROM wf1)),
+        |c2 AS (SELECT unnest(prs) AS pair, freq FROM p2),
+        |n2 AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM c2 GROUP BY 1),
+        |t2 AS (SELECT pair, n, ' ' || pair || ' ' AS pat,
+        |    ' ' || replace(pair, ' ', '') || ' ' AS rep
+        |  FROM n2 ORDER BY n DESC, pair LIMIT 1),
+        |wf2 AS (SELECT trim(replace(replace(replace(replace(replace(replace(' ' || w.sym || ' ', t.pat, t.rep), t.pat, t.rep), t.pat, t.rep), t.pat, t.rep), t.pat, t.rep), t.pat, t.rep)) AS sym, w.freq
+        |  FROM wf1 w, t2 t),
+        |p3 AS (SELECT list_transform(generate_series(1, len(ss) - 1),
+        |    i -> ss[i] || ' ' || ss[i + 1]) AS prs, freq
+        |  FROM (SELECT string_split(sym, ' ') AS ss, freq FROM wf2)),
+        |c3 AS (SELECT unnest(prs) AS pair, freq FROM p3),
+        |n3 AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM c3 GROUP BY 1),
+        |t3 AS (SELECT pair, n, ' ' || pair || ' ' AS pat,
+        |    ' ' || replace(pair, ' ', '') || ' ' AS rep
+        |  FROM n3 ORDER BY n DESC, pair LIMIT 1),
+        |wf3 AS (SELECT trim(replace(replace(replace(replace(replace(replace(' ' || w.sym || ' ', t.pat, t.rep), t.pat, t.rep), t.pat, t.rep), t.pat, t.rep), t.pat, t.rep), t.pat, t.rep)) AS sym, w.freq
+        |  FROM wf2 w, t3 t),
+        |p4 AS (SELECT list_transform(generate_series(1, len(ss) - 1),
+        |    i -> ss[i] || ' ' || ss[i + 1]) AS prs, freq
+        |  FROM (SELECT string_split(sym, ' ') AS ss, freq FROM wf3)),
+        |c4 AS (SELECT unnest(prs) AS pair, freq FROM p4),
+        |n4 AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM c4 GROUP BY 1),
+        |t4 AS (SELECT pair, n, ' ' || pair || ' ' AS pat,
+        |    ' ' || replace(pair, ' ', '') || ' ' AS rep
+        |  FROM n4 ORDER BY n DESC, pair LIMIT 1),
+        |wf4 AS (SELECT trim(replace(replace(replace(replace(replace(replace(' ' || w.sym || ' ', t.pat, t.rep), t.pat, t.rep), t.pat, t.rep), t.pat, t.rep), t.pat, t.rep), t.pat, t.rep)) AS sym, w.freq
+        |  FROM wf3 w, t4 t)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS step, string_split(pair, ' ')[1] AS lhs,
+        |         string_split(pair, ' ')[2] AS rhs, replace(pair, ' ', '') AS merged, n FROM t1
+        |  UNION ALL SELECT CAST(2 AS BIGINT), string_split(pair, ' ')[1],
+        |         string_split(pair, ' ')[2], replace(pair, ' ', ''), n FROM t2
+        |  UNION ALL SELECT CAST(3 AS BIGINT), string_split(pair, ' ')[1],
+        |         string_split(pair, ' ')[2], replace(pair, ' ', ''), n FROM t3
+        |  UNION ALL SELECT CAST(4 AS BIGINT), string_split(pair, ' ')[1],
+        |         string_split(pair, ' ')[2], replace(pair, ' ', ''), n FROM t4)""".stripMargin
     // DSIR importance weights — shared by d_dsir and d_dsir_sample
     val dsirSql =
       """WITH ws AS (
@@ -3850,61 +3941,13 @@ object SparkEntry {
           |SELECT pair, n, CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rank
           |FROM c ORDER BY n DESC, pair LIMIT 50""".stripMargin),
 
-      "d_bpe_train" ->
-        ("""WITH wf0 AS (
-          |  SELECT trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS sym,
-          |         CAST(count(*) AS BIGINT) AS freq
-          |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents) t
-          |  WHERE w <> '' GROUP BY 1),
-          |p1 AS (SELECT list_transform(generate_series(1, len(ss) - 1),
-          |    i -> ss[i] || ' ' || ss[i + 1]) AS prs, freq
-          |  FROM (SELECT string_split(sym, ' ') AS ss, freq FROM wf0)),
-          |c1 AS (SELECT unnest(prs) AS pair, freq FROM p1),
-          |n1 AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM c1 GROUP BY 1),
-          |t1 AS (SELECT pair, n, ' ' || pair || ' ' AS pat,
-          |    ' ' || replace(pair, ' ', '') || ' ' AS rep
-          |  FROM n1 ORDER BY n DESC, pair LIMIT 1),
-          |wf1 AS (SELECT trim(replace(replace(replace(replace(replace(replace(' ' || w.sym || ' ', t.pat, t.rep), t.pat, t.rep), t.pat, t.rep), t.pat, t.rep), t.pat, t.rep), t.pat, t.rep)) AS sym, w.freq
-          |  FROM wf0 w, t1 t),
-          |p2 AS (SELECT list_transform(generate_series(1, len(ss) - 1),
-          |    i -> ss[i] || ' ' || ss[i + 1]) AS prs, freq
-          |  FROM (SELECT string_split(sym, ' ') AS ss, freq FROM wf1)),
-          |c2 AS (SELECT unnest(prs) AS pair, freq FROM p2),
-          |n2 AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM c2 GROUP BY 1),
-          |t2 AS (SELECT pair, n, ' ' || pair || ' ' AS pat,
-          |    ' ' || replace(pair, ' ', '') || ' ' AS rep
-          |  FROM n2 ORDER BY n DESC, pair LIMIT 1),
-          |wf2 AS (SELECT trim(replace(replace(replace(replace(replace(replace(' ' || w.sym || ' ', t.pat, t.rep), t.pat, t.rep), t.pat, t.rep), t.pat, t.rep), t.pat, t.rep), t.pat, t.rep)) AS sym, w.freq
-          |  FROM wf1 w, t2 t),
-          |p3 AS (SELECT list_transform(generate_series(1, len(ss) - 1),
-          |    i -> ss[i] || ' ' || ss[i + 1]) AS prs, freq
-          |  FROM (SELECT string_split(sym, ' ') AS ss, freq FROM wf2)),
-          |c3 AS (SELECT unnest(prs) AS pair, freq FROM p3),
-          |n3 AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM c3 GROUP BY 1),
-          |t3 AS (SELECT pair, n, ' ' || pair || ' ' AS pat,
-          |    ' ' || replace(pair, ' ', '') || ' ' AS rep
-          |  FROM n3 ORDER BY n DESC, pair LIMIT 1),
-          |wf3 AS (SELECT trim(replace(replace(replace(replace(replace(replace(' ' || w.sym || ' ', t.pat, t.rep), t.pat, t.rep), t.pat, t.rep), t.pat, t.rep), t.pat, t.rep), t.pat, t.rep)) AS sym, w.freq
-          |  FROM wf2 w, t3 t),
-          |p4 AS (SELECT list_transform(generate_series(1, len(ss) - 1),
-          |    i -> ss[i] || ' ' || ss[i + 1]) AS prs, freq
-          |  FROM (SELECT string_split(sym, ' ') AS ss, freq FROM wf3)),
-          |c4 AS (SELECT unnest(prs) AS pair, freq FROM p4),
-          |n4 AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM c4 GROUP BY 1),
-          |t4 AS (SELECT pair, n, ' ' || pair || ' ' AS pat,
-          |    ' ' || replace(pair, ' ', '') || ' ' AS rep
-          |  FROM n4 ORDER BY n DESC, pair LIMIT 1),
-          |wf4 AS (SELECT trim(replace(replace(replace(replace(replace(replace(' ' || w.sym || ' ', t.pat, t.rep), t.pat, t.rep), t.pat, t.rep), t.pat, t.rep), t.pat, t.rep), t.pat, t.rep)) AS sym, w.freq
-          |  FROM wf3 w, t4 t)
-          |SELECT * FROM (
-          |  SELECT CAST(1 AS BIGINT) AS step, string_split(pair, ' ')[1] AS lhs,
-          |         string_split(pair, ' ')[2] AS rhs, replace(pair, ' ', '') AS merged, n FROM t1
-          |  UNION ALL SELECT CAST(2 AS BIGINT), string_split(pair, ' ')[1],
-          |         string_split(pair, ' ')[2], replace(pair, ' ', ''), n FROM t2
-          |  UNION ALL SELECT CAST(3 AS BIGINT), string_split(pair, ' ')[1],
-          |         string_split(pair, ' ')[2], replace(pair, ' ', ''), n FROM t3
-          |  UNION ALL SELECT CAST(4 AS BIGINT), string_split(pair, ' ')[1],
-          |         string_split(pair, ' ')[2], replace(pair, ' ', ''), n FROM t4)""".stripMargin),
+      "d_bpe_train" -> bpeTrainSqlTpl.replace("/*PRUNE*/", ""),
+
+      // same template with the corpus-scale frequency floor engaged —
+      // pins Bpe.train(minFreq = 2) against an independent DuckDB
+      // implementation of the identical pruning
+      "d_bpe_train_pruned" ->
+        bpeTrainSqlTpl.replace("/*PRUNE*/", " HAVING count(*) >= 2"),
 
       "d_bpe_encode" ->
         ("""WITH wf0 AS (
@@ -5377,6 +5420,18 @@ object SparkEntry {
       "m_frames" ->
         ("""SELECT doc_id, CAST(f AS BIGINT) AS frame_no,
           | CAST(least(64, length(text) - f * 64) AS BIGINT) AS frame_bytes
-          |FROM (SELECT doc_id, unnest(generate_series(0, (length(text) - 1) // 64)) AS f, text FROM documents) t""".stripMargin))
+          |FROM (SELECT doc_id, unnest(generate_series(0, (length(text) - 1) // 64)) AS f, text FROM documents) t""".stripMargin),
+
+      // the independent arithmetic twin of the AVI write→parse→decode
+      // round trip: nFrames = 2 + id%4 (every 2nd sampled), dims
+      // 8 + id%5 × 6 + id%4 — if the container writer, RIFF walker or
+      // JPEG decode drops/garbles a frame, the hash gate fails
+      "m_avi_frames" ->
+        ("""SELECT doc_id, CAST(f AS BIGINT) AS frame_no,
+          | CAST(8 + doc_id % 5 AS BIGINT) AS width,
+          | CAST(6 + doc_id % 4 AS BIGINT) AS height
+          |FROM (SELECT doc_id, unnest(generate_series(0, CAST(1 + doc_id % 4 AS INT))) AS f
+          |      FROM documents) t
+          |WHERE f % 2 = 0""".stripMargin))
   }
 }

@@ -8,16 +8,16 @@ import org.apache.spark.sql.types._
   * `binary` columns with typed metadata, processed per-partition in
   * batches.
   *
-  * IMAGE and AUDIO decode are REAL: the JDK itself ships codecs
+  * IMAGE, AUDIO and VIDEO decode are all REAL, with no external
+  * dependency: the JDK itself ships the needed codecs
   * (`javax.imageio` — PNG/JPEG/BMP/GIF; `javax.sound.sampled` —
-  * WAV/PCM), so [[withPngPayload]]/[[extractImageFeatures]]/
-  * [[resizeImages]]/[[extractWavFeatures]] encode, decode, rescale
-  * and featurize genuine media with no external dependency. Only the
-  * VIDEO path keeps the deterministic byte-stat fake ([[withPayload]]
-  * / [[extractFeatures]] / [[resize]] / [[sampleFrames]]) — no
-  * container-available codec — while still exercising the Spark-side
-  * contract (schema, batch shape, partition-local processing, no
-  * driver collect) end-to-end.
+  * WAV/PCM) and MJPEG-in-AVI is a plain RIFF container around JPEG
+  * frames, so [[aviBytes]]/[[aviFrames]] complete the video path
+  * in pure JDK too. [[withPayload]]/[[extractFeatures]]/[[resize]]/
+  * [[sampleFrames]] remain as the format-agnostic opaque-payload
+  * contract exercise (deterministic byte statistics — documented
+  * fakes, kept because their outputs are SQL-oracle-checkable
+  * byte-for-byte where codec streams are not).
   *
   * At scale: payloads stay columnar in parquet (binary column with
   * page-level compression), the decode runs inside `mapPartitions`
@@ -107,9 +107,8 @@ object Multimodal {
   // ------------------------------------------------------------------
   // REAL codecs — pure JDK (`javax.imageio`: PNG/JPEG/BMP/GIF;
   // `javax.sound.sampled`: WAV/PCM). No external media libraries —
-  // the JDK ships these — so the decode step is no longer a stub for
-  // the image/audio modalities. The byte-stat fake above remains for
-  // formats the JDK cannot decode (video), clearly separated.
+  // the JDK ships these — so the decode step is not a stub for any
+  // modality (video's RIFF/MJPEG path is further below).
   // ------------------------------------------------------------------
 
   /** Deterministic REAL PNG payload from seed bytes: a w×h RGB image
@@ -316,6 +315,288 @@ object Multimodal {
         val id = r.getLong(0)
         audioFeatures(wavBytes(id)).map { case (n, rms, zc) =>
           Row(id, n, rms, zc)
+        }
+      }
+    }(enc)
+  }
+
+  // ------------------------------------------------------------------
+  // REAL video codec — MJPEG-in-AVI. AVI is a plain RIFF container
+  // (fourcc-tagged chunks, little-endian sizes, even-byte padding) and
+  // MJPEG frames are ordinary JPEGs, so the pure JDK covers the whole
+  // path: this file writes a spec-complete AVI (hdrl with avih + one
+  // 'vids'/'MJPG' stream, movi with one '00dc' chunk per frame, idx1)
+  // and parses it back, with `javax.imageio` doing per-frame JPEG
+  // work. The byte-stat fake above remains only as the format-agnostic
+  // opaque-payload contract exercise; every modality (image, audio,
+  // video) now has a genuine codec.
+  //
+  // The 100 TB shape of frame sampling: the container walk is a
+  // sequential scan of chunk HEADERS (8 bytes each), so non-sampled
+  // frames are skipped without JPEG-decoding them — decode cost scales
+  // with sampled frames, I/O with payload bytes, and only fixed-width
+  // rows leave the partition.
+  // ------------------------------------------------------------------
+
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+
+  private def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+  /** One RIFF chunk: fourcc + little-endian size + data, padded to an
+    * even byte boundary (size records the UNPADDED length, per spec).
+    */
+  private def chunk(cc: String, data: Array[Byte]): Array[Byte] = {
+    val pad = data.length & 1
+    val out = new java.io.ByteArrayOutputStream(8 + data.length + pad)
+    out.write(fourcc(cc)); out.write(le32(data.length)); out.write(data)
+    if (pad == 1) out.write(0)
+    out.toByteArray
+  }
+
+  private def list(listType: String, body: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(12 + body.length)
+    out.write(fourcc("LIST")); out.write(le32(4 + body.length))
+    out.write(fourcc(listType)); out.write(body)
+    out.toByteArray
+  }
+
+  /** Encode JPEG frames into a spec-complete MJPEG AVI: RIFF('AVI ')
+    * { LIST hdrl { avih, LIST strl { strh 'vids'/'MJPG', strf
+    * BITMAPINFOHEADER } }, LIST movi { '00dc'… }, idx1 }.
+    */
+  def aviBytes(jpegFrames: Seq[Array[Byte]], w: Int, h: Int, fps: Int = 10): Array[Byte] = {
+    val maxFrame = if (jpegFrames.isEmpty) 0 else jpegFrames.map(_.length).max
+    val avih = {
+      val b = new java.io.ByteArrayOutputStream(56)
+      b.write(le32(1000000 / math.max(fps, 1))) // dwMicroSecPerFrame
+      b.write(le32(maxFrame * fps))             // dwMaxBytesPerSec
+      b.write(le32(0))                          // dwPaddingGranularity
+      b.write(le32(0x10))                       // dwFlags: AVIF_HASINDEX
+      b.write(le32(jpegFrames.length))          // dwTotalFrames
+      b.write(le32(0))                          // dwInitialFrames
+      b.write(le32(1))                          // dwStreams
+      b.write(le32(maxFrame))                   // dwSuggestedBufferSize
+      b.write(le32(w)); b.write(le32(h))
+      (0 until 4).foreach(_ => b.write(le32(0))) // dwReserved
+      b.toByteArray
+    }
+    val strh = {
+      val b = new java.io.ByteArrayOutputStream(56)
+      b.write(fourcc("vids")); b.write(fourcc("MJPG"))
+      b.write(le32(0))                          // dwFlags
+      b.write(le16(0)); b.write(le16(0))        // wPriority, wLanguage
+      b.write(le32(0))                          // dwInitialFrames
+      b.write(le32(1)); b.write(le32(fps))      // dwScale / dwRate
+      b.write(le32(0))                          // dwStart
+      b.write(le32(jpegFrames.length))          // dwLength (frames)
+      b.write(le32(maxFrame))                   // dwSuggestedBufferSize
+      b.write(le32(-1))                         // dwQuality (default)
+      b.write(le32(0))                          // dwSampleSize (varies)
+      b.write(le16(0)); b.write(le16(0))        // rcFrame left/top
+      b.write(le16(w)); b.write(le16(h))        // rcFrame right/bottom
+      b.toByteArray
+    }
+    val strf = {
+      val b = new java.io.ByteArrayOutputStream(40)
+      b.write(le32(40))                         // biSize
+      b.write(le32(w)); b.write(le32(h))
+      b.write(le16(1)); b.write(le16(24))       // biPlanes / biBitCount
+      b.write(fourcc("MJPG"))                   // biCompression
+      b.write(le32(w * h * 3))                  // biSizeImage
+      b.write(le32(0)); b.write(le32(0))        // biXPels / biYPels
+      b.write(le32(0)); b.write(le32(0))        // biClrUsed / biClrImportant
+      b.toByteArray
+    }
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val moviBody = new java.io.ByteArrayOutputStream()
+    val idxBody = new java.io.ByteArrayOutputStream(16 * jpegFrames.length)
+    jpegFrames.foreach { jf =>
+      // idx1 offsets point at the chunk fourcc, relative to 'movi'+4
+      idxBody.write(fourcc("00dc")); idxBody.write(le32(0x10)) // AVIIF_KEYFRAME
+      idxBody.write(le32(4 + moviBody.size())); idxBody.write(le32(jf.length))
+      moviBody.write(chunk("00dc", jf))
+    }
+    val movi = list("movi", moviBody.toByteArray)
+    val body = hdrl ++ movi ++ chunk("idx1", idxBody.toByteArray)
+    val out = new java.io.ByteArrayOutputStream(12 + body.length)
+    out.write(fourcc("RIFF")); out.write(le32(4 + body.length))
+    out.write(fourcc("AVI ")); out.write(body)
+    out.toByteArray
+  }
+
+  /** JDK JPEG encode of a seeded gradient frame. Gradients compress
+    * gently (low high-frequency energy), so decoded pixels land close
+    * to the encoded ones — pinned by VideoCodecSpec's error bound.
+    */
+  def jpegFrame(seed: Array[Byte], w: Int, h: Int, frameNo: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // non-wrapping ramps (base/2 ≤ 127 + ramp ≤ 127 stays in 0..254):
+    // a mod-256 wrap would be a hard edge, exactly what JPEG mangles
+    val base = (if (seed.isEmpty) 0 else seed(frameNo % seed.length) & 0xff) >> 1
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = base + (x * 127) / math.max(w - 1, 1)
+        val g = base + (y * 127) / math.max(h - 1, 1)
+        val b = math.min(base + frameNo * 16, 255)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(0.92f)
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** Walk the RIFF tree and return the movi-list frame chunks
+    * ('00dc'/'00db') as (frameNo, jpegBytes) WITHOUT decoding them —
+    * sampling filters on frameNo before any JPEG work. Malformed
+    * payloads yield an empty list (skip policy, same as images).
+    */
+  def aviFrames(payload: Array[Byte]): Seq[(Int, Array[Byte])] = {
+    def u32(off: Int): Long =
+      ((payload(off) & 0xffL)) | ((payload(off + 1) & 0xffL) << 8) |
+        ((payload(off + 2) & 0xffL) << 16) | ((payload(off + 3) & 0xffL) << 24)
+    def cc(off: Int): String =
+      new String(payload, off, 4, "US-ASCII")
+    try {
+      if (payload.length < 12 || cc(0) != "RIFF" || cc(8) != "AVI ")
+        return Seq.empty
+      val frames = Seq.newBuilder[(Int, Array[Byte])]
+      var n = 0
+      // walk top-level chunks; recurse only into LIST movi
+      var off = 12
+      val end = math.min(8 + u32(4), payload.length.toLong).toInt
+      while (off + 8 <= end) {
+        val id = cc(off)
+        val sz = u32(off + 4).toInt
+        if (id == "LIST" && off + 12 <= end && cc(off + 8) == "movi") {
+          var p = off + 12
+          val listEnd = math.min(off + 8 + sz, end)
+          while (p + 8 <= listEnd) {
+            val fid = cc(p)
+            val fsz = u32(p + 4).toInt
+            if ((fid == "00dc" || fid == "00db") && p + 8 + fsz <= listEnd) {
+              frames += ((n, java.util.Arrays.copyOfRange(payload, p + 8, p + 8 + fsz)))
+              n += 1
+            }
+            p += 8 + fsz + (fsz & 1)
+          }
+        }
+        off += 8 + sz + (sz & 1)
+      }
+      frames.result()
+    } catch { case _: Exception => Seq.empty }
+  }
+
+  /** Attach REAL MJPEG-AVI payloads to the documents table: dims and
+    * frame count keyed on doc_id, frame pixels seeded from the text —
+    * the video twin of [[withPngPayload]].
+    */
+  def withAviPayload(docs: DataFrame): DataFrame = {
+    val inSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false),
+      StructField("meta", metaSchema, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(inSchema)
+    docs.select(col("doc_id"), col("text")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val w = (8 + (id % 5)).toInt
+        val h = (6 + (id % 4)).toInt
+        val nFrames = (2 + (id % 4)).toInt
+        val seed = Option(r.getString(1)).getOrElse("").getBytes("UTF-8")
+        val avi = aviBytes(
+          (0 until nFrames).map(f => jpegFrame(seed, w, h, f)), w, h)
+        Row(id, avi, Row(w, h, "video/x-msvideo"))
+      }
+    }(enc)
+  }
+
+  /** REAL frame sampling: container walk per partition, keep every
+    * `everyK`-th frame, JPEG-decode ONLY the kept ones, emit decoded
+    * dims (not trusted metadata). Fully oracle-checkable: the
+    * (frame_no, width, height) grid is arithmetic in doc_id, so DuckDB
+    * can pin that the write→parse→decode round trip lost nothing.
+    */
+  def sampleVideoFrames(withPayloads: DataFrame, everyK: Int = 2): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("frame_no", IntegerType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    withPayloads.select(col("doc_id"), col("payload")).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        aviFrames(r.getAs[Array[Byte]]("payload")).iterator
+          .filter { case (n, _) => n % everyK == 0 }
+          .flatMap { case (n, jpeg) =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(jpeg))
+            Option(img).map(im => Row(id, n, im.getWidth, im.getHeight))
+          }
+      }
+    }(enc)
+  }
+
+  /** Decoded-pixel video features: per-frame mean luminance →
+    * per-document (n_frames, mean luminance, motion = mean absolute
+    * luminance step between consecutive frames). All frames decode
+    * here (featurization wants them), still partition-local.
+    */
+  def videoMotion(withPayloads: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("n_frames", LongType, nullable = false),
+      StructField("mean_lum", DoubleType, nullable = false),
+      StructField("motion", DoubleType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    withPayloads.select(col("doc_id"), col("payload")).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val lums = aviFrames(r.getAs[Array[Byte]]("payload")).flatMap {
+          case (_, jpeg) =>
+            Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(jpeg))).map { im =>
+              var s = 0.0
+              var y = 0
+              while (y < im.getHeight) {
+                var x = 0
+                while (x < im.getWidth) {
+                  val rgb = im.getRGB(x, y)
+                  s += (0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+                    0.114 * (rgb & 0xff)) / 255.0
+                  x += 1
+                }
+                y += 1
+              }
+              s / (im.getWidth * im.getHeight)
+            }
+        }
+        if (lums.isEmpty) None
+        else {
+          val motion =
+            if (lums.length < 2) 0.0
+            else lums.sliding(2).map(p => math.abs(p(1) - p(0))).sum / (lums.length - 1)
+          Some(Row(r.getLong(0), lums.length.toLong,
+            lums.sum / lums.length, motion))
         }
       }
     }(enc)
