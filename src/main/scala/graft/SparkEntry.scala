@@ -5432,6 +5432,47 @@ object SparkEntry {
           | CAST(6 + doc_id % 4 AS BIGINT) AS height
           |FROM (SELECT doc_id, unnest(generate_series(0, CAST(1 + doc_id % 4 AS INT))) AS f
           |      FROM documents) t
-          |WHERE f % 2 = 0""".stripMargin))
+          |WHERE f % 2 = 0""".stripMargin),
+
+      // PNG is lossless, so the decoded pixels ARE the generator
+      // formula and DuckDB can recompute the decoded-pixel features
+      // (channel mean + luminance-bin share) from the text bytes
+      // alone — pinning encode→decode→featurize under the hash gate.
+      // (m_png_resize stays rows-only: AWT's nearest-neighbor sample
+      // grid is implementation-defined; m_avi_motion stays rows-only:
+      // JPEG is lossy.)
+      "m_png_features" ->
+        ("""WITH px AS (
+          |  SELECT doc_id, w, h,
+          |    CASE WHEN L > 0 THEN ascii(substr(text, (i % L) + 1, 1)) ELSE 0 END AS r,
+          |    CASE WHEN L > 0 THEN ascii(substr(text, ((i*31 + 7) % L) + 1, 1)) ELSE 0 END AS g,
+          |    (i*131) % 256 AS b
+          |  FROM (SELECT doc_id, text, length(text) AS L,
+          |               CAST(4 + doc_id % 13 AS INT) AS w,
+          |               CAST(4 + doc_id % 11 AS INT) AS h
+          |        FROM documents) d,
+          |       LATERAL (SELECT unnest(generate_series(0, w*h - 1)) AS i) t)
+          |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+          |       round(avg(r/255.0), 4) AS mean_r,
+          |       round(sum(CASE WHEN (0.299*r + 0.587*g + 0.114*b)/255.0 < 0.125 THEN 1 ELSE 0 END) / (w*h*1.0), 4) AS lum_bin0
+          |FROM px GROUP BY doc_id, w, h""".stripMargin),
+
+      // WAV is lossless PCM, so the JDK encode→decode round trip is
+      // SQL-reproducible end to end: DuckDB regenerates the truncated
+      // sine samples (identical left-assoc double arithmetic; a 1-ulp
+      // libm sin difference cannot flip a sign or a truncation here —
+      // |sin| at the zero crossings is ≥ ~1e-9 in these arguments)
+      // and recomputes RMS + sign-change count independently.
+      "m_wav_features" ->
+        ("""WITH s AS (
+          |  SELECT doc_id, i,
+          |         trunc(sin(2*pi()*(200 + abs(doc_id) % 200)*i/8000) * 0.5 * 32767) AS v
+          |  FROM (SELECT doc_id, unnest(generate_series(0, 799)) AS i FROM documents) t),
+          |z AS (
+          |  SELECT doc_id, v, lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv FROM s)
+          |SELECT doc_id, CAST(800 AS BIGINT) AS n_samples,
+          |       round(sqrt(sum((v/32768.0)*(v/32768.0))/800), 4) AS rms,
+          |       CAST(sum(CASE WHEN pv IS NOT NULL AND ((v < 0) <> (pv < 0)) THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+          |FROM z GROUP BY doc_id""".stripMargin))
   }
 }
