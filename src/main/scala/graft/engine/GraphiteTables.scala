@@ -52,9 +52,22 @@ object GraphiteTables {
     * of the application. Single-JVM (local mode) deployments are
     * unaffected.
     */
+  /** Runtime-conf key: set `"true"` to bypass the memo and return the
+    * raw derivation plan instead — every query then re-derives the
+    * table from its scan. Two uses: (a) deployments where the
+    * underlying parquet changes under a long-lived session and
+    * staleness is worse than recompute; (b) plan observability — the
+    * census tool reads the derivation subtree through this flag, so
+    * the per-query operator counts (which stop at the memoized
+    * LogicalRDD) can be read together with what the derivation itself
+    * costs.
+    */
+  val DisableMemoKey = "graft.memo.disable"
+
   private def memo(spark: SparkSession, dir: String, kind: String)(
       build: => DataFrame): DataFrame =
-    derived.computeIfAbsent(
+    if (spark.conf.getOption(DisableMemoKey).contains("true")) build
+    else derived.computeIfAbsent(
       (spark.sparkContext.applicationId, dir, kind),
       _ => graft.Lineage.truncate(build, eager = false))
 

@@ -92,4 +92,24 @@ class LineageSpec extends AnyFunSuite {
       deleteRecursively(dir)
     }
   }
+
+  test("graft.memo.disable bypasses the table memo: raw derivation plan, parquet scan visible") {
+    val s = spark.newSession()
+    val sfDir = "/root/testdata/sf0.001"
+    def scans(df: org.apache.spark.sql.DataFrame): Int =
+      "FileScan parquet".r.findAllIn(df.queryExecution.optimizedPlan.toString
+        + df.queryExecution.executedPlan.toString).length
+    // memoized: the table reads from the materialized LogicalRDD — no scan
+    val memod = graft.engine.GraphiteTables.index(s, sfDir)
+    memod.write.mode("overwrite").format("noop").save()
+    assert(scans(memod) == 0, "memoized read must not re-scan parquet")
+    // disabled: the raw derivation plan, scanning parquet each time
+    s.conf.set(graft.engine.GraphiteTables.DisableMemoKey, "true")
+    try {
+      val raw = graft.engine.GraphiteTables.index(s, sfDir)
+      assert(scans(raw) >= 1, "disabled memo must expose the derivation scan")
+      // same rows either way
+      assert(raw.count() == memod.count())
+    } finally s.conf.unset(graft.engine.GraphiteTables.DisableMemoKey)
+  }
 }

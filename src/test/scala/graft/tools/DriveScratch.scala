@@ -14,6 +14,33 @@ object DriveScratch {
     if (args.headOption.contains("groupleft")) { groupLeftDrive(args.drop(1)); return }
     val spark = SparkTestBase.spark
     val sfDir = "/root/testdata/sf0.001"
+
+    // memoized-table derivation census first: per-query rows below
+    // stop at the memoized LogicalRDD, so the cost of deriving each
+    // graphite side table is reported here ONCE (it is paid once per
+    // session) instead of being invisible.
+    spark.conf.set(graft.engine.GraphiteTables.DisableMemoKey, "true")
+    val memoTables = Seq(
+      "memo:index" -> (() => graft.engine.GraphiteTables.index(spark, sfDir)),
+      "memo:tags" -> (() => graft.engine.GraphiteTables.tags(spark, sfDir)),
+      "memo:points" -> (() => graft.engine.GraphiteTables.points(spark, sfDir)),
+      "memo:pointsTagged" -> (() => graft.engine.GraphiteTables.pointsTagged(spark, sfDir)))
+    for ((name, build) <- memoTables) {
+      try {
+        val df = build()
+        df.write.mode("overwrite").format("noop").save()
+        val p = df.queryExecution.executedPlan.toString
+        def n(pat: String) = pat.r.findAllIn(p).length
+        println(s"CENSUS | $name | ${n("FileScan parquet")} | ${n("Exchange")} | " +
+          s"${n("SortMergeJoin") + n("ShuffledHashJoin")} | ${n("BroadcastHashJoin")} | " +
+          s"${n("BroadcastNestedLoopJoin")} | ${n("Window")} | ${n("CartesianProduct")} |")
+      } catch {
+        case e: Throwable =>
+          println(s"CENSUS-ERR $name ${Option(e.getMessage).getOrElse("?").take(120)}")
+      }
+    }
+    spark.conf.unset(graft.engine.GraphiteTables.DisableMemoKey)
+
     val names = graft.SparkEntry.queries.keys.toSeq.sorted
     for (name <- names) {
       try {
