@@ -134,8 +134,27 @@ object Multimodal {
       }
       y += 1
     }
+    encodePng(img)
+  }
+
+  /** One PNG writer per executor thread (same rationale as the JPEG
+    * pair below: SPI lookup + construction per row is pure overhead,
+    * writers are reusable but not thread-safe).
+    */
+  private val pngWriter =
+    new ThreadLocal[javax.imageio.ImageWriter] {
+      override def initialValue(): javax.imageio.ImageWriter =
+        javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+    }
+
+  private[llm] def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    val writer = pngWriter.get()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), null)
+    } finally ios.close()
     bos.toByteArray
   }
 
@@ -235,9 +254,7 @@ object Multimodal {
               java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
             g2.drawImage(im, 0, 0, targetW, targetH, null)
           } finally g2.dispose()
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(dst, "png", bos)
-          Row(r.getLong(0), bos.toByteArray, Row(targetW, targetH, "image/png"))
+          Row(r.getLong(0), encodePng(dst), Row(targetW, targetH, "image/png"))
         }
       }
     }(enc)
@@ -453,17 +470,52 @@ object Multimodal {
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
-    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val writer = jpegWriter.get()
     val param = writer.getDefaultWriteParam
     param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
     param.setCompressionQuality(0.92f)
-    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
     try {
       writer.setOutput(ios)
       writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
-    } finally { writer.dispose(); ios.close() }
+    } finally ios.close()
     bos.toByteArray
   }
+
+  /** One JPEG writer per executor thread: ImageIO's SPI lookup +
+    * writer construction per frame is measurable overhead at
+    * thousands of frames per partition, and writers are reusable but
+    * NOT thread-safe — a ThreadLocal is the correct sharing scope
+    * inside `mapPartitions` (task threads are long-lived in an
+    * executor, so this amortizes across all tasks a thread runs).
+    */
+  private val jpegWriter =
+    new ThreadLocal[javax.imageio.ImageWriter] {
+      override def initialValue(): javax.imageio.ImageWriter =
+        javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    }
+
+  /** Decode twin of [[jpegWriter]]: AVI '00dc' chunks are KNOWN to be
+    * JPEG, so skip `ImageIO.read`'s per-call format sniff + SPI scan
+    * and reuse one reader per thread. None on undecodable bytes
+    * (same skip policy as everywhere else).
+    */
+  private val jpegReader =
+    new ThreadLocal[javax.imageio.ImageReader] {
+      override def initialValue(): javax.imageio.ImageReader =
+        javax.imageio.ImageIO.getImageReadersByFormatName("jpg").next()
+    }
+
+  private[llm] def decodeJpeg(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try {
+      val reader = jpegReader.get()
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        reader.setInput(iis)
+        Option(reader.read(0))
+      } finally iis.close()
+    } catch { case _: Exception => None }
 
   /** Walk the RIFF tree and return the movi-list frame chunks
     * ('00dc'/'00db') as (frameNo, jpegBytes) WITHOUT decoding them —
@@ -549,9 +601,7 @@ object Multimodal {
         aviFrames(r.getAs[Array[Byte]]("payload")).iterator
           .filter { case (n, _) => n % everyK == 0 }
           .flatMap { case (n, jpeg) =>
-            val img = javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(jpeg))
-            Option(img).map(im => Row(id, n, im.getWidth, im.getHeight))
+            decodeJpeg(jpeg).map(im => Row(id, n, im.getWidth, im.getHeight))
           }
       }
     }(enc)
@@ -573,8 +623,7 @@ object Multimodal {
       rows.flatMap { r =>
         val lums = aviFrames(r.getAs[Array[Byte]]("payload")).flatMap {
           case (_, jpeg) =>
-            Option(javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(jpeg))).map { im =>
+            decodeJpeg(jpeg).map { im =>
               var s = 0.0
               var y = 0
               while (y < im.getHeight) {

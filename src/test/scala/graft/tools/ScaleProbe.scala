@@ -35,11 +35,18 @@ object ScaleProbe {
   val ProbeQueries: Seq[String] = Seq(
     "d_minhash_pairs", "d_cluster_dedup", "d_dup_spans", "d_scrub_spans",
     "d_curate_decon", "d_tfidf", "d_quantiles_by_lang", "d_bpe_train",
-    "e_ivfpq_search", "g_render_headline_scalable", "p_query_groupleft")
+    "e_ivfpq_search", "g_render_headline_scalable", "p_query_groupleft",
+    // codec representative: real AVI write + full JPEG decode per doc —
+    // map-only CPU, the probe pins that it scales linearly with docs
+    "m_avi_motion")
 
   def main(args: Array[String]): Unit = {
     val factors = args.headOption.map(_.split(',').map(_.trim.toInt).toSeq)
       .getOrElse(Seq(1, 10, 100))
+    // optional 2nd arg: comma-separated query-name filter (iterate on
+    // one pipeline without paying the full probe)
+    val only: Option[Set[String]] =
+      if (args.length > 1) Some(args(1).split(',').toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -66,7 +73,8 @@ object ScaleProbe {
         graft.engine.GraphiteTables.points(spark, dir).count()
         graft.engine.GraphiteTables.pointsTagged(spark, dir).count()
       } catch { case _: Throwable => }
-      for (name <- ProbeQueries if graft.SparkEntry.queries.contains(name)) {
+      for (name <- ProbeQueries
+           if graft.SparkEntry.queries.contains(name) && only.forall(_.contains(name))) {
         // construction INSIDE the timer — driver-loop queries (BPE
         // training, rollup-rule assignment) do real work while the
         // plan is being built, exactly as Bench times them
