@@ -184,7 +184,7 @@ object Multimodal {
   /** Decoded-pixel features: per-channel means plus a luminance
     * histogram — `3 + bins` fixed-width doubles per image.
     */
-  private[llm] def imageFeatures(
+  private[graft] def imageFeatures(
       img: java.awt.image.BufferedImage, bins: Int): Array[Double] = {
     val out = new Array[Double](3 + bins)
     val n = (img.getWidth * img.getHeight).toDouble
