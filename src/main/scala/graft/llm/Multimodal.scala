@@ -533,20 +533,26 @@ object Multimodal {
         return Seq.empty
       val frames = Seq.newBuilder[(Int, Array[Byte])]
       var n = 0
-      // walk top-level chunks; recurse only into LIST movi
-      var off = 12
-      val end = math.min(8 + u32(4), payload.length.toLong).toInt
+      // walk top-level chunks; recurse only into LIST movi. ALL size
+      // arithmetic in Long: a crafted chunk size with the high bit
+      // set would turn negative as an Int and walk the pointer
+      // BACKWARDS — an infinite loop on malformed input, which hangs
+      // an executor task (worse than the exception the skip policy
+      // already absorbs).
+      var off = 12L
+      val end = math.min(8L + u32(4), payload.length.toLong)
       while (off + 8 <= end) {
-        val id = cc(off)
-        val sz = u32(off + 4).toInt
-        if (id == "LIST" && off + 12 <= end && cc(off + 8) == "movi") {
+        val id = cc(off.toInt)
+        val sz = u32(off.toInt + 4)
+        if (id == "LIST" && off + 12 <= end && cc(off.toInt + 8) == "movi") {
           var p = off + 12
           val listEnd = math.min(off + 8 + sz, end)
           while (p + 8 <= listEnd) {
-            val fid = cc(p)
-            val fsz = u32(p + 4).toInt
+            val fid = cc(p.toInt)
+            val fsz = u32(p.toInt + 4)
             if ((fid == "00dc" || fid == "00db") && p + 8 + fsz <= listEnd) {
-              frames += ((n, java.util.Arrays.copyOfRange(payload, p + 8, p + 8 + fsz)))
+              frames += ((n, java.util.Arrays.copyOfRange(
+                payload, (p + 8).toInt, (p + 8 + fsz).toInt)))
               n += 1
             }
             p += 8 + fsz + (fsz & 1)

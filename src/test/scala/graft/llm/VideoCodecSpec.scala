@@ -101,6 +101,27 @@ class VideoCodecSpec extends AnyFunSuite {
     assert(Multimodal.aviFrames(cut).isEmpty)
   }
 
+  test("high-bit chunk sizes terminate the RIFF walk instead of looping") {
+    // Size fields are unsigned 32-bit; 0xFFFFFFFF read as a signed Int
+    // is -1, which used to walk the chunk pointer BACKWARDS forever.
+    def le32(v: Long): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val body = "JUNK".getBytes("US-ASCII") ++ le32(0xffffffffL) ++
+      Array.fill[Byte](16)(0)
+    val top = "RIFF".getBytes("US-ASCII") ++ le32(4L + body.length) ++
+      "AVI ".getBytes("US-ASCII") ++ body
+    assert(Multimodal.aviFrames(top).isEmpty) // terminates, skips
+    // same poison inside a LIST movi frame-size field
+    val inner = "movi".getBytes("US-ASCII") ++
+      "00dc".getBytes("US-ASCII") ++ le32(0x80000000L) ++
+      Array.fill[Byte](8)(0)
+    val lst = "LIST".getBytes("US-ASCII") ++ le32(inner.length.toLong) ++ inner
+    val top2 = "RIFF".getBytes("US-ASCII") ++ le32(4L + lst.length) ++
+      "AVI ".getBytes("US-ASCII") ++ lst
+    assert(Multimodal.aviFrames(top2).isEmpty)
+  }
+
   test("registered m_avi queries run on testdata with full coverage") {
     val sfDir = "/root/testdata/sf0.001"
     val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
