@@ -785,6 +785,18 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
     }),
 
+    // incremental NEAR-dup admission: arrivals (doc_id >= 250) probe
+    // the store's LSH band index (store never self-joins), verified
+    // rejects drop, then the store-clean batch near-dedupes itself
+    // (CC keep-first) — the ingest-time shape of minhash dedup.
+    "d_incremental_neardup" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Dedup.incrementalNearDups(
+          docs.where(col("doc_id") < 250), docs.where(col("doc_id") >= 250),
+          col("text"), col("doc_id"), threshold = 0.5)
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
     "d_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashCandidates(s.read.parquet(s"$dir/documents.parquet"),
         col("text"), col("doc_id"))),
@@ -3066,6 +3078,39 @@ object SparkEntry {
           |  SELECT 1 FROM documents b WHERE b.doc_id < 250
           |    AND md5(trim(regexp_replace(lower(b.text), '\s+', ' ', 'g'))) =
           |        md5(trim(regexp_replace(lower(a.text), '\s+', ' ', 'g'))))""".stripMargin),
+
+      "d_incremental_neardup" ->
+        (s"""WITH RECURSIVE
+           |sets AS (SELECT doc_id, $sh3 AS sh FROM documents),
+           |bnd AS (SELECT * FROM ($minhashBands)),
+           |dirty AS (
+           |  SELECT DISTINCT a.doc_id AS id
+           |  FROM bnd a JOIN bnd s ON a.band = s.band
+           |  JOIN sets sa ON sa.doc_id = a.doc_id
+           |  JOIN sets ss ON ss.doc_id = s.doc_id
+           |  WHERE a.doc_id >= 250 AND s.doc_id < 250
+           |    AND len(list_intersect(sa.sh, ss.sh))::double / len(list_distinct(list_concat(sa.sh, ss.sh))) >= 0.5),
+           |cands AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM bnd a JOIN bnd b ON a.band = b.band AND a.doc_id < b.doc_id
+           |  WHERE a.doc_id >= 250 AND b.doc_id >= 250
+           |    AND a.doc_id NOT IN (SELECT id FROM dirty)
+           |    AND b.doc_id NOT IN (SELECT id FROM dirty)
+           |  GROUP BY 1, 2),
+           |verified AS (SELECT p.id_a, p.id_b FROM cands p
+           |  JOIN sets sa ON sa.doc_id = p.id_a JOIN sets sb ON sb.doc_id = p.id_b
+           |  WHERE len(list_intersect(sa.sh, sb.sh))::double / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5),
+           |edges AS (SELECT id_a AS src, id_b AS dst FROM verified UNION SELECT id_b, id_a FROM verified),
+           |nodes AS (SELECT DISTINCT src AS id FROM edges),
+           |reach(id, label) AS (
+           |  SELECT id, id FROM nodes
+           |  UNION
+           |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+           |losers AS (SELECT id FROM (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id) WHERE id <> cluster_id)
+           |SELECT d.doc_id, d.lang, d.source FROM documents d
+           |WHERE d.doc_id >= 250
+           |  AND d.doc_id NOT IN (SELECT id FROM dirty)
+           |  AND d.doc_id NOT IN (SELECT id FROM losers)""".stripMargin),
 
       "d_minhash_pairs" ->
         (s"SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM ($minhashBands) a " +

@@ -633,6 +633,93 @@ object Dedup {
     docs.join(losers, idCol === col("id"), "left_anti")
   }
 
+  /** Incremental near-dup ADMISSION — the ingest-time shape of
+    * near-duplicate dedup at corpus scale: a batch of arrivals is
+    * admitted against a store that is already near-deduplicated,
+    * WITHOUT re-clustering (or, in production, even re-reading) the
+    * store corpus. Complements [[dedupAgainst]] (the exact-key
+    * incremental form) with the MinHash-LSH near-dup semantics of
+    * [[minhashNearDups]]/[[nearDupKeep]].
+    *
+    * Keep-first policy, consistent with the full-corpus path:
+    *   1. an arrival sharing an LSH band with ANY store doc and
+    *      verifying at exact shingle-Jaccard >= threshold is rejected
+    *      (the store copy wins);
+    *   2. store-clean arrivals are then near-deduplicated among
+    *      themselves — verified pairs → connected components → the
+    *      min-id doc of each cluster survives.
+    *
+    * 100 TB shape: the store participates ONLY through its band index
+    * (band_key, id) — a signatures-sized relation that a production
+    * deployment persists at ingest (append one row per band per
+    * admitted doc), so the store TEXT column is re-read exclusively
+    * for docs that actually share a bucket with this batch (semi-join
+    * on the matched ids). There is no store-store self-join anywhere:
+    * the probe is an equi-join on the band key, so per-batch cost is
+    * O(|arrivals| + matched buckets) — independent of store size
+    * beyond the index lookup. Batch-internal dedup reuses the
+    * arrival signatures (banded self-join of a batch-sized relation).
+    */
+  def incrementalNearDups(
+      store: DataFrame,
+      arrivals: DataFrame,
+      textCol: Column,
+      idCol: Column,
+      shingleWidth: Int = 3,
+      bands: Int = 4,
+      rows: Int = 2,
+      threshold: Double = 0.6): DataFrame = {
+    def bandsOf(sigs: DataFrame): DataFrame =
+      sigs.select(col("id"),
+        explode(array(bandKeyColumns(bands, rows): _*)).as("band"))
+    val arrSigs =
+      signaturesFromSets(shingleSets(arrivals, textCol, idCol, shingleWidth),
+        bands * rows).truncateLineage(eager = false) // probe + batch self-join
+    // store band index: derived in-query here; persisted at ingest in
+    // production (the whole point — the store corpus is never rescanned)
+    val storeBands =
+      bandsOf(signaturesFromSets(
+        shingleSets(store, textCol, idCol, shingleWidth), bands * rows))
+    val crossCands = bandsOf(arrSigs).as("a")
+      .join(storeBands.as("s"), col("a.band") === col("s.band"))
+      .select(col("a.id").as("id_a"), col("s.id").as("id_s"))
+      .distinct()
+      .truncateLineage(eager = false) // read twice: id collection + verify
+    // verify: re-shingle ONLY matched docs on each side (semi-joins)
+    val aSets = shingleSets(
+      arrivals.join(crossCands.select(col("id_a").as("id")).distinct(),
+        idCol === col("id"), "left_semi"), textCol, idCol, shingleWidth)
+    val sSets = shingleSets(
+      store.join(crossCands.select(col("id_s").as("id")).distinct(),
+        idCol === col("id"), "left_semi"), textCol, idCol, shingleWidth)
+    val dirty = crossCands
+      .join(aSets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sSets.withColumnRenamed("id", "id_s").withColumnRenamed("sh", "sh_s"), "id_s")
+      .where(size(array_intersect(col("sh_a"), col("sh_s"))) /
+        size(array_union(col("sh_a"), col("sh_s"))).cast("double") >= threshold)
+      .select(col("id_a").as("id")).distinct()
+      .truncateLineage(eager = false) // gates both the sigs and the rows
+    val clean = arrivals.join(dirty, idCol === col("id"), "left_anti")
+    // batch-internal near-dup among store-clean arrivals, reusing the
+    // already-computed signatures (anti-join instead of re-deriving)
+    val cleanSigs = arrSigs.join(dirty, arrSigs("id") === dirty("id"), "left_anti")
+    val batchCands = candidatesFromSignatures(cleanSigs, bands, rows)
+      .truncateLineage(eager = false)
+    val candIds = batchCands.select(col("id_a").as("id"))
+      .unionByName(batchCands.select(col("id_b").as("id"))).distinct()
+    val candSets = shingleSets(
+      clean.join(candIds, idCol === col("id"), "left_semi"),
+      textCol, idCol, shingleWidth)
+      .truncateLineage(eager = false) // shared by both verify branches
+    val verified = batchCands
+      .join(candSets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(candSets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .where(size(array_intersect(col("sh_a"), col("sh_b"))) /
+        size(array_union(col("sh_a"), col("sh_b"))).cast("double") >= threshold)
+      .select(col("id_a"), col("id_b"))
+    nearDupKeep(clean, verified, idCol)
+  }
+
   /** MinHash-LSH recall harness — the dedup analog of
     * [[Similarity.recallAtK]]'s "measure, don't guess" rule: exact
     * shingle-Jaccard TRUTH pairs inside explicit blocks (the only

@@ -53,6 +53,38 @@ class ClusterSpec extends AnyFunSuite {
     assert(out == Set(12L, 13L))
   }
 
+  test("incrementalNearDups: store rejects, batch keep-first, clean kept") {
+    import spark.implicits._
+    val store = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six"))
+      .toDF("doc_id", "text")
+    val arrivals = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"), // = store 1 → rejected
+      (11L, "totally different words here indeed friend"), // clean, keeps
+      (12L, "totally different words here indeed friend"), // batch dup → loses to 11
+      (13L, "unique snowflake content nobody else shares")) // clean singleton
+      .toDF("doc_id", "text")
+    val admitted = Dedup.incrementalNearDups(
+        store, arrivals, col("text"), col("doc_id"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted == Set(11L, 13L))
+  }
+
+  test("incrementalNearDups: empty store admits the batch's keep-firsts") {
+    import spark.implicits._
+    val store = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val arrivals = Seq(
+      (21L, "some perfectly ordinary sentence right here"),
+      (22L, "some perfectly ordinary sentence right here"),
+      (23L, "another thing entirely unlike the rest truly"))
+      .toDF("doc_id", "text")
+    val admitted = Dedup.incrementalNearDups(
+        store, arrivals, col("text"), col("doc_id"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted == Set(21L, 23L))
+  }
+
   test("kmeans: distributed Lloyd iterations converge to cluster means") {
     import spark.implicits._
     // two obvious clusters around (1,0) and (0,1); ids 0/1 seed one each

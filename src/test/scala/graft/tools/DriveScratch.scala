@@ -41,7 +41,11 @@ object DriveScratch {
     }
     spark.conf.unset(graft.engine.GraphiteTables.DisableMemoKey)
 
+    // optional arg: comma-separated query-name filter (local iteration)
+    val only: Option[Set[String]] =
+      args.headOption.map(_.split(',').toSet)
     val names = graft.SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     for (name <- names) {
       try {
         val df = graft.SparkEntry.queries(name)(spark, sfDir)
