@@ -1398,6 +1398,37 @@ object SparkEntry {
       graft.llm.Bpe.encode(docs, col("text"), col("doc_id"), rules)
     }),
 
+    // unigram-LM seed statistic: freq-weighted counts of every word
+    // substring ≤ 6 chars — in-row (start,len) expansion, one piece
+    // aggregate, heap top-50. Hash-gated against the DuckDB twin.
+    "d_unigram_seed" -> ((s, dir) =>
+      graft.llm.Unigram.seedPieces(s.read.parquet(s"$dir/documents.parquet"),
+        col("text"), maxPieceLen = 6, topK = 50)),
+
+    // unigram-LM (SentencePiece-style) tokenizer TRAINING: Viterbi-EM
+    // over the word-frequency relation. Unlike BPE's per-merge rounds,
+    // each EM iteration is ONE distributed job at any vocabulary size
+    // (broadcast piece table → map-pass Viterbi counts → vocab-sized
+    // aggregate), which is what makes this the corpus-scale-shaped
+    // tokenizer trainer. Viterbi DP isn't SQL-expressible → rows-only
+    // oracle; the numbers are pinned by UnigramSpec's independent
+    // full-enumeration check and a hand-computed fixture.
+    "d_unigram_train" -> ((s, dir) =>
+      graft.llm.Unigram.train(s.read.parquet(s"$dir/documents.parquet"),
+        col("text"), vocabSize = 200, seedSize = 1000, emIters = 2,
+        maxPieceLen = 6)),
+
+    // serving-side pair: Viterbi encoding with the table just trained
+    // — map-only over the corpus, per-partition distinct-word memo.
+    "d_unigram_encode" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val pieces = graft.llm.Unigram.train(docs, col("text"),
+          vocabSize = 200, seedSize = 1000, emIters = 2, maxPieceLen = 6)
+        .collect().map(r => (r.getString(1), r.getDouble(3))).toSeq
+      graft.llm.Unigram.encode(docs, col("text"), col("doc_id"), pieces,
+        maxPieceLen = 6)
+    }),
+
     // exact global doc-length quantiles via the two-phase rank — no
     // global sort, no sketch; percentile_cont interpolation.
     "d_quantiles" -> ((s, dir) =>
@@ -3985,6 +4016,24 @@ object SparkEntry {
           |c AS (SELECT pair, sum(wf)::bigint AS n FROM pairs GROUP BY 1)
           |SELECT pair, n, CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rank
           |FROM c ORDER BY n DESC, pair LIMIT 50""".stripMargin),
+
+      "d_unigram_seed" ->
+        ("""WITH wf AS (
+          |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+          |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+          |    FROM documents) t
+          |  WHERE w <> '' GROUP BY 1),
+          |starts AS (
+          |  SELECT w, freq, unnest(range(1, length(w) + 1)) AS i FROM wf),
+          |subs AS (
+          |  SELECT substr(w, CAST(i AS INT), CAST(l AS INT)) AS piece, freq
+          |  FROM (SELECT w, freq, i,
+          |          unnest(range(1, least(length(w) - i + 1, 6) + 1)) AS l
+          |        FROM starts)),
+          |c AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS n FROM subs GROUP BY 1)
+          |SELECT piece, n,
+          |       CAST(row_number() OVER (ORDER BY n DESC, piece) AS BIGINT) AS rank
+          |FROM c ORDER BY n DESC, piece LIMIT 50""".stripMargin),
 
       "d_bpe_train" -> bpeTrainSqlTpl.replace("/*PRUNE*/", ""),
 

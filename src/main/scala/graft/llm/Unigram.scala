@@ -1,0 +1,369 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+
+import graft.Lineage.TruncateOps
+
+/** Distributed unigram-LM tokenizer training (the SentencePiece
+  * family, Kudo & Richardson 2018) — the second of the two tokenizer
+  * algorithms industrial LLM pipelines actually train, and at corpus
+  * scale the BETTER-shaped one: where BPE's distributed fallback
+  * needs one job round per merge rule (see [[Bpe.train]]), unigram
+  * training is one job PER EM ITERATION regardless of vocabulary
+  * size — seed once, then each round broadcasts the vocab-sized
+  * piece table, Viterbi-segments the word-frequency relation in a
+  * single map pass with map-side partial counts, and re-estimates on
+  * the driver from the vocab-sized aggregate. ~10 rounds total for a
+  * production run, at ANY corpus size.
+  *
+  *   1. ONE corpus pass builds the (word, freq) relation (the same
+  *      `minFreq`/`topV` corpus-scale pruning knobs as [[Bpe.train]]);
+  *   2. seeding counts every substring of length 1..`maxPieceLen` of
+  *      every distinct word (freq-weighted, an in-row expansion —
+  *      no shuffle beyond the piece aggregate) and keeps the most
+  *      frequent `seedSize` multi-char pieces plus ALL single
+  *      characters (so every word always has a segmentation);
+  *   3. each EM round: E-step = deterministic Viterbi segmentation of
+  *      each word under the current piece log-probabilities
+  *      (freq-weighted occurrence counts, integer arithmetic in the
+  *      aggregate); M-step = re-normalize counts into probabilities
+  *      on the driver (vocab-sized);
+  *   4. after `emIters` rounds the vocabulary is pruned to
+  *      `vocabSize` (all single characters are always retained; the
+  *      remaining slots go to the highest-count multi-char pieces,
+  *      ties on piece text ascending in UTF-8 byte order), then one
+  *      final EM round runs on the pruned vocabulary so the reported
+  *      counts/log-probs reflect the shipped piece table.
+  *
+  * Declared simplification vs the paper: hard (Viterbi) EM instead of
+  * forward-backward expected counts, and count-based pruning instead
+  * of the likelihood-loss ranking — the standard "Viterbi-EM"
+  * variant. Every step is integer-count-based and tie-broken
+  * explicitly, so training is bit-deterministic on any partitioning
+  * (double arithmetic appears only inside a single word's DP, whose
+  * evaluation order is fixed by the scan, never across rows).
+  *
+  * Smoothing: single-character pieces get add-one smoothing
+  * (`effCount = count + 1`); multi-char pieces use raw counts and are
+  * dropped when their count reaches zero. This keeps zero-count
+  * required characters representable with a finite log-probability
+  * using only integer-derived arithmetic (no tuning constants).
+  *
+  * The driver/distributed switch mirrors [[Bpe.train]]: below
+  * [[LocalVocabThresholdKey]] distinct words the word relation is
+  * collected once and the loop runs in memory with the IDENTICAL
+  * kernels; above it, each E-step is the one distributed job
+  * described above. Both paths share [[viterbi]]/[[mstep]], so the
+  * result is the same by construction (pinned in `UnigramSpec`).
+  */
+object Unigram {
+
+  /** Distinct-word ceiling for the driver-side EM loop; above it the
+    * per-round distributed E-step runs (still one job per round).
+    * Override with `spark.conf.set("graft.unigram.localVocabThreshold",…)`;
+    * 0 forces the distributed path.
+    */
+  val LocalVocabThresholdKey = "graft.unigram.localVocabThreshold"
+
+  /** Log-probability charged for a character absent from the piece
+    * table (possible only when `minFreq`/`topV` pruned its every
+    * containing word): the word still segments, charging this fixed
+    * penalty per unknown character — deterministic and far below any
+    * real piece's log-prob.
+    */
+  val UnkLogp: Double = -1e4
+
+  /** (word, freq) relation — the single corpus pass, with the same
+    * corpus-scale pruning contract as [[Bpe.train]] (frequency floor
+    * and/or top-V cut over the vocab-sized relation).
+    */
+  private def wordFreq(
+      docs: DataFrame, textCol: Column, minFreq: Long, topV: Int): DataFrame = {
+    val wf = docs
+      .select(explode(split(trim(textCol), "\\s+")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    val floored = if (minFreq > 1L) wf.where(col("freq") >= minFreq) else wf
+    if (topV > 0) floored.orderBy(col("freq").desc, col("w").asc).limit(topV)
+    else floored
+  }
+
+  /** Freq-weighted counts of every substring of length
+    * 1..`maxPieceLen` across distinct words — the unigram seed
+    * statistic, exposed as its own top-K query (hash-gated against a
+    * DuckDB twin). In-row (start, len) expansion: no join, one
+    * shuffle for the piece aggregate, top-K via heap — the plan shape
+    * survives any corpus size because everything after the corpus
+    * pass is piece-keyed.
+    */
+  def seedPieces(
+      docs: DataFrame, textCol: Column, maxPieceLen: Int, topK: Int): DataFrame = {
+    val wf = wordFreq(docs, textCol, 1L, 0)
+    val subs = flatten(transform(sequence(lit(1), length(col("w"))), i =>
+      transform(
+        sequence(lit(1), least(length(col("w")) - i + 1, lit(maxPieceLen))),
+        l => col("w").substr(i, l))))
+    val counts = wf
+      .select(explode(subs).as("piece"), col("freq"))
+      .groupBy("piece").agg(sum("freq").as("n"))
+    val w = Window.orderBy(col("n").desc, col("piece").asc)
+    counts.orderBy(col("n").desc, col("piece").asc).limit(topK)
+      .withColumn("rank", row_number().over(w).cast("long"))
+  }
+
+  /** Deterministic Viterbi segmentation of `word` under piece
+    * log-probs: maximize Σ logp; ties prefer fewer pieces, then the
+    * longest final piece (scan order makes this well-defined without
+    * any hashing). Characters missing from the table become UNK
+    * pieces at [[UnkLogp]], so every word segments.
+    */
+  private[llm] def viterbi(
+      word: String,
+      logp: java.util.HashMap[String, java.lang.Double],
+      maxLen: Int): Array[String] = {
+    val n = word.length
+    if (n == 0) return Array.empty
+    val best = new Array[Double](n + 1)
+    val cnt = new Array[Int](n + 1)
+    val back = new Array[Int](n + 1)
+    java.util.Arrays.fill(best, Double.NegativeInfinity)
+    java.util.Arrays.fill(back, -1)
+    best(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      var j = math.max(0, i - maxLen)
+      while (j < i) {
+        if (back(j) != -1 || j == 0) {
+          val lp = logp.get(word.substring(j, i))
+          if (lp != null) {
+            val sc = best(j) + lp.doubleValue()
+            val c = cnt(j) + 1
+            if (sc > best(i) || (sc == best(i) && c < cnt(i))) {
+              best(i) = sc; cnt(i) = c; back(i) = j
+            }
+          }
+        }
+        j += 1
+      }
+      if (back(i) == -1) { // OOV character — forced single-char UNK
+        best(i) = best(i - 1) + UnkLogp
+        cnt(i) = cnt(i - 1) + 1
+        back(i) = i - 1
+      }
+      i += 1
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[String](cnt(n))
+    var k = n
+    while (k > 0) { val j = back(k); out += word.substring(j, k); k = j }
+    out.reverseIterator.toArray
+  }
+
+  /** M-step + prune: keep every single-character piece (add-one
+    * smoothed) and, when `vocabSize > 0`, the top
+    * `vocabSize - #chars` multi-char pieces by (count desc, piece asc
+    * UTF-8); multi-char pieces at count 0 drop regardless. Returns
+    * the kept (piece, count) in final rank order plus the log-prob
+    * table for the next E-step.
+    */
+  private[llm] def mstep(
+      counts: collection.Map[String, Long],
+      chars: Iterable[String],
+      vocabSize: Int): (Array[(String, Long)], java.util.HashMap[String, java.lang.Double]) = {
+    val charArr = chars.toArray
+    val charSet = charArr.toSet
+    val charRows = charArr.map(c => (c, counts.getOrElse(c, 0L)))
+    var multi = counts.iterator
+      .filter { case (p, c) => c > 0L && !charSet.contains(p) }
+      .toArray
+    val ord = Ordering.Tuple2(Ordering.Long.reverse, Bpe.utf8Ordering)
+      .on[(String, Long)] { case (p, c) => (c, p) }
+    multi = multi.sorted(ord)
+    if (vocabSize > 0 && multi.length > math.max(0, vocabSize - charRows.length))
+      multi = multi.take(math.max(0, vocabSize - charRows.length))
+    val kept = (charRows ++ multi).sorted(ord)
+    var total = 0L
+    kept.foreach { case (p, c) => total += (if (p.length == 1) c + 1L else c) }
+    val logp = new java.util.HashMap[String, java.lang.Double](kept.length * 2)
+    val lnTotal = math.log(total.toDouble)
+    kept.foreach { case (p, c) =>
+      val eff = if (p.length == 1) c + 1L else c
+      logp.put(p, java.lang.Double.valueOf(math.log(eff.toDouble) - lnTotal))
+    }
+    (kept, logp)
+  }
+
+  /** One E-step over an in-memory word list (driver path and the
+    * per-partition distributed kernel share this accumulator).
+    */
+  private[llm] def accumulate(
+      words: Iterator[(String, Long)],
+      logp: java.util.HashMap[String, java.lang.Double],
+      maxLen: Int,
+      acc: java.util.HashMap[String, java.lang.Long]): java.util.HashMap[String, java.lang.Long] = {
+    words.foreach { case (w, f) =>
+      viterbi(w, logp, maxLen).foreach { p =>
+        val prev = acc.get(p)
+        acc.put(p, java.lang.Long.valueOf(if (prev == null) f else prev.longValue() + f))
+      }
+    }
+    acc
+  }
+
+  private def toScala(m: java.util.HashMap[String, java.lang.Long]): collection.Map[String, Long] = {
+    val b = collection.mutable.HashMap.empty[String, Long]
+    m.forEach((k, v) => b.put(k, v.longValue()))
+    b
+  }
+
+  /** Distributed E-step: broadcast the piece log-probs, one map pass
+    * over the word relation with per-partition partial counts, one
+    * vocab-sized aggregate. The ONLY job of the round.
+    */
+  private def distributedEStep(
+      wf: DataFrame,
+      logp: java.util.HashMap[String, java.lang.Double],
+      maxLen: Int): collection.Map[String, Long] = {
+    val spark = wf.sparkSession
+    val bc = spark.sparkContext.broadcast(logp)
+    val schema = StructType(Seq(
+      StructField("piece", StringType, nullable = false),
+      StructField("n", LongType, nullable = false)))
+    val partials = wf.mapPartitions { it =>
+      val acc = new java.util.HashMap[String, java.lang.Long]()
+      accumulate(it.map(r => (r.getString(0), r.getLong(1))), bc.value, maxLen, acc)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+      acc.forEach((p, c) => out += Row(p, c.longValue()))
+      out.iterator
+    }(Encoders.row(schema))
+    val rows = partials.groupBy("piece").agg(sum("n").as("n")).collect()
+    val b = collection.mutable.HashMap.empty[String, Long]
+    rows.foreach(r => b.put(r.getString(0), r.getLong(1)))
+    b
+  }
+
+  /** Train a unigram piece table. Returns one row per kept piece:
+    * (rank, piece, n, logprob) — rank 1-based by (count desc, piece
+    * asc UTF-8), `n` the final-round Viterbi count, `logprob` the
+    * smoothed log-probability actually used for encoding.
+    */
+  def train(
+      docs: DataFrame,
+      textCol: Column,
+      vocabSize: Int,
+      seedSize: Int = 2000,
+      emIters: Int = 2,
+      maxPieceLen: Int = 8,
+      minFreq: Long = 1L,
+      topV: Int = 0): DataFrame = {
+    val spark = docs.sparkSession
+    val wf = wordFreq(docs, textCol, minFreq, topV).truncateLineage(eager = false)
+    // seed: one aggregate over the in-row substring expansion, consumed
+    // twice (chars + top multi) — vocab-sized, so collect both slices
+    val seedCounts = wf
+      .select(explode(flatten(transform(sequence(lit(1), length(col("w"))), i =>
+        transform(
+          sequence(lit(1), least(length(col("w")) - i + 1, lit(maxPieceLen))),
+          l => col("w").substr(i, l))))).as("piece"), col("freq"))
+      .groupBy("piece").agg(sum("freq").as("n"))
+      .truncateLineage(eager = false)
+    val chars = seedCounts.where(length(col("piece")) === 1)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val multis = seedCounts.where(length(col("piece")) > 1)
+      .orderBy(col("n").desc, col("piece").asc).limit(seedSize)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val charKeys = chars.map(_._1)
+    var (kept, logp) = mstep(
+      (chars ++ multis).toMap, charKeys, vocabSize = 0)
+
+    val localMax = spark.conf.getOption(LocalVocabThresholdKey)
+      .map(_.toLong).getOrElse(1000000L)
+    val useDriver = localMax > 0 && wf.count() <= localMax
+    val localWords: Array[(String, Long)] =
+      if (useDriver) wf.collect().map(r => (r.getString(0), r.getLong(1)))
+      else Array.empty
+
+    def eStep(): collection.Map[String, Long] =
+      if (useDriver)
+        toScala(accumulate(localWords.iterator, logp, maxPieceLen,
+          new java.util.HashMap[String, java.lang.Long]()))
+      else distributedEStep(wf, logp, maxPieceLen)
+
+    for (_ <- 1 to emIters) {
+      val counts = eStep()
+      val r = mstep(counts, charKeys, vocabSize = 0)
+      kept = r._1; logp = r._2
+    }
+    // prune to the target vocabulary, then one final round so the
+    // reported counts/log-probs describe the SHIPPED piece table
+    val pruned = mstep(kept.toMap, charKeys, vocabSize)
+    kept = pruned._1; logp = pruned._2
+    val fin = mstep(eStep(), charKeys, vocabSize)
+    kept = fin._1; logp = fin._2
+
+    import spark.implicits._
+    val lp = logp
+    kept.zipWithIndex.toSeq
+      .map { case ((p, c), i) => (i + 1L, p, c, lp.get(p).doubleValue()) }
+      .toDF("rank", "piece", "n", "logprob")
+  }
+
+  /** Encode a corpus with a trained piece table: map-only Viterbi
+    * segmentation per word (per-partition distinct-word memo — Zipf
+    * makes the hit rate ≈ 1 on natural text), the table shipped once
+    * per task in the closure. Returns (doc_id, n_pieces, pieces_str).
+    */
+  def encode(
+      docs: DataFrame,
+      textCol: Column,
+      idCol: Column,
+      pieces: Seq[(String, Double)],
+      maxPieceLen: Int): DataFrame = {
+    val pre = docs.select(idCol.as("doc_id"), textCol.as("__text"))
+    val idField = pre.schema.head
+    val outSchema = StructType(Seq(
+      StructField("doc_id", idField.dataType, idField.nullable),
+      StructField("n_pieces", LongType, nullable = true),
+      StructField("pieces_str", StringType, nullable = true)))
+    val tbl = new java.util.HashMap[String, java.lang.Double](pieces.size * 2)
+    pieces.foreach { case (p, l) => tbl.put(p, java.lang.Double.valueOf(l)) }
+    val MemoCap = 1 << 20
+    pre.mapPartitions { it =>
+      val memo = new java.util.HashMap[String, Array[String]]()
+      it.map { row =>
+        val id = row.get(0)
+        val text = row.getString(1)
+        if (text == null) Row(id, null, null)
+        else {
+          val ws = text.trim.split("\\s+")
+          var n = 0L
+          val sb = new java.lang.StringBuilder
+          var first = true
+          var i = 0
+          while (i < ws.length) {
+            val w = ws(i)
+            if (w.nonEmpty) {
+              var seg = memo.get(w)
+              if (seg == null) {
+                seg = viterbi(w, tbl, maxPieceLen)
+                if (memo.size < MemoCap) memo.put(w, seg)
+              }
+              n += seg.length
+              var j = 0
+              while (j < seg.length) {
+                if (!first) sb.append(' ')
+                sb.append(seg(j))
+                first = false
+                j += 1
+              }
+            }
+            i += 1
+          }
+          Row(id, n, sb.toString)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+}
