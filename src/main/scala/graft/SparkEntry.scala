@@ -484,6 +484,17 @@ object SparkEntry {
           col("event_type"), col("n"))
     }),
 
+    // Bounded-memory heavy hitters (weighted Misra–Gries, mergeable
+    // summaries): O(capacity) per partition, NO shuffle of raw keys —
+    // the key-cardinality-proof twin of the exact salted top-k. At
+    // this capacity the summary never decrements, so the result is
+    // exact and sits under the full hash oracle; bound tightness
+    // under real pressure is pinned by HeavyHittersSpec.
+    "ev_heavy_hitters" -> ((s, dir) =>
+      graft.events.HeavyHitters.heavyHitters(
+        GraphiteTables.events(s, dir),
+        key = col("user_id"), weight = lit(1L), k = 20, capacity = 8192)),
+
     // ordered conversion funnel view -> click -> purchase: one hash
     // aggregate per user + a bounded in-row fold — never the
     // tA<tB<tC triple self-join that squares the event table.
@@ -2820,6 +2831,14 @@ object SparkEntry {
           |  SELECT hour, event_type, n,
           |    row_number() OVER (PARTITION BY hour ORDER BY n DESC, event_type ASC) AS rank
           |  FROM hourly) r WHERE rank <= 2""".stripMargin),
+
+      "ev_heavy_hitters" ->
+        ("""WITH c AS (
+          |  SELECT CAST(user_id AS VARCHAR) AS k, CAST(count(*) AS BIGINT) AS count_lo
+          |  FROM events GROUP BY 1)
+          |SELECT k, count_lo, count_lo AS count_hi,
+          |       CAST(row_number() OVER (ORDER BY count_lo DESC, k) AS BIGINT) AS rank
+          |FROM c ORDER BY count_lo DESC, k LIMIT 20""".stripMargin),
 
       "ev_funnel" ->
         ("""WITH ev AS (

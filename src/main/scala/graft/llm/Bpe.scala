@@ -45,7 +45,7 @@ object Bpe {
     * DuckDB's binary collation order; differs from String.compareTo
     * only for supplementary-plane characters.
     */
-  private[llm] val utf8Ordering: Ordering[String] = new Ordering[String] {
+  private[graft] val utf8Ordering: Ordering[String] = new Ordering[String] {
     def compare(a: String, b: String): Int = {
       val ab = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       val bb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
