@@ -1104,6 +1104,16 @@ object SparkEntry {
     // ----------------------------------------------------------------
     // stratified quota sample: pure id-hash filter on the scan — no
     // shuffle, reproducible across runs/engines/retries
+    // per-stratum bottom-k uniform sample — mergeable reservoir
+    // sampling (bottom-k hash sketch): salted two-stage aggregate, so
+    // a hot stratum never serializes and the corpus never shuffles.
+    // The streaming twin (StreamSample) maintains the identical
+    // sample on an unbounded stream.
+    "d_sample_bottomk" -> ((s, dir) =>
+      Sampling.sampleBottomK(
+        s.read.parquet(s"$dir/documents.parquet"),
+        col("lang"), col("doc_id"), k = 20)),
+
     // A-ES weighted sampling without replacement: u^(1/w) keys from
     // the portable md5 uniform, heap top-k — one narrow pass.
     "d_sample_weighted" -> ((s, dir) =>
@@ -3721,6 +3731,17 @@ object SparkEntry {
           |FROM (SELECT doc_id,
           |  ('0x' || substr(md5(doc_id::varchar || '|split'), 1, 15))::bigint / 1152921504606846976.0 AS u
           |  FROM documents) t""".stripMargin),
+
+      "d_sample_bottomk" ->
+        ("""WITH h AS (SELECT lang AS stratum, doc_id,
+          |    ('0x' || substr(md5(doc_id::varchar || '|resv'), 1, 15))::bigint
+          |      / 1152921504606846976.0 AS u
+          |  FROM documents),
+          |r AS (SELECT stratum, doc_id, u,
+          |    row_number() OVER (PARTITION BY stratum ORDER BY u, doc_id) AS rn
+          |  FROM h)
+          |SELECT stratum, CAST(rn AS BIGINT) AS rank, doc_id AS id, u
+          |FROM r WHERE rn <= 20""".stripMargin),
 
       "d_shard" ->
         ("""WITH h AS (SELECT doc_id, ('0x' || substr(md5(doc_id::varchar), 1, 15))::bigint AS hv FROM documents)

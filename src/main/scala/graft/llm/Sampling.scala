@@ -368,6 +368,64 @@ object Sampling {
     * a narrow projection + heap at any corpus scale. Weights must be
     * positive.
     */
+  /** The 60-bit md5 hash ([[hashBits60]]) computed locally — the
+    * same value `conv(substring(md5(id),1,15),16,10)` yields in-plan,
+    * for kernels that run outside Column expressions (the streaming
+    * bottom-k state fold). Equality across the three spellings
+    * (Column, local, DuckDB) is what `StreamSampleSpec` pins.
+    */
+  def hashBits60Local(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val sb = new java.lang.StringBuilder(15)
+    var i = 0
+    while (sb.length < 15) { // 8 bytes cover 16 hex chars
+      val b = d(i) & 0xff
+      sb.append(Character.forDigit(b >> 4, 16))
+      if (sb.length < 15) sb.append(Character.forDigit(b & 0xf, 16))
+      i += 1
+    }
+    java.lang.Long.parseLong(sb.toString, 16)
+  }
+
+  /** Local twin of the salted [[hash01]]. */
+  def hash01Local(id: String, salt: String): Double =
+    hashBits60Local(id + "|" + salt) / 1152921504606846976d // 2^60
+
+  /** Per-stratum bottom-k uniform sample — the MERGEABLE form of
+    * reservoir sampling: within each stratum keep the k rows with the
+    * smallest salted id-hash. Because `bottomK(A ∪ B) =
+    * merge(bottomK(A), bottomK(B))`, the sample composes across
+    * shards, retries, and micro-batches with no randomness state —
+    * the property the streaming twin
+    * ([[graft.streaming.StreamSample]]) builds on, and what makes the
+    * batch result reproducible bit-for-bit on any engine via the
+    * md5-uniform contract. Scale shape: the same salted two-stage
+    * aggregate as [[graft.events.TopK.topKBy]] — a hot stratum (one
+    * language carrying half the corpus) never materializes more than
+    * its per-salt share in any task, and the corpus never shuffles
+    * (only ≤ strata·salts·k candidate rows do).
+    */
+  def sampleBottomK(
+      df: DataFrame,
+      stratum: Column,
+      idCol: Column,
+      k: Int,
+      salt: String = "resv",
+      salts: Int = 256): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val item = struct(hash01(idCol, salt).as("u"), idCol.as("id"))
+    val stage1 = df
+      .groupBy(stratum.as("stratum"), pmod(hash(idCol), lit(salts)).as("__salt"))
+      .agg(slice(array_sort(collect_list(item)), 1, k).as("__top"))
+    stage1
+      .groupBy("stratum")
+      .agg(slice(array_sort(flatten(collect_list(col("__top")))), 1, k).as("__top"))
+      .select(col("stratum"), posexplode(col("__top")))
+      .select(col("stratum"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("id"), col("col.u").as("u"))
+  }
+
   def sampleWeighted(
       df: DataFrame,
       idCol: Column,

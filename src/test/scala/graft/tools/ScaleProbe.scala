@@ -38,7 +38,14 @@ object ScaleProbe {
     "e_ivfpq_search", "g_render_headline_scalable", "p_query_groupleft",
     // codec representative: real AVI write + full JPEG decode per doc —
     // map-only CPU, the probe pins that it scales linearly with docs
-    "m_avi_motion")
+    "m_avi_motion",
+    // unigram trainer: distinct words grow ×R under the perturbation
+    // (each replica is a disjoint sublanguage) — probes the
+    // vocab-relation EM at growing vocabulary
+    "d_unigram_train",
+    // MG heavy hitters: ×R distinct users pushes past capacity into
+    // the approximation regime — probes the summary under pressure
+    "ev_heavy_hitters")
 
   def main(args: Array[String]): Unit = {
     val factors = args.headOption.map(_.split(',').map(_.trim.toInt).toSeq)
