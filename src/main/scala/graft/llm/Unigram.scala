@@ -118,7 +118,13 @@ object Unigram {
     * log-probs: maximize Σ logp; ties prefer fewer pieces, then the
     * longest final piece (scan order makes this well-defined without
     * any hashing). Characters missing from the table become UNK
-    * pieces at [[UnkLogp]], so every word segments.
+    * pieces at [[UnkLogp]], so every word segments. DP positions are
+    * restricted to code-point boundaries, so an astral (supplementary
+    * -plane) character never splits into lone surrogates — the UNK
+    * fallback consumes the whole pair and every emitted piece is
+    * well-formed UTF-16 (`maxLen` counts UTF-16 units, like the
+    * in-plan `length`/`substr` count code points — identical on the
+    * BMP, at most one unit of slack past it).
     */
   private[llm] def viterbi(
       word: String,
@@ -126,6 +132,14 @@ object Unigram {
       maxLen: Int): Array[String] = {
     val n = word.length
     if (n == 0) return Array.empty
+    val bound = new Array[Boolean](n + 1)
+    bound(0) = true; bound(n) = true
+    var b = 1
+    while (b < n) {
+      bound(b) = !(Character.isHighSurrogate(word.charAt(b - 1)) &&
+        Character.isLowSurrogate(word.charAt(b)))
+      b += 1
+    }
     val best = new Array[Double](n + 1)
     val cnt = new Array[Int](n + 1)
     val back = new Array[Int](n + 1)
@@ -134,24 +148,27 @@ object Unigram {
     best(0) = 0.0
     var i = 1
     while (i <= n) {
-      var j = math.max(0, i - maxLen)
-      while (j < i) {
-        if (back(j) != -1 || j == 0) {
-          val lp = logp.get(word.substring(j, i))
-          if (lp != null) {
-            val sc = best(j) + lp.doubleValue()
-            val c = cnt(j) + 1
-            if (sc > best(i) || (sc == best(i) && c < cnt(i))) {
-              best(i) = sc; cnt(i) = c; back(i) = j
+      if (bound(i)) {
+        var j = math.max(0, i - maxLen)
+        while (j < i) {
+          if (bound(j)) {
+            val lp = logp.get(word.substring(j, i))
+            if (lp != null) {
+              val sc = best(j) + lp.doubleValue()
+              val c = cnt(j) + 1
+              if (sc > best(i) || (sc == best(i) && c < cnt(i))) {
+                best(i) = sc; cnt(i) = c; back(i) = j
+              }
             }
           }
+          j += 1
         }
-        j += 1
-      }
-      if (back(i) == -1) { // OOV character — forced single-char UNK
-        best(i) = best(i - 1) + UnkLogp
-        cnt(i) = cnt(i - 1) + 1
-        back(i) = i - 1
+        if (back(i) == -1) { // OOV code point — forced single-char UNK
+          val p = if (bound(i - 1)) i - 1 else i - 2
+          best(i) = best(p) + UnkLogp
+          cnt(i) = cnt(p) + 1
+          back(i) = p
+        }
       }
       i += 1
     }
@@ -184,12 +201,15 @@ object Unigram {
     if (vocabSize > 0 && multi.length > math.max(0, vocabSize - charRows.length))
       multi = multi.take(math.max(0, vocabSize - charRows.length))
     val kept = (charRows ++ multi).sorted(ord)
+    // add-one smoothing applies exactly to the forced char set (the
+    // in-plan `length(piece) === 1` pieces — code points, so an
+    // astral char across 2 UTF-16 units is still a "char" here)
     var total = 0L
-    kept.foreach { case (p, c) => total += (if (p.length == 1) c + 1L else c) }
+    kept.foreach { case (p, c) => total += (if (charSet.contains(p)) c + 1L else c) }
     val logp = new java.util.HashMap[String, java.lang.Double](kept.length * 2)
     val lnTotal = math.log(total.toDouble)
     kept.foreach { case (p, c) =>
-      val eff = if (p.length == 1) c + 1L else c
+      val eff = if (charSet.contains(p)) c + 1L else c
       logp.put(p, java.lang.Double.valueOf(math.log(eff.toDouble) - lnTotal))
     }
     (kept, logp)

@@ -55,6 +55,18 @@ class UnigramSpec extends AnyFunSuite {
     assert(Unigram.viterbi("axb", logp, 2).toSeq == Seq("a", "x", "b"))
   }
 
+  test("viterbi never splits an astral char into lone surrogates") {
+    val emoji = "😀" // U+1F600, 2 UTF-16 units
+    // absent from the table → one UNK piece covering the whole pair
+    val logp = mkLogp("a" -> -1.0)
+    val got = Unigram.viterbi("a" + emoji + "a", logp, 3)
+    assert(got.toSeq == Seq("a", emoji, "a"))
+    // present in the table → picked as a piece like any other
+    val logp2 = mkLogp("a" -> -1.0, emoji -> -0.5, (emoji + "a") -> -0.4)
+    assert(Unigram.viterbi("a" + emoji + "a", logp2, 3).toSeq ==
+      Seq("a", emoji + "a"))
+  }
+
   test("train: hand-computed fixture (vocab, counts, smoothed logprobs)") {
     import spark.implicits._
     // words: ab ×3, c ×1. Seed: a,b,ab ×3; c ×1. "ab" beats "a b"
