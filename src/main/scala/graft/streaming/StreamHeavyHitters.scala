@@ -63,4 +63,148 @@ object StreamHeavyHitters {
     state.update(MgState(es.map(_._1), es.map(_._2), s.decremented))
     es.iterator.map { case (k, c) => ShardTop(bucket, k, c, s.decremented) }
   }
+
+  // ------------------------------------------------------------------
+  // Time-decayed variant — "top talkers, recent-past weighted"
+  // ------------------------------------------------------------------
+
+  /** Decayed shard emission: counts/err are in "now units" — already
+    * divided down to `as_of` (the shard's max event time seen), so a
+    * reader compares rows directly; `true decayed weight ∈
+    * [count_lo, count_lo + err]` exactly as in the undecayed op, just
+    * under the exponential-decay measure.
+    */
+  final case class DecayedTop(
+      bucket: Int, key: String, count_lo: Double, err: Double, as_of: Long)
+
+  final case class DecayedState(
+      keys: Array[String], counts: Array[Double], dec: Double,
+      landmark: Double, maxT: Long)
+
+  /** Exponentially-decayed heavy hitters over (key, weight, eventSec)
+    * rows: a row observed Δt seconds before the read instant
+    * contributes `weight · 2^(-Δt/halfLifeSec)`. Implemented with
+    * FORWARD decay (Cormode, Shkapenyuk, Srivastava & Xu 2009): each
+    * shard stores counts scaled as `w · 2^((t − landmark)/halfLife)`
+    * — monotone in t, so arrivals only ever ADD weight and the state
+    * never needs rescanning on reads; emission divides by
+    * `2^((maxT − landmark)/halfLife)` once. When the exponent drifts
+    * past [[RenormExponent]] the shard renormalizes (multiply every
+    * counter by a power of two and advance the landmark — exact in
+    * binary floating point, so renormalization does NOT perturb the
+    * result). The weighted-MG bound survives unchanged because decay
+    * is just a per-row positive weight in the forward domain.
+    *
+    * State: O(buckets · capacity) doubles — same bound as the
+    * undecayed op; determinism: rows fold in (t, key, weight) order.
+    */
+  def decayed(
+      rows: DataFrame,
+      halfLifeSec: Double,
+      capacity: Int,
+      buckets: Int = 64): Dataset[DecayedTop] = {
+    require(buckets >= 1, "buckets must be positive")
+    require(halfLifeSec > 0, "halfLifeSec must be positive")
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows
+      .as[(String, Double, Long)](Encoders.tuple(
+        Encoders.STRING, Encoders.scalaDouble, Encoders.scalaLong))
+      .groupByKey { case (k, _, _) => math.floorMod(k.##, buckets) }
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        processDecayed(halfLifeSec, capacity))
+  }
+
+  /** Forward-scaled exponent ceiling before a shard renormalizes —
+    * far below the ~1023 overflow bound, far above any single batch's
+    * time span at sane half-lives.
+    */
+  val RenormExponent: Double = 512.0
+
+  private def processDecayed(halfLife: Double, capacity: Int)(
+      bucket: Int,
+      rows: Iterator[(String, Double, Long)],
+      state: GroupState[DecayedState]): Iterator[DecayedTop] = {
+    val batch = rows.toArray.sortBy { case (k, w, t) => (t, k, w) }
+    var st = state.getOption.getOrElse(
+      DecayedState(Array.empty, Array.empty, 0.0,
+        landmark = if (batch.nonEmpty) batch.head._3.toDouble else 0.0,
+        maxT = Long.MinValue))
+    // renormalize BEFORE folding if this batch would push the forward
+    // exponent past the ceiling: scale every counter down by an EXACT
+    // power of two (scalb — no rounding) and advance the landmark by
+    // the matching whole number of half-lives, so renormalization
+    // cannot perturb any decayed value
+    val batchMax = if (batch.nonEmpty) batch.map(_._3).max else st.maxT
+    if (batch.nonEmpty && (batchMax - st.landmark) / halfLife > RenormExponent) {
+      val shift = math.floor((batchMax - st.landmark) / halfLife).toInt
+      val scale = java.lang.Math.scalb(1.0, -shift)
+      st = DecayedState(st.keys, st.counts.map(_ * scale), st.dec * scale,
+        landmark = st.landmark + shift * halfLife, maxT = st.maxT)
+    }
+    val s = new MgSummaryD(capacity)
+    var i = 0
+    while (i < st.keys.length) { s.add(st.keys(i), st.counts(i)); i += 1 }
+    s.addDecremented(st.dec)
+    batch.foreach { case (k, w, t) =>
+      s.add(k, w * math.pow(2.0, (t - st.landmark) / halfLife))
+    }
+    val maxT = math.max(st.maxT, batchMax)
+    val es = s.entries
+    state.update(DecayedState(es.map(_._1), es.map(_._2), s.decremented,
+      st.landmark, maxT))
+    val down = math.pow(2.0, -((maxT - st.landmark) / halfLife))
+    es.iterator.map { case (k, c) =>
+      DecayedTop(bucket, k, c * down, s.decremented * down, maxT)
+    }
+  }
+
+  /** Double-weighted Misra–Gries — the forward-decay twin of
+    * [[graft.events.HeavyHitters.MgSummary]]: same capacity-bounded
+    * fold, same shed-the-minimum overflow step, same
+    * [count, count + decremented] certainty contract, with real
+    * weights (decay factors are not integers).
+    */
+  private final class MgSummaryD(capacity: Int) {
+    private val counts = new java.util.HashMap[String, java.lang.Double](capacity * 2)
+    private var dec = 0.0
+
+    def decremented: Double = dec
+    def addDecremented(d: Double): Unit = dec += d
+
+    def add(key: String, w: Double): Unit = {
+      if (w <= 0.0 || key == null) return
+      val cur = counts.get(key)
+      if (cur != null) {
+        counts.put(key, java.lang.Double.valueOf(cur.doubleValue() + w)); return
+      }
+      counts.put(key, java.lang.Double.valueOf(w))
+      while (counts.size > capacity) shedMin()
+    }
+
+    private def shedMin(): Unit = {
+      var m = Double.MaxValue
+      val it0 = counts.values().iterator()
+      while (it0.hasNext) { val v = it0.next().doubleValue(); if (v < m) m = v }
+      dec += m
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val nv = e.getValue.doubleValue() - m
+        if (nv <= 0.0) it.remove() else e.setValue(java.lang.Double.valueOf(nv))
+      }
+    }
+
+    def entries: Array[(String, Double)] = {
+      val out = new Array[(String, Double)](counts.size)
+      var i = 0
+      counts.forEach { (k, v) => out(i) = (k, v.doubleValue()); i += 1 }
+      scala.util.Sorting.stableSort(out,
+        (a: (String, Double), b: (String, Double)) =>
+          a._2 > b._2 || (a._2 == b._2 &&
+            graft.llm.Bpe.utf8Ordering.lt(a._1, b._1)))
+      out
+    }
+  }
 }

@@ -47,6 +47,68 @@ class StreamHeavyHittersSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("decayed: recency outranks history; values match independent decay math") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-dhh").toFile.getAbsolutePath
+    val stream = MemoryStream[(String, Double, Long)]
+    val q = StreamHeavyHitters
+      .decayed(stream.toDF().toDF("k", "w", "t"), halfLifeSec = 10.0,
+        capacity = 32, buckets = 1)
+      .writeStream
+      .format("memory").queryName("dhh_out")
+      .outputMode("update")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      // t=0: "old" gets 100 weight; t=100: "new" gets 10 — at as_of
+      // 100, old has decayed to 100·2^-10 ≈ 0.098, so new leads
+      stream.addData(Seq.fill(100)(("old", 1.0, 0L)): _*)
+      q.processAllAvailable()
+      stream.addData(Seq.fill(10)(("new", 1.0, 100L)): _*)
+      q.processAllAvailable()
+      val rows = spark.sql(
+        """SELECT key, count_lo, err, as_of FROM dhh_out
+          |WHERE as_of = 100 ORDER BY count_lo DESC""".stripMargin)
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+      assert(rows.map(_._1).toSeq == Seq("new", "old"))
+      assert(rows.forall(_._3 == 0.0), "capacity 32 must stay exact")
+      val byKey = rows.map(r => r._1 -> r._2).toMap
+      assert(math.abs(byKey("new") - 10.0) < 1e-9)
+      assert(math.abs(byKey("old") - 100.0 * math.pow(2.0, -10.0)) < 1e-9)
+    } finally q.stop()
+  }
+
+  test("decayed: renormalization across a >512-half-life gap is exact") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-dhh2").toFile.getAbsolutePath
+    val stream = MemoryStream[(String, Double, Long)]
+    val q = StreamHeavyHitters
+      .decayed(stream.toDF().toDF("k", "w", "t"), halfLifeSec = 1.0,
+        capacity = 8, buckets = 1)
+      .writeStream
+      .format("memory").queryName("dhh_renorm")
+      .outputMode("update")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      stream.addData(("a", 4.0, 0L), ("b", 2.0, 0L))
+      q.processAllAvailable()
+      // 600 half-lives later: forces the landmark advance (ceiling 512)
+      stream.addData(("c", 1.0, 600L))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT key, count_lo FROM dhh_renorm WHERE as_of = 600")
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+      // direct decay math, no forward domain: a = 4·2^-600, b = 2·2^-600
+      assert(rows("c") == 1.0)
+      assert(rows("a") == 4.0 * math.pow(2.0, -600.0),
+        s"renormalized value must equal direct decay exactly, got ${rows("a")}")
+      assert(rows("b") == 2.0 * math.pow(2.0, -600.0))
+    } finally q.stop()
+  }
+
   test("state stays capacity-bounded under key churn; heavy key survives") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
