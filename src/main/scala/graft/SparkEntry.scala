@@ -5575,13 +5575,20 @@ object SparkEntry {
       // (m_png_resize stays rows-only: AWT's nearest-neighbor sample
       // grid is implementation-defined; m_avi_motion stays rows-only:
       // JPEG is lossy.)
+      // seed indexing is UTF-8 BYTES (the generator does
+      // text.getBytes("UTF-8")), so the oracle reads bytes from
+      // hex(encode(text)) with an octet_length modulus — ascii(substr)
+      // would index CODE POINTS and diverge on any non-ASCII text
       "m_png_features" ->
         ("""WITH px AS (
           |  SELECT doc_id, w, h,
-          |    CASE WHEN L > 0 THEN ascii(substr(text, (i % L) + 1, 1)) ELSE 0 END AS r,
-          |    CASE WHEN L > 0 THEN ascii(substr(text, ((i*31 + 7) % L) + 1, 1)) ELSE 0 END AS g,
+          |    CASE WHEN L > 0
+          |      THEN ('0x' || substr(hx, 2*(i % L) + 1, 2))::int ELSE 0 END AS r,
+          |    CASE WHEN L > 0
+          |      THEN ('0x' || substr(hx, 2*((i*31 + 7) % L) + 1, 2))::int ELSE 0 END AS g,
           |    (i*131) % 256 AS b
-          |  FROM (SELECT doc_id, text, length(text) AS L,
+          |  FROM (SELECT doc_id, hex(encode(text)) AS hx,
+          |               octet_length(encode(text)) AS L,
           |               CAST(4 + doc_id % 13 AS INT) AS w,
           |               CAST(4 + doc_id % 11 AS INT) AS h
           |        FROM documents) d,

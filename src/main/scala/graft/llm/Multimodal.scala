@@ -211,6 +211,19 @@ object Multimodal {
     * fixed-width feature vector out. The 100 TB shape: payloads never
     * leave their partition, only `3 + bins` doubles per image do.
     */
+  /** Decode-or-skip: the corrupt-input policy in ONE place. Returns
+    * null for a null payload, an unrecognized format (ImageIO's null
+    * return), or a recognized-but-corrupt payload (ImageIO THROWS for
+    * those — e.g. a truncated PNG body — and an uncaught throw would
+    * fail the task deterministically on every retry: a poison pill,
+    * not a skipped row).
+    */
+  private[graft] def decodeImageOrNull(payload: Array[Byte]): java.awt.image.BufferedImage =
+    try {
+      if (payload == null) null
+      else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    } catch { case _: Exception => null }
+
   def extractImageFeatures(withPayloads: DataFrame, bins: Int = 8): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
@@ -220,9 +233,8 @@ object Multimodal {
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     withPayloads.select(col("doc_id"), col("payload")).mapPartitions { rows =>
       rows.flatMap { r =>
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("payload")))
         // undecodable payloads drop (corrupt-input policy: skip, don't kill the job)
+        val img = decodeImageOrNull(r.getAs[Array[Byte]]("payload"))
         Option(img).map(im =>
           Row(r.getLong(0), im.getWidth, im.getHeight,
             imageFeatures(im, bins).toSeq))
@@ -242,8 +254,7 @@ object Multimodal {
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     withPayloads.select(col("doc_id"), col("payload")).mapPartitions { rows =>
       rows.flatMap { r =>
-        val src = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("payload")))
+        val src = decodeImageOrNull(r.getAs[Array[Byte]]("payload"))
         Option(src).map { im =>
           val dst = new java.awt.image.BufferedImage(
             targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)

@@ -415,12 +415,17 @@ object Sampling {
       salts: Int = 256): DataFrame = {
     require(k >= 1, "k must be positive")
     val item = struct(hash01(idCol, salt).as("u"), idCol.as("id"))
+    // array_distinct after the sort: a re-delivered id contributes ONE
+    // (u, id) item, never two of the k slots — the same idempotence
+    // the streaming twin gets from folding into keyed state, which is
+    // what makes stream ≡ batch hold under at-least-once replay
     val stage1 = df
       .groupBy(stratum.as("stratum"), pmod(hash(idCol), lit(salts)).as("__salt"))
-      .agg(slice(array_sort(collect_list(item)), 1, k).as("__top"))
+      .agg(slice(array_distinct(array_sort(collect_list(item))), 1, k).as("__top"))
     stage1
       .groupBy("stratum")
-      .agg(slice(array_sort(flatten(collect_list(col("__top")))), 1, k).as("__top"))
+      .agg(slice(array_distinct(array_sort(flatten(collect_list(col("__top"))))), 1, k)
+        .as("__top"))
       .select(col("stratum"), posexplode(col("__top")))
       .select(col("stratum"), (col("pos") + 1).cast("long").as("rank"),
         col("col.id").as("id"), col("col.u").as("u"))

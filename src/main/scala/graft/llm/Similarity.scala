@@ -745,15 +745,31 @@ object Similarity {
       val p = r.getInt(0)
       mins(p) = r.getDouble(1)
       // degenerate (constant) dimensions quantize to code 0 via scale 1
-      scales(p) = math.max(r.getDouble(2) - r.getDouble(1), 1e-12)
+      scales(p) = math.max(r.getDouble(2) - r.getDouble(1), Sq8Eps)
     }
     (mins, scales)
   }
 
-  /** SQ8 encode: `code[i] = floor((v[i]−min[i])/scale[i]·255 + 0.5)`
-    * clamped to [0, 255] — `floor(x+0.5)` (not `round`) so the
-    * half-way tie rule is identical in every engine. Map-only.
+  /** Degenerate-dimension floor for SQ8 scales (`max − min` of a
+    * constant dimension is 0) — one constant shared by the driver
+    * ([[sq8Train]]) and in-plan ([[sq8Search]]) stats.
     */
+  private val Sq8Eps = 1e-12
+
+  /** THE SQ8 quantize expression — `floor((v−min)/scale·255 + 0.5)`
+    * clamped to [0, 255], `floor(x+0.5)` (not `round`) so the
+    * half-way tie rule is identical in every engine. Shared by
+    * [[sq8Encode]] (driver-collected LUT arrays) and [[sq8Search]]
+    * (in-plan 1-row LUT) so the two spellings cannot drift.
+    */
+  private def sq8Quantize(emb: Column, mn: Column, sc: Column, dim: Column): Column =
+    zip_with(emb, sequence(lit(1), dim),
+      (v, i) => greatest(lit(0),
+        least(lit(255),
+          floor((v.cast("double") - element_at(mn, i)) / element_at(sc, i)
+            * 255.0 + 0.5).cast("int"))))
+
+  /** SQ8 encode: [[sq8Quantize]] with a driver-shipped LUT. Map-only. */
   def sq8Encode(
       vectors: DataFrame,
       mins: Array[Double],
@@ -762,12 +778,7 @@ object Similarity {
       embCol: String = "embedding"): DataFrame = {
     val mn = array(mins.map(lit): _*)
     val sc = array(scales.map(lit): _*)
-    val codes = zip_with(col(embCol),
-      sequence(lit(1), lit(mins.length)),
-      (v, i) => greatest(lit(0),
-        least(lit(255),
-          floor((v.cast("double") - element_at(mn, i)) / element_at(sc, i)
-            * 255.0 + 0.5).cast("int"))))
+    val codes = sq8Quantize(col(embCol), mn, sc, lit(mins.length))
     vectors.select(col(idCol).cast("long").as("vid"), codes.as("codes"))
   }
 
@@ -799,18 +810,14 @@ object Similarity {
       .agg(min(col("v").cast("double")).as("mn"),
         max(col("v").cast("double")).as("mx"))
       .agg(array_sort(collect_list(struct(col("pos"), col("mn"),
-        greatest(col("mx") - col("mn"), lit(1e-12)).as("sc")))).as("st"))
+        greatest(col("mx") - col("mn"), lit(Sq8Eps)).as("sc")))).as("st"))
       .select(transform(col("st"), s => s("mn")).as("__mins"),
         transform(col("st"), s => s("sc")).as("__scales"))
     val mn = col("__mins"); val sc = col("__scales")
     val enc = vectors
       .join(broadcast(stats)) // 1-row broadcast LUT
       .select(col(idCol).cast("long").as("vid"),
-        zip_with(col(embCol), sequence(lit(1), lit(dim)),
-          (v, i) => greatest(lit(0),
-            least(lit(255),
-              floor((v.cast("double") - element_at(mn, i)) / element_at(sc, i)
-                * 255.0 + 0.5).cast("int")))).as("codes"),
+        sq8Quantize(col(embCol), mn, sc, lit(dim)).as("codes"),
         mn, sc)
     val deq = zip_with(col("codes"), sequence(lit(1), lit(dim)),
       (c, i) => element_at(mn, i) +

@@ -99,13 +99,21 @@ object Unigram {
     * survives any corpus size because everything after the corpus
     * pass is piece-keyed.
     */
+  /** Every substring of length 1..`maxPieceLen` of `w`, as an in-row
+    * (start, len) expansion — THE seed expression, shared by
+    * [[seedPieces]] (what the DuckDB oracle gates) and [[train]]
+    * (what training actually uses), so they cannot drift apart.
+    */
+  private def substringPieces(w: Column, maxPieceLen: Int): Column =
+    flatten(transform(sequence(lit(1), length(w)), i =>
+      transform(
+        sequence(lit(1), least(length(w) - i + 1, lit(maxPieceLen))),
+        l => w.substr(i, l))))
+
   def seedPieces(
       docs: DataFrame, textCol: Column, maxPieceLen: Int, topK: Int): DataFrame = {
     val wf = wordFreq(docs, textCol, 1L, 0)
-    val subs = flatten(transform(sequence(lit(1), length(col("w"))), i =>
-      transform(
-        sequence(lit(1), least(length(col("w")) - i + 1, lit(maxPieceLen))),
-        l => col("w").substr(i, l))))
+    val subs = substringPieces(col("w"), maxPieceLen)
     val counts = wf
       .select(explode(subs).as("piece"), col("freq"))
       .groupBy("piece").agg(sum("freq").as("n"))
@@ -259,6 +267,7 @@ object Unigram {
       out.iterator
     }(Encoders.row(schema))
     val rows = partials.groupBy("piece").agg(sum("n").as("n")).collect()
+    bc.destroy() // one piece table per round — don't pin old rounds
     val b = collection.mutable.HashMap.empty[String, Long]
     rows.foreach(r => b.put(r.getString(0), r.getLong(1)))
     b
@@ -283,10 +292,7 @@ object Unigram {
     // seed: one aggregate over the in-row substring expansion, consumed
     // twice (chars + top multi) — vocab-sized, so collect both slices
     val seedCounts = wf
-      .select(explode(flatten(transform(sequence(lit(1), length(col("w"))), i =>
-        transform(
-          sequence(lit(1), least(length(col("w")) - i + 1, lit(maxPieceLen))),
-          l => col("w").substr(i, l))))).as("piece"), col("freq"))
+      .select(explode(substringPieces(col("w"), maxPieceLen)).as("piece"), col("freq"))
       .groupBy("piece").agg(sum("freq").as("n"))
       .truncateLineage(eager = false)
     val chars = seedCounts.where(length(col("piece")) === 1)
@@ -316,10 +322,10 @@ object Unigram {
       val r = mstep(counts, charKeys, vocabSize = 0)
       kept = r._1; logp = r._2
     }
-    // prune to the target vocabulary, then one final round so the
-    // reported counts/log-probs describe the SHIPPED piece table
-    val pruned = mstep(kept.toMap, charKeys, vocabSize)
-    kept = pruned._1; logp = pruned._2
+    // prune to the target vocabulary (only the pruned log-probs feed
+    // the final pass), then one final round so the reported counts/
+    // log-probs describe the SHIPPED piece table
+    logp = mstep(kept.toMap, charKeys, vocabSize)._2
     val fin = mstep(eStep(), charKeys, vocabSize)
     kept = fin._1; logp = fin._2
 

@@ -58,7 +58,10 @@ object StreamHeavyHitters {
       while (i < st.keys.length) { s.add(st.keys(i), st.counts(i)); i += 1 }
       s.addDecremented(st.dec)
     }
-    rows.toArray.sortBy(identity).foreach { case (k, w) => s.add(k, w) }
+    // null keys drop, like the batch twin's partitionSummaries guard
+    // (and sortBy on a null key would NPE before `add` could skip it)
+    rows.filter(_._1 != null).toArray.sortBy(identity)
+      .foreach { case (k, w) => s.add(k, w) }
     val es = s.entries
     state.update(MgState(es.map(_._1), es.map(_._2), s.decremented))
     es.iterator.map { case (k, c) => ShardTop(bucket, k, c, s.decremented) }
@@ -68,14 +71,32 @@ object StreamHeavyHitters {
   // Time-decayed variant — "top talkers, recent-past weighted"
   // ------------------------------------------------------------------
 
-  /** Decayed shard emission: counts/err are in "now units" — already
-    * divided down to `as_of` (the shard's max event time seen), so a
-    * reader compares rows directly; `true decayed weight ∈
+  /** Decayed shard emission: counts/err are normalized to `as_of` —
+    * the SHARD's max event time seen, which differs across shards
+    * (one shard's newest event may be far older than another's).
+    * Rows from the SAME shard compare directly; before ranking across
+    * shards, rescale to a common instant with [[comparable]] —
+    * comparing raw rows across shards would misrank by
+    * `2^(Δas_of/halfLife)`. `true decayed weight ∈
     * [count_lo, count_lo + err]` exactly as in the undecayed op, just
     * under the exponential-decay measure.
     */
   final case class DecayedTop(
       bucket: Int, key: String, count_lo: Double, err: Double, as_of: Long)
+
+  /** Rescale a collected emission set to ONE instant (the max
+    * `as_of` present) so rows from different shards rank against
+    * each other correctly. Pure driver-side arithmetic over the
+    * ≤ buckets·capacity reported rows.
+    */
+  def comparable(rows: Seq[DecayedTop], halfLifeSec: Double): Seq[DecayedTop] = {
+    if (rows.isEmpty) return rows
+    val asOf = rows.map(_.as_of).max
+    rows.map { r =>
+      val down = math.pow(2.0, -((asOf - r.as_of) / halfLifeSec))
+      r.copy(count_lo = r.count_lo * down, err = r.err * down, as_of = asOf)
+    }
+  }
 
   final case class DecayedState(
       keys: Array[String], counts: Array[Double], dec: Double,
@@ -126,7 +147,8 @@ object StreamHeavyHitters {
       bucket: Int,
       rows: Iterator[(String, Double, Long)],
       state: GroupState[DecayedState]): Iterator[DecayedTop] = {
-    val batch = rows.toArray.sortBy { case (k, w, t) => (t, k, w) }
+    val batch = rows.filter(_._1 != null).toArray
+      .sortBy { case (k, w, t) => (t, k, w) }
     var st = state.getOption.getOrElse(
       DecayedState(Array.empty, Array.empty, 0.0,
         landmark = if (batch.nonEmpty) batch.head._3.toDouble else 0.0,

@@ -71,8 +71,12 @@ object StreamMedia {
     stream.select(col("doc_id"), col("event_time"), col("payload"))
       .mapPartitions { rows =>
         rows.flatMap { r =>
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("payload")))
+          // skip policy must cover THROWN decode failures too: a
+          // recognized-but-truncated payload makes ImageIO.read throw
+          // (not return null), and an uncaught throw is a poison pill
+          // — the deterministic micro-batch fails on every retry and
+          // the query never progresses past it
+          val img = Multimodal.decodeImageOrNull(r.getAs[Array[Byte]]("payload"))
           Option(img).map { im =>
             Row(r.getLong(0), r.getAs[java.sql.Timestamp](1),
               im.getWidth, im.getHeight, pixelHash(im),

@@ -109,6 +109,21 @@ class StreamHeavyHittersSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("comparable rescales cross-shard rows to one instant before ranking") {
+    val rows = Seq(
+      StreamHeavyHitters.DecayedTop(0, "y", 50.0, 0.0, 1000L),
+      StreamHeavyHitters.DecayedTop(1, "x", 100.0, 2.0, 0L))
+    // raw rows would rank x (100) over y (50) — but x's as_of is 1000s
+    // older: at the common instant x is 100·2^-100
+    val c = StreamHeavyHitters.comparable(rows, halfLifeSec = 10.0)
+      .sortBy(-_.count_lo)
+    assert(c.map(_.key) == Seq("y", "x"))
+    assert(c.head.count_lo == 50.0)
+    assert(c(1).count_lo == 100.0 * math.pow(2.0, -100.0))
+    assert(c(1).err == 2.0 * math.pow(2.0, -100.0))
+    assert(c.forall(_.as_of == 1000L))
+  }
+
   test("state stays capacity-bounded under key churn; heavy key survives") {
     import spark.implicits._
     implicit val sql = spark.sqlContext

@@ -52,10 +52,10 @@ class StreamSampleSpec extends AnyFunSuite {
       val streamed = emitted.groupBy(_._1).map { case (s, rows) =>
         s -> rows.map(r => (r._3, r._2)).sorted.take(5).map(_._2).toSeq
       }
-      // batch contract: ids are unique per table — dedupe the
-      // re-delivered row before comparing
+      // the union INCLUDES the re-delivered row: both sides must be
+      // idempotent under duplicate ids for stream ≡ batch to hold
       val batch = Sampling.sampleBottomK(
-          (b1 ++ b2).distinct.toDF("stratum", "id"), col("stratum"), col("id"), k = 5)
+          (b1 ++ b2).toDF("stratum", "id"), col("stratum"), col("id"), k = 5)
         .orderBy("stratum", "rank")
         .collect().map(r => (r.getString(0), r.getLong(2)))
         .groupBy(_._1).map { case (s, rows) => s -> rows.map(_._2).toSeq }
