@@ -69,6 +69,25 @@ class HeavyHittersSpec extends AnyFunSuite {
     assert(out.map(_._4).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("heavyHitters distributed == exact counting in the exact regime (randomized)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(314159)
+    for (trial <- 1 to 3) {
+      val n = 400 + rnd.nextInt(400)
+      val rows = Seq.fill(n)(("k" + rnd.nextInt(40), 1L + rnd.nextInt(4)))
+      val k = 3 + rnd.nextInt(10)
+      val got = HeavyHitters.heavyHitters(
+          rows.toDF("key", "w").repartition(5), col("key"), col("w"),
+          k, capacity = 256)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val truth = rows.groupBy(_._1).map { case (key, v) => key -> v.map(_._2).sum }
+      val expected = truth.toSeq.map { case (key, c) => (c, key) }
+        .sortBy { case (c, key) => (-c, key) }.take(k).zipWithIndex
+        .map { case ((c, key), i) => (key, c, c, i + 1L) }
+      assert(got.toSeq == expected, s"trial $trial (k=$k) diverged from exact")
+    }
+  }
+
   test("heavyHitters: under pressure the heavy key survives with covering bounds") {
     import spark.implicits._
     // one key carries half the stream; 200 noise keys; capacity 16

@@ -25,6 +25,30 @@ class StreamSampleSpec extends AnyFunSuite {
     }
   }
 
+  test("sampleBottomK == brute force on randomized strata/ids/duplicates") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(271828)
+    for (trial <- 1 to 3) {
+      val n = 300 + rnd.nextInt(300)
+      val rows = Seq.fill(n)(
+        ("s" + rnd.nextInt(5), rnd.nextInt(120).toLong)) // dup ids likely
+      val k = 1 + rnd.nextInt(8)
+      val got = Sampling.sampleBottomK(
+          rows.toDF("stratum", "id"), col("stratum"), col("id"), k)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      // brute force: per stratum, k smallest (u, id) over DISTINCT ids
+      val expected = rows.distinct.groupBy(_._1).toSeq.flatMap { case (s, rs) =>
+        rs.map(_._2).distinct
+          .map(id => (Sampling.hash01Local(id.toString, "resv"), id))
+          .sorted.take(k).zipWithIndex
+          .map { case ((u, id), i) => (s, i + 1L, id, u) }
+      }.sortBy(r => (r._1, r._2))
+      assert(got.sortBy(r => (r._1, r._2)).toSeq == expected,
+        s"trial $trial (k=$k) diverged from brute force")
+    }
+  }
+
   test("stream sample after N batches == batch sampleBottomK of the union") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
