@@ -1316,6 +1316,17 @@ object SparkEntry {
       TextStats.qualityClassifier(
         s.read.parquet(s"$dir/documents.parquet"), col("text"), col("doc_id"))),
 
+    // logistic-regression TRAINING for the quality classifier: full-
+    // batch GD on log-loss over the serving path's three signals
+    // (label: is-English). One corpus pass builds the 4-double
+    // feature relation; each of the 3 iterations is one aggregate
+    // job over it. The full weight trace sits under the hash oracle
+    // — the DuckDB twin unrolls the identical GD in chained CTEs.
+    "d_quality_clf_train" -> ((s, dir) =>
+      TextStats.trainQualityClassifier(
+        s.read.parquet(s"$dir/documents.parquet"), col("text"),
+        label = (col("lang") === "en").cast("int"), iters = 3, lr = 0.5)),
+
     // two-tier blocklist content gate (Dolma-style): frequency terms
     // ratio-capped, instant-drop terms hard-block; map-only.
     "d_toxicity" -> ((s, dir) =>
@@ -3869,6 +3880,39 @@ object SparkEntry {
            |SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 4) + 0 AS p_quality,
            |  (1.0 / (1.0 + exp(-z)) >= 0.5) AS keep
            |FROM sig""".stripMargin),
+
+      // the GD unroll: p_i = σ(z) under w_{i-1}, g_i = mean per-row
+      // gradient, w_i = w_{i-1} − lr·g_i — identical arithmetic to
+      // TextStats.trainQualityClassifier, independently spelled
+      "d_quality_clf_train" -> {
+        val lr = "0.5"
+        def pg(i: Int) =
+          s"""p$i AS (SELECT y, x1, x2, x3,
+             |  1/(1+exp(-(w.b + w.a1*x1 + w.a2*x2 + w.a3*x3))) AS p
+             |  FROM f, w${i - 1} w),
+             |g$i AS (SELECT avg(p - y) AS gb, avg((p - y)*x1) AS ga1,
+             |  avg((p - y)*x2) AS ga2, avg((p - y)*x3) AS ga3 FROM p$i),
+             |w$i AS (SELECT w.b - $lr*g.gb AS b, w.a1 - $lr*g.ga1 AS a1,
+             |  w.a2 - $lr*g.ga2 AS a2, w.a3 - $lr*g.ga3 AS a3
+             |  FROM w${i - 1} w, g$i g)""".stripMargin
+        def out(i: Int) =
+          s"""SELECT CAST($i AS BIGINT) AS iter, round(b, 6) + 0 AS bias,
+             |  round(a1, 6) + 0 AS w_len, round(a2, 6) + 0 AS w_alpha,
+             |  round(a3, 6) + 0 AS w_stop FROM w$i""".stripMargin
+        s"""WITH f AS (
+           |  SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+           |    least(len(string_split_regex(trim(text), '\\s+'))::double / 64.0, 1.0) AS x1,
+           |    length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))::double
+           |      / greatest(length(text)::double, 1.0) AS x2,
+           |    ${hitsExpr("en")}::double
+           |      / greatest(len(string_split_regex(trim(text), '\\s+'))::double, 1.0) AS x3
+           |  FROM documents),
+           |w0(b, a1, a2, a3) AS (VALUES (0.0, 0.0, 0.0, 0.0)),
+           |${pg(1)},
+           |${pg(2)},
+           |${pg(3)}
+           |${out(1)} UNION ALL ${out(2)} UNION ALL ${out(3)}""".stripMargin
+      },
 
       "d_ppl_buckets" ->
         ("""WITH toks AS (

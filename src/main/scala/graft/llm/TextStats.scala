@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.Lineage.TruncateOps
+
 /** Text-analysis operators for training-data pipelines: language ID,
   * quality scoring, token counting. All pure column expressions
   * (whole-stage-codegen'd, no UDFs) so they fuse into the document
@@ -734,6 +736,63 @@ object TextStats {
     val p = qualityProbability(textCol)
     docs.select(idCol.as("doc_id"), round(p, 4).as("p_quality"),
       (p >= 0.5).as("keep"))
+  }
+
+  /** Distributed logistic-regression TRAINING — the learning step
+    * [[qualityProbability]]'s docstring points at ("a trained model
+    * would only swap the coefficient literals"): full-batch gradient
+    * descent on log-loss over the SAME three signals the serving
+    * path scores (length score, alphabetic ratio, stop-word
+    * density), so the learned weights drop straight into the serving
+    * expression.
+    *
+    * The 100 TB shape: the feature relation (4 doubles per doc) is
+    * computed in ONE corpus pass and lineage-cut; each GD iteration
+    * is then one aggregate job over that narrow relation — map-side
+    * partial sums of the per-row gradient, weights on the driver (4
+    * doubles), `iters` total jobs. Mean-gradient updates
+    * (`w ← w − lr·Σg/N`, zero-initialized, no regularization —
+    * declared scope). Returns the full iteration trace
+    * (iter, bias, w_len, w_alpha, w_stop), every row pinned by a
+    * DuckDB twin that unrolls the identical GD in chained CTEs.
+    */
+  def trainQualityClassifier(
+      docs: DataFrame,
+      textCol: Column,
+      label: Column,
+      iters: Int,
+      lr: Double): DataFrame = {
+    val spark = docs.sparkSession
+    val n = wordCount(textCol).cast("double")
+    val chars = length(textCol).cast("double")
+    val alpha = length(regexp_replace(textCol, "[^A-Za-z ]", "")).cast("double")
+    val feats = docs.select(
+        label.cast("double").as("y"),
+        least(n / lit(64.0), lit(1.0)).as("x1"),
+        (alpha / greatest(chars, lit(1.0))).as("x2"),
+        (stopwordHits(textCol, "en").cast("double") / greatest(n, lit(1.0))).as("x3"))
+      .truncateLineage(eager = false)
+    var w = Array(0.0, 0.0, 0.0, 0.0) // bias, w_len, w_alpha, w_stop
+    val trace = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double, Double, Double)]
+    for (it <- 1 to iters) {
+      val z = lit(w(0)) + lit(w(1)) * col("x1") +
+        lit(w(2)) * col("x2") + lit(w(3)) * col("x3")
+      val d = lit(1.0) / (lit(1.0) + exp(-z)) - col("y")
+      val g = feats.agg(
+        avg(d).as("gb"), avg(d * col("x1")).as("g1"),
+        avg(d * col("x2")).as("g2"), avg(d * col("x3")).as("g3")).collect()(0)
+      w = Array(
+        w(0) - lr * g.getDouble(0), w(1) - lr * g.getDouble(1),
+        w(2) - lr * g.getDouble(2), w(3) - lr * g.getDouble(3))
+      trace += ((it.toLong, w(0), w(1), w(2), w(3)))
+    }
+    import spark.implicits._
+    trace.toSeq.toDF("iter", "bias", "w_len", "w_alpha", "w_stop")
+      .select(col("iter"),
+        (round(col("bias"), 6) + 0.0).as("bias"),
+        (round(col("w_len"), 6) + 0.0).as("w_len"),
+        (round(col("w_alpha"), 6) + 0.0).as("w_alpha"),
+        (round(col("w_stop"), 6) + 0.0).as("w_stop"))
   }
 
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
