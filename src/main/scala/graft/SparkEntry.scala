@@ -1327,6 +1327,21 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"), col("text"),
         label = (col("lang") === "en").cast("int"), iters = 3, lr = 0.5)),
 
+    // the full train → serve loop: GD-learned weights (rounded trace
+    // row 3) swapped into the serving expression, scoring the corpus
+    // as an is-English classifier — map-only once training collects.
+    "d_quality_clf_trained" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val w = TextStats.trainQualityClassifier(docs, col("text"),
+          label = (col("lang") === "en").cast("int"), iters = 3, lr = 0.5)
+        .orderBy("iter").collect().last
+      val p = TextStats.qualityProbability(col("text"),
+        bias = w.getDouble(1), wLen = w.getDouble(2),
+        wAlpha = w.getDouble(3), wStop = w.getDouble(4))
+      docs.select(col("doc_id"), round(p, 4).as("p_en"),
+        (p >= 0.5).as("keep"))
+    }),
+
     // two-tier blocklist content gate (Dolma-style): frequency terms
     // ratio-capped, instant-drop terms hard-block; map-only.
     "d_toxicity" -> ((s, dir) =>
@@ -2600,6 +2615,32 @@ object SparkEntry {
       .map(l => s"SELECT doc_id, '$l' AS lang, ${hitsExpr(l)} AS hits FROM documents")
       .mkString(" UNION ALL ")
     val allStops = stopwordTable.values.flatten.toSeq.distinct.map(w => s"'$w'").mkString(", ")
+
+    // the logistic-GD unroll shared by d_quality_clf_train (trace)
+    // and d_quality_clf_trained (train → serve): chained CTEs ending
+    // at w<iters>, identical arithmetic to
+    // TextStats.trainQualityClassifier, independently spelled
+    def clfGdChain(iters: Int, lr: String): String = {
+      def pg(i: Int) =
+        s"""p$i AS (SELECT y, x1, x2, x3,
+           |  1/(1+exp(-(w.b + w.a1*x1 + w.a2*x2 + w.a3*x3))) AS p
+           |  FROM f, w${i - 1} w),
+           |g$i AS (SELECT avg(p - y) AS gb, avg((p - y)*x1) AS ga1,
+           |  avg((p - y)*x2) AS ga2, avg((p - y)*x3) AS ga3 FROM p$i),
+           |w$i AS (SELECT w.b - $lr*g.gb AS b, w.a1 - $lr*g.ga1 AS a1,
+           |  w.a2 - $lr*g.ga2 AS a2, w.a3 - $lr*g.ga3 AS a3
+           |  FROM w${i - 1} w, g$i g)""".stripMargin
+      s"""f AS (
+         |  SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+         |    least(len(string_split_regex(trim(text), '\\s+'))::double / 64.0, 1.0) AS x1,
+         |    length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))::double
+         |      / greatest(length(text)::double, 1.0) AS x2,
+         |    ${hitsExpr("en")}::double
+         |      / greatest(len(string_split_regex(trim(text), '\\s+'))::double, 1.0) AS x3
+         |  FROM documents),
+         |w0(b, a1, a2, a3) AS (VALUES (0.0, 0.0, 0.0, 0.0)),
+         |${(1 to iters).map(pg).mkString(",\n")}""".stripMargin
+    }
 
     Map(
       "g_points" ->
@@ -3881,38 +3922,33 @@ object SparkEntry {
            |  (1.0 / (1.0 + exp(-z)) >= 0.5) AS keep
            |FROM sig""".stripMargin),
 
-      // the GD unroll: p_i = σ(z) under w_{i-1}, g_i = mean per-row
-      // gradient, w_i = w_{i-1} − lr·g_i — identical arithmetic to
-      // TextStats.trainQualityClassifier, independently spelled
       "d_quality_clf_train" -> {
-        val lr = "0.5"
-        def pg(i: Int) =
-          s"""p$i AS (SELECT y, x1, x2, x3,
-             |  1/(1+exp(-(w.b + w.a1*x1 + w.a2*x2 + w.a3*x3))) AS p
-             |  FROM f, w${i - 1} w),
-             |g$i AS (SELECT avg(p - y) AS gb, avg((p - y)*x1) AS ga1,
-             |  avg((p - y)*x2) AS ga2, avg((p - y)*x3) AS ga3 FROM p$i),
-             |w$i AS (SELECT w.b - $lr*g.gb AS b, w.a1 - $lr*g.ga1 AS a1,
-             |  w.a2 - $lr*g.ga2 AS a2, w.a3 - $lr*g.ga3 AS a3
-             |  FROM w${i - 1} w, g$i g)""".stripMargin
         def out(i: Int) =
           s"""SELECT CAST($i AS BIGINT) AS iter, round(b, 6) + 0 AS bias,
              |  round(a1, 6) + 0 AS w_len, round(a2, 6) + 0 AS w_alpha,
              |  round(a3, 6) + 0 AS w_stop FROM w$i""".stripMargin
-        s"""WITH f AS (
-           |  SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+        s"""WITH ${clfGdChain(3, "0.5")}
+           |${out(1)} UNION ALL ${out(2)} UNION ALL ${out(3)}""".stripMargin
+      },
+
+      // train → serve: score every doc with the learned (6-dp
+      // rounded, matching the Spark-side collected trace) weights
+      "d_quality_clf_trained" ->
+        (s"""WITH ${clfGdChain(3, "0.5")},
+           |w AS (SELECT round(b, 6) + 0 AS b, round(a1, 6) + 0 AS a1,
+           |  round(a2, 6) + 0 AS a2, round(a3, 6) + 0 AS a3 FROM w3),
+           |s AS (
+           |  SELECT doc_id,
            |    least(len(string_split_regex(trim(text), '\\s+'))::double / 64.0, 1.0) AS x1,
            |    length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))::double
            |      / greatest(length(text)::double, 1.0) AS x2,
            |    ${hitsExpr("en")}::double
            |      / greatest(len(string_split_regex(trim(text), '\\s+'))::double, 1.0) AS x3
-           |  FROM documents),
-           |w0(b, a1, a2, a3) AS (VALUES (0.0, 0.0, 0.0, 0.0)),
-           |${pg(1)},
-           |${pg(2)},
-           |${pg(3)}
-           |${out(1)} UNION ALL ${out(2)} UNION ALL ${out(3)}""".stripMargin
-      },
+           |  FROM documents)
+           |SELECT doc_id,
+           |  round(1/(1+exp(-(w.b + w.a1*x1 + w.a2*x2 + w.a3*x3))), 4) + 0 AS p_en,
+           |  (1/(1+exp(-(w.b + w.a1*x1 + w.a2*x2 + w.a3*x3))) >= 0.5) AS keep
+           |FROM s, w""".stripMargin),
 
       "d_ppl_buckets" ->
         ("""WITH toks AS (

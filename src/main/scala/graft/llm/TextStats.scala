@@ -719,15 +719,20 @@ object TextStats {
     * gate must compare on the raw value (batch classifier, streaming
     * curation).
     */
-  def qualityProbability(textCol: Column): Column = {
+  def qualityProbability(
+      textCol: Column,
+      bias: Double = -2.0,
+      wLen: Double = 2.0,
+      wAlpha: Double = 2.5,
+      wStop: Double = 3.0): Column = {
     val n = wordCount(textCol).cast("double")
     val chars = length(textCol).cast("double")
     val alpha = length(regexp_replace(textCol, "[^A-Za-z ]", "")).cast("double")
     val lenScore = least(n / lit(64.0), lit(1.0))
     val alphaScore = alpha / greatest(chars, lit(1.0))
     val stopScore = stopwordHits(textCol, "en").cast("double") / greatest(n, lit(1.0))
-    val z = lit(-2.0) + lit(2.0) * lenScore + lit(2.5) * alphaScore +
-      lit(3.0) * stopScore
+    val z = lit(bias) + lit(wLen) * lenScore + lit(wAlpha) * alphaScore +
+      lit(wStop) * stopScore
     lit(1.0) / (lit(1.0) + exp(-z))
   }
 
