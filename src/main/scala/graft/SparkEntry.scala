@@ -1551,6 +1551,14 @@ object SparkEntry {
       Similarity.kcenterInit(
         s.read.parquet(s"$dir/embeddings.parquet"), k = 4)),
 
+    // k-means|| (Scalable K-Means++): 2 oversampling rounds at l=4
+    // (one corpus pass each, md5-uniform draws), assignment weights,
+    // weighted farthest-point reduction to k=4 — candidates, weights
+    // and final centers all under the hash oracle.
+    "e_kmeanspp_init" -> ((s, dir) =>
+      Similarity.kmeansParallelInit(
+        s.read.parquet(s"$dir/embeddings.parquet"), k = 4, rounds = 2, l = 4.0)),
+
     // chunk → document mean-pooling (the retrieval-serving reduction
     // for chunked long docs): 8 consecutive chunk vectors pool into
     // one document embedding; sorted folds keep the float sums
@@ -4340,6 +4348,61 @@ object SparkEntry {
            |FROM (SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS pos FROM embeddings) x
            |JOIN assign a ON a.vec_id = x.vec_id
            |GROUP BY 1, 2""".stripMargin),
+
+      // k-means|| twin: the same md5-uniform draws, cost aggregates,
+      // argmin weights and weighted farthest-point — unrolled in CTEs
+      "e_kmeanspp_init" -> {
+        def l2(a: String, b: String): String =
+          s"list_sum(list_transform(generate_series(1, len($a.emb)), " +
+            s"i -> ($a.emb[i]::double - $b.cemb[i]::double) * " +
+            s"($a.emb[i]::double - $b.cemb[i]::double)))"
+        def u(salt: String): String =
+          s"('0x' || substr(md5(id::varchar || '|$salt'), 1, 15))::bigint / 1152921504606846976.0"
+        s"""WITH base AS (SELECT vec_id AS id, embedding AS emb FROM embeddings),
+           |c0 AS (SELECT id AS cid, emb AS cemb FROM base ORDER BY id LIMIT 1),
+           |m1 AS (SELECT b.id, min(${l2("b", "c")}) AS mind
+           |  FROM base b, c0 c GROUP BY b.id),
+           |phi1 AS (SELECT sum(mind) AS phi FROM m1),
+           |s1 AS (SELECT id FROM m1, phi1 WHERE ${u("kmpp1")} * phi < 4.0 * mind),
+           |cset1 AS (SELECT cid AS id FROM c0 UNION SELECT id FROM s1),
+           |cent1 AS (SELECT b.id AS cid, b.emb AS cemb
+           |  FROM base b JOIN cset1 ON cset1.id = b.id),
+           |m2 AS (SELECT b.id, min(${l2("b", "c")}) AS mind
+           |  FROM base b, cent1 c GROUP BY b.id),
+           |phi2 AS (SELECT sum(mind) AS phi FROM m2),
+           |s2 AS (SELECT id FROM m2, phi2 WHERE ${u("kmpp2")} * phi < 4.0 * mind),
+           |cset AS (SELECT id FROM cset1 UNION SELECT id FROM s2),
+           |cents AS (SELECT b.id AS cid, b.emb AS cemb
+           |  FROM base b JOIN cset ON cset.id = b.id),
+           |assign AS (SELECT id, cid FROM (
+           |  SELECT b.id, c.cid,
+           |    row_number() OVER (PARTITION BY b.id ORDER BY ${l2("b", "c")}, c.cid) AS rn
+           |  FROM base b, cents c) r WHERE rn = 1),
+           |wts AS (SELECT cid, count(*)::bigint AS w FROM assign GROUP BY cid),
+           |cand AS (SELECT c.cid AS id, b.emb AS cemb, coalesce(w.w, 0) AS w
+           |  FROM cents c JOIN base b ON b.id = c.cid
+           |  LEFT JOIN wts w ON w.cid = c.cid),
+           |f1 AS (SELECT id, cemb, w FROM cand ORDER BY w DESC, id LIMIT 1),
+           |e1 AS (SELECT c.id, c.cemb, c.w,
+           |  list_sum(list_transform(generate_series(1, len(c.cemb)),
+           |    i -> (c.cemb[i]::double - f.cemb[i]::double) * (c.cemb[i]::double - f.cemb[i]::double))) AS mind
+           |  FROM cand c, f1 f WHERE c.id <> f.id),
+           |f2 AS (SELECT id, cemb, w FROM e1 ORDER BY w * mind DESC, id LIMIT 1),
+           |e2 AS (SELECT e.id, e.cemb, e.w,
+           |  least(e.mind, list_sum(list_transform(generate_series(1, len(e.cemb)),
+           |    i -> (e.cemb[i]::double - f.cemb[i]::double) * (e.cemb[i]::double - f.cemb[i]::double)))) AS mind
+           |  FROM e1 e, f2 f WHERE e.id <> f.id),
+           |f3 AS (SELECT id, cemb, w FROM e2 ORDER BY w * mind DESC, id LIMIT 1),
+           |e3 AS (SELECT e.id, e.cemb, e.w,
+           |  least(e.mind, list_sum(list_transform(generate_series(1, len(e.cemb)),
+           |    i -> (e.cemb[i]::double - f.cemb[i]::double) * (e.cemb[i]::double - f.cemb[i]::double)))) AS mind
+           |  FROM e2 e, f3 f WHERE e.id <> f.id),
+           |f4 AS (SELECT id, cemb, w FROM e3 ORDER BY w * mind DESC, id LIMIT 1)
+           |SELECT CAST(1 AS BIGINT) AS rank, id AS vec_id, w AS weight FROM f1
+           |UNION ALL SELECT 2, id, w FROM f2
+           |UNION ALL SELECT 3, id, w FROM f3
+           |UNION ALL SELECT 4, id, w FROM f4""".stripMargin
+      },
 
       "e_kmeans_kcenter" -> {
         def l2(a: String, b: String): String =

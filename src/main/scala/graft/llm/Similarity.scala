@@ -306,6 +306,92 @@ object Similarity {
       .select(col("rank"), col("vec_id"), round(col("__d"), 4).as("dist"))
   }
 
+  /** k-means|| initialization (Bahmani et al., "Scalable K-Means++",
+    * VLDB 2012) — the industry-standard distributed seeding.
+    * k-means++ needs k sequential corpus passes (one per center);
+    * k-means|| OVERSAMPLES instead: each of `rounds` passes admits
+    * every point independently with probability `l·d²(x,C)/φ`
+    * (φ = current total cost), growing a candidate set of ~l per
+    * round, which then reduces to k centers driver-side from the
+    * candidates' assignment weights. Randomness is the
+    * engine-portable md5-uniform keyed on (id, round salt) — the
+    * sampling family's determinism contract — so candidates, weights
+    * and the final centers are reproducible on any engine or
+    * partitioning and sit under the DuckDB hash oracle.
+    *
+    * Scale shape: per round ONE corpus pass (broadcast centers →
+    * min-d² relation, lineage-cut, consumed by a 1-row cost
+    * aggregate and the sample filter); one more pass for assignment
+    * weights. The k-selection (weighted farthest-point: pick max
+    * weight first, then argmax weight·min-d², ties lowest id — the
+    * deterministic stand-in for weighted k-means++'s final draw)
+    * runs on the ≤ 1 + ~l·rounds collected candidates.
+    * Returns (rank, vec_id, weight).
+    */
+  def kmeansParallelInit(
+      vectors: DataFrame,
+      k: Int,
+      rounds: Int,
+      l: Double,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && rounds >= 1 && l > 0, "bad k-means|| parameters")
+    val spark = vectors.sparkSession
+    val base = vectors.select(col(idCol).cast("long").as("id"),
+      col(embCol).as("emb")).truncateLineage(eager = false)
+    val seed = base.orderBy(col("id").asc).limit(1).collect()(0).getLong(0)
+    var candIds = Vector(seed)
+    def centersDf = base.where(col("id").isin(candIds: _*))
+      .select(col("id").as("cid"), col("emb").as("cemb"))
+    for (r <- 1 to rounds) {
+      val mind = base.crossJoin(broadcast(centersDf))
+        .groupBy("id").agg(min(l2sq(col("emb"), col("cemb"))).as("mind"))
+        .truncateLineage(eager = false)
+      val phi = mind.agg(coalesce(sum("mind"), lit(0.0))).collect()(0).getDouble(0)
+      val fresh = mind
+        .where(Sampling.hash01(col("id"), "kmpp" + r) * phi < lit(l) * col("mind"))
+        .select("id").collect().map(_.getLong(0)).sorted
+      candIds = candIds ++ fresh.filterNot(candIds.contains)
+    }
+    // assignment weights: points per candidate under argmin d² (ties
+    // lowest candidate id) — one corpus pass, candidate-sized result
+    val weights = base.crossJoin(broadcast(centersDf))
+      .withColumn("d", l2sq(col("emb"), col("cemb")))
+      .groupBy("id").agg(min_by(col("cid"), struct(col("d"), col("cid"))).as("win"))
+      .groupBy("win").agg(count(lit(1)).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cands = base.where(col("id").isin(candIds: _*))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def l2Local(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) {
+        val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1
+      }
+      s
+    }
+    // weighted farthest-point reduction to k
+    val w = cands.map { case (id, _) => weights.getOrElse(id, 0L) }
+    val mindArr = Array.fill(cands.length)(Double.MaxValue)
+    val first = cands.indices.minBy(i => (-w(i), cands(i)._1))
+    var chosen = Vector((1L, cands(first)._1, w(first)))
+    var last = first
+    for (rank <- 2 to math.min(k, cands.length)) {
+      var i = 0
+      while (i < cands.length) {
+        mindArr(i) = math.min(mindArr(i), l2Local(cands(i)._2, cands(last)._2))
+        i += 1
+      }
+      val next = cands.indices
+        .filterNot(i => chosen.exists(_._2 == cands(i)._1))
+        .minBy(i => (-w(i) * mindArr(i), cands(i)._1))
+      chosen :+= ((rank.toLong, cands(next)._1, w(next)))
+      last = next
+    }
+    import spark.implicits._
+    chosen.toDF("rank", "vec_id", "weight")
+  }
+
   /** Embedding-cosine near-duplicate pairs: sign-LSH bucketed
     * candidate generation + in-bucket cosine threshold — the
     * embedding-space analog of MinHash-LSH dedup. Near-identical
