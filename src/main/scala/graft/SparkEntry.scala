@@ -495,6 +495,15 @@ object SparkEntry {
         GraphiteTables.events(s, dir),
         key = col("user_id"), weight = lit(1L), k = 20, capacity = 8192)),
 
+    // sketch-guided EXACT top-k: MG candidates (no raw-key shuffle)
+    // + exact recount restricted to candidates + a certification that
+    // no unseen key can crack the ranking — the key-cardinality-proof
+    // way to get exact top-k at corpus scale.
+    "ev_topk_exact" -> ((s, dir) =>
+      graft.events.HeavyHitters.exactTopK(
+        GraphiteTables.events(s, dir),
+        key = col("user_id"), weight = lit(1L), k = 10, capacity = 512)),
+
     // ordered conversion funnel view -> click -> purchase: one hash
     // aggregate per user + a bounded in-row fold — never the
     // tA<tB<tC triple self-join that squares the event table.
@@ -2909,6 +2918,15 @@ object SparkEntry {
           |SELECT k, count_lo, count_lo AS count_hi,
           |       CAST(row_number() OVER (ORDER BY count_lo DESC, k) AS BIGINT) AS rank
           |FROM c ORDER BY count_lo DESC, k LIMIT 20""".stripMargin),
+
+      "ev_topk_exact" ->
+        ("""WITH c AS (
+          |  SELECT CAST(user_id AS VARCHAR) AS k, CAST(count(*) AS BIGINT) AS weight
+          |  FROM events GROUP BY 1)
+          |SELECT k, weight,
+          |       CAST(row_number() OVER (ORDER BY weight DESC, k) AS BIGINT) AS rank,
+          |       true AS certified
+          |FROM c ORDER BY weight DESC, k LIMIT 10""".stripMargin),
 
       "ev_funnel" ->
         ("""WITH ev AS (

@@ -134,6 +134,46 @@ object HeavyHitters {
     }(Encoders.row(entrySchema))
   }
 
+  /** EXACT top-k at key-cardinality-proof memory — the sketch-guided
+    * two-pass pattern: pass 1 builds MG candidates (every key with
+    * true weight > ΣD_p is guaranteed present, ΣD_p ≤ total/capacity);
+    * pass 2 recounts EXACTLY, restricted to the ≤ partitions·capacity
+    * candidate keys by a broadcast IN-filter — so the only shuffle is
+    * candidate-keyed with map-side partials, never a full
+    * distinct-key aggregate. The result is certified: when the k-th
+    * recounted weight exceeds ΣD_p, every non-candidate key is
+    * provably lighter than rank k and the output IS the true top-k
+    * (`certified = true`); otherwise the rows are still exact counts
+    * of the heaviest candidates but a non-candidate could in
+    * principle outrank the tail (`certified = false` — raise
+    * `capacity`). At test SF capacity dominates cardinality and the
+    * query sits under the full hash oracle with `certified = true`.
+    */
+  def exactTopK(
+      df: DataFrame, key: Column, weight: Column, k: Int, capacity: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val entries = partitionSummaries(df, key, weight, capacity)
+      .truncateLineage(eager = false)
+    val totalD = entries.agg(coalesce(sum("d"), lit(0L)))
+      .collect()(0).getLong(0)
+    val candidates = entries.where(col("k").isNotNull)
+      .select("k").distinct().collect().map(_.getString(0))
+    val exact = df.select(key.cast("string").as("k"), weight.cast("long").as("w"))
+      .where(col("k").isin(candidates: _*))
+      .groupBy("k").agg(sum("w").as("weight"))
+    val w = Window.orderBy(col("weight").desc, col("k").asc)
+    val top = exact.orderBy(col("weight").desc, col("k").asc).limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+    // certified iff no unseen key can crack the ranking: either
+    // nothing was ever evicted (candidates = every key), or the
+    // output is k-full and its k-th weight beats the eviction mass
+    val wAll = Window.partitionBy(lit(1))
+    top.withColumn("certified",
+      lit(totalD == 0L) ||
+        (count(lit(1)).over(wAll) === k &&
+          min(col("weight")).over(wAll) > lit(totalD)))
+  }
+
   /** Top-k heavy hitters with deterministic certainty bounds:
     * (k, count_lo, count_hi, rank). `count_lo` ≤ true weight ≤
     * `count_hi` = count_lo + Σ_p D_p; every key with true weight

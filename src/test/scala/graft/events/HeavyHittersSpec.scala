@@ -88,6 +88,42 @@ class HeavyHittersSpec extends AnyFunSuite {
     }
   }
 
+  test("exactTopK: certified result equals brute-force top-k, even under decrements") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(8128)
+    // skewed: a few heavy keys over diffuse noise — tiny capacity
+    // forces evictions, but the heavy keys' counts beat the eviction
+    // mass so the certification holds
+    val rows = (Seq.fill(300)("hot1") ++ Seq.fill(250)("hot2") ++ Seq.fill(200)("hot3") ++
+      Seq.fill(400)("n" + rnd.nextInt(100))).map((_, 1L)) ++
+      Seq.fill(400)(("n" + rnd.nextInt(100), 1L))
+    val out = HeavyHitters.exactTopK(
+        rows.toDF("key", "w").repartition(4), col("key"), col("w"), k = 3, capacity = 24)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val truth = rows.groupBy(_._1).map { case (key, v) => key -> v.map(_._2).sum }
+    val expected = truth.toSeq.sortBy { case (key, c) => (-c, key) }.take(3)
+      .zipWithIndex.map { case ((key, c), i) => (key, c, i + 1L) }
+    if (out.head._4) { // certified → must be the true top-k with exact counts
+      assert(out.map(t => (t._1, t._2, t._3)).toSeq == expected)
+    }
+    assert(out.map(_._1).toSet == Set("hot1", "hot2", "hot3"),
+      s"heavy keys must win: ${out.toSeq}")
+    // counts are exact for reported keys regardless of certification
+    out.foreach { case (key, c, _, _) => assert(c == truth(key)) }
+  }
+
+  test("exactTopK: certification goes false when the tail is ambiguous") {
+    import spark.implicits._
+    // near-uniform keys with capacity far below cardinality: eviction
+    // mass dwarfs any single count — certifying would be unsound
+    val rows = (0 until 600).map(i => ("u" + (i % 200), 1L))
+    val out = HeavyHitters.exactTopK(
+        rows.toDF("key", "w").repartition(6), col("key"), col("w"), k = 5, capacity = 8)
+      .collect()
+    assert(out.nonEmpty && out.forall(!_.getBoolean(3)),
+      "uniform stream at capacity 8/200 keys must not certify")
+  }
+
   test("heavyHitters: under pressure the heavy key survives with covering bounds") {
     import spark.implicits._
     // one key carries half the stream; 200 noise keys; capacity 16
