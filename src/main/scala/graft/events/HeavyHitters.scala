@@ -156,10 +156,13 @@ object HeavyHitters {
       .truncateLineage(eager = false)
     val totalD = entries.agg(coalesce(sum("d"), lit(0L)))
       .collect()(0).getLong(0)
-    val candidates = entries.where(col("k").isNotNull)
-      .select("k").distinct().collect().map(_.getString(0))
+    // candidate restriction as a broadcast LEFT-SEMI join against the
+    // vocab-sized (≤ partitions·capacity) candidate relation — NEVER
+    // a driver-collected isin literal list, which at corpus scale
+    // would inline millions of literals into the plan
+    val candidates = entries.where(col("k").isNotNull).select("k").distinct()
     val exact = df.select(key.cast("string").as("k"), weight.cast("long").as("w"))
-      .where(col("k").isin(candidates: _*))
+      .join(broadcast(candidates), Seq("k"), "left_semi")
       .groupBy("k").agg(sum("w").as("weight"))
     val w = Window.orderBy(col("weight").desc, col("k").asc)
     val top = exact.orderBy(col("weight").desc, col("k").asc).limit(k)

@@ -347,7 +347,18 @@ object Similarity {
       val mind = base.crossJoin(broadcast(centersDf))
         .groupBy("id").agg(min(l2sq(col("emb"), col("cemb"))).as("mind"))
         .truncateLineage(eager = false)
-      val phi = mind.agg(coalesce(sum("mind"), lit(0.0))).collect()(0).getDouble(0)
+      val phiRaw = mind.agg(coalesce(sum("mind"), lit(0.0))).collect()(0).getDouble(0)
+      // the cost enters only a DISCRETE admit decision, and a
+      // distributed double sum is order-dependent at the ulp level —
+      // enough to flip a point sitting exactly on the threshold.
+      // Quantize φ to its power-of-two CEILING (both engines spell it
+      // pow(2, ceil(log2(φ)))): any sub-ulp sum variation maps to the
+      // same quantized value, and φ only steers the oversampling
+      // rate — a loose knob by construction (effective l scales by
+      // φ/φ₂ ∈ (0.5, 1]).
+      val phi =
+        if (phiRaw <= 0.0) 0.0
+        else math.pow(2.0, math.ceil(math.log(phiRaw) / math.log(2.0)))
       val fresh = mind
         .where(Sampling.hash01(col("id"), "kmpp" + r) * phi < lit(l) * col("mind"))
         .select("id").collect().map(_.getLong(0)).sorted

@@ -771,8 +771,10 @@ object TextStats {
     val n = wordCount(textCol).cast("double")
     val chars = length(textCol).cast("double")
     val alpha = length(regexp_replace(textCol, "[^A-Za-z ]", "")).cast("double")
+    // null labels count as negatives (y = 0), matching the oracle
+    // twin's CASE WHEN — a null must not silently drop out of avg()
     val feats = docs.select(
-        label.cast("double").as("y"),
+        coalesce(label.cast("double"), lit(0.0)).as("y"),
         least(n / lit(64.0), lit(1.0)).as("x1"),
         (alpha / greatest(chars, lit(1.0))).as("x2"),
         (stopwordHits(textCol, "en").cast("double") / greatest(n, lit(1.0))).as("x3"))
@@ -786,6 +788,7 @@ object TextStats {
       val g = feats.agg(
         avg(d).as("gb"), avg(d * col("x1")).as("g1"),
         avg(d * col("x2")).as("g2"), avg(d * col("x3")).as("g3")).collect()(0)
+      require(!g.isNullAt(0), "trainQualityClassifier: empty corpus")
       w = Array(
         w(0) - lr * g.getDouble(0), w(1) - lr * g.getDouble(1),
         w(2) - lr * g.getDouble(2), w(3) - lr * g.getDouble(3))

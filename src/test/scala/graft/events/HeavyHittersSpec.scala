@@ -103,9 +103,11 @@ class HeavyHittersSpec extends AnyFunSuite {
     val truth = rows.groupBy(_._1).map { case (key, v) => key -> v.map(_._2).sum }
     val expected = truth.toSeq.sortBy { case (key, c) => (-c, key) }.take(3)
       .zipWithIndex.map { case ((key, c), i) => (key, c, i + 1L) }
-    if (out.head._4) { // certified → must be the true top-k with exact counts
-      assert(out.map(t => (t._1, t._2, t._3)).toSeq == expected)
-    }
+    // the fixture is built so the heavy keys beat the eviction mass:
+    // certification MUST hold here, and then the result must be the
+    // true top-k with exact counts
+    assert(out.head._4, s"fixture must certify: ${out.toSeq}")
+    assert(out.map(t => (t._1, t._2, t._3)).toSeq == expected)
     assert(out.map(_._1).toSet == Set("hot1", "hot2", "hot3"),
       s"heavy keys must win: ${out.toSeq}")
     // counts are exact for reported keys regardless of certification
