@@ -1470,9 +1470,11 @@ object SparkEntry {
     // each EM iteration is ONE distributed job at any vocabulary size
     // (broadcast piece table → map-pass Viterbi counts → vocab-sized
     // aggregate), which is what makes this the corpus-scale-shaped
-    // tokenizer trainer. Viterbi DP isn't SQL-expressible → rows-only
-    // oracle; the numbers are pinned by UnigramSpec's independent
-    // full-enumeration check and a hand-computed fixture.
+    // tokenizer trainer. Fully hash-gated: the DuckDB twin replays
+    // the whole Viterbi-EM as bounded recursive CTEs, and the 2^-20
+    // log-prob grid (Unigram.quantizeLogp) makes every DP decision
+    // engine-exact; UnigramSpec adds the independent full-enumeration
+    // check.
     "d_unigram_train" -> ((s, dir) =>
       graft.llm.Unigram.train(s.read.parquet(s"$dir/documents.parquet"),
         col("text"), vocabSize = 200, seedSize = 1000, emIters = 2,
@@ -2486,14 +2488,17 @@ object SparkEntry {
           col("height").cast("long").as("height"))),
 
     // Decoded-pixel temporal features (mean luminance + inter-frame
-    // motion). JPEG is lossy so the values are codec-stream-dependent:
-    // rows-only gate + value pinning in VideoCodecSpec.
+    // motion). JPEG is lossy, so mean_lum/motion values are
+    // codec-stream-dependent and stay pinned in VideoCodecSpec (with
+    // error bounds vs the pre-encode gradients); the query projects
+    // the DETERMINISTIC column — n_frames counts frames that actually
+    // survived write→RIFF-walk→JPEG-decode, so the full-decode round
+    // trip (ALL frames, vs m_avi_frames' every-2nd) sits under the
+    // hash gate.
     "m_avi_motion" -> ((s, dir) =>
       Multimodal.videoMotion(
         Multimodal.withAviPayload(s.read.parquet(s"$dir/documents.parquet")))
-        .select(col("doc_id"), col("n_frames"),
-          round(col("mean_lum"), 4).as("mean_lum"),
-          round(col("motion"), 4).as("motion"))))
+        .select(col("doc_id"), col("n_frames"))))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -2646,8 +2651,10 @@ object SparkEntry {
         s"""p$i AS (SELECT y, x1, x2, x3,
            |  1/(1+exp(-(w.b + w.a1*x1 + w.a2*x2 + w.a3*x3))) AS p
            |  FROM f, w${i - 1} w),
-           |g$i AS (SELECT avg(p - y) AS gb, avg((p - y)*x1) AS ga1,
-           |  avg((p - y)*x2) AS ga2, avg((p - y)*x3) AS ga3 FROM p$i),
+           |g$i AS (SELECT floor(avg(p - y)*1073741824.0)/1073741824.0 AS gb,
+           |  floor(avg((p - y)*x1)*1073741824.0)/1073741824.0 AS ga1,
+           |  floor(avg((p - y)*x2)*1073741824.0)/1073741824.0 AS ga2,
+           |  floor(avg((p - y)*x3)*1073741824.0)/1073741824.0 AS ga3 FROM p$i),
            |w$i AS (SELECT w.b - $lr*g.gb AS b, w.a1 - $lr*g.ga1 AS a1,
            |  w.a2 - $lr*g.ga2 AS a2, w.a3 - $lr*g.ga3 AS a3
            |  FROM w${i - 1} w, g$i g)""".stripMargin
@@ -2662,6 +2669,107 @@ object SparkEntry {
          |w0(b, a1, a2, a3) AS (VALUES (0.0, 0.0, 0.0, 0.0)),
          |${(1 to iters).map(pg).mkString(",\n")}""".stripMargin
     }
+
+    // ---- unigram-LM Viterbi-EM twin (d_unigram_train / d_unigram_encode)
+    // The full training loop of graft.llm.Unigram.train(vocabSize=200,
+    // seedSize=1000, emIters=2, maxPieceLen=6) replayed independently:
+    // seed → (E-step → M-step) ×2 → prune → final E+M. Each E-step is
+    // ONE bounded recursive CTE: the DP advances one code point per
+    // iteration carrying (best, cnt, segs) prefix arrays, and picks
+    // among the ≤6 candidate back-edges by (score desc, pieces asc,
+    // j asc) — exactly Unigram.viterbi's scan order. Engine
+    // portability is exact, not approximate: log-probs are floored
+    // onto the 2^-20 grid on BOTH sides (Unigram.quantizeLogp), so
+    // every DP sum is exact double arithmetic and the tie compare
+    // cannot drift. UNK never fires here (minFreq=1 ⇒ every corpus
+    // character is a kept piece), so the CTE omits it. MATERIALIZED
+    // hints stop DuckDB re-inlining each round's chain into the next
+    // (un-hinted, the plan grows ~4× per round).
+    def unigramEStep(r: Int, lp: String): String =
+      s"""e$r AS MATERIALIZED (
+         |  SELECT s.w, s.j, s.i, s.piece, l.lp FROM subs s JOIN $lp l USING (piece)),
+         |el$r AS MATERIALIZED (
+         |  SELECT w, i, list(struct_pack(j := j, piece := piece, lp := lp) ORDER BY j) AS es
+         |  FROM e$r GROUP BY w, i),
+         |dp$r AS (
+         |  SELECT w, 0 AS i, [0.0]::DOUBLE[] AS best, [0]::INT[] AS cnt, ['']::VARCHAR[] AS segs
+         |  FROM dw
+         |  UNION ALL
+         |  SELECT d.w, d.i + 1,
+         |    list_append(d.best, -pk.negsc), list_append(d.cnt, pk.c),
+         |    list_append(d.segs, CASE WHEN d.segs[pk.j + 1] = '' THEN pk.piece
+         |                             ELSE d.segs[pk.j + 1] || ' ' || pk.piece END)
+         |  FROM dp$r d
+         |  JOIN el$r e ON e.w = d.w AND e.i = d.i + 1,
+         |  LATERAL (SELECT list_sort(list_transform(e.es, x -> struct_pack(
+         |      negsc := -(d.best[x.j + 1] + x.lp),
+         |      c := d.cnt[x.j + 1] + 1,
+         |      j := x.j, piece := x.piece)))[1] AS pk) q
+         |  WHERE d.i < length(d.w)),
+         |seg$r AS MATERIALIZED (
+         |  SELECT w, segs[length(w) + 1] AS seg FROM dp$r WHERE i = length(w)),
+         |c$r AS MATERIALIZED (
+         |  SELECT piece, CAST(sum(freq) AS BIGINT) AS n
+         |  FROM (SELECT unnest(string_split(s.seg, ' ')) AS piece, f.freq
+         |        FROM seg$r s JOIN wf f ON f.w = s.w) u GROUP BY 1)""".stripMargin
+
+    // M-step: chars always kept (add-one smoothed), multis kept at
+    // n>0, pruned to vocab - #chars by (n desc, piece asc) when
+    // vocab > 0; log-probs floored to the 2^-20 grid
+    def unigramMStep(v: String, counts: String, vocab: Int): String = {
+      val prune =
+        if (vocab == 0) ""
+        else s"""
+           |  QUALIFY row_number() OVER (ORDER BY c.n DESC, c.piece)
+           |    <= $vocab - (SELECT count(*) FROM ch)""".stripMargin
+      s"""$v AS MATERIALIZED (
+         |  SELECT ch.piece, coalesce(c.n, 0) AS n, TRUE AS is_char
+         |  FROM ch LEFT JOIN $counts c USING (piece)
+         |  UNION ALL
+         |  SELECT c.piece, c.n, FALSE FROM $counts c
+         |  WHERE c.n > 0 AND c.piece NOT IN (SELECT piece FROM ch)$prune),
+         |l$v AS MATERIALIZED (
+         |  SELECT piece,
+         |    floor((ln((CASE WHEN is_char THEN n + 1 ELSE n END)::double)
+         |         - ln(t.total::double)) * 1048576.0) / 1048576.0 AS lp
+         |  FROM $v, (SELECT sum(CASE WHEN is_char THEN n + 1 ELSE n END) AS total FROM $v) t)""".stripMargin
+    }
+
+    val unigramChain =
+      s"""WITH RECURSIVE
+         |wf AS MATERIALIZED (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+         |    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents) t
+         |  WHERE w <> '' GROUP BY 1),
+         |dw AS MATERIALIZED (SELECT DISTINCT w FROM wf),
+         |seedc AS MATERIALIZED (
+         |  SELECT piece, CAST(sum(freq) AS BIGINT) AS n FROM (
+         |    SELECT substr(w, CAST(i AS INT), CAST(l AS INT)) AS piece, freq
+         |    FROM (SELECT w, freq, i, unnest(range(1, least(length(w) - i + 1, 6) + 1)) AS l
+         |          FROM (SELECT w, freq, unnest(range(1, length(w) + 1)) AS i FROM wf) s) ss) p
+         |  GROUP BY 1),
+         |ch AS MATERIALIZED (SELECT piece FROM seedc WHERE length(piece) = 1),
+         |v0 AS MATERIALIZED (
+         |  SELECT piece, n, TRUE AS is_char FROM seedc WHERE length(piece) = 1
+         |  UNION ALL
+         |  SELECT piece, n, FALSE FROM (
+         |    SELECT piece, n FROM seedc WHERE length(piece) > 1
+         |    ORDER BY n DESC, piece LIMIT 1000) m),
+         |lv0 AS MATERIALIZED (
+         |  SELECT piece,
+         |    floor((ln((CASE WHEN is_char THEN n + 1 ELSE n END)::double)
+         |         - ln(t.total::double)) * 1048576.0) / 1048576.0 AS lp
+         |  FROM v0, (SELECT sum(CASE WHEN is_char THEN n + 1 ELSE n END) AS total FROM v0) t),
+         |subs AS MATERIALIZED (
+         |  SELECT w, i - l AS j, i, substr(w, CAST(i - l + 1 AS INT), CAST(l AS INT)) AS piece
+         |  FROM (SELECT w, unnest(range(1, length(w) + 1)) AS i FROM dw) s,
+         |       LATERAL (SELECT unnest(range(1, least(i, 6) + 1)) AS l) ll),
+         |${unigramEStep(1, "lv0")},
+         |${unigramMStep("v1", "c1", 0)},
+         |${unigramEStep(2, "lv1")},
+         |${unigramMStep("v2p", "c2", 200)},
+         |${unigramEStep(3, "lv2p")},
+         |${unigramMStep("vf", "c3", 200)}""".stripMargin
 
     Map(
       "g_points" ->
@@ -4184,6 +4292,37 @@ object SparkEntry {
           |SELECT piece, n,
           |       CAST(row_number() OVER (ORDER BY n DESC, piece) AS BIGINT) AS rank
           |FROM c ORDER BY n DESC, piece LIMIT 50""".stripMargin),
+
+      // the full Viterbi-EM replay (see unigramChain above): rank,
+      // piece, final-round count and quantized log-prob must all
+      // match the Spark trainer bit-for-bit
+      "d_unigram_train" ->
+        (s"""$unigramChain
+           |SELECT CAST(row_number() OVER (ORDER BY v.n DESC, v.piece) AS BIGINT) AS rank,
+           |       v.piece, v.n, l.lp AS logprob
+           |FROM vf v JOIN lvf l USING (piece)""".stripMargin),
+
+      // train → serve: a 4th Viterbi pass under the shipped table
+      // segments every distinct word once (the memoized-encode twin),
+      // then docs reassemble word segmentations in position order
+      "d_unigram_encode" ->
+        (s"""$unigramChain,
+           |${unigramEStep(4, "lvf")},
+           |docw AS MATERIALIZED (
+           |  SELECT doc_id, i, l[i] AS w
+           |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM documents) d,
+           |       LATERAL (SELECT unnest(range(1, len(l) + 1)) AS i) t
+           |  WHERE l[i] <> ''),
+           |enc AS (
+           |  SELECT d.doc_id,
+           |         CAST(sum(len(string_split(s.seg, ' '))) AS BIGINT) AS n_pieces,
+           |         string_agg(s.seg, ' ' ORDER BY d.i) AS pieces_str
+           |  FROM docw d JOIN seg4 s ON s.w = d.w
+           |  GROUP BY d.doc_id)
+           |SELECT doc.doc_id,
+           |       CASE WHEN doc.text IS NULL THEN NULL ELSE coalesce(e.n_pieces, 0) END AS n_pieces,
+           |       CASE WHEN doc.text IS NULL THEN NULL ELSE coalesce(e.pieces_str, '') END AS pieces_str
+           |FROM documents doc LEFT JOIN enc e USING (doc_id)""".stripMargin),
 
       "d_bpe_train" -> bpeTrainSqlTpl.replace("/*PRUNE*/", ""),
 
@@ -5735,13 +5874,20 @@ object SparkEntry {
           |      FROM documents) t
           |WHERE f % 2 = 0""".stripMargin),
 
+      // the full-decode twin of m_avi_frames: videoMotion decodes
+      // EVERY frame, so n_frames = 2 + id%4 only if the container
+      // writer, RIFF walker and JPEG decoder lost nothing. The lossy
+      // luminance/motion VALUES are pinned in VideoCodecSpec (error
+      // bounds vs the pre-encode gradients) — a lossy codec stream
+      // has no arithmetic twin.
+      "m_avi_motion" ->
+        ("""SELECT doc_id, CAST(2 + doc_id % 4 AS BIGINT) AS n_frames
+          |FROM documents""".stripMargin),
+
       // PNG is lossless, so the decoded pixels ARE the generator
       // formula and DuckDB can recompute the decoded-pixel features
       // (channel mean + luminance-bin share) from the text bytes
       // alone — pinning encode→decode→featurize under the hash gate.
-      // (m_png_resize stays rows-only: AWT's nearest-neighbor sample
-      // grid is implementation-defined; m_avi_motion stays rows-only:
-      // JPEG is lossy.)
       // seed indexing is UTF-8 BYTES (the generator does
       // text.getBytes("UTF-8")), so the oracle reads bytes from
       // hex(encode(text)) with an octet_length modulus — ascii(substr)
@@ -5764,6 +5910,30 @@ object SparkEntry {
           |       round(avg(r/255.0), 4) AS mean_r,
           |       round(sum(CASE WHEN (0.299*r + 0.587*g + 0.114*b)/255.0 < 0.125 THEN 1 ELSE 0 END) / (w*h*1.0), 4) AS lum_bin0
           |FROM px GROUP BY doc_id, w, h""".stripMargin),
+
+      // decode → own-kernel NN resize → re-encode → decode →
+      // featurize, fully under the hash gate: the resize kernel's
+      // pinned index formula (dst (x,y) samples src
+      // (x·srcW/dstW, y·srcH/dstH), floor division) lets DuckDB
+      // recompute the resized green channel from the text bytes —
+      // byte-indexed like m_png_features (g byte of src pixel i is
+      // text byte (i*31+7) mod L)
+      "m_png_resize" ->
+        ("""WITH px AS (
+          |  SELECT doc_id,
+          |    CASE WHEN L > 0
+          |      THEN ('0x' || substr(hx, 2*((((y*h//3)*w + x*w//4)*31 + 7) % L) + 1, 2))::int
+          |      ELSE 0 END AS g
+          |  FROM (SELECT doc_id, hex(encode(text)) AS hx,
+          |               octet_length(encode(text)) AS L,
+          |               CAST(4 + doc_id % 13 AS INT) AS w,
+          |               CAST(4 + doc_id % 11 AS INT) AS h
+          |        FROM documents) d,
+          |       LATERAL (SELECT unnest(generate_series(0, 3)) AS x) tx,
+          |       LATERAL (SELECT unnest(generate_series(0, 2)) AS y) ty)
+          |SELECT doc_id, CAST(4 AS BIGINT) AS width, CAST(3 AS BIGINT) AS height,
+          |       round(avg(g/255.0), 4) AS mean_g
+          |FROM px GROUP BY doc_id""".stripMargin),
 
       // WAV is lossless PCM, so the JDK encode→decode round trip is
       // SQL-reproducible end to end: DuckDB regenerates the truncated

@@ -242,8 +242,35 @@ object Multimodal {
     }(enc)
   }
 
-  /** REAL resize: decode → nearest-neighbor rescale (deterministic
-    * across JVMs, unlike interpolated filters) → PNG re-encode, meta
+  /** Own nearest-neighbor rescale kernel with a PINNED index formula:
+    * destination pixel (x, y) samples source pixel
+    * (x·srcW / dstW, y·srcH / dstH) (integer floor division). AWT's
+    * `drawImage` nearest-neighbor leaves the sample grid
+    * implementation-defined; this kernel makes the resize
+    * SQL-reproducible (the m_png_resize oracle recomputes the same
+    * grid arithmetically), at identical per-pixel cost.
+    */
+  private[graft] def nearestNeighbor(
+      src: java.awt.image.BufferedImage, dstW: Int, dstH: Int): java.awt.image.BufferedImage = {
+    val srcW = src.getWidth; val srcH = src.getHeight
+    val dst = new java.awt.image.BufferedImage(
+      dstW, dstH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < dstH) {
+      val sy = y * srcH / dstH
+      var x = 0
+      while (x < dstW) {
+        dst.setRGB(x, y, src.getRGB(x * srcW / dstW, sy) & 0xffffff)
+        x += 1
+      }
+      y += 1
+    }
+    dst
+  }
+
+  /** REAL resize: decode → [[nearestNeighbor]] rescale (deterministic
+    * across JVMs AND engines — pinned index formula, unlike
+    * interpolated filters or AWT's NN grid) → PNG re-encode, meta
     * from the decoded-and-scaled image.
     */
   def resizeImages(withPayloads: DataFrame, targetW: Int, targetH: Int): DataFrame = {
@@ -256,16 +283,8 @@ object Multimodal {
       rows.flatMap { r =>
         val src = decodeImageOrNull(r.getAs[Array[Byte]]("payload"))
         Option(src).map { im =>
-          val dst = new java.awt.image.BufferedImage(
-            targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
-          val g2 = dst.createGraphics()
-          try {
-            g2.setRenderingHint(
-              java.awt.RenderingHints.KEY_INTERPOLATION,
-              java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
-            g2.drawImage(im, 0, 0, targetW, targetH, null)
-          } finally g2.dispose()
-          Row(r.getLong(0), encodePng(dst), Row(targetW, targetH, "image/png"))
+          Row(r.getLong(0), encodePng(nearestNeighbor(im, targetW, targetH)),
+            Row(targetW, targetH, "image/png"))
         }
       }
     }(enc)

@@ -339,7 +339,9 @@ object Similarity {
     val spark = vectors.sparkSession
     val base = vectors.select(col(idCol).cast("long").as("id"),
       col(embCol).as("emb")).truncateLineage(eager = false)
-    val seed = base.orderBy(col("id").asc).limit(1).collect()(0).getLong(0)
+    val seedRows = base.orderBy(col("id").asc).limit(1).collect()
+    require(seedRows.nonEmpty, "kmeansParallelInit: empty vectors input")
+    val seed = seedRows(0).getLong(0)
     var candIds = Vector(seed)
     def centersDf = base.where(col("id").isin(candIds: _*))
       .select(col("id").as("cid"), col("emb").as("cemb"))
@@ -356,9 +358,19 @@ object Similarity {
       // same quantized value, and φ only steers the oversampling
       // rate — a loose knob by construction (effective l scales by
       // φ/φ₂ ∈ (0.5, 1]).
+      // power-of-two ceiling computed BIT-EXACTLY (r10 advice): the
+      // ln(x)/ln(2) spelling can sit 1 ulp under an integer when x IS
+      // a power of two, flipping ceil() on one engine only. getExponent
+      // is exact — 2^e ≤ x < 2^(e+1) — so the ceiling is 2^e iff
+      // x == 2^e, else 2^(e+1); matches C log2's exact powers-of-two.
+      // (Subnormal φ would quantize to 2^-1021 here — unreachable for
+      // a sum of squared distances that already passed the <= 0 gate.)
       val phi =
         if (phiRaw <= 0.0) 0.0
-        else math.pow(2.0, math.ceil(math.log(phiRaw) / math.log(2.0)))
+        else {
+          val p = math.pow(2.0, math.max(Math.getExponent(phiRaw), -1022))
+          if (phiRaw == p) p else p * 2.0
+        }
       val fresh = mind
         .where(Sampling.hash01(col("id"), "kmpp" + r) * phi < lit(l) * col("mind"))
         .select("id").collect().map(_.getLong(0)).sorted

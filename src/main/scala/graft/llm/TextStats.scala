@@ -789,9 +789,19 @@ object TextStats {
         avg(d).as("gb"), avg(d * col("x1")).as("g1"),
         avg(d * col("x2")).as("g2"), avg(d * col("x3")).as("g3")).collect()(0)
       require(!g.isNullAt(0), "trainQualityClassifier: empty corpus")
+      // quantize each gradient component to the 2^-30 grid before it
+      // feeds forward (r10 advice): a distributed avg() is partial-sum
+      // -order-dependent at the ulp level, and the weights carry
+      // unrounded across iterations — snapping to a grid ~10^6×
+      // coarser than that noise makes the fed-forward weights
+      // bit-identical on any partitioning AND on the DuckDB twin
+      // (which floors the same way; with lr a power of two the
+      // lr·g products and running weights then stay exact multiples
+      // of the grid, so no further drift can accumulate).
+      def q30(x: Double): Double = math.floor(x * 1073741824.0) / 1073741824.0
       w = Array(
-        w(0) - lr * g.getDouble(0), w(1) - lr * g.getDouble(1),
-        w(2) - lr * g.getDouble(2), w(3) - lr * g.getDouble(3))
+        w(0) - lr * q30(g.getDouble(0)), w(1) - lr * q30(g.getDouble(1)),
+        w(2) - lr * q30(g.getDouble(2)), w(3) - lr * q30(g.getDouble(3)))
       trace += ((it.toLong, w(0), w(1), w(2), w(3)))
     }
     import spark.implicits._

@@ -42,9 +42,12 @@ import graft.Lineage.TruncateOps
   * forward-backward expected counts, and count-based pruning instead
   * of the likelihood-loss ranking — the standard "Viterbi-EM"
   * variant. Every step is integer-count-based and tie-broken
-  * explicitly, so training is bit-deterministic on any partitioning
-  * (double arithmetic appears only inside a single word's DP, whose
-  * evaluation order is fixed by the scan, never across rows).
+  * explicitly, and log-probabilities are snapped to the 2^-20 grid
+  * ([[quantizeLogp]]) so even the per-word DP sums are EXACT double
+  * arithmetic — training is bit-deterministic on any partitioning
+  * AND engine-portable, which is what lets the full train→encode
+  * loop sit under the DuckDB hash oracle (the twin replays the same
+  * Viterbi-EM as bounded recursive CTEs).
   *
   * Smoothing: single-character pieces get add-one smoothing
   * (`effCount = count + 1`); multi-char pieces use raw counts and are
@@ -126,13 +129,20 @@ object Unigram {
     * log-probs: maximize Σ logp; ties prefer fewer pieces, then the
     * longest final piece (scan order makes this well-defined without
     * any hashing). Characters missing from the table become UNK
-    * pieces at [[UnkLogp]], so every word segments. DP positions are
-    * restricted to code-point boundaries, so an astral (supplementary
-    * -plane) character never splits into lone surrogates — the UNK
-    * fallback consumes the whole pair and every emitted piece is
-    * well-formed UTF-16 (`maxLen` counts UTF-16 units, like the
-    * in-plan `length`/`substr` count code points — identical on the
-    * BMP, at most one unit of slack past it).
+    * pieces at [[UnkLogp]], so every word segments.
+    *
+    * The DP runs over CODE-POINT boundaries, and `maxLen` counts code
+    * points — exactly the semantics of the in-plan `length`/`substr`
+    * that seeded the piece table (and of the DuckDB oracle twin), so
+    * a piece of m supplementary-plane characters is reachable
+    * whenever m ≤ maxLen; an astral character never splits into lone
+    * surrogates (the single-code-point UNK step consumes the whole
+    * pair).
+    *
+    * With [[mstep]]'s grid-quantized log-probs every DP sum is EXACT
+    * double arithmetic, so the `sc == best` tie comparison is
+    * engine-portable — the SQL twin reproduces the identical
+    * segmentation, not just a close one.
     */
   private[llm] def viterbi(
       word: String,
@@ -140,49 +150,47 @@ object Unigram {
       maxLen: Int): Array[String] = {
     val n = word.length
     if (n == 0) return Array.empty
-    val bound = new Array[Boolean](n + 1)
-    bound(0) = true; bound(n) = true
-    var b = 1
-    while (b < n) {
-      bound(b) = !(Character.isHighSurrogate(word.charAt(b - 1)) &&
-        Character.isLowSurrogate(word.charAt(b)))
-      b += 1
+    // code-point boundaries: bnd(0)=0 < … < bnd(m)=n in UTF-16 units
+    val bnd = new Array[Int](n + 1)
+    var m = 0
+    var pos = 0
+    while (pos < n) {
+      bnd(m) = pos
+      m += 1
+      pos += (if (Character.isHighSurrogate(word.charAt(pos)) && pos + 1 < n &&
+        Character.isLowSurrogate(word.charAt(pos + 1))) 2 else 1)
     }
-    val best = new Array[Double](n + 1)
-    val cnt = new Array[Int](n + 1)
-    val back = new Array[Int](n + 1)
+    bnd(m) = n
+    val best = new Array[Double](m + 1)
+    val cnt = new Array[Int](m + 1)
+    val back = new Array[Int](m + 1)
     java.util.Arrays.fill(best, Double.NegativeInfinity)
     java.util.Arrays.fill(back, -1)
     best(0) = 0.0
-    var i = 1
-    while (i <= n) {
-      if (bound(i)) {
-        var j = math.max(0, i - maxLen)
-        while (j < i) {
-          if (bound(j)) {
-            val lp = logp.get(word.substring(j, i))
-            if (lp != null) {
-              val sc = best(j) + lp.doubleValue()
-              val c = cnt(j) + 1
-              if (sc > best(i) || (sc == best(i) && c < cnt(i))) {
-                best(i) = sc; cnt(i) = c; back(i) = j
-              }
-            }
+    var k = 1
+    while (k <= m) {
+      var j = math.max(0, k - maxLen)
+      while (j < k) {
+        val lp = logp.get(word.substring(bnd(j), bnd(k)))
+        if (lp != null) {
+          val sc = best(j) + lp.doubleValue()
+          val c = cnt(j) + 1
+          if (sc > best(k) || (sc == best(k) && c < cnt(k))) {
+            best(k) = sc; cnt(k) = c; back(k) = j
           }
-          j += 1
         }
-        if (back(i) == -1) { // OOV code point — forced single-char UNK
-          val p = if (bound(i - 1)) i - 1 else i - 2
-          best(i) = best(p) + UnkLogp
-          cnt(i) = cnt(p) + 1
-          back(i) = p
-        }
+        j += 1
       }
-      i += 1
+      if (back(k) == -1) { // OOV code point — forced single-cp UNK
+        best(k) = best(k - 1) + UnkLogp
+        cnt(k) = cnt(k - 1) + 1
+        back(k) = k - 1
+      }
+      k += 1
     }
-    val out = new scala.collection.mutable.ArrayBuffer[String](cnt(n))
-    var k = n
-    while (k > 0) { val j = back(k); out += word.substring(j, k); k = j }
+    val out = new scala.collection.mutable.ArrayBuffer[String](cnt(m))
+    var t = m
+    while (t > 0) { val j = back(t); out += word.substring(bnd(j), bnd(t)); t = j }
     out.reverseIterator.toArray
   }
 
@@ -218,10 +226,24 @@ object Unigram {
     val lnTotal = math.log(total.toDouble)
     kept.foreach { case (p, c) =>
       val eff = if (charSet.contains(p)) c + 1L else c
-      logp.put(p, java.lang.Double.valueOf(math.log(eff.toDouble) - lnTotal))
+      logp.put(p, java.lang.Double.valueOf(
+        quantizeLogp(math.log(eff.toDouble) - lnTotal)))
     }
     (kept, logp)
   }
+
+  /** Snap a log-probability onto the 2^-20 grid (floor). Grid
+    * multiples up to |x| < 2^31·2^-20 are exactly representable
+    * doubles, so every Viterbi DP sum of quantized log-probs is EXACT
+    * arithmetic — identical in any evaluation order and any engine —
+    * which makes the DP's `==` tie comparison well-defined across the
+    * Spark kernel and the DuckDB oracle twin. A 1–2-ulp libm `log`
+    * divergence between engines can only flip the floor when the true
+    * value sits within ~2^-50 of a grid boundary (the same accepted
+    * residual-risk class as the WAV oracle's `trunc(sin(...))`).
+    */
+  private[llm] def quantizeLogp(x: Double): Double =
+    math.floor(x * 1048576.0) / 1048576.0
 
   /** One E-step over an in-memory word list (driver path and the
     * per-partition distributed kernel share this accumulator).

@@ -64,6 +64,28 @@ class ImageCodecSpec extends AnyFunSuite {
     val img = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(out.getAs[Array[Byte]]("payload")))
     assert(img.getWidth == 4 && img.getHeight == 3)
+    // the PINNED index formula: dst (x,y) = src (x·srcW/dstW, y·srcH/dstH)
+    // (floor division) — what makes the resize SQL-reproducible
+    val srcW = (4 + (9L % 13)).toInt; val srcH = (4 + (9L % 11)).toInt
+    val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      Multimodal.pngBytes("some pixels here".getBytes("UTF-8"), srcW, srcH)))
+    for (y <- 0 until 3; x <- 0 until 4)
+      assert((img.getRGB(x, y) & 0xffffff) ==
+        (src.getRGB(x * srcW / 4, y * srcH / 3) & 0xffffff), s"dst ($x,$y)")
+  }
+
+  test("nearestNeighbor kernel matches the formula on a non-integral ratio") {
+    val src = new java.awt.image.BufferedImage(
+      7, 5, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 5; x <- 0 until 7) src.setRGB(x, y, (y * 7 + x) * 1001)
+    val dst = Multimodal.nearestNeighbor(src, 3, 2)
+    for (y <- 0 until 2; x <- 0 until 3)
+      assert((dst.getRGB(x, y) & 0xffffff) ==
+        (src.getRGB(x * 7 / 3, y * 5 / 2) & 0xffffff))
+    // upscale too: each dst pixel replicates its floor-mapped source
+    val up = Multimodal.nearestNeighbor(src, 14, 5)
+    for (y <- 0 until 5; x <- 0 until 14)
+      assert((up.getRGB(x, y) & 0xffffff) == (src.getRGB(x / 2, y) & 0xffffff))
   }
 
   test("WAV round trip: RMS ≈ amp/√2 and zero-crossing rate ≈ 2·freq·duration") {

@@ -77,7 +77,8 @@ class UnigramSpec extends AnyFunSuite {
     val out = Unigram.train(docs, col("text"), vocabSize = 4,
         seedSize = 10, emIters = 2, maxPieceLen = 2)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
-    def lp(eff: Long) = math.log(eff.toDouble) - math.log(7.0)
+    def lp(eff: Long) =
+      Unigram.quantizeLogp(math.log(eff.toDouble) - math.log(7.0))
     assert(out.toSeq == Seq(
       (1L, "ab", 3L, lp(3)),
       (2L, "c", 1L, lp(2)),
