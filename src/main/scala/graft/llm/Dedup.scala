@@ -652,7 +652,8 @@ object Dedup {
     * 100 TB shape: the store participates ONLY through its band index
     * (band_key, id) — a signatures-sized relation that a production
     * deployment persists at ingest (append one row per band per
-    * admitted doc), so the store TEXT column is re-read exclusively
+    * admitted doc — [[bandIndex]], consumed by the persisted-index
+    * overload below), so the store TEXT column is re-read exclusively
     * for docs that actually share a bucket with this batch (semi-join
     * on the matched ids). There is no store-store self-join anywhere:
     * the probe is an equi-join on the band key, so per-batch cost is
@@ -669,17 +670,59 @@ object Dedup {
       bands: Int = 4,
       rows: Int = 2,
       threshold: Double = 0.6): DataFrame = {
+    // store band index derived in-query — the generic one-shot form.
+    // The streaming admitter uses the overload below with an index
+    // PERSISTED at ingest, so the store corpus is never rescanned.
+    val storeBands = bandIndex(store, textCol, idCol, shingleWidth, bands, rows)
+    incrementalNearDups(store, storeBands, arrivals, textCol, idCol,
+      shingleWidth, bands, rows, threshold)
+  }
+
+  /** The `(id, band)` LSH band index of a corpus — the relation a
+    * production ingest PERSISTS next to the store (one row per band
+    * per doc, `bands` rows total per doc) so that admission probes
+    * are pure equi-joins on `band` with no signature recomputation
+    * over the store. [[graft.streaming.StreamAdmit]] appends this for
+    * each admitted batch.
+    */
+  def bandIndex(
+      docs: DataFrame,
+      textCol: Column,
+      idCol: Column,
+      shingleWidth: Int = 3,
+      bands: Int = 4,
+      rows: Int = 2): DataFrame =
+    signaturesFromSets(shingleSets(docs, textCol, idCol, shingleWidth),
+      bands * rows)
+      .select(col("id"), explode(array(bandKeyColumns(bands, rows): _*)).as("band"))
+
+  /** [[incrementalNearDups]] against a PERSISTED store band index:
+    * `storeBands` is the `(id, band)` relation maintained at ingest
+    * ([[bandIndex]] of every admitted batch, appended). The store
+    * TEXT relation enters the plan exactly once — semi-joined down to
+    * the ids that actually share a bucket with this batch — so
+    * per-batch store-side cost is the index equi-join plus a
+    * matched-ids text fetch, independent of store size. (The
+    * one-argument form above derives the index in-query and therefore
+    * pays one full store signature pass per call — fine one-shot,
+    * wrong in a loop.)
+    */
+  def incrementalNearDups(
+      store: DataFrame,
+      storeBands: DataFrame,
+      arrivals: DataFrame,
+      textCol: Column,
+      idCol: Column,
+      shingleWidth: Int,
+      bands: Int,
+      rows: Int,
+      threshold: Double): DataFrame = {
     def bandsOf(sigs: DataFrame): DataFrame =
       sigs.select(col("id"),
         explode(array(bandKeyColumns(bands, rows): _*)).as("band"))
     val arrSigs =
       signaturesFromSets(shingleSets(arrivals, textCol, idCol, shingleWidth),
         bands * rows).truncateLineage(eager = false) // probe + batch self-join
-    // store band index: derived in-query here; persisted at ingest in
-    // production (the whole point — the store corpus is never rescanned)
-    val storeBands =
-      bandsOf(signaturesFromSets(
-        shingleSets(store, textCol, idCol, shingleWidth), bands * rows))
     val crossCands = bandsOf(arrSigs).as("a")
       .join(storeBands.as("s"), col("a.band") === col("s.band"))
       .select(col("a.id").as("id_a"), col("s.id").as("id_s"))

@@ -18,13 +18,14 @@ import graft.llm.Dedup
   *     the write boundary, holding no streaming state at all — the
   *     store's band index IS the state, and it lives in the table.
   *
-  * Scale: per batch, the store side contributes one signature pass in
-  * this generic form; a production deployment persists the band index
-  * alongside the store (append admitted docs' bands each batch) and
-  * passes a reader that serves `(band, id)` directly — the
-  * [[graft.llm.Dedup.incrementalNearDups]] probe is an equi-join on
-  * the band key either way, with no store-store self-join. Batch cost
-  * is O(|batch| + matched buckets).
+  * Scale: [[admitterIndexed]] is the production shape — the `(id,
+  * band)` LSH index is PERSISTED next to the store and appended per
+  * batch, so per-batch store-side work is one equi-join probe of the
+  * index plus a text fetch for matched ids: O(|batch| + matched
+  * buckets), independent of store size. [[admitter]] (no index
+  * tables) re-derives the store's signatures from raw text every
+  * batch — O(|store|) per trigger, kept only as the zero-setup form
+  * for small stores and tests.
   */
 object StreamAdmit {
 
@@ -33,6 +34,9 @@ object StreamAdmit {
     * store does not exist yet) and hand the admitted rows to
     * `appendStore`. Exposed as a function value for
     * `writeStream.foreachBatch(StreamAdmit.admitter(...))`.
+    *
+    * Store-side cost grows with the store (signature recomputation
+    * per batch) — use [[admitterIndexed]] beyond toy stores.
     */
   def admitter(
       textCol: Column,
@@ -48,5 +52,43 @@ object StreamAdmit {
         readStore(), batch.drop("event_time"), textCol, idCol,
         shingleWidth, bands, rows, threshold)
       appendStore(admitted)
+    }
+
+  /** The production admitter: maintains the persisted `(id, band)`
+    * LSH index next to the store. Per batch: probe the index
+    * ([[graft.llm.Dedup.incrementalNearDups]] persisted-index
+    * overload — store text is only fetched for ids sharing a bucket
+    * with the batch), append the admitted rows, then append their
+    * [[graft.llm.Dedup.bandIndex]] rows (batch-sized recompute). The
+    * admitted batch is cached across the two appends so the admission
+    * plan runs once.
+    *
+    * `readIndex()` must return an empty `(id, band)` DataFrame before
+    * the first batch. Like every `foreachBatch` appender, a batch
+    * replay after a failure between the two appends can leave the
+    * index one batch behind the store (or duplicated) — on restart,
+    * rebuild the tail of the index from the store delta, or run
+    * appends through an atomic table format.
+    */
+  def admitterIndexed(
+      textCol: Column,
+      idCol: Column,
+      readStore: () => DataFrame,
+      appendStore: DataFrame => Unit,
+      readIndex: () => DataFrame,
+      appendIndex: DataFrame => Unit,
+      shingleWidth: Int = 3,
+      bands: Int = 4,
+      rows: Int = 2,
+      threshold: Double = 0.6): (DataFrame, Long) => Unit =
+    (batch: DataFrame, _: Long) => {
+      val admitted = Dedup.incrementalNearDups(
+        readStore(), readIndex(), batch.drop("event_time"), textCol, idCol,
+        shingleWidth, bands, rows, threshold).persist()
+      try {
+        appendStore(admitted)
+        appendIndex(Dedup.bandIndex(
+          admitted, textCol, idCol, shingleWidth, bands, rows))
+      } finally admitted.unpersist()
     }
 }

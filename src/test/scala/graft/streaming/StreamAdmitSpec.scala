@@ -53,4 +53,94 @@ class StreamAdmitSpec extends AnyFunSuite {
         .as[Long].collect().toSet == Set(1L, 3L, 11L))
     } finally q.stop()
   }
+
+  test("admitterIndexed: same admissions, index stays in lockstep with the store") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-admit-idx").toFile.getAbsolutePath
+    val storeDir = s"$dir/store"; val idxDir = s"$dir/index"
+    def readStore(): DataFrame =
+      if (new java.io.File(storeDir).exists()) spark.read.parquet(storeDir)
+      else Seq.empty[(Long, String)].toDF("doc_id", "text")
+    def readIndex(): DataFrame =
+      if (new java.io.File(idxDir).exists()) spark.read.parquet(idxDir)
+      else Seq.empty[(Long, String)].toDF("id", "band")
+    val stream = MemoryStream[(Long, String)]
+    val q = stream.toDF().toDF("doc_id", "text")
+      .writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch(StreamAdmit.admitterIndexed(
+        col("text"), col("doc_id"), readStore _,
+        _.write.mode("append").parquet(storeDir),
+        readIndex _,
+        _.write.mode("append").parquet(idxDir)))
+      .start()
+    def indexMatchesStore(): Unit = {
+      val expect = graft.llm.Dedup
+        .bandIndex(spark.read.parquet(storeDir), col("text"), col("doc_id"))
+        .as[(Long, String)].collect().sorted.toSeq
+      val got = spark.read.parquet(idxDir).as[(Long, String)].collect().sorted.toSeq
+      assert(got == expect, "persisted band index must equal bandIndex(store)")
+    }
+    try {
+      stream.addData(
+        (1L, "the quick brown fox jumps over dogs"),
+        (2L, "the quick brown fox jumps over dogs"), // in-batch dup → loses to 1
+        (3L, "completely other content entirely here folks"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(storeDir).select("doc_id")
+        .as[Long].collect().toSet == Set(1L, 3L))
+      indexMatchesStore()
+
+      stream.addData(
+        (10L, "the quick brown fox jumps over dogs"), // dup of 1 via the INDEX
+        (11L, "fresh new material nothing like before okay"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(storeDir).select("doc_id")
+        .as[Long].collect().toSet == Set(1L, 3L, 11L))
+      indexMatchesStore()
+    } finally q.stop()
+  }
+
+  test("persisted-index admission never re-derives store signatures") {
+    import spark.implicits._
+    val acc = spark.sparkContext.longAccumulator("storeTextReads")
+    val storeRaw = Seq(
+      (1L, "the quick brown fox jumps over dogs"),
+      (2L, "completely other content entirely here folks"),
+      (3L, "a third stored document with words inside")).toDF("doc_id", "text")
+    // typed-map wrapper: an optimizer barrier, so EVERY execution of
+    // the store-text relation pays one accumulator tick per store row
+    val store = storeRaw.as[(Long, String)]
+      .mapPartitions(_.map { r => acc.add(1); r }).toDF("doc_id", "text")
+    // index computed offline (from the raw relation, collected) — the
+    // persisted-table stand-in
+    val idx = graft.llm.Dedup
+      .bandIndex(storeRaw, col("text"), col("doc_id"))
+      .as[(Long, String)].collect().toSeq.toDF("id", "band")
+    val arrivals = Seq(
+      (10L, "the quick brown fox jumps over dogs"), // store dup
+      (11L, "fresh new material nothing like before okay")).toDF("doc_id", "text")
+
+    acc.reset()
+    val gotIndexed = graft.llm.Dedup.incrementalNearDups(
+        store, idx, arrivals, col("text"), col("doc_id"), 3, 4, 2, 0.6)
+      .select("doc_id").as[Long].collect().toSet
+    val indexedReads = acc.value
+    assert(gotIndexed == Set(11L))
+    // store text executes AT MOST once per admission (the verify
+    // fetch); the signature/band derivation never touches it
+    assert(indexedReads <= 3L,
+      s"indexed admission read store text $indexedReads times (> |store|)")
+
+    acc.reset()
+    val gotGeneric = graft.llm.Dedup.incrementalNearDups(
+        store, arrivals, col("text"), col("doc_id"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(gotGeneric == gotIndexed) // same admissions either path
+    // the generic form pays the extra store signature pass the
+    // persisted index exists to eliminate
+    assert(acc.value > indexedReads,
+      s"generic=${acc.value} vs indexed=$indexedReads store-text reads")
+  }
 }
