@@ -40,6 +40,18 @@ object Bench {
       graft.engine.GraphiteTables.pointsTagged(spark, sfDir).count()
     } catch { case _: Throwable => }
 
+    // Warm the media codec path: ImageIO's SPI plugin-registry scan is
+    // a JVM-wide lazy first touch and the PNG/JPEG writer/readers are
+    // per-thread ThreadLocals — one-time costs, not per-row work. The
+    // r10 driver run charged them all to m_avi_frames (6.2 s one-shot
+    // vs 0.64 s warmed-local). 4× tasks per core to reach most of the
+    // executor thread pool.
+    try {
+      val n = math.max(cpus.toInt, 1)
+      spark.sparkContext.parallelize(0 until 4 * n, 4 * n)
+        .foreach(_ => graft.llm.Multimodal.warmCodecs())
+    } catch { case _: Throwable => }
+
     // optional comma-separated query-name filter (local iteration on
     // one operator without paying the full sweep)
     val only: Option[Set[String]] =
