@@ -2265,6 +2265,43 @@ object SparkEntry {
         lookbackSec = 86400L)
         .withColumn("value", round(col("value"), 6))),
 
+    // upstream renamed holt_winters → double_exponential_smoothing
+    // (experimental table): pin that the new name parses and evaluates
+    // identically — same oracle SQL as p_query_holt
+    "p_query_dexp" -> ((s, dir) =>
+      graft.prom.PromQL.evalMatrix(
+        GraphiteTables.pointsTagged(s, dir),
+        GraphiteTables.tags(s, dir),
+        graft.prom.PromQL.parse(
+          "double_exponential_smoothing(events[1d], 0.5, 0.3)")
+          .fold(e => throw new IllegalArgumentException(e), identity),
+        start = WFrom, end = WFrom + 30L * 86400L, step0 = 21600L,
+        lookbackSec = 86400L)
+        .withColumn("value", round(col("value"), 6))),
+
+    // sort_by_label_desc: the instant-RESPONSE ordering (the only
+    // place Prometheus honors it). The vector is result-sized by
+    // definition, so the orderInstant driver sort is the production
+    // shape; the rank column exposes the order to the hash gate —
+    // including the subtle rule that desc reverses the LABEL compare
+    // only while the path tiebreak stays ascending.
+    "p_query_sort_by_label" -> ((s, dir) => {
+      import s.implicits._
+      val expr = graft.prom.PromQL.parse("""sort_by_label_desc(events, "type")""")
+        .fold(e => throw new IllegalArgumentException(e), identity)
+      val at = WFrom + 7L * 86400L
+      val inst = graft.prom.PromQL.evalMatrix(
+        GraphiteTables.pointsTagged(s, dir), GraphiteTables.tags(s, dir),
+        expr, start = at, end = at, step0 = 21600L, lookbackSec = 86400L)
+      val rows = inst.select("path", "t", "value").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+      val ordered = graft.prom.PromQL.orderInstant(expr, rows)
+        .getOrElse(rows.sortBy(_._1))
+      ordered.zipWithIndex
+        .map { case ((p, t, v), i) => (i + 1L, p, t, v) }
+        .toSeq.toDF("rank", "path", "t", "value")
+    }),
+
     // @ modifier: evaluation pinned to day 7 — one inner pass, the
     // result-sized vector replicated across the grid by explode.
     "p_query_at" -> ((s, dir) =>
@@ -2770,6 +2807,38 @@ object SparkEntry {
          |${unigramMStep("v2p", "c2", 200)},
          |${unigramEStep(3, "lv2p")},
          |${unigramMStep("vf", "c3", 200)}""".stripMargin
+
+    // double-exponential-smoothing unrolled as a list_reduce fold —
+    // shared by p_query_holt and p_query_dexp (upstream's rename;
+    // both names must evaluate identically)
+    val promHoltSql =
+      s"""WITH dedup AS (
+         |  SELECT 'events?type=' || event_type || '&user=' || user_id AS path,
+         |         epoch_us(ts)//1000000 AS time,
+         |         arg_max(value, event_id) AS value
+         |  FROM events
+         |  GROUP BY 1, 2),
+         |grid AS (SELECT $WFrom + 21600*n AS t FROM generate_series(0, 120) g(n)),
+         |win AS (
+         |  SELECT d.path, g.t, d.value, d.time FROM dedup d
+         |  JOIN grid g ON d.time <= g.t AND d.time > g.t - 86400),
+         |lst AS (
+         |  SELECT path, t, list(value ORDER BY time) AS xs
+         |  FROM win GROUP BY 1, 2 HAVING count(*) >= 2)
+         |SELECT path, t,
+         |  round(list_reduce(
+         |    list_prepend([0.0::double, xs[1], xs[2] - xs[1], 1.0::double],
+         |      list_transform(xs[2:], x -> [x, 0.0::double, 0.0::double, 0.0::double])),
+         |    (acc, e) -> [
+         |      acc[2],
+         |      0.5::double * e[1] + (1.0::double - 0.5::double) * (acc[2] +
+         |            (CASE WHEN acc[4] = 1.0 THEN acc[3]
+         |                  ELSE 0.3::double * (acc[2] - acc[1]) + (1.0::double - 0.3::double) * acc[3] END)),
+         |      CASE WHEN acc[4] = 1.0 THEN acc[3]
+         |           ELSE 0.3::double * (acc[2] - acc[1]) + (1.0::double - 0.3::double) * acc[3] END,
+         |      acc[4] + 1.0
+         |    ])[2], 6) + 0 AS value
+         |FROM lst""".stripMargin
 
     Map(
       "g_points" ->
@@ -5566,34 +5635,31 @@ object SparkEntry {
            |       dayofyear(make_timestamp(stamp * 1000000))::double AS value
            |FROM inst""".stripMargin),
 
-      "p_query_holt" ->
+      // shared by p_query_holt and p_query_dexp — upstream renamed
+      // holt_winters to double_exponential_smoothing; both names must
+      // produce the identical smoothing
+      "p_query_holt" -> promHoltSql,
+
+      "p_query_dexp" -> promHoltSql,
+
+      "p_query_sort_by_label" ->
         (s"""WITH dedup AS (
-           |  SELECT 'events?type=' || event_type || '&user=' || user_id AS path,
+           |  SELECT event_type, user_id,
            |         epoch_us(ts)//1000000 AS time,
            |         arg_max(value, event_id) AS value
            |  FROM events
-           |  GROUP BY 1, 2),
-           |grid AS (SELECT $WFrom + 21600*n AS t FROM generate_series(0, 120) g(n)),
-           |win AS (
-           |  SELECT d.path, g.t, d.value, d.time FROM dedup d
-           |  JOIN grid g ON d.time <= g.t AND d.time > g.t - 86400),
-           |lst AS (
-           |  SELECT path, t, list(value ORDER BY time) AS xs
-           |  FROM win GROUP BY 1, 2 HAVING count(*) >= 2)
-           |SELECT path, t,
-           |  round(list_reduce(
-           |    list_prepend([0.0::double, xs[1], xs[2] - xs[1], 1.0::double],
-           |      list_transform(xs[2:], x -> [x, 0.0::double, 0.0::double, 0.0::double])),
-           |    (acc, e) -> [
-           |      acc[2],
-           |      0.5::double * e[1] + (1.0::double - 0.5::double) * (acc[2] +
-           |            (CASE WHEN acc[4] = 1.0 THEN acc[3]
-           |                  ELSE 0.3::double * (acc[2] - acc[1]) + (1.0::double - 0.3::double) * acc[3] END)),
-           |      CASE WHEN acc[4] = 1.0 THEN acc[3]
-           |           ELSE 0.3::double * (acc[2] - acc[1]) + (1.0::double - 0.3::double) * acc[3] END,
-           |      acc[4] + 1.0
-           |    ])[2], 6) + 0 AS value
-           |FROM lst""".stripMargin),
+           |  GROUP BY 1, 2, 3),
+           |inst AS (
+           |  SELECT event_type,
+           |         'events?type=' || event_type || '&user=' || user_id AS path,
+           |         arg_max(value, time) AS value
+           |  FROM dedup
+           |  WHERE time <= ${WFrom + 7L * 86400L}
+           |    AND time > ${WFrom + 7L * 86400L} - 86400
+           |  GROUP BY 1, 2)
+           |SELECT CAST(row_number() OVER (ORDER BY event_type DESC, path ASC) AS BIGINT) AS rank,
+           |       path, CAST(${WFrom + 7L * 86400L} AS BIGINT) AS t, value
+           |FROM inst""".stripMargin),
 
       "p_query_time" ->
         (s"""WITH dedup AS (

@@ -245,6 +245,61 @@ object Unigram {
   private[llm] def quantizeLogp(x: Double): Double =
     math.floor(x * 1048576.0) / 1048576.0
 
+  /** Likelihood-loss pruning (the paper's criterion, Kudo &
+    * Richardson 2018 §3.2) as an alternative to count-based pruning:
+    * a multi-char piece's loss is `count · (logp(piece) −
+    * altScore(piece))`, where altScore is the best segmentation of
+    * the piece's own text WITHOUT the piece — i.e. how much corpus
+    * log-likelihood is lost if its occurrences must re-segment. A
+    * frequent piece whose characters are themselves cheap can rank
+    * BELOW a rarer piece with no good alternative — exactly where
+    * the two criteria diverge (differential-tested in UnigramSpec).
+    *
+    * Declared simplification vs the paper: the removal is scored
+    * against the CURRENT distribution (no re-normalization of the
+    * remaining masses, no EM re-fit between candidate removals) —
+    * the standard one-shot approximation. Deterministic: altScore
+    * sums grid-quantized log-probs (exact arithmetic), and the loss
+    * compare `count · Δ` is exact for any corpus count below
+    * 2^52 · 2^-20 / |Δ|; ties break on piece text ascending UTF-8.
+    *
+    * Driver-side and vocab-sized by construction (|vocab| DPs over
+    * ≤ maxLen-cp strings) — corpus size never enters.
+    */
+  private[llm] def lossPrune(
+      counts: collection.Map[String, Long],
+      chars: Iterable[String],
+      vocabSize: Int,
+      logp: java.util.HashMap[String, java.lang.Double],
+      maxLen: Int): collection.Map[String, Long] = {
+    val charArr = chars.toArray
+    val charSet = charArr.toSet
+    val multi = counts.iterator
+      .filter { case (p, c) => c > 0L && !charSet.contains(p) }
+      .toArray
+    val slots = math.max(0, vocabSize - charArr.length)
+    val keep: Array[(String, Long)] =
+      if (vocabSize <= 0 || multi.length <= slots) multi
+      else {
+        def altScore(p: String): Double = {
+          val own = logp.remove(p) // score the world without the piece
+          try viterbi(p, logp, maxLen).foldLeft(0.0) { (s, q) =>
+            val l = logp.get(q)
+            s + (if (l == null) UnkLogp else l.doubleValue())
+          } finally if (own != null) logp.put(p, own)
+        }
+        val scored = multi.map { case (p, c) =>
+          val own = logp.get(p)
+          val lp = if (own == null) UnkLogp else own.doubleValue()
+          (p, c, c.toDouble * (lp - altScore(p)))
+        }
+        val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering.reverse, Bpe.utf8Ordering)
+          .on[(String, Long, Double)] { case (p, _, l) => (l, p) }
+        scored.sorted(ord).take(slots).map { case (p, c, _) => (p, c) }
+      }
+    (charArr.map(c0 => c0 -> counts.getOrElse(c0, 0L)) ++ keep).toMap
+  }
+
   /** One E-step over an in-memory word list (driver path and the
     * per-partition distributed kernel share this accumulator).
     */
@@ -308,7 +363,10 @@ object Unigram {
       emIters: Int = 2,
       maxPieceLen: Int = 8,
       minFreq: Long = 1L,
-      topV: Int = 0): DataFrame = {
+      topV: Int = 0,
+      pruneBy: String = "count"): DataFrame = {
+    require(pruneBy == "count" || pruneBy == "loss",
+      s"pruneBy must be 'count' or 'loss', got '$pruneBy'")
     val spark = docs.sparkSession
     val wf = wordFreq(docs, textCol, minFreq, topV).truncateLineage(eager = false)
     // seed: one aggregate over the in-row substring expansion, consumed
@@ -346,8 +404,17 @@ object Unigram {
     }
     // prune to the target vocabulary (only the pruned log-probs feed
     // the final pass), then one final round so the reported counts/
-    // log-probs describe the SHIPPED piece table
-    logp = mstep(kept.toMap, charKeys, vocabSize)._2
+    // log-probs describe the SHIPPED piece table. pruneBy selects the
+    // criterion: "count" keeps the top multis by EM count (what the
+    // DuckDB twin replays); "loss" keeps them by likelihood loss
+    // ([[lossPrune]] — the paper's ranking). The final M-step's count
+    // truncation below is then a no-op either way (final counts only
+    // cover pieces already inside the pruned vocabulary).
+    logp =
+      if (pruneBy == "loss")
+        mstep(lossPrune(kept.toMap, charKeys, vocabSize, logp, maxPieceLen),
+          charKeys, vocabSize = 0)._2
+      else mstep(kept.toMap, charKeys, vocabSize)._2
     val fin = mstep(eStep(), charKeys, vocabSize)
     kept = fin._1; logp = fin._2
 

@@ -96,6 +96,24 @@ class UnigramSpec extends AnyFunSuite {
     assert(out.length == 5)
   }
 
+  test("pruneBy=loss keeps the piece with no alternative over the higher-count one") {
+    import spark.implicits._
+    // ab ×20 with a,b also standalone ×40 each (cheap alternative);
+    // cd ×15 with c,d never standalone (alternative = two smoothed
+    // zero-count chars). Count ranking prefers ab (20 > 15); loss
+    // ranking prefers cd: loss(cd) = 15·ln(15·T) ≈ 112 vs
+    // loss(ab) = 20·ln(20·T/41²) ≈ 7 — the two criteria diverge
+    // exactly when a frequent piece re-segments cheaply.
+    val text = (Seq.fill(20)("ab") ++ Seq.fill(40)("a") ++
+      Seq.fill(40)("b") ++ Seq.fill(15)("cd")).mkString(" ")
+    val docs = Seq(text).toDF("text")
+    def pieces(by: String) = Unigram.train(docs, col("text"), vocabSize = 5,
+        seedSize = 10, emIters = 2, maxPieceLen = 2, pruneBy = by)
+      .collect().map(_.getString(1)).toSet
+    assert(pieces("count") == Set("a", "b", "c", "d", "ab"))
+    assert(pieces("loss") == Set("a", "b", "c", "d", "cd"))
+  }
+
   test("driver and distributed paths produce identical tables") {
     import spark.implicits._
     val docs = Seq("the cat sat", "the cat", "the hat sat on the mat",

@@ -63,10 +63,20 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // GRAFT_CHECKPOINT_DIR: route every lineage truncation (incl. the
+    // memoized graphite tables) to DISK checkpoints instead of
+    // executor-memory blocks — the A/B lever for separating storage/GC
+    // pressure from plan cost (SCALE_NOTES finding #3)
+    sys.env.get("GRAFT_CHECKPOINT_DIR").filter(_.nonEmpty)
+      .foreach(d => spark.conf.set(graft.Lineage.ConfKey, d))
 
     for (r <- factors) {
       val dir = s"target/scale/x$r"
-      buildScaledDir(spark, srcDir, dir, r)
+      // GRAFT_SCALE_REUSE=1: trust an existing scaled dir (the build
+      // is deterministic in (srcDir, r)) — halves A/B turnaround
+      if (!(sys.env.get("GRAFT_SCALE_REUSE").contains("1") &&
+          new java.io.File(s"$dir/documents.parquet").exists()))
+        buildScaledDir(spark, srcDir, dir, r)
       // warm ALL the derived graphite tables (ingest-owned in
       // production; untimed here as in Bench). Including the two
       // points tables matters at big factors: the memo materializes
