@@ -106,6 +106,64 @@ object Bpe {
     */
   val LocalVocabThresholdKey = "graft.bpe.localVocabThreshold"
 
+  /** Max merges applied per distributed round (default 8). Each round
+    * is one pair-count aggregate + one map-only application job, so
+    * the job count for M merges drops from M rounds to ~M/batch —
+    * without changing a single learned rule (see [[selectMergeBatch]]
+    * for the exactness argument).
+    */
+  val MergeBatchKey = "graft.bpe.mergeBatch"
+
+  /** The maximal rank-prefix of `ranked` (already ordered by count
+    * desc, pair text asc UTF-8) that can be merged in ONE round while
+    * staying bit-identical to applying one merge per round:
+    *
+    *  1. PREFIX, not subset: scanning in rank order stops at the
+    *     first candidate that interacts with an already-selected pair
+    *     — skipping it would let the sequential run see its (changed)
+    *     count before later selections.
+    *  2. Non-interaction is string-disjointness over
+    *     {left, right, left+right} of every selected pair: applying
+    *     " l r " → " lr " only changes counts of pairs touching `l`,
+    *     `r` (decrease) or the new symbol `lr` (created), so a
+    *     disjoint pair's count is invariant — including the corner
+    *     where a later candidate's operand string-equals an earlier
+    *     MERGED symbol (e.g. batching ("a","b") with ("ab","c")),
+    *     which the `l+r` term excludes.
+    *  3. Strict-count guard: every selected pair after the first must
+    *     strictly out-count the first EXCLUDED pair (the stop point,
+    *     or the first pair past the window). Pairs created/changed by
+    *     earlier applications in the batch are bounded by that
+    *     excluded count, so at each sub-step the sequential run's
+    *     argmax is exactly the next selected pair — even under count
+    *     ties, because the prefix preserves the (count, text) order.
+    *
+    * Always returns at least one pair when `ranked` is non-empty (a
+    * single merge is trivially exact).
+    */
+  private[llm] def selectMergeBatch(
+      ranked: Seq[(String, Long)], maxBatch: Int): Seq[(String, Long)] = {
+    if (ranked.isEmpty) return Seq.empty
+    val used = scala.collection.mutable.HashSet.empty[String]
+    val sel = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    var stopCount = Long.MinValue // count of the first excluded pair
+    var i = 0
+    var stopped = false
+    while (i < ranked.length && !stopped && sel.length < maxBatch) {
+      val (pair, n) = ranked(i)
+      val Array(l, r) = pair.split(" ", 2)
+      if (sel.isEmpty || (!used(l) && !used(r) && !used(l + r))) {
+        sel += ((pair, n)); used += l; used += r; used += l + r
+      } else { stopped = true; stopCount = n }
+      i += 1
+    }
+    if (!stopped && i < ranked.length) stopCount = ranked(i)._2
+    // guard 3: drop tail pairs that do not strictly out-count the
+    // first excluded pair (they run in a later round instead)
+    while (sel.length > 1 && sel.last._2 <= stopCount) sel.remove(sel.length - 1)
+    sel.toSeq
+  }
+
   /** Learn `merges` BPE merge rules from a corpus.
     *
     * `minFreq` / `topV` bound the word-frequency relation BEFORE the
@@ -206,21 +264,35 @@ object Bpe {
         }
       }
     } else {
-      for (step <- 1 to merges) {
+      // distributed loop with EXACT merge batching: each round counts
+      // pairs once, collects the top (batch+1) and applies the
+      // provably-non-interacting rank prefix ([[selectMergeBatch]]) in
+      // ONE map-only pass — cutting the job rounds ~batch× while
+      // remaining bit-identical to the one-merge-per-round loop.
+      val batchMax = math.max(1, spark.conf.getOption(MergeBatchKey)
+        .map(_.toInt).getOrElse(8))
+      var step = 1
+      var exhausted = false
+      while (step <= merges && !exhausted) {
+        val want = math.min(batchMax, merges - step + 1)
         val top = wf
           .select(explode(adjacentPairs(col("sym"))).as("pair"), col("freq"))
           .groupBy("pair").agg(sum("freq").as("n"))
           .orderBy(col("n").desc, col("pair").asc)
-          .limit(1)
+          .limit(want + 1)
           .collect()
-        if (top.nonEmpty) {
-          val pair = top(0).getString(0)
-          val n = top(0).getLong(1)
-          val Array(l, r) = pair.split(" ", 2)
-          learned += ((step, l, r, l + r, n))
-          wf = wf
-            .select(applyMerge(col("sym"), lit(l), lit(r)).as("sym"), col("freq"))
-            .truncateLineage()
+        if (top.isEmpty) exhausted = true
+        else {
+          val ranked = top.map(r => (r.getString(0), r.getLong(1))).toSeq
+          val batch = selectMergeBatch(ranked, want)
+          var sym = col("sym")
+          batch.foreach { case (pair, n) =>
+            val Array(l, r) = pair.split(" ", 2)
+            learned += ((step, l, r, l + r, n))
+            step += 1
+            sym = applyMerge(sym, lit(l), lit(r))
+          }
+          wf = wf.select(sym.as("sym"), col("freq")).truncateLineage()
         }
       }
     }

@@ -77,6 +77,77 @@ class BpeSpec extends AnyFunSuite {
     assert(local.size == 5)
   }
 
+  test("selectMergeBatch: disjoint prefix, stop at sharer, strict-count guard") {
+    // all disjoint, strictly decreasing → whole window batches
+    assert(Bpe.selectMergeBatch(
+      Seq("a b" -> 10L, "c d" -> 9L, "e f" -> 8L), 3)
+      == Seq("a b" -> 10L, "c d" -> 9L, "e f" -> 8L))
+    // sharer stops the PREFIX (no skipping past it)
+    assert(Bpe.selectMergeBatch(
+      Seq("a b" -> 10L, "b c" -> 9L, "d e" -> 8L), 3)
+      == Seq("a b" -> 10L))
+    // a later operand equal to an earlier MERGED symbol interacts too
+    assert(Bpe.selectMergeBatch(Seq("a b" -> 10L, "ab c" -> 5L), 2)
+      == Seq("a b" -> 10L))
+    // strict-count guard: "c d" ties the excluded sharer "b x" (the
+    // sequential run could prefer a pair the sharer's merge creates)
+    assert(Bpe.selectMergeBatch(
+      Seq("a b" -> 10L, "c d" -> 9L, "b x" -> 9L), 3)
+      == Seq("a b" -> 10L))
+    // window end: the first pair PAST maxBatch is the guard
+    assert(Bpe.selectMergeBatch(
+      Seq("a b" -> 10L, "c d" -> 9L, "e f" -> 9L), 2)
+      == Seq("a b" -> 10L))
+    // singleton window is always a valid batch of one
+    assert(Bpe.selectMergeBatch(Seq("a b" -> 3L), 4) == Seq("a b" -> 3L))
+  }
+
+  test("distributed merge batching cuts job rounds, rules bit-identical") {
+    import spark.implicits._
+    // ten symbol-disjoint two-char words with strictly decreasing
+    // frequency: round 1 can batch 8 merges, round 2 the other 2
+    val words = Seq("ab", "cd", "ef", "gh", "ij", "kl", "mn", "op", "qr", "st")
+    val text = words.zipWithIndex
+      .flatMap { case (w, i) => Seq.fill(100 - i)(w) }.mkString(" ")
+    val docs = Seq(text).toDF("text")
+    def countJobs(body: => Unit): Int = {
+      val n = new java.util.concurrent.atomic.AtomicInteger
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          n.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(l)
+      try { body; Thread.sleep(1000) } // listener bus drains async
+      finally spark.sparkContext.removeSparkListener(l)
+      n.get()
+    }
+    def run(batch: Int): (Seq[(Long, String, String)], Int) = {
+      spark.conf.set(Bpe.LocalVocabThresholdKey, "0")
+      spark.conf.set(Bpe.MergeBatchKey, batch.toString)
+      try {
+        var rules: Seq[(Long, String, String)] = null
+        val jobs = countJobs {
+          rules = Bpe.train(docs, col("text"), merges = 10).collect()
+            .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+        }
+        (rules, jobs)
+      } finally {
+        spark.conf.unset(Bpe.LocalVocabThresholdKey)
+        spark.conf.unset(Bpe.MergeBatchKey)
+      }
+    }
+    val (seqRules, seqJobs) = run(batch = 1)
+    val (batRules, batJobs) = run(batch = 8)
+    assert(seqRules == batRules) // bit-identical rule sequence
+    assert(seqRules.map(_._1) == (1L to 10L))
+    assert(batJobs < seqJobs, s"batched $batJobs !< sequential $seqJobs")
+    // and both equal the driver-side classic loop
+    val local = Bpe.train(docs, col("text"), merges = 10).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(local == batRules)
+  }
+
   test("train: minFreq floor inert on disjoint singletons → merges AND counts identical") {
     import spark.implicits._
     // head words (freq ≥ 2) decide every merge; the singleton "xyz"
