@@ -508,6 +508,44 @@ object SparkEntry {
         GraphiteTables.events(s, dir),
         key = col("user_id"), weight = lit(1L), k = 10, capacity = 65536)),
 
+    // Count-Min sketch grid over user_id occurrences: the group-key
+    // cardinality is depth·width NO MATTER the key cardinality, so
+    // partial aggregation reduces map-side and the shuffle carries
+    // ≤ d·w rows per partition at any corpus size. Deterministic md5
+    // hashing → the grid itself sits under the full hash oracle.
+    "ev_cms_sketch" -> ((s, dir) =>
+      graft.events.Sketches.cmsSketch(
+          GraphiteTables.events(s, dir), col("user_id"),
+          depth = 4, width = 32)
+        .select(col("row").as("row_idx"), col("bucket"), col("n"))),
+
+    // CM point-query evaluation: per distinct key, the sketch
+    // estimate (min over rows, via a broadcast of the ≤ d·w grid)
+    // next to the exact count — `overcount >= 0` is the CMS one-sided
+    // guarantee, hash-gated value for value.
+    "ev_cms_estimate" -> ((s, dir) =>
+      graft.events.Sketches.cmsEstimates(
+        GraphiteTables.events(s, dir), col("user_id"),
+        depth = 4, width = 32)),
+
+    // HyperLogLog daily active users: register table is a
+    // (day, bucket)-keyed max — ≤ m rows per day, mergeable by max —
+    // next to the exact COUNT(DISTINCT) baseline. The estimator's
+    // harmonic sum is accumulated as an exact integer (Σ 2^(26−reg)),
+    // so the whole estimate is engine-portable arithmetic; both the
+    // raw and the linear-counting branch fire across the 30 days.
+    "ev_hll_daily_users" -> ((s, dir) => {
+      val ev = GraphiteTables.events(s, dir)
+      val day = expr("ts div 86400000000000")
+      val est = graft.events.Sketches.hllDistinct(
+        graft.events.Sketches.hllRegisters(ev, day, col("user_id")))
+      val exact = ev.where(col("user_id").isNotNull)
+        .groupBy(day.as("g"))
+        .agg(countDistinct(col("user_id")).as("exact_distinct"))
+      est.join(exact, "g")
+        .select(col("g").as("day"), col("est_distinct"), col("exact_distinct"))
+    }),
+
     // ordered conversion funnel view -> click -> purchase: one hash
     // aggregate per user + a bounded in-row fold — never the
     // tA<tB<tC triple self-join that squares the event table.
@@ -2656,6 +2694,13 @@ object SparkEntry {
         s"(SELECT doc_id, $hsExpr AS hs FROM (SELECT doc_id, $sh3 AS sh FROM $src) s1) s2)"
     val minhashBands = minhashBandsOver("documents")
 
+    // engine-portable sketch hashing mirroring events.Sketches: the
+    // same 60-bit md5 base hash mod P, CM buckets via the minhash
+    // affine family reduced mod width (32)
+    val cmsHashSql =
+      "('0x' || substr(md5(user_id::varchar), 1, 15))::bigint % 2147483647"
+    val cmsBucketSql = "((h * (2 * i + 1) + 1000003 * i) % 2147483647) % 32"
+
     val qualityExpr =
       "0.5 * least(len(string_split_regex(trim(text), '\\s+'))::double / 64.0, 1.0) + " +
         "0.5 * (length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))::double / greatest(length(text)::double, 1.0))"
@@ -3108,6 +3153,53 @@ object SparkEntry {
           |       CAST(row_number() OVER (ORDER BY weight DESC, k) AS BIGINT) AS rank,
           |       true AS certified
           |FROM c ORDER BY weight DESC, k LIMIT 10""".stripMargin),
+
+      "ev_cms_sketch" ->
+        (s"""WITH h AS (SELECT $cmsHashSql AS h FROM events WHERE user_id IS NOT NULL),
+           |cells AS (SELECT i, $cmsBucketSql AS bucket
+           |  FROM h, (SELECT unnest([0, 1, 2, 3]) AS i) u)
+           |SELECT CAST(i AS BIGINT) AS row_idx, CAST(bucket AS BIGINT) AS bucket,
+           |       CAST(count(*) AS BIGINT) AS n
+           |FROM cells GROUP BY 1, 2""".stripMargin),
+
+      "ev_cms_estimate" ->
+        (s"""WITH keys AS (SELECT user_id::varchar AS key, count(*) AS exact
+           |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+           |kh AS (SELECT key, exact,
+           |  ('0x' || substr(md5(key), 1, 15))::bigint % 2147483647 AS h FROM keys),
+           |kcells AS (SELECT key, exact, i, $cmsBucketSql AS bucket
+           |  FROM kh, (SELECT unnest([0, 1, 2, 3]) AS i) u),
+           |grid AS (SELECT i AS row_idx, $cmsBucketSql AS bucket, count(*) AS n
+           |  FROM (SELECT $cmsHashSql AS h FROM events WHERE user_id IS NOT NULL) hh,
+           |       (SELECT unnest([0, 1, 2, 3]) AS i) u
+           |  GROUP BY 1, 2)
+           |SELECT k.key, CAST(k.exact AS BIGINT) AS exact,
+           |       CAST(min(g.n) AS BIGINT) AS est,
+           |       CAST(min(g.n) - k.exact AS BIGINT) AS overcount
+           |FROM kcells k JOIN grid g ON g.row_idx = k.i AND g.bucket = k.bucket
+           |GROUP BY k.key, k.exact""".stripMargin),
+
+      "ev_hll_daily_users" ->
+        (s"""WITH h AS (SELECT epoch_us(ts) // 86400000000 AS g, $cmsHashSql AS h
+           |  FROM events WHERE user_id IS NOT NULL),
+           |obs AS (SELECT g, h & 63 AS bucket,
+           |  CASE WHEN (h >> 6) = 0 THEN 26
+           |       ELSE bit_count(((h >> 6) & -(h >> 6)) - 1) + 1 END AS rho FROM h),
+           |regs AS (SELECT g, bucket, max(rho) AS reg FROM obs GROUP BY 1, 2),
+           |agg AS (SELECT g, sum((1::bigint << CAST(26 - reg AS INT))) AS sp,
+           |  count(*) AS np FROM regs GROUP BY 1),
+           |sv AS (SELECT g, (sp + (64 - np) * 67108864)::double AS s,
+           |  (64 - np)::double AS v FROM agg),
+           |ex AS (SELECT epoch_us(ts) // 86400000000 AS g,
+           |  count(DISTINCT user_id) AS exact_distinct
+           |  FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+           |SELECT CAST(sv.g AS BIGINT) AS day,
+           |  round(CASE WHEN (0.709 * 64.0 * 64.0 * 67108864.0) / s <= 160.0 AND v > 0
+           |             THEN 64.0 * ln(64.0 / v)
+           |             ELSE (0.709 * 64.0 * 64.0 * 67108864.0) / s END, 4) + 0
+           |    AS est_distinct,
+           |  CAST(ex.exact_distinct AS BIGINT) AS exact_distinct
+           |FROM sv JOIN ex ON ex.g = sv.g""".stripMargin),
 
       "ev_funnel" ->
         ("""WITH ev AS (
