@@ -528,6 +528,42 @@ object SparkEntry {
         GraphiteTables.events(s, dir), col("user_id"),
         depth = 4, width = 32)),
 
+    // Bloom filter over the heavy-purchaser user set, shipped as the
+    // 32-bit-word wire format: the filter relation is bounded by
+    // `bits` rows at ANY corpus size (map-side-combined distinct),
+    // which is what makes it the broadcastable runtime semi-join
+    // pruning tool at 100 TB. Deterministic md5-affine positions →
+    // the packed words hash-gate exactly.
+    "ev_bloom_words" -> ((s, dir) => {
+      val build = GraphiteTables.events(s, dir)
+        .where(col("event_type") === "purchase")
+        .groupBy(col("user_id").cast("string").as("key"))
+        .agg(count(lit(1)).as("n")).where(col("n") >= 12)
+      graft.events.Sketches.bloomWords(
+        graft.events.Sketches.bloomBits(build, col("key"),
+          numHashes = 5, bits = 512))
+    }),
+
+    // Bloom membership probe of every user against that filter, next
+    // to exact membership: `present => maybe` is the no-false-negative
+    // guarantee, and the (deterministic) false-positive remainder is
+    // the price of the constant-size filter — all under the hash
+    // oracle, value for value.
+    "ev_bloom_probe" -> ((s, dir) => {
+      val ev = GraphiteTables.events(s, dir)
+      val build = ev.where(col("event_type") === "purchase")
+        .groupBy(col("user_id").cast("string").as("key"))
+        .agg(count(lit(1)).as("n")).where(col("n") >= 12)
+        .select(col("key"))
+      val bloom = graft.events.Sketches.bloomBits(
+        build, col("key"), numHashes = 5, bits = 512)
+      graft.events.Sketches.bloomProbe(bloom, ev, col("user_id"),
+          numHashes = 5, bits = 512)
+        .join(build.withColumn("present", lit(true)), Seq("key"), "left")
+        .select(col("key"),
+          coalesce(col("present"), lit(false)).as("present"), col("maybe"))
+    }),
+
     // HyperLogLog daily active users: register table is a
     // (day, bucket)-keyed max — ≤ m rows per day, mergeable by max —
     // next to the exact COUNT(DISTINCT) baseline. The estimator's
@@ -3178,6 +3214,38 @@ object SparkEntry {
            |       CAST(min(g.n) - k.exact AS BIGINT) AS overcount
            |FROM kcells k JOIN grid g ON g.row_idx = k.i AND g.bucket = k.bucket
            |GROUP BY k.key, k.exact""".stripMargin),
+
+      "ev_bloom_words" ->
+        (s"""WITH build AS (SELECT user_id::varchar AS key FROM events
+           |  WHERE event_type = 'purchase' GROUP BY 1 HAVING count(*) >= 12),
+           |bh AS (SELECT ('0x' || substr(md5(key), 1, 15))::bigint % 2147483647 AS h
+           |  FROM build),
+           |bloom AS (SELECT DISTINCT
+           |    ((h * (2 * i + 1) + 1000003 * i) % 2147483647) % 512 AS pos
+           |  FROM bh, (SELECT unnest([0, 1, 2, 3, 4]) AS i) u)
+           |SELECT CAST(pos // 32 AS BIGINT) AS word_idx,
+           |       CAST(sum(1::bigint << CAST(pos % 32 AS INT)) AS BIGINT) AS bits
+           |FROM bloom GROUP BY 1""".stripMargin),
+
+      "ev_bloom_probe" ->
+        (s"""WITH build AS (SELECT user_id::varchar AS key FROM events
+           |  WHERE event_type = 'purchase' GROUP BY 1 HAVING count(*) >= 12),
+           |bh AS (SELECT ('0x' || substr(md5(key), 1, 15))::bigint % 2147483647 AS h
+           |  FROM build),
+           |bloom AS (SELECT DISTINCT
+           |    ((h * (2 * i + 1) + 1000003 * i) % 2147483647) % 512 AS pos
+           |  FROM bh, (SELECT unnest([0, 1, 2, 3, 4]) AS i) u),
+           |probes AS (SELECT DISTINCT user_id::varchar AS key FROM events
+           |  WHERE user_id IS NOT NULL),
+           |ph AS (SELECT key,
+           |  ('0x' || substr(md5(key), 1, 15))::bigint % 2147483647 AS h FROM probes),
+           |pcells AS (SELECT key,
+           |    ((h * (2 * i + 1) + 1000003 * i) % 2147483647) % 512 AS pos
+           |  FROM ph, (SELECT unnest([0, 1, 2, 3, 4]) AS i) u)
+           |SELECT p.key, (p.key IN (SELECT key FROM build)) AS present,
+           |       (count(b.pos) = 5) AS maybe
+           |FROM pcells p LEFT JOIN bloom b ON b.pos = p.pos
+           |GROUP BY p.key""".stripMargin),
 
       "ev_hll_daily_users" ->
         (s"""WITH h AS (SELECT epoch_us(ts) // 86400000000 AS g, $cmsHashSql AS h

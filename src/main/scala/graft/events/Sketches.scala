@@ -135,6 +135,61 @@ object Sketches {
   def hllRegisters(df: DataFrame, group: Column, key: Column, b: Int = 6): DataFrame =
     hllObservations(df, group, key, b).groupBy("g", "bucket").agg(max("rho").as("reg"))
 
+  /** Distinct set-bit positions of a Bloom filter (Bloom 1970) over
+    * `key`: `numHashes` positions per key from the same md5-affine
+    * family, `array_distinct`-ed by the aggregate — the relation is
+    * bounded by `bits` rows REGARDLESS of key cardinality, so the
+    * build is a map-side-combined distinct with a ≤ `bits`-row
+    * shuffle, and the whole filter is `broadcast()`-sized. This is
+    * the membership sketch behind runtime semi-join pruning: ship
+    * the filter to the fact-table scan and drop rows whose key can't
+    * be in the dimension — no false negatives, tunable false-positive
+    * rate ≈ fill^k.
+    */
+  def bloomBits(df: DataFrame, key: Column, numHashes: Int = 5, bits: Int = 512): DataFrame = {
+    require(numHashes >= 1 && bits >= 2, "bloom needs numHashes >= 1, bits >= 2")
+    cmsCells(df, key, numHashes, bits).select(col("bucket").as("pos")).distinct()
+  }
+
+  /** The production wire format of [[bloomBits]]: positions packed
+    * into 32-bit words (32, not 64, so the per-word value stays
+    * strictly inside BIGINT in every engine — a 1<<63 overflows
+    * DuckDB's checked shift). `bits/32` rows, reassembled into a flat
+    * bitmap by any consumer. `sum` ≡ `bit_or` here because the input
+    * positions are distinct, so every bit contributes at most once.
+    */
+  def bloomWords(bloomBits: DataFrame): DataFrame =
+    bloomBits
+      .groupBy((col("pos") / 32).cast("long").as("word_idx"))
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")).as("bits"))
+
+  /** Membership probe of every distinct probe key against a (tiny,
+    * broadcast) [[bloomBits]] relation: `maybe` is true iff ALL
+    * `numHashes` positions are set. The Bloom guarantee — a key that
+    * was fed to the build side is ALWAYS `maybe = true` — is what a
+    * caller relies on when using `maybe` as a pre-filter; the
+    * false-positive fraction among absent keys is the deterministic
+    * (hash-fixed) remainder the spec measures.
+    */
+  def bloomProbe(
+      bloomBits: DataFrame,
+      probes: DataFrame,
+      key: Column,
+      numHashes: Int = 5,
+      bits: Int = 512): DataFrame = {
+    val keyed = probes.where(key.isNotNull)
+      .select(key.cast("string").as("key")).distinct()
+    val h = baseHash(col("key"))
+    val cells = (0 until numHashes).map(i => cmsBucket(h, i, bits))
+    keyed
+      .select(col("key"), explode(array(cells: _*)).as("pos"))
+      .join(
+        broadcast(bloomBits.select(col("pos").as("set_pos"))),
+        col("pos") === col("set_pos"), "left")
+      .groupBy("key")
+      .agg((count(col("set_pos")) === numHashes).as("maybe"))
+  }
+
   /** Per-group HLL cardinality estimate from the register table, with
     * the standard small-range (linear-counting) correction. `exact`
     * via a COUNT(DISTINCT) next to it is the evaluation harness —

@@ -71,4 +71,29 @@ object StreamSketch {
     state.update(m)
     HllReg(reg._1, reg._2, m)
   }
+
+  final case class BloomBit(pos: Long)
+
+  /** Streaming Bloom build: state is one boolean per SET position
+    * (≤ `bits` entries ever), set-once and emitted on every touch —
+    * trivially idempotent under replay (OR). `cells` must carry a
+    * single `pos: Long` column, e.g.
+    * `Sketches.cmsCells(stream, key, numHashes, bits).select($"bucket" as "pos")`.
+    */
+  def bloom(cells: DataFrame): Dataset[BloomBit] = {
+    val spark = cells.sparkSession
+    import spark.implicits._
+    cells
+      .as[Long](Encoders.scalaLong)
+      .groupByKey(identity)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(setBit)
+  }
+
+  private def setBit(
+      pos: Long,
+      rows: Iterator[Long],
+      state: GroupState[Boolean]): BloomBit = {
+    state.update(true)
+    BloomBit(pos)
+  }
 }

@@ -92,6 +92,33 @@ class SketchesSpec extends AnyFunSuite {
     assert(merged == sparkRegs(rows))
   }
 
+  test("bloom: no false negatives ever; probe == brute force; words pack the bit set") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1693)
+    for (trial <- 1 to 3) {
+      val (k, m) = (1 + rnd.nextInt(6), 64 << rnd.nextInt(3))
+      val build = Seq.fill(60)("b" + rnd.nextInt(40)).distinct
+      val absent = (1 to 50).map(i => "a" + i)
+      val bitsSet = build.flatMap(localCmsCells(_, k, m)).map(_._2).distinct.toSet
+      val bloom = Sketches.bloomBits(build.toDF("k"), col("k"), k, m)
+      assert(bloom.collect().map(_.getLong(0)).toSet == bitsSet)
+      val got = Sketches.bloomProbe(bloom, (build ++ absent).toDF("k"), col("k"), k, m)
+        .collect().map(r => (r.getString(0), r.getBoolean(1))).toMap
+      build.foreach(b => assert(got(b), s"trial $trial: false negative on $b"))
+      absent.foreach { a =>
+        val want = localCmsCells(a, k, m).map(_._2).forall(bitsSet)
+        assert(got(a) == want, s"trial $trial: probe($a) != brute force")
+      }
+      // wire format: words reassemble to exactly the set positions
+      val words = Sketches.bloomWords(bloom)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val unpacked = words.toSeq.flatMap { case (w, bits) =>
+        (0 until 32).filter(b => (bits >> b & 1L) == 1L).map(b => w * 32 + b)
+      }.toSet
+      assert(unpacked == bitsSet.map(identity))
+    }
+  }
+
   test("hllDistinct: raw branch tracks true cardinality; small-range branch linear-counts") {
     import spark.implicits._
     // one group far above the 2.5m correction range, one tiny group

@@ -43,6 +43,33 @@ class StreamSketchSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("streaming bloom == batch bloomBits; replay is a no-op (OR idempotent)") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-bloom").toFile.getAbsolutePath
+    val b1 = (1 to 80).map(i => "u" + i % 31)
+    val b2 = (1 to 60).map(i => "u" + (i * 3) % 47)
+    val stream = MemoryStream[String]
+    val q = StreamSketch.bloom(
+        Sketches.cmsCells(stream.toDF().toDF("k"), col("k"), depth = 4, width = 128)
+          .select(col("bucket").as("pos")))
+      .writeStream.format("memory").queryName("bloom_out")
+      .outputMode("update")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    def posSet(): Set[Long] =
+      spark.table("bloom_out").collect().map(_.getLong(0)).toSet
+    try {
+      stream.addData(b1: _*); q.processAllAvailable()
+      stream.addData(b2: _*); q.processAllAvailable()
+      val want = Sketches.bloomBits((b1 ++ b2).toDF("k"), col("k"), 4, 128)
+        .collect().map(_.getLong(0)).toSet
+      assert(posSet() == want)
+      stream.addData(b1: _*); q.processAllAvailable() // replay
+      assert(posSet() == want, "re-delivered keys must not add bits")
+    } finally q.stop()
+  }
+
   test("streaming HLL == batch registers; replayed batch is a no-op (max idempotent)") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
