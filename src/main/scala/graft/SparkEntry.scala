@@ -2576,6 +2576,24 @@ object SparkEntry {
           col("height").cast("long").as("height"),
           round(element_at(col("feature"), 2), 4).as("mean_g"))),
 
+    // Perceptual image fingerprints over the REAL decode path: dHash
+    // = horizontal luminance gradients of an 8×8 own-kernel
+    // downsample — the media twin of simhash. PNG losslessness + the
+    // pinned resize grid make the 56-bit fingerprint
+    // SQL-reproducible from the text bytes.
+    "m_dhash" -> ((s, dir) =>
+      Multimodal.dhash(
+        Multimodal.withPngPayload(s.read.parquet(s"$dir/documents.parquet")))),
+
+    // banded-LSH near-duplicate IMAGE pairs verified by exact Hamming
+    // distance — media dedup for a multimodal curation pipeline. The
+    // join key is (band, value), never an all-pairs cross.
+    "m_dhash_pairs" -> ((s, dir) =>
+      Multimodal.dhashPairs(
+        Multimodal.dhash(
+          Multimodal.withPngPayload(s.read.parquet(s"$dir/documents.parquet"))),
+        maxDist = 10)),
+
     // REAL audio codec (JDK WAV/PCM): seed-keyed sine payloads
     // round-tripped through the JDK encoder/decoder, RMS +
     // zero-crossing features out.
@@ -2729,6 +2747,25 @@ object SparkEntry {
         s"(SELECT doc_id, ${sigExprs.mkString(", ")} FROM " +
         s"(SELECT doc_id, $hsExpr AS hs FROM (SELECT doc_id, $sh3 AS sh FROM $src) s1) s2)"
     val minhashBands = minhashBandsOver("documents")
+
+    // dHash 8×8 downsampled-luminance cells, recomputed from the
+    // text bytes exactly like the m_png_* twins: src pixel index
+    // i = sy·w + sx with sy = (gy·h)//8, sx = (gx·w)//8; channels
+    // r = byte(i mod L), g = byte((31i+7) mod L), b = (131i) mod 256
+    val dhashCellsSql =
+      """SELECT doc_id, gx, gy,
+        |    299 * (CASE WHEN L > 0
+        |      THEN ('0x' || substr(hx, 2 * (((gy * h // 8) * w + (gx * w) // 8) % L) + 1, 2))::int ELSE 0 END)
+        |  + 587 * (CASE WHEN L > 0
+        |      THEN ('0x' || substr(hx, 2 * ((((gy * h // 8) * w + (gx * w) // 8) * 31 + 7) % L) + 1, 2))::int ELSE 0 END)
+        |  + 114 * ((((gy * h // 8) * w + (gx * w) // 8) * 131) % 256) AS lum
+        |  FROM (SELECT doc_id, hex(encode(text)) AS hx,
+        |               octet_length(encode(text)) AS L,
+        |               CAST(4 + doc_id % 13 AS INT) AS w,
+        |               CAST(4 + doc_id % 11 AS INT) AS h
+        |        FROM documents) d,
+        |       LATERAL (SELECT unnest(generate_series(0, 7)) AS gx) tx,
+        |       LATERAL (SELECT unnest(generate_series(0, 7)) AS gy) ty""".stripMargin
 
     // engine-portable sketch hashing mirroring events.Sketches: the
     // same 60-bit md5 base hash mod P, CM buckets via the minhash
@@ -6167,6 +6204,38 @@ object SparkEntry {
       // libm sin difference cannot flip a sign or a truncation here —
       // |sin| at the zero crossings is ≥ ~1e-9 in these arguments)
       // and recomputes RMS + sign-change count independently.
+      // dHash twin: the 8×8 downsample grid is the pinned NN index
+      // formula (cell (gx,gy) samples src ((gx·w)//8, (gy·h)//8));
+      // luminance is the INTEGER 299r+587g+114b, so every gradient
+      // compare is exact; bits sum as disjoint powers of two
+      "m_dhash" ->
+        (s"""WITH cell AS ($dhashCellsSql)
+           |SELECT a.doc_id,
+           |  CAST(sum(CASE WHEN b.lum > a.lum
+           |    THEN (1::bigint << CAST(a.gy * 7 + a.gx AS INT)) ELSE 0 END) AS BIGINT) AS fp
+           |FROM cell a JOIN cell b
+           |  ON b.doc_id = a.doc_id AND b.gy = a.gy AND b.gx = a.gx + 1
+           |WHERE a.gx < 7
+           |GROUP BY 1""".stripMargin),
+
+      "m_dhash_pairs" ->
+        (s"""WITH cell AS ($dhashCellsSql),
+           |fp AS (
+           |  SELECT a.doc_id,
+           |    CAST(sum(CASE WHEN b.lum > a.lum
+           |      THEN (1::bigint << CAST(a.gy * 7 + a.gx AS INT)) ELSE 0 END) AS BIGINT) AS fp
+           |  FROM cell a JOIN cell b
+           |    ON b.doc_id = a.doc_id AND b.gy = a.gy AND b.gx = a.gx + 1
+           |  WHERE a.gx < 7
+           |  GROUP BY 1),
+           |banded AS (SELECT doc_id, fp, i AS b, (fp >> CAST(14 * i AS INT)) & 16383 AS v
+           |  FROM fp, (SELECT unnest([0, 1, 2, 3]) AS i) u)
+           |SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+           |  CAST(bit_count(xor(a.fp, b2.fp)) AS BIGINT) AS dist
+           |FROM banded a JOIN banded b2
+           |  ON a.b = b2.b AND a.v = b2.v AND a.doc_id < b2.doc_id
+           |WHERE bit_count(xor(a.fp, b2.fp)) <= 10""".stripMargin),
+
       "m_wav_features" ->
         ("""WITH s AS (
           |  SELECT doc_id, i,

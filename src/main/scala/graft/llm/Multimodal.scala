@@ -290,6 +290,85 @@ object Multimodal {
     }(enc)
   }
 
+  /** Perceptual difference-hash bits of one decoded image:
+    * [[nearestNeighbor]] downsample to a (gridW+1)×gridH grid (the
+    * pinned index formula again — SQL-reproducible), integer
+    * luminance 299r+587g+114b per cell, one bit per horizontal
+    * gradient `lum(x+1,y) > lum(x,y)`. gridW·gridH ≤ 62 keeps the
+    * fingerprint strictly inside checked BIGINT shifts in every
+    * engine (the same constraint that sizes the Bloom words).
+    */
+  private[graft] def dhashBits(
+      img: java.awt.image.BufferedImage, gridW: Int, gridH: Int): Long = {
+    val g = nearestNeighbor(img, gridW + 1, gridH)
+    def lum(x: Int, y: Int): Int = {
+      val rgb = g.getRGB(x, y)
+      299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)
+    }
+    var fp = 0L
+    var y = 0
+    while (y < gridH) {
+      var x = 0
+      while (x < gridW) {
+        if (lum(x + 1, y) > lum(x, y)) fp |= 1L << (y * gridW + x)
+        x += 1
+      }
+      y += 1
+    }
+    fp
+  }
+
+  /** Perceptual fingerprints over the REAL decode path — the media
+    * twin of [[Dedup.simhashDF]]: near-duplicate IMAGES (rescales,
+    * re-encodes, small edits) land at small Hamming distance, exact
+    * re-encodes at distance 0. 100 TB shape: payloads never leave
+    * their partition; one 56-bit long per image does.
+    */
+  def dhash(withPayloads: DataFrame, gridW: Int = 7, gridH: Int = 8): DataFrame = {
+    require(gridW >= 1 && gridH >= 1 && gridW * gridH <= 62,
+      "dhash fingerprint must fit checked BIGINT shifts")
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("fp", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    withPayloads.select(col("doc_id"), col("payload")).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val img = decodeImageOrNull(r.getAs[Array[Byte]]("payload"))
+        Option(img).map(im => Row(r.getLong(0), dhashBits(im, gridW, gridH)))
+      }
+    }(enc)
+  }
+
+  /** Banded-LSH candidate pairs over [[dhash]] fingerprints, verified
+    * by exact Hamming distance: the fingerprint splits into `bands`
+    * bit-slices, a pair collides if ANY band matches (two fps within
+    * Hamming d agree on ≥1 band whenever d < bands — the simhash
+    * pigeonhole), and candidates are verified with one `bit_count`
+    * xor. The join key is (band index, band value) — never an
+    * all-pairs cross — so candidate volume tracks true duplicate
+    * density, not corpus².
+    */
+  def dhashPairs(
+      fps: DataFrame, nBits: Int = 56, bands: Int = 4, maxDist: Int = 10): DataFrame = {
+    require(nBits % bands == 0, "bands must divide the fingerprint width")
+    val bw = nBits / bands
+    val mask = (1L << bw) - 1L
+    val slices = (0 until bands).map(b =>
+      struct(lit(b).as("b"), (shiftright(col("fp"), b * bw).bitwiseAND(lit(mask))).as("v")))
+    val banded = fps.select(col("doc_id"), col("fp"),
+      explode(array(slices: _*)).as("s"))
+    val a = banded.select(col("doc_id").as("id_a"), col("fp").as("fp_a"),
+      col("s.b").as("b"), col("s.v").as("v"))
+    val bnd = banded.select(col("doc_id").as("id_b"), col("fp").as("fp_b"),
+      col("s.b").as("b"), col("s.v").as("v"))
+    a.join(bnd, Seq("b", "v"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long").as("dist"))
+      .distinct()
+      .where(col("dist") <= maxDist)
+  }
+
   /** Deterministic REAL WAV payload: 16-bit PCM mono sine at a
     * seed-keyed frequency, written through the JDK WAV encoder.
     */

@@ -117,4 +117,63 @@ class ImageCodecSpec extends AnyFunSuite {
       res.getLong(2) == 3L && res.getLong(3) == 3L)
     assert(graft.SparkEntry.queries("m_wav_features")(spark, sfDir).count() == nDocs)
   }
+
+  test("dhashBits matches a hand-rolled gradient fold on the downsampled grid") {
+    val seed = "perceptual fingerprint fodder".getBytes("UTF-8")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      Multimodal.pngBytes(seed, 9, 6)))
+    val grid = Multimodal.nearestNeighbor(img, 8, 8)
+    def lum(x: Int, y: Int): Int = {
+      val rgb = grid.getRGB(x, y)
+      299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)
+    }
+    var want = 0L
+    for (y <- 0 until 8; x <- 0 until 7)
+      if (lum(x + 1, y) > lum(x, y)) want |= 1L << (y * 7 + x)
+    assert(Multimodal.dhashBits(img, 7, 8) == want)
+    assert(want != 0L && want != (1L << 56) - 1, "fixture must be non-degenerate")
+  }
+
+  test("dhash: re-encode at distance 0, NN-upscale nearby, different image far") {
+    def bits(seed: String, w: Int, h: Int): Long = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+        Multimodal.pngBytes(seed.getBytes("UTF-8"), w, h)))
+      Multimodal.dhashBits(img, 7, 8)
+    }
+    def dist(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val base = bits("some recurring web boilerplate paragraph", 8, 8)
+    // byte-identical pixels re-encoded -> identical fingerprint
+    assert(dist(base, bits("some recurring web boilerplate paragraph", 8, 8)) == 0)
+    // 2x NN upscale preserves the sample grid -> small distance
+    val up = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+        Multimodal.pngBytes("some recurring web boilerplate paragraph".getBytes("UTF-8"), 8, 8)))
+      Multimodal.dhashBits(
+        javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+          Multimodal.encodePng(Multimodal.nearestNeighbor(img, 16, 16)))), 7, 8)
+    }
+    assert(dist(base, up) <= 6, s"upscale moved ${dist(base, up)} bits")
+    // unrelated content -> far
+    assert(dist(base, bits("zq", 12, 9)) > 10)
+  }
+
+  test("dhashPairs == brute-force pairs when distance < band count") {
+    import spark.implicits._
+    // ids 143 apart share the (w, h) = (4 + id%13, 4 + id%11) grid, so
+    // same-text triples are byte-identical images -> distance-0 pairs
+    val docs = (0L until 10L)
+      .flatMap(k => Seq(k, k + 143L, k + 286L).map(id => (id, s"document number $k body")))
+      .toDF("doc_id", "text")
+    val fps = Multimodal.dhash(Multimodal.withPngPayload(docs))
+    val fpMap = fps.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val got = Multimodal.dhashPairs(fps, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = (for {
+      a <- fpMap.keys; b <- fpMap.keys if a < b
+      d = java.lang.Long.bitCount(fpMap(a) ^ fpMap(b)) if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    // maxDist 3 < 4 bands: banding provably recalls every such pair
+    assert(got == want)
+    assert(want.nonEmpty, "fixture must contain near-duplicate images")
+  }
 }
