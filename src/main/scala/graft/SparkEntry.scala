@@ -2594,6 +2594,17 @@ object SparkEntry {
           Multimodal.withPngPayload(s.read.parquet(s"$dir/documents.parquet"))),
         maxDist = 10)),
 
+    // Perceptual AUDIO fingerprints over the real WAV decode path:
+    // frame-energy gradients (exact integer Σv² per frame) → 31 bits.
+    // Media dedup's audio leg; same banded-pairs machinery as dHash.
+    "m_afp" -> ((s, dir) =>
+      Multimodal.audioFingerprint(s.read.parquet(s"$dir/documents.parquet"))),
+
+    "m_afp_pairs" -> ((s, dir) =>
+      Multimodal.dhashPairs(
+        Multimodal.audioFingerprint(s.read.parquet(s"$dir/documents.parquet")),
+        nBits = 32, bands = 4, maxDist = 5)),
+
     // REAL audio codec (JDK WAV/PCM): seed-keyed sine payloads
     // round-tripped through the JDK encoder/decoder, RMS +
     // zero-crossing features out.
@@ -2766,6 +2777,16 @@ object SparkEntry {
         |        FROM documents) d,
         |       LATERAL (SELECT unnest(generate_series(0, 7)) AS gx) tx,
         |       LATERAL (SELECT unnest(generate_series(0, 7)) AS gy) ty""".stripMargin
+
+    // per-frame integer PCM energy (32 frames × 25 samples), sample
+    // values from the same trunc(sin) formula the m_wav_features
+    // twin pins against the real decoder
+    val afpEnergySql =
+      """SELECT doc_id, i // 25 AS f, sum(v * v) AS e FROM (
+        |  SELECT doc_id, i,
+        |    CAST(trunc(sin(2*pi()*(200 + abs(doc_id) % 200)*i/8000) * 0.5 * 32767) AS BIGINT) AS v
+        |  FROM (SELECT doc_id, unnest(generate_series(0, 799)) AS i FROM documents) t) s
+        |GROUP BY 1, 2""".stripMargin
 
     // engine-portable sketch hashing mirroring events.Sketches: the
     // same 60-bit md5 base hash mod P, CM buckets via the minhash
@@ -6235,6 +6256,33 @@ object SparkEntry {
            |FROM banded a JOIN banded b2
            |  ON a.b = b2.b AND a.v = b2.v AND a.doc_id < b2.doc_id
            |WHERE bit_count(xor(a.fp, b2.fp)) <= 10""".stripMargin),
+
+      // audio-fingerprint twin: decoded PCM == the generator formula
+      // (pinned by m_wav_features), per-frame energy is an exact
+      // integer sum, gradient bits sum as disjoint powers of two
+      "m_afp" ->
+        (s"""WITH e AS ($afpEnergySql)
+           |SELECT a.doc_id,
+           |  CAST(sum(CASE WHEN b.e > a.e
+           |    THEN (1::bigint << CAST(a.f AS INT)) ELSE 0 END) AS BIGINT) AS fp
+           |FROM e a JOIN e b ON b.doc_id = a.doc_id AND b.f = a.f + 1
+           |GROUP BY 1""".stripMargin),
+
+      "m_afp_pairs" ->
+        (s"""WITH e AS ($afpEnergySql),
+           |fp AS (
+           |  SELECT a.doc_id,
+           |    CAST(sum(CASE WHEN b.e > a.e
+           |      THEN (1::bigint << CAST(a.f AS INT)) ELSE 0 END) AS BIGINT) AS fp
+           |  FROM e a JOIN e b ON b.doc_id = a.doc_id AND b.f = a.f + 1
+           |  GROUP BY 1),
+           |banded AS (SELECT doc_id, fp, i AS b, (fp >> CAST(8 * i AS INT)) & 255 AS v
+           |  FROM fp, (SELECT unnest([0, 1, 2, 3]) AS i) u)
+           |SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+           |  CAST(bit_count(xor(a.fp, b2.fp)) AS BIGINT) AS dist
+           |FROM banded a JOIN banded b2
+           |  ON a.b = b2.b AND a.v = b2.v AND a.doc_id < b2.doc_id
+           |WHERE bit_count(xor(a.fp, b2.fp)) <= 5""".stripMargin),
 
       "m_wav_features" ->
         ("""WITH s AS (

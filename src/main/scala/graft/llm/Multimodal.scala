@@ -426,6 +426,68 @@ object Multimodal {
       } finally ais.close()
     } catch { case _: Exception => None }
 
+  /** Frame-energy audio fingerprint bits over decoded PCM — the audio
+    * twin of [[dhashBits]] (an energy-gradient variant in the spirit
+    * of Haitsma & Kalker 2002's audio fingerprint, mono-band): the
+    * samples split into `frames` equal frames, E_f = Σ v² accumulated
+    * as an EXACT integer (16-bit v → v² ≤ 2³⁰, × frame length stays
+    * far inside Long), bit f set iff E_{f+1} > E_f. `frames − 1 ≤ 62`
+    * keeps the fingerprint inside checked BIGINT shifts both engines.
+    * Returns None for undecodable payloads (image skip policy).
+    */
+  private[llm] def audioFpBits(payload: Array[Byte], frames: Int): Option[Long] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1)
+        val bytes = ais.readAllBytes()
+        val n = bytes.length / 2
+        val per = n / frames
+        if (per == 0) None
+        else {
+          val e = new Array[Long](frames)
+          var i = 0
+          while (i < per * frames) {
+            val lo = bytes(2 * i) & 0xff
+            val hi = bytes(2 * i + 1).toInt
+            val v =
+              if (fmt.isBigEndian) ((bytes(2 * i).toInt << 8) | (bytes(2 * i + 1) & 0xff))
+              else ((hi << 8) | lo)
+            e(i / per) += v.toLong * v
+            i += 1
+          }
+          var fp = 0L
+          var f = 0
+          while (f < frames - 1) {
+            if (e(f + 1) > e(f)) fp |= 1L << f
+            f += 1
+          }
+          Some(fp)
+        }
+      } finally ais.close()
+    } catch { case _: Exception => None }
+
+  /** Perceptual audio fingerprints (seed-keyed REAL WAV payloads,
+    * decoded per partition): near-duplicate AUDIO lands at small
+    * Hamming distance. Pairs via the same banded machinery as
+    * [[dhashPairs]] — the fingerprint column contract is shared.
+    */
+  def audioFingerprint(docs: DataFrame, frames: Int = 32): DataFrame = {
+    require(frames >= 2 && frames - 1 <= 62, "fingerprint must fit checked BIGINT shifts")
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("fp", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    docs.select(col("doc_id")).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        audioFpBits(wavBytes(id), frames).map(fp => Row(id, fp))
+      }
+    }(enc)
+  }
+
   /** Attach REAL WAV payloads (seeded on doc_id) and extract decoded
     * audio features per partition.
     */

@@ -157,6 +157,25 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(dist(base, bits("zq", 12, 9)) > 10)
   }
 
+  test("audioFpBits: decode-path energies match the generator formula bit fold") {
+    def localFp(seed: Long, frames: Int): Long = {
+      val freq = 200.0 + (math.abs(seed) % 200)
+      val v = (0 until 800).map(i =>
+        (math.sin(2 * math.Pi * freq * i / 8000) * 0.5 * 32767.0).toInt.toLong)
+      val per = 800 / frames
+      val e = v.grouped(per).map(_.map(x => x * x).sum).toArray
+      (0 until frames - 1).foldLeft(0L)((fp, f) =>
+        if (e(f + 1) > e(f)) fp | (1L << f) else fp)
+    }
+    for (seed <- Seq(0L, 7L, 199L, 200L, 451L)) {
+      assert(Multimodal.audioFpBits(Multimodal.wavBytes(seed), 32)
+        == Some(localFp(seed, 32)), s"seed $seed")
+    }
+    // seeds 200 apart share the frequency -> identical waveform and fp
+    assert(Multimodal.audioFpBits(Multimodal.wavBytes(13L), 32)
+      == Multimodal.audioFpBits(Multimodal.wavBytes(213L), 32))
+  }
+
   test("dhashPairs == brute-force pairs when distance < band count") {
     import spark.implicits._
     // ids 143 apart share the (w, h) = (4 + id%13, 4 + id%11) grid, so
