@@ -789,6 +789,74 @@ object Multimodal {
     * luminance step between consecutive frames). All frames decode
     * here (featurization wants them), still partition-local.
     */
+  /** Video near-dup: per-sampled-frame [[dhashBits]] fingerprints —
+    * (doc_id, frame_no, fp) — so two videos are near-duplicates when
+    * enough aligned frames land at small Hamming distance
+    * ([[videoNearDups]]). The frame fingerprints ride the LOSSY JPEG
+    * decode, so (like `m_avi_motion`'s luminances) the VALUES are
+    * codec-defined and spec-pinned rather than SQL-oracled; the
+    * pipeline shape is the scale contract: payloads stay in their
+    * partition, one long per sampled frame leaves.
+    */
+  def videoDhash(withPayloads: DataFrame, everyK: Int = 2): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("frame_no", IntegerType, nullable = false),
+      StructField("fp", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    withPayloads.select(col("doc_id"), col("payload")).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        aviFrames(r.getAs[Array[Byte]]("payload")).iterator
+          .filter { case (n, _) => n % everyK == 0 }
+          .flatMap { case (n, jpeg) =>
+            decodeJpeg(jpeg).map(im => Row(id, n, dhashBits(im, 7, 8)))
+          }
+      }
+    }(enc)
+  }
+
+  /** Near-duplicate video pairs from [[videoDhash]] fingerprints:
+    * candidate pairs via the banded equi-join on ALIGNED frames
+    * (same frame_no — a re-encode keeps the timeline), then a pair
+    * qualifies when ≥ `minFrac` of its co-sampled frames sit within
+    * `maxDist`. Candidate volume is bucket-keyed (band, frame, value)
+    * — never videos² and never frames².
+    */
+  def videoNearDups(
+      frameFps: DataFrame,
+      bands: Int = 4,
+      maxDist: Int = 10,
+      minFrac: Double = 0.6): DataFrame = {
+    val bw = 56 / bands
+    val mask = (1L << bw) - 1L
+    val slices = (0 until bands).map(b =>
+      struct(lit(b).as("b"), (shiftright(col("fp"), b * bw).bitwiseAND(lit(mask))).as("v")))
+    val banded = frameFps.select(col("doc_id"), col("frame_no"), col("fp"),
+      explode(array(slices: _*)).as("s"))
+    val a = banded.select(col("doc_id").as("id_a"), col("frame_no"),
+      col("fp").as("fp_a"), col("s.b").as("b"), col("s.v").as("v"))
+    val bnd = banded.select(col("doc_id").as("id_b"), col("frame_no"),
+      col("fp").as("fp_b"), col("s.b").as("b"), col("s.v").as("v"))
+    // frame-level candidates: aligned frames agreeing on >= 1 band
+    val frameHits = a.join(bnd, Seq("frame_no", "b", "v"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("frame_no"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long").as("dist"))
+      .distinct()
+      .where(col("dist") <= maxDist)
+    val nFrames = frameFps.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
+    frameHits
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_close"), avg(col("dist")).as("mean_dist"))
+      .join(nFrames.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("nf", "nf_a"), Seq("id_a"))
+      .join(nFrames.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("nf", "nf_b"), Seq("id_b"))
+      .where(col("n_close") >= least(col("nf_a"), col("nf_b")) * minFrac)
+      .select(col("id_a"), col("id_b"), col("n_close"), col("mean_dist"))
+  }
+
   def videoMotion(withPayloads: DataFrame): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),

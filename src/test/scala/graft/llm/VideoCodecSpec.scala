@@ -91,6 +91,34 @@ class VideoCodecSpec extends AnyFunSuite {
     assert(out(1).getDouble(3) > out(0).getDouble(3))
   }
 
+  test("videoDhash + videoNearDups: identical clips pair at distance 0, unrelated don't") {
+    import spark.implicits._
+    // hand-built MJPEG clips with TEXTURED frames (the generator's
+    // gradient frames are monotone in x, which saturates a horizontal
+    // gradient hash — fine for the codec tests, useless for dedup)
+    def jpegOf(seed: String, w: Int, h: Int): Array[Byte] = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+        Multimodal.pngBytes(seed.getBytes("UTF-8"), w, h)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    def clip(seedPrefix: String): Array[Byte] =
+      Multimodal.aviBytes(
+        (0 until 4).map(f => jpegOf(s"$seedPrefix frame $f", 12, 10)), 12, 10)
+    val docs = Seq(
+      (1L, clip("wildlife")), (2L, clip("wildlife")), (3L, clip("unrelated noise")))
+      .toDF("doc_id", "payload")
+    val fps = Multimodal.videoDhash(docs, everyK = 1)
+    assert(fps.where(col("doc_id") === 1L).count() == 4)
+    val pairs = Multimodal.videoNearDups(fps, maxDist = 8, minFrac = 0.6)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // byte-identical clips decode identically -> all 4 aligned frames
+    // at distance 0; the unrelated clip pairs with neither
+    assert(pairs.keySet == Set((1L, 2L)))
+    assert(pairs((1L, 2L)) == 4L)
+  }
+
   test("malformed payloads yield no frames, not a crash") {
     assert(Multimodal.aviFrames(Array[Byte](1, 2, 3)).isEmpty)
     assert(Multimodal.aviFrames("RIFFxxxxWAVE".getBytes("US-ASCII")).isEmpty)
