@@ -1313,6 +1313,16 @@ object SparkEntry {
         docs.where(col("doc_id") % 2 === 0), docs, col("text"), col("doc_id"))
     }),
 
+    // held-out bigram LM with interpolated Kneser–Ney (the smoothing
+    // CCNet-grade perplexity filters actually use): discounted seen
+    // mass + continuation-probability backoff, all exact integer
+    // model counts — same scale shape as the Stupid Backoff scorer.
+    "d_bigram_kn" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      TextStats.bigramKnLogLoss(
+        docs.where(col("doc_id") % 2 === 0), docs, col("text"), col("doc_id"))
+    }),
+
     // vocabulary/coverage report: top-200 token types with corpus
     // share and cumulative coverage — partial-agg count per type,
     // top-K heap merge (no global sort), windows on the K-row result.
@@ -4506,6 +4516,55 @@ object SparkEntry {
           |SELECT n_terms,
           |  round((sxy - sx * sy / n_terms) / (sxx - sx * sx / n_terms), 4) + 0 AS zipf_slope
           |FROM f""".stripMargin),
+
+      // Kneser–Ney twin: every model quantity is an exact integer
+      // count; D, the continuation probability and the interpolation
+      // are spelled with the same parenthesization as the Scala side
+      // so the doubles agree bit for bit before the 4dp round
+      "d_bigram_kn" ->
+        ("""WITH toks AS (
+          |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+          |  FROM documents),
+          |tr AS (SELECT * FROM toks WHERE doc_id % 2 = 0),
+          |bigtr AS (
+          |  SELECT ws[i] AS w1, ws[i+1] AS w2, count(*)::bigint AS n_b FROM (
+          |    SELECT ws, unnest(range(1, len(ws))) AS i FROM tr
+          |    WHERE len(ws) >= 2)
+          |  GROUP BY 1, 2),
+          |ctx AS (SELECT w1, sum(n_b)::bigint AS n_ctx,
+          |               count(*)::bigint AS types_after FROM bigtr GROUP BY 1),
+          |cont AS (SELECT w2, count(*)::bigint AS n_cont FROM bigtr GROUP BY 1),
+          |voc AS (SELECT count(DISTINCT w)::bigint AS vsize
+          |        FROM (SELECT unnest(ws) AS w FROM tr)),
+          |sca AS (SELECT sum(CASE WHEN n_b = 1 THEN 1 ELSE 0 END)::bigint AS n1,
+          |               sum(CASE WHEN n_b = 2 THEN 1 ELSE 0 END)::bigint AS n2,
+          |               count(*)::bigint AS btypes FROM bigtr),
+          |big AS (
+          |  SELECT doc_id, i AS pos, ws[i] AS w1, ws[i+1] AS w2 FROM (
+          |    SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM toks
+          |    WHERE len(ws) >= 2)),
+          |contrib AS (
+          |  SELECT b.doc_id, b.pos,
+          |    -ln(CASE WHEN c1.n_ctx IS NOT NULL
+          |          THEN greatest(coalesce(bt.n_b, 0)::double
+          |                 - (n1::double / greatest(n1 + 2 * n2, 1)), 0) / c1.n_ctx
+          |             + (((n1::double / greatest(n1 + 2 * n2, 1)) * c1.types_after)
+          |                 / c1.n_ctx)
+          |               * ((coalesce(c2.n_cont, 0) + 1)::double / (btypes + vsize + 1))
+          |          ELSE (coalesce(c2.n_cont, 0) + 1)::double / (btypes + vsize + 1)
+          |        END) AS c
+          |  FROM big b
+          |  LEFT JOIN bigtr bt ON bt.w1 = b.w1 AND bt.w2 = b.w2
+          |  LEFT JOIN ctx c1 ON c1.w1 = b.w1
+          |  LEFT JOIN cont c2 ON c2.w2 = b.w2, sca, voc),
+          |agg AS (
+          |  SELECT doc_id, list(c ORDER BY pos) AS cs,
+          |         count(*)::bigint AS dl
+          |  FROM contrib GROUP BY 1)
+          |SELECT doc_id, dl,
+          |  round(list_reduce(cs, (a, b) -> a + b) / dl, 4) + 0 AS nll,
+          |  round(exp(list_reduce(cs, (a, b) -> a + b) / dl), 4) + 0 AS ppl
+          |FROM agg""".stripMargin),
 
       "d_vocab" ->
         ("""WITH toks AS (

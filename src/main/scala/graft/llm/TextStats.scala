@@ -478,17 +478,39 @@ object TextStats {
     * totals ride a 1-row broadcast. Contributions fold in position
     * order; `ln` rounds to 4 dp at the end.
     */
+  /** (doc_id, pos, w1, w2) bigram positions — in-row extraction (one
+    * sequence-transform over the token array), shared by the Stupid
+    * Backoff and Kneser–Ney scorers.
+    */
+  private def bigramPositions(df: DataFrame, text: Column, idCol: Column): DataFrame =
+    df.select(idCol.as("doc_id"), words(text).as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("toks")) - 1),
+        i => struct(i.as("pos"), element_at(col("toks"), i).as("w1"),
+          element_at(col("toks"), i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.pos").as("pos"),
+        col("b.w1").as("w1"), col("b.w2").as("w2"))
+
+  /** Per-doc (dl, nll, ppl) from (doc_id, pos, c) contribution rows —
+    * position-ordered fold for float identity, shared tail of both
+    * bigram scorers.
+    */
+  private def foldLogLoss(contrib: DataFrame): DataFrame =
+    contrib.groupBy("doc_id").agg(
+        count(lit(1)).as("dl"),
+        aggregate(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("c")))),
+            e => e.getField("c")),
+          lit(0.0), (acc, v) => acc + v).as("__nats"))
+      .select(col("doc_id"), col("dl"),
+        round(col("__nats") / col("dl"), 4).as("nll"),
+        round(exp(col("__nats") / col("dl")), 4).as("ppl"))
+
   def bigramLogLoss(
       train: DataFrame, docs: DataFrame, text: Column, idCol: Column): DataFrame = {
-    def bigramRows(df: DataFrame): DataFrame =
-      df.select(idCol.as("doc_id"), words(text).as("toks"))
-        .where(size(col("toks")) >= 2)
-        .select(col("doc_id"), explode(transform(
-          sequence(lit(1), size(col("toks")) - 1),
-          i => struct(i.as("pos"), element_at(col("toks"), i).as("w1"),
-            element_at(col("toks"), i + 1).as("w2")))).as("b"))
-        .select(col("doc_id"), col("b.pos").as("pos"),
-          col("b.w1").as("w1"), col("b.w2").as("w2"))
+    def bigramRows(df: DataFrame): DataFrame = bigramPositions(df, text, idCol)
     val uni = train.select(explode(words(text)).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n_w"))
     val totals = uni.groupBy().agg(
@@ -505,16 +527,64 @@ object TextStats {
           .otherwise(lit(0.4) * (coalesce(col("n_w2"), lit(0L)) + lit(1L))
             .cast("double") / (col("__total") + col("__vsize")))))
           .as("c"))
-    contrib.groupBy("doc_id").agg(
-        count(lit(1)).as("dl"),
-        aggregate(
-          transform(
-            array_sort(collect_list(struct(col("pos"), col("c")))),
-            e => e.getField("c")),
-          lit(0.0), (acc, v) => acc + v).as("__nats"))
-      .select(col("doc_id"), col("dl"),
-        round(col("__nats") / col("dl"), 4).as("nll"),
-        round(exp(col("__nats") / col("dl")), 4).as("ppl"))
+    foldLogLoss(contrib)
+  }
+
+  /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; the
+    * interpolated form of Chen & Goodman 1998 with one absolute
+    * discount D = n₁/(n₁+2n₂)):
+    *
+    *   P(w₂|w₁) = max(n(w₁w₂) − D, 0)/n(w₁) + λ(w₁)·P_cont(w₂)
+    *   λ(w₁)    = D · N₁₊(w₁·)/n(w₁)
+    *   P_cont(w₂) = (N₁₊(·w₂) + 1)/(N₁₊(··) + |V| + 1)
+    *
+    * where n(w₁) = Σ_w n(w₁w) (left-context mass), N₁₊ are
+    * continuation-type counts, and P_cont carries add-one smoothing
+    * with one OOV slot so a held-out w₂ never hits ln 0; an unseen
+    * context w₁ scores P_cont(w₂) alone. (The two held-out rules are
+    * declared divergences in the same spirit as [[bigramLogLoss]]'s
+    * smoothed backoff.) Every model quantity is an exact integer
+    * count and D is one division of two integers, so the whole score
+    * is engine-portable arithmetic — the DuckDB twin replays it term
+    * for term.
+    *
+    * Scale shape identical to [[bigramLogLoss]]: in-row bigram
+    * extraction, partial-agg count tables, three shuffled equi-joins
+    * (bigram, context, continuation — no LM broadcast; bigram types
+    * outnumber documents at corpus scale), the four model scalars on
+    * a 1-row broadcast, position-ordered fold.
+    */
+  def bigramKnLogLoss(
+      train: DataFrame, docs: DataFrame, text: Column, idCol: Column): DataFrame = {
+    val bi = bigramPositions(train, text, idCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_b"))
+      .truncateLineage(eager = false) // feeds ctx, cont, and the scalars
+    val ctx = bi.groupBy("w1").agg(
+      sum(col("n_b")).as("n_ctx"), count(lit(1)).as("types_after"))
+    val cont = bi.groupBy("w2").agg(count(lit(1)).as("n_cont"))
+    val vocab = train.select(explode(words(text)).as("w")).agg(
+      countDistinct(col("w")).as("__vsize"))
+    val scalars = bi.groupBy().agg(
+        sum(when(col("n_b") === 1L, 1L).otherwise(0L)).as("__n1"),
+        sum(when(col("n_b") === 2L, 1L).otherwise(0L)).as("__n2"),
+        count(lit(1)).as("__btypes"))
+      .crossJoin(vocab)
+    val d = col("__n1").cast("double") /
+      greatest(col("__n1") + lit(2L) * col("__n2"), lit(1L))
+    val pcont = (coalesce(col("n_cont"), lit(0L)) + lit(1L)).cast("double") /
+      (col("__btypes") + col("__vsize") + lit(1L))
+    val p = when(col("n_ctx").isNotNull,
+      greatest(col("n_b").cast("double") - d, lit(0.0)) / col("n_ctx") +
+        ((d * col("types_after")) / col("n_ctx")) * pcont)
+      .otherwise(pcont)
+    val contrib = bigramPositions(docs, text, idCol)
+      .join(bi.withColumnRenamed("n_b", "__nb_raw"), Seq("w1", "w2"), "left")
+      .withColumn("n_b", coalesce(col("__nb_raw"), lit(0L)))
+      .join(ctx, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(scalars))
+      .select(col("doc_id"), col("pos"), (-log(p)).as("c"))
+    foldLogLoss(contrib)
   }
 
   /** Vocabulary report: the `topK` most frequent whitespace tokens

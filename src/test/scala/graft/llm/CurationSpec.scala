@@ -143,6 +143,32 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).contains(9L))
   }
 
+  test("bigramKnLogLoss: discounted+interpolated seen mass, continuation backoff") {
+    import spark.implicits._
+    // train "a b a b a c": bigrams (a,b)x2 (b,a)x2 (a,c)x1
+    //   n1=1, n2=2 -> D = 1/5; btypes=3, |V|=3
+    //   ctx: a -> n_ctx 3, types_after 2; b -> n_ctx 2, types_after 1
+    //   cont: b -> 1, a -> 1, c -> 1
+    val train = Seq((0L, "a b a b a c")).toDF("doc_id", "text")
+    val docs = Seq((1L, "a b"), (2L, "a z"), (3L, "z a")).toDF("doc_id", "text")
+    val out = TextStats.bigramKnLogLoss(train, docs, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    def r4(x: Double) = math.round(x * 1e4) / 1e4
+    val d = 1.0 / 5.0
+    def pcont(nCont: Long) = (nCont + 1).toDouble / (3 + 3 + 1)
+    // seen (a,b): (2-D)/3 + (D*2/3)*pcont(b)
+    val pAB = (2.0 - d) / 3 + ((d * 2) / 3) * pcont(1)
+    assert(out(1L) == ((1L, r4(-math.log(pAB)), r4(math.exp(-math.log(pAB))))))
+    // seen context, unseen continuation (a,z): 0/3 + (D*2/3)*pcont(0)
+    val pAZ = ((d * 2) / 3) * pcont(0)
+    assert(out(2L)._2 == r4(-math.log(pAZ)))
+    // unseen context (z,a): pure continuation prob
+    assert(out(3L)._2 == r4(-math.log(pcont(1))))
+    // the discounted seen estimate must dominate the backoff ones
+    assert(out(1L)._2 < out(2L)._2 && out(1L)._2 < out(3L)._2)
+  }
+
   test("vocabReport ranks by frequency with exact cumulative coverage") {
     import spark.implicits._
     // stream: a×5 b×3 c×1 d×1 → total 10
