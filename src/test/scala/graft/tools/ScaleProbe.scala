@@ -45,7 +45,17 @@ object ScaleProbe {
     "d_unigram_train",
     // MG heavy hitters: ×R distinct users pushes past capacity into
     // the approximation regime — probes the summary under pressure
-    "ev_heavy_hitters")
+    "ev_heavy_hitters",
+    // round-11 legs: the CM grid's shuffle is d·w-bounded by
+    // construction (the probe pins the claim that wall time is pure
+    // scan CPU); HLL registers grow only with groups·m; dhash pairs
+    // decode ×R real PNGs map-only and the banded join's candidate
+    // volume is linear under disjoint-replica perturbation; KN builds
+    // a ×R-vocabulary LM through shuffled equi-joins only
+    "ev_cms_sketch", "ev_hll_daily_users", "m_dhash_pairs", "d_bigram_kn",
+    // fingerprint-only leg: isolates the (linear, map-only) codec CPU
+    // from m_dhash_pairs' banded-join growth
+    "m_dhash")
 
   def main(args: Array[String]): Unit = {
     val factors = args.headOption.map(_.split(',').map(_.trim.toInt).toSeq)
@@ -55,9 +65,15 @@ object ScaleProbe {
     val only: Option[Set[String]] =
       if (args.length > 1) Some(args(1).split(',').toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // GRAFT_SCALE_SHUFFLE: override shuffle partitioning independently
+    // of thread count — the A/B lever for "fixed partition count vs
+    // ×R-grown sorts" (per-partition sort is n·log n + spill once a
+    // partition outgrows memory; production sizes partitions with the
+    // data, the probe's default inherits the sf0.1 setting)
+    val shufflePartitions = sys.env.getOrElse("GRAFT_SCALE_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
