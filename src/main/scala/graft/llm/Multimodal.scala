@@ -339,6 +339,151 @@ object Multimodal {
     }(enc)
   }
 
+  /** The corpus-scale fingerprint: a 16×8 downsample grid → 15
+    * horizontal-gradient bits per row → 120 bits in TWO longs (rows
+    * 0–3 in `fp_lo`, rows 4–7 in `fp_hi`, 60 bits each — inside
+    * checked BIGINT shifts). Sized by the SCALE_NOTES round-11
+    * finding: fixed-width LSH banding is linear only while
+    * n ≪ 2^band_bits, and 56 bits caps bands at 14 bits (birthday
+    * collisions become real near n ≈ 10⁵); 120 bits gives four
+    * 30-BIT bands — the d < 4 recall guarantee kept, the random
+    * collision term shrunk by 2¹⁶.
+    */
+  private[graft] def dhashWideBits(
+      img: java.awt.image.BufferedImage): (Long, Long) = {
+    val g = nearestNeighbor(img, 16, 8)
+    def lum(x: Int, y: Int): Int = {
+      val rgb = g.getRGB(x, y)
+      299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)
+    }
+    var lo = 0L; var hi = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 15) {
+        if (lum(x + 1, y) > lum(x, y)) {
+          if (y < 4) lo |= 1L << (y * 15 + x)
+          else hi |= 1L << ((y - 4) * 15 + x)
+        }
+        x += 1
+      }
+      y += 1
+    }
+    (lo, hi)
+  }
+
+  /** Wide perceptual fingerprints (doc_id, fp_lo, fp_hi) — same
+    * map-only shape as [[dhash]], twice the bits.
+    */
+  def dhashWide(withPayloads: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("fp_lo", LongType, nullable = false),
+      StructField("fp_hi", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    withPayloads.select(col("doc_id"), col("payload")).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val img = decodeImageOrNull(r.getAs[Array[Byte]]("payload"))
+        Option(img).map { im =>
+          val (lo, hi) = dhashWideBits(im)
+          Row(r.getLong(0), lo, hi)
+        }
+      }
+    }(enc)
+  }
+
+  /** Banded pairs over [[dhashWide]] fingerprints: four 30-bit bands
+    * (two per long), exact Hamming verify across both longs. Same
+    * semantics as [[dhashPairs]] with the candidate volume's random
+    * (birthday) term n²/2^band_bits shrunk 2¹⁶ below the 56-bit form.
+    *
+    * Scale contract (SCALE_NOTES round-11 finding 6, measured): at
+    * 30-bit bands the candidate:answer ratio is a CONSTANT ~1.2× from
+    * 5 k to 500 k docs — the join feeds the verifier almost nothing
+    * but true matches. What remains superlinear is the ANSWER: pair
+    * density at a fixed radius is a corpus property, and any corpus
+    * whose near-dup density is a constant fraction has a quadratic
+    * pair list no listing operator can avoid. When the consumer is
+    * dedup (keep/drop, not pair inspection), use [[dhashDedupWide]],
+    * whose candidate AND output volumes are O(n) by construction.
+    */
+  def dhashPairsWide(fps: DataFrame, maxDist: Int = 20): DataFrame = {
+    val mask = (1L << 30) - 1L
+    val slices = Seq(
+      struct(lit(0).as("b"), col("fp_lo").bitwiseAND(lit(mask)).as("v")),
+      struct(lit(1).as("b"), shiftright(col("fp_lo"), 30).as("v")),
+      struct(lit(2).as("b"), col("fp_hi").bitwiseAND(lit(mask)).as("v")),
+      struct(lit(3).as("b"), shiftright(col("fp_hi"), 30).as("v")))
+    val banded = fps.select(col("doc_id"), col("fp_lo"), col("fp_hi"),
+      explode(array(slices: _*)).as("s"))
+    val a = banded.select(col("doc_id").as("id_a"), col("fp_lo").as("lo_a"),
+      col("fp_hi").as("hi_a"), col("s.b").as("b"), col("s.v").as("v"))
+    val bnd = banded.select(col("doc_id").as("id_b"), col("fp_lo").as("lo_b"),
+      col("fp_hi").as("hi_b"), col("s.b").as("b"), col("s.v").as("v"))
+    a.join(bnd, Seq("b", "v"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (bit_count(col("lo_a").bitwiseXOR(col("lo_b"))) +
+          bit_count(col("hi_a").bitwiseXOR(col("hi_b")))).cast("long").as("dist"))
+      .distinct()
+      .where(col("dist") <= maxDist)
+  }
+
+  /** Keep-first perceptual dedup over [[dhashWide]] fingerprints —
+    * the shape that stays LINEAR even when the corpus's near-dup pair
+    * density is quadratic (SCALE_NOTES round-11 finding 6: at radius
+    * 20/120 bits ~0.4% of ALL pairs qualify on the synthetic corpus,
+    * so the pair LIST grows n² no matter how the candidates are
+    * generated — but dedup never needed the list).
+    *
+    * Two stages, both linear. (1) EXACT collapse: identical
+    * fingerprints group to their eldest (one hash-agg — the pixel-dup
+    * cliques that make band buckets hot vanish here, and an exact dup
+    * can never survive, which a bucket-anchor pass alone cannot
+    * promise: every bucket of a dup can be anchored by some
+    * *different* image beyond the radius). (2) ANCHOR pass over the
+    * now-distinct fingerprints: each band bucket's eldest member is
+    * its anchor; a doc is DROPPED iff some bucket it occupies has an
+    * earlier anchor within `maxDist`. Candidates are one probe per
+    * (distinct fp, band) — ≤ 4n rows against a ≤-bucket-count anchor
+    * relation — and the output is the surviving docs, ≤ n rows.
+    * Single-pass by design: an anchor that is itself dropped (met an
+    * even earlier anchor in another bucket) still shields its bucket —
+    * its survivors chain to ITS anchor's cluster transitively, the
+    * same chain property minhash keep-first has before clustering.
+    * The transitive variant (full CC over verified pairs, as
+    * `Dedup.nearDupKeep` does for minhash) remains available via
+    * [[dhashPairsWide]] when pair volume permits.
+    */
+  def dhashDedupWide(fps: DataFrame, maxDist: Int = 20): DataFrame = {
+    val reps = fps.groupBy("fp_lo", "fp_hi")
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("fp_lo"), col("fp_hi"))
+    val mask = (1L << 30) - 1L
+    val slices = Seq(
+      struct(lit(0).as("b"), col("fp_lo").bitwiseAND(lit(mask)).as("v")),
+      struct(lit(1).as("b"), shiftright(col("fp_lo"), 30).as("v")),
+      struct(lit(2).as("b"), col("fp_hi").bitwiseAND(lit(mask)).as("v")),
+      struct(lit(3).as("b"), shiftright(col("fp_hi"), 30).as("v")))
+    val banded = reps.select(col("doc_id"), col("fp_lo"), col("fp_hi"),
+      explode(array(slices: _*)).as("s"))
+      .select(col("doc_id"), col("fp_lo"), col("fp_hi"),
+        col("s.b").as("b"), col("s.v").as("v"))
+    // struct min orders by doc_id first ⇒ the anchor's own fp rides
+    // along without a second join back to `fps`
+    val anchors = banded.groupBy("b", "v")
+      .agg(min(struct(col("doc_id"), col("fp_lo"), col("fp_hi"))).as("a"))
+      .select(col("b"), col("v"), col("a.doc_id").as("anchor_id"),
+        col("a.fp_lo").as("lo_a"), col("a.fp_hi").as("hi_a"))
+    val dropped = banded.join(anchors, Seq("b", "v"))
+      .where(col("doc_id") > col("anchor_id") &&
+        (bit_count(col("fp_lo").bitwiseXOR(col("lo_a"))) +
+          bit_count(col("fp_hi").bitwiseXOR(col("hi_a")))) <= maxDist)
+      .select(col("doc_id")).distinct()
+    reps.join(dropped, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("fp_lo"), col("fp_hi"))
+  }
+
   /** Banded-LSH candidate pairs over [[dhash]] fingerprints, verified
     * by exact Hamming distance: the fingerprint splits into `bands`
     * bit-slices, a pair collides if ANY band matches (two fps within

@@ -157,6 +157,77 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(dist(base, bits("zq", 12, 9)) > 10)
   }
 
+  test("dhashWide: hand-rolled 16x8 fold; pairs recall == brute force below band count") {
+    import spark.implicits._
+    val seed = "wide fingerprint fodder text".getBytes("UTF-8")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      Multimodal.pngBytes(seed, 11, 7)))
+    val grid = Multimodal.nearestNeighbor(img, 16, 8)
+    def lum(x: Int, y: Int): Int = {
+      val rgb = grid.getRGB(x, y)
+      299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)
+    }
+    var lo = 0L; var hi = 0L
+    for (y <- 0 until 8; x <- 0 until 15)
+      if (lum(x + 1, y) > lum(x, y)) {
+        if (y < 4) lo |= 1L << (y * 15 + x) else hi |= 1L << ((y - 4) * 15 + x)
+      }
+    assert(Multimodal.dhashWideBits(img) == ((lo, hi)))
+    assert(lo != 0L && hi != 0L, "fixture must be non-degenerate")
+    // pairs: same dims+text triples are identical images (ids 143 apart)
+    val docs = (0L until 8L)
+      .flatMap(k => Seq(k, k + 143L).map(id => (id, s"clip number $k content")))
+      .toDF("doc_id", "text")
+    val fps = Multimodal.dhashWide(Multimodal.withPngPayload(docs))
+    val fpMap = fps.collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val got = Multimodal.dhashPairsWide(fps, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = (for {
+      a <- fpMap.keys; b <- fpMap.keys if a < b
+      d = java.lang.Long.bitCount(fpMap(a)._1 ^ fpMap(b)._1) +
+        java.lang.Long.bitCount(fpMap(a)._2 ^ fpMap(b)._2) if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    assert(got == want) // maxDist 3 < 4 bands: full recall guaranteed
+    assert(want.nonEmpty, "fixture must contain duplicate images")
+  }
+
+  test("dhashDedupWide: survivors == brute-force anchor semantics; exact dups collapse") {
+    import spark.implicits._
+    val docs = (0L until 8L)
+      .flatMap(k => Seq(k, k + 143L).map(id => (id, s"clip number $k content")))
+      .toDF("doc_id", "text")
+    val fps = Multimodal.dhashWide(Multimodal.withPngPayload(docs))
+    val fpMap = fps.collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val maxDist = 3
+    // brute-force the two-stage rule from the fingerprints alone:
+    // (1) identical fps collapse to their eldest; (2) bucket-anchor drop
+    val mask = (1L << 30) - 1L
+    def bandsOf(fp: (Long, Long)): Seq[(Int, Long)] = Seq(
+      (0, fp._1 & mask), (1, fp._1 >>> 30), (2, fp._2 & mask), (3, fp._2 >>> 30))
+    val repMap: Map[Long, (Long, Long)] = fpMap.groupBy(_._2)
+      .map { case (fp, xs) => (xs.keys.min, fp) }
+    val anchor: Map[(Int, Long), Long] = repMap.toSeq
+      .flatMap { case (id, fp) => bandsOf(fp).map(bv => (bv, id)) }
+      .groupBy(_._1).map { case (bv, xs) => (bv, xs.map(_._2).min) }
+    def dist(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    val wantKept = repMap.keySet.filter { id =>
+      !bandsOf(repMap(id)).exists { bv =>
+        val a = anchor(bv)
+        a < id && dist(repMap(a), repMap(id)) <= maxDist
+      }
+    }
+    val got = Multimodal.dhashDedupWide(fps, maxDist = maxDist)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == wantKept)
+    // each doc_id/doc_id+143 twin is pixel-identical → identical fp →
+    // the exact-collapse stage guarantees the younger twin drops (the
+    // property a bucket-anchor pass alone can't promise)
+    assert(got.forall(_ < 8L))
+    assert(got.contains(0L), "the global min id can never be dropped")
+    assert(got.nonEmpty)
+  }
+
   test("audioFpBits: decode-path energies match the generator formula bit fold") {
     def localFp(seed: Long, frames: Int): Long = {
       val freq = 200.0 + (math.abs(seed) % 200)

@@ -55,7 +55,12 @@ object ScaleProbe {
     "ev_cms_sketch", "ev_hll_daily_users", "m_dhash_pairs", "d_bigram_kn",
     // fingerprint-only leg: isolates the (linear, map-only) codec CPU
     // from m_dhash_pairs' banded-join growth
-    "m_dhash")
+    "m_dhash",
+    // 30-bit bands kill the birthday term, and PairVolume showed the
+    // candidate:answer ratio constant at ~1.2× — what stays quadratic
+    // is the pair LIST itself (finding 6). m_dhash_dedup is the
+    // linear-by-construction keep-first shape; the probe pins both.
+    "m_dhash_wide_pairs", "m_dhash_dedup")
 
   def main(args: Array[String]): Unit = {
     val factors = args.headOption.map(_.split(',').map(_.trim.toInt).toSeq)
