@@ -1542,6 +1542,30 @@ object SparkEntry {
       graft.llm.Bpe.encode(docs, col("text"), col("doc_id"), rules)
     }),
 
+    // WordPiece merge LEARNING (the third tokenizer family): same
+    // one-corpus-pass vocab relation as BPE, but candidates score by
+    // the likelihood ratio n/(count(l)·count(r)) with ##-prefixed
+    // continuation symbols. Fully hash-gated: the DuckDB twin unrolls
+    // the 4 rounds with the identical double-score spelling.
+    "d_wordpiece_train" -> ((s, dir) =>
+      graft.llm.WordPiece.train(
+        s.read.parquet(s"$dir/documents.parquet"), col("text"), merges = 4)),
+
+    // WordPiece greedy longest-match-first encoding (BERT-style)
+    // with the vocab just trained (corpus alphabet ∪ merged tokens):
+    // map-only kernel, per-partition word memo; the twin precomputes
+    // best(word, pos) and follows the greedy chain in a bounded
+    // recursive CTE.
+    "d_wordpiece_encode" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val merged = graft.llm.WordPiece.train(docs, col("text"), merges = 4)
+        .orderBy("step").collect().map(_.getString(3)).toSeq
+      val alpha = graft.llm.WordPiece.alphabet(docs, col("text"))
+        .collect().map(_.getString(0)).toSeq
+      graft.llm.WordPiece.encode(docs, col("text"), col("doc_id"),
+        (alpha ++ merged).distinct)
+    }),
+
     // unigram-LM seed statistic: freq-weighted counts of every word
     // substring ≤ 6 chars — in-row (start,len) expansion, one piece
     // aggregate, heap top-50. Hash-gated against the DuckDB twin.
@@ -2604,6 +2628,32 @@ object SparkEntry {
           Multimodal.withPngPayload(s.read.parquet(s"$dir/documents.parquet"))),
         maxDist = 10)),
 
+    // The corpus-scale fingerprint: 120 bits in two longs → four
+    // 30-BIT bands, shrinking fixed-band-width LSH's n²/2^b birthday
+    // term 2¹⁶ below the 56-bit form (SCALE_NOTES round-11 finding 4's
+    // shipped fix) while keeping the d < 4 recall guarantee.
+    "m_dhash_wide" -> ((s, dir) =>
+      Multimodal.dhashWide(
+        Multimodal.withPngPayload(s.read.parquet(s"$dir/documents.parquet")))),
+
+    "m_dhash_wide_pairs" -> ((s, dir) =>
+      Multimodal.dhashPairsWide(
+        Multimodal.dhashWide(
+          Multimodal.withPngPayload(s.read.parquet(s"$dir/documents.parquet"))),
+        maxDist = 20)),
+
+    // The dedup SHAPE for quadratic-density corpora: measured at
+    // ×1/×10/×100, the pair LIST above is ~0.4% of n²/2 at radius 20
+    // (a corpus property — candidates:answer stays ~1.2×, so the
+    // banding is near-optimal and the answer itself is quadratic).
+    // Keep-first against per-bucket eldest anchors keeps candidates
+    // at 4n and output ≤ n at ANY corpus size.
+    "m_dhash_dedup" -> ((s, dir) =>
+      Multimodal.dhashDedupWide(
+        Multimodal.dhashWide(
+          Multimodal.withPngPayload(s.read.parquet(s"$dir/documents.parquet"))),
+        maxDist = 20)),
+
     // Perceptual AUDIO fingerprints over the real WAV decode path:
     // frame-energy gradients (exact integer Σv² per frame) → 31 bits.
     // Media dedup's audio leg; same banded-pairs machinery as dHash.
@@ -2711,6 +2761,41 @@ object SparkEntry {
         |         string_split(pair, ' ')[2], replace(pair, ' ', ''), n FROM t3
         |  UNION ALL SELECT CAST(4 AS BIGINT), string_split(pair, ' ')[1],
         |         string_split(pair, ' ')[2], replace(pair, ' ', ''), n FROM t4)""".stripMargin
+    // ---- WordPiece twin (d_wordpiece_train / d_wordpiece_encode) ----
+    // Same unrolled-round shape as the BPE twin, with the likelihood-
+    // ratio score: each round also aggregates unigram symbol counts
+    // and the top-1 orders by n/(cu_l·cu_r) — the double division/
+    // multiplication spelled identically to WordPiece.train, so the
+    // choice is engine-exact. Merged symbols strip the right
+    // operand's ## continuation prefix.
+    def wpRound(k: Int): String = {
+      val p = k - 1
+      s"""u$k AS (SELECT u, CAST(sum(freq) AS BIGINT) AS cu
+         |  FROM (SELECT unnest(string_split(sym, ' ')) AS u, freq FROM wf$p) GROUP BY 1),
+         |n$k AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM (
+         |    SELECT unnest(list_transform(generate_series(1, len(ss) - 1),
+         |      i -> ss[i] || ' ' || ss[i + 1])) AS pair, freq
+         |    FROM (SELECT string_split(sym, ' ') AS ss, freq FROM wf$p)) GROUP BY 1),
+         |t$k AS (SELECT np.pair, np.n, ' ' || np.pair || ' ' AS pat,
+         |    ' ' || string_split(np.pair, ' ')[1] ||
+         |      regexp_replace(string_split(np.pair, ' ')[2], '^##', '') || ' ' AS rep
+         |  FROM n$k np
+         |  JOIN u$k ul ON ul.u = string_split(np.pair, ' ')[1]
+         |  JOIN u$k ur ON ur.u = string_split(np.pair, ' ')[2]
+         |  ORDER BY np.n::DOUBLE / (ul.cu::DOUBLE * ur.cu::DOUBLE) DESC, np.pair LIMIT 1),
+         |wf$k AS (SELECT trim(replace(replace(replace(replace(replace(replace(' ' || w.sym || ' ', t.pat, t.rep), t.pat, t.rep), t.pat, t.rep), t.pat, t.rep), t.pat, t.rep), t.pat, t.rep)) AS sym, w.freq
+         |  FROM wf$p w, t$k t)""".stripMargin
+    }
+    val wpChainSql =
+      """wf0 AS (
+        |  SELECT replace(trim(regexp_replace(w, '(.)', '\1 ', 'g')), ' ', ' ##') AS sym,
+        |         CAST(count(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents) t
+        |  WHERE w <> '' GROUP BY 1)""".stripMargin +
+        (1 to 4).map(wpRound).mkString(",\n", ",\n", "")
+    val wpMergedExpr =
+      "string_split(pair, ' ')[1] || regexp_replace(string_split(pair, ' ')[2], '^##', '')"
+
     // DSIR importance weights — shared by d_dsir and d_dsir_sample
     val dsirSql =
       """WITH ws AS (
@@ -2773,20 +2858,32 @@ object SparkEntry {
     // text bytes exactly like the m_png_* twins: src pixel index
     // i = sy·w + sx with sy = (gy·h)//8, sx = (gx·w)//8; channels
     // r = byte(i mod L), g = byte((31i+7) mod L), b = (131i) mod 256
-    val dhashCellsSql =
-      """SELECT doc_id, gx, gy,
+    def dhashCellsSqlFor(gw: Int, gh: Int): String =
+      s"""SELECT doc_id, gx, gy,
         |    299 * (CASE WHEN L > 0
-        |      THEN ('0x' || substr(hx, 2 * (((gy * h // 8) * w + (gx * w) // 8) % L) + 1, 2))::int ELSE 0 END)
+        |      THEN ('0x' || substr(hx, 2 * (((gy * h // $gh) * w + (gx * w) // $gw) % L) + 1, 2))::int ELSE 0 END)
         |  + 587 * (CASE WHEN L > 0
-        |      THEN ('0x' || substr(hx, 2 * ((((gy * h // 8) * w + (gx * w) // 8) * 31 + 7) % L) + 1, 2))::int ELSE 0 END)
-        |  + 114 * ((((gy * h // 8) * w + (gx * w) // 8) * 131) % 256) AS lum
+        |      THEN ('0x' || substr(hx, 2 * ((((gy * h // $gh) * w + (gx * w) // $gw) * 31 + 7) % L) + 1, 2))::int ELSE 0 END)
+        |  + 114 * ((((gy * h // $gh) * w + (gx * w) // $gw) * 131) % 256) AS lum
         |  FROM (SELECT doc_id, hex(encode(text)) AS hx,
         |               octet_length(encode(text)) AS L,
         |               CAST(4 + doc_id % 13 AS INT) AS w,
         |               CAST(4 + doc_id % 11 AS INT) AS h
         |        FROM documents) d,
-        |       LATERAL (SELECT unnest(generate_series(0, 7)) AS gx) tx,
-        |       LATERAL (SELECT unnest(generate_series(0, 7)) AS gy) ty""".stripMargin
+        |       LATERAL (SELECT unnest(generate_series(0, ${gw - 1})) AS gx) tx,
+        |       LATERAL (SELECT unnest(generate_series(0, ${gh - 1})) AS gy) ty""".stripMargin
+    val dhashCellsSql = dhashCellsSqlFor(8, 8)
+    // wide (16×8) grid → 120 fingerprint bits split lo/hi, 60 each
+    val dhashWideFpSql =
+      s"""SELECT a.doc_id,
+        |  CAST(sum(CASE WHEN b.lum > a.lum AND a.gy < 4
+        |    THEN (1::bigint << CAST(a.gy * 15 + a.gx AS INT)) ELSE 0 END) AS BIGINT) AS fp_lo,
+        |  CAST(sum(CASE WHEN b.lum > a.lum AND a.gy >= 4
+        |    THEN (1::bigint << CAST((a.gy - 4) * 15 + a.gx AS INT)) ELSE 0 END) AS BIGINT) AS fp_hi
+        |FROM (${dhashCellsSqlFor(16, 8)}) a JOIN (${dhashCellsSqlFor(16, 8)}) b
+        |  ON b.doc_id = a.doc_id AND b.gy = a.gy AND b.gx = a.gx + 1
+        |WHERE a.gx < 15
+        |GROUP BY 1""".stripMargin
 
     // per-frame integer PCM energy (32 frames × 25 samples), sample
     // values from the same trunc(sin) formula the m_wav_features
@@ -4670,6 +4767,74 @@ object SparkEntry {
            |       CASE WHEN doc.text IS NULL THEN NULL ELSE coalesce(e.pieces_str, '') END AS pieces_str
            |FROM documents doc LEFT JOIN enc e USING (doc_id)""".stripMargin),
 
+      "d_wordpiece_train" ->
+        (s"""WITH $wpChainSql
+           |SELECT * FROM (
+           |  SELECT CAST(1 AS BIGINT) AS step, string_split(pair, ' ')[1] AS lhs,
+           |         string_split(pair, ' ')[2] AS rhs, $wpMergedExpr AS merged, n FROM t1
+           |  UNION ALL SELECT CAST(2 AS BIGINT), string_split(pair, ' ')[1],
+           |         string_split(pair, ' ')[2], $wpMergedExpr, n FROM t2
+           |  UNION ALL SELECT CAST(3 AS BIGINT), string_split(pair, ' ')[1],
+           |         string_split(pair, ' ')[2], $wpMergedExpr, n FROM t3
+           |  UNION ALL SELECT CAST(4 AS BIGINT), string_split(pair, ' ')[1],
+           |         string_split(pair, ' ')[2], $wpMergedExpr, n FROM t4)""".stripMargin),
+
+      // greedy longest-match-first inference: vocab = corpus alphabet
+      // ∪ the 4 merged tokens; best(word, pos) is precomputed (the
+      // greedy choice depends only on the remainder, not the path),
+      // then a bounded recursive CTE follows the chain. Alphabet
+      // coverage of every corpus character guarantees [UNK] never
+      // fires here, mirroring the unigram twin's argument.
+      "d_wordpiece_encode" ->
+        (s"""WITH RECURSIVE $wpChainSql,
+           |alpha AS (SELECT DISTINCT unnest(string_split(sym, ' ')) AS token FROM wf0),
+           |vocab AS (
+           |  SELECT token FROM alpha
+           |  UNION SELECT $wpMergedExpr FROM t1
+           |  UNION SELECT $wpMergedExpr FROM t2
+           |  UNION SELECT $wpMergedExpr FROM t3
+           |  UNION SELECT $wpMergedExpr FROM t4),
+           |vl AS (SELECT token,
+           |    CASE WHEN token LIKE '##%' THEN len(token) - 2 ELSE len(token) END AS l,
+           |    (token LIKE '##%') AS cont,
+           |    CASE WHEN token LIKE '##%' THEN substr(token, 3) ELSE token END AS body
+           |  FROM vocab),
+           |dw AS (SELECT DISTINCT w FROM (
+           |  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents) t
+           |  WHERE w <> ''),
+           |best AS (
+           |  SELECT w, pos, token, l FROM (
+           |    SELECT d.w, p.pos, v.token, v.l
+           |    FROM dw d,
+           |         LATERAL (SELECT unnest(range(0, length(d.w))) AS pos) p,
+           |         vl v
+           |    WHERE v.l <= length(d.w) - p.pos
+           |      AND v.cont = (p.pos > 0)
+           |      AND substr(d.w, CAST(p.pos + 1 AS INT), CAST(v.l AS INT)) = v.body)
+           |  QUALIFY row_number() OVER (PARTITION BY w, pos ORDER BY l DESC) = 1),
+           |dp AS (
+           |  SELECT w, 0 AS pos, '' AS toks, CAST(0 AS BIGINT) AS nt FROM dw
+           |  UNION ALL
+           |  SELECT d.w, CAST(d.pos + b.l AS INT),
+           |    CASE WHEN d.toks = '' THEN b.token ELSE d.toks || ' ' || b.token END,
+           |    d.nt + 1
+           |  FROM dp d JOIN best b ON b.w = d.w AND b.pos = d.pos
+           |  WHERE d.pos < length(d.w)),
+           |seg AS (SELECT w, toks, nt FROM dp WHERE pos = length(w)),
+           |wsd AS (
+           |  SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS idx
+           |  FROM (SELECT doc_id,
+           |          list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS ws
+           |        FROM documents)),
+           |encw AS (
+           |  SELECT wsd.doc_id, wsd.idx, s.toks, s.nt
+           |  FROM wsd JOIN seg s ON s.w = wsd.w)
+           |SELECT d.doc_id,
+           |  CAST(coalesce(sum(e.nt), 0) AS BIGINT) AS n_tokens,
+           |  coalesce(string_agg(e.toks, ' ' ORDER BY e.idx), '') AS tokens_str
+           |FROM documents d LEFT JOIN encw e USING (doc_id)
+           |GROUP BY d.doc_id""".stripMargin),
+
       "d_bpe_train" -> bpeTrainSqlTpl.replace("/*PRUNE*/", ""),
 
       // same template with the corpus-scale frequency floor engaged —
@@ -6315,6 +6480,50 @@ object SparkEntry {
            |FROM banded a JOIN banded b2
            |  ON a.b = b2.b AND a.v = b2.v AND a.doc_id < b2.doc_id
            |WHERE bit_count(xor(a.fp, b2.fp)) <= 10""".stripMargin),
+
+      "m_dhash_wide" ->
+        (s"""$dhashWideFpSql"""),
+
+      "m_dhash_wide_pairs" ->
+        (s"""WITH fp AS ($dhashWideFpSql),
+           |banded AS (
+           |  SELECT doc_id, fp_lo, fp_hi, b,
+           |    CASE b WHEN 0 THEN fp_lo & 1073741823
+           |           WHEN 1 THEN fp_lo >> 30
+           |           WHEN 2 THEN fp_hi & 1073741823
+           |           ELSE fp_hi >> 30 END AS v
+           |  FROM fp, (SELECT unnest([0, 1, 2, 3]) AS b) u)
+           |SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+           |  CAST(bit_count(xor(a.fp_lo, b2.fp_lo))
+           |     + bit_count(xor(a.fp_hi, b2.fp_hi)) AS BIGINT) AS dist
+           |FROM banded a JOIN banded b2
+           |  ON a.b = b2.b AND a.v = b2.v AND a.doc_id < b2.doc_id
+           |WHERE bit_count(xor(a.fp_lo, b2.fp_lo))
+           |    + bit_count(xor(a.fp_hi, b2.fp_hi)) <= 20""".stripMargin),
+
+      "m_dhash_dedup" ->
+        (s"""WITH fp AS ($dhashWideFpSql),
+           |reps AS (
+           |  SELECT min(doc_id) AS doc_id, fp_lo, fp_hi
+           |  FROM fp GROUP BY fp_lo, fp_hi),
+           |banded AS (
+           |  SELECT doc_id, fp_lo, fp_hi, b,
+           |    CASE b WHEN 0 THEN fp_lo & 1073741823
+           |           WHEN 1 THEN fp_lo >> 30
+           |           WHEN 2 THEN fp_hi & 1073741823
+           |           ELSE fp_hi >> 30 END AS v
+           |  FROM reps, (SELECT unnest([0, 1, 2, 3]) AS b) u),
+           |anch AS (
+           |  SELECT b, v, min(doc_id) AS anchor_id FROM banded GROUP BY 1, 2),
+           |dropped AS (
+           |  SELECT DISTINCT d.doc_id
+           |  FROM banded d
+           |  JOIN anch a ON d.b = a.b AND d.v = a.v AND d.doc_id > a.anchor_id
+           |  JOIN reps af ON af.doc_id = a.anchor_id
+           |  WHERE bit_count(xor(d.fp_lo, af.fp_lo))
+           |      + bit_count(xor(d.fp_hi, af.fp_hi)) <= 20)
+           |SELECT r.doc_id, r.fp_lo, r.fp_hi FROM reps r
+           |WHERE r.doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin),
 
       // audio-fingerprint twin: decoded PCM == the generator formula
       // (pinned by m_wav_features), per-frame energy is an exact
