@@ -1785,6 +1785,17 @@ object SparkEntry {
         k = 5, coarseDim = 16, rerank = 20)
     }),
 
+    // Binary quantization: 1 sign bit per dimension (64 bits in two
+    // 32-bit words — a 32× memory compression), symmetric Hamming
+    // shortlist of 20, exact cosine rerank to top-5. The memory-floor
+    // member of the compression family next to SQ8 (8 bits/dim) and
+    // MRL (prefix dims).
+    "e_bq_search" -> ((s, dir) => {
+      val vecs = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.bqSearch(vecs, vecs.where(col("vec_id") < 5),
+        k = 5, rerank = 20, dim = 64)
+    }),
+
     // IVF-Flat search: probe the 2 nearest of 8 cells per query, score
     // cosine inside the probed cells only (one equi-join on the cell
     // key — the FAISS-style serve path over the ivfAssign index).
@@ -5226,6 +5237,33 @@ object SparkEntry {
            |   SELECT query_id, neighbor_id, sim,
            |     row_number() OVER (PARTITION BY query_id ORDER BY csim DESC, neighbor_id ASC) AS crank
            |   FROM coarse) c WHERE crank <= 20),
+           | ranked AS (SELECT query_id, neighbor_id, sim,
+           |   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM short)
+           |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(sim, 4) + 0 AS sim
+           |FROM ranked WHERE rank <= 5""".stripMargin
+      },
+
+      // binary quantization twin: the identical sign-bit words (the
+      // e_lsh_knn bucket spelling split lo/hi), Hamming shortlist of
+      // 20 (hd asc, id asc), exact cosine rerank to top-5
+      "e_bq_search" -> {
+        def dotN = "list_sum(list_transform(generate_series(1, len(a.embedding)), i -> a.embedding[i]::double * q.embedding[i]::double))"
+        def normN(t: String) =
+          s"sqrt(list_sum(list_transform(generate_series(1, len($t.embedding)), i -> $t.embedding[i]::double * $t.embedding[i]::double)))"
+        def word(from: Int, until: Int, shift: Int) =
+          s"list_sum(list_transform(generate_series($from, $until), i -> CASE WHEN embedding[i] >= 0 THEN CAST(1 AS BIGINT) << (i - $shift) ELSE CAST(0 AS BIGINT) END))"
+        s"""WITH coded AS (SELECT vec_id, embedding,
+           |   ${word(1, 32, 1)} AS lo, ${word(33, 64, 33)} AS hi
+           | FROM embeddings),
+           | q AS (SELECT vec_id AS query_id, embedding, lo AS q_lo, hi AS q_hi FROM coded WHERE vec_id < 5),
+           | cand AS (SELECT q.query_id, a.vec_id AS neighbor_id,
+           |   bit_count(xor(a.lo, q.q_lo)) + bit_count(xor(a.hi, q.q_hi)) AS hd,
+           |   $dotN / (${normN("q")} * ${normN("a")}) AS sim
+           |   FROM coded a, q WHERE q.query_id <> a.vec_id),
+           | short AS (SELECT query_id, neighbor_id, sim FROM (
+           |   SELECT query_id, neighbor_id, sim,
+           |     row_number() OVER (PARTITION BY query_id ORDER BY hd ASC, neighbor_id ASC) AS hrank
+           |   FROM cand) c WHERE hrank <= 20),
            | ranked AS (SELECT query_id, neighbor_id, sim,
            |   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM short)
            |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(sim, 4) + 0 AS sim

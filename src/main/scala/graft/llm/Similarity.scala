@@ -984,4 +984,79 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("sim"), 4).as("sim"))
   }
+
+  // ------------------------------------------------------------------
+  // Binary quantization (1 sign bit per dimension) + Hamming rerank
+  // ------------------------------------------------------------------
+
+  /** One packed sign word over dimensions [from, until): bit
+    * `i − from` set iff `v[i] ≥ 0` — the axis-aligned sign convention
+    * shared with [[signBucket]]. Words stay ≤ 32 bits so every shift
+    * is far inside checked BIGINT on both engines (the same split
+    * discipline as the wide dHash fingerprint).
+    */
+  private def bqWord(emb: Column, from: Int, until: Int): Column =
+    (from until until)
+      .map(i => when(element_at(emb, i + 1) >= 0f, lit(1L << (i - from)))
+        .otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  /** Binary-quantized codes: (vid, code_lo, code_hi) — 1 bit per
+    * dimension, a 32× compression of float32 embeddings. Map-only.
+    */
+  def bqEncode(
+      vectors: DataFrame,
+      dim: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame =
+    vectors.select(col(idCol).cast("long").as("vid"),
+      bqWord(col(embCol), 0, dim / 2).as("code_lo"),
+      bqWord(col(embCol), dim / 2, dim).as("code_hi"))
+
+  /** Binary-quantization search, the memory-floor ANN serving shape:
+    * symmetric Hamming distance over the packed sign codes (two
+    * `bit_count(xor)` per candidate — 1 bit/dim resident instead of
+    * 4 bytes/dim) prunes each query to a `rerank`-sized shortlist,
+    * then exact full-precision cosine re-ranks the shortlist to
+    * top-k. Same two-stage contract as [[mrlSearch]]; the coarse
+    * stage is one corpus scan against the broadcast query batch with
+    * a per-query rank window (ties break on Hamming asc, id asc, so
+    * the shortlist — and therefore the result — is deterministic).
+    */
+  def bqSearch(
+      vectors: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      rerank: Int,
+      dim: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val v = bqEncode(vectors, dim, idCol, embCol)
+      .withColumnRenamed("vid", "neighbor_id")
+      .join(vectors.select(col(idCol).cast("long").as("neighbor_id"),
+        col(embCol).as("v_emb")), Seq("neighbor_id"))
+    val q = bqEncode(queries, dim, idCol, embCol)
+      .withColumnRenamed("vid", "query_id")
+      .withColumnRenamed("code_lo", "q_lo")
+      .withColumnRenamed("code_hi", "q_hi")
+      .join(queries.select(col(idCol).cast("long").as("query_id"),
+        col(embCol).as("q_emb")), Seq("query_id"))
+    val scored = v.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("hd",
+        bit_count(col("code_lo").bitwiseXOR(col("q_lo"))) +
+          bit_count(col("code_hi").bitwiseXOR(col("q_hi"))))
+    val hw = Window.partitionBy("query_id")
+      .orderBy(col("hd").asc, col("neighbor_id").asc)
+    val shortlist = scored
+      .withColumn("hrank", row_number().over(hw))
+      .where(col("hrank") <= rerank)
+    val rw = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    shortlist
+      .withColumn("sim", cosine(col("q_emb"), col("v_emb")))
+      .withColumn("rank", row_number().over(rw).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 4).as("sim"))
+  }
 }

@@ -44,6 +44,37 @@ class AnnCompressionSpec extends AnyFunSuite {
       "rerank scores must be the exact full-dim cosine")
   }
 
+  test("bq: codes match a driver-side sign fold; full-width shortlist degenerates to brute") {
+    val n = vecs.count().toInt
+    val enc = Similarity.bqEncode(vecs, dim = 64)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val raw = vecs.collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getSeq[Float](r.fieldIndex("embedding"))))
+    raw.foreach { case (id, emb) =>
+      var lo = 0L; var hi = 0L
+      for (i <- 0 until 32) if (emb(i) >= 0f) lo |= 1L << i
+      for (i <- 32 until 64) if (emb(i) >= 0f) hi |= 1L << (i - 32)
+      assert(enc(id) == ((lo, hi)), s"code mismatch for $id")
+    }
+    // rerank covering the whole corpus ⇒ the Hamming stage prunes
+    // nothing and bq == brute exactly
+    val q = vecs.where(col("vec_id") < 5)
+    val full = Similarity.bqSearch(vecs, q, k = 5, rerank = n, dim = 64)
+      .collect().map(r => (r.getLong(0), r.get(1).toString.toLong, r.getLong(2))).toSet
+    val brute = Similarity.bruteKnn(vecs, q, k = 5)
+      .collect().map(r => (r.getLong(0), r.get(1).toString.toLong, r.getLong(2))).toSet
+    assert(full == brute)
+    // planted-duplicate invariant: an exact copy has Hamming 0, so it
+    // must survive ANY shortlist and rerank to rank 1 at cosine 1
+    val planted = vecs.select(col("vec_id"), col("embedding")).union(
+      q.select((col("vec_id") + lit(100000L)).as("vec_id"), col("embedding")))
+    val got = Similarity.bqSearch(planted, q, k = 1, rerank = 3, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    (0L until 5L).foreach { id =>
+      assert(got(id) == id + 100000L, s"planted duplicate of $id not at rank 1")
+    }
+  }
+
   test("winnow: the Schleimer guarantee — docs sharing a ≥ k+w−1 word span share a fingerprint") {
     import spark.implicits._
     // k=5, w=4 → any shared span of ≥ 8 words guarantees a common fp
