@@ -1796,6 +1796,17 @@ object SparkEntry {
         k = 5, rerank = 20, dim = 64)
     }),
 
+    // recall@5 of the 1-bit path vs brute ground truth on the same
+    // probes — the rerank-size tuning harness, like e_ivf_recall for
+    // nprobe.
+    "e_bq_recall" -> ((s, dir) => {
+      val vecs = s.read.parquet(s"$dir/embeddings.parquet")
+      val queries = vecs.where(col("vec_id") < 5)
+      Similarity.recallAtK(
+        Similarity.bqSearch(vecs, queries, k = 5, rerank = 20, dim = 64),
+        Similarity.bruteKnn(vecs, queries, k = 5), k = 5)
+    }),
+
     // IVF-Flat search: probe the 2 nearest of 8 cells per query, score
     // cosine inside the probed cells only (one equi-join on the cell
     // key — the FAISS-style serve path over the ivfAssign index).
@@ -5268,6 +5279,43 @@ object SparkEntry {
            |   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM short)
            |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(sim, 4) + 0 AS sim
            |FROM ranked WHERE rank <= 5""".stripMargin
+      },
+
+      // bq-vs-brute recall twin: the e_bq_search chain reduced to the
+      // kept (query, neighbor) set, intersected with the brute top-5
+      "e_bq_recall" -> {
+        def word(from: Int, until: Int, shift: Int) =
+          s"list_sum(list_transform(generate_series($from, $until), i -> CASE WHEN embedding[i] >= 0 THEN CAST(1 AS BIGINT) << (i - $shift) ELSE CAST(0 AS BIGINT) END))"
+        s"""WITH coded AS (SELECT vec_id, embedding,
+           |   ${word(1, 32, 1)} AS lo, ${word(33, 64, 33)} AS hi
+           | FROM embeddings),
+           | q AS (SELECT vec_id AS query_id, embedding, lo AS q_lo, hi AS q_hi FROM coded WHERE vec_id < 5),
+           | cand AS (SELECT q.query_id, a.vec_id AS neighbor_id,
+           |   bit_count(xor(a.lo, q.q_lo)) + bit_count(xor(a.hi, q.q_hi)) AS hd,
+           |   list_sum(list_transform(generate_series(1, len(a.embedding)), i -> a.embedding[i]::double * q.embedding[i]::double)) /
+           |   (sqrt(list_sum(list_transform(generate_series(1, len(q.embedding)), i -> q.embedding[i]::double * q.embedding[i]::double))) *
+           |    sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)), i -> a.embedding[i]::double * a.embedding[i]::double)))) AS sim
+           |   FROM coded a, q WHERE q.query_id <> a.vec_id),
+           | short AS (SELECT query_id, neighbor_id, sim FROM (
+           |   SELECT query_id, neighbor_id, sim,
+           |     row_number() OVER (PARTITION BY query_id ORDER BY hd ASC, neighbor_id ASC) AS hrank
+           |   FROM cand) c WHERE hrank <= 20),
+           | bq AS (SELECT query_id, neighbor_id FROM (
+           |   SELECT query_id, neighbor_id,
+           |     row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM short) r
+           |   WHERE rank <= 5),
+           | bscored AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $cosine AS sim
+           |   FROM embeddings a JOIN embeddings b ON a.vec_id < 5 AND a.vec_id <> b.vec_id),
+           | brute AS (SELECT query_id, neighbor_id FROM (
+           |   SELECT query_id, neighbor_id,
+           |     row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM bscored) r
+           |   WHERE rank <= 5),
+           | hits AS (SELECT b.query_id, count(*)::bigint AS hits
+           |   FROM bq b JOIN brute t USING (query_id, neighbor_id) GROUP BY 1)
+           |SELECT q.query_id, coalesce(h.hits, 0)::bigint AS hits,
+           |  coalesce(h.hits, 0)::double / 5 AS recall
+           |FROM (SELECT DISTINCT query_id FROM brute) q
+           |LEFT JOIN hits h USING (query_id)""".stripMargin
       },
 
       "e_ivf_assign" ->
