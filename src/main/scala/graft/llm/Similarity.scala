@@ -1031,16 +1031,16 @@ object Similarity {
       dim: Int,
       idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
-    val v = bqEncode(vectors, dim, idCol, embCol)
-      .withColumnRenamed("vid", "neighbor_id")
-      .join(vectors.select(col(idCol).cast("long").as("neighbor_id"),
-        col(embCol).as("v_emb")), Seq("neighbor_id"))
-    val q = bqEncode(queries, dim, idCol, embCol)
-      .withColumnRenamed("vid", "query_id")
-      .withColumnRenamed("code_lo", "q_lo")
-      .withColumnRenamed("code_hi", "q_hi")
-      .join(queries.select(col(idCol).cast("long").as("query_id"),
-        col(embCol).as("q_emb")), Seq("query_id"))
+    // codes are computed inline next to the carried embedding — ONE
+    // scan per side, no join-back to the source relation
+    val v = vectors.select(col(idCol).cast("long").as("neighbor_id"),
+      col(embCol).as("v_emb"),
+      bqWord(col(embCol), 0, dim / 2).as("code_lo"),
+      bqWord(col(embCol), dim / 2, dim).as("code_hi"))
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      col(embCol).as("q_emb"),
+      bqWord(col(embCol), 0, dim / 2).as("q_lo"),
+      bqWord(col(embCol), dim / 2, dim).as("q_hi"))
     val scored = v.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("hd",
         bit_count(col("code_lo").bitwiseXOR(col("q_lo"))) +
