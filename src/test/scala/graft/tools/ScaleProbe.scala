@@ -60,7 +60,12 @@ object ScaleProbe {
     // candidate:answer ratio constant at ~1.2× — what stays quadratic
     // is the pair LIST itself (finding 6). m_dhash_dedup is the
     // linear-by-construction keep-first shape; the probe pins both.
-    "m_dhash_wide_pairs", "m_dhash_dedup")
+    "m_dhash_wide_pairs", "m_dhash_dedup",
+    // round-11 late additions: WordPiece trains over a ×R-vocabulary
+    // word relation (driver classic loop, like unigram); encode is
+    // map-only; bq search is one corpus scan + a fleet-keyed rank
+    // window against the 5-query broadcast
+    "d_wordpiece_train", "d_wordpiece_encode", "e_bq_search")
 
   def main(args: Array[String]): Unit = {
     val factors = args.headOption.map(_.split(',').map(_.trim.toInt).toSeq)
