@@ -4852,10 +4852,12 @@ object SparkEntry {
            |  SELECT wsd.doc_id, wsd.idx, s.toks, s.nt
            |  FROM wsd JOIN seg s ON s.w = wsd.w)
            |SELECT d.doc_id,
-           |  CAST(coalesce(sum(e.nt), 0) AS BIGINT) AS n_tokens,
-           |  coalesce(string_agg(e.toks, ' ' ORDER BY e.idx), '') AS tokens_str
+           |  CASE WHEN d.text IS NULL THEN NULL
+           |       ELSE CAST(coalesce(sum(e.nt), 0) AS BIGINT) END AS n_tokens,
+           |  CASE WHEN d.text IS NULL THEN NULL
+           |       ELSE coalesce(string_agg(e.toks, ' ' ORDER BY e.idx), '') END AS tokens_str
            |FROM documents d LEFT JOIN encw e USING (doc_id)
-           |GROUP BY d.doc_id""".stripMargin),
+           |GROUP BY d.doc_id, d.text""".stripMargin),
 
       "d_bpe_train" -> bpeTrainSqlTpl.replace("/*PRUNE*/", ""),
 

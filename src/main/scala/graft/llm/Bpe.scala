@@ -79,8 +79,9 @@ object Bpe {
 
   /** Adjacent symbol pairs of a space-joined symbol string, as
     * `"left right"` strings (empty array for single-symbol words).
+    * Shared with [[WordPiece]] — one spelling for both families.
     */
-  private def adjacentPairs(symbols: Column): Column = {
+  private[llm] def adjacentPairs(symbols: Column): Column = {
     val ss = split(symbols, " ")
     filter(
       zip_with(ss, slice(ss, lit(2), size(ss)), (a, b) => concat_ws(" ", a, b)),

@@ -407,19 +407,30 @@ object Multimodal {
     * dedup (keep/drop, not pair inspection), use [[dhashDedupWide]],
     * whose candidate AND output volumes are O(n) by construction.
     */
-  def dhashPairsWide(fps: DataFrame, maxDist: Int = 20): DataFrame = {
+  /** (doc_id, fp_lo, fp_hi, b, v) band rows of a wide-fingerprint
+    * relation — ONE spelling of the 4×30-bit layout, shared by
+    * [[dhashPairsWide]] and [[dhashDedupWide]] so the two can never
+    * band differently.
+    */
+  private def wideBands(fps: DataFrame): DataFrame = {
     val mask = (1L << 30) - 1L
     val slices = Seq(
       struct(lit(0).as("b"), col("fp_lo").bitwiseAND(lit(mask)).as("v")),
       struct(lit(1).as("b"), shiftright(col("fp_lo"), 30).as("v")),
       struct(lit(2).as("b"), col("fp_hi").bitwiseAND(lit(mask)).as("v")),
       struct(lit(3).as("b"), shiftright(col("fp_hi"), 30).as("v")))
-    val banded = fps.select(col("doc_id"), col("fp_lo"), col("fp_hi"),
+    fps.select(col("doc_id"), col("fp_lo"), col("fp_hi"),
       explode(array(slices: _*)).as("s"))
+      .select(col("doc_id"), col("fp_lo"), col("fp_hi"),
+        col("s.b").as("b"), col("s.v").as("v"))
+  }
+
+  def dhashPairsWide(fps: DataFrame, maxDist: Int = 20): DataFrame = {
+    val banded = wideBands(fps)
     val a = banded.select(col("doc_id").as("id_a"), col("fp_lo").as("lo_a"),
-      col("fp_hi").as("hi_a"), col("s.b").as("b"), col("s.v").as("v"))
+      col("fp_hi").as("hi_a"), col("b"), col("v"))
     val bnd = banded.select(col("doc_id").as("id_b"), col("fp_lo").as("lo_b"),
-      col("fp_hi").as("hi_b"), col("s.b").as("b"), col("s.v").as("v"))
+      col("fp_hi").as("hi_b"), col("b"), col("v"))
     a.join(bnd, Seq("b", "v"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
@@ -459,16 +470,7 @@ object Multimodal {
     val reps = fps.groupBy("fp_lo", "fp_hi")
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"), col("fp_lo"), col("fp_hi"))
-    val mask = (1L << 30) - 1L
-    val slices = Seq(
-      struct(lit(0).as("b"), col("fp_lo").bitwiseAND(lit(mask)).as("v")),
-      struct(lit(1).as("b"), shiftright(col("fp_lo"), 30).as("v")),
-      struct(lit(2).as("b"), col("fp_hi").bitwiseAND(lit(mask)).as("v")),
-      struct(lit(3).as("b"), shiftright(col("fp_hi"), 30).as("v")))
-    val banded = reps.select(col("doc_id"), col("fp_lo"), col("fp_hi"),
-      explode(array(slices: _*)).as("s"))
-      .select(col("doc_id"), col("fp_lo"), col("fp_hi"),
-        col("s.b").as("b"), col("s.v").as("v"))
+    val banded = wideBands(reps)
     // struct min orders by doc_id first ⇒ the anchor's own fp rides
     // along without a second join back to `fps`
     val anchors = banded.groupBy("b", "v")

@@ -69,17 +69,6 @@ object WordPiece {
     trim(s)
   }
 
-  /** Adjacent symbol pairs of a space-joined symbol string (as
-    * `"left right"`), plus the symbols themselves — the two relations
-    * each scoring step aggregates.
-    */
-  private def adjacentPairs(symbols: Column): Column = {
-    val ss = split(symbols, " ")
-    filter(
-      zip_with(ss, slice(ss, lit(2), size(ss)), (a, b) => concat_ws(" ", a, b)),
-      p => p.isNotNull && p.contains(" "))
-  }
-
   /** Learn `merges` WordPiece merge rules. Returns one row per rule:
     * (step, lhs, rhs, merged, n) with `n` the winning pair's
     * freq-weighted count (the score's numerator; the score itself is
@@ -153,7 +142,7 @@ object WordPiece {
           .select(explode(ss).as("u"), col("freq"))
           .groupBy("u").agg(sum("freq").as("cu"))
         val top = wf
-          .select(explode(adjacentPairs(col("sym"))).as("pair"), col("freq"))
+          .select(explode(Bpe.adjacentPairs(col("sym"))).as("pair"), col("freq"))
           .groupBy("pair").agg(sum("freq").as("n"))
           .withColumn("l", split(col("pair"), " ").getItem(0))
           .withColumn("r", split(col("pair"), " ").getItem(1))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.Lineage.TruncateOps
-import graft.llm.{Dedup, Multimodal}
+import graft.llm.Multimodal
 
 /** Streaming near-dup ADMISSION for MEDIA — the fingerprint twin of
   * [[StreamAdmit.admitterIndexed]]: each micro-batch of images is
@@ -55,27 +55,8 @@ object StreamMediaAdmit {
       maxDist: Int = 10): DataFrame = {
     val arrBands = fpBands(arrivals, nBits, bands)
       .truncateLineage(eager = false) // probe + batch self-join
-    val dirty = arrBands.as("a")
-      .join(storeBands.as("s"),
-        col("a.b") === col("s.b") && col("a.v") === col("s.v"))
-      .where(bit_count(col("a.fp").bitwiseXOR(col("s.fp"))) <= maxDist)
-      .select(col("a.id").as("id")).distinct()
-      .truncateLineage(eager = false) // gates both the rows and the bands
-    val clean = arrivals.join(dirty, Seq("id"), "left_anti")
-    val cleanBands = arrBands.join(dirty, Seq("id"), "left_anti")
-    val pairs = cleanBands.as("x")
-      .join(cleanBands.as("y"),
-        col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
-          col("x.id") < col("y.id"))
-      .where(bit_count(col("x.fp").bitwiseXOR(col("y.fp"))) <= maxDist)
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .distinct()
-    // keep-first inline (nearDupKeep's own join key is literally
-    // "id", which would collide with this relation's id column)
-    val losers = Dedup.clusters(pairs)
-      .where(col("id") =!= col("cluster_id"))
-      .select(col("id").as("loser_id"))
-    clean.join(losers, col("id") === col("loser_id"), "left_anti")
+    BandedAdmit.admit(storeBands, arrivals, arrBands,
+      (l, r) => bit_count(col(s"$l.fp").bitwiseXOR(col(s"$r.fp"))) <= maxDist)
       .select(col("id"), col("fp"))
   }
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.Lineage.TruncateOps
-import graft.llm.{Dedup, Similarity}
+import graft.llm.Similarity
 
 /** Streaming near-dup ADMISSION for EMBEDDINGS — the third admission
   * family next to text ([[StreamAdmit]]) and media
@@ -14,10 +14,10 @@ import graft.llm.{Dedup, Similarity}
   * far, and only arrivals with no stored code within Hamming
   * `maxDist` (then keep-first within the batch) are appended.
   *
-  * Semantics are EXACT in the quantized metric: the 64-bit sign code
-  * splits into four 16-bit bands, so any pair within Hamming d < 4
-  * shares a band (the simhash pigeonhole) — no recall loss at the
-  * default `maxDist = 3`. Sign-code Hamming is itself a monotone
+  * Semantics are EXACT in the quantized metric: the dim-bit sign
+  * code splits into four dim/4-bit bands, so any pair within Hamming
+  * d < 4 shares a band (the simhash pigeonhole) — no recall loss at
+  * the default `maxDist = 3`. Sign-code Hamming is itself a monotone
   * proxy for angle (1 bit ≈ one crossed hyperplane); pipelines
   * needing exact-cosine confirmation re-verify the REJECTED ids
   * against their stored twins downstream — the admission loop's
@@ -29,16 +29,22 @@ object StreamVecAdmit {
 
   /** (id, b, v, lo, hi) band rows of an (id, code_lo, code_hi) sign-
     * code relation — the persisted index format. Bands are the four
-    * 16-bit halves of the two 32-bit words; both full words ride
-    * along so probes verify with two `bit_count(xor)` in the join.
+    * `dim/4`-bit quarters of the code (two per `dim/2`-bit word), so
+    * the band width scales WITH the dimensionality: a fixed 16-bit
+    * split would leave the high bands structurally zero for dim < 64
+    * and the probe would degenerate to |batch|×|store| in one hot
+    * bucket. Both full words ride along so probes verify with two
+    * `bit_count(xor)` in the join.
     */
-  def codeBands(codes: DataFrame): DataFrame = {
-    val mask = (1L << 16) - 1L
+  def codeBands(codes: DataFrame, dim: Int = 64): DataFrame = {
+    require(dim % 4 == 0, "dim must split into 4 bands")
+    val bw = dim / 4
+    val mask = (1L << bw) - 1L
     val slices = Seq(
       struct(lit(0).as("b"), col("code_lo").bitwiseAND(lit(mask)).as("v")),
-      struct(lit(1).as("b"), shiftright(col("code_lo"), 16).as("v")),
+      struct(lit(1).as("b"), shiftright(col("code_lo"), bw).as("v")),
       struct(lit(2).as("b"), col("code_hi").bitwiseAND(lit(mask)).as("v")),
-      struct(lit(3).as("b"), shiftright(col("code_hi"), 16).as("v")))
+      struct(lit(3).as("b"), shiftright(col("code_hi"), bw).as("v")))
     codes.select(col("id"), col("code_lo"), col("code_hi"),
       explode(array(slices: _*)).as("s"))
       .select(col("id"), col("s.b").as("b"), col("s.v").as("v"),
@@ -47,38 +53,21 @@ object StreamVecAdmit {
 
   /** Admit `arrivals` (id, code_lo, code_hi) against a stored band
     * index ([[codeBands]] rows) — keep-first policy consistent with
-    * the text/media admitters: store wins, then batch-internal
-    * near-dups cluster (banded candidates → Hamming verify → CC) and
-    * each cluster's min id survives.
+    * the text/media admitters (the shared [[BandedAdmit]] pipeline):
+    * store wins, then batch-internal near-dups cluster and each
+    * cluster's min id survives.
     */
   def admitCodes(
       storeBands: DataFrame,
       arrivals: DataFrame,
+      dim: Int = 64,
       maxDist: Int = 3): DataFrame = {
-    def hd(aLo: String, aHi: String, bLo: String, bHi: String) =
-      bit_count(col(aLo).bitwiseXOR(col(bLo))) +
-        bit_count(col(aHi).bitwiseXOR(col(bHi)))
-    val arrBands = codeBands(arrivals)
+    val arrBands = codeBands(arrivals, dim)
       .truncateLineage(eager = false) // probe + batch self-join
-    val dirty = arrBands.as("a")
-      .join(storeBands.as("s"),
-        col("a.b") === col("s.b") && col("a.v") === col("s.v"))
-      .where(hd("a.code_lo", "a.code_hi", "s.code_lo", "s.code_hi") <= maxDist)
-      .select(col("a.id").as("id")).distinct()
-      .truncateLineage(eager = false)
-    val clean = arrivals.join(dirty, Seq("id"), "left_anti")
-    val cleanBands = arrBands.join(dirty, Seq("id"), "left_anti")
-    val pairs = cleanBands.as("x")
-      .join(cleanBands.as("y"),
-        col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
-          col("x.id") < col("y.id"))
-      .where(hd("x.code_lo", "x.code_hi", "y.code_lo", "y.code_hi") <= maxDist)
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .distinct()
-    val losers = Dedup.clusters(pairs)
-      .where(col("id") =!= col("cluster_id"))
-      .select(col("id").as("loser_id"))
-    clean.join(losers, col("id") === col("loser_id"), "left_anti")
+    BandedAdmit.admit(storeBands, arrivals, arrBands,
+      (l, r) =>
+        (bit_count(col(s"$l.code_lo").bitwiseXOR(col(s"$r.code_lo"))) +
+          bit_count(col(s"$l.code_hi").bitwiseXOR(col(s"$r.code_hi")))) <= maxDist)
       .select(col("id"), col("code_lo"), col("code_hi"))
   }
 
@@ -96,7 +85,7 @@ object StreamVecAdmit {
     (batch: DataFrame, _: Long) => {
       val codes = Similarity.bqEncode(batch, dim)
         .withColumnRenamed("vid", "id")
-      val admitted = admitCodes(readIndex(), codes, maxDist)
-      appendIndex(codeBands(admitted))
+      val admitted = admitCodes(readIndex(), codes, dim, maxDist)
+      appendIndex(codeBands(admitted, dim))
     }
 }

@@ -64,7 +64,7 @@ class StreamVecAdmitSpec extends AnyFunSuite {
             (11L, vec(base, flip = Seq(0, 1, 2, 3, 4, 5, 6, 7))))
             .toDF("vec_id", "embedding"), dim = 16)
         .withColumnRenamed("vid", "id")
-      val expect = StreamVecAdmit.codeBands(fps)
+      val expect = StreamVecAdmit.codeBands(fps, dim = 16)
         .as[(Long, Int, Long, Long, Long)].collect().sorted.toSeq
       val got = spark.read.parquet(idxDir)
         .as[(Long, Int, Long, Long, Long)].collect().sorted.toSeq

@@ -42,9 +42,15 @@ object PairVolume {
       // to the verifier, pre-distinct)
       val cand = banded.groupBy("b", "v").count()
         .agg(sum(col("count") * (col("count") - 1) / 2)).head.getDouble(0)
-      def verified(d: Int): Long =
-        graft.llm.Multimodal.dhashPairsWide(fps, maxDist = d).count()
-      println(f"PAIRVOL | x$r | n=$n | distinct=$nDistinct | cand=${cand.toLong} | v20=${verified(20)} | v10=${verified(10)} | v3=${verified(3)}")
+      // one banded join; the smaller radii are subsets of the dist≤20
+      // output, so they count from the cached pair list instead of
+      // re-running the quadratic-candidate join
+      val pairs20 = graft.llm.Multimodal.dhashPairsWide(fps, maxDist = 20).cache()
+      val v20 = pairs20.count()
+      val v10 = pairs20.where(col("dist") <= 10).count()
+      val v3 = pairs20.where(col("dist") <= 3).count()
+      println(f"PAIRVOL | x$r | n=$n | distinct=$nDistinct | cand=${cand.toLong} | v20=$v20 | v10=$v10 | v3=$v3")
+      pairs20.unpersist()
       fps.unpersist()
     }
     spark.stop()
