@@ -1952,6 +1952,24 @@ object SparkEntry {
           coalesce(col("cluster_id"), col("doc_id")).as("grp"), col("split"))
     }),
 
+    // leakage-safe split for IMAGES: the media twin of d_split_leakage
+    // — perceptual near-dup clusters (dHash banded pairs → CC) become
+    // the split key, so pixel-near-duplicate images can never straddle
+    // train/val/test. Pure composition of shipped operators.
+    "d_split_media" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val pairs = Multimodal.dhashPairs(
+          Multimodal.dhash(Multimodal.withPngPayload(docs)), maxDist = 10)
+        .select("id_a", "id_b")
+      val cl = Dedup.clusters(pairs).withColumnRenamed("id", "doc_id")
+      graft.llm.Sampling.splitGrouped(
+          docs.join(cl, Seq("doc_id"), "left_outer"),
+          Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)),
+          coalesce(col("cluster_id"), col("doc_id")))
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("grp"), col("split"))
+    }),
+
     "p_labels" -> ((s, dir) =>
       graft.prom.Prom.labelRows(
         GraphiteTables.tags(s, dir).select("path").distinct())),
@@ -6568,6 +6586,42 @@ object SparkEntry {
            |FROM banded a JOIN banded b2
            |  ON a.b = b2.b AND a.v = b2.v AND a.doc_id < b2.doc_id
            |WHERE bit_count(xor(a.fp, b2.fp)) <= 10""".stripMargin),
+
+      // media split twin: the m_dhash_pairs chain as the edge set,
+      // then the same recursive-CTE CC + grouped-hash split as
+      // d_split_leakage (grp = min reachable id, md5 '|split' salt)
+      "d_split_media" ->
+        (s"""WITH RECURSIVE cell AS ($dhashCellsSql),
+           |fp AS (
+           |  SELECT a.doc_id,
+           |    CAST(sum(CASE WHEN b.lum > a.lum
+           |      THEN (1::bigint << CAST(a.gy * 7 + a.gx AS INT)) ELSE 0 END) AS BIGINT) AS fp
+           |  FROM cell a JOIN cell b
+           |    ON b.doc_id = a.doc_id AND b.gy = a.gy AND b.gx = a.gx + 1
+           |  WHERE a.gx < 7
+           |  GROUP BY 1),
+           |banded AS (SELECT doc_id, fp, i AS b, (fp >> CAST(14 * i AS INT)) & 16383 AS v
+           |  FROM fp, (SELECT unnest([0, 1, 2, 3]) AS i) u),
+           |verified AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+           |  FROM banded a JOIN banded b2
+           |    ON a.b = b2.b AND a.v = b2.v AND a.doc_id < b2.doc_id
+           |  WHERE bit_count(xor(a.fp, b2.fp)) <= 10),
+           |edges AS (SELECT id_a AS src, id_b AS dst FROM verified UNION SELECT id_b, id_a FROM verified),
+           |nodes AS (SELECT DISTINCT src AS id FROM edges),
+           |reach(id, label) AS (
+           |  SELECT id, id FROM nodes
+           |  UNION
+           |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+           |cl AS (SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id),
+           |keyed AS (
+           |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS grp
+           |  FROM documents d LEFT JOIN cl c ON c.doc_id = d.doc_id),
+           |uu AS (SELECT doc_id, grp,
+           |  ('0x' || substr(md5(grp::varchar || '|split'), 1, 15))::bigint / 1152921504606846976.0 AS u
+           |  FROM keyed)
+           |SELECT doc_id, grp,
+           |  CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+           |FROM uu""".stripMargin),
 
       "m_dhash_wide" ->
         (s"""$dhashWideFpSql"""),
