@@ -2705,6 +2705,13 @@ object SparkEntry {
         Multimodal.audioFingerprint(s.read.parquet(s"$dir/documents.parquet")),
         nBits = 32, bands = 4, maxDist = 5)),
 
+    // the linear dedup shape for the AUDIO modality (modality-generic
+    // fpAnchorDedup over the 31-bit frame-energy codes)
+    "m_afp_dedup" -> ((s, dir) =>
+      Multimodal.fpAnchorDedup(
+        Multimodal.audioFingerprint(s.read.parquet(s"$dir/documents.parquet")),
+        nBits = 32, bands = 4, maxDist = 5)),
+
     // REAL audio codec (JDK WAV/PCM): seed-keyed sine payloads
     // round-tripped through the JDK encoder/decoder, RMS +
     // zero-crossing features out.
@@ -6693,6 +6700,27 @@ object SparkEntry {
            |FROM banded a JOIN banded b2
            |  ON a.b = b2.b AND a.v = b2.v AND a.doc_id < b2.doc_id
            |WHERE bit_count(xor(a.fp, b2.fp)) <= 5""".stripMargin),
+
+      "m_afp_dedup" ->
+        (s"""WITH e AS ($afpEnergySql),
+           |fp AS (
+           |  SELECT a.doc_id,
+           |    CAST(sum(CASE WHEN b.e > a.e
+           |      THEN (1::bigint << CAST(a.f AS INT)) ELSE 0 END) AS BIGINT) AS fp
+           |  FROM e a JOIN e b ON b.doc_id = a.doc_id AND b.f = a.f + 1
+           |  GROUP BY 1),
+           |reps AS (SELECT min(doc_id) AS doc_id, fp FROM fp GROUP BY fp),
+           |banded AS (SELECT doc_id, fp, i AS b, (fp >> CAST(8 * i AS INT)) & 255 AS v
+           |  FROM reps, (SELECT unnest([0, 1, 2, 3]) AS i) u),
+           |anch AS (SELECT b, v, min(doc_id) AS anchor_id FROM banded GROUP BY 1, 2),
+           |dropped AS (
+           |  SELECT DISTINCT d.doc_id
+           |  FROM banded d
+           |  JOIN anch a ON d.b = a.b AND d.v = a.v AND d.doc_id > a.anchor_id
+           |  JOIN reps af ON af.doc_id = a.anchor_id
+           |  WHERE bit_count(xor(d.fp, af.fp)) <= 5)
+           |SELECT r.doc_id, r.fp FROM reps r
+           |WHERE r.doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin),
 
       "m_wav_features" ->
         ("""WITH s AS (

@@ -486,6 +486,40 @@ object Multimodal {
       .select(col("doc_id"), col("fp_lo"), col("fp_hi"))
   }
 
+  /** Keep-first anchor dedup over single-long fingerprints — the
+    * [[dhashDedupWide]] shape generalized to any (doc_id, fp)
+    * relation ([[dhash]] 56-bit image codes, [[audioFingerprint]]
+    * frame-energy codes): identical fingerprints collapse to their
+    * eldest first (one hash-agg — an exact dup can never survive),
+    * then each band bucket's eldest remaining member anchors it and a
+    * doc drops iff some bucket anchor ≤ `maxDist` precedes it.
+    * Candidates = bands·distinct-fp rows, output ≤ n — linear at any
+    * corpus size (SCALE_NOTES finding 6's argument, modality-generic).
+    */
+  def fpAnchorDedup(
+      fps: DataFrame, nBits: Int = 56, bands: Int = 4, maxDist: Int = 10): DataFrame = {
+    require(nBits % bands == 0, "bands must divide the fingerprint width")
+    val bw = nBits / bands
+    val mask = (1L << bw) - 1L
+    val reps = fps.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("fp"))
+    val slices = (0 until bands).map(b => struct(lit(b).as("b"),
+      shiftright(col("fp"), b * bw).bitwiseAND(lit(mask)).as("v")))
+    val banded = reps.select(col("doc_id"), col("fp"),
+      explode(array(slices: _*)).as("s"))
+      .select(col("doc_id"), col("fp"), col("s.b").as("b"), col("s.v").as("v"))
+    val anchors = banded.groupBy("b", "v")
+      .agg(min(struct(col("doc_id"), col("fp"))).as("a"))
+      .select(col("b"), col("v"), col("a.doc_id").as("anchor_id"),
+        col("a.fp").as("fp_a"))
+    val dropped = banded.join(anchors, Seq("b", "v"))
+      .where(col("doc_id") > col("anchor_id") &&
+        bit_count(col("fp").bitwiseXOR(col("fp_a"))) <= maxDist)
+      .select(col("doc_id")).distinct()
+    reps.join(dropped, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("fp"))
+  }
+
   /** Banded-LSH candidate pairs over [[dhash]] fingerprints, verified
     * by exact Hamming distance: the fingerprint splits into `bands`
     * bit-slices, a pair collides if ANY band matches (two fps within

@@ -228,6 +228,18 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("fpAnchorDedup: exact dups collapse, near anchors drop, far fps survive") {
+    import spark.implicits._
+    val fps = Seq(
+      (1L, 0xABCDL), (5L, 0xABCDL), // 5 is an exact dup → stage-1 collapse
+      (7L, 0xABCDL ^ 0x3L), // 2 bits from 1, shares 3 bands → anchor drop
+      (9L, 0x123456FFL)) // no shared band value with 1, far → kept
+      .toDF("doc_id", "fp")
+    val got = Multimodal.fpAnchorDedup(fps, nBits = 32, bands = 4, maxDist = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 0xABCDL), (9L, 0x123456FFL)))
+  }
+
   test("audioFpBits: decode-path energies match the generator formula bit fold") {
     def localFp(seed: Long, frames: Int): Long = {
       val freq = 200.0 + (math.abs(seed) % 200)
