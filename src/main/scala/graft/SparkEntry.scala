@@ -1952,6 +1952,14 @@ object SparkEntry {
           coalesce(col("cluster_id"), col("doc_id")).as("grp"), col("split"))
     }),
 
+    // fill-in-the-middle training examples (PSM order): two id-hashed
+    // cut points per doc, map-only reassembly — zero shuffle at any
+    // scale; the cut fractions reuse the engine-portable salted-hash
+    // primitive so the twin reproduces every span byte for byte.
+    "d_fim" -> ((s, dir) =>
+      graft.llm.Sampling.fimTransform(
+        s.read.parquet(s"$dir/documents.parquet"), col("text"), col("doc_id"))),
+
     // leakage-safe split for IMAGES: the media twin of d_split_leakage
     // — perceptual near-dup clusters (dHash banded pairs → CC) become
     // the split key, so pixel-near-duplicate images can never straddle
@@ -6593,6 +6601,22 @@ object SparkEntry {
            |FROM banded a JOIN banded b2
            |  ON a.b = b2.b AND a.v = b2.v AND a.doc_id < b2.doc_id
            |WHERE bit_count(xor(a.fp, b2.fp)) <= 10""".stripMargin),
+
+      "d_fim" ->
+        ("""SELECT doc_id,
+          |  CAST(a AS BIGINT) AS prefix_len,
+          |  CAST(b - a AS BIGINT) AS middle_len,
+          |  '<PRE>' || substr(text, 1, CAST(a AS INT))
+          |    || '<SUF>' || substr(text, CAST(b + 1 AS INT), CAST(n - b AS INT))
+          |    || '<MID>' || substr(text, CAST(a + 1 AS INT), CAST(b - a AS INT)) AS fim_text
+          |FROM (
+          |  SELECT doc_id, text, n,
+          |    floor(least(u1, u2) * n) AS a, floor(greatest(u1, u2) * n) AS b
+          |  FROM (
+          |    SELECT doc_id, text, length(text) AS n,
+          |      ('0x' || substr(md5(doc_id::varchar || '|fim1'), 1, 15))::bigint / 1152921504606846976.0 AS u1,
+          |      ('0x' || substr(md5(doc_id::varchar || '|fim2'), 1, 15))::bigint / 1152921504606846976.0 AS u2
+          |    FROM documents) h) c""".stripMargin),
 
       // media split twin: the m_dhash_pairs chain as the edge set,
       // then the same recursive-CTE CC + grouped-hash split as

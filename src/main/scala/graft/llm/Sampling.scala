@@ -41,6 +41,35 @@ object Sampling {
     hashBits60(concat(id.cast("string"), lit("|" + salt)))
       .cast("double") / lit(1152921504606846976d)
 
+  /** Fill-in-the-middle transformation (Bavarian et al. 2022, "FIM"):
+    * deterministically split each document into prefix / middle /
+    * suffix at two id-hashed cut points and reassemble in PSM order
+    * (`<PRE>` prefix `<SUF>` suffix `<MID>` middle) — the standard
+    * infilling training example, as a pure map-only Column transform
+    * (zero shuffle at any scale). The cut points are salted-hash
+    * fractions of the character length, so the transform is
+    * reproducible across engines and runs; pipelines applying FIM to
+    * only a rate of documents compose this with [[hash01]] gating.
+    */
+  def fimTransform(
+      docs: DataFrame,
+      textCol: Column,
+      idCol: Column): DataFrame = {
+    val n = length(textCol)
+    val u1 = hash01(idCol, "fim1")
+    val u2 = hash01(idCol, "fim2")
+    val a = floor(least(u1, u2) * n).cast("int")
+    val b = floor(greatest(u1, u2) * n).cast("int")
+    val prefix = textCol.substr(lit(1), a)
+    val middle = textCol.substr(a + lit(1), b - a)
+    val suffix = textCol.substr(b + lit(1), n - b)
+    docs.select(idCol.as("doc_id"),
+      a.cast("long").as("prefix_len"),
+      (b - a).cast("long").as("middle_len"),
+      concat(lit("<PRE>"), prefix, lit("<SUF>"), suffix,
+        lit("<MID>"), middle).as("fim_text"))
+  }
+
   /** Stratified sample: keep each row with its stratum's rate
     * (`rates`, driver-side map — strata are few by definition),
     * `defaultRate` for unlisted strata. Pure narrow filter — at any

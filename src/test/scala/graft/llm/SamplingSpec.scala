@@ -18,6 +18,27 @@ class SamplingSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
   }
 
+  test("fimTransform: the three spans reassemble to the original text") {
+    import spark.implicits._
+    val src = docs.limit(200).collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val out = Sampling.fimTransform(docs.limit(200), col("text"), col("doc_id"))
+      .collect()
+    assert(out.length == 200)
+    out.foreach { r =>
+      val (id, pl, ml, fim) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+      val text = src(id)
+      assert(fim.startsWith("<PRE>"))
+      val pre = fim.substring(5, fim.indexOf("<SUF>"))
+      val suf = fim.substring(fim.indexOf("<SUF>") + 5, fim.indexOf("<MID>"))
+      val mid = fim.substring(fim.indexOf("<MID>") + 5)
+      assert(pre + mid + suf == text, s"spans of $id must reassemble the doc")
+      assert(pre.length == pl && mid.length == ml)
+      assert(pl + ml <= text.length)
+    }
+    // cut points vary across docs (the hash actually moves)
+    assert(out.map(_.getLong(1)).distinct.length > 10)
+  }
+
   test("splitGrouped: every member of a group lands in the same split") {
     import spark.implicits._
     // 200 docs in 40 groups of 5
