@@ -1960,6 +1960,13 @@ object SparkEntry {
       graft.llm.Sampling.fimTransform(
         s.read.parquet(s"$dir/documents.parquet"), col("text"), col("doc_id"))),
 
+    // T5 span corruption: deterministic per-position coins, runs of
+    // masked words become sentinel spans, (corrupted, targets) pair
+    // out — one word explode + per-DOC windows + in-row ordered fold.
+    "d_span_corrupt" -> ((s, dir) =>
+      graft.llm.Sampling.spanCorrupt(
+        s.read.parquet(s"$dir/documents.parquet"), col("text"), col("doc_id"))),
+
     // leakage-safe split for IMAGES: the media twin of d_split_leakage
     // — perceptual near-dup clusters (dHash banded pairs → CC) become
     // the split key, so pixel-near-duplicate images can never straddle
@@ -6617,6 +6624,39 @@ object SparkEntry {
           |      ('0x' || substr(md5(doc_id::varchar || '|fim1'), 1, 15))::bigint / 1152921504606846976.0 AS u1,
           |      ('0x' || substr(md5(doc_id::varchar || '|fim2'), 1, 15))::bigint / 1152921504606846976.0 AS u2
           |    FROM documents) h) c""".stripMargin),
+
+      "d_span_corrupt" ->
+        ("""WITH wsd AS (
+          |  SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS pos
+          |  FROM (SELECT doc_id,
+          |          list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ws
+          |        FROM documents)),
+          |mk AS (SELECT doc_id, pos, w,
+          |  (('0x' || substr(md5(doc_id::varchar || '|' || pos::varchar || '|corrupt'), 1, 15))::bigint
+          |     / 1152921504606846976.0) < 0.15 AS m
+          |  FROM wsd),
+          |sp AS (SELECT *,
+          |  m AND NOT coalesce(lag(m) OVER (PARTITION BY doc_id ORDER BY pos), FALSE) AS st
+          |  FROM mk),
+          |sd AS (SELECT *,
+          |  CAST(sum(CASE WHEN st THEN 1 ELSE 0 END)
+          |    OVER (PARTITION BY doc_id ORDER BY pos) AS INT) AS sid
+          |  FROM sp),
+          |toks AS (SELECT doc_id, pos, sid,
+          |  CASE WHEN NOT m THEN w WHEN st THEN '<X_' || sid::varchar || '>' END AS ct,
+          |  CASE WHEN m THEN
+          |    CASE WHEN st THEN '<X_' || sid::varchar || '> ' || w ELSE w END END AS tt
+          |  FROM sd),
+          |agg AS (SELECT doc_id,
+          |  CAST(max(sid) AS BIGINT) AS n_spans,
+          |  string_agg(ct, ' ' ORDER BY pos) AS corrupted,
+          |  string_agg(tt, ' ' ORDER BY pos) AS targets
+          |  FROM toks GROUP BY 1)
+          |SELECT d.doc_id,
+          |  CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(a.n_spans, 0) END AS n_spans,
+          |  CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(a.corrupted, '') END AS corrupted,
+          |  CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(a.targets, '') END AS targets
+          |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin),
 
       // media split twin: the m_dhash_pairs chain as the edge set,
       // then the same recursive-CTE CC + grouped-hash split as

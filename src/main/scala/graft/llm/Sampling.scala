@@ -70,6 +70,63 @@ object Sampling {
         lit("<MID>"), middle).as("fim_text"))
   }
 
+  /** T5-style span corruption (Raffel et al. 2020 §3.1.4): each word
+    * position draws a deterministic salted-hash coin at `rate`;
+    * consecutive masked words merge into one span, span k is replaced
+    * by the sentinel `<X_k>` in the corrupted text, and the targets
+    * stream lists each sentinel followed by the words it hides — the
+    * denoising-objective example pair. Distributed shape: one word
+    * explode, per-DOC windows (lag for span starts, a running sum for
+    * span ids — fleet-sized partition keys, never corpus-global), and
+    * an ordered in-row fold back to two strings per document.
+    */
+  def spanCorrupt(
+      docs: DataFrame,
+      textCol: Column,
+      idCol: Column,
+      rate: Double = 0.15): DataFrame = {
+    val words = docs
+      .select(idCol.as("doc_id"),
+        posexplode(filter( // functions.split is shadowed by Sampling.split
+          org.apache.spark.sql.functions.split(trim(textCol), "\\s+"),
+          x => x =!= "")).as(Seq("pos", "w")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val keyed = words
+      .withColumn("m", hash01(
+        // 1-based position in the hash key (generate_subscripts
+        // convention, matching the DuckDB twin)
+        concat(col("doc_id").cast("string"), lit("|"),
+          (col("pos") + 1).cast("string")),
+        "corrupt") < lit(rate))
+      .withColumn("st", col("m") && !coalesce(lag("m", 1).over(w), lit(false)))
+      .withColumn("sid",
+        sum(when(col("st"), 1).otherwise(0)).over(w).cast("int"))
+    val corrTok = when(!col("m"), col("w"))
+      .when(col("st"), concat(lit("<X_"), col("sid").cast("string"), lit(">")))
+    val tgtTok = when(col("m"),
+      when(col("st"),
+        concat(lit("<X_"), col("sid").cast("string"), lit("> "), col("w")))
+        .otherwise(col("w")))
+    def fold(tok: Column): Column = array_join(
+      transform(
+        array_sort(collect_list(when(tok.isNotNull,
+          struct(col("pos"), tok.as("t"))))),
+        s => s("t")), " ")
+    val agg = keyed.groupBy("doc_id").agg(
+      max(col("sid")).cast("long").as("n_spans"),
+      fold(corrTok).as("corrupted"),
+      fold(tgtTok).as("targets"))
+    docs.select(idCol.as("doc_id"), textCol.as("__text"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("__text").isNull, lit(null))
+          .otherwise(coalesce(col("n_spans"), lit(0L))).as("n_spans"),
+        when(col("__text").isNull, lit(null))
+          .otherwise(coalesce(col("corrupted"), lit(""))).as("corrupted"),
+        when(col("__text").isNull, lit(null))
+          .otherwise(coalesce(col("targets"), lit(""))).as("targets"))
+  }
+
   /** Stratified sample: keep each row with its stratum's rate
     * (`rates`, driver-side map — strata are few by definition),
     * `defaultRate` for unlisted strata. Pure narrow filter — at any

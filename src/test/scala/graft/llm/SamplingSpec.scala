@@ -39,6 +39,30 @@ class SamplingSpec extends AnyFunSuite {
     assert(out.map(_.getLong(1)).distinct.length > 10)
   }
 
+  test("spanCorrupt: substituting targets back into corrupted reconstructs the text") {
+    val src = docs.limit(200).collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val out = Sampling.spanCorrupt(docs.limit(200), col("text"), col("doc_id"))
+      .collect()
+    assert(out.length == 200)
+    var masked = 0L
+    out.foreach { r =>
+      val (id, n, corr, tgt) =
+        (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))
+      val spans = "<X_\\d+> ?".r.split(tgt).filter(_.nonEmpty).map(_.trim)
+      assert(spans.length == n, s"doc $id: $n spans declared, ${spans.length} in targets")
+      val rebuilt = corr.split(" ").map { t =>
+        if (t.matches("<X_\\d+>")) spans(t.drop(3).dropRight(1).toInt - 1) else t
+      }.mkString(" ")
+      assert(rebuilt == src(id), s"doc $id must reconstruct")
+      masked += spans.map(_.split(" ").length).sum
+    }
+    val total = src.values.map(_.split(" ").length).sum
+    // the coin rate is 0.15/position; spans make the realized masked
+    // fraction concentrate near it
+    assert(masked > total * 0.10 && masked < total * 0.20,
+      s"masked fraction off: $masked/$total")
+  }
+
   test("splitGrouped: every member of a group lands in the same split") {
     import spark.implicits._
     // 200 docs in 40 groups of 5
