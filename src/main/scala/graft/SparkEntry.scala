@@ -2968,6 +2968,30 @@ object SparkEntry {
       "0.5 * least(len(string_split_regex(trim(text), '\\s+'))::double / 64.0, 1.0) + " +
         "0.5 * (length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))::double / greatest(length(text)::double, 1.0))"
 
+    // bq shortlist chain — ONE spelling shared by the e_bq_search and
+    // e_bq_recall twins (sign-code words, Hamming shortlist of 20,
+    // exact cosine), so the recall harness always measures exactly
+    // the search that ships
+    val bqShortSql = {
+      def dotQA = "list_sum(list_transform(generate_series(1, len(a.embedding)), i -> a.embedding[i]::double * q.embedding[i]::double))"
+      def normQA(t: String) =
+        s"sqrt(list_sum(list_transform(generate_series(1, len($t.embedding)), i -> $t.embedding[i]::double * $t.embedding[i]::double)))"
+      def word(from: Int, until: Int, shift: Int) =
+        s"list_sum(list_transform(generate_series($from, $until), i -> CASE WHEN embedding[i] >= 0 THEN CAST(1 AS BIGINT) << (i - $shift) ELSE CAST(0 AS BIGINT) END))"
+      s"""coded AS (SELECT vec_id, embedding,
+         |   ${word(1, 32, 1)} AS lo, ${word(33, 64, 33)} AS hi
+         | FROM embeddings),
+         | q AS (SELECT vec_id AS query_id, embedding, lo AS q_lo, hi AS q_hi FROM coded WHERE vec_id < 5),
+         | cand AS (SELECT q.query_id, a.vec_id AS neighbor_id,
+         |   bit_count(xor(a.lo, q.q_lo)) + bit_count(xor(a.hi, q.q_hi)) AS hd,
+         |   $dotQA / (${normQA("q")} * ${normQA("a")}) AS sim
+         |   FROM coded a, q WHERE q.query_id <> a.vec_id),
+         | short AS (SELECT query_id, neighbor_id, sim FROM (
+         |   SELECT query_id, neighbor_id, sim,
+         |     row_number() OVER (PARTITION BY query_id ORDER BY hd ASC, neighbor_id ASC) AS hrank
+         |   FROM cand) c WHERE hrank <= 20)""".stripMargin
+    }
+
     val dot = "list_sum(list_transform(generate_series(1, len(a.embedding)), i -> a.embedding[i]::double * b.embedding[i]::double))"
     def norm(t: String) =
       s"sqrt(list_sum(list_transform(generate_series(1, len($t.embedding)), i -> $t.embedding[i]::double * $t.embedding[i]::double)))"
@@ -3444,7 +3468,8 @@ object SparkEntry {
 
       "ev_bloom_words" ->
         (s"""WITH build AS (SELECT user_id::varchar AS key FROM events
-           |  WHERE event_type = 'purchase' GROUP BY 1 HAVING count(*) >= 12),
+           |  WHERE event_type = 'purchase' AND user_id IS NOT NULL
+           |  GROUP BY 1 HAVING count(*) >= 12),
            |bh AS (SELECT ('0x' || substr(md5(key), 1, 15))::bigint % 2147483647 AS h
            |  FROM build),
            |bloom AS (SELECT DISTINCT
@@ -3456,7 +3481,8 @@ object SparkEntry {
 
       "ev_bloom_probe" ->
         (s"""WITH build AS (SELECT user_id::varchar AS key FROM events
-           |  WHERE event_type = 'purchase' GROUP BY 1 HAVING count(*) >= 12),
+           |  WHERE event_type = 'purchase' AND user_id IS NOT NULL
+           |  GROUP BY 1 HAVING count(*) >= 12),
            |bh AS (SELECT ('0x' || substr(md5(key), 1, 15))::bigint % 2147483647 AS h
            |  FROM build),
            |bloom AS (SELECT DISTINCT
@@ -5299,49 +5325,17 @@ object SparkEntry {
       // binary quantization twin: the identical sign-bit words (the
       // e_lsh_knn bucket spelling split lo/hi), Hamming shortlist of
       // 20 (hd asc, id asc), exact cosine rerank to top-5
-      "e_bq_search" -> {
-        def dotN = "list_sum(list_transform(generate_series(1, len(a.embedding)), i -> a.embedding[i]::double * q.embedding[i]::double))"
-        def normN(t: String) =
-          s"sqrt(list_sum(list_transform(generate_series(1, len($t.embedding)), i -> $t.embedding[i]::double * $t.embedding[i]::double)))"
-        def word(from: Int, until: Int, shift: Int) =
-          s"list_sum(list_transform(generate_series($from, $until), i -> CASE WHEN embedding[i] >= 0 THEN CAST(1 AS BIGINT) << (i - $shift) ELSE CAST(0 AS BIGINT) END))"
-        s"""WITH coded AS (SELECT vec_id, embedding,
-           |   ${word(1, 32, 1)} AS lo, ${word(33, 64, 33)} AS hi
-           | FROM embeddings),
-           | q AS (SELECT vec_id AS query_id, embedding, lo AS q_lo, hi AS q_hi FROM coded WHERE vec_id < 5),
-           | cand AS (SELECT q.query_id, a.vec_id AS neighbor_id,
-           |   bit_count(xor(a.lo, q.q_lo)) + bit_count(xor(a.hi, q.q_hi)) AS hd,
-           |   $dotN / (${normN("q")} * ${normN("a")}) AS sim
-           |   FROM coded a, q WHERE q.query_id <> a.vec_id),
-           | short AS (SELECT query_id, neighbor_id, sim FROM (
-           |   SELECT query_id, neighbor_id, sim,
-           |     row_number() OVER (PARTITION BY query_id ORDER BY hd ASC, neighbor_id ASC) AS hrank
-           |   FROM cand) c WHERE hrank <= 20),
+      "e_bq_search" ->
+        (s"""WITH $bqShortSql,
            | ranked AS (SELECT query_id, neighbor_id, sim,
            |   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM short)
            |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(sim, 4) + 0 AS sim
-           |FROM ranked WHERE rank <= 5""".stripMargin
-      },
+           |FROM ranked WHERE rank <= 5""".stripMargin),
 
       // bq-vs-brute recall twin: the e_bq_search chain reduced to the
       // kept (query, neighbor) set, intersected with the brute top-5
-      "e_bq_recall" -> {
-        def word(from: Int, until: Int, shift: Int) =
-          s"list_sum(list_transform(generate_series($from, $until), i -> CASE WHEN embedding[i] >= 0 THEN CAST(1 AS BIGINT) << (i - $shift) ELSE CAST(0 AS BIGINT) END))"
-        s"""WITH coded AS (SELECT vec_id, embedding,
-           |   ${word(1, 32, 1)} AS lo, ${word(33, 64, 33)} AS hi
-           | FROM embeddings),
-           | q AS (SELECT vec_id AS query_id, embedding, lo AS q_lo, hi AS q_hi FROM coded WHERE vec_id < 5),
-           | cand AS (SELECT q.query_id, a.vec_id AS neighbor_id,
-           |   bit_count(xor(a.lo, q.q_lo)) + bit_count(xor(a.hi, q.q_hi)) AS hd,
-           |   list_sum(list_transform(generate_series(1, len(a.embedding)), i -> a.embedding[i]::double * q.embedding[i]::double)) /
-           |   (sqrt(list_sum(list_transform(generate_series(1, len(q.embedding)), i -> q.embedding[i]::double * q.embedding[i]::double))) *
-           |    sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)), i -> a.embedding[i]::double * a.embedding[i]::double)))) AS sim
-           |   FROM coded a, q WHERE q.query_id <> a.vec_id),
-           | short AS (SELECT query_id, neighbor_id, sim FROM (
-           |   SELECT query_id, neighbor_id, sim,
-           |     row_number() OVER (PARTITION BY query_id ORDER BY hd ASC, neighbor_id ASC) AS hrank
-           |   FROM cand) c WHERE hrank <= 20),
+      "e_bq_recall" ->
+        (s"""WITH $bqShortSql,
            | bq AS (SELECT query_id, neighbor_id FROM (
            |   SELECT query_id, neighbor_id,
            |     row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM short) r
@@ -5354,11 +5348,10 @@ object SparkEntry {
            |   WHERE rank <= 5),
            | hits AS (SELECT b.query_id, count(*)::bigint AS hits
            |   FROM bq b JOIN brute t USING (query_id, neighbor_id) GROUP BY 1)
-           |SELECT q.query_id, coalesce(h.hits, 0)::bigint AS hits,
+           |SELECT q2.query_id, coalesce(h.hits, 0)::bigint AS hits,
            |  coalesce(h.hits, 0)::double / 5 AS recall
-           |FROM (SELECT DISTINCT query_id FROM brute) q
-           |LEFT JOIN hits h USING (query_id)""".stripMargin
-      },
+           |FROM (SELECT DISTINCT query_id FROM brute) q2
+           |LEFT JOIN hits h USING (query_id)""".stripMargin),
 
       "e_ivf_assign" ->
         (s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cent FROM embeddings WHERE vec_id < 8),

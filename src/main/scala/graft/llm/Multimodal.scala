@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -486,6 +486,22 @@ object Multimodal {
       .select(col("doc_id"), col("fp_lo"), col("fp_hi"))
   }
 
+  /** Band slices of a single-long fingerprint column: struct(b, v)
+    * for each of `bands` contiguous `nBits/bands`-bit slices — THE one
+    * spelling of the single-long banding layout. [[dhashPairs]],
+    * [[fpAnchorDedup]], [[videoNearDups]] and the streaming media
+    * index ([[graft.streaming.StreamMediaAdmit.fpBands]]) all consume
+    * it: a divergent copy would silently de-synchronize probe recall
+    * between the batch and streaming paths.
+    */
+  private[graft] def fpBandSlices(fp: Column, nBits: Int, bands: Int): Seq[Column] = {
+    require(nBits % bands == 0, "bands must divide the fingerprint width")
+    val bw = nBits / bands
+    val mask = (1L << bw) - 1L
+    (0 until bands).map(b => struct(lit(b).as("b"),
+      shiftright(fp, b * bw).bitwiseAND(lit(mask)).as("v")))
+  }
+
   /** Keep-first anchor dedup over single-long fingerprints — the
     * [[dhashDedupWide]] shape generalized to any (doc_id, fp)
     * relation ([[dhash]] 56-bit image codes, [[audioFingerprint]]
@@ -498,13 +514,9 @@ object Multimodal {
     */
   def fpAnchorDedup(
       fps: DataFrame, nBits: Int = 56, bands: Int = 4, maxDist: Int = 10): DataFrame = {
-    require(nBits % bands == 0, "bands must divide the fingerprint width")
-    val bw = nBits / bands
-    val mask = (1L << bw) - 1L
     val reps = fps.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"), col("fp"))
-    val slices = (0 until bands).map(b => struct(lit(b).as("b"),
-      shiftright(col("fp"), b * bw).bitwiseAND(lit(mask)).as("v")))
+    val slices = fpBandSlices(col("fp"), nBits, bands)
     val banded = reps.select(col("doc_id"), col("fp"),
       explode(array(slices: _*)).as("s"))
       .select(col("doc_id"), col("fp"), col("s.b").as("b"), col("s.v").as("v"))
@@ -531,11 +543,7 @@ object Multimodal {
     */
   def dhashPairs(
       fps: DataFrame, nBits: Int = 56, bands: Int = 4, maxDist: Int = 10): DataFrame = {
-    require(nBits % bands == 0, "bands must divide the fingerprint width")
-    val bw = nBits / bands
-    val mask = (1L << bw) - 1L
-    val slices = (0 until bands).map(b =>
-      struct(lit(b).as("b"), (shiftright(col("fp"), b * bw).bitwiseAND(lit(mask))).as("v")))
+    val slices = fpBandSlices(col("fp"), nBits, bands)
     val banded = fps.select(col("doc_id"), col("fp"),
       explode(array(slices: _*)).as("s"))
     val a = banded.select(col("doc_id").as("id_a"), col("fp").as("fp_a"),
@@ -1009,10 +1017,7 @@ object Multimodal {
       bands: Int = 4,
       maxDist: Int = 10,
       minFrac: Double = 0.6): DataFrame = {
-    val bw = 56 / bands
-    val mask = (1L << bw) - 1L
-    val slices = (0 until bands).map(b =>
-      struct(lit(b).as("b"), (shiftright(col("fp"), b * bw).bitwiseAND(lit(mask))).as("v")))
+    val slices = fpBandSlices(col("fp"), 56, bands)
     val banded = frameFps.select(col("doc_id"), col("frame_no"), col("fp"),
       explode(array(slices: _*)).as("s"))
     val a = banded.select(col("doc_id").as("id_a"), col("frame_no"),

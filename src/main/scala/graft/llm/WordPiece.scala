@@ -135,8 +135,11 @@ object WordPiece {
       // distributed loop: one merge per round (ratio scores forbid
       // BPE-style exact batching — see the scaladoc), each round one
       // pair aggregate + one unigram aggregate + a 1-row top +
-      // map-only application, lineage-cut so the plan stays constant
-      for (step <- 1 to merges) {
+      // map-only application, lineage-cut so the plan stays constant;
+      // exhaustion (no pairs left) stops the loop like Bpe.train's
+      var step = 1
+      var exhausted = false
+      while (step <= merges && !exhausted) {
         val ss = split(col("sym"), " ")
         val units = wf
           .select(explode(ss).as("u"), col("freq"))
@@ -156,12 +159,15 @@ object WordPiece {
           .orderBy(col("score").desc, col("pair").asc)
           .limit(1)
           .collect()
-        top.headOption.foreach { row =>
+        if (top.isEmpty) exhausted = true
+        else {
+          val row = top.head
           val pair = row.getString(0)
           val Array(l, r) = pair.split(" ", 2)
           learned += ((step, l, r, mergedSymbol(l, r), row.getLong(1)))
           wf = wf.select(applyMerge(col("sym"), l, r).as("sym"), col("freq"))
             .truncateLineage()
+          step += 1
         }
       }
     }

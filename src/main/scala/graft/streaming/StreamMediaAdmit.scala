@@ -28,12 +28,7 @@ object StreamMediaAdmit {
     * the join itself.
     */
   def fpBands(fps: DataFrame, nBits: Int = 56, bands: Int = 4): DataFrame = {
-    require(nBits % bands == 0, "bands must divide the fingerprint width")
-    val bw = nBits / bands
-    val mask = (1L << bw) - 1L
-    val slices = (0 until bands).map(b =>
-      struct(lit(b).as("b"),
-        shiftright(col("fp"), b * bw).bitwiseAND(lit(mask)).as("v")))
+    val slices = Multimodal.fpBandSlices(col("fp"), nBits, bands)
     fps.select(col("id"), col("fp"), explode(array(slices: _*)).as("s"))
       .select(col("id"), col("s.b").as("b"), col("s.v").as("v"), col("fp"))
   }
