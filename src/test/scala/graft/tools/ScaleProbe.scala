@@ -65,7 +65,10 @@ object ScaleProbe {
     // word relation (driver classic loop, like unigram); encode is
     // map-only; bq search is one corpus scan + a fleet-keyed rank
     // window against the 5-query broadcast
-    "d_wordpiece_train", "d_wordpiece_encode", "e_bq_search")
+    "d_wordpiece_train", "d_wordpiece_encode", "e_bq_search",
+    // objective transforms: d_fim is map-only; d_span_corrupt's two
+    // windows partition by doc_id (never corpus-global)
+    "d_fim", "d_span_corrupt")
 
   def main(args: Array[String]): Unit = {
     val factors = args.headOption.map(_.split(',').map(_.trim.toInt).toSeq)
