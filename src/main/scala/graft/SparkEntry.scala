@@ -2687,6 +2687,14 @@ object SparkEntry {
     // 30-BIT bands, shrinking fixed-band-width LSH's n²/2^b birthday
     // term 2¹⁶ below the 56-bit form (SCALE_NOTES round-11 finding 4's
     // shipped fix) while keeping the d < 4 recall guarantee.
+    // blank/degenerate-image filter: 16-bin luminance entropy over
+    // the real decode path (exact integer histogram; c·ln c terms
+    // floored to the 2^-20 grid in bin order, so the quantized terms
+    // sum EXACTLY and the twin is bit-reproducible)
+    "m_img_entropy" -> ((s, dir) =>
+      Multimodal.imageEntropy(
+        Multimodal.withPngPayload(s.read.parquet(s"$dir/documents.parquet")))),
+
     "m_dhash_wide" -> ((s, dir) =>
       Multimodal.dhashWide(
         Multimodal.withPngPayload(s.read.parquet(s"$dir/documents.parquet")))),
@@ -6686,6 +6694,33 @@ object SparkEntry {
            |SELECT doc_id, grp,
            |  CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
            |FROM uu""".stripMargin),
+
+      // entropy twin: the pngBytes channel formulas over ALL pixels
+      // (not the downsample grid), exact integer histogram, the same
+      // 2^-20-grid term quantization as the Spark kernel — quantized
+      // terms are multiples of 2^-20 below 2^11, so their double sum
+      // is EXACT and summation order cannot matter
+      "m_img_entropy" ->
+        ("""WITH px AS (
+          |  SELECT doc_id, L, hx, w, h, unnest(generate_series(0, w * h - 1)) AS i
+          |  FROM (SELECT doc_id, hex(encode(text)) AS hx,
+          |               octet_length(encode(text)) AS L,
+          |               CAST(4 + doc_id % 13 AS INT) AS w,
+          |               CAST(4 + doc_id % 11 AS INT) AS h
+          |        FROM documents) d),
+          |lm AS (SELECT doc_id, w, h,
+          |    299 * (CASE WHEN L > 0 THEN ('0x' || substr(hx, 2 * (i % L) + 1, 2))::int ELSE 0 END)
+          |  + 587 * (CASE WHEN L > 0 THEN ('0x' || substr(hx, 2 * ((31 * i + 7) % L) + 1, 2))::int ELSE 0 END)
+          |  + 114 * ((131 * i) % 256) AS lum
+          |  FROM px),
+          |bins AS (SELECT doc_id, w, h, lum * 16 // 255001 AS b, count(*)::bigint AS c
+          |  FROM lm GROUP BY 1, 2, 3, 4),
+          |s AS (SELECT doc_id, w, h,
+          |    sum(CASE WHEN c > 1 THEN floor(c * ln(c::double) * 1048576.0) / 1048576.0 ELSE 0 END) AS s
+          |  FROM bins GROUP BY 1, 2, 3)
+          |SELECT doc_id, CAST(w * h AS BIGINT) AS n_pixels,
+          |  floor((ln((w * h)::double) - s / (w * h)) * 1048576.0) / 1048576.0 AS entropy
+          |FROM s""".stripMargin),
 
       "m_dhash_wide" ->
         (s"""$dhashWideFpSql"""),

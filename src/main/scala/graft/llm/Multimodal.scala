@@ -242,6 +242,54 @@ object Multimodal {
     }(enc)
   }
 
+  /** Luminance-entropy quality score over the REAL decode path — the
+    * blank/degenerate-image filter of a media-curation pipeline: a
+    * 16-bin histogram of integer luminance (299r+587g+114b, exact),
+    * Shannon entropy `ln(n) − (Σ c·ln c)/n` with every `c·ln c` term
+    * floored to the 2^-20 grid IN BIN ORDER before summing (the
+    * unigram twin's engine-portability recipe — quantized terms +
+    * exact double sums make the DuckDB twin bit-reproducible). Flat
+    * or near-constant images score ≈ 0; rich images approach ln 16.
+    */
+  def imageEntropy(withPayloads: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("n_pixels", LongType, nullable = false),
+      StructField("entropy", DoubleType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    withPayloads.select(col("doc_id"), col("payload")).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val img = decodeImageOrNull(r.getAs[Array[Byte]]("payload"))
+        Option(img).map { im =>
+          val w = im.getWidth; val h = im.getHeight
+          val counts = new Array[Long](16)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = im.getRGB(x, y)
+              val lum = 299 * ((rgb >> 16) & 0xff) +
+                587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)
+              counts(lum * 16 / 255001) += 1
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          var s = 0.0
+          var b = 0
+          while (b < 16) {
+            val c = counts(b)
+            if (c > 1) s += math.floor(c * math.log(c.toDouble) * 1048576.0) / 1048576.0
+            b += 1
+          }
+          val ent = math.floor((math.log(n.toDouble) - s / n) * 1048576.0) / 1048576.0
+          Row(r.getLong(0), n, ent)
+        }
+      }
+    }(enc)
+  }
+
   /** Own nearest-neighbor rescale kernel with a PINNED index formula:
     * destination pixel (x, y) samples source pixel
     * (x·srcW / dstW, y·srcH / dstH) (integer floor division). AWT's

@@ -228,6 +228,31 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("imageEntropy: flat image scores exactly 0; rich image matches the hand fold") {
+    import spark.implicits._
+    def png(im: java.awt.image.BufferedImage): Array[Byte] = Multimodal.encodePng(im)
+    val flat = new java.awt.image.BufferedImage(6, 5, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 5; x <- 0 until 6) flat.setRGB(x, y, 0x336699)
+    val richBytes = Multimodal.pngBytes("entropy rich fixture text".getBytes("UTF-8"), 9, 8)
+    val df = Seq((1L, png(flat)), (2L, richBytes)).toDF("doc_id", "payload")
+    val got = Multimodal.imageEntropy(df)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(1L) == ((30L, 0.0)), "constant image must score exactly zero")
+    // hand fold over the decoded rich image with the identical spelling
+    val im = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(richBytes))
+    val counts = new Array[Long](16)
+    for (y <- 0 until 8; x <- 0 until 9) {
+      val rgb = im.getRGB(x, y)
+      val lum = 299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)
+      counts(lum * 16 / 255001) += 1
+    }
+    val s = counts.filter(_ > 1)
+      .map(c => math.floor(c * math.log(c.toDouble) * 1048576.0) / 1048576.0).sum
+    val want = math.floor((math.log(72.0) - s / 72.0) * 1048576.0) / 1048576.0
+    assert(got(2L) == ((72L, want)))
+    assert(want > 1.0, "rich fixture must not be degenerate")
+  }
+
   test("fpAnchorDedup: exact dups collapse, near anchors drop, far fps survive") {
     import spark.implicits._
     val fps = Seq(
