@@ -2728,6 +2728,12 @@ object SparkEntry {
         Multimodal.audioFingerprint(s.read.parquet(s"$dir/documents.parquet")),
         nBits = 32, bands = 4, maxDist = 5)),
 
+    // VAD-style silence segmentation: voiced iff 4·energy > max
+    // frame energy (exact integer threshold), runs merge to numbered
+    // segments — the trim-silence primitive of audio curation
+    "m_vad_segments" -> ((s, dir) =>
+      Multimodal.audioSegments(s.read.parquet(s"$dir/documents.parquet"))),
+
     // the linear dedup shape for the AUDIO modality (modality-generic
     // fpAnchorDedup over the 31-bit frame-energy codes)
     "m_afp_dedup" -> ((s, dir) =>
@@ -6792,6 +6798,21 @@ object SparkEntry {
            |FROM banded a JOIN banded b2
            |  ON a.b = b2.b AND a.v = b2.v AND a.doc_id < b2.doc_id
            |WHERE bit_count(xor(a.fp, b2.fp)) <= 5""".stripMargin),
+
+      "m_vad_segments" ->
+        (s"""WITH e AS ($afpEnergySql),
+           |mx AS (SELECT doc_id, max(e) AS emax FROM e GROUP BY 1),
+           |v AS (SELECT e.doc_id, e.f, (4 * e.e > mx.emax) AS voiced
+           |  FROM e JOIN mx USING (doc_id)),
+           |st AS (SELECT *, CASE WHEN lag(voiced)
+           |    OVER (PARTITION BY doc_id ORDER BY f) IS DISTINCT FROM voiced
+           |  THEN 1 ELSE 0 END AS brk FROM v),
+           |seg AS (SELECT *, sum(brk) OVER (PARTITION BY doc_id ORDER BY f) AS seg_no
+           |  FROM st)
+           |SELECT doc_id, CAST(seg_no AS BIGINT) AS seg_no, voiced,
+           |  CAST(min(f) AS BIGINT) AS start_frame,
+           |  CAST(max(f) AS BIGINT) AS end_frame
+           |FROM seg GROUP BY doc_id, seg_no, voiced""".stripMargin),
 
       "m_afp_dedup" ->
         (s"""WITH e AS ($afpEnergySql),

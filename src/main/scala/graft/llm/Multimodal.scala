@@ -672,7 +672,12 @@ object Multimodal {
     * keeps the fingerprint inside checked BIGINT shifts both engines.
     * Returns None for undecodable payloads (image skip policy).
     */
-  private[llm] def audioFpBits(payload: Array[Byte], frames: Int): Option[Long] =
+  /** Exact per-frame PCM energies (Σv², integer) from a real WAV
+    * decode — the ONE energy spelling shared by [[audioFpBits]] and
+    * [[audioSegments]].
+    */
+  private[llm] def audioFrameEnergies(
+      payload: Array[Byte], frames: Int): Option[Array[Long]] =
     try {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(payload))
@@ -695,16 +700,73 @@ object Multimodal {
             e(i / per) += v.toLong * v
             i += 1
           }
-          var fp = 0L
-          var f = 0
-          while (f < frames - 1) {
-            if (e(f + 1) > e(f)) fp |= 1L << f
-            f += 1
-          }
-          Some(fp)
+          Some(e)
         }
       } finally ais.close()
     } catch { case _: Exception => None }
+
+  private[llm] def audioFpBits(payload: Array[Byte], frames: Int): Option[Long] =
+    audioFrameEnergies(payload, frames).map { e =>
+      var fp = 0L
+      var f = 0
+      while (f < frames - 1) {
+        if (e(f + 1) > e(f)) fp |= 1L << f
+        f += 1
+      }
+      fp
+    }
+
+  /** VAD-style silence segmentation over the REAL decode path — the
+    * trim-silence / speech-extent primitive of audio curation: a
+    * frame is VOICED iff `4·energy > max frame energy` (an exact
+    * integer comparison, no float threshold), and consecutive
+    * same-voicing frames merge into numbered segments
+    * (doc_id, seg_no, voiced, start_frame, end_frame). All-silent
+    * clips yield one unvoiced segment. Map-only; the twin replays
+    * the generator-formula energies (pinned against this decoder by
+    * the m_afp gate) through per-doc windows.
+    */
+  /** Run-merge of the voicing flags: (seg_no from 1, voiced,
+    * start_frame, end_frame) — the segmentation rule isolated for
+    * direct differential testing.
+    */
+  private[llm] def energySegments(
+      e: Array[Long]): Seq[(Long, Boolean, Long, Long)] = {
+    val emax = e.max
+    val voiced = e.map(x => 4 * x > emax)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean, Long, Long)]
+    var segNo = 0L
+    var start = 0
+    var f = 1
+    while (f <= e.length) {
+      if (f == e.length || voiced(f) != voiced(f - 1)) {
+        segNo += 1
+        out += ((segNo, voiced(start), start.toLong, (f - 1).toLong))
+        start = f
+      }
+      f += 1
+    }
+    out.toSeq
+  }
+
+  def audioSegments(docs: DataFrame, frames: Int = 32): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("seg_no", LongType, nullable = false),
+      StructField("voiced", BooleanType, nullable = false),
+      StructField("start_frame", LongType, nullable = false),
+      StructField("end_frame", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    docs.select(col("doc_id")).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        audioFrameEnergies(wavBytes(id), frames).toSeq.flatMap(e =>
+          energySegments(e).map { case (segNo, voiced, s0, s1) =>
+            Row(id, segNo, voiced, s0, s1)
+          })
+      }
+    }(enc)
+  }
 
   /** Perceptual audio fingerprints (seed-keyed REAL WAV payloads,
     * decoded per partition): near-duplicate AUDIO lands at small

@@ -265,6 +265,36 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(got == Set((1L, 0xABCDL), (9L, 0x123456FFL)))
   }
 
+  test("energySegments: silence/speech runs merge; decode path feeds it end to end") {
+    // hand energies: 4 silent, 3 loud, 2 silent → three segments
+    val e = Array(1L, 0L, 2L, 1L, 100L, 90L, 100L, 0L, 3L)
+    assert(Multimodal.energySegments(e) == Seq(
+      (1L, false, 0L, 3L), (2L, true, 4L, 6L), (3L, false, 7L, 8L)))
+    // all-equal energies: every frame voiced? 4e > emax with e = emax
+    // → true for any e > 0 → ONE voiced segment; all-zero → one unvoiced
+    assert(Multimodal.energySegments(Array(5L, 5L, 5L)) == Seq((1L, true, 0L, 2L)))
+    assert(Multimodal.energySegments(Array(0L, 0L)) == Seq((1L, false, 0L, 1L)))
+    // end-to-end: a REAL WAV with a silent first half decodes into a
+    // 2-segment (unvoiced, voiced) split
+    val samples = new Array[Byte](1600) // 800 samples little-endian
+    var i = 400
+    while (i < 800) { // loud square wave in the back half
+      val v = if (i % 2 == 0) 12000 else -12000
+      samples(2 * i) = (v & 0xff).toByte
+      samples(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(samples), fmt, 800)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val energies = Multimodal.audioFrameEnergies(bos.toByteArray, 32).get
+    assert(Multimodal.energySegments(energies) == Seq(
+      (1L, false, 0L, 15L), (2L, true, 16L, 31L)))
+  }
+
   test("audioFpBits: decode-path energies match the generator formula bit fold") {
     def localFp(seed: Long, frames: Int): Long = {
       val freq = 200.0 + (math.abs(seed) % 200)
