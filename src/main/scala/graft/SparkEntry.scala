@@ -1682,6 +1682,25 @@ object SparkEntry {
       Similarity.kmeansParallelInit(
         s.read.parquet(s"$dir/embeddings.parquet"), k = 4, rounds = 2, l = 4.0)),
 
+    // full Lloyd's-loop TRAINING (k=4, 3 iterations): model on the
+    // driver, ONE job per iteration (map-only argmax assignment
+    // against centroid literals + a (centroid, dim) hash aggregate),
+    // means floored to the 2^-20 grid before they feed forward — the
+    // entire quantized centroid trace hash-matches the CTE-unrolled
+    // DuckDB twin.
+    "e_kmeans_train" -> ((s, dir) =>
+      Similarity.kmeansTrain(
+        s.read.parquet(s"$dir/embeddings.parquet"), k = 4, iters = 3)._1),
+
+    // train → serve: every vector assigned against the trained
+    // centroids; the whole loop PLUS the serving cosine sits under
+    // the hash oracle (the d_quality_clf_trained pattern).
+    "e_kmeans_trained" -> ((s, dir) => {
+      val vecs = s.read.parquet(s"$dir/embeddings.parquet")
+      val cents = Similarity.kmeansTrain(vecs, k = 4, iters = 3)._2
+      Similarity.ivfAssign(vecs, cents)
+    }),
+
     // chunk → document mean-pooling (the retrieval-serving reduction
     // for chunked long docs): 8 consecutive chunk vectors pool into
     // one document embedding; sorted folds keep the float sums
@@ -3025,6 +3044,48 @@ object SparkEntry {
       .mkString(" UNION ALL ")
     val allStops = stopwordTable.values.flatten.toSeq.distinct.map(w => s"'$w'").mkString(", ")
 
+    // the Lloyd's-loop unroll shared by e_kmeans_train (trace) and
+    // e_kmeans_trained (train → serve): chained CTEs ending at
+    // kc<iters> (centroid_id, pos, m), identical arithmetic to
+    // Similarity.kmeansTrain — init = k lowest-id vectors, assign on
+    // (cosine desc, centroid_id asc), new means floored to the 2^-20
+    // grid before they feed forward, empty clusters coalesce to the
+    // previous centroid. The cosine spelling is the ordered
+    // list_sum(list_transform(…)) fold, bit-identical to the
+    // VecMath codegen kernel.
+    // ordered-fold cosine between an embedding row `a` and a centroid
+    // list row `c` — one spelling for the train chain AND the serve
+    // twin, bit-identical to the VecMath codegen kernel
+    def kmeansCos(a: String, c: String): String =
+      s"list_sum(list_transform(generate_series(1, len($a.emb)), i -> $a.emb[i]::double * $c.cent[i])) /" +
+        s" (sqrt(list_sum(list_transform(generate_series(1, len($a.emb)), i -> $a.emb[i]::double * $a.emb[i]::double))) *" +
+        s" sqrt(list_sum(list_transform(generate_series(1, len($c.cent)), i -> $c.cent[i] * $c.cent[i]))))"
+    def kmeansTrainChain(iters: Int, k: Int): String = {
+      def sim(a: String, c: String): String = kmeansCos(a, c)
+      def it(t: Int) =
+        s"""kcl${t - 1} AS (SELECT centroid_id, list(m ORDER BY pos) AS cent
+           |  FROM kc${t - 1} GROUP BY 1),
+           |ksc$t AS (SELECT a.id, c.centroid_id, ${sim("a", "c")} AS sim
+           |  FROM kebase a, kcl${t - 1} c),
+           |kas$t AS (SELECT id, centroid_id FROM (
+           |  SELECT id, centroid_id,
+           |    row_number() OVER (PARTITION BY id ORDER BY sim DESC, centroid_id ASC) AS rn
+           |  FROM ksc$t) r WHERE rn = 1),
+           |knm$t AS (SELECT s.centroid_id, x.pos,
+           |  floor(avg(x.v) * 1048576.0) / 1048576.0 AS m
+           |  FROM (SELECT id, unnest(emb)::double AS v,
+           |    generate_subscripts(emb, 1) - 1 AS pos FROM kebase) x
+           |  JOIN kas$t s ON s.id = x.id GROUP BY 1, 2),
+           |kc$t AS (SELECT p.centroid_id, p.pos, coalesce(n.m, p.m) AS m
+           |  FROM kc${t - 1} p LEFT JOIN knm$t n
+           |    ON n.centroid_id = p.centroid_id AND n.pos = p.pos)""".stripMargin
+      s"""kebase AS (SELECT vec_id AS id, embedding AS emb FROM embeddings),
+         |kinit AS (SELECT row_number() OVER (ORDER BY id) - 1 AS centroid_id, emb
+         |  FROM (SELECT id, emb FROM kebase ORDER BY id LIMIT $k) s),
+         |kc0 AS (SELECT centroid_id, generate_subscripts(emb, 1) - 1 AS pos,
+         |  unnest(emb)::double AS m FROM kinit),
+         |${(1 to iters).map(it).mkString(",\n")}""".stripMargin
+    }
     // the logistic-GD unroll shared by d_quality_clf_train (trace)
     // and d_quality_clf_trained (train → serve): chained CTEs ending
     // at w<iters>, identical arithmetic to
@@ -5124,6 +5185,27 @@ object SparkEntry {
            |FROM (SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS pos FROM embeddings) x
            |JOIN assign a ON a.vec_id = x.vec_id
            |GROUP BY 1, 2""".stripMargin),
+
+      // Lloyd's-loop training twin: the identical init/assign/
+      // quantized-mean loop unrolled in chained CTEs (kmeansTrainChain)
+      "e_kmeans_train" -> {
+        def out(t: Int) =
+          s"SELECT CAST($t AS BIGINT) AS iter, centroid_id, pos, round(m, 6) + 0 AS m FROM kc$t"
+        s"""WITH ${kmeansTrainChain(3, 4)}
+           |${(1 to 3).map(out).mkString(" UNION ALL ")}""".stripMargin
+      },
+
+      // train → serve: rank every vector against the kc3 centroids
+      // with the same ordered-fold cosine
+      "e_kmeans_trained" ->
+        (s"""WITH ${kmeansTrainChain(3, 4)},
+           |kclf AS (SELECT centroid_id, list(m ORDER BY pos) AS cent FROM kc3 GROUP BY 1),
+           |kscf AS (SELECT a.id, c.centroid_id, ${kmeansCos("a", "c")} AS sim
+           |  FROM kebase a, kclf c)
+           |SELECT id AS vec_id, centroid_id, round(sim, 4) + 0 AS sim FROM (
+           |  SELECT id, centroid_id, sim,
+           |    row_number() OVER (PARTITION BY id ORDER BY sim DESC, centroid_id ASC) AS rn
+           |  FROM kscf) r WHERE rn = 1""".stripMargin),
 
       // k-means|| twin: the same md5-uniform draws, cost aggregates,
       // argmin weights and weighted farthest-point — unrolled in CTEs

@@ -260,6 +260,96 @@ object Similarity {
     centroids
   }
 
+  /** Full Lloyd's-loop k-means TRAINING under the hash oracle — the
+    * deterministic sibling of [[kmeans]] with the model-on-driver
+    * shape of [[graft.llm.TextStats.trainQualityClassifier]]: the
+    * MODEL (k·d doubles) lives on the driver, the data never leaves
+    * the cluster, and each iteration is exactly ONE aggregate query
+    * over the lineage-cut vector relation (AQE surfaces it as a map
+    * job plus a reduce job). Where [[kmeans]] (the IVF index
+    * builder, where approximate means are fine) joins a centroid
+    * relation and ranks per-vector over a window — a join plus a
+    * by-id shuffle per round — this trainer compiles the k current
+    * centroids into LITERAL arrays and picks the per-row argmax with
+    * a `greatest()` over (cosine, −centroid_id) structs: assignment
+    * is map-only (zero shuffle), and the only exchange per iteration
+    * is the (centroid, dim) mean hash-aggregate with map-side
+    * partials. Per-iteration driver traffic is k·d doubles —
+    * model-sized, not data-sized — so at 100 TB the loop costs
+    * `iters` scans and nothing else.
+    *
+    * Determinism contract (what puts the whole trace under the
+    * DuckDB hash oracle, which unrolls the identical loop in chained
+    * CTEs): ties rank to the lowest centroid_id; the cosine is the
+    * bit-identical [[cosine]] fold both engines share; and each new
+    * mean is floored to the 2^-20 grid before it feeds forward — a
+    * distributed avg() is partial-sum-order-dependent at the ulp
+    * level (~1e-13 relative), and the grid is ~10^7 coarser, so the
+    * fed-forward centroids are bit-identical on any partitioning
+    * (the [[graft.llm.TextStats.trainQualityClassifier]] argument).
+    * Empty clusters keep their previous centroid — no reseeding
+    * (declared scope). Init = the k lowest-id vectors, widened
+    * float→double (exact on both engines).
+    *
+    * Returns (trace, centroids): the full per-iteration centroid
+    * trace (iter, centroid_id, pos, m) and the final centroids
+    * (centroid_id, centroid: Array[Double]) ready for [[ivfAssign]].
+    */
+  def kmeansTrain(
+      vectors: DataFrame,
+      k: Int,
+      iters: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): (DataFrame, DataFrame) = {
+    require(k >= 1 && iters >= 1, "bad k-means train parameters")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val base = vectors
+      .select(col(idCol).cast("long").as("id"), col(embCol).as("emb"))
+      .truncateLineage(eager = false)
+    val initRows = base.orderBy(col("id").asc).limit(k).collect()
+    require(initRows.length >= k, s"kmeansTrain: need at least $k vectors")
+    var cents: Array[Array[Double]] = initRows.map {
+      _.getSeq[Any](1).map {
+        case f: Float  => f.toDouble
+        case d: Double => d
+      }.toArray
+    }
+    val d = cents(0).length
+    def q20(x: Double): Double = math.floor(x * 1048576.0) / 1048576.0
+    val trace = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+    for (it <- 1 to iters) {
+      // map-only argmax: greatest() over (sim, -cid) structs picks the
+      // highest cosine, lowest centroid_id on ties — no join, no window
+      val scored = (0 until k).map { j =>
+        struct(
+          cosine(col("emb"), typedLit(cents(j).toSeq)).as("sim"),
+          lit(-j).as("nj"))
+      }
+      val best = if (k == 1) scored.head else greatest(scored: _*)
+      val means = base
+        .select((-best.getField("nj")).cast("long").as("cid"), posexplode(col("emb")))
+        .groupBy("cid", "pos")
+        .agg(avg(col("col").cast("double")).as("m"))
+        .collect() // bounded: k·d rows (the model), never data-sized
+      val next = cents.map(_.clone())
+      means.foreach { r =>
+        next(r.getLong(0).toInt)(r.getInt(1)) = q20(r.getDouble(2))
+      }
+      cents = next
+      for (j <- 0 until k; p <- 0 until d)
+        trace += ((it.toLong, j.toLong, p.toLong, cents(j)(p)))
+    }
+    val traceDf = trace.toSeq
+      .toDF("iter", "centroid_id", "pos", "m")
+      .select(col("iter"), col("centroid_id"), col("pos"),
+        (round(col("m"), 6) + 0.0).as("m"))
+    val centDf = cents.zipWithIndex
+      .map { case (c, j) => (j.toLong, c.toSeq) }.toSeq
+      .toDF("centroid_id", "centroid")
+    (traceDf, centDf)
+  }
+
   /** Greedy k-center (farthest-point) seeding — Gonzalez 1985, the
     * deterministic cousin of k-means++ (k-means++ samples ∝ D²; the
     * greedy rule takes the argmax, so no seeded RNG is needed for
