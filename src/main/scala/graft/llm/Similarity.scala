@@ -1085,6 +1085,86 @@ object Similarity {
     * is far inside checked BIGINT on both engines (the same split
     * discipline as the wide dHash fingerprint).
     */
+  /** Johnson–Lindenstrauss random projection to `m` dimensions with a
+    * dense ±1 sign matrix (Achlioptas 2003: Rademacher entries give
+    * the JL distance-preservation guarantee with no Gaussian
+    * sampling). The matrix is NOT data — it is a deterministic
+    * function of (salt, output dim j, input index i) through the
+    * repo's engine-portable md5 parity, so any engine (and any
+    * executor, with no broadcast) regenerates it bit-identically;
+    * the projection itself is `m` literal-array [[dot]] folds fused
+    * into the scan — map-only, whole-stage-codegen, zero shuffle.
+    */
+  def rpProject(
+      embCol: Column,
+      dim: Int,
+      m: Int,
+      salt: String = "rp"): Column = {
+    val rows = Array.tabulate(m) { j =>
+      // i is 1-based to match the twin's generate_series(1, dim)
+      Array.tabulate(dim) { i0 =>
+        if (Sampling.hashBits60Local(s"$salt|$j|${i0 + 1}") % 2 == 0) 1.0 else -1.0
+      }.toSeq
+    }
+    array((0 until m).map(j => dot(embCol, typedLit(rows(j)))): _*)
+  }
+
+  /** Random-projection search — the dimensionality-reduction ANN
+    * prefilter: vectors and queries project to `m` ≪ dim via
+    * [[rpProject]] and the projection is scaled by the ORIGINAL
+    * vector's norm (linearity: proj(x/‖x‖) = proj(x)/‖x‖), so the
+    * projected relation carries directions and squared L2 on it is
+    * the angular distance the exact cosine stage ranks by — without
+    * the normalization, a far-but-aligned vector outranks a
+    * near-angle one and recall collapses on mixed-norm corpora. A
+    * zero vector keeps its zero projection (divisor 1), so the
+    * PREFILTER never raises ANSI DIVIDE_BY_ZERO; the exact-cosine
+    * rerank still rejects zero vectors if one is shortlisted — the
+    * same degenerate-input contract as [[bruteKnn]]. The shortlist
+    * (`rerank` per query, pd asc / id asc) re-ranks with exact
+    * full-precision cosine to top-k. Same two-stage contract as
+    * [[bqSearch]]; coarse cost per candidate drops from `dim` to `m`
+    * multiplies and the projected corpus is `m/dim` of the original
+    * bytes — the standard serving trade when dim is production-sized
+    * (e.g. 1536) rather than this fixture's 64.
+    */
+  def rpSearch(
+      vectors: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      rerank: Int,
+      dim: Int,
+      m: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    def dirProj(e: Column): Column = {
+      val n = norm(e)
+      val div = when(n === 0d, lit(1.0)).otherwise(n)
+      transform(rpProject(e, dim, m), p => p / div)
+    }
+    // projections are computed inline next to the carried embedding —
+    // ONE scan per side, no join-back (the bqSearch census lesson)
+    val v = vectors.select(col(idCol).cast("long").as("neighbor_id"),
+      col(embCol).as("v_emb"), dirProj(col(embCol)).as("v_p"))
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      col(embCol).as("q_emb"), dirProj(col(embCol)).as("q_p"))
+    val scored = v.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("pd", l2sq(col("v_p"), col("q_p")))
+    val pw = Window.partitionBy("query_id")
+      .orderBy(col("pd").asc, col("neighbor_id").asc)
+    val shortlist = scored
+      .withColumn("prank", row_number().over(pw))
+      .where(col("prank") <= rerank)
+    val rw = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    shortlist
+      .withColumn("sim", cosine(col("q_emb"), col("v_emb")))
+      .withColumn("rank", row_number().over(rw).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 4).as("sim"))
+  }
+
   private def bqWord(emb: Column, from: Int, until: Int): Column =
     (from until until)
       .map(i => when(element_at(emb, i + 1) >= 0f, lit(1L << (i - from)))

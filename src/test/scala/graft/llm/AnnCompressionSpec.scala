@@ -75,6 +75,44 @@ class AnnCompressionSpec extends AnyFunSuite {
     }
   }
 
+  test("rp: projection matches a driver-side md5-parity replay; full shortlist degenerates to brute") {
+    import spark.implicits._
+    // sign matrix replay: same salt string, same md5 parity
+    def sign(j: Int, i1: Int): Double =
+      if (Sampling.hashBits60Local(s"rp|$j|$i1") % 2 == 0) 1.0 else -1.0
+    val rows = vecs.limit(3)
+      .select(col("vec_id"), col("embedding"),
+        Similarity.rpProject(col("embedding"), 64, 8).as("p"))
+      .collect()
+    rows.foreach { r =>
+      val emb = r.getSeq[Float](1)
+      val got = r.getSeq[Double](2)
+      for (j <- 0 until 8) {
+        var acc = 0.0
+        for (i <- emb.indices) acc += emb(i).toDouble * sign(j, i + 1)
+        assert(got(j) == acc, s"vec ${r.getLong(0)} dim $j")
+      }
+    }
+    // rerank ≥ corpus − 1 ⇒ the projected prefilter rejects nothing
+    // and rpSearch must equal brute exactly, normalization included
+    val n = vecs.count().toInt
+    val q = vecs.where(col("vec_id") < 3)
+    val full = Similarity.rpSearch(vecs, q, k = 5, rerank = n, dim = 64, m = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sorted
+    val brute = Similarity.bruteKnn(vecs, q, k = 5)
+      .select(col("query_id"), col("rank").cast("long"), col("neighbor_id"), col("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sorted
+    assert(full.sameElements(brute))
+    // a zero vector projects to exact zeros (rpProject is division-
+    // free; rpSearch's norm guard then keeps the prefilter from
+    // raising ANSI DIVIDE_BY_ZERO — the exact-cosine rerank still
+    // rejects zero vectors, like every cosine path in this family)
+    val z = Seq((99L, Array.fill(64)(0f))).toDF("vec_id", "embedding")
+    val zp = z.select(Similarity.rpProject(col("embedding"), 64, 8).as("p"))
+      .collect()(0).getSeq[Double](0)
+    assert(zp.forall(_ == 0.0))
+  }
+
   test("winnow: the Schleimer guarantee — docs sharing a ≥ k+w−1 word span share a fingerprint") {
     import spark.implicits._
     // k=5, w=4 → any shared span of ≥ 8 words guarantees a common fp
