@@ -1873,6 +1873,16 @@ object SparkEntry {
         Similarity.bruteKnn(vecs, vecs.where(col("vec_id") < 20), k = 5), vecs)
     }),
 
+    // hard-negative triplet mining (contrastive-training batch prep):
+    // per anchor the top same-label positive + the 3 most-similar
+    // wrong-label vectors with the pos−neg margin; one corpus scan
+    // against the broadcast anchor batch, both roles from the same
+    // scored relation via rank windows.
+    "e_hard_negatives" -> ((s, dir) => {
+      val vecs = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.hardNegatives(vecs, vecs.where(col("vec_id") < 8), negK = 3)
+    }),
+
     // SemDeDup: cluster-scoped embedding near-dup pruning — pair
     // generation bounded to the cluster key equi-join, keep-lowest-id.
     "d_semdedup" -> ((s, dir) => {
@@ -5570,6 +5580,30 @@ object SparkEntry {
            |   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored)
            |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(sim, 4) + 0 AS sim
            |FROM ranked WHERE rank <= 5""".stripMargin),
+
+      // hard-negative mining twin: one scored relation, two rank
+      // windows keyed on (anchor, same-label), pos ⋈ neg with the
+      // cosine margin
+      "e_hard_negatives" ->
+        (s"""WITH sc AS (
+           | SELECT a.vec_id AS anchor_id, a.label AS a_label,
+           |   b.vec_id AS neighbor_id, b.label AS v_label, $cosine AS sim
+           | FROM embeddings a JOIN embeddings b ON a.vec_id < 8 AND a.vec_id <> b.vec_id),
+           | rk AS (SELECT anchor_id, a_label, neighbor_id, sim,
+           |   (a_label IS NOT DISTINCT FROM v_label) AS same,
+           |   row_number() OVER (
+           |     PARTITION BY anchor_id, (a_label IS NOT DISTINCT FROM v_label)
+           |     ORDER BY sim DESC, neighbor_id ASC) AS rk
+           |   FROM sc),
+           | pos AS (SELECT anchor_id, a_label AS label, neighbor_id AS pos_id, sim AS pos_sim
+           |   FROM rk WHERE same AND rk = 1),
+           | neg AS (SELECT anchor_id, rk AS neg_rank, neighbor_id AS neg_id, sim AS neg_sim
+           |   FROM rk WHERE NOT same AND rk <= 3)
+           |SELECT p.anchor_id, p.label, p.pos_id, round(p.pos_sim, 4) + 0 AS pos_sim,
+           |  CAST(n.neg_rank AS BIGINT) AS neg_rank, n.neg_id,
+           |  round(n.neg_sim, 4) + 0 AS neg_sim,
+           |  round(p.pos_sim - n.neg_sim, 4) + 0 AS margin
+           |FROM pos p JOIN neg n USING (anchor_id)""".stripMargin),
 
       "e_knn_classify" ->
         (s"""WITH scored AS (

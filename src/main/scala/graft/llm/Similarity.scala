@@ -897,6 +897,55 @@ object Similarity {
         (col("pred_label") === col("true_label")).as("correct"))
   }
 
+  /** Hard-negative triplet mining — the batch-preparation step of
+    * contrastive embedding training (in-batch negatives are easy;
+    * the gradient signal lives in the HARDEST wrong-label neighbors,
+    * per FaceNet's semi-hard observation and the dense-retrieval
+    * ANCE recipe): for each anchor, the single most-similar SAME-label
+    * vector (the positive) paired with the `negK` most-similar
+    * DIFFERENT-label vectors (the hard negatives), with the
+    * pos-minus-neg cosine margin the loss would see. Ties rank to
+    * the lowest neighbor id; labels compare null-safely.
+    *
+    * Scale shape: one corpus scan against the broadcast anchor batch
+    * (anchors are a training batch — bounded by construction, like
+    * [[bruteKnn]] queries); positives and negatives come from the
+    * SAME scored relation via two rank windows keyed per anchor, and
+    * the pos⋈neg recombination joins two anchor-sized relations.
+    * Mining a full epoch = one such job per anchor batch, each a
+    * single pass — the corpus is never self-joined.
+    */
+  def hardNegatives(
+      vectors: DataFrame,
+      anchors: DataFrame,
+      negK: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val a = anchors.select(col(idCol).cast("long").as("anchor_id"),
+      col(embCol).as("a_emb"), col(labelCol).as("a_label"))
+    val v = vectors.select(col(idCol).cast("long").as("neighbor_id"),
+      col(embCol).as("v_emb"), col(labelCol).as("v_label"))
+    val scored = v.join(broadcast(a), col("anchor_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("a_emb"), col("v_emb")))
+      .withColumn("same", col("a_label") <=> col("v_label"))
+    val w = Window.partitionBy("anchor_id", "same")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    val ranked = scored.withColumn("rk", row_number().over(w))
+    val pos = ranked.where(col("same") && col("rk") === 1)
+      .select(col("anchor_id"), col("a_label").as("label"),
+        col("neighbor_id").as("pos_id"), col("sim").as("pos_sim"))
+    val neg = ranked.where(!col("same") && col("rk") <= negK)
+      .select(col("anchor_id"), col("rk").cast("long").as("neg_rank"),
+        col("neighbor_id").as("neg_id"), col("sim").as("neg_sim"))
+    pos.join(neg, Seq("anchor_id"))
+      .select(col("anchor_id"), col("label"), col("pos_id"),
+        round(col("pos_sim"), 4).as("pos_sim"),
+        col("neg_rank"), col("neg_id"),
+        round(col("neg_sim"), 4).as("neg_sim"),
+        round(col("pos_sim") - col("neg_sim"), 4).as("margin"))
+  }
+
   /** Recall@k of an approximate ANN result against exact ground truth
     * — the self-evaluation harness for tuning nprobe/bits/tables:
     * per-query `|approx ∩ exact| / k`. Both inputs are result-sized
