@@ -1851,6 +1851,23 @@ object SparkEntry {
         Similarity.bruteKnn(vecs, queries, k = 5), k = 5)
     }),
 
+    // distributed PCA, top component by power iteration: ONE Gram
+    // job (d²-bounded shuffle), 4 driver-side matvec/normalize
+    // rounds on the 2^-20 grid — the full (iter, pos, v) trace under
+    // the hash oracle.
+    "e_pca_power" -> ((s, dir) =>
+      Similarity.pcaPowerTrain(
+        s.read.parquet(s"$dir/embeddings.parquet"), dim = 64, iters = 4)._1),
+
+    // train → serve: every vector's score along the learned top
+    // component — map-only dot against the final iterate.
+    "e_pca_project" -> ((s, dir) => {
+      val vecs = s.read.parquet(s"$dir/embeddings.parquet")
+      val v = Similarity.pcaPowerTrain(vecs, dim = 64, iters = 4)._2
+      vecs.select(col("vec_id"),
+        (round(Similarity.dot(col("embedding"), typedLit(v.toSeq)), 4) + 0.0).as("score"))
+    }),
+
     // IVF-Flat search: probe the 2 nearest of 8 cells per query, score
     // cosine inside the probed cells only (one equi-join on the cell
     // key — the FAISS-style serve path over the ivfAssign index).
@@ -3153,6 +3170,25 @@ object SparkEntry {
          |  unnest(emb)::double AS m FROM kinit),
          |${(1 to iters).map(it).mkString(",\n")}""".stripMargin
     }
+    // the power-iteration unroll shared by e_pca_power (trace) and
+    // e_pca_project (train → serve): quantized Gram, v₀ = 1/√d, per
+    // round an ordered matvec fold, ordered norm fold, and a 2^-20
+    // re-quantize — identical arithmetic to Similarity.pcaPowerTrain
+    def pcaChain(iters: Int): String = {
+      def it(t: Int) =
+        s"""pu$t AS (SELECT list(list_sum(list_transform(generate_series(1, 64), j -> g.gl[j] * v.vl[j])) ORDER BY g.i) AS ul
+           |  FROM pgrows g, pv${t - 1} v),
+           |pv$t AS (SELECT list_transform(ul, x ->
+           |  floor(x / sqrt(list_sum(list_transform(ul, y -> y*y))) * 1048576.0) / 1048576.0) AS vl FROM pu$t)""".stripMargin
+      s"""pgram AS (SELECT i, j,
+         |  floor(sum(e.embedding[i]::double * e.embedding[j]::double) * 1048576.0) / 1048576.0 AS g
+         |  FROM embeddings e, generate_series(1, 64) t1(i), generate_series(1, 64) t2(j)
+         |  GROUP BY i, j),
+         |pgrows AS (SELECT i, list(g ORDER BY j) AS gl FROM pgram GROUP BY i),
+         |pv0 AS (SELECT list_transform(generate_series(1, 64), x -> 1.0/sqrt(64.0)) AS vl),
+         |${(1 to iters).map(it).mkString(",\n")}""".stripMargin
+    }
+
     // the logistic-GD unroll shared by d_quality_clf_train (trace)
     // and d_quality_clf_trained (train → serve): chained CTEs ending
     // at w<iters>, identical arithmetic to
@@ -5252,6 +5288,23 @@ object SparkEntry {
            |FROM (SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS pos FROM embeddings) x
            |JOIN assign a ON a.vec_id = x.vec_id
            |GROUP BY 1, 2""".stripMargin),
+
+      // power-iteration twin: the identical quantized Gram + ordered
+      // matvec/normalize rounds (pcaChain)
+      "e_pca_power" -> {
+        def out(t: Int) =
+          s"SELECT CAST($t AS BIGINT) AS iter, i - 1 AS pos, round(vl[i], 6) + 0 AS v FROM pv$t, generate_series(1, 64) s(i)"
+        s"""WITH ${pcaChain(4)}
+           |${(1 to 4).map(out).mkString(" UNION ALL ")}""".stripMargin
+      },
+
+      // train → serve: ordered-fold projection against the final
+      // iterate
+      "e_pca_project" ->
+        (s"""WITH ${pcaChain(4)}
+           |SELECT e.vec_id,
+           |  round(list_sum(list_transform(generate_series(1, 64), i -> e.embedding[i]::double * v.vl[i])), 4) + 0 AS score
+           |FROM embeddings e, pv4 v""".stripMargin),
 
       // Lloyd's-loop training twin: the identical init/assign/
       // quantized-mean loop unrolled in chained CTEs (kmeansTrainChain)

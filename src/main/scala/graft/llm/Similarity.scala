@@ -897,6 +897,67 @@ object Similarity {
         (col("pred_label") === col("true_label")).as("correct"))
   }
 
+  /** Distributed PCA, top principal component by power iteration —
+    * the dimensionality-understanding step before choosing an MRL
+    * prefix / [[rpSearch]] m / SQ8 clipping: ONE corpus job computes
+    * the d×d Gram matrix Σ x·xᵀ (two chained posexplodes — map-only
+    * generate, no self-join — into a (i,j)-keyed hash aggregate whose
+    * shuffle is d² rows per map partition, data-size-independent),
+    * then the power iteration runs on the DRIVER over the collected
+    * d² doubles: model-sized work, zero further scans, the
+    * [[kmeansTrain]] discipline. At production d a `mapPartitions`
+    * BLAS rank-1 kernel is the constant-factor upgrade; the plan
+    * shape (one scan, d²-bounded shuffle) is already the 100 TB one.
+    *
+    * Determinism: Gram entries are floored to the 2^-20 grid (the
+    * distributed-sum ulp argument of [[kmeansTrain]]), v₀ = 1/√d
+    * uniformly, and every iterate re-quantizes to the grid after the
+    * norm division, so the whole (iter, pos, v) trace is
+    * bit-identical on any partitioning and on the DuckDB twin that
+    * replays the same matvec/normalize loop over ordered list folds.
+    *
+    * Returns (trace, v): the per-iteration component trace and the
+    * final unit direction for map-only projection.
+    */
+  def pcaPowerTrain(
+      vectors: DataFrame,
+      dim: Int,
+      iters: Int,
+      embCol: String = "embedding"): (DataFrame, Array[Double]) = {
+    require(iters >= 1, "iters must be positive")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    def q20(x: Double): Double = math.floor(x * 1048576.0) / 1048576.0
+    val gramRows = vectors
+      .select(posexplode(col(embCol)).as(Seq("i", "xi")), col(embCol).as("emb"))
+      .select(col("i"), col("xi"), posexplode(col("emb")).as(Seq("j", "xj")))
+      .groupBy("i", "j")
+      .agg(sum(col("xi").cast("double") * col("xj").cast("double")).as("g"))
+      .collect() // bounded: d² doubles (the model), never data-sized
+    val g = Array.ofDim[Double](dim, dim)
+    gramRows.foreach(r => g(r.getInt(0))(r.getInt(1)) = q20(r.getDouble(2)))
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    val trace = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    for (it <- 1 to iters) {
+      val u = Array.tabulate(dim) { i =>
+        var acc = 0.0
+        var j = 0
+        while (j < dim) { acc += g(i)(j) * v(j); j += 1 }
+        acc
+      }
+      var n2 = 0.0
+      var i = 0
+      while (i < dim) { n2 += u(i) * u(i); i += 1 }
+      val nrm = math.sqrt(n2)
+      require(nrm > 0, "pcaPowerTrain: zero Gram matrix")
+      v = u.map(x => q20(x / nrm))
+      for (p <- 0 until dim) trace += ((it.toLong, p.toLong, v(p)))
+    }
+    val traceDf = trace.toSeq.toDF("iter", "pos", "v")
+      .select(col("iter"), col("pos"), (round(col("v"), 6) + 0.0).as("v"))
+    (traceDf, v)
+  }
+
   /** Hard-negative triplet mining — the batch-preparation step of
     * contrastive embedding training (in-batch negatives are easy;
     * the gradient signal lives in the HARDEST wrong-label neighbors,
