@@ -68,7 +68,13 @@ object ScaleProbe {
     "d_wordpiece_train", "d_wordpiece_encode", "e_bq_search",
     // objective transforms: d_fim is map-only; d_span_corrupt's two
     // windows partition by doc_id (never corpus-global)
-    "d_fim", "d_span_corrupt")
+    "d_fim", "d_span_corrupt",
+    // round-11 session-2 legs: kmeans/pca trainers are iters×(scan +
+    // model-bounded collect) — the probe pins that iteration cost is
+    // linear in corpus and the driver state stays model-sized; rp
+    // search is one scan + broadcast-query windows like bq; hard
+    // negatives is the same shape with two rank windows
+    "e_kmeans_train", "e_pca_power", "e_rp_search", "e_hard_negatives")
 
   def main(args: Array[String]): Unit = {
     val factors = args.headOption.map(_.split(',').map(_.trim.toInt).toSeq)
