@@ -1701,6 +1701,19 @@ object SparkEntry {
       Similarity.ivfAssign(vecs, cents)
     }),
 
+    // the full ANN lifecycle under ONE oracle: train the coarse
+    // quantizer (3 Lloyd iterations), build the IVF index on the
+    // trained cells, serve top-5 at nprobe=2 — train → index → serve
+    // end-to-end hash-matched.
+    "e_ivf_trained_search" -> ((s, dir) => {
+      val vecs = s.read.parquet(s"$dir/embeddings.parquet")
+      val cents = Similarity.kmeansTrain(vecs, k = 4, iters = 3)._2
+      Similarity.ivfSearch(vecs, cents, vecs.where(col("vec_id") < 5),
+          k = 5, nprobe = 2)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("sim"))
+    }),
+
     // chunk → document mean-pooling (the retrieval-serving reduction
     // for chunked long docs): 8 consecutive chunk vectors pool into
     // one document embedding; sorted folds keep the float sums
@@ -5326,6 +5339,31 @@ object SparkEntry {
            |  SELECT id, centroid_id, sim,
            |    row_number() OVER (PARTITION BY id ORDER BY sim DESC, centroid_id ASC) AS rn
            |  FROM kscf) r WHERE rn = 1""".stripMargin),
+
+      // train → index → serve twin: the Lloyd chain feeds the
+      // e_ivf_search shape (assign cells + probe cells from ONE
+      // query-vs-trained-centroid relation, exact rerank in probed
+      // cells)
+      "e_ivf_trained_search" ->
+        (s"""WITH ${kmeansTrainChain(3, 4)},
+           | tcents AS (SELECT centroid_id, list(m ORDER BY pos) AS cent FROM kc3 GROUP BY 1),
+           | tcsc AS (SELECT a.id, c.centroid_id, ${kmeansCos("a", "c")} AS sim
+           |   FROM kebase a, tcents c),
+           | tassign AS (SELECT id AS neighbor_id, centroid_id FROM (
+           |   SELECT id, centroid_id, row_number() OVER (PARTITION BY id ORDER BY sim DESC, centroid_id ASC) AS rank FROM tcsc) r
+           |   WHERE rank = 1),
+           | tprobes AS (SELECT id AS query_id, centroid_id FROM (
+           |   SELECT id, centroid_id, row_number() OVER (PARTITION BY id ORDER BY sim DESC, centroid_id ASC) AS rank FROM tcsc WHERE id < 5) r
+           |   WHERE rank <= 2),
+           | tcand AS (SELECT p.query_id, s.neighbor_id FROM tprobes p
+           |   JOIN tassign s ON s.centroid_id = p.centroid_id AND p.query_id <> s.neighbor_id),
+           | tscored AS (SELECT c.query_id, c.neighbor_id, $cosine AS sim
+           |   FROM tcand c JOIN embeddings a ON a.vec_id = c.query_id
+           |   JOIN embeddings b ON b.vec_id = c.neighbor_id),
+           | tranked AS (SELECT query_id, neighbor_id, sim,
+           |   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM tscored)
+           |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(sim, 4) + 0 AS sim
+           |FROM tranked WHERE rank <= 5""".stripMargin),
 
       // k-means|| twin: the same md5-uniform draws, cost aggregates,
       // argmin weights and weighted farthest-point — unrolled in CTEs
