@@ -1106,6 +1106,29 @@ object SparkEntry {
         Seq("data", "query", "spark", "join"),
         col("text"), col("doc_id"))),
 
+    // batched BM25 retrieval: 5 query DOCS (rows, not literal terms)
+    // each pull their top-10 through one token equi-join — grid-
+    // quantized term contributions make the per-pair sum order-free.
+    "d_keyword_topk" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      TextStats.keywordTopK(docs, docs.where(col("doc_id") < 5), k = 10)
+    }),
+
+    // hybrid retrieval: BM25 keyword top-20 ⊕ embedding cosine top-20
+    // fused by reciprocal-rank fusion (RRF, c=60) — documents and
+    // embeddings share the id space, so each query contributes a
+    // text ranking and a vector ranking of the same corpus.
+    "d_hybrid_rrf" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val vecs = s.read.parquet(s"$dir/embeddings.parquet")
+      val kw = TextStats.keywordTopK(docs, docs.where(col("doc_id") < 5), k = 20)
+        .select(col("query_id"), col("rank"), col("doc_id").as("id"))
+      val vec = Similarity.bruteKnn(vecs, vecs.where(col("vec_id") < 5), k = 20)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id").as("id"))
+      Similarity.rrfFuse(Seq(kw, vec), k = 10)
+    }),
+
     // ExactSubstr-lite: per-doc duplicated 5-gram span stats — one
     // hash aggregate on the shingle hash, dup-key semi-join back,
     // totals straight off the scan; no doc×doc stage.
@@ -3183,6 +3206,30 @@ object SparkEntry {
          |  unnest(emb)::double AS m FROM kinit),
          |${(1 to iters).map(it).mkString(",\n")}""".stripMargin
     }
+    // the one-scan BM25 retrieval chain shared by d_keyword_topk and
+    // d_hybrid_rrf: exploded corpus tokens (null texts out of the
+    // corpus on both engines), exact-integer avgdl, grid-quantized
+    // per-term contributions (exact sums in any order), rank on
+    // (score desc, doc_id asc) — TextStats.keywordTopK verbatim
+    val kwTopSql: String =
+      """hts AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents WHERE text IS NOT NULL),
+        |htok AS (SELECT doc_id, token, count(*)::double AS tf FROM hts WHERE token <> '' GROUP BY 1, 2),
+        |hdl AS (SELECT doc_id, len(string_split_regex(trim(lower(text)), '\s+'))::double AS dl
+        |  FROM documents WHERE text IS NOT NULL),
+        |hg AS (SELECT count(*)::double AS n, sum(dl) / count(*)::double AS avgdl FROM hdl),
+        |hdf AS (SELECT token, count(*)::double AS df FROM htok GROUP BY 1),
+        |hqt AS (SELECT DISTINCT doc_id AS query_id, token FROM hts WHERE doc_id < 5 AND token <> ''),
+        |hjoin AS (SELECT q.query_id, t.doc_id,
+        |  floor(ln(1 + (g.n - f.df + 0.5) / (f.df + 0.5)) * t.tf * 2.2
+        |    / (t.tf + 1.2 * (0.25 + 0.75 * d.dl / g.avgdl)) * 1048576.0) / 1048576.0 AS c
+        |  FROM hqt q JOIN htok t USING (token) JOIN hdf f USING (token)
+        |  JOIN hdl d ON d.doc_id = t.doc_id, hg g
+        |  WHERE q.query_id <> t.doc_id),
+        |hsc AS (SELECT query_id, doc_id, sum(c) AS score FROM hjoin GROUP BY 1, 2),
+        |hkw AS (SELECT query_id, doc_id, score,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank FROM hsc)""".stripMargin
+
     // the power-iteration unroll shared by e_pca_power (trace) and
     // e_pca_project (train → serve): quantized Gram, v₀ = 1/√d, per
     // round an ordered matvec fold, ordered norm fold, and a 2^-20
@@ -4372,6 +4419,35 @@ object SparkEntry {
           |SELECT doc_id, CAST(dl AS BIGINT) AS dl,
           |       round(list_sum(list(contrib ORDER BY term)), 4) + 0 AS bm25
           |FROM scored GROUP BY 1, 2""".stripMargin),
+
+      // batched BM25 retrieval twin: the shared kwTopSql chain
+      "d_keyword_topk" ->
+        (s"""WITH $kwTopSql
+           |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, round(score, 4) + 0 AS score
+           |FROM hkw WHERE rank <= 10""".stripMargin),
+
+      // hybrid RRF twin: keyword top-20 ∪ cosine top-20, 2^-30-grid
+      // reciprocal contributions (exact sums), rank on (rrf desc, id)
+      "d_hybrid_rrf" ->
+        (s"""WITH $kwTopSql,
+           |hvsc AS (SELECT a.vec_id AS query_id, b.vec_id AS id, $cosine AS sim
+           |  FROM embeddings a JOIN embeddings b ON a.vec_id < 5 AND a.vec_id <> b.vec_id),
+           |hvec AS (SELECT query_id, id,
+           |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, id ASC) AS rank FROM hvsc),
+           |hun AS (
+           |  SELECT query_id, doc_id AS id,
+           |    floor(1.0 / (60 + rank) * 1073741824.0) / 1073741824.0 AS rc
+           |  FROM hkw WHERE rank <= 20
+           |  UNION ALL
+           |  SELECT query_id, id,
+           |    floor(1.0 / (60 + rank) * 1073741824.0) / 1073741824.0 AS rc
+           |  FROM hvec WHERE rank <= 20),
+           |hfu AS (SELECT query_id, id, sum(rc) AS rrf, count(*)::bigint AS n_lists
+           |  FROM hun GROUP BY 1, 2),
+           |hrk AS (SELECT query_id, id, rrf, n_lists,
+           |  row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, id ASC) AS rank FROM hfu)
+           |SELECT query_id, CAST(rank AS BIGINT) AS rank, id, round(rrf, 6) + 0 AS rrf, n_lists
+           |FROM hrk WHERE rank <= 10""".stripMargin),
 
       "d_dup_spans" ->
         (s"""WITH sh AS (

@@ -1007,6 +1007,39 @@ object Similarity {
         round(col("pos_sim") - col("neg_sim"), 4).as("margin"))
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) — the
+    * standard hybrid-retrieval combiner: each ranked list contributes
+    * `1/(c + rank)` per (query, id) and lists need no score
+    * calibration against each other, which is why RRF is the default
+    * way to fuse a BM25 keyword ranking with an embedding kNN ranking
+    * (see the `d_hybrid_rrf` query). Inputs are result-sized
+    * relations (query_id, rank, id) — rank-window outputs, never the
+    * corpus — so the union + (query, id) aggregate + per-query rank
+    * window all run on fleet-bounded data at any corpus size.
+    *
+    * Contributions are floored to the 2^-30 grid before summing, so
+    * the fused score is an exact sum of grid values — order-free on
+    * any partitioning and across engines, no matter how many lists
+    * are fused. Ties rank to the lowest id. Returns (query_id, rank,
+    * id, rrf, n_lists).
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse: no rankings")
+    val contrib = floor(lit(1.0) / (lit(c.toDouble) + col("rank").cast("double")) *
+      lit(1073741824.0)) / lit(1073741824.0)
+    val tagged = rankings.map(_.select(col("query_id").cast("long").as("query_id"),
+      col("id").cast("long").as("id"), contrib.as("rc")))
+    val fused = tagged.reduce(_ unionAll _)
+      .groupBy("query_id", "id")
+      .agg(sum("rc").as("rrf"), count(lit(1)).as("n_lists"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf").desc, col("id").asc)
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"),
+        (round(col("rrf"), 6) + 0.0).as("rrf"), col("n_lists"))
+  }
+
   /** Recall@k of an approximate ANN result against exact ground truth
     * — the self-evaluation harness for tuning nprobe/bits/tables:
     * per-query `|approx ∩ exact| / k`. Both inputs are result-sized

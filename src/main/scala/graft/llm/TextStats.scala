@@ -362,6 +362,75 @@ object TextStats {
       round(score, 4).as("bm25"))
   }
 
+  /** One-scan BM25 keyword top-k retrieval — the keyword side of
+    * hybrid search, and the scale-correct generalization of [[bm25]]
+    * (which scores ONE literal term set per corpus pass): every
+    * query in the broadcast-bounded batch retrieves its top-k docs
+    * through a single token equi-join against the exploded corpus —
+    * no per-query scan, no literal term lists, queries are ROWS.
+    *
+    * Scale shape: corpus explodes once into a (doc, token, tf)
+    * relation; df/N/avgdl are one aggregate each (dl sums are exact
+    * integer doubles, so avgdl is order-free); query terms join on
+    * token, doc length joins on doc_id — all hash equi-joins with
+    * map-side partials, nothing pairs the corpus with itself.
+    *
+    * Determinism: each (query, doc, term) BM25 contribution is
+    * floored to the 2^-20 grid BEFORE the per-pair sum — exact grid
+    * values sum exactly in any order (the `m_img_entropy` device), so
+    * the score, and therefore the (score desc, doc_id asc) ranking,
+    * is bit-identical on any partitioning and on the DuckDB twin.
+    * Self-matches are excluded. Returns (query_id, rank, doc_id,
+    * score).
+    */
+  def keywordTopK(
+      docs: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      textCol: Column = col("text"),
+      idCol: Column = col("doc_id"),
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    // null texts are out of the corpus entirely (N, avgdl, candidates)
+    // — Spark's size(null) and SQL's null-skipping aggregate would
+    // otherwise diverge the moment the fixtures grow a null
+    val base = docs.where(textCol.isNotNull)
+    val toks = base
+      .select(idCol.cast("long").as("doc_id"),
+        explode(words(lower(textCol))).as("token"))
+      .where(col("token") =!= "")
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dls = base.select(idCol.cast("long").as("doc_id"),
+      size(words(lower(textCol))).cast("double").as("dl"))
+    val stats = toks.groupBy("token").agg(count(lit(1)).cast("double").as("df"))
+    val global = dls.agg(count(lit(1)).cast("double").as("n"),
+      (sum("dl") / count(lit(1))).as("avgdl"))
+    val qt = queries.where(textCol.isNotNull)
+      .select(idCol.cast("long").as("query_id"),
+        explode(array_distinct(words(lower(textCol)))).as("token"))
+      .where(col("token") =!= "")
+    val joined = qt.join(toks, Seq("token"))
+      .where(col("query_id") =!= col("doc_id"))
+      .join(stats, Seq("token"))
+      .join(dls, Seq("doc_id"))
+      .crossJoin(broadcast(global))
+    val idf = log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val contrib = idf * col("tf") * lit(k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    val scores = joined
+      .select(col("query_id"), col("doc_id"),
+        (floor(contrib * lit(1048576.0)) / lit(1048576.0)).as("c"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("c").as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scores.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        round(col("score"), 4).as("score"))
+  }
+
   /** Gopher quality rules (Rae et al. 2021, arXiv:2112.11446 §A1.1) —
     * the hard-threshold filter family, complementary to the blended
     * [[qualityScore]]: word-count window, mean word length window,

@@ -1,0 +1,68 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Batched BM25 retrieval ([[TextStats.keywordTopK]]) and
+  * reciprocal-rank fusion ([[Similarity.rrfFuse]]) — engine-match is
+  * covered by the `d_keyword_topk`/`d_hybrid_rrf` oracles; this pins
+  * retrieval semantics and the fusion arithmetic.
+  */
+class HybridSearchSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  test("keywordTopK: term overlap ranks, self excluded, null text out of corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "spark joins shuffle data across executors"),
+      (1L, "spark joins and spark shuffles"),     // shares spark+joins
+      (2L, "joins of relational data"),           // shares joins+data
+      (3L, "cooking pasta with tomato sauce"),    // shares nothing
+      (4L, null.asInstanceOf[String]))            // out of the corpus
+      .toDF("doc_id", "text")
+    val out = TextStats.keywordTopK(docs, docs.where(col("doc_id") === 0), k = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(2), r.getDouble(3)))
+    // docs 1 and 2 retrieved, doc 3 has zero overlap → absent,
+    // doc 0 (self) and doc 4 (null) absent
+    assert(out.map(_._1).toSet == Set(1L, 2L))
+    assert(out.forall(_._2 > 0))
+  }
+
+  test("keywordTopK: higher tf of a shared term outranks at equal df") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "needle"),
+      (1L, "needle needle needle hay hay hay"),
+      (2L, "needle hay hay hay hay hay"))
+      .toDF("doc_id", "text")
+    val out = TextStats.keywordTopK(docs, docs.where(col("doc_id") === 0), k = 2)
+      .orderBy("rank").collect().map(_.getLong(2))
+    assert(out.head == 1L, "tf=3 must outrank tf=1 for the same term")
+  }
+
+  test("rrfFuse: both-list members beat single-list, contributions exact, ties to lowest id") {
+    import spark.implicits._
+    val a = Seq((1L, 1L, 10L), (1L, 2L, 11L), (1L, 3L, 12L))
+      .toDF("query_id", "rank", "id")
+    val b = Seq((1L, 1L, 11L), (1L, 2L, 20L))
+      .toDF("query_id", "rank", "id")
+    val out = Similarity.rrfFuse(Seq(a, b), k = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    def g30(x: Double) = math.floor(x * 1073741824.0) / 1073741824.0
+    def c(r: Int) = g30(1.0 / (60 + r))
+    // 11 is rank 2 in a AND rank 1 in b → fused top
+    assert(out(0)._2 == 11L && out(0)._4 == 2L)
+    val want11 = BigDecimal(c(2) + c(1))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0)._3 == want11)
+    // 10 (rank 1, one list) vs 20 (rank 2 in b): 1/61 > 1/62
+    assert(out(1)._2 == 10L && out(2)._2 == 20L && out(3)._2 == 12L)
+    // equal single-list ranks tie → lowest id first: give 12 and 20
+    // the same contribution check via ordering above
+    assert(out.map(_._4).toSeq == Seq(2L, 1L, 1L, 1L))
+  }
+}
