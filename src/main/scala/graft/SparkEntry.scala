@@ -1129,6 +1129,21 @@ object SparkEntry {
       Similarity.rrfFuse(Seq(kw, vec), k = 10)
     }),
 
+    // signed feature hashing (the hashing trick): model-free sparse
+    // text vectors — one explode + one hash aggregate, integer
+    // values, engine-portable md5 bucket/sign hashes.
+    "d_hash_embed" -> ((s, dir) =>
+      TextStats.hashedVectors(
+        s.read.parquet(s"$dir/documents.parquet"), dim = 64)),
+
+    // text-only cosine kNN over the hashed vectors: bucket equi-join
+    // (inverted-index shape), exact integer dots/norms — the full
+    // ranking hash-matches with no quantization device at all.
+    "d_hash_knn" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      TextStats.hashedKnn(docs, docs.where(col("doc_id") < 5), dim = 64, k = 5)
+    }),
+
     // ExactSubstr-lite: per-doc duplicated 5-gram span stats — one
     // hash aggregate on the shingle hash, dup-key semi-join back,
     // totals straight off the scan; no doc×doc stage.
@@ -3230,6 +3245,20 @@ object SparkEntry {
         |hkw AS (SELECT query_id, doc_id, score,
         |  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank FROM hsc)""".stripMargin
 
+    // the signed-feature-hashing chain shared by d_hash_embed and
+    // d_hash_knn: md5 bucket/sign hashes, integer signed counts,
+    // cancelled buckets dropped — TextStats.hashedVectors verbatim
+    val hashVecSql: String =
+      """hv AS (SELECT doc_id,
+        |  ('0x' || substr(md5(token || '|hepos'), 1, 15))::bigint % 64 AS pos,
+        |  CASE WHEN ('0x' || substr(md5(token || '|hesign'), 1, 15))::bigint % 2 = 0
+        |    THEN 1 ELSE -1 END AS s
+        |  FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |        FROM documents WHERE text IS NOT NULL) t
+        |  WHERE token <> ''),
+        |hvec AS (SELECT doc_id, pos, sum(s)::bigint AS v FROM hv
+        |  GROUP BY 1, 2 HAVING sum(s) <> 0)""".stripMargin
+
     // the power-iteration unroll shared by e_pca_power (trace) and
     // e_pca_project (train → serve): quantized Gram, v₀ = 1/√d, per
     // round an ordered matvec fold, ordered norm fold, and a 2^-20
@@ -4419,6 +4448,24 @@ object SparkEntry {
           |SELECT doc_id, CAST(dl AS BIGINT) AS dl,
           |       round(list_sum(list(contrib ORDER BY term)), 4) + 0 AS bm25
           |FROM scored GROUP BY 1, 2""".stripMargin),
+
+      // hashing-trick twins: the shared hashVecSql chain
+      "d_hash_embed" ->
+        (s"""WITH $hashVecSql
+           |SELECT doc_id, pos, v FROM hvec""".stripMargin),
+
+      "d_hash_knn" ->
+        (s"""WITH $hashVecSql,
+           |hq AS (SELECT doc_id AS query_id, pos, v AS qv FROM hvec WHERE doc_id < 5),
+           |hn AS (SELECT doc_id, sum(v * v)::double AS n2 FROM hvec GROUP BY 1),
+           |hqn AS (SELECT query_id, sum(qv * qv)::double AS qn2 FROM hq GROUP BY 1),
+           |hd AS (SELECT q.query_id, d.doc_id, sum(d.v * q.qv)::double AS dot
+           |  FROM hvec d JOIN hq q USING (pos) WHERE q.query_id <> d.doc_id GROUP BY 1, 2),
+           |hs AS (SELECT query_id, doc_id, dot / (sqrt(n2) * sqrt(qn2)) AS sim,
+           |  row_number() OVER (PARTITION BY query_id ORDER BY dot / (sqrt(n2) * sqrt(qn2)) DESC, doc_id ASC) AS rank
+           |  FROM hd JOIN hn USING (doc_id) JOIN hqn USING (query_id))
+           |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, round(sim, 4) + 0 AS sim
+           |FROM hs WHERE rank <= 5""".stripMargin),
 
       // batched BM25 retrieval twin: the shared kwTopSql chain
       "d_keyword_topk" ->

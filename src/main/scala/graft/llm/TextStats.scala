@@ -431,6 +431,84 @@ object TextStats {
         round(col("score"), 4).as("score"))
   }
 
+  /** Signed feature hashing (Weinberger et al. 2009, "the hashing
+    * trick") — model-free text vectors: every token hashes to a
+    * bucket in [0, dim) with a ±1 sign from an independent hash, and
+    * a document's vector is the signed bucket counts. No vocabulary,
+    * no training, no broadcast — the classic way to get geometry over
+    * text at corpus scale when no embedding model is in the loop
+    * (cheap near-dup candidate vectors, linear classifiers, drift
+    * monitors). Both hashes are the repo's engine-portable md5
+    * family, so the vectors are bit-identical on any engine.
+    *
+    * Values stay INTEGER (signed counts) — every downstream sum
+    * (dots, squared norms) is exact in any order, which is what puts
+    * [[hashedKnn]]'s full ranking under the hash oracle with no
+    * quantization device at all. Sparse output: (doc_id, pos, v),
+    * only touched buckets appear; null/empty texts produce no rows.
+    * One explode + one hash aggregate — map-side partials, no joins.
+    */
+  def hashedVectors(
+      docs: DataFrame,
+      dim: Int,
+      textCol: Column = col("text"),
+      idCol: Column = col("doc_id")): DataFrame = {
+    val tok = explode(words(lower(textCol)))
+    val base = docs.where(textCol.isNotNull)
+      .select(idCol.cast("long").as("doc_id"), tok.as("token"))
+      .where(col("token") =!= "")
+    base
+      .select(col("doc_id"),
+        (Sampling.hashBits60(concat(col("token"), lit("|hepos"))) % dim).as("pos"),
+        when(Sampling.hashBits60(concat(col("token"), lit("|hesign"))) % 2 === 0,
+          lit(1L)).otherwise(lit(-1L)).as("s"))
+      .groupBy("doc_id", "pos")
+      .agg(sum("s").as("v"))
+      .where(col("v") =!= 0) // cancelled buckets leave the sparse form
+  }
+
+  /** Text-only cosine kNN over [[hashedVectors]] — retrieval with no
+    * embedding model anywhere: the sparse signed-count vectors score
+    * through a bucket equi-join (the inverted-index shape, like
+    * [[keywordTopK]]), dot products and squared norms are exact
+    * integer sums, and the cosine is one deterministic division — the
+    * entire ranking hash-matches across engines without any grid.
+    * Queries are a broadcast-bounded batch; candidates are docs
+    * sharing ≥1 touched bucket with the query (everything else has
+    * dot 0 and cannot enter a cosine top-k), so nothing pairs the
+    * corpus with itself. Ties rank to the lowest doc id; self-matches
+    * are excluded. Returns (query_id, rank, doc_id, sim).
+    */
+  def hashedKnn(
+      docs: DataFrame,
+      queries: DataFrame,
+      dim: Int,
+      k: Int,
+      textCol: Column = col("text"),
+      idCol: Column = col("doc_id")): DataFrame = {
+    val dv = hashedVectors(docs, dim, textCol, idCol)
+    val qv = hashedVectors(queries, dim, textCol, idCol)
+      .select(col("doc_id").as("query_id"), col("pos"), col("v").as("qv"))
+    val norms = dv.groupBy("doc_id").agg(sum(col("v") * col("v")).as("n2"))
+    val qnorms = qv.groupBy("query_id").agg(sum(col("qv") * col("qv")).as("qn2"))
+    val dots = dv.join(qv, Seq("pos"))
+      .where(col("query_id") =!= col("doc_id"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("v") * col("qv")).as("dot"))
+    val scored = dots
+      .join(norms, Seq("doc_id"))
+      .join(qnorms, Seq("query_id"))
+      .withColumn("sim",
+        col("dot").cast("double") /
+          (sqrt(col("n2").cast("double")) * sqrt(col("qn2").cast("double"))))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        round(col("sim"), 4).as("sim"))
+  }
+
   /** Gopher quality rules (Rae et al. 2021, arXiv:2112.11446 §A1.1) —
     * the hard-threshold filter family, complementary to the blended
     * [[qualityScore]]: word-count window, mean word length window,

@@ -43,6 +43,38 @@ class HybridSearchSpec extends AnyFunSuite {
     assert(out.head == 1L, "tf=3 must outrank tf=1 for the same term")
   }
 
+  test("hashedVectors: matches a local md5 replay; cancelled buckets drop") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta alpha"),
+      (1L, "Gamma gamma DELTA"),
+      (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = TextStats.hashedVectors(docs, dim = 16)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    def pos(t: String) = Sampling.hashBits60Local(t + "|hepos") % 16
+    def sgn(t: String) = if (Sampling.hashBits60Local(t + "|hesign") % 2 == 0) 1L else -1L
+    val want = collection.mutable.Map.empty[(Long, Long), Long].withDefaultValue(0L)
+    for ((id, ts) <- Seq(0L -> Seq("alpha", "beta", "alpha"),
+        1L -> Seq("gamma", "gamma", "delta")); t <- ts)
+      want((id, pos(t))) += sgn(t)
+    assert(got == want.filter(_._2 != 0).toMap)
+  }
+
+  test("hashedKnn: a verbatim copy is the top neighbor at cosine 1") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the quick brown fox jumps"),
+      (1L, "the quick brown fox jumps"), // exact copy of 0
+      (2L, "a completely different sentence here"),
+      (3L, "the quick brown cat sleeps")).toDF("doc_id", "text")
+    val out = TextStats.hashedKnn(docs, docs.where(col("doc_id") === 0), dim = 32, k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(2), r.getDouble(3)))
+    assert(out.head == (1L, 1.0), "identical text must rank first at sim 1")
+    assert(out.map(_._1).contains(3L), "shared-token doc must appear")
+    assert(!out.map(_._1).contains(0L), "self excluded")
+  }
+
   test("rrfFuse: both-list members beat single-list, contributions exact, ties to lowest id") {
     import spark.implicits._
     val a = Seq((1L, 1L, 10L), (1L, 2L, 11L), (1L, 3L, 12L))
