@@ -74,7 +74,12 @@ object ScaleProbe {
     // linear in corpus and the driver state stays model-sized; rp
     // search is one scan + broadcast-query windows like bq; hard
     // negatives is the same shape with two rank windows
-    "e_kmeans_train", "e_pca_power", "e_rp_search", "e_hard_negatives")
+    "e_kmeans_train", "e_pca_power", "e_rp_search", "e_hard_negatives",
+    // retrieval family: keyword/hashed scoring joins on token/bucket
+    // against a fixed query batch — candidate volume is (query terms
+    // × per-term postings), linear in corpus at fixed fleet; the
+    // fusion adds result-sized work only
+    "d_keyword_topk", "d_hybrid_rrf", "d_hash_knn")
 
   def main(args: Array[String]): Unit = {
     val factors = args.headOption.map(_.split(',').map(_.trim.toInt).toSeq)
