@@ -1137,8 +1137,9 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"), dim = 64)),
 
     // text-only cosine kNN over the hashed vectors: bucket equi-join
-    // (inverted-index shape), exact integer dots/norms — the full
-    // ranking hash-matches with no quantization device at all.
+    // (inverted-index shape), exact integer dots/norms, dot > 0
+    // cutoff (what makes the bucket pruning sound under signed
+    // hashing) — the full ranking hash-matches with no grid at all.
     "d_hash_knn" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       TextStats.hashedKnn(docs, docs.where(col("doc_id") < 5), dim = 64, k = 5)
@@ -4460,7 +4461,8 @@ object SparkEntry {
            |hn AS (SELECT doc_id, sum(v * v)::double AS n2 FROM hvec GROUP BY 1),
            |hqn AS (SELECT query_id, sum(qv * qv)::double AS qn2 FROM hq GROUP BY 1),
            |hd AS (SELECT q.query_id, d.doc_id, sum(d.v * q.qv)::double AS dot
-           |  FROM hvec d JOIN hq q USING (pos) WHERE q.query_id <> d.doc_id GROUP BY 1, 2),
+           |  FROM hvec d JOIN hq q USING (pos) WHERE q.query_id <> d.doc_id GROUP BY 1, 2
+           |  HAVING sum(d.v * q.qv) > 0),
            |hs AS (SELECT query_id, doc_id, dot / (sqrt(n2) * sqrt(qn2)) AS sim,
            |  row_number() OVER (PARTITION BY query_id ORDER BY dot / (sqrt(n2) * sqrt(qn2)) DESC, doc_id ASC) AS rank
            |  FROM hd JOIN hn USING (doc_id) JOIN hqn USING (query_id))
@@ -5732,7 +5734,7 @@ object SparkEntry {
 
       // JL random-projection twin: the identical md5-parity ±1
       // matrix, ordered projection folds, projected-L2 shortlist of
-      // 20 (pd asc, id asc), exact cosine rerank to top-5
+      // 40 (pd asc, id asc), exact cosine rerank to top-5
       "e_rp_search" ->
         (s"""WITH $rpShortSql,
            | ranked AS (SELECT query_id, neighbor_id, sim,

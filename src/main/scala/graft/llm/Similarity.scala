@@ -316,7 +316,7 @@ object Similarity {
       }.toArray
     }
     val d = cents(0).length
-    def q20(x: Double): Double = math.floor(x * 1048576.0) / 1048576.0
+    def q20(x: Double): Double = Grid.q20(x)
     val trace = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
     for (it <- 1 to iters) {
       // map-only argmax: greatest() over (sim, -cid) structs picks the
@@ -927,7 +927,7 @@ object Similarity {
     require(iters >= 1, "iters must be positive")
     val spark = vectors.sparkSession
     import spark.implicits._
-    def q20(x: Double): Double = math.floor(x * 1048576.0) / 1048576.0
+    def q20(x: Double): Double = Grid.q20(x)
     val gramRows = vectors
       .select(posexplode(col(embCol)).as(Seq("i", "xi")), col(embCol).as("emb"))
       .select(col("i"), col("xi"), posexplode(col("emb")).as(Seq("j", "xj")))
@@ -1280,17 +1280,21 @@ object Similarity {
       m: Int,
       idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
-    def dirProj(e: Column): Column = {
-      val n = norm(e)
-      val div = when(n === 0d, lit(1.0)).otherwise(n)
-      transform(rpProject(e, dim, m), p => p / div)
-    }
+    // the norm divisor materializes as a COLUMN and the lambda only
+    // references it (the bm25 `__ws` HOF discipline) — spelled inline
+    // in the lambda it would re-run the 64-element norm fold per
+    // projected element, ~3× the scan's multiply-adds
+    def dirProj(side: DataFrame, id: Column, idName: String, embName: String): DataFrame =
+      side.select(id.cast("long").as(idName), col(embCol).as(embName),
+          norm(col(embCol)).as("__n"))
+        .withColumn("__div", when(col("__n") === 0d, lit(1.0)).otherwise(col("__n")))
+        .withColumn(s"${embName.take(1)}_p",
+          transform(rpProject(col(embName), dim, m), p => p / col("__div")))
+        .drop("__n", "__div")
     // projections are computed inline next to the carried embedding —
     // ONE scan per side, no join-back (the bqSearch census lesson)
-    val v = vectors.select(col(idCol).cast("long").as("neighbor_id"),
-      col(embCol).as("v_emb"), dirProj(col(embCol)).as("v_p"))
-    val q = queries.select(col(idCol).cast("long").as("query_id"),
-      col(embCol).as("q_emb"), dirProj(col(embCol)).as("q_p"))
+    val v = dirProj(vectors, col(idCol), "neighbor_id", "v_emb")
+    val q = dirProj(queries, col(idCol), "query_id", "q_emb")
     val scored = v.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("pd", l2sq(col("v_p"), col("q_p")))
     val pw = Window.partitionBy("query_id")

@@ -473,10 +473,16 @@ object TextStats {
     * [[keywordTopK]]), dot products and squared norms are exact
     * integer sums, and the cosine is one deterministic division — the
     * entire ranking hash-matches across engines without any grid.
-    * Queries are a broadcast-bounded batch; candidates are docs
-    * sharing ≥1 touched bucket with the query (everything else has
-    * dot 0 and cannot enter a cosine top-k), so nothing pairs the
-    * corpus with itself. Ties rank to the lowest doc id; self-matches
+    * Queries are a broadcast-bounded batch.
+    *
+    * Returned neighbors are the top-k among POSITIVELY-similar docs
+    * (dot > 0) — with signed hashing a bucket-sharing doc can score
+    * negative, and a doc sharing no bucket scores exactly 0, so a
+    * sim ≤ 0 cutoff is what makes the bucket join a sound pruning:
+    * everything it skips scores ≤ 0 < every returned row. (Without
+    * the cutoff, rank-k could fall to a zero-overlap doc the join
+    * never sees.) Fewer than k positive candidates → a short result,
+    * deterministically. Ties rank to the lowest doc id; self-matches
     * are excluded. Returns (query_id, rank, doc_id, sim).
     */
   def hashedKnn(
@@ -495,6 +501,7 @@ object TextStats {
       .where(col("query_id") =!= col("doc_id"))
       .groupBy("query_id", "doc_id")
       .agg(sum(col("v") * col("qv")).as("dot"))
+      .where(col("dot") > 0) // the pruning-soundness cutoff (docstring)
     val scored = dots
       .join(norms, Seq("doc_id"))
       .join(qnorms, Seq("query_id"))

@@ -242,8 +242,7 @@ object Unigram {
     * value sits within ~2^-50 of a grid boundary (the same accepted
     * residual-risk class as the WAV oracle's `trunc(sin(...))`).
     */
-  private[llm] def quantizeLogp(x: Double): Double =
-    math.floor(x * 1048576.0) / 1048576.0
+  private[llm] def quantizeLogp(x: Double): Double = Grid.q20(x)
 
   /** Likelihood-loss pruning (the paper's criterion, Kudo &
     * Richardson 2018 §3.2) as an alternative to count-based pruning:

@@ -51,7 +51,7 @@ object StreamKmeans {
     }
   }
 
-  private def q20(x: Double): Double = math.floor(x * 1048576.0) / 1048576.0
+  private def q20(x: Double): Double = graft.llm.Grid.q20(x)
 
   /** `foreachBatch` body updating `model` from each micro-batch.
     * `batch` must carry (`idCol`: long, `embCol`: array<float|double>).
@@ -64,8 +64,12 @@ object StreamKmeans {
       val rows = batch.select(col(idCol).cast("long").as("id"), col(embCol).as("emb"))
       val pending = if (!model.initialized) {
         // buffer the k lowest-id arrivals until the model can seed;
-        // ≤ k rows ever cross the driver here (TakeOrdered(k) job)
-        val head = rows.orderBy(col("id").asc).limit(model.k).collect()
+        // ≤ k rows ever cross the driver here (TakeOrdered(k) job).
+        // Dedup BEFORE the limit: a replayed id inside the batch's k
+        // lowest rows would otherwise crowd out real seed candidates
+        // and the single-batch ≡ kmeansTrain contract would break
+        val head = rows.dropDuplicates("id")
+          .orderBy(col("id").asc).limit(model.k).collect()
           .map(r => (r.getLong(0), r.getSeq[Any](1).map {
             case f: Float  => f.toDouble
             case d: Double => d

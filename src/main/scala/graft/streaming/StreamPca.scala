@@ -36,7 +36,7 @@ object StreamPca {
     def snapshot: (Array[Double], Long) = synchronized((vec.clone(), n))
   }
 
-  private def q20(x: Double): Double = math.floor(x * 1048576.0) / 1048576.0
+  private def q20(x: Double): Double = graft.llm.Grid.q20(x)
 
   /** `foreachBatch` body updating `model` from each micro-batch.
     * `batch` must carry (`embCol`: array<float|double>).
@@ -55,7 +55,11 @@ object StreamPca {
         .agg(sum(col("x").cast("double") * col("p")).as("s"), count(lit(1)).as("m"))
         .collect()
       if (agg.nonEmpty) {
-        val m = agg.head.getLong(2)
+        // m = rows contributing at least one element: the max per-pos
+        // count (pos groups can disagree on ragged embeddings, and
+        // agg.head's group is whichever the hash aggregate returned
+        // first — never a contract)
+        val m = agg.map(_.getLong(2)).max
         val eta = 1.0 / (n + m).toDouble
         val u = v.clone()
         agg.foreach(r => u(r.getInt(0)) += eta * r.getDouble(1))
@@ -63,8 +67,11 @@ object StreamPca {
         var i = 0
         while (i < u.length) { n2 += u(i) * u(i); i += 1 }
         val nrm = math.sqrt(n2)
-        model.synchronized {
-          if (nrm > 0) model.vec = u.map(x => q20(x / nrm))
+        // a degenerate batch (u = 0) neither moves the iterate nor
+        // advances n — data that never influenced the model must not
+        // shrink eta for data that will
+        if (nrm > 0) model.synchronized {
+          model.vec = u.map(x => q20(x / nrm))
           model.n = n + m
         }
       }

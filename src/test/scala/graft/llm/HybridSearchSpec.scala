@@ -75,6 +75,16 @@ class HybridSearchSpec extends AnyFunSuite {
     assert(!out.map(_._1).contains(0L), "self excluded")
   }
 
+  test("hashedKnn: only positively-similar neighbors are returned (pruning soundness)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = TextStats.hashedKnn(
+      docs, docs.where(col("doc_id") < 5), dim = 64, k = 5).collect()
+    assert(out.nonEmpty)
+    // the dot > 0 cutoff is what makes skipping zero-overlap docs a
+    // sound pruning: every returned sim must be strictly positive
+    assert(out.forall(_.getDouble(3) > 0), "a sim ≤ 0 row escaped the cutoff")
+  }
+
   test("rrfFuse: both-list members beat single-list, contributions exact, ties to lowest id") {
     import spark.implicits._
     val a = Seq((1L, 1L, 10L), (1L, 2L, 11L), (1L, 3L, 12L))

@@ -94,6 +94,22 @@ class StreamKmeansSpec extends AnyFunSuite {
     }
   }
 
+  test("a replayed id among the k lowest rows does not crowd out seed candidates") {
+    import spark.implicits._
+    val model = new StreamKmeans.Model(k = 2, dim = 2)
+    // id 1 delivered twice: seeds must still be {1, 2}, not {1} stuck
+    val b = Seq(
+      (1L, Array(1f, 0f)), (1L, Array(1f, 0f)),
+      (2L, Array(0f, 1f)), (5L, Array(0.9f, 0.1f)))
+    run(model, Seq(b))
+    assert(model.initialized)
+    val snap = model.snapshot
+    assert(snap.map(_._3).sum == 4L, "all four rows (incl. the replay) assigned")
+    // centroid 1 seeded from id 2 = e2 and attracts only id 2 → stays
+    // exactly (0, 1); a {1, 5} mis-seed would put ~(0.9, 0.1) here
+    assert(snap(1)._2.toSeq == Seq(0.0, 1.0))
+  }
+
   test("pre-init batches buffer the k lowest ids; seeding completes later") {
     import spark.implicits._
     val model = new StreamKmeans.Model(k = 4, dim = 2)
