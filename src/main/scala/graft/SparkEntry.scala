@@ -1740,6 +1740,18 @@ object SparkEntry {
       Similarity.ivfAssign(vecs, cents)
     }),
 
+    // train → assign → LABEL: c-TF-IDF topic terms (BERTopic) for the
+    // trained k-means clusters — embedding clusters turned back into
+    // readable topics, the whole pipeline under one hash oracle.
+    "d_cluster_terms" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val vecs = s.read.parquet(s"$dir/embeddings.parquet")
+      val cents = Similarity.kmeansTrain(vecs, k = 4, iters = 3)._2
+      val asg = Similarity.ivfAssign(vecs, cents)
+        .select(col("vec_id").as("doc_id"), col("centroid_id"))
+      TextStats.clusterTerms(docs, asg, topK = 5)
+    }),
+
     // the full ANN lifecycle under ONE oracle: train the coarse
     // quantizer (3 Lloyd iterations), build the IVF index on the
     // trained cells, serve top-5 at nprobe=2 — train → index → serve
@@ -5464,6 +5476,32 @@ object SparkEntry {
            |  SELECT id, centroid_id, sim,
            |    row_number() OVER (PARTITION BY id ORDER BY sim DESC, centroid_id ASC) AS rn
            |  FROM kscf) r WHERE rn = 1""".stripMargin),
+
+      // train → assign → label twin: the Lloyd chain's assignment
+      // feeds the c-TF-IDF aggregates (all-integer counts, 2^-20-grid
+      // scores)
+      "d_cluster_terms" ->
+        (s"""WITH ${kmeansTrainChain(3, 4)},
+           |ctc AS (SELECT centroid_id, list(m ORDER BY pos) AS cent FROM kc3 GROUP BY 1),
+           |ctsc AS (SELECT a.id, c.centroid_id, ${kmeansCos("a", "c")} AS sim
+           |  FROM kebase a, ctc c),
+           |ctas AS (SELECT id AS doc_id, centroid_id FROM (
+           |  SELECT id, centroid_id, row_number() OVER (PARTITION BY id ORDER BY sim DESC, centroid_id ASC) AS rn FROM ctsc) r
+           |  WHERE rn = 1),
+           |cttok AS (SELECT doc_id, token FROM (
+           |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+           |  FROM documents WHERE text IS NOT NULL) t WHERE token <> ''),
+           |ctj AS (SELECT a.centroid_id, t.token FROM cttok t JOIN ctas a USING (doc_id)),
+           |ctf AS (SELECT centroid_id, token, count(*)::double AS ctf FROM ctj GROUP BY 1, 2),
+           |ctft AS (SELECT token, count(*)::double AS ft FROM cttok GROUP BY 1),
+           |ctg AS (SELECT count(*)::double / count(DISTINCT centroid_id)::double AS a FROM ctj),
+           |ctsd AS (SELECT f.centroid_id, f.token,
+           |  floor(f.ctf * ln(1 + g.a / t.ft) * 1048576.0) / 1048576.0 AS score
+           |  FROM ctf f JOIN ctft t USING (token), ctg g),
+           |ctr AS (SELECT centroid_id, token, score,
+           |  row_number() OVER (PARTITION BY centroid_id ORDER BY score DESC, token ASC) AS rank FROM ctsd)
+           |SELECT centroid_id, CAST(rank AS BIGINT) AS rank, token, round(score, 4) + 0 AS score
+           |FROM ctr WHERE rank <= 5""".stripMargin),
 
       // train → index → serve twin: the Lloyd chain feeds the
       // e_ivf_search shape (assign cells + probe cells from ONE

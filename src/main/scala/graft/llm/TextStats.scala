@@ -431,6 +431,56 @@ object TextStats {
         round(col("score"), 4).as("score"))
   }
 
+  /** Class-based TF-IDF cluster labeling (the BERTopic c-TF-IDF,
+    * Grootendorst 2022): treat each cluster as ONE pseudo-document
+    * and rank its terms by `ctf(t, c) · ln(1 + A / f_t)` where ctf is
+    * the term's count inside the cluster, f_t its corpus count, and
+    * A the average token count per cluster — the standard way to
+    * turn embedding clusters back into human-readable topics at
+    * corpus scale. Pairs with [[graft.llm.Similarity.kmeansTrain]]
+    * assignments for a fully hash-gated train → assign → label
+    * pipeline (`d_cluster_terms`).
+    *
+    * Scale shape: one corpus explode, a doc_id equi-join onto the
+    * assignment relation, then (cluster, term) / (term) hash
+    * aggregates — all-integer counts, map-side partials, nothing
+    * corpus². Scores floor onto the 2^-20 grid (the ln's 1-ulp
+    * engine divergence can only flip a floor at a ~2^-50 boundary —
+    * the accepted residual class). Ties rank to the lexicographically
+    * smallest term. Returns (centroid_id, rank, token, score).
+    */
+  def clusterTerms(
+      docs: DataFrame,
+      assignments: DataFrame,
+      topK: Int,
+      textCol: Column = col("text"),
+      idCol: Column = col("doc_id")): DataFrame = {
+    val toks = docs.where(textCol.isNotNull)
+      .select(idCol.cast("long").as("doc_id"),
+        explode(words(lower(textCol))).as("token"))
+      .where(col("token") =!= "")
+    val asg = assignments.select(col("doc_id").cast("long").as("doc_id"),
+      col("centroid_id").cast("long").as("centroid_id"))
+    val joined = toks.join(asg, Seq("doc_id"))
+    val ctf = joined.groupBy("centroid_id", "token")
+      .agg(count(lit(1)).cast("double").as("ctf"))
+    val ft = toks.groupBy("token").agg(count(lit(1)).cast("double").as("ft"))
+    // A = assigned tokens / clusters — exact integer counts, one row
+    val global = joined.agg(
+      (count(lit(1)).cast("double") /
+        countDistinct(col("centroid_id")).cast("double")).as("a"))
+    val score = floor(col("ctf") * log(lit(1.0) + col("a") / col("ft")) *
+      lit(1048576.0)) / lit(1048576.0)
+    val scored = ctf.join(ft, Seq("token")).crossJoin(broadcast(global))
+      .select(col("centroid_id"), col("token"), score.as("score"))
+    val w = Window.partitionBy("centroid_id")
+      .orderBy(col("score").desc, col("token").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= topK)
+      .select(col("centroid_id"), col("rank"), col("token"),
+        round(col("score"), 4).as("score"))
+  }
+
   /** Signed feature hashing (Weinberger et al. 2009, "the hashing
     * trick") — model-free text vectors: every token hashes to a
     * bucket in [0, dim) with a ±1 sign from an independent hash, and

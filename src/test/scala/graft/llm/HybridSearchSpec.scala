@@ -85,6 +85,44 @@ class HybridSearchSpec extends AnyFunSuite {
     assert(out.forall(_.getDouble(3) > 0), "a sim ≤ 0 row escaped the cutoff")
   }
 
+  test("clusterTerms: cluster-exclusive vocabulary outranks shared vocabulary") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "spark spark shuffle the the"),
+      (1L, "spark shuffle executor the"),
+      (2L, "pasta tomato basil the the"),
+      (3L, "pasta olive basil the")).toDF("doc_id", "text")
+    val asg = Seq((0L, 0L), (1L, 0L), (2L, 1L), (3L, 1L))
+      .toDF("doc_id", "centroid_id")
+    val out = TextStats.clusterTerms(docs, asg, topK = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    val top = out.groupBy(_._1).map { case (c, rs) =>
+      c -> rs.sortBy(_._2).map(_._3)
+    }
+    // "the" appears everywhere (low idf) and must not label either
+    // cluster; exclusive terms do
+    assert(top(0L).head == "spark" && !top(0L).contains("the"))
+    assert(Set("pasta", "basil").contains(top(1L).head) && !top(1L).contains("the"))
+  }
+
+  test("rrfFuse: 3-list fusion is invariant to list order (grid contributions)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val lists = (0 until 3).map { _ =>
+      (1L to 3L).flatMap { q =>
+        rnd.shuffle((10L to 40L).toList).take(15).zipWithIndex
+          .map { case (id, i) => (q, (i + 1).toLong, id) }
+      }.toDF("query_id", "rank", "id")
+    }
+    def run(ls: Seq[org.apache.spark.sql.DataFrame]) =
+      Similarity.rrfFuse(ls, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val a = run(lists)
+    val b = run(lists.reverse)
+    assert(a == b, "fused ranking must not depend on the order lists are passed")
+  }
+
   test("rrfFuse: both-list members beat single-list, contributions exact, ties to lowest id") {
     import spark.implicits._
     val a = Seq((1L, 1L, 10L), (1L, 2L, 11L), (1L, 3L, 12L))
