@@ -2095,6 +2095,13 @@ object SparkEntry {
       graft.llm.Sampling.fimTransform(
         s.read.parquet(s"$dir/documents.parquet"), col("text"), col("doc_id"))),
 
+    // SimCSE/Contriever positive crop pairs: two md5-placed half-
+    // length token spans per doc + their overlap — the contrastive-
+    // pretraining positives, map-only and retry-reproducible.
+    "d_crop_pairs" -> ((s, dir) =>
+      graft.llm.Sampling.cropPairs(
+        s.read.parquet(s"$dir/documents.parquet"), col("text"), col("doc_id"))),
+
     // T5 span corruption: deterministic per-position coins, runs of
     // masked words become sentinel spans, (corrupted, targets) pair
     // out — one word explode + per-DOC windows + in-row ordered fold.
@@ -7073,6 +7080,22 @@ object SparkEntry {
            |FROM banded a JOIN banded b2
            |  ON a.b = b2.b AND a.v = b2.v AND a.doc_id < b2.doc_id
            |WHERE bit_count(xor(a.fp, b2.fp)) <= 10""".stripMargin),
+
+      // crop-pair twin: the same md5 starts over the same valid range
+      "d_crop_pairs" ->
+        ("""WITH cw AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+           |  FROM documents WHERE text IS NOT NULL),
+           |cp AS (SELECT doc_id, w, len(w)::bigint AS n FROM cw WHERE len(w) >= 4),
+           |cx AS (SELECT doc_id, w, n, CAST(floor((n + 1) / 2.0) AS BIGINT) AS l FROM cp),
+           |cs AS (SELECT doc_id, w, l,
+           |  ('0x' || substr(md5(doc_id::varchar || '|cropa'), 1, 15))::bigint % (n - l + 1) AS sa,
+           |  ('0x' || substr(md5(doc_id::varchar || '|cropb'), 1, 15))::bigint % (n - l + 1) AS sb
+           |  FROM cx)
+           |SELECT doc_id, l AS crop_len,
+           |  array_to_string(list_slice(w, (sa + 1)::int, (sa + l)::int), ' ') AS crop_a,
+           |  array_to_string(list_slice(w, (sb + 1)::int, (sb + l)::int), ' ') AS crop_b,
+           |  greatest(0, l - abs(sa - sb))::bigint AS overlap
+           |FROM cs""".stripMargin),
 
       "d_fim" ->
         ("""SELECT doc_id,

@@ -70,6 +70,42 @@ object Sampling {
         lit("<MID>"), middle).as("fim_text"))
   }
 
+  /** SimCSE-style positive crop pairs (Gao et al. 2021's dropout
+    * positives, in the deterministic data-side form dense-retrieval
+    * pipelines use — Izacard et al. 2022 "Contriever" random
+    * croppings): two contiguous token spans of the same document are
+    * a positive pair for contrastive pretraining. Each crop is
+    * ceil(n/2) tokens long and its start index is the engine-portable
+    * md5-uniform of (id, salt) over the valid range, so the pair —
+    * and the reported token overlap `max(0, L − |a − b|)` — is
+    * reproducible on any engine, partitioning, or retry (the
+    * [[fimTransform]] determinism contract). Docs under `minTokens`
+    * drop (a crop of a 2-token doc is not a training signal).
+    * Map-only: one pass, zero shuffle at any corpus size.
+    */
+  def cropPairs(
+      docs: DataFrame,
+      textCol: Column,
+      idCol: Column,
+      minTokens: Int = 4): DataFrame = {
+    // functions.split spelled out — this object's own `split` (the
+    // dataset splitter) shadows it
+    val ws = org.apache.spark.sql.functions.split(trim(textCol), "\\s+")
+    val n = size(ws).cast("long")
+    val l = floor((n + lit(1L)) / lit(2.0)).cast("long")
+    val range = n - l + lit(1L)
+    val sa = hashBits60(concat(idCol.cast("string"), lit("|cropa"))) % range
+    val sb = hashBits60(concat(idCol.cast("string"), lit("|cropb"))) % range
+    val overlap = greatest(lit(0L), l - abs(sa - sb))
+    docs.where(textCol.isNotNull)
+      .where(size(ws) >= minTokens)
+      .select(idCol.cast("long").as("doc_id"),
+        l.as("crop_len"),
+        array_join(slice(ws, (sa + lit(1L)).cast("int"), l.cast("int")), " ").as("crop_a"),
+        array_join(slice(ws, (sb + lit(1L)).cast("int"), l.cast("int")), " ").as("crop_b"),
+        overlap.as("overlap"))
+  }
+
   /** T5-style span corruption (Raffel et al. 2020 §3.1.4): each word
     * position draws a deterministic salted-hash coin at `rate`;
     * consecutive masked words merge into one span, span k is replaced

@@ -285,4 +285,24 @@ class SamplingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(2)))
     assert(again.toSeq == got.toSeq)
   }
+
+  test("cropPairs: contiguous slices, md5 starts, overlap formula, short docs drop") {
+    import spark.implicits._
+    val docs = Seq(
+      (7L, "a b c d e f g h i j"), // 10 tokens → crops of 5
+      (8L, "one two three"),       // 3 tokens < minTokens → dropped
+      (9L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Sampling.cropPairs(docs, col("text"), col("doc_id")).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(7L))
+    val r = out.head
+    val toks = "a b c d e f g h i j".split(" ")
+    val l = 5
+    val sa = (Sampling.hashBits60Local("7|cropa") % (10 - l + 1)).toInt
+    val sb = (Sampling.hashBits60Local("7|cropb") % (10 - l + 1)).toInt
+    assert(r.getLong(1) == l)
+    assert(r.getString(2) == toks.slice(sa, sa + l).mkString(" "))
+    assert(r.getString(3) == toks.slice(sb, sb + l).mkString(" "))
+    assert(r.getLong(4) == math.max(0, l - math.abs(sa - sb)))
+  }
 }
