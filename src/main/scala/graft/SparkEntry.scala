@@ -5500,7 +5500,7 @@ object SparkEntry {
            |  FROM documents WHERE text IS NOT NULL) t WHERE token <> ''),
            |ctj AS (SELECT a.centroid_id, t.token FROM cttok t JOIN ctas a USING (doc_id)),
            |ctf AS (SELECT centroid_id, token, count(*)::double AS ctf FROM ctj GROUP BY 1, 2),
-           |ctft AS (SELECT token, count(*)::double AS ft FROM cttok GROUP BY 1),
+           |ctft AS (SELECT token, count(*)::double AS ft FROM ctj GROUP BY 1),
            |ctg AS (SELECT count(*)::double / count(DISTINCT centroid_id)::double AS a FROM ctj),
            |ctsd AS (SELECT f.centroid_id, f.token,
            |  floor(f.ctf * ln(1 + g.a / t.ft) * 1048576.0) / 1048576.0 AS score
@@ -7083,7 +7083,8 @@ object SparkEntry {
 
       // crop-pair twin: the same md5 starts over the same valid range
       "d_crop_pairs" ->
-        ("""WITH cw AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        ("""WITH cw AS (SELECT doc_id,
+           |  list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
            |  FROM documents WHERE text IS NOT NULL),
            |cp AS (SELECT doc_id, w, len(w)::bigint AS n FROM cw WHERE len(w) >= 4),
            |cx AS (SELECT doc_id, w, n, CAST(floor((n + 1) / 2.0) AS BIGINT) AS l FROM cp),

@@ -89,8 +89,12 @@ object Sampling {
       idCol: Column,
       minTokens: Int = 4): DataFrame = {
     // functions.split spelled out — this object's own `split` (the
-    // dataset splitter) shadows it
-    val ws = org.apache.spark.sql.functions.split(trim(textCol), "\\s+")
+    // dataset splitter) shadows it. Empty tokens filter out (trim
+    // strips only U+0020, so a trailing newline would otherwise mint
+    // a phantom token — the spanCorrupt discipline)
+    val ws = filter(
+      org.apache.spark.sql.functions.split(trim(textCol), "\\s+"),
+      x => x =!= "")
     val n = size(ws).cast("long")
     val l = floor((n + lit(1L)) / lit(2.0)).cast("long")
     val range = n - l + lit(1L)

@@ -439,15 +439,19 @@ object TextStats {
     * turn embedding clusters back into human-readable topics at
     * corpus scale. Pairs with [[graft.llm.Similarity.kmeansTrain]]
     * assignments for a fully hash-gated train → assign → label
-    * pipeline (`d_cluster_terms`).
+    * pipeline (`d_cluster_terms`). Both f_t and A are computed over
+    * the ASSIGNED tokens — Grootendorst defines f_t across the
+    * classes, and mixing universes (corpus-wide f_t vs assigned-only
+    * A) would skew rankings whenever assignments cover a subset.
     *
     * Scale shape: one corpus explode, a doc_id equi-join onto the
-    * assignment relation, then (cluster, term) / (term) hash
-    * aggregates — all-integer counts, map-side partials, nothing
-    * corpus². Scores floor onto the 2^-20 grid (the ln's 1-ulp
-    * engine divergence can only flip a floor at a ~2^-50 boundary —
-    * the accepted residual class). Ties rank to the lexicographically
-    * smallest term. Returns (centroid_id, rank, token, score).
+    * assignment relation (lineage-cut — three aggregates read it),
+    * then (cluster, term) / (term) hash aggregates — all-integer
+    * counts, map-side partials, nothing corpus². Scores floor onto
+    * the 2^-20 grid (the ln's 1-ulp engine divergence can only flip
+    * a floor at a ~2^-50 boundary — the accepted residual class).
+    * Ties rank to the lexicographically smallest term. Returns
+    * (centroid_id, rank, token, score).
     */
   def clusterTerms(
       docs: DataFrame,
@@ -461,10 +465,12 @@ object TextStats {
       .where(col("token") =!= "")
     val asg = assignments.select(col("doc_id").cast("long").as("doc_id"),
       col("centroid_id").cast("long").as("centroid_id"))
-    val joined = toks.join(asg, Seq("doc_id"))
+    // three aggregates (ctf, ft, A) read this relation — cut the
+    // lineage so the explode and the assignment job run ONCE
+    val joined = toks.join(asg, Seq("doc_id")).truncateLineage(eager = false)
     val ctf = joined.groupBy("centroid_id", "token")
       .agg(count(lit(1)).cast("double").as("ctf"))
-    val ft = toks.groupBy("token").agg(count(lit(1)).cast("double").as("ft"))
+    val ft = joined.groupBy("token").agg(count(lit(1)).cast("double").as("ft"))
     // A = assigned tokens / clusters — exact integer counts, one row
     val global = joined.agg(
       (count(lit(1)).cast("double") /
