@@ -1932,6 +1932,22 @@ object SparkEntry {
         (round(Similarity.dot(col("embedding"), typedLit(v.toSeq)), 4) + 0.0).as("score"))
     }),
 
+    // top-2 components by Hotelling deflation: still ONE corpus job
+    // (the shared Gram); λ₁-deflation + second power loop are pure
+    // driver arithmetic — both final components hash-gated.
+    "e_pca_top2" -> ((s, dir) =>
+      Similarity.pcaTop2(
+        s.read.parquet(s"$dir/embeddings.parquet"), dim = 64, iters = 4)._1),
+
+    // the 2-D projector: both scores per vector, map-only.
+    "e_pca_project2" -> ((s, dir) => {
+      val vecs = s.read.parquet(s"$dir/embeddings.parquet")
+      val (_, v1, v2) = Similarity.pcaTop2(vecs, dim = 64, iters = 4)
+      vecs.select(col("vec_id"),
+        (round(Similarity.dot(col("embedding"), typedLit(v1.toSeq)), 4) + 0.0).as("score1"),
+        (round(Similarity.dot(col("embedding"), typedLit(v2.toSeq)), 4) + 0.0).as("score2"))
+    }),
+
     // IVF-Flat search: probe the 2 nearest of 8 cells per query, score
     // cosine inside the probed cells only (one equi-join on the cell
     // key — the FAISS-style serve path over the ivfAssign index).
@@ -3283,20 +3299,36 @@ object SparkEntry {
     // e_pca_project (train → serve): quantized Gram, v₀ = 1/√d, per
     // round an ordered matvec fold, ordered norm fold, and a 2^-20
     // re-quantize — identical arithmetic to Similarity.pcaPowerTrain
+    // one matvec+normalize round of the power twin, prefixable so the
+    // deflated second loop (pcaTop2Chain) reuses the exact spelling
+    def pcaIter(u: String, v: String, grows: String)(t: Int): String =
+      s"""$u$t AS (SELECT list(list_sum(list_transform(generate_series(1, 64), j -> g.gl[j] * v.vl[j])) ORDER BY g.i) AS ul
+         |  FROM $grows g, $v${t - 1} v),
+         |$v$t AS (SELECT list_transform(ul, x ->
+         |  floor(x / sqrt(list_sum(list_transform(ul, y -> y*y))) * 1048576.0) / 1048576.0) AS vl FROM $u$t)""".stripMargin
     def pcaChain(iters: Int): String = {
-      def it(t: Int) =
-        s"""pu$t AS (SELECT list(list_sum(list_transform(generate_series(1, 64), j -> g.gl[j] * v.vl[j])) ORDER BY g.i) AS ul
-           |  FROM pgrows g, pv${t - 1} v),
-           |pv$t AS (SELECT list_transform(ul, x ->
-           |  floor(x / sqrt(list_sum(list_transform(ul, y -> y*y))) * 1048576.0) / 1048576.0) AS vl FROM pu$t)""".stripMargin
       s"""pgram AS (SELECT i, j,
          |  floor(sum(e.embedding[i]::double * e.embedding[j]::double) * 1048576.0) / 1048576.0 AS g
          |  FROM embeddings e, generate_series(1, 64) t1(i), generate_series(1, 64) t2(j)
          |  GROUP BY i, j),
          |pgrows AS (SELECT i, list(g ORDER BY j) AS gl FROM pgram GROUP BY i),
          |pv0 AS (SELECT list_transform(generate_series(1, 64), x -> 1.0/sqrt(64.0)) AS vl),
-         |${(1 to iters).map(it).mkString(",\n")}""".stripMargin
+         |${(1 to iters).map(pcaIter("pu", "pv", "pgrows")).mkString(",\n")}""".stripMargin
     }
+    // Hotelling deflation + second loop: λ₁ = v₁ᵀGv₁ over ordered
+    // folds, G' = G − λ₁·v₁v₁ᵀ, then the same iteration q-prefixed —
+    // Similarity.pcaTop2 verbatim
+    def pcaTop2Chain(iters: Int): String =
+      s"""${pcaChain(iters)},
+         |pgv AS (SELECT list(list_sum(list_transform(generate_series(1, 64), j -> g.gl[j] * v.vl[j])) ORDER BY g.i) AS ul
+         |  FROM pgrows g, pv$iters v),
+         |plam AS (SELECT list_sum(list_transform(generate_series(1, 64), i -> v.vl[i] * u.ul[i])) AS lam
+         |  FROM pv$iters v, pgv u),
+         |pg2 AS (SELECT p.i, p.j, p.g - l.lam * v.vl[p.i] * v.vl[p.j] AS g
+         |  FROM pgram p, pv$iters v, plam l),
+         |qgrows AS (SELECT i, list(g ORDER BY j) AS gl FROM pg2 GROUP BY i),
+         |qv0 AS (SELECT list_transform(generate_series(1, 64), x -> 1.0/sqrt(64.0)) AS vl),
+         |${(1 to iters).map(pcaIter("qu", "qv", "qgrows")).mkString(",\n")}""".stripMargin
 
     // the logistic-GD unroll shared by d_quality_clf_train (trace)
     // and d_quality_clf_trained (train → serve): chained CTEs ending
@@ -5462,6 +5494,22 @@ object SparkEntry {
            |SELECT e.vec_id,
            |  round(list_sum(list_transform(generate_series(1, 64), i -> e.embedding[i]::double * v.vl[i])), 4) + 0 AS score
            |FROM embeddings e, pv4 v""".stripMargin),
+
+      // deflation twin: both final components off pcaTop2Chain
+      "e_pca_top2" -> {
+        def out(c: Int, v: String) =
+          s"SELECT CAST($c AS BIGINT) AS component, i - 1 AS pos, round(vl[i], 6) + 0 AS v FROM $v, generate_series(1, 64) s(i)"
+        s"""WITH ${pcaTop2Chain(4)}
+           |${out(1, "pv4")} UNION ALL ${out(2, "qv4")}""".stripMargin
+      },
+
+      // 2-D projector twin: ordered folds against both components
+      "e_pca_project2" ->
+        (s"""WITH ${pcaTop2Chain(4)}
+           |SELECT e.vec_id,
+           |  round(list_sum(list_transform(generate_series(1, 64), i -> e.embedding[i]::double * a.vl[i])), 4) + 0 AS score1,
+           |  round(list_sum(list_transform(generate_series(1, 64), i -> e.embedding[i]::double * b.vl[i])), 4) + 0 AS score2
+           |FROM embeddings e, pv4 a, qv4 b""".stripMargin),
 
       // Lloyd's-loop training twin: the identical init/assign/
       // quantized-mean loop unrolled in chained CTEs (kmeansTrainChain)

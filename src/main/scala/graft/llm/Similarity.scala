@@ -927,7 +927,20 @@ object Similarity {
     require(iters >= 1, "iters must be positive")
     val spark = vectors.sparkSession
     import spark.implicits._
-    def q20(x: Double): Double = Grid.q20(x)
+    val g = gramMatrix(vectors, dim, embCol)
+    val trace = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val v = powerLoop(g, dim, iters,
+      (it, p, x) => trace += ((it.toLong, p.toLong, x)))
+    val traceDf = trace.toSeq.toDF("iter", "pos", "v")
+      .select(col("iter"), col("pos"), (round(col("v"), 6) + 0.0).as("v"))
+    (traceDf, v)
+  }
+
+  /** The d×d Gram matrix Σ x·xᵀ in ONE corpus job, entries floored to
+    * the 2^-20 grid — shared by [[pcaPowerTrain]] and [[pcaTop2]].
+    */
+  private def gramMatrix(
+      vectors: DataFrame, dim: Int, embCol: String): Array[Array[Double]] = {
     val gramRows = vectors
       .select(posexplode(col(embCol)).as(Seq("i", "xi")), col(embCol).as("emb"))
       .select(col("i"), col("xi"), posexplode(col("emb")).as(Seq("j", "xj")))
@@ -935,9 +948,20 @@ object Similarity {
       .agg(sum(col("xi").cast("double") * col("xj").cast("double")).as("g"))
       .collect() // bounded: d² doubles (the model), never data-sized
     val g = Array.ofDim[Double](dim, dim)
-    gramRows.foreach(r => g(r.getInt(0))(r.getInt(1)) = q20(r.getDouble(2)))
+    gramRows.foreach(r => g(r.getInt(0))(r.getInt(1)) = Grid.q20(r.getDouble(2)))
+    g
+  }
+
+  /** Driver-side power iteration on a (quantized) matrix: v₀ = 1/√d,
+    * per round an ascending-index matvec, ascending-index norm, and a
+    * [[Grid.q20]] re-quantize — the loop both DuckDB twins replay.
+    */
+  private def powerLoop(
+      g: Array[Array[Double]],
+      dim: Int,
+      iters: Int,
+      trace: (Int, Int, Double) => Unit = (_, _, _) => ()): Array[Double] = {
     var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
-    val trace = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
     for (it <- 1 to iters) {
       val u = Array.tabulate(dim) { i =>
         var acc = 0.0
@@ -949,13 +973,51 @@ object Similarity {
       var i = 0
       while (i < dim) { n2 += u(i) * u(i); i += 1 }
       val nrm = math.sqrt(n2)
-      require(nrm > 0, "pcaPowerTrain: zero Gram matrix")
-      v = u.map(x => q20(x / nrm))
-      for (p <- 0 until dim) trace += ((it.toLong, p.toLong, v(p)))
+      require(nrm > 0, "powerLoop: zero matrix")
+      v = u.map(x => Grid.q20(x / nrm))
+      for (p <- 0 until dim) trace(it, p, v(p))
     }
-    val traceDf = trace.toSeq.toDF("iter", "pos", "v")
-      .select(col("iter"), col("pos"), (round(col("v"), 6) + 0.0).as("v"))
-    (traceDf, v)
+    v
+  }
+
+  /** Top-2 principal components by Hotelling deflation — the 2-D
+    * projector ([[pcaPowerTrain]]'s natural extension for whitening /
+    * visualization / correlation-structure checks): after the first
+    * power loop converges to v₁, the driver deflates the Gram matrix
+    * with its Rayleigh quotient, `G' = G − λ₁·v₁v₁ᵀ where
+    * λ₁ = v₁ᵀGv₁`, and power-iterates again — v₂ is the top
+    * component of the residual, orthogonal to v₁ up to the grid.
+    * The corpus is still touched by exactly ONE job (the shared Gram
+    * aggregate); the deflation and both loops are pure driver-side
+    * deterministic arithmetic over ascending-index folds, so the
+    * DuckDB twin replays them exactly. Returns (components, v1, v2)
+    * where `components` is (component ∈ {1,2}, pos, v).
+    */
+  def pcaTop2(
+      vectors: DataFrame,
+      dim: Int,
+      iters: Int,
+      embCol: String = "embedding"): (DataFrame, Array[Double], Array[Double]) = {
+    require(iters >= 1, "iters must be positive")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val g = gramMatrix(vectors, dim, embCol)
+    val v1 = powerLoop(g, dim, iters)
+    val gv = Array.tabulate(dim) { i =>
+      var acc = 0.0
+      var j = 0
+      while (j < dim) { acc += g(i)(j) * v1(j); j += 1 }
+      acc
+    }
+    var lam = 0.0
+    for (i <- 0 until dim) lam += v1(i) * gv(i)
+    val g2 = Array.tabulate(dim, dim)((i, j) => g(i)(j) - lam * v1(i) * v1(j))
+    val v2 = powerLoop(g2, dim, iters)
+    val comps = (v1.zipWithIndex.map { case (x, p) => (1L, p.toLong, x) } ++
+      v2.zipWithIndex.map { case (x, p) => (2L, p.toLong, x) }).toSeq
+      .toDF("component", "pos", "v")
+      .select(col("component"), col("pos"), (round(col("v"), 6) + 0.0).as("v"))
+    (comps, v1, v2)
   }
 
   /** Hard-negative triplet mining — the batch-preparation step of

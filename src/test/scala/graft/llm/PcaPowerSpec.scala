@@ -43,6 +43,27 @@ class PcaPowerSpec extends AnyFunSuite {
     assert(vFinal.sameElements(v))
   }
 
+  test("pcaTop2: deflation recovers the second planted direction, near-orthogonal") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val dim = 8
+    val d1 = Array(1.0, 0, 0, 0, 0, 0, 0, 0)
+    val d2 = Array(0, 1.0, 0, 0, 0, 0, 0, 0)
+    val vs = (0L until 120L).map { id =>
+      val a = rnd.nextGaussian() * 6.0 // dominant
+      val b = rnd.nextGaussian() * 3.0 // second
+      (id, Array.tabulate(dim)(i =>
+        (a * d1(i) + b * d2(i) + rnd.nextGaussian() * 0.15).toFloat))
+    }
+    val (comps, v1, v2) = Similarity.pcaTop2(vs.toDF("vec_id", "embedding"), dim = dim, iters = 10)
+    assert(comps.count() == 2 * dim)
+    def cosAbs(a: Array[Double], b: Array[Double]) =
+      math.abs(a.zip(b).map { case (x, y) => x * y }.sum)
+    assert(cosAbs(v1, d1) > 0.98, s"v1 misaligned: ${cosAbs(v1, d1)}")
+    assert(cosAbs(v2, d2) > 0.95, s"v2 misaligned: ${cosAbs(v2, d2)}")
+    assert(cosAbs(v1, v2) < 0.05, s"components not orthogonal: ${cosAbs(v1, v2)}")
+  }
+
   test("recovers a planted dominant direction") {
     import spark.implicits._
     val rnd = new scala.util.Random(9)
