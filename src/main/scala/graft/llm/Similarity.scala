@@ -1069,6 +1069,50 @@ object Similarity {
         round(col("pos_sim") - col("neg_sim"), 4).as("margin"))
   }
 
+  /** Semi-supervised label propagation over a neighbor graph (Zhu &
+    * Ghahramani 2002, in the hard-label iterated form weak-
+    * supervision pipelines use to auto-label training data from a
+    * small seed set): per round, every still-unlabeled node takes the
+    * majority label of its LABELED neighbors (vote count desc, label
+    * asc on ties — deterministic), labels are immutable once
+    * assigned, and nodes with no labeled neighbor wait for a later
+    * round. Returns (id, label, round) — round 0 = seed.
+    *
+    * Edge-agnostic by design: pass any (src, dst) relation — brute
+    * kNN edges at fixture scale, banded-LSH or [[rpSearch]]-shortlist
+    * edges at corpus scale (the edge build is the only corpus-sized
+    * stage; propagation itself joins the edge relation against the
+    * label relation, both fleet-bounded per round, `rounds` jobs
+    * total with the label frontier lineage-cut per round).
+    */
+  def labelPropagate(
+      edges: DataFrame,
+      seeds: DataFrame,
+      rounds: Int): DataFrame = {
+    require(rounds >= 0, "rounds must be non-negative")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    var labels = seeds
+      .select(col("id").cast("long").as("id"),
+        col("label").cast("long").as("label"), lit(0L).as("round"))
+      .truncateLineage(eager = false)
+    for (r <- 1 to rounds) {
+      val votes = e
+        .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
+        .join(labels.select(col("id").as("src")),
+          Seq("src"), "left_anti") // only still-unlabeled nodes vote
+        .groupBy(col("src").as("id"), col("label"))
+        .agg(count(lit(1)).as("votes"))
+      val w = Window.partitionBy("id")
+        .orderBy(col("votes").desc, col("label").asc)
+      val newly = votes.withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1)
+        .select(col("id"), col("label"), lit(r.toLong).as("round"))
+      labels = labels.unionAll(newly).truncateLineage(eager = false)
+    }
+    labels
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) — the
     * standard hybrid-retrieval combiner: each ranked list contributes
     * `1/(c + rank)` per (query, id) and lists need no score

@@ -1,0 +1,35 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Label propagation ([[Similarity.labelPropagate]]) — engine-match
+  * is covered by the `e_label_prop` oracle; this pins the vote
+  * semantics on a hand graph.
+  */
+class LabelPropSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  test("chain propagation, immutable seeds, majority with lowest-label ties, unreachable stay unlabeled") {
+    import spark.implicits._
+    // 1 ← seed(A). chain 1→2→3 reaches 3 only in round 2.
+    // node 4 sees seeds A(1) and B(5): tie → lowest label wins.
+    // node 9 has no edges to labeled nodes → never labeled.
+    val edges = Seq(
+      (2L, 1L), (3L, 2L),        // chain
+      (4L, 1L), (4L, 5L),        // tie voter
+      (1L, 2L),                  // seed 1 must NOT be relabeled
+      (9L, 8L)).toDF("src", "dst") // dst 8 never labeled
+    val seeds = Seq((1L, 10L), (5L, 20L)).toDF("id", "label")
+    val out = Similarity.labelPropagate(edges, seeds, rounds = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == (10L, 0L), "seed immutable at round 0")
+    assert(out(5L) == (20L, 0L))
+    assert(out(2L) == (10L, 1L), "direct neighbor labels in round 1")
+    assert(out(3L) == (10L, 2L), "chain end labels in round 2")
+    assert(out(4L) == (10L, 1L), "1-1 tie goes to the lowest label")
+    assert(!out.contains(9L), "no labeled neighbor -> stays unlabeled")
+    assert(out.size == 5)
+  }
+}
