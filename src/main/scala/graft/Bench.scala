@@ -25,6 +25,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // data-derived AQE shuffle ceiling (split AND coalesce) — see Tuning
+    Tuning.configureShuffle(spark, Seq(sfDir), cpus.toInt)
 
     // Warm the derived graphite side tables once before timing: the
     // synthetic testdata ships only points/events parquet, so

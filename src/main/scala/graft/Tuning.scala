@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Input-size-derived shuffle sizing — the engine's answer to "how
+  * many shuffle partitions?" without a human (or an env var) in the
+  * loop.
+  *
+  * The problem (SCALE_NOTES finding 5): a fixed
+  * `spark.sql.shuffle.partitions = cpus` is right at sf0.1 but wrong
+  * at ×100 — `d_bigram_kn`'s continuation-count aggregate sorted 3M+
+  * rows per partition and spilled, costing 1.8× until the count was
+  * manually raised (105.5 s → 57.8 s at 256 partitions via
+  * `GRAFT_SCALE_SHUFFLE`). AQE's partition *coalescing* (on by
+  * default) can only merge below the configured count, never split
+  * above it, so the configured count must be a CEILING sized to the
+  * data, not a constant.
+  *
+  * The rule: set `spark.sql.adaptive.coalescePartitions
+  * .initialPartitionNum` — the count AQE *starts* from before
+  * coalescing — to roughly one partition per MB of on-disk parquet
+  * input, clamped to [cpus, 1024], and pin
+  * `advisoryPartitionSizeInBytes` at 64 MB so the coalesced result
+  * targets in-memory-sort-friendly partitions. Why 1 partition/MB:
+  * the spill-prone shapes are text explosions (tokens, bigrams,
+  * shingles) where 1 MB of zstd'd parquet text expands to tens of MB
+  * of shuffle rows — the measured case (×100 dir = 222 MB on disk)
+  * recovers to linear at 256 partitions, and this rule lands at 222.
+  * Over-partitioning the *numeric* queries in the same session is
+  * harmless by construction: AQE coalesces their post-shuffle
+  * partitions back down to the advisory size, which is exactly the
+  * split-AND-merge behavior a fixed `shuffle.partitions` can't give.
+  *
+  * `spark.sql.shuffle.partitions` itself stays at `cpus` — it is the
+  * fallback for the (rare) shuffles AQE can't coalesce and the
+  * explicit-`repartition(n)` paths, where the old behavior was
+  * already correct.
+  */
+object Tuning {
+  /** Target post-coalesce partition size (Spark's default, pinned
+    * explicitly so the sizing contract is in one place). */
+  val AdvisoryPartitionBytes: Long = 64L << 20
+
+  /** One initial partition per this many bytes of on-disk input. */
+  val BytesPerInitialPartition: Long = 1L << 20
+
+  /** Ceiling on the pre-coalesce partition count: beyond ~1024 the
+    * per-partition scheduling + shuffle-block bookkeeping costs more
+    * than the spill it prevents on a 32-thread local session; a real
+    * cluster with more executors would raise this with `cpus`. */
+  val MaxInitialPartitions: Int = 1024
+
+  /** Recursive on-disk byte count of a data directory (parquet files
+    * plus whatever sidecars ship with them — close enough for a
+    * partition-count heuristic). Missing dir → 0. */
+  def dirBytes(dir: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isFile) f.length()
+      else Option(f.listFiles()).map(_.iterator.map(walk).sum).getOrElse(0L)
+    walk(new java.io.File(dir))
+  }
+
+  /** The sizing rule itself, pure for testing. */
+  def initialShufflePartitions(inputBytes: Long, cpus: Int): Int = {
+    val byBytes = math.min(
+      MaxInitialPartitions.toLong,
+      inputBytes / BytesPerInitialPartition).toInt
+    math.max(math.max(1, cpus), byBytes)
+  }
+
+  /** Apply the rule to a live session for the given input dirs.
+    * All three confs are runtime-settable session confs, so callers
+    * that discover their input size late (ScaleProbe builds scaled
+    * dirs after session start) can re-apply per input. Returns the
+    * chosen initial count (for logging / assertions). */
+  def configureShuffle(spark: SparkSession, dirs: Seq[String], cpus: Int): Int = {
+    val n = initialShufflePartitions(dirs.map(dirBytes).sum, cpus)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum", n.toString)
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      AdvisoryPartitionBytes.toString)
+    n
+  }
+}

@@ -17,6 +17,8 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // data-derived AQE shuffle ceiling (split AND coalesce) — see Tuning
+    Tuning.configureShuffle(spark, Seq(sfDir), cpus.toInt)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -197,16 +197,25 @@ object WordPiece {
     * all-or-nothing failure mode.
     */
   private[llm] def encodeWordLocal(
-      word: String, vocab: java.util.Set[String], maxTokenChars: Int): String = {
+      word: String, vocab: java.util.Set[String], maxTokenCps: Int): String = {
     val sb = new java.lang.StringBuilder(word.length * 2)
     var pos = 0
     while (pos < word.length) {
-      var end = math.min(word.length, pos + maxTokenChars)
+      // "longest" is measured in CODE POINTS, not UTF-16 units — the
+      // DuckDB twin ranks candidates by `length()` (code points), so a
+      // 2-astral-char token must not outrank a 3-BMP-char one here
+      var end = pos
+      var cps = 0
+      while (cps < maxTokenCps && end < word.length) {
+        end = word.offsetByCodePoints(end, 1)
+        cps += 1
+      }
       var matched: String = null
       while (matched == null && end > pos) {
         val cand =
           (if (pos == 0) "" else "##") + word.substring(pos, end)
-        if (vocab.contains(cand)) matched = cand else end -= 1
+        if (vocab.contains(cand)) matched = cand
+        else end = word.offsetByCodePoints(end, -1)
       }
       if (matched == null) return "[UNK]"
       if (sb.length > 0) sb.append(' ')
@@ -233,10 +242,13 @@ object WordPiece {
       StructField("doc_id", idField.dataType, idField.nullable),
       StructField("n_tokens", LongType, nullable = true),
       StructField("tokens_str", StringType, nullable = true)))
-    // longest token in CHARacters, with the ## prefix excluded from
-    // the match length
+    // longest token in CODE POINTS, with the ## prefix excluded from
+    // the match length (the greedy matcher compares in code points)
     val maxTokenChars = vocab.iterator
-      .map(t => if (t.startsWith("##")) t.length - 2 else t.length)
+      .map { t =>
+        val body = if (t.startsWith("##")) t.substring(2) else t
+        body.codePointCount(0, body.length)
+      }
       .foldLeft(1)(math.max)
     val vocabArr = vocab.toArray
     val MemoCap = 1 << 20

@@ -110,7 +110,10 @@ object StreamKmeans {
             val m = r.getLong(3)
             next(j)(p) = q20((model.cents(j)(p) * model.counts(j) + r.getDouble(2)) /
               (model.counts(j) + m))
-            add(j) = m
+            // one row per (cid, pos): with ragged embedding arrays the per-pos
+            // counts differ, and "last row wins" would corrupt the 1/n learning
+            // rate — take the max, matching StreamPca's ragged-input handling
+            add(j) = math.max(add(j), m)
           }
           model.cents = next
           for (j <- 0 until model.k) model.counts(j) += add(j)

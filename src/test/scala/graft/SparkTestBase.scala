@@ -15,6 +15,10 @@ object SparkTestBase {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // same data-derived AQE shuffle ceiling production sessions get;
+    // on the sf0.001 fixtures the rule resolves to cpus (=4), so test
+    // behavior is unchanged while the config path stays exercised
+    Tuning.configureShuffle(s, Seq("/root/testdata/sf0.001"), 4)
     s
   }
 }

@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the automatic shuffle-sizing rule (SCALE_NOTES finding 5's
+  * fix, promoted from the GRAFT_SCALE_SHUFFLE env knob into engine
+  * behavior). */
+class TuningSpec extends AnyFunSuite {
+
+  test("rule floors at cpus for small inputs (sf0.1 behavior unchanged)") {
+    // sf0.1 is ~17.5 MB on disk → 17 by-bytes partitions → cpus wins
+    assert(Tuning.initialShufflePartitions(17L << 20, 32) === 32)
+    assert(Tuning.initialShufflePartitions(0L, 32) === 32)
+    assert(Tuning.initialShufflePartitions(17L << 20, 4) === 17)
+  }
+
+  test("rule scales with input bytes (the d_bigram_kn x100 case)") {
+    // the x100 probe dir measured 222 MB on disk; the manual fix that
+    // recovered linearity was 256 partitions — the rule must land in
+    // that neighborhood, far above the 32 that spilled
+    val n = Tuning.initialShufflePartitions(222L << 20, 32)
+    assert(n >= 128 && n <= 512, s"got $n")
+  }
+
+  test("rule is capped") {
+    assert(Tuning.initialShufflePartitions(Long.MaxValue / 4, 32) ===
+      Tuning.MaxInitialPartitions)
+  }
+
+  test("configureShuffle sets the AQE ceiling on a live session") {
+    val s = SparkTestBase.spark
+    val before = s.conf.getOption(
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+    try {
+      val n = Tuning.configureShuffle(s, Seq("/root/testdata/sf0.1"), 4)
+      assert(n >= 4)
+      assert(s.conf.get(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum") ===
+        n.toString)
+      assert(s.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes") ===
+        Tuning.AdvisoryPartitionBytes.toString)
+      // AQE itself must be on for the ceiling to mean anything
+      assert(s.conf.get("spark.sql.adaptive.enabled") === "true")
+    } finally {
+      // restore the shared session's test-time setting
+      before.foreach(v => s.conf.set(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum", v))
+    }
+  }
+
+  test("dirBytes walks recursively and tolerates missing dirs") {
+    assert(Tuning.dirBytes("/root/testdata/sf0.001") > 0)
+    assert(Tuning.dirBytes("/nonexistent/nowhere") === 0L)
+  }
+}

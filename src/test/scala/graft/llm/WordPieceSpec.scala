@@ -66,6 +66,30 @@ class WordPieceSpec extends AnyFunSuite {
     assert(enc("az") == "[UNK]") // ...even after a matched prefix
   }
 
+  test("encodeWordLocal: 'longest' is measured in code points, not UTF-16 units") {
+    // 𝒶 (U+1D4B6) is one code point but TWO UTF-16 chars. A vocab with
+    // both the 2-code-point astral token and a 3-code-point BMP token
+    // must pick by code-point length — the DuckDB twin ranks candidates
+    // by length() (code points), so UTF-16 greed would diverge the gate.
+    val astral = new String(Character.toChars(0x1D4B6))
+    val vocab = new java.util.HashSet[java.lang.String](java.util.Arrays.asList(
+      "abc", "ab", "a", s"$astral$astral", astral,
+      "##c", s"##$astral", "##b", "##a"))
+    // word = 𝒶𝒶abc: greedy at pos 0 must NOT let the 4-UTF-16-unit
+    // astral pair outrank... it is the longest here (2 cps) since "abc"
+    // doesn't match at pos 0; then ##a ##b ##c. The real pin: word
+    // abc𝒶𝒶 — at pos 0, "abc" (3 cps) must beat nothing shorter, and
+    // maxTokenCps=3 must still allow matching the astral pair inside.
+    def enc(w: String) = WordPiece.encodeWordLocal(w, vocab, 3)
+    assert(enc(s"$astral${astral}abc") == s"$astral$astral ##a ##b ##c")
+    // surrogate boundaries are never split mid-pair
+    assert(enc(s"abc") == "abc")
+    assert(enc(s"a$astral") == s"a ##$astral")
+    // a word containing an unmatched astral char fails whole-word
+    val other = new String(Character.toChars(0x1D4B7))
+    assert(enc(s"a$other") == "[UNK]")
+  }
+
   test("encode: corpus round trip with trained vocab, alphabet fallback") {
     import spark.implicits._
     val docs = Seq((1L, "ab xy aq"), (2L, "abq ab"), (3L, "  "))

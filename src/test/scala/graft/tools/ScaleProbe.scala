@@ -117,6 +117,19 @@ object ScaleProbe {
       if (!(sys.env.get("GRAFT_SCALE_REUSE").contains("1") &&
           new java.io.File(s"$dir/documents.parquet").exists()))
         buildScaledDir(spark, srcDir, dir, r)
+      // data-derived AQE shuffle ceiling, re-applied per factor now
+      // that the scaled dir exists (runtime-settable session confs).
+      // An explicit GRAFT_SCALE_SHUFFLE suppresses the auto rule so
+      // the env var remains a clean manual A/B lever (it pins both
+      // shuffle.partitions and, here, the AQE initial count to itself).
+      val initN = sys.env.get("GRAFT_SCALE_SHUFFLE") match {
+        case Some(n) =>
+          spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum", n)
+          n.toInt
+        case None => graft.Tuning.configureShuffle(spark, Seq(dir), cpus.toInt)
+      }
+      println(s"""{"probe":"tuning","factor":$r,"initial_partitions":$initN}""")
       // warm ALL the derived graphite tables (ingest-owned in
       // production; untimed here as in Bench). Including the two
       // points tables matters at big factors: the memo materializes
