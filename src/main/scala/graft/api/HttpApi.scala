@@ -47,7 +47,11 @@ object HttpApi {
       taggedAutocompleteDays: Int = 0,
       httpWorkers: Int = 8,
       limits: Limits = Limits(),
-      tls: Option[Tls] = None)
+      tls: Option[Tls] = None,
+      // found-path count above which /render switches to the
+      // fully-distributed plan (no driver-side path list — SURVEY §7.4
+      // risk 6); 0 disables the fallback (classic collected path only)
+      renderScalableThreshold: Int = 0)
 
   /** TLS listener config — the JVM-keystore equivalent of the
     * reference's `[clickhouse.tls]` cert block (`tests/tls/
@@ -422,6 +426,7 @@ final class HttpApi(
     val useCache = !truthy(q.first("noCache"))
     var anyCacheHit = false
     var maxTtl = 0
+    var anyScalable = false
 
     def consolidateOf(ffs: Seq[FilteringFunction]): Option[String] =
       ffs.collectFirst {
@@ -448,44 +453,104 @@ final class HttpApi(
 
       reqs.groupBy(r => consolidateOf(r._5)).toSeq.sortBy(_._1).flatMap {
         case (consolidate, subReqs) =>
-          val targets: Seq[(String, Seq[(String, String)])] =
+          // Per target: EITHER the collected (path, display) pairs —
+          // the reference-faithful path (`render/handler.go` collects
+          // found metrics on the coordinator too) — OR, when the found
+          // set exceeds `renderScalableThreshold`, the found-path
+          // DataFrame itself for the fully-distributed plan (SURVEY
+          // §7.4 risk 6: no driver-side path materialization).
+          val thr = cfg.renderScalableThreshold
+          val resolved: Seq[(String, Either[Seq[(String, String)], DataFrame])] =
             subReqs.map(_._1).distinct.map { t =>
-              def compute: Seq[(String, String)] =
-                if (t.startsWith("seriesByTag(")) {
+              val isTagged = t.startsWith("seriesByTag(")
+              def foundDf: DataFrame =
+                if (isTagged)
                   Finder.findTagged(tags, t, cfg.flags, tagsMinInQuery = cfg.tagsMinInQuery)
-                    .collect().map(_.getString(0)).toSeq
-                    .map(p => (p, Tagged.decodePath(p)))
-                } else {
+                    .select("path")
+                else
                   Finder.find(idx, t, from, until,
                     wildcardMinDistance = cfg.wildcardMinDistance)
-                    .where(col("is_leaf"))
-                    .collect().map(_.getString(0)).toSeq
-                    .map(p => (p, p))
-                }
-              val pairs = cfg.findCache match {
+                    .where(col("is_leaf")).select("path")
+              def toPair(p: String): (String, String) =
+                if (isTagged) (p, Tagged.decodePath(p)) else (p, p)
+              def compute: Seq[(String, String)] =
+                foundDf.collect().map(_.getString(0)).toSeq.map(toPair)
+              val ttl = cfg.findCache match {
                 case Some(fc) if useCache =>
-                  val ttl = FindCache.renderTimeout(fc, now.getEpochSecond, from, until)
+                  FindCache.renderTimeout(fc, now.getEpochSecond, from, until)
+                case _ => 0
+              }
+              val key = FindCache.targetKey(from, until, t, ttl)
+              if (thr > 0) {
+                // probe: collect at most thr+1 paths. Below the
+                // threshold this IS the classic find collect (no
+                // second job); above it the list never reaches the
+                // driver. Overflow is never cached (a truncated find
+                // result must not serve later classic requests).
+                val cached: Option[Seq[(String, String)]] =
+                  if (ttl > 0)
+                    cache.get(key, now.getEpochSecond)
+                      .map(_.asInstanceOf[Seq[(String, String)]])
+                  else None
+                cached match {
+                  case Some(pairs) =>
+                    anyCacheHit = true; maxTtl = math.max(maxTtl, ttl)
+                    t -> Left(pairs)
+                  case None =>
+                    val probe = foundDf.limit(thr + 1).collect()
+                      .map(_.getString(0)).toSeq
+                    if (probe.length > thr) t -> Right(foundDf)
+                    else {
+                      val pairs = probe.map(toPair)
+                      if (ttl > 0) cache.put(key, pairs, ttl, now.getEpochSecond)
+                      t -> Left(pairs)
+                    }
+                }
+              } else {
+                val pairs =
                   if (ttl > 0) {
-                    val key = FindCache.targetKey(from, until, t, ttl)
                     val (v, h) = FindCache.through(cache, key, ttl, now.getEpochSecond)(compute: Any)
                     if (h) { anyCacheHit = true; maxTtl = math.max(maxTtl, ttl) }
                     v.asInstanceOf[Seq[(String, String)]]
                   } else compute
-                case _ => compute
+                t -> Left(pairs)
               }
-              t -> pairs
             }
 
-          val out = Render.renderMulti(pts, targets, tf, cfg.rules,
-            now = now.getEpochSecond,
-            consolidateBy = consolidate,
-            appendEmpty = cfg.appendEmptySeries,
-            versionMode = versionMode)
-          SeriesAssembly.collect(out, targets, tf, cfg.rules,
-            now = now.getEpochSecond, consolidateBy = consolidate)
+          val smalls = resolved.collect { case (t, Left(pairs)) => t -> pairs }
+          val bigs = resolved.collect { case (t, Right(df)) => t -> df }
+
+          val classicSeries: Seq[graft.sinks.Series] =
+            if (smalls.isEmpty) Nil
+            else {
+              val out = Render.renderMulti(pts, smalls, tf, cfg.rules,
+                now = now.getEpochSecond,
+                consolidateBy = consolidate,
+                appendEmpty = cfg.appendEmptySeries,
+                versionMode = versionMode)
+              SeriesAssembly.collect(out, smalls, tf, cfg.rules,
+                now = now.getEpochSecond, consolidateBy = consolidate)
+            }
+          val scalableSeries: Seq[graft.sinks.Series] = bigs.flatMap { case (t, df) =>
+            anyScalable = true
+            val meta = Render.scalableMeta(df, tf, cfg.rules,
+              now = now.getEpochSecond, consolidateBy = consolidate)
+            val filled = Render.renderScalableWithMeta(pts, meta, tf, cfg.rules,
+              now = now.getEpochSecond,
+              appendEmpty = cfg.appendEmptySeries,
+              versionMode = versionMode)
+            SeriesAssembly.assembleScalable(filled, meta, t, tagged = t.startsWith("seriesByTag("))
+          }
+          // stable sort by (name, target): each branch is already
+          // (display, target, path)-sorted and a target lives in
+          // exactly one branch, so this reproduces the classic path's
+          // full ordering byte-for-byte
+          (classicSeries ++ scalableSeries)
+            .sortBy(s => (s.name, s.pathExpression))
             .map(s => (s, from, until))
       }
     } }
+    if (anyScalable) ex.getResponseHeaders.set("X-Graft-Render", "scalable")
 
     if (anyCacheHit) ex.getResponseHeaders.set("X-Cached-Find", maxTtl.toString)
 
@@ -821,6 +886,7 @@ final class HttpApi(
       "wildcardMinDistance" -> cfg.wildcardMinDistance.toString,
       "tagsMinInQuery" -> cfg.tagsMinInQuery.toString,
       "taggedAutocompleteDays" -> cfg.taggedAutocompleteDays.toString,
+      "renderScalableThreshold" -> cfg.renderScalableThreshold.toString,
       "httpWorkers" -> cfg.httpWorkers.toString,
       "findCache" -> cfg.findCache.map(c => jstr(c.toString)).getOrElse("null"),
       "rollupRules" -> cfg.rules.patterns.length.toString,

@@ -324,7 +324,26 @@ object Render {
       rules: Rules,
       now: Long,
       consolidateBy: Option[String] = None,
-      appendEmpty: Boolean = false): DataFrame = {
+      appendEmpty: Boolean = false,
+      versionMode: VersionMode = VersionMode.DedupExact): DataFrame = {
+    val meta = scalableMeta(foundPaths, tf, rules, now, consolidateBy)
+    renderScalableWithMeta(points, meta, tf, rules, now, appendEmpty, versionMode)
+  }
+
+  /** Per-path (rule precision, effective step, function) as a PLAN —
+    * the distributed twin of [[functionGroups]] +
+    * [[SeriesAssembly.perPathMeta]]: rule lookup is a broadcast-sized
+    * CASE chain over the path column, the A7 maxDataPoints inflation
+    * is column arithmetic. Callers that need the meta alongside the
+    * rendered rows (response assembly) compute it once and pass it to
+    * [[renderScalableWithMeta]].
+    */
+  def scalableMeta(
+      foundPaths: DataFrame,
+      tf: TimeFrame,
+      rules: Rules,
+      now: Long,
+      consolidateBy: Option[String] = None): DataFrame = {
     val age = math.max(0L, now - tf.from)
     val overrideFunc = consolidateBy.map(n =>
       AggFunc.fromName(n).getOrElse(throw new IllegalArgumentException(
@@ -335,10 +354,27 @@ object Render {
     val mdpFloor = StepMath.ceilDiv(tf.until - tf.from, tf.maxDataPoints)
     val base = greatest(precCol, lit(mdpFloor))
     val stepCol = (floor((base + precCol - lit(1)) / precCol) * precCol).cast("long")
-    val meta = foundPaths.select(
+    foundPaths.select(
       col("path"),
+      precCol.cast("long").as("prec"),
       stepCol.as("step"),
       overrideFunc.map(f => lit(f.name)).getOrElse(fnCol).as("func"))
+  }
+
+  /** [[renderScalable]] body over a precomputed [[scalableMeta]]
+    * frame. Version resolution follows `versionMode` like
+    * [[fetchGroup]], but with the per-path precision/step/function as
+    * COLUMNS, so heterogeneous rule groups still run in one plan.
+    */
+  def renderScalableWithMeta(
+      points: DataFrame,
+      meta: DataFrame,
+      tf: TimeFrame,
+      rules: Rules,
+      now: Long,
+      appendEmpty: Boolean = false,
+      versionMode: VersionMode = VersionMode.DedupExact): DataFrame = {
+    val age = math.max(0L, now - tf.from)
 
     // per-path aligned fetch window (W2)
     val fromC = lit(tf.from); val untilC = lit(tf.until)
@@ -357,11 +393,44 @@ object Render {
       .join(meta, Seq("path"))
       .where(col("time").between(alignedFrom, alignedUntil))
 
-    // dedup (A9) then bucket rollup (A2) in one aggregate chain; the
-    // function varies per path, so compute every aggregate and select
-    val deduped = joined
-      .groupBy(col("path"), col("step"), col("func"), col("time"))
-      .agg(max_by(col("value"), struct(col("version"), col("value"))).as("value"))
+    // version resolution per `versionMode` (the column-wise twin of
+    // fetchGroup's dispatch), then bucket rollup (A2) in one aggregate
+    // chain; the function varies per path, so compute every aggregate
+    // and select
+    val deduped = versionMode match {
+      case VersionMode.DedupExact =>
+        joined
+          .groupBy(col("path"), col("step"), col("func"), col("time"))
+          .agg(max_by(col("value"), struct(col("version"), col("value"))).as("value"))
+      case VersionMode.Raw =>
+        joined.select(col("path"), col("step"), col("func"), col("time"), col("value"))
+      case VersionMode.MergedCells =>
+        // mergeCells with the precision as a COLUMN: one row per
+        // (path, rule-precision cell), max-version write batch wins,
+        // cell rows aggregated by the path's own rule function
+        val cell = (col("time") - pmod(col("time"), col("prec"))).as("cell")
+        val collected = joined
+          .groupBy(col("path"), col("prec"), col("step"), col("func"), cell)
+          .agg(
+            max(col("version")).as("vmax"),
+            collect_list(struct(col("version"), col("time"), col("value"))).as("arr"))
+        val maxed = array_distinct(filter(col("arr"), x =>
+          x.getField("version") === col("vmax")))
+        val winners = array_sort(filter(maxed, x =>
+          !exists(maxed, y =>
+            y.getField("time") === x.getField("time") &&
+              y.getField("value") > x.getField("value"))))
+        val values = transform(winners, _.getField("value"))
+        val n = size(values)
+        val agged = when(col("func") === "avg", aggregate(values, lit(0.0), _ + _) / n)
+          .when(col("func") === "sum", aggregate(values, lit(0.0), _ + _))
+          .when(col("func") === "min", array_min(values))
+          .when(col("func") === "max", array_max(values))
+          .when(col("func") === "any", element_at(values, 1))
+          .when(col("func") === "anyLast", element_at(values, -1))
+        collected.select(col("path"), col("step"), col("func"),
+          col("cell").as("time"), agged.as("value"))
+    }
     val bucket = (col("time") - pmod(col("time"), col("step"))).as("time")
     val rolled = deduped
       .groupBy(col("path"), col("step"), col("func"), bucket)

@@ -147,6 +147,80 @@ class HttpApiSpec extends AnyFunSuite {
     assert(new String(tagged.body()).contains("metric1;tag1=value1;tag2=value21;tag3=value3"))
   }
 
+  test("/render above renderScalableThreshold: distributed plan, byte-identical") {
+    // dedicated fixture so the shared one's expectations stay intact
+    val dir = Files.createTempDirectory("graft-http-scal").toFile.getAbsolutePath
+    import spark.implicits._
+    def pts(name: String, vs: Seq[Double]): Seq[String] =
+      vs.zipWithIndex.map { case (v, i) => s"$name $v ${rnow - 30 + i * 10}" }
+    val lines =
+      pts("scal.a1", Seq(3.0, 0.0, 1.0, 2.0)) ++
+      pts("scal.a2", Seq(2.0, 1.0, 1.5, 2.5)) ++
+      pts("scal.a3", Seq(1.0, 2.0, 2.5, 3.5)) ++
+      pts("m1;dc=east;host=a", Seq(2.0, 2.5, 2.0, 3.0)) ++
+      pts("m1;dc=west;host=b", Seq(1.0, 0.5, 4.0, 2.0))
+    Ingest.processBatch(Ingest.parseLines(lines.toDF("value")), s"$dir/t")
+
+    def mk(thr: Int, internalAgg: Boolean) = new HttpApi(
+      spark, s"$dir/t",
+      HttpApi.Config(rules = rules, flags = FeatureFlags(),
+        internalAggregation = internalAgg,
+        renderScalableThreshold = thr),
+      clock = () => now).start()
+    def g(a: HttpApi, path: String) = client.send(
+      HttpRequest.newBuilder(URI.create(a.address + path)).GET().build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+
+    // MergedCells (default) AND Raw (internal-aggregation) version modes
+    for (internalAgg <- Seq(false, true)) {
+      val classic = mk(0, internalAgg)
+      val scalable = mk(1, internalAgg) // every multi-path find overflows
+      try {
+        val window = s"from=${rnow - 60}&until=${rnow + 60}"
+        val taggedTarget =
+          java.net.URLEncoder.encode("seriesByTag('name=m1')", "UTF-8")
+        // carbonapi_v3_pb carries its request in a POST body
+        val fr = new Wire.Buf
+        fr.string(1, "scal.*")
+        fr.tag(2, 0).varint(rnow - 60)
+        fr.tag(3, 0).varint(rnow + 60)
+        fr.string(5, "scal.*")
+        val v3req = new Wire.Buf
+        v3req.tag(1, Wire.LengthDelimited).varint(fr.size.toLong).raw(fr.bytes)
+        def p3(a: HttpApi) = client.send(
+          HttpRequest.newBuilder(URI.create(a.address + "/render/?format=carbonapi_v3_pb"))
+            .POST(HttpRequest.BodyPublishers.ofByteArray(v3req.bytes)).build(),
+          HttpResponse.BodyHandlers.ofByteArray())
+        val (c3, s3) = (p3(classic), p3(scalable))
+        assert(c3.statusCode() == 200 && s3.statusCode() == 200)
+        assert(s3.headers().firstValue("X-Graft-Render").orElse("") == "scalable")
+        assert(java.util.Arrays.equals(c3.body(), s3.body()), "v3 bytes")
+        for (fmt <- Seq("protobuf", "pickle", "json");
+             target <- Seq("scal.*", taggedTarget)) {
+          val q = s"/render/?target=$target&$window&format=$fmt"
+          val c = g(classic, q)
+          val s2 = g(scalable, q)
+          assert(c.statusCode() == 200 && s2.statusCode() == 200, s"$fmt/$target")
+          // the scalable branch engaged (found 2-3 paths > threshold 1)...
+          assert(s2.headers().firstValue("X-Graft-Render").orElse("") == "scalable",
+            s"$fmt/$target")
+          // ...the classic one did not...
+          assert(!c.headers().firstValue("X-Graft-Render").isPresent)
+          // ...and the bytes are identical
+          assert(java.util.Arrays.equals(c.body(), s2.body()),
+            s"byte mismatch $fmt/$target internalAgg=$internalAgg:\n" +
+              s" classic=${new String(c.body()).take(400)}\n" +
+              s" scalable=${new String(s2.body()).take(400)}")
+        }
+        // a single-path target stays on the classic collected path
+        val one = g(scalable,
+          s"/render/?target=scal.a1&from=${rnow - 60}&until=${rnow + 60}&format=json")
+        assert(one.statusCode() == 200)
+        assert(!one.headers().firstValue("X-Graft-Render").isPresent)
+      } finally { classic.stop(); scalable.stop() }
+    }
+  }
+
   test("/render bad format and bad window are request errors") {
     assert(get(s"/render/?format=bogus&target=a&from=1&until=2").statusCode() == 400)
     assert(get(s"/render/?format=json&target=a&from=10&until=10").statusCode() == 400)
