@@ -2884,11 +2884,17 @@ object SparkEntry {
     // banding is near-optimal and the answer itself is quadratic).
     // Keep-first against per-bucket eldest anchors keeps candidates
     // at 4n and output ≤ n at ANY corpus size.
-    "m_dhash_dedup" -> ((s, dir) =>
+    // Band width is CORPUS-ADAPTIVE (Multimodal.dhashPlan): the rule
+    // w >= ceil(log2 n) + 8 picks the most bands (best recall) whose
+    // birthday candidate term stays <= n/64 — n from the parquet
+    // footer rowcount (a metadata read, never a second decode pass).
+    "m_dhash_dedup" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val bands = Multimodal.dhashPlan(docs.count(), nBits = 120)
       Multimodal.dhashDedupWide(
-        Multimodal.dhashWide(
-          Multimodal.withPngPayload(s.read.parquet(s"$dir/documents.parquet"))),
-        maxDist = 20)),
+        Multimodal.dhashWide(Multimodal.withPngPayload(docs)),
+        maxDist = 20, bands = bands)
+    }),
 
     // Perceptual AUDIO fingerprints over the real WAV decode path:
     // frame-energy gradients (exact integer Σv² per frame) → 31 bits.
@@ -2908,11 +2914,15 @@ object SparkEntry {
       Multimodal.audioSegments(s.read.parquet(s"$dir/documents.parquet"))),
 
     // the linear dedup shape for the AUDIO modality (modality-generic
-    // fpAnchorDedup over the 31-bit frame-energy codes)
-    "m_afp_dedup" -> ((s, dir) =>
+    // fpAnchorDedup over the 31-bit frame-energy codes); bands sized
+    // to the corpus by the same dhashPlan rule as the image leg
+    "m_afp_dedup" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val bands = Multimodal.dhashPlan(docs.count(), nBits = 32)
       Multimodal.fpAnchorDedup(
-        Multimodal.audioFingerprint(s.read.parquet(s"$dir/documents.parquet")),
-        nBits = 32, bands = 4, maxDist = 5)),
+        Multimodal.audioFingerprint(docs),
+        nBits = 32, bands = bands, maxDist = 5)
+    }),
 
     // REAL audio codec (JDK WAV/PCM): seed-keyed sine payloads
     // round-tripped through the JDK encoder/decoder, RMS +
@@ -7320,18 +7330,30 @@ object SparkEntry {
            |WHERE bit_count(xor(a.fp_lo, b2.fp_lo))
            |    + bit_count(xor(a.fp_hi, b2.fp_hi)) <= 20""".stripMargin),
 
+      // banding is corpus-adaptive: the bi CTE derives (bands, width)
+      // from count(documents) via the SAME rule as Multimodal.dhashPlan
+      // (the CASE text is emitted from it), and band i is bits
+      // [i*w, (i+1)*w) of the 120-bit fingerprint — straddling bands
+      // composed from both 60-bit longs exactly like wideBands
       "m_dhash_dedup" ->
         (s"""WITH fp AS ($dhashWideFpSql),
            |reps AS (
            |  SELECT min(doc_id) AS doc_id, fp_lo, fp_hi
            |  FROM fp GROUP BY fp_lo, fp_hi),
+           |bi AS (
+           |  SELECT unnest(generate_series(0, b - 1)) AS i, 120 // b AS w
+           |  FROM (SELECT ${Multimodal.dhashPlanSqlCase(120, 8,
+                    "(SELECT count(*) FROM documents)")} AS b) p),
            |banded AS (
-           |  SELECT doc_id, fp_lo, fp_hi, b,
-           |    CASE b WHEN 0 THEN fp_lo & 1073741823
-           |           WHEN 1 THEN fp_lo >> 30
-           |           WHEN 2 THEN fp_hi & 1073741823
-           |           ELSE fp_hi >> 30 END AS v
-           |  FROM reps, (SELECT unnest([0, 1, 2, 3]) AS b) u),
+           |  SELECT doc_id, fp_lo, fp_hi, i AS b,
+           |    CASE WHEN i*w + w <= 60
+           |           THEN (fp_lo >> (i*w)) & ((1::BIGINT << w) - 1)
+           |         WHEN i*w >= 60
+           |           THEN (fp_hi >> (i*w - 60)) & ((1::BIGINT << w) - 1)
+           |         ELSE (fp_lo >> (i*w)) |
+           |           ((fp_hi & ((1::BIGINT << (i*w + w - 60)) - 1)) << (60 - i*w))
+           |    END AS v
+           |  FROM reps, bi),
            |anch AS (
            |  SELECT b, v, min(doc_id) AS anchor_id FROM banded GROUP BY 1, 2),
            |dropped AS (
@@ -7386,6 +7408,7 @@ object SparkEntry {
            |  CAST(max(f) AS BIGINT) AS end_frame
            |FROM seg GROUP BY doc_id, seg_no, voiced""".stripMargin),
 
+      // bands corpus-adaptive via the same dhashPlan rule (32-bit fp)
       "m_afp_dedup" ->
         (s"""WITH e AS ($afpEnergySql),
            |fp AS (
@@ -7395,8 +7418,13 @@ object SparkEntry {
            |  FROM e a JOIN e b ON b.doc_id = a.doc_id AND b.f = a.f + 1
            |  GROUP BY 1),
            |reps AS (SELECT min(doc_id) AS doc_id, fp FROM fp GROUP BY fp),
-           |banded AS (SELECT doc_id, fp, i AS b, (fp >> CAST(8 * i AS INT)) & 255 AS v
-           |  FROM reps, (SELECT unnest([0, 1, 2, 3]) AS i) u),
+           |bi AS (
+           |  SELECT unnest(generate_series(0, b - 1)) AS i, 32 // b AS w
+           |  FROM (SELECT ${Multimodal.dhashPlanSqlCase(32, 8,
+                    "(SELECT count(*) FROM documents)")} AS b) p),
+           |banded AS (SELECT doc_id, fp, i AS b,
+           |    (fp >> (i*w)) & ((1::BIGINT << w) - 1) AS v
+           |  FROM reps, bi),
            |anch AS (SELECT b, v, min(doc_id) AS anchor_id FROM banded GROUP BY 1, 2),
            |dropped AS (
            |  SELECT DISTINCT d.doc_id

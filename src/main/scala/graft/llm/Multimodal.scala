@@ -455,26 +455,88 @@ object Multimodal {
     * dedup (keep/drop, not pair inspection), use [[dhashDedupWide]],
     * whose candidate AND output volumes are O(n) by construction.
     */
-  /** (doc_id, fp_lo, fp_hi, b, v) band rows of a wide-fingerprint
-    * relation — ONE spelling of the 4×30-bit layout, shared by
-    * [[dhashPairsWide]] and [[dhashDedupWide]] so the two can never
-    * band differently.
+  /** Corpus-adaptive band count for Hamming-banded LSH — SCALE_NOTES
+    * finding 4's rule ("fixed-width banding is linear only while
+    * n ≪ 2^band_bits; size bands to the corpus like you size shuffle
+    * partitions") promoted into code, the perceptual-hash counterpart
+    * of `Dedup.lshPlan`. Picks the LARGEST band count (best recall —
+    * pairs at Hamming distance d < bands are guaranteed candidates)
+    * whose band width still bounds the random (birthday) candidate
+    * term: `w ≥ ceil(log₂ n) + margin` keeps expected random
+    * candidates ≤ bands·n/2^(margin+1) — at the default margin 8,
+    * ≲ n/64 rows of join noise at any corpus size. Falls back to the
+    * widest available band when even that cannot cover `needed`
+    * (candidates stay bounded; guaranteed-recall radius shrinks —
+    * callers with corpus-specific recall floors pass bands
+    * explicitly). At n = 500 k over 120 bits the rule returns 4
+    * (4×30-bit bands) — exactly the configuration finding 6 measured
+    * at a constant ~1.2× candidate:answer ratio.
+    *
+    * Band counts are the divisors of `nBits` with ≥ 2 bands, so a
+    * band is at most `nBits/2` wide (fits a long for both fingerprint
+    * layouts in use: 120-bit two-long and ≤ 60-bit single-long).
     */
-  private def wideBands(fps: DataFrame): DataFrame = {
-    val mask = (1L << 30) - 1L
-    val slices = Seq(
-      struct(lit(0).as("b"), col("fp_lo").bitwiseAND(lit(mask)).as("v")),
-      struct(lit(1).as("b"), shiftright(col("fp_lo"), 30).as("v")),
-      struct(lit(2).as("b"), col("fp_hi").bitwiseAND(lit(mask)).as("v")),
-      struct(lit(3).as("b"), shiftright(col("fp_hi"), 30).as("v")))
+  def dhashPlan(n: Long, nBits: Int, margin: Int = 8): Int = {
+    val widths = bandWidths(nBits)
+    val needed = ceilLog2(math.max(n, 2L)) + margin
+    widths.find(_ >= needed).map(nBits / _).getOrElse(nBits / widths.max)
+  }
+
+  /** The same rule as a DuckDB/ANSI-SQL CASE over a row-count
+    * expression — emitted from the SAME width list so an oracle twin
+    * can never band differently than [[dhashPlan]]:
+    * `w ≥ ceilLog2(n) + margin  ⟺  n ≤ 2^(w − margin)`.
+    */
+  def dhashPlanSqlCase(nBits: Int, margin: Int, nExpr: String): String = {
+    val widths = bandWidths(nBits)
+    val branches = widths.filter(_ > margin).map { w =>
+      s"WHEN $nExpr <= ${1L << (w - margin)} THEN ${nBits / w}"
+    }
+    s"(CASE ${branches.mkString(" ")} ELSE ${nBits / widths.max} END)"
+  }
+
+  /** Candidate band widths for an `nBits` fingerprint, ascending:
+    * divisors of nBits that leave ≥ 2 bands. */
+  private[graft] def bandWidths(nBits: Int): Seq[Int] =
+    (1 to nBits / 2).filter(nBits % _ == 0)
+
+  private[graft] def ceilLog2(n: Long): Int =
+    64 - java.lang.Long.numberOfLeadingZeros(n - 1)
+
+  /** (doc_id, fp_lo, fp_hi, b, v) band rows of a wide-fingerprint
+    * relation — ONE spelling of the two-long banded layout, shared by
+    * [[dhashPairsWide]] and [[dhashDedupWide]] so the two can never
+    * band differently. `bands` must divide 120; band `i` is bits
+    * `[i·w, (i+1)·w)` of the 120-bit fingerprint (rows 0–3 in the low
+    * 60 bits of `fp_lo`, rows 4–7 in `fp_hi`), with straddling bands
+    * composed from both longs. At the historical `bands = 4` this
+    * reproduces the original 4×30 layout bit-for-bit.
+    */
+  private[graft] def wideBands(fps: DataFrame, bands: Int = 4): DataFrame = {
+    require(120 % bands == 0 && bands >= 2 && 120 / bands <= 60,
+      s"bands must divide 120 with width <= 60, got $bands")
+    val w = 120 / bands
+    def slice(i: Int): Column = {
+      val o = i * w
+      val mask = (1L << w) - 1L
+      if (o + w <= 60) shiftright(col("fp_lo"), o).bitwiseAND(lit(mask))
+      else if (o >= 60) shiftright(col("fp_hi"), o - 60).bitwiseAND(lit(mask))
+      else {
+        // straddle: top (60-o) bits of fp_lo, low (o+w-60) bits of fp_hi
+        val hiPart = col("fp_hi").bitwiseAND(lit((1L << (o + w - 60)) - 1L))
+        shiftright(col("fp_lo"), o).bitwiseOR(shiftleft(hiPart, 60 - o))
+      }
+    }
+    val slices = (0 until bands).map(i =>
+      struct(lit(i).as("b"), slice(i).as("v")))
     fps.select(col("doc_id"), col("fp_lo"), col("fp_hi"),
       explode(array(slices: _*)).as("s"))
       .select(col("doc_id"), col("fp_lo"), col("fp_hi"),
         col("s.b").as("b"), col("s.v").as("v"))
   }
 
-  def dhashPairsWide(fps: DataFrame, maxDist: Int = 20): DataFrame = {
-    val banded = wideBands(fps)
+  def dhashPairsWide(fps: DataFrame, maxDist: Int = 20, bands: Int = 4): DataFrame = {
+    val banded = wideBands(fps, bands)
     val a = banded.select(col("doc_id").as("id_a"), col("fp_lo").as("lo_a"),
       col("fp_hi").as("hi_a"), col("b"), col("v"))
     val bnd = banded.select(col("doc_id").as("id_b"), col("fp_lo").as("lo_b"),
@@ -514,11 +576,11 @@ object Multimodal {
     * `Dedup.nearDupKeep` does for minhash) remains available via
     * [[dhashPairsWide]] when pair volume permits.
     */
-  def dhashDedupWide(fps: DataFrame, maxDist: Int = 20): DataFrame = {
+  def dhashDedupWide(fps: DataFrame, maxDist: Int = 20, bands: Int = 4): DataFrame = {
     val reps = fps.groupBy("fp_lo", "fp_hi")
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"), col("fp_lo"), col("fp_hi"))
-    val banded = wideBands(reps)
+    val banded = wideBands(reps, bands)
     // struct min orders by doc_id first ⇒ the anchor's own fp rides
     // along without a second join back to `fps`
     val anchors = banded.groupBy("b", "v")

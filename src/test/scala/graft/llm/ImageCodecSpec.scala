@@ -228,6 +228,68 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("dhashPlan: corpus-adaptive bands follow w >= ceilLog2(n) + margin") {
+    // 120-bit wide fingerprint (widths 1..60 dividing 120)
+    assert(Multimodal.dhashPlan(500L, 120) == 6)      // needed 17 -> w=20
+    assert(Multimodal.dhashPlan(5000L, 120) == 5)     // needed 21 -> w=24
+    assert(Multimodal.dhashPlan(500000L, 120) == 4)   // needed 27 -> w=30:
+    // exactly the 4x30 layout SCALE_NOTES finding 6 measured at a
+    // constant ~1.2x candidate:answer ratio at n = 500k
+    assert(Multimodal.dhashPlan(5000000L, 120) == 3)  // needed 31 -> w=40
+    assert(Multimodal.dhashPlan(1L << 53, 120) == 2)  // beyond every width
+    // 32-bit audio fingerprint (widths 1,2,4,8,16): the margin-8 rule
+    // never leaves room below w=16, so it resolves to 2 bands at any n
+    assert(Multimodal.dhashPlan(200L, 32) == 2)       // needed 16 -> w=16
+    assert(Multimodal.dhashPlan(500L, 32) == 2)       // fallback: widest
+    assert(Multimodal.dhashPlan(16L, 32) == 2)        // needed 12 -> w=16
+  }
+
+  test("dhashPlanSqlCase evaluates identically to dhashPlan (oracle-twin lockstep)") {
+    for (nBits <- Seq(120, 32, 56);
+         n <- Seq(1L, 2L, 100L, 500L, 4096L, 4097L, 65536L, 65537L,
+           500000L, 5000000L, 1L << 40, 1L << 53)) {
+      val sql = Multimodal.dhashPlanSqlCase(nBits, 8, n.toString)
+      val got = spark.sql(s"SELECT $sql AS b").head().get(0).toString.toInt
+      assert(got == Multimodal.dhashPlan(n, nBits), s"nBits=$nBits n=$n")
+    }
+  }
+
+  test("dhashDedupWide with non-default bands == brute force (incl. straddling bands)") {
+    import spark.implicits._
+    val docs = (0L until 8L)
+      .flatMap(k => Seq(k, k + 143L).map(id => (id, s"clip number $k content")))
+      .toDF("doc_id", "text")
+    val fps = Multimodal.dhashWide(Multimodal.withPngPayload(docs))
+    val fpMap = fps.collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val maxDist = 3
+    def dist(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    // bands=5 (w=24) and bands=3 (w=40) both include a band straddling
+    // the fp_lo/fp_hi boundary at bit 60
+    for (bands <- Seq(5, 3)) {
+      val w = 120 / bands
+      def bandsOf(fp: (Long, Long)): Seq[(Int, Long)] = {
+        val full = (BigInt(fp._2) << 60) | BigInt(fp._1)
+        (0 until bands).map(i =>
+          (i, ((full >> (i * w)) & ((BigInt(1) << w) - 1)).toLong))
+      }
+      val repMap: Map[Long, (Long, Long)] = fpMap.groupBy(_._2)
+        .map { case (fp, xs) => (xs.keys.min, fp) }
+      val anchor: Map[(Int, Long), Long] = repMap.toSeq
+        .flatMap { case (id, fp) => bandsOf(fp).map(bv => (bv, id)) }
+        .groupBy(_._1).map { case (bv, xs) => (bv, xs.map(_._2).min) }
+      val wantKept = repMap.keySet.filter { id =>
+        !bandsOf(repMap(id)).exists { bv =>
+          val a = anchor(bv)
+          a < id && dist(repMap(a), repMap(id)) <= maxDist
+        }
+      }
+      val got = Multimodal.dhashDedupWide(fps, maxDist = maxDist, bands = bands)
+        .collect().map(_.getLong(0)).toSet
+      assert(got == wantKept, s"bands=$bands")
+    }
+  }
+
   test("imageEntropy: flat image scores exactly 0; rich image matches the hand fold") {
     import spark.implicits._
     def png(im: java.awt.image.BufferedImage): Array[Byte] = Multimodal.encodePng(im)

@@ -50,6 +50,14 @@ object PairVolume {
       val v10 = pairs20.where(col("dist") <= 10).count()
       val v3 = pairs20.where(col("dist") <= 3).count()
       println(f"PAIRVOL | x$r | n=$n | distinct=$nDistinct | cand=${cand.toLong} | v20=$v20 | v10=$v10 | v3=$v3")
+      // corpus-adaptive banding (Multimodal.dhashPlan): candidate
+      // volume under the bands the production dedup now picks by
+      // default — the finding-4 rule verified end to end
+      val autoBands = graft.llm.Multimodal.dhashPlan(n, 120)
+      val candAuto = graft.llm.Multimodal.wideBands(fps, autoBands)
+        .groupBy("b", "v").count()
+        .agg(sum(col("count") * (col("count") - 1) / 2)).head.getDouble(0)
+      println(f"PAIRVOL-AUTO | x$r | n=$n | bands=$autoBands | cand=${candAuto.toLong} | cand_per_doc=${candAuto / n}%.2f")
       pairs20.unpersist()
       fps.unpersist()
     }
