@@ -27,8 +27,8 @@ class TomlOverHttpSpec extends AnyFunSuite {
   private val now = Instant.ofEpochSecond(1704110405L) // noon+5s, like the runner
 
   private val scenarios = Seq(
-    "one_table", "wildcard_min_distance", "tags_min_in_query", "consolidateBy",
-    "find_cache",
+    "one_table", "agg_internal", "wildcard_min_distance", "tags_min_in_query",
+    "consolidateBy", "find_cache",
     // the reference's TLS scenario: same checks, the transport is
     // HTTPS (JVM keystore standing in for the cert-file config block)
     "tls")
@@ -200,6 +200,33 @@ class TomlOverHttpSpec extends AnyFunSuite {
           val header = again.headers().firstValue("X-Cached-Find").orElse("")
           if (header != c.cacheTtl.toString)
             errors += s"render#$i: X-Cached-Find got '$header', want ${c.cacheTtl}"
+        }
+        // Format parity matrix (`cmd/e2e-test/checks.go:46-60` runs
+        // every render check across its declared formats): the SAME
+        // check asserted across json/pickle/v2_pb too, each response's
+        // bytes compared against the tested sink encoding of the
+        // v3-verified series — one replay, four wire forms, so a
+        // format-specific divergence can't hide behind per-format
+        // tests. GET can't carry filtering functions (v3-only), so
+        // checks with them stay v3-only like the reference client.
+        if (c.filteringFunctions.isEmpty) {
+          val series = actual.map(f => graft.sinks.Series(
+            name = f.name, pathExpression = f.pathExpression,
+            function = f.consolidationFunc, start = f.start, stop = f.stop,
+            step = f.step, values = f.values.toArray))
+          val targetsQ = c.targets.map(t => s"&target=${enc(t)}").mkString
+          val mdpQ = if (c.maxDataPoints > 0) s"&maxDataPoints=${c.maxDataPoints}" else ""
+          val url = s"/render/?from=$from&until=$until$mdpQ$targetsQ"
+          val js = get(api, url + "&format=json")
+          if (!js.body().sameElements(
+              JsonSink.render(series, from, until).getBytes))
+            errors += s"render#$i: json bytes mismatch (${new String(js.body()).take(200)})"
+          val pk = get(api, url + "&format=pickle")
+          if (!pk.body().sameElements(graft.sinks.PickleSink.encode(series)))
+            errors += s"render#$i: pickle bytes mismatch"
+          val v2 = get(api, url + "&format=protobuf")
+          if (!v2.body().sameElements(graft.sinks.ProtobufSink.encodeV2(series)))
+            errors += s"render#$i: v2 protobuf bytes mismatch"
         }
       }
     }
