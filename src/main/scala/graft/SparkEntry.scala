@@ -1672,7 +1672,9 @@ object SparkEntry {
 
     "e_lsh_knn" -> ((s, dir) => {
       val vecs = s.read.parquet(s"$dir/embeddings.parquet")
-      Similarity.lshKnn(vecs, k = 3, bits = 8)
+      // floor preserves the 8-bit fixture recall; bits rise with n
+      Similarity.lshKnn(vecs, k = 3,
+          bits = Similarity.lshBitsPlan(vecs.count(), floor = 8))
         .where(col("query_id") < 50)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"), col("sim"))
@@ -1978,7 +1980,11 @@ object SparkEntry {
     // at sf0.1 where this shape reads ~1.5 s.
     "e_label_prop" -> ((s, dir) => {
       val vecs = s.read.parquet(s"$dir/embeddings.parquet")
-      val edges = Similarity.lshKnn(vecs, k = 5, bits = 4)
+      // bits corpus-adaptive (footer rowcount): fixed 4-bit buckets
+      // probed 36x/decade at x10 (quadratic in-bucket candidates);
+      // lshBitsPlan holds expected bucket size at <= 32 vectors
+      val edges = Similarity.lshKnn(vecs, k = 5,
+          bits = Similarity.lshBitsPlan(vecs.count(), floor = 4))
         .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
       val seeds = vecs.where(col("vec_id") < 50)
         .select(col("vec_id").as("id"), col("label"))
@@ -5451,9 +5457,13 @@ object SparkEntry {
            |   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM scored)
            |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(sim, 4) + 0 AS sim FROM ranked WHERE rank <= 5""".stripMargin),
 
+      // bucket bits corpus-adaptive (Similarity.lshBitsPlan, CASE
+      // emitted from the same rule; floor 8 = the fixture recall)
       "e_lsh_knn" ->
-        (s"""WITH keyed AS (SELECT vec_id, embedding,
-           |   list_sum(list_transform(generate_series(1, 8), i -> CASE WHEN embedding[i] >= 0 THEN CAST(1 AS BIGINT) << (i-1) ELSE 0 END)) AS bucket
+        (s"""WITH plan AS (SELECT ${Similarity.lshBitsPlanSqlCase(
+                "(SELECT count(*) FROM embeddings)", floor = 8)} AS bits),
+           | keyed AS (SELECT vec_id, embedding,
+           |   list_sum(list_transform(generate_series(1, (SELECT bits FROM plan)), i -> CASE WHEN embedding[i] >= 0 THEN CAST(1 AS BIGINT) << (i-1) ELSE 0 END)) AS bucket
            | FROM embeddings),
            | scored AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $cosine AS sim
            |   FROM keyed a JOIN keyed b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
@@ -5927,8 +5937,10 @@ object SparkEntry {
              |  SELECT id, label, row_number() OVER (PARTITION BY id ORDER BY votes DESC, label ASC) AS rk FROM v$r) t
              |  WHERE rk = 1),
              |l$r AS (SELECT * FROM l${r - 1} UNION ALL SELECT * FROM n$r)""".stripMargin
-        s"""WITH lpk AS (SELECT vec_id, embedding,
-           |  list_sum(list_transform(generate_series(1, 4), i -> CASE WHEN embedding[i] >= 0 THEN CAST(1 AS BIGINT) << (i-1) ELSE 0 END)) AS bucket
+        s"""WITH lpplan AS (SELECT ${Similarity.lshBitsPlanSqlCase(
+                "(SELECT count(*) FROM embeddings)", floor = 4)} AS bits),
+           |lpk AS (SELECT vec_id, embedding,
+           |  list_sum(list_transform(generate_series(1, (SELECT bits FROM lpplan)), i -> CASE WHEN embedding[i] >= 0 THEN CAST(1 AS BIGINT) << (i-1) ELSE 0 END)) AS bucket
            |  FROM embeddings),
            |lpsc AS (SELECT a.vec_id AS src, b.vec_id AS dst, $cosine AS sim
            |  FROM lpk a JOIN lpk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),

@@ -69,6 +69,30 @@ object Similarity {
       .map(i => when(element_at(emb, i + 1) >= 0f, lit(1L << i)).otherwise(lit(0L)))
       .reduce(_ + _)
 
+  /** Corpus-adaptive sign-LSH bit count — the embedding counterpart
+    * of `Multimodal.dhashPlan` (SCALE_NOTES finding 4's rule: fixed
+    * bucket keys are linear only while n ≪ bucket count). With
+    * `bits = ceil(log₂ n) − 5`, expected bucket size is ≤ 32 vectors,
+    * so in-bucket candidate pairs stay ≈ 32·n at any corpus size;
+    * `floor` preserves a caller's recall choice on small corpora (the
+    * rule only ever RAISES bits as n grows past 2^(floor+5)), and
+    * `cap` bounds the key at components the sketch can actually read
+    * (beyond it, switch to [[lshKnnMulti]]'s synthesized planes).
+    */
+  def lshBitsPlan(n: Long, floor: Int = 4, cap: Int = 20): Int =
+    math.min(cap, math.max(floor,
+      Multimodal.ceilLog2(math.max(n, 2L)) - 5))
+
+  /** The same rule as a SQL CASE over a row-count expression, emitted
+    * from the identical thresholds so oracle twins can never bucket
+    * differently (`bits = b  ⟺  n ≤ 2^(b+5)`, floored and capped).
+    */
+  def lshBitsPlanSqlCase(nExpr: String, floor: Int = 4, cap: Int = 20): String = {
+    val branches = (floor until cap).map(b =>
+      s"WHEN $nExpr <= ${1L << (b + 5)} THEN $b")
+    s"(CASE ${branches.mkString(" ")} ELSE $cap END)"
+  }
+
   /** Bucketed ANN: candidate pairs share the sign-LSH bucket, cosine
     * is computed in-bucket, top-k per query among candidates. Recall
     * is traded for never materializing cross-bucket pairs — the

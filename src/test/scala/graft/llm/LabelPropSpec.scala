@@ -32,4 +32,22 @@ class LabelPropSpec extends AnyFunSuite {
     assert(!out.contains(9L), "no labeled neighbor -> stays unlabeled")
     assert(out.size == 5)
   }
+
+  test("lshBitsPlan: corpus-adaptive bits, SQL CASE in lockstep") {
+    // rule: 2^bits >= n/32 (expected bucket <= 32 vectors), floored
+    assert(Similarity.lshBitsPlan(500L, floor = 4) == 4)     // sf0.01 unchanged
+    assert(Similarity.lshBitsPlan(500L, floor = 8) == 8)     // e_lsh_knn fixture
+    assert(Similarity.lshBitsPlan(2000L, floor = 4) == 6)
+    assert(Similarity.lshBitsPlan(20000L, floor = 4) == 10)
+    assert(Similarity.lshBitsPlan(200000L, floor = 4) == 13)
+    assert(Similarity.lshBitsPlan(1L << 40, floor = 4) == 20) // capped
+    for (floor <- Seq(4, 8);
+         n <- Seq(1L, 2L, 500L, 512L, 513L, 2000L, 20000L, 200000L,
+           1L << 25, 1L << 40)) {
+      val sql = Similarity.lshBitsPlanSqlCase(n.toString, floor = floor)
+      val got = spark.sql(s"SELECT $sql AS b").head().get(0).toString.toInt
+      assert(got == Similarity.lshBitsPlan(n, floor = floor),
+        s"floor=$floor n=$n")
+    }
+  }
 }

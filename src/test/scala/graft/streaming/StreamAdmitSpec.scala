@@ -102,6 +102,79 @@ class StreamAdmitSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("checkpoint restart: pending batch replays against the SURVIVING index — " +
+      "no re-admitted near-dup, no store rescan") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-admit-restart").toFile.getAbsolutePath
+    val storeDir = s"$dir/store"; val idxDir = s"$dir/index"
+    val acc = spark.sparkContext.longAccumulator("storeTextReadsRestart")
+    def readStore(): DataFrame =
+      if (new java.io.File(storeDir).exists())
+        // typed-map barrier: every execution of the store-text relation
+        // ticks once per row, so a full store rescan is observable
+        spark.read.parquet(storeDir).as[(Long, String)]
+          .mapPartitions(_.map { r => acc.add(1); r }).toDF("doc_id", "text")
+      else Seq.empty[(Long, String)].toDF("doc_id", "text")
+    def readIndex(): DataFrame =
+      if (new java.io.File(idxDir).exists()) spark.read.parquet(idxDir)
+      else Seq.empty[(Long, String)].toDF("id", "band")
+    def body = StreamAdmit.admitterIndexed(
+      col("text"), col("doc_id"), readStore _,
+      _.write.mode("append").parquet(storeDir),
+      readIndex _,
+      _.write.mode("append").parquet(idxDir))
+
+    val stream = MemoryStream[(Long, String)]
+    def start() = stream.toDF().toDF("doc_id", "text")
+      .writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch(body)
+      .start()
+
+    val q1 = start()
+    stream.addData(
+      (1L, "the quick brown fox jumps over dogs"),
+      (2L, "completely other content entirely here folks"))
+    q1.processAllAvailable()
+    assert(spark.read.parquet(storeDir).select("doc_id")
+      .as[Long].collect().toSet == Set(1L, 2L))
+    // data arrives, then the query dies BEFORE processing it — the
+    // classic mid-stream kill with a pending offset range
+    stream.addData(
+      (10L, "the quick brown fox jumps over dogs"), // near-dup of stored 1
+      (11L, "fresh new material nothing like before okay"))
+    q1.stop()
+
+    acc.reset()
+    val q2 = start() // restart from the SAME checkpoint
+    try {
+      q2.processAllAvailable()
+      // the pending batch replayed: the near-dup was rejected against
+      // the store/index that survived the restart, the fresh doc landed
+      assert(spark.read.parquet(storeDir).select("doc_id")
+        .as[Long].collect().toSet == Set(1L, 2L, 11L))
+      // the index was read back, not rebuilt: store text executed at
+      // most once per admission (the verify fetch for the one matched
+      // id), never a full signature rescan of all stored rows per batch
+      assert(acc.value <= 2L,
+        s"restart admission read store text ${acc.value} times (> matched rows)")
+      // lockstep held across the restart
+      val expect = graft.llm.Dedup
+        .bandIndex(spark.read.parquet(storeDir), col("text"), col("doc_id"))
+        .as[(Long, String)].collect().sorted.toSeq
+      val got = spark.read.parquet(idxDir).as[(Long, String)].collect().sorted.toSeq
+      assert(got == expect, "persisted band index must equal bandIndex(store) after restart")
+      // post-restart arrivals keep admitting against the full history
+      stream.addData(
+        (20L, "fresh new material nothing like before okay"), // dup of 11
+        (21L, "yet another wholly distinct document body"))
+      q2.processAllAvailable()
+      assert(spark.read.parquet(storeDir).select("doc_id")
+        .as[Long].collect().toSet == Set(1L, 2L, 11L, 21L))
+    } finally q2.stop()
+  }
+
   test("persisted-index admission never re-derives store signatures") {
     import spark.implicits._
     val acc = spark.sparkContext.longAccumulator("storeTextReads")

@@ -79,7 +79,14 @@ object ScaleProbe {
     // against a fixed query batch — candidate volume is (query terms
     // × per-term postings), linear in corpus at fixed fleet; the
     // fusion adds result-sized work only
-    "d_keyword_topk", "d_hybrid_rrf", "d_hash_knn")
+    "d_keyword_topk", "d_hybrid_rrf", "d_hash_knn",
+    // round-11 late families (r11 advice #5): label propagation is a
+    // frontier loop over LSH-kNN edges (lineage cut per round, votes
+    // window per-node); d_cluster_terms is a triple-agg over one
+    // lineage-cut explode; d_crop_pairs is map-only crop arithmetic;
+    // the two media legs are codec CPU + per-doc windows/aggregates
+    "e_label_prop", "d_cluster_terms", "d_crop_pairs",
+    "m_vad_segments", "m_img_entropy")
 
   def main(args: Array[String]): Unit = {
     val factors = args.headOption.map(_.split(',').map(_.trim.toInt).toSeq)
