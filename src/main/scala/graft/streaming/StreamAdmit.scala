@@ -91,4 +91,57 @@ object StreamAdmit {
           admitted, textCol, idCol, shingleWidth, bands, rows))
       } finally admitted.unpersist()
     }
+
+  /** EXACTLY-ONCE variant of [[admitterIndexed]] over plain parquet:
+    * each batch writes its admitted rows (and their index rows) to a
+    * `batch_id=<id>` partition with OVERWRITE semantics, and admission
+    * reads the store/index EXCLUDING the current batch's partition.
+    * Structured Streaming replays a failed batch with the SAME
+    * batchId, so a crash anywhere between (or inside) the two writes
+    * is healed by the replay overwriting its own partitions —
+    * [[admitterIndexed]]'s documented replay caveat (index one batch
+    * behind, or rows duplicated) cannot occur. No atomic table format
+    * needed: the partition directory IS the idempotency key, and
+    * excluding it from the read makes the replayed admission
+    * byte-deterministic regardless of how far the failed attempt got.
+    *
+    * Same scale shape as [[admitterIndexed]]: the store text relation
+    * is probed via the persisted index, never signature-rescanned;
+    * the `batch_id` partition column prunes at the scan.
+    */
+  def admitterIndexedIdempotent(
+      textCol: Column,
+      idCol: Column,
+      storeDir: String,
+      indexDir: String,
+      shingleWidth: Int = 3,
+      bands: Int = 4,
+      rows: Int = 2,
+      threshold: Double = 0.6): (DataFrame, Long) => Unit =
+    (batch0: DataFrame, batchId: Long) => {
+      import org.apache.spark.sql.functions.col
+      val batch = batch0.drop("event_time")
+      val spark = batch.sparkSession
+      def readPart(dir: String, empty: DataFrame): DataFrame =
+        if (new java.io.File(dir).exists())
+          spark.read.parquet(dir)
+            .where(col("batch_id") =!= batchId) // replay: pre-batch view
+            .drop("batch_id")
+        else empty
+      val store = readPart(storeDir, batch.limit(0))
+      val index = readPart(indexDir, {
+        import spark.implicits._
+        Seq.empty[(Long, String)].toDF("id", "band")
+      })
+      val admitted = Dedup.incrementalNearDups(
+        store, index, batch, textCol, idCol,
+        shingleWidth, bands, rows, threshold).persist()
+      try {
+        admitted.write.mode("overwrite")
+          .parquet(s"$storeDir/batch_id=$batchId")
+        Dedup.bandIndex(admitted, textCol, idCol, shingleWidth, bands, rows)
+          .write.mode("overwrite")
+          .parquet(s"$indexDir/batch_id=$batchId")
+      } finally admitted.unpersist()
+    }
 }

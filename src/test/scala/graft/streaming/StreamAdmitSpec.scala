@@ -175,6 +175,62 @@ class StreamAdmitSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("idempotent admitter: batch replays overwrite their own partitions (exactly-once)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-admit-idem").toFile.getAbsolutePath
+    val storeDir = s"$dir/store"; val idxDir = s"$dir/index"
+    val body = StreamAdmit.admitterIndexedIdempotent(
+      col("text"), col("doc_id"), storeDir, idxDir)
+    def storeIds: Seq[Long] =
+      spark.read.parquet(storeDir).select("doc_id").as[Long].collect().sorted.toSeq
+    def indexRows: Seq[(Long, String)] = spark.read.parquet(idxDir)
+      .select("id", "band").as[(Long, String)].collect().sorted.toSeq
+    def indexInLockstep(): Unit = {
+      val expect = graft.llm.Dedup.bandIndex(
+          spark.read.parquet(storeDir).drop("batch_id"), col("text"), col("doc_id"))
+        .as[(Long, String)].collect().sorted.toSeq
+      assert(indexRows == expect)
+    }
+
+    val b0 = Seq(
+      (1L, "the quick brown fox jumps over dogs"),
+      (2L, "completely other content entirely here folks")).toDF("doc_id", "text")
+    body(b0, 0L)
+    assert(storeIds == Seq(1L, 2L))
+    val b1 = Seq(
+      (10L, "the quick brown fox jumps over dogs"), // near-dup of stored 1
+      (11L, "fresh new material nothing like before okay")).toDF("doc_id", "text")
+    body(b1, 1L)
+    assert(storeIds == Seq(1L, 2L, 11L))
+    indexInLockstep()
+    val idxAfterB1 = indexRows
+
+    // FULL replay (crash after both writes committed): no duplicates
+    body(b1, 1L)
+    assert(storeIds == Seq(1L, 2L, 11L))
+    assert(indexRows == idxAfterB1)
+
+    // PARTIAL-failure replay: crash BETWEEN the two writes — the store
+    // has batch 1, the index does not. admitterIndexed's documented
+    // caveat; here the replay heals it.
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rmrf)); f.delete(): Unit
+    }
+    rmrf(new java.io.File(s"$idxDir/batch_id=1"))
+    body(b1, 1L)
+    assert(storeIds == Seq(1L, 2L, 11L))
+    assert(indexRows == idxAfterB1)
+    indexInLockstep()
+
+    // post-replay batches keep admitting against the healed history
+    val b2 = Seq(
+      (20L, "fresh new material nothing like before okay"), // dup of 11
+      (21L, "yet another wholly distinct document body")).toDF("doc_id", "text")
+    body(b2, 2L)
+    assert(storeIds == Seq(1L, 2L, 11L, 21L))
+    indexInLockstep()
+  }
+
   test("persisted-index admission never re-derives store signatures") {
     import spark.implicits._
     val acc = spark.sparkContext.longAccumulator("storeTextReads")

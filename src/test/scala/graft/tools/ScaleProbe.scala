@@ -86,7 +86,10 @@ object ScaleProbe {
     // lineage-cut explode; d_crop_pairs is map-only crop arithmetic;
     // the two media legs are codec CPU + per-doc windows/aggregates
     "e_label_prop", "d_cluster_terms", "d_crop_pairs",
-    "m_vad_segments", "m_img_entropy")
+    "m_vad_segments", "m_img_entropy",
+    // round-12 adaptive-key re-legs: these three now size their
+    // bucket/band key space to the corpus (lshBitsPlan / dhashPlan)
+    "e_lsh_knn", "m_afp_dedup")
 
   def main(args: Array[String]): Unit = {
     val factors = args.headOption.map(_.split(',').map(_.trim.toInt).toSeq)
