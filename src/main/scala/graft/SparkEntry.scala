@@ -1369,6 +1369,63 @@ object SparkEntry {
       TextStats.vocabReport(
         s.read.parquet(s"$dir/documents.parquet"), col("text"), topK = 200)),
 
+    // Distinct-n diversity (the standard generated/synthetic-data
+    // diversity metric): per n in 1..3, distinct vs total n-grams —
+    // one explode into a (n, gram) aggregate, map-side partials
+    // absorb hot grams, result is 3 rows at any corpus size.
+    "d_distinct_ngrams" -> ((s, dir) => {
+      val ws = org.apache.spark.sql.functions.split(trim(col("text")), "\\s+")
+      val grams = explode(flatten(array((1 to 3).map(n =>
+        transform(graft.functions.TextKernels.positionalShingles(ws, n),
+          g => struct(lit(n).as("n"), g.as("g")))): _*)))
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(grams.as("x"))
+        .select(col("x.n").as("n"), col("x.g").as("g"))
+        .where(col("g") =!= "")
+        .groupBy("n", "g").agg(count(lit(1)).as("c"))
+        .groupBy("n")
+        .agg(sum(col("c")).as("total_ngrams"),
+          count(lit(1)).as("distinct_ngrams"))
+        .select(col("n").cast("long").as("n"),
+          col("total_ngrams"), col("distinct_ngrams"),
+          round(col("distinct_ngrams").cast("double") /
+            col("total_ngrams").cast("double"), 4).as("distinct_ratio"))
+    }),
+
+    // Margin-criterion pair mining (LASER/CCMatrix bitext scorer):
+    // best ratio-margin candidate per query between the two id-parity
+    // halves of the embedding set, kept at margin > 1. Edge-agnostic
+    // marginMine over brute kNN here (the oracle shape); production
+    // passes lshKnn/rpSearch shortlists, so the corpus-sized stage is
+    // the neighbor build, never the mining.
+    "e_bitext_margin" -> ((s, dir) => {
+      val vecs = s.read.parquet(s"$dir/embeddings.parquet")
+      val a = vecs.where(pmod(col("vec_id"), lit(2)) === 0)
+      val b = vecs.where(pmod(col("vec_id"), lit(2)) === 1)
+      Similarity.marginMine(
+        Similarity.bruteKnn(b, a, k = 4),
+        Similarity.bruteKnn(a, b, k = 4))
+        .where(col("margin") > 1.0)
+    }),
+
+    // Tokenizer fertility per language — THE per-language tokenizer
+    // eval (tokens/word; chars/token): one hash aggregate over the
+    // labeled lang key, token counts from the same two kernels
+    // d_tokens gates.
+    "d_tok_fertility" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextStats.tokensWhitespace(col("text")).cast("long")).as("n_words"),
+          sum(TextStats.tokensBpeish(col("text")).cast("long")).as("n_tokens"),
+          sum(length(col("text")).cast("long")).as("n_chars"))
+        .select(col("lang"), col("n_docs"), col("n_words"), col("n_tokens"),
+          col("n_chars"),
+          round(col("n_tokens").cast("double") /
+            greatest(col("n_words"), lit(1L)).cast("double"), 4).as("fertility"),
+          round(col("n_chars").cast("double") /
+            greatest(col("n_tokens"), lit(1L)).cast("double"), 4).as("chars_per_token"))),
+
     // per-doc unigram Shannon entropy (nats) — the repetitiveness /
     // gibberish quality signal: explode → per-(doc, word) counts →
     // sorted -p·ln p fold; two partial-agg aggregates, no window.
@@ -1476,6 +1533,30 @@ object SparkEntry {
         wAlpha = w.getDouble(3), wStop = w.getDouble(4))
       docs.select(col("doc_id"), round(p, 4).as("p_en"),
         (p >= 0.5).as("keep"))
+    }),
+
+    // Calibration curve (reliability diagram) of the trained quality
+    // classifier: percent-resolution probability bins × (count, mean
+    // predicted,
+    // empirical rate, |gap|) — the standard check before using a
+    // classifier score as a sampling weight. One map-only scoring
+    // pass into a <=100-key hash aggregate.
+    "d_clf_calibration" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val w = TextStats.trainQualityClassifier(docs, col("text"),
+          label = (col("lang") === "en").cast("int"), iters = 3, lr = 0.5)
+        .orderBy("iter").collect().last
+      val p = round(TextStats.qualityProbability(col("text"),
+        bias = w.getDouble(1), wLen = w.getDouble(2),
+        wAlpha = w.getDouble(3), wStop = w.getDouble(4)), 4)
+      docs.select(least(floor(p * 100).cast("long"), lit(99L)).as("bin"),
+          p.as("p"), (col("lang") === "en").cast("int").as("y"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("p")), 4).as("mean_pred"),
+          round(avg(col("y").cast("double")), 4).as("frac_pos"))
+        .select(col("bin"), col("n_docs"), col("mean_pred"), col("frac_pos"),
+          round(abs(col("mean_pred") - col("frac_pos")), 4).as("gap"))
     }),
 
     // two-tier blocklist content gate (Dolma-style): frequency terms
@@ -4968,6 +5049,32 @@ object SparkEntry {
            |  (1/(1+exp(-(w.b + w.a1*x1 + w.a2*x2 + w.a3*x3))) >= 0.5) AS keep
            |FROM s, w""".stripMargin),
 
+      "d_clf_calibration" ->
+        (s"""WITH ${clfGdChain(3, "0.5")},
+           |w AS (SELECT round(b, 6) + 0 AS b, round(a1, 6) + 0 AS a1,
+           |  round(a2, 6) + 0 AS a2, round(a3, 6) + 0 AS a3 FROM w3),
+           |s AS (
+           |  SELECT doc_id,
+           |    least(len(string_split_regex(trim(text), '\\s+'))::double / 64.0, 1.0) AS x1,
+           |    length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))::double
+           |      / greatest(length(text)::double, 1.0) AS x2,
+           |    ${hitsExpr("en")}::double
+           |      / greatest(len(string_split_regex(trim(text), '\\s+'))::double, 1.0) AS x3
+           |  FROM documents),
+           |p AS (SELECT doc_id,
+           |    round(1/(1+exp(-(w.b + w.a1*x1 + w.a2*x2 + w.a3*x3))), 4) + 0 AS p
+           |  FROM s, w),
+           |j AS (SELECT CAST(least(floor(p.p * 100), 99) AS BIGINT) AS bin, p.p,
+           |    CAST(d.lang = 'en' AS INT) AS y
+           |  FROM p JOIN documents d USING (doc_id)),
+           |b AS (SELECT bin, count(*)::bigint AS n_docs,
+           |    round(avg(p), 4) + 0 AS mean_pred,
+           |    round(avg(y::double), 4) + 0 AS frac_pos
+           |  FROM j GROUP BY 1)
+           |SELECT bin, n_docs, mean_pred, frac_pos,
+           |  round(abs(mean_pred - frac_pos), 4) + 0 AS gap
+           |FROM b""".stripMargin),
+
       "d_ppl_buckets" ->
         ("""WITH toks AS (
           |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
@@ -5164,6 +5271,59 @@ object SparkEntry {
           |SELECT token, n, CAST(rank AS BIGINT) AS rank,
           |  n::double / total AS share, cum_n::double / total AS cum_share
           |FROM r, tot""".stripMargin),
+
+      "d_distinct_ngrams" ->
+        ("""WITH toks AS (SELECT string_split_regex(trim(text), '\s+') AS ws FROM documents),
+          |grams AS (
+          |  SELECT 1 AS n, unnest(ws) AS g FROM toks
+          |  UNION ALL
+          |  SELECT 2 AS n, ws[i] || ' ' || ws[i+1] AS g
+          |  FROM toks, unnest(generate_series(1, len(ws) - 1)) t(i)
+          |  UNION ALL
+          |  SELECT 3 AS n, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+          |  FROM toks, unnest(generate_series(1, len(ws) - 2)) t(i)),
+          |kept AS (SELECT n, g FROM grams WHERE g <> '')
+          |SELECT CAST(n AS BIGINT) AS n,
+          |  count(*)::bigint AS total_ngrams,
+          |  count(DISTINCT g)::bigint AS distinct_ngrams,
+          |  round(count(DISTINCT g)::double / count(*)::double, 4) + 0 AS distinct_ratio
+          |FROM kept GROUP BY 1""".stripMargin),
+
+      "e_bitext_margin" ->
+        (s"""WITH fr AS (
+           |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $cosine AS sim
+           |  FROM embeddings a JOIN embeddings b
+           |    ON a.vec_id % 2 = 0 AND b.vec_id % 2 = 1),
+           |fwd AS (SELECT query_id, neighbor_id, round(sim, 4) + 0 AS sim FROM (
+           |  SELECT *, row_number() OVER (
+           |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rk
+           |  FROM fr) t WHERE rk <= 4),
+           |bwd AS (SELECT neighbor_id AS query_id, query_id AS neighbor_id,
+           |    round(sim, 4) + 0 AS sim FROM (
+           |  SELECT *, row_number() OVER (
+           |    PARTITION BY neighbor_id ORDER BY sim DESC, query_id ASC) AS rk
+           |  FROM fr) t WHERE rk <= 4),
+           |favg AS (SELECT query_id, avg(sim) AS f_avg FROM fwd GROUP BY 1),
+           |bavg AS (SELECT query_id AS neighbor_id, avg(sim) AS b_avg FROM bwd GROUP BY 1),
+           |sc AS (SELECT f.query_id, f.neighbor_id, f.sim,
+           |    round(2.0 * f.sim / (fa.f_avg + ba.b_avg), 4) + 0 AS margin
+           |  FROM fwd f JOIN favg fa USING (query_id) JOIN bavg ba USING (neighbor_id))
+           |SELECT query_id, neighbor_id, sim, margin FROM (
+           |  SELECT *, row_number() OVER (
+           |    PARTITION BY query_id ORDER BY margin DESC, neighbor_id ASC) AS rk
+           |  FROM sc) t
+           |WHERE rk = 1 AND margin > 1.0""".stripMargin),
+
+      "d_tok_fertility" ->
+        ("""SELECT lang, count(*)::bigint AS n_docs,
+          |  sum(len(string_split_regex(trim(text), '\s+')))::bigint AS n_words,
+          |  sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')))::bigint AS n_tokens,
+          |  sum(length(text))::bigint AS n_chars,
+          |  round(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')))::double /
+          |    greatest(sum(len(string_split_regex(trim(text), '\s+'))), 1)::double, 4) + 0 AS fertility,
+          |  round(sum(length(text))::double /
+          |    greatest(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))), 1)::double, 4) + 0 AS chars_per_token
+          |FROM documents GROUP BY 1""".stripMargin),
 
       "d_tfidf" ->
         ("""WITH toks AS (

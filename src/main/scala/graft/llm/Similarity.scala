@@ -1093,6 +1093,43 @@ object Similarity {
         round(col("pos_sim") - col("neg_sim"), 4).as("margin"))
   }
 
+  /** Margin-criterion pair mining (Artetxe & Schwenk 2019 — the
+    * LASER/CCMatrix bitext-mining scorer weak-supervision pipelines
+    * use to harvest parallel/aligned pairs from two embedding sets):
+    * a candidate pair (x, y) scores `margin = 2·cos(x,y) /
+    * (avgF(x) + avgB(y))` where avgF(x) is the mean similarity of
+    * x's k nearest in the other set and avgB(y) the mean of y's k
+    * nearest back — the RATIO margin, which normalizes away hubness
+    * (a y that is everyone's neighbor gets a high denominator).
+    * Each query keeps its best-margin candidate; callers filter on
+    * `margin > 1` (the standard acceptance bar).
+    *
+    * Edge-agnostic like [[labelPropagate]]: pass any two
+    * (query_id, neighbor_id, sim) kNN relations — [[bruteKnn]] at
+    * fixture scale, [[lshKnn]]/[[rpSearch]] shortlists at corpus
+    * scale — so the only corpus-sized stage is the neighbor build;
+    * the mining itself is three hash aggregates + result-sized joins
+    * + a per-query rank window. Similarities arrive 4dp-rounded from
+    * the kNN builders, so the k-term means are exact grid sums and
+    * the margin is engine-deterministic before its own 4dp round.
+    */
+  def marginMine(fwd: DataFrame, bwd: DataFrame): DataFrame = {
+    val fAvg = fwd.groupBy("query_id").agg(avg(col("sim")).as("f_avg"))
+    val bAvg = bwd.groupBy("query_id")
+      .agg(avg(col("sim")).as("b_avg"))
+      .withColumnRenamed("query_id", "neighbor_id")
+    val scored = fwd
+      .join(fAvg, Seq("query_id"))
+      .join(bAvg, Seq("neighbor_id"))
+      .withColumn("margin",
+        round(lit(2.0) * col("sim") / (col("f_avg") + col("b_avg")), 4))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("margin").desc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("margin"))
+  }
+
   /** Semi-supervised label propagation over a neighbor graph (Zhu &
     * Ghahramani 2002, in the hard-label iterated form weak-
     * supervision pipelines use to auto-label training data from a
