@@ -89,7 +89,11 @@ object ScaleProbe {
     "m_vad_segments", "m_img_entropy",
     // round-12 adaptive-key re-legs: these three now size their
     // bucket/band key space to the corpus (lshBitsPlan / dhashPlan)
-    "e_lsh_knn", "m_afp_dedup")
+    "e_lsh_knn", "m_afp_dedup",
+    // round-12 corpus-eval aggregates: distinct-n is the heaviest new
+    // shape (3x corpus explode into a gram-keyed aggregate); fertility
+    // is a lang-keyed single-pass aggregate
+    "d_distinct_ngrams", "d_tok_fertility")
 
   def main(args: Array[String]): Unit = {
     val factors = args.headOption.map(_.split(',').map(_.trim.toInt).toSeq)
