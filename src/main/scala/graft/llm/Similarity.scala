@@ -161,6 +161,11 @@ object Similarity {
     * (OR-amplification: a near neighbor is missed only if it falls on
     * the wrong side in EVERY table, so recall rises exponentially in
     * `tables` while each table's candidate set stays Σ sᵢ²-bounded).
+    * Like every fixed bucket key, `bits` must grow with the corpus —
+    * size it with [[lshBitsPlan]] (the planes here are synthesized
+    * from component pairs, so bits is not capped by the embedding
+    * dimension); the registered fixture query keeps bits = 4 for the
+    * recall eval at n = 500.
     *
     * Execution shape: ONE equi-join on the composite (table, bucket)
     * key via a T-way explode — no cross-bucket or cross-table pair is
@@ -553,10 +558,31 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
   }
 
+  /** Corpus-adaptive IVF cell count — the third leg of the
+    * "size every fixed key space to the corpus" family
+    * ([[lshBitsPlan]], `Multimodal.dhashPlan`): the textbook
+    * IVF-Flat sizing `nlist ≈ √n` balances the two linear terms of a
+    * probe (centroid scan `nlist` + cell scan `nprobe·n/nlist`),
+    * rounded up to a power of two and floored so tiny corpora keep a
+    * meaningful partition. The centroid table stays
+    * broadcast-sized by construction (√n rows ≪ executor memory at
+    * any realistic n). The registered `e_ivf_*` fixtures keep their
+    * pinned k = 8 (a fixture-density choice; the rule picks 32 at
+    * n = 500) — this is the sizing for NEW index builds.
+    */
+  def ivfPlan(n: Long, floor: Int = 8, cap: Int = 1 << 18): Int = {
+    val target = math.sqrt(math.max(n, 1L).toDouble)
+    val pow2 = 1 << math.min(30, 64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(1L, math.ceil(target).toLong - 1)))
+    math.min(cap, math.max(floor, pow2))
+  }
+
   /** IVF-style coarse quantization: assign each vector to the nearest
     * of `centroids` (a small broadcast relation of (centroid_id,
     * centroid)); queries then probe only their cell. Returns the
     * assignment relation (vector_id → centroid_id, distance).
+    * Size `centroids` with [[ivfPlan]] when building the index from
+    * scratch.
     */
   def ivfAssign(
       vectors: DataFrame,

@@ -50,4 +50,14 @@ class LabelPropSpec extends AnyFunSuite {
         s"floor=$floor n=$n")
     }
   }
+
+  test("ivfPlan: sqrt-rule cell count, power of two, floored and capped") {
+    assert(Similarity.ivfPlan(1L) == 8)
+    assert(Similarity.ivfPlan(64L) == 8)
+    assert(Similarity.ivfPlan(500L) == 32)      // sqrt=22.4 -> 32
+    assert(Similarity.ivfPlan(1024L) == 32)     // sqrt=32 exactly
+    assert(Similarity.ivfPlan(1000000L) == 1024)
+    assert(Similarity.ivfPlan(100000000L) == 16384)
+    assert(Similarity.ivfPlan(Long.MaxValue / 4) == (1 << 18)) // capped
+  }
 }
