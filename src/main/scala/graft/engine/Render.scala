@@ -365,6 +365,16 @@ object Render {
     * frame. Version resolution follows `versionMode` like
     * [[fetchGroup]], but with the per-path precision/step/function as
     * COLUMNS, so heterogeneous rule groups still run in one plan.
+    *
+    * One deliberate divergence from [[render]]: there is no
+    * `maxGroups` coarsening here. The collected path coalesces
+    * per-(step, func) groups onto LCM steps past 32 groups because
+    * each group is a separate plan subtree (SURVEY §7.4 risk 1); this
+    * path has exactly ONE subtree regardless of group count, so every
+    * path keeps its own exact step. Responses are byte-identical to
+    * the collected path whenever it did not coarsen (fixture-pinned);
+    * past 32 distinct rule groups the scalable grid is the FINER,
+    * semantically-valid one.
     */
   def renderScalableWithMeta(
       points: DataFrame,
