@@ -221,6 +221,12 @@ final class HttpApi(
 
   import HttpApi._
 
+  // data-derived AQE shuffle ceiling for the serving session (same
+  // rule as Bench/Verify — see graft.Tuning): the server's input size
+  // is the tables dir, its parallelism the session's
+  graft.Tuning.configureShuffle(spark, Seq(tablesDir),
+    spark.sparkContext.defaultParallelism)
+
   private val cache = new FindCache.TtlCache[Any]()
   private val server: HttpServer = cfg.tls match {
     case Some(t) =>
