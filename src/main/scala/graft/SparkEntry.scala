@@ -1392,6 +1392,17 @@ object SparkEntry {
             col("total_ngrams").cast("double"), 4).as("distinct_ratio"))
     }),
 
+    // Late-interaction MaxSim (ColBERT scoring): vectors grouped 4 per
+    // "document" by id arithmetic, first 3 groups as queries; per-term
+    // max then per-doc sum, top-3 docs per query. The exhaustive join
+    // is the oracle shape; production pre-filters doc groups with an
+    // ANN shortlist (two-stage ColBERT).
+    "e_maxsim" -> ((s, dir) => {
+      val vecs = s.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("group_id", floor(col("vec_id") / 4).cast("long"))
+      Similarity.maxSim(vecs, vecs.where(col("group_id") < 3), k = 3)
+    }),
+
     // Margin-criterion pair mining (LASER/CCMatrix bitext scorer):
     // best ratio-margin candidate per query between the two id-parity
     // halves of the embedding set, kept at margin > 1. Edge-agnostic
@@ -5288,6 +5299,26 @@ object SparkEntry {
           |  count(DISTINCT g)::bigint AS distinct_ngrams,
           |  round(count(DISTINCT g)::double / count(*)::double, 4) + 0 AS distinct_ratio
           |FROM kept GROUP BY 1""".stripMargin),
+
+      "e_maxsim" ->
+        (s"""WITH g AS (SELECT vec_id, embedding,
+           |    CAST(floor(vec_id / 4) AS BIGINT) AS group_id FROM embeddings),
+           |sc AS (
+           |  SELECT a.group_id AS q_group, a.vec_id AS q_vec,
+           |    b.group_id AS d_group, round($cosine, 4) + 0 AS sim
+           |  FROM g a JOIN g b
+           |    ON a.group_id < 3 AND a.group_id <> b.group_id),
+           |term AS (SELECT q_group, q_vec, d_group, max(sim) AS term_max
+           |  FROM sc GROUP BY 1, 2, 3),
+           |doc AS (SELECT q_group, d_group,
+           |    round(sum(term_max), 4) + 0 AS maxsim,
+           |    count(*)::bigint AS n_terms
+           |  FROM term GROUP BY 1, 2)
+           |SELECT q_group, CAST(rank AS BIGINT) AS rank, d_group, maxsim, n_terms
+           |FROM (SELECT *, row_number() OVER (
+           |    PARTITION BY q_group ORDER BY maxsim DESC, d_group ASC) AS rank
+           |  FROM doc) t
+           |WHERE rank <= 3""".stripMargin),
 
       "e_bitext_margin" ->
         (s"""WITH fr AS (

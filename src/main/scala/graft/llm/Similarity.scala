@@ -1119,6 +1119,50 @@ object Similarity {
         round(col("pos_sim") - col("neg_sim"), 4).as("margin"))
   }
 
+  /** Late-interaction MaxSim retrieval (Khattab & Zaharia 2020,
+    * ColBERT): query and document are each a GROUP of vectors (token/
+    * chunk embeddings); `score(Q, D) = Σ_{q∈Q} max_{d∈D} cos(q, d)` —
+    * every query vector finds its best-matching document vector and
+    * the per-term maxima sum. Two hash aggregates express the whole
+    * interaction: max over (q_vec, d_group), then sum over (q_group,
+    * d_group) — no per-pair matrices materialize beyond the scored
+    * join, and the final top-k window partitions on the query group.
+    *
+    * Per-term sims are 4dp-grid-floored before the max/sum chain, so
+    * the score is an exact sum of grid values — engine-deterministic
+    * on any partitioning. The scored join here is the exhaustive
+    * (broadcast-query) form — the eval/oracle shape, like
+    * [[bruteKnn]]; at corpus scale feed `docVecs` pre-filtered by an
+    * ANN shortlist of candidate `d_group`s (the standard ColBERT
+    * two-stage: ANN per query vector → gather groups → exact MaxSim).
+    */
+  def maxSim(
+      docVecs: DataFrame,
+      queryVecs: DataFrame,
+      k: Int,
+      groupCol: String = "group_id",
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val q = queryVecs.select(col(groupCol).as("q_group"),
+      col(idCol).as("q_vec"), col(embCol).as("q_emb"))
+    val d = docVecs.select(col(groupCol).as("d_group"), col(embCol).as("d_emb"))
+    val scored = d.join(broadcast(q), col("q_group") =!= col("d_group"))
+      .withColumn("sim", round(cosine(col("q_emb"), col("d_emb")), 4))
+    val perTerm = scored
+      .groupBy(col("q_group"), col("q_vec"), col("d_group"))
+      .agg(max(col("sim")).as("term_max"))
+    val perDoc = perTerm
+      .groupBy(col("q_group"), col("d_group"))
+      .agg(round(sum(col("term_max")), 4).as("maxsim"),
+        count(lit(1)).as("n_terms"))
+    val w = Window.partitionBy("q_group")
+      .orderBy(col("maxsim").desc, col("d_group").asc)
+    perDoc.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_group"), col("rank").cast("long").as("rank"),
+        col("d_group"), col("maxsim"), col("n_terms"))
+  }
+
   /** Margin-criterion pair mining (Artetxe & Schwenk 2019 — the
     * LASER/CCMatrix bitext-mining scorer weak-supervision pipelines
     * use to harvest parallel/aligned pairs from two embedding sets):

@@ -37,6 +37,26 @@ class MarginMineSpec extends AnyFunSuite {
     assert(out.size == 2)
   }
 
+  test("maxSim: per-term max then per-doc sum, hand-checked late interaction") {
+    import spark.implicits._
+    // doc group 10 holds the perfect match for EACH query vec; group
+    // 20 holds one mediocre vector (cos .8 with q1, .6 with q2) twice
+    // — MaxSim must pick per-TERM maxima and sum them
+    val e1 = Seq(1.0f, 0.0f); val e2 = Seq(0.0f, 1.0f)
+    val mid = Seq(0.8f, 0.6f) // cos with e1 = .8, with e2 = .6
+    val docs = Seq(
+      (10L, 100L, e1), (10L, 101L, e2),   // perfect per-term matches
+      (20L, 200L, mid), (20L, 201L, mid)
+    ).toDF("group_id", "vec_id", "embedding")
+    val queries = Seq((0L, 1L, e1), (0L, 2L, e2))
+      .toDF("group_id", "vec_id", "embedding")
+    val out = Similarity.maxSim(docs, queries, k = 2)
+      .collect().map(r => (r.getLong(2), (r.getLong(1), r.getDouble(3), r.getLong(4))))
+      .toMap
+    assert(out(10L) == ((1L, 2.0, 2L)), s"got $out")   // 1.0 + 1.0
+    assert(out(20L) == ((2L, 1.4, 2L)), s"got $out")   // .8 + .6
+  }
+
   test("registered e_bitext_margin: accepted pairs cross the parity split, margin > 1") {
     val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val a = vecs.where(pmod(col("vec_id"), lit(2)) === 0)
