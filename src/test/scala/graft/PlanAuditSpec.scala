@@ -97,7 +97,11 @@ class PlanAuditSpec extends AnyFunSuite {
       "d_tfidf",
       // TextRank's per-iteration (1-d)/n term rides the same 1-row
       // broadcast; rank⋈edges is a shuffled equi-join (asserted below)
-      "d_textrank")) {
+      "d_textrank",
+      // round-12: MaxSim crosses the corpus with a broadcast-bounded
+      // query-vector batch (two-stage ColBERT prunes it in prod);
+      // bitext margin rides bruteKnn's broadcast query batches
+      "e_maxsim", "e_bitext_margin")) {
     test(s"$name: all-pairs stage is broadcast-bounded, never a distributed cartesian") {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"CartesianProduct in $name")
