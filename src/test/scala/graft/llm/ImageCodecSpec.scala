@@ -290,6 +290,28 @@ class ImageCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("wideBands == BigInt bit extraction for EVERY divisor band count (random fps)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0xBAD5EED)
+    val mask60 = (1L << 60) - 1L
+    val fps = (0L until 64L).map(id =>
+      (id, rnd.nextLong() & mask60, rnd.nextLong() & mask60))
+    val df = fps.toDF("doc_id", "fp_lo", "fp_hi")
+    for (bands <- Seq(2, 3, 4, 5, 6, 8, 10, 12, 15, 20, 24, 30, 40, 60)) {
+      val w = 120 / bands
+      val got = Multimodal.wideBands(df, bands)
+        .select("doc_id", "b", "v")
+        .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+      fps.foreach { case (id, lo, hi) =>
+        val full = (BigInt(hi) << 60) | BigInt(lo)
+        (0 until bands).foreach { i =>
+          val want = ((full >> (i * w)) & ((BigInt(1) << w) - 1)).toLong
+          assert(got((id, i)) == want, s"bands=$bands id=$id band=$i")
+        }
+      }
+    }
+  }
+
   test("imageEntropy: flat image scores exactly 0; rich image matches the hand fold") {
     import spark.implicits._
     def png(im: java.awt.image.BufferedImage): Array[Byte] = Multimodal.encodePng(im)
