@@ -52,13 +52,18 @@ object Tuning {
 
   /** Recursive on-disk byte count of a data directory (parquet files
     * plus whatever sidecars ship with them — close enough for a
-    * partition-count heuristic). Missing dir → 0. */
-  def dirBytes(dir: String): Long = {
-    def walk(f: java.io.File): Long =
-      if (f.isFile) f.length()
-      else Option(f.listFiles()).map(_.iterator.map(walk).sum).getOrElse(0L)
-    walk(new java.io.File(dir))
-  }
+    * partition-count heuristic). Resolved through the Hadoop
+    * FileSystem API so hdfs:// / s3a:// stores size correctly on a
+    * real cluster (a local-FS walk would silently return 0 there and
+    * floor the ceiling at cpus — the exact failure mode this class
+    * exists to remove). Missing dir or unreachable FS → 0 (the rule
+    * then floors at cpus, the safe small default). */
+  def dirBytes(dir: String, spark: SparkSession): Long =
+    try {
+      val path = new org.apache.hadoop.fs.Path(dir)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(path)) fs.getContentSummary(path).getLength else 0L
+    } catch { case scala.util.control.NonFatal(_) => 0L }
 
   /** The sizing rule itself, pure for testing. */
   def initialShufflePartitions(inputBytes: Long, cpus: Int): Int = {
@@ -74,7 +79,7 @@ object Tuning {
     * dirs after session start) can re-apply per input. Returns the
     * chosen initial count (for logging / assertions). */
   def configureShuffle(spark: SparkSession, dirs: Seq[String], cpus: Int): Int = {
-    val n = initialShufflePartitions(dirs.map(dirBytes).sum, cpus)
+    val n = initialShufflePartitions(dirs.map(dirBytes(_, spark)).sum, cpus)
     spark.conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum", n.toString)
     spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
       AdvisoryPartitionBytes.toString)

@@ -48,8 +48,12 @@ class TuningSpec extends AnyFunSuite {
     }
   }
 
-  test("dirBytes walks recursively and tolerates missing dirs") {
-    assert(Tuning.dirBytes("/root/testdata/sf0.001") > 0)
-    assert(Tuning.dirBytes("/nonexistent/nowhere") === 0L)
+  test("dirBytes sizes recursively via Hadoop FS and tolerates missing dirs") {
+    val s = SparkTestBase.spark
+    assert(Tuning.dirBytes("/root/testdata/sf0.001", s) > 0)
+    assert(Tuning.dirBytes("/nonexistent/nowhere", s) === 0L)
+    // explicit scheme resolves the same local bytes
+    assert(Tuning.dirBytes("file:/root/testdata/sf0.001", s) ===
+      Tuning.dirBytes("/root/testdata/sf0.001", s))
   }
 }
