@@ -77,9 +77,21 @@ object Tuning {
     * All three confs are runtime-settable session confs, so callers
     * that discover their input size late (ScaleProbe builds scaled
     * dirs after session start) can re-apply per input. Returns the
-    * chosen initial count (for logging / assertions). */
+    * chosen initial count (for logging / assertions).
+    *
+    * `spark.sql.files.maxPartitionBytes` is deliberately LEFT at
+    * Spark's 128 MB default: a round-12 A/B (SCALE_NOTES finding 8)
+    * measured shrinking scan splits to 16 MB at ×100 costing
+    * d_bigram_kn +32% (91.8 vs 69.8 s at identical shuffle sizing) —
+    * more, smaller scan tasks each build their own partial-aggregate
+    * map, so high-cardinality aggregates lose map-side combine
+    * efficiency and ship MORE shuffle bytes. Scan parallelism wants
+    * fewer, larger splits here; the round-10 finding-2 concern (a
+    * huge partial map per task) is a memory-headroom question, not a
+    * split-size one. */
   def configureShuffle(spark: SparkSession, dirs: Seq[String], cpus: Int): Int = {
-    val n = initialShufflePartitions(dirs.map(dirBytes(_, spark)).sum, cpus)
+    val bytes = dirs.map(dirBytes(_, spark)).sum
+    val n = initialShufflePartitions(bytes, cpus)
     spark.conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum", n.toString)
     spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
       AdvisoryPartitionBytes.toString)

@@ -48,6 +48,16 @@ class TuningSpec extends AnyFunSuite {
     }
   }
 
+  test("scan split size stays at Spark's default (the finding-8 A/B)") {
+    // configureShuffle must NOT shrink spark.sql.files.maxPartitionBytes:
+    // the x100 A/B measured 16 MB splits costing d_bigram_kn +32%
+    // (map-side combine degradation on high-cardinality aggregates)
+    val s = SparkTestBase.spark
+    val before = s.conf.getOption("spark.sql.files.maxPartitionBytes")
+    Tuning.configureShuffle(s, Seq("/root/testdata/sf0.001"), 4)
+    assert(s.conf.getOption("spark.sql.files.maxPartitionBytes") == before)
+  }
+
   test("dirBytes sizes recursively via Hadoop FS and tolerates missing dirs") {
     val s = SparkTestBase.spark
     assert(Tuning.dirBytes("/root/testdata/sf0.001", s) > 0)
