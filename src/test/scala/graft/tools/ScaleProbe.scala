@@ -93,7 +93,10 @@ object ScaleProbe {
     // round-12 corpus-eval aggregates: distinct-n is the heaviest new
     // shape (3x corpus explode into a gram-keyed aggregate); fertility
     // is a lang-keyed single-pass aggregate
-    "d_distinct_ngrams", "d_tok_fertility")
+    "d_distinct_ngrams", "d_tok_fertility",
+    // MaxSim: fixed 3-group query batch broadcast against a xR doc
+    // corpus — per-term max + per-doc sum aggregates, linear scan
+    "e_maxsim")
 
   def main(args: Array[String]): Unit = {
     val factors = args.headOption.map(_.split(',').map(_.trim.toInt).toSeq)
