@@ -3013,10 +3013,13 @@ object SparkEntry {
 
     // the linear dedup shape for the AUDIO modality (modality-generic
     // fpAnchorDedup over the 31-bit frame-energy codes); bands sized
-    // to the corpus by the same dhashPlan rule as the image leg
+    // to the corpus by the same dhashPlan rule as the image leg, with
+    // minBands=4 pinning the audio leg's recall floor — for a 32-bit
+    // fingerprint the noise rule alone is vacuous (always the widest
+    // 16-bit band, i.e. guaranteed radius Hamming<2 vs maxDist 5)
     "m_afp_dedup" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
-      val bands = Multimodal.dhashPlan(docs.count(), nBits = 32)
+      val bands = Multimodal.dhashPlan(docs.count(), nBits = 32, minBands = 4)
       Multimodal.fpAnchorDedup(
         Multimodal.audioFingerprint(docs),
         nBits = 32, bands = bands, maxDist = 5)
@@ -7611,7 +7614,8 @@ object SparkEntry {
            |  CAST(max(f) AS BIGINT) AS end_frame
            |FROM seg GROUP BY doc_id, seg_no, voiced""".stripMargin),
 
-      // bands corpus-adaptive via the same dhashPlan rule (32-bit fp)
+      // bands corpus-adaptive via the same dhashPlan rule (32-bit fp,
+      // minBands=4 recall floor in lockstep with the Spark side)
       "m_afp_dedup" ->
         (s"""WITH e AS ($afpEnergySql),
            |fp AS (
@@ -7624,7 +7628,7 @@ object SparkEntry {
            |bi AS (
            |  SELECT unnest(generate_series(0, b - 1)) AS i, 32 // b AS w
            |  FROM (SELECT ${Multimodal.dhashPlanSqlCase(32, 8,
-                    "(SELECT count(*) FROM documents)")} AS b) p),
+                    "(SELECT count(*) FROM documents)", minBands = 4)} AS b) p),
            |banded AS (SELECT doc_id, fp, i AS b,
            |    (fp >> (i*w)) & ((1::BIGINT << w) - 1) AS v
            |  FROM reps, bi),

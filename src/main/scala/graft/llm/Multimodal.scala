@@ -476,23 +476,38 @@ object Multimodal {
     * band is at most `nBits/2` wide (fits a long for both fingerprint
     * layouts in use: 120-bit two-long and ≤ 60-bit single-long).
     */
-  def dhashPlan(n: Long, nBits: Int, margin: Int = 8): Int = {
+  def dhashPlan(n: Long, nBits: Int, margin: Int = 8, minBands: Int = 2): Int = {
     val widths = bandWidths(nBits)
     val needed = ceilLog2(math.max(n, 2L)) + margin
-    widths.find(_ >= needed).map(nBits / _).getOrElse(nBits / widths.max)
+    val b = widths.find(_ >= needed).map(nBits / _).getOrElse(nBits / widths.max)
+    // Recall floor: for SHORT fingerprints (e.g. 32-bit audio
+    // signatures) the noise rule alone collapses to the widest band
+    // at any n ≥ 2 (ceilLog2+margin exceeds nBits/2), silently
+    // shrinking the guaranteed-candidate Hamming radius. A caller
+    // with a recall requirement pins minBands; the floor wins over
+    // the birthday bound by design — a short key space saturates at
+    // large n regardless of banding, so recall is the one knob left.
+    math.max(b, minBands)
   }
 
   /** The same rule as a DuckDB/ANSI-SQL CASE over a row-count
     * expression — emitted from the SAME width list so an oracle twin
     * can never band differently than [[dhashPlan]]:
-    * `w ≥ ceilLog2(n) + margin  ⟺  n ≤ 2^(w − margin)`.
+    * `w ≥ ceilLog2(n) + margin  ⟺  n ≤ 2^(w − margin)`; the
+    * `minBands` clamp is applied per branch, mirroring the Scala max.
     */
-  def dhashPlanSqlCase(nBits: Int, margin: Int, nExpr: String): String = {
+  def dhashPlanSqlCase(
+      nBits: Int, margin: Int, nExpr: String, minBands: Int = 2): String = {
     val widths = bandWidths(nBits)
+    val fallback = math.max(nBits / widths.max, minBands)
     val branches = widths.filter(_ > margin).map { w =>
-      s"WHEN $nExpr <= ${1L << (w - margin)} THEN ${nBits / w}"
+      s"WHEN $nExpr <= ${1L << (w - margin)} THEN ${math.max(nBits / w, minBands)}"
     }
-    s"(CASE ${branches.mkString(" ")} ELSE ${nBits / widths.max} END)"
+    // Every width <= margin → zero branches; a branchless CASE is
+    // invalid SQL while the Scala twin still returns the widest-band
+    // fallback — emit the bare constant so the twins agree.
+    if (branches.isEmpty) s"$fallback"
+    else s"(CASE ${branches.mkString(" ")} ELSE $fallback END)"
   }
 
   /** Candidate band widths for an `nBits` fingerprint, ascending:

@@ -90,7 +90,11 @@ object Similarity {
   def lshBitsPlanSqlCase(nExpr: String, floor: Int = 4, cap: Int = 20): String = {
     val branches = (floor until cap).map(b =>
       s"WHEN $nExpr <= ${1L << (b + 5)} THEN $b")
-    s"(CASE ${branches.mkString(" ")} ELSE $cap END)"
+    // floor >= cap degenerates to zero branches; a branchless CASE is
+    // invalid SQL while the Scala twin still returns cap — emit the
+    // bare constant so the twins agree instead of one erroring.
+    if (branches.isEmpty) s"$cap"
+    else s"(CASE ${branches.mkString(" ")} ELSE $cap END)"
   }
 
   /** Bucketed ANN: candidate pairs share the sign-LSH bucket, cosine

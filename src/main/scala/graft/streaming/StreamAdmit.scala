@@ -122,17 +122,27 @@ object StreamAdmit {
       import org.apache.spark.sql.functions.col
       val batch = batch0.drop("event_time")
       val spark = batch.sparkSession
-      def readPart(dir: String, empty: DataFrame): DataFrame =
-        if (new java.io.File(dir).exists())
+      // Existence must resolve through the store's OWN filesystem
+      // (hdfs://, s3a://, ...), not the driver's local FS — a
+      // java.io.File probe is always false for remote stores and
+      // would silently admit every near-duplicate.
+      def readPart(dir: String, empty: => DataFrame): DataFrame = {
+        val path = new org.apache.hadoop.fs.Path(dir)
+        val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+        if (fs.exists(path))
           spark.read.parquet(dir)
             .where(col("batch_id") =!= batchId) // replay: pre-batch view
             .drop("batch_id")
         else empty
+      }
       val store = readPart(storeDir, batch.limit(0))
-      val index = readPart(indexDir, {
-        import spark.implicits._
-        Seq.empty[(Long, String)].toDF("id", "band")
-      })
+      // First-batch empty index: derive the schema from the batch via
+      // the real bandIndex plan so `id` carries idCol's actual type
+      // (hardcoding (Long, String) would make non-long ids join
+      // against a mistyped probe side).
+      val index = readPart(indexDir,
+        Dedup.bandIndex(batch.limit(0), textCol, idCol,
+          shingleWidth, bands, rows))
       val admitted = Dedup.incrementalNearDups(
         store, index, batch, textCol, idCol,
         shingleWidth, bands, rows, threshold).persist()

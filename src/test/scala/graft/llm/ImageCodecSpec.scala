@@ -242,16 +242,29 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(Multimodal.dhashPlan(200L, 32) == 2)       // needed 16 -> w=16
     assert(Multimodal.dhashPlan(500L, 32) == 2)       // fallback: widest
     assert(Multimodal.dhashPlan(16L, 32) == 2)        // needed 12 -> w=16
+    // ... which is why m_afp_dedup pins a minBands=4 recall floor:
+    // the clamp wins over the noise bound at every n
+    assert(Multimodal.dhashPlan(16L, 32, minBands = 4) == 4)
+    assert(Multimodal.dhashPlan(500L, 32, minBands = 4) == 4)
+    assert(Multimodal.dhashPlan(1L << 40, 32, minBands = 4) == 4)
+    // ... and never LOWERS a rule choice that was already above it
+    assert(Multimodal.dhashPlan(500L, 120, minBands = 4) == 6)
   }
 
   test("dhashPlanSqlCase evaluates identically to dhashPlan (oracle-twin lockstep)") {
     for (nBits <- Seq(120, 32, 56);
+         minBands <- Seq(2, 4);
          n <- Seq(1L, 2L, 100L, 500L, 4096L, 4097L, 65536L, 65537L,
            500000L, 5000000L, 1L << 40, 1L << 53)) {
-      val sql = Multimodal.dhashPlanSqlCase(nBits, 8, n.toString)
+      val sql = Multimodal.dhashPlanSqlCase(nBits, 8, n.toString, minBands)
       val got = spark.sql(s"SELECT $sql AS b").head().get(0).toString.toInt
-      assert(got == Multimodal.dhashPlan(n, nBits), s"nBits=$nBits n=$n")
+      assert(got == Multimodal.dhashPlan(n, nBits, minBands = minBands),
+        s"nBits=$nBits n=$n minBands=$minBands")
     }
+    // degenerate emitter inputs (every width <= margin) must yield a
+    // bare constant matching the Scala fallback, not invalid SQL
+    val bare = Multimodal.dhashPlanSqlCase(8, 8, "n")
+    assert(!bare.contains("CASE") && bare == Multimodal.dhashPlan(5L, 8).toString)
   }
 
   test("dhashDedupWide with non-default bands == brute force (incl. straddling bands)") {

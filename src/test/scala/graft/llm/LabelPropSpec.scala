@@ -49,6 +49,11 @@ class LabelPropSpec extends AnyFunSuite {
       assert(got == Similarity.lshBitsPlan(n, floor = floor),
         s"floor=$floor n=$n")
     }
+    // floor >= cap degenerates to zero CASE branches: the emitter must
+    // produce a bare constant matching the Scala twin, not invalid SQL
+    val bare = Similarity.lshBitsPlanSqlCase("n", floor = 20, cap = 20)
+    assert(!bare.contains("CASE"))
+    assert(bare == Similarity.lshBitsPlan(5L, floor = 20, cap = 20).toString)
   }
 
   test("ivfPlan: sqrt-rule cell count, power of two, floored and capped") {
