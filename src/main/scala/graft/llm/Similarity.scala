@@ -581,6 +581,22 @@ object Similarity {
     math.min(cap, math.max(floor, pow2))
   }
 
+  /** The [[ivfPlan]] rule as a SQL CASE over a row-count expression,
+    * emitted from the identical thresholds so oracle twins can never
+    * size differently (`nlist = p  ⟺  n ≤ p²` for powers of two `p`,
+    * floored and capped — p² ≤ 2³⁶ is exact in double and exact here
+    * as integer literals). Like [[lshBitsPlanSqlCase]], a degenerate
+    * floor ≥ cap emits the bare constant instead of a branchless CASE.
+    */
+  def ivfPlanSqlCase(nExpr: String, floor: Int = 8, cap: Int = 1 << 18): String = {
+    require(Integer.bitCount(floor) == 1 && Integer.bitCount(cap) == 1,
+      s"ivfPlanSqlCase needs power-of-two floor/cap, got $floor/$cap")
+    val ps = Iterator.iterate(floor)(_ * 2).takeWhile(_ < cap).toSeq
+    val branches = ps.map(p => s"WHEN $nExpr <= ${p.toLong * p} THEN $p")
+    if (branches.isEmpty) s"$cap"
+    else s"(CASE ${branches.mkString(" ")} ELSE $cap END)"
+  }
+
   /** IVF-style coarse quantization: assign each vector to the nearest
     * of `centroids` (a small broadcast relation of (centroid_id,
     * centroid)); queries then probe only their cell. Returns the
@@ -1151,6 +1167,101 @@ object Similarity {
       col(idCol).as("q_vec"), col(embCol).as("q_emb"))
     val d = docVecs.select(col(groupCol).as("d_group"), col(embCol).as("d_emb"))
     val scored = d.join(broadcast(q), col("q_group") =!= col("d_group"))
+      .withColumn("sim", round(cosine(col("q_emb"), col("d_emb")), 4))
+    val perTerm = scored
+      .groupBy(col("q_group"), col("q_vec"), col("d_group"))
+      .agg(max(col("sim")).as("term_max"))
+    val perDoc = perTerm
+      .groupBy(col("q_group"), col("d_group"))
+      .agg(round(sum(col("term_max")), 4).as("maxsim"),
+        count(lit(1)).as("n_terms"))
+    val w = Window.partitionBy("q_group")
+      .orderBy(col("maxsim").desc, col("d_group").asc)
+    perDoc.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_group"), col("rank").cast("long").as("rank"),
+        col("d_group"), col("maxsim"), col("n_terms"))
+  }
+
+  /** The distinct (d_group, centroid_id) inverted membership the
+    * MaxSim shortlist probes against — built from one [[ivfAssign]]
+    * pass over the stored vectors, collapsed to document-group
+    * granularity. This is the index-build leg of the two-stage serve
+    * path; [[graft.llm.AnnIndex]] memoizes it as ingest-owned state.
+    */
+  def maxSimCellGroups(
+      docVecs: DataFrame,
+      centroids: DataFrame,
+      groupCol: String = "group_id",
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame =
+    ivfAssign(docVecs, centroids, idCol, embCol)
+      .select(col(idCol).as("neighbor_id"), col("centroid_id"))
+      .join(docVecs.select(col(idCol).as("neighbor_id"),
+        col(groupCol).as("d_group")), Seq("neighbor_id"))
+      .select(col("d_group"), col("centroid_id")).distinct()
+
+  /** Two-stage (shortlist-fed) MaxSim — the production shape of
+    * [[maxSim]], the standard ColBERT serve path (Khattab & Zaharia
+    * 2020 §3.6): an IVF probe per query VECTOR nominates candidate
+    * document groups, and exact MaxSim runs only on the shortlist.
+    *
+    * Stage 1 (candidate generation) never touches pairs: stored
+    * vectors key once on their home cell ([[ivfAssign]], a broadcast
+    * join against the √n-sized centroid table), the per-cell → d_group
+    * membership collapses to a DISTINCT, query vectors probe their
+    * `nprobe` nearest cells, and one equi-join on `centroid_id` yields
+    * the distinct (q_group, d_group) shortlist — result-sized, ≈
+    * queries × nprobe × groups-per-cell.
+    *
+    * Stage 2 re-reads only shortlisted document groups (an equi-join
+    * of `docVecs` on `d_group`) and scores them against the broadcast
+    * query batch with the identical grid-floored max/sum chain as
+    * [[maxSim]] — so any (q_group, d_group) pair the shortlist keeps
+    * scores EXACTLY as the exhaustive form, and recall is tunable with
+    * `nprobe` alone. Cost scales with shortlist × group size, not
+    * corpus: with the index prebuilt (`cellGroups`), the only
+    * corpus-wide work per batch is the stage-2 scan that gathers
+    * shortlisted groups.
+    */
+  def maxSimShortlist(
+      docVecs: DataFrame,
+      queryVecs: DataFrame,
+      centroids: DataFrame,
+      k: Int,
+      nprobe: Int = 1,
+      groupCol: String = "group_id",
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      cellGroups: Option[DataFrame] = None): DataFrame = {
+    val cents = broadcast(centroids.select(col("centroid_id"), col("centroid")))
+    // stored side: distinct (d_group, cell) membership — index state;
+    // serving deployments pass the ingest-maintained relation
+    // ([[graft.llm.AnnIndex.maxSimCellGroups]]) instead of paying the
+    // O(n·nlist·d) assignment per query batch
+    val cellGroupsDf = cellGroups.getOrElse(
+      maxSimCellGroups(docVecs, centroids, groupCol, idCol, embCol))
+    // query side: distinct (q_group, cell) over each vector's nprobe cells
+    val probeW = Window.partitionBy("q_vec")
+      .orderBy(col("c_sim").desc, col("centroid_id").asc)
+    val probeGroups = queryVecs
+      .select(col(groupCol).as("q_group"), col(idCol).as("q_vec"),
+        col(embCol).as("q_emb"))
+      .join(cents)
+      .withColumn("c_sim", cosine(col("q_emb"), col("centroid")))
+      .withColumn("c_rank", row_number().over(probeW))
+      .where(col("c_rank") <= nprobe)
+      .select(col("q_group"), col("centroid_id")).distinct()
+    val shortlist = probeGroups.join(cellGroupsDf, Seq("centroid_id"))
+      .where(col("q_group") =!= col("d_group"))
+      .select(col("q_group"), col("d_group")).distinct()
+    // stage 2: exact MaxSim on shortlisted pairs only
+    val q = queryVecs.select(col(groupCol).as("q_group"),
+      col(idCol).as("q_vec"), col(embCol).as("q_emb"))
+    val scored = docVecs
+      .select(col(groupCol).as("d_group"), col(embCol).as("d_emb"))
+      .join(shortlist, Seq("d_group"))
+      .join(broadcast(q), Seq("q_group"))
       .withColumn("sim", round(cosine(col("q_emb"), col("d_emb")), 4))
     val perTerm = scored
       .groupBy(col("q_group"), col("q_vec"), col("d_group"))

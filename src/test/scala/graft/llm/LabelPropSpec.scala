@@ -65,4 +65,17 @@ class LabelPropSpec extends AnyFunSuite {
     assert(Similarity.ivfPlan(100000000L) == 16384)
     assert(Similarity.ivfPlan(Long.MaxValue / 4) == (1 << 18)) // capped
   }
+
+  test("ivfPlanSqlCase evaluates identically to ivfPlan (oracle-twin lockstep)") {
+    for (n <- Seq(1L, 63L, 64L, 65L, 256L, 257L, 500L, 1024L, 1025L,
+      1000000L, 100000000L, 1L << 36, Long.MaxValue / 4)) {
+      val sql = Similarity.ivfPlanSqlCase(n.toString)
+      val got = spark.sql(s"SELECT $sql AS nlist").head().get(0).toString.toInt
+      assert(got == Similarity.ivfPlan(n), s"n=$n sql=$got scala=${Similarity.ivfPlan(n)}")
+    }
+    // degenerate floor >= cap emits the bare constant, like the other
+    // emitters in the sizing-rule family
+    val bare = Similarity.ivfPlanSqlCase("n", floor = 8, cap = 8)
+    assert(!bare.contains("CASE") && bare == "8")
+  }
 }

@@ -1,0 +1,79 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Two-stage (IVF-shortlist-fed) MaxSim — the ColBERT serve path:
+  * stage 1 nominates candidate doc groups per query vector via cell
+  * probes; stage 2 scores the shortlist with the EXACT grid-floored
+  * max/sum chain, so retained pairs are bit-identical to the
+  * exhaustive form and only recall is traded via nprobe.
+  */
+class MaxSimShortlistSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  test("probe prunes far cells; shortlisted pairs score exactly as maxSim") {
+    import spark.implicits._
+    // two well-separated cells on the axes; query group 0 lives on the
+    // x-axis, doc group 10 with it, doc group 20 on the y-axis
+    val centroids = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)))
+      .toDF("centroid_id", "centroid")
+    val docs = Seq(
+      (10L, 100L, Seq(0.9f, 0.1f)), (10L, 101L, Seq(0.95f, 0.05f)),
+      (20L, 200L, Seq(0.1f, 0.9f)), (20L, 201L, Seq(0.05f, 0.95f))
+    ).toDF("group_id", "vec_id", "embedding")
+    val queries = Seq((0L, 1L, Seq(1f, 0f)), (0L, 2L, Seq(0.8f, 0.2f)))
+      .toDF("group_id", "vec_id", "embedding")
+
+    // nprobe=1: only the x-cell is probed → group 20 never scored
+    val pruned = Similarity
+      .maxSimShortlist(docs, queries, centroids, k = 3, nprobe = 1)
+      .collect()
+    assert(pruned.map(_.getLong(2)).toSet == Set(10L), pruned.mkString(","))
+
+    // the retained pair's score is EXACTLY the exhaustive maxSim score
+    val exhaustive = Similarity.maxSim(docs, queries, k = 3)
+      .collect().map(r => r.getLong(2) -> (r.getDouble(3), r.getLong(4))).toMap
+    val p10 = pruned.find(_.getLong(2) == 10L).get
+    assert((p10.getDouble(3), p10.getLong(4)) == exhaustive(10L))
+
+    // nprobe=2 probes both cells → full recall, all scores exact
+    val full = Similarity
+      .maxSimShortlist(docs, queries, centroids, k = 3, nprobe = 2)
+      .collect().map(r => r.getLong(2) -> (r.getDouble(3), r.getLong(4))).toMap
+    assert(full == exhaustive)
+  }
+
+  test("registered e_maxsim_ivf shape: nprobe=2 matches exhaustive top-k exactly on the fixture") {
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .withColumn("group_id", floor(col("vec_id") / 4).cast("long"))
+    val q = vecs.where(col("group_id") < 3)
+    val nlist = Similarity.ivfPlan(vecs.count())
+    val centroids = vecs.where(col("vec_id") < nlist)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))
+    val exhaustive = Similarity.maxSim(vecs, q, k = 3).collect().map(key).toSet
+    val two = Similarity
+      .maxSimShortlist(vecs, q, centroids, k = 3, nprobe = 2)
+      .collect().map(key).toSet
+    // measured (DriveScratch maxsim): recall 1.0 at nprobe=2 on both
+    // sf0.001 and sf0.01 with zero score mismatches; nprobe=1 reads 8/9
+    assert(two == exhaustive)
+    assert(exhaustive.size == 9)
+
+    // nprobe=1 under-recalls but every retained pair still scores on
+    // the same grid as the exhaustive form (subset property)
+    val one = Similarity
+      .maxSimShortlist(vecs, q, centroids, k = 3, nprobe = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> (r.getDouble(3), r.getLong(4)))
+      .toMap
+    val exMap = exhaustive.map(t => (t._1, t._3) -> ((t._4, t._5))).toMap
+    one.foreach { case (k2, v) =>
+      exMap.get(k2).foreach(ev => assert(ev == v, s"pair $k2 diverged"))
+    }
+  }
+}

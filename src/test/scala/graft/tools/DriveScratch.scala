@@ -12,6 +12,8 @@ object DriveScratch {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("sq8")) { sq8Drive(); return }
     if (args.headOption.contains("groupleft")) { groupLeftDrive(args.drop(1)); return }
+    if (args.headOption.contains("maxsim")) { maxSimDrive(args.drop(1)); return }
+    if (args.headOption.contains("avilums")) { aviLumsDrive(args.drop(1)); return }
     val spark = SparkTestBase.spark
     val sfDir = "/root/testdata/sf0.001"
 
@@ -71,6 +73,80 @@ object DriveScratch {
   /** Stage-level triage of p_query_groupleft at a scaled dir: per-stage
     * wall time + task count + shuffle volumes, plus the formatted plan.
     */
+  /** Recall of the two-stage (IVF-shortlist) MaxSim vs the exhaustive
+    * form at a given sf dir — picks the spec's pinned recall floor.
+    */
+  /** Max |decoded − analytic| per-frame mean luminance over a corpus —
+    * picks the m_avi_motion_banded tolerance (band width must dominate
+    * the JPEG round-trip error with a wide margin).
+    */
+  private def aviLumsDrive(args: Array[String]): Unit = {
+    val spark = SparkTestBase.spark
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+    var maxErr = 0.0; var maxMotionErr = 0.0; var n = 0
+    docs.foreach { r =>
+      val id = r.getLong(0)
+      val text = Option(r.getString(1)).getOrElse("")
+      val w = (8 + (id % 5)).toInt; val h = (6 + (id % 4)).toInt
+      val nF = (2 + (id % 4)).toInt
+      val seed = text.getBytes("UTF-8")
+      def analytic(f: Int): Double = {
+        val base = if (seed.isEmpty) 0 else (seed(f % seed.length) & 0xff) >> 1
+        val rx = (0 until w).map(x => (x * 127) / (w - 1)).sum.toDouble / w
+        val ry = (0 until h).map(y => (y * 127) / (h - 1)).sum.toDouble / h
+        (base + 0.299 * rx + 0.587 * ry + 0.114 * math.min(16 * f, 255 - base)) / 255.0
+      }
+      val avi = graft.llm.Multimodal.aviBytes(
+        (0 until nF).map(f => graft.llm.Multimodal.jpegFrame(seed, w, h, f)), w, h)
+      val lums = graft.llm.Multimodal.aviFrames(avi).flatMap { case (_, j) =>
+        Option(graft.llm.Multimodal.decodeImageOrNull(j)).map { im =>
+          var s = 0.0
+          for (y <- 0 until im.getHeight; x <- 0 until im.getWidth) {
+            val rgb = im.getRGB(x, y)
+            s += (0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+              0.114 * (rgb & 0xff)) / 255.0
+          }
+          s / (im.getWidth * im.getHeight)
+        }
+      }
+      val an = (0 until nF).map(analytic)
+      lums.zip(an).foreach { case (d, a) =>
+        maxErr = math.max(maxErr, math.abs(d - a)); n += 1 }
+      val dm = if (lums.length < 2) 0.0
+        else lums.sliding(2).map(p => math.abs(p(1) - p(0))).sum / (lums.length - 1)
+      val am = if (an.length < 2) 0.0
+        else an.sliding(2).map(p => math.abs(p(1) - p(0))).sum / (an.length - 1)
+      maxMotionErr = math.max(maxMotionErr, math.abs(dm - am))
+    }
+    println(f"AVILUMS dir=$dir frames=$n maxLumErr=$maxErr%.6f maxMotionErr=$maxMotionErr%.6f")
+  }
+
+  private def maxSimDrive(args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = SparkTestBase.spark
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .withColumn("group_id", floor(col("vec_id") / 4).cast("long"))
+    val q = vecs.where(col("group_id") < 3)
+    val exhaustive = graft.llm.Similarity.maxSim(vecs, q, k = 3)
+      .select("q_group", "d_group", "maxsim")
+    for (nprobe <- Seq(1, 2, 4)) {
+      val nlist = graft.llm.Similarity.ivfPlan(vecs.count())
+      val centroids = vecs.where(col("vec_id") < nlist)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+      val two = graft.llm.Similarity
+        .maxSimShortlist(vecs, q, centroids, k = 3, nprobe = nprobe)
+        .select(col("q_group"), col("d_group"), col("maxsim").as("m2"))
+      val joined = exhaustive.join(two, Seq("q_group", "d_group"))
+      val nEx = exhaustive.count(); val nHit = joined.count()
+      val mism = joined.where(col("maxsim") =!= col("m2")).count()
+      println(s"MAXSIM dir=$dir nprobe=$nprobe nlist=$nlist " +
+        s"recall=${nHit.toDouble / nEx} ($nHit/$nEx) score_mismatch=$mism")
+    }
+  }
+
   private def groupLeftDrive(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("target/scale/x100")
     val threads = args.lift(1).getOrElse("32")

@@ -96,7 +96,14 @@ object ScaleProbe {
     "d_distinct_ngrams", "d_tok_fertility",
     // MaxSim: fixed 3-group query batch broadcast against a xR doc
     // corpus — per-term max + per-doc sum aggregates, linear scan
-    "e_maxsim")
+    "e_maxsim",
+    // round-13: the two-stage serve path. The O(n·nlist·d) cell
+    // assignment is ingest-owned index state (AnnIndex memo — paying
+    // it per query batch measured 132 s at x100, n^1.5); min-of-2
+    // times the SERVED batch: probe + shortlist + one gather scan.
+    // Measured flat in corpus size (x1 1.04 s / x10 0.87 / x100 1.05
+    // vs exhaustive e_maxsim 3.86 s at x100)
+    "e_maxsim_ivf")
 
   def main(args: Array[String]): Unit = {
     val factors = args.headOption.map(_.split(',').map(_.trim.toInt).toSeq)
