@@ -92,9 +92,59 @@ object Tuning {
   def configureShuffle(spark: SparkSession, dirs: Seq[String], cpus: Int): Int = {
     val bytes = dirs.map(dirBytes(_, spark)).sum
     val n = initialShufflePartitions(bytes, cpus)
+    applyConf(spark, n)
+    n
+  }
+
+  /** Set the two AQE session confs for an already-derived count. */
+  def applyConf(spark: SparkSession, n: Int): Unit = {
     spark.conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum", n.toString)
     spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
       AdvisoryPartitionBytes.toString)
-    n
+  }
+
+  /** Re-derives the ceiling for long-lived serving sessions. Batch
+    * entrypoints (Bench/Verify/ScaleProbe) re-derive per run, but an
+    * HTTP session over a store that streaming ingest + compaction grow
+    * 10× would otherwise keep its boot-time `initialPartitionNum`
+    * forever. The Retuner re-stats the store through the same
+    * Hadoop-FS rule at most once per `minIntervalSec` (cheap: one
+    * `getContentSummary`, no Spark job, no driver lock on the hot
+    * path) and touches the session confs ONLY when the derived count
+    * changes — a static store re-derives the identical count and the
+    * confs (including any manual override layered on top) are left
+    * untouched. Shrinkage (compaction, retention drops) lowers the
+    * ceiling the same way growth raises it.
+    */
+  final class Retuner(
+      spark: SparkSession,
+      dirs: Seq[String],
+      cpus: Int,
+      minIntervalSec: Long = 60L) {
+    @volatile private var lastCheckSec = Long.MinValue
+    @volatile private var currentN: Int = -1
+
+    /** The count currently applied to the session. */
+    def current: Int = currentN
+
+    /** Unconditional derive-and-apply (boot-time sizing). */
+    def force(nowSec: Long): Int = synchronized {
+      lastCheckSec = nowSec
+      currentN = configureShuffle(spark, dirs, cpus)
+      currentN
+    }
+
+    /** Rate-limited re-check; call from the serving request path. */
+    def maybe(nowSec: Long): Int = {
+      if (nowSec - lastCheckSec >= minIntervalSec) synchronized {
+        if (nowSec - lastCheckSec >= minIntervalSec) {
+          lastCheckSec = nowSec
+          val bytes = dirs.map(dirBytes(_, spark)).sum
+          val n = initialShufflePartitions(bytes, cpus)
+          if (n != currentN) { currentN = n; applyConf(spark, n) }
+        }
+      }
+      currentN
+    }
   }
 }

@@ -51,7 +51,10 @@ object HttpApi {
       // found-path count above which /render switches to the
       // fully-distributed plan (no driver-side path list — SURVEY §7.4
       // risk 6); 0 disables the fallback (classic collected path only)
-      renderScalableThreshold: Int = 0)
+      renderScalableThreshold: Int = 0,
+      // minimum seconds between store-size re-stats for the serving
+      // session's shuffle-ceiling re-derivation (graft.Tuning.Retuner)
+      retuneIntervalSec: Long = 60L)
 
   /** TLS listener config — the JVM-keystore equivalent of the
     * reference's `[clickhouse.tls]` cert block (`tests/tls/
@@ -223,9 +226,14 @@ final class HttpApi(
 
   // data-derived AQE shuffle ceiling for the serving session (same
   // rule as Bench/Verify — see graft.Tuning): the server's input size
-  // is the tables dir, its parallelism the session's
-  graft.Tuning.configureShuffle(spark, Seq(tablesDir),
-    spark.sparkContext.defaultParallelism)
+  // is the tables dir, its parallelism the session's. Long-lived
+  // sessions re-derive as ingest/compaction grow (or shrink) the
+  // store: the Retuner re-stats at most once per retuneIntervalSec
+  // from the request path and re-applies only on a changed count.
+  private val retuner = new graft.Tuning.Retuner(
+    spark, Seq(tablesDir), spark.sparkContext.defaultParallelism,
+    cfg.retuneIntervalSec)
+  retuner.force(clock().getEpochSecond)
 
   private val cache = new FindCache.TtlCache[Any]()
   private val server: HttpServer = cfg.tls match {
@@ -277,6 +285,7 @@ final class HttpApi(
 
   private def handle(ex: HttpExchange): Unit = {
     val path = ex.getRequestURI.getPath
+    retuner.maybe(clock().getEpochSecond)
     try {
       path match {
         case p if p.startsWith("/render")        => render(ex)

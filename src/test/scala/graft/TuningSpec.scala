@@ -58,6 +58,43 @@ class TuningSpec extends AnyFunSuite {
     assert(s.conf.getOption("spark.sql.files.maxPartitionBytes") == before)
   }
 
+  test("Retuner re-derives on growth, rate-limits, and leaves a static store alone") {
+    val s = SparkTestBase.spark
+    val key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    val before = s.conf.getOption(key)
+    val dir = java.nio.file.Files.createTempDirectory("graft-retune").toFile
+    try {
+      val r = new Tuning.Retuner(s, Seq(dir.getAbsolutePath), cpus = 2,
+        minIntervalSec = 60L)
+      assert(r.force(1000L) === 2) // empty dir → floor at cpus
+      assert(s.conf.get(key) === "2")
+
+      // grow the store past the floor: 5 MB → rule wants 5 partitions
+      java.nio.file.Files.write(dir.toPath.resolve("pad.bin"),
+        new Array[Byte](5 << 20))
+      // within the interval: no re-stat, conf untouched
+      assert(r.maybe(1030L) === 2)
+      assert(s.conf.get(key) === "2")
+      // past the interval: re-derived on the check path
+      assert(r.maybe(1061L) === 5)
+      assert(s.conf.get(key) === "5")
+
+      // static store: confs are re-applied ONLY on a changed count —
+      // a manual override layered on the session survives the re-check
+      s.conf.set(key, "777")
+      assert(r.maybe(1200L) === 5)
+      assert(s.conf.get(key) === "777")
+
+      // shrinkage lowers the ceiling the same way growth raises it
+      java.nio.file.Files.delete(dir.toPath.resolve("pad.bin"))
+      assert(r.maybe(1300L) === 2)
+      assert(s.conf.get(key) === "2")
+    } finally {
+      before.foreach(v => s.conf.set(key, v))
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
   test("dirBytes sizes recursively via Hadoop FS and tolerates missing dirs") {
     val s = SparkTestBase.spark
     assert(Tuning.dirBytes("/root/testdata/sf0.001", s) > 0)

@@ -597,4 +597,51 @@ class HttpApiSpec extends AnyFunSuite {
   test("unknown route is 404") {
     assert(get("/nope").statusCode() == 404)
   }
+
+  test("serving session re-derives the shuffle ceiling as the store grows") {
+    import spark.implicits._
+    val key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    val before = spark.conf.getOption(key)
+    val dir = Files.createTempDirectory("graft-retune-http").toFile.getAbsolutePath
+    @volatile var t = rnow + 5
+    val srv = new HttpApi(
+      spark, s"$dir/t", HttpApi.Config(rules = rules),
+      clock = () => Instant.ofEpochSecond(t)).start()
+    def g(path: String) = client.send(
+      HttpRequest.newBuilder(URI.create(srv.address + path)).GET().build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+    try {
+      Ingest.processBatch(
+        Ingest.parseLines(Seq(s"test.retune 1.0 $rnow").toDF("value")),
+        s"$dir/t")
+      val cpus = spark.sparkContext.defaultParallelism
+      // boot: tiny store floors at the session parallelism
+      assert(g("/alive").statusCode() == 200)
+      assert(spark.conf.get(key).toInt == cpus)
+
+      // ingest/compaction grow the store well past the floor (the
+      // rule is one partition per MB of on-disk bytes)
+      val padMb = cpus + 16
+      Files.write(java.nio.file.Paths.get(dir, "t", "pad.bin"),
+        new Array[Byte](padMb << 20))
+      // same store clock-window: no re-stat yet, conf unchanged
+      assert(g("/alive").statusCode() == 200)
+      assert(spark.conf.get(key).toInt == cpus)
+      // past the retune interval: the request path raises the ceiling
+      // without a server restart
+      t += 61
+      assert(g("/alive").statusCode() == 200)
+      assert(spark.conf.get(key).toInt == padMb)
+
+      // static store afterwards: re-applied only on change — a manual
+      // session override survives the periodic re-check
+      spark.conf.set(key, "777")
+      t += 61
+      assert(g("/alive").statusCode() == 200)
+      assert(spark.conf.get(key) == "777")
+    } finally {
+      srv.stop()
+      before.foreach(v => spark.conf.set(key, v))
+    }
+  }
 }
