@@ -15,6 +15,32 @@ import org.apache.spark.sql.SparkSession
   * reported per query under `cold` for cache-sensitivity reading.
   */
 object Bench {
+  /** Fixed map-only host-weather gauge: a deterministic,
+    * testdata-independent CPU job (67M codegen'd xxhash64 rows across
+    * the session's full parallelism, no shuffle, no I/O) timed before
+    * and after the suite, so every snapshot self-reports its window.
+    * Recorded rounds repeatedly burned sessions adjudicating 1.2–1.9×
+    * "regressions" that were co-tenant bursts (r11→r12: a manual
+    * worktree A/B to prove 173 s vs 152 s was weather); with
+    * `calib_before`/`calib_after` in the artifact, cross-round readers
+    * divide by the calibration ratio instead. One untimed pass warms
+    * codegen/JIT (a one-off cost, not weather); min-of-2 after that
+    * still tracks sustained host slowness, which is the signal.
+    */
+  def calibrate(spark: SparkSession): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      // bit_xor, not sum: summing 67M full-range hashes overflows
+      // Long under ANSI mode
+      spark.range(0L, 1L << 26, 1L, spark.sparkContext.defaultParallelism)
+        .selectExpr("bit_xor(xxhash64(xxhash64(xxhash64(id)))) AS h")
+        .write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    once()
+    math.min(once(), once())
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -59,6 +85,8 @@ object Bench {
     val only: Option[Set[String]] =
       if (args.nonEmpty) Some(args(0).split(',').toSet) else None
 
+    val calibBefore = calibrate(spark)
+
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val coldTimings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
@@ -100,6 +128,8 @@ object Bench {
     val qs = timings.map { case (k, v) => s"${jstr(k)}:${num(v)}" }.mkString("{", ",", "}")
     val cs = coldTimings.map { case (k, v) => s"${jstr(k)}:${num(v)}" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    val calibAfter = calibrate(spark)
+    val calib = s""""calib_before":${num(calibBefore)},"calib_after":${num(calibAfter)}"""
     val total = timings.values.sum
     // the stdout contract line carries queries (min-of-2) but NOT the
     // cold map: round 6's recorded artifact was head-truncated by the
@@ -107,7 +137,7 @@ object Bench {
     // losing the first ~17 entries. Everything — cold included — goes
     // durably to target/bench.json.
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$cs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$calib,"queries":$qs,"cold":$cs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":"$sfDir"}"""
     try {
       val out = java.nio.file.Paths.get("target/bench.json")
       java.nio.file.Files.createDirectories(out.getParent)
@@ -145,7 +175,7 @@ object Bench {
     val esShort = errors.take(3).map { case (k, v) => s"${jstr(k)}:${jstr(v.take(80))}" }
       .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$hq,"queries_note":"headline+slowest subset of ${timings.size}; full map in BENCH chunk lines above and target/bench.json","errors":$esShort,"n_ok":${timings.size},"n_err":${errors.size},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${num(total)},"unit":"sec",$calib,"queries":$hq,"queries_note":"headline+slowest subset of ${timings.size}; full map in BENCH chunk lines above and target/bench.json","errors":$esShort,"n_ok":${timings.size},"n_err":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
