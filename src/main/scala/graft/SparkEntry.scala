@@ -1403,6 +1403,26 @@ object SparkEntry {
       Similarity.maxSim(vecs, vecs.where(col("group_id") < 3), k = 3)
     }),
 
+    // Two-stage (shortlist-fed) MaxSim — the ColBERT serve path: an
+    // IVF probe per query vector (cells sized by the corpus-adaptive
+    // sqrt rule, first-nlist-ids centroids) nominates candidate doc
+    // groups; exact grid-floored MaxSim scores only the shortlist.
+    // The (d_group, cell) membership is ingest-owned index state
+    // (AnnIndex memo, like GraphiteTables' derived tables): its
+    // O(n·nlist·d) assignment is the FAISS add() cost, paid once per
+    // corpus — served batches pay probe + shortlist + one gather scan.
+    "e_maxsim_ivf" -> ((s, dir) => {
+      val vecs = s.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("group_id", floor(col("vec_id") / 4).cast("long"))
+      val nlist = Similarity.ivfPlan(vecs.count())
+      val centroids = vecs.where(col("vec_id") < nlist)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+      val cells = graft.llm.AnnIndex.maxSimCellGroups(
+        s, dir, vecs, centroids, nlist)
+      Similarity.maxSimShortlist(vecs, vecs.where(col("group_id") < 3),
+        centroids, k = 3, nprobe = 2, cellGroups = Some(cells))
+    }),
+
     // Margin-criterion pair mining (LASER/CCMatrix bitext scorer):
     // best ratio-margin candidate per query between the two id-parity
     // halves of the embedding set, kept at margin > 1. Edge-agnostic
@@ -3058,7 +3078,17 @@ object SparkEntry {
     "m_avi_motion" -> ((s, dir) =>
       Multimodal.videoMotion(
         Multimodal.withAviPayload(s.read.parquet(s"$dir/documents.parquet")))
-        .select(col("doc_id"), col("n_frames"))))
+        .select(col("doc_id"), col("n_frames"))),
+
+    // the banded gate over the LOSSY leg m_avi_motion can't hash:
+    // per-frame analytic luminance bands (pure (doc_id, text)
+    // arithmetic, recomputed by the twin) + error bands of the REAL
+    // decoded luminance/motion against the analytic values —
+    // floor(|decoded − analytic|/0.01), 0 row-by-row iff the
+    // write→RIFF-walk→JPEG-decode chain reproduces every frame
+    // within tolerance (measured max err 0.00095 across sf0.01).
+    "m_avi_motion_banded" -> ((s, dir) =>
+      Multimodal.videoMotionBanded(s.read.parquet(s"$dir/documents.parquet"))))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -5323,6 +5353,49 @@ object SparkEntry {
            |  FROM doc) t
            |WHERE rank <= 3""".stripMargin),
 
+      // two-stage twin: identical IVF assign/probe CTEs as e_ivf_search
+      // (nlist from the same sqrt-rule CASE emitter), DISTINCT group
+      // membership + shortlist, then the exact e_maxsim scoring chain
+      // restricted to shortlisted (q_group, d_group) pairs
+      "e_maxsim_ivf" ->
+        (s"""WITH g AS (SELECT vec_id, embedding,
+           |    CAST(floor(vec_id / 4) AS BIGINT) AS group_id FROM embeddings),
+           |msplan AS (SELECT ${Similarity.ivfPlanSqlCase(
+                "(SELECT count(*) FROM embeddings)")} AS nlist),
+           |cents AS (SELECT vec_id AS centroid_id, embedding AS cent
+           |  FROM embeddings WHERE vec_id < (SELECT nlist FROM msplan)),
+           |cscored AS (SELECT a.vec_id, a.group_id, c.centroid_id,
+           |  list_sum(list_transform(generate_series(1, len(a.embedding)), i -> a.embedding[i]::double * c.cent[i]::double)) /
+           |  (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)), i -> a.embedding[i]::double * a.embedding[i]::double))) *
+           |   sqrt(list_sum(list_transform(generate_series(1, len(c.cent)), i -> c.cent[i]::double * c.cent[i]::double)))) AS sim
+           |  FROM g a, cents c),
+           |cellg AS (SELECT DISTINCT group_id AS d_group, centroid_id FROM (
+           |  SELECT vec_id, group_id, centroid_id, row_number() OVER (
+           |    PARTITION BY vec_id ORDER BY sim DESC, centroid_id ASC) AS rk
+           |  FROM cscored) r WHERE rk = 1),
+           |probeg AS (SELECT DISTINCT group_id AS q_group, centroid_id FROM (
+           |  SELECT vec_id, group_id, centroid_id, row_number() OVER (
+           |    PARTITION BY vec_id ORDER BY sim DESC, centroid_id ASC) AS rk
+           |  FROM cscored WHERE group_id < 3) r WHERE rk <= 2),
+           |short AS (SELECT DISTINCT p.q_group, cg.d_group
+           |  FROM probeg p JOIN cellg cg USING (centroid_id)
+           |  WHERE p.q_group <> cg.d_group),
+           |sc AS (SELECT a.group_id AS q_group, a.vec_id AS q_vec,
+           |    b.group_id AS d_group, round($cosine, 4) + 0 AS sim
+           |  FROM g a JOIN short s ON a.group_id = s.q_group
+           |  JOIN g b ON b.group_id = s.d_group),
+           |term AS (SELECT q_group, q_vec, d_group, max(sim) AS term_max
+           |  FROM sc GROUP BY 1, 2, 3),
+           |doc AS (SELECT q_group, d_group,
+           |    round(sum(term_max), 4) + 0 AS maxsim,
+           |    count(*)::bigint AS n_terms
+           |  FROM term GROUP BY 1, 2)
+           |SELECT q_group, CAST(rank AS BIGINT) AS rank, d_group, maxsim, n_terms
+           |FROM (SELECT *, row_number() OVER (
+           |    PARTITION BY q_group ORDER BY maxsim DESC, d_group ASC) AS rank
+           |  FROM doc) t
+           |WHERE rank <= 3""".stripMargin),
+
       "e_bitext_margin" ->
         (s"""WITH fr AS (
            |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $cosine AS sim
@@ -7297,6 +7370,42 @@ object SparkEntry {
       "m_avi_motion" ->
         ("""SELECT doc_id, CAST(2 + doc_id % 4 AS BIGINT) AS n_frames
           |FROM documents""".stripMargin),
+
+      // the analytic twin of videoMotionBanded: per-frame mean
+      // luminance of the generator gradient from (doc_id, text)
+      // alone — integer ramp sums, the frame's seed byte via the
+      // m_png_features hex(encode(text)) pattern, one double chain in
+      // the identical operation order — banded on the 1/64 grid. The
+      // error bands are 0 BY CONTRACT: Spark derives them from the
+      // real JPEG round trip, so any frame the codec chain drops,
+      // reorders or garbles beyond 0.01 mean-luminance breaks the
+      // hash (and a dropped frame also breaks rows_match).
+      "m_avi_motion_banded" ->
+        ("""WITH d AS (
+          |  SELECT doc_id, hex(encode(text)) AS hx,
+          |         octet_length(encode(text)) AS L,
+          |         CAST(8 + doc_id % 5 AS INT) AS w,
+          |         CAST(6 + doc_id % 4 AS INT) AS h,
+          |         CAST(2 + doc_id % 4 AS INT) AS nf
+          |  FROM documents),
+          |f AS (
+          |  SELECT doc_id, w, h, f,
+          |    CASE WHEN L > 0
+          |      THEN (('0x' || substr(hx, 2*(f % L) + 1, 2))::int >> 1)
+          |      ELSE 0 END AS base,
+          |    list_sum(list_transform(generate_series(0, w - 1),
+          |      x -> (x*127) // (w - 1))) AS sx,
+          |    list_sum(list_transform(generate_series(0, h - 1),
+          |      y -> (y*127) // (h - 1))) AS sy
+          |  FROM d, LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS f) t)
+          |SELECT doc_id, CAST(f AS BIGINT) AS frame_no,
+          |  CAST(floor(((0.299 * (base + sx / (w*1.0)) +
+          |               0.587 * (base + sy / (h*1.0)) +
+          |               0.114 * LEAST(base + 16*f, 255)) / 255.0) * 64)
+          |    AS BIGINT) AS lum_band,
+          |  CAST(0 AS BIGINT) AS lum_err_band,
+          |  CAST(0 AS BIGINT) AS motion_err_band
+          |FROM f""".stripMargin),
 
       // PNG is lossless, so the decoded pixels ARE the generator
       // formula and DuckDB can recompute the decoded-pixel features

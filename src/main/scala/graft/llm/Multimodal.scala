@@ -1230,6 +1230,94 @@ object Multimodal {
       .select(col("id_a"), col("id_b"), col("n_close"), col("mean_dist"))
   }
 
+  /** Frame-level banded gate for the LOSSY video leg: widens
+    * `m_avi_motion`'s oracle surface from (doc_id, n_frames) to the
+    * decoded luminance values themselves. Per decoded frame it emits
+    *
+    *  - `lum_band` — the ANALYTIC mean luminance of the generator's
+    *    gradient (integer ramp sums + the frame's seed byte — pure
+    *    (doc_id, text) arithmetic a SQL twin reruns exactly), floored
+    *    onto a 1/`bandGrid` grid;
+    *  - `lum_err_band` — `floor(|decoded − analytic| / tol)`, where
+    *    `decoded` rides the REAL write→RIFF-walk→JPEG-decode round
+    *    trip: 0 for every frame iff the codec chain reproduces each
+    *    frame's mean luminance within `tol`;
+    *  - `motion_err_band` — the same band for the doc's inter-frame
+    *    motion (decoded vs analytic lum sequence), repeated per frame.
+    *
+    * A lossy codec stream has no exact arithmetic twin, but its ERROR
+    * is boundable: measured max |decoded − analytic| over sf0.01's
+    * 1,750 frames is 0.00095 (motion 0.0014 — DriveScratch `avilums`),
+    * so the default `tol = 0.01` dominates ~10× while any dropped,
+    * reordered or garbled frame shifts a mean luminance by whole band
+    * widths. Unlike a banded DECODED value, the error band has no
+    * quantization-edge hazard: it compares the two legs directly
+    * instead of trusting both to round the same way near a boundary.
+    */
+  def videoMotionBanded(
+      docs: DataFrame,
+      tol: Double = 0.01,
+      bandGrid: Int = 64): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("frame_no", LongType, nullable = false),
+      StructField("lum_band", LongType, nullable = false),
+      StructField("lum_err_band", LongType, nullable = false),
+      StructField("motion_err_band", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    docs.select(col("doc_id"), col("text")).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val text = Option(r.getString(1)).getOrElse("")
+        val w = (8 + (id % 5)).toInt
+        val h = (6 + (id % 4)).toInt
+        val nF = (2 + (id % 4)).toInt
+        val seed = text.getBytes("UTF-8")
+        // decode leg: the real codec round trip
+        val avi = aviBytes((0 until nF).map(f => jpegFrame(seed, w, h, f)), w, h)
+        val decoded = aviFrames(avi).flatMap { case (_, j) =>
+          decodeJpeg(j).map { im =>
+            var s = 0.0
+            var y = 0
+            while (y < im.getHeight) {
+              var x = 0
+              while (x < im.getWidth) {
+                val rgb = im.getRGB(x, y)
+                s += (0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+                  0.114 * (rgb & 0xff)) / 255.0
+                x += 1
+              }
+              y += 1
+            }
+            s / (im.getWidth * im.getHeight)
+          }
+        }
+        // analytic leg: the generator arithmetic, op-ordered exactly
+        // like the SQL twin (integer ramp sums, then one double chain)
+        val sx = (0 until w).map(x => (x * 127) / (w - 1)).sum
+        val sy = (0 until h).map(y => (y * 127) / (h - 1)).sum
+        def analytic(f: Int): Double = {
+          val base = if (seed.isEmpty) 0 else (seed(f % seed.length) & 0xff) >> 1
+          val bbar = math.min(base + 16 * f, 255)
+          (0.299 * (base + sx.toDouble / w) + 0.587 * (base + sy.toDouble / h) +
+            0.114 * bbar) / 255.0
+        }
+        val an = (0 until nF).map(analytic)
+        def motionOf(ls: Seq[Double]): Double =
+          if (ls.length < 2) 0.0
+          else ls.sliding(2).map(p => math.abs(p(1) - p(0))).sum / (ls.length - 1)
+        val motionErrBand =
+          math.floor(math.abs(motionOf(decoded) - motionOf(an)) / tol).toLong
+        decoded.zipWithIndex.map { case (d, f) =>
+          Row(id, f.toLong,
+            math.floor(an(f) * bandGrid).toLong,
+            math.floor(math.abs(d - an(f)) / tol).toLong,
+            motionErrBand)
+        }
+      }
+    }(enc)
+  }
+
   def videoMotion(withPayloads: DataFrame): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),

@@ -91,6 +91,29 @@ class VideoCodecSpec extends AnyFunSuite {
     assert(out(1).getDouble(3) > out(0).getDouble(3))
   }
 
+  test("videoMotionBanded: decoded lum/motion within the band of the analytic twin") {
+    import spark.implicits._
+    // ids cover nFrames ∈ {2..5} and all (w, h) residues; texts cover
+    // empty, repeated-byte (near-tie frames) and multi-byte seeds
+    val docs = Seq((0L, ""), (1L, "aaaa"), (2L, "a z X w"), (3L, "mixed Text 123"))
+      .toDF("doc_id", "text")
+    val out = Multimodal.videoMotionBanded(docs).collect()
+    // one row per (doc, frame) — nothing dropped by the codec chain
+    assert(out.length == (0L until 4L).map(id => (2 + id % 4).toInt).sum)
+    // every decoded frame within tol of its analytic gradient; the
+    // per-doc motion error band likewise 0
+    assert(out.forall(_.getLong(3) == 0L), "lum_err_band")
+    assert(out.forall(_.getLong(4) == 0L), "motion_err_band")
+    // the banded VALUE column is the analytic arithmetic: spot-check
+    // doc 0 frame 0 by hand (empty seed → base 0; w=8, h=6)
+    val sx = (0 until 8).map(x => (x * 127) / 7).sum
+    val sy = (0 until 6).map(y => (y * 127) / 5).sum
+    val lum0 = (0.299 * (0 + sx.toDouble / 8) + 0.587 * (0 + sy.toDouble / 6) +
+      0.114 * 0) / 255.0
+    val r0 = out.find(r => r.getLong(0) == 0L && r.getLong(1) == 0L).get
+    assert(r0.getLong(2) == math.floor(lum0 * 64).toLong)
+  }
+
   test("videoDhash + videoNearDups: identical clips pair at distance 0, unrelated don't") {
     import spark.implicits._
     // hand-built MJPEG clips with TEXTURED frames (the generator's
