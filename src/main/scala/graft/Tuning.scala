@@ -44,11 +44,24 @@ object Tuning {
   /** One initial partition per this many bytes of on-disk input. */
   val BytesPerInitialPartition: Long = 1L << 20
 
-  /** Ceiling on the pre-coalesce partition count: beyond ~1024 the
-    * per-partition scheduling + shuffle-block bookkeeping costs more
-    * than the spill it prevents on a 32-thread local session; a real
-    * cluster with more executors would raise this with `cpus`. */
-  val MaxInitialPartitions: Int = 1024
+  /** Ceiling on the pre-coalesce partition count per session thread:
+    * beyond ~32 initial partitions per core the per-partition
+    * scheduling + shuffle-block bookkeeping costs more than the spill
+    * it prevents (measured on the 32-thread sandbox, where the best
+    * hand count never exceeded 1024), while a 1000-executor cluster
+    * has proportionally more reducers to keep busy and more aggregate
+    * memory to spill-proof — so the cap scales with parallelism
+    * instead of freezing the sandbox's number into the engine. */
+  val MaxInitialPartitionsPerCpu: Int = 32
+
+  /** The parallelism-keyed cap itself; floored at the 32-thread
+    * sandbox's measured 1024 so small sessions keep the validated
+    * ceiling. */
+  def maxInitialPartitions(cpus: Int): Int =
+    math.max(1024, MaxInitialPartitionsPerCpu * cpus)
+
+  /** The sandbox cap (32 cpus) — kept for spec pins and docs. */
+  val MaxInitialPartitions: Int = maxInitialPartitions(32)
 
   /** Recursive on-disk byte count of a data directory (parquet files
     * plus whatever sidecars ship with them — close enough for a
@@ -68,7 +81,7 @@ object Tuning {
   /** The sizing rule itself, pure for testing. */
   def initialShufflePartitions(inputBytes: Long, cpus: Int): Int = {
     val byBytes = math.min(
-      MaxInitialPartitions.toLong,
+      maxInitialPartitions(cpus).toLong,
       inputBytes / BytesPerInitialPartition).toInt
     math.max(math.max(1, cpus), byBytes)
   }

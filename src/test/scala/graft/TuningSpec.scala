@@ -22,9 +22,21 @@ class TuningSpec extends AnyFunSuite {
     assert(n >= 128 && n <= 512, s"got $n")
   }
 
-  test("rule is capped") {
-    assert(Tuning.initialShufflePartitions(Long.MaxValue / 4, 32) ===
-      Tuning.MaxInitialPartitions)
+  test("rule is capped, and the cap is keyed to session parallelism") {
+    // sandbox (32 cpus): the measured 1024 ceiling, unchanged
+    assert(Tuning.maxInitialPartitions(32) === 1024)
+    assert(Tuning.initialShufflePartitions(Long.MaxValue / 4, 32) === 1024)
+    // a small session keeps the validated sandbox floor rather than
+    // shrinking the ceiling below what 32 threads already handled
+    assert(Tuning.maxInitialPartitions(4) === 1024)
+    // a 1000-executor cluster (say 8 cores each) raises the ceiling
+    // with its parallelism instead of freezing the sandbox number
+    assert(Tuning.maxInitialPartitions(8000) === 256000)
+    assert(Tuning.initialShufflePartitions(Long.MaxValue / 4, 8000) === 256000)
+    // the x1000 case the cap exists for: ~2.2 GB of text wants ~2200
+    // partitions; on 32 threads the cap binds at 1024
+    assert(Tuning.initialShufflePartitions(2200L << 20, 32) === 1024)
+    assert(Tuning.initialShufflePartitions(2200L << 20, 128) === 2200)
   }
 
   test("configureShuffle sets the AQE ceiling on a live session") {
