@@ -1439,6 +1439,30 @@ object SparkEntry {
         .where(col("margin") > 1.0)
     }),
 
+    // the index-accelerated production shape of e_bitext_margin (the
+    // pattern every retrieval-family member ships: brute oracle form
+    // + indexed serve form): both k-NN directions run through IVF
+    // cell probes against the ingest-owned AnnIndex assignment, so
+    // corpus×corpus mining costs n·nprobe·cellsize ≈ n^1.5 under the
+    // sqrt cell rule instead of brute's n². marginMine itself is
+    // edge-agnostic — identical scorer over either neighbor relation.
+    "e_bitext_margin_ivf" -> ((s, dir) => {
+      val vecs = s.read.parquet(s"$dir/embeddings.parquet")
+      val nlist = Similarity.ivfPlan(vecs.count())
+      val centroids = vecs.where(col("vec_id") < nlist)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+      val cells = graft.llm.AnnIndex.ivfCells(s, dir, vecs, centroids, nlist)
+      val a = vecs.where(pmod(col("vec_id"), lit(2)) === 0)
+      val b = vecs.where(pmod(col("vec_id"), lit(2)) === 1)
+      def side(stored: DataFrame, queries: DataFrame, storedParity: Int) =
+        Similarity.ivfSearch(stored, centroids, queries, k = 4, nprobe = 2,
+          broadcastProbes = false,
+          assignment = Some(
+            cells.where(pmod(col("vec_id"), lit(2)) === storedParity)))
+      Similarity.marginMine(side(b, a, 1), side(a, b, 0))
+        .where(col("margin") > 1.0)
+    }),
+
     // Tokenizer fertility per language — THE per-language tokenizer
     // eval (tokens/word; chars/token): one hash aggregate over the
     // labeled lang key, token counts from the same two kernels
@@ -2182,6 +2206,30 @@ object SparkEntry {
       val pairs = Dedup.minhashNearDups(docs, col("text"), col("doc_id"), threshold = 0.5)
         .select("id_a", "id_b")
       Dedup.clusters(pairs).select(col("id").as("doc_id"), col("cluster_id"))
+    }),
+
+    // quality-aware near-dup survivor selection: production curation
+    // keeps the BEST member of each near-dup cluster (highest quality
+    // score, lowest doc_id tiebreak), not first-by-id — e.g. the
+    // highest-quality mirror of a syndicated article. Same bucketed
+    // MinHash CC cluster pass as d_cluster_dedup; the survivor pick
+    // is one rank window over cluster-sized groups (singletons are
+    // their own group), so the added cost is result-sized.
+    "d_cluster_keep_best" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val pairs = Dedup.minhashNearDups(docs, col("text"), col("doc_id"), threshold = 0.5)
+        .select("id_a", "id_b")
+      val cl = Dedup.clusters(pairs).select(col("id").as("doc_id"), col("cluster_id"))
+      val scored = docs
+        .select(col("doc_id"), TextStats.qualityScore(col("text")).as("quality"))
+        .join(cl, Seq("doc_id"), "left_outer")
+        .withColumn("grp", coalesce(col("cluster_id"), col("doc_id")))
+      val w = Window.partitionBy("grp")
+        .orderBy(col("quality").desc, col("doc_id").asc)
+      scored.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+        .select(col("doc_id"), col("grp").cast("long").as("cluster_id"),
+          col("quality"))
     }),
 
     // split-leakage audit: how many verified near-dup pairs straddle
@@ -5421,6 +5469,53 @@ object SparkEntry {
            |  FROM sc) t
            |WHERE rk = 1 AND margin > 1.0""".stripMargin),
 
+      // the IVF twin: identical sqrt-rule cell plan (CASE emitter),
+      // assignment/probe rank CTEs as e_maxsim_ivf, one candidate
+      // relation for both directions (probe parity <> stored parity),
+      // then the exact e_bitext_margin margin/keep chain over the
+      // shortlisted neighbor lists
+      "e_bitext_margin_ivf" ->
+        (s"""WITH msplan AS (SELECT ${Similarity.ivfPlanSqlCase(
+               "(SELECT count(*) FROM embeddings)")} AS nlist),
+           |cents AS (SELECT vec_id AS centroid_id, embedding AS cent
+           |  FROM embeddings WHERE vec_id < (SELECT nlist FROM msplan)),
+           |cscored AS (SELECT e.vec_id, c.centroid_id,
+           |  list_sum(list_transform(generate_series(1, len(e.embedding)), i -> e.embedding[i]::double * c.cent[i]::double)) /
+           |  (sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)), i -> e.embedding[i]::double * e.embedding[i]::double))) *
+           |   sqrt(list_sum(list_transform(generate_series(1, len(c.cent)), i -> c.cent[i]::double * c.cent[i]::double)))) AS csim
+           |  FROM embeddings e, cents c),
+           |asg AS (SELECT vec_id, centroid_id FROM (
+           |  SELECT vec_id, centroid_id, row_number() OVER (
+           |    PARTITION BY vec_id ORDER BY csim DESC, centroid_id ASC) AS rk
+           |  FROM cscored) t WHERE rk = 1),
+           |probes AS (SELECT vec_id, centroid_id FROM (
+           |  SELECT vec_id, centroid_id, row_number() OVER (
+           |    PARTITION BY vec_id ORDER BY csim DESC, centroid_id ASC) AS rk
+           |  FROM cscored) t WHERE rk <= 2),
+           |cand AS (SELECT p.vec_id AS query_id, sa.vec_id AS neighbor_id, $cosine AS sim
+           |  FROM probes p JOIN asg sa USING (centroid_id)
+           |  JOIN embeddings a ON a.vec_id = p.vec_id
+           |  JOIN embeddings b ON b.vec_id = sa.vec_id
+           |  WHERE (p.vec_id % 2) <> (sa.vec_id % 2)),
+           |fwd AS (SELECT query_id, neighbor_id, round(sim, 4) + 0 AS sim FROM (
+           |  SELECT *, row_number() OVER (
+           |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rk
+           |  FROM cand WHERE query_id % 2 = 0) t WHERE rk <= 4),
+           |bwd AS (SELECT query_id, neighbor_id, round(sim, 4) + 0 AS sim FROM (
+           |  SELECT *, row_number() OVER (
+           |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rk
+           |  FROM cand WHERE query_id % 2 = 1) t WHERE rk <= 4),
+           |favg AS (SELECT query_id, avg(sim) AS f_avg FROM fwd GROUP BY 1),
+           |bavg AS (SELECT query_id AS neighbor_id, avg(sim) AS b_avg FROM bwd GROUP BY 1),
+           |sc AS (SELECT f.query_id, f.neighbor_id, f.sim,
+           |    round(2.0 * f.sim / (fa.f_avg + ba.b_avg), 4) + 0 AS margin
+           |  FROM fwd f JOIN favg fa USING (query_id) JOIN bavg ba USING (neighbor_id))
+           |SELECT query_id, neighbor_id, sim, margin FROM (
+           |  SELECT *, row_number() OVER (
+           |    PARTITION BY query_id ORDER BY margin DESC, neighbor_id ASC) AS rk
+           |  FROM sc) t
+           |WHERE rk = 1 AND margin > 1.0""".stripMargin),
+
       "d_tok_fertility" ->
         ("""SELECT lang, count(*)::bigint AS n_docs,
           |  sum(len(string_split_regex(trim(text), '\s+')))::bigint AS n_words,
@@ -6418,6 +6513,34 @@ object SparkEntry {
            |  UNION
            |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id)
            |SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id""".stripMargin),
+
+      // the d_cluster_dedup CC CTE + the d_quality quality formula,
+      // survivor = best quality (rounded grid, doc_id tiebreak) per
+      // cluster; unclustered docs survive as their own group
+      "d_cluster_keep_best" ->
+        (s"""WITH RECURSIVE
+           |cands AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM ($minhashBands) a
+           |  JOIN ($minhashBands) b ON a.band = b.band AND a.doc_id < b.doc_id GROUP BY 1, 2),
+           |sets AS (SELECT doc_id, $sh3 AS sh FROM documents),
+           |verified AS (SELECT p.id_a, p.id_b FROM cands p
+           |  JOIN sets sa ON sa.doc_id = p.id_a JOIN sets sb ON sb.doc_id = p.id_b
+           |  WHERE len(list_intersect(sa.sh, sb.sh))::double / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5),
+           |edges AS (SELECT id_a AS src, id_b AS dst FROM verified UNION SELECT id_b, id_a FROM verified),
+           |nodes AS (SELECT DISTINCT src AS id FROM edges),
+           |reach(id, label) AS (
+           |  SELECT id, id FROM nodes
+           |  UNION
+           |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+           |cl AS (SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id),
+           |scored AS (SELECT d.doc_id,
+           |    round(0.5 * least(len(string_split_regex(trim(text), '\\s+'))::double / 64.0, 1.0) + 0.5 * (length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))::double / greatest(length(text)::double, 1.0)), 4) AS quality,
+           |    coalesce(cl.cluster_id, d.doc_id) AS grp
+           |  FROM documents d LEFT JOIN cl USING (doc_id))
+           |SELECT doc_id, CAST(grp AS BIGINT) AS cluster_id, quality FROM (
+           |  SELECT *, row_number() OVER (
+           |    PARTITION BY grp ORDER BY quality DESC, doc_id ASC) AS rk
+           |  FROM scored) t
+           |WHERE rk = 1""".stripMargin),
 
       "d_split_leakage" ->
         (s"""WITH RECURSIVE

@@ -38,6 +38,22 @@ object AnnIndex {
       (spark.sparkContext.applicationId, dir, kind),
       _ => graft.Lineage.truncate(build, eager = false))
 
+  /** The vector-granular IVF assignment (idCol, centroid_id, sim) —
+    * [[Similarity.ivfAssign]] as memoized index state, fed to
+    * [[Similarity.ivfSearch]]'s `assignment` by serve-path queries.
+    */
+  def ivfCells(
+      spark: SparkSession,
+      dir: String,
+      vectors: DataFrame,
+      centroids: DataFrame,
+      nlist: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame =
+    memo(spark, dir, s"ivf-cells-$nlist") {
+      Similarity.ivfAssign(vectors, centroids, idCol, embCol)
+    }
+
   /** The distinct (d_group, centroid_id) inverted membership a
     * late-interaction (MaxSim) shortlist probes — IVF index state at
     * document-group granularity, fed to

@@ -645,10 +645,14 @@ object Similarity {
       nprobe: Int = 1,
       idCol: String = "vec_id",
       embCol: String = "embedding",
-      broadcastProbes: Boolean = true): DataFrame = {
+      broadcastProbes: Boolean = true,
+      assignment: Option[DataFrame] = None): DataFrame = {
     val cents = broadcast(centroids.select(col("centroid_id"), col("centroid")))
-    // stored side: each vector keyed by its one home cell
-    val cells = ivfAssign(vectors, centroids, idCol, embCol)
+    // stored side: each vector keyed by its one home cell — index
+    // state; serving deployments pass the ingest-maintained relation
+    // ([[graft.llm.AnnIndex.ivfCells]]) instead of paying the
+    // O(n·nlist·d) assignment per query batch
+    val cells = assignment.getOrElse(ivfAssign(vectors, centroids, idCol, embCol))
       .select(col(idCol).as("neighbor_id"), col("centroid_id"))
       .join(vectors.select(col(idCol).as("neighbor_id"), col(embCol).as("v_emb")),
         Seq("neighbor_id"))

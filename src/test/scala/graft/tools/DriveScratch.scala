@@ -14,6 +14,7 @@ object DriveScratch {
     if (args.headOption.contains("groupleft")) { groupLeftDrive(args.drop(1)); return }
     if (args.headOption.contains("maxsim")) { maxSimDrive(args.drop(1)); return }
     if (args.headOption.contains("avilums")) { aviLumsDrive(args.drop(1)); return }
+    if (args.headOption.contains("bitext")) { bitextDrive(args.drop(1)); return }
     val spark = SparkTestBase.spark
     val sfDir = "/root/testdata/sf0.001"
 
@@ -76,6 +77,40 @@ object DriveScratch {
   /** Recall of the two-stage (IVF-shortlist) MaxSim vs the exhaustive
     * form at a given sf dir — picks the spec's pinned recall floor.
     */
+  /** Mined-pair recall of the IVF-shortlisted bitext miner vs the
+    * brute form, by nprobe — picks the registered setting.
+    */
+  private def bitextDrive(args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = SparkTestBase.spark
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val a = vecs.where(pmod(col("vec_id"), lit(2)) === 0)
+    val b = vecs.where(pmod(col("vec_id"), lit(2)) === 1)
+    val brute = graft.llm.Similarity.marginMine(
+        graft.llm.Similarity.bruteKnn(b, a, k = 4),
+        graft.llm.Similarity.bruteKnn(a, b, k = 4))
+      .where(col("margin") > 1.0)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nlist = graft.llm.Similarity.ivfPlan(vecs.count())
+    val centroids = vecs.where(col("vec_id") < nlist)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+    for (nprobe <- Seq(2, 4, 8, 16)) {
+      def side(stored: org.apache.spark.sql.DataFrame,
+               queries: org.apache.spark.sql.DataFrame) =
+        graft.llm.Similarity.ivfSearch(stored, centroids, queries, k = 4,
+          nprobe = nprobe, broadcastProbes = false)
+      val mined = graft.llm.Similarity.marginMine(side(b, a), side(a, b))
+        .where(col("margin") > 1.0)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      println(s"BITEXT dir=$dir nlist=$nlist nprobe=$nprobe brute=${brute.size} " +
+        s"mined=${mined.size} overlap=${(brute & mined).size} " +
+        f"recall=${(brute & mined).size.toDouble / brute.size}%.3f")
+    }
+  }
+
   /** Max |decoded − analytic| per-frame mean luminance over a corpus —
     * picks the m_avi_motion_banded tolerance (band width must dominate
     * the JPEG round-trip error with a wide margin).

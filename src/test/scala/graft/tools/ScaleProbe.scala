@@ -103,7 +103,14 @@ object ScaleProbe {
     // times the SERVED batch: probe + shortlist + one gather scan.
     // Measured flat in corpus size (x1 1.04 s / x10 0.87 / x100 1.05
     // vs exhaustive e_maxsim 3.86 s at x100)
-    "e_maxsim_ivf")
+    "e_maxsim_ivf",
+    // corpus×corpus bitext mining through the same index: candidate
+    // volume is 2·n·nprobe·cellsize ≈ n^1.5 under the sqrt cell rule
+    // BY CONSTRUCTION (every vector is a query) — superlinear but a
+    // √n-factor win over the brute form's n², which is why the brute
+    // e_bitext_margin is NOT probeable past x1. Expect this leg to be
+    // expensive at x100; that is the measured claim, not a defect
+    "e_bitext_margin_ivf")
 
   def main(args: Array[String]): Unit = {
     val factors = args.headOption.map(_.split(',').map(_.trim.toInt).toSeq)
