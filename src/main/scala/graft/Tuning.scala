@@ -121,9 +121,11 @@ object Tuning {
     * HTTP session over a store that streaming ingest + compaction grow
     * 10× would otherwise keep its boot-time `initialPartitionNum`
     * forever. The Retuner re-stats the store through the same
-    * Hadoop-FS rule at most once per `minIntervalSec` (cheap: one
-    * `getContentSummary`, no Spark job, no driver lock on the hot
-    * path) and touches the session confs ONLY when the derived count
+    * Hadoop-FS rule at most once per `minIntervalSec` (no Spark job,
+    * no driver lock on the hot path; `getContentSummary` is one
+    * namenode call on HDFS — on object stores it is a recursive LIST,
+    * so raise the interval if the store is both huge and flat) and
+    * touches the session confs ONLY when the derived count
     * changes — a static store re-derives the identical count and the
     * confs (including any manual override layered on top) are left
     * untouched. Shrinkage (compaction, retention drops) lowers the

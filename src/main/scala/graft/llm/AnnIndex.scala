@@ -50,7 +50,7 @@ object AnnIndex {
       nlist: Int,
       idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame =
-    memo(spark, dir, s"ivf-cells-$nlist") {
+    memo(spark, dir, s"ivf-cells-$nlist-$idCol-$embCol") {
       Similarity.ivfAssign(vectors, centroids, idCol, embCol)
     }
 
@@ -68,7 +68,7 @@ object AnnIndex {
       groupCol: String = "group_id",
       idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame =
-    memo(spark, dir, s"maxsim-cells-$nlist") {
+    memo(spark, dir, s"maxsim-cells-$nlist-$groupCol-$idCol-$embCol") {
       Similarity.maxSimCellGroups(docVecs, centroids, groupCol, idCol, embCol)
     }
 }

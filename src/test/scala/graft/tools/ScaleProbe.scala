@@ -110,7 +110,11 @@ object ScaleProbe {
     // √n-factor win over the brute form's n², which is why the brute
     // e_bitext_margin is NOT probeable past x1. Expect this leg to be
     // expensive at x100; that is the measured claim, not a defect
-    "e_bitext_margin_ivf")
+    "e_bitext_margin_ivf",
+    // quality-aware survivor pick: the d_cluster_dedup CC shape plus
+    // per-doc quality CPU and one rank window over cluster-sized
+    // groups — expect the d_minhash_pairs/d_cluster_dedup growth
+    "d_cluster_keep_best")
 
   def main(args: Array[String]): Unit = {
     val factors = args.headOption.map(_.split(',').map(_.trim.toInt).toSeq)
