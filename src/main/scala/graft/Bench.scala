@@ -23,9 +23,14 @@ object Bench {
     * "regressions" that were co-tenant bursts (r11→r12: a manual
     * worktree A/B to prove 173 s vs 152 s was weather); with
     * `calib_before`/`calib_after` in the artifact, cross-round readers
-    * divide by the calibration ratio instead. One untimed pass warms
-    * codegen/JIT (a one-off cost, not weather); min-of-2 after that
-    * still tracks sustained host slowness, which is the signal.
+    * divide by the calibration ratio instead. Two untimed passes warm
+    * codegen/JIT/GC state (one-off costs, not weather — the first
+    * recorded runs showed `before` systematically ~1.5× `after` with
+    * one warm pass, a position bias, not a host signal); min-of-3
+    * after that still tracks sustained host slowness, which is the
+    * signal. Cross-snapshot comparisons should weight `calib_after`
+    * (steady-state) and treat a large before/after gap as "this
+    * window was moving".
     */
   def calibrate(spark: SparkSession): Double = {
     def once(): Double = {
@@ -37,8 +42,8 @@ object Bench {
         .write.mode("overwrite").format("noop").save()
       (System.nanoTime() - t0) / 1e9
     }
-    once()
-    math.min(once(), once())
+    once(); once()
+    Seq(once(), once(), once()).min
   }
 
   def main(args: Array[String]): Unit = {
