@@ -1,0 +1,98 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.llm.Similarity
+
+/** Streaming IVF index maintenance: the persisted assignment grows in
+  * lockstep with arrivals, replays overwrite their own partition
+  * (exactly-once), and the served two-stage MaxSim over the streamed
+  * index equals the inline-computed form — the ingest side of the
+  * AnnIndex contract, proven end-to-end.
+  */
+class StreamAnnIndexSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  test("streamed assignment == batch ivfAssign; serve path reads the store") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-annidx").toFile.getAbsolutePath
+    val storeDir = s"$dir/ivf"
+    // two well-separated cells on the axes
+    val centroids = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)))
+      .toDF("centroid_id", "centroid")
+
+    val b1 = Seq((100L, Seq(0.9f, 0.1f)), (101L, Seq(0.1f, 0.9f)))
+    val b2 = Seq((200L, Seq(0.95f, 0.05f)), (201L, Seq(0.05f, 0.95f)))
+
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val q = stream.toDF().toDF("vec_id", "embedding")
+      .writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch(StreamAnnIndex.maintainer(centroids, storeDir))
+      .start()
+    try {
+      stream.addData(b1: _*)
+      q.processAllAvailable()
+      val all1 = b1.toDF("vec_id", "embedding")
+      def stored() = StreamAnnIndex.assignment(
+        spark, storeDir, all1, centroids)
+        .select("vec_id", "centroid_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+
+      stream.addData(b2: _*)
+      q.processAllAvailable()
+
+      val arrived = (b1 ++ b2).toDF("vec_id", "embedding")
+      val expect = Similarity.ivfAssign(arrived, centroids)
+        .select("vec_id", "centroid_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+      assert(stored() == expect)
+      // assignments landed in the geometric home cells
+      assert(expect == Set(100L -> 0L, 200L -> 0L, 101L -> 1L, 201L -> 1L))
+    } finally q.stop()
+  }
+
+  test("replay overwrites its own partition; served MaxSim equals inline") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-annidx2").toFile.getAbsolutePath
+    val storeDir = s"$dir/ivf"
+    val centroids = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)))
+      .toDF("centroid_id", "centroid")
+    val docs = Seq(
+      (10L, 100L, Seq(0.9f, 0.1f)), (10L, 101L, Seq(0.95f, 0.05f)),
+      (20L, 200L, Seq(0.1f, 0.9f)), (20L, 201L, Seq(0.05f, 0.95f))
+    ).toDF("group_id", "vec_id", "embedding")
+    val maintain = StreamAnnIndex.maintainer(centroids, storeDir)
+
+    // batch 0 arrives, then is REPLAYED (crash-recovery path): the
+    // partition is overwritten, not duplicated
+    maintain(docs.select("vec_id", "embedding"), 0L)
+    maintain(docs.select("vec_id", "embedding"), 0L)
+    val stored = StreamAnnIndex.assignment(spark, storeDir, docs, centroids)
+    assert(stored.count() == 4L)
+
+    // the serve path over the STREAMED index == the inline form
+    val queries = Seq((0L, 1L, Seq(1f, 0f)), (0L, 2L, Seq(0.8f, 0.2f)))
+      .toDF("group_id", "vec_id", "embedding")
+    val cg = StreamAnnIndex.cellGroups(stored, docs)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))
+    val served = Similarity.maxSimShortlist(docs, queries, centroids,
+      k = 3, nprobe = 2, cellGroups = Some(cg)).collect().map(key).toSet
+    val inline = Similarity.maxSimShortlist(docs, queries, centroids,
+      k = 3, nprobe = 2).collect().map(key).toSet
+    assert(served == inline && served.nonEmpty)
+
+    // empty store: assignment degrades to a typed empty relation
+    val empty = StreamAnnIndex.assignment(
+      spark, s"$dir/nowhere", docs, centroids)
+    assert(empty.isEmpty)
+    assert(empty.columns.toSeq == Seq("vec_id", "centroid_id", "sim"))
+  }
+}
