@@ -1423,6 +1423,19 @@ object SparkEntry {
         centroids, k = 3, nprobe = 2, cellGroups = Some(cells))
     }),
 
+    // the full late-interaction lifecycle under ONE oracle (the
+    // e_ivf_trained_search pattern for MaxSim): train the coarse
+    // quantizer (3 Lloyd iterations), build the group-cell
+    // membership on the trained cells, serve shortlisted MaxSim —
+    // train → index → serve end-to-end hash-matched.
+    "e_maxsim_ivf_trained" -> ((s, dir) => {
+      val raw = s.read.parquet(s"$dir/embeddings.parquet")
+      val vecs = raw.withColumn("group_id", floor(col("vec_id") / 4).cast("long"))
+      val cents = Similarity.kmeansTrain(raw, k = 4, iters = 3)._2
+      Similarity.maxSimShortlist(vecs, vecs.where(col("group_id") < 3),
+        cents, k = 3, nprobe = 2)
+    }),
+
     // Margin-criterion pair mining (LASER/CCMatrix bitext scorer):
     // best ratio-margin candidate per query between the two id-parity
     // halves of the embedding set, kept at margin > 1. Edge-agnostic
@@ -5425,6 +5438,44 @@ object SparkEntry {
            |  SELECT vec_id, group_id, centroid_id, row_number() OVER (
            |    PARTITION BY vec_id ORDER BY sim DESC, centroid_id ASC) AS rk
            |  FROM cscored WHERE group_id < 3) r WHERE rk <= 2),
+           |short AS (SELECT DISTINCT p.q_group, cg.d_group
+           |  FROM probeg p JOIN cellg cg USING (centroid_id)
+           |  WHERE p.q_group <> cg.d_group),
+           |sc AS (SELECT a.group_id AS q_group, a.vec_id AS q_vec,
+           |    b.group_id AS d_group, round($cosine, 4) + 0 AS sim
+           |  FROM g a JOIN short s ON a.group_id = s.q_group
+           |  JOIN g b ON b.group_id = s.d_group),
+           |term AS (SELECT q_group, q_vec, d_group, max(sim) AS term_max
+           |  FROM sc GROUP BY 1, 2, 3),
+           |doc AS (SELECT q_group, d_group,
+           |    round(sum(term_max), 4) + 0 AS maxsim,
+           |    count(*)::bigint AS n_terms
+           |  FROM term GROUP BY 1, 2)
+           |SELECT q_group, CAST(rank AS BIGINT) AS rank, d_group, maxsim, n_terms
+           |FROM (SELECT *, row_number() OVER (
+           |    PARTITION BY q_group ORDER BY maxsim DESC, d_group ASC) AS rank
+           |  FROM doc) t
+           |WHERE rank <= 3""".stripMargin),
+
+      // train → index → serve for late interaction: the
+      // kmeansTrainChain Lloyd CTEs (identical to e_kmeans_trained's
+      // twin) produce the quantizer; then the e_maxsim_ivf shortlist
+      // and exact-scoring chain runs against the TRAINED cells
+      "e_maxsim_ivf_trained" ->
+        (s"""WITH ${kmeansTrainChain(3, 4)},
+           |tcents AS (SELECT centroid_id, list(m ORDER BY pos) AS cent FROM kc3 GROUP BY 1),
+           |g AS (SELECT vec_id, embedding,
+           |    CAST(floor(vec_id / 4) AS BIGINT) AS group_id FROM embeddings),
+           |tcsc AS (SELECT a.id, c.centroid_id, ${kmeansCos("a", "c")} AS sim
+           |  FROM kebase a, tcents c),
+           |cellg AS (SELECT DISTINCT CAST(floor(id / 4) AS BIGINT) AS d_group, centroid_id FROM (
+           |  SELECT id, centroid_id, row_number() OVER (
+           |    PARTITION BY id ORDER BY sim DESC, centroid_id ASC) AS rk
+           |  FROM tcsc) t WHERE rk = 1),
+           |probeg AS (SELECT DISTINCT CAST(floor(id / 4) AS BIGINT) AS q_group, centroid_id FROM (
+           |  SELECT id, centroid_id, row_number() OVER (
+           |    PARTITION BY id ORDER BY sim DESC, centroid_id ASC) AS rk
+           |  FROM tcsc WHERE CAST(floor(id / 4) AS BIGINT) < 3) t WHERE rk <= 2),
            |short AS (SELECT DISTINCT p.q_group, cg.d_group
            |  FROM probeg p JOIN cellg cg USING (centroid_id)
            |  WHERE p.q_group <> cg.d_group),
