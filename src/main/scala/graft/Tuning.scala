@@ -136,17 +136,26 @@ object Tuning {
       dirs: Seq[String],
       cpus: Int,
       minIntervalSec: Long = 60L) {
-    @volatile private var lastCheckSec = Long.MinValue
+    // never-checked sentinel must not be Long.MinValue: nowSec − it
+    // would overflow and make the interval check false forever
+    @volatile private var lastCheckSec = Long.MinValue / 4
     @volatile private var currentN: Int = -1
 
     /** The count currently applied to the session. */
     def current: Int = currentN
 
+    private def derive(): (Long, Int) = {
+      val bytes = dirs.map(dirBytes(_, spark)).sum
+      (bytes, initialShufflePartitions(bytes, cpus))
+    }
+
     /** Unconditional derive-and-apply (boot-time sizing). */
     def force(nowSec: Long): Int = synchronized {
       lastCheckSec = nowSec
-      currentN = configureShuffle(spark, dirs, cpus)
-      currentN
+      val (_, n) = derive()
+      currentN = n
+      applyConf(spark, n)
+      n
     }
 
     /** Rate-limited re-check; call from the serving request path. */
@@ -154,9 +163,16 @@ object Tuning {
       if (nowSec - lastCheckSec >= minIntervalSec) synchronized {
         if (nowSec - lastCheckSec >= minIntervalSec) {
           lastCheckSec = nowSec
-          val bytes = dirs.map(dirBytes(_, spark)).sum
-          val n = initialShufflePartitions(bytes, cpus)
-          if (n != currentN) { currentN = n; applyConf(spark, n) }
+          val (bytes, n) = derive()
+          // bytes == 0 after a successful boot sizing means either a
+          // transient stat failure (dirBytes swallows FS errors into
+          // 0) or a store emptied under us — in both cases collapsing
+          // the ceiling to the cpu floor (and clobbering any manual
+          // conf override) is worse than keeping the last good value,
+          // so re-derive only from a positive measurement
+          if (n != currentN && (bytes > 0 || currentN < 0)) {
+            currentN = n; applyConf(spark, n)
+          }
         }
       }
       currentN

@@ -41,6 +41,14 @@ object AnnIndex {
   /** The vector-granular IVF assignment (idCol, centroid_id, sim) —
     * [[Similarity.ivfAssign]] as memoized index state, fed to
     * [[Similarity.ivfSearch]]'s `assignment` by serve-path queries.
+    *
+    * KEY CONTRACT: the memo key is (dir, nlist, quantizerTag,
+    * columns) — the centroid RELATION itself is not fingerprinted
+    * (hashing it would cost a job on every hit), so callers with a
+    * different centroid derivation over the same corpus MUST pass a
+    * distinct `quantizerTag` (e.g. `"lloyd3"` for trained cells vs
+    * the default first-`nlist`-ids quantizer) or they silently read
+    * the other quantizer's assignment.
     */
   def ivfCells(
       spark: SparkSession,
@@ -49,15 +57,17 @@ object AnnIndex {
       centroids: DataFrame,
       nlist: Int,
       idCol: String = "vec_id",
-      embCol: String = "embedding"): DataFrame =
-    memo(spark, dir, s"ivf-cells-$nlist-$idCol-$embCol") {
+      embCol: String = "embedding",
+      quantizerTag: String = "first-ids"): DataFrame =
+    memo(spark, dir, s"ivf-cells-$nlist-$quantizerTag-$idCol-$embCol") {
       Similarity.ivfAssign(vectors, centroids, idCol, embCol)
     }
 
   /** The distinct (d_group, centroid_id) inverted membership a
     * late-interaction (MaxSim) shortlist probes — IVF index state at
     * document-group granularity, fed to
-    * [[Similarity.maxSimShortlist]]'s `cellGroups`.
+    * [[Similarity.maxSimShortlist]]'s `cellGroups`. Same
+    * `quantizerTag` key contract as [[ivfCells]].
     */
   def maxSimCellGroups(
       spark: SparkSession,
@@ -67,8 +77,9 @@ object AnnIndex {
       nlist: Int,
       groupCol: String = "group_id",
       idCol: String = "vec_id",
-      embCol: String = "embedding"): DataFrame =
-    memo(spark, dir, s"maxsim-cells-$nlist-$groupCol-$idCol-$embCol") {
+      embCol: String = "embedding",
+      quantizerTag: String = "first-ids"): DataFrame =
+    memo(spark, dir, s"maxsim-cells-$nlist-$quantizerTag-$groupCol-$idCol-$embCol") {
       Similarity.maxSimCellGroups(docVecs, centroids, groupCol, idCol, embCol)
     }
 }

@@ -56,10 +56,15 @@ object StreamAnnIndex {
       embCol: String = "embedding"): DataFrame = {
     val path = new org.apache.hadoop.fs.Path(storeDir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    def empty = Similarity.ivfAssign(template.limit(0), centroids, idCol, embCol)
     if (fs.exists(path))
-      spark.read.parquet(storeDir).drop("batch_id")
-    else
-      Similarity.ivfAssign(template.limit(0), centroids, idCol, embCol)
+      // a dir that exists but holds no COMMITTED parquet (a first
+      // batch crashed mid-write, leaving only _temporary) fails
+      // schema inference — degrade to the typed empty relation, the
+      // same state the replay will overwrite into existence
+      try spark.read.parquet(storeDir).drop("batch_id")
+      catch { case scala.util.control.NonFatal(_) => empty }
+    else empty
   }
 
   /** Group-granular membership for [[Similarity.maxSimShortlist]]:

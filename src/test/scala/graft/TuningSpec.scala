@@ -97,9 +97,28 @@ class TuningSpec extends AnyFunSuite {
       assert(r.maybe(1200L) === 5)
       assert(s.conf.get(key) === "777")
 
-      // shrinkage lowers the ceiling the same way growth raises it
+      // shrinkage (to a still-positive size) lowers the ceiling the
+      // same way growth raises it
+      java.nio.file.Files.write(dir.toPath.resolve("pad.bin"),
+        new Array[Byte](3 << 20))
+      assert(r.maybe(1300L) === 3)
+      assert(s.conf.get(key) === "3")
+
+      // a zero measurement is indistinguishable from a transient FS
+      // stat failure (dirBytes swallows errors into 0): keep the last
+      // good ceiling and leave any manual override untouched instead
+      // of collapsing to the cpu floor
       java.nio.file.Files.delete(dir.toPath.resolve("pad.bin"))
-      assert(r.maybe(1300L) === 2)
+      s.conf.set(key, "888")
+      assert(r.maybe(1400L) === 3)
+      assert(s.conf.get(key) === "888")
+
+      // a Retuner used WITHOUT a prior force() derives on the first
+      // maybe() (the never-checked sentinel must not overflow the
+      // interval arithmetic)
+      val r2 = new Tuning.Retuner(s, Seq(dir.getAbsolutePath), cpus = 2,
+        minIntervalSec = 60L)
+      assert(r2.maybe(5L) === 2)
       assert(s.conf.get(key) === "2")
     } finally {
       before.foreach(v => s.conf.set(key, v))

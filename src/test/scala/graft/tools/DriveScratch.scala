@@ -71,12 +71,6 @@ object DriveScratch {
     spark.stop()
   }
 
-  /** Stage-level triage of p_query_groupleft at a scaled dir: per-stage
-    * wall time + task count + shuffle volumes, plus the formatted plan.
-    */
-  /** Recall of the two-stage (IVF-shortlist) MaxSim vs the exhaustive
-    * form at a given sf dir — picks the spec's pinned recall floor.
-    */
   /** Mined-pair recall of the IVF-shortlisted bitext miner vs the
     * brute form, by nprobe — picks the registered setting.
     */
@@ -158,6 +152,9 @@ object DriveScratch {
     println(f"AVILUMS dir=$dir frames=$n maxLumErr=$maxErr%.6f maxMotionErr=$maxMotionErr%.6f")
   }
 
+  /** Recall of the two-stage (IVF-shortlist) MaxSim vs the exhaustive
+    * form at a given sf dir — picks the spec's pinned recall floor.
+    */
   private def maxSimDrive(args: Array[String]): Unit = {
     import org.apache.spark.sql.functions._
     val spark = SparkTestBase.spark
@@ -182,6 +179,9 @@ object DriveScratch {
     }
   }
 
+  /** Stage-level triage of p_query_groupleft at a scaled dir: per-stage
+    * wall time + task count + shuffle volumes, plus the formatted plan.
+    */
   private def groupLeftDrive(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("target/scale/x100")
     val threads = args.lift(1).getOrElse("32")
