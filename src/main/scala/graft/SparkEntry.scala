@@ -909,6 +909,28 @@ object SparkEntry {
         col("text"), col("doc_id"), prefixBits = 8, maxDistance = 14)
         .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))),
 
+    // the minhash-recall harness for the simhash family: blocked
+    // exact-Hamming truth vs the single-prefix-bucket candidates —
+    // precision 1.0 by construction (identical verify bound), recall
+    // quantifies what the prefix bucket loses past the pigeonhole
+    // guarantee radius.
+    "d_simhash_recall" -> ((s, dir) =>
+      Dedup.simhashRecall(s.read.parquet(s"$dir/documents.parquet"),
+        col("text"), col("doc_id"),
+        bucketCols = Seq(col("lang"), col("source")),
+        prefixBits = 8, maxDistance = 14)),
+
+    // the banded fix the harness motivates: ALL 4 disjoint 8-bit
+    // bands as join keys (any-band collision; pigeonhole recall 1.0
+    // for d < 4), raising measured recall at radius 14 from 0.013 to
+    // 0.196 (radius 14 is far past the d < 4 pigeonhole guarantee;
+    // blocked 32-bit truth at that radius is noise-dominated) — the dhash-family treatment applied to simhash.
+    "d_simhash_recall_banded" -> ((s, dir) =>
+      Dedup.simhashRecall(s.read.parquet(s"$dir/documents.parquet"),
+        col("text"), col("doc_id"),
+        bucketCols = Seq(col("lang"), col("source")),
+        maxDistance = 14, bands = Some(4))),
+
     "d_jaccard_pairs" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(s.read.parquet(s"$dir/documents.parquet"),
         col("text"), col("doc_id"), Seq(col("lang"), col("source")), 0.5)),
@@ -4393,6 +4415,51 @@ object SparkEntry {
            |SELECT a.doc_id AS id_a, b.doc_id AS id_b, bit_count(xor(a.fp, b.fp)) AS dist
            |FROM keyed a JOIN keyed b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
            |WHERE bit_count(xor(a.fp, b.fp)) <= 14""".stripMargin),
+
+      "d_simhash_recall" ->
+        (s"""WITH fps AS (SELECT doc_id, lang, source,
+           |    CAST($simhashExpr AS BIGINT) AS fp FROM documents),
+           |truth AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM fps a JOIN fps b
+           |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+           |  WHERE bit_count(xor(a.fp, b.fp)) <= 14),
+           |keyed AS (SELECT doc_id, lang, source, fp, fp >> 24 AS bucket FROM fps),
+           |approx AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM keyed a JOIN keyed b
+           |    ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+           |    AND a.lang = b.lang AND a.source = b.source
+           |  WHERE bit_count(xor(a.fp, b.fp)) <= 14),
+           |hit AS (SELECT a.id_a, a.id_b FROM approx a
+           |  JOIN truth t ON t.id_a = a.id_a AND t.id_b = a.id_b)
+           |SELECT (SELECT count(*) FROM truth)::bigint AS n_truth,
+           |  (SELECT count(*) FROM approx)::bigint AS n_approx,
+           |  (SELECT count(*) FROM hit)::bigint AS n_hit,
+           |  round((SELECT count(*) FROM hit)::double / greatest((SELECT count(*) FROM approx)::double, 1.0), 4) + 0 AS precision,
+           |  round((SELECT count(*) FROM hit)::double / greatest((SELECT count(*) FROM truth)::double, 1.0), 4) + 0 AS recall""".stripMargin),
+
+      // banded twin: any of the 4 disjoint 8-bit bands may collide
+      "d_simhash_recall_banded" ->
+        (s"""WITH fps AS (SELECT doc_id, lang, source,
+           |    CAST($simhashExpr AS BIGINT) AS fp FROM documents),
+           |truth AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM fps a JOIN fps b
+           |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+           |  WHERE bit_count(xor(a.fp, b.fp)) <= 14),
+           |banded AS (SELECT doc_id, lang, source, fp, t.b AS band,
+           |    (fp >> (t.b * 8)) & 255 AS v
+           |  FROM fps, LATERAL (SELECT unnest(generate_series(0, 3)) AS b) t),
+           |approx AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM banded a JOIN banded b
+           |    ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id
+           |    AND a.lang = b.lang AND a.source = b.source
+           |  WHERE bit_count(xor(a.fp, b.fp)) <= 14),
+           |hit AS (SELECT a.id_a, a.id_b FROM approx a
+           |  JOIN truth t ON t.id_a = a.id_a AND t.id_b = a.id_b)
+           |SELECT (SELECT count(*) FROM truth)::bigint AS n_truth,
+           |  (SELECT count(*) FROM approx)::bigint AS n_approx,
+           |  (SELECT count(*) FROM hit)::bigint AS n_hit,
+           |  round((SELECT count(*) FROM hit)::double / greatest((SELECT count(*) FROM approx)::double, 1.0), 4) + 0 AS precision,
+           |  round((SELECT count(*) FROM hit)::double / greatest((SELECT count(*) FROM truth)::double, 1.0), 4) + 0 AS recall""".stripMargin),
 
       "d_jaccard_pairs" ->
         ("""WITH docs AS (SELECT lang, source, doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS words FROM documents)

@@ -322,6 +322,94 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("dist"))
   }
 
+  /** SimHash near-dup candidates over ALL `bands` disjoint fingerprint
+    * bands (the dhash-family treatment applied to simhash): a pair
+    * collides if ANY band matches, which by pigeonhole GUARANTEES
+    * recall 1.0 for Hamming distance < `bands` and raises recall at
+    * every radius over the single-prefix [[simhashNearDups]] (whose
+    * one bucket loses any pair differing inside the prefix — measured
+    * 0.013 recall at maxDistance 14 on sf0.01, vs 0.196 banded:
+    * `d_simhash_recall` / `d_simhash_recall_banded`). Join key is
+    * (band, value) — bucketed, never all-pairs; candidates verify on
+    * exact Hamming like every banded family.
+    */
+  def simhashNearDupsBanded(
+      docs: DataFrame,
+      textCol: Column,
+      idCol: Column,
+      bands: Int = 4,
+      maxDistance: Int = 6,
+      bits: Int = 32): DataFrame = {
+    require(bits % bands == 0, s"$bits bits not divisible into $bands bands")
+    val w = bits / bands
+    val fp = simhashDF(docs, textCol, idCol, bits)
+    val banded = fp.select(col("id"), col("fp"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("fp"), b * w).bitwiseAND(lit((1L << w) - 1)).as("v"))): _*))
+        .as("bv"))
+      .select(col("id"), col("fp"), col("bv.band"), col("bv.v"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hamming(col("a.fp"), col("b.fp")).as("dist"))
+      .distinct()
+      .where(col("dist") <= maxDistance)
+  }
+
+  /** Precision/recall of the prefix-bucketed SimHash candidate
+    * generation against blocked exact-Hamming truth — the
+    * [[minhashRecall]] harness for the simhash family. Truth = all
+    * same-block pairs with Hamming(fp) ≤ maxDistance; approx =
+    * [[simhashNearDups]] restricted to the same blocks. Precision is
+    * 1.0 by construction (candidates verify on the identical Hamming
+    * bound); recall quantifies what the single-prefix bucket loses —
+    * pairs whose fingerprints differ inside the top `prefixBits`.
+    */
+  def simhashRecall(
+      docs: DataFrame,
+      textCol: Column,
+      idCol: Column,
+      bucketCols: Seq[Column],
+      prefixBits: Int = 8,
+      maxDistance: Int = 6,
+      bands: Option[Int] = None): DataFrame = {
+    val lab = docs.select(
+      (bucketCols.zipWithIndex.map { case (c, i) => c.as(s"bk$i") } :+
+        idCol.as("id")): _*)
+    val bk = lab.columns.filter(_.startsWith("bk"))
+    val fp = simhashDF(docs, textCol, idCol).join(lab, Seq("id"))
+    val joinCond = bk.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _) &&
+      col("a.id") < col("b.id")
+    val truth = fp.as("a").join(fp.as("b"), joinCond)
+      .where(hamming(col("a.fp"), col("b.fp")) <= maxDistance)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .truncateLineage()
+    val sameBlock = bk.map(c => col(s"la.$c") === col(s"lb.$c")).reduce(_ && _)
+    val cand = bands match {
+      case Some(b) => simhashNearDupsBanded(docs, textCol, idCol, b, maxDistance)
+      case None => simhashNearDups(docs, textCol, idCol, prefixBits, maxDistance)
+    }
+    val approx = cand
+      .join(lab.as("la"), col("id_a") === col("la.id"))
+      .join(lab.as("lb"), col("id_b") === col("lb.id"))
+      .where(sameBlock)
+      .select(col("id_a"), col("id_b"))
+      .truncateLineage()
+    val hit = approx.join(truth, Seq("id_a", "id_b"), "left_semi")
+    val nT = truth.groupBy().agg(count(lit(1)).as("n_truth"))
+    val nA = approx.groupBy().agg(count(lit(1)).as("n_approx"))
+    val nH = hit.groupBy().agg(count(lit(1)).as("n_hit"))
+    nT.crossJoin(nA).crossJoin(nH)
+      .select(col("n_truth"), col("n_approx"), col("n_hit"),
+        round(col("n_hit") / greatest(col("n_approx").cast("double"), lit(1.0)), 4)
+          .as("precision"),
+        round(col("n_hit") / greatest(col("n_truth").cast("double"), lit(1.0)), 4)
+          .as("recall"))
+  }
+
   // ------------------------------------------------------------------
   // n-gram Jaccard (group-bucketed)
   // ------------------------------------------------------------------
