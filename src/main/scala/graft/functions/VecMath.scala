@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftExpressionBridge
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -163,6 +163,106 @@ object SortedSetJaccard {
   }
 }
 
+/** Nearest-centroid argmax as ONE expression: for each input vector,
+  * scan the (plan-embedded) centroid matrix and return
+  * `struct(centroid_id, sim)` of the max-cosine centroid, ties to the
+  * lowest id.
+  *
+  * This exists because the join+window assignment shape
+  * (`vectors × broadcast(centroids)` → rank → keep rank 1)
+  * MATERIALIZES n·nlist rows before the window prunes them — measured
+  * fatal at ×1000 (20.7M vectors × 8192 sqrt-rule cells = 1.7e11
+  * intermediate rows; executor death). The kernel evaluates the same
+  * nlist cosines per row inside whole-stage codegen and emits exactly
+  * n rows: the arithmetic is VecDot's index-ordered double
+  * accumulation with per-centroid norms precomputed once, so the
+  * (id, sim) result is bit-identical to the join+window form
+  * (`AnnIndexSpec`/`IvfKernelSpec` pin it).
+  *
+  * Centroid matrix size is driver-bounded by construction: the
+  * [[graft.llm.Similarity.ivfPlan]] sqrt rule caps nlist at 2^18, and
+  * 2^18 × d doubles is a few hundred MB only at extreme d — callers
+  * guard with `require` at collect time.
+  */
+case class NearestCentroid(
+    child: Expression,
+    ids: Array[Long],
+    cents: Array[Array[Double]],
+    norms: Array[Double]) extends UnaryExpression {
+  require(ids.length == cents.length && ids.length == norms.length)
+  override def prettyName: String = "nearest_centroid"
+  override def dataType: DataType = StructType(Seq(
+    StructField("centroid_id", LongType, nullable = false),
+    StructField("sim", DoubleType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float|double>, got ${other.simpleString}")
+  }
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  /** The per-row scan; also the codegen target (one virtual call per
+    * row keeps whole-stage codegen while the hot loop stays here).
+    */
+  def best(a: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val isF = elemIsFloat
+    val d = a.numElements()
+    // vector norm once per row — same accumulation as VecDot(a, a)
+    var aa = 0.0
+    var i = 0
+    while (i < d) {
+      val x = if (isF) a.getFloat(i).toDouble else a.getDouble(i)
+      aa += x * x
+      i += 1
+    }
+    val an = math.sqrt(aa)
+    var bestId = 0L
+    var bestSim = Double.NegativeInfinity
+    var j = 0
+    while (j < cents.length) {
+      val c = cents(j)
+      val n = math.min(d, c.length)
+      var dotAcc = 0.0
+      var k = 0
+      while (k < n) {
+        val x = if (isF) a.getFloat(k).toDouble else a.getDouble(k)
+        dotAcc += x * c(k)
+        k += 1
+      }
+      val sim = dotAcc / (an * norms(j))
+      // strictly-better keeps the FIRST (ids sorted ascending) on
+      // ties — the join+window form's (sim DESC, centroid_id ASC).
+      // Spark's descending sort puts NaN ABOVE every real value
+      // (zero vectors / zero centroids cosine to NaN), so NaN beats
+      // real, real never beats NaN, NaN ties keep-first.
+      val better =
+        if (java.lang.Double.isNaN(sim)) !java.lang.Double.isNaN(bestSim)
+        else sim > bestSim
+      if (better) { bestSim = sim; bestId = ids(j) }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestId, bestSim))
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    best(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCentroid", this)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $ref.best($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+}
+
 object VecMath {
   def dot(a: Column, b: Column): Column =
     GraftExpressionBridge.column(VecDot(
@@ -171,4 +271,20 @@ object VecMath {
   def l2sq(a: Column, b: Column): Column =
     GraftExpressionBridge.column(VecL2Sq(
       GraftExpressionBridge.expression(a), GraftExpressionBridge.expression(b)))
+
+  /** [[NearestCentroid]] over a driver-collected centroid matrix;
+    * ids must be sorted ascending for the tie convention.
+    */
+  def nearestCentroid(
+      emb: Column,
+      ids: Array[Long],
+      cents: Array[Array[Double]]): Column = {
+    val norms = cents.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      math.sqrt(s)
+    }
+    GraftExpressionBridge.column(NearestCentroid(
+      GraftExpressionBridge.expression(emb), ids, cents, norms))
+  }
 }

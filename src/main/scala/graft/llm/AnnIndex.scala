@@ -60,7 +60,10 @@ object AnnIndex {
       embCol: String = "embedding",
       quantizerTag: String = "first-ids"): DataFrame =
     memo(spark, dir, s"ivf-cells-$nlist-$quantizerTag-$idCol-$embCol") {
-      Similarity.ivfAssign(vectors, centroids, idCol, embCol)
+      // index-build path: the argmax kernel, NOT join+window — the
+      // latter materializes n·nlist rows and dies at x1000 (see
+      // Similarity.ivfAssignKernel)
+      Similarity.ivfAssignKernel(vectors, centroids, idCol, embCol)
     }
 
   /** The distinct (d_group, centroid_id) inverted membership a
@@ -80,6 +83,7 @@ object AnnIndex {
       embCol: String = "embedding",
       quantizerTag: String = "first-ids"): DataFrame =
     memo(spark, dir, s"maxsim-cells-$nlist-$quantizerTag-$groupCol-$idCol-$embCol") {
-      Similarity.maxSimCellGroups(docVecs, centroids, groupCol, idCol, embCol)
+      Similarity.maxSimCellGroups(docVecs, centroids, groupCol, idCol, embCol,
+        kernelAssign = true)
     }
 }

@@ -619,6 +619,44 @@ object Similarity {
       .select(col("id").as(idCol), col("centroid_id"), round(col("sim"), 4).as("sim"))
   }
 
+  /** [[ivfAssign]] via the [[graft.functions.VecMath.nearestCentroid]]
+    * argmax KERNEL: the join+window form materializes n·nlist rows
+    * before the rank prunes them — measured fatal at ×1000 (20.7M
+    * vectors × 8192 sqrt-rule cells; executor death) — while the
+    * kernel scans the plan-embedded centroid matrix per row and emits
+    * exactly n rows, bit-identical values (`IvfKernelSpec` pins the
+    * parity, including the NaN/tie conventions). Centroids are
+    * driver-collected — bounded by the ivfPlan cap by construction;
+    * the guard rejects anything larger. This is the INDEX-BUILD path
+    * ([[graft.llm.AnnIndex]]); the small fixture-oracle queries keep
+    * the join+window form their DuckDB twins mirror.
+    */
+  def ivfAssignKernel(
+      vectors: DataFrame,
+      centroids: DataFrame,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      maxCentroids: Int = 1 << 18): DataFrame = {
+    val rows = centroids
+      .select(col("centroid_id").cast("long"), col("centroid"))
+      .collect()
+    require(rows.length <= maxCentroids,
+      s"ivfAssignKernel: ${rows.length} centroids exceed the $maxCentroids guard")
+    val sorted = rows.map { r =>
+      val arr = r.getSeq[Any](1).map {
+        case f: java.lang.Float  => f.toDouble
+        case d: java.lang.Double => d.doubleValue
+        case other => other.asInstanceOf[Number].doubleValue
+      }.toArray
+      (r.getLong(0), arr)
+    }.sortBy(_._1)
+    val nc = graft.functions.VecMath.nearestCentroid(
+      col(embCol), sorted.map(_._1), sorted.map(_._2))
+    vectors.select(col(idCol), nc.as("__nc"))
+      .select(col(idCol), col("__nc.centroid_id").as("centroid_id"),
+        round(col("__nc.sim"), 4).as("sim"))
+  }
+
   /** IVF top-k search — the query path the [[ivfAssign]]/[[kmeans]]
     * index exists for. Every stored vector lives in exactly one cell
     * (its nearest centroid); a query probes its `nprobe` nearest cells
@@ -1198,12 +1236,17 @@ object Similarity {
       centroids: DataFrame,
       groupCol: String = "group_id",
       idCol: String = "vec_id",
-      embCol: String = "embedding"): DataFrame =
-    ivfAssign(docVecs, centroids, idCol, embCol)
+      embCol: String = "embedding",
+      kernelAssign: Boolean = false): DataFrame = {
+    val assign =
+      if (kernelAssign) ivfAssignKernel(docVecs, centroids, idCol, embCol)
+      else ivfAssign(docVecs, centroids, idCol, embCol)
+    assign
       .select(col(idCol).as("neighbor_id"), col("centroid_id"))
       .join(docVecs.select(col(idCol).as("neighbor_id"),
         col(groupCol).as("d_group")), Seq("neighbor_id"))
       .select(col("d_group"), col("centroid_id")).distinct()
+  }
 
   /** Two-stage (shortlist-fed) MaxSim — the production shape of
     * [[maxSim]], the standard ColBERT serve path (Khattab & Zaharia

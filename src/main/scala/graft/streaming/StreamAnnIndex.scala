@@ -37,7 +37,9 @@ object StreamAnnIndex {
       idCol: String = "vec_id",
       embCol: String = "embedding"): (DataFrame, Long) => Unit =
     (batch: DataFrame, batchId: Long) => {
-      Similarity.ivfAssign(batch, centroids, idCol, embCol)
+      // argmax kernel, not join+window: a backfill batch × a large
+      // trained cell count must not materialize |batch|·nlist rows
+      Similarity.ivfAssignKernel(batch, centroids, idCol, embCol)
         .write.mode("overwrite")
         .parquet(s"$storeDir/batch_id=$batchId")
     }
