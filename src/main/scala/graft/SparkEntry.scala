@@ -1441,8 +1441,12 @@ object SparkEntry {
         .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
       val cells = graft.llm.AnnIndex.maxSimCellGroups(
         s, dir, vecs, centroids, nlist)
+      // nprobe from the recall-targeted rule (worst-case √(p) model,
+      // ServeRecallTarget anchor) — twin emits the identical arithmetic
       Similarity.maxSimShortlist(vecs, vecs.where(col("group_id") < 3),
-        centroids, k = 3, nprobe = 2, cellGroups = Some(cells))
+        centroids, k = 3,
+        nprobe = Similarity.nprobePlan(nlist, Similarity.ServeRecallTarget),
+        cellGroups = Some(cells))
     }),
 
     // the full late-interaction lifecycle under ONE oracle (the
@@ -1455,7 +1459,8 @@ object SparkEntry {
       val vecs = raw.withColumn("group_id", floor(col("vec_id") / 4).cast("long"))
       val cents = Similarity.kmeansTrain(raw, k = 4, iters = 3)._2
       Similarity.maxSimShortlist(vecs, vecs.where(col("group_id") < 3),
-        cents, k = 3, nprobe = 2)
+        cents, k = 3,
+        nprobe = Similarity.nprobePlan(4, Similarity.ServeRecallTarget))
     }),
 
     // Margin-criterion pair mining (LASER/CCMatrix bitext scorer):
@@ -1489,8 +1494,14 @@ object SparkEntry {
       val cells = graft.llm.AnnIndex.ivfCells(s, dir, vecs, centroids, nlist)
       val a = vecs.where(pmod(col("vec_id"), lit(2)) === 0)
       val b = vecs.where(pmod(col("vec_id"), lit(2)) === 1)
+      // nprobe = recall rule CAPPED by the mining budget (every vector
+      // is a query, so nprobe multiplies the n^1.5 candidate volume);
+      // implied worst-case floor = impliedRecallFloor(cap, nlist)
+      val nprobe = math.min(
+        Similarity.nprobePlan(nlist, Similarity.ServeRecallTarget),
+        Similarity.MiningNprobeCap)
       def side(stored: DataFrame, queries: DataFrame, storedParity: Int) =
-        Similarity.ivfSearch(stored, centroids, queries, k = 4, nprobe = 2,
+        Similarity.ivfSearch(stored, centroids, queries, k = 4, nprobe = nprobe,
           broadcastProbes = false,
           assignment = Some(
             cells.where(pmod(col("vec_id"), lit(2)) === storedParity)))
@@ -2129,7 +2140,8 @@ object SparkEntry {
       val centroids = vecs.where(col("vec_id") < 8)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
       Similarity.ivfSearch(vecs, centroids, vecs.where(col("vec_id") < 5),
-          k = 5, nprobe = 2)
+          k = 5,
+          nprobe = Similarity.nprobePlan(8, Similarity.ServeRecallTarget))
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"), col("sim"))
     }),
@@ -2190,7 +2202,8 @@ object SparkEntry {
         .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
       val queries = vecs.where(col("vec_id") < 5)
       Similarity.recallAtK(
-        Similarity.ivfSearch(vecs, centroids, queries, k = 5, nprobe = 2),
+        Similarity.ivfSearch(vecs, centroids, queries, k = 5,
+          nprobe = Similarity.nprobePlan(8, Similarity.ServeRecallTarget)),
         Similarity.bruteKnn(vecs, queries, k = 5), k = 5)
     }),
 
@@ -5504,7 +5517,9 @@ object SparkEntry {
            |probeg AS (SELECT DISTINCT group_id AS q_group, centroid_id FROM (
            |  SELECT vec_id, group_id, centroid_id, row_number() OVER (
            |    PARTITION BY vec_id ORDER BY sim DESC, centroid_id ASC) AS rk
-           |  FROM cscored WHERE group_id < 3) r WHERE rk <= 2),
+           |  FROM cscored WHERE group_id < 3) r WHERE rk <= ${
+             Similarity.nprobePlanSql("(SELECT nlist FROM msplan)",
+               Similarity.ServeRecallTarget)}),
            |short AS (SELECT DISTINCT p.q_group, cg.d_group
            |  FROM probeg p JOIN cellg cg USING (centroid_id)
            |  WHERE p.q_group <> cg.d_group),
@@ -5542,7 +5557,8 @@ object SparkEntry {
            |probeg AS (SELECT DISTINCT CAST(floor(id / 4) AS BIGINT) AS q_group, centroid_id FROM (
            |  SELECT id, centroid_id, row_number() OVER (
            |    PARTITION BY id ORDER BY sim DESC, centroid_id ASC) AS rk
-           |  FROM tcsc WHERE CAST(floor(id / 4) AS BIGINT) < 3) t WHERE rk <= 2),
+           |  FROM tcsc WHERE CAST(floor(id / 4) AS BIGINT) < 3) t WHERE rk <= ${
+             Similarity.nprobePlanSql("4", Similarity.ServeRecallTarget)}),
            |short AS (SELECT DISTINCT p.q_group, cg.d_group
            |  FROM probeg p JOIN cellg cg USING (centroid_id)
            |  WHERE p.q_group <> cg.d_group),
@@ -5609,7 +5625,9 @@ object SparkEntry {
            |probes AS (SELECT vec_id, centroid_id FROM (
            |  SELECT vec_id, centroid_id, row_number() OVER (
            |    PARTITION BY vec_id ORDER BY csim DESC, centroid_id ASC) AS rk
-           |  FROM cscored) t WHERE rk <= 2),
+           |  FROM cscored) t WHERE rk <= LEAST(${
+             Similarity.nprobePlanSql("(SELECT nlist FROM msplan)",
+               Similarity.ServeRecallTarget)}, ${Similarity.MiningNprobeCap})),
            |cand AS (SELECT p.vec_id AS query_id, sa.vec_id AS neighbor_id, $cosine AS sim
            |  FROM probes p JOIN asg sa USING (centroid_id)
            |  JOIN embeddings a ON a.vec_id = p.vec_id
@@ -6394,7 +6412,8 @@ object SparkEntry {
            |   WHERE rank = 1),
            | probes AS (SELECT vec_id AS query_id, centroid_id FROM (
            |   SELECT vec_id, centroid_id, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id ASC) AS rank FROM cscored WHERE vec_id < 5) r
-           |   WHERE rank <= 2),
+           |   WHERE rank <= ${
+             Similarity.nprobePlanSql("8", Similarity.ServeRecallTarget)}),
            | cand AS (SELECT p.query_id, s.neighbor_id FROM probes p
            |   JOIN assign s ON s.centroid_id = p.centroid_id AND p.query_id <> s.neighbor_id),
            | scored AS (SELECT c.query_id, c.neighbor_id, $cosine AS sim
@@ -6509,7 +6528,8 @@ object SparkEntry {
            |   WHERE rank = 1),
            | probes AS (SELECT vec_id AS query_id, centroid_id FROM (
            |   SELECT vec_id, centroid_id, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id ASC) AS rank FROM cscored WHERE vec_id < 5) r
-           |   WHERE rank <= 2),
+           |   WHERE rank <= ${
+             Similarity.nprobePlanSql("8", Similarity.ServeRecallTarget)}),
            | cand AS (SELECT p.query_id, s.neighbor_id FROM probes p
            |   JOIN assign s ON s.centroid_id = p.centroid_id AND p.query_id <> s.neighbor_id),
            | iscored AS (SELECT c.query_id, c.neighbor_id, $cosine AS sim

@@ -72,11 +72,23 @@ object Tuning {
     * exists to remove). Missing dir or unreachable FS → 0 (the rule
     * then floors at cpus, the safe small default). */
   def dirBytes(dir: String, spark: SparkSession): Long =
+    dirStat(dir, spark)._1
+
+  /** (bytes, fileCount) of a data directory — the byte total sizes the
+    * shuffle ceiling; the pair together is the store-change signal
+    * [[StoreEpochs]] keys memo invalidation on (an in-place compaction
+    * can keep the byte total while collapsing many files into few —
+    * the fileCount catches it). Missing dir or unreachable FS →
+    * (0, 0), which both consumers treat conservatively. */
+  def dirStat(dir: String, spark: SparkSession): (Long, Long) =
     try {
       val path = new org.apache.hadoop.fs.Path(dir)
       val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(path)) fs.getContentSummary(path).getLength else 0L
-    } catch { case scala.util.control.NonFatal(_) => 0L }
+      if (fs.exists(path)) {
+        val cs = fs.getContentSummary(path)
+        (cs.getLength, cs.getFileCount)
+      } else (0L, 0L)
+    } catch { case scala.util.control.NonFatal(_) => (0L, 0L) }
 
   /** The sizing rule itself, pure for testing. */
   def initialShufflePartitions(inputBytes: Long, cpus: Int): Int = {
@@ -145,7 +157,13 @@ object Tuning {
     def current: Int = currentN
 
     private def derive(): (Long, Int) = {
-      val bytes = dirs.map(dirBytes(_, spark)).sum
+      val app = spark.sparkContext.applicationId
+      val stats = dirs.map(d => d -> dirStat(d, spark))
+      // the SAME stat drives both re-derivations: the shuffle ceiling
+      // below, and the store-epoch memo invalidation ([[StoreEpochs]])
+      // — one FS call per dir per tick, no second stat path to drift
+      stats.foreach { case (d, (b, f)) => StoreEpochs.observe(app, d, b, f) }
+      val bytes = stats.map(_._2._1).sum
       (bytes, initialShufflePartitions(bytes, cpus))
     }
 

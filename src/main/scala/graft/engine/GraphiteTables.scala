@@ -54,22 +54,40 @@ object GraphiteTables {
     */
   /** Runtime-conf key: set `"true"` to bypass the memo and return the
     * raw derivation plan instead — every query then re-derives the
-    * table from its scan. Two uses: (a) deployments where the
-    * underlying parquet changes under a long-lived session and
-    * staleness is worse than recompute; (b) plan observability — the
+    * table from its scan. Two uses: (a) plan observability — the
     * census tool reads the derivation subtree through this flag, so
     * the per-query operator counts (which stop at the memoized
     * LogicalRDD) can be read together with what the derivation itself
-    * costs.
+    * costs; (b) an escape hatch for stores that change OUTSIDE any
+    * Retuner-observed serving session. Serving sessions don't need
+    * it: [[graft.StoreEpochs]] re-keys the memo once per observed
+    * store change, so ingest/compaction growth is picked up at the
+    * next tick without per-query re-derivation.
     */
   val DisableMemoKey = "graft.memo.disable"
+
+  // Store-epoch invalidation (graft.StoreEpochs): the serving
+  // session's Retuner tick bumps a dir's epoch when its (bytes,
+  // fileCount) stat changes; the epoch is folded into the memo key
+  // (so post-bump requests can never read a pre-bump entry, even one
+  // inserted by an in-flight query) and this callback drops the
+  // superseded entries so their checkpoint blocks can be cleaned.
+  // Batch sessions never observe, epochs stay 0, behavior unchanged.
+  graft.StoreEpochs.onBump((app, dir, epoch) => {
+    val live = s"@e$epoch"
+    derived.keySet.removeIf(k =>
+      k._1 == app && k._2 == dir && !k._3.endsWith(live))
+  })
 
   private def memo(spark: SparkSession, dir: String, kind: String)(
       build: => DataFrame): DataFrame =
     if (spark.conf.getOption(DisableMemoKey).contains("true")) build
-    else derived.computeIfAbsent(
-      (spark.sparkContext.applicationId, dir, kind),
-      _ => graft.Lineage.truncate(build, eager = false))
+    else {
+      val app = spark.sparkContext.applicationId
+      derived.computeIfAbsent(
+        (app, dir, kind + graft.StoreEpochs.keySuffix(app, dir)),
+        _ => graft.Lineage.truncate(build, eager = false))
+    }
 
   /** events.parquet has shipped `ts` both as nanosecond timestamps
     * (which Spark's parquet reader rejects by default — read as raw

@@ -190,6 +190,11 @@ case class NearestCentroid(
     cents: Array[Array[Double]],
     norms: Array[Double]) extends UnaryExpression {
   require(ids.length == cents.length && ids.length == norms.length)
+  // all centroids one width, checked once here so the per-row guard in
+  // best() is a single comparison against centroidDim
+  require(cents.isEmpty || cents.forall(_.length == cents(0).length),
+    "nearest_centroid: centroid rows have differing dimensions")
+  private val centroidDim: Int = if (cents.isEmpty) -1 else cents(0).length
   override def prettyName: String = "nearest_centroid"
   override def dataType: DataType = StructType(Seq(
     StructField("centroid_id", LongType, nullable = false),
@@ -212,6 +217,14 @@ case class NearestCentroid(
   def best(a: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
     val isF = elemIsFloat
     val d = a.numElements()
+    // fail fast on a vector/centroid width mismatch: silently
+    // truncating the dot to min(d, |c|) while the vector norm uses
+    // full d would skew every sim — diverging from the join+window
+    // cosine path this kernel claims bit-parity with (which throws
+    // size-mismatch inside VecDot)
+    if (centroidDim >= 0 && d != centroidDim)
+      throw new IllegalArgumentException(
+        s"nearest_centroid: vector dim $d != centroid dim $centroidDim")
     // vector norm once per row — same accumulation as VecDot(a, a)
     var aa = 0.0
     var i = 0
@@ -226,7 +239,7 @@ case class NearestCentroid(
     var j = 0
     while (j < cents.length) {
       val c = cents(j)
-      val n = math.min(d, c.length)
+      val n = d // == c.length, guarded above
       var dotAcc = 0.0
       var k = 0
       while (k < n) {

@@ -30,25 +30,53 @@ object AnnIndex {
   private val built =
     new java.util.concurrent.ConcurrentHashMap[(String, String, String), DataFrame]()
 
+  // same store-epoch contract as GraphiteTables.memo: the Retuner
+  // tick bumps the dir's epoch on a changed store stat, the epoch
+  // rides the key, superseded entries are dropped here
+  graft.StoreEpochs.onBump((app, dir, epoch) => {
+    val live = s"@e$epoch"
+    built.keySet.removeIf(k =>
+      k._1 == app && k._2 == dir && !k._3.endsWith(live))
+  })
+
   private def memo(spark: SparkSession, dir: String, kind: String)(
       build: => DataFrame): DataFrame =
     if (spark.conf.getOption(graft.engine.GraphiteTables.DisableMemoKey)
         .contains("true")) build
-    else built.computeIfAbsent(
-      (spark.sparkContext.applicationId, dir, kind),
-      _ => graft.Lineage.truncate(build, eager = false))
+    else {
+      val app = spark.sparkContext.applicationId
+      built.computeIfAbsent(
+        (app, dir, kind + graft.StoreEpochs.keySuffix(app, dir)),
+        _ => graft.Lineage.truncate(build, eager = false))
+    }
+
+  /** Canonical-plan fingerprint of an input relation, folded into the
+    * memo key so two DIFFERENT derivations (a different centroid set,
+    * a different doc-group column formula) can never silently share a
+    * cached assignment. `semanticHash` is a pure plan-side hash over
+    * the canonicalized logical plan — zero jobs, zero data reads — so
+    * the hit path stays free; two separate `spark.read.parquet(dir)`
+    * calls canonicalize equal (FileIndex equality is rootPath-based),
+    * so re-built identical derivations still HIT (`AnnIndexSpec` pins
+    * both directions). Derivations whose plan embeds fresh
+    * non-deterministic state (e.g. re-running `kmeansTrain` per call
+    * materializes a new LogicalRDD each time) hash fresh and MISS —
+    * the correct failure direction: a redundant rebuild for a caller
+    * already paying per-call training, never a wrong-index read.
+    */
+  private def planTag(df: DataFrame): String =
+    java.lang.Integer.toHexString(df.queryExecution.analyzed.semanticHash())
 
   /** The vector-granular IVF assignment (idCol, centroid_id, sim) —
     * [[Similarity.ivfAssign]] as memoized index state, fed to
     * [[Similarity.ivfSearch]]'s `assignment` by serve-path queries.
     *
-    * KEY CONTRACT: the memo key is (dir, nlist, quantizerTag,
-    * columns) — the centroid RELATION itself is not fingerprinted
-    * (hashing it would cost a job on every hit), so callers with a
-    * different centroid derivation over the same corpus MUST pass a
-    * distinct `quantizerTag` (e.g. `"lloyd3"` for trained cells vs
-    * the default first-`nlist`-ids quantizer) or they silently read
-    * the other quantizer's assignment.
+    * KEY CONTRACT: the memo key is (dir, nlist, quantizerTag, columns,
+    * [[planTag]] of both relations). The plan fingerprints are the
+    * machine check — distinct vector or centroid derivations get
+    * distinct entries with no caller discipline; `quantizerTag`
+    * remains as the human-readable label (and the disambiguator if a
+    * 32-bit plan-hash collision ever pairs two distinct derivations).
     */
   def ivfCells(
       spark: SparkSession,
@@ -59,7 +87,8 @@ object AnnIndex {
       idCol: String = "vec_id",
       embCol: String = "embedding",
       quantizerTag: String = "first-ids"): DataFrame =
-    memo(spark, dir, s"ivf-cells-$nlist-$quantizerTag-$idCol-$embCol") {
+    memo(spark, dir, s"ivf-cells-$nlist-$quantizerTag-$idCol-$embCol" +
+        s"-v${planTag(vectors)}-c${planTag(centroids)}") {
       // index-build path: the argmax kernel, NOT join+window — the
       // latter materializes n·nlist rows and dies at x1000 (see
       // Similarity.ivfAssignKernel)
@@ -69,8 +98,11 @@ object AnnIndex {
   /** The distinct (d_group, centroid_id) inverted membership a
     * late-interaction (MaxSim) shortlist probes — IVF index state at
     * document-group granularity, fed to
-    * [[Similarity.maxSimShortlist]]'s `cellGroups`. Same
-    * `quantizerTag` key contract as [[ivfCells]].
+    * [[Similarity.maxSimShortlist]]'s `cellGroups`. Same key contract
+    * as [[ivfCells]]; the docVecs [[planTag]] covers the GROUP
+    * derivation too (a `floor(vec_id/4)` grouping and a `vec_id % 7`
+    * grouping over the same dir are different plans, so they can never
+    * share a cached membership even under one `groupCol` name).
     */
   def maxSimCellGroups(
       spark: SparkSession,
@@ -82,7 +114,8 @@ object AnnIndex {
       idCol: String = "vec_id",
       embCol: String = "embedding",
       quantizerTag: String = "first-ids"): DataFrame =
-    memo(spark, dir, s"maxsim-cells-$nlist-$quantizerTag-$groupCol-$idCol-$embCol") {
+    memo(spark, dir, s"maxsim-cells-$nlist-$quantizerTag-$groupCol-$idCol-$embCol" +
+        s"-d${planTag(docVecs)}-c${planTag(centroids)}") {
       Similarity.maxSimCellGroups(docVecs, centroids, groupCol, idCol, embCol,
         kernelAssign = true)
     }

@@ -597,6 +597,84 @@ object Similarity {
     else s"(CASE ${branches.mkString(" ")} ELSE $cap END)"
   }
 
+  /** Recall-targeted probe sizing — the fourth leg of the sizing-rule
+    * family ([[ivfPlan]], [[lshBitsPlan]], `Multimodal.dhashPlan`):
+    * every other knob of the IVF family is a plan rule with a
+    * lockstep SQL twin; nprobe was a per-query hardcode whose recall
+    * consequence was invisible (measured 0.21 at the registered
+    * nprobe=2 on unstructured embeddings — SCALE_NOTES finding 10).
+    *
+    * Model: on UNSTRUCTURED (worst-case) embeddings, probing the
+    * query's `nprobe` nearest of `nlist` random-seeded cells recovers
+    * the true neighbor with probability ≈ √(nprobe/nlist) — the
+    * measured curve's two anchors fit it well (nprobe 2/32 → model
+    * 0.25 vs measured 0.21; 16/32 → model 0.71 vs measured 0.75).
+    * Inverting: `nprobe = ⌈nlist · target²⌉`, clamped to [1, nlist].
+    * This is WORST-CASE sizing: clustered corpora (the data ANN
+    * indexes exist for) reach the target with far fewer probes —
+    * nprobe=1 is brute-equal on the clustered bitext fixtures — so
+    * the rule is the floor-guaranteeing choice, not the clustered-
+    * data optimum. `target = 1` degenerates to the exhaustive scan
+    * (nprobe = nlist ⇒ recall 1.0 exactly, any data).
+    *
+    * Arithmetic is integer-exact on both engines: target² is frozen
+    * to the 1e-4 grid (`round(t²·10⁴)`) and the ceiling is integer
+    * division, so the SQL twin ([[nprobePlanSql]]) can never size
+    * differently from this rule.
+    */
+  def nprobePlan(nlist: Int, recallTarget: Double): Int = {
+    require(nlist >= 1, s"nprobePlan: nlist must be positive, got $nlist")
+    require(recallTarget > 0.0 && recallTarget <= 1.0,
+      s"nprobePlan: recallTarget must be in (0, 1], got $recallTarget")
+    val r = math.round(recallTarget * recallTarget * 10000)
+    math.min(nlist,
+      math.max(1, ((nlist.toLong * r + 9999) / 10000).toInt))
+  }
+
+  /** [[nprobePlan]] as engine-exact SQL over an nlist expression
+    * (which may itself be an [[ivfPlanSqlCase]] CASE) — same frozen
+    * target² grid, same ceiling, same clamps. The ceiling is
+    * `floor((a + 9999) / 10000.0)` rather than an integer-division
+    * operator (DuckDB spells it `//`, Spark `div` — no shared
+    * syntax): `a ≤ 2¹⁸·10⁴ ≪ 2⁵³` is exact in double and the true
+    * quotient is ≥ 10⁻⁴ from any wrong integer, so the correctly-
+    * rounded IEEE division can never cross a floor boundary — exact
+    * on both engines. */
+  def nprobePlanSql(nlistExpr: String, recallTarget: Double): String = {
+    require(recallTarget > 0.0 && recallTarget <= 1.0,
+      s"nprobePlanSql: recallTarget must be in (0, 1], got $recallTarget")
+    val r = math.round(recallTarget * recallTarget * 10000)
+    // BIGINT widen: nlist(≤2^18)·r(≤10^4) overflows INT under ANSI
+    s"LEAST($nlistExpr, GREATEST(1, " +
+      s"CAST(floor((CAST($nlistExpr AS BIGINT) * $r + 9999) / 10000.0) AS INT)))"
+  }
+
+  /** The serve-path default recall target, anchored on the measured
+    * curve (0.75 at nprobe 16 of nlist 32 on unstructured sf0.01
+    * embeddings): 0.7 reproduces exactly that operating point through
+    * [[nprobePlan]] (⌈32·0.49⌉ = 16). Request-shaped query batches
+    * pay probe cost `queries·(nlist + nprobe·n/nlist)` — linear in
+    * the corpus at any fixed target, so targeting recall is the right
+    * contract there. */
+  val ServeRecallTarget: Double = 0.7
+
+  /** Corpus-scale mining caps nprobe by COST, not recall: when every
+    * vector is a query, candidates = n·nprobe·(n/nlist), so nprobe is
+    * the multiplier on the n^1.5 mining budget and a recall-targeted
+    * nprobe (∝ nlist = √n) would collapse the shape to n². Mining
+    * consumers take `min(nprobePlan(...), MiningNprobeCap)` and
+    * report the implied worst-case floor via
+    * [[impliedRecallFloor]] — the honest label: mining recall on
+    * unstructured data DEGRADES with corpus growth unless the budget
+    * is raised (clustered corpora, the actual mining case, do not —
+    * nprobe=1 is brute-equal on the clustered fixtures). */
+  val MiningNprobeCap: Int = 2
+
+  /** Inverse of the [[nprobePlan]] model: the worst-case recall a
+    * given (nprobe, nlist) operating point guarantees. */
+  def impliedRecallFloor(nprobe: Int, nlist: Int): Double =
+    math.sqrt(math.min(nprobe, nlist).toDouble / nlist)
+
   /** IVF-style coarse quantization: assign each vector to the nearest
     * of `centroids` (a small broadcast relation of (centroid_id,
     * centroid)); queries then probe only their cell. Returns the
@@ -637,11 +715,15 @@ object Similarity {
       idCol: String = "vec_id",
       embCol: String = "embedding",
       maxCentroids: Int = 1 << 18): DataFrame = {
+    // guard BEFORE materializing: limit(max+1) bounds what the driver
+    // ever holds, so an oversized centroid relation fails the require
+    // instead of OOMing the driver during the collect itself
     val rows = centroids
       .select(col("centroid_id").cast("long"), col("centroid"))
+      .limit(maxCentroids + 1)
       .collect()
     require(rows.length <= maxCentroids,
-      s"ivfAssignKernel: ${rows.length} centroids exceed the $maxCentroids guard")
+      s"ivfAssignKernel: centroid relation exceeds the $maxCentroids guard")
     val sorted = rows.map { r =>
       val arr = r.getSeq[Any](1).map {
         case f: java.lang.Float  => f.toDouble

@@ -59,14 +59,41 @@ object StreamAnnIndex {
     val path = new org.apache.hadoop.fs.Path(storeDir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     def empty = Similarity.ivfAssign(template.limit(0), centroids, idCol, embCol)
-    if (fs.exists(path))
-      // a dir that exists but holds no COMMITTED parquet (a first
-      // batch crashed mid-write, leaving only _temporary) fails
-      // schema inference — degrade to the typed empty relation, the
-      // same state the replay will overwrite into existence
-      try spark.read.parquet(storeDir).drop("batch_id")
-      catch { case scala.util.control.NonFatal(_) => empty }
-    else empty
+    // Degrade to the typed empty relation ONLY for the state a replay
+    // will overwrite into existence: a store with no COMMITTED parquet
+    // yet (first batch crashed mid-write, leaving _temporary/_SPARK
+    // staging debris). Decided by LISTING the store for committed data
+    // files, not by catching every read failure — a corrupted or
+    // unreadable store must fail loudly, never silently serve zero
+    // results.
+    if (!fs.exists(path) || !hasCommittedParquet(fs, path)) empty
+    else spark.read.parquet(storeDir).drop("batch_id")
+  }
+
+  /** True iff the store holds at least one committed parquet data file
+    * (ignoring `_temporary` staging trees and `_`/`.`-prefixed
+    * metadata like _SUCCESS).
+    */
+  private[streaming] def hasCommittedParquet(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Boolean = {
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      val inStaging = {
+        var p = f.getPath.getParent
+        var staged = false
+        while (p != null && !staged) {
+          if (p.getName == "_temporary") staged = true
+          p = p.getParent
+        }
+        staged
+      }
+      if (!inStaging && !name.startsWith("_") && !name.startsWith(".") &&
+        name.endsWith(".parquet") && f.getLen > 0) return true
+    }
+    false
   }
 
   /** Group-granular membership for [[Similarity.maxSimShortlist]]:

@@ -58,6 +58,27 @@ class IvfKernelSpec extends AnyFunSuite {
     assert(z.length == 1 && z.head.getLong(1) == 0L)
   }
 
+  test("guards: oversized centroid relation fails bounded, dim mismatch throws") {
+    import spark.implicits._
+    val cents = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)), (2L, Seq(1f, 1f)))
+      .toDF("centroid_id", "centroid")
+    val vecs = Seq((10L, Seq(0.9f, 0.1f))).toDF("vec_id", "embedding")
+    // the guard fires from the LIMITed collect — the driver never
+    // materializes more than maxCentroids + 1 rows
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfAssignKernel(vecs, cents, maxCentroids = 2)
+    }
+    assert(e.getMessage.contains("exceeds the 2 guard"))
+
+    // a vector whose width differs from the centroids must fail fast,
+    // not silently score a truncated dot product
+    val wide = Seq((11L, Seq(0.5f, 0.5f, 0.5f))).toDF("vec_id", "embedding")
+    val e2 = intercept[Exception] {
+      Similarity.ivfAssignKernel(wide, cents).collect()
+    }
+    assert(e2.getMessage != null)
+  }
+
   test("trained (double) centroids assign identically through the kernel") {
     val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val cents = Similarity.kmeansTrain(vecs, k = 4, iters = 2)._2

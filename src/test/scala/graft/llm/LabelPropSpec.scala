@@ -78,4 +78,35 @@ class LabelPropSpec extends AnyFunSuite {
     val bare = Similarity.ivfPlanSqlCase("n", floor = 8, cap = 8)
     assert(!bare.contains("CASE") && bare == "8")
   }
+
+  test("nprobePlan: recall-targeted probes, clamped, SQL in lockstep") {
+    // the measured anchor (SCALE_NOTES finding 10): recall 0.75 at
+    // nprobe 16 of nlist 32 — ServeRecallTarget = 0.7 reproduces it
+    assert(Similarity.nprobePlan(32, Similarity.ServeRecallTarget) == 16)
+    // the registered fixture operating points
+    assert(Similarity.nprobePlan(8, Similarity.ServeRecallTarget) == 4)
+    assert(Similarity.nprobePlan(4, Similarity.ServeRecallTarget) == 2)
+    assert(Similarity.nprobePlan(128, Similarity.ServeRecallTarget) == 63)
+    // target 1 degenerates to the exhaustive scan (exact recall)
+    assert(Similarity.nprobePlan(32, 1.0) == 32)
+    // floor clamp: a tiny target still probes one cell
+    assert(Similarity.nprobePlan(32, 0.01) == 1)
+    assert(Similarity.impliedRecallFloor(32, 32) == 1.0)
+    assert(math.abs(Similarity.impliedRecallFloor(2, 32) - 0.25) < 1e-12)
+    for (nlist <- Seq(1, 2, 4, 8, 32, 100, 128, 1024, 1 << 18);
+         t <- Seq(0.01, 0.25, 0.5, 0.7, 0.9, 0.99, 1.0)) {
+      val sql = Similarity.nprobePlanSql(nlist.toString, t)
+      val got = spark.sql(s"SELECT $sql AS np").head().get(0).toString.toInt
+      assert(got == Similarity.nprobePlan(nlist, t), s"nlist=$nlist t=$t")
+    }
+    // composes with the ivfPlan CASE (the twin shape the gated
+    // queries emit): rule(nlist-of-n) end to end
+    for (n <- Seq(1L, 500L, 2000L, 1000000L)) {
+      val sql = Similarity.nprobePlanSql(
+        Similarity.ivfPlanSqlCase(n.toString), Similarity.ServeRecallTarget)
+      val got = spark.sql(s"SELECT $sql AS np").head().get(0).toString.toInt
+      assert(got == Similarity.nprobePlan(
+        Similarity.ivfPlan(n), Similarity.ServeRecallTarget), s"n=$n")
+    }
+  }
 }

@@ -72,6 +72,35 @@ class RecallSpec extends AnyFunSuite {
     ()
   }
 
+  test("nprobePlan-sized probes reach the recall target's floor on " +
+      "unstructured embeddings") {
+    assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+    val nlist = Similarity.ivfPlan(vecs.count())
+    val cents = vecs.where(col("vec_id") < nlist)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+    val queries = vecs.where(col("vec_id") < 30)
+    val k = 10
+    def topk(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select(col("query_id"), col("neighbor_id")).collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val truth = topk(Similarity.bruteKnn(vecs, queries, k))
+    val np = Similarity.nprobePlan(nlist, Similarity.ServeRecallTarget)
+    val approx = topk(Similarity.ivfSearch(vecs, cents, queries, k, nprobe = np))
+    val mean = truth.map { case (q, t) =>
+      approx.get(q).map(a => (a & t).size.toDouble / t.size).getOrElse(0.0)
+    }.sum / truth.size
+    // data-independent floor: the √(nprobe/nlist) model is the
+    // worst-case (unstructured) guarantee — allow modest measurement
+    // slack below the 0.7 target, never below the model's own floor
+    val floor = Similarity.impliedRecallFloor(np, nlist) - 0.15
+    assert(mean >= floor,
+      f"recall@$k = $mean%.3f under the model floor ($floor%.3f) " +
+        s"at nprobe=$np/$nlist")
+    vecs.unpersist()
+    ()
+  }
+
   test("plane coords are deterministic, distinct, and in range") {
     for (t <- 0 until 32; b <- 0 until 8) {
       val (i, j) = Similarity.planeCoords(t, b, 64)

@@ -95,4 +95,33 @@ class StreamAnnIndexSpec extends AnyFunSuite {
     assert(empty.isEmpty)
     assert(empty.columns.toSeq == Seq("vec_id", "centroid_id", "sim"))
   }
+
+  test("degrade path is narrow: staging debris → empty, corruption → throws") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-annidx3").toFile.getAbsolutePath
+    val centroids = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)))
+      .toDF("centroid_id", "centroid")
+    val template = Seq((1L, Seq(1f, 0f))).toDF("vec_id", "embedding")
+
+    // a store holding only a crashed first batch's _temporary debris is
+    // the not-yet-committed state: typed empty, no throw
+    val staging = new java.io.File(s"$dir/ivf/batch_id=0/_temporary/0")
+    assert(staging.mkdirs())
+    java.nio.file.Files.write(
+      staging.toPath.resolve("part-00000.parquet"), Array[Byte](1, 2, 3))
+    val empty = StreamAnnIndex.assignment(spark, s"$dir/ivf", template, centroids)
+    assert(empty.isEmpty)
+
+    // a COMMITTED but unreadable file is corruption, not first-batch
+    // state — it must fail loudly, never silently serve zero results
+    val bad = new java.io.File(s"$dir/ivf2/batch_id=0")
+    assert(bad.mkdirs())
+    java.nio.file.Files.write(
+      bad.toPath.resolve("part-00000-garbage.parquet"),
+      "not a parquet file".getBytes)
+    intercept[Exception] {
+      StreamAnnIndex.assignment(spark, s"$dir/ivf2", template, centroids)
+        .collect()
+    }
+  }
 }
