@@ -96,6 +96,145 @@ object StreamAnnIndex {
     false
   }
 
+  // ------------------------------------------------------------------
+  // Centroid-drift re-indexing: the epoch'd store
+  // ------------------------------------------------------------------
+  // The flat [[maintainer]] assigns against FIXED boot centroids for
+  // the life of the stream (the FAISS deployment model: quantizer
+  // trained offline, versioned). A drifting corpus degrades cell
+  // balance — and therefore probe recall — with no remedy short of a
+  // new store. The epoch'd layout composes the pieces that already
+  // exist (Lloyd training, the argmax assignment kernel, the
+  // exactly-once batch overwrite) into a versioned rebuild:
+  //
+  //   base/_CURRENT              ← epoch pointer (temp + atomic rename)
+  //   base/epoch=N/centroids/    ← the epoch's trained quantizer
+  //   base/epoch=N/assignment/batch_id=B/   ← per-batch partitions
+  //                                (B = -1 is the reindex backfill)
+  //
+  // [[reindex]] trains fresh centroids on the grown corpus, backfills
+  // the full assignment under epoch N+1, then flips the pointer — an
+  // atomic rename, so every reader resolves a COMPLETE epoch: before
+  // the flip the old one, after it the new one, never a torn mix.
+  // The per-batch [[epochMaintainer]] re-resolves the pointer each
+  // micro-batch (one small FS read + a k-row centroid parquet — model
+  // cost, not data cost), so post-swap arrivals index under the new
+  // quantizer with no stream restart. Batches that commit between the
+  // reindex SNAPSHOT and the pointer flip land in the old epoch only
+  // — quiesce the stream across reindex, or include late arrivals in
+  // the next reindex (the standard versioned-rebuild contract).
+
+  private def fsOf(spark: org.apache.spark.sql.SparkSession, p: String) = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    (path.getFileSystem(spark.sessionState.newHadoopConf()), path)
+  }
+
+  def epochDir(base: String, epoch: Long): String = s"$base/epoch=$epoch"
+
+  /** The current serving epoch, None before the first [[reindex]]. */
+  def currentEpoch(
+      spark: org.apache.spark.sql.SparkSession, base: String): Option[Long] = {
+    val (fs, p) = fsOf(spark, s"$base/_CURRENT")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+        Some(new String(buf.toByteArray, "UTF-8").trim.toLong)
+      } finally in.close()
+    }
+  }
+
+  private def writePointer(
+      spark: org.apache.spark.sql.SparkSession, base: String, epoch: Long): Unit = {
+    val (fs, tmp) = fsOf(spark, s"$base/_CURRENT.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(epoch.toString.getBytes("UTF-8")) finally out.close()
+    val cur = new org.apache.hadoop.fs.Path(s"$base/_CURRENT")
+    // rename-over is not atomic-with-replace on every FS: delete the
+    // old pointer first; a crash between delete and rename leaves the
+    // previous epoch dirs intact and the reindex retryable
+    if (fs.exists(cur)) fs.delete(cur, false)
+    if (!fs.rename(tmp, cur))
+      throw new java.io.IOException(s"pointer flip failed for $base")
+  }
+
+  /** Train → backfill → atomic swap. `vectors` is the corpus snapshot
+    * to index (the caller owns the vector store); returns the new
+    * epoch. Bootstrap is the same call on an empty base (epoch 0).
+    */
+  def reindex(
+      spark: org.apache.spark.sql.SparkSession,
+      vectors: DataFrame,
+      base: String,
+      nlist: Int,
+      iters: Int = 3,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): Long = {
+    val next = currentEpoch(spark, base).map(_ + 1L).getOrElse(0L)
+    val (_, cents) = Similarity.kmeansTrain(vectors, nlist, iters, idCol, embCol)
+    cents.write.mode("overwrite").parquet(s"${epochDir(base, next)}/centroids")
+    Similarity.ivfAssignKernel(vectors, cents, idCol, embCol)
+      .write.mode("overwrite")
+      .parquet(s"${epochDir(base, next)}/assignment/batch_id=-1")
+    writePointer(spark, base, next)
+    next
+  }
+
+  /** The current epoch's trained quantizer. */
+  def epochCentroids(
+      spark: org.apache.spark.sql.SparkSession, base: String): DataFrame = {
+    val e = currentEpoch(spark, base).getOrElse(
+      throw new IllegalStateException(s"no epoch at $base: reindex first"))
+    spark.read.parquet(s"${epochDir(base, e)}/centroids")
+  }
+
+  /** [[maintainer]] for the epoch'd store: resolves the pointer per
+    * micro-batch so arrivals always index under the SERVING quantizer.
+    * Same exactly-once contract (replays overwrite their own
+    * `batch_id=B` partition — within whichever epoch is current at
+    * replay time, which is the epoch that needs the rows).
+    */
+  def epochMaintainer(
+      spark: org.apache.spark.sql.SparkSession,
+      base: String,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      val e = currentEpoch(spark, base).getOrElse(
+        throw new IllegalStateException(s"no epoch at $base: reindex first"))
+      val cents = spark.read.parquet(s"${epochDir(base, e)}/centroids")
+      Similarity.ivfAssignKernel(batch, cents, idCol, embCol)
+        .write.mode("overwrite")
+        .parquet(s"${epochDir(base, e)}/assignment/batch_id=$batchId")
+    }
+
+  /** The serving assignment of the current epoch. */
+  def epochAssignment(
+      spark: org.apache.spark.sql.SparkSession,
+      base: String,
+      template: DataFrame,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val e = currentEpoch(spark, base).getOrElse(
+      throw new IllegalStateException(s"no epoch at $base: reindex first"))
+    assignment(spark, s"${epochDir(base, e)}/assignment", template,
+      epochCentroids(spark, base), idCol, embCol)
+  }
+
+  /** Cell-balance gauge: the heaviest cell's share of the stored
+    * vectors (1/nlist = perfectly balanced; →1 = index degenerating
+    * to one giant cell, the drift symptom [[reindex]] exists to fix).
+    */
+  def maxCellShare(assignment: DataFrame): Double = {
+    val counts = assignment.groupBy("centroid_id")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect().map(_.getLong(1))
+    if (counts.isEmpty) 0.0 else counts.max.toDouble / counts.sum
+  }
+
   /** Group-granular membership for [[Similarity.maxSimShortlist]]:
     * the stored assignment joined back to the group column and
     * collapsed to DISTINCT (d_group, centroid_id).

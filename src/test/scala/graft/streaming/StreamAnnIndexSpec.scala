@@ -96,6 +96,71 @@ class StreamAnnIndexSpec extends AnyFunSuite {
     assert(empty.columns.toSeq == Seq("vec_id", "centroid_id", "sim"))
   }
 
+  test("centroid drift: re-index restores cell balance, atomic epoch swap, " +
+      "served == inline on the new quantizer") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-annepoch").toFile
+      .getAbsolutePath + "/store"
+
+    // boot corpus: two clean clusters on axes e1/e2 (ids interleaved so
+    // the lowest-id Lloyd init spreads across both)
+    def v(a: Double, b: Double, c: Double) = Seq(a.toFloat, b.toFloat, c.toFloat, 0f)
+    val boot = Seq(
+      0L -> v(1, 0.10, 0), 1L -> v(0.15, 1, 0), 2L -> v(1, 0.30, 0),
+      3L -> v(0.25, 1, 0), 4L -> v(1, 0.12, 0), 5L -> v(0.05, 1, 0))
+      .map { case (id, e) => (id, e) }.toDF("vec_id", "embedding")
+
+    // bootstrap = the same reindex call on an empty base → epoch 0
+    assert(StreamAnnIndex.currentEpoch(spark, base).isEmpty)
+    assert(StreamAnnIndex.reindex(spark, boot, base, nlist = 2, iters = 2) == 0L)
+    assert(StreamAnnIndex.currentEpoch(spark, base).contains(0L))
+    assert(StreamAnnIndex.maxCellShare(
+      StreamAnnIndex.epochAssignment(spark, base, boot)) == 0.5)
+
+    // the stream drifts into a direction the boot quantizer never saw:
+    // every arrival piles into ONE fixed cell (the drift symptom)
+    val drift = (100L until 108L).map(id => (id, v(0.05, 0, 0.998)))
+    val maintain = StreamAnnIndex.epochMaintainer(spark, base)
+    maintain(drift.take(4).toDF("vec_id", "embedding"), 0L)
+    maintain(drift.drop(4).toDF("vec_id", "embedding"), 1L)
+
+    val all = boot.union(drift.toDF("vec_id", "embedding"))
+    val degraded = StreamAnnIndex.epochAssignment(spark, base, all)
+    assert(degraded.count() == 14L)
+    val shareBefore = StreamAnnIndex.maxCellShare(degraded)
+    assert(shareBefore >= 0.75, s"drift should degrade balance, got $shareBefore")
+    // served == inline on the OLD quantizer (the epoch'd read is still
+    // the exactly-once store contract)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "centroid_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(pairs(degraded) == pairs(Similarity.ivfAssignKernel(
+      all, StreamAnnIndex.epochCentroids(spark, base))))
+
+    // re-index on the grown corpus: retrain, backfill, atomic flip
+    assert(StreamAnnIndex.reindex(spark, all, base, nlist = 3, iters = 3) == 1L)
+    assert(StreamAnnIndex.currentEpoch(spark, base).contains(1L))
+    val restored = StreamAnnIndex.epochAssignment(spark, base, all)
+    assert(restored.count() == 14L)
+    val shareAfter = StreamAnnIndex.maxCellShare(restored)
+    assert(shareAfter <= 0.65,
+      s"re-index should restore balance: $shareBefore -> $shareAfter")
+    // served == inline on the NEW quantizer
+    assert(pairs(restored) == pairs(Similarity.ivfAssignKernel(
+      all, StreamAnnIndex.epochCentroids(spark, base))))
+
+    // post-swap arrivals index under the new quantizer, no restart:
+    // the maintainer re-resolves the pointer per batch
+    maintain(Seq((200L, v(0.05, 0, 0.998))).toDF("vec_id", "embedding"), 2L)
+    val after = StreamAnnIndex.epochAssignment(spark, base, all)
+    assert(after.count() == 15L)
+    val driftCell = pairs(restored).collect {
+      case (id, c) if id >= 100L => c
+    }.head
+    assert(pairs(after).contains(200L -> driftCell),
+      "post-swap arrival must land in the drift cluster's trained cell")
+  }
+
   test("degrade path is narrow: staging debris → empty, corruption → throws") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-annidx3").toFile.getAbsolutePath
