@@ -46,6 +46,43 @@ object Bench {
     Seq(once(), once(), once()).min
   }
 
+  /** Per-table (bytes, rows) fingerprint of the bench input dir —
+    * footer-only (parquet metadata), no data scan. Cross-round bench
+    * ratios are only comparable when the fingerprint matches: the
+    * driver regenerates /root/testdata between rounds, and a content
+    * change (e.g. different synthetic images) moves decode-bound
+    * query times with zero code change — r13 spent an adjudication
+    * cycle proving exactly that from git diffs and mtimes. With the
+    * fingerprint IN the artifact, the bench-merge protocol flags
+    * changed-input comparisons as non-comparable mechanically.
+    */
+  def testdataFingerprint(
+      spark: SparkSession, sfDir: String): Seq[(String, Long, Long)] =
+    try {
+      val path = new org.apache.hadoop.fs.Path(sfDir)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = path.getFileSystem(conf)
+      if (!fs.exists(path)) Nil
+      else fs.listStatus(path).toSeq
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getPath.getName)
+        .map { st =>
+          val files =
+            if (st.isDirectory)
+              fs.listStatus(st.getPath).toSeq.filter(f =>
+                f.isFile && f.getPath.getName.endsWith(".parquet"))
+            else Seq(st)
+          val bytes = files.map(_.getLen).sum
+          val rows = files.map { f =>
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(f.getPath, conf)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try r.getRecordCount finally r.close()
+          }.sum
+          (st.getPath.getName.stripSuffix(".parquet"), bytes, rows)
+        }
+    } catch { case scala.util.control.NonFatal(_) => Nil }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -135,6 +172,18 @@ object Bench {
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val calibAfter = calibrate(spark)
     val calib = s""""calib_before":${num(calibBefore)},"calib_after":${num(calibAfter)}"""
+    // input fingerprint next to the calibration fields: calibration
+    // gauges the HOST, this gauges the DATA — a cross-round ratio
+    // needs both unchanged to mean anything
+    val fp = testdataFingerprint(spark, sfDir)
+    val fpJson = fp.map { case (t, b, r) =>
+      s"${jstr(t)}:{\"bytes\":$b,\"rows\":$r}"
+    }.mkString("{", ",", "}")
+    // compact digest for the short stdout contract line (the full map
+    // rides only the durable artifact)
+    val fpHash = java.lang.Long.toHexString(
+      fp.map { case (t, b, r) => s"$t:$b:$r" }.mkString("|").hashCode.toLong
+        & 0xffffffffL)
     val total = timings.values.sum
     // the stdout contract line carries queries (min-of-2) but NOT the
     // cold map: round 6's recorded artifact was head-truncated by the
@@ -142,7 +191,7 @@ object Bench {
     // losing the first ~17 entries. Everything — cold included — goes
     // durably to target/bench.json.
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec",$calib,"queries":$qs,"cold":$cs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$calib,"testdata":$fpJson,"testdata_fp":"$fpHash","queries":$qs,"cold":$cs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":"$sfDir"}"""
     try {
       val out = java.nio.file.Paths.get("target/bench.json")
       java.nio.file.Files.createDirectories(out.getParent)
@@ -180,7 +229,7 @@ object Bench {
     val esShort = errors.take(3).map { case (k, v) => s"${jstr(k)}:${jstr(v.take(80))}" }
       .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${num(total)},"unit":"sec",$calib,"queries":$hq,"queries_note":"headline+slowest subset of ${timings.size}; full map in BENCH chunk lines above and target/bench.json","errors":$esShort,"n_ok":${timings.size},"n_err":${errors.size},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${num(total)},"unit":"sec",$calib,"testdata_fp":"$fpHash","queries":$hq,"queries_note":"headline+slowest subset of ${timings.size}; full map in BENCH chunk lines above and target/bench.json","errors":$esShort,"n_ok":${timings.size},"n_err":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
