@@ -1938,13 +1938,13 @@ object SparkEntry {
 
     // the full ANN lifecycle under ONE oracle: train the coarse
     // quantizer (3 Lloyd iterations), build the IVF index on the
-    // trained cells, serve top-5 at nprobe=2 — train → index → serve
-    // end-to-end hash-matched.
+    // trained cells, serve top-5 at the rule's nprobe — train →
+    // index → serve end-to-end hash-matched.
     "e_ivf_trained_search" -> ((s, dir) => {
       val vecs = s.read.parquet(s"$dir/embeddings.parquet")
       val cents = Similarity.kmeansTrain(vecs, k = 4, iters = 3)._2
       Similarity.ivfSearch(vecs, cents, vecs.where(col("vec_id") < 5),
-          k = 5, nprobe = 2)
+          k = 5, nprobe = Similarity.nprobePlan(4, Similarity.ServeRecallTarget))
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"), col("sim"))
     }),
@@ -2207,6 +2207,49 @@ object SparkEntry {
         Similarity.bruteKnn(vecs, queries, k = 5), k = 5)
     }),
 
+    // the nprobePlan rule productized as its own eval: one row per
+    // recall target — the rule's chosen nprobe and the MEASURED mean
+    // recall@5 at that operating point vs the brute ground truth.
+    // target 1.0 degenerates to the exhaustive scan (recall exactly
+    // 1.0 — the self-check row). Both the rule and the measurement
+    // run under the hash oracle (twin consumes nprobePlanSql).
+    "e_nprobe_curve" -> ((s, dir) => {
+      val vecs = s.read.parquet(s"$dir/embeddings.parquet")
+      val centroids = vecs.where(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+      val queries = vecs.where(col("vec_id") < 5)
+      val brute = Similarity.bruteKnn(vecs, queries, k = 5)
+      Seq(0.25, 0.5, 0.7, 1.0).map { t =>
+        val np = Similarity.nprobePlan(8, t)
+        Similarity.recallAtK(
+          Similarity.ivfSearch(vecs, centroids, queries, k = 5, nprobe = np),
+          brute, k = 5)
+          .agg((round(avg(col("recall")), 4) + 0.0).as("mean_recall"))
+          .select(lit(t).as("recall_target"), lit(np.toLong).as("nprobe"),
+            col("mean_recall"))
+      }.reduce(_ union _)
+    }),
+
+    // IVF index health: per-cell population and share of the corpus —
+    // the drift gauge StreamAnnIndex.maxCellShare serves on, as a
+    // first-class query (a cell share drifting toward 1 is the signal
+    // that triggers an epoch'd re-index). The share window runs over
+    // the ALREADY-AGGREGATED nlist-row relation — model-sized, never
+    // corpus-sized.
+    "e_cell_balance" -> ((s, dir) => {
+      val vecs = s.read.parquet(s"$dir/embeddings.parquet")
+      val nlist = Similarity.ivfPlan(vecs.count())
+      val centroids = vecs.where(col("vec_id") < nlist)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+      Similarity.ivfAssign(vecs, centroids)
+        .groupBy(col("centroid_id"))
+        .agg(count(lit(1)).as("n_vecs"))
+        .withColumn("share",
+          round(col("n_vecs").cast("double") /
+            sum(col("n_vecs")).over(
+              org.apache.spark.sql.expressions.Window.partitionBy()), 4) + 0.0)
+    }),
+
     "e_neardup" -> ((s, dir) =>
       Similarity.embeddingNearDups(
         s.read.parquet(s"$dir/embeddings.parquet"), threshold = 0.3, bits = 8)),
@@ -2360,10 +2403,13 @@ object SparkEntry {
     // train/val/test. Pure composition of shipped operators.
     "d_split_media" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
-      val pairs = Multimodal.dhashPairs(
-          Multimodal.dhash(Multimodal.withPngPayload(docs)), maxDist = 10)
-        .select("id_a", "id_b")
-      val cl = Dedup.clusters(pairs).withColumnRenamed("id", "doc_id")
+      // cluster-key shape, not pair-list shape: identical fingerprints
+      // collapse to one CC node (Multimodal.dhashClusters) — the x10
+      // probe measured the full pair graph at 102x pairs/decade (CC
+      // 1.6 -> 54 s); the collapsed form is result-identical (the
+      // twin still CCs the full pair graph) and rides the decode cost
+      val cl = Multimodal.dhashClusters(
+        Multimodal.dhash(Multimodal.withPngPayload(docs)), maxDist = 10)
       graft.llm.Sampling.splitGrouped(
           docs.join(cl, Seq("doc_id"), "left_outer"),
           Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)),
@@ -6105,7 +6151,8 @@ object SparkEntry {
            |   WHERE rank = 1),
            | tprobes AS (SELECT id AS query_id, centroid_id FROM (
            |   SELECT id, centroid_id, row_number() OVER (PARTITION BY id ORDER BY sim DESC, centroid_id ASC) AS rank FROM tcsc WHERE id < 5) r
-           |   WHERE rank <= 2),
+           |   WHERE rank <= ${
+             Similarity.nprobePlanSql("4", Similarity.ServeRecallTarget)}),
            | tcand AS (SELECT p.query_id, s.neighbor_id FROM tprobes p
            |   JOIN tassign s ON s.centroid_id = p.centroid_id AND p.query_id <> s.neighbor_id),
            | tscored AS (SELECT c.query_id, c.neighbor_id, $cosine AS sim
@@ -6551,6 +6598,72 @@ object SparkEntry {
            |  coalesce(h.hits, 0)::double / 5 AS recall
            |FROM (SELECT DISTINCT query_id FROM brute) q
            |LEFT JOIN hits h USING (query_id)""".stripMargin),
+
+      // the nprobe rule's curve: planned nprobe per target via the
+      // SAME nprobePlanSql emitter the Scala side's nprobePlan mirrors
+      "e_nprobe_curve" -> {
+        def npSql(t: Double) = Similarity.nprobePlanSql("8", t)
+        s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cent FROM embeddings WHERE vec_id < 8),
+           | cscored AS (SELECT a.vec_id, c.centroid_id,
+           |   list_sum(list_transform(generate_series(1, len(a.embedding)), i -> a.embedding[i]::double * c.cent[i]::double)) /
+           |   (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)), i -> a.embedding[i]::double * a.embedding[i]::double))) *
+           |    sqrt(list_sum(list_transform(generate_series(1, len(c.cent)), i -> c.cent[i]::double * c.cent[i]::double)))) AS sim
+           |   FROM embeddings a, cents c),
+           | assign AS (SELECT vec_id AS neighbor_id, centroid_id FROM (
+           |   SELECT vec_id, centroid_id, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id ASC) AS rank FROM cscored) r
+           |   WHERE rank = 1),
+           | pr AS (SELECT vec_id AS query_id, centroid_id, rank FROM (
+           |   SELECT vec_id, centroid_id, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id ASC) AS rank FROM cscored WHERE vec_id < 5) r),
+           | bscored AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $cosine AS sim
+           |   FROM embeddings a JOIN embeddings b ON a.vec_id < 5 AND a.vec_id <> b.vec_id),
+           | brute AS (SELECT query_id, neighbor_id FROM (
+           |   SELECT query_id, neighbor_id,
+           |     row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM bscored) r
+           |   WHERE rank <= 5),
+           | nps AS (SELECT * FROM (VALUES
+           |   (CAST(0.25 AS DOUBLE), ${npSql(0.25)}), (CAST(0.5 AS DOUBLE), ${npSql(0.5)}),
+           |   (CAST(0.7 AS DOUBLE), ${npSql(0.7)}), (CAST(1.0 AS DOUBLE), ${npSql(1.0)})) AS t(recall_target, np)),
+           | cand AS (SELECT n.recall_target, n.np, p.query_id, s.neighbor_id
+           |   FROM nps n JOIN pr p ON p.rank <= n.np
+           |   JOIN assign s ON s.centroid_id = p.centroid_id AND p.query_id <> s.neighbor_id),
+           | iscored AS (SELECT c.recall_target, c.np, c.query_id, c.neighbor_id, $cosine AS sim
+           |   FROM cand c JOIN embeddings a ON a.vec_id = c.query_id
+           |   JOIN embeddings b ON b.vec_id = c.neighbor_id),
+           | ivf AS (SELECT recall_target, np, query_id, neighbor_id FROM (
+           |   SELECT recall_target, np, query_id, neighbor_id,
+           |     row_number() OVER (PARTITION BY recall_target, query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM iscored) r
+           |   WHERE rank <= 5),
+           | hits AS (SELECT i.recall_target, i.query_id, count(*)::bigint AS hits
+           |   FROM ivf i JOIN brute b USING (query_id, neighbor_id) GROUP BY 1, 2),
+           | per AS (SELECT n.recall_target, n.np, q.query_id,
+           |     coalesce(h.hits, 0)::double / 5 AS recall
+           |   FROM (SELECT DISTINCT query_id FROM brute) q CROSS JOIN nps n
+           |   LEFT JOIN hits h ON h.query_id = q.query_id AND h.recall_target = n.recall_target)
+           |SELECT recall_target, CAST(np AS BIGINT) AS nprobe,
+           |  round(avg(recall), 4) + 0 AS mean_recall
+           |FROM per GROUP BY 1, 2""".stripMargin
+      },
+
+      // index-health twin: the standard assignment CTEs + one count
+      // aggregate and a global-total share
+      "e_cell_balance" ->
+        (s"""WITH cbplan AS (SELECT ${Similarity.ivfPlanSqlCase(
+               "(SELECT count(*) FROM embeddings)")} AS nlist),
+           | cents AS (SELECT vec_id AS centroid_id, embedding AS cent
+           |   FROM embeddings WHERE vec_id < (SELECT nlist FROM cbplan)),
+           | cscored AS (SELECT a.vec_id, c.centroid_id,
+           |   list_sum(list_transform(generate_series(1, len(a.embedding)), i -> a.embedding[i]::double * c.cent[i]::double)) /
+           |   (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)), i -> a.embedding[i]::double * a.embedding[i]::double))) *
+           |    sqrt(list_sum(list_transform(generate_series(1, len(c.cent)), i -> c.cent[i]::double * c.cent[i]::double)))) AS sim
+           |   FROM embeddings a, cents c),
+           | assign AS (SELECT vec_id, centroid_id FROM (
+           |   SELECT vec_id, centroid_id, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id ASC) AS rank FROM cscored) r
+           |   WHERE rank = 1),
+           | counts AS (SELECT centroid_id, count(*)::bigint AS n_vecs
+           |   FROM assign GROUP BY 1)
+           |SELECT centroid_id, n_vecs,
+           |  round(n_vecs::double / (SELECT sum(n_vecs) FROM counts), 4) + 0 AS share
+           |FROM counts""".stripMargin),
 
       "e_pq_search" ->
         ("""WITH subs AS (

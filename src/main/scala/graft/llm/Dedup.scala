@@ -669,6 +669,43 @@ object Dedup {
       .unionByName(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .truncateLineage()
+
+    // Contraction prelude (round-14): near-dup pair relations are
+    // CLIQUE-dominated — quadratic in-clique edges that carry no
+    // connectivity the clique's representative doesn't — and the
+    // label loop below re-reads the FULL edge relation every round
+    // (the ×10 probe measured 3.3M pairs / 54 s for a graph whose
+    // contracted form is a few thousand edges). One min-neighbor
+    // contraction collapses it first: l1(x) = min(x, min neighbor),
+    // every edge re-keyed through l1, loops dropped, duplicates
+    // merged. Components and min-id labels are preserved exactly —
+    // l1(x) is always a node of x's component, every original path
+    // maps to a contracted path, and each component's min is an l1
+    // fixpoint (its neighbors are all larger). The contracted graph
+    // recurses through clusters() itself — cliques vanish in one
+    // pass, chains keep contracting geometrically, and the driver
+    // union-find shortcut re-applies the moment the edge count fits.
+    val l1 = edges.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("id"), least(col("id"), col("mn")).as("l1"))
+      .truncateLineage()
+    val cPairs = edges
+      .join(l1.select(col("id").as("src"), col("l1").as("ls")), Seq("src"))
+      .join(l1.select(col("id").as("dst"), col("l1").as("ld")), Seq("dst"))
+      .where(col("ls") < col("ld"))
+      .select(col("ls").as("id_a"), col("ld").as("id_b"))
+      .distinct()
+      .truncateLineage()
+    val nContracted = cPairs.count()
+    def compose(sub: DataFrame): DataFrame =
+      l1.join(sub.withColumnRenamed("id", "l1"), Seq("l1"), "left_outer")
+        .select(col("id"),
+          coalesce(col("cluster_id"), col("l1")).as("cluster_id"))
+    if (nContracted == 0) return compose(
+      cPairs.select(col("id_a").as("id"), col("id_b").as("cluster_id")))
+    if (nContracted < p.count()) return compose(clusters(cPairs, maxIter))
+    // contraction made no progress (no clique/chain structure left to
+    // merge at this granularity) — run the label loop directly
     var labels = edges.select(col("src").as("id"))
       .distinct()
       .withColumn("cluster_id", col("id"))

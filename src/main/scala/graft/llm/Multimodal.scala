@@ -683,6 +683,45 @@ object Multimodal {
       .where(col("dist") <= maxDist)
   }
 
+  /** Transitive perceptual clusters over [[dhash]] fingerprints —
+    * the cluster-KEY shape (leakage-safe splits, survivor picks) as
+    * opposed to the pair-LIST shape ([[dhashPairs]], whose answer is
+    * quadratic on dup-dense corpora BY DEFINITION).
+    *
+    * The round-14 ×10 probe caught `d_split_media` paying 17.5×/decade:
+    * 102× the pairs (32k → 3.29M) pushed `Dedup.clusters` past its
+    * driver union-find bound into the distributed loop (1.6 → 54 s).
+    * The pair blowup is identical-fingerprint cliques (k² pairs per
+    * clique) — but a CLUSTER consumer never needed the clique's pair
+    * list: collapse identical fps to their eldest doc (one hash-agg,
+    * the [[dhashDedupWide]] stage-1 move), run banded pairs + CC over
+    * the ≤-distinct-fp representatives, then map every doc through its
+    * fp. Result-IDENTICAL to CC over the full pair graph: dist-0
+    * clique members share every band slice and sit in one component
+    * with their representative, band collision is a pure function of
+    * the fp, and min-doc_id-per-component survives the collapse
+    * (each representative IS its clique's min). The d_split_media
+    * DuckDB twin still computes the full-pair-graph recursive-CTE CC —
+    * the equivalence is hash-gated every round.
+    */
+  def dhashClusters(
+      fps: DataFrame,
+      maxDist: Int = 10,
+      nBits: Int = 56,
+      bands: Int = 4): DataFrame = {
+    val rep = fps.groupBy(col("fp"))
+      .agg(org.apache.spark.sql.functions.min(col("doc_id")).as("rep_id"))
+    val pairs = dhashPairs(
+        rep.select(col("rep_id").as("doc_id"), col("fp")), nBits, bands, maxDist)
+      .select("id_a", "id_b")
+    val cl = graft.llm.Dedup.clusters(pairs).withColumnRenamed("id", "rep_id")
+    fps.select(col("doc_id"), col("fp"))
+      .join(rep, Seq("fp"))
+      .join(cl, Seq("rep_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("rep_id")).as("cluster_id"))
+  }
+
   /** Deterministic REAL WAV payload: 16-bit PCM mono sine at a
     * seed-keyed frequency, written through the JDK WAV encoder.
     */

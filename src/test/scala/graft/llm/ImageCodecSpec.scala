@@ -118,6 +118,28 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(graft.SparkEntry.queries("m_wav_features")(spark, sfDir).count() == nDocs)
   }
 
+  test("dhashClusters == CC over the full pair graph (collapse equivalence)") {
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val fps = Multimodal.dhash(Multimodal.withPngPayload(docs))
+      .cache()
+    // the full-pair-graph form the DuckDB twin still computes
+    val pairs = Multimodal.dhashPairs(fps, maxDist = 10).select("id_a", "id_b")
+    val full = Dedup.clusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fullAll = fps.select("doc_id").collect().map(_.getLong(0))
+      .map(id => id -> full.getOrElse(id, id)).toMap
+    // the collapsed (distinct-fingerprint-node) form
+    val fast = Multimodal.dhashClusters(fps, maxDist = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == fullAll,
+      s"collapse changed cluster keys: ${fast.toSet.diff(fullAll.toSet).take(5)}")
+    assert(fast.nonEmpty && fast.exists { case (id, c) => id != c },
+      "fixture should contain at least one nontrivial cluster")
+    fps.unpersist()
+    ()
+  }
+
   test("dhashBits matches a hand-rolled gradient fold on the downsampled grid") {
     val seed = "perceptual fingerprint fodder".getBytes("UTF-8")
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(

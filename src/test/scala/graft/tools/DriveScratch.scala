@@ -15,6 +15,7 @@ object DriveScratch {
     if (args.headOption.contains("maxsim")) { maxSimDrive(args.drop(1)); return }
     if (args.headOption.contains("avilums")) { aviLumsDrive(args.drop(1)); return }
     if (args.headOption.contains("bitext")) { bitextDrive(args.drop(1)); return }
+    if (args.headOption.contains("splitmedia")) { splitMediaDrive(args.drop(1)); return }
     val spark = SparkTestBase.spark
     val sfDir = "/root/testdata/sf0.001"
 
@@ -223,6 +224,42 @@ object DriveScratch {
     println(df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted")).take(8000))
     spark.stop()
+  }
+
+  /** Stage-wise timing of the d_split_media chain on scaled dirs —
+    * round-14 triage for the 17.5×/decade ×10 leg. */
+  private def splitMediaDrive(args: Seq[String]): Unit = {
+    val spark = SparkTestBase.spark
+    import graft.llm.{Dedup, Multimodal, Sampling}
+    import graft.Lineage.TruncateOps
+    import org.apache.spark.sql.functions._
+    val dirs = if (args.nonEmpty) args.toSeq else Seq("target/scale/x1", "target/scale/x10")
+    for (dir <- dirs) {
+      def t[A](name: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"SMD | $dir | $name | ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        r
+      }
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val fps = Multimodal.dhash(Multimodal.withPngPayload(docs))
+        .truncateLineage(eager = false)
+      t("decode+dhash")(fps.count())
+      val pairs = Multimodal.dhashPairs(fps, maxDist = 10)
+        .select("id_a", "id_b").truncateLineage(eager = false)
+      val np = t("pairs")(pairs.count())
+      println(s"SMD | $dir | n_pairs | $np")
+      val cl = t("cc") {
+        val c = Dedup.clusters(pairs).withColumnRenamed("id", "doc_id")
+          .truncateLineage(eager = false)
+        c.count(); c
+      }
+      t("split") {
+        Sampling.splitGrouped(
+          docs.join(cl, Seq("doc_id"), "left_outer"),
+          Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)),
+          coalesce(col("cluster_id"), col("doc_id"))).count()
+      }
+    }
   }
 
   private def sq8Drive(): Unit = {

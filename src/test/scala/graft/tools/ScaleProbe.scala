@@ -114,7 +114,18 @@ object ScaleProbe {
     // quality-aware survivor pick: the d_cluster_dedup CC shape plus
     // per-doc quality CPU and one rank window over cluster-sized
     // groups — expect the d_minhash_pairs/d_cluster_dedup growth
-    "d_cluster_keep_best")
+    "d_cluster_keep_best",
+    // round-14: the production-shaped media split (dhash banded pairs
+    // → CC → grouped split) — rides the m_dhash_pairs kernels plus a
+    // cluster-keyed split; probe that the chain stays near the dhash
+    // legs' growth
+    "d_split_media",
+    // round-14: the simhash recall HARNESS — its truth side is the
+    // blocked exact-Hamming pair scan, quadratic within (lang,
+    // source) blocks BY DEFINITION (an eval tool, not a production
+    // operator; production runs the banded candidates alone). Probe
+    // at x1/x10 only; the x100 truth side is ~1e9 in-block pairs
+    "d_simhash_recall_banded")
 
   def main(args: Array[String]): Unit = {
     val factors = args.headOption.map(_.split(',').map(_.trim.toInt).toSeq)
