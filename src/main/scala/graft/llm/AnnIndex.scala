@@ -104,6 +104,29 @@ object AnnIndex {
     * grouping over the same dir are different plans, so they can never
     * share a cached membership even under one `groupCol` name).
     */
+  /** The epoch'd streamed ANN store's current assignment
+    * ([[graft.streaming.StreamAnnIndex.epochAssignment]]) as memoized
+    * serve state — the composition that closes the serving lifecycle:
+    * the maintainer owns the store at ingest, [[graft.StoreEpochs]]
+    * bumps this memo's key when the Retuner tick observes the store
+    * change (a re-index epoch swap grows/changes the store's file
+    * set), and the next request re-resolves the `_CURRENT` pointer
+    * ONCE and is memoized again — so a drift re-index reaches a
+    * long-lived serving session at its next tick with no restart and
+    * no per-query pointer/parquet re-read. `StoreEpochSpec` drives
+    * reindex → tick → serve end to end.
+    */
+  def epochCells(
+      spark: SparkSession,
+      base: String,
+      template: DataFrame,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame =
+    memo(spark, base, s"epoch-cells-$idCol-$embCol-t${planTag(template)}") {
+      graft.streaming.StreamAnnIndex.epochAssignment(
+        spark, base, template, idCol, embCol)
+    }
+
   def maxSimCellGroups(
       spark: SparkSession,
       dir: String,

@@ -79,6 +79,40 @@ class StoreEpochSpec extends AnyFunSuite {
     assert(a2.count() == 2L)
   }
 
+  test("drift re-index reaches the memoized serve path at the next tick") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-epochserve")
+      .toFile.getAbsolutePath + "/annstore"
+    def v(a: Double, b: Double) = Seq(a.toFloat, b.toFloat)
+    val boot = Seq((0L, v(1, 0.1)), (1L, v(0.1, 1)), (2L, v(1, 0.2)),
+      (3L, v(0.2, 1))).toDF("vec_id", "embedding")
+
+    graft.streaming.StreamAnnIndex.reindex(spark, boot, base,
+      nlist = 2, iters = 2)
+    val retuner = new Tuning.Retuner(spark, Seq(base),
+      cpus = 4, minIntervalSec = 0L)
+    retuner.force(100L)
+
+    val a0 = graft.llm.AnnIndex.epochCells(spark, base, boot)
+    assert(a0.count() == 4L)
+    assert(graft.llm.AnnIndex.epochCells(spark, base, boot) eq a0)
+
+    // drift + re-index swaps the store to epoch 1 — the memo still
+    // serves epoch 0 until the serving session's next store-stat tick
+    val all = boot.union(
+      Seq((100L, v(0.7, 0.7)), (101L, v(0.7, 0.71))).toDF("vec_id", "embedding"))
+    graft.streaming.StreamAnnIndex.reindex(spark, all, base,
+      nlist = 2, iters = 2)
+    assert(graft.llm.AnnIndex.epochCells(spark, base, boot) eq a0,
+      "pre-tick requests keep the memoized epoch-0 relation")
+
+    retuner.maybe(200L)
+    val a1 = graft.llm.AnnIndex.epochCells(spark, base, boot)
+    assert(!(a1 eq a0), "the tick must re-key the epoch'd serve memo")
+    assert(a1.count() == 6L,
+      "post-tick serve path must read the re-indexed epoch")
+  }
+
   test("zero observations never bump (transient stat failure ≠ store change)") {
     val app = "test-app"
     val dir = "/no/such/dir"
