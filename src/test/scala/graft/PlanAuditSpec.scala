@@ -68,7 +68,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "e_pq_search",
     // cross-source overlap: pair labeling must stay equi-joins over
     // the Σsᵢ²-bounded candidate machinery
-    "d_source_overlap")
+    "d_source_overlap",
+    // round-14: the cluster-key media split (collapsed-fp pairs → CC
+    // contraction → grouped split) — every stage bucket- or
+    // result-keyed, no broadcast-crossing anywhere
+    "d_split_media")
 
   for (name <- audited) {
     test(s"$name: no cartesian or nested-loop join in the physical plan") {
@@ -101,7 +105,11 @@ class PlanAuditSpec extends AnyFunSuite {
       // round-12: MaxSim crosses the corpus with a broadcast-bounded
       // query-vector batch (two-stage ColBERT prunes it in prod);
       // bitext margin rides bruteKnn's broadcast query batches
-      "e_maxsim", "e_bitext_margin")) {
+      "e_maxsim", "e_bitext_margin",
+      // round-14: the nprobe curve rides 4 ivfSearch instances (each
+      // a broadcast centroid/probe cross); cell balance is one
+      // ivfAssign broadcast-centroid cross + model-sized windows
+      "e_nprobe_curve", "e_cell_balance")) {
     test(s"$name: all-pairs stage is broadcast-bounded, never a distributed cartesian") {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"CartesianProduct in $name")
