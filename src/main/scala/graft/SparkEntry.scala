@@ -2233,15 +2233,21 @@ object SparkEntry {
     // IVF index health: per-cell population and share of the corpus —
     // the drift gauge StreamAnnIndex.maxCellShare serves on, as a
     // first-class query (a cell share drifting toward 1 is the signal
-    // that triggers an epoch'd re-index). The share window runs over
-    // the ALREADY-AGGREGATED nlist-row relation — model-sized, never
-    // corpus-sized.
+    // that triggers an epoch'd re-index). The assignment comes from
+    // AnnIndex.ivfCells — the argmax KERNEL (never the join+window
+    // n·nlist materialization, fatal at ×1000 with the corpus-scaled
+    // nlist this query uses; IvfKernelSpec pins bit-parity so the
+    // join-shaped DuckDB twin still matches) — memoized as ingest-
+    // owned state, so the gauge rides the same index the serve
+    // queries read instead of re-deriving per call. The share window
+    // runs over the ALREADY-AGGREGATED nlist-row relation —
+    // model-sized, never corpus-sized.
     "e_cell_balance" -> ((s, dir) => {
       val vecs = s.read.parquet(s"$dir/embeddings.parquet")
       val nlist = Similarity.ivfPlan(vecs.count())
       val centroids = vecs.where(col("vec_id") < nlist)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
-      Similarity.ivfAssign(vecs, centroids)
+      graft.llm.AnnIndex.ivfCells(s, dir, vecs, centroids, nlist)
         .groupBy(col("centroid_id"))
         .agg(count(lit(1)).as("n_vecs"))
         .withColumn("share",

@@ -32,7 +32,12 @@ package graft
   *  - an in-flight query that began before a bump inserts its result
   *    under the OLD epoch key — post-bump requests compute the new
   *    key and can never read it, so the race window closes at key
-  *    level (the stale entry itself is dropped by the invalidator).
+  *    level. The stale entry itself is dropped by the invalidator
+  *    when the insert completed before the bump, and by the memo's
+  *    post-insert epoch recheck when it completed after (the insert
+  *    racing PAST the invalidator would otherwise pin the entry's
+  *    checkpoint blocks until the next bump — forever on a store
+  *    that then goes static).
   *
   * Epoch-in-key plus eviction (rather than eviction alone) is what
   * makes the bump race-safe without locking the memo hot path.

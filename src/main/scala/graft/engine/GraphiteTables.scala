@@ -84,9 +84,21 @@ object GraphiteTables {
     if (spark.conf.getOption(DisableMemoKey).contains("true")) build
     else {
       val app = spark.sparkContext.applicationId
-      derived.computeIfAbsent(
-        (app, dir, kind + graft.StoreEpochs.keySuffix(app, dir)),
-        _ => graft.Lineage.truncate(build, eager = false))
+      val suffix = graft.StoreEpochs.keySuffix(app, dir)
+      val key = (app, dir, kind + suffix)
+      val out = derived.computeIfAbsent(
+        key, _ => graft.Lineage.truncate(build, eager = false))
+      // close the insert-after-bump window: a bump whose invalidator
+      // ran between this thread's key computation and the insert
+      // completing would otherwise leave this old-epoch entry
+      // unreachable-but-pinned (its checkpoint blocks held until the
+      // NEXT bump — forever on a store that then goes static). The
+      // entry is a valid pre-bump read, so return it; just don't keep
+      // it. A bump arriving after this check is covered by its own
+      // invalidator pass — the key is already inserted and visible.
+      if (graft.StoreEpochs.keySuffix(app, dir) != suffix)
+        derived.remove(key)
+      out
     }
 
   /** events.parquet has shipped `ts` both as nanosecond timestamps

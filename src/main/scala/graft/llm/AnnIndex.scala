@@ -45,9 +45,18 @@ object AnnIndex {
         .contains("true")) build
     else {
       val app = spark.sparkContext.applicationId
-      built.computeIfAbsent(
-        (app, dir, kind + graft.StoreEpochs.keySuffix(app, dir)),
-        _ => graft.Lineage.truncate(build, eager = false))
+      val suffix = graft.StoreEpochs.keySuffix(app, dir)
+      val key = (app, dir, kind + suffix)
+      val out = built.computeIfAbsent(
+        key, _ => graft.Lineage.truncate(build, eager = false))
+      // post-insert epoch recheck — same insert-after-bump window as
+      // GraphiteTables.memo (see the comment there): an entry whose
+      // epoch moved while it was being computed is returned (valid
+      // pre-bump read) but not retained, so its checkpoint blocks
+      // never outlive the bump that superseded them.
+      if (graft.StoreEpochs.keySuffix(app, dir) != suffix)
+        built.remove(key)
+      out
     }
 
   /** Canonical-plan fingerprint of an input relation, folded into the

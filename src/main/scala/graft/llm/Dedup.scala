@@ -665,10 +665,7 @@ object Dedup {
       import spark.implicits._
       return out.toSeq.toDF("id", "cluster_id")
     }
-    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(p.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct()
-      .truncateLineage()
+    val edges = symmetrize(p)
 
     // Contraction prelude (round-14): near-dup pair relations are
     // CLIQUE-dominated — quadratic in-clique edges that carry no
@@ -683,8 +680,16 @@ object Dedup {
     // maps to a contracted path, and each component's min is an l1
     // fixpoint (its neighbors are all larger). The contracted graph
     // recurses through clusters() itself — cliques vanish in one
-    // pass, chains keep contracting geometrically, and the driver
-    // union-find shortcut re-applies the moment the edge count fits.
+    // pass, and the driver union-find shortcut re-applies the moment
+    // the edge count fits — but ONLY while each level halves the
+    // edge count: min-neighbor hooking removes ~1 edge per level on a
+    // chain-shaped backbone (l1(i) = i−1 on a path), so an
+    // unconditional recurse-on-any-progress rule would recurse once
+    // per removed edge — unbounded depth, three checkpoints + two
+    // count jobs per level. Sub-geometric progress falls through to
+    // the pointer-jumping label loop over the (still no larger)
+    // contracted graph, whose round count is O(log diameter) by
+    // construction.
     val l1 = edges.groupBy(col("src").as("id"))
       .agg(min(col("dst")).as("mn"))
       .select(col("id"), least(col("id"), col("mn")).as("l1"))
@@ -697,15 +702,39 @@ object Dedup {
       .distinct()
       .truncateLineage()
     val nContracted = cPairs.count()
+    val nPairs = p.count()
     def compose(sub: DataFrame): DataFrame =
       l1.join(sub.withColumnRenamed("id", "l1"), Seq("l1"), "left_outer")
         .select(col("id"),
           coalesce(col("cluster_id"), col("l1")).as("cluster_id"))
     if (nContracted == 0) return compose(
       cPairs.select(col("id_a").as("id"), col("id_b").as("cluster_id")))
-    if (nContracted < p.count()) return compose(clusters(cPairs, maxIter))
+    if (nContracted * 2 <= nPairs) return compose(clusters(cPairs, maxIter))
+    if (nContracted < nPairs)
+      // sub-geometric progress: another contraction level would not
+      // pay for its checkpoints — label-loop the contracted graph
+      // (≤ the input's size) and compose back through l1
+      return compose(labelLoop(symmetrize(cPairs), maxIter))
     // contraction made no progress (no clique/chain structure left to
     // merge at this granularity) — run the label loop directly
+    labelLoop(edges, maxIter)
+  }
+
+  /** The symmetrized, deduped edge relation of an (id_a, id_b) pair
+    * relation — the form [[labelLoop]] consumes.
+    */
+  private def symmetrize(pairs: DataFrame): DataFrame =
+    pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .truncateLineage()
+
+  /** Min-label propagation with pointer jumping over a symmetrized
+    * edge relation — the distributed fallback of [[clusters]] for
+    * graphs past the driver union-find bound whose contraction
+    * stalled. O(log diameter) rounds, one shuffle join per round.
+    */
+  private def labelLoop(edges: DataFrame, maxIter: Int): DataFrame = {
     var labels = edges.select(col("src").as("id"))
       .distinct()
       .withColumn("cluster_id", col("id"))

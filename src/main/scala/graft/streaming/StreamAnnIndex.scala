@@ -131,19 +131,47 @@ object StreamAnnIndex {
 
   def epochDir(base: String, epoch: Long): String = s"$base/epoch=$epoch"
 
-  /** The current serving epoch, None before the first [[reindex]]. */
+  /** Epoch numbers of all `epoch=N` dirs under `base` (complete or
+    * not — a crashed [[reindex]] leaves an incomplete one behind).
+    */
+  private def epochDirs(
+      spark: org.apache.spark.sql.SparkSession, base: String): Seq[Long] = {
+    val (fs, p) = fsOf(spark, base)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("epoch="))
+      .flatMap(st =>
+        scala.util.Try(st.getPath.getName.stripPrefix("epoch=").toLong).toOption)
+  }
+
+  /** The current serving epoch, None before the first [[reindex]].
+    *
+    * Resolution order: the `_CURRENT` pointer when present (the
+    * normal path — [[writePointer]] only ever publishes a COMPLETE
+    * epoch); otherwise the newest epoch dir carrying a `_COMPLETE`
+    * marker. The fallback exists for a pointer lost to a legacy
+    * (pre-atomic, delete-then-rename) flip window or an out-of-band
+    * deletion: serving must degrade to the newest complete epoch,
+    * never to an `IllegalStateException` mid-serve — and never to an
+    * INCOMPLETE dir, which is why the marker (written after the
+    * backfill, before the flip) gates the fallback rather than bare
+    * dir existence.
+    */
   def currentEpoch(
       spark: org.apache.spark.sql.SparkSession, base: String): Option[Long] = {
     val (fs, p) = fsOf(spark, s"$base/_CURRENT")
-    if (!fs.exists(p)) None
-    else {
+    if (fs.exists(p)) {
       val in = fs.open(p)
       try {
         val buf = new java.io.ByteArrayOutputStream()
         org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
         Some(new String(buf.toByteArray, "UTF-8").trim.toLong)
       } finally in.close()
-    }
+    } else
+      epochDirs(spark, base)
+        .filter(e => fs.exists(
+          new org.apache.hadoop.fs.Path(s"${epochDir(base, e)}/_COMPLETE")))
+        .sorted.lastOption
   }
 
   private def writePointer(
@@ -151,18 +179,33 @@ object StreamAnnIndex {
     val (fs, tmp) = fsOf(spark, s"$base/_CURRENT.tmp")
     val out = fs.create(tmp, true)
     try out.write(epoch.toString.getBytes("UTF-8")) finally out.close()
-    val cur = new org.apache.hadoop.fs.Path(s"$base/_CURRENT")
-    // rename-over is not atomic-with-replace on every FS: delete the
-    // old pointer first; a crash between delete and rename leaves the
-    // previous epoch dirs intact and the reindex retryable
-    if (fs.exists(cur)) fs.delete(cur, false)
-    if (!fs.rename(tmp, cur))
-      throw new java.io.IOException(s"pointer flip failed for $base")
+    val cur = fs.makeQualified(new org.apache.hadoop.fs.Path(s"$base/_CURRENT"))
+    // atomic replace via FileContext: unlike FileSystem.rename, the
+    // Rename.OVERWRITE contract replaces an existing destination in
+    // ONE namespace operation on HDFS — no delete-then-rename window
+    // in which a reader sees no pointer at all, no crash state that
+    // loses it. Filesystems whose AbstractFileSystem shim degrades
+    // the overwrite to non-atomic still never lose the pointer
+    // durably: [[currentEpoch]] falls back to the newest _COMPLETE
+    // epoch dir and [[reindex]] numbers past ALL existing dirs.
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      cur.toUri, spark.sessionState.newHadoopConf())
+    fc.rename(fs.makeQualified(tmp), cur,
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
-  /** Train → backfill → atomic swap. `vectors` is the corpus snapshot
-    * to index (the caller owns the vector store); returns the new
-    * epoch. Bootstrap is the same call on an empty base (epoch 0).
+  /** Train → backfill → complete-marker → atomic swap. `vectors` is
+    * the corpus snapshot to index (the caller owns the vector store);
+    * returns the new epoch. Bootstrap is the same call on an empty
+    * base (epoch 0).
+    *
+    * The next epoch numbers past the pointer AND every existing
+    * `epoch=N` dir: a reindex that crashed after writing its dir but
+    * before flipping the pointer leaves an orphan that must never be
+    * overwritten-in-place by the retry (a reader resolving mid-retry
+    * would see a torn mix); the retry builds N+1 and the orphan stays
+    * inert until [[dropSuperseded]]-style housekeeping (or manual
+    * cleanup) removes it.
     */
   def reindex(
       spark: org.apache.spark.sql.SparkSession,
@@ -172,12 +215,15 @@ object StreamAnnIndex {
       iters: Int = 3,
       idCol: String = "vec_id",
       embCol: String = "embedding"): Long = {
-    val next = currentEpoch(spark, base).map(_ + 1L).getOrElse(0L)
+    val next = (currentEpoch(spark, base).toSeq ++ epochDirs(spark, base))
+      .sorted.lastOption.map(_ + 1L).getOrElse(0L)
     val (_, cents) = Similarity.kmeansTrain(vectors, nlist, iters, idCol, embCol)
     cents.write.mode("overwrite").parquet(s"${epochDir(base, next)}/centroids")
     Similarity.ivfAssignKernel(vectors, cents, idCol, embCol)
       .write.mode("overwrite")
       .parquet(s"${epochDir(base, next)}/assignment/batch_id=-1")
+    val (fs, marker) = fsOf(spark, s"${epochDir(base, next)}/_COMPLETE")
+    fs.create(marker, true).close()
     writePointer(spark, base, next)
     next
   }

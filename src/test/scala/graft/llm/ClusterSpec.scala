@@ -37,6 +37,26 @@ class ClusterSpec extends AnyFunSuite {
     assert(local.nonEmpty)
   }
 
+  test("clusters: chain-shaped graph takes one contraction level, not one per edge") {
+    import spark.implicits._
+    // a pure path is min-neighbor hooking's worst case: l1(i) = i-1
+    // removes exactly ONE edge per contraction level, so the old
+    // recurse-on-any-progress rule recursed once per edge (unbounded
+    // depth, three checkpoints per level). The sub-geometric gate must
+    // fall through to the label loop instead and still converge to
+    // the driver union-find fixpoint.
+    val pairs = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    def run(): Map[Long, Long] =
+      Dedup.clusters(pairs).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val local = run()
+    spark.conf.set(Dedup.CcLocalThresholdKey, "0") // force the distributed path
+    val dist =
+      try run()
+      finally spark.conf.unset(Dedup.CcLocalThresholdKey)
+    assert(local == (0L to 63L).map(i => i -> 0L).toMap)
+    assert(dist == local)
+  }
+
   test("dedupAgainst: arrivals matching the store drop, store keys dedupe first") {
     import spark.implicits._
     val store = Seq((1L, "The  cat"), (2L, "the cat"), (3L, "a dog"))

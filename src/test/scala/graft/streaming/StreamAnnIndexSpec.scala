@@ -161,6 +161,34 @@ class StreamAnnIndexSpec extends AnyFunSuite {
       "post-swap arrival must land in the drift cluster's trained cell")
   }
 
+  test("pointer loss + orphaned epoch dir: serve falls back to the newest " +
+      "COMPLETE epoch, reindex numbers past the orphan") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-annptr").toFile
+      .getAbsolutePath + "/store"
+    val vecs = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)),
+      (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    assert(StreamAnnIndex.reindex(spark, vecs, base, nlist = 2, iters = 1) == 0L)
+    assert(StreamAnnIndex.reindex(spark, vecs, base, nlist = 2, iters = 1) == 1L)
+
+    // a crashed reindex attempt: dir present, no _COMPLETE, no flip
+    assert(new java.io.File(s"$base/epoch=5/centroids").mkdirs())
+    // pointer lost out-of-band (legacy non-atomic flip window)
+    assert(new java.io.File(s"$base/_CURRENT").delete())
+
+    // serve degrades to the newest COMPLETE epoch — never the torn orphan
+    assert(StreamAnnIndex.currentEpoch(spark, base).contains(1L))
+    assert(StreamAnnIndex.epochAssignment(spark, base, vecs).count() == 4L)
+
+    // the retry numbers PAST the orphan (it is never overwritten in
+    // place — a reader resolving mid-retry must not see a torn mix)
+    assert(StreamAnnIndex.reindex(spark, vecs, base, nlist = 2, iters = 1) == 6L)
+    assert(StreamAnnIndex.currentEpoch(spark, base).contains(6L))
+    assert(StreamAnnIndex.epochAssignment(spark, base, vecs).count() == 4L)
+  }
+
   test("degrade path is narrow: staging debris → empty, corruption → throws") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-annidx3").toFile.getAbsolutePath
