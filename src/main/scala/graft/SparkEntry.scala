@@ -2424,6 +2424,26 @@ object SparkEntry {
           coalesce(col("cluster_id"), col("doc_id")).as("grp"), col("split"))
     }),
 
+    // the LINEAR leakage-safe media split key: anchor-edge clusters
+    // (band-collision CC — 4n star edges, no pairwise verify) instead
+    // of verified-pair CC. Coarser-or-equal than d_split_media's key
+    // by construction (verified pairs are a subgraph of band
+    // collisions), which is the SAFE direction for a split key — and
+    // the only shape that survives corpora whose verified pair mass
+    // is quadratic (SCALE_NOTES finding 13 blocked d_split_media's
+    // x100 leg at >60 min / 330M pairs).
+    "d_split_media_linear" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val cl = Multimodal.dhashAnchorClusters(
+        Multimodal.dhash(Multimodal.withPngPayload(docs)))
+      graft.llm.Sampling.splitGrouped(
+          docs.join(cl, Seq("doc_id"), "left_outer"),
+          Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)),
+          coalesce(col("cluster_id"), col("doc_id")))
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("grp"), col("split"))
+    }),
+
     "p_labels" -> ((s, dir) =>
       graft.prom.Prom.labelRows(
         GraphiteTables.tags(s, dir).select("path").distinct())),
@@ -2439,6 +2459,28 @@ object SparkEntry {
         GraphiteTables.pointsTagged(s, dir),
         GraphiteTables.tags(s, dir),
         graft.prom.PromQL.Selector(Seq(("__name__", "=", "events"), ("type", "=", "click"))),
+        start = WFrom, end = WFrom + 30L * 86400L, step0 = 21600L,
+        lookbackSec = 86400L)),
+
+    // plain-from-tagged escape hatch (finder/plain_from_tagged.go:
+    // 16-124): graphite{target="<glob>"} routes to the PLAIN index —
+    // the glob resolves through the ordinary plain finder, samples
+    // come from the plain points table, and each found dotted path is
+    // re-labeled into its synthetic tagged storage form (rename +
+    // node<N> labels + the metric label, sorted, query-escaped).
+    // node5 names a segment past the paths' depth — dropped, like the
+    // reference. The whole route then grids through the same
+    // query_range evaluator as native tagged selectors.
+    "p_plain_from_tagged" -> ((s, dir) =>
+      graft.prom.PromQL.evalMatrixGraphite(
+        GraphiteTables.points(s, dir),
+        GraphiteTables.index(s, dir),
+        GraphiteTables.pointsTagged(s, dir),
+        GraphiteTables.tags(s, dir),
+        graft.prom.PromQL.parse(
+          """graphite{target="events.click.*", rename="clicks",""" +
+            """ node0="root", node1="etype", node5="missing"}""")
+          .fold(e => throw new IllegalArgumentException(e), identity),
         start = WFrom, end = WFrom + 30L * 86400L, step0 = 21600L,
         lookbackSec = 86400L)),
 
@@ -6876,6 +6918,25 @@ object SparkEntry {
            |  JOIN grid g ON d.time <= g.t AND d.time > g.t - 86400)
            |SELECT path, t, arg_max(value, time) AS value FROM win GROUP BY 1, 2""".stripMargin),
 
+      // plain-from-tagged twin: the plain points table (dotted paths,
+      // event_id versions) re-labeled into the synthetic tagged form
+      // — name 'clicks' (rename), labels etype/metric/root sorted by
+      // name, node5 beyond the 3-segment depth dropped — then the
+      // same instant-selector grid as p_query_range
+      "p_plain_from_tagged" ->
+        (s"""WITH dedup AS (
+           |  SELECT 'clicks?etype=click&metric=events.click.user' || user_id
+           |           || '&root=events' AS path,
+           |         epoch_us(ts)//1000000 AS time,
+           |         arg_max(value, event_id) AS value
+           |  FROM events WHERE event_type = 'click'
+           |  GROUP BY 1, 2),
+           |grid AS (SELECT $WFrom + 21600*n AS t FROM generate_series(0, 120) g(n)),
+           |win AS (
+           |  SELECT d.path, g.t, d.value, d.time FROM dedup d
+           |  JOIN grid g ON d.time <= g.t AND d.time > g.t - 86400)
+           |SELECT path, t, arg_max(value, time) AS value FROM win GROUP BY 1, 2""".stripMargin),
+
       "p_query_range_avg" ->
         (s"""WITH dedup AS (
            |  SELECT 'events?type=click&user=' || user_id AS path,
@@ -7971,6 +8032,47 @@ object SparkEntry {
            |keyed AS (
            |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS grp
            |  FROM documents d LEFT JOIN cl c ON c.doc_id = d.doc_id),
+           |uu AS (SELECT doc_id, grp,
+           |  ('0x' || substr(md5(grp::varchar || '|split'), 1, 15))::bigint / 1152921504606846976.0 AS u
+           |  FROM keyed)
+           |SELECT doc_id, grp,
+           |  CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+           |FROM uu""".stripMargin),
+
+      // linear media split twin: identical-fp collapse, band slices,
+      // per-bucket min-doc anchor STAR edges (no Hamming verify), CC
+      // over the stars, docs mapped back through their fp's
+      // representative — then the same grouped-hash split
+      "d_split_media_linear" ->
+        (s"""WITH RECURSIVE cell AS ($dhashCellsSql),
+           |fp AS (
+           |  SELECT a.doc_id,
+           |    CAST(sum(CASE WHEN b.lum > a.lum
+           |      THEN (1::bigint << CAST(a.gy * 7 + a.gx AS INT)) ELSE 0 END) AS BIGINT) AS fp
+           |  FROM cell a JOIN cell b
+           |    ON b.doc_id = a.doc_id AND b.gy = a.gy AND b.gx = a.gx + 1
+           |  WHERE a.gx < 7
+           |  GROUP BY 1),
+           |reps AS (SELECT fp, min(doc_id) AS rep_id FROM fp GROUP BY fp),
+           |banded AS (SELECT rep_id, i AS b, (fp >> CAST(14 * i AS INT)) & 16383 AS v
+           |  FROM reps, (SELECT unnest([0, 1, 2, 3]) AS i) u),
+           |anch AS (SELECT b, v, min(rep_id) AS anchor_id FROM banded GROUP BY 1, 2),
+           |e0 AS (SELECT DISTINCT a.anchor_id AS id_a, d.rep_id AS id_b
+           |  FROM banded d JOIN anch a ON d.b = a.b AND d.v = a.v
+           |  WHERE d.rep_id > a.anchor_id),
+           |edges AS (SELECT id_a AS src, id_b AS dst FROM e0 UNION SELECT id_b, id_a FROM e0),
+           |nodes AS (SELECT DISTINCT src AS id FROM edges),
+           |reach(id, label) AS (
+           |  SELECT id, id FROM nodes
+           |  UNION
+           |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+           |cl AS (SELECT id AS rep_id, min(label) AS cluster_id FROM reach GROUP BY id),
+           |keyed AS (
+           |  SELECT d.doc_id, coalesce(c.cluster_id, r.rep_id, d.doc_id) AS grp
+           |  FROM documents d
+           |  LEFT JOIN fp f ON f.doc_id = d.doc_id
+           |  LEFT JOIN reps r ON r.fp = f.fp
+           |  LEFT JOIN cl c ON c.rep_id = r.rep_id),
            |uu AS (SELECT doc_id, grp,
            |  ('0x' || substr(md5(grp::varchar || '|split'), 1, 15))::bigint / 1152921504606846976.0 AS u
            |  FROM keyed)

@@ -779,7 +779,11 @@ final class HttpApi(
     // prometheus path (`prometheus/querier_select.go:101` takes the
     // query limiter with an empty username) — not the tags limiter.
     val rows = cfg.limits.render.withSlot(cfg.limits.waitMs) {
-      graft.prom.PromQL.evalMatrix(points, tagsTable, expr, start, end, step)
+      // evalMatrixGraphite: the plain-from-tagged escape hatch
+      // (graphite{target="…"} matcher sets route to the PLAIN index;
+      // the store's one points table holds both path forms)
+      graft.prom.PromQL.evalMatrixGraphite(
+          points, index, points, tagsTable, expr, start, end, step)
         .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
     }
     reply(ex, 200, "application/json",
@@ -805,7 +809,8 @@ final class HttpApi(
       e => throw new IllegalArgumentException(e), identity)
     // render/query limiter, no user override — see promQueryRange
     val rows = cfg.limits.render.withSlot(cfg.limits.waitMs) {
-      graft.prom.PromQL.evalMatrix(points, tagsTable, expr, time, time, 1L)
+      graft.prom.PromQL.evalMatrixGraphite(
+          points, index, points, tagsTable, expr, time, time, 1L)
         .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
     }
     // sort()/sort_desc()/sort_by_label(_desc) order the instant

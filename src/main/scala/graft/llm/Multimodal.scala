@@ -722,6 +722,61 @@ object Multimodal {
         coalesce(col("cluster_id"), col("rep_id")).as("cluster_id"))
   }
 
+  /** LINEAR leakage-safe cluster key over [[dhash]] fingerprints —
+    * the anchor-edge form of [[dhashClusters]] for corpora whose
+    * verified near-dup pair mass is quadratic (SCALE_NOTES finding
+    * 13: the radius-10 transitive key over the synthetic corpus is
+    * ≥ pair-mass work BY DEFINITION — 330M verified pairs at ×100 —
+    * so the verified-CC chain cannot finish no matter how it's
+    * planned).
+    *
+    * Construction: collapse identical fps to their eldest doc (the
+    * [[dhashClusters]] stage-1 hash-agg), band the representatives,
+    * and connect each representative to its band bucket's eldest
+    * member (the [[dhashDedupWide]] anchor machinery) — a STAR per
+    * bucket, ≤ `bands`·|distinct fps| edges by construction, never
+    * the in-bucket pair cross. CC over those stars IS the connected
+    * components of the band-COLLISION graph (two reps are in one
+    * component iff a chain of shared buckets links them, each bucket
+    * contracted through its anchor).
+    *
+    * Contract vs the verified key: candidates are generated by band
+    * collision and only then Hamming-verified, so the verified pair
+    * graph is a SUBGRAPH of the collision graph — every verified
+    * cluster sits wholly inside one anchor cluster (the
+    * coarser-or-equal refinement `ImageCodecSpec` pins). Coarser is
+    * the SAFE direction for a train/val/test split key: a true
+    * near-dup pair can never straddle the split; the price is some
+    * over-grouping from random band collisions (mass distributes
+    * across `bands` random slices, so spurious merges need a 14-bit
+    * coincidence per link). The min-id labels also survive: each
+    * component's min doc id is a representative (reps are their
+    * fp-clique minima) and CC labels components by min rep id.
+    */
+  def dhashAnchorClusters(
+      fps: DataFrame,
+      nBits: Int = 56,
+      bands: Int = 4): DataFrame = {
+    val rep = fps.groupBy(col("fp"))
+      .agg(org.apache.spark.sql.functions.min(col("doc_id")).as("rep_id"))
+    val slices = fpBandSlices(col("fp"), nBits, bands)
+    val banded = rep.select(col("rep_id").as("doc_id"),
+        explode(array(slices: _*)).as("s"))
+      .select(col("doc_id"), col("s.b").as("b"), col("s.v").as("v"))
+    val anchors = banded.groupBy("b", "v")
+      .agg(org.apache.spark.sql.functions.min(col("doc_id")).as("anchor_id"))
+    val edges = banded.join(anchors, Seq("b", "v"))
+      .where(col("doc_id") > col("anchor_id"))
+      .select(col("anchor_id").as("id_a"), col("doc_id").as("id_b"))
+      .distinct()
+    val cl = graft.llm.Dedup.clusters(edges).withColumnRenamed("id", "rep_id")
+    fps.select(col("doc_id"), col("fp"))
+      .join(rep, Seq("fp"))
+      .join(cl, Seq("rep_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("rep_id")).as("cluster_id"))
+  }
+
   /** Deterministic REAL WAV payload: 16-bit PCM mono sine at a
     * seed-keyed frequency, written through the JDK WAV encoder.
     */

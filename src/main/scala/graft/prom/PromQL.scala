@@ -1041,6 +1041,102 @@ object PromQL {
     evalMemo(points, tags, expr, start, end, step0, lookbackSec,
       new scala.collection.mutable.HashMap[(Expr, Long, Long, Long, Long), DataFrame])
 
+  /** Structural map over every [[Selector]] leaf of an expression
+    * tree (including the one embedded in [[RangeFn]]). Pure-data
+    * rewrite — evaluation-free.
+    */
+  def mapSelectors(e: Expr)(f: Selector => Selector): Expr = e match {
+    case s: Selector      => f(s)
+    case e: RangeFn       => e.copy(sel = f(e.sel))
+    case e: DateFn        => e.copy(inner = e.inner.map(mapSelectors(_)(f)))
+    case e: MathFn        => e.copy(inner = mapSelectors(e.inner)(f))
+    case e: Absent        => e.copy(inner = mapSelectors(e.inner)(f))
+    case e: LabelReplace  => e.copy(inner = mapSelectors(e.inner)(f))
+    case e: LabelJoin     => e.copy(inner = mapSelectors(e.inner)(f))
+    case e: Agg           => e.copy(inner = mapSelectors(e.inner)(f))
+    case e: RankK         => e.copy(inner = mapSelectors(e.inner)(f))
+    case e: Quantile      => e.copy(inner = mapSelectors(e.inner)(f))
+    case e: BinOp         =>
+      e.copy(lhs = mapSelectors(e.lhs)(f), rhs = mapSelectors(e.rhs)(f))
+    case e: SetOp         =>
+      e.copy(lhs = mapSelectors(e.lhs)(f), rhs = mapSelectors(e.rhs)(f))
+    case e: HistQuantile  => e.copy(inner = mapSelectors(e.inner)(f))
+    case e: SubQuery      => e.copy(inner = mapSelectors(e.inner)(f))
+    case e: CountValues   => e.copy(inner = mapSelectors(e.inner)(f))
+    case e: TimestampFn   => e.copy(inner = mapSelectors(e.inner)(f))
+    case e: ScalarFn      => e.copy(inner = mapSelectors(e.inner)(f))
+    case e: Sort          => e.copy(inner = mapSelectors(e.inner)(f))
+    case e: SortByLabel   => e.copy(inner = mapSelectors(e.inner)(f))
+    case e: Offset        => e.copy(inner = mapSelectors(e.inner)(f))
+    case e: At            => e.copy(inner = mapSelectors(e.inner)(f))
+    case e: AtEdge        => e.copy(inner = mapSelectors(e.inner)(f))
+    case e: LimitRatio    => e.copy(inner = mapSelectors(e.inner)(f))
+    case e: LimitK        => e.copy(inner = mapSelectors(e.inner)(f))
+    case e @ (_: Scalar | TimeFn | _: VectorLit) => e
+  }
+
+  /** Every [[Selector]] leaf of the tree, in-order. */
+  def collectSelectors(e: Expr): Seq[Selector] = {
+    val buf = scala.collection.mutable.ListBuffer[Selector]()
+    mapSelectors(e) { s => buf += s; s }
+    buf.toList
+  }
+
+  /** [[evalMatrix]] with the reference's plain-from-tagged routing
+    * ([[PlainFromTagged]], `finder/finder.go:123-145`): every selector
+    * whose matcher set detects the `graphite{target="…"}` shape is
+    * served from the PLAIN index + points instead of the tagged
+    * tables. Spark-first composition, zero changes to the evaluator
+    * core: per detected route the plain finder resolves the target
+    * glob ONCE (find-result-sized), the found paths' samples are
+    * unioned into the points relation under their synthetic tagged
+    * storage form ([[PlainFromTagged.abs]]), a one-row-per-series
+    * marker tag (`__pft_<i>`, not expressible in real storage paths)
+    * is unioned into the tags relation, and the selector is rewritten
+    * to match exactly that marker — then the ordinary [[evalMatrix]]
+    * runs. Mixed expressions (a plain-from-tagged operand joined
+    * against a native tagged selector) work unchanged; expressions
+    * with no detected route take the exact [[evalMatrix]] path.
+    */
+  def evalMatrixGraphite(
+      plainPoints: DataFrame,
+      plainIndex: DataFrame,
+      points: DataFrame,
+      tags: DataFrame,
+      expr: Expr,
+      start: Long,
+      end: Long,
+      step0: Long,
+      lookbackSec: Long = LookbackSec): DataFrame = {
+    val routed = collectSelectors(expr).distinct
+      .flatMap(s => PlainFromTagged.detect(s.matchers).map(s -> _))
+    if (routed.isEmpty)
+      return evalMatrix(points, tags, expr, start, end, step0, lookbackSec)
+    var pts = points.select("path", "value", "time", "date", "version")
+    var tg = tags
+    val rewrite = routed.zipWithIndex.map { case ((sel, route), i) =>
+      val marker = s"__pft_$i=1"
+      val found = graft.engine.Finder.find(plainIndex, route.target)
+        .where(col("is_leaf")).select("path")
+      val synth = found.select(
+        col("path").as("__plain"),
+        PlainFromTagged.abs(col("path"), route).as("path"))
+      pts = pts.unionByName(
+        plainPoints.withColumnRenamed("path", "__plain")
+          .join(synth, Seq("__plain"))
+          .select("path", "value", "time", "date", "version"))
+      tg = tg.unionByName(synth.select(
+        to_date(lit("1970-01-01")).as("date"),
+        lit(marker).as("tag1"),
+        col("path"),
+        array(lit(marker)).as("tags"),
+        lit(0L).as("version")))
+      sel -> Selector(Seq((s"__pft_$i", "=", "1")))
+    }.toMap
+    evalMatrix(pts, tg, mapSelectors(expr)(s => rewrite.getOrElse(s, s)),
+      start, end, step0, lookbackSec)
+  }
+
   /** Per-query common-subexpression elimination: structurally equal
     * (sub-expression, window) pairs evaluate ONCE and every other
     * occurrence references the same DataFrame instance, so Spark's

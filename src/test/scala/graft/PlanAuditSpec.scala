@@ -72,7 +72,17 @@ class PlanAuditSpec extends AnyFunSuite {
     // round-14: the cluster-key media split (collapsed-fp pairs → CC
     // contraction → grouped split) — every stage bucket- or
     // result-keyed, no broadcast-crossing anywhere
-    "d_split_media")
+    "d_split_media",
+    // round-15: the LINEAR anchor-edge split key (bucket stars → CC,
+    // no pair cross at all) and the plain-from-tagged route (plain
+    // find + synth-path equi-joins + the query_range grid) — both
+    // pure equi-join shapes
+    "d_split_media_linear", "p_plain_from_tagged",
+    // round-15: cell balance moved here from the broadcast-bounded
+    // group — it now serves from AnnIndex.ivfCells (the argmax
+    // KERNEL: centroids ride a guarded model-sized literal, so the
+    // plan has no join at all, let alone a nested loop)
+    "e_cell_balance")
 
   for (name <- audited) {
     test(s"$name: no cartesian or nested-loop join in the physical plan") {
@@ -107,9 +117,8 @@ class PlanAuditSpec extends AnyFunSuite {
       // bitext margin rides bruteKnn's broadcast query batches
       "e_maxsim", "e_bitext_margin",
       // round-14: the nprobe curve rides 4 ivfSearch instances (each
-      // a broadcast centroid/probe cross); cell balance is one
-      // ivfAssign broadcast-centroid cross + model-sized windows
-      "e_nprobe_curve", "e_cell_balance")) {
+      // a broadcast centroid/probe cross)
+      "e_nprobe_curve")) {
     test(s"$name: all-pairs stage is broadcast-bounded, never a distributed cartesian") {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"CartesianProduct in $name")

@@ -350,6 +350,34 @@ class HttpApiSpec extends AnyFunSuite {
     assert(new String(bad.body()).startsWith("""{"status":"error""""))
   }
 
+  test("/api/v1/query_range: plain-from-tagged escape hatch routes to the plain index") {
+    def qr(query: String): String = {
+      val enc = java.net.URLEncoder.encode(query, "UTF-8")
+      val r = get(s"/api/v1/query_range?query=$enc&start=$rnow&end=$rnow&step=30")
+      assert(r.statusCode() == 200, new String(r.body()))
+      new String(r.body())
+    }
+    // graphite{target="test.*"}: the glob resolves through the PLAIN
+    // index (test.plain1/test.plain2 — dotted legacy metrics no tagged
+    // matcher could reach), node1 names segment 1, and each series
+    // carries the full path as the `metric` label
+    val body = qr("""graphite{target="test.*", node1="leaf"}""")
+    assert(body.contains(
+      s"""{"metric":{"__name__":"graphite","leaf":"plain1","metric":"test.plain1"},"values":[[$rnow,"2"]]}"""),
+      body)
+    assert(body.contains(
+      s"""{"metric":{"__name__":"graphite","leaf":"plain2","metric":"test.plain2"},"values":[[$rnow,"2.5"]]}"""),
+      body)
+    // rename swaps the synthetic metric name
+    val renamed = qr("""graphite{target="test2.plain", rename="legacy"}""")
+    assert(renamed.contains(
+      s"""{"metric":{"__name__":"legacy","metric":"test2.plain"},"values":[[$rnow,"3.5"]]}"""),
+      renamed)
+    // no target → NOT the escape hatch: plain paths stay unreachable
+    // through the tagged matcher machinery
+    assert(qr("""graphite{node1="leaf"}""").contains(""""result":[]"""))
+  }
+
   test("/api/v1/query_range: round-7 operators over HTTP") {
     def qr(query: String): String = {
       val enc = java.net.URLEncoder.encode(query, "UTF-8")

@@ -140,6 +140,38 @@ class ImageCodecSpec extends AnyFunSuite {
     ()
   }
 
+  test("dhashAnchorClusters: verified-CC partition refines the anchor partition " +
+      "(coarser-or-equal — the leakage-safe direction)") {
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val fps = Multimodal.dhash(Multimodal.withPngPayload(docs)).cache()
+    val verified = Multimodal.dhashClusters(fps, maxDist = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val linear = Multimodal.dhashAnchorClusters(fps)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(linear.keySet == verified.keySet)
+    // refinement: two docs in one VERIFIED cluster are always in one
+    // anchor cluster (a verified pair can never straddle the split)
+    val anchorOfVerified = scala.collection.mutable.Map[Long, Long]()
+    verified.foreach { case (id, vc) =>
+      anchorOfVerified.get(vc) match {
+        case Some(lc) => assert(lc == linear(id),
+          s"verified cluster $vc split across anchor clusters $lc / ${linear(id)}")
+        case None => anchorOfVerified(vc) = linear(id)
+      }
+    }
+    // coarser-or-equal, and the fixture must exercise real coarsening
+    // machinery (some nontrivial cluster exists)
+    val nVerified = verified.values.toSet.size
+    val nLinear = linear.values.toSet.size
+    assert(nLinear <= nVerified, s"$nLinear anchor vs $nVerified verified")
+    assert(linear.exists { case (id, c) => id != c })
+    // every cluster label is a member doc's id (min-id labeling)
+    assert(linear.values.toSet.subsetOf(linear.keySet))
+    fps.unpersist()
+    ()
+  }
+
   test("dhashBits matches a hand-rolled gradient fold on the downsampled grid") {
     val seed = "perceptual fingerprint fodder".getBytes("UTF-8")
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(

@@ -26,6 +26,48 @@ class PromSpec extends AnyFunSuite {
       List(("plain.metric", "__name__", "plain.metric")))
   }
 
+  test("plainFromTagged detect: reference vectors (plain_from_tagged.go:23-66)") {
+    import PlainFromTagged._
+    // the canonical shape
+    assert(detect(Seq(("__name__", "=", "graphite"),
+      ("target", "=", "telegraf.*.cpu.avg"))) ==
+      Some(Route("telegraf.*.cpu.avg", "graphite", Map.empty)))
+    // both trigger matchers required, Eq only, non-empty target
+    assert(detect(Seq(("__name__", "=", "graphite"))).isEmpty)
+    assert(detect(Seq(("target", "=", "a.b"))).isEmpty)
+    assert(detect(Seq(("__name__", "=~", "graphite"), ("target", "=", "a.b"))).isEmpty)
+    assert(detect(Seq(("__name__", "=", "graphite"), ("target", "=", ""))).isEmpty)
+    assert(detect(Seq(("__name__", "=", "other"), ("target", "=", "a.b"))).isEmpty)
+    // last assignment wins (the reference's loop overwrites)
+    assert(detect(Seq(("__name__", "=", "graphite"),
+      ("target", "=", "a.*"), ("target", "=", "b.*"))).get.target == "b.*")
+    // rename + node labels; non-numeric node suffix skipped (`:52-55`)
+    assert(detect(Seq(("__name__", "=", "graphite"), ("target", "=", "a.*"),
+      ("rename", "=", "cpu"), ("node1", "=", "host"),
+      ("nodeX", "=", "bad"), ("node2", "!=", "notEq"))) ==
+      Some(Route("a.*", "cpu", Map(1 -> "host"))))
+  }
+
+  test("plainFromTagged abs: synthetic tagged form (plain_from_tagged.go:85-124)") {
+    import spark.implicits._
+    def absOf(route: PlainFromTagged.Route, paths: String*): Seq[String] =
+      paths.toDF("path")
+        .select(PlainFromTagged.abs(org.apache.spark.sql.functions.col("path"), route))
+        .collect().map(_.getString(0)).toSeq
+    // node label + metric, sorted by label name; default name
+    assert(absOf(PlainFromTagged.Route("t", "graphite", Map(1 -> "host")),
+      "telegraf.web1.cpu.avg") ==
+      Seq("graphite?host=web1&metric=telegraf.web1.cpu.avg"))
+    // rename; node index past the path depth contributes nothing
+    assert(absOf(PlainFromTagged.Route("t", "cpu", Map(0 -> "app", 9 -> "zzz")),
+      "telegraf.web1") ==
+      Seq("cpu?app=telegraf&metric=telegraf.web1"))
+    // go url.QueryEscape byte-parity: space → '+', '*' → %2A, '~' bare
+    assert(absOf(PlainFromTagged.Route("t", "graphite", Map.empty),
+      "a b.c*d~e") ==
+      Seq("graphite?metric=a+b.c%2Ad~e"))
+  }
+
   test("matchersToTerms: op mapping + base sort") {
     val Right(terms) = Prom.matchersToTerms(Seq(
       ("job", "!=", "x"),
