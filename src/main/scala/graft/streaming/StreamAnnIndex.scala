@@ -256,6 +256,78 @@ object StreamAnnIndex {
         .parquet(s"${epochDir(base, e)}/assignment/batch_id=$batchId")
     }
 
+  /** [[epochMaintainer]] with the automated drift trigger the epoch'd
+    * store was built for: when [[maxCellShare]] exceeds `shareBar`
+    * for `consecutive` micro-batches, the maintainer re-indexes
+    * unprompted — train on a fresh corpus snapshot, backfill, atomic
+    * pointer flip — so the quantizer lifecycle closes without an
+    * operator watching the gauge. A static (balanced) stream never
+    * crosses the bar and never re-indexes.
+    *
+    * The gauge is driver-held per-cell counts (≤ nlist entries —
+    * model-sized, like the centroid table itself): (re)seeded from
+    * the store ONCE per epoch (one aggregate job), then maintained
+    * incrementally from each batch's own ≤ nlist-row cell histogram —
+    * never a per-batch store re-read. Gauge state is approximate
+    * under crash-replay (a replayed batch counts twice) and resets on
+    * restart — safe for a trigger heuristic: the worst case is a
+    * re-index a few batches early or late, and the store itself keeps
+    * the exactly-once overwrite contract of [[epochMaintainer]].
+    *
+    * `corpus` supplies the training snapshot at trigger time (the
+    * caller owns the vector store — same contract as [[reindex]]);
+    * `nlistOf` sizes the new quantizer to the snapshot
+    * ([[Similarity.ivfPlan]]'s √n rule by default), so a corpus that
+    * grew since boot re-indexes into proportionally more cells.
+    */
+  def autoEpochMaintainer(
+      spark: org.apache.spark.sql.SparkSession,
+      base: String,
+      corpus: () => DataFrame,
+      shareBar: Double = 0.5,
+      consecutive: Int = 2,
+      iters: Int = 3,
+      nlistOf: Long => Int = n => Similarity.ivfPlan(n),
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): (DataFrame, Long) => Unit = {
+    val counts = scala.collection.mutable.Map[Long, Long]()
+    var countedEpoch = -1L
+    var streak = 0
+    (batch: DataFrame, batchId: Long) => {
+      val e = currentEpoch(spark, base).getOrElse(
+        throw new IllegalStateException(s"no epoch at $base: reindex first"))
+      val cents = spark.read.parquet(s"${epochDir(base, e)}/centroids")
+      Similarity.ivfAssignKernel(batch, cents, idCol, embCol)
+        .write.mode("overwrite")
+        .parquet(s"${epochDir(base, e)}/assignment/batch_id=$batchId")
+      if (countedEpoch != e) {
+        // first batch under this epoch: seed the gauge from the store
+        // (includes the batch just written and any reindex backfill)
+        counts.clear()
+        assignment(spark, s"${epochDir(base, e)}/assignment",
+            batch, cents, idCol, embCol)
+          .groupBy("centroid_id").count().collect()
+          .foreach(r => counts(r.getLong(0)) = r.getLong(1))
+        countedEpoch = e
+        streak = 0
+      } else
+        Similarity.ivfAssignKernel(batch, cents, idCol, embCol)
+          .groupBy("centroid_id").count().collect()
+          .foreach(r =>
+            counts(r.getLong(0)) = counts.getOrElse(r.getLong(0), 0L) + r.getLong(1))
+      val total = counts.values.sum
+      val share = if (total == 0L) 0.0 else counts.values.max.toDouble / total
+      if (share > shareBar) streak += 1 else streak = 0
+      if (streak >= consecutive) {
+        val snap = corpus()
+        reindex(spark, snap, base, nlistOf(snap.count()), iters, idCol, embCol)
+        streak = 0
+        // the gauge re-seeds from the NEW epoch's backfill on the
+        // next batch (countedEpoch no longer matches)
+      }
+    }
+  }
+
   /** The serving assignment of the current epoch. */
   def epochAssignment(
       spark: org.apache.spark.sql.SparkSession,

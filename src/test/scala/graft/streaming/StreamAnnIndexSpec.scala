@@ -161,6 +161,66 @@ class StreamAnnIndexSpec extends AnyFunSuite {
       "post-swap arrival must land in the drift cluster's trained cell")
   }
 
+  test("autoEpochMaintainer: drift over the bar re-indexes unprompted; " +
+      "a balanced stream never does; serve == inline across the swap") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-annauto").toFile
+      .getAbsolutePath + "/store"
+    def v(a: Double, b: Double, c: Double) = Seq(a.toFloat, b.toFloat, c.toFloat, 0f)
+    val boot = Seq(
+      0L -> v(1, 0.10, 0), 1L -> v(0.15, 1, 0), 2L -> v(1, 0.30, 0),
+      3L -> v(0.25, 1, 0), 4L -> v(1, 0.12, 0), 5L -> v(0.05, 1, 0))
+      .toDF("vec_id", "embedding")
+    assert(StreamAnnIndex.reindex(spark, boot, base, nlist = 2, iters = 2) == 0L)
+
+    var arrived = Seq.empty[(Long, Seq[Float])]
+    def corpus() = boot.union(arrived.toDF("vec_id", "embedding"))
+    val maintain = StreamAnnIndex.autoEpochMaintainer(
+      spark, base, () => corpus(), shareBar = 0.6, consecutive = 2,
+      iters = 2, nlistOf = _ => 3)
+
+    // balanced arrivals: share stays at 0.5 — the bar is never
+    // crossed and the static stream NEVER re-indexes
+    val bal1 = Seq(10L -> v(0.9, 0.1, 0), 11L -> v(0.1, 0.9, 0))
+    val bal2 = Seq(12L -> v(0.95, 0.2, 0), 13L -> v(0.2, 0.95, 0))
+    arrived ++= bal1; maintain(bal1.toDF("vec_id", "embedding"), 0L)
+    arrived ++= bal2; maintain(bal2.toDF("vec_id", "embedding"), 1L)
+    assert(StreamAnnIndex.currentEpoch(spark, base).contains(0L),
+      "balanced stream must not re-index")
+
+    // drift: arrivals pile into one boot cell. One batch over the bar
+    // is not enough (streak 1 < consecutive 2)…
+    val d1 = (100L until 106L).map(id => id -> v(0.05, 0, 0.998))
+    arrived ++= d1; maintain(d1.toDF("vec_id", "embedding"), 2L)
+    assert(StreamAnnIndex.currentEpoch(spark, base).contains(0L),
+      "one over-bar batch must not trigger (consecutive = 2)")
+    // …the second consecutive over-bar batch triggers the re-index
+    val d2 = (106L until 112L).map(id => id -> v(0.04, 0, 0.990))
+    arrived ++= d2; maintain(d2.toDF("vec_id", "embedding"), 3L)
+    assert(StreamAnnIndex.currentEpoch(spark, base).contains(1L),
+      "maintainer must re-index unprompted after 2 over-bar batches")
+
+    // the new epoch serves the FULL corpus, row-identical to the
+    // inline assignment under the new quantizer
+    val all = corpus()
+    val served = StreamAnnIndex.epochAssignment(spark, base, all)
+    assert(served.count() == 22L)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "centroid_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(pairs(served) == pairs(Similarity.ivfAssignKernel(
+      all, StreamAnnIndex.epochCentroids(spark, base))))
+    // the re-trained quantizer restores balance below the bar
+    assert(StreamAnnIndex.maxCellShare(served) <= 0.6)
+
+    // post-swap arrivals: gauge re-seeds under epoch 1, balance holds,
+    // no further re-index
+    val post = Seq(200L -> v(0.9, 0.05, 0))
+    arrived ++= post; maintain(post.toDF("vec_id", "embedding"), 4L)
+    assert(StreamAnnIndex.currentEpoch(spark, base).contains(1L))
+    assert(StreamAnnIndex.epochAssignment(spark, base, all).count() == 23L)
+  }
+
   test("pointer loss + orphaned epoch dir: serve falls back to the newest " +
       "COMPLETE epoch, reindex numbers past the orphan") {
     import spark.implicits._
