@@ -13,6 +13,12 @@ import org.apache.spark.sql.SparkSession
   * co-tenant burst) that vanished on re-run. min-of-2 measures the
   * plan, not the weather; the single-pass wall time is still
   * reported per query under `cold` for cache-sensitivity reading.
+  * The slowest tail additionally re-runs once at the END of the suite
+  * (min folded in, names under `repass`): back-to-back min-of-2 still
+  * sits inside one contention window, and r14's driver artifact
+  * recorded a 1.85 s query at 22 s that way. `queries_cal` carries
+  * each value divided by `calib_divisor` (= `calib_after`) — the
+  * host-normalized, cross-round-comparable form.
   */
 object Bench {
   /** Fixed map-only host-weather gauge: a deterministic,
@@ -132,17 +138,18 @@ object Bench {
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val coldTimings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    def runOnce(name: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        (System.nanoTime() - t0) / 1e9
-      }
+      .foreach { case (name, _) =>
       try {
-        val first = once()
-        timings(name) = math.min(first, once())
+        val first = runOnce(name)
+        timings(name) = math.min(first, runOnce(name))
         // record cold only once BOTH runs succeeded: a query whose
         // re-run throws must appear in errors alone, keeping
         // queries/cold/errors a partition of the query set
@@ -151,6 +158,21 @@ object Bench {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
+    }
+
+    // End-of-suite re-pass: the slowest entries re-run once more, min
+    // folded in. min-of-2 measures back-to-back runs, so ONE contended
+    // window still dominates a query that happened to sit inside it —
+    // the r14 driver artifact recorded a 1.85 s query at 22.0 s under
+    // calib 0.199. Re-measuring the tail MINUTES later (after the
+    // whole suite) decorrelates the two samples; a burst now has to
+    // span the suite to survive into the artifact. The re-passed
+    // names are recorded so a reader can tell which rows carry three
+    // samples.
+    val repassed = timings.toSeq.sortBy(-_._2).take(8).map(_._1)
+    repassed.foreach { name =>
+      try timings(name) = math.min(timings(name), runOnce(name))
+      catch { case _: Throwable => () }
     }
 
     def jstr(s: String): String = "\"" + s.flatMap {
@@ -185,13 +207,23 @@ object Bench {
       fp.map { case (t, b, r) => s"$t:$b:$r" }.mkString("|").hashCode.toLong
         & 0xffffffffL)
     val total = timings.values.sum
+    // calibration-normalized per-query values: seconds ÷ calib_after
+    // (the steady-state host gauge) — DIMENSIONLESS, so cross-round
+    // readers compare queries_cal directly instead of reconstructing
+    // the weather ratio from raw seconds × two calib fields. A 2×
+    // slower host scales numerator and denominator together; what's
+    // left is the plan. calib_divisor records the denominator.
+    val calDiv = math.max(calibAfter, 1e-9)
+    val qcal = timings.map { case (k, v) => s"${jstr(k)}:${num(v / calDiv)}" }
+      .mkString("{", ",", "}")
+    val repassJson = repassed.map(jstr).mkString("[", ",", "]")
     // the stdout contract line carries queries (min-of-2) but NOT the
     // cold map: round 6's recorded artifact was head-truncated by the
     // driver's tail-capture once cold doubled the line length, silently
     // losing the first ~17 entries. Everything — cold included — goes
     // durably to target/bench.json.
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec",$calib,"testdata":$fpJson,"testdata_fp":"$fpHash","queries":$qs,"cold":$cs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$calib,"calib_divisor":${num(calDiv)},"testdata":$fpJson,"testdata_fp":"$fpHash","queries":$qs,"queries_cal":$qcal,"repass":$repassJson,"cold":$cs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":"$sfDir"}"""
     try {
       val out = java.nio.file.Paths.get("target/bench.json")
       java.nio.file.Files.createDirectories(out.getParent)
@@ -226,10 +258,12 @@ object Bench {
     val slowest = timings.toSeq.sortBy(-_._2).take(8).map(_._1)
     val sel = (headline ++ slowest).distinct.filter(timings.contains)
     val hq = sel.map(k => s"${jstr(k)}:${num(timings(k))}").mkString("{", ",", "}")
+    val hqCal = sel.map(k => s"${jstr(k)}:${num(timings(k) / calDiv)}")
+      .mkString("{", ",", "}")
     val esShort = errors.take(3).map { case (k, v) => s"${jstr(k)}:${jstr(v.take(80))}" }
       .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${num(total)},"unit":"sec",$calib,"testdata_fp":"$fpHash","queries":$hq,"queries_note":"headline+slowest subset of ${timings.size}; full map in BENCH chunk lines above and target/bench.json","errors":$esShort,"n_ok":${timings.size},"n_err":${errors.size},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${num(total)},"unit":"sec",$calib,"calib_divisor":${num(calDiv)},"testdata_fp":"$fpHash","queries":$hq,"queries_cal":$hqCal,"repass":$repassJson,"queries_note":"headline+slowest subset of ${timings.size}; full map in BENCH chunk lines above and target/bench.json; queries_cal = seconds/calib_divisor (host-normalized)","errors":$esShort,"n_ok":${timings.size},"n_err":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
