@@ -2215,14 +2215,24 @@ object SparkEntry {
     // run under the hash oracle (twin consumes nprobePlanSql).
     "e_nprobe_curve" -> ((s, dir) => {
       val vecs = s.read.parquet(s"$dir/embeddings.parquet")
-      val centroids = vecs.where(col("vec_id") < 8)
+      // round-15: the curve measures the rule where it OPERATES —
+      // corpus-sized nlist (ivfPlan's √n rule, like every serve
+      // query) instead of the old fixed-8 fixture, with the
+      // assignment served from the ingest-owned AnnIndex kernel memo
+      // (the join+window form is n·nlist — fatal at x1000). The
+      // ScaleProbe leg re-measures this query at x10/x100 (nlist
+      // 64/512+), validating the √(nprobe/nlist) floor as nlist grows.
+      val nlist = Similarity.ivfPlan(vecs.count())
+      val centroids = vecs.where(col("vec_id") < nlist)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+      val assign = graft.llm.AnnIndex.ivfCells(s, dir, vecs, centroids, nlist)
       val queries = vecs.where(col("vec_id") < 5)
       val brute = Similarity.bruteKnn(vecs, queries, k = 5)
       Seq(0.25, 0.5, 0.7, 1.0).map { t =>
-        val np = Similarity.nprobePlan(8, t)
+        val np = Similarity.nprobePlan(nlist, t)
         Similarity.recallAtK(
-          Similarity.ivfSearch(vecs, centroids, queries, k = 5, nprobe = np),
+          Similarity.ivfSearch(vecs, centroids, queries, k = 5, nprobe = np,
+            assignment = Some(assign)),
           brute, k = 5)
           .agg((round(avg(col("recall")), 4) + 0.0).as("mean_recall"))
           .select(lit(t).as("recall_target"), lit(np.toLong).as("nprobe"),
@@ -6650,8 +6660,11 @@ object SparkEntry {
       // the nprobe rule's curve: planned nprobe per target via the
       // SAME nprobePlanSql emitter the Scala side's nprobePlan mirrors
       "e_nprobe_curve" -> {
-        def npSql(t: Double) = Similarity.nprobePlanSql("8", t)
-        s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cent FROM embeddings WHERE vec_id < 8),
+        def npSql(t: Double) =
+          Similarity.nprobePlanSql("(SELECT nlist FROM ncplan)", t)
+        s"""WITH ncplan AS (SELECT ${Similarity.ivfPlanSqlCase(
+               "(SELECT count(*) FROM embeddings)")} AS nlist),
+           | cents AS (SELECT vec_id AS centroid_id, embedding AS cent FROM embeddings WHERE vec_id < (SELECT nlist FROM ncplan)),
            | cscored AS (SELECT a.vec_id, c.centroid_id,
            |   list_sum(list_transform(generate_series(1, len(a.embedding)), i -> a.embedding[i]::double * c.cent[i]::double)) /
            |   (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)), i -> a.embedding[i]::double * a.embedding[i]::double))) *
