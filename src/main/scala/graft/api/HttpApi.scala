@@ -36,6 +36,81 @@ import graft.time.TimeGrammar
   */
 object HttpApi {
 
+  /** The `/graph` page: a self-contained PromQL query browser over
+    * the served `/api/v1` routes (range + instant, step control,
+    * tabular matrix rendering and an inline SVG line chart — zero
+    * external assets, works over both HTTP and TLS listeners).
+    */
+  private[api] val GraphPage: Array[Byte] =
+    """<!doctype html><html><head><meta charset="utf-8">
+      |<title>graft — PromQL browser</title>
+      |<style>
+      |body{font:14px system-ui,sans-serif;margin:2em;max-width:72em}
+      |input,select,button{font:inherit;padding:.3em .5em;margin:.2em}
+      |#q{width:40em}table{border-collapse:collapse;margin-top:1em}
+      |td,th{border:1px solid #ccc;padding:.2em .6em;text-align:left}
+      |#err{color:#b00020;white-space:pre-wrap}svg{margin-top:1em}
+      |.legend{font-size:12px;color:#444}
+      |</style></head><body>
+      |<h2>graft — PromQL browser</h2>
+      |<div>
+      |<input id="q" placeholder='e.g. rate(metric1[5m]) or graphite{target="a.*.b"}'>
+      |<select id="win"><option value="3600">1h</option><option value="21600">6h</option>
+      |<option value="86400" selected>1d</option><option value="604800">7d</option></select>
+      |<input id="step" value="60" size="5" title="step (s)">
+      |<button onclick="run()">Execute</button>
+      |</div>
+      |<div id="err"></div><div id="out"></div>
+      |<script>
+      |async function run(){
+      | const q=document.getElementById('q').value;
+      | const win=+document.getElementById('win').value;
+      | const step=+document.getElementById('step').value;
+      | const end=Math.floor(Date.now()/1000), start=end-win;
+      | const u='/api/v1/query_range?query='+encodeURIComponent(q)+
+      |   '&start='+start+'&end='+end+'&step='+step;
+      | const err=document.getElementById('err'), out=document.getElementById('out');
+      | err.textContent='';out.innerHTML='';
+      | let j; try{j=await (await fetch(u)).json()}catch(e){err.textContent=''+e;return}
+      | if(j.status!=='success'){err.textContent=j.error||'query failed';return}
+      | const res=j.data.result;
+      | if(!res.length){out.textContent='empty result';return}
+      | out.appendChild(chart(res,start,end));
+      | const t=document.createElement('table');
+      | t.innerHTML='<tr><th>series</th><th>points</th><th>last</th></tr>'+
+      |  res.map(s=>'<tr><td>'+lbl(s.metric)+'</td><td>'+s.values.length+
+      |   '</td><td>'+s.values[s.values.length-1][1]+'</td></tr>').join('');
+      | out.appendChild(t);
+      |}
+      |function lbl(m){const n=m.__name__||'';
+      | const r=Object.entries(m).filter(([k])=>k!=='__name__')
+      |  .map(([k,v])=>k+'="'+v+'"').join(', ');
+      | return n+(r?'{'+r+'}':'')||'{}';}
+      |function chart(res,start,end){
+      | const W=900,H=260,P=40,ns='http://www.w3.org/2000/svg';
+      | const svg=document.createElementNS(ns,'svg');
+      | svg.setAttribute('width',W);svg.setAttribute('height',H);
+      | let lo=Infinity,hi=-Infinity;
+      | for(const s of res)for(const [,v] of s.values){const x=+v;
+      |  if(isFinite(x)){lo=Math.min(lo,x);hi=Math.max(hi,x)}}
+      | if(!(isFinite(lo)&&isFinite(hi))){lo=0;hi=1}
+      | if(lo===hi){lo-=1;hi+=1}
+      | const sx=t=>P+(W-2*P)*(t-start)/Math.max(1,end-start);
+      | const sy=v=>H-P-(H-2*P)*(v-lo)/(hi-lo);
+      | const ax=document.createElementNS(ns,'text');
+      | ax.setAttribute('x',4);ax.setAttribute('y',14);ax.setAttribute('class','legend');
+      | ax.textContent=hi.toPrecision(6)+' … '+lo.toPrecision(6);
+      | svg.appendChild(ax);
+      | res.slice(0,20).forEach((s,i)=>{
+      |  const p=document.createElementNS(ns,'polyline');
+      |  p.setAttribute('fill','none');p.setAttribute('stroke-width','1.5');
+      |  p.setAttribute('stroke','hsl('+(i*137)%360+',70%,45%)');
+      |  p.setAttribute('points',s.values.map(([t,v])=>sx(+t)+','+sy(+v)).join(' '));
+      |  svg.appendChild(p);});
+      | return svg;}
+      |</script></body></html>
+      |""".stripMargin.getBytes("UTF-8")
+
   final case class Config(
       rules: Rules,
       flags: FeatureFlags = FeatureFlags(),
@@ -315,6 +390,14 @@ final class HttpApi(
           // exemplar storage is a stub upstream too
           // (`prometheus/exemplar.go` nopExemplarQueryable)
           reply(ex, 200, "application/json", promJson("[]"))
+        case "/graph" | "/graph/" =>
+          // minimal built-in PromQL browser: the reference mounts the
+          // stock Prometheus web UI (`prometheus/run.go:28-83`); this
+          // serves a small self-contained page against the same
+          // /api/v1 surface (declared divergence: a query browser,
+          // not the full upstream UI — Grafana remains the intended
+          // rich client, and every API it needs is implemented)
+          reply(ex, 200, "text/html; charset=utf-8", HttpApi.GraphPage)
         case "/alive" =>
           reply(ex, 200, "text/plain", "Graphite-clickhouse is alive.\n".getBytes)
         case "/health" =>

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.Lineage.TruncateOps
+
 /** Multimodal-column plumbing: image/audio/video payloads as opaque
   * `binary` columns with typed metadata, processed per-partition in
   * batches.
@@ -705,10 +707,13 @@ object Multimodal {
     * the equivalence is hash-gated every round.
     */
   def dhashClusters(
-      fps: DataFrame,
+      fps0: DataFrame,
       maxDist: Int = 10,
       nBits: Int = 56,
       bands: Int = 4): DataFrame = {
+    // one codec pass per action, not three: (doc_id, fp) is consumed
+    // by the collapse, the pair generator, and the final map-back
+    val fps = fps0.select(col("doc_id"), col("fp")).truncateLineage()
     val rep = fps.groupBy(col("fp"))
       .agg(org.apache.spark.sql.functions.min(col("doc_id")).as("rep_id"))
     val pairs = dhashPairs(
@@ -754,9 +759,14 @@ object Multimodal {
     * fp-clique minima) and CC labels components by min rep id.
     */
   def dhashAnchorClusters(
-      fps: DataFrame,
+      fps0: DataFrame,
       nBits: Int = 56,
       bands: Int = 4): DataFrame = {
+    // materialize the (doc_id, fp) relation ONCE: it is consumed by
+    // the rep collapse AND the final map-back, and its derivation is
+    // usually the codec chain (PNG encode+decode per doc) — without
+    // the cut every action pays the codec twice. 16 bytes/doc.
+    val fps = fps0.select(col("doc_id"), col("fp")).truncateLineage()
     val rep = fps.groupBy(col("fp"))
       .agg(org.apache.spark.sql.functions.min(col("doc_id")).as("rep_id"))
     val slices = fpBandSlices(col("fp"), nBits, bands)

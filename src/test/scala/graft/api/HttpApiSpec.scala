@@ -350,6 +350,15 @@ class HttpApiSpec extends AnyFunSuite {
     assert(new String(bad.body()).startsWith("""{"status":"error""""))
   }
 
+  test("/graph: built-in query browser page serves against the API surface") {
+    val r = get("/graph")
+    assert(r.statusCode() == 200)
+    val headers = r.headers().firstValue("Content-Type").orElse("")
+    assert(headers.startsWith("text/html"), headers)
+    val body = new String(r.body(), "UTF-8")
+    assert(body.contains("PromQL browser") && body.contains("/api/v1/query_range"))
+  }
+
   test("/api/v1/query_range: plain-from-tagged escape hatch routes to the plain index") {
     def qr(query: String): String = {
       val enc = java.net.URLEncoder.encode(query, "UTF-8")
