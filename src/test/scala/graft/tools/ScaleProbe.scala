@@ -268,9 +268,15 @@ object ScaleProbe {
   def buildScaledDir(spark: SparkSession, srcDir: String, dir: String, r: Int): Unit = {
     val nOut = math.min(256,
       math.max(spark.sparkContext.defaultParallelism, 2 * r))
+    // parallelize the BUILD itself: the sf source tables are single
+    // files, so without a pre-explode repartition the whole ×r
+    // explode + regex perturbation runs as ONE task (measured: the
+    // ×1000 documents build alone held one core for 16+ min while 31
+    // idled)
+    val nIn = spark.sparkContext.defaultParallelism
     val rep = explode(sequence(lit(0), lit(r - 1))).as("rep")
 
-    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+    val docs = spark.read.parquet(s"$srcDir/documents.parquet").repartition(nIn)
     docs.select(col("*"), rep)
       .select(
         (col("doc_id") + col("rep") * 10000000L).as("doc_id"),
@@ -284,7 +290,7 @@ object ScaleProbe {
       .repartition(nOut)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
 
-    val events = spark.read.parquet(s"$srcDir/events.parquet")
+    val events = spark.read.parquet(s"$srcDir/events.parquet").repartition(nIn)
     events.select(col("*"), rep)
       .select(
         (col("event_id") + col("rep") * 1000000000L).as("event_id"),
@@ -294,7 +300,7 @@ object ScaleProbe {
       .repartition(nOut)
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
 
-    val embs = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    val embs = spark.read.parquet(s"$srcDir/embeddings.parquet").repartition(nIn)
     embs.select(col("*"), rep)
       .select(
         (col("vec_id") + col("rep") * 10000000L).as("vec_id"),
