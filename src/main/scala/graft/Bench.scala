@@ -213,9 +213,19 @@ object Bench {
     // the weather ratio from raw seconds × two calib fields. A 2×
     // slower host scales numerator and denominator together; what's
     // left is the plan. calib_divisor records the denominator.
-    val calDiv = math.max(calibAfter, 1e-9)
-    val qcal = timings.map { case (k, v) => s"${jstr(k)}:${num(v / calDiv)}" }
-      .mkString("{", ",", "}")
+    // a failed/zero calibration gauge makes queries_cal meaningless —
+    // flag it explicitly instead of normalizing by a floor that would
+    // silently inflate every calibrated value ~1e9×
+    val calibOk = calibAfter > 0.0
+    val calDiv = if (calibOk) calibAfter else Double.NaN
+    val qcal =
+      if (calibOk)
+        timings.map { case (k, v) => s"${jstr(k)}:${num(v / calDiv)}" }
+          .mkString("{", ",", "}")
+      else "{}"
+    val calDivJson =
+      if (calibOk) s""","calib_divisor":${num(calDiv)}"""
+      else s""","calib_failed":true"""
     val repassJson = repassed.map(jstr).mkString("[", ",", "]")
     // the stdout contract line carries queries (min-of-2) but NOT the
     // cold map: round 6's recorded artifact was head-truncated by the
@@ -223,7 +233,7 @@ object Bench {
     // losing the first ~17 entries. Everything — cold included — goes
     // durably to target/bench.json.
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec",$calib,"calib_divisor":${num(calDiv)},"testdata":$fpJson,"testdata_fp":"$fpHash","queries":$qs,"queries_cal":$qcal,"repass":$repassJson,"cold":$cs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$calib$calDivJson,"testdata":$fpJson,"testdata_fp":"$fpHash","queries":$qs,"queries_cal":$qcal,"repass":$repassJson,"cold":$cs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":"$sfDir"}"""
     try {
       val out = java.nio.file.Paths.get("target/bench.json")
       java.nio.file.Files.createDirectories(out.getParent)

@@ -77,9 +77,13 @@ object HttpApi {
       | if(!res.length){out.textContent='empty result';return}
       | out.appendChild(chart(res,start,end));
       | const t=document.createElement('table');
-      | t.innerHTML='<tr><th>series</th><th>points</th><th>last</th></tr>'+
-      |  res.map(s=>'<tr><td>'+lbl(s.metric)+'</td><td>'+s.values.length+
-      |   '</td><td>'+s.values[s.values.length-1][1]+'</td></tr>').join('');
+      | const hr=t.insertRow();
+      | for(const h of ['series','points','last']){
+      |  const c=document.createElement('th');c.textContent=h;hr.appendChild(c)}
+      | for(const s of res){const r=t.insertRow();
+      |  for(const v of [lbl(s.metric),s.values.length,
+      |    s.values[s.values.length-1][1]])
+      |   r.insertCell().textContent=v}
       | out.appendChild(t);
       |}
       |function lbl(m){const n=m.__name__||'';

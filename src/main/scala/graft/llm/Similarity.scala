@@ -50,13 +50,14 @@ object Similarity {
     val scored = v
       .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", cosine(col("q_emb"), col("v_emb")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("sim"), 4).as("sim"))
+    // bounded top-k aggregate, not a per-query rank window: every
+    // query's group is corpus-sized here by definition, and the
+    // window form would sort each one inside a single task
+    graft.functions.BoundedTopK.topK(scored, Seq("query_id"),
+        struct(col("sim"), col("neighbor_id")), k)
+      .select(col("query_id"), col("rank"),
+        col("__item.neighbor_id").as("neighbor_id"),
+        round(col("__item.sim"), 4).as("sim"))
   }
 
   /** Sign-LSH bucket key: the sign bits of the first `bits` embedding
@@ -117,13 +118,14 @@ object Similarity {
     val scored = a.join(b, Seq("bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", cosine(col("q_emb"), col("v_emb")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("sim"), 4).as("sim"))
+    // a hot bucket (skewed sign pattern) would serialize its whole
+    // candidate mass into one window task; the bounded aggregate
+    // caps every buffer at k
+    graft.functions.BoundedTopK.topK(scored, Seq("query_id"),
+        struct(col("sim"), col("neighbor_id")), k)
+      .select(col("query_id"), col("rank"),
+        col("__item.neighbor_id").as("neighbor_id"),
+        round(col("__item.sim"), 4).as("sim"))
   }
 
   /** Deterministic pseudo-random index in [0, dim) for hash table `t`,
@@ -194,13 +196,11 @@ object Similarity {
       .where(col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("sim", cosine(col("q_emb"), col("v_emb")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    candidates
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("sim"), 4).as("sim"))
+    graft.functions.BoundedTopK.topK(candidates, Seq("query_id"),
+        struct(col("sim"), col("neighbor_id")), k)
+      .select(col("query_id"), col("rank"),
+        col("__item.neighbor_id").as("neighbor_id"),
+        round(col("__item.sim"), 4).as("sim"))
   }
 
   /** Multi-table embedding near-dup pairs — [[embeddingNearDups]] with
@@ -786,15 +786,21 @@ object Similarity {
       .withColumn("c_rank", row_number().over(probeW))
       .where(col("c_rank") <= nprobe)
       .select(col("query_id"), col("q_emb"), col("centroid_id"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    cells.join(if (broadcastProbes) broadcast(probes) else probes, Seq("centroid_id"))
+    // the final rank is the one skew-prone stage of the whole path: a
+    // hot cell (dense embedding cluster) makes one query_id group
+    // carry ~share²·n² candidates, and a rank window serializes that
+    // mass into a single sort task (the measured ×100 mining
+    // straggler, SCALE_NOTES 16). The bounded top-k aggregate keeps
+    // ≤ k rows per group in every map-side buffer instead.
+    val scored = cells
+      .join(if (broadcastProbes) broadcast(probes) else probes, Seq("centroid_id"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", cosine(col("q_emb"), col("v_emb")))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("sim"), 4).as("sim"))
+    graft.functions.BoundedTopK.topK(scored, Seq("query_id"),
+        struct(col("sim"), col("neighbor_id")), k)
+      .select(col("query_id"), col("rank"),
+        col("__item.neighbor_id").as("neighbor_id"),
+        round(col("__item.sim"), 4).as("sim"))
   }
 
   // ------------------------------------------------------------------
@@ -921,9 +927,7 @@ object Similarity {
     val corpus = codes.select(col(idCol).as("neighbor_id"),
         posexplode(col("codes")).as(Seq("sub", "code")))
       .select(col("neighbor_id"), col("sub").cast("long").as("sub"), col("code"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("d2").asc, col("neighbor_id").asc)
-    corpus
+    val scored = corpus
       .join(broadcast(lut), Seq("sub", "code"))
       .where(col("query_id") =!= col("neighbor_id"))
       .groupBy("query_id", "neighbor_id")
@@ -932,10 +936,11 @@ object Similarity {
           array_sort(collect_list(struct(col("sub"), col("pd2")))),
           e => e.getField("pd2")),
         lit(0.0), (acc, v) => acc + v).as("d2"))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("d2"), 4).as("d2"))
+    graft.functions.BoundedTopK.topK(scored, Seq("query_id"),
+        struct(col("d2"), col("neighbor_id")), k, asc = true)
+      .select(col("query_id"), col("rank"),
+        col("__item.neighbor_id").as("neighbor_id"),
+        round(col("__item.d2"), 4).as("d2"))
   }
 
   /** IVF-PQ search — the FAISS-style composition of the coarse index
@@ -983,9 +988,7 @@ object Similarity {
       .join(broadcast(codebooks), Seq("sub"))
       .select(col("vid").as("query_id"), col("sub"),
         col("centroid_id").as("code"), l2sq(col("semb"), col("centroid")).as("pd2"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("d2").asc, col("neighbor_id").asc)
-    cand
+    val scored = cand
       .join(corpus, Seq("neighbor_id"))
       .join(broadcast(lut), Seq("query_id", "sub", "code"))
       .groupBy("query_id", "neighbor_id")
@@ -994,10 +997,11 @@ object Similarity {
           array_sort(collect_list(struct(col("sub"), col("pd2")))),
           e => e.getField("pd2")),
         lit(0.0), (acc, v) => acc + v).as("d2"))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("d2"), 4).as("d2"))
+    graft.functions.BoundedTopK.topK(scored, Seq("query_id"),
+        struct(col("d2"), col("neighbor_id")), k, asc = true)
+      .select(col("query_id"), col("rank"),
+        col("__item.neighbor_id").as("neighbor_id"),
+        round(col("__item.d2"), 4).as("d2"))
   }
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023,
@@ -1078,12 +1082,10 @@ object Similarity {
       .join(lab.select(col(idCol).as("neighbor_id"),
         col(labelCol).as("n_label")), Seq("neighbor_id"))
       .groupBy("query_id", "n_label").agg(count(lit(1)).as("votes"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("votes").desc, col("n_label").asc)
-    votes.withColumn("rk", row_number().over(w))
-      .where(col("rk") === 1)
-      .select(col("query_id"), col("n_label").as("pred_label"),
-        col("votes"))
+    graft.functions.BoundedTopK.topK(votes, Seq("query_id"),
+        struct(col("votes"), col("n_label")), 1)
+      .select(col("query_id"), col("__item.n_label").as("pred_label"),
+        col("__item.votes").as("votes"))
       .join(lab.select(col(idCol).as("query_id"),
         col(labelCol).as("true_label")), Seq("query_id"))
       .select(col("query_id"), col("pred_label"), col("votes"),
@@ -1246,15 +1248,18 @@ object Similarity {
     val scored = v.join(broadcast(a), col("anchor_id") =!= col("neighbor_id"))
       .withColumn("sim", cosine(col("a_emb"), col("v_emb")))
       .withColumn("same", col("a_label") <=> col("v_label"))
-    val w = Window.partitionBy("anchor_id", "same")
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    val ranked = scored.withColumn("rk", row_number().over(w))
-    val pos = ranked.where(col("same") && col("rk") === 1)
-      .select(col("anchor_id"), col("a_label").as("label"),
-        col("neighbor_id").as("pos_id"), col("sim").as("pos_sim"))
-    val neg = ranked.where(!col("same") && col("rk") <= negK)
-      .select(col("anchor_id"), col("rk").cast("long").as("neg_rank"),
-        col("neighbor_id").as("neg_id"), col("sim").as("neg_sim"))
+    // per-(anchor, same) groups are corpus-sized (one scan against the
+    // broadcast anchor batch) — k-bounded aggregate, not a window
+    val ranked = graft.functions.BoundedTopK.topK(
+      scored, Seq("anchor_id", "same"),
+      struct(col("sim"), col("neighbor_id"), col("a_label")),
+      math.max(1, negK))
+    val pos = ranked.where(col("same") && col("rank") === 1)
+      .select(col("anchor_id"), col("__item.a_label").as("label"),
+        col("__item.neighbor_id").as("pos_id"), col("__item.sim").as("pos_sim"))
+    val neg = ranked.where(!col("same") && col("rank") <= negK)
+      .select(col("anchor_id"), col("rank").cast("long").as("neg_rank"),
+        col("__item.neighbor_id").as("neg_id"), col("__item.sim").as("neg_sim"))
     pos.join(neg, Seq("anchor_id"))
       .select(col("anchor_id"), col("label"), col("pos_id"),
         round(col("pos_sim"), 4).as("pos_sim"),
@@ -1299,12 +1304,12 @@ object Similarity {
       .groupBy(col("q_group"), col("d_group"))
       .agg(round(sum(col("term_max")), 4).as("maxsim"),
         count(lit(1)).as("n_terms"))
-    val w = Window.partitionBy("q_group")
-      .orderBy(col("maxsim").desc, col("d_group").asc)
-    perDoc.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+    graft.functions.BoundedTopK.topK(perDoc, Seq("q_group"),
+        struct(col("maxsim"), col("d_group"), col("n_terms")), k)
       .select(col("q_group"), col("rank").cast("long").as("rank"),
-        col("d_group"), col("maxsim"), col("n_terms"))
+        col("__item.d_group").as("d_group"),
+        col("__item.maxsim").as("maxsim"),
+        col("__item.n_terms").as("n_terms"))
   }
 
   /** The distinct (d_group, centroid_id) inverted membership the
@@ -1399,12 +1404,12 @@ object Similarity {
       .groupBy(col("q_group"), col("d_group"))
       .agg(round(sum(col("term_max")), 4).as("maxsim"),
         count(lit(1)).as("n_terms"))
-    val w = Window.partitionBy("q_group")
-      .orderBy(col("maxsim").desc, col("d_group").asc)
-    perDoc.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+    graft.functions.BoundedTopK.topK(perDoc, Seq("q_group"),
+        struct(col("maxsim"), col("d_group"), col("n_terms")), k)
       .select(col("q_group"), col("rank").cast("long").as("rank"),
-        col("d_group"), col("maxsim"), col("n_terms"))
+        col("__item.d_group").as("d_group"),
+        col("__item.maxsim").as("maxsim"),
+        col("__item.n_terms").as("n_terms"))
   }
 
   /** Margin-criterion pair mining (Artetxe & Schwenk 2019 — the
@@ -1437,11 +1442,10 @@ object Similarity {
       .join(bAvg, Seq("neighbor_id"))
       .withColumn("margin",
         round(lit(2.0) * col("sim") / (col("f_avg") + col("b_avg")), 4))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("margin").desc, col("neighbor_id").asc)
-    scored.withColumn("rk", row_number().over(w))
-      .where(col("rk") === 1)
-      .select(col("query_id"), col("neighbor_id"), col("sim"), col("margin"))
+    graft.functions.BoundedTopK.topK(scored, Seq("query_id"),
+        struct(col("margin"), col("neighbor_id"), col("sim")), 1)
+      .select(col("query_id"), col("__item.neighbor_id").as("neighbor_id"),
+        col("__item.sim").as("sim"), col("__item.margin").as("margin"))
   }
 
   /** Semi-supervised label propagation over a neighbor graph (Zhu &
@@ -1651,12 +1655,11 @@ object Similarity {
       .join(broadcast(q), col("query_id") =!= col("vid"))
       .withColumn("dist", l2sq(deq, col("q_emb")))
       .drop("__mins", "__scales")
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("dist").asc, col("vid").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("vid").as("neighbor_id"),
-        round(col("dist"), 4).as("dist"))
+    graft.functions.BoundedTopK.topK(scored, Seq("query_id"),
+        struct(col("dist"), col("vid")), k, asc = true)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("__item.vid").as("neighbor_id"),
+        round(col("__item.dist"), 4).as("dist"))
   }
 
   /** Matryoshka-style truncate-then-rerank (Kusupati et al. 2022):
@@ -1684,19 +1687,21 @@ object Similarity {
       .withColumn("csim",
         cosine(slice(col("q_emb"), 1, coarseDim),
           slice(col("v_emb"), 1, coarseDim)))
-    val cw = Window.partitionBy("query_id")
-      .orderBy(col("csim").desc, col("neighbor_id").asc)
-    val shortlist = coarse
-      .withColumn("crank", row_number().over(cw))
-      .where(col("crank") <= rerank)
-    val rw = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    shortlist
+    // both stages k-bounded: the coarse stage carries the embeddings
+    // as payload (≤ rerank per buffer), so the exact rerank needs no
+    // join-back and the corpus is still scanned exactly once
+    val shortlist = graft.functions.BoundedTopK
+      .topK(coarse, Seq("query_id"),
+        struct(col("csim"), col("neighbor_id"), col("q_emb"), col("v_emb")),
+        rerank)
+      .select(col("query_id"), col("__item.neighbor_id").as("neighbor_id"),
+        col("__item.q_emb").as("q_emb"), col("__item.v_emb").as("v_emb"))
       .withColumn("sim", cosine(col("q_emb"), col("v_emb")))
-      .withColumn("rank", row_number().over(rw).cast("long"))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("sim"), 4).as("sim"))
+    graft.functions.BoundedTopK.topK(shortlist, Seq("query_id"),
+        struct(col("sim"), col("neighbor_id")), k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("__item.neighbor_id").as("neighbor_id"),
+        round(col("__item.sim"), 4).as("sim"))
   }
 
   // ------------------------------------------------------------------
@@ -1778,19 +1783,18 @@ object Similarity {
     val q = dirProj(queries, col(idCol), "query_id", "q_emb")
     val scored = v.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("pd", l2sq(col("v_p"), col("q_p")))
-    val pw = Window.partitionBy("query_id")
-      .orderBy(col("pd").asc, col("neighbor_id").asc)
-    val shortlist = scored
-      .withColumn("prank", row_number().over(pw))
-      .where(col("prank") <= rerank)
-    val rw = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    shortlist
+    val shortlist = graft.functions.BoundedTopK
+      .topK(scored, Seq("query_id"),
+        struct(col("pd"), col("neighbor_id"), col("q_emb"), col("v_emb")),
+        rerank, asc = true)
+      .select(col("query_id"), col("__item.neighbor_id").as("neighbor_id"),
+        col("__item.q_emb").as("q_emb"), col("__item.v_emb").as("v_emb"))
       .withColumn("sim", cosine(col("q_emb"), col("v_emb")))
-      .withColumn("rank", row_number().over(rw).cast("long"))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("sim"), 4).as("sim"))
+    graft.functions.BoundedTopK.topK(shortlist, Seq("query_id"),
+        struct(col("sim"), col("neighbor_id")), k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("__item.neighbor_id").as("neighbor_id"),
+        round(col("__item.sim"), 4).as("sim"))
   }
 
   private def bqWord(emb: Column, from: Int, until: Int): Column =
@@ -1843,18 +1847,17 @@ object Similarity {
       .withColumn("hd",
         bit_count(col("code_lo").bitwiseXOR(col("q_lo"))) +
           bit_count(col("code_hi").bitwiseXOR(col("q_hi"))))
-    val hw = Window.partitionBy("query_id")
-      .orderBy(col("hd").asc, col("neighbor_id").asc)
-    val shortlist = scored
-      .withColumn("hrank", row_number().over(hw))
-      .where(col("hrank") <= rerank)
-    val rw = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    shortlist
+    val shortlist = graft.functions.BoundedTopK
+      .topK(scored, Seq("query_id"),
+        struct(col("hd"), col("neighbor_id"), col("q_emb"), col("v_emb")),
+        rerank, asc = true)
+      .select(col("query_id"), col("__item.neighbor_id").as("neighbor_id"),
+        col("__item.q_emb").as("q_emb"), col("__item.v_emb").as("v_emb"))
       .withColumn("sim", cosine(col("q_emb"), col("v_emb")))
-      .withColumn("rank", row_number().over(rw).cast("long"))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("sim"), 4).as("sim"))
+    graft.functions.BoundedTopK.topK(shortlist, Seq("query_id"),
+        struct(col("sim"), col("neighbor_id")), k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("__item.neighbor_id").as("neighbor_id"),
+        round(col("__item.sim"), 4).as("sim"))
   }
 }

@@ -423,12 +423,14 @@ object TextStats {
         (floor(contrib * lit(1048576.0)) / lit(1048576.0)).as("c"))
       .groupBy("query_id", "doc_id")
       .agg(sum("c").as("score"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("doc_id").asc)
-    scores.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("doc_id"),
-        round(col("score"), 4).as("score"))
+    // k-bounded aggregate, not a per-query rank window: a stop-wordy
+    // query's candidate set approaches the corpus, and the window
+    // form would sort it inside one task
+    graft.functions.BoundedTopK.topK(scores, Seq("query_id"),
+        struct(col("score"), col("doc_id")), k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("__item.doc_id").as("doc_id"),
+        round(col("__item.score"), 4).as("score"))
   }
 
   /** Class-based TF-IDF cluster labeling (the BERTopic c-TF-IDF,
@@ -564,12 +566,11 @@ object TextStats {
       .withColumn("sim",
         col("dot").cast("double") /
           (sqrt(col("n2").cast("double")) * sqrt(col("qn2").cast("double"))))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("doc_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("doc_id"),
-        round(col("sim"), 4).as("sim"))
+    graft.functions.BoundedTopK.topK(scored, Seq("query_id"),
+        struct(col("sim"), col("doc_id")), k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("__item.doc_id").as("doc_id"),
+        round(col("__item.sim"), 4).as("sim"))
   }
 
   /** Gopher quality rules (Rae et al. 2021, arXiv:2112.11446 §A1.1) —

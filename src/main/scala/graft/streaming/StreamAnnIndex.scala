@@ -162,11 +162,25 @@ object StreamAnnIndex {
     val (fs, p) = fsOf(spark, s"$base/_CURRENT")
     if (fs.exists(p)) {
       val in = fs.open(p)
-      try {
+      val e = try {
         val buf = new java.io.ByteArrayOutputStream()
         org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
-        Some(new String(buf.toByteArray, "UTF-8").trim.toLong)
+        new String(buf.toByteArray, "UTF-8").trim.toLong
       } finally in.close()
+      // upgrade path: epochs published before the _COMPLETE marker
+      // existed carry none — a pointer that resolves is itself the
+      // completeness proof ([[writePointer]] only publishes complete
+      // epochs), so backfill the marker now; otherwise a LATER pointer
+      // loss would degrade to None instead of this epoch. Best-effort:
+      // a read-only filesystem must not fail the read path.
+      val marker = new org.apache.hadoop.fs.Path(
+        s"${epochDir(base, e)}/_COMPLETE")
+      scala.util.Try {
+        if (fs.exists(new org.apache.hadoop.fs.Path(epochDir(base, e))) &&
+            !fs.exists(marker))
+          fs.create(marker, true).close()
+      }
+      Some(e)
     } else
       epochDirs(spark, base)
         .filter(e => fs.exists(
@@ -297,24 +311,30 @@ object StreamAnnIndex {
       val e = currentEpoch(spark, base).getOrElse(
         throw new IllegalStateException(s"no epoch at $base: reindex first"))
       val cents = spark.read.parquet(s"${epochDir(base, e)}/centroids")
-      Similarity.ivfAssignKernel(batch, cents, idCol, embCol)
-        .write.mode("overwrite")
-        .parquet(s"${epochDir(base, e)}/assignment/batch_id=$batchId")
-      if (countedEpoch != e) {
-        // first batch under this epoch: seed the gauge from the store
-        // (includes the batch just written and any reindex backfill)
-        counts.clear()
-        assignment(spark, s"${epochDir(base, e)}/assignment",
-            batch, cents, idCol, embCol)
-          .groupBy("centroid_id").count().collect()
-          .foreach(r => counts(r.getLong(0)) = r.getLong(1))
-        countedEpoch = e
-        streak = 0
-      } else
-        Similarity.ivfAssignKernel(batch, cents, idCol, embCol)
-          .groupBy("centroid_id").count().collect()
-          .foreach(r =>
-            counts(r.getLong(0)) = counts.getOrElse(r.getLong(0), 0L) + r.getLong(1))
+      // ONE kernel pass per micro-batch: the cached assignment feeds
+      // both the store write and the gauge histogram (recomputing the
+      // kernel for the histogram paid the batch codec twice)
+      val assigned = Similarity.ivfAssignKernel(batch, cents, idCol, embCol)
+        .persist()
+      try {
+        assigned.write.mode("overwrite")
+          .parquet(s"${epochDir(base, e)}/assignment/batch_id=$batchId")
+        if (countedEpoch != e) {
+          // first batch under this epoch: seed the gauge from the store
+          // (includes the batch just written and any reindex backfill)
+          counts.clear()
+          assignment(spark, s"${epochDir(base, e)}/assignment",
+              batch, cents, idCol, embCol)
+            .groupBy("centroid_id").count().collect()
+            .foreach(r => counts(r.getLong(0)) = r.getLong(1))
+          countedEpoch = e
+          streak = 0
+        } else
+          assigned
+            .groupBy("centroid_id").count().collect()
+            .foreach(r =>
+              counts(r.getLong(0)) = counts.getOrElse(r.getLong(0), 0L) + r.getLong(1))
+      } finally assigned.unpersist()
       val total = counts.values.sum
       val share = if (total == 0L) 0.0 else counts.values.max.toDouble / total
       if (share > shareBar) streak += 1 else streak = 0

@@ -357,6 +357,11 @@ class HttpApiSpec extends AnyFunSuite {
     assert(headers.startsWith("text/html"), headers)
     val body = new String(r.body(), "UTF-8")
     assert(body.contains("PromQL browser") && body.contains("/api/v1/query_range"))
+    // stored-XSS pin: API-derived strings (label names/values, last
+    // values) must reach the DOM through textContent only — the sole
+    // innerHTML use is the constant-string clear of the output div
+    assert(!body.replace("out.innerHTML=''", "").contains("innerHTML"), body)
+    assert(body.contains("textContent"))
   }
 
   test("/api/v1/query_range: plain-from-tagged escape hatch routes to the plain index") {
