@@ -268,12 +268,17 @@ object Bench {
     val slowest = timings.toSeq.sortBy(-_._2).take(8).map(_._1)
     val sel = (headline ++ slowest).distinct.filter(timings.contains)
     val hq = sel.map(k => s"${jstr(k)}:${num(timings(k))}").mkString("{", ",", "}")
-    val hqCal = sel.map(k => s"${jstr(k)}:${num(timings(k) / calDiv)}")
-      .mkString("{", ",", "}")
+    // same dead-gauge guard as the durable artifact: a failed
+    // calibration must flag itself, never divide by NaN into the line
+    val hqCal =
+      if (calibOk)
+        sel.map(k => s"${jstr(k)}:${num(timings(k) / calDiv)}")
+          .mkString("{", ",", "}")
+      else "{}"
     val esShort = errors.take(3).map { case (k, v) => s"${jstr(k)}:${jstr(v.take(80))}" }
       .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${num(total)},"unit":"sec",$calib,"calib_divisor":${num(calDiv)},"testdata_fp":"$fpHash","queries":$hq,"queries_cal":$hqCal,"repass":$repassJson,"queries_note":"headline+slowest subset of ${timings.size}; full map in BENCH chunk lines above and target/bench.json; queries_cal = seconds/calib_divisor (host-normalized)","errors":$esShort,"n_ok":${timings.size},"n_err":${errors.size},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${num(total)},"unit":"sec",$calib$calDivJson,"testdata_fp":"$fpHash","queries":$hq,"queries_cal":$hqCal,"repass":$repassJson,"queries_note":"headline+slowest subset of ${timings.size}; full map in BENCH chunk lines above and target/bench.json; queries_cal = seconds/calib_divisor (host-normalized)","errors":$esShort,"n_ok":${timings.size},"n_err":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -1509,6 +1509,30 @@ object SparkEntry {
         .where(col("margin") > 1.0)
     }),
 
+    // Mining-path recall harness (round-16): margin-PAIR recall of the
+    // nprobe-capped IVF miner against the brute anchor — the serve
+    // path's recall is measured (e_nprobe_curve, recall 1.00 at every
+    // planned operating point through x1000) but the mining path runs
+    // at min(rule, MiningNprobeCap); this makes its floor MEASURED
+    // instead of implied. Result-sized (one row); the brute side is
+    // the quadratic anchor, so this is eval tooling like the
+    // *_recall family, probed at x10 by ScaleProbe. The lambdas
+    // resolve against `queries` at call time, so both sides stay in
+    // lockstep with the gated entries they measure.
+    "e_bitext_margin_recall" -> ((s, dir) => {
+      val b = queries("e_bitext_margin")(s, dir)
+        .select(col("query_id"), col("neighbor_id"))
+      val i = queries("e_bitext_margin_ivf")(s, dir)
+        .select(col("query_id").as("qi"), col("neighbor_id").as("ni"))
+      b.join(i, col("query_id") === col("qi") && col("neighbor_id") === col("ni"),
+          "left")
+        .agg(
+          count(lit(1)).as("n_brute"),
+          sum(when(col("qi").isNotNull, 1L).otherwise(0L)).as("n_found"),
+          (round(avg(when(col("qi").isNotNull, 1.0).otherwise(0.0)), 4) + lit(0.0))
+            .as("recall"))
+    }),
+
     // Tokenizer fertility per language — THE per-language tokenizer
     // eval (tokens/word; chars/token): one hash aggregate over the
     // labeled lang key, token counts from the same two kernels
@@ -3847,7 +3871,7 @@ object SparkEntry {
          |    ])[2], 6) + 0 AS value
          |FROM lst""".stripMargin
 
-    Map(
+    val base = Map(
       "g_points" ->
         ("SELECT 'events.' || event_type || '.user' || user_id AS path, " +
           "epoch_us(ts)//1000000 AS time, value, event_id AS version, " +
@@ -8257,5 +8281,17 @@ object SparkEntry {
           |       round(sqrt(sum((v/32768.0)*(v/32768.0))/800), 4) AS rms,
           |       CAST(sum(CASE WHEN pv IS NOT NULL AND ((v < 0) <> (pv < 0)) THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
           |FROM z GROUP BY doc_id""".stripMargin))
+
+    // mining-recall twin composed from the two margin twins above
+    // (nested WITH in a CTE body is standard SQL, DuckDB-supported):
+    // the exact same brute-vs-IVF comparison the Spark entry makes
+    base + ("e_bitext_margin_recall" ->
+      s"""WITH bm AS (${base("e_bitext_margin")}),
+         |im AS (${base("e_bitext_margin_ivf")})
+         |SELECT count(*)::bigint AS n_brute,
+         |  sum(CASE WHEN i.query_id IS NOT NULL THEN 1 ELSE 0 END)::bigint AS n_found,
+         |  round(avg(CASE WHEN i.query_id IS NOT NULL THEN 1.0 ELSE 0.0 END), 4) + 0 AS recall
+         |FROM bm b LEFT JOIN im i
+         |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id""".stripMargin)
   }
 }

@@ -13,6 +13,7 @@ import org.apache.spark.sql.functions._
 
 import graft.compiler.Tagged
 import graft.engine.{Autocomplete, FindCache, Finder, Guards, Limiter, Render, SeriesAssembly}
+import graft.metrics.{SparkReadStats, Telemetry}
 import graft.model.{FeatureFlags, TimeFrame}
 import graft.rollup.Rules
 import graft.sinks.{FindSink, JsonSink, PickleSink, ProtobufSink, Wire}
@@ -133,7 +134,12 @@ object HttpApi {
       renderScalableThreshold: Int = 0,
       // minimum seconds between store-size re-stats for the serving
       // session's shuffle-ceiling re-derivation (graft.Tuning.Retuner)
-      retuneIntervalSec: Long = 60L)
+      retuneIntervalSec: Long = 60L,
+      // self-telemetry (the reference's `[metrics]` block: request
+      // histograms, limiter/cache counters, per-table read stats,
+      // flushed in graphite line protocol to `metric-endpoint`) —
+      // None = disabled, like an unset metric-endpoint
+      metrics: Option[Telemetry.MetricsConfig] = None)
 
   /** TLS listener config — the JVM-keystore equivalent of the
     * reference's `[clickhouse.tls]` cert block (`tests/tls/
@@ -315,6 +321,19 @@ final class HttpApi(
   retuner.force(clock().getEpochSecond)
 
   private val cache = new FindCache.TtlCache[Any]()
+
+  /** Self-telemetry service (None = disabled). Public so operators
+    * (and the dogfood spec) can flush or inspect on demand.
+    */
+  val telemetry: Option[Telemetry.Service] =
+    cfg.metrics.map(new Telemetry.Service(_))
+  private val readStats: Option[SparkReadStats] = telemetry.map { _ =>
+    val l = new SparkReadStats()
+    spark.sparkContext.addSparkListener(l)
+    l
+  }
+  private val reqSeq = new java.util.concurrent.atomic.AtomicLong()
+
   private val server: HttpServer = cfg.tls match {
     case Some(t) =>
       // HTTPS listener on the same JDK server — the keystore is the
@@ -347,6 +366,7 @@ final class HttpApi(
       math.max(1, cfg.httpWorkers),
       (r: Runnable) => { val t = new Thread(r, "graft-http"); t.setDaemon(true); t }))
     server.start()
+    telemetry.foreach(_.start())
     this
   }
 
@@ -356,6 +376,8 @@ final class HttpApi(
       case es: java.util.concurrent.ExecutorService => es.shutdown()
       case _ =>
     }
+    readStats.foreach(spark.sparkContext.removeSparkListener)
+    telemetry.foreach(_.stop())
   }
 
   // -------------------------------------------------------------
@@ -365,6 +387,13 @@ final class HttpApi(
   private def handle(ex: HttpExchange): Unit = {
     val path = ex.getRequestURI.getPath
     retuner.maybe(clock().getEpochSecond)
+    val t0 = System.currentTimeMillis()
+    // per-request job group: thread-local, so concurrent handlers each
+    // account their own Spark reads (see SparkReadStats)
+    val group: Option[String] =
+      telemetry.map(_ => SparkReadStats.GroupPrefix + reqSeq.incrementAndGet())
+    group.foreach(g =>
+      spark.sparkContext.setJobGroup(g, path, interruptOnCancel = false))
     try {
       path match {
         case p if p.startsWith("/render")        => render(ex)
@@ -422,7 +451,73 @@ final class HttpApi(
         reply(ex, errorStatus(e), "text/plain", (s"${e.getMessage}\n").getBytes)
       case NonFatal(e) =>
         reply(ex, 500, "text/plain", (s"internal error: ${e.getMessage}\n").getBytes)
-    } finally ex.close()
+    } finally {
+      group.foreach(_ => spark.sparkContext.clearJobGroup())
+      record(ex, path, t0, group)
+      ex.close()
+    }
+  }
+
+  /** Post-response telemetry for the three instrumented scopes
+    * (find / tags-autocomplete / render — the same trio the reference
+    * wires in `InitMetrics`, `metrics/metrics.go:684-686`). Handlers
+    * leave result sizes and the find-phase split as exchange
+    * attributes; status comes from `reply`. Never throws into the
+    * serving path.
+    */
+  private def record(
+      ex: HttpExchange, path: String, t0: Long, group: Option[String]): Unit =
+    telemetry.foreach { tm =>
+      try {
+        val durMs = System.currentTimeMillis() - t0
+        val status = ex.getAttribute("g.status") match {
+          case i: Integer => i.toInt
+          case _ => 500 // no reply was written: the handler died mid-flight
+        }
+        def attrL(k: String, d: Long = 0L): Long = ex.getAttribute(k) match {
+          case l: java.lang.Long => l.longValue()
+          case _ => d
+        }
+        val untilFrom = attrL("g.untilFrom")
+        val mc = attrL("g.metrics")
+        val err = status != 200 && status != 404
+        def reads(table: String, readRows: Long): Unit = {
+          val (chRows, chBytes) =
+            group.zip(readStats).map { case (g, rs) => rs.drain(g) }
+              .getOrElse((0L, 0L))
+          tm.query(table).send(untilFrom, durMs, readRows, attrL("g.bytes"),
+            chRows, chBytes, err, tm.stats)
+        }
+        path match {
+          case p if p.startsWith("/metrics/find") =>
+            tm.find.send(status, durMs, untilFrom, tm.stats, mc)
+            reads("index", mc)
+          case p if p.startsWith("/tags/autoComplete") =>
+            tm.tags.send(status, durMs, untilFrom, tm.stats, mc)
+            reads("tags", mc)
+          case p if p.startsWith("/render") =>
+            tm.render.send(status, durMs, untilFrom, tm.stats, mc,
+              points = attrL("g.points"), finderMs = attrL("g.finderMs", -1L))
+            reads("points", attrL("g.points"))
+          case _ => () // other routes are uninstrumented, like the reference
+        }
+      } catch { case NonFatal(_) => () }
+    }
+
+  /** Admission with wait-queue telemetry (`metrics.WaitMetric`,
+    * `metrics/metrics.go:60-89`): count attempts and 503 refusals for
+    * enabled limiters.
+    */
+  private def admitted[T](
+      ws: Telemetry.Service => Telemetry.WaitStats,
+      lim: Limiter.ServerLimiter)(body: => T): T = {
+    val w = telemetry.filter(_ => lim.enabled).map(ws)
+    w.foreach(_.requests.inc())
+    try lim.withSlot(cfg.limits.waitMs)(body)
+    catch {
+      case e: Guards.StorageError if e.code == 503 =>
+        w.foreach(_.errors.inc()); throw e
+    }
   }
 
   /** The route's limiter, per-user override first
@@ -437,6 +532,10 @@ final class HttpApi(
 
   private def reply(
       ex: HttpExchange, status: Int, contentType: String, body: Array[Byte]): Unit = {
+    // telemetry taps: status drives the request/error counters,
+    // response size the read_bytes sample (see record())
+    ex.setAttribute("g.status", Integer.valueOf(status))
+    ex.setAttribute("g.bytes", java.lang.Long.valueOf(body.length.toLong))
     ex.getResponseHeaders.set("Content-Type", contentType)
     ex.sendResponseHeaders(status, if (body.isEmpty) -1 else body.length.toLong)
     if (body.nonEmpty) ex.getResponseBody.write(body)
@@ -471,9 +570,11 @@ final class HttpApi(
     val until = q.first("until").map(s => TimeGrammar.parse(s, java.time.ZoneOffset.UTC, now)).getOrElse(0L)
 
     // reference quirk kept: find admits through the tags limiter
-    // (`find/handler.go:50-51`); cache hits bypass admission
+    // (`find/handler.go:50-51`) — so its waits count under tags_wait
+    // too, the wait-metric handle the limiter was built with; cache
+    // hits bypass admission
     val lim = limiterFor(ex, _.tags)
-    def compute: Seq[(String, Boolean)] = lim.withSlot(cfg.limits.waitMs) {
+    def compute: Seq[(String, Boolean)] = admitted(_.tagsWait, lim) {
       Finder.find(index, query, from, until,
         wildcardMinDistance = cfg.wildcardMinDistance)
         .orderBy("path").collect().toSeq
@@ -484,10 +585,15 @@ final class HttpApi(
       case Some(fc) if fc.findTimeoutSec > 0 && !truthy(q.first("noCache")) =>
         val key = FindCache.findKey(query, now.getEpochSecond, fc.findTimeoutSec)
         val (v, h) = FindCache.through(cache, key, fc.findTimeoutSec, now.getEpochSecond)(compute: Any)
+        // `find/handler.go:143-144,213-214` — the finder cache pair
+        telemetry.foreach(t =>
+          if (h) t.findCacheHits.inc() else t.findCacheMisses.inc())
         (v.asInstanceOf[Seq[(String, Boolean)]], h, fc.findTimeoutSec)
       case _ => (compute, false, 0)
     }
     if (hit) ex.getResponseHeaders.set("X-Cached-Find", ttl.toString)
+    ex.setAttribute("g.untilFrom", java.lang.Long.valueOf(until - from))
+    ex.setAttribute("g.metrics", java.lang.Long.valueOf(rows.size.toLong))
 
     format match {
       case "json" => reply(ex, 200, "application/json", JsonSink.find(rows).getBytes)
@@ -529,6 +635,9 @@ final class HttpApi(
     var anyCacheHit = false
     var maxTtl = 0
     var anyScalable = false
+    // accumulated find-phase wall time, the `requests_finder` split
+    // (`metrics.go:464-474`: start→fetch is finder, fetch→end is fetch)
+    var finderNanos = 0L
 
     def consolidateOf(ffs: Seq[FilteringFunction]): Option[String] =
       ffs.collectFirst {
@@ -546,7 +655,7 @@ final class HttpApi(
     // StorageError mapping.
     val renderLim = limiterFor(ex, _.render)
     val frames = requests.groupBy { case (_, f, u, m, _) => (f, u, m) }.toSeq.sortBy(_._1)
-    val allSeries = renderLim.withSlot(cfg.limits.waitMs) { frames.flatMap { case ((from, until, mdp0), reqs) =>
+    val allSeries = admitted(_.renderWait, renderLim) { frames.flatMap { case ((from, until, mdp0), reqs) =>
       val mdp = if (mdp0 > 0) mdp0 else Request.DefaultMaxDataPoints
       val tf = TimeFrame(from, until, mdp)
       val versionMode =
@@ -562,6 +671,19 @@ final class HttpApi(
           // DataFrame itself for the fully-distributed plan (SURVEY
           // §7.4 risk 6: no driver-side path materialization).
           val thr = cfg.renderScalableThreshold
+          val findT0 = System.nanoTime()
+          // render-find cache attribution: short pair for small recent
+          // windows, default otherwise (`render/handler.go:45-56`)
+          def cacheCounters(hit: Boolean): Unit = telemetry.foreach { tmm =>
+            val short = cfg.findCache.exists(fc =>
+              FindCache.renderUsesShort(fc, now.getEpochSecond, from, until))
+            (short, hit) match {
+              case (true, true) => tmm.shortCacheHits.inc()
+              case (true, false) => tmm.shortCacheMisses.inc()
+              case (false, true) => tmm.defaultCacheHits.inc()
+              case (false, false) => tmm.defaultCacheMisses.inc()
+            }
+          }
           val resolved: Seq[(String, Either[Seq[(String, String)], DataFrame])] =
             subReqs.map(_._1).distinct.map { t =>
               val isTagged = t.startsWith("seriesByTag(")
@@ -597,8 +719,10 @@ final class HttpApi(
                 cached match {
                   case Some(pairs) =>
                     anyCacheHit = true; maxTtl = math.max(maxTtl, ttl)
+                    cacheCounters(hit = true)
                     t -> Left(pairs)
                   case None =>
+                    if (ttl > 0) cacheCounters(hit = false)
                     val probe = foundDf.limit(thr + 1).collect()
                       .map(_.getString(0)).toSeq
                     if (probe.length > thr) t -> Right(foundDf)
@@ -613,11 +737,13 @@ final class HttpApi(
                   if (ttl > 0) {
                     val (v, h) = FindCache.through(cache, key, ttl, now.getEpochSecond)(compute: Any)
                     if (h) { anyCacheHit = true; maxTtl = math.max(maxTtl, ttl) }
+                    cacheCounters(hit = h)
                     v.asInstanceOf[Seq[(String, String)]]
                   } else compute
                 t -> Left(pairs)
               }
             }
+          finderNanos += System.nanoTime() - findT0
 
           val smalls = resolved.collect { case (t, Left(pairs)) => t -> pairs }
           val bigs = resolved.collect { case (t, Right(df)) => t -> df }
@@ -655,6 +781,13 @@ final class HttpApi(
     if (anyScalable) ex.getResponseHeaders.set("X-Graft-Render", "scalable")
 
     if (anyCacheHit) ex.getResponseHeaders.set("X-Cached-Find", maxTtl.toString)
+
+    ex.setAttribute("g.untilFrom", java.lang.Long.valueOf(
+      requests.map { case (_, f, u, _, _) => u - f }.max))
+    ex.setAttribute("g.metrics", java.lang.Long.valueOf(allSeries.size.toLong))
+    ex.setAttribute("g.points", java.lang.Long.valueOf(
+      allSeries.map(_._1.values.length.toLong).sum))
+    ex.setAttribute("g.finderMs", java.lang.Long.valueOf(finderNanos / 1000000L))
 
     format match {
       case "carbonapi_v3_pb" =>
@@ -707,7 +840,7 @@ final class HttpApi(
     val now = clock()
 
     val lim = limiterFor(ex, _.tags)
-    def compute: Seq[String] = lim.withSlot(cfg.limits.waitMs) {
+    def compute: Seq[String] = admitted(_.tagsWait, lim) {
       if (names)
         Autocomplete.tagNamesComplete(tagsTable, exprs,
           tagPrefix = q.first("tagPrefix").getOrElse(""), limit = limit, flags = cfg.flags)
@@ -728,10 +861,15 @@ final class HttpApi(
           q.first("valuePrefix") ++ Seq(limit.toString)).mkString(";")
         val key = FindCache.autocompleteKey(kind, params, now.getEpochSecond, fc.findTimeoutSec)
         val (v, h) = FindCache.through(cache, key, fc.findTimeoutSec, now.getEpochSecond)(compute: Any)
+        // autocomplete counts against the finder cache pair too
+        // (`autocomplete/autocomplete.go:315-316,434-435`)
+        telemetry.foreach(t =>
+          if (h) t.findCacheHits.inc() else t.findCacheMisses.inc())
         (v.asInstanceOf[Seq[String]], h, fc.findTimeoutSec)
       case _ => (compute, false, 0)
     }
     if (hit) ex.getResponseHeaders.set("X-Cached-Find", ttl.toString)
+    ex.setAttribute("g.metrics", java.lang.Long.valueOf(values.size.toLong))
     reply(ex, 200, "application/json", JsonSink.autocomplete(values).getBytes)
   }
 
@@ -996,6 +1134,15 @@ final class HttpApi(
       "renderScalableThreshold" -> cfg.renderScalableThreshold.toString,
       "httpWorkers" -> cfg.httpWorkers.toString,
       "findCache" -> cfg.findCache.map(c => jstr(c.toString)).getOrElse("null"),
+      "metrics" -> cfg.metrics.map(m => js(
+        "metricEndpoint" -> jstr(m.metricEndpoint),
+        "statsdEndpoint" -> jstr(m.statsdEndpoint),
+        "extendedStat" -> m.extendedStat.toString,
+        "metricIntervalSec" -> m.metricIntervalSec.toString,
+        "metricPrefix" -> jstr(m.metricPrefix),
+        "requestBuckets" -> m.bucketsWidth.size.toString,
+        "ranges" -> m.ranges.size.toString,
+        "findRanges" -> m.findRanges.size.toString)).getOrElse("null"),
       "rollupRules" -> cfg.rules.patterns.length.toString,
       "featureFlags" -> jstr(cfg.flags.toString),
       "limits" -> js(

@@ -70,12 +70,19 @@ object FindCache {
   /** TTL for a render-find: short for small recent windows, default
     * otherwise (`render/handler.go:45-56`).
     */
-  def renderTimeout(cfg: Config, nowSec: Long, from: Long, until: Long): Int = {
-    if (cfg.shortDurationSec == 0) return cfg.defaultTimeoutSec
+  def renderTimeout(cfg: Config, nowSec: Long, from: Long, until: Long): Int =
+    if (renderUsesShort(cfg, nowSec, from, until)) cfg.shortTimeoutSec
+    else cfg.defaultTimeoutSec
+
+  /** Which branch `renderTimeout` took — telemetry attributes cache
+    * hits to the short/default counter pairs accordingly
+    * (`render/handler.go:45-56` returns the metric handle with the
+    * timeout).
+    */
+  def renderUsesShort(cfg: Config, nowSec: Long, from: Long, until: Long): Boolean = {
+    if (cfg.shortDurationSec == 0) return false
     val duration = until - from
-    if (duration > cfg.shortDurationSec || nowSec - until > cfg.shortUntilOffsetSec)
-      cfg.defaultTimeoutSec
-    else cfg.shortTimeoutSec
+    !(duration > cfg.shortDurationSec || nowSec - until > cfg.shortUntilOffsetSec)
   }
 
   private def day(ts: Long): String =

@@ -667,8 +667,23 @@ object Similarity {
     * [[impliedRecallFloor]] — the honest label: mining recall on
     * unstructured data DEGRADES with corpus growth unless the budget
     * is raised (clustered corpora, the actual mining case, do not —
-    * nprobe=1 is brute-equal on the clustered fixtures). */
-  val MiningNprobeCap: Int = 2
+    * nprobe=1 is brute-equal on the clustered fixtures).
+    *
+    * MEASURED margin-pair recall at the cap (round 16,
+    * `e_bitext_margin_recall`: |IVF margin pairs ∩ brute margin
+    * pairs| / |brute pairs|): 0.21 at sf0.01 (500 vecs, cap'd
+    * nprobe 2) — far below the serve path's 1.00, because a margin
+    * PAIR needs both directions' shortlists to surface the partner
+    * AND the margin rank to pick it; see SCALE_NOTES for the ×10
+    * leg. Hence a per-deployment knob, not a universal constant: a
+    * deployment that needs recalled mining raises the cap (paying
+    * cap/2 × the n^1.5 budget) via `-Dgraft.mining.nprobe.cap=N`.
+    * Read once at class init so every consumer — including the
+    * DuckDB twin emitted by `SparkEntry.oracleSql` — sees one value
+    * (lockstep, like the nprobePlanSql pairing). */
+  val MiningNprobeCap: Int =
+    sys.props.get("graft.mining.nprobe.cap").flatMap(_.toIntOption)
+      .filter(_ >= 1).getOrElse(2)
 
   /** Inverse of the [[nprobePlan]] model: the worst-case recall a
     * given (nprobe, nlist) operating point guarantees. */

@@ -111,6 +111,11 @@ object ScaleProbe {
     // e_bitext_margin is NOT probeable past x1. Expect this leg to be
     // expensive at x100; that is the measured claim, not a defect
     "e_bitext_margin_ivf",
+    // round-16: margin-pair recall of the nprobe-capped IVF miner vs
+    // the brute anchor — run with GRAFT_SCALE_SHOW=1 at x10 (the
+    // anchor is quadratic by definition; x10 = 1e8 pair evals, the
+    // largest factor where the truth side is payable)
+    "e_bitext_margin_recall",
     // quality-aware survivor pick: the d_cluster_dedup CC shape plus
     // per-doc quality CPU and one rank window over cluster-sized
     // groups — expect the d_minhash_pairs/d_cluster_dedup growth
@@ -160,6 +165,17 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // max single-task wall time across a leg's timed runs — the
+    // straggler gauge (finding 16's hot-cell window sort was ONE task
+    // at 25+ min CPU inside a 343 s wall; wall time alone can't see a
+    // shape that serializes on skew until it dominates)
+    val maxTaskMs = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskInfo != null)
+          maxTaskMs.getAndUpdate(m => math.max(m, t.taskInfo.duration))
+    })
     // GRAFT_CHECKPOINT_DIR: route every lineage truncation (incl. the
     // memoized graphite tables) to DISK checkpoints instead of
     // executor-memory blocks — the A/B lever for separating storage/GC
@@ -218,6 +234,7 @@ object ScaleProbe {
           ((System.nanoTime() - t0) / 1e9, df.queryExecution.executedPlan.toString)
         }
         try {
+          maxTaskMs.set(0L)
           val (t1, _) = once()
           val (t2, plan) = once()
           val cart = "CartesianProduct".r.findAllIn(plan).length
@@ -236,7 +253,7 @@ object ScaleProbe {
           // 9.7 GB of pinned index storage; clean-session re-probes
           // need the artifact to SAY which regime a row came from)
           val ageS = (System.nanoTime() - probeT0) / 1000000000L
-          println(f"SCALE | x$r | $name | ${math.min(t1, t2)}%.2f | cart=$cart | heapMB=$heapMb | storageMB=$storageMb | ageS=$ageS")
+          println(f"SCALE | x$r | $name | ${math.min(t1, t2)}%.2f | cart=$cart | heapMB=$heapMb | storageMB=$storageMb | ageS=$ageS | maxTaskS=${maxTaskMs.get() / 1000.0}%.1f")
           // GRAFT_SCALE_SHOW=1: echo result rows for RESULT-SIZED
           // probe queries (e.g. the 4-row nprobe curve, whose measured
           // recall at scale is the artifact SCALE_NOTES needs) —
