@@ -389,9 +389,13 @@ final class HttpApi(
     retuner.maybe(clock().getEpochSecond)
     val t0 = System.currentTimeMillis()
     // per-request job group: thread-local, so concurrent handlers each
-    // account their own Spark reads (see SparkReadStats)
+    // account their own Spark reads (see SparkReadStats). Scoped to
+    // the three instrumented route families ONLY — a group that no
+    // record() branch drains would leak one listener entry per
+    // request for the life of the server.
     val group: Option[String] =
-      telemetry.map(_ => SparkReadStats.GroupPrefix + reqSeq.incrementAndGet())
+      telemetry.filter(_ => recordedScope(path))
+        .map(_ => SparkReadStats.GroupPrefix + reqSeq.incrementAndGet())
     group.foreach(g =>
       spark.sparkContext.setJobGroup(g, path, interruptOnCancel = false))
     try {
@@ -457,6 +461,13 @@ final class HttpApi(
       ex.close()
     }
   }
+
+  /** The three instrumented route families — the same trio the
+    * reference wires in `InitMetrics` (`metrics/metrics.go:684-686`).
+    */
+  private def recordedScope(path: String): Boolean =
+    path.startsWith("/metrics/find") || path.startsWith("/tags/autoComplete") ||
+      path.startsWith("/render")
 
   /** Post-response telemetry for the three instrumented scopes
     * (find / tags-autocomplete / render — the same trio the reference

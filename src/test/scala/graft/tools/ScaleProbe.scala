@@ -236,6 +236,11 @@ object ScaleProbe {
         try {
           maxTaskMs.set(0L)
           val (t1, _) = once()
+          // per-run split: run 1 carries one-time session state (memo
+          // materialization, codec warm) — a big cold-run task is a
+          // different diagnosis than a big WARM-run task (residual
+          // skew in the steady-state plan)
+          val maxTask1 = maxTaskMs.getAndSet(0L)
           val (t2, plan) = once()
           val cart = "CartesianProduct".r.findAllIn(plan).length
           System.gc()
@@ -253,7 +258,7 @@ object ScaleProbe {
           // 9.7 GB of pinned index storage; clean-session re-probes
           // need the artifact to SAY which regime a row came from)
           val ageS = (System.nanoTime() - probeT0) / 1000000000L
-          println(f"SCALE | x$r | $name | ${math.min(t1, t2)}%.2f | cart=$cart | heapMB=$heapMb | storageMB=$storageMb | ageS=$ageS | maxTaskS=${maxTaskMs.get() / 1000.0}%.1f")
+          println(f"SCALE | x$r | $name | ${math.min(t1, t2)}%.2f | cart=$cart | heapMB=$heapMb | storageMB=$storageMb | ageS=$ageS | maxTaskS=${math.max(maxTask1, maxTaskMs.get()) / 1000.0}%.1f | maxTaskColdS=${maxTask1 / 1000.0}%.1f | maxTaskWarmS=${maxTaskMs.get() / 1000.0}%.1f")
           // GRAFT_SCALE_SHOW=1: echo result rows for RESULT-SIZED
           // probe queries (e.g. the 4-row nprobe curve, whose measured
           // recall at scale is the artifact SCALE_NOTES needs) —
