@@ -97,6 +97,24 @@ object SparkEntry {
     Render.render(points, found, TimeFrame(WFrom, WUntil), uniformRules, now = WUntil)
   }
 
+  /** Build `body` with [[graft.Tuning.spreadTinyInput]] disabled for
+    * the construction scope. The iterative cluster-key queries
+    * (split-media, anchor dedup) REGRESS ~1.2–1.5× under the spread
+    * (round-16 SpreadProbe, 3 interleaved sessions): their CC /
+    * anchor loops run many short stages over the spread relation, so
+    * per-stage barrier cost multiplies while the decode win is paid
+    * once — these entries keep the compact input their loops want.
+    */
+  private def noSpread[T](s: SparkSession)(body: => T): T = {
+    val prev = s.conf.getOption(Tuning.SpreadEnabledKey)
+    s.conf.set(Tuning.SpreadEnabledKey, "false")
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set(Tuning.SpreadEnabledKey, v)
+      case None => s.conf.unset(Tuning.SpreadEnabledKey)
+    }
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ----------------------------------------------------------------
@@ -2441,7 +2459,7 @@ object SparkEntry {
     // — perceptual near-dup clusters (dHash banded pairs → CC) become
     // the split key, so pixel-near-duplicate images can never straddle
     // train/val/test. Pure composition of shipped operators.
-    "d_split_media" -> ((s, dir) => {
+    "d_split_media" -> ((s, dir) => noSpread(s) {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       // cluster-key shape, not pair-list shape: identical fingerprints
       // collapse to one CC node (Multimodal.dhashClusters) — the x10
@@ -2466,7 +2484,7 @@ object SparkEntry {
     // the only shape that survives corpora whose verified pair mass
     // is quadratic (SCALE_NOTES finding 13 blocked d_split_media's
     // x100 leg at >60 min / 330M pairs).
-    "d_split_media_linear" -> ((s, dir) => {
+    "d_split_media_linear" -> ((s, dir) => noSpread(s) {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       val cl = Multimodal.dhashAnchorClusters(
         Multimodal.dhash(Multimodal.withPngPayload(docs)))
@@ -3261,7 +3279,7 @@ object SparkEntry {
     // minBands=4 pinning the audio leg's recall floor — for a 32-bit
     // fingerprint the noise rule alone is vacuous (always the widest
     // 16-bit band, i.e. guaranteed radius Hamming<2 vs maxDist 5)
-    "m_afp_dedup" -> ((s, dir) => {
+    "m_afp_dedup" -> ((s, dir) => noSpread(s) {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       val bands = Multimodal.dhashPlan(docs.count(), nBits = 32, minBands = 4)
       Multimodal.fpAnchorDedup(

@@ -128,6 +128,60 @@ object Tuning {
       AdvisoryPartitionBytes.toString)
   }
 
+  /** Adaptive tiny-input spread (optimization guide §2: partitioning
+    * must be scale-adaptive, never a constant tuned for one scale).
+    *
+    * The measured problem (round-16 PhaseProbe, sf0.1): the bench
+    * parquet files are single-row-group, so a scan yields ONE task and
+    * every downstream per-row kernel (PNG/JPEG/AVI codec work, BPE
+    * greedy encoding, simhash md5 voting) serializes onto one core of
+    * a 32-thread session — `m_png_resize` spent 1.85 s in a 1-task
+    * stage that runs in 0.81 s once spread, `m_avi_motion_banded`
+    * 1.21 → 0.38 s, `d_bpe_encode` 1.71 → 0.79 s (SpreadProbe A/B,
+    * min-of-2, noop sink).
+    *
+    * The rule: when the relation's optimizer size estimate says the
+    * scan under-fills the session (estimated scan tasks below the
+    * session parallelism) AND the absolute bytes are small enough that
+    * one round-robin shuffle is ~free (≤ parallelism ×
+    * [[AdvisoryPartitionBytes]] — 2 GB on the 32-thread sandbox),
+    * insert an explicit `repartition(parallelism)`. Explicit
+    * numPartitions is deliberately chosen so AQE does NOT coalesce the
+    * spread back to one partition (advisory sizing would: the whole
+    * point is more tasks than 64 MB sizing yields).
+    *
+    * At production scale the predicate is false — a 100 TB corpus
+    * scans into ≫ parallelism splits and the relation is never
+    * re-shuffled — so the helper is a no-op there; the cost of the
+    * check is one plan-stats read, no Spark job. Callers are the
+    * kernel-heavy map paths where the A/B showed a win (media payload
+    * synthesis, tokenizer encode, simhash fingerprinting), NOT every
+    * read site: for already-parallel shapes the extra exchange is a
+    * pure barrier (`d_ppl_buckets` regressed 2.09 → 2.66 s in the
+    * same A/B, so the blanket form is wrong by measurement).
+    */
+  /** Session-conf kill switch for [[spreadTinyInput]] (`"false"` to
+    * disable); also the A/B handle SpreadProbe uses to measure both
+    * paths inside one session. */
+  val SpreadEnabledKey = "graft.spread.enabled"
+
+  def spreadTinyInput(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    if (spark.conf.getOption(SpreadEnabledKey).exists(_.equalsIgnoreCase("false")))
+      return df
+    val p = spark.sparkContext.defaultParallelism
+    val stats = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val maxPB = math.max(1L,
+      spark.conf.get("spark.sql.files.maxPartitionBytes", (128L << 20).toString)
+        .stripSuffix("b").toLong)
+    val spreadCeiling = BigInt(p.toLong * AdvisoryPartitionBytes)
+    if (stats <= 0 || stats > spreadCeiling) df
+    else {
+      val estTasks = ((stats + maxPB - 1) / maxPB).toLong
+      if (estTasks < p) df.repartition(p) else df
+    }
+  }
+
   /** Re-derives the ceiling for long-lived serving sessions. Batch
     * entrypoints (Bench/Verify/ScaleProbe) re-derive per run, but an
     * HTTP session over a store that streaming ingest + compaction grow

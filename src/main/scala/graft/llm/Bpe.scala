@@ -365,7 +365,10 @@ object Bpe {
     val exprLimit = docs.sparkSession.conf
       .getOption(ExprChainRuleLimitKey).map(_.toInt).getOrElse(64)
     if (rules.size > exprLimit) return encodeKernel(docs, textCol, idCol, rules)
-    val words = docs.select(idCol.as("doc_id"),
+    // greedy per-word merge chain is the cost — spread a single-split
+    // input across the session first (no-op at corpus scale)
+    val spread = graft.Tuning.spreadTinyInput(docs)
+    val words = spread.select(idCol.as("doc_id"),
       transform(
         filter(split(trim(textCol), "\\s+"), w => w =!= ""),
         w => {
@@ -388,7 +391,8 @@ object Bpe {
       textCol: Column,
       idCol: Column,
       rules: Seq[(String, String)]): DataFrame = {
-    val pre = docs.select(idCol.as("doc_id"), textCol.as("__text"))
+    val pre = graft.Tuning.spreadTinyInput(
+      docs.select(idCol.as("doc_id"), textCol.as("__text")))
     val idField = pre.schema.head
     val outSchema = StructType(Seq(
       StructField("doc_id", idField.dataType, idField.nullable),

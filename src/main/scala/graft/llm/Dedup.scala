@@ -284,7 +284,10 @@ object Dedup {
       textCol: Column,
       idCol: Column,
       bits: Int = 32): DataFrame = {
-    val words = docs.select(idCol.as("id"), explode(split(trim(textCol), "\\s+")).as("w"))
+    // the md5-per-word voting pass is the cost — spread a single-split
+    // input across the session first (no-op at corpus scale)
+    val words = graft.Tuning.spreadTinyInput(docs.select(idCol.as("id"), textCol.as("__t")))
+      .select(col("id"), explode(split(trim(col("__t")), "\\s+")).as("w"))
       .withColumn("h", conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long"))
     val bitSums = (0 until bits).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
@@ -311,9 +314,23 @@ object Dedup {
       textCol: Column,
       idCol: Column,
       prefixBits: Int = 8,
-      maxDistance: Int = 6): DataFrame = {
-    val fp = simhashDF(docs, textCol, idCol)
-      .withColumn("bucket", shiftright(col("fp"), 32 - prefixBits))
+      maxDistance: Int = 6): DataFrame =
+    simhashNearDupsFromFp(
+      simhashDF(docs, textCol, idCol).truncateLineage(eager = false),
+      prefixBits, maxDistance)
+
+  /** [[simhashNearDups]] over an (ideally materialized) `(id, fp)`
+    * relation: both branches of the bucket self-join read the
+    * fingerprint table instead of re-running the corpus-scan →
+    * explode → md5 → 32-sum aggregate per branch (the same
+    * signature-materialization discipline [[minhashCandidates]]
+    * documents — fingerprints are 1 long per doc).
+    */
+  private[llm] def simhashNearDupsFromFp(
+      fp0: DataFrame,
+      prefixBits: Int,
+      maxDistance: Int): DataFrame = {
+    val fp = fp0.withColumn("bucket", shiftright(col("fp"), 32 - prefixBits))
     val a = fp.as("a")
     val b = fp.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
@@ -341,8 +358,19 @@ object Dedup {
       maxDistance: Int = 6,
       bits: Int = 32): DataFrame = {
     require(bits % bands == 0, s"$bits bits not divisible into $bands bands")
+    simhashNearDupsBandedFromFp(
+      simhashDF(docs, textCol, idCol, bits).truncateLineage(eager = false),
+      bands, maxDistance, bits)
+  }
+
+  /** [[simhashNearDupsBanded]] over an (ideally materialized)
+    * `(id, fp)` relation — see [[simhashNearDupsFromFp]]. */
+  private[llm] def simhashNearDupsBandedFromFp(
+      fp: DataFrame,
+      bands: Int,
+      maxDistance: Int,
+      bits: Int = 32): DataFrame = {
     val w = bits / bands
-    val fp = simhashDF(docs, textCol, idCol, bits)
     val banded = fp.select(col("id"), col("fp"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
@@ -380,7 +408,16 @@ object Dedup {
       (bucketCols.zipWithIndex.map { case (c, i) => c.as(s"bk$i") } :+
         idCol.as("id")): _*)
     val bk = lab.columns.filter(_.startsWith("bk"))
-    val fp = simhashDF(docs, textCol, idCol).join(lab, Seq("id"))
+    // ONE fingerprint materialization feeds the truth self-join AND
+    // the candidate generator: the corpus-scan → explode → md5 →
+    // 32-sum aggregate is the expensive pass, and the truth/approx
+    // branches are separate actions (each ends in its own
+    // truncation), so exchange reuse cannot share it across them —
+    // without this cut the aggregate ran once per branch per side.
+    // Fingerprints are 1 long per doc (signature-sized, the
+    // [[minhashNearDups]] storage discipline).
+    val fpBase = simhashDF(docs, textCol, idCol).truncateLineage(eager = false)
+    val fp = fpBase.join(lab, Seq("id"))
     val joinCond = bk.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _) &&
       col("a.id") < col("b.id")
     val truth = fp.as("a").join(fp.as("b"), joinCond)
@@ -389,8 +426,8 @@ object Dedup {
       .truncateLineage()
     val sameBlock = bk.map(c => col(s"la.$c") === col(s"lb.$c")).reduce(_ && _)
     val cand = bands match {
-      case Some(b) => simhashNearDupsBanded(docs, textCol, idCol, b, maxDistance)
-      case None => simhashNearDups(docs, textCol, idCol, prefixBits, maxDistance)
+      case Some(b) => simhashNearDupsBandedFromFp(fpBase, b, maxDistance)
+      case None => simhashNearDupsFromFp(fpBase, prefixBits, maxDistance)
     }
     val approx = cand
       .join(lab.as("la"), col("id_a") === col("la.id"))

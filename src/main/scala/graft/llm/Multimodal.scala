@@ -171,7 +171,10 @@ object Multimodal {
       StructField("payload", BinaryType, nullable = false),
       StructField("meta", metaSchema, nullable = false)))
     val enc = org.apache.spark.sql.Encoders.row(inSchema)
-    docs.select(col("doc_id"), col("text")).mapPartitions { rows =>
+    // per-row PNG encode is the cost here, not the scan — spread a
+    // single-split input across the session before the codec work
+    graft.Tuning.spreadTinyInput(docs.select(col("doc_id"), col("text")))
+      .mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
         val w = (4 + (id % 13)).toInt
@@ -220,9 +223,51 @@ object Multimodal {
     * fail the task deterministically on every retry: a poison pill,
     * not a skipped row).
     */
+  /** One PNG reader per executor thread (decode twin of [[pngWriter]],
+    * same rationale as the JPEG pair below). `ImageIO.read`'s generic
+    * path costs, PER IMAGE: a format-sniffing SPI scan, a fresh reader
+    * construction, and — with `ImageIO.getUseCache`'s default `true` —
+    * a temp FILE-backed `ImageInputStream` whose create/delete turns
+    * every in-memory decode into two filesystem metadata ops; 32
+    * concurrent codec tasks then contend on the tmp directory (the
+    * round-16 spread A/B measured the PNG-decode queries bimodal
+    * under 32-way parallelism for exactly this reason).
+    */
+  private val pngReader =
+    new ThreadLocal[javax.imageio.ImageReader] {
+      override def initialValue(): javax.imageio.ImageReader =
+        javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+    }
+
+  /** The 8-byte PNG signature (ISO/IEC 15948 §5.2). */
+  private val PngMagic: Array[Byte] =
+    Array(0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+
+  private def hasPngMagic(payload: Array[Byte]): Boolean = {
+    if (payload.length < PngMagic.length) return false
+    var i = 0
+    while (i < PngMagic.length) {
+      if (payload(i) != PngMagic(i)) return false
+      i += 1
+    }
+    true
+  }
+
   private[graft] def decodeImageOrNull(payload: Array[Byte]): java.awt.image.BufferedImage =
     try {
       if (payload == null) null
+      else if (hasPngMagic(payload)) {
+        // known-PNG fast path: per-thread reader over a memory-backed
+        // stream — no SPI scan, no temp file. Decode errors fall
+        // through to the skip policy like the generic path.
+        val reader = pngReader.get()
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          reader.setInput(iis)
+          reader.read(0)
+        } finally iis.close()
+      }
       else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
     } catch { case _: Exception => null }
 
@@ -806,9 +851,77 @@ object Multimodal {
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
     val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(
-      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    wavWriter.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
+  }
+
+  /** The JDK's WAVE `AudioFileWriter` / `AudioFileReader` providers,
+    * resolved ONCE through the public `ServiceLoader` SPI and reused
+    * per call. Every `AudioSystem.write` / `getAudioInputStream` call
+    * re-enumerates providers through a SYNCHRONIZED static registry
+    * (`JDK13Services.getProviders`), so 32 concurrent codec tasks
+    * serialize on one monitor — the round-16 spread A/B measured the
+    * audio queries 1.9–2.3× SLOWER when parallelized, i.e. the lock,
+    * not the codec, was the bottleneck. The providers themselves are
+    * the same JDK classes `AudioSystem` would pick (WAVE round-trip
+    * parity pinned in `ImageCodecSpec`'s audio block), and reader/writer instances
+    * are stateless per call, so one shared instance is thread-safe.
+    */
+  private lazy val wavWriter: javax.sound.sampled.spi.AudioFileWriter = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter]).iterator()
+    var found: javax.sound.sampled.spi.AudioFileWriter = null
+    while (found == null && it.hasNext) {
+      val w = it.next()
+      if (w.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE))
+        found = w
+    }
+    require(found != null, "no WAVE AudioFileWriter provider on this JVM")
+    found
+  }
+
+  private lazy val audioReaders: Array[javax.sound.sampled.spi.AudioFileReader] = {
+    val b = Array.newBuilder[javax.sound.sampled.spi.AudioFileReader]
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+    while (it.hasNext) b += it.next()
+    val all = b.result()
+    // Probe ONCE with a canonical WAVE sample and move the accepting
+    // provider to the front: a REJECTING provider's sniff can itself
+    // consult a synchronized registry per call (the JDK midi soft
+    // reader walks `MidiSystem.getProviders` before saying "not
+    // mine" — a round-16 thread dump showed 31/32 executor threads
+    // BLOCKED on that monitor). With the WAVE reader first, per-row
+    // reads never reach the rejecting providers at all; non-WAVE
+    // payloads still fall through the rest in original order.
+    val probe = try wavBytes(0L, nSamples = 16) catch { case _: Exception => null }
+    if (probe == null) all
+    else {
+      val accepted = all.indexWhere { r =>
+        try { r.getAudioInputStream(new java.io.ByteArrayInputStream(probe)).close(); true }
+        catch { case _: Exception => false }
+      }
+      if (accepted <= 0) all
+      else all(accepted) +: (all.take(accepted) ++ all.drop(accepted + 1))
+    }
+  }
+
+  /** `AudioSystem.getAudioInputStream`'s
+    * first-recognizing-provider rule over the cached provider list —
+    * identical acceptance semantics (providers signal "not mine" with
+    * `UnsupportedAudioFileException` and the stream supports
+    * mark/reset), minus the synchronized registry lookup per call.
+    */
+  private def audioInputStream(
+      in: java.io.InputStream): javax.sound.sampled.AudioInputStream = {
+    var i = 0
+    while (i < audioReaders.length) {
+      try return audioReaders(i).getAudioInputStream(in)
+      catch { case _: javax.sound.sampled.UnsupportedAudioFileException => () }
+      i += 1
+    }
+    throw new javax.sound.sampled.UnsupportedAudioFileException(
+      "Stream of unsupported format")
   }
 
   /** REAL WAV decode + features: JDK audio parser → PCM samples →
@@ -817,8 +930,7 @@ object Multimodal {
     */
   private[llm] def audioFeatures(payload: Array[Byte]): Option[(Long, Double, Long)] =
     try {
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(payload))
+      val ais = audioInputStream(new java.io.ByteArrayInputStream(payload))
       try {
         val fmt = ais.getFormat
         require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1)
@@ -860,8 +972,7 @@ object Multimodal {
   private[llm] def audioFrameEnergies(
       payload: Array[Byte], frames: Int): Option[Array[Long]] =
     try {
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(payload))
+      val ais = audioInputStream(new java.io.ByteArrayInputStream(payload))
       try {
         val fmt = ais.getFormat
         require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1)
@@ -938,7 +1049,8 @@ object Multimodal {
       StructField("start_frame", LongType, nullable = false),
       StructField("end_frame", LongType, nullable = false)))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
-    docs.select(col("doc_id")).mapPartitions { rows =>
+    graft.Tuning.spreadTinyInput(docs.select(col("doc_id")))
+      .mapPartitions { rows =>
       rows.flatMap { r =>
         val id = r.getLong(0)
         audioFrameEnergies(wavBytes(id), frames).toSeq.flatMap(e =>
@@ -960,7 +1072,8 @@ object Multimodal {
       StructField("doc_id", LongType, nullable = false),
       StructField("fp", LongType, nullable = false)))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
-    docs.select(col("doc_id")).mapPartitions { rows =>
+    graft.Tuning.spreadTinyInput(docs.select(col("doc_id")))
+      .mapPartitions { rows =>
       rows.flatMap { r =>
         val id = r.getLong(0)
         audioFpBits(wavBytes(id), frames).map(fp => Row(id, fp))
@@ -978,7 +1091,8 @@ object Multimodal {
       StructField("rms", DoubleType, nullable = false),
       StructField("zero_crossings", LongType, nullable = false)))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
-    docs.select(col("doc_id")).mapPartitions { rows =>
+    graft.Tuning.spreadTinyInput(docs.select(col("doc_id")))
+      .mapPartitions { rows =>
       rows.flatMap { r =>
         val id = r.getLong(0)
         audioFeatures(wavBytes(id)).map { case (n, rms, zc) =>
@@ -1225,7 +1339,9 @@ object Multimodal {
       StructField("payload", BinaryType, nullable = false),
       StructField("meta", metaSchema, nullable = false)))
     val enc = org.apache.spark.sql.Encoders.row(inSchema)
-    docs.select(col("doc_id"), col("text")).mapPartitions { rows =>
+    // JPEG-encode of every frame dominates — spread tiny inputs first
+    graft.Tuning.spreadTinyInput(docs.select(col("doc_id"), col("text")))
+      .mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
         val w = (8 + (id % 5)).toInt

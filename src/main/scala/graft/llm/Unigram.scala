@@ -435,7 +435,8 @@ object Unigram {
       idCol: Column,
       pieces: Seq[(String, Double)],
       maxPieceLen: Int): DataFrame = {
-    val pre = docs.select(idCol.as("doc_id"), textCol.as("__text"))
+    val pre = graft.Tuning.spreadTinyInput(
+      docs.select(idCol.as("doc_id"), textCol.as("__text")))
     val idField = pre.schema.head
     val outSchema = StructType(Seq(
       StructField("doc_id", idField.dataType, idField.nullable),

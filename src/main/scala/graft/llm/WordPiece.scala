@@ -236,7 +236,8 @@ object WordPiece {
       textCol: Column,
       idCol: Column,
       vocab: Seq[String]): DataFrame = {
-    val pre = docs.select(idCol.as("doc_id"), textCol.as("__text"))
+    val pre = graft.Tuning.spreadTinyInput(
+      docs.select(idCol.as("doc_id"), textCol.as("__text")))
     val idField = pre.schema.head
     val outSchema = StructType(Seq(
       StructField("doc_id", idField.dataType, idField.nullable),
