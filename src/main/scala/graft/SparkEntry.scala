@@ -1174,14 +1174,14 @@ object SparkEntry {
     // values, engine-portable md5 bucket/sign hashes.
     "d_hash_embed" -> ((s, dir) =>
       TextStats.hashedVectors(
-        s.read.parquet(s"$dir/documents.parquet"), dim = 64)),
+        graft.Tuning.spreadTinyInput(s.read.parquet(s"$dir/documents.parquet")), dim = 64)),
 
     // text-only cosine kNN over the hashed vectors: bucket equi-join
     // (inverted-index shape), exact integer dots/norms, dot > 0
     // cutoff (what makes the bucket pruning sound under signed
     // hashing) — the full ranking hash-matches with no grid at all.
     "d_hash_knn" -> ((s, dir) => {
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = graft.Tuning.spreadTinyInput(s.read.parquet(s"$dir/documents.parquet"))
       TextStats.hashedKnn(docs, docs.where(col("doc_id") < 5), dim = 64, k = 5)
     }),
 
@@ -1190,7 +1190,7 @@ object SparkEntry {
     // totals straight off the scan; no doc×doc stage.
     "d_dup_spans" -> ((s, dir) =>
       Dedup.duplicateSpans(
-        s.read.parquet(s"$dir/documents.parquet"),
+        graft.Tuning.spreadTinyInput(s.read.parquet(s"$dir/documents.parquet")),
         col("text"), col("doc_id"), w = 5)),
 
     // ExactSubstr removal: cut every word covered by a corpus-repeated
@@ -1200,7 +1200,7 @@ object SparkEntry {
     // reassembly over the original scan.
     "d_scrub_spans" -> ((s, dir) =>
       Dedup.scrubSpans(
-        s.read.parquet(s"$dir/documents.parquet"),
+        graft.Tuning.spreadTinyInput(s.read.parquet(s"$dir/documents.parquet")),
         col("text"), col("doc_id"), w = 5)),
 
     // proper Schleimer winnowing: positional 5-gram hashes, window-4
@@ -1488,7 +1488,7 @@ object SparkEntry {
     // passes lshKnn/rpSearch shortlists, so the corpus-sized stage is
     // the neighbor build, never the mining.
     "e_bitext_margin" -> ((s, dir) => {
-      val vecs = s.read.parquet(s"$dir/embeddings.parquet")
+      val vecs = graft.Tuning.spreadTinyInput(s.read.parquet(s"$dir/embeddings.parquet"))
       val a = vecs.where(pmod(col("vec_id"), lit(2)) === 0)
       val b = vecs.where(pmod(col("vec_id"), lit(2)) === 1)
       Similarity.marginMine(
@@ -1768,7 +1768,7 @@ object SparkEntry {
     // token co-occurrence graph; in-row pair explode, then per
     // iteration one rank⋈edges equi-join + one dst hash aggregate.
     "d_textrank" -> ((s, dir) =>
-      graft.llm.Graph.textrank(s.read.parquet(s"$dir/documents.parquet"),
+      graft.llm.Graph.textrank(graft.Tuning.spreadTinyInput(s.read.parquet(s"$dir/documents.parquet")),
         col("text"), col("doc_id"), iters = 4)),
 
     // BPE merge-candidate counting: word-frequency aggregate, in-row
@@ -1907,7 +1907,7 @@ object SparkEntry {
     // OR-amplified multi-table LSH ANN (recall path; RecallSpec holds
     // recall@10 >= 0.9 vs bruteKnn at 24 tables)
     "e_lsh_knn_multi" -> ((s, dir) => {
-      val vecs = s.read.parquet(s"$dir/embeddings.parquet")
+      val vecs = graft.Tuning.spreadTinyInput(s.read.parquet(s"$dir/embeddings.parquet"))
       Similarity.lshKnnMulti(vecs, k = 3, dim = 64, bits = 4, tables = 8)
         .where(col("query_id") < 50)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
@@ -2100,7 +2100,7 @@ object SparkEntry {
     // member of the compression family next to SQ8 (8 bits/dim) and
     // MRL (prefix dims).
     "e_bq_search" -> ((s, dir) => {
-      val vecs = s.read.parquet(s"$dir/embeddings.parquet")
+      val vecs = graft.Tuning.spreadTinyInput(s.read.parquet(s"$dir/embeddings.parquet"))
       Similarity.bqSearch(vecs, vecs.where(col("vec_id") < 5),
         k = 5, rerank = 20, dim = 64)
     }),
@@ -2453,7 +2453,7 @@ object SparkEntry {
     // out — one word explode + per-DOC windows + in-row ordered fold.
     "d_span_corrupt" -> ((s, dir) =>
       graft.llm.Sampling.spanCorrupt(
-        s.read.parquet(s"$dir/documents.parquet"), col("text"), col("doc_id"))),
+        graft.Tuning.spreadTinyInput(s.read.parquet(s"$dir/documents.parquet")), col("text"), col("doc_id"))),
 
     // leakage-safe split for IMAGES: the media twin of d_split_leakage
     // — perceptual near-dup clusters (dHash banded pairs → CC) become

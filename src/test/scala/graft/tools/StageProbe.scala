@@ -53,7 +53,7 @@ object StageProbe {
         stages.clear(); record = true
         val w = once()
         record = false
-        spark.sparkContext.listenerBus.waitUntilEmpty()
+        Thread.sleep(300) // let the listener bus drain
         println(f"STAGEQ | $name | total=${w}%.0f ms")
         import scala.jdk.CollectionConverters._
         stages.asScala.toSeq.sortBy(_._1).foreach { case (id, ms, nt, nm) =>
