@@ -464,7 +464,7 @@ object SparkEntry {
           lit("events;user="), col("user_id"), lit(";type="), col("event_type"),
           lit(" "), col("value"), lit(" "),
           (col("ts") / 1000000000L).cast("long")).as("value"))
-      graft.streaming.Ingest.parseLines(lines)
+      graft.streaming.Ingest.parseLines(graft.Tuning.spreadTinyInput(lines))
         .select(col("path"), col("time"), col("value"), col("is_tagged"))
     }),
 
@@ -1079,7 +1079,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))),
 
     "d_quality" -> ((s, dir) =>
-      s.read.parquet(s"$dir/documents.parquet")
+      graft.Tuning.spreadTinyInput(s.read.parquet(s"$dir/documents.parquet"))
         .select(col("doc_id") +: TextStats.qualityFeatures(col("text")) :+
           TextStats.qualityScore(col("text")).as("quality"): _*)),
 
