@@ -258,6 +258,7 @@ object Dedup {
     cands
       .join(candSets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(candSets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .where(jaccardSizeBound(col("sh_a"), col("sh_b"), threshold))
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))) /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
@@ -472,6 +473,11 @@ object Dedup {
     val joinCond = bk.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _) &&
       col("a.id") < col("b.id")
     prepared.as("a").join(prepared.as("b"), joinCond)
+      // size-ratio bound first: J(A,B) ≥ t ⇒ min(|A|,|B|) ≥ t·max —
+      // a codegen'd integer predicate that skips the merge kernel for
+      // size-mismatched pairs; necessary condition, so the surviving
+      // jaccard filter below keeps the result identical
+      .where(jaccardSizeBound(col("a.words"), col("b.words"), threshold))
       .withColumn("jaccard",
         org.apache.spark.sql.GraftExpressionBridge.column(
           graft.functions.SortedSetJaccard(
@@ -481,6 +487,17 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         round(col("jaccard"), 4).as("jaccard"))
   }
+
+  /** Necessary size condition for `jaccard(a, b) >= t`:
+    * |A∩B| ≤ min(|A|,|B|) and |A∪B| ≥ max(|A|,|B|), so J ≥ t forces
+    * min ≥ t·max. Evaluating this integer bound BEFORE the per-pair
+    * merge kernel prunes size-mismatched pairs at codegen cost; it is
+    * never sufficient, so callers keep the exact filter after it and
+    * results are unchanged (round-16 optimization, guide §1.2 step 2).
+    */
+  private[llm] def jaccardSizeBound(a: Column, b: Column, t: Double): Column =
+    least(size(a), size(b)).cast("double") >=
+      lit(t) * greatest(size(a), size(b)).cast("double")
 
   /** Deterministic per-document rolling-hash fingerprint: the minimum
     * md5 over word 5-shingles (winnowing with window = whole doc).
@@ -929,7 +946,8 @@ object Dedup {
     val dirty = crossCands
       .join(aSets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sSets.withColumnRenamed("id", "id_s").withColumnRenamed("sh", "sh_s"), "id_s")
-      .where(size(array_intersect(col("sh_a"), col("sh_s"))) /
+      .where(jaccardSizeBound(col("sh_a"), col("sh_s"), threshold) &&
+        size(array_intersect(col("sh_a"), col("sh_s"))) /
         size(array_union(col("sh_a"), col("sh_s"))).cast("double") >= threshold)
       .select(col("id_a").as("id")).distinct()
       .truncateLineage(eager = false) // gates both the sigs and the rows
@@ -948,7 +966,8 @@ object Dedup {
     val verified = batchCands
       .join(candSets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(candSets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-      .where(size(array_intersect(col("sh_a"), col("sh_b"))) /
+      .where(jaccardSizeBound(col("sh_a"), col("sh_b"), threshold) &&
+        size(array_intersect(col("sh_a"), col("sh_b"))) /
         size(array_union(col("sh_a"), col("sh_b"))).cast("double") >= threshold)
       .select(col("id_a"), col("id_b"))
     nearDupKeep(clean, verified, idCol)
@@ -991,6 +1010,9 @@ object Dedup {
     // instead of re-running the blocked join / banded pipeline per
     // consumer
     val truth = sets.as("a").join(sets.as("b"), joinCond)
+      // cheap necessary size bound before the merge kernel — see
+      // [[jaccardSizeBound]]; the exact filter below is unchanged
+      .where(jaccardSizeBound(col("a.sh"), col("b.sh"), threshold))
       .withColumn("j",
         org.apache.spark.sql.GraftExpressionBridge.column(
           graft.functions.SortedSetJaccard(
