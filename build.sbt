@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run output goes straight to this process's stdout/stderr
+// instead of through sbt's logger: the logger prefixes every stdout
+// line with "[info] ", which broke the driver's parse of the bench's
+// one-line JSON contract two rounds running (BENCH_r15/r16 both
+// carried parsed:null with rc:0 — the line was there, wrapped as
+// `[info] {...}`). Side effect: Spark INFO logs now arrive on stderr
+// unprefixed rather than as "[error] ..." lines.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

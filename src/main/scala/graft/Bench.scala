@@ -17,8 +17,12 @@ import org.apache.spark.sql.SparkSession
   * (min folded in, names under `repass`): back-to-back min-of-2 still
   * sits inside one contention window, and r14's driver artifact
   * recorded a 1.85 s query at 22 s that way. `queries_cal` carries
-  * each value divided by `calib_divisor` (= `calib_after`) — the
-  * host-normalized, cross-round-comparable form.
+  * each value divided by `calib_divisor` — since round 17 the MEDIAN
+  * of gauge samples interleaved through the suite (`calib_samples`),
+  * not `calib_after` alone: round 16 proved the endpoint-only gauge
+  * can move 26% across runs whose untouched-query median is exactly
+  * flat. Even so, prefer the untouched-query-median protocol for
+  * cross-round conclusions; `queries_cal` is the secondary gauge.
   */
 object Bench {
   /** Fixed map-only host-weather gauge: a deterministic,
@@ -38,18 +42,20 @@ object Bench {
     * (steady-state) and treat a large before/after gap as "this
     * window was moving".
     */
+  /** One warm gauge run (codegen/JIT assumed warmed by [[calibrate]]). */
+  def calibrateOnce(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    // bit_xor, not sum: summing 67M full-range hashes overflows
+    // Long under ANSI mode
+    spark.range(0L, 1L << 26, 1L, spark.sparkContext.defaultParallelism)
+      .selectExpr("bit_xor(xxhash64(xxhash64(xxhash64(id)))) AS h")
+      .write.mode("overwrite").format("noop").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def calibrate(spark: SparkSession): Double = {
-    def once(): Double = {
-      val t0 = System.nanoTime()
-      // bit_xor, not sum: summing 67M full-range hashes overflows
-      // Long under ANSI mode
-      spark.range(0L, 1L << 26, 1L, spark.sparkContext.defaultParallelism)
-        .selectExpr("bit_xor(xxhash64(xxhash64(xxhash64(id)))) AS h")
-        .write.mode("overwrite").format("noop").save()
-      (System.nanoTime() - t0) / 1e9
-    }
-    once(); once()
-    Seq(once(), once(), once()).min
+    calibrateOnce(spark); calibrateOnce(spark)
+    Seq(calibrateOnce(spark), calibrateOnce(spark), calibrateOnce(spark)).min
   }
 
   /** Per-table (bytes, rows) fingerprint of the bench input dir —
@@ -144,9 +150,19 @@ object Bench {
         .write.mode("overwrite").format("noop").save()
       (System.nanoTime() - t0) / 1e9
     }
-    SparkEntry.queries.toSeq.sortBy(_._1)
+    // Gauge samples INTERLEAVED through the suite (round-16 verdict:
+    // the before/after-only calibration swung 0.0996 → 0.0790 between
+    // runs whose untouched-query median was exactly flat, steering
+    // cross-round readers the wrong way). One warm gauge run after
+    // every `sampleEvery` queries; the divisor becomes the MEDIAN of
+    // all samples (+ the before/after gauges), so one contended window
+    // no longer owns the normalization. Samples run BETWEEN queries —
+    // per-query timings are untouched by this instrumentation.
+    val calibSamples = scala.collection.mutable.ArrayBuffer[Double](calibBefore)
+    val toRun = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, _) =>
+    val sampleEvery = math.max(1, toRun.size / 6)
+    toRun.zipWithIndex.foreach { case ((name, _), i) =>
       try {
         val first = runOnce(name)
         timings(name) = math.min(first, runOnce(name))
@@ -158,6 +174,9 @@ object Bench {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
+      if ((i + 1) % sampleEvery == 0 && i + 1 < toRun.size)
+        try calibSamples += calibrateOnce(spark)
+        catch { case _: Throwable => }
     }
 
     // End-of-suite re-pass: the slowest entries re-run once more, min
@@ -193,7 +212,18 @@ object Bench {
     val cs = coldTimings.map { case (k, v) => s"${jstr(k)}:${num(v)}" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val calibAfter = calibrate(spark)
-    val calib = s""""calib_before":${num(calibBefore)},"calib_after":${num(calibAfter)}"""
+    calibSamples += calibAfter
+    // MEDIAN of the interleaved samples — a single co-tenant burst (or
+    // calm spell) at either endpoint no longer owns the divisor
+    val calibMedian = {
+      val s = calibSamples.sorted
+      if (s.isEmpty) 0.0
+      else if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val calibSamplesJson =
+      calibSamples.map(num).mkString("[", ",", "]")
+    val calib = s""""calib_before":${num(calibBefore)},"calib_after":${num(calibAfter)},"calib_samples":$calibSamplesJson"""
     // input fingerprint next to the calibration fields: calibration
     // gauges the HOST, this gauges the DATA — a cross-round ratio
     // needs both unchanged to mean anything
@@ -216,8 +246,8 @@ object Bench {
     // a failed/zero calibration gauge makes queries_cal meaningless —
     // flag it explicitly instead of normalizing by a floor that would
     // silently inflate every calibrated value ~1e9×
-    val calibOk = calibAfter > 0.0
-    val calDiv = if (calibOk) calibAfter else Double.NaN
+    val calibOk = calibMedian > 0.0
+    val calDiv = if (calibOk) calibMedian else Double.NaN
     val qcal =
       if (calibOk)
         timings.map { case (k, v) => s"${jstr(k)}:${num(v / calDiv)}" }

@@ -106,8 +106,33 @@ object Lineage {
     }
   }
 
+  /** Session-conf key: set `"true"` to restore materialize-NOW
+    * semantics at the [[truncateDeferred]] call sites (the round-17
+    * A/B handle; the cut itself is identical either way).
+    */
+  val EagerKey = "graft.lineage.eager"
+
+  /** [[truncate]] with DEFERRED materialization by default: the cut is
+    * planned at construction and materializes inside the first
+    * consuming action instead of as its own job. Round-17 job-count
+    * measurement (PhaseProbe, sf0.1): the multi-cut operators spend
+    * most of their wall time in per-job scheduling barriers
+    * (d_curate 17 jobs / 1.76 s, d_simhash_recall_banded 21 / 3.06 s,
+    * ~80–150 ms floor per job locally), and every eager cut is one
+    * extra job. Deferral is safe wherever the consumers are a DAG —
+    * the checkpoint RDD is persisted on first compute, so multiple
+    * branches inside one action still compute it once. Sites where a
+    * driver-side loop or collect depends on materialize-NOW keep the
+    * explicit eager call.
+    */
+  def truncateDeferred(df: DataFrame): DataFrame =
+    truncate(df, eager = df.sparkSession.conf
+      .getOption(EagerKey).exists(_.equalsIgnoreCase("true")))
+
   /** Chained form: `df.truncateLineage()` ≡ `Lineage.truncate(df)`. */
   implicit class TruncateOps(private val df: DataFrame) extends AnyVal {
     def truncateLineage(eager: Boolean = true): DataFrame = Lineage.truncate(df, eager)
+    /** Chained form of [[Lineage.truncateDeferred]]. */
+    def truncateLineageDeferred(): DataFrame = Lineage.truncateDeferred(df)
   }
 }

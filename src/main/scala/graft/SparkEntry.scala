@@ -105,15 +105,13 @@ object SparkEntry {
     * per-stage barrier cost multiplies while the decode win is paid
     * once — these entries keep the compact input their loops want.
     */
-  private def noSpread[T](s: SparkSession)(body: => T): T = {
-    val prev = s.conf.getOption(Tuning.SpreadEnabledKey)
-    s.conf.set(Tuning.SpreadEnabledKey, "false")
-    try body
-    finally prev match {
-      case Some(v) => s.conf.set(Tuning.SpreadEnabledKey, v)
-      case None => s.conf.unset(Tuning.SpreadEnabledKey)
-    }
-  }
+  private def noSpread[T](s: SparkSession)(body: => T): T =
+    // thread-local scope (Tuning.withSpreadDisabled): the previous
+    // set/restore on the shared session conf raced with any
+    // concurrent construction on the same session (round-16 ADVICE) —
+    // and made SpreadProbe's base/spread arms a no-op comparison for
+    // the noSpread-wrapped entries (both arms forced off)
+    Tuning.withSpreadDisabled(body)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2390,7 +2388,7 @@ object SparkEntry {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       val pairs = Dedup.minhashNearDups(docs, col("text"), col("doc_id"), threshold = 0.5)
         .select("id_a", "id_b")
-      val pairsM = graft.Lineage.truncate(pairs)
+      val pairsM = graft.Lineage.truncateDeferred(pairs)
       val cl = Dedup.clusters(pairsM).withColumnRenamed("id", "doc_id")
       val keyed = docs.select("doc_id").join(cl, Seq("doc_id"), "left_outer")
         .withColumn("grp", coalesce(col("cluster_id"), col("doc_id")))

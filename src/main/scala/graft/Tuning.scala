@@ -165,15 +165,41 @@ object Tuning {
     * paths inside one session. */
   val SpreadEnabledKey = "graft.spread.enabled"
 
+  /** Construction-scoped opt-out, THREAD-local rather than
+    * session-conf-mutating: `SparkEntry.noSpread` previously scoped
+    * the opt-out by set → body → restore on the shared session conf,
+    * which silently disabled the spread for any UNRELATED query
+    * constructed concurrently on the same session (round-16 ADVICE).
+    * Entry construction is single-threaded per query, so a
+    * ThreadLocal depth counter gives exactly the intended scope with
+    * no cross-thread visibility; the session conf stays the EXTERNAL
+    * kill switch (ops / A/B probes).
+    */
+  private val noSpreadDepth: ThreadLocal[Integer] =
+    ThreadLocal.withInitial(() => Integer.valueOf(0))
+
+  /** Run `body` with [[spreadTinyInput]] disabled on THIS thread. */
+  def withSpreadDisabled[T](body: => T): T = {
+    noSpreadDepth.set(noSpreadDepth.get + 1)
+    try body finally noSpreadDepth.set(noSpreadDepth.get - 1)
+  }
+
   def spreadTinyInput(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val spark = df.sparkSession
+    if (noSpreadDepth.get > 0) return df
     if (spark.conf.getOption(SpreadEnabledKey).exists(_.equalsIgnoreCase("false")))
       return df
     val p = spark.sparkContext.defaultParallelism
     val stats = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    // parse through Spark's own byte-string grammar: conventional
+    // renderings like "128MB" / "64m" / "1g" crashed the previous
+    // stripSuffix("b").toLong spelling (round-16 ADVICE, medium);
+    // unparseable values fall back to the 128 MB default instead of
+    // failing every spread-instrumented query at construction time
     val maxPB = math.max(1L,
-      spark.conf.get("spark.sql.files.maxPartitionBytes", (128L << 20).toString)
-        .stripSuffix("b").toLong)
+      try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", (128L << 20).toString))
+      catch { case scala.util.control.NonFatal(_) => 128L << 20 })
     val spreadCeiling = BigInt(p.toLong * AdvisoryPartitionBytes)
     if (stats <= 0 || stats > spreadCeiling) df
     else {

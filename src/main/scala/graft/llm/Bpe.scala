@@ -205,7 +205,7 @@ object Bpe {
       .select(explode(split(trim(textCol), "\\s+")).as("w"))
       .where(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("freq"))
-    val wf0 = if (pruning) wf0raw.truncateLineage() else wf0raw
+    val wf0 = if (pruning) wf0raw.truncateLineageDeferred() else wf0raw
     val floored = if (minFreq > 1L) wf0.where(col("freq") >= minFreq) else wf0
     val kept =
       if (topV > 0)
@@ -227,7 +227,7 @@ object Bpe {
     }
     var wf = kept
       .select(charSymbols(col("w")).as("sym"), col("freq"))
-      .truncateLineage()
+      .truncateLineageDeferred()
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     val localMax = spark.conf.getOption(LocalVocabThresholdKey)
       .map(_.toLong).getOrElse(1000000L)
@@ -293,7 +293,7 @@ object Bpe {
             step += 1
             sym = applyMerge(sym, lit(l), lit(r))
           }
-          wf = wf.select(sym.as("sym"), col("freq")).truncateLineage()
+          wf = wf.select(sym.as("sym"), col("freq")).truncateLineageDeferred()
         }
       }
     }

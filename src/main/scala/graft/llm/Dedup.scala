@@ -306,6 +306,20 @@ object Dedup {
   def hamming(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** Necessary popcount condition for `hamming(a, b) <= d`: flipping
+    * one bit changes the popcount by exactly ±1, so
+    * `|popcount(a) − popcount(b)| <= hamming(a, b)` always — a pair
+    * whose popcounts differ by more than `d` can never verify. A
+    * codegen'd integer bound evaluated BEFORE the XOR-popcount (and,
+    * in the banded generator, before the candidate-pair distinct),
+    * same pattern as [[jaccardSizeBound]] (round-17 optimization,
+    * guide §1.2 step 2: cheap necessary condition first). Never
+    * sufficient — callers keep the exact Hamming filter, results
+    * unchanged (`PopcountBoundSpec`).
+    */
+  private[llm] def popcountBound(a: Column, b: Column, d: Int): Column =
+    abs(bit_count(a) - bit_count(b)) <= d
+
   /** SimHash near-dup candidates bucketed by the top `prefixBits` of
     * the fingerprint (a band of the simhash — bucketed join, not
     * all-pairs), verified by full hamming distance ≤ maxDistance.
@@ -331,10 +345,14 @@ object Dedup {
       fp0: DataFrame,
       prefixBits: Int,
       maxDistance: Int): DataFrame = {
+    // popcount precomputed ONCE per row (not per pair) so the
+    // per-pair necessary bound is one integer subtract/compare
     val fp = fp0.withColumn("bucket", shiftright(col("fp"), 32 - prefixBits))
+      .withColumn("pc", bit_count(col("fp")))
     val a = fp.as("a")
     val b = fp.as("b")
-    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id") &&
+        abs(col("a.pc") - col("b.pc")) <= maxDistance)
       .withColumn("dist", hamming(col("a.fp"), col("b.fp")))
       .where(col("dist") <= maxDistance)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("dist"))
@@ -372,20 +390,26 @@ object Dedup {
       maxDistance: Int,
       bits: Int = 32): DataFrame = {
     val w = bits / bands
-    val banded = fp.select(col("id"), col("fp"),
+    // popcount precomputed once per row; the per-pair bound then
+    // prunes candidates BEFORE they cross the distinct's exchange
+    val banded = fp.select(col("id"), col("fp"), bit_count(col("fp")).as("pc"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
           shiftright(col("fp"), b * w).bitwiseAND(lit((1L << w) - 1)).as("v"))): _*))
         .as("bv"))
-      .select(col("id"), col("fp"), col("bv.band"), col("bv.v"))
+      .select(col("id"), col("fp"), col("pc"), col("bv.band"), col("bv.v"))
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
-          col("a.id") < col("b.id"))
+          col("a.id") < col("b.id") &&
+          abs(col("a.pc") - col("b.pc")) <= maxDistance)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         hamming(col("a.fp"), col("b.fp")).as("dist"))
-      .distinct()
+      // the Hamming filter moved BEFORE the distinct: dist is a
+      // function of the pair, so filter-then-distinct ≡
+      // distinct-then-filter while failing pairs no longer shuffle
       .where(col("dist") <= maxDistance)
+      .distinct()
   }
 
   /** Precision/recall of the prefix-bucketed SimHash candidate
@@ -424,7 +448,7 @@ object Dedup {
     val truth = fp.as("a").join(fp.as("b"), joinCond)
       .where(hamming(col("a.fp"), col("b.fp")) <= maxDistance)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .truncateLineage()
+      .truncateLineageDeferred()
     val sameBlock = bk.map(c => col(s"la.$c") === col(s"lb.$c")).reduce(_ && _)
     val cand = bands match {
       case Some(b) => simhashNearDupsBandedFromFp(fpBase, b, maxDistance)
@@ -435,7 +459,7 @@ object Dedup {
       .join(lab.as("lb"), col("id_b") === col("lb.id"))
       .where(sameBlock)
       .select(col("id_a"), col("id_b"))
-      .truncateLineage()
+      .truncateLineageDeferred()
     val hit = approx.join(truth, Seq("id_a", "id_b"), "left_semi")
     val nT = truth.groupBy().agg(count(lit(1)).as("n_truth"))
     val nA = approx.groupBy().agg(count(lit(1)).as("n_approx"))
@@ -674,7 +698,10 @@ object Dedup {
     // producer (for near-dup input that is the whole candidate→Jaccard
     // verification join), and the pair relation is the small end of
     // the funnel — cheapest possible point to cut.
-    val p = pairs.select(col("id_a"), col("id_b")).truncateLineage()
+    // deferred: the count probe below is the first action and
+    // materializes the cut — an eager cut here was one extra job on
+    // every clusters() consumer (round-17 job-count pass)
+    val p = pairs.select(col("id_a"), col("id_b")).truncateLineageDeferred()
 
     // adaptive: the VERIFIED pair relation is the small end of the
     // dedup funnel (candidates are band-bucketed and Jaccard-checked
@@ -747,14 +774,14 @@ object Dedup {
     val l1 = edges.groupBy(col("src").as("id"))
       .agg(min(col("dst")).as("mn"))
       .select(col("id"), least(col("id"), col("mn")).as("l1"))
-      .truncateLineage()
+      .truncateLineageDeferred()
     val cPairs = edges
       .join(l1.select(col("id").as("src"), col("l1").as("ls")), Seq("src"))
       .join(l1.select(col("id").as("dst"), col("l1").as("ld")), Seq("dst"))
       .where(col("ls") < col("ld"))
       .select(col("ls").as("id_a"), col("ld").as("id_b"))
       .distinct()
-      .truncateLineage()
+      .truncateLineageDeferred()
     val nContracted = cPairs.count()
     val nPairs = p.count()
     def compose(sub: DataFrame): DataFrame =
@@ -781,7 +808,7 @@ object Dedup {
     pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
-      .truncateLineage()
+      .truncateLineageDeferred()
 
   /** Min-label propagation with pointer jumping over a symmetrized
     * edge relation — the distributed fallback of [[clusters]] for
@@ -792,7 +819,7 @@ object Dedup {
     var labels = edges.select(col("src").as("id"))
       .distinct()
       .withColumn("cluster_id", col("id"))
-      .truncateLineage()
+      .truncateLineageDeferred()
     var iter = 0
     var changed = true
     while (changed && iter < maxIter) {
@@ -805,7 +832,7 @@ object Dedup {
         .select(col("id"), col("cluster_id").as("old_label"),
           least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id")))
             .as("mid_label"))
-        .truncateLineage()
+        .truncateLineageDeferred()
       // pointer jumping (path halving): l(id) ← l(l(id)). A label is
       // always the id of a node in the same component, so the
       // composed label stays in-component and only decreases —
@@ -1020,7 +1047,7 @@ object Dedup {
             org.apache.spark.sql.GraftExpressionBridge.expression(col("b.sh")))))
       .where(col("j") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .truncateLineage()
+      .truncateLineageDeferred()
     val sameBlock = bk.map(c => col(s"la.$c") === col(s"lb.$c")).reduce(_ && _)
     val approx = minhashNearDups(docs, textCol, idCol, shingleWidth,
         bands, rows, threshold)
@@ -1028,7 +1055,7 @@ object Dedup {
       .join(lab.as("lb"), col("id_b") === col("lb.id"))
       .where(sameBlock)
       .select(col("id_a"), col("id_b"))
-      .truncateLineage()
+      .truncateLineageDeferred()
     val hit = approx.join(truth, Seq("id_a", "id_b"), "left_semi")
     val nT = truth.groupBy().agg(count(lit(1)).as("n_truth"))
     val nA = approx.groupBy().agg(count(lit(1)).as("n_approx"))

@@ -37,17 +37,17 @@ object Graph {
     // upstream corpus scan (textrank's doc-scan → pair explode →
     // distinct ran ~8× for 4 iterations). Truncate both ONCE before
     // the loop — same discipline as Dedup.clusters / Similarity.kmeans.
-    val sym = graft.Lineage.truncate(
+    val sym = graft.Lineage.truncateDeferred(
       edges.select(aCol.as("src"), bCol.as("dst"))
         .union(edges.select(bCol.as("src"), aCol.as("dst")))
         .distinct())
-    val deg = graft.Lineage.truncate(
+    val deg = graft.Lineage.truncateDeferred(
       sym.groupBy(col("src").as("node"))
         .agg(count(lit(1)).cast("double").as("deg")))
     // pre-join the out-degree INTO the edge list once: each iteration
     // then needs ONE rank⋈edges equi-join instead of rank⋈deg⋈edges —
     // one join (and its shuffle) saved per iteration at any scale
-    val symDeg = graft.Lineage.truncate(
+    val symDeg = graft.Lineage.truncateDeferred(
       sym.join(deg.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("src").as("node"), col("dst"), col("deg")))
     val n = deg.groupBy().agg(count(lit(1)).cast("double").as("__n"))

@@ -758,7 +758,7 @@ object Multimodal {
       bands: Int = 4): DataFrame = {
     // one codec pass per action, not three: (doc_id, fp) is consumed
     // by the collapse, the pair generator, and the final map-back
-    val fps = fps0.select(col("doc_id"), col("fp")).truncateLineage()
+    val fps = fps0.select(col("doc_id"), col("fp")).truncateLineageDeferred()
     val rep = fps.groupBy(col("fp"))
       .agg(org.apache.spark.sql.functions.min(col("doc_id")).as("rep_id"))
     val pairs = dhashPairs(
@@ -811,7 +811,7 @@ object Multimodal {
     // the rep collapse AND the final map-back, and its derivation is
     // usually the codec chain (PNG encode+decode per doc) — without
     // the cut every action pays the codec twice. 16 bytes/doc.
-    val fps = fps0.select(col("doc_id"), col("fp")).truncateLineage()
+    val fps = fps0.select(col("doc_id"), col("fp")).truncateLineageDeferred()
     val rep = fps.groupBy(col("fp"))
       .agg(org.apache.spark.sql.functions.min(col("doc_id")).as("rep_id"))
     val slices = fpBandSlices(col("fp"), nBits, bands)

@@ -34,8 +34,9 @@ object Pipeline {
       minShared: Int = 2): DataFrame = {
     // the curate survivors feed BOTH the decon shingle pass and the
     // final anti-join — materialize once, like curate's own exact set
+    // (deferred: the cut lands inside the first consuming action)
     val kept = curate(docs, qualityThreshold, nearDupThreshold)
-      .truncateLineage()
+      .truncateLineageDeferred()
     kept.join(
       Decontaminate.contaminated(kept, evalSet,
           col("text"), col("doc_id"), col("text"), w = 5, minShared = minShared)
@@ -56,7 +57,7 @@ object Pipeline {
     // to the reliable graft.checkpoint.dir when configured; the
     // alternative at 100 TB is two full corpus recomputations.
     val exact = Dedup.exactKeep(quality, md5(Dedup.normalizedText(col("text"))))
-      .truncateLineage()
+      .truncateLineageDeferred()
     val pairs = Dedup
       .minhashNearDups(exact, col("text"), col("doc_id"), threshold = nearDupThreshold)
       .select("id_a", "id_b")
@@ -75,30 +76,45 @@ object Pipeline {
       docs: DataFrame,
       qualityThreshold: Double = 0.75,
       nearDupThreshold: Double = 0.5): DataFrame = {
-    def stageRow(no: Int, name: String, df: DataFrame): DataFrame =
-      df.groupBy().agg(
-          count(lit(1)).as("n_docs"),
-          sum(TextStats.tokensWhitespace(col("text")).cast("long")).as("n_tokens"))
-        .select(lit(no.toLong).as("stage_no"), lit(name).as("stage"),
-          col("n_docs"), col("n_tokens"))
-    // stages 1+2 fuse into ONE corpus scan: the quality gate is a
-    // per-row predicate, so the raw and gated rows are conditional
-    // aggregates of the same pass (separate stageRows would scan the
-    // corpus twice for what one map-side aggregate computes)
+    // ONE corpus scan evaluates the quality predicate and the token
+    // count; every stage reads the cut instead of re-scanning parquet
+    // (round-17: the previous shape scanned the corpus twice and
+    // evaluated qualityScoreRaw per scan — once for the raw/quality
+    // conditional aggregate, once for the gate feeding exact dedup).
+    // The flag/token columns are a byte and a long per row — the same
+    // signature-sized-column discipline as the minhash cut; the
+    // corpus-sized cut itself is the storage bet this operator's
+    // `exact` stage already made.
     val passes = TextStats.qualityScoreRaw(col("text")) >= qualityThreshold
     val toks = TextStats.tokensWhitespace(col("text")).cast("long")
-    val rawQuality = docs.groupBy().agg(
-        count(lit(1)).as("n1"), sum(toks).as("t1"),
-        count(when(passes, lit(1))).as("n2"), sum(when(passes, toks)).as("t2"))
+    val flagged = docs
+      .withColumn("__pass", passes)
+      .withColumn("__toks", toks)
+      .truncateLineageDeferred()
+    // stages 1+2: conditional aggregates over the flagged cut — the
+    // quality gate is a per-row flag read, not a second evaluation
+    val rawQuality = flagged.groupBy().agg(
+        count(lit(1)).as("n1"), sum(col("__toks")).as("t1"),
+        count(when(col("__pass"), lit(1))).as("n2"),
+        sum(when(col("__pass"), col("__toks"))).as("t2"))
       .select(explode(array(
         struct(lit(1L).as("stage_no"), lit("raw").as("stage"),
           col("n1").as("n_docs"), col("t1").as("n_tokens")),
         struct(lit(2L).as("stage_no"), lit("quality").as("stage"),
           col("n2").as("n_docs"), col("t2").as("n_tokens")))).as("r"))
       .select("r.stage_no", "r.stage", "r.n_docs", "r.n_tokens")
-    val quality = docs.where(passes)
+    // stage rows 3/4 reuse the per-row __toks carried through the
+    // dedup chain (exactKeep/nearDupKeep return their input rows), so
+    // the tokenizer runs once per document in the whole report
+    def stageRow(no: Int, name: String, df: DataFrame): DataFrame =
+      df.groupBy().agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("__toks")).as("n_tokens"))
+        .select(lit(no.toLong).as("stage_no"), lit(name).as("stage"),
+          col("n_docs"), col("n_tokens"))
+    val quality = flagged.where(col("__pass"))
     val exact = Dedup.exactKeep(quality, md5(Dedup.normalizedText(col("text"))))
-      .truncateLineage()
+      .truncateLineageDeferred()
     val pairs = Dedup
       .minhashNearDups(exact, col("text"), col("doc_id"), threshold = nearDupThreshold)
       .select("id_a", "id_b")

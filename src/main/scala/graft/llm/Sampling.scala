@@ -468,7 +468,7 @@ object Sampling {
     val ranged = scored
       .repartitionByRange(buckets, col("q").desc, col("doc_id"))
       .withColumn("pid", spark_partition_id())
-      .truncateLineage()
+      .truncateLineageDeferred()
     val offsets = ranged.groupBy("pid").agg(sum("tokens").as("ptot"))
       .withColumn("off",
         coalesce(sum("ptot").over(

@@ -288,7 +288,7 @@ object Similarity {
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("m")))),
           e => e.getField("m")).as("centroid"))
-        .truncateLineage()
+        .truncateLineageDeferred()
     }
     centroids
   }
@@ -887,7 +887,7 @@ object Similarity {
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("mv")))),
           e => e.getField("mv")).as("centroid"))
-        .truncateLineage()
+        .truncateLineageDeferred()
     }
     cents
   }

@@ -1124,7 +1124,9 @@ object TextStats {
     // the doc-sized NLL relation feeds BOTH the per-lang cut
     // derivation and the final bucket projection — materialize it
     // once instead of re-running the vocab join per consumer
-    val nll = graft.Lineage.truncate(
+    // deferred cut: the cuts-collect below is the first action and
+    // materializes it — no separate eager job
+    val nll = graft.Lineage.truncateDeferred(
       unigramLogLoss(docs, textCol, idCol)
         .join(docs.select(idCol.as("doc_id"), langCol.as("lang")), Seq("doc_id"))
         .select(col("doc_id"), col("lang"), col("nll")))

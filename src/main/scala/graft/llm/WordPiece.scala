@@ -84,7 +84,7 @@ object WordPiece {
       .where(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .select(wpSymbols(col("w")).as("sym"), col("freq"))
-      .truncateLineage()
+      .truncateLineageDeferred()
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     val localMax = spark.conf.getOption(Bpe.LocalVocabThresholdKey)
       .map(_.toLong).getOrElse(1000000L)
@@ -166,7 +166,7 @@ object WordPiece {
           val Array(l, r) = pair.split(" ", 2)
           learned += ((step, l, r, mergedSymbol(l, r), row.getLong(1)))
           wf = wf.select(applyMerge(col("sym"), l, r).as("sym"), col("freq"))
-            .truncateLineage()
+            .truncateLineageDeferred()
           step += 1
         }
       }

@@ -126,7 +126,7 @@ object Tagger {
     // per consumer
     val base = tree.select(col("path"), col("date"), col("version")).distinct()
       .withColumn("matched", matchedTags(col("path"), rules))
-      .truncateLineage()
+      .truncateLineageDeferred()
 
     // ancestors-or-self pairs: (x, each prefix chain entry of x)
     val segs = split(regexp_replace(col("path"), "\\.$", ""), "\\.")
@@ -145,7 +145,7 @@ object Tagger {
       .join(base.select(col("path").as("y"), col("matched")), Seq("y"))
       .groupBy(col("x").as("path"))
       .agg(array_distinct(flatten(collect_list(col("matched")))).as("down"))
-      .truncateLineage()
+      .truncateLineageDeferred()
 
     // one-hop upward: parent ← union of direct children's down sets
     val parentOf = concat(
