@@ -121,11 +121,31 @@ object Tuning {
     n
   }
 
-  /** Set the two AQE session confs for an already-derived count. */
+  /** Floor under AQE's parallelism-first coalescing: Spark's default
+    * `minPartitionSize` (1 MB) lets AQE coalesce a post-shuffle stage
+    * BELOW the session parallelism whenever the stage's bytes are
+    * under parallelism × 1 MB — which parks CPU-heavy, byte-light
+    * aggregates on 1–2 cores (round-17 StageProbe: the
+    * quantile_over_time percentile aggregate ran 1.15 s on TWO tasks
+    * of a 32-thread session; interleaved A/B at 64 KB:
+    * p_query_holt 0.55×, p_query_quantile_ot 0.63×, p_query_mad
+    * 0.64×, p_query_groupleft 0.80×, flat-to-noise elsewhere). Bytes
+    * under-measure compute for these stages — per-group sorted lists
+    * and fold state cost CPU, not shuffle volume — so the floor is
+    * lowered to advisory/1024. Scale behavior: any stage carrying ≥
+    * parallelism × 64 KB still coalesces exactly as before; at
+    * corpus scale every real shuffle is far past that, so the knob
+    * only governs result-sized tails where extra tasks are ~free.
+    */
+  val MinPartitionBytes: Long = AdvisoryPartitionBytes / 1024
+
+  /** Set the AQE session confs for an already-derived count. */
   def applyConf(spark: SparkSession, n: Int): Unit = {
     spark.conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum", n.toString)
     spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
       AdvisoryPartitionBytes.toString)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+      MinPartitionBytes.toString)
   }
 
   /** Adaptive tiny-input spread (optimization guide §2: partitioning

@@ -460,11 +460,23 @@ object Dedup {
       .where(sameBlock)
       .select(col("id_a"), col("id_b"))
       .truncateLineageDeferred()
-    val hit = approx.join(truth, Seq("id_a", "id_b"), "left_semi")
+    recallReport(truth, approx)
+  }
+
+  /** Shared tail of the recall harnesses: one LEFT join computes
+    * n_approx and n_hit together (both pair relations are unique on
+    * (id_a, id_b) by construction, so the join never multiplies
+    * rows); the previous shape paid a semi-join plus two separate
+    * 1-row aggregates plus an extra broadcast cross — two more
+    * exchanges per harness (round-17 job-count pass).
+    */
+  private def recallReport(truth: DataFrame, approx: DataFrame): DataFrame = {
     val nT = truth.groupBy().agg(count(lit(1)).as("n_truth"))
-    val nA = approx.groupBy().agg(count(lit(1)).as("n_approx"))
-    val nH = hit.groupBy().agg(count(lit(1)).as("n_hit"))
-    nT.crossJoin(nA).crossJoin(nH)
+    val nAH = approx
+      .join(truth.withColumn("__hit", lit(1)), Seq("id_a", "id_b"), "left_outer")
+      .groupBy().agg(count(lit(1)).as("n_approx"),
+        count(col("__hit")).as("n_hit"))
+    nT.crossJoin(nAH)
       .select(col("n_truth"), col("n_approx"), col("n_hit"),
         round(col("n_hit") / greatest(col("n_approx").cast("double"), lit(1.0)), 4)
           .as("precision"),
@@ -1056,16 +1068,7 @@ object Dedup {
       .where(sameBlock)
       .select(col("id_a"), col("id_b"))
       .truncateLineageDeferred()
-    val hit = approx.join(truth, Seq("id_a", "id_b"), "left_semi")
-    val nT = truth.groupBy().agg(count(lit(1)).as("n_truth"))
-    val nA = approx.groupBy().agg(count(lit(1)).as("n_approx"))
-    val nH = hit.groupBy().agg(count(lit(1)).as("n_hit"))
-    nT.crossJoin(nA).crossJoin(nH)
-      .select(col("n_truth"), col("n_approx"), col("n_hit"),
-        round(col("n_hit") / greatest(col("n_approx").cast("double"), lit(1.0)), 4)
-          .as("precision"),
-        round(col("n_hit") / greatest(col("n_truth").cast("double"), lit(1.0)), 4)
-          .as("recall"))
+    recallReport(truth, approx)
   }
 
   /** Optimal LSH banding plan: among all (bands b, rows r) with
