@@ -323,6 +323,13 @@ object Dedup {
   /** SimHash near-dup candidates bucketed by the top `prefixBits` of
     * the fingerprint (a band of the simhash — bucketed join, not
     * all-pairs), verified by full hamming distance ≤ maxDistance.
+    *
+    * Deployment note (since round 16): the simhash family checkpoints
+    * its fingerprint relation (1 long per doc), so on a
+    * multi-executor deployment it follows the [[graft.Lineage]]
+    * durability contract — with `graft.checkpoint.requireDurable=true`
+    * and no `graft.checkpoint.dir`, these operators fail fast where
+    * the pre-r16 plan-only form ran without any checkpoint.
     */
   def simhashNearDups(
       docs: DataFrame,

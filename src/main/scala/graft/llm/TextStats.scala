@@ -655,6 +655,13 @@ object TextStats {
       docs: DataFrame, text: Column, idCol: Column): DataFrame = {
     val toks = docs.select(idCol.as("doc_id"), explode(words(text)).as("token"))
     val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    // NOT derived from tf (`n = Σ tf` over the (doc, token) aggregate
+    // would make the explode run once via exchange reuse): measured
+    // 1.15–1.21× SLOWER at sf0.1 — chaining vocab behind tf's
+    // exchange serializes two shuffles where the two independent
+    // explode→aggregate pipelines overlap, and the (doc, token) grain
+    // is a worse map-side-combine key than the bare token (round-17
+    // A/B, kept as the parallel two-pass shape)
     val vocab = toks.groupBy("token").agg(count(lit(1)).as("n"))
     val total = vocab.groupBy().agg(sum(col("n")).as("__total"))
     val contrib = tf.join(vocab, "token")
