@@ -86,8 +86,23 @@ object GraphiteTables {
       val app = spark.sparkContext.applicationId
       val suffix = graft.StoreEpochs.keySuffix(app, dir)
       val key = (app, dir, kind + suffix)
+      // The memoized RDD's partitioning is its PERMANENT layout for
+      // the whole session, so size it to the DATA, not to whatever
+      // coalescing floor the session runs queries under: round 17's
+      // 64 KB AQE floor (Tuning.MinPartitionBytes — right for
+      // CPU-heavy query aggregates) left these path-dimension-sized
+      // tables in ~parallelism partitions, taxing every later tiny
+      // find/render with a full task wave per stage (g_find_* walls
+      // 4–7× — caught by the untouched-median control). One partition
+      // per advisory chunk of the SOURCE dir, clamped to
+      // [1, parallelism]; coalesce never widens, so a genuinely large
+      // store keeps its parallel layout.
+      val memoParts = math.max(1L, math.min(
+        spark.sparkContext.defaultParallelism.toLong,
+        graft.Tuning.dirBytes(dir, spark) / graft.Tuning.AdvisoryPartitionBytes))
+        .toInt
       val out = derived.computeIfAbsent(
-        key, _ => graft.Lineage.truncate(build, eager = false))
+        key, _ => graft.Lineage.truncate(build.coalesce(memoParts), eager = false))
       // close the insert-after-bump window: a bump whose invalidator
       // ran between this thread's key computation and the insert
       // completing would otherwise leave this old-epoch entry
